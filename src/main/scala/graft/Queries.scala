@@ -1,0 +1,666 @@
+package graft
+
+import graft.fdr.TargetDecoy
+import graft.functions.{PeptideFunctions, TextFunctions, UsiFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-checked operator inventory (SURVEY.md §2): each entry is one
+  * operator family expressed over the shared testdata tables, with an ANSI
+  * SQL oracle the driver replays in DuckDB.
+  *
+  * Query keys carry the SURVEY §2 operator ids they exercise. Conventions
+  * for oracle hash-parity:
+  *  - every result is deterministically ordered by a unique key, in both
+  *    engines;
+  *  - double aggregates over non-integral values go through DECIMAL casts
+  *    (exact summation, order-independent) and back to double;
+  *  - derived doubles use only IEEE ops in the same association order on
+  *    both sides (divisions, sequential list folds), so values are
+  *    bit-identical;
+  *  - hashes are md5-based (portable across engines).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+
+  // Decimal-exact sum of a double column, returned as double.
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------------- aggregations
+    // A1/A13 + pricing-summary flagship (conditional counts, exact sums).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+        )
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F2-F8 — predicate chain + projection, pushed to the parquet scan.
+    "f_filter_chain" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+        .filter(col("l_quantity") >= 5 && col("l_quantity") <= 45)
+        .filter(col("l_returnflag") =!= "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P3/P4/P5 — USI build + special-char cleaning + spectraUsi prefix.
+    "p3_p5_usi" -> ((s, dir) => {
+      val raw = concat(
+        lit("mzspec:PXD000001:"), col("source"), lit("_"), col("lang"), lit(" ("),
+        col("doc_id").cast("string"), lit("):scan:"), col("doc_id").cast("string"),
+        lit(":PEPTIDE/2"))
+      val usi = UsiFunctions.cleanUsi(raw)
+      t(s, dir, "documents")
+        .select(col("doc_id"), usi.as("usi"), UsiFunctions.spectraUsi(usi).as("spectra_usi"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P7 — isobaric L->I normalization (translate).
+    "p7_isobaric" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          UsiFunctions.isobaric(substring(col("text"), 1, 40)).as("iso_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P9 — q==0 repair from the group-global positive minimum.
+    "p9_qvalue_repair" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_discount").as("q")).distinct()
+      TargetDecoy.repairZeroQValues(d, col("q"), Seq.empty, "q_repaired")
+        .orderBy(col("q"))
+    }),
+
+    // P10 — missed-cleavage counting via regexp over sequence text.
+    "p10_missed_cleavages" -> ((s, dir) => {
+      val up = upper(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (coalesce(regexp_count(up, lit("[KR]")), lit(0)) -
+            coalesce(regexp_count(up, lit("[KR]P")), lit(0))).cast("long").as("mc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P12 — -log10 score transform, 5 dp.
+    "p12_score_transform" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_discount").as("q")).filter(col("q") > 0).distinct()
+        .select(col("q"), PeptideFunctions.proteinScore(col("q")).as("score"))
+        .orderBy(col("q"))
+    }),
+
+    // ------------------------------------------------------------------ joins
+    // J1 — normalize-then-equijoin (the PSM<->spectrum scan-key pattern).
+    "j1_scan_key_join" -> ((s, dir) => {
+      val withKey = t(s, dir, "orders")
+        .withColumn("skey", concat(lit("scan="), col("o_orderkey").cast("string")))
+      val norm = regexp_replace(col("skey"), "^scan=", "").cast("long")
+      val li = t(s, dir, "lineitem")
+      withKey
+        .join(li, norm === li("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J2 — anti-join completeness guard (unmatched => error in the reference).
+    "j2_unmatched_guard" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"))
+    }),
+
+    // J3 — contains()-theta join over small broadcast dims.
+    "j3_contains_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = broadcast(t(s, dir, "region"))
+      n.join(r, n("n_name").contains(substring(r("r_name"), 1, 1)))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // J5 — broadcast dimension lookup with coalesce fallback.
+    "j5_dim_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J6 — left-semi membership filter.
+    "j6_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // J7 + A3/A7/A9 — single groupBy assembling the per-key rollup
+    // (the protein-evidence shape: counts, best score, dedup'd member list).
+    "j7_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          min(col("o_totalprice")).as("best_price"),
+          max((col("o_orderstatus") === "O").cast("int")).cast("boolean").as("any_open"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        )
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A5/A6 — peptide-uniqueness inference category over a bipartite graph.
+    "a6_inference_category" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"), min(col("l_suppkey")).as("only_supp"))
+      val unique = perPart.filter(col("ns") === 1)
+        .select(col("only_supp").as("supp")).distinct().withColumn("u", lit(true))
+      li.select(col("l_suppkey").as("supp")).distinct()
+        .join(unique, Seq("supp"), "left")
+        .select(col("supp"),
+          when(col("u"), lit("distinguishable")).otherwise(lit("indistinguishable")).as("category"))
+        .orderBy(col("supp"))
+    }),
+
+    // A11 — cluster purity: dominant member form must exceed the ratio gate.
+    "a11_cluster_purity" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+      val wr = w.orderBy(col("cnt").desc, col("event_type").asc)
+      counts
+        .withColumn("total", sum(col("cnt")).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .withColumn("ratio", col("cnt").cast("double") / col("total"))
+        .filter(col("ratio") > 0.22)
+        .select(col("user_id"), col("event_type").as("dominant_type"), col("ratio"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A12/W1 — best-per-group representative via window rank.
+    "a12_best_per_cluster" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A14/W2 — target-decoy FDR + q-values (running counts + reverse min).
+    "a14_fdr_qvalues" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("assay", col("user_id") % 8)
+        .withColumn("is_decoy", col("event_type") === "error")
+      TargetDecoy
+        .withQValues(ev, Seq(col("assay")), col("value"), col("is_decoy"), col("event_id"))
+        .select(col("assay"), col("event_id"), col("is_decoy"), col("fdr"), col("q_value"))
+        .orderBy(col("assay"), col("event_id"))
+    }),
+
+    // W3 — top-k identifications per spectrum (rank limit).
+    "w3_top_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
+    // U1 — union of two sources, counted per key.
+    "u1_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+      c.unionByName(sup).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // U2 — explode(split) token flattening + counts.
+    "u2_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))
+    }),
+
+    // D2 — duplicate-key detection (groupBy count > 1).
+    "d2_dup_detect" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select((col("o_orderkey") % 97).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy(col("k"))
+    }),
+
+    // ------------------------------------------------- training-data operators
+    // Exact dedup: md5 fingerprint, deterministic min-id survivor.
+    "dd_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), col("doc_id"), md5(col("text")))
+        .select(col("doc_id"), col("fingerprint"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH banding near-dup pairs (16 hashes, 4x4 bands).
+    "dd_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash document signatures (32-bit, multiset token weights).
+    "dd_simhash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      Dedup.simHash32(toks, col("doc_id"), col("token"))
+        .orderBy(col("id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, threshold = 0.2, maxShingleDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k similarity search (exact baseline).
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(e, e.filter(col("id") < 10), 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Text quality metrics (token counts, ratios, composite score).
+    "txt_quality" -> ((s, dir) => {
+      val m = TextFunctions.qualityMetrics(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+          col("m.mean_token_len").as("mean_token_len"),
+          col("m.stopword_ratio").as("stopword_ratio"),
+          col("m.punct_ratio").as("punct_ratio"),
+          col("m.quality_score").as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic (stopword-lexicon argmax).
+    "txt_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprints: normalized md5 + order-sensitive rolling hash.
+    "txt_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.normalizedFingerprint(col("text")).as("norm_fp"),
+          TextFunctions.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal binary-column plumbing: opaque payload + portable digest.
+    "mm_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming-shaped tumbling-window aggregation (batch equivalence; the
+    // Structured Streaming path is exercised in the test suite).
+    "e_stream_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour_str"), col("event_type"))
+    }),
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  private val minhashCoeffs: String =
+    (0 until 16).map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
+
+  private val simhashSums: String =
+    (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
+
+  private val simhashValue: String =
+    (0 until 32).map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  private val usiCharClass = """[()_ =&$@;+?{^}%\]>\[~<#|]"""
+
+  private val dotSql =
+    "list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f_filter_chain" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-09-01'
+        |  AND l_quantity >= 5 AND l_quantity <= 45 AND l_returnflag <> 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p3_p5_usi" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, 'mzspec:PXD000001:' || source || '_' || lang || ' (' ||
+         |    doc_id::VARCHAR || '):scan:' || doc_id::VARCHAR || ':PEPTIDE/2' AS raw
+         |  FROM documents),
+         |c AS (SELECT doc_id, regexp_replace(raw, '$usiCharClass', '', 'g') AS usi FROM r)
+         |SELECT doc_id, usi,
+         |  array_to_string(string_split(usi, ':')[1:5], ':') AS spectra_usi
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "p7_isobaric" ->
+      """SELECT doc_id, translate(substr(text, 1, 40), 'L', 'I') AS iso_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p9_qvalue_repair" ->
+      """WITH d AS (SELECT DISTINCT l_discount AS q FROM lineitem)
+        |SELECT q, CASE WHEN q > 0 THEN q
+        |  ELSE round((SELECT min(q) FROM d WHERE q > 0) / 10, 6) END AS q_repaired
+        |FROM d ORDER BY q""".stripMargin,
+
+    "p10_missed_cleavages" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(upper(text), '[KR]')) - len(regexp_extract_all(upper(text), '[KR]P')) AS mc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p12_score_transform" ->
+      """SELECT q, round(-log10(q), 5) AS score
+        |FROM (SELECT DISTINCT l_discount AS q FROM lineitem WHERE l_discount > 0)
+        |ORDER BY q""".stripMargin,
+
+    "j1_scan_key_join" ->
+      """WITH o AS (SELECT *, 'scan=' || o_orderkey::VARCHAR AS skey FROM orders)
+        |SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM o JOIN lineitem ON CAST(regexp_replace(skey, '^scan=', '') AS BIGINT) = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j2_unmatched_guard" ->
+      """SELECT count(*) AS n_unmatched FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "j3_contains_join" ->
+      """SELECT n_name, r_name FROM nation, region
+        |WHERE contains(n_name, substr(r_name, 1, 1))
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "j5_dim_lookup" ->
+      """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 150000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j7_rollup" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  min(o_totalprice) AS best_price,
+        |  max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 1 AS any_open,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a6_inference_category" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey, count(DISTINCT l_suppkey) AS ns, min(l_suppkey) AS only_supp
+        |  FROM lineitem GROUP BY l_partkey),
+        |uq AS (SELECT DISTINCT only_supp AS supp FROM per_part WHERE ns = 1)
+        |SELECT s.supp, CASE WHEN uq.supp IS NOT NULL THEN 'distinguishable'
+        |  ELSE 'indistinguishable' END AS category
+        |FROM (SELECT DISTINCT l_suppkey AS supp FROM lineitem) s
+        |LEFT JOIN uq ON s.supp = uq.supp
+        |ORDER BY s.supp""".stripMargin,
+
+    "a11_cluster_purity" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type),
+        |ranked AS (
+        |  SELECT user_id, event_type, cnt,
+        |    sum(cnt) OVER (PARTITION BY user_id) AS total,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM counts)
+        |SELECT user_id, event_type AS dominant_type, cnt::DOUBLE / total AS ratio
+        |FROM ranked WHERE rn = 1 AND cnt::DOUBLE / total > 0.22
+        |ORDER BY user_id""".stripMargin,
+
+    "a12_best_per_cluster" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "a14_fdr_qvalues" ->
+      """WITH base AS (
+        |  SELECT user_id % 8 AS assay, event_id, event_type = 'error' AS is_decoy, value
+        |  FROM events),
+        |cum AS (
+        |  SELECT *,
+        |    sum(CASE WHEN is_decoy THEN 1 ELSE 0 END) OVER wb AS cum_decoys,
+        |    sum(CASE WHEN is_decoy THEN 0 ELSE 1 END) OVER wb AS cum_targets
+        |  FROM base
+        |  WINDOW wb AS (PARTITION BY assay ORDER BY value DESC, event_id ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *, cum_decoys::DOUBLE / greatest(cum_targets, 1) AS fdr FROM cum)
+        |SELECT assay, event_id, is_decoy, fdr,
+        |  min(fdr) OVER (PARTITION BY assay ORDER BY value ASC, event_id DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_value
+        |FROM f ORDER BY assay, event_id""".stripMargin,
+
+    "w3_top_rank" ->
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events) WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
+
+    "u1_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "u2_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 50)
+        |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
+
+    "d2_dup_detect" ->
+      """SELECT o_orderkey % 97 AS k, count(*) AS cnt FROM orders
+        |GROUP BY o_orderkey % 97 HAVING count(*) > 1 ORDER BY k""".stripMargin,
+
+    "dd_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "dd_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id_a
+         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+         |  FROM tok WHERE token <> ''),
+         |s AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id)
+         |SELECT doc_id AS id, $simhashValue AS simhash FROM s ORDER BY id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM toks),
+        |rare AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 50),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+        |  FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY l.doc_id, r.doc_id)
+        |SELECT id_a, id_b,
+        |  n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT qid, nid, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
+         |r AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "txt_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+        |    list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a,b) -> a+b)::DOUBLE
+        |      / len(toks) AS mean_token_len,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |      / len(toks) AS stopword_ratio,
+        |    (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
+        |      / len(text) AS punct_ratio
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+        |  (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
+        |    + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN hm <= 0 THEN 'und'
+        |       WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |       WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS predicted
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
+        |  list_reduce(list_prepend(0, list_transform(toks,
+        |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Designed scale-first:
+  *
+  *  - exact dedup is a hash `groupBy` (one shuffle on the fingerprint);
+  *  - near-dup methods never materialize the quadratic pair space — candidate
+  *    pairs come from an equi-join on LSH band / shingle keys, and only
+  *    candidates are verified;
+  *  - high-frequency shingles are dropped before the candidate join (a
+  *    skew guard: a shingle shared by k docs contributes k^2 pairs).
+  */
+object Dedup {
+
+  /** Exact dedup on a fingerprint column: keeps the row with the smallest
+    * `idCol` per fingerprint (deterministic survivor). Adds `fingerprint`
+    * and `dup_count`. */
+  def exact(df: DataFrame, idCol: Column, fingerprint: Column): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(idCol.asc)
+    df.withColumn("fingerprint", fingerprint)
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** MinHash signature values: for each of `numHashes` permutations i, the
+    * minimum of `(a_i * h(shingle) + b_i) mod p` over the document's
+    * shingles. Coefficients are fixed small primes-derived constants so the
+    * oracle can reproduce them. Returns (id, mh_0 .. mh_{k-1}). */
+  def minHashSignature(
+      docShingles: DataFrame, // (id, shingle) exploded, distinct
+      id: Column,
+      shingle: Column,
+      numHashes: Int,
+  ): DataFrame = {
+    val h = portableHash32(shingle)
+    val p = lit(2147483647L)
+    val aggs = (0 until numHashes).map { i =>
+      min(pmod(lit(hashA(i)) * h + lit(hashB(i)), p)).as(s"mh_$i")
+    }
+    docShingles
+      .withColumn("_id", id)
+      .withColumn("_h", h)
+      .groupBy(col("_id").as("id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deterministic MinHash coefficients (public small-constant scheme);
+    * reproduced literally in the correctness oracle. */
+  def hashA(i: Int): Long = (1L + 2L * i * 104729L) % 1000003L
+  def hashB(i: Int): Long = (i * 7919L + 13L) % 1000003L
+
+  /** MinHash + LSH banding near-dup pairs: signatures are cut into
+    * `numBands` bands of `rowsPerBand`; documents sharing any band hash are
+    * candidates; candidates are verified by estimated Jaccard = fraction of
+    * equal signature components >= `threshold`.
+    *
+    * Scale: the only joins are equi-joins on (band, bandHash) — LSH turns
+    * O(n^2) similarity search into a shuffle on band keys. */
+  def minHashLshPairs(
+      signatures: DataFrame, // (id, mh_0..mh_{k-1})
+      numBands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val k = numBands * rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("bh"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bh"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val sigA = signatures.select(col("id").as("id_a"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig_a"))
+    val sigB = signatures.select(col("id").as("id_b"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig_b"))
+
+    candidates
+      .join(sigA, "id_a")
+      .join(sigB, "id_b")
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 32-bit SimHash over a token multiset: bit j of the result is 1 iff the
+    * sum over tokens of (+1 when bit j of `h(token)` is set else -1) is
+    * positive. Near-dup docs differ in few bits (small Hamming distance). */
+  def simHash32(docTokens: DataFrame /* (id, token) */, id: Column, token: Column): DataFrame = {
+    val h = portableHash32(token)
+    val bitAggs = (0 until 32).map { j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$j")
+    }
+    val sums = docTokens
+      .withColumn("_id", id)
+      .withColumn("_h", h)
+      .groupBy(col("_id").as("id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 32)
+      .map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
+    * `maxShingleDf` drops shingles present in more than that many docs
+    * before pairing (skew guard; identical filter applied on both sides of
+    * the oracle keeps semantics aligned). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Int = 100,
+  ): DataFrame = {
+    val shingled = docs
+      .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
+      .distinct()
+    val rare = shingled
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+
+    val inter = rare.as("l")
+      .join(rare.as("r"), Seq("shingle"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
