@@ -345,6 +345,33 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("hour_str"), col("event_type"))
     }),
+
+    // ------------------------------------------ proteomics pipeline demos
+    // Rows-only checks (no SQL oracle): the deterministic micro-assay runs
+    // the real generate-index-files / perform-inference DAGs end-to-end.
+    // Their exact semantics are pinned by the ScalaTest golden assertions.
+    "pipeline_index_spectra" -> ((s, _) =>
+      graft.pipeline.DemoAssay.runIndex(s).archiveSpectra.orderBy(col("usi"))),
+    "pipeline_index_proteins" -> ((s, _) =>
+      graft.pipeline.DemoAssay.runIndex(s).proteinEvidence
+        .orderBy(col("reportedAccession"))),
+    "pipeline_cluster_inference" -> ((s, _) => {
+      val out = graft.pipeline.ClusterInference.run(
+        graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
+      out.representatives.orderBy(col("clusterId"))
+    }),
+    "fdr_protein_occam" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        ("x", "pepA", "P1"), ("x", "pepB", "P1"), ("x", "pepA", "P2"),
+        ("x", "pepB", "P2"), ("x", "pepA", "P3"), ("x", "pepC", "P4"),
+      ).toDF("assay", "peptide", "protein")
+      graft.fdr.ProteinInference.occamsRazor(pairs).orderBy(col("accession"))
+    }),
+    "io_mgf_roundtrip" -> ((s, _) =>
+      graft.pipeline.DemoAssay.mgfRoundTrip(s).orderBy(col("index"))),
+    "io_mztab_scan" -> ((s, _) =>
+      graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId"))),
   )
 
   // ------------------------------------------------------------------ oracles

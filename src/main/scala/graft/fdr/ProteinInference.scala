@@ -23,6 +23,8 @@ import scala.collection.mutable
   */
 object ProteinInference {
 
+  // NOTE: these must stay public top-level-ish (not private) — Catalyst's
+  // generated SafeProjection cannot access private case classes.
   /** One protein group after same-set collapse, with its inference verdict. */
   final case class ProteinGroupResult(
       assay: String,
@@ -33,7 +35,7 @@ object ProteinInference {
       numberPeptides: Int,
   )
 
-  private final case class PeptideSet(assay: String, proteins: Seq[String], peptides: Seq[String])
+  final case class PeptideSet(assay: String, proteins: Seq[String], peptides: Seq[String])
 
   /** Runs Occam's-razor inference.
     *

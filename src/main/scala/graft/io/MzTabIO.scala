@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** mzTab identification source (SURVEY.md §2.1 S1, FIXTURES.md §1.1).
+  *
+  * mzTab is line-typed TSV: `MTD` metadata lines, one `PSH` header line,
+  * and `PSM` data lines. The reference parses it through the PIA library
+  * (PIAModelerService.java:162-189); here the PSM section is read as a
+  * filtered text scan + split projection — fully distributed, no
+  * serialize/deserialize hop through /tmp.
+  *
+  * The PSH header (one line) is collected to the driver to derive the
+  * column mapping; PSM rows never leave executors.
+  */
+object MzTabIO {
+
+  /** Raw PSM section as string columns named by the (sanitized) PSH header. */
+  def readPsmSection(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val headerRow = lines.filter(col("value").startsWith("PSH\t")).head()
+    val header = headerRow.getString(0).split("\t").drop(1).map(sanitize)
+
+    val cols = split(col("value"), "\t")
+    val projected = header.zipWithIndex.map { case (name, i) =>
+      element_at(cols, i + 2).as(name) // +2: 1-based, skip "PSM" tag
+    }
+    lines.filter(col("value").startsWith("PSM\t")).select(projected.toIndexedSeq: _*)
+  }
+
+  private def sanitize(name: String): String =
+    name.trim.toLowerCase
+      .replaceAll("\\[(\\d+)\\]", "_$1")
+      .replaceAll("[^a-z0-9_]+", "_")
+      .replaceAll("_+", "_").stripSuffix("_")
+
+  /** ms_run locations from the MTD section: (msRun, location). */
+  def readMsRuns(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(col("value").rlike("^MTD\\tms_run\\[\\d+\\]-location\\t"))
+      .select(
+        regexp_extract(col("value"), "ms_run\\[(\\d+)\\]", 1).cast("int").as("msRun"),
+        regexp_extract(col("value"), "\\t([^\\t]+)$", 1).as("location"),
+      )
+
+  /** Standardized PSM frame with typed columns matching [[graft.model.Psm]]:
+    * psmId, peptideSequence, proteinAccession, isDecoy, score, charge,
+    * expMassToCharge, calcMassToCharge, modifications (Map[pos, accession]),
+    * sourceId (after the `ms_run[n]:` prefix), msRun, retentionTime.
+    *
+    * Decoy flag: `opt_global_cv_MS:1002217_decoy_peptide` column when
+    * present, else accession prefix match (the reference's "searchengine"
+    * decoy pattern, PIAModelerService.java:66). */
+  def standardPsms(raw: DataFrame, decoyPrefix: String = "DECOY_"): DataFrame = {
+    val has = raw.columns.toSet
+    def opt(name: String) = if (has(name)) col(name) else lit(null).cast("string")
+
+    val decoyCol =
+      if (has("opt_global_cv_ms_1002217_decoy_peptide"))
+        col("opt_global_cv_ms_1002217_decoy_peptide") === "1"
+      else col("accession").startsWith(decoyPrefix)
+
+    val modsStr = opt("modifications")
+    val mods = when(
+      modsStr.isNull || modsStr === "" || modsStr === "null" || modsStr === "0",
+      map().cast("map<int,string>"))
+      .otherwise(map_from_entries(transform(split(modsStr, ","), s => struct(
+        regexp_extract(s, "^(\\d+)", 1).cast("int"),
+        regexp_replace(s, "^\\d+-", ""),
+      ))))
+
+    raw.select(
+      col("psm_id").as("psmId"),
+      col("sequence").as("peptideSequence"),
+      col("accession").as("proteinAccession"),
+      decoyCol.as("isDecoy"),
+      col("search_engine_score_1").cast("double").as("score"),
+      col("charge").cast("int").as("charge"),
+      col("exp_mass_to_charge").cast("double").as("expMassToCharge"),
+      col("calc_mass_to_charge").cast("double").as("calcMassToCharge"),
+      mods.as("modifications"),
+      regexp_extract(col("spectra_ref"), "^ms_run\\[\\d+\\]:(.*)$", 1).as("sourceId"),
+      regexp_extract(col("spectra_ref"), "^ms_run\\[(\\d+)\\]", 1).cast("int").as("msRun"),
+      opt("retention_time").cast("double").as("retentionTime"),
+    )
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.functions.UsiFunctions
+import graft.io.{MgfIO, MzTabIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic in-memory micro-assay (FIXTURES.md §6 shape) used by the
+  * driver-visible pipeline demo queries and by the docs. Every F/J/A/P
+  * operator edge case from SURVEY §2 is hit by at least one row. */
+object DemoAssay {
+
+  def psms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("1", "PEPTIDEK", "sp|P1", false, 10.0, 2, 458.23, 458.23, Map(3 -> "UNIMOD:35"), "index=0"),
+      ("2", "ELVISLIVESK", "sp|P1", false, 9.5, 2, 607.38, 607.38, Map.empty[Int, String], "index=1"),
+      ("2", "ELVISLIVESK", "sp|P2", false, 9.5, 2, 607.38, 607.38, Map.empty[Int, String], "index=1"),
+      ("4", "AAAAKPEPR", "sp|P2", false, 9.0, 2, 456.76, 456.76, Map.empty[Int, String], "index=2"),
+      ("5", "DECOYPEPK", "DECOY_P9", true, 2.0, 2, 524.76, 524.76, Map.empty[Int, String], "index=3"),
+      ("6", "SHORT", "sp|P3", false, 8.0, 2, 295.17, 295.17, Map.empty[Int, String], "index=4"),
+      ("7", "APEPTIDE", "sp|P3", false, 7.0, 2, 434.71, 434.71, Map(1 -> "UNIMOD:21"), "index=5"),
+      ("8", "MISSINGSPEC", "sp|P3", false, 6.0, 2, 600.0, 600.0, Map.empty[Int, String], "index=null"),
+    ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
+      .withColumn("fileName", lit("run1.mgf"))
+      .withColumn("idFormat", lit(UsiFunctions.IdFormat.MultiPeakListNativeId))
+      .withColumn("fileType", lit("MGF"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+  }
+
+  def spectra(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 to 5).map { i =>
+      ("run1.mgf", i.toLong, i.toString, s"spec$i", 2, 400.0 + i, 2,
+        Some(60.0 + i), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0))
+    }.toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
+        "precursorCharge", "retentionTime", "masses", "intensities")
+      .withColumn("fileType", lit("MGF"))
+  }
+
+  val config: IndexPipeline.IndexConfig = IndexPipeline.IndexConfig(
+    projectAccession = "PXDTEST", assayAccession = "assay1",
+    qValueThreshold = 0.05, minPsms = 1)
+
+  def runIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
+    IndexPipeline.run(psms(spark), spectra(spark), None, config)
+
+  def clusterSpectra(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "u0", "AAK", "AAK/2", false, 0.010),
+      (1L, "u1", "AAK", "AAK/2", false, 0.005),
+      (2L, "u2", "LEVK", "LEVK/2", false, 0.010),
+      (3L, "u3", "IEVK", "IEVK/2", false, 0.020),
+      (4L, "u4", "CCK", "CCK/2", false, 0.010),
+      (5L, "u5", "DDK", "DDK/2", false, 0.010),
+      (6L, "u6", "EEK", "EEK/2", false, 0.030),
+    ).toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+  }
+
+  def clusters(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("f", 0L, 10L), ("f", 1L, 10L), ("f", 2L, 11L), ("f", 3L, 11L),
+      ("f", 4L, 12L), ("f", 5L, 12L), ("f", 6L, 13L),
+    ).toDF("file", "spectrumIndex", "clusterId")
+  }
+
+  /** K3 + S2 — write the demo archive spectra as MGF, read them back. */
+  def mgfRoundTrip(spark: SparkSession): DataFrame = {
+    val out = runIndex(spark).archiveSpectra
+      .select(col("usi"), col("peptidoform"), col("precursorMz"),
+        col("precursorCharge"), col("masses"), col("intensities"))
+    val dir = Files.createTempDirectory("graft-demo-mgf").toString + "/spectra"
+    MgfIO.write(out, Seq(col("usi")), dir)
+    MgfIO.read(spark, dir)
+  }
+
+  val mzTabContent: String =
+    """MTD	mzTab-version	1.0.0
+      |MTD	ms_run[1]-location	file://data/run1.mgf
+      |PSH	sequence	PSM_ID	accession	unique	search_engine_score[1]	modifications	charge	exp_mass_to_charge	calc_mass_to_charge	spectra_ref	opt_global_cv_MS:1002217_decoy_peptide
+      |PSM	PEPTIDEK	1	sp|P1	1	0.9	3-UNIMOD:35	2	445.1	445.0	ms_run[1]:index=0	0
+      |PSM	ELVISLIVESK	2	DECOY_sp|P2	1	0.8	null	3	500.0	500.2	ms_run[1]:index=1	1
+      |""".stripMargin
+
+  /** S1 — mzTab scan through a temp file. */
+  def mzTabDemo(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft-demo-mztab")
+    val f = dir.resolve("demo.mztab")
+    Files.writeString(f, mzTabContent)
+    MzTabIO.standardPsms(MzTabIO.readPsmSection(spark, f.toString))
+  }
+}

@@ -1,0 +1,332 @@
+package graft.pipeline
+
+import graft.fdr.TargetDecoy
+import graft.functions.{PeptideFunctions, UsiFunctions}
+import graft.model.{CvParam, IdentifiedModification, PositionProbability}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The `generate-index-files` command as one Spark DAG (SURVEY.md §3.1).
+  *
+  * Reference flow (PrideAnalysisAssayService.writeAnalysisOutputFromResultFiles
+  * :242-304 + indexSpectraStep :489-858 + proteinIndexStep :938-995): a
+  * per-PSM Java loop with ehcache spill. Here the whole thing is a single
+  * declarative plan — `psms |> fdr |> filters |> join(spectra) |>
+  * projections` — whose shuffle boundaries replace the reference's cache
+  * tiers, and whose per-assay partitioning carries to every window.
+  */
+object IndexPipeline {
+
+  final case class IndexConfig(
+      projectAccession: String,
+      assayAccession: String,
+      reanalysisAccession: Option[String] = None,
+      /** F4 — PSM q-value gate (default 0.01, PrideAnalysisAssayService.java:79-80). */
+      qValueThreshold: Double = 0.01,
+      /** F5 — protein q-value gate (PrideAnalysisAssayService.java:82-83). */
+      proteinQThreshold: Double = 0.01,
+      /** F6 — min peptide length (default 7, :85-86). */
+      peptideLength: Int = 7,
+      /** F9 — min PSMs per valid assay (default 1000, :88-89). */
+      minPsms: Long = 1000,
+      /** F8 — min unique peptides per protein (default 0, :91-92). */
+      uniquePeptides: Int = 0,
+      /** true when smaller PSM scores are better (e-values / PEP). */
+      scoreLowerIsBetter: Boolean = false,
+  )
+
+  /** Monoisotopic delta masses for common UNIMOD accessions (public UNIMOD
+    * values), used by the F10 delta-mass gate. */
+  val ModMasses: Map[String, Double] = Map(
+    "UNIMOD:1" -> 42.010565, // acetyl
+    "UNIMOD:4" -> 57.021464, // carbamidomethyl
+    "UNIMOD:5" -> 43.005814, // carbamyl
+    "UNIMOD:7" -> 0.984016, // deamidation
+    "UNIMOD:21" -> 79.966331, // phospho
+    "UNIMOD:35" -> 15.994915, // oxidation
+  )
+
+  final case class IndexOutputs(
+      archiveSpectra: DataFrame,
+      psmSummaries: DataFrame,
+      proteinEvidence: DataFrame,
+      /** F9 counters: (nr_psms, nr_decoys, nr_error_delta). */
+      validity: DataFrame,
+  )
+
+  private def param(accession: String, name: String, value: Column): Column =
+    struct(lit(accession).as("accession"), lit(name).as("name"),
+      value.cast("string").as("value"))
+
+  /** P13 — positioned modification map -> IdentifiedModification structs,
+    * merging positions per accession
+    * (PrideAnalysisAssayService.convertPeptideModifications:1007-1047). */
+  private val toIdentifiedMods =
+    udf((mods: Map[Int, String]) =>
+      if (mods == null) Seq.empty[IdentifiedModification]
+      else mods.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (acc, positions) =>
+        IdentifiedModification(
+          neutralLoss = None,
+          positionMap = positions.map(_._1).sorted
+            .map(p => PositionProbability(p, Seq.empty)),
+          modification = CvParam("UNIMOD", acc, acc, null),
+          properties = Seq.empty)
+      })
+
+  /** Runs the full index step.
+    *
+    * @param psms standardized PSM rows (MzTabIO.standardPsms shape) plus
+    *             `fileName` (resolved spectra file) and `idFormat`
+    *             (UsiFunctions.IdFormat value per file)
+    * @param spectra spectra rows (MgfIO.read / mzML shape): fileName, index,
+    *                scanId, msLevel, precursorMz, precursorCharge,
+    *                retentionTime, masses, intensities, plus `fileType`
+    *                ("MGF" | "MZML")
+    * @param sdrf optional melted SDRF (SideInputs.readSdrf shape)
+    */
+  def run(
+      psms: DataFrame,
+      spectra: DataFrame,
+      sdrf: Option[DataFrame],
+      cfg: IndexConfig,
+  ): IndexOutputs = {
+
+    // ---- one row per PSM (mzTab repeats rows per protein accession) ----
+    val wPsm = Window.partitionBy(col("psmId"))
+    val psmsU = psms
+      .withColumn("proteinAccessions",
+        sort_array(collect_set(col("proteinAccession")).over(wPsm)))
+      .withColumn("_rn", row_number().over(wPsm.orderBy(col("proteinAccession"))))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "proteinAccession")
+
+    // ---- A14 FDR + P9 repair -------------------------------------------
+    val scored = TargetDecoy.withQValues(
+      psmsU, Seq.empty, col("score"), col("isDecoy"), col("psmId"),
+      lowerIsBetter = cfg.scoreLowerIsBetter)
+    val repaired = TargetDecoy
+      .repairZeroQValues(scored, col("q_value"), Seq.empty, "q")
+      .drop("cum_decoys", "cum_targets", "fdr", "q_value")
+
+    // ---- F3/F4/F6/F7 PSM filters ---------------------------------------
+    val filtered = repaired
+      .filter(col("sourceId") =!= "index=null") // F3 (:456-458)
+      .filter(col("q") <= cfg.qValueThreshold) // F4 (:466-468)
+      .filter(length(col("peptideSequence")) >= cfg.peptideLength) // F6 (:462-463)
+      .filter(!exists(map_entries(col("modifications")), e => // F7 (:464)
+        e.getField("value") === "UNIMOD:21" &&
+          col("peptideSequence").substr(e.getField("key"), lit(1)) === "A"))
+
+    // ---- J1 scan-key join ----------------------------------------------
+    val psmKeyed = filtered.withColumn(
+      "scanKey", UsiFunctions.normalizeScanId(col("sourceId"), col("idFormat")))
+
+    // Spectrum-side key: MGF joins by 1-based index (the Mascot/MGF `+1`
+    // rule, SubmissionPipelineUtils.java:229-235 — jmzReader MGF access is
+    // 1-based); mzML joins by the scan= token of its native id.
+    val spectraKeyed = spectra
+      .filter(col("msLevel") =!= 1) // F11 (JmzReaderSpectrumService.java:105-106)
+      .withColumn("scanKey",
+        when(col("fileType") === "MGF", (col("index") + 1).cast("string"))
+          .otherwise(UsiFunctions.normalizeScanId(col("scanId"),
+            lit(UsiFunctions.IdFormat.MzmlId))))
+      .withColumnRenamed("retentionTime", "spectrumRt")
+      .withColumnRenamed("precursorMz", "spectrumPrecursorMz")
+      .withColumnRenamed("precursorCharge", "spectrumPrecursorCharge")
+      .select("fileName", "scanKey", "msLevel", "spectrumPrecursorMz",
+        "spectrumPrecursorCharge", "spectrumRt", "masses", "intensities")
+
+    val joined = psmKeyed.join(spectraKeyed, Seq("fileName", "scanKey"), "inner")
+
+    // ---- P3-P6 identifiers ---------------------------------------------
+    val isWiff = UsiFunctions.isWiffId(col("sourceId"))
+    val scanType =
+      when(col("fileType") === "MZML" && isWiff, "nativeId")
+        .when(col("fileType") === "MZML", "scan")
+        .otherwise("index") // buildUsi (SubmissionPipelineUtils.java:289-305)
+    val usiId =
+      when(col("fileType") === "MZML" && isWiff,
+        UsiFunctions.nativeIdValues(col("sourceId"))).otherwise(col("scanKey"))
+    val withIds = joined
+      .withColumn("usi", UsiFunctions.cleanUsi(UsiFunctions.buildUsi(
+        lit(cfg.projectAccession),
+        UsiFunctions.fileNameNoExtension(col("fileName")), scanType, usiId)))
+      .withColumn("spectraUsi", UsiFunctions.spectraUsi(col("usi")))
+      .withColumn("peptidoform", PeptideFunctions.encodePsmUdf(
+        col("peptideSequence"), col("modifications"), col("charge")))
+
+    // ---- F10 delta mass, P10, P11 --------------------------------------
+    val modMassMap = map(ModMasses.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val ptmMass = aggregate(map_values(col("modifications")),
+      lit(0.0), (acc, m) => acc + coalesce(element_at(modMassMap, m), lit(0.0)))
+    val derived = withIds
+      .withColumn("deltaMass", PeptideFunctions.deltaMz(
+        col("peptideSequence"), col("expMassToCharge"), col("charge"), ptmMass))
+      .withColumn("missedCleavages",
+        PeptideFunctions.missedCleavages(col("peptideSequence"))) // P10 (:702-705)
+      .withColumn("retentionTime", // P11 (:631-644)
+        coalesce(col("retentionTime"), col("spectrumRt"), lit(Double.NaN)))
+      .withColumn("numPeaks", size(col("masses")))
+
+    // ---- F12 spectrum validity + F9 flags ------------------------------
+    val spectrumValid = size(col("masses")) > 0 &&
+      size(col("masses")) === size(col("intensities")) &&
+      col("spectrumPrecursorCharge").isNotNull && col("spectrumPrecursorMz").isNotNull &&
+      col("usi").isNotNull && col("peptidoform").isNotNull // F12 (PSMClusteringService.java:45-51)
+
+    // ---- J5 sample properties ------------------------------------------
+    val sampleProps = sdrf match {
+      case Some(sd) =>
+        val grouped = sd.groupBy(col("fileKey")).agg(
+          collect_list(struct(
+            lit("").as("accession"), col("name"), col("value"))).as("sampleProperties"))
+        derived
+          .withColumn("fileKey", UsiFunctions.fileNameNoExtension(col("fileName")))
+          .join(broadcast(grouped), Seq("fileKey"), "left")
+          .withColumn("sampleProperties",
+            coalesce(col("sampleProperties"),
+              array().cast("array<struct<accession:string,name:string,value:string>>")))
+          .drop("fileKey")
+      case None =>
+        derived.withColumn("sampleProperties",
+          array().cast("array<struct<accession:string,name:string,value:string>>"))
+    }
+
+    // ---- one row per USI (the usi is the primary key; multiple PSMs on
+    // one spectrum merge accessions, mirroring the reference's last-wins
+    // byte-offset index, PrideJsonRandomAccess.java:39-53) ---------------
+    val wUsi = Window.partitionBy(col("usi"))
+    val perPsm = sampleProps
+      .withColumn("proteinAccessions",
+        array_distinct(flatten(collect_list(col("proteinAccessions")).over(wUsi))))
+      .withColumn("_rn", row_number().over(wUsi.orderBy(col("psmId"))))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    val nrDecoysCol = sum(when(col("isDecoy"), 1L).otherwise(0L))
+    val validity = perPsm.agg(
+      count(lit(1)).as("nr_psms"),
+      nrDecoysCol.as("nr_decoys"),
+      sum(when(col("deltaMass") > 0.9, 1L).otherwise(0L)).as("nr_error_delta"), // F10
+      max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)).as("hard_delta_fail"),
+    ) // F9 (:440-447, :477-480): caller checks nr_decoys>0 && nr_psms>minPsms
+
+    // ---- P1 archive spectra --------------------------------------------
+    val bestScore = param("MS:1002355", "PSM-level q-value", col("q"))
+    val archiveSpectra = perPsm.select(
+      col("usi"), col("spectraUsi"),
+      lit(cfg.projectAccession).as("projectAccession"),
+      lit(cfg.assayAccession).as("assayAccession"),
+      lit(cfg.reanalysisAccession.orNull).as("reanalysisAccession"),
+      col("peptideSequence"), col("peptidoform"),
+      col("isDecoy"), spectrumValid.as("isValid"),
+      col("retentionTime"), col("msLevel"),
+      col("charge").as("precursorCharge"),
+      col("spectrumPrecursorMz").as("precursorMz"),
+      col("masses"), col("intensities"), col("numPeaks"), col("missedCleavages"),
+      col("proteinAccessions"),
+      toIdentifiedMods(col("modifications")).as("modifications"),
+      bestScore.as("bestSearchEngineScore"),
+      array(param("MS:1002355", "PSM-level q-value", col("q")),
+        param("MS:1002354", "PSM-level FDRScore", col("score"))).as("scores"),
+      array(param("PRIDE:0000511", "delta m/z", round(col("deltaMass"), 6)))
+        .as("properties"),
+      col("sampleProperties"),
+      array(param("MS:1001194", "quality estimation by decoy database", lit("true")))
+        .as("qualityEstimationMethods"),
+    )
+
+    // ---- P2 summaries (precursorMz from the PSM, :754) -----------------
+    val psmSummaries = perPsm.select(
+      col("usi"), col("spectraUsi"),
+      lit(cfg.projectAccession).as("projectAccession"),
+      lit(cfg.assayAccession).as("assayAccession"),
+      lit(cfg.reanalysisAccession.orNull).as("reanalysisAccession"),
+      col("peptideSequence"), col("peptidoform"),
+      col("isDecoy"), spectrumValid.as("isValid"),
+      col("charge").as("precursorCharge"),
+      col("expMassToCharge").as("precursorMz"),
+      col("numPeaks"), col("proteinAccessions"),
+      bestScore.as("bestSearchEngineScore"),
+      array(param("MS:1002355", "PSM-level q-value", col("q"))).as("scores"),
+      col("sampleProperties"),
+    )
+
+    // ---- J7 + A3-A9 + P12 + F5/F8 protein evidence ---------------------
+    val proteinEvidence = buildProteinEvidence(perPsm, cfg)
+
+    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity)
+  }
+
+  /** proteinIndexStep (PrideAnalysisAssayService.java:938-995) as one
+    * exploded groupBy: all five reference maps collapse into aggregates. */
+  private def buildProteinEvidence(perPsm: DataFrame, cfg: IndexConfig): DataFrame = {
+    val exploded = perPsm.select(
+      explode(col("proteinAccessions")).as("accession"),
+      col("usi"), col("peptideSequence"), col("peptidoform"), col("isDecoy"),
+      col("charge"), col("expMassToCharge"), col("q"), col("modifications"))
+
+    // A3 dedup: ONE psm per distinct peptideSequence per protein (the
+    // reference's TreeSet(comparing(getPeptideSequence)), :954-955).
+    val dedup = exploded
+      .withColumn("_rn", row_number().over(Window
+        .partitionBy(col("accession"), col("peptideSequence"))
+        .orderBy(col("q").asc, col("usi").asc)))
+      .filter(col("_rn") === 1)
+
+    val rollup = dedup.groupBy(col("accession")).agg(
+      min(col("q")).as("bestQ"), // A4
+      countDistinct(col("peptideSequence")).as("numberPeptides"), // A9
+      count(lit(1)).as("numberPSMs"),
+      max(col("isDecoy")).as("isDecoy"), // A7 (bool_or)
+      array_distinct(flatten(collect_list(map_values(col("modifications")))))
+        .as("modificationsNames"), // A8
+      sort_array(collect_list(struct( // A3 + W4 ordered by peptideSequence
+        col("peptideSequence"),
+        struct(col("charge"), col("expMassToCharge").as("precursorMass"),
+          col("usi"), col("peptideSequence"),
+          PeptideFunctions.removeChargeState(col("peptidoform")).as("peptidoform"))
+          .as("o")))).as("sortedOverviews"),
+    )
+
+    // A5/A6 inference category over the peptidoform<->protein graph.
+    val categories = graft.fdr.ProteinInference.inferenceCategories(
+      exploded.select(lit(cfg.assayAccession).as("assay"),
+        col("peptidoform").as("peptide"), col("accession").as("protein")))
+      .select(col("protein").as("accession"), col("category"))
+
+    // Protein-level target-decoy q-values over best PSM q (F5 gate).
+    val proteinScored = TargetDecoy.withQValues(
+      rollup, Seq.empty, col("bestQ"), col("isDecoy"), col("accession"),
+      lowerIsBetter = true)
+
+    proteinScored
+      .join(categories, Seq("accession"), "left")
+      .filter(col("q_value") <= cfg.proteinQThreshold) // F5 (:460)
+      .filter(col("numberPeptides") >= cfg.uniquePeptides) // F8 (:470)
+      .select(
+        col("accession").as("reportedAccession"),
+        lit(cfg.projectAccession).as("projectAccession"),
+        lit(cfg.assayAccession).as("assayAccession"),
+        lit(cfg.reanalysisAccession.orNull).as("reanalysisAccession"),
+        lit(true).as("isValid"),
+        col("isDecoy"),
+        col("numberPeptides").cast("int").as("numberPeptides"),
+        col("numberPSMs").cast("int").as("numberPSMs"),
+        col("modificationsNames"),
+        struct(lit("MS:1002355").as("accession"), // P12 (:950-951)
+          lit("protein-level q-value").as("name"),
+          format_number(PeptideFunctions.proteinScore(col("bestQ")), 5).as("value"))
+          .as("bestSearchEngineScore"),
+        array(struct(lit("MS:1001600").as("accession"),
+          lit("protein inference confidence category").as("name"),
+          coalesce(col("category"), lit("indistinguishable")).as("value")))
+          .as("properties"),
+        array(struct(lit("MS:1001194").as("accession"),
+          lit("quality estimation by decoy database").as("name"),
+          lit("true").as("value"))).as("qualityEstimationMethods"),
+        transform(col("sortedOverviews"), x => x.getField("o")).as("psmAccessions"),
+      )
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.functions.{PeptideFunctions, UsiFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).head().get(0)
+
+  // ---- P6 peptidoform codec (SubmissionPipelineUtils.java:307-340) ----
+
+  test("encodePeptidoform: unmodified passes through") {
+    assert(PeptideFunctions.encodePeptidoform("PEPTIDE", Map.empty) == "PEPTIDE")
+  }
+
+  test("encodePeptidoform: N-term, internal, C-term") {
+    val mods = Map(0 -> "UNIMOD:1", 3 -> "UNIMOD:35", 8 -> "UNIMOD:2")
+    assert(PeptideFunctions.encodePeptidoform("PEPTIDE", mods) ==
+      "[UNIMOD:1]PEP[UNIMOD:35]TIDE-[UNIMOD:2]")
+  }
+
+  test("encodePsm appends charge") {
+    assert(PeptideFunctions.encodePsm("PEPTIDE", Map(1 -> "UNIMOD:4"), 2) ==
+      "P[UNIMOD:4]EPTIDE/2")
+  }
+
+  test("removeChargeState inverts encodePsm for any charge (property)") {
+    val seqs = Gen.nonEmptyListOf(Gen.oneOf("ACDEFGHIKLMNPQRSTVWY".toSeq)).map(_.mkString)
+    val prop = forAll(seqs, Gen.choose(1, 30)) { (s: String, z: Int) =>
+      PeptideFunctions.removeChargeStateStr(PeptideFunctions.encodePsm(s, Map.empty, z)) == s
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
+
+  test("legacy removeChargeState chops 2 chars (reference bug-compat)") {
+    val r = Seq("PEPTIDE/2").toDF("p")
+      .select(PeptideFunctions.removeChargeState(col("p"), legacyCompat = true))
+      .head().getString(0)
+    assert(r == "PEPTIDE")
+  }
+
+  // ---- P4 cleanUsi (SubmissionPipelineUtils.java:43-67) ----
+
+  test("cleanUsi strips all 22 special characters and is idempotent") {
+    val dirty = "mzspec:PX(D)0_0 1=&$@;+?{^}%]>[~<#|end"
+    val r1 = Seq(dirty).toDF("u").select(UsiFunctions.cleanUsi(col("u"))).head().getString(0)
+    assert(r1 == "mzspec:PXD001end")
+    val r2 = Seq(r1).toDF("u").select(UsiFunctions.cleanUsi(col("u"))).head().getString(0)
+    assert(r2 == r1)
+  }
+
+  // ---- P5 spectraUsi ----
+
+  test("spectraUsi keeps first five colon fields") {
+    val r = Seq("mzspec:PXD1:file:scan:17:PEPTIDE/2").toDF("u")
+      .select(UsiFunctions.spectraUsi(col("u"))).head().getString(0)
+    assert(r == "mzspec:PXD1:file:scan:17")
+  }
+
+  // ---- P8 file name normalization ----
+
+  test("fileNameNoExtension strips path, compression, extension") {
+    val cases = Map(
+      "/a/b/run1.mzML.gz" -> "run1",
+      "run2.mgf" -> "run2",
+      "dir/x.mzid.zip" -> "x",
+      "plain.xml" -> "plain")
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("f")
+        .select(UsiFunctions.fileNameNoExtension(col("f"))).head().getString(0)
+      assert(got == want, s"for $in")
+    }
+  }
+
+  // ---- J1 scan-id normalization (SubmissionPipelineUtils.java:216-252) ----
+
+  test("normalizeScanId: mascot/index formats strip prefix and add 1") {
+    val df = Seq(
+      ("query=41", UsiFunctions.IdFormat.MascotQueryNum),
+      ("index=12", UsiFunctions.IdFormat.MultiPeakListNativeId),
+    ).toDF("sid", "fmt")
+    val got = df.select(UsiFunctions.normalizeScanId(col("sid"), col("fmt")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("42", "13"))
+  }
+
+  test("normalizeScanId: non-integer mascot id becomes null") {
+    val got = Seq(("query=abc", UsiFunctions.IdFormat.MascotQueryNum)).toDF("sid", "fmt")
+      .select(UsiFunctions.normalizeScanId(col("sid"), col("fmt"))).head()
+    assert(got.isNullAt(0))
+  }
+
+  test("normalizeScanId: wiff native id passes through") {
+    val wiff = "sample=1 period=1 cycle=1 experiment=1"
+    val got = Seq((wiff, UsiFunctions.IdFormat.SpectrumNativeId)).toDF("sid", "fmt")
+      .select(UsiFunctions.normalizeScanId(col("sid"), col("fmt"))).head().getString(0)
+    assert(got == wiff)
+  }
+
+  test("normalizeScanId: mzML scan token extracted") {
+    val got = Seq(("controllerType=0 controllerNumber=1 scan=7", UsiFunctions.IdFormat.MzmlId))
+      .toDF("sid", "fmt")
+      .select(UsiFunctions.normalizeScanId(col("sid"), col("fmt"))).head().getString(0)
+    assert(got == "7")
+  }
+
+  test("normalizeScanId: native id without scan= passes through") {
+    val got = Seq(("spectrum=99", UsiFunctions.IdFormat.SpectrumNativeId)).toDF("sid", "fmt")
+      .select(UsiFunctions.normalizeScanId(col("sid"), col("fmt"))).head().getString(0)
+    assert(got == "spectrum=99")
+  }
+
+  // ---- P3 buildUsi + wiff native values ----
+
+  test("buildUsi + nativeIdValues") {
+    val got = one(UsiFunctions.buildUsi(lit("PXD1"), lit("run1"), lit("nativeId"),
+      UsiFunctions.nativeIdValues(lit("sample=1 period=2 cycle=3 experiment=4"))))
+    assert(got == "mzspec:PXD1:run1:nativeId:1,2,3,4")
+  }
+
+  // ---- P10 missed cleavages ----
+
+  test("missedCleavages counts internal K/R not before P") {
+    // KRPK: K1 (before R) missed; R2 is followed by P (no cleavage); final K
+    // is the peptide end, not a missed site -> 1.
+    val cases = Map("PEPTIDEK" -> 0, "PEKTIDER" -> 1, "KRPK" -> 1, "AKPA" -> 0)
+    cases.foreach { case (s, want) =>
+      val got = Seq(s).toDF("s")
+        .select(PeptideFunctions.missedCleavages(col("s"))).head().getInt(0)
+      assert(got == want, s"for $s")
+    }
+  }
+
+  // ---- F10 delta m/z ----
+
+  test("theoreticalMz matches hand-computed PEPTIDE 2+") {
+    val masses = "PEPTIDE".map(c => PeptideFunctions.MonoisotopicMasses(c.toString)).sum
+    val want = (masses + PeptideFunctions.WaterMono + 2 * PeptideFunctions.ProtonMono) / 2
+    val got = one(PeptideFunctions.theoreticalMz(lit("PEPTIDE"), lit(2), lit(0.0)))
+      .asInstanceOf[Double]
+    assert(math.abs(got - want) < 1e-9)
+    val delta = one(PeptideFunctions.deltaMz(lit("PEPTIDE"), lit(want + 0.5), lit(2), lit(0.0)))
+      .asInstanceOf[Double]
+    assert(math.abs(delta - 0.5) < 1e-9)
+  }
+
+  // ---- P7 isobaric ----
+  test("isobaric maps L to I") {
+    assert(one(UsiFunctions.isobaric(lit("LEVELK"))) == "IEVEIK")
+  }
+}

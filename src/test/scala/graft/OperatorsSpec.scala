@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different words entirely unrelated text here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor with dup counts") {
+    val out = Dedup.exact(docs, col("doc_id"), md5(col("text")))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 4L))
+    assert(out.head.getAs[Long]("dup_count") == 2)
+  }
+
+  test("minhash signatures: identical docs identical, near-dups close") {
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+    val sigs = Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16)
+    val rows = sigs.orderBy(col("id")).collect()
+    val s = rows.map(r => (r.getAs[Long]("id"), (0 until 16).map(i => r.getAs[Long](s"mh_$i")))).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(4L))
+
+    val pairs = Dedup.minHashLshPairs(sigs, 4, 4, 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 4 || p._1 == 4))
+  }
+
+  test("simhash: equal for identical docs, distant for unrelated") {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val s = Dedup.simHash32(toks, col("doc_id"), col("token"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(s(1L) == s(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(3L)) < hamming(s(1L), s(4L)))
+  }
+
+  test("ngram jaccard pairs find exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+  ).toDF("id", "vec")
+
+  test("brute-force cosine top-k is exact and ordered") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1), 2)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(got.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("LSH top-k finds the strong neighbor via bucket join") {
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("id") === 1), 2,
+      nBits = 4, probeHammingRadius = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got.contains(2L)) // near-identical vector must share a probed bucket
+  }
+
+  test("multimodal: deterministic stub features with real batch plumbing") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "fakepngbytes".getBytes, Some(4), Some(4), None),
+      Multimodal.MediaRow(2L, "audio", "fakewavbytes".getBytes, None, None, Some(1000L)),
+    ).toDS()
+    val f = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(f.length == 2 && f.forall(_.feature.length == 8))
+    // determinism: same payload -> same features
+    val again = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(f.zip(again).forall { case (a, b) => a.feature.sameElements(b.feature) })
+    assert(f(0).n_bytes == "fakepngbytes".length)
+  }
+
+  test("text quality + langid heuristics behave on edge inputs") {
+    val df = Seq((1L, "the of and a to in is that the of"), (2L, "xyzzy")).toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), TextFunctions.qualityMetrics(col("text")).as("m"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang")).orderBy(col("doc_id")).collect()
+    assert(m(0).getAs[String]("lang") == "en")
+    assert(m(1).getAs[String]("lang") == "und")
+    val q1 = m(0).getAs[org.apache.spark.sql.Row]("m")
+    assert(q1.getAs[Long]("n_tokens") == 10L)
+    assert(q1.getAs[Double]("stopword_ratio") == 1.0)
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import graft.pipeline.{ClusterInference, IndexPipeline}
+import graft.pipeline.IndexPipeline.IndexConfig
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end micro-assay for the generate-index-files DAG (SURVEY §3.1)
+  * and the cluster-consensus inference (§3.2), mirroring FIXTURES.md §6. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val MPL = graft.functions.UsiFunctions.IdFormat.MultiPeakListNativeId
+
+  // (psmId, seq, protein, decoy, score, charge, expMz, calcMz, mods, sourceId)
+  private def psms = Seq(
+    ("1", "PEPTIDEK", "sp|P1", false, 10.0, 2, 458.23, 458.23, Map(3 -> "UNIMOD:35"), "index=0"),
+    ("2", "ELVISLIVESK", "sp|P1", false, 9.5, 2, 607.38, 607.38, Map.empty[Int, String], "index=1"),
+    ("2", "ELVISLIVESK", "sp|P2", false, 9.5, 2, 607.38, 607.38, Map.empty[Int, String], "index=1"),
+    ("4", "AAAAKPEPR", "sp|P2", false, 9.0, 2, 456.76, 456.76, Map.empty[Int, String], "index=2"),
+    ("5", "DECOYPEPK", "DECOY_P9", true, 2.0, 2, 524.76, 524.76, Map.empty[Int, String], "index=3"),
+    ("6", "SHORT", "sp|P3", false, 8.0, 2, 295.17, 295.17, Map.empty[Int, String], "index=4"), // F6
+    ("7", "APEPTIDE", "sp|P3", false, 7.0, 2, 434.71, 434.71, Map(1 -> "UNIMOD:21"), "index=5"), // F7
+    ("8", "MISSINGSPEC", "sp|P3", false, 6.0, 2, 600.0, 600.0, Map.empty[Int, String], "index=null"), // F3
+  ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+      "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
+    .withColumn("fileName", lit("run1.mgf"))
+    .withColumn("idFormat", lit(MPL))
+    .withColumn("fileType", lit("MGF"))
+    .withColumn("retentionTime", lit(null).cast("double"))
+
+  private def spectra = (0 to 5).map { i =>
+    ("run1.mgf", i.toLong, i.toString, s"spec$i", 2, 400.0 + i, 2,
+      Some(60.0 + i), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0))
+  }.toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
+      "precursorCharge", "retentionTime", "masses", "intensities")
+    .withColumn("fileType", lit("MGF"))
+
+  private val cfg = IndexConfig(
+    projectAccession = "PXDTEST", assayAccession = "assay1",
+    qValueThreshold = 0.05, minPsms = 1)
+
+  test("index pipeline: filters, FDR, join, USI, outputs") {
+    val out = IndexPipeline.run(psms, spectra, None, cfg)
+
+    val spec = out.archiveSpectra.orderBy(col("usi")).collect()
+    // survivors: psm 1, 2(merged accessions), 4 — decoy killed by F4,
+    // SHORT by F6, phospho-Ala by F7, index=null by F3.
+    assert(spec.length == 3)
+    val byUsi = spec.map(r => r.getAs[String]("usi") -> r).toMap
+    assert(byUsi.keySet == Set(
+      "mzspec:PXDTEST:run1:index:1",
+      "mzspec:PXDTEST:run1:index:2",
+      "mzspec:PXDTEST:run1:index:3"))
+
+    val s1 = byUsi("mzspec:PXDTEST:run1:index:1")
+    assert(s1.getAs[String]("peptidoform") == "PEP[UNIMOD:35]TIDEK/2")
+    assert(s1.getAs[String]("spectraUsi") == "mzspec:PXDTEST:run1:index:1")
+    assert(s1.getAs[Int]("numPeaks") == 3)
+    assert(s1.getAs[Double]("precursorMz") == 400.0) // spectrum-side m/z
+    assert(s1.getAs[Double]("retentionTime") == 60.0) // P11 spectrum fallback
+    assert(s1.getAs[Int]("missedCleavages") == 0)
+    assert(s1.getAs[Boolean]("isValid"))
+
+    val s2 = byUsi("mzspec:PXDTEST:run1:index:2")
+    assert(s2.getAs[scala.collection.Seq[String]]("proteinAccessions").toSet == Set("sp|P1", "sp|P2"))
+
+    // summaries mirror, with PSM-side precursorMz (FIXTURES §4.2)
+    val sum1 = out.psmSummaries.filter(col("usi").endsWith(":1")).head()
+    assert(sum1.getAs[Double]("precursorMz") == 458.23)
+
+    // validity counters
+    val v = out.validity.head()
+    assert(v.getAs[Long]("nr_psms") == 3)
+    assert(v.getAs[Long]("nr_decoys") == 0)
+
+    // protein evidence: P1 {PEPTIDEK, ELVISLIVESK}, P2 {ELVISLIVESK, AAAAKPEPR}
+    val prot = out.proteinEvidence.orderBy(col("reportedAccession")).collect()
+    assert(prot.map(_.getAs[String]("reportedAccession")).toSeq == Seq("sp|P1", "sp|P2"))
+    val p1 = prot(0)
+    assert(p1.getAs[Int]("numberPeptides") == 2)
+    assert(p1.getAs[Int]("numberPSMs") == 2)
+    assert(!p1.getAs[Boolean]("isDecoy"))
+    val overviews = p1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("psmAccessions")
+    assert(overviews.map(_.getAs[String]("peptideSequence")).toSeq ==
+      Seq("ELVISLIVESK", "PEPTIDEK")) // W4: sorted by sequence
+    assert(overviews.head.getAs[String]("peptidoform") == "ELVISLIVESK") // charge stripped
+    // modifications rollup (A8)
+    assert(p1.getAs[scala.collection.Seq[String]]("modificationsNames").toSeq == Seq("UNIMOD:35"))
+  }
+
+  test("index pipeline: q-value repair keeps perfect targets above zero") {
+    val out = IndexPipeline.run(psms, spectra, None, cfg)
+    val qs = out.archiveSpectra
+      .select(col("bestSearchEngineScore.value").cast("double")).collect().map(_.getDouble(0))
+    // decoy at rank bottom: targets' raw q == 0 -> repaired to min-positive/10
+    assert(qs.forall(q => q > 0 && q <= 0.05))
+  }
+
+  test("index pipeline: sdrf sample properties joined per file") {
+    val sdrf = Seq(("run1", "organism", "Homo sapiens")).toDF("fileKey", "name", "value")
+    val out = IndexPipeline.run(psms, spectra, Some(sdrf), cfg)
+    val props = out.archiveSpectra.limit(1)
+      .select(explode(col("sampleProperties")).as("p"))
+      .select(col("p.name"), col("p.value")).collect()
+    assert(props.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("organism", "Homo sapiens")))
+  }
+
+  test("cluster inference: purity filters and representatives (A10-A12)") {
+    val spectra = Seq(
+      (0L, "u0", "AAK", "AAK/2", false, 0.010),
+      (1L, "u1", "AAK", "AAK/2", false, 0.005),
+      (2L, "u2", "LEVK", "LEVK/2", false, 0.010),
+      (3L, "u3", "IEVK", "IEVK/2", false, 0.020),
+      (4L, "u4", "CCK", "CCK/2", false, 0.010),
+      (5L, "u5", "DDK", "DDK/2", false, 0.010),
+      (6L, "u6", "EEK", "EEK/2", false, 0.030),
+    ).toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+    val clusters = Seq(
+      ("f", 0L, 10L), ("f", 1L, 10L), ("f", 2L, 11L), ("f", 3L, 11L),
+      ("f", 4L, 12L), ("f", 5L, 12L), ("f", 6L, 13L),
+    ).toDF("file", "spectrumIndex", "clusterId")
+
+    val out = ClusterInference.run(spectra, clusters)
+    val reps = out.representatives.orderBy(col("clusterId"))
+      .select(col("clusterId"), col("usi")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(reps == Seq((10L, "u1"), (13L, "u6"))) // best score in pure clusters
+
+    val removed = out.removed.orderBy(col("clusterId")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(removed == Seq(
+      (11L, "no_majority_peptidoform"), // L/I isobaric but two 50% forms
+      (12L, "multiple_isobaric_sequences")))
+  }
+
+  test("cluster inference: legacy integer-ratio keeps only 100% clusters") {
+    // 3 members, dominant form 2/3 (>0.5 clean, 0 legacy)
+    val spectra = Seq(
+      (0L, "u0", "AAK", "AAK/2", false, 0.01),
+      (1L, "u1", "AAK", "AAK/2", false, 0.02),
+      (2L, "u2", "AAK", "AAK/3", false, 0.03), // same iso seq, different form
+    ).toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+    val clusters = Seq(("f", 0L, 1L), ("f", 1L, 1L), ("f", 2L, 1L))
+      .toDF("file", "spectrumIndex", "clusterId")
+
+    assert(ClusterInference.run(spectra, clusters).representatives.count() == 1)
+    assert(ClusterInference.run(spectra, clusters, legacyRatio = true)
+      .representatives.count() == 0) // InferenceService.java:126 bug-compat
+  }
+}
