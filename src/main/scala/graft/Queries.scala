@@ -346,6 +346,44 @@ object Queries {
         .orderBy(col("hour_str"), col("event_type"))
     }),
 
+    // P11 — coalesce fallback chain (PSM rt -> spectrum rt -> NaN analogue).
+    "p11_rt_fallback" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")),
+            nullif(col("o_orderpriority"), lit("1-URGENT")), lit("NONE")).as("resolved"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P14 — content checksum as stable id (sha2 over the byte payload).
+    "p14_checksum" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("sha256"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D1 — distinct projection.
+    "d1_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Token-count estimate (whitespace + punctuation-run BPE-ish proxy).
+    "txt_token_estimate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCountEstimate(col("text")).cast("long").as("n_tokens_est"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs via random-hyperplane LSH buckets —
+    // the 100 TB dedup path: candidates only from equal 8-bit signatures.
+    "dd_embedding_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.embeddingNearDupPairs(e, threshold = 0.35, nBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ------------------------------------------ proteomics pipeline demos
     // Rows-only checks (no SQL oracle): the deterministic micro-assay runs
     // the real generate-index-files / perform-inference DAGs end-to-end.
@@ -391,6 +429,16 @@ object Queries {
     "list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
   private def normSql(v: String) =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
+
+  // Random-hyperplane projection for plane p, bit-identical to
+  // VectorFunctions.hyperplaneComponent / hyperplaneBit (md5-derived
+  // components, same sequential fold order).
+  private def hpProjSql(p: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> vec[i]::DOUBLE * " +
+      s"(('0x' || substr(md5('hp:$p:' || (i-1)::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5))), (a,b) -> a+b)"
+  private val lshBucketSql: String =
+    (0 until 4).map(p => s"(CASE WHEN ${hpProjSql(p)} >= 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -689,5 +737,36 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    "p11_rt_fallback" ->
+      """SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'),
+        |  nullif(o_orderpriority, '1-URGENT'), 'NONE') AS resolved
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p14_checksum" ->
+      """SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_distinct" ->
+      """SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority""".stripMargin,
+
+    "txt_token_estimate" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
+         |cand AS (
+         |  SELECT l.id AS ia, r.id AS ib, l.vec AS qv, r.vec AS cv
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id),
+         |sc AS (
+         |  SELECT ia, ib, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM cand)
+         |SELECT DISTINCT ia AS id_a, ib AS id_b,
+         |  CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
+         |FROM sc WHERE CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

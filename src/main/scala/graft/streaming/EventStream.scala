@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest (SURVEY.md §2.7: the reference is batch-only;
+  * this is the engine's incremental path — file-arrival ingest of new
+  * assay/event data with watermarked windowed aggregation and stateful
+  * sessionization).
+  *
+  * Batch/stream parity: [[windowedCounts]] accepts either a static or a
+  * streaming DataFrame — the same plan serves `e_stream_window` (batch
+  * oracle query) and the readStream path (exercised in StreamingSpec via
+  * the in-memory sink).
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+  ))
+
+  /** File-arrival streaming source over a directory of JSON-lines events. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(path)
+
+  /** Tumbling-window counts with a 10-minute watermark for late data. */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, user_id: Long, value: Double)
+  final case class SessionState(n: Long, total: Double)
+  final case class SessionUpdate(user_id: Long, n: Long, total: Double)
+
+  /** Stateful per-user running aggregate via mapGroupsWithState — the
+    * custom-state template (KeyValueGroupedDataset) for operators the
+    * built-in aggregations can't express. */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(SessionState(n, total))
+          SessionUpdate(user, n, total)
+      }
+      .toDF()
+  }
+}
