@@ -29,18 +29,35 @@ object VectorFunctions {
   }
 
   /** Deterministic pseudo-random hyperplane component for LSH: a value in
-    * [-0.5, 0.5) derived from a portable hash of (plane, dim). No RNG state —
-    * reproducible across runs, executors, and engines. */
+    * [-0.5, 0.5) derived from a portable md5 hash of (plane, dim index). No
+    * RNG state — reproducible across runs, executors, and engines, and
+    * data-INDEPENDENT, so the whole matrix constant-folds at plan-build
+    * time ([[hyperplaneComponentValue]]) instead of hashing per row. */
   def hyperplaneComponent(plane: Int, dim: Column): Column =
     (conv(substring(md5(concat_ws(":", lit("hp"), lit(plane), dim)), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)) - lit(0.5)
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Scala-side evaluation of [[hyperplaneComponent]] — bit-identical to the
+    * SQL form (same md5-prefix-as-uint32 construction). */
+  def hyperplaneComponentValue(plane: Int, i: Int): Double =
+    java.lang.Long.parseLong(md5Hex(s"hp:$plane:$i").substring(0, 8), 16)
+      .toDouble / 4294967296.0 - 0.5
+
+  /** The plane as a literal vector — zero hashing at runtime. */
+  def hyperplaneVector(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(i => hyperplaneComponentValue(plane, i))
+
   /** Sign bit of `v . hyperplane(plane)` — one bit of a random-hyperplane
-    * (SimHash-style) LSH signature for cosine similarity. */
-  def hyperplaneBit(v: Column, plane: Int): Column = {
+    * (SimHash-style) LSH signature for cosine similarity. The projection is
+    * the same sequential fold as the dynamic form, so values (and the SQL
+    * oracle) are unchanged. */
+  def hyperplaneBit(v: Column, plane: Int, dim: Int): Column = {
     val proj = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x.cast("double") * hyperplaneComponent(plane, i)),
+      zip_with(v, typedLit(hyperplaneVector(plane, dim)), (x, h) => x.cast("double") * h),
       lit(0.0),
       (acc, x) => acc + x,
     )
@@ -50,7 +67,8 @@ object VectorFunctions {
   /** nBits-bit random-hyperplane LSH bucket id for cosine similarity: vectors
     * in the same bucket are near-duplicate candidates. Bucket width tunes
     * recall/cost: at 100 TB this is the join key that replaces the quadratic
-    * brute-force pair join. */
-  def cosineLshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(p => hyperplaneBit(v, p) * lit(1L << p)).reduce(_ + _)
+    * brute-force pair join. `dim` must match the embedding length (planes
+    * are embedded as literal arrays). */
+  def cosineLshBucket(v: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map(p => hyperplaneBit(v, p, dim) * lit(1L << p)).reduce(_ + _)
 }

@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   *    candidates come from an equi-join on bucket ids (optionally
   *    multi-probe over neighboring buckets), then exact re-ranking of the
   *    tiny candidate set. The quadratic term never materializes.
+  *
+  * Plan hygiene: norms are computed ONCE per row before any pair join (the
+  * pair-level expression is a single dot product), and LSH planes are
+  * literal arrays folded at plan-build time — no per-row hashing.
   */
 object Similarity {
+
+  // cosine from a pair dot and per-side precomputed norms; identical value
+  // to VectorFunctions.cosine (same operand order).
+  private def cosineFromParts(dotC: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0.0, dotC / (na * nb)).otherwise(lit(0.0))
 
   /** Exact cosine top-k neighbors for each query row.
     *
@@ -24,11 +33,14 @@ object Similarity {
     * @param k       neighbors per query (self-matches excluded)
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec")))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -40,27 +52,30 @@ object Similarity {
     * `nBits` random-hyperplane signature; candidates share a bucket; exact
     * cosine re-ranks within buckets. Recall grows with fewer bits or with
     * multi-probe (`probeHammingRadius = 1` also probes buckets differing in
-    * one bit). */
+    * one bit). `dim` is the embedding length (planes are literal arrays). */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       nBits: Int = 8,
+      dim: Int = 64,
       probeHammingRadius: Int = 0,
   ): DataFrame = {
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-      cosineLshBucket(col("vec"), nBits).as("bucket"))
+      norm(col("vec")).as("cn"), cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
     val qBase = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      cosineLshBucket(col("vec"), nBits).as("bucket0"))
+      norm(col("vec")).as("qn"), cosineLshBucket(col("vec"), nBits, dim).as("bucket0"))
     val probes: Column =
       if (probeHammingRadius <= 0) array(col("bucket0"))
       else array(col("bucket0") +: (0 until nBits).map(b =>
         col("bucket0").bitwiseXOR(lit(1L << b))): _*)
-    val q = qBase.select(col("query_id"), col("qvec"), explode(probes).as("bucket"))
+    val q = qBase.select(col("query_id"), col("qvec"), col("qn"),
+      explode(probes).as("bucket"))
 
     val scored = q.join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -71,11 +86,14 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (both sides bucketed once; only intra-bucket pairs verified). */
-  def embeddingNearDupPairs(df: DataFrame, threshold: Double, nBits: Int = 8): DataFrame = {
-    val b = df.select(col("id"), col("vec"), cosineLshBucket(col("vec"), nBits).as("bucket"))
+  def embeddingNearDupPairs(
+      df: DataFrame, threshold: Double, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val b = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
+      cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
     b.as("l").join(b.as("r"), Seq("bucket"))
       .filter(col("l.id") < col("r.id"))
-      .withColumn("cosine", cosine(col("l.vec"), col("r.vec")))
+      .withColumn("cosine",
+        cosineFromParts(dot(col("l.vec"), col("r.vec")), col("l.n"), col("r.n")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
       .distinct()

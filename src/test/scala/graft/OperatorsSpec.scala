@@ -73,7 +73,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("LSH top-k finds the strong neighbor via bucket join") {
     val got = Similarity.lshTopK(vecs, vecs.filter(col("id") === 1), 2,
-      nBits = 4, probeHammingRadius = 1)
+      nBits = 4, dim = 4, probeHammingRadius = 1)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(got.contains(2L)) // near-identical vector must share a probed bucket
   }
