@@ -1,0 +1,91 @@
+package graft
+
+import graft.io.PrideRest
+import graft.pipeline.{Commands, IndexPipeline}
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's six commands
+  * (ArchiveMoleculesIndexer.java:28-30) with `--key value` options. */
+object Cli {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-${args.head}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val cmd = args.head
+    val o = parseArgs(args)
+    def req(k: String): String =
+      o.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
+
+    cmd match {
+      case "generate-index-files" =>
+        val cfg = IndexPipeline.IndexConfig(
+          projectAccession = req("project-accession"),
+          assayAccession = o.getOrElse("assay-accession", "assay1"),
+          reanalysisAccession = o.get("reanalysis-accession"),
+          qValueThreshold = o.get("qvalue-threshold").map(_.toDouble).getOrElse(0.01),
+          proteinQThreshold = o.get("protein-qvalue-threshold").map(_.toDouble).getOrElse(0.01),
+          peptideLength = o.get("peptide-length").map(_.toInt).getOrElse(7),
+          minPsms = o.get("min-psms").map(_.toLong).getOrElse(1000L),
+        )
+        val out = Commands.generateIndexFiles(
+          spark, req("mztab"), req("spectra"), req("out"), cfg, o.get("sdrf"))
+        val v = out.validity.head()
+        println(s"[graft] nr_psms=${v.getAs[Long]("nr_psms")} nr_decoys=${v.getAs[Long]("nr_decoys")}")
+        // F9 assay gate (PrideAnalysisAssayService.java:477-480)
+        if (v.getAs[Long]("nr_decoys") == 0)
+          System.err.println("[graft] WARNING: no decoys found — assay invalid under F9")
+        if (v.getAs[Long]("nr_psms") <= cfg.minPsms)
+          System.err.println(s"[graft] WARNING: psms <= ${cfg.minPsms} — assay below minPSMs gate")
+
+      case "perform-inference" =>
+        Commands.performInference(spark, req("spectra-json"), req("clusters"), req("out"))
+
+      case "generate-mgf-files" =>
+        Commands.generateMgf(spark, req("spectra-json"), req("out"))
+
+      case "spectra-json-check" =>
+        val n = Commands.spectraJsonCheck(spark, req("spectra-json"), req("out"))
+        println(s"[graft] valid_spectra=$n")
+
+      case "get-result-files" =>
+        Commands.getResultFiles(spark, new PrideRest(), req("project-accession"), req("out"))
+
+      case "get-related-files" =>
+        val rest = new PrideRest()
+        val files = rest.files(spark, req("project-accession"))
+        Commands.getRelatedFiles(spark, req("mzid").split(",").toSeq, files, req("out"))
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other\n$usage")
+    }
+  }
+
+  val usage: String =
+    """usage: graft.Cli <command> [--key value ...]
+      |  get-result-files    --project-accession PXD... --out DIR
+      |  get-related-files   --project-accession PXD... --mzid a.mzid[,b.mzid] --out DIR
+      |  generate-index-files --mztab F --spectra MGF_DIR --project-accession PXD...
+      |                       [--assay-accession A] [--qvalue-threshold 0.01]
+      |                       [--peptide-length 7] [--min-psms 1000] [--sdrf F] --out DIR
+      |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
+      |  generate-mgf-files  --spectra-json DIR --out DIR
+      |  spectra-json-check  --spectra-json DIR --out DIR
+      |""".stripMargin
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.io._
+import graft.functions.UsiFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's six CLI commands (ArchiveMoleculesIndexer.java:28-30) as
+  * library entry points over the Spark engine. Each is a thin composition
+  * of the io/pipeline layers; [[Cli]] exposes them as a `main`. */
+object Commands {
+
+  /** Derive (fileName, fileType, idFormat) per ms_run from mzTab MTD
+    * locations (FileType.getFileTypeFromFileName,
+    * SubmissionPipelineUtils.java:106-128; id-format per type per the
+    * SpectraData conventions — MGF is index-addressed, mzML scan-addressed). */
+  def msRunFileInfo(msRuns: DataFrame): DataFrame = {
+    val base = element_at(split(col("location"), "/"), -1)
+    val lowerBase = lower(regexp_replace(base, "\\.(gz|zip)$", ""))
+    msRuns.select(
+      col("msRun"),
+      base.as("fileName"),
+      when(lowerBase.endsWith("mgf"), "MGF")
+        .when(lowerBase.endsWith("mzml"), "MZML")
+        .when(lowerBase.endsWith("mzxml"), "MZXML")
+        .otherwise("UNKNOWN").as("fileType"),
+      when(lowerBase.endsWith("mgf"), UsiFunctions.IdFormat.MultiPeakListNativeId)
+        .when(lowerBase.endsWith("mzml"), UsiFunctions.IdFormat.MzmlId)
+        .otherwise(UsiFunctions.IdFormat.None).as("idFormat"),
+    )
+  }
+
+  /** generate-index-files (mzTab + MGF slice): parse, join run metadata,
+    * run the index DAG, write the three JSON-lines tables (K1) plus the
+    * per-source-file partitioned spectra (K2).
+    * Reference: PrideAnalysisAssayService.writeAnalysisOutputFromResultFiles:242-304. */
+  def generateIndexFiles(
+      spark: SparkSession,
+      mzTabPath: String,
+      mgfDir: String,
+      outDir: String,
+      cfg: IndexPipeline.IndexConfig,
+      sdrfPath: Option[String] = None,
+  ): IndexPipeline.IndexOutputs = {
+    val psmsRaw = MzTabIO.standardPsms(MzTabIO.readPsmSection(spark, mzTabPath))
+    val runInfo = broadcast(msRunFileInfo(MzTabIO.readMsRuns(spark, mzTabPath)))
+    val psms = psmsRaw.join(runInfo, Seq("msRun"), "left")
+    val spectra = MgfIO.read(spark, mgfDir).withColumn("fileType", lit("MGF"))
+    val sdrf = sdrfPath.map(SideInputs.readSdrf(spark, _))
+
+    val out = IndexPipeline.run(psms, spectra, sdrf, cfg)
+    ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
+    ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")
+    ArchiveJson.write(out.proteinEvidence, s"$outDir/protein_evidence")
+    out
+  }
+
+  /** perform-inference: validated spectra JSON + MaraCluster TSV ->
+    * re-inferred tables (SURVEY §3.2). The positional contract (J4) uses
+    * the explicit per-row index carried by the MGF order. */
+  def performInference(
+      spark: SparkSession,
+      spectraJsonDir: String,
+      clustersPath: String,
+      outDir: String,
+  ): DataFrame = {
+    val spectra = ArchiveJson.read(spark, spectraJsonDir)
+      .withColumn("score", col("bestSearchEngineScore.value").cast("double"))
+    // Re-derive the positional index from MGF-write order (usi order).
+    val indexed = spectra.withColumn("index",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("usi"))).cast("long") - 1)
+    val clusters = SideInputs.readMaraCluster(spark, clustersPath)
+    SideInputs.assertUniqueSpectrumIndex(clusters)
+    val out = ClusterInference.run(indexed, clusters)
+    val reps = out.representatives
+    ArchiveJson.write(reps, s"$outDir/consensus_spectra")
+    reps
+  }
+
+  /** generate-mgf-files: spectra JSON -> MGF (K3), ordered by usi so the
+    * written order IS the cluster index contract. */
+  def generateMgf(spark: SparkSession, spectraJsonDir: String, outDir: String): Unit = {
+    val spectra = ArchiveJson.read(spark, spectraJsonDir)
+    MgfIO.write(
+      spectra.select(col("usi"), col("peptidoform"), col("precursorMz"),
+        col("precursorCharge"), col("masses"), col("intensities")),
+      Seq(col("usi")), outDir)
+  }
+
+  /** spectra-json-check: validity-rewrite pass (F12). */
+  def spectraJsonCheck(spark: SparkSession, spectraJsonDir: String, outDir: String): Long = {
+    val valid = ArchiveJson.validate(ArchiveJson.read(spark, spectraJsonDir))
+    ArchiveJson.write(valid, outDir)
+    valid.count()
+  }
+
+  /** get-result-files: REST scan -> result-file TSV (K4). */
+  def getResultFiles(spark: SparkSession, rest: PrideRest, accession: String, outDir: String): DataFrame = {
+    val files = rest.resultFiles(spark, accession)
+    files.write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(outDir)
+    files
+  }
+
+  /** get-related-files: mzid SpectraData -> related project files TSV. */
+  def getRelatedFiles(
+      spark: SparkSession, mzidPaths: Seq[String], projectFiles: DataFrame, outDir: String): DataFrame = {
+    val sd = MzIdentMlIO.readSpectraData(spark, mzidPaths)
+      .select(col("spectraDataId"), col("location"))
+    val related = FileRelations.relateProjectFiles(projectFiles, sd)
+    related.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(outDir)
+    related
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{ArchiveJson, MzIdentMlIO, PrideRest}
+import graft.pipeline.FileRelations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI chain over real files: generate-index-files ->
+  * spectra-json-check -> generate-mgf-files -> perform-inference,
+  * plus the REST/mzid metadata commands on recorded fixtures. */
+class CommandsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def write(dir: java.nio.file.Path, name: String, content: String): String = {
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private val mztab =
+    """MTD	mzTab-version	1.0.0
+      |MTD	ms_run[1]-location	file://data/run1.mgf
+      |PSH	sequence	PSM_ID	accession	unique	search_engine_score[1]	modifications	charge	exp_mass_to_charge	calc_mass_to_charge	spectra_ref	opt_global_cv_MS:1002217_decoy_peptide
+      |PSM	PEPTIDEK	1	sp|P1	1	10.0	3-UNIMOD:35	2	458.23	458.23	ms_run[1]:index=0	0
+      |PSM	ELVISLIVESK	2	sp|P1	0	9.5	null	2	607.38	607.38	ms_run[1]:index=1	0
+      |PSM	ELVISLIVESK	2	sp|P2	0	9.5	null	2	607.38	607.38	ms_run[1]:index=1	0
+      |PSM	AAAAKPEPR	4	sp|P2	1	9.0	null	2	456.76	456.76	ms_run[1]:index=2	0
+      |PSM	DECOYPEPK	5	DECOY_P9	1	2.0	null	2	524.76	524.76	ms_run[1]:index=3	1
+      |""".stripMargin
+
+  private def mgfBlocks(n: Int): String =
+    (0 until n).map { i =>
+      s"""BEGIN IONS
+         |TITLE=spec$i
+         |PEPMASS=${400.0 + i}
+         |CHARGE=2+
+         |100.0\t10.0
+         |200.0\t20.0
+         |END IONS""".stripMargin
+    }.mkString("\n") + "\n"
+
+  test("CLI chain: index -> check -> mgf -> inference") {
+    val dir = Files.createTempDirectory("graft-cli")
+    val mztabPath = write(dir, "assay.mztab", mztab)
+    val mgfDir = Files.createDirectory(dir.resolve("spectra"))
+    write(mgfDir, "run1.mgf", mgfBlocks(4))
+    val out = dir.resolve("out").toString
+
+    Cli.run(spark, Array("generate-index-files",
+      "--mztab", mztabPath, "--spectra", mgfDir.toString,
+      "--project-accession", "PXDCLI", "--assay-accession", "a1",
+      "--qvalue-threshold", "0.05", "--min-psms", "1",
+      "--out", out))
+
+    val spectra = ArchiveJson.readPartitioned(spark, s"$out/archive_spectra")
+    assert(spectra.count() == 3) // decoy filtered at q<=0.05
+    assert(spectra.select(col("batch")).distinct().head().getString(0) == "run1")
+
+    val checked = dir.resolve("checked").toString
+    Cli.run(spark, Array("spectra-json-check", "--spectra-json", s"$out/archive_spectra",
+      "--out", checked))
+    assert(ArchiveJson.read(spark, checked).count() == 3)
+
+    val mgfOut = dir.resolve("mgf_out").toString
+    Cli.run(spark, Array("generate-mgf-files", "--spectra-json", checked, "--out", mgfOut))
+    assert(graft.io.MgfIO.read(spark, mgfOut).count() == 3)
+
+    // MaraCluster positional contract: 3 spectra in usi order -> singletons.
+    val clusters = write(dir, "clusters.tsv", "out.mgf\t0\t7\nout.mgf\t1\t8\nout.mgf\t2\t9\n")
+    val infOut = dir.resolve("inference").toString
+    Cli.run(spark, Array("perform-inference", "--spectra-json", checked,
+      "--clusters", clusters, "--out", infOut))
+    val reps = spark.read.json(s"$infOut/consensus_spectra")
+    assert(reps.count() == 3)
+  }
+
+  private val mzid =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1">
+      | <SequenceCollection>
+      |  <DBSequence id="dbs1" accession="sp|Q1"/>
+      |  <DBSequence id="dbs2" accession="DECOY_sp|Q2"/>
+      |  <Peptide id="pep1"><PeptideSequence>PEPTIDEK</PeptideSequence>
+      |   <Modification location="3" monoisotopicMassDelta="15.994915">
+      |    <cvParam accession="UNIMOD:35" name="Oxidation" cvRef="UNIMOD"/>
+      |   </Modification>
+      |  </Peptide>
+      |  <Peptide id="pep2"><PeptideSequence>ELVISLIVESK</PeptideSequence></Peptide>
+      |  <PeptideEvidence id="ev1" peptide_ref="pep1" dBSequence_ref="dbs1" isDecoy="false"/>
+      |  <PeptideEvidence id="ev2" peptide_ref="pep2" dBSequence_ref="dbs2" isDecoy="true"/>
+      | </SequenceCollection>
+      | <DataCollection><Inputs>
+      |  <SpectraData id="sd1" location="file://data/run1.mgf">
+      |   <SpectrumIDFormat><cvParam accession="MS:1000774" name="multiple peak list nativeID format"/></SpectrumIDFormat>
+      |  </SpectraData>
+      |  <SpectraData id="sd2" location="file://data/run2.mzML">
+      |   <SpectrumIDFormat><cvParam accession="MS:1001530" name="mzML unique identifier"/></SpectrumIDFormat>
+      |  </SpectraData>
+      | </Inputs>
+      | <AnalysisData>
+      |  <SpectrumIdentificationList>
+      |   <SpectrumIdentificationResult id="r1" spectrumID="index=0" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii1" rank="1" chargeState="2"
+      |      experimentalMassToCharge="458.23" calculatedMassToCharge="458.22" peptide_ref="pep1">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev1"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.001"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |   <SpectrumIdentificationResult id="r2" spectrumID="controllerType=0 controllerNumber=1 scan=7" spectraData_ref="sd2">
+      |    <SpectrumIdentificationItem id="sii2" rank="1" chargeState="3"
+      |      experimentalMassToCharge="600.0" calculatedMassToCharge="600.1" peptide_ref="pep2">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev2"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.02"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |  </SpectrumIdentificationList>
+      | </AnalysisData>
+      | </DataCollection>
+      |</MzIdentML>
+      |""".stripMargin
+
+  test("mzIdentML parser: spectra data, peptides, evidence, scores") {
+    val dir = Files.createTempDirectory("graft-mzid")
+    val path = write(dir, "test.mzid", mzid)
+
+    val sd = MzIdentMlIO.readSpectraData(spark, Seq(path)).orderBy(col("spectraDataId")).collect()
+    assert(sd.length == 2)
+    assert(sd(0).getAs[String]("idFormatAccession") == "MS:1000774")
+    assert(sd(1).getAs[String]("location") == "file://data/run2.mzML")
+
+    val psms = MzIdentMlIO.readPsms(spark, Seq(path)).orderBy(col("psmId")).collect()
+    assert(psms.length == 2)
+    val p1 = psms(0)
+    assert(p1.getAs[String]("peptideSequence") == "PEPTIDEK")
+    assert(p1.getAs[String]("proteinAccession") == "sp|Q1")
+    assert(!p1.getAs[Boolean]("isDecoy"))
+    assert(p1.getAs[Double]("score") == 0.001)
+    assert(p1.getAs[Map[Int, String]]("modifications") == Map(3 -> "UNIMOD:35"))
+    assert(p1.getAs[String]("sourceId") == "index=0")
+    val p2 = psms(1)
+    assert(p2.getAs[Boolean]("isDecoy"))
+    assert(p2.getAs[String]("sourceId") == "controllerType=0 controllerNumber=1 scan=7")
+  }
+
+  private val filesJson =
+    """[
+      |{"accession":"PXF1","fileName":"assay1.mzid","fileCategory":{"accession":"PRIDE:1002847","value":"RESULT"}},
+      |{"accession":"PXF2","fileName":"run1.mgf","fileCategory":{"accession":"PRIDE:1002846","value":"PEAK"}},
+      |{"accession":"PXF3","fileName":"junk.mztab","fileCategory":{"accession":"PRIDE:1002848","value":"RESULT"}},
+      |{"accession":"PXF4","fileName":"pride.mgf","fileCategory":{"accession":"PRIDE:1002846","value":"PEAK"}}
+      |]""".stripMargin
+
+  test("REST scans on recorded fixtures: generated-file drop + F1 category filter") {
+    val rest = new PrideRest(fetch = _ => filesJson)
+    assert(rest.files(spark, "PXDTEST").count() == 3) // pride.mgf dropped (S4)
+    val results = rest.resultFiles(spark, "PXDTEST").collect() // F1 category gate
+    assert(results.map(_.getAs[String]("fileName")).toSeq == Seq("assay1.mzid"))
+  }
+
+  test("file relations: J2 basename match with anti-join guard, J3 contains join") {
+    import spark.implicits._
+    val declared = Seq(("sd1", "file://x/Run1.mzML.gz"), ("sd2", "data/run2.mgf"))
+      .toDF("spectraDataId", "location")
+    val provided = Seq("/work/run1.mzML", "/work/RUN2.mgf").toDF("path")
+    val related = FileRelations.relateProvidedFiles(declared, provided)
+      .orderBy(col("spectraDataId")).collect()
+    assert(related.map(_.getAs[String]("path")).toSeq ==
+      Seq("/work/run1.mzML", "/work/RUN2.mgf"))
+
+    val missing = Seq(("sd3", "nowhere.mgf")).toDF("spectraDataId", "location")
+    assertThrows[IllegalStateException](
+      FileRelations.relateProvidedFiles(missing, provided).collect())
+
+    val projectFiles = Seq("PXD-run2.mgf", "other.raw").toDF("fileName")
+    val sd = Seq(("sd2", "data/run2.mgf")).toDF("spectraDataId", "location")
+    val j3 = FileRelations.relateProjectFiles(projectFiles, sd).collect()
+    assert(j3.length == 1 && j3(0).getAs[String]("fileName") == "PXD-run2.mgf")
+  }
+}
