@@ -78,6 +78,10 @@ object Dedup {
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
+    // Band buckets can be arbitrarily large (every true near-dup group
+    // lands in one bucket), so candidates come from a self-equi-join on the
+    // band key — skew is AQE's job — NOT from posting-list expansion,
+    // which would materialize |bucket|^2 pair structs inside single rows.
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band", "bh"))
       .filter(col("l.id") < col("r.id"))
@@ -123,6 +127,13 @@ object Dedup {
     * `maxShingleDf` drops shingles present in more than that many docs
     * before pairing (skew guard; identical filter applied on both sides of
     * the oracle keeps semantics aligned). */
+  /** All ordered pairs (a < b) from a sorted id list — the posting-list
+    * expansion that replaces an inverted-index self-join. */
+  private def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b =>
+        struct(a.as("a"), b.as("b")))))
+
   def ngramJaccardPairs(
       docs: DataFrame,
       id: Column,
@@ -134,16 +145,16 @@ object Dedup {
     val shingled = docs
       .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
       .distinct()
-    val rare = shingled
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
 
-    val inter = rare.as("l")
-      .join(rare.as("r"), Seq("shingle"))
-      .filter(col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // Inverted index: one shuffle on shingle; the df cap (skew guard) and
+    // pair expansion happen on the grouped posting lists.
+    val inter = shingled
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
 
     inter
