@@ -384,6 +384,48 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // F13 — scan-id validity: integral unless WIFF-style native id.
+    "f13_scanid_validity" -> ((s, dir) => {
+      val sid = when(col("doc_id") % 10 === 0,
+        concat(lit("sample=1 period=1 cycle=1 experiment="), col("doc_id").cast("string")))
+        .when(col("doc_id") % 7 === 0, concat(lit("scan"), col("doc_id").cast("string")))
+        .otherwise(col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), sid.as("scan_id"),
+          graft.functions.ParamFunctions.isValidScanId(sid).as("is_valid"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F14 — score-array filtering projection (higher-order filter over
+    // param structs with exclusion lists), exploded flat for comparison.
+    "f14_score_filter" -> ((s, dir) => {
+      val params = array(
+        struct(lit("MS:1001155").as("accession"), lit("score").as("name"),
+          col("l_discount").cast("string").as("value")),
+        struct(lit("MS:1002355").as("accession"), lit("qvalue").as("name"),
+          lit("0.01").as("value")),
+        struct(lit("MS:1001171").as("accession"), lit("mascot").as("name"),
+          when(col("l_quantity") > 25, col("l_quantity").cast("string")).as("value")),
+      )
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(graft.functions.ParamFunctions.filterScores(params)).as("p"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("p.accession").as("accession"), col("p.value").as("value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("accession"))
+    }),
+
+    // S8 — pipeline-glue ftp->https rewrite.
+    "s8_ftp_rewrite" -> ((s, dir) => {
+      val url = concat(lit("ftp://ftp.host.org/"), col("source"), lit("/"),
+        col("doc_id").cast("string"), lit(".mgf"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.ParamFunctions.ftpToHttps(url).as("https_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------ proteomics pipeline demos
     // Rows-only checks (no SQL oracle): the deterministic micro-assay runs
     // the real generate-index-files / perform-inference DAGs end-to-end.
@@ -753,6 +795,38 @@ object Queries {
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
         |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f13_scanid_validity" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'sample=1 period=1 cycle=1 experiment=' || doc_id::VARCHAR
+        |       WHEN doc_id % 7 = 0 THEN 'scan' || doc_id::VARCHAR
+        |       ELSE doc_id::VARCHAR END AS scan_id
+        |  FROM documents)
+        |SELECT doc_id, scan_id,
+        |  regexp_full_match(scan_id, '[+-]?\d+') OR
+        |  (contains(scan_id, 'sample') AND contains(scan_id, 'period')
+        |    AND contains(scan_id, 'cycle') AND contains(scan_id, 'experiment')) AS is_valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "f14_score_filter" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
+        |p AS (
+        |  SELECT l_orderkey, l_linenumber, 'MS:1001155' AS accession,
+        |    l_discount::VARCHAR AS value FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'MS:1002355', '0.01' FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'MS:1001171',
+        |    CASE WHEN l_quantity > 25 THEN l_quantity::VARCHAR END FROM li)
+        |SELECT l_orderkey, l_linenumber, accession, value FROM p
+        |WHERE value IS NOT NULL AND value <> 'NaN'
+        |  AND TRY_CAST(value AS DOUBLE) IS NOT NULL AND TRY_CAST(value AS DOUBLE) <> 0.0
+        |  AND accession NOT IN ('MS:1002355', 'MS:1002354')
+        |ORDER BY l_orderkey, l_linenumber, accession""".stripMargin,
+
+    "s8_ftp_rewrite" ->
+      """SELECT doc_id,
+        |  regexp_replace('ftp://ftp.host.org/' || source || '/' || doc_id::VARCHAR || '.mgf',
+        |    '^ftp://', 'https://') AS https_url
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dd_embedding_lsh" ->

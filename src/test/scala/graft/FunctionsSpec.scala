@@ -155,4 +155,41 @@ class FunctionsSpec extends AnyFunSuite {
   test("isobaric maps L to I") {
     assert(one(UsiFunctions.isobaric(lit("LEVELK"))) == "IEVEIK")
   }
+
+  // ---- F13 scan-id validity ----
+  test("isValidScanId: integers and WIFF ids valid, others not") {
+    import graft.functions.ParamFunctions
+    val cases = Seq(
+      ("123", true), ("+7", true), ("scan12", false),
+      ("sample=1 period=1 cycle=1 experiment=2", true), ("", false))
+    cases.foreach { case (s, want) =>
+      assert(one(ParamFunctions.isValidScanId(lit(s))) == want, s"for '$s'")
+    }
+  }
+
+  // ---- F14 score filtering ----
+  test("filterScores drops null/NaN/zero/excluded/non-numeric params") {
+    import graft.functions.ParamFunctions
+    val params = array(
+      struct(lit("MS:1001155").as("accession"), lit("a").as("name"), lit("3.5").as("value")),
+      struct(lit("MS:1002355").as("accession"), lit("b").as("name"), lit("0.01").as("value")), // excluded
+      struct(lit("MS:1001171").as("accession"), lit("c").as("name"), lit("0.0").as("value")), // zero
+      struct(lit("MS:1001172").as("accession"), lit("d").as("name"), lit("NaN").as("value")), // NaN
+      struct(lit("MS:1001173").as("accession"), lit("e").as("name"),
+        lit(null).cast("string").as("value")), // null
+      struct(lit("MS:1001174").as("accession"), lit("f").as("name"), lit("high").as("value")), // non-numeric
+    )
+    import spark.implicits._
+    val kept = Seq(1).toDF("x")
+      .select(explode(ParamFunctions.filterScores(params)).as("p"))
+      .select($"p.accession").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("MS:1001155"))
+  }
+
+  // ---- S8 ftp rewrite ----
+  test("ftpToHttps rewrites only the scheme prefix") {
+    import graft.functions.ParamFunctions
+    assert(one(ParamFunctions.ftpToHttps(lit("ftp://h/x ftp://y"))) == "https://h/x ftp://y")
+    assert(one(ParamFunctions.ftpToHttps(lit("https://h/x"))) == "https://h/x")
+  }
 }
