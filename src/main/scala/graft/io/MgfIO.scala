@@ -22,10 +22,14 @@ object MgfIO {
   /** Parse MGF files under `path` into spectra rows:
     * (fileName, index, scanId, title, msLevel=2, precursorMz,
     * precursorCharge, retentionTime, masses, intensities). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", "END IONS").text(path)
+  def read(spark: SparkSession, path: String): DataFrame = readPaths(spark, Seq(path))
+
+  def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read.option("lineSep", "END IONS").text(paths: _*)
       .withColumn("fileName", regexp_replace(input_file_name(), ".*/", ""))
       .withColumn("_mid", monotonically_increasing_id())
+      // CRLF robustness: strip \r once so line parsing sees clean \n blocks.
+      .withColumn("value", regexp_replace(col("value"), "\r", ""))
       .filter(col("value").contains("BEGIN IONS"))
 
     val lines = split(col("value"), "\n")

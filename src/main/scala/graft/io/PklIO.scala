@@ -1,0 +1,45 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PKL spectra source (SURVEY.md §2.1 S2, PKL branch — index-addressed
+  * like MGF). PKL is blank-line-separated blocks: a header line
+  * `precursorMH intensity charge` followed by `mz intensity` peak lines
+  * (public PKL format as read by jmzReader's PklFile). Splittable via the
+  * blank-line block separator; per-file index recovered like MgfIO. */
+object PklIO {
+
+  def read(spark: SparkSession, path: String): DataFrame = readPaths(spark, Seq(path))
+
+  def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read.option("lineSep", "\n\n").text(paths: _*)
+      .withColumn("fileName", regexp_replace(input_file_name(), ".*/", ""))
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("value", regexp_replace(col("value"), "\r", ""))
+      .filter(length(trim(col("value"))) > 0)
+
+    val lines = filter(split(trim(col("value")), "\n"), l => length(trim(l)) > 0)
+    val header = split(trim(element_at(lines, 1)), "[ \\t]+")
+    val peakLines = slice(lines, lit(2), size(lines))
+    val w = Window.partitionBy(col("fileName")).orderBy(col("_mid"))
+
+    raw
+      .withColumn("index", row_number().over(w).cast("long") - 1)
+      .select(
+        col("fileName"),
+        col("index"),
+        col("index").cast("string").as("scanId"),
+        lit("").as("title"),
+        lit(2).as("msLevel"),
+        element_at(header, 1).cast("double").as("precursorMz"),
+        element_at(header, 3).cast("double").cast("int").as("precursorCharge"),
+        lit(null).cast("double").as("retentionTime"),
+        transform(peakLines, l =>
+          element_at(split(trim(l), "[ \\t]+"), 1).cast("double")).as("masses"),
+        transform(peakLines, l =>
+          element_at(split(trim(l), "[ \\t]+"), 2).cast("double")).as("intensities"),
+      )
+  }
+}

@@ -34,6 +34,27 @@ object Commands {
     * run the index DAG, write the three JSON-lines tables (K1) plus the
     * per-source-file partitioned spectra (K2).
     * Reference: PrideAnalysisAssayService.writeAnalysisOutputFromResultFiles:242-304. */
+  /** Union all spectra files under a directory: MGF and PKL via splittable
+    * text block scans, mzML via the StAX task-per-file parser. Each source
+    * carries its `fileType` for J1 key derivation. */
+  def readSpectraDir(spark: SparkSession, dir: String): DataFrame = {
+    val all = {
+      val d = new java.io.File(dir)
+      if (d.isDirectory) d.listFiles().toSeq.map(_.getPath) else Seq(dir)
+    }
+    def named(suffix: String) = all.filter(_.toLowerCase.endsWith(suffix))
+    val parts = Seq(
+      Option(named(".mgf")).filter(_.nonEmpty).map(f =>
+        MgfIO.readPaths(spark, f).withColumn("fileType", lit("MGF"))),
+      Option(named(".pkl")).filter(_.nonEmpty).map(f =>
+        PklIO.readPaths(spark, f).withColumn("fileType", lit("PKL"))),
+      Option(named(".mzml")).filter(_.nonEmpty).map(f =>
+        MzMlIO.read(spark, f).withColumn("fileType", lit("MZML"))),
+    ).flatten
+    require(parts.nonEmpty, s"no .mgf/.pkl/.mzML files under $dir")
+    parts.reduce(_ unionByName _)
+  }
+
   def generateIndexFiles(
       spark: SparkSession,
       mzTabPath: String,
@@ -45,7 +66,7 @@ object Commands {
     val psmsRaw = MzTabIO.standardPsms(MzTabIO.readPsmSection(spark, mzTabPath))
     val runInfo = broadcast(msRunFileInfo(MzTabIO.readMsRuns(spark, mzTabPath)))
     val psms = psmsRaw.join(runInfo, Seq("msRun"), "left")
-    val spectra = MgfIO.read(spark, mgfDir).withColumn("fileType", lit("MGF"))
+    val spectra = readSpectraDir(spark, mgfDir)
     val sdrf = sdrfPath.map(SideInputs.readSdrf(spark, _))
 
     val out = IndexPipeline.run(psms, spectra, sdrf, cfg)

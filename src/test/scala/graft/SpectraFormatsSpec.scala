@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+import java.util.Base64
+import java.util.zip.Deflater
+
+import graft.io.{MgfIO, MzMlIO, PklIO}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpectraFormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b64doubles(xs: Array[Double]): String = {
+    val bb = ByteBuffer.allocate(xs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putDouble)
+    Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def b64floatsZlib(xs: Array[Float]): String = {
+    val bb = ByteBuffer.allocate(xs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putFloat)
+    val d = new Deflater()
+    d.setInput(bb.array()); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    Base64.getEncoder.encodeToString(out.toByteArray)
+  }
+
+  test("mzML parser: cv params, 64-bit plain and 32-bit zlib peak arrays") {
+    val mz64 = b64doubles(Array(100.5, 200.25))
+    val int32z = b64floatsZlib(Array(10.0f, 20.0f))
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<mzML xmlns="http://psi.hupo.org/ms/mzml">
+         | <run><spectrumList count="2">
+         |  <spectrum index="0" id="controllerType=0 controllerNumber=1 scan=1">
+         |   <cvParam accession="MS:1000511" value="2"/>
+         |   <cvParam accession="MS:1000016" value="12.5"/>
+         |   <precursorList><precursor><selectedIonList><selectedIon>
+         |    <cvParam accession="MS:1000744" value="445.12"/>
+         |    <cvParam accession="MS:1000041" value="2"/>
+         |   </selectedIon></selectedIonList></precursor></precursorList>
+         |   <binaryDataArrayList>
+         |    <binaryDataArray><cvParam accession="MS:1000523"/><cvParam accession="MS:1000514"/>
+         |     <binary>$mz64</binary></binaryDataArray>
+         |    <binaryDataArray><cvParam accession="MS:1000521"/><cvParam accession="MS:1000574"/>
+         |     <cvParam accession="MS:1000515"/><binary>$int32z</binary></binaryDataArray>
+         |   </binaryDataArrayList>
+         |  </spectrum>
+         |  <spectrum index="1" id="controllerType=0 controllerNumber=1 scan=2">
+         |   <cvParam accession="MS:1000511" value="1"/>
+         |  </spectrum>
+         | </spectrumList></run>
+         |</mzML>""".stripMargin
+    val dir = Files.createTempDirectory("graft-mzml")
+    val path = dir.resolve("run2.mzML")
+    Files.writeString(path, xml)
+
+    val rows = MzMlIO.read(spark, Seq(path.toString)).orderBy(col("index")).collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("scanId") == "controllerType=0 controllerNumber=1 scan=1")
+    assert(r0.getAs[Int]("msLevel") == 2)
+    assert(r0.getAs[Double]("precursorMz") == 445.12)
+    assert(r0.getAs[Int]("precursorCharge") == 2)
+    assert(r0.getAs[Double]("retentionTime") == 12.5)
+    assert(r0.getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.5, 200.25))
+    assert(r0.getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(10.0, 20.0))
+    assert(rows(1).getAs[Int]("msLevel") == 1) // F11 filters it downstream
+  }
+
+  test("PKL parser: header line + peaks, blank-line blocks") {
+    val pkl =
+      """445.50 1000.0 2
+        |100.0 10.0
+        |200.0 20.0
+        |
+        |600.25 500.0 3
+        |300.0 30.0
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-pkl")
+    Files.writeString(dir.resolve("run.pkl"), pkl)
+    val rows = PklIO.read(spark, dir.toString).orderBy(col("index")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("precursorMz") == 445.5)
+    assert(rows(0).getAs[Int]("precursorCharge") == 2)
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.0, 200.0))
+    assert(rows(1).getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(30.0))
+  }
+
+  test("MGF reader handles CRLF line endings") {
+    val mgf = "BEGIN IONS\r\nTITLE=t1\r\nPEPMASS=445.12\r\nCHARGE=2+\r\n" +
+      "100.0\t10.0\r\n200.0\t20.0\r\nEND IONS\r\n"
+    val dir = Files.createTempDirectory("graft-crlf")
+    Files.writeString(dir.resolve("crlf.mgf"), mgf)
+    val rows = MgfIO.read(spark, dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("precursorMz") == 445.12)
+    assert(rows(0).getAs[String]("title") == "t1")
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.0, 200.0))
+  }
+
+  test("mzML spectra join the index pipeline via scan= keys") {
+    import spark.implicits._
+    // mzML-side spectra with native ids; PSMs reference scan=N source ids.
+    val spectra = Seq(
+      ("run2.mzML", 0L, "controllerType=0 controllerNumber=1 scan=1", "t", 2, 445.12, 2,
+        Some(12.5), Seq(100.0, 200.0), Seq(10.0, 20.0)),
+    ).toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
+        "precursorCharge", "retentionTime", "masses", "intensities")
+      .withColumn("fileType", lit("MZML"))
+    val psms = Seq(
+      ("1", "PEPTIDEK", "sp|P1", false, 10.0, 2, 458.23, 458.23,
+        Map.empty[Int, String], "controllerType=0 controllerNumber=1 scan=1"),
+      ("2", "ELVISLIVESK", "DECOY_P2", true, 1.0, 2, 607.38, 607.38,
+        Map.empty[Int, String], "controllerType=0 controllerNumber=1 scan=99"),
+    ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
+      .withColumn("fileName", lit("run2.mzML"))
+      .withColumn("idFormat", lit(graft.functions.UsiFunctions.IdFormat.MzmlId))
+      .withColumn("fileType", lit("MZML"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+
+    val cfg = graft.pipeline.IndexPipeline.IndexConfig(
+      projectAccession = "PXDMZML", assayAccession = "a1",
+      qValueThreshold = 1.0, minPsms = 1)
+    val out = graft.pipeline.IndexPipeline.run(psms, spectra, None, cfg)
+    val spec = out.archiveSpectra.collect()
+    assert(spec.length == 1) // scan=99 has no spectrum
+    assert(spec(0).getAs[String]("usi") == "mzspec:PXDMZML:run2:scan:1")
+    assert(spec(0).getAs[Double]("retentionTime") == 12.5)
+  }
+}
