@@ -452,6 +452,32 @@ object Queries {
       graft.pipeline.DemoAssay.mgfRoundTrip(s).orderBy(col("index"))),
     "io_mztab_scan" -> ((s, _) =>
       graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId"))),
+
+    // IVF approximate NN: KMeans cells + probe-limited exact re-rank
+    // (rows-only: centroid training is seed-deterministic but not
+    // SQL-expressible).
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(e, e.filter(col("id") < 10), k = 5, nCells = 8, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal batched feature extraction through the typed Dataset path
+    // (stubbed decode — the Spark plumbing is the real contract).
+    "mm_feature_extract" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").limit(50)
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, text, src) =>
+          graft.operators.Multimodal.MediaRow(
+            id, if (src.hashCode % 2 == 0) "image" else "audio",
+            text.getBytes("UTF-8"), None, None, None)
+        }
+      graft.operators.Multimodal.extractFeatures(media, dim = 8)
+        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("feature")).orderBy(col("media_id"))
+    }),
   )
 
   // ------------------------------------------------------------------ oracles

@@ -84,6 +84,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * KMeans centroid cells; a query probes its `nProbe` nearest cells and
+    * exact cosine re-ranks only those cells' members. The 100 TB shape:
+    * centroids are a tiny broadcast table, the corpus shuffles ONCE on
+    * cell id, and per-query work is |probed cells| instead of |corpus|.
+    * Deterministic for a fixed seed. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L,
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MlVectors, Vector => MlVector}
+    val toVec = udf((a: Seq[Double]) => MlVectors.dense(a.toArray))
+    val asDouble = transform(col("vec"), x => x.cast("double"))
+
+    val train = corpus.select(col("id"), col("vec"))
+      .withColumn("features", toVec(asDouble))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
+
+    val c = model.transform(train)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        norm(col("vec")).as("cn"), col("prediction").as("cell"))
+
+    // Tiny centroid table -> literal probe ranking per query.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+
+    val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn"))
+      .crossJoin(centDf)
+      .withColumn("dist", -dot(col("qvec"), col("centroid"))) // cosine-ish probe order
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
+
+    val scored = qCells.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (both sides bucketed once; only intra-bucket pairs verified). */
   def embeddingNearDupPairs(

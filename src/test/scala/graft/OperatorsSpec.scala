@@ -78,6 +78,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains(2L)) // near-identical vector must share a probed bucket
   }
 
+  test("IVF top-k: probe-limited search finds the strong neighbor") {
+    // 12 corpus vectors: a tight cluster around e1 and another around e2.
+    val corpus = (0 until 12).map { i =>
+      val base = if (i < 6) Seq(1.0f, 0.02f * i, 0f, 0f) else Seq(0.02f * i, 1.0f, 0f, 0f)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    val got = Similarity.ivfTopK(corpus, corpus.filter(col("id") === 0), k = 3,
+      nCells = 2, nProbe = 1)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
+    // all neighbors come from the same cell (the e1-cluster)
+    assert(got.nonEmpty && got.forall(_ < 6))
+  }
+
   test("multimodal: deterministic stub features with real batch plumbing") {
     import spark.implicits._
     val media = Seq(
