@@ -35,8 +35,19 @@ object ClusterInference {
   /** @param spectra  archive-spectrum rows with (index, usi,
     *                 peptideSequence, peptidoform, isDecoy, score)
     * @param clusters MaraCluster rows (SideInputs.readMaraCluster shape)
+    * @param legacyRatio reproduce the integer-division purity-ratio bug
+    * @param legacyFirstSeen A12 reference semantics: the representative's
+    *                 peptidoform is the FIRST one encountered in file
+    *                 order, and only ties within that form take the lower
+    *                 score (InferenceService.java:134-140; SURVEY §7.4
+    *                 item 5). Clean default: dominant form, best score.
     */
-  def run(spectra: DataFrame, clusters: DataFrame, legacyRatio: Boolean = false): ClusterOutputs = {
+  def run(
+      spectra: DataFrame,
+      clusters: DataFrame,
+      legacyRatio: Boolean = false,
+      legacyFirstSeen: Boolean = false,
+  ): ClusterOutputs = {
     // J4 — positional join.
     val members = spectra.join(
       clusters.select(col("spectrumIndex").as("index"), col("clusterId")),
@@ -69,14 +80,26 @@ object ClusterInference {
           .otherwise("no_majority_peptidoform").as("reason"))
       .distinct()
 
-    // A12 — representative of the dominant form, best score first.
-    val wBest = Window.partitionBy(col("clusterId"))
-      .orderBy(col("ratio").desc, col("peptidoform").asc, col("score").asc, col("usi").asc)
-    val representatives = withRatio
+    // A12 — representative selection.
+    val wBest =
+      if (legacyFirstSeen) {
+        // first-seen form wins: members of the form at the lowest index
+        // rank first, then lower score within that form.
+        Window.partitionBy(col("clusterId"))
+          .orderBy(col("firstSeenIndex").asc, col("score").asc, col("usi").asc)
+      } else
+        Window.partitionBy(col("clusterId"))
+          .orderBy(col("ratio").desc, col("peptidoform").asc, col("score").asc, col("usi").asc)
+    val withFirstSeen =
+      if (legacyFirstSeen)
+        withRatio.withColumn("firstSeenIndex",
+          min(col("index")).over(Window.partitionBy(col("clusterId"), col("peptidoform"))))
+      else withRatio
+    val representatives = withFirstSeen
       .filter(!impure)
       .withColumn("_rn", row_number().over(wBest))
       .filter(col("_rn") === 1)
-      .drop("_rn", "nIso", "total", "formCount", "ratio", "maxRatio", "isoSeq")
+      .drop("_rn", "nIso", "total", "formCount", "ratio", "maxRatio", "isoSeq", "firstSeenIndex")
 
     ClusterOutputs(representatives, removed)
   }

@@ -136,6 +136,26 @@ class PipelineSpec extends AnyFunSuite {
       (12L, "multiple_isobaric_sequences")))
   }
 
+  test("cluster inference: legacy first-seen-wins representative (A12)") {
+    // file order: B first, then the dominant form A (3 of 4 members).
+    val spectra = Seq(
+      (0L, "u0", "AAK", "AAK/3", false, 0.5), // first seen: form B
+      (1L, "u1", "AAK", "AAK/2", false, 0.1),
+      (2L, "u2", "AAK", "AAK/2", false, 0.2),
+      (3L, "u3", "AAK", "AAK/2", false, 0.3),
+    ).toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+    val clusters = Seq(("f", 0L, 1L), ("f", 1L, 1L), ("f", 2L, 1L), ("f", 3L, 1L))
+      .toDF("file", "spectrumIndex", "clusterId")
+
+    val clean = ClusterInference.run(spectra, clusters)
+      .representatives.select(col("usi")).head().getString(0)
+    assert(clean == "u1") // dominant form A, best score
+
+    val legacy = ClusterInference.run(spectra, clusters, legacyFirstSeen = true)
+      .representatives.select(col("usi")).head().getString(0)
+    assert(legacy == "u0") // reference: first-seen form wins outright
+  }
+
   test("cluster inference: legacy integer-ratio keeps only 100% clusters") {
     // 3 members, dominant form 2/3 (>0.5 clean, 0 legacy)
     val spectra = Seq(
