@@ -384,6 +384,16 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // §2.6 json — from_json struct extraction over the events props column.
+    "e_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
     // F13 — scan-id validity: integral unless WIFF-style native id.
     "f13_scanid_validity" -> ((s, dir) => {
       val sid = when(col("doc_id") % 10 === 0,
@@ -822,6 +832,10 @@ object Queries {
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
         |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS n_tokens_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e_json_props" ->
+      """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "f13_scanid_validity" ->
       """WITH s AS (SELECT doc_id,

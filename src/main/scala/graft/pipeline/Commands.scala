@@ -50,6 +50,8 @@ object Commands {
         PklIO.readPaths(spark, f).withColumn("fileType", lit("PKL"))),
       Option(named(".mzml")).filter(_.nonEmpty).map(f =>
         MzMlIO.read(spark, f).withColumn("fileType", lit("MZML"))),
+      Option(named(".mzxml")).filter(_.nonEmpty).map(f =>
+        MzXmlIO.read(spark, f).withColumn("fileType", lit("MZXML"))),
     ).flatten
     require(parts.nonEmpty, s"no .mgf/.pkl/.mzML files under $dir")
     parts.reduce(_ unionByName _)

@@ -91,6 +91,34 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(rows(1).getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(30.0))
   }
 
+  test("mzXML parser: scan attrs, big-endian interleaved peaks, PT rt") {
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(100.5, 10.0, 200.25, 20.0).foreach(bb.putDouble)
+    val peaks = java.util.Base64.getEncoder.encodeToString(bb.array())
+    val xml =
+      s"""<?xml version="1.0"?>
+         |<mzXML xmlns="http://sashimi.sourceforge.net/schema_revision/mzXML_3.2">
+         | <msRun scanCount="1">
+         |  <scan num="7" msLevel="2" retentionTime="PT33.5S">
+         |   <precursorMz precursorCharge="2">445.12</precursorMz>
+         |   <peaks precision="64" byteOrder="network">$peaks</peaks>
+         |  </scan>
+         | </msRun>
+         |</mzXML>""".stripMargin
+    val dir = Files.createTempDirectory("graft-mzxml")
+    val p = dir.resolve("run.mzXML")
+    Files.writeString(p, xml)
+    val rows = graft.io.MzXmlIO.read(spark, Seq(p.toString)).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("scanId") == "7")
+    assert(r.getAs[Int]("msLevel") == 2)
+    assert(r.getAs[Double]("precursorMz") == 445.12)
+    assert(r.getAs[Double]("retentionTime") == 33.5)
+    assert(r.getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.5, 200.25))
+    assert(r.getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(10.0, 20.0))
+  }
+
   test("MGF reader handles CRLF line endings") {
     val mgf = "BEGIN IONS\r\nTITLE=t1\r\nPEPMASS=445.12\r\nCHARGE=2+\r\n" +
       "100.0\t10.0\r\n200.0\t20.0\r\nEND IONS\r\n"
