@@ -46,6 +46,23 @@ object Queries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Composite multi-join analytics (optimizer stress: 3-way join with
+    // pushed filters, decimal-exact revenue, deterministic top-10).
+    "q3_multi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // F2-F8 — predicate chain + projection, pushed to the parquet scan.
     "f_filter_chain" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -528,6 +545,16 @@ object Queries {
         |  sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_multi_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "f_filter_chain" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
