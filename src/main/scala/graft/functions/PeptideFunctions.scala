@@ -56,16 +56,15 @@ object PeptideFunctions {
 
   // ----------------------------------------------------------- P10 cleavages
 
-  /** P10 — missed tryptic cleavages: internal K/R not followed by P (last
-    * residue excluded — cleavage after the final residue is the peptide end,
-    * not a missed site). Used when the parser reports -1
+  /** P10 — missed tryptic cleavages: non-terminal K/R not followed by P.
+    * Counted as (K/R with ANY following residue) minus (K/R followed by P)
+    * — zero-width lookaheads so overlapping sites (KK) all count, and a
+    * terminal KP is correctly zero. Used when the parser reports -1
     * (PrideAnalysisAssayService.java:702-705). Pure column expression;
     * Java regex lookahead is fine here (executors run Java regex). */
   def missedCleavages(sequence: Column): Column =
-    coalesce(
-      regexp_count(sequence.substr(lit(1), length(sequence) - 1), lit("[KR](?!P)")),
-      lit(0),
-    ).cast("int")
+    (coalesce(regexp_count(sequence, lit("[KR](?=.)")), lit(0)) -
+      coalesce(regexp_count(sequence, lit("[KR](?=P)")), lit(0))).cast("int")
 
   // ------------------------------------------------------------- F10 deltaMz
 

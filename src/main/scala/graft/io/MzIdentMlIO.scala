@@ -45,6 +45,24 @@ object MzIdentMlIO {
 
   final case class Parsed(spectraData: Seq[SpectraDataRow], psms: Seq[MzidPsm])
 
+  /** Common search-engine PSM score CV accessions (public PSI-MS CV):
+    * Mascot, SEQUEST, X!Tandem, OMSSA, Comet, MS-GF+, Andromeda, Percolator. */
+  val KnownScoreAccessions: Set[String] = Set(
+    "MS:1001171", // Mascot:score
+    "MS:1001155", // SEQUEST:xcorr
+    "MS:1001330", // X!Tandem:expect
+    "MS:1001328", // OMSSA:evalue
+    "MS:1002257", // Comet:expectation value
+    "MS:1002049", // MS-GF:RawScore
+    "MS:1002053", // MS-GF:EValue
+    "MS:1002338", // Andromeda:score
+    "MS:1001492", // percolator:score
+    "MS:1001493", // percolator:PEP
+  )
+
+  /** q-value / FDR terms never used as the raw engine score. */
+  val ExcludedScoreAccessions: Set[String] = Set("MS:1002355", "MS:1002354", "MS:1001491")
+
   /** Parse one mzIdentML file (pure function, runs inside a task). */
   def parseFile(path: String): Parsed = {
     val factory = XMLInputFactory.newInstance()
@@ -82,6 +100,7 @@ object MzIdentMlIO {
     var siiExpMz = 0.0
     var siiCalcMz = 0.0
     var siiScore = Double.NaN
+    var siiScoreKnown = false
     var inSii = false
 
     def attr(name: String): String = {
@@ -128,11 +147,24 @@ object MzIdentMlIO {
               siiPepRef = attr("peptide_ref")
               siiEvRef = null
               siiScore = Double.NaN
+              siiScoreKnown = false
             case "PeptideEvidenceRef" if inSii =>
               if (siiEvRef == null) siiEvRef = attr("peptideEvidence_ref")
-            case "cvParam" if inSii && siiScore.isNaN =>
+            case "cvParam" if inSii =>
+              // Prefer a KNOWN search-engine score accession; fall back to
+              // the first numeric cvParam that is not a q-value/FDR term
+              // (an SII can list counts like "number of unmatched peaks"
+              // before its score).
+              val acc = attr("accession")
               val v = attr("value")
-              if (v != null) try siiScore = v.toDouble catch { case _: NumberFormatException => }
+              if (v != null) {
+                val numeric = try { Some(v.toDouble) } catch { case _: NumberFormatException => None }
+                numeric.foreach { d =>
+                  if (KnownScoreAccessions.contains(acc)) { siiScore = d; siiScoreKnown = true }
+                  else if (!siiScoreKnown && siiScore.isNaN && !ExcludedScoreAccessions.contains(acc))
+                    siiScore = d
+                }
+              }
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if inPeptideSequence =>

@@ -121,7 +121,15 @@ object MzMlIO {
                 case "MS:1000511" => msLevel = Option(value).map(_.toInt).getOrElse(0)
                 case "MS:1000744" => precMz = Option(value).map(_.toDouble).getOrElse(0.0)
                 case "MS:1000041" => precCharge = Option(value).map(_.toInt).getOrElse(0)
-                case "MS:1000016" => rt = Option(value).map(_.toDouble)
+                case "MS:1000016" =>
+                  // normalize to seconds: writers commonly emit minutes
+                  // (unitAccession UO:0000031)
+                  val unit = attr("unitAccession")
+                  val factor =
+                    if (unit == "UO:0000031" ||
+                      Option(attr("unitName")).exists(_.contains("minute"))) 60.0
+                    else 1.0
+                  rt = Option(value).map(_.toDouble * factor)
                 case "MS:1000523" if inBinaryArray => is64 = true
                 case "MS:1000521" if inBinaryArray => is64 = false
                 case "MS:1000574" if inBinaryArray => zlib = true

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** mzTab identification source (SURVEY.md §2.1 S1, FIXTURES.md §1.1).
@@ -44,6 +44,45 @@ object MzTabIO {
         regexp_extract(col("value"), "\\t([^\\t]+)$", 1).as("location"),
       )
 
+  /** mzTab `modifications` parser — an input-boundary UDF (the format
+    * allows bracketed CV terms containing commas, multi-position entries
+    * like `3|5-UNIMOD:35`, and duplicate positions; a tolerant imperative
+    * parse beats a fragile split chain here). Last-wins on duplicate
+    * positions, mirroring Jackson/HashMap behavior in the reference. */
+  private[graft] def parseModifications(s: String): Map[Int, String] =
+    if (s == null || s.isEmpty || s == "null" || s == "0") Map.empty
+    else {
+      // split on commas that are outside square brackets
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '[' => depth += 1; cur.append('[')
+        case ']' => depth -= 1; cur.append(']')
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      parts += cur.toString
+      parts.iterator.flatMap { p =>
+        val dash = p.indexOf('-')
+        if (dash <= 0) None
+        else {
+          val posPart = p.substring(0, dash)
+          val acc = p.substring(dash + 1)
+          // first integer of a possibly multi-position `3|5` prefix
+          val first = posPart.split('|').headOption.map(_.trim.takeWhile(_.isDigit))
+          first.filter(_.nonEmpty).map(d => d.toInt -> acc)
+        }
+      }.toMap
+    }
+
+  private val parseModsUdf = udf(parseModifications _)
+
+  // ANSI-safe numeric cast: mzTab uses the literal "null" for missing
+  // values, and Spark 4 ANSI casts throw on malformed strings.
+  private def numOrNull(c: Column): Column =
+    when(c.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"), c.cast("double"))
+
   /** Standardized PSM frame with typed columns matching [[graft.model.Psm]]:
     * psmId, peptideSequence, proteinAccession, isDecoy, score, charge,
     * expMassToCharge, calcMassToCharge, modifications (Map[pos, accession]),
@@ -61,28 +100,21 @@ object MzTabIO {
         col("opt_global_cv_ms_1002217_decoy_peptide") === "1"
       else col("accession").startsWith(decoyPrefix)
 
-    val modsStr = opt("modifications")
-    val mods = when(
-      modsStr.isNull || modsStr === "" || modsStr === "null" || modsStr === "0",
-      map().cast("map<int,string>"))
-      .otherwise(map_from_entries(transform(split(modsStr, ","), s => struct(
-        regexp_extract(s, "^(\\d+)", 1).cast("int"),
-        regexp_replace(s, "^\\d+-", ""),
-      ))))
-
     raw.select(
       col("psm_id").as("psmId"),
       col("sequence").as("peptideSequence"),
       col("accession").as("proteinAccession"),
       decoyCol.as("isDecoy"),
-      col("search_engine_score_1").cast("double").as("score"),
-      col("charge").cast("int").as("charge"),
-      col("exp_mass_to_charge").cast("double").as("expMassToCharge"),
-      col("calc_mass_to_charge").cast("double").as("calcMassToCharge"),
-      mods.as("modifications"),
+      numOrNull(col("search_engine_score_1")).as("score"),
+      numOrNull(col("charge")).cast("int").as("charge"),
+      numOrNull(col("exp_mass_to_charge")).as("expMassToCharge"),
+      numOrNull(col("calc_mass_to_charge")).as("calcMassToCharge"),
+      parseModsUdf(opt("modifications")).as("modifications"),
       regexp_extract(col("spectra_ref"), "^ms_run\\[\\d+\\]:(.*)$", 1).as("sourceId"),
-      regexp_extract(col("spectra_ref"), "^ms_run\\[(\\d+)\\]", 1).cast("int").as("msRun"),
-      opt("retention_time").cast("double").as("retentionTime"),
+      when(col("spectra_ref").rlike("^ms_run\\[\\d+\\]"),
+        regexp_extract(col("spectra_ref"), "^ms_run\\[(\\d+)\\]", 1).cast("int"))
+        .as("msRun"),
+      numOrNull(opt("retention_time")).as("retentionTime"),
     )
   }
 }

@@ -14,10 +14,22 @@ object PklIO {
   def read(spark: SparkSession, path: String): DataFrame = readPaths(spark, Seq(path))
 
   def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val raw = spark.read.option("lineSep", "\n\n").text(paths: _*)
+    // Block separator is a blank LINE, which is "\n\n" for Unix files but
+    // "\r\n\r\n" for CRLF ones — lineSep can't express both, so split on
+    // "\n\n" after normalizing away CRLF via a regex on the block text.
+    // (CRLF files contain no bare "\n\n", so each file arrives as ONE
+    // chunk; re-split on the normalized blank line below.)
+    val chunks = spark.read.option("lineSep", "\n\n").text(paths: _*)
       .withColumn("fileName", regexp_replace(input_file_name(), ".*/", ""))
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("value", regexp_replace(col("value"), "\r", ""))
+
+    // Re-split any chunk that still contains blank lines (the CRLF case),
+    // preserving order via posexplode.
+    val raw = chunks
+      .select(col("fileName"), col("_mid"),
+        posexplode(split(col("value"), "\n\n")).as(Seq("_pos", "value")))
+      .withColumn("_mid", col("_mid") * 1000000 + col("_pos"))
       .filter(length(trim(col("value"))) > 0)
 
     val lines = filter(split(trim(col("value")), "\n"), l => length(trim(l)) > 0)

@@ -15,8 +15,12 @@ object Commands {
     * SubmissionPipelineUtils.java:106-128; id-format per type per the
     * SpectraData conventions — MGF is index-addressed, mzML scan-addressed). */
   def msRunFileInfo(msRuns: DataFrame): DataFrame = {
-    val base = element_at(split(col("location"), "/"), -1)
-    val lowerBase = lower(regexp_replace(base, "\\.(gz|zip)$", ""))
+    // fileName must match the DECOMPRESSED spectra file the scan read (the
+    // reference normalizes with returnUnCompressPath before matching,
+    // SubmissionPipelineUtils.java:174-179) — keep the .gz/.zip suffix and
+    // the J1 join silently matches nothing.
+    val base = regexp_replace(element_at(split(col("location"), "/"), -1), "\\.(gz|zip)$", "")
+    val lowerBase = lower(base)
     msRuns.select(
       col("msRun"),
       base.as("fileName"),

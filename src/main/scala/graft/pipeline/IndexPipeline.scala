@@ -53,7 +53,12 @@ object IndexPipeline {
       proteinEvidence: DataFrame,
       /** F9 counters: (nr_psms, nr_decoys, nr_error_delta). */
       validity: DataFrame,
-  )
+      /** The shared cached intermediate behind all four frames. */
+      private val cached: Option[DataFrame] = None,
+  ) {
+    /** Release the shared cached intermediate once outputs are written. */
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   private def param(accession: String, name: String, value: Column): Column =
     struct(lit(accession).as("accession"), lit(name).as("name"),
@@ -92,11 +97,14 @@ object IndexPipeline {
       cfg: IndexConfig,
   ): IndexOutputs = {
 
-    // ---- one row per PSM (mzTab repeats rows per protein accession) ----
+    // ---- one row per PSM (mzTab repeats rows per protein accession).
+    // A PSM is decoy only when ALL of its accessions are decoy (PIA
+    // semantics) — min over the boolean, not whichever row the dedup keeps.
     val wPsm = Window.partitionBy(col("psmId"))
     val psmsU = psms
       .withColumn("proteinAccessions",
         sort_array(collect_set(col("proteinAccession")).over(wPsm)))
+      .withColumn("isDecoy", min(col("isDecoy")).over(wPsm))
       .withColumn("_rn", row_number().over(wPsm.orderBy(col("proteinAccession"))))
       .filter(col("_rn") === 1)
       .drop("_rn", "proteinAccession")
@@ -198,19 +206,28 @@ object IndexPipeline {
     // one spectrum merge accessions, mirroring the reference's last-wins
     // byte-offset index, PrideJsonRandomAccess.java:39-53) ---------------
     val wUsi = Window.partitionBy(col("usi"))
+    // Persisted: three output tables plus the validity counters all derive
+    // from this frame — without it every caller action replays the full
+    // FDR/join/projection DAG. Callers release via IndexOutputs.unpersist().
     val perPsm = sampleProps
       .withColumn("proteinAccessions",
         array_distinct(flatten(collect_list(col("proteinAccessions")).over(wUsi))))
       .withColumn("_rn", row_number().over(wUsi.orderBy(col("psmId"))))
       .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nrDecoysCol = sum(when(col("isDecoy"), 1L).otherwise(0L))
-    val validity = perPsm.agg(
+    // F9 decoy/PSM counts come from the UNFILTERED PSM set (the reference
+    // counts decoys before any q-value filter,
+    // PrideAnalysisAssayService.java:440-447); only the delta-mass
+    // counters are post-join properties (computed in the indexing loop,
+    // :646-660). Caller checks nr_decoys>0 && nr_psms>minPsms (:477-480).
+    val preFilter = psmsU.agg(
       count(lit(1)).as("nr_psms"),
-      nrDecoysCol.as("nr_decoys"),
+      sum(when(col("isDecoy"), 1L).otherwise(0L)).as("nr_decoys"))
+    val deltaCounters = perPsm.agg(
       sum(when(col("deltaMass") > 0.9, 1L).otherwise(0L)).as("nr_error_delta"), // F10
-      max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)).as("hard_delta_fail"),
-    ) // F9 (:440-447, :477-480): caller checks nr_decoys>0 && nr_psms>minPsms
+      max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)).as("hard_delta_fail"))
+    val validity = preFilter.crossJoin(deltaCounters)
 
     // ---- P1 archive spectra --------------------------------------------
     val bestScore = param("MS:1002355", "PSM-level q-value", col("q"))
@@ -256,7 +273,7 @@ object IndexPipeline {
     // ---- J7 + A3-A9 + P12 + F5/F8 protein evidence ---------------------
     val proteinEvidence = buildProteinEvidence(perPsm, cfg)
 
-    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity)
+    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity, Some(perPsm))
   }
 
   /** proteinIndexStep (PrideAnalysisAssayService.java:938-995) as one

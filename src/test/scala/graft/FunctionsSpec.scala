@@ -129,8 +129,10 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("missedCleavages counts internal K/R not before P") {
     // KRPK: K1 (before R) missed; R2 is followed by P (no cleavage); final K
-    // is the peptide end, not a missed site -> 1.
-    val cases = Map("PEPTIDEK" -> 0, "PEKTIDER" -> 1, "KRPK" -> 1, "AKPA" -> 0)
+    // is the peptide end, not a missed site -> 1. AAKP: terminal KP -> 0.
+    // KKA: overlapping KK sites both count -> 2.
+    val cases = Map("PEPTIDEK" -> 0, "PEKTIDER" -> 1, "KRPK" -> 1, "AKPA" -> 0,
+      "AAKP" -> 0, "KKA" -> 2)
     cases.foreach { case (s, want) =>
       val got = Seq(s).toDF("s")
         .select(PeptideFunctions.missedCleavages(col("s"))).head().getInt(0)

@@ -122,6 +122,33 @@ class IoSpec extends AnyFunSuite {
     assert(p3.getAs[String]("sourceId") == "controllerType=0 controllerNumber=1 scan=7")
   }
 
+  test("mzTab modifications parser survives spec-legal edge cases") {
+    import graft.io.MzTabIO.parseModifications
+    assert(parseModifications(null) == Map.empty)
+    assert(parseModifications("null") == Map.empty)
+    assert(parseModifications("3-UNIMOD:35") == Map(3 -> "UNIMOD:35"))
+    // duplicate positions: last wins, no crash
+    assert(parseModifications("0-UNIMOD:1,0-UNIMOD:5") == Map(0 -> "UNIMOD:5"))
+    // bracketed CV terms with commas stay one entry
+    assert(parseModifications("3-[MS, MS:1001524, fragment neutral loss, 63.99]") ==
+      Map(3 -> "[MS, MS:1001524, fragment neutral loss, 63.99]"))
+    // multi-position entries take the first position
+    assert(parseModifications("3|5-UNIMOD:35") == Map(3 -> "UNIMOD:35"))
+  }
+
+  test("mzTab standardizer tolerates 'null' numeric fields under ANSI") {
+    val tab =
+      """MTD	mzTab-version	1.0.0
+        |PSH	sequence	PSM_ID	accession	unique	search_engine_score[1]	modifications	charge	exp_mass_to_charge	calc_mass_to_charge	spectra_ref	opt_global_cv_MS:1002217_decoy_peptide
+        |PSM	PEPTIDEK	1	sp|P1	1	null	null	null	null	null	ms_run[1]:index=0	0
+        |""".stripMargin
+    val path = tmpFile("nulls.mztab", tab)
+    val row = MzTabIO.standardPsms(MzTabIO.readPsmSection(spark, path)).head()
+    assert(row.isNullAt(row.fieldIndex("score")))
+    assert(row.isNullAt(row.fieldIndex("charge")))
+    assert(row.isNullAt(row.fieldIndex("expMassToCharge")))
+  }
+
   test("MaraCluster reader: parses and rejects duplicate spectrum indexes") {
     val good = tmpFile("clusters.tsv", "run1.mgf\t0\t10\nrun1.mgf\t1\t10\n\nrun1.mgf\t2\t11\n")
     val c = SideInputs.readMaraCluster(spark, good)

@@ -70,10 +70,11 @@ class PipelineSpec extends AnyFunSuite {
     val sum1 = out.psmSummaries.filter(col("usi").endsWith(":1")).head()
     assert(sum1.getAs[Double]("precursorMz") == 458.23)
 
-    // validity counters
+    // F9 validity counters: computed over the UNFILTERED PSM set, like the
+    // reference (7 unique psmIds incl. the decoy; 1 decoy present).
     val v = out.validity.head()
-    assert(v.getAs[Long]("nr_psms") == 3)
-    assert(v.getAs[Long]("nr_decoys") == 0)
+    assert(v.getAs[Long]("nr_psms") == 7)
+    assert(v.getAs[Long]("nr_decoys") == 1)
 
     // protein evidence: P1 {PEPTIDEK, ELVISLIVESK}, P2 {ELVISLIVESK, AAAAKPEPR}
     val prot = out.proteinEvidence.orderBy(col("reportedAccession")).collect()

@@ -119,6 +119,17 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(10.0, 20.0))
   }
 
+  test("PKL parser handles CRLF files (no bare \\n\\n separator)") {
+    val pkl = "445.50 1000.0 2\r\n100.0 10.0\r\n\r\n600.25 500.0 3\r\n300.0 30.0\r\n"
+    val dir = Files.createTempDirectory("graft-pkl-crlf")
+    Files.writeString(dir.resolve("run.pkl"), pkl)
+    val rows = PklIO.read(spark, dir.toString).orderBy(col("index")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("precursorMz") == 445.5)
+    assert(rows(1).getAs[Double]("precursorMz") == 600.25)
+    assert(rows(1).getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(300.0))
+  }
+
   test("MGF reader handles CRLF line endings") {
     val mgf = "BEGIN IONS\r\nTITLE=t1\r\nPEPMASS=445.12\r\nCHARGE=2+\r\n" +
       "100.0\t10.0\r\n200.0\t20.0\r\nEND IONS\r\n"
