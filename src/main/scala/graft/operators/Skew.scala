@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (the hand-tuned fallbacks when AQE's runtime
+  * re-planning isn't enough — e.g. a single hot key inside one assay).
+  *
+  * The reference's corpus is exactly this shape: per-assay PSM counts vary
+  * 815 -> 800,790 (BASELINE.md), and within an assay a handful of proteins
+  * can carry most PSMs.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation: partial aggregate on (key, salt),
+    * then final aggregate on key. Spreads a hot key over `saltBuckets`
+    * reducers. The salt is a deterministic hash of the whole row's unique
+    * column — no RNG, so retries/speculative tasks agree.
+    *
+    * @param uniqueCol any column unique-ish per row (drives salt assignment)
+    * @param partials  aggregates computed per (key, salt) — must be
+    *                  re-aggregatable (sum/count/min/max style)
+    * @param finals    re-aggregation of the partial columns by key
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      uniqueCol: Column,
+      saltBuckets: Int,
+      partials: Seq[Column],
+      finals: Seq[Column],
+  ): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(uniqueCol), lit(saltBuckets)))
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("_key"))
+      .agg(finals.head, finals.tail: _*)
+
+  /** Salted broadcast-free join for one skewed build side: the probe side
+    * gets a deterministic salt in [0, n); the build side is replicated n
+    * times with every salt value; the join key becomes (key, salt). Use
+    * when the build side is too big to broadcast and one probe key is hot.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      probeUnique: Column,
+      saltBuckets: Int,
+  ): DataFrame = {
+    val salted = probe.withColumn("_salt", pmod(xxhash64(probeUnique), lit(saltBuckets)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-pattern verification: salting equivalence and bucketed co-located
+  * joins (SURVEY §4 / README "Design for 100 TB"). */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAggregate equals plain aggregate on skewed keys") {
+    // hot key: 10k rows on one key, few on others
+    val df = ((1 to 10000).map(i => ("hot", i.toLong, 1.0)) ++
+      (1 to 5).map(i => (s"cold$i", i.toLong + 100000, 2.0)))
+      .toDF("k", "id", "v")
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = Skew.saltedAggregate(
+      df, $"k", $"id", saltBuckets = 8,
+      partials = Seq(count(lit(1)).as("pn"), sum($"v").as("ps")),
+      finals = Seq(sum($"pn").as("n"), sum($"ps").as("s")))
+      .withColumnRenamed("_key", "k")
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("saltedJoin equals plain join with a skewed probe side") {
+    val probe = ((1 to 5000).map(i => (1L, i.toLong)) ++ Seq((2L, 9001L), (3L, 9002L)))
+      .toDF("k", "id")
+    val build = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "name")
+    val plain = probe.join(build, "k").groupBy($"name").count()
+      .orderBy($"name").collect().map(r => (r.getString(0), r.getLong(1)))
+    val salted = Skew.saltedJoin(probe, build, "k", $"id", saltBuckets = 4)
+      .groupBy($"name").count()
+      .orderBy($"name").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = TestSpark.spark // default warehouse dir (static conf); tables dropped below
+    val li = Tables(s, "/root/testdata/sf0.001", "lineitem")
+    val o = Tables(s, "/root/testdata/sf0.001", "orders")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    // disable broadcast so only bucketing can avoid the exchange
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("li_bucketed")
+        .join(s.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS li_bucketed")
+      s.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
