@@ -271,6 +271,20 @@ object Queries {
         .orderBy(col("k"))
     }),
 
+    // Salted two-phase aggregation (skew path) — must equal the plain
+    // GROUP BY, which is exactly what the oracle checks.
+    "a_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        uniqueCol = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        saltBuckets = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum(col("l_quantity")).as("pq")),
+        finals = Seq(sum(col("pn")).as("n"), sum(col("pq")).as("sum_qty")))
+        .withColumnRenamed("_key", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ------------------------------------------------- training-data operators
     // Exact dedup: md5 fingerprint, deterministic min-id survivor.
     "dd_exact_dedup" -> ((s, dir) => {
@@ -694,6 +708,10 @@ object Queries {
     "d2_dup_detect" ->
       """SELECT o_orderkey % 97 AS k, count(*) AS cnt FROM orders
         |GROUP BY o_orderkey % 97 HAVING count(*) > 1 ORDER BY k""".stripMargin,
+
+    "a_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "dd_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint, count(*) AS dup_count
