@@ -494,6 +494,17 @@ object Queries {
     "io_mztab_scan" -> ((s, _) =>
       graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId"))),
 
+    // Composite corpus-construction pipeline over the documents table:
+    // quality gate -> langid -> exact dedup -> MinHash near-dup components
+    // -> representatives (rows-only; every stage is oracle-verified alone).
+    "tdp_build_corpus" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.buildCorpus(
+        t(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+        graft.operators.CorpusPipeline.CorpusConfig(
+          minQuality = 0.5, nearDupThreshold = 0.6))
+        .orderBy(col("id"))
+    }),
+
     // IVF approximate NN: KMeans cells + probe-limited exact re-rank
     // (rows-only: centroid training is seed-deterministic but not
     // SQL-expressible).

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composite training-corpus construction pipeline — the end-to-end shape
+  * a 100 TB data-curation job takes:
+  *
+  *   quality filter -> language filter -> exact dedup -> MinHash-LSH
+  *   near-dup detection -> connected-component representative selection
+  *
+  * Every stage is one of the engine's verified operators; the composition
+  * is a single declarative plan except the CC loop (bounded iterative
+  * joins). */
+object CorpusPipeline {
+
+  final case class CorpusConfig(
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq.empty, // empty = all
+      shingleN: Int = 3,
+      minHashes: Int = 16,
+      lshBands: Int = 4,
+      nearDupThreshold: Double = 0.7,
+  )
+
+  /** @param docs (id, text) document table
+    * @return surviving documents (id, text, predicted_lang, quality_score)
+    */
+  def buildCorpus(docs: DataFrame, cfg: CorpusConfig = CorpusConfig()): DataFrame = {
+    val q = TextFunctions.qualityMetrics(col("text"))
+    val scored = docs
+      .withColumn("quality_score", q.getField("quality_score"))
+      .withColumn("predicted_lang", TextFunctions.langIdHeuristic(col("text")))
+      .filter(col("quality_score") >= cfg.minQuality)
+    val langFiltered =
+      if (cfg.keepLangs.isEmpty) scored
+      else scored.filter(col("predicted_lang").isin(cfg.keepLangs: _*))
+
+    // exact dedup first (cheap hash groupBy removes identical payloads)
+    val exact = Dedup.exact(langFiltered, col("id"), md5(col("text")))
+      .drop("fingerprint", "dup_count")
+
+    // near-dup pairs via MinHash LSH, resolved to one survivor per component
+    val shingles = exact.select(col("id"),
+      explode(TextFunctions.wordShingles(col("text"), cfg.shingleN)).as("shingle"))
+    val sigs = Dedup.minHashSignature(shingles, col("id"), col("shingle"), cfg.minHashes)
+    val pairs = Dedup.minHashLshPairs(sigs, cfg.lshBands,
+      cfg.minHashes / cfg.lshBands, cfg.nearDupThreshold)
+    val survivors = Dedup.dedupByPairs(exact.select(col("id")), pairs)
+
+    exact.join(survivors, Seq("id"), "left_semi")
+      .select(col("id"), col("text"), col("predicted_lang"), col("quality_score"))
+  }
+}

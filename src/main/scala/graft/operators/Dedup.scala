@@ -127,6 +127,55 @@ object Dedup {
     * `maxShingleDf` drops shingles present in more than that many docs
     * before pairing (skew guard; identical filter applied on both sides of
     * the oracle keeps semantics aligned). */
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every node adopts the minimum label in its neighborhood
+    * until a fixpoint. Each iteration is two shuffles; iterations are
+    * bounded by the component diameter (near-dup clusters are shallow), and
+    * each round's result is checkpointed via localCheckpoint to keep the
+    * plan from growing unboundedly.
+    *
+    * @param pairs (id_a, id_b) undirected edges
+    * @return (id, component) where component = min id of the component
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor minimum: for each node, min(component) over itself + peers
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: keep one representative (min id) per
+    * near-dup component; singletons keep themselves. Returns the surviving
+    * ids. */
+  def dedupByPairs(allIds: DataFrame /* (id) */, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    allIds.join(losers, Seq("id"), "left_anti")
+  }
+
   /** All ordered pairs (a < b) from a sorted id list — the posting-list
     * expansion that replaces an inverted-index self-join. */
   private def pairCombinations(ids: Column): Column =

@@ -78,6 +78,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains(2L)) // near-identical vector must share a probed bucket
   }
 
+  test("connected components resolve transitive near-dup groups") {
+    // chain 1-2-3 plus pair 7-8: components {1,2,3}->1, {7,8}->7
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    val all = Seq(1L, 2L, 3L, 5L, 7L, 8L).toDF("id")
+    val kept = Dedup.dedupByPairs(all, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L)) // reps + untouched singleton
+  }
+
+  test("corpus pipeline: quality gate, exact dedup, near-dup survivors") {
+    import graft.operators.CorpusPipeline
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then rests in the shade"),
+      (2L, "the quick brown fox jumps over the lazy dog and then rests in the shade"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog and then rests in the sun"), // near dup
+      (4L, "completely different content about a gardening manual for tomato plants and soil"),
+      (5L, "short"), // fails quality length gate
+    ).toDF("id", "text")
+    val corpus = CorpusPipeline.buildCorpus(docs,
+      CorpusPipeline.CorpusConfig(minQuality = 0.5, nearDupThreshold = 0.5))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(corpus == Set(1L, 4L)) // 2 exact-dup, 3 near-dup, 5 low-quality
+  }
+
   test("IVF top-k: probe-limited search finds the strong neighbor") {
     // 12 corpus vectors: a tight cluster around e1 and another around e2.
     val corpus = (0 until 12).map { i =>
