@@ -62,6 +62,113 @@ object TargetDecoy {
       .withColumn("q_value", min(col("fdr")).over(wWorst))
   }
 
+  /** Distributed global target-decoy q-values — the scale path for a
+    * single huge assay, where `withQValues(partitionBy = empty)` would
+    * funnel everything through ONE window partition.
+    *
+    * Algorithm (exact, same results as the window form):
+    *  1. total-order the PSMs via `repartitionByRange` + in-partition sort
+    *     (parallel range sort, no single-partition stage);
+    *  2. pass A: per-partition decoy/target subtotals -> driver (one tiny
+    *     row per partition) -> prefix offsets;
+    *  3. pass B: running counts + offsets give exact cumulative
+    *     decoys/targets and FDR per row, plus per-partition FDR minima;
+    *  4. suffix-minima of the partition minima close the q-value
+    *     (reverse running min) across partitions; within a partition the
+    *     suffix min is computed backwards in one buffered sweep.
+    *
+    * Rows per partition stay bounded by the range partitioning, so this
+    * scales to arbitrarily large assays; the only driver state is two
+    * arrays of numPartitions elements. */
+  def withQValuesGlobal(
+      df: DataFrame,
+      score: Column,
+      isDecoy: Column,
+      tieBreak: Column,
+      lowerIsBetter: Boolean = false,
+      numPartitions: Int = 0,
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val bestFirst =
+      if (lowerIsBetter) Seq(score.asc, tieBreak.asc) else Seq(score.desc, tieBreak.asc)
+
+    val marked = df.withColumn("_decoy", isDecoy)
+    val sorted = marked
+      .repartitionByRange(n, bestFirst: _*)
+      .sortWithinPartitions(bestFirst: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val decoyIdx = sorted.schema.fieldIndex("_decoy")
+
+    // pass A: per-partition (decoys, targets)
+    val subtotals = sorted.rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        var d = 0L; var t = 0L
+        rows.foreach(r => if (r.getBoolean(decoyIdx)) d += 1 else t += 1)
+        Iterator((pid, d, t))
+      }
+      .collect().sortBy(_._1)
+    val nParts = subtotals.length
+    val dOffsets = new Array[Long](nParts)
+    val tOffsets = new Array[Long](nParts)
+    var dAcc = 0L; var tAcc = 0L
+    subtotals.foreach { case (pid, d, t) =>
+      dOffsets(pid) = dAcc; tOffsets(pid) = tAcc; dAcc += d; tAcc += t
+    }
+
+    // pass B: per-row fdr + per-partition suffix-min inputs (min fdr)
+    val sc = df.sparkSession.sparkContext
+    val bD = sc.broadcast(dOffsets)
+    val bT = sc.broadcast(tOffsets)
+    val withFdrRdd = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var d = bD.value(pid); var t = bT.value(pid)
+      rows.map { r =>
+        if (r.getBoolean(decoyIdx)) d += 1 else t += 1
+        val fdr = d.toDouble / math.max(t, 1L)
+        Row.fromSeq(r.toSeq :+ d :+ t :+ fdr)
+      }
+    }
+    val fdrSchema = sorted.schema
+      .add("cum_decoys", LongType).add("cum_targets", LongType).add("fdr", DoubleType)
+    val withFdr = df.sparkSession.createDataFrame(withFdrRdd, fdrSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val fdrIdx = fdrSchema.fieldIndex("fdr")
+    val partMins = withFdr.rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        var m = Double.MaxValue
+        rows.foreach(r => m = math.min(m, r.getDouble(fdrIdx)))
+        Iterator((pid, m))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // suffix min of LATER partitions for each pid
+    val laterMin = new Array[Double](nParts)
+    var acc = Double.MaxValue
+    for (p <- nParts - 1 to 0 by -1) { laterMin(p) = acc; acc = math.min(acc, partMins(p)) }
+    val bLater = sc.broadcast(laterMin)
+
+    // pass C: backwards in-partition suffix min, closed with later-partition min
+    val qRdd = withFdr.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val buf = rows.toArray
+      var m = bLater.value(pid)
+      var i = buf.length - 1
+      val out = new Array[Row](buf.length)
+      while (i >= 0) {
+        m = math.min(m, buf(i).getDouble(fdrIdx))
+        out(i) = Row.fromSeq(buf(i).toSeq :+ m)
+        i -= 1
+      }
+      out.iterator
+    }
+    val qSchema = fdrSchema.add("q_value", DoubleType)
+    sorted.unpersist()
+    df.sparkSession.createDataFrame(qRdd, qSchema).drop("_decoy")
+  }
+
   /** P9 — q-value repair: q == 0 is replaced by `min(positive q) / 10`
     * rounded HALF_UP to 6 dp (NaN when no positive q exists in the group).
     * Reference: SubmissionPipelineUtils.getQValueLower:368-377 (BigDecimal

@@ -34,6 +34,12 @@ object IndexPipeline {
       uniquePeptides: Int = 0,
       /** true when smaller PSM scores are better (e-values / PEP). */
       scoreLowerIsBetter: Boolean = false,
+      /** Use the range-partitioned distributed FDR
+        * (TargetDecoy.withQValuesGlobal) instead of the single-partition
+        * window. The window is faster up to several million PSMs (the FDR
+        * runs pre-join on narrow rows and the rest of the DAG dominates);
+        * flip this for assays where one sort task becomes the straggler. */
+      distributedFdr: Boolean = false,
   )
 
   /** Monoisotopic delta masses for common UNIMOD accessions (public UNIMOD
@@ -110,9 +116,15 @@ object IndexPipeline {
       .drop("_rn", "proteinAccession")
 
     // ---- A14 FDR + P9 repair -------------------------------------------
-    val scored = TargetDecoy.withQValues(
-      psmsU, Seq.empty, col("score"), col("isDecoy"), col("psmId"),
-      lowerIsBetter = cfg.scoreLowerIsBetter)
+    val scored =
+      if (cfg.distributedFdr)
+        TargetDecoy.withQValuesGlobal(
+          psmsU, col("score"), col("isDecoy"), col("psmId"),
+          lowerIsBetter = cfg.scoreLowerIsBetter)
+      else
+        TargetDecoy.withQValues(
+          psmsU, Seq.empty, col("score"), col("isDecoy"), col("psmId"),
+          lowerIsBetter = cfg.scoreLowerIsBetter)
     val repaired = TargetDecoy
       .repairZeroQValues(scored, col("q_value"), Seq.empty, "q")
       .drop("cum_decoys", "cum_targets", "fdr", "q_value")

@@ -54,6 +54,24 @@ class FdrSpec extends AnyFunSuite {
     assert(got == Seq(0.0, 1.0, 1.0, 1.0))
   }
 
+  test("distributed global q-values equal the window implementation") {
+    val rnd = new scala.util.Random(11)
+    // include score ties to exercise cross-partition tie ordering
+    val rows = (1 to 2000).map(i =>
+      (i.toLong, math.floor(rnd.nextDouble() * 50), rnd.nextInt(4) == 0))
+    val df = rows.toDF("id", "score", "decoy").repartition(7)
+
+    val windowed = TargetDecoy
+      .withQValues(df, Seq.empty, col("score"), col("decoy"), col("id"))
+      .select(col("id"), col("cum_decoys"), col("cum_targets"), col("fdr"), col("q_value"))
+      .orderBy(col("id")).collect().map(_.toSeq)
+    val global = TargetDecoy
+      .withQValuesGlobal(df, col("score"), col("decoy"), col("id"), numPartitions = 5)
+      .select(col("id"), col("cum_decoys"), col("cum_targets"), col("fdr"), col("q_value"))
+      .orderBy(col("id")).collect().map(_.toSeq)
+    assert(windowed.toSeq == global.toSeq)
+  }
+
   // ---- P9 q-value repair ----
 
   test("repairZeroQValues: zero becomes min-positive/10 rounded to 6dp") {
