@@ -415,6 +415,40 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Typed KeyValueGroupedDataset rollup (the custom-state template shape,
+    // SURVEY §1.4 Dataset[T] at API boundaries): per-user event count and
+    // exact cent total via mapGroups — order-free longs, so oracle-equal.
+    "e_stateful_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (user, rows) =>
+          var n = 0L; var cents = 0L
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          (user, n, cents)
+        }
+        .toDF("user_id", "n", "total_cents")
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.6 string-function family: substring, concat, contains,
+    // starts_with, translate, upper/lower, capitalize emulation, printf.
+    "p_string_family" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(upper(substring(col("source"), 1, 1)), substring(col("source"), 2, 100))
+            .as("capitalized"),
+          col("text").contains("spark").as("has_spark"),
+          col("source").startsWith("src1").as("is_src1"),
+          translate(col("lang"), "aeiou", "AEIOU").as("lang_vowels"),
+          format_string("%s|%04d", col("lang"), col("doc_id")).as("formatted"),
+        )
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.6 json — from_json struct extraction over the events props column.
     "e_json_props" -> ((s, dir) => {
       t(s, dir, "events")
@@ -887,6 +921,20 @@ object Queries {
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
         |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e_stateful_rollup" ->
+      """SELECT user_id, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p_string_family" ->
+      """SELECT doc_id,
+        |  upper(substr(source, 1, 1)) || substr(source, 2, 100) AS capitalized,
+        |  contains(text, 'spark') AS has_spark,
+        |  starts_with(source, 'src1') AS is_src1,
+        |  translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
+        |  printf('%s|%04d', lang, doc_id) AS formatted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "e_json_props" ->
