@@ -65,6 +65,51 @@ object MgfIO {
       )
   }
 
+  /** Scala-side MGF block parser (shared by [[readExact]]); semantics
+    * mirror the column-expression parser in [[readPaths]]. */
+  private[io] def parseBlocks(fileName: String, content: String): Seq[(
+      String, Long, String, String, Int, Double, Int, Option[Double],
+      Seq[Double], Seq[Double])] = {
+    val blocks = content.replace("\r", "").split("END IONS")
+      .filter(_.contains("BEGIN IONS"))
+    blocks.zipWithIndex.map { case (block, idx) =>
+      val lines = block.split("\n")
+      def header(key: String): Option[String] =
+        lines.find(_.startsWith(s"$key=")).map(_.substring(key.length + 1))
+      val peakLines = lines.filter(_.matches("^\\s*[0-9][0-9.eE+-]*[ \\t]+[0-9].*"))
+      val peaks = peakLines.map { l =>
+        val parts = l.trim.split("[ \\t]+")
+        (parts(0).toDouble, parts(1).toDouble)
+      }
+      val charge = header("CHARGE").map { c =>
+        val mag = c.takeWhile(ch => ch.isDigit || ch == '.')
+        val sign = if (c.endsWith("-")) -1 else 1
+        if (mag.isEmpty) 0 else (mag.toDouble * sign).toInt
+      }.getOrElse(0)
+      (fileName, idx.toLong, idx.toString, header("TITLE").getOrElse(""), 2,
+        header("PEPMASS").flatMap(_.split("\\s+").headOption).map(_.toDouble).getOrElse(0.0),
+        charge,
+        header("RTINSECONDS").map(_.toDouble),
+        peaks.map(_._1).toSeq, peaks.map(_._2).toSeq)
+    }.toSeq
+  }
+
+  /** Exact-index variant: parses each file WHOLE in one task
+    * (`wholeTextFiles`), so the 0-based per-file index is guaranteed by
+    * construction rather than by split ordering. Use for the positional
+    * cluster contract (J4) and small-to-medium files; the splittable
+    * [[read]] is the path for huge single files. */
+  def readExact(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .wholeTextFiles(path)
+      .flatMap { case (file, content) =>
+        parseBlocks(file.replaceAll(".*/", ""), content)
+      }
+      .toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
+        "precursorCharge", "retentionTime", "masses", "intensities")
+  }
+
   /** K3 — format spectra as MGF blocks, byte-compatible with the reference
     * writer (MGFPRIDEWriter.java:12-62): `TITLE=id=<usi>[,sequence=<pf>]`,
     * PEPMASS/CHARGE as Java double strings (charge suffixed `+` when

@@ -76,6 +76,25 @@ class CommandsSpec extends AnyFunSuite {
     assert(reps.count() == 3)
   }
 
+  test("generate-index-files is idempotent: re-running overwrites cleanly") {
+    // restart semantics: mode(overwrite) per output (SURVEY §2.7 — the
+    // reference restarts at Nextflow process granularity)
+    val dir = Files.createTempDirectory("graft-idem")
+    val mztabPath = write(dir, "assay.mztab", mztab)
+    val mgfDir = Files.createDirectory(dir.resolve("spectra"))
+    write(mgfDir, "run1.mgf", mgfBlocks(4))
+    val out = dir.resolve("out").toString
+    val args = Array("generate-index-files",
+      "--mztab", mztabPath, "--spectra", mgfDir.toString,
+      "--project-accession", "PXDIDEM", "--qvalue-threshold", "0.05",
+      "--min-psms", "1", "--out", out)
+    Cli.run(spark, args)
+    val first = ArchiveJson.readPartitioned(spark, s"$out/archive_spectra").count()
+    Cli.run(spark, args) // second run must not duplicate or fail
+    val second = ArchiveJson.readPartitioned(spark, s"$out/archive_spectra").count()
+    assert(first == second && first == 3)
+  }
+
   private val mzid =
     """<?xml version="1.0" encoding="UTF-8"?>
       |<MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1">

@@ -51,6 +51,13 @@ class IoSpec extends AnyFunSuite {
     assert(r1.getAs[Int]("precursorCharge") == 3)
   }
 
+  test("MGF exact reader equals the splittable reader") {
+    val path = tmpFile("run1.mgf", mgf)
+    val a = MgfIO.read(spark, path).orderBy(col("index")).collect().map(_.toSeq)
+    val b = MgfIO.readExact(spark, path).orderBy(col("index")).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("MGF writer: block format matches the reference writer shape") {
     import spark.implicits._
     val df = Seq(
