@@ -102,6 +102,7 @@ object IndexPipeline {
       sdrf: Option[DataFrame],
       cfg: IndexConfig,
   ): IndexOutputs = {
+    graft.functions.EncodePeptidoformExpr.register(psms.sparkSession)
 
     // ---- one row per PSM (mzTab repeats rows per protein accession).
     // A PSM is decoy only when ALL of its accessions are decoy (PIA
@@ -173,7 +174,8 @@ object IndexPipeline {
         lit(cfg.projectAccession),
         UsiFunctions.fileNameNoExtension(col("fileName")), scanType, usiId)))
       .withColumn("spectraUsi", UsiFunctions.spectraUsi(col("usi")))
-      .withColumn("peptidoform", PeptideFunctions.encodePsmUdf(
+      // native codegen expression, not a UDF (see EncodePeptidoformExpr)
+      .withColumn("peptidoform", graft.functions.EncodePeptidoformExpr.encode(
         col("peptideSequence"), col("modifications"), col("charge")))
 
     // ---- F10 delta mass, P10, P11 --------------------------------------

@@ -158,6 +158,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(UsiFunctions.isobaric(lit("LEVELK"))) == "IEVEIK")
   }
 
+  test("EncodePeptidoformExpr equals the Scala codec (property, incl. codegen path)") {
+    import graft.functions.EncodePeptidoformExpr
+    EncodePeptidoformExpr.register(spark)
+    val rnd = new scala.util.Random(3)
+    val aas = "ACDEFGHIKLMNPQRSTVWY"
+    val rows = (1 to 300).map { i =>
+      val seq = (0 until (5 + rnd.nextInt(15))).map(_ => aas(rnd.nextInt(20))).mkString
+      val nMods = rnd.nextInt(4)
+      val mods = (0 until nMods)
+        .map(_ => rnd.nextInt(seq.length + 2) -> s"UNIMOD:${rnd.nextInt(40)}").toMap
+      val charge = 1 + rnd.nextInt(12)
+      (seq, mods, charge)
+    }
+    val df = rows.toDF("seq", "mods", "charge")
+    val got = df.select(
+      EncodePeptidoformExpr.encode(col("seq"), col("mods"), col("charge")).as("e"))
+      .collect().map(_.getString(0))
+    val want = rows.map { case (s, m, z) => PeptideFunctions.encodePsm(s, m, z) }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   // ---- F13 scan-id validity ----
   test("isValidScanId: integers and WIFF ids valid, others not") {
     import graft.functions.ParamFunctions
