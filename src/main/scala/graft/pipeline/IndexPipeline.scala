@@ -72,8 +72,11 @@ object IndexPipeline {
 
   /** P13 — positioned modification map -> IdentifiedModification structs,
     * merging positions per accession
-    * (PrideAnalysisAssayService.convertPeptideModifications:1007-1047). */
-  private val toIdentifiedMods =
+    * (PrideAnalysisAssayService.convertPeptideModifications:1007-1047).
+    * Kept as a reference implementation and used by tests to pin the
+    * native expression's semantics; the pipeline itself uses the codegen
+    * [[graft.functions.ModsToStructsExpr]]. */
+  private[pipeline] val toIdentifiedMods =
     udf((mods: Map[Int, String]) =>
       if (mods == null) Seq.empty[IdentifiedModification]
       else mods.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (acc, positions) =>
@@ -103,6 +106,7 @@ object IndexPipeline {
       cfg: IndexConfig,
   ): IndexOutputs = {
     graft.functions.EncodePeptidoformExpr.register(psms.sparkSession)
+    graft.functions.ModsToStructsExpr.register(psms.sparkSession)
 
     // ---- one row per PSM (mzTab repeats rows per protein accession).
     // A PSM is decoy only when ALL of its accessions are decoy (PIA
@@ -257,7 +261,7 @@ object IndexPipeline {
       col("spectrumPrecursorMz").as("precursorMz"),
       col("masses"), col("intensities"), col("numPeaks"), col("missedCleavages"),
       col("proteinAccessions"),
-      toIdentifiedMods(col("modifications")).as("modifications"),
+      graft.functions.ModsToStructsExpr.toStructs(col("modifications")).as("modifications"),
       bestScore.as("bestSearchEngineScore"),
       array(param("MS:1002355", "PSM-level q-value", col("q")),
         param("MS:1002354", "PSM-level FDRScore", col("score"))).as("scores"),

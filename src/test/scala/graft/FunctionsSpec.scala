@@ -179,6 +179,26 @@ class FunctionsSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("ModsToStructsExpr merges positions per accession (native vs schema)") {
+    import graft.functions.ModsToStructsExpr
+    ModsToStructsExpr.register(spark)
+    val df = Seq(
+      Map(3 -> "UNIMOD:35", 7 -> "UNIMOD:35", 0 -> "UNIMOD:1"),
+      Map.empty[Int, String],
+    ).toDF("mods")
+    val got = df.select(ModsToStructsExpr.toStructs(col("mods")).as("m")).collect()
+    val r0 = got(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("m")
+    assert(r0.length == 2) // UNIMOD:1 and UNIMOD:35 (positions merged)
+    val byAcc = r0.map(r => r.getAs[org.apache.spark.sql.Row]("modification")
+      .getAs[String]("accession") -> r).toMap
+    val m35 = byAcc("UNIMOD:35")
+    val positions = m35.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("positionMap")
+      .map(_.getAs[Int]("position"))
+    assert(positions.toSeq == Seq(3, 7))
+    assert(m35.isNullAt(m35.fieldIndex("neutralLoss")))
+    assert(got(1).getAs[scala.collection.Seq[Any]]("m").isEmpty)
+  }
+
   // ---- F13 scan-id validity ----
   test("isValidScanId: integers and WIFF ids valid, others not") {
     import graft.functions.ParamFunctions
