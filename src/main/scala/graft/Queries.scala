@@ -234,6 +234,15 @@ object Queries {
         .orderBy(col("assay"), col("event_id"))
     }),
 
+    // W4 — deterministic ordered collection (sorted member list per key).
+    "w4_sorted_collect" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_list(
+          concat_ws(":", col("event_type"), col("event_id")))), ",").as("members"))
+        .orderBy(col("user_id"))
+    }),
+
     // W3 — top-k identifications per spectrum (rank limit).
     "w3_top_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
@@ -732,6 +741,11 @@ object Queries {
         |  min(fdr) OVER (PARTITION BY assay ORDER BY value ASC, event_id DESC
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_value
         |FROM f ORDER BY assay, event_id""".stripMargin,
+
+    "w4_sorted_collect" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(event_type || ':' || event_id::VARCHAR)), ',') AS members
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "w3_top_rank" ->
       """SELECT user_id, rank, event_id, value FROM (
