@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.model.ArchiveSpectrum
+import graft.model.{ArchiveProteinEvidence, ArchiveSpectrum, SummaryArchiveSpectrum}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.StructType
   */
 object ArchiveJson {
 
-  /** The declared ArchiveSpectrum schema (SURVEY §1.1). */
+  /** The declared fixed schemas (SURVEY §1.1/§1.3 — reads never infer). */
   val archiveSpectrumSchema: StructType =
     Encoders.product[ArchiveSpectrum].schema
+  val summarySchema: StructType =
+    Encoders.product[SummaryArchiveSpectrum].schema
+  val proteinEvidenceSchema: StructType =
+    Encoders.product[ArchiveProteinEvidence].schema
 
   /** K1 — plain JSON-lines table write. */
   def write(df: DataFrame, path: String): Unit =
@@ -54,9 +58,19 @@ object ArchiveJson {
         col("precursorCharge").isNotNull && col("precursorMz").isNotNull &&
         col("usi").isNotNull && col("peptidoform").isNotNull)
 
-  /** Typed view for API consumers. */
+  /** Typed views for API consumers. */
   def readTyped(spark: SparkSession, path: String): Dataset[ArchiveSpectrum] = {
     implicit val enc = Encoders.product[ArchiveSpectrum]
     read(spark, path).as[ArchiveSpectrum]
+  }
+
+  def readSummaries(spark: SparkSession, path: String): Dataset[SummaryArchiveSpectrum] = {
+    implicit val enc = Encoders.product[SummaryArchiveSpectrum]
+    spark.read.schema(summarySchema).json(path).as[SummaryArchiveSpectrum]
+  }
+
+  def readProteinEvidence(spark: SparkSession, path: String): Dataset[ArchiveProteinEvidence] = {
+    implicit val enc = Encoders.product[ArchiveProteinEvidence]
+    spark.read.schema(proteinEvidenceSchema).json(path).as[ArchiveProteinEvidence]
   }
 }

@@ -31,6 +31,17 @@ class JsonParitySpec extends AnyFunSuite {
     assert(line.contains("\"accession\"") && line.contains("\"name\"") && line.contains("\"value\""))
   }
 
+  test("typed summary and protein-evidence round-trips decode") {
+    val out = graft.pipeline.DemoAssay.runIndex(spark)
+    val dir = Files.createTempDirectory("graft-typed").toString
+    ArchiveJson.write(out.psmSummaries, s"$dir/summaries")
+    ArchiveJson.write(out.proteinEvidence, s"$dir/proteins")
+    val sums = ArchiveJson.readSummaries(spark, s"$dir/summaries").collect()
+    assert(sums.length == 3 && sums.forall(_.usi.startsWith("mzspec:")))
+    val prots = ArchiveJson.readProteinEvidence(spark, s"$dir/proteins").collect()
+    assert(prots.length == 2 && prots.forall(_.psmAccessions.nonEmpty))
+  }
+
   test("round-trip: write then schema-locked read preserves rows") {
     val out = graft.pipeline.DemoAssay.runIndex(spark).archiveSpectra
     val dir = Files.createTempDirectory("graft-rt").toString + "/spectra"
