@@ -34,11 +34,15 @@ object UsiFunctions {
   def spectraUsi(usi: Column): Column =
     concat_ws(":", slice(split(usi, ":"), 1, 5))
 
-  /** P8 — base file name without compression (.gz/.zip) and real extension.
-    * Reference: SubmissionPipelineUtils.getFileNameNoExtension:275-278 with
+  /** P8 — base file name without compression (.gz/.zip) and real
+    * extension, after stripping shell quotes/backslashes (the reference's
+    * cleanFileName, ArchiveMoleculesIndexer.java:299-307, handles quoted
+    * CLI arguments). Reference:
+    * SubmissionPipelineUtils.getFileNameNoExtension:275-278 with
     * returnUnCompressPath:174-179 and FilenameUtils.getName. */
   def fileNameNoExtension(path: Column): Column = {
-    val base = element_at(split(path, "/"), -1)
+    val unquoted = regexp_replace(path, "[\"'\\\\]", "")
+    val base = element_at(split(unquoted, "/"), -1)
     val uncompressed = regexp_replace(base, "\\.(gz|zip)$", "")
     regexp_replace(uncompressed, "\\.[^.]*$", "")
   }

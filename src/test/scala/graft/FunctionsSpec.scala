@@ -71,7 +71,9 @@ class FunctionsSpec extends AnyFunSuite {
       "/a/b/run1.mzML.gz" -> "run1",
       "run2.mgf" -> "run2",
       "dir/x.mzid.zip" -> "x",
-      "plain.xml" -> "plain")
+      "plain.xml" -> "plain",
+      "\"quoted run3.mgf\"" -> "quoted run3", // cleanFileName quote stripping
+      "'r4.mzML'" -> "r4")
     cases.foreach { case (in, want) =>
       val got = Seq(in).toDF("f")
         .select(UsiFunctions.fileNameNoExtension(col("f"))).head().getString(0)
