@@ -43,9 +43,17 @@ object Cli {
           proteinQThreshold = o.get("protein-qvalue-threshold").map(_.toDouble).getOrElse(0.01),
           peptideLength = o.get("peptide-length").map(_.toInt).getOrElse(7),
           minPsms = o.get("min-psms").map(_.toLong).getOrElse(1000L),
+          scoreLowerIsBetter = o.get("score-lower-is-better").exists(_.toBoolean),
         )
-        val out = Commands.generateIndexFiles(
-          spark, req("mztab"), req("spectra"), req("out"), cfg, o.get("sdrf"))
+        val out = (o.get("mztab"), o.get("mzid")) match {
+          case (Some(mztab), _) =>
+            Commands.generateIndexFiles(
+              spark, mztab, req("spectra"), req("out"), cfg, o.get("sdrf"))
+          case (None, Some(mzid)) =>
+            Commands.generateIndexFilesFromMzid(
+              spark, mzid.split(",").toSeq, req("spectra"), req("out"), cfg, o.get("sdrf"))
+          case _ => throw new IllegalArgumentException(s"need --mztab or --mzid\n$usage")
+        }
         val v = out.validity.head()
         println(s"[graft] nr_psms=${v.getAs[Long]("nr_psms")} nr_decoys=${v.getAs[Long]("nr_decoys")}")
         // F9 assay gate (PrideAnalysisAssayService.java:477-480)
@@ -81,9 +89,11 @@ object Cli {
     """usage: graft.Cli <command> [--key value ...]
       |  get-result-files    --project-accession PXD... --out DIR
       |  get-related-files   --project-accession PXD... --mzid a.mzid[,b.mzid] --out DIR
-      |  generate-index-files --mztab F --spectra MGF_DIR --project-accession PXD...
-      |                       [--assay-accession A] [--qvalue-threshold 0.01]
-      |                       [--peptide-length 7] [--min-psms 1000] [--sdrf F] --out DIR
+      |  generate-index-files (--mztab F | --mzid a.mzid[,b.mzid]) --spectra DIR
+      |                       --project-accession PXD... [--assay-accession A]
+      |                       [--qvalue-threshold 0.01] [--peptide-length 7]
+      |                       [--min-psms 1000] [--score-lower-is-better true]
+      |                       [--sdrf F] --out DIR
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
       |  generate-mgf-files  --spectra-json DIR --out DIR
       |  spectra-json-check  --spectra-json DIR --out DIR

@@ -82,6 +82,51 @@ object Commands {
     out
   }
 
+  /** generate-index-files from mzIdentML (the reference's primary input,
+    * PIAModelerService.java:162-189): PSMs join their SpectraData
+    * declaration (broadcast — a handful of rows per file) to derive the
+    * spectra file name, id format (J1 key normalization), and file type. */
+  def generateIndexFilesFromMzid(
+      spark: SparkSession,
+      mzidPaths: Seq[String],
+      spectraDir: String,
+      outDir: String,
+      cfg: IndexPipeline.IndexConfig,
+      sdrfPath: Option[String] = None,
+  ): IndexPipeline.IndexOutputs = {
+    val psmsRaw = MzIdentMlIO.readPsms(spark, mzidPaths)
+    val sd = MzIdentMlIO.readSpectraData(spark, mzidPaths)
+      .withColumnRenamed("file", "mzidFile")
+    val base = regexp_replace(element_at(split(col("location"), "/"), -1), "\\.(gz|zip)$", "")
+    val lowerBase = lower(base)
+    val sdInfo = sd.select(
+      col("mzidFile"), col("spectraDataId"),
+      base.as("fileName"),
+      when(lowerBase.endsWith("mgf"), "MGF")
+        .when(lowerBase.endsWith("mzml"), "MZML")
+        .when(lowerBase.endsWith("mzxml"), "MZXML")
+        .when(lowerBase.endsWith("pkl"), "PKL")
+        .otherwise("UNKNOWN").as("fileType"),
+      graft.functions.UsiFunctions.IdFormat.fromAccession(col("idFormatAccession"))
+        .as("idFormat"))
+
+    val psms = psmsRaw
+      .join(broadcast(sdInfo),
+        psmsRaw("file") === sdInfo("mzidFile") &&
+          psmsRaw("spectraDataRef") === sdInfo("spectraDataId"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+      .select("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications",
+        "sourceId", "fileName", "idFormat", "fileType", "retentionTime")
+
+    val out = IndexPipeline.run(psms, readSpectraDir(spark, spectraDir),
+      sdrfPath.map(SideInputs.readSdrf(spark, _)), cfg)
+    ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
+    ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")
+    ArchiveJson.write(out.proteinEvidence, s"$outDir/protein_evidence")
+    out
+  }
+
   /** perform-inference: validated spectra JSON + MaraCluster TSV ->
     * re-inferred tables (SURVEY §3.2). The positional contract (J4) uses
     * the explicit per-row index carried by the MGF order. */

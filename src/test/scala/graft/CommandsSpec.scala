@@ -163,6 +163,31 @@ class CommandsSpec extends AnyFunSuite {
     assert(p2.getAs[String]("sourceId") == "controllerType=0 controllerNumber=1 scan=7")
   }
 
+  test("generate-index-files from mzIdentML joins MGF spectra via SpectraData") {
+    val dir = Files.createTempDirectory("graft-mzid-cli")
+    val mzidPath = write(dir, "assay.mzid", mzid)
+    val mgfDir = Files.createDirectory(dir.resolve("spectra"))
+    write(mgfDir, "run1.mgf", mgfBlocks(2))
+    val out = dir.resolve("out").toString
+
+    // Comet expectation values: lower is better; decoy (0.02) ranks below
+    // the target (0.001).
+    Cli.run(spark, Array("generate-index-files",
+      "--mzid", mzidPath, "--spectra", mgfDir.toString,
+      "--project-accession", "PXDMZID", "--qvalue-threshold", "0.5",
+      "--min-psms", "1", "--score-lower-is-better", "true",
+      "--out", out))
+
+    val spectra = ArchiveJson.readPartitioned(spark, s"$out/archive_spectra").collect()
+    // sii1 (MGF index=0 -> key 1) joins; sii2 references run2.mzML which
+    // is not provided, so it drops at the join.
+    assert(spectra.length == 1)
+    val s0 = spectra(0)
+    assert(s0.getAs[String]("usi") == "mzspec:PXDMZID:run1:index:1")
+    assert(s0.getAs[String]("peptidoform") == "PEP[UNIMOD:35]TIDEK/2")
+    assert(!s0.getAs[Boolean]("isDecoy"))
+  }
+
   private val filesJson =
     """[
       |{"accession":"PXF1","fileName":"assay1.mzid","fileCategory":{"accession":"PRIDE:1002847","value":"RESULT"}},
