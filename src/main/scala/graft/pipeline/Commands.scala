@@ -56,6 +56,10 @@ object Commands {
         MzMlIO.read(spark, f).withColumn("fileType", lit("MZML"))),
       Option(named(".mzxml")).filter(_.nonEmpty).map(f =>
         MzXmlIO.read(spark, f).withColumn("fileType", lit("MZXML"))),
+      Option(named(".ms2")).filter(_.nonEmpty).map(f =>
+        Ms2DtaIO.readMs2Paths(spark, f).withColumn("fileType", lit("MS2"))),
+      Option(named(".dta")).filter(_.nonEmpty).map(f =>
+        Ms2DtaIO.readDta(spark, f.mkString(",")).withColumn("fileType", lit("DTA"))),
     ).flatten
     require(parts.nonEmpty, s"no .mgf/.pkl/.mzML files under $dir")
     parts.reduce(_ unionByName _)

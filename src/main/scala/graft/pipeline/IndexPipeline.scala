@@ -312,6 +312,12 @@ object IndexPipeline {
 
     val rollup = dedup.groupBy(col("accession")).agg(
       min(col("q")).as("bestQ"), // A4
+      // A15 multiplicative scoring (PIA's OccamsRazor scoring,
+      // PIAModelerService.java:80-101): product over peptides of the best
+      // PSM q — computed as -sum(log10 q) over the per-peptide best rows
+      // (this frame is already deduped to best-per-peptide). Clamped away
+      // from log10(0) after P9 repair edge cases.
+      round(-sum(log10(greatest(col("q"), lit(1e-18)))), 5).as("occamScore"),
       countDistinct(col("peptideSequence")).as("numberPeptides"), // A9
       count(lit(1)).as("numberPSMs"),
       max(col("isDecoy")).as("isDecoy"), // A7 (bool_or)
@@ -354,10 +360,14 @@ object IndexPipeline {
           lit("protein-level q-value").as("name"),
           format_number(PeptideFunctions.proteinScore(col("bestQ")), 5).as("value"))
           .as("bestSearchEngineScore"),
-        array(struct(lit("MS:1001600").as("accession"),
-          lit("protein inference confidence category").as("name"),
-          coalesce(col("category"), lit("indistinguishable")).as("value")))
-          .as("properties"),
+        array(
+          struct(lit("MS:1001600").as("accession"),
+            lit("protein inference confidence category").as("name"),
+            coalesce(col("category"), lit("indistinguishable")).as("value")),
+          struct(lit("MS:1002404").as("accession"),
+            lit("multiplicative protein score (-sum log10 q)").as("name"),
+            col("occamScore").cast("string").as("value")),
+        ).as("properties"),
         array(struct(lit("MS:1001194").as("accession"),
           lit("quality estimation by decoy database").as("name"),
           lit("true").as("value"))).as("qualityEstimationMethods"),

@@ -142,6 +142,41 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(rows(0).getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.0, 200.0))
   }
 
+  test("MS2 parser: S/Z headers, scan-number ids, peaks") {
+    val ms2 =
+      """H	CreationDate	whenever
+        |H	Extractor	test
+        |S	7	7	445.50
+        |Z	2	890.99
+        |100.0 10.0
+        |200.0 20.0
+        |S	9	9	600.25
+        |300.0 30.0
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-ms2")
+    Files.writeString(dir.resolve("run.ms2"), ms2)
+    val rows = graft.io.Ms2DtaIO.readMs2(spark, dir.toString)
+      .orderBy(col("index")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("scanId") == "7")
+    assert(rows(0).getAs[Double]("precursorMz") == 445.5)
+    assert(rows(0).getAs[Int]("precursorCharge") == 2)
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.0, 200.0))
+    assert(rows(1).getAs[String]("scanId") == "9")
+    assert(rows(1).getAs[Int]("precursorCharge") == 0) // no Z line
+  }
+
+  test("DTA parser: MH+ header converted to precursor m/z") {
+    val dta = "890.99 2\n100.0 10.0\n200.0 20.0\n"
+    val dir = Files.createTempDirectory("graft-dta")
+    Files.writeString(dir.resolve("one.dta"), dta)
+    val rows = graft.io.Ms2DtaIO.readDta(spark, dir.toString + "/one.dta").collect()
+    assert(rows.length == 1)
+    val mz = rows(0).getAs[Double]("precursorMz")
+    assert(math.abs(mz - (890.99 + 1.007276) / 2) < 1e-9)
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(10.0, 20.0))
+  }
+
   test("mzML spectra join the index pipeline via scan= keys") {
     import spark.implicits._
     // mzML-side spectra with native ids; PSMs reference scan=N source ids.
