@@ -524,6 +524,26 @@ object Queries {
         graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
       out.representatives.orderBy(col("clusterId"))
     }),
+    // Combined FDR Score across two search engines (Jones et al. method;
+    // rows-only — the interpolation + grouped calibration is pinned by
+    // CombinedFdrSpec). Events stand in as two "engines" scoring shared
+    // identifications.
+    "fdr_combined_score" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(
+          when(col("event_id") % 2 === 0, "engineA").otherwise("engineB").as("engine"),
+          concat(lit("spec"), (col("event_id") / 4).cast("long").cast("string")).as("spectrum"),
+          concat(lit("PEP"), (col("event_id") / 4).cast("long").cast("string")).as("peptide"),
+          col("value").as("score"),
+          (col("event_type") === "error").as("decoy"),
+          col("event_id").cast("string").as("psmId"))
+      graft.fdr.CombinedFdr.combinedQValues(
+        ev, col("engine"), Seq(col("spectrum"), col("peptide")),
+        col("score"), col("decoy"), col("psmId"))
+        .orderBy(col("spectrum"), col("peptide"))
+    }),
+
     "fdr_protein_occam" -> ((s, _) => {
       import s.implicits._
       val pairs = Seq(
