@@ -60,8 +60,10 @@ object Commands {
         Ms2DtaIO.readMs2Paths(spark, f).withColumn("fileType", lit("MS2"))),
       Option(named(".dta")).filter(_.nonEmpty).map(f =>
         Ms2DtaIO.readDta(spark, f.mkString(",")).withColumn("fileType", lit("DTA"))),
+      Option(named(".apl")).filter(_.nonEmpty).map(f =>
+        AplIO.readPaths(spark, f).withColumn("fileType", lit("APL"))),
     ).flatten
-    require(parts.nonEmpty, s"no .mgf/.pkl/.mzML files under $dir")
+    require(parts.nonEmpty, s"no spectra files (.mgf/.pkl/.mzML/.mzXML/.ms2/.dta/.apl) under $dir")
     parts.reduce(_ unionByName _)
   }
 

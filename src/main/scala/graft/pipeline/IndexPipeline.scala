@@ -153,7 +153,7 @@ object IndexPipeline {
     val spectraKeyed = spectra
       .filter(col("msLevel") =!= 1) // F11 (JmzReaderSpectrumService.java:105-106)
       .withColumn("scanKey",
-        when(col("fileType").isin("MGF", "PKL"), (col("index") + 1).cast("string"))
+        when(col("fileType").isin("MGF", "PKL", "APL"), (col("index") + 1).cast("string"))
           .otherwise(UsiFunctions.normalizeScanId(col("scanId"),
             lit(UsiFunctions.IdFormat.MzmlId))))
       .withColumnRenamed("retentionTime", "spectrumRt")

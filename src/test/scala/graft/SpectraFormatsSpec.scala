@@ -166,6 +166,32 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("precursorCharge") == 0) // no Z line
   }
 
+  test("APL parser: peaklist blocks with mz/charge/header fields") {
+    val apl =
+      """peaklist start
+        |mz=445.12
+        |charge=2
+        |header=RawFile: r1 Index: 5
+        |100.0	10.0
+        |200.0	20.0
+        |peaklist end
+        |peaklist start
+        |mz=600.25
+        |charge=3
+        |300.0	30.0
+        |peaklist end
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-apl")
+    Files.writeString(dir.resolve("run.apl"), apl)
+    val rows = graft.io.AplIO.read(spark, dir.toString).orderBy(col("index")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("precursorMz") == 445.12)
+    assert(rows(0).getAs[Int]("precursorCharge") == 2)
+    assert(rows(0).getAs[String]("title").startsWith("RawFile: r1"))
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("masses").toSeq == Seq(100.0, 200.0))
+    assert(rows(1).getAs[Int]("precursorCharge") == 3)
+  }
+
   test("DTA parser: MH+ header converted to precursor m/z") {
     val dta = "890.99 2\n100.0 10.0\n200.0 20.0\n"
     val dir = Files.createTempDirectory("graft-dta")
