@@ -41,15 +41,18 @@ object Commands {
   /** Union all spectra files under a directory: MGF and PKL via splittable
     * text block scans, mzML via the StAX task-per-file parser. Each source
     * carries its `fileType` for J1 key derivation. */
-  def readSpectraDir(spark: SparkSession, dir: String): DataFrame = {
+  def readSpectraDir(spark: SparkSession, dir: String, exactMgf: Boolean = false): DataFrame = {
     val all = {
       val d = new java.io.File(dir)
       if (d.isDirectory) d.listFiles().toSeq.map(_.getPath) else Seq(dir)
     }
     def named(suffix: String) = all.filter(_.toLowerCase.endsWith(suffix))
     val parts = Seq(
-      Option(named(".mgf")).filter(_.nonEmpty).map(f =>
-        MgfIO.readPaths(spark, f).withColumn("fileType", lit("MGF"))),
+      Option(named(".mgf")).filter(_.nonEmpty).map { f =>
+        val mgf = if (exactMgf) MgfIO.readExact(spark, f.mkString(","))
+          else MgfIO.readPaths(spark, f)
+        mgf.withColumn("fileType", lit("MGF"))
+      },
       Option(named(".pkl")).filter(_.nonEmpty).map(f =>
         PklIO.readPaths(spark, f).withColumn("fileType", lit("PKL"))),
       Option(named(".mzml")).filter(_.nonEmpty).map(f =>

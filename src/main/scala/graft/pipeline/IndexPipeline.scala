@@ -40,6 +40,12 @@ object IndexPipeline {
         * runs pre-join on narrow rows and the rest of the DAG dominates);
         * flip this for assays where one sort task becomes the straggler. */
       distributedFdr: Boolean = false,
+      /** Picked protein FDR (published competition method): each
+        * target/decoy protein pair (accession vs DECOY_accession) keeps
+        * only its better-scoring member before the protein-level
+        * target-decoy calibration, removing the decoy-inflation bias of
+        * naive protein FDR. */
+      pickedProteinFdr: Boolean = false,
   )
 
   /** Monoisotopic delta masses for common UNIMOD accessions (public UNIMOD
@@ -337,9 +343,20 @@ object IndexPipeline {
         col("peptidoform").as("peptide"), col("accession").as("protein")))
       .select(col("protein").as("accession"), col("category"))
 
-    // Protein-level target-decoy q-values over best PSM q (F5 gate).
+    // Protein-level target-decoy q-values over best PSM q (F5 gate),
+    // optionally after picked-pair competition.
+    val competed =
+      if (cfg.pickedProteinFdr)
+        rollup
+          .withColumn("_pair", regexp_replace(col("accession"), "^DECOY_", ""))
+          .withColumn("_pr", row_number().over(Window
+            .partitionBy(col("_pair"))
+            .orderBy(col("bestQ").asc, col("isDecoy").asc, col("accession"))))
+          .filter(col("_pr") === 1)
+          .drop("_pair", "_pr")
+      else rollup
     val proteinScored = TargetDecoy.withQValues(
-      rollup, Seq.empty, col("bestQ"), col("isDecoy"), col("accession"),
+      competed, Seq.empty, col("bestQ"), col("isDecoy"), col("accession"),
       lowerIsBetter = true)
 
     proteinScored

@@ -109,6 +109,30 @@ class PipelineSpec extends AnyFunSuite {
       Seq(("organism", "Homo sapiens")))
   }
 
+  test("picked protein FDR drops the losing member of each target/decoy pair") {
+    // sp|P1 (target, good q) vs DECOY_sp|P1 (decoy, bad q): picked keeps
+    // only the target; naive FDR would keep both.
+    val psmRows = Seq(
+      ("1", "PEPTIDEK", "sp|P1", false, 10.0, 2, 458.23, 458.23, Map.empty[Int, String], "index=0"),
+      ("2", "ELVISLIVESK", "DECOY_sp|P1", true, 2.0, 2, 607.38, 607.38, Map.empty[Int, String], "index=1"),
+    ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
+      .withColumn("fileName", lit("run1.mgf"))
+      .withColumn("idFormat", lit(MPL))
+      .withColumn("fileType", lit("MGF"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+    val looseCfg = cfg.copy(qValueThreshold = 1.0, proteinQThreshold = 1.0)
+
+    val naive = IndexPipeline.run(psmRows, spectra, None, looseCfg)
+      .proteinEvidence.collect().map(_.getAs[String]("reportedAccession")).toSet
+    assert(naive == Set("sp|P1", "DECOY_sp|P1"))
+
+    val picked = IndexPipeline.run(psmRows, spectra, None,
+      looseCfg.copy(pickedProteinFdr = true))
+      .proteinEvidence.collect().map(_.getAs[String]("reportedAccession")).toSet
+    assert(picked == Set("sp|P1"))
+  }
+
   test("cluster inference: purity filters and representatives (A10-A12)") {
     val spectra = Seq(
       (0L, "u0", "AAK", "AAK/2", false, 0.010),
