@@ -45,13 +45,18 @@ object Cli {
           minPsms = o.get("min-psms").map(_.toLong).getOrElse(1000L),
           scoreLowerIsBetter = o.get("score-lower-is-better").exists(_.toBoolean),
         )
+        val exactMgf = o.get("exact-mgf").exists(_.toBoolean)
         val out = (o.get("mztab"), o.get("mzid")) match {
-          case (Some(mztab), _) =>
+          case (Some(_), Some(_)) =>
+            throw new IllegalArgumentException(
+              s"--mztab and --mzid are mutually exclusive\n$usage")
+          case (Some(mztab), None) =>
             Commands.generateIndexFiles(
-              spark, mztab, req("spectra"), req("out"), cfg, o.get("sdrf"))
+              spark, mztab, req("spectra"), req("out"), cfg, o.get("sdrf"), exactMgf)
           case (None, Some(mzid)) =>
             Commands.generateIndexFilesFromMzid(
-              spark, mzid.split(",").toSeq, req("spectra"), req("out"), cfg, o.get("sdrf"))
+              spark, mzid.split(",").toSeq, req("spectra"), req("out"), cfg,
+              o.get("sdrf"), exactMgf)
           case _ => throw new IllegalArgumentException(s"need --mztab or --mzid\n$usage")
         }
         val v = out.validity.head()
@@ -93,7 +98,7 @@ object Cli {
       |                       --project-accession PXD... [--assay-accession A]
       |                       [--qvalue-threshold 0.01] [--peptide-length 7]
       |                       [--min-psms 1000] [--score-lower-is-better true]
-      |                       [--sdrf F] --out DIR
+      |                       [--exact-mgf true] [--sdrf F] --out DIR
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
       |  generate-mgf-files  --spectra-json DIR --out DIR
       |  spectra-json-check  --spectra-json DIR --out DIR

@@ -96,7 +96,10 @@ object TargetDecoy {
     val bestFirst =
       if (lowerIsBetter) Seq(score.asc, tieBreak.asc) else Seq(score.desc, tieBreak.asc)
 
-    val marked = df.withColumn("_decoy", isDecoy)
+    // null decoy flags count as targets, matching the window form's
+    // when(isDecoy, 1).otherwise(0) semantics (and avoiding an NPE in the
+    // primitive getBoolean below)
+    val marked = df.withColumn("_decoy", coalesce(isDecoy, lit(false)))
     val sorted = marked
       .repartitionByRange(n, bestFirst: _*)
       .sortWithinPartitions(bestFirst: _*)
@@ -165,8 +168,15 @@ object TargetDecoy {
       out.iterator
     }
     val qSchema = fdrSchema.add("q_value", DoubleType)
+    // Materialize the result (localCheckpoint cuts the lineage) so both
+    // upstream caches can be released immediately — without this every
+    // call would leak a cached copy of the assay for the session lifetime.
+    val result = df.sparkSession.createDataFrame(qRdd, qSchema)
+      .drop("_decoy")
+      .localCheckpoint(true)
     sorted.unpersist()
-    df.sparkSession.createDataFrame(qRdd, qSchema).drop("_decoy")
+    withFdr.unpersist()
+    result
   }
 
   /** P9 — q-value repair: q == 0 is replaced by `min(positive q) / 10`

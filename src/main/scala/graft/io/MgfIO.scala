@@ -68,7 +68,7 @@ object MgfIO {
   /** Scala-side MGF block parser (shared by [[readExact]]); semantics
     * mirror the column-expression parser in [[readPaths]]. */
   private[io] def parseBlocks(fileName: String, content: String): Seq[(
-      String, Long, String, String, Int, Double, Int, Option[Double],
+      String, Long, String, String, Int, Option[Double], Option[Int], Option[Double],
       Seq[Double], Seq[Double])] = {
     val blocks = content.replace("\r", "").split("END IONS")
       .filter(_.contains("BEGIN IONS"))
@@ -81,15 +81,18 @@ object MgfIO {
         val parts = l.trim.split("[ \\t]+")
         (parts(0).toDouble, parts(1).toDouble)
       }
-      val charge = header("CHARGE").map { c =>
+      // Missing/malformed headers become nulls — identical to the
+      // column-expression parser (readPaths), so the F12 validity gate
+      // sees the same rows either way.
+      val charge = header("CHARGE").flatMap { c =>
         val mag = c.takeWhile(ch => ch.isDigit || ch == '.')
         val sign = if (c.endsWith("-")) -1 else 1
-        if (mag.isEmpty) 0 else (mag.toDouble * sign).toInt
-      }.getOrElse(0)
+        mag.toDoubleOption.map(m => (m * sign).toInt)
+      }
       (fileName, idx.toLong, idx.toString, header("TITLE").getOrElse(""), 2,
-        header("PEPMASS").flatMap(_.split("\\s+").headOption).map(_.toDouble).getOrElse(0.0),
+        header("PEPMASS").flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption),
         charge,
-        header("RTINSECONDS").map(_.toDouble),
+        header("RTINSECONDS").flatMap(_.toDoubleOption),
         peaks.map(_._1).toSeq, peaks.map(_._2).toSeq)
     }.toSeq
   }

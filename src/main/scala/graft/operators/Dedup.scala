@@ -137,7 +137,7 @@ object Dedup {
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, component) where component = min id of the component
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -164,6 +164,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARNING: connectedComponents hit maxIter=$maxIter before the " +
+          "fixpoint — some components may carry non-minimal labels " +
+          "(component diameter exceeds the iteration budget)")
     labels
   }
 

@@ -77,11 +77,12 @@ object Commands {
       outDir: String,
       cfg: IndexPipeline.IndexConfig,
       sdrfPath: Option[String] = None,
+      exactMgf: Boolean = false,
   ): IndexPipeline.IndexOutputs = {
     val psmsRaw = MzTabIO.standardPsms(MzTabIO.readPsmSection(spark, mzTabPath))
     val runInfo = broadcast(msRunFileInfo(MzTabIO.readMsRuns(spark, mzTabPath)))
     val psms = psmsRaw.join(runInfo, Seq("msRun"), "left")
-    val spectra = readSpectraDir(spark, mgfDir)
+    val spectra = readSpectraDir(spark, mgfDir, exactMgf)
     val sdrf = sdrfPath.map(SideInputs.readSdrf(spark, _))
 
     val out = IndexPipeline.run(psms, spectra, sdrf, cfg)
@@ -102,6 +103,7 @@ object Commands {
       outDir: String,
       cfg: IndexPipeline.IndexConfig,
       sdrfPath: Option[String] = None,
+      exactMgf: Boolean = false,
   ): IndexPipeline.IndexOutputs = {
     val psmsRaw = MzIdentMlIO.readPsms(spark, mzidPaths)
     val sd = MzIdentMlIO.readSpectraData(spark, mzidPaths)
@@ -128,7 +130,7 @@ object Commands {
         "charge", "expMassToCharge", "calcMassToCharge", "modifications",
         "sourceId", "fileName", "idFormat", "fileType", "retentionTime")
 
-    val out = IndexPipeline.run(psms, readSpectraDir(spark, spectraDir),
+    val out = IndexPipeline.run(psms, readSpectraDir(spark, spectraDir, exactMgf),
       sdrfPath.map(SideInputs.readSdrf(spark, _)), cfg)
     ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
     ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")

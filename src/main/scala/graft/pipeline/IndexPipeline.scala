@@ -41,11 +41,14 @@ object IndexPipeline {
         * flip this for assays where one sort task becomes the straggler. */
       distributedFdr: Boolean = false,
       /** Picked protein FDR (published competition method): each
-        * target/decoy protein pair (accession vs DECOY_accession) keeps
-        * only its better-scoring member before the protein-level
+        * target/decoy protein pair (accession vs decoyPrefix+accession)
+        * keeps only its better-scoring member before the protein-level
         * target-decoy calibration, removing the decoy-inflation bias of
         * naive protein FDR. */
       pickedProteinFdr: Boolean = false,
+      /** Decoy accession prefix — must match the PSM parser's
+        * (MzTabIO.standardPsms decoyPrefix). */
+      decoyPrefix: String = "DECOY_",
   )
 
   /** Monoisotopic delta masses for common UNIMOD accessions (public UNIMOD
@@ -159,7 +162,7 @@ object IndexPipeline {
     val spectraKeyed = spectra
       .filter(col("msLevel") =!= 1) // F11 (JmzReaderSpectrumService.java:105-106)
       .withColumn("scanKey",
-        when(col("fileType").isin("MGF", "PKL", "APL"), (col("index") + 1).cast("string"))
+        when(col("fileType").isin("MGF", "PKL", "APL", "DTA"), (col("index") + 1).cast("string"))
           .otherwise(UsiFunctions.normalizeScanId(col("scanId"),
             lit(UsiFunctions.IdFormat.MzmlId))))
       .withColumnRenamed("retentionTime", "spectrumRt")
@@ -348,7 +351,8 @@ object IndexPipeline {
     val competed =
       if (cfg.pickedProteinFdr)
         rollup
-          .withColumn("_pair", regexp_replace(col("accession"), "^DECOY_", ""))
+          .withColumn("_pair", regexp_replace(col("accession"),
+            "^" + java.util.regex.Pattern.quote(cfg.decoyPrefix), ""))
           .withColumn("_pr", row_number().over(Window
             .partitionBy(col("_pair"))
             .orderBy(col("bestQ").asc, col("isDecoy").asc, col("accession"))))
