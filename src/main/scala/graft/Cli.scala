@@ -68,7 +68,8 @@ object Cli {
           System.err.println(s"[graft] WARNING: psms <= ${cfg.minPsms} — assay below minPSMs gate")
 
       case "perform-inference" =>
-        Commands.performInference(spark, req("spectra-json"), req("clusters"), req("out"))
+        Commands.performInference(spark, req("spectra-json"), req("clusters"), req("out"),
+          o.get("index"))
 
       case "generate-mgf-files" =>
         Commands.generateMgf(spark, req("spectra-json"), req("out"))
@@ -100,6 +101,7 @@ object Cli {
       |                       [--min-psms 1000] [--score-lower-is-better true]
       |                       [--exact-mgf true] [--sdrf F] --out DIR
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
+      |                       [--index MGF_INDEX_SIDECAR]
       |  generate-mgf-files  --spectra-json DIR --out DIR
       |  spectra-json-check  --spectra-json DIR --out DIR
       |""".stripMargin

@@ -30,6 +30,21 @@ object Queries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  // Driver-facing projection guard: the harness comparator canonicalizes
+  // results through pandas, which cannot hash array/map/struct cells. Any
+  // complex-typed output column ships as its JSON text here. The engine
+  // outputs themselves stay nested — only these driver projections flatten.
+  private def jsonSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------- aggregations
     // A1/A13 + pricing-summary flagship (conditional counts, exact sums).
@@ -515,10 +530,10 @@ object Queries {
     // the real generate-index-files / perform-inference DAGs end-to-end.
     // Their exact semantics are pinned by the ScalaTest golden assertions.
     "pipeline_index_spectra" -> ((s, _) =>
-      graft.pipeline.DemoAssay.runIndex(s).archiveSpectra.orderBy(col("usi"))),
+      jsonSafe(graft.pipeline.DemoAssay.runIndex(s).archiveSpectra.orderBy(col("usi")))),
     "pipeline_index_proteins" -> ((s, _) =>
-      graft.pipeline.DemoAssay.runIndex(s).proteinEvidence
-        .orderBy(col("reportedAccession"))),
+      jsonSafe(graft.pipeline.DemoAssay.runIndex(s).proteinEvidence
+        .orderBy(col("reportedAccession")))),
     "pipeline_cluster_inference" -> ((s, _) => {
       val out = graft.pipeline.ClusterInference.run(
         graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
@@ -538,10 +553,10 @@ object Queries {
           col("value").as("score"),
           (col("event_type") === "error").as("decoy"),
           col("event_id").cast("string").as("psmId"))
-      graft.fdr.CombinedFdr.combinedQValues(
+      jsonSafe(graft.fdr.CombinedFdr.combinedQValues(
         ev, col("engine"), Seq(col("spectrum"), col("peptide")),
         col("score"), col("decoy"), col("psmId"))
-        .orderBy(col("spectrum"), col("peptide"))
+        .orderBy(col("spectrum"), col("peptide")))
     }),
 
     "fdr_protein_occam" -> ((s, _) => {
@@ -553,9 +568,9 @@ object Queries {
       graft.fdr.ProteinInference.occamsRazor(pairs).orderBy(col("accession"))
     }),
     "io_mgf_roundtrip" -> ((s, _) =>
-      graft.pipeline.DemoAssay.mgfRoundTrip(s).orderBy(col("index"))),
+      jsonSafe(graft.pipeline.DemoAssay.mgfRoundTrip(s).orderBy(col("index")))),
     "io_mztab_scan" -> ((s, _) =>
-      graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId"))),
+      jsonSafe(graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId")))),
 
     // Composite corpus-construction pipeline over the documents table:
     // quality gate -> langid -> exact dedup -> MinHash near-dup components
@@ -589,9 +604,9 @@ object Queries {
             id, if (src.hashCode % 2 == 0) "image" else "audio",
             text.getBytes("UTF-8"), None, None, None)
         }
-      graft.operators.Multimodal.extractFeatures(media, dim = 8)
+      jsonSafe(graft.operators.Multimodal.extractFeatures(media, dim = 8)
         .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
-          col("feature")).orderBy(col("media_id"))
+          col("feature")).orderBy(col("media_id")))
     }),
   )
 
@@ -959,7 +974,7 @@ object Queries {
 
     "e_stateful_rollup" ->
       """SELECT user_id, count(*) AS n,
-        |  sum(round(value * 100)::BIGINT) AS total_cents
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "p_string_family" ->

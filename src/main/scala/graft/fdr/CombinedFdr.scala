@@ -62,6 +62,40 @@ object CombinedFdr {
       .drop("_rn", "_r0", "_q0", "_r1", "_q1")
   }
 
+  /** FDR Score from already-computed running counts — the distributed-safe
+    * form of [[withFdrScore]] for a frame that already carries
+    * `cum_decoys`, `cum_targets`, `q_value` (TargetDecoy.withQValues OR
+    * withQValuesGlobal output, pre-repair).
+    *
+    * The rank interpolation needs no ordered window: rows with
+    * `cum_decoys = k` sit between the k-th and (k+1)-th decoy in
+    * best-first order, and `rank = cum_decoys + cum_targets` (inclusive
+    * running counts over a tie-free total order). So (r0,q0) is decoy
+    * step k — (0,0) ahead of the first decoy — and (r1,q1) is step k+1 —
+    * absent past the last decoy, where the row keeps its q-value. Two
+    * equi-joins against the one-row-per-decoy step table replace the
+    * global window, so the plan stays fully parallel on a
+    * range-partitioned global FDR output. */
+  def withFdrScoreFromCounts(df: DataFrame, isDecoy: Column): DataFrame = {
+    val rank = (col("cum_decoys") + col("cum_targets")).cast("double")
+    val steps = df.filter(coalesce(isDecoy, lit(false)))
+      .select(col("cum_decoys").as("_step"),
+        (col("cum_decoys") + col("cum_targets")).cast("double").as("_sr"),
+        col("q_value").as("_sq"))
+    val prev = steps.select(col("_step"), col("_sr").as("_r0"), col("_sq").as("_q0"))
+    val next = steps.select((col("_step") - 1).as("_nstep"),
+      col("_sr").as("_r1"), col("_sq").as("_q1"))
+    df.join(prev, col("cum_decoys") === col("_step"), "left")
+      .join(next, col("cum_decoys") === col("_nstep"), "left")
+      .withColumn("fdr_score",
+        when(col("_r1").isNull, col("q_value")) // past the last decoy step
+          .otherwise(coalesce(col("_q0"), lit(0.0)) +
+            (rank - coalesce(col("_r0"), lit(0.0))) *
+              (col("_q1") - coalesce(col("_q0"), lit(0.0))) /
+              (col("_r1") - coalesce(col("_r0"), lit(0.0)))))
+      .drop("_step", "_r0", "_q0", "_nstep", "_r1", "_q1")
+  }
+
   /** Stage 2 — combined q-values across engines.
     *
     * @param psms    one row per (engine, identification)

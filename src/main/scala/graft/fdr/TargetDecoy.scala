@@ -187,13 +187,18 @@ object TargetDecoy {
     * The group-global minimum is a windowed aggregate over the assay
     * partition — no driver round-trip, no cross join. */
   def repairZeroQValues(df: DataFrame, q: Column, partitionBy: Seq[Column], outCol: String): DataFrame = {
-    val w = Window.partitionBy(partitionBy: _*)
-    val minPos = min(when(q > 0.0, q)).over(w)
-    df.withColumn(
-      outCol,
+    def repaired(minPos: Column) =
       when(q > 0.0, q).otherwise(
-        when(minPos.isNull, lit(Double.NaN)).otherwise(round(minPos / 10.0, 6))
-      ),
-    )
+        when(minPos.isNull, lit(Double.NaN)).otherwise(round(minPos / 10.0, 6)))
+    if (partitionBy.isEmpty) {
+      // Global form: an empty-partition window would funnel the whole
+      // frame through one task — a broadcast of the one-row aggregate
+      // keeps the plan fully parallel.
+      val minRow = broadcast(df.agg(min(when(q > 0.0, q)).as("_minPosQ")))
+      df.crossJoin(minRow).withColumn(outCol, repaired(col("_minPosQ"))).drop("_minPosQ")
+    } else {
+      val minPos = min(when(q > 0.0, q)).over(Window.partitionBy(partitionBy: _*))
+      df.withColumn(outCol, repaired(minPos))
+    }
   }
 }

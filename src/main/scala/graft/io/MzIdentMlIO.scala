@@ -94,7 +94,7 @@ object MzIdentMlIO {
     var sirSpectraDataRef: String = null
     var siiId: String = null
     var siiPepRef: String = null
-    var siiEvRef: String = null
+    val siiEvRefs = mutable.ArrayBuffer.empty[String]
     var siiRank = 0
     var siiCharge = 0
     var siiExpMz = 0.0
@@ -145,11 +145,15 @@ object MzIdentMlIO {
               siiExpMz = Option(attr("experimentalMassToCharge")).map(_.toDouble).getOrElse(0.0)
               siiCalcMz = Option(attr("calculatedMassToCharge")).map(_.toDouble).getOrElse(0.0)
               siiPepRef = attr("peptide_ref")
-              siiEvRef = null
+              siiEvRefs.clear()
               siiScore = Double.NaN
               siiScoreKnown = false
             case "PeptideEvidenceRef" if inSii =>
-              if (siiEvRef == null) siiEvRef = attr("peptideEvidence_ref")
+              // Keep EVERY evidence ref: shared peptides map one SII to
+              // many proteins, and the decoy flag must be the AND over all
+              // of them (PIA semantics) — one output row per evidence, the
+              // pipeline's min(isDecoy)-per-psmId closes the AND.
+              Option(attr("peptideEvidence_ref")).foreach(siiEvRefs += _)
             case "cvParam" if inSii =>
               // Prefer a KNOWN search-engine score accession; fall back to
               // the first numeric cvParam that is not a q-value/FDR term
@@ -181,11 +185,14 @@ object MzIdentMlIO {
             case "Peptide" => peptides(curPepId) = (curPepSeq, curMods)
             case "SpectrumIdentificationItem" =>
               val (seq, mods) = peptides.getOrElse(siiPepRef, (null, Map.empty[Int, String]))
-              val (dbRef, isDecoy) = evidence.getOrElse(siiEvRef, (null, false))
-              val accession = dbSeqs.getOrElse(dbRef, Option(dbRef).getOrElse(""))
-              psms += MzidPsm(fileName, siiId, seq, accession, isDecoy,
-                if (siiScore.isNaN) 0.0 else siiScore, siiRank, siiCharge,
-                siiExpMz, siiCalcMz, mods, sirSpectrumId, sirSpectraDataRef)
+              val evRefs = if (siiEvRefs.isEmpty) Seq(null: String) else siiEvRefs.toSeq
+              evRefs.foreach { evRef =>
+                val (dbRef, isDecoy) = evidence.getOrElse(evRef, (null, false))
+                val accession = dbSeqs.getOrElse(dbRef, Option(dbRef).getOrElse(""))
+                psms += MzidPsm(fileName, siiId, seq, accession, isDecoy,
+                  if (siiScore.isNaN) 0.0 else siiScore, siiRank, siiCharge,
+                  siiExpMz, siiCalcMz, mods, sirSpectrumId, sirSpectraDataRef)
+              }
               inSii = false
             case _ =>
           }

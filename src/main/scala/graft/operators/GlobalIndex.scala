@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed 0-based global row index over a total order (SURVEY.md §7.4
+  * item 4 — the positional cluster contract J4).
+  *
+  * `row_number().over(Window.orderBy(...))` funnels every row through ONE
+  * task; here the total order comes from a parallel range sort
+  * (`repartitionByRange` + in-partition sort) and the index from
+  * `zipWithIndex`, whose only sequential state is one count per partition
+  * on the driver. Exact same numbering, no single-task stage.
+  */
+object GlobalIndex {
+
+  /** Adds `outCol`: the 0-based rank of the row under `order`.
+    * `order` must be a total order (tie-free) for the index to be
+    * deterministic. */
+  def withGlobalIndex(
+      df: DataFrame,
+      order: Seq[Column],
+      outCol: String,
+      numPartitions: Int = 0,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(outCol, LongType)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -24,15 +24,38 @@ object Commands {
     msRuns.select(
       col("msRun"),
       base.as("fileName"),
-      when(lowerBase.endsWith("mgf"), "MGF")
-        .when(lowerBase.endsWith("mzml"), "MZML")
-        .when(lowerBase.endsWith("mzxml"), "MZXML")
-        .otherwise("UNKNOWN").as("fileType"),
-      when(lowerBase.endsWith("mgf"), UsiFunctions.IdFormat.MultiPeakListNativeId)
-        .when(lowerBase.endsWith("mzml"), UsiFunctions.IdFormat.MzmlId)
-        .otherwise(UsiFunctions.IdFormat.None).as("idFormat"),
+      fileTypeFromName(lowerBase).as("fileType"),
+      idFormatFromName(lowerBase).as("idFormat"),
     )
   }
+
+  /** Every format `readSpectraDir` can load must be reachable from the
+    * result-file metadata too (FileType.getFileTypeFromFileName,
+    * SubmissionPipelineUtils.java:106-142 — cv accessions MS:1001062 MGF,
+    * MS:1000584 mzML, MS:1000566 mzXML, MS:1000565 PKL, MS:1001466 MS2,
+    * MS:1000613 DTA, MS:1002996 APL). */
+  private[pipeline] def fileTypeFromName(lowerBase: org.apache.spark.sql.Column) =
+    when(lowerBase.endsWith("mgf"), "MGF")
+      .when(lowerBase.endsWith("mzml"), "MZML")
+      .when(lowerBase.endsWith("mzxml"), "MZXML")
+      .when(lowerBase.endsWith("pkl"), "PKL")
+      .when(lowerBase.endsWith("ms2"), "MS2")
+      .when(lowerBase.endsWith("dta"), "DTA")
+      .when(lowerBase.endsWith("apl"), "APL")
+      .otherwise("UNKNOWN")
+
+  /** Peak-list formats are index-addressed (the jmzReader `+1` rule);
+    * mzML is scan-addressed; mzXML uses its integral scan number (the
+    * native-id normalization extracts a scan= token or keeps the raw id). */
+  private[pipeline] def idFormatFromName(lowerBase: org.apache.spark.sql.Column) =
+    when(lowerBase.endsWith("mzml"), UsiFunctions.IdFormat.MzmlId)
+      .when(lowerBase.endsWith("mzxml"), UsiFunctions.IdFormat.SpectrumNativeId)
+      .when(
+        lowerBase.endsWith("mgf") || lowerBase.endsWith("pkl") ||
+          lowerBase.endsWith("ms2") || lowerBase.endsWith("dta") ||
+          lowerBase.endsWith("apl"),
+        UsiFunctions.IdFormat.MultiPeakListNativeId)
+      .otherwise(UsiFunctions.IdFormat.None)
 
   /** generate-index-files (mzTab + MGF slice): parse, join run metadata,
     * run the index DAG, write the three JSON-lines tables (K1) plus the
@@ -113,12 +136,13 @@ object Commands {
     val sdInfo = sd.select(
       col("mzidFile"), col("spectraDataId"),
       base.as("fileName"),
-      when(lowerBase.endsWith("mgf"), "MGF")
-        .when(lowerBase.endsWith("mzml"), "MZML")
-        .when(lowerBase.endsWith("mzxml"), "MZXML")
-        .when(lowerBase.endsWith("pkl"), "PKL")
-        .otherwise("UNKNOWN").as("fileType"),
-      graft.functions.UsiFunctions.IdFormat.fromAccession(col("idFormatAccession"))
+      fileTypeFromName(lowerBase).as("fileType"),
+      // The declared SpectrumIDFormat wins; fall back to the extension
+      // mapping when the cvParam is absent/unknown.
+      when(graft.functions.UsiFunctions.IdFormat.fromAccession(col("idFormatAccession"))
+          =!= graft.functions.UsiFunctions.IdFormat.None,
+        graft.functions.UsiFunctions.IdFormat.fromAccession(col("idFormatAccession")))
+        .otherwise(idFormatFromName(lowerBase))
         .as("idFormat"))
 
     val psms = psmsRaw
@@ -126,6 +150,10 @@ object Commands {
         psmsRaw("file") === sdInfo("mzidFile") &&
           psmsRaw("spectraDataRef") === sdInfo("spectraDataId"))
       .withColumn("retentionTime", lit(null).cast("double"))
+      // SII ids (SII_1_1) are file-scoped: prefix with the mzid file so a
+      // multi-file run never merges distinct PSMs under one psmId (the
+      // pipeline's per-psmId dedup window and FDR tiebreak both key on it).
+      .withColumn("psmId", concat(col("file"), lit(":"), col("psmId")))
       .select("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
         "charge", "expMassToCharge", "calcMassToCharge", "modifications",
         "sourceId", "fileName", "idFormat", "fileType", "retentionTime")
@@ -138,20 +166,32 @@ object Commands {
     out
   }
 
+  /** Index sidecar location for an MGF output dir: the (usi, index)
+    * mapping persisted at write time — the J4 positional contract carried
+    * explicitly, never re-derived post-hoc (SURVEY §7.4 item 4). */
+  def mgfIndexSidecar(mgfOutDir: String): String = s"$mgfOutDir.index"
+
   /** perform-inference: validated spectra JSON + MaraCluster TSV ->
     * re-inferred tables (SURVEY §3.2). The positional contract (J4) uses
-    * the explicit per-row index carried by the MGF order. */
+    * the explicit per-row index persisted by [[generateMgf]]'s sidecar
+    * when available; otherwise it is re-derived with the distributed
+    * range-sort rank (same usi order the MGF writer used — no
+    * single-task global window either way). */
   def performInference(
       spark: SparkSession,
       spectraJsonDir: String,
       clustersPath: String,
       outDir: String,
+      indexSidecar: Option[String] = None,
   ): DataFrame = {
     val spectra = ArchiveJson.read(spark, spectraJsonDir)
       .withColumn("score", col("bestSearchEngineScore.value").cast("double"))
-    // Re-derive the positional index from MGF-write order (usi order).
-    val indexed = spectra.withColumn("index",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("usi"))).cast("long") - 1)
+    val indexed = indexSidecar match {
+      case Some(path) =>
+        spectra.join(spark.read.parquet(path).select(col("usi"), col("index")), Seq("usi"), "inner")
+      case None =>
+        graft.operators.GlobalIndex.withGlobalIndex(spectra, Seq(col("usi")), "index")
+    }
     val clusters = SideInputs.readMaraCluster(spark, clustersPath)
     SideInputs.assertUniqueSpectrumIndex(clusters)
     val out = ClusterInference.run(indexed, clusters)
@@ -161,13 +201,18 @@ object Commands {
   }
 
   /** generate-mgf-files: spectra JSON -> MGF (K3), ordered by usi so the
-    * written order IS the cluster index contract. */
+    * written order IS the cluster index contract; the (usi, index) map is
+    * persisted next to the MGF ([[mgfIndexSidecar]]) so downstream
+    * inference reads the contract instead of re-deriving it. */
   def generateMgf(spark: SparkSession, spectraJsonDir: String, outDir: String): Unit = {
     val spectra = ArchiveJson.read(spark, spectraJsonDir)
     MgfIO.write(
       spectra.select(col("usi"), col("peptidoform"), col("precursorMz"),
         col("precursorCharge"), col("masses"), col("intensities")),
       Seq(col("usi")), outDir)
+    graft.operators.GlobalIndex
+      .withGlobalIndex(spectra.select(col("usi")), Seq(col("usi")), "index")
+      .write.mode("overwrite").parquet(mgfIndexSidecar(outDir))
   }
 
   /** spectra-json-check: validity-rewrite pass (F12). */

@@ -34,12 +34,20 @@ object IndexPipeline {
       uniquePeptides: Int = 0,
       /** true when smaller PSM scores are better (e-values / PEP). */
       scoreLowerIsBetter: Boolean = false,
-      /** Use the range-partitioned distributed FDR
+      /** Force the range-partitioned distributed FDR
         * (TargetDecoy.withQValuesGlobal) instead of the single-partition
         * window. The window is faster up to several million PSMs (the FDR
         * runs pre-join on narrow rows and the rest of the DAG dominates);
-        * flip this for assays where one sort task becomes the straggler. */
+        * normally leave this false — the pipeline auto-switches to the
+        * distributed path when the deduped PSM count exceeds
+        * [[fdrWindowMaxRows]]. */
       distributedFdr: Boolean = false,
+      /** Auto-switch threshold: above this many deduped PSMs the FDR takes
+        * the distributed range-sort path rather than one window task.
+        * 4M narrow rows sort comfortably in one task (reference assays cap
+        * at ~800k, conf/base.config:53-57); beyond that the single sorted
+        * partition becomes the straggler. */
+      fdrWindowMaxRows: Long = 4000000,
       /** Picked protein FDR (published competition method): each
         * target/decoy protein pair (accession vs decoyPrefix+accession)
         * keeps only its better-scoring member before the protein-level
@@ -68,12 +76,17 @@ object IndexPipeline {
       proteinEvidence: DataFrame,
       /** F9 counters: (nr_psms, nr_decoys, nr_error_delta). */
       validity: DataFrame,
-      /** The shared cached intermediate behind all four frames. */
-      private val cached: Option[DataFrame] = None,
+      /** The shared cached intermediates behind all four frames. */
+      private val cached: Seq[DataFrame] = Seq.empty,
   ) {
-    /** Release the shared cached intermediate once outputs are written. */
+    /** Release the shared cached intermediates once outputs are written. */
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
+
+  /** The A14 path decision, exposed for tests: distributed when forced or
+    * when the deduped PSM count exceeds the one-task window budget. */
+  def useDistributedFdr(cfg: IndexConfig, psmCount: Long): Boolean =
+    cfg.distributedFdr || psmCount > cfg.fdrWindowMaxRows
 
   private def param(accession: String, name: String, value: Column): Column =
     struct(lit(accession).as("accession"), lit(name).as("name"),
@@ -128,10 +141,17 @@ object IndexPipeline {
       .withColumn("_rn", row_number().over(wPsm.orderBy(col("proteinAccession"))))
       .filter(col("_rn") === 1)
       .drop("_rn", "proteinAccession")
+      // Shared by the FDR path, the F9 counters, and the assay-validity
+      // flag; the eager count below both materializes the cache and
+      // decides the FDR path.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- A14 FDR + P9 repair -------------------------------------------
+    // ---- A14 FDR + FDRScore + P9 repair --------------------------------
+    // Auto-switch: one window task is fine to a few million PSMs; a huge
+    // assay takes the range-partitioned distributed sort instead.
+    val psmCount = psmsU.count()
     val scored =
-      if (cfg.distributedFdr)
+      if (useDistributedFdr(cfg, psmCount))
         TargetDecoy.withQValuesGlobal(
           psmsU, col("score"), col("isDecoy"), col("psmId"),
           lowerIsBetter = cfg.scoreLowerIsBetter)
@@ -139,9 +159,15 @@ object IndexPipeline {
         TargetDecoy.withQValues(
           psmsU, Seq.empty, col("score"), col("isDecoy"), col("psmId"),
           lowerIsBetter = cfg.scoreLowerIsBetter)
-    val repaired = TargetDecoy
-      .repairZeroQValues(scored, col("q_value"), Seq.empty, "q")
-      .drop("cum_decoys", "cum_targets", "fdr", "q_value")
+    // Rank-interpolated FDR score (the value the reference writes under
+    // MS:1002354, PrideAnalysisAssayService.java:627-628), computed from
+    // the raw q-value steps; both it and the q-value then get the
+    // getQValueLower-style zero repair (P9).
+    val withFdrScore = graft.fdr.CombinedFdr.withFdrScoreFromCounts(scored, col("isDecoy"))
+    val repaired = TargetDecoy.repairZeroQValues(
+      TargetDecoy.repairZeroQValues(withFdrScore, col("q_value"), Seq.empty, "q"),
+      col("fdr_score"), Seq.empty, "fdrScore")
+      .drop("cum_decoys", "cum_targets", "fdr", "q_value", "fdr_score")
 
     // ---- F3/F4/F6/F7 PSM filters ---------------------------------------
     val filtered = repaired
@@ -162,7 +188,8 @@ object IndexPipeline {
     val spectraKeyed = spectra
       .filter(col("msLevel") =!= 1) // F11 (JmzReaderSpectrumService.java:105-106)
       .withColumn("scanKey",
-        when(col("fileType").isin("MGF", "PKL", "APL", "DTA"), (col("index") + 1).cast("string"))
+        when(col("fileType").isin("MGF", "PKL", "APL", "DTA", "MS2"),
+          (col("index") + 1).cast("string"))
           .otherwise(UsiFunctions.normalizeScanId(col("scanId"),
             lit(UsiFunctions.IdFormat.MzmlId))))
       .withColumnRenamed("retentionTime", "spectrumRt")
@@ -205,11 +232,17 @@ object IndexPipeline {
         coalesce(col("retentionTime"), col("spectrumRt"), lit(Double.NaN)))
       .withColumn("numPeaks", size(col("masses")))
 
-    // ---- F12 spectrum validity + F9 flags ------------------------------
-    val spectrumValid = size(col("masses")) > 0 &&
-      size(col("masses")) === size(col("intensities")) &&
-      col("spectrumPrecursorCharge").isNotNull && col("spectrumPrecursorMz").isNotNull &&
-      col("usi").isNotNull && col("peptidoform").isNotNull // F12 (PSMClusteringService.java:45-51)
+    // ---- F9 assay-level validity ---------------------------------------
+    // The reference stamps EVERY output PSM with the assay-level flag
+    // (nrDecoys > 0, PrideAnalysisAssayService.java:448,728); the
+    // per-spectrum structural check (F12) lives only in the
+    // spectra-json-check pass (ArchiveJson.validate). Counts come from the
+    // UNFILTERED PSM set (decoys counted before any q-value filter,
+    // :440-447).
+    val preFilter = psmsU.agg(
+      count(lit(1)).as("nr_psms"),
+      sum(when(col("isDecoy"), 1L).otherwise(0L)).as("nr_decoys"))
+    val assayValid = broadcast(preFilter.select((col("nr_decoys") > 0L).as("assayIsValid")))
 
     // ---- J5 sample properties ------------------------------------------
     val sampleProps = sdrf match {
@@ -237,20 +270,16 @@ object IndexPipeline {
     // from this frame — without it every caller action replays the full
     // FDR/join/projection DAG. Callers release via IndexOutputs.unpersist().
     val perPsm = sampleProps
+      .crossJoin(assayValid) // one broadcast row: the assay validity flag
       .withColumn("proteinAccessions",
         array_distinct(flatten(collect_list(col("proteinAccessions")).over(wUsi))))
       .withColumn("_rn", row_number().over(wUsi.orderBy(col("psmId"))))
       .filter(col("_rn") === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // F9 decoy/PSM counts come from the UNFILTERED PSM set (the reference
-    // counts decoys before any q-value filter,
-    // PrideAnalysisAssayService.java:440-447); only the delta-mass
-    // counters are post-join properties (computed in the indexing loop,
-    // :646-660). Caller checks nr_decoys>0 && nr_psms>minPsms (:477-480).
-    val preFilter = psmsU.agg(
-      count(lit(1)).as("nr_psms"),
-      sum(when(col("isDecoy"), 1L).otherwise(0L)).as("nr_decoys"))
+    // F9 delta-mass counters are post-join properties (computed in the
+    // indexing loop, :646-660). Caller checks nr_decoys>0 &&
+    // nr_psms>minPsms (:477-480).
     val deltaCounters = perPsm.agg(
       sum(when(col("deltaMass") > 0.9, 1L).otherwise(0L)).as("nr_error_delta"), // F10
       max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)).as("hard_delta_fail"))
@@ -264,7 +293,7 @@ object IndexPipeline {
       lit(cfg.assayAccession).as("assayAccession"),
       lit(cfg.reanalysisAccession.orNull).as("reanalysisAccession"),
       col("peptideSequence"), col("peptidoform"),
-      col("isDecoy"), spectrumValid.as("isValid"),
+      col("isDecoy"), col("assayIsValid").as("isValid"),
       col("retentionTime"), col("msLevel"),
       col("charge").as("precursorCharge"),
       col("spectrumPrecursorMz").as("precursorMz"),
@@ -273,7 +302,7 @@ object IndexPipeline {
       graft.functions.ModsToStructsExpr.toStructs(col("modifications")).as("modifications"),
       bestScore.as("bestSearchEngineScore"),
       array(param("MS:1002355", "PSM-level q-value", col("q")),
-        param("MS:1002354", "PSM-level FDRScore", col("score"))).as("scores"),
+        param("MS:1002354", "PSM-level FDRScore", col("fdrScore"))).as("scores"),
       array(param("PRIDE:0000511", "delta m/z", round(col("deltaMass"), 6)))
         .as("properties"),
       col("sampleProperties"),
@@ -288,7 +317,7 @@ object IndexPipeline {
       lit(cfg.assayAccession).as("assayAccession"),
       lit(cfg.reanalysisAccession.orNull).as("reanalysisAccession"),
       col("peptideSequence"), col("peptidoform"),
-      col("isDecoy"), spectrumValid.as("isValid"),
+      col("isDecoy"), col("assayIsValid").as("isValid"),
       col("charge").as("precursorCharge"),
       col("expMassToCharge").as("precursorMz"),
       col("numPeaks"), col("proteinAccessions"),
@@ -300,7 +329,7 @@ object IndexPipeline {
     // ---- J7 + A3-A9 + P12 + F5/F8 protein evidence ---------------------
     val proteinEvidence = buildProteinEvidence(perPsm, cfg)
 
-    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity, Some(perPsm))
+    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity, Seq(perPsm, psmsU))
   }
 
   /** proteinIndexStep (PrideAnalysisAssayService.java:938-995) as one
@@ -379,7 +408,13 @@ object IndexPipeline {
         col("modificationsNames"),
         struct(lit("MS:1002355").as("accession"), // P12 (:950-951)
           lit("protein-level q-value").as("name"),
-          format_number(PeptideFunctions.proteinScore(col("bestQ")), 5).as("value"))
+          // DecimalFormat("###.#####") parity (the reference's score
+          // formatter): <=5 dp, trailing zeros and a bare decimal point
+          // trimmed, no grouping separators — "2.5", not "2.50000".
+          regexp_replace(
+            regexp_replace(
+              format_number(PeptideFunctions.proteinScore(col("bestQ")), 5), ",", ""),
+            "\\.?0+$", "").as("value"))
           .as("bestSearchEngineScore"),
         array(
           struct(lit("MS:1001600").as("accession"),
