@@ -568,7 +568,10 @@ object Queries {
       graft.fdr.ProteinInference.occamsRazor(pairs).orderBy(col("accession"))
     }),
     "io_mgf_roundtrip" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.mgfRoundTrip(s).orderBy(col("index")))),
+      // fileName is the Spark part-file name (nondeterministic UUID) —
+      // dropped so the expected-table oracle can pin the row values.
+      jsonSafe(graft.pipeline.DemoAssay.mgfRoundTrip(s).drop("fileName")
+        .orderBy(col("index")))),
     "io_mztab_scan" -> ((s, _) =>
       jsonSafe(graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId")))),
 
@@ -583,9 +586,9 @@ object Queries {
         .orderBy(col("id"))
     }),
 
-    // IVF approximate NN: KMeans cells + probe-limited exact re-rank
-    // (rows-only: centroid training is seed-deterministic but not
-    // SQL-expressible).
+    // IVF approximate NN: deterministic-KMeans cells + probe-limited exact
+    // re-rank (oracle: expected table — Lloyd training is bit-reproducible
+    // by construction but not reasonably SQL-expressible).
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.ivfTopK(e, e.filter(col("id") < 10), k = 5, nCells = 8, nProbe = 2)
@@ -824,7 +827,7 @@ object Queries {
          |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
          |mh AS (
          |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES (0, 1, 13), (1, 209459, 7932), (2, 418917, 15851), (3, 628375, 23770), (4, 837833, 31689), (5, 47288, 39608), (6, 256746, 47527), (7, 466204, 55446), (8, 675662, 63365), (9, 885120, 71284), (10, 94575, 79203), (11, 304033, 87122), (12, 513491, 95041), (13, 722949, 102960), (14, 932407, 110879), (15, 141862, 118798)) AS t(i, a, b)) co
          |  GROUP BY doc_id, i),
          |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
          |bands AS (
@@ -1035,5 +1038,190 @@ object Queries {
          |  CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
          |FROM sc WHERE CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Expected table pinned from the hand-checkable 6-row fixture.
+    "fdr_protein_occam" ->
+      """SELECT c0::VARCHAR AS "assay", c1::VARCHAR AS "accession", c2::VARCHAR AS "anchorProtein", c3::VARCHAR AS "memberType", c4::INTEGER AS "groupId", c5::INTEGER AS "numberPeptides" FROM (VALUES ('x', 'P1', 'P1', 'representative', 0, 2), ('x', 'P2', 'P1', 'sameset', 0, 2), ('x', 'P3', 'P1', 'subset', 2, 1), ('x', 'P4', 'P4', 'representative', 1, 1)) AS t(c0, c1, c2, c3, c4, c5) ORDER BY "accession"""",
+
+    // Expected table: A10-A12 over the 7-spectrum demo clusters.
+    "pipeline_cluster_inference" ->
+      """SELECT c0::BIGINT AS "index", c1::VARCHAR AS "usi", c2::VARCHAR AS "peptideSequence", c3::VARCHAR AS "peptidoform", c4::BOOLEAN AS "isDecoy", c5::DOUBLE AS "score", c6::BIGINT AS "clusterId" FROM (VALUES (1, 'u1', 'AAK', 'AAK/2', FALSE, '0.005'::DOUBLE, 10), (6, 'u6', 'EEK', 'EEK/2', FALSE, '0.03'::DOUBLE, 13)) AS t(c0, c1, c2, c3, c4, c5, c6) ORDER BY "clusterId"""",
+
+    // Expected table: the demo mzTab PSM section, values hand-checked.
+    "io_mztab_scan" ->
+      """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::BOOLEAN AS "isDecoy", c4::DOUBLE AS "score", c5::INTEGER AS "charge", c6::DOUBLE AS "expMassToCharge", c7::DOUBLE AS "calcMassToCharge", c8::VARCHAR AS "modifications", c9::VARCHAR AS "sourceId", c10::INTEGER AS "msRun", c11::DOUBLE AS "retentionTime" FROM (VALUES ('1', 'PEPTIDEK', 'sp|P1', FALSE, '0.9'::DOUBLE, 2, '445.1'::DOUBLE, '445.0'::DOUBLE, '{"3":"UNIMOD:35"}', 'index=0', 1, NULL), ('2', 'ELVISLIVESK', 'DECOY_sp|P2', TRUE, '0.8'::DOUBLE, 3, '500.0'::DOUBLE, '500.2'::DOUBLE, '{}', 'index=1', 1, NULL)) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "psmId"""",
+
+    // Expected table: MGF write->read round-trip of the demo assay.
+    "io_mgf_roundtrip" ->
+      """SELECT c0::BIGINT AS "index", c1::VARCHAR AS "scanId", c2::VARCHAR AS "title", c3::INTEGER AS "msLevel", c4::DOUBLE AS "precursorMz", c5::INTEGER AS "precursorCharge", c6::DOUBLE AS "retentionTime", c7::VARCHAR AS "masses", c8::VARCHAR AS "intensities" FROM (VALUES (0, '0', 'id=mzspec:PXDTEST:run1:index:1,sequence=PEP[UNIMOD:35]TIDEK/2', 2, '400.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (1, '1', 'id=mzspec:PXDTEST:run1:index:2,sequence=ELVISLIVESK/2', 2, '401.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (2, '2', 'id=mzspec:PXDTEST:run1:index:3,sequence=AAAAKPEPR/2', 2, '402.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8) ORDER BY "index"""",
+
+    // Expected table: the full generate-index-files protein output on
+    // the demo assay (complex columns as their JSON text).
+    "pipeline_index_proteins" ->
+      """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
+
+    // Expected table: the full generate-index-files spectrum output on
+    // the demo assay (complex columns as their JSON text).
+    "pipeline_index_spectra" ->
+      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "spectraUsi", c2::VARCHAR AS "projectAccession", c3::VARCHAR AS "assayAccession", c4::VARCHAR AS "reanalysisAccession", c5::VARCHAR AS "peptideSequence", c6::VARCHAR AS "peptidoform", c7::BOOLEAN AS "isDecoy", c8::BOOLEAN AS "isValid", c9::DOUBLE AS "retentionTime", c10::INTEGER AS "msLevel", c11::INTEGER AS "precursorCharge", c12::DOUBLE AS "precursorMz", c13::VARCHAR AS "masses", c14::VARCHAR AS "intensities", c15::INTEGER AS "numPeaks", c16::INTEGER AS "missedCleavages", c17::VARCHAR AS "proteinAccessions", c18::VARCHAR AS "modifications", c19::VARCHAR AS "bestSearchEngineScore", c20::VARCHAR AS "scores", c21::VARCHAR AS "properties", c22::VARCHAR AS "sampleProperties", c23::VARCHAR AS "qualityEstimationMethods" FROM (VALUES ('mzspec:PXDTEST:run1:index:1', 'mzspec:PXDTEST:run1:index:1', 'PXDTEST', 'assay1', NULL, 'PEPTIDEK', 'PEP[UNIMOD:35]TIDEK/2', FALSE, TRUE, '60.0'::DOUBLE, 2, 2, '400.0'::DOUBLE, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]', 3, 0, '["sp|P1"]', '[{"positionMap":[{"position":3,"probabilities":[]}],"modification":{"cvLabel":"UNIMOD","accession":"UNIMOD:35","name":"UNIMOD:35"},"properties":[]}]', '{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"}', '[{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"},{"accession":"MS:1002354","name":"PSM-level FDRScore","value":"0.023809523809523808"}]', '[{"accession":"PRIDE:0000511","name":"delta m/z","value":"14.502186"}]', '[]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]'), ('mzspec:PXDTEST:run1:index:2', 'mzspec:PXDTEST:run1:index:2', 'PXDTEST', 'assay1', NULL, 'ELVISLIVESK', 'ELVISLIVESK/2', FALSE, TRUE, '61.0'::DOUBLE, 2, 2, '401.0'::DOUBLE, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]', 3, 0, '["sp|P1","sp|P2"]', '[]', '{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"}', '[{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"},{"accession":"MS:1002354","name":"PSM-level FDRScore","value":"0.047619047619047616"}]', '[{"accession":"PRIDE:0000511","name":"delta m/z","value":"7.991189"}]', '[]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]'), ('mzspec:PXDTEST:run1:index:3', 'mzspec:PXDTEST:run1:index:3', 'PXDTEST', 'assay1', NULL, 'AAAAKPEPR', 'AAAAKPEPR/2', FALSE, TRUE, '62.0'::DOUBLE, 2, 2, '402.0'::DOUBLE, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]', 3, 0, '["sp|P2"]', '[]', '{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"}', '[{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"},{"accession":"MS:1002354","name":"PSM-level FDRScore","value":"0.07142857142857142"}]', '[{"accession":"PRIDE:0000511","name":"delta m/z","value":"1.001131"}]', '[]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15, c16, c17, c18, c19, c20, c21, c22, c23) ORDER BY "usi"""",
+
+    // Expected table: deterministic FNV-checksum stub features over the
+    // first 50 documents. Pinned at sf0.01 — the driver's correctness SF
+    // (the media payloads derive from the documents table, so the expected
+    // values are per-SF by construction).
+    "mm_feature_extract" ->
+      """SELECT c0::BIGINT AS "media_id", c1::VARCHAR AS "media_type", c2::INTEGER AS "n_bytes", c3::VARCHAR AS "feature" FROM (VALUES (0, 'image', 157, '[8.092651,9.407623,9.760315,10.367691,9.535294,9.101761,10.812851,11.619644]'), (1, 'audio', 406, '[28.074493,22.767242,24.881042,25.967026,27.02414,24.625977,22.493729,21.71904]'), (2, 'image', 246, '[18.452469,15.750809,14.489822,15.452286,17.384811,15.772385,12.088455,15.094009]'), (3, 'audio', 147, '[6.823715,9.8910675,11.605301,8.691513,7.918106,8.720032,9.21965,7.286865]'), (4, 'image', 250, '[14.998886,15.092239,17.437317,20.3564,17.291656,17.094818,16.512161,12.823578]'), (5, 'audio', 314, '[20.665405,17.940765,19.688995,16.97641,18.985138,20.26271,18.48581,16.890991]'), (6, 'image', 78, '[4.124893,4.9199524,3.872284,3.5119781,4.7860565,4.329544,4.686264,3.8841705]'), (7, 'audio', 402, '[22.46666,22.17067,25.472092,23.60727,22.460663,22.251236,23.45398,26.33818]'), (8, 'image', 470, '[29.764984,28.915833,27.361893,29.494583,31.150116,31.588348,32.82567,28.803497]'), (9, 'audio', 391, '[23.49524,25.611313,24.203018,24.698639,23.140335,24.825607,24.65062,24.274887]'), (10, 'audio', 214, '[13.707657,11.650101,12.926758,13.382675,13.497147,12.9366,11.786102,8.962921]'), (11, 'image', 304, '[18.193726,15.682526,17.034714,19.927292,19.242096,20.065094,21.737747,18.817215]'), (12, 'audio', 348, '[21.633545,22.207916,23.42659,23.84111,19.095917,22.290161,20.368576,19.330887]'), (13, 'image', 346, '[18.99736,21.492569,20.778244,24.14592,18.233795,21.900314,21.86528,25.02237]'), (14, 'audio', 495, '[32.168564,32.34027,27.231415,29.731552,30.241287,28.214157,34.652634,32.87059]'), (15, 'image', 228, '[13.416122,12.982544,15.972839,13.751465,12.258636,13.715439,14.766083,14.739838]'), (16, 'audio', 90, '[5.4134064,5.151535,5.859421,4.6256256,4.3315277,4.7593994,6.8127747,7.0439453]'), (17, 'image', 426, '[24.171417,24.944153,24.226547,25.983444,25.647781,29.99907,25.558731,29.978851]'), (18, 'audio', 423, '[26.15245,24.827087,25.892776,25.61441,26.587234,27.567078,31.372406,26.859756]'), (19, 'image', 57, '[2.2397614,5.3989716,3.1667938,3.3924255,1.4587708,3.946106,3.034729,3.3079224]'), (20, 'image', 394, '[21.70755,23.375488,21.391296,20.086624,22.233963,23.75888,26.061707,23.0607]'), (21, 'audio', 217, '[14.398041,12.675476,12.457535,10.989777,12.802368,13.3089905,14.916718,13.16893]'), (22, 'image', 454, '[28.36444,25.72911,29.979828,25.681488,30.126953,28.859314,27.419098,26.067154]'), (23, 'audio', 166, '[10.146347,9.888809,10.203888,9.64563,10.755432,9.9841,8.883469,10.681198]'), (24, 'image', 535, '[31.200974,32.06697,32.37198,32.195602,31.283676,31.700409,35.188904,36.08426]'), (25, 'audio', 505, '[33.50879,31.614761,30.795685,30.694061,27.251648,32.588013,31.332779,29.252197]'), (26, 'image', 63, '[3.3470154,3.5104675,4.765274,4.1664734,3.947342,2.928711,4.3973083,3.015854]'), (27, 'audio', 346, '[21.887604,22.36229,23.061676,19.096115,24.793549,20.80008,21.000671,23.366623]'), (28, 'image', 334, '[20.54831,18.822556,19.38301,21.094482,19.21785,23.60048,21.022842,22.33229]'), (29, 'audio', 196, '[9.344452,14.582779,13.536331,14.1692505,12.858871,11.924606,13.974487,12.992767]'), (30, 'audio', 167, '[9.57959,12.107361,10.011963,11.559814,8.660568,7.8046265,10.932404,9.724625]'), (31, 'image', 250, '[15.04155,16.586975,15.725815,16.530304,13.70401,19.953522,16.76735,15.128098]'), (32, 'audio', 513, '[32.16835,32.35161,31.831085,29.64743,35.876083,33.20981,31.5867,35.120514]'), (33, 'image', 247, '[11.9539795,15.052551,13.247284,12.5385895,13.2322235,16.596893,15.203018,14.137527]'), (34, 'audio', 165, '[9.874084,8.091721,7.825775,12.95871,11.287079,8.611618,11.670364,7.9308014]'), (35, 'image', 452, '[31.140137,23.969376,29.336273,30.127502,30.16124,25.582825,27.76004,26.603073]'), (36, 'audio', 135, '[6.6020813,9.911667,8.936737,10.3489685,9.70195,7.6422424,7.339386,6.735367]'), (37, 'image', 378, '[27.076172,24.113937,21.880844,22.158508,23.683548,26.313766,24.597809,20.18901]'), (38, 'audio', 203, '[12.158417,14.499924,12.315521,15.207916,11.81337,10.159302,12.155563,12.650467]'), (39, 'image', 124, '[7.7734375,7.006592,7.917099,9.242722,6.705826,7.2056427,7.710312,8.26947]'), (40, 'image', 421, '[26.54869,22.346954,30.848679,23.264297,23.973083,23.75113,27.99173,28.035416]'), (41, 'audio', 337, '[20.914017,18.764389,20.987915,23.584183,19.138107,20.352966,21.25772,19.258911]'), (42, 'image', 303, '[18.024216,19.858795,23.074524,19.828735,16.792908,14.906952,15.254166,19.683426]'), (43, 'audio', 152, '[8.580627,8.357147,11.339996,8.980148,7.6123657,9.817947,9.495178,8.200165]'), (44, 'image', 128, '[10.022461,9.147812,8.852539,6.5509796,7.8925323,9.075607,9.925415,8.345154]'), (45, 'audio', 432, '[26.065811,29.862442,29.203033,28.487228,27.032425,27.28862,30.018692,27.831009]'), (46, 'image', 492, '[31.770538,30.8134,28.402084,28.104446,26.50409,34.616837,31.18924,27.347275]'), (47, 'audio', 224, '[15.034439,14.259354,13.761673,13.470749,15.375931,15.2734375,10.752563,13.386139]'), (48, 'image', 164, '[11.282806,12.033951,9.181747,12.623993,11.242615,8.32251,9.350357,10.306061]'), (49, 'audio', 256, '[17.999146,13.976883,13.834366,16.618393,14.9687195,16.442291,16.424042,13.685898]')) AS t(c0, c1, c2, c3) ORDER BY "media_id"""",
+
+    // Expected table: deterministic IVF top-k (Lloyd cells use min-id init
+    // and decimal-exact means; re-rank values are exact cosine). Pinned at
+    // sf0.01 — the driver's correctness SF.
+    "sim_ivf_topk" ->
+      """SELECT c0::BIGINT AS "query_id", c1::BIGINT AS "neighbor_id", c2::DOUBLE AS "cosine", c3::INTEGER AS "rank" FROM (VALUES (0, 365, '0.3699935965460897'::DOUBLE, 1), (0, 387, '0.33113871888314317'::DOUBLE, 2), (0, 423, '0.2969335986409863'::DOUBLE, 3), (0, 73, '0.29543411523164853'::DOUBLE, 4), (0, 320, '0.2878605122093518'::DOUBLE, 5), (1, 386, '0.37148454183744223'::DOUBLE, 1), (1, 27, '0.3482081864636984'::DOUBLE, 2), (1, 407, '0.3270099496117245'::DOUBLE, 3), (1, 195, '0.32274442635213746'::DOUBLE, 4), (1, 64, '0.3163742953318501'::DOUBLE, 5), (2, 117, '0.318142564237661'::DOUBLE, 1), (2, 450, '0.26634395520019954'::DOUBLE, 2), (2, 188, '0.263272104561668'::DOUBLE, 3), (2, 418, '0.25402949645206835'::DOUBLE, 4), (2, 471, '0.24719275246584027'::DOUBLE, 5), (3, 130, '0.39987234325628024'::DOUBLE, 1), (3, 149, '0.3299339769519209'::DOUBLE, 2), (3, 343, '0.30847165466962984'::DOUBLE, 3), (3, 174, '0.30354804540607316'::DOUBLE, 4), (3, 231, '0.29878836545413046'::DOUBLE, 5), (4, 114, '0.39851269358433744'::DOUBLE, 1), (4, 496, '0.34121178056570023'::DOUBLE, 2), (4, 408, '0.32275312529105415'::DOUBLE, 3), (4, 482, '0.31389702932135605'::DOUBLE, 4), (4, 280, '0.27982608680315935'::DOUBLE, 5), (5, 404, '0.32840296338035546'::DOUBLE, 1), (5, 419, '0.31923743304166513'::DOUBLE, 2), (5, 157, '0.31125602484760423'::DOUBLE, 3), (5, 33, '0.3109867269549467'::DOUBLE, 4), (5, 359, '0.3058210572054561'::DOUBLE, 5), (6, 430, '0.32252026548071816'::DOUBLE, 1), (6, 145, '0.2976957384094014'::DOUBLE, 2), (6, 214, '0.2569408403316626'::DOUBLE, 3), (6, 252, '0.255629792758746'::DOUBLE, 4), (6, 374, '0.24757953117255718'::DOUBLE, 5), (7, 340, '0.4927657135003488'::DOUBLE, 1), (7, 425, '0.4075199341921925'::DOUBLE, 2), (7, 209, '0.3944625171493481'::DOUBLE, 3), (7, 334, '0.3569014029689115'::DOUBLE, 4), (7, 445, '0.34078247055145644'::DOUBLE, 5), (8, 39, '0.384696274117943'::DOUBLE, 1), (8, 138, '0.35667116396668896'::DOUBLE, 2), (8, 403, '0.3382375201415271'::DOUBLE, 3), (8, 380, '0.3045263882069312'::DOUBLE, 4), (8, 447, '0.28074172053081703'::DOUBLE, 5), (9, 49, '0.38517053208433855'::DOUBLE, 1), (9, 107, '0.2844935027707189'::DOUBLE, 2), (9, 259, '0.2514843841938669'::DOUBLE, 3), (9, 302, '0.24766351404606549'::DOUBLE, 4), (9, 319, '0.24190310903970472'::DOUBLE, 5)) AS t(c0, c1, c2, c3) ORDER BY "query_id", "rank"""",
+
+    // Full SQL re-derivation of the two-stage Combined FDR Score
+    // (per-engine rank-interpolated FDR scores -> sorted-product ->
+    // per-engine-combination target-decoy calibration).
+    "fdr_combined_score" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'engineA' ELSE 'engineB' END AS engine,
+        |    'spec' || (event_id // 4)::VARCHAR AS spectrum,
+        |    'PEP' || (event_id // 4)::VARCHAR AS peptide,
+        |    value AS score, event_type = 'error' AS decoy, event_id::VARCHAR AS psmId
+        |  FROM events WHERE event_id < 2000),
+        |cum AS (
+        |  SELECT *,
+        |    sum(CASE WHEN decoy THEN 1 ELSE 0 END) OVER wb AS cum_decoys,
+        |    sum(CASE WHEN decoy THEN 0 ELSE 1 END) OVER wb AS cum_targets,
+        |    row_number() OVER wo AS rn
+        |  FROM ev
+        |  WINDOW wb AS (PARTITION BY engine ORDER BY score DESC, psmId ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wo AS (PARTITION BY engine ORDER BY score DESC, psmId ASC)),
+        |f AS (SELECT *, cum_decoys::DOUBLE / greatest(cum_targets, 1) AS fdr FROM cum),
+        |qv AS (
+        |  SELECT *, min(fdr) OVER (PARTITION BY engine ORDER BY score ASC, psmId DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_value
+        |  FROM f),
+        |interp AS (
+        |  SELECT *,
+        |    coalesce(last_value(CASE WHEN decoy THEN rn END IGNORE NULLS) OVER wp, 0) AS r0,
+        |    coalesce(last_value(CASE WHEN decoy THEN q_value END IGNORE NULLS) OVER wp, 0.0) AS q0,
+        |    first_value(CASE WHEN decoy THEN rn END IGNORE NULLS) OVER wn AS r1,
+        |    first_value(CASE WHEN decoy THEN q_value END IGNORE NULLS) OVER wn AS q1
+        |  FROM qv
+        |  WINDOW wp AS (PARTITION BY engine ORDER BY score DESC, psmId ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY engine ORDER BY score DESC, psmId ASC
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |fs AS (
+        |  SELECT *, CASE WHEN r1 IS NULL THEN q_value WHEN r1 = r0 THEN q1
+        |    ELSE q0 + (rn - r0)::DOUBLE * (q1 - q0) / (r1 - r0)::DOUBLE END AS fdr_score
+        |  FROM interp),
+        |bpe AS (
+        |  SELECT spectrum, peptide, engine, min(fdr_score) AS fdr_score, max(decoy) AS dec
+        |  FROM fs GROUP BY spectrum, peptide, engine),
+        |comb AS (
+        |  SELECT spectrum, peptide,
+        |    to_json(list_sort(list_distinct(list(engine)))) AS engines,
+        |    max(dec) AS is_decoy,
+        |    list_reduce(list_prepend(1.0::DOUBLE, list_sort(list(greatest(fdr_score, 1e-12)))),
+        |      (a, b) -> a * b) AS combined_fdr_score,
+        |    min(fdr_score) AS best_engine_fdr_score
+        |  FROM bpe GROUP BY spectrum, peptide),
+        |cum2 AS (
+        |  SELECT *,
+        |    sum(CASE WHEN is_decoy THEN 1 ELSE 0 END) OVER wb2 AS cd,
+        |    sum(CASE WHEN is_decoy THEN 0 ELSE 1 END) OVER wb2 AS ct
+        |  FROM comb
+        |  WINDOW wb2 AS (PARTITION BY engines
+        |                 ORDER BY combined_fdr_score ASC, (spectrum || '|' || peptide) ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f2 AS (SELECT *, cd::DOUBLE / greatest(ct, 1) AS fdr2 FROM cum2),
+        |q2 AS (
+        |  SELECT *, min(fdr2) OVER (PARTITION BY engines
+        |    ORDER BY combined_fdr_score DESC, (spectrum || '|' || peptide) DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS combined_q_value
+        |  FROM f2)
+        |SELECT spectrum, peptide, engines, is_decoy, combined_fdr_score,
+        |  best_engine_fdr_score, combined_q_value
+        |FROM q2 ORDER BY spectrum, peptide""".stripMargin,
+
+    // Stage-wise SQL composition of the corpus pipeline: quality gate ->
+    // langid -> exact dedup -> MinHash-LSH pairs -> recursive-CTE
+    // connected components -> min-id representatives.
+    "tdp_build_corpus" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id AS id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, text, toks, len(toks) AS n_tokens,
+        |    list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a,b) -> a+b)::DOUBLE
+        |      / len(toks) AS mean_token_len,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |      / len(toks) AS stopword_ratio,
+        |    (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
+        |      / len(text) AS punct_ratio,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |scored AS (
+        |  SELECT id, text, toks,
+        |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
+        |      + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score,
+        |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) <= 0 THEN 'und'
+        |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+        |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM m),
+        |qual AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        |surv AS (SELECT min(id) AS id FROM qual GROUP BY md5(text)),
+        |exdocs AS (SELECT q.* FROM qual q JOIN surv e ON q.id = e.id),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |    unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM exdocs),
+        |hs AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |mh AS (
+        |  SELECT id, i, min((a * h + b) % 2147483647) AS mhv
+        |  FROM hs CROSS JOIN (SELECT * FROM (VALUES (0, 1, 13), (1, 209459, 7932), (2, 418917, 15851), (3, 628375, 23770), (4, 837833, 31689), (5, 47288, 39608), (6, 256746, 47527), (7, 466204, 55446), (8, 675662, 63365), (9, 885120, 71284), (10, 94575, 79203), (11, 304033, 87122), (12, 513491, 95041), (13, 722949, 102960), (14, 932407, 110879), (15, 141862, 118798)) AS t(i, a, b)) co
+        |  GROUP BY id, i),
+        |sig AS (SELECT id, list(mhv ORDER BY i) AS s FROM mh GROUP BY id),
+        |bands AS (
+        |  SELECT id, b,
+        |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+        |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.id < r.id),
+        |est AS (
+        |  SELECT id_a, id_b, sum(CASE WHEN ma.mhv = mb.mhv THEN 1 ELSE 0 END) / 16.0 AS ej
+        |  FROM cand
+        |  JOIN mh ma ON ma.id = id_a
+        |  JOIN mh mb ON mb.id = id_b AND mb.i = ma.i
+        |  GROUP BY id_a, id_b),
+        |pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.6),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, rr.r FROM edges e JOIN reach rr ON e.d = rr.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |losers AS (SELECT id FROM comp WHERE id <> component)
+        |SELECT id, text, predicted_lang, quality_score
+        |FROM exdocs WHERE id NOT IN (SELECT id FROM losers)
+        |ORDER BY id""".stripMargin,
+
   )
 }

@@ -126,15 +126,17 @@ object CombinedFdr {
       .groupBy((keyCols :+ col("_engine")): _*)
       .agg(min(col("fdr_score")).as("fdr_score"), max(isDecoy).as("_dec"))
 
-    // product of FDR scores via exp(sum(log)); scores are clamped away
-    // from zero (interpolation already avoids exact zeros except ahead of
-    // the first decoy at rank parity — keep a floor for safety).
+    // Product of FDR scores, folded over the SORTED factor list so the
+    // result is deterministic IEEE arithmetic (no exp/ln round-trip —
+    // engine counts are small, so the direct product neither over- nor
+    // underflows with the 1e-12 floor).
     val combined = bestPerEngine
       .groupBy(keyCols: _*)
       .agg(
         sort_array(collect_set(col("_engine"))).as("engines"),
         max(col("_dec")).as("is_decoy"),
-        exp(sum(log(greatest(col("fdr_score"), lit(1e-12))))).as("combined_fdr_score"),
+        aggregate(sort_array(collect_list(greatest(col("fdr_score"), lit(1e-12)))),
+          lit(1.0), (acc, x) => acc * x).as("combined_fdr_score"),
         min(col("fdr_score")).as("best_engine_fdr_score"),
       )
 

@@ -84,41 +84,82 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // Squared euclidean distance as a sequential fold — deterministic IEEE
+  // arithmetic, same value on every run and engine.
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+
+  /** Deterministic distributed KMeans (Lloyd) for IVF cell training.
+    *
+    * Bit-reproducible regardless of partitioning or aggregation order —
+    * unlike sampling-initialized k-means||, whose float sums vary with
+    * thread scheduling:
+    *  - init: the `nCells` vectors with the smallest ids;
+    *  - assign: argmin squared euclidean, ties to the lower cell, via a
+    *    map-side `min_by` (no window, no extra shuffle beyond the groupBy);
+    *  - update: per-dimension means through DECIMAL-exact sums (order
+    *    independent), empty cells keep their previous centroid.
+    *
+    * Per iteration: one tiny broadcast + one aggregation; only nCells*dim
+    * doubles ever reach the driver. */
+  def deterministicCentroids(
+      corpus: DataFrame, // (id, vec) — vec may be float or double
+      nCells: Int,
+      iters: Int = 10,
+  ): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("vec"))
+    var cents: Seq[(Int, Seq[Double])] = vecs.orderBy(col("id").asc).limit(nCells)
+      .select(col("vec")).as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toDF("cell", "centroid"))
+      val assigned = vecs.crossJoin(centDf)
+        .withColumn("dist", sqDist(col("vec"), col("centroid")))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cell"), col("vec")), struct(col("dist"), col("cell"))).as("s"))
+        .select(col("s.cell").as("cell"), col("s.vec").as("vec"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * KMeans centroid cells; a query probes its `nProbe` nearest cells and
     * exact cosine re-ranks only those cells' members. The 100 TB shape:
     * centroids are a tiny broadcast table, the corpus shuffles ONCE on
     * cell id, and per-query work is |probed cells| instead of |corpus|.
-    * Deterministic for a fixed seed. */
+    * Fully deterministic ([[deterministicCentroids]]). */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 2,
-      seed: Long = 42L,
+      kmeansIters: Int = 10,
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors => MlVectors, Vector => MlVector}
-    val toVec = udf((a: Seq[Double]) => MlVectors.dense(a.toArray))
-    val asDouble = transform(col("vec"), x => x.cast("double"))
-
-    val train = corpus.select(col("id"), col("vec"))
-      .withColumn("features", toVec(asDouble))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
-
-    val c = model.transform(train)
-      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-        norm(col("vec")).as("cn"), col("prediction").as("cell"))
-
-    // Tiny centroid table -> literal probe ranking per query.
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.toSeq)
-    }.toSeq
     val spark = corpus.sparkSession
     import spark.implicits._
+    val centroids = deterministicCentroids(corpus, nCells, kmeansIters)
     val centDf = broadcast(centroids.toDF("cell", "centroid"))
+
+    val c = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("dvec"),
+      col("vec"))
+      .crossJoin(centDf)
+      .withColumn("dist", sqDist(col("dvec"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("vec")), struct(col("dist"), col("cell"))).as("s"))
+      .select(col("id").as("neighbor_id"), col("s.vec").as("cvec"),
+        norm(col("s.vec")).as("cn"), col("s.cell").as("cell"))
 
     val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn"))
