@@ -108,4 +108,13 @@ object PeptideFunctions {
     * (the reference formats with DecimalFormat("###.#####"),
     * PrideAnalysisAssayService.java:950-951). */
   def proteinScore(bestQValue: Column): Column = round(-log10(bestQValue), 5)
+
+  /** Java `DecimalFormat("###.#####")` parity — the reference's score
+    * formatter: at most 5 decimals (HALF_UP via `round`), trailing zeros
+    * and a bare decimal point trimmed, no grouping separators ("2.5", not
+    * "2.50000"; "2", not "2.00000"). */
+  def decimalFormat5(value: Column): Column =
+    regexp_replace(
+      regexp_replace(format_number(value, 5), ",", ""),
+      "\\.?0+$", "")
 }

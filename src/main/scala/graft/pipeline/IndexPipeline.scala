@@ -409,12 +409,9 @@ object IndexPipeline {
         struct(lit("MS:1002355").as("accession"), // P12 (:950-951)
           lit("protein-level q-value").as("name"),
           // DecimalFormat("###.#####") parity (the reference's score
-          // formatter): <=5 dp, trailing zeros and a bare decimal point
-          // trimmed, no grouping separators — "2.5", not "2.50000".
-          regexp_replace(
-            regexp_replace(
-              format_number(PeptideFunctions.proteinScore(col("bestQ")), 5), ",", ""),
-            "\\.?0+$", "").as("value"))
+          // formatter, PeptideFunctions.decimalFormat5).
+          PeptideFunctions.decimalFormat5(
+            PeptideFunctions.proteinScore(col("bestQ"))).as("value"))
           .as("bestSearchEngineScore"),
         array(
           struct(lit("MS:1001600").as("accession"),
