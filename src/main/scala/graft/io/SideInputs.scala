@@ -34,11 +34,37 @@ object SideInputs {
         s"Duplicate spectrum index in cluster file: ${first(0).get(0)}")
   }
 
+  /** Characteristic-name -> EFO accession lookup. The reference resolves
+    * names against the full EFO ontology OBO at runtime
+    * (PrideAnalysisAssayService.java:99 `getEFOOboMapper`, :341-347
+    * `getTermByName`); this environment is offline, so a bundled table of
+    * the standard SDRF-Proteomics characteristics (public EFO ids) stands
+    * in, and callers can pass a fuller mapping. Unknown names carry a null
+    * accession exactly like the reference's unresolved-term case. */
+  val DefaultEfoTerms: Map[String, String] = Map(
+    "organism" -> "EFO:0000634",
+    "organism part" -> "EFO:0000635",
+    "disease" -> "EFO:0000408",
+    "cell type" -> "EFO:0000324",
+    "cell line" -> "EFO:0000322",
+    "developmental stage" -> "EFO:0000399",
+    "age" -> "EFO:0000246",
+    "sex" -> "PATO:0000047",
+    "strain" -> "EFO:0005135",
+    "phenotype" -> "EFO:0000651",
+  )
+
   /** S7 — SDRF scan: TSV with header; melts every `characteristics[x]`
-    * column into (fileKey, name, value) rows, where fileKey is the
-    * `comment[data file]` basename without extension.
+    * column into (fileKey, accession, name, value) rows, where fileKey is
+    * the `comment[data file]` basename without extension. The EFO
+    * accession is resolved at PLAN time (column names are static), so the
+    * lookup costs nothing per row.
     * Reference: PrideAnalysisAssayService.initGlobalSampleMetadata:314-357. */
-  def readSdrf(spark: SparkSession, path: String): DataFrame = {
+  def readSdrf(
+      spark: SparkSession,
+      path: String,
+      efoTerms: Map[String, String] = DefaultEfoTerms,
+  ): DataFrame = {
     val raw = spark.read.option("sep", "\t").option("header", "true").csv(path)
     val charCols = raw.columns.filter(_.toLowerCase.startsWith("characteristics["))
     val fileCol = raw.columns
@@ -47,12 +73,15 @@ object SideInputs {
 
     val entries = array(charCols.map { c =>
       val name = c.substring(c.indexOf('[') + 1, c.lastIndexOf(']'))
-      struct(lit(name).as("name"), col(s"`$c`").as("value"))
+      val accession = efoTerms.get(name.toLowerCase)
+        .map(lit).getOrElse(lit(null).cast("string"))
+      struct(accession.as("accession"), lit(name).as("name"), col(s"`$c`").as("value"))
     }.toIndexedSeq: _*)
 
     raw.select(
       regexp_replace(col(s"`$fileCol`"), "\\.[^.]*$", "").as("fileKey"),
       explode(entries).as("e"),
-    ).select(col("fileKey"), col("e.name").as("name"), col("e.value").as("value"))
+    ).select(col("fileKey"), col("e.accession").as("accession"),
+      col("e.name").as("name"), col("e.value").as("value"))
   }
 }

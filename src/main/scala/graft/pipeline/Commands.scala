@@ -42,6 +42,7 @@ object Commands {
       .when(lowerBase.endsWith("ms2"), "MS2")
       .when(lowerBase.endsWith("dta"), "DTA")
       .when(lowerBase.endsWith("apl"), "APL")
+      .when(lowerBase.endsWith("xml"), "PRIDE") // cv MS:1002600
       .otherwise("UNKNOWN")
 
   /** Peak-list formats are index-addressed (the jmzReader `+1` rule);
@@ -88,8 +89,13 @@ object Commands {
         Ms2DtaIO.readDta(spark, f.mkString(",")).withColumn("fileType", lit("DTA"))),
       Option(named(".apl")).filter(_.nonEmpty).map(f =>
         AplIO.readPaths(spark, f).withColumn("fileType", lit("APL"))),
+      // bare .xml in a spectra dir is PRIDE XML (the reference's FileType
+      // fallback, SubmissionPipelineUtils.java:121-124)
+      Option(named(".xml")).filter(_.nonEmpty).map(f =>
+        PrideXmlIO.read(spark, f).withColumn("fileType", lit("PRIDE"))),
     ).flatten
-    require(parts.nonEmpty, s"no spectra files (.mgf/.pkl/.mzML/.mzXML/.ms2/.dta/.apl) under $dir")
+    require(parts.nonEmpty,
+      s"no spectra files (.mgf/.pkl/.mzML/.mzXML/.ms2/.dta/.apl/.xml) under $dir")
     parts.reduce(_ unionByName _)
   }
 

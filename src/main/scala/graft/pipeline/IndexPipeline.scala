@@ -249,7 +249,7 @@ object IndexPipeline {
       case Some(sd) =>
         val grouped = sd.groupBy(col("fileKey")).agg(
           collect_list(struct(
-            lit("").as("accession"), col("name"), col("value"))).as("sampleProperties"))
+            col("accession"), col("name"), col("value"))).as("sampleProperties"))
         derived
           .withColumn("fileKey", UsiFunctions.fileNameNoExtension(col("fileName")))
           .join(broadcast(grouped), Seq("fileKey"), "left")

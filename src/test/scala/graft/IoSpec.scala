@@ -175,8 +175,11 @@ class IoSpec extends AnyFunSuite {
     val rows = SideInputs.readSdrf(spark, sdrf)
       .orderBy(col("fileKey"), col("name")).collect()
     assert(rows.length == 4)
-    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq == Seq(
+    assert(rows.map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq == Seq(
       ("run1", "organism", "Homo sapiens"), ("run1", "organism part", "liver"),
       ("run2", "organism", "Homo sapiens"), ("run2", "organism part", "kidney")))
+    // EFO accessions resolved at plan time from the bundled table
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("EFO:0000634", "EFO:0000635", "EFO:0000634", "EFO:0000635"))
   }
 }

@@ -100,13 +100,14 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("index pipeline: sdrf sample properties joined per file") {
-    val sdrf = Seq(("run1", "organism", "Homo sapiens")).toDF("fileKey", "name", "value")
+    val sdrf = Seq(("run1", "EFO:0000634", "organism", "Homo sapiens"))
+      .toDF("fileKey", "accession", "name", "value")
     val out = IndexPipeline.run(psms, spectra, Some(sdrf), cfg)
     val props = out.archiveSpectra.limit(1)
       .select(explode(col("sampleProperties")).as("p"))
-      .select(col("p.name"), col("p.value")).collect()
-    assert(props.map(r => (r.getString(0), r.getString(1))).toSeq ==
-      Seq(("organism", "Homo sapiens")))
+      .select(col("p.accession"), col("p.name"), col("p.value")).collect()
+    assert(props.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("EFO:0000634", "organism", "Homo sapiens")))
   }
 
   test("picked protein FDR drops the losing member of each target/decoy pair") {

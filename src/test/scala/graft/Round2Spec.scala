@@ -216,6 +216,91 @@ class Round2Spec extends AnyFunSuite {
       ("APL", "MULTI_PEAK_LIST_NATIVE_ID"), ("UNKNOWN", "NONE")))
   }
 
+  private def b64doubles(vs: Seq[Double], little: Boolean = true): String = {
+    val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    vs.foreach(bb.putDouble)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def prideXml(little: Boolean): String = {
+    val endian = if (little) "little" else "big"
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<ExperimentCollection version="2.1"><Experiment><mzData>
+       | <spectrumList count="2">
+       |  <spectrum id="1">
+       |   <spectrumDesc><spectrumSettings>
+       |    <spectrumInstrument msLevel="2" mzRangeStart="100" mzRangeStop="400"/>
+       |   </spectrumSettings>
+       |   <precursorList count="1"><precursor msLevel="1" spectrumRef="0">
+       |    <ionSelection>
+       |     <cvParam cvLabel="MS" accession="MS:1000744" name="selected ion m/z" value="445.5"/>
+       |     <cvParam cvLabel="MS" accession="MS:1000041" name="charge state" value="2"/>
+       |    </ionSelection>
+       |   </precursor></precursorList></spectrumDesc>
+       |   <mzArrayBinary><data precision="64" endian="$endian" length="3">${b64doubles(Seq(100.0, 200.0, 300.0), little)}</data></mzArrayBinary>
+       |   <intenArrayBinary><data precision="64" endian="$endian" length="3">${b64doubles(Seq(10.0, 20.0, 30.0), little)}</data></intenArrayBinary>
+       |  </spectrum>
+       |  <spectrum id="2">
+       |   <spectrumDesc><spectrumSettings>
+       |    <spectrumInstrument msLevel="2"/>
+       |   </spectrumSettings>
+       |   <precursorList count="1"><precursor msLevel="1" spectrumRef="0">
+       |    <ionSelection>
+       |     <cvParam cvLabel="PSI" accession="PSI:1000040" name="MassToChargeRatio" value="890.9"/>
+       |     <cvParam cvLabel="PSI" accession="PSI:1000041" name="ChargeState" value="3"/>
+       |    </ionSelection>
+       |   </precursor></precursorList></spectrumDesc>
+       |   <mzArrayBinary><data precision="64" endian="$endian" length="2">${b64doubles(Seq(150.0, 250.0), little)}</data></mzArrayBinary>
+       |   <intenArrayBinary><data precision="64" endian="$endian" length="2">${b64doubles(Seq(15.0, 25.0), little)}</data></intenArrayBinary>
+       |  </spectrum>
+       | </spectrumList>
+       |</mzData></Experiment></ExperimentCollection>
+       |""".stripMargin
+  }
+
+  test("PRIDE XML parser: ids, cv params (MS + legacy PSI), base64 arrays, both endians") {
+    for (little <- Seq(true, false)) {
+      val dir = Files.createTempDirectory("graft-pridexml")
+      Files.writeString(dir.resolve("run1.xml"), prideXml(little))
+      val rows = graft.io.PrideXmlIO.read(spark, Seq(dir.resolve("run1.xml").toString))
+        .orderBy(col("index")).collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("scanId") == "1")
+      assert(rows(0).getAs[Int]("msLevel") == 2)
+      assert(rows(0).getAs[Double]("precursorMz") == 445.5)
+      assert(rows(0).getAs[Int]("precursorCharge") == 2)
+      assert(rows(0).getAs[scala.collection.Seq[Double]]("masses") == Seq(100.0, 200.0, 300.0))
+      assert(rows(0).getAs[scala.collection.Seq[Double]]("intensities") == Seq(10.0, 20.0, 30.0))
+      assert(rows(1).getAs[Double]("precursorMz") == 890.9) // legacy PSI terms
+      assert(rows(1).getAs[Int]("precursorCharge") == 3)
+    }
+  }
+
+  test("PRIDE XML joins end-to-end via the mzTab path (id-addressed, index USI)") {
+    val dir = Files.createTempDirectory("graft-pride-e2e")
+    val specDir = Files.createDirectory(dir.resolve("spectra"))
+    Files.writeString(specDir.resolve("run1.xml"), prideXml(little = true))
+    val mztab =
+      """MTD	mzTab-version	1.0.0
+        |MTD	ms_run[1]-location	file://data/run1.xml
+        |PSH	sequence	PSM_ID	accession	unique	search_engine_score[1]	modifications	charge	exp_mass_to_charge	calc_mass_to_charge	spectra_ref	opt_global_cv_MS:1002217_decoy_peptide
+        |PSM	PEPTIDEK	1	sp|P1	1	10.0	null	2	445.5	445.5	ms_run[1]:1	0
+        |PSM	DECOYPEPK	2	DECOY_P9	1	2.0	null	3	890.9	890.9	ms_run[1]:2	1
+        |""".stripMargin
+    val mzTabPath = Files.writeString(dir.resolve("a.mztab"), mztab).toString
+    val out = Commands.generateIndexFiles(
+      spark, mzTabPath, specDir.toString, dir.resolve("out").toString,
+      IndexPipeline.IndexConfig("PXDPRIDE", "a1", qValueThreshold = 1.0, minPsms = 1))
+    val spectra = out.archiveSpectra.orderBy(col("usi")).collect()
+    assert(spectra.length == 2)
+    assert(spectra(0).getAs[String]("usi") == "mzspec:PXDPRIDE:run1:index:1")
+    assert(spectra(0).getAs[scala.collection.Seq[Double]]("masses") == Seq(100.0, 200.0, 300.0))
+    assert(spectra(1).getAs[String]("usi") == "mzspec:PXDPRIDE:run1:index:2")
+    assert(spectra(1).getAs[Boolean]("isDecoy"))
+    out.unpersist()
+  }
+
   test("decimalFormat5 matches java.text.DecimalFormat(###.#####)") {
     val fmt = new java.text.DecimalFormat("###.#####")
     val samples = Seq(2.5, 2.0, 0.0, 0.5, 123456.789, 1.23456789, 0.000004,
