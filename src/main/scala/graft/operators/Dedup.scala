@@ -127,49 +127,85 @@ object Dedup {
     * `maxShingleDf` drops shingles present in more than that many docs
     * before pairing (skew guard; identical filter applied on both sides of
     * the oracle keeps semantics aligned). */
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every node adopts the minimum label in its neighborhood
-    * until a fixpoint. Each iteration is two shuffles; iterations are
-    * bounded by the component diameter (near-dup clusters are shallow), and
-    * each round's result is checkpointed via localCheckpoint to keep the
-    * plan from growing unboundedly.
+  /** Connected components by alternating large-star / small-star rounds
+    * (the published two-phase MapReduce CC method of Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the 100 TB shape:
+    * O(log n) rounds regardless of component diameter, where min-label
+    * propagation needs O(diameter) rounds.
+    *
+    * Edges are kept canonical (u < v). Per round:
+    *  - large-star: every neighborhood hangs its strictly-larger members
+    *    off its minimum (`m = min(Γ(a) ∪ a)`; emit (m, b) for b > a);
+    *  - small-star: every node rewires its smaller neighbors (and itself)
+    *    to the minimum of that down-set.
+    * Each phase is one groupBy + one equi-join back; the fixpoint test is
+    * a (count, hash-sum) signature — one tiny aggregate, no self-join.
+    * Rounds are localCheckpoint-bounded so the plan never grows.
     *
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, component) where component = min id of the component
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
 
+    def canonical(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      canonical(sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges already point down: u < v — group the down-sets
+      val mins = e.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val rewired = e.join(mins, "v")
+        .select(col("m").as("u"), col("u").as("v"))
+      val self = mins.select(col("m").as("u"), col("v"))
+      canonical(rewired.union(self))
+    }
+
+    var edges = canonical(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // count + xor-of-hashes: order-independent, ANSI-overflow-safe
+      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor minimum: for each node, min(component) over itself + peers
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
       iter += 1
     }
     if (!converged)
       System.err.println(
         s"[graft] WARNING: connectedComponents hit maxIter=$maxIter before the " +
-          "fixpoint — some components may carry non-minimal labels " +
-          "(component diameter exceeds the iteration budget)")
-    labels
+          "fixpoint — some components may carry non-minimal labels")
+
+    // Converged edges are stars (component-min, member); roots and isolated
+    // nodes label themselves.
+    nodes
+      .join(edges.select(col("v").as("id"), col("u").as("c")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("c"), col("id"))).as("component"))
   }
 
   /** End-to-end corpus dedup: keep one representative (min id) per

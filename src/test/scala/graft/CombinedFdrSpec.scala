@@ -31,6 +31,47 @@ class CombinedFdrSpec extends AnyFunSuite {
     assert(got(2)._2 == firstStepQ) // on-step row keeps the step q
   }
 
+  test("golden worked example: every stage value hand-computed (Jones et al. shape)") {
+    // Engine A best-first: T(10) D(8) T(6) D(4)
+    //   fdr = [0, 1, 1/2, 1] ; q (suffix min) = [0, 1/2, 1/2, 1]
+    //   FDR score (interpolate between decoy steps at rank 2 q=.5, rank 4 q=1):
+    //     rank1: 0 + 1*(0.5)/2 = 0.25 ; rank2 (on step) = 0.5
+    //     rank3: 0.5 + 1*(0.5)/2 = 0.75 ; rank4 (on step) = 1.0
+    // Engine B best-first: T(9) D(3) -> q = [0, 1]; FDR score = [0.5, 1.0]
+    val rows = Seq(
+      ("A", "spec1", "P1", 10.0, false, "a1"),
+      ("A", "spec2", "P2", 8.0, true, "a2"),
+      ("A", "spec3", "P3", 6.0, false, "a3"),
+      ("A", "spec4", "P4", 4.0, true, "a4"),
+      ("B", "spec1", "P1", 9.0, false, "b1"),
+      ("B", "spec5", "P5", 3.0, true, "b2"),
+    ).toDF("engine", "spectrum", "peptide", "score", "decoy", "psmId")
+
+    val stage1 = CombinedFdr.withFdrScore(
+      rows.withColumn("_engine", col("engine")), Seq(col("_engine")),
+      col("score"), col("decoy"), col("psmId"))
+      .select(col("psmId"), col("fdr_score")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stage1 == Map(
+      "a1" -> 0.25, "a2" -> 0.5, "a3" -> 0.75, "a4" -> 1.0,
+      "b1" -> 0.5, "b2" -> 1.0))
+
+    // Stage 2: products — spec1 seen by both engines: 0.25 * 0.5 = 0.125;
+    // per-engine-combination target-decoy calibration:
+    //   group [A,B]: {spec1 T} -> q 0
+    //   group [A]: asc by product: spec2 D (fdr 1), spec3 T (1/1), spec4 D (2/1)
+    //              -> q = [1, 1, 2]
+    //   group [B]: {spec5 D} -> q 1
+    val out = CombinedFdr.combinedQValues(
+      rows, col("engine"), Seq(col("spectrum"), col("peptide")),
+      col("score"), col("decoy"), col("psmId")).collect()
+      .map(r => r.getAs[String]("spectrum") ->
+        (r.getAs[Double]("combined_fdr_score"), r.getAs[Double]("combined_q_value"))).toMap
+    assert(out == Map(
+      "spec1" -> (0.125, 0.0), "spec2" -> (0.5, 1.0), "spec3" -> (0.75, 1.0),
+      "spec4" -> (1.0, 2.0), "spec5" -> (1.0, 1.0)))
+  }
+
   test("combined q-values: multi-engine agreement outranks single-engine hits") {
     // engine A and B agree on spec1..4 (targets) and spec9 (decoy);
     // engine A alone sees spec5..8 (targets) + decoy spec10.

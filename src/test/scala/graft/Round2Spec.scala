@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.fdr.{CombinedFdr, TargetDecoy}
 import graft.functions.PeptideFunctions
-import graft.operators.{GlobalIndex, Similarity}
+import graft.operators.{Dedup, GlobalIndex, Similarity}
 import graft.pipeline.{Commands, IndexPipeline}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -299,6 +299,36 @@ class Round2Spec extends AnyFunSuite {
     assert(spectra(1).getAs[String]("usi") == "mzspec:PXDPRIDE:run1:index:2")
     assert(spectra(1).getAs[Boolean]("isDecoy"))
     out.unpersist()
+  }
+
+  test("large/small-star connected components match brute-force closure") {
+    val rnd = new scala.util.Random(17)
+    // random sparse graph + a 60-node path (diameter stress: min-label
+    // propagation would need 60 rounds; star rounds are logarithmic)
+    val randomEdges = (1 to 150).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    val pathEdges = (200L until 259L).map(i => (i, i + 1))
+    val edges = randomEdges ++ pathEdges
+    val pairs = edges.toDF("id_a", "id_b")
+
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min-id per component (find() returns a root, not necessarily the min)
+    val minOf = nodes.groupBy(find).map { case (r, ns) => (r, ns.min) }
+    val want = nodes.map(n => (n, minOf(find(n)))).toMap
+
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
   }
 
   test("decimalFormat5 matches java.text.DecimalFormat(###.#####)") {
