@@ -37,9 +37,13 @@ object CorpusPipeline {
       if (cfg.keepLangs.isEmpty) scored
       else scored.filter(col("predicted_lang").isin(cfg.keepLangs: _*))
 
-    // exact dedup first (cheap hash groupBy removes identical payloads)
+    // exact dedup first (cheap hash groupBy removes identical payloads).
+    // Cached: the shingle explosion, the survivor anti-join, and the final
+    // semi-join all re-read this frame, and its quality/langid regex
+    // columns are the expensive part of the scan.
     val exact = Dedup.exact(langFiltered, col("id"), md5(col("text")))
       .drop("fingerprint", "dup_count")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup pairs via MinHash LSH, resolved to one survivor per component
     val shingles = exact.select(col("id"),

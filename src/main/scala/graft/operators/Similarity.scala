@@ -85,9 +85,37 @@ object Similarity {
   }
 
   // Squared euclidean distance as a sequential fold — deterministic IEEE
-  // arithmetic, same value on every run and engine.
+  // arithmetic, same value on every run.
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+
+  // Argmin cell over a PLAN-TIME LITERAL centroid table: a pure projection
+  // — no join, no shuffle. The fold visits cells in ascending order and
+  // replaces only on strict improvement, so ties go to the lower cell.
+  //
+  // Deliberately a higher-order-function fold, NOT an unrolled literal
+  // arithmetic chain: unrolling nCells*dim literals makes a multi-thousand
+  // node expression tree that costs Catalyst seconds of optimizer time PER
+  // PLAN, while the fold's tree is constant-size and its interpreted
+  // per-row cost (nCells*dim flops) is microseconds. (A custom codegen
+  // Expression is the upgrade path if assignment ever dominates.)
+  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val centArr = array(cents.sortBy(_._1).map { case (i, v) =>
+      struct(lit(i).as("cell"), array(v.map(lit): _*).as("centroid"))
+    }: _*)
+    // field aliases are dropped inside lambda bodies — pin the accumulator
+    // schema with an explicit cast on both branches
+    val accType = "struct<d:double,cell:int>"
+    aggregate(
+      centArr,
+      struct(lit(Double.MaxValue), lit(Int.MaxValue)).cast(accType),
+      (acc, c) => {
+        val d = sqDist(vec, c.getField("centroid"))
+        when(d < acc.getField("d"),
+          struct(d, c.getField("cell")).cast(accType)).otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+  }
 
   /** Deterministic distributed KMeans (Lloyd) for IVF cell training.
     *
@@ -95,13 +123,13 @@ object Similarity {
     * unlike sampling-initialized k-means||, whose float sums vary with
     * thread scheduling:
     *  - init: the `nCells` vectors with the smallest ids;
-    *  - assign: argmin squared euclidean, ties to the lower cell, via a
-    *    map-side `min_by` (no window, no extra shuffle beyond the groupBy);
+    *  - assign: argmin squared euclidean over the literal centroid table
+    *    ([[assignCell]] — a projection, no join and no shuffle);
     *  - update: per-dimension means through DECIMAL-exact sums (order
     *    independent), empty cells keep their previous centroid.
     *
-    * Per iteration: one tiny broadcast + one aggregation; only nCells*dim
-    * doubles ever reach the driver. */
+    * Per iteration: one aggregation job (the only shuffle); only
+    * nCells*dim tiny rows ever reach the driver. */
   def deterministicCentroids(
       corpus: DataFrame, // (id, vec) — vec may be float or double
       nCells: Int,
@@ -109,27 +137,29 @@ object Similarity {
   ): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cached: every Lloyd iteration re-reads this frame
     val vecs = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy(col("id").asc).limit(nCells)
       .select(col("vec")).as[Seq[Double]].collect().toSeq
       .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until iters) {
-      val centDf = broadcast(cents.toDF("cell", "centroid"))
-      val assigned = vecs.crossJoin(centDf)
-        .withColumn("dist", sqDist(col("vec"), col("centroid")))
-        .groupBy(col("id"))
-        .agg(min_by(struct(col("cell"), col("vec")), struct(col("dist"), col("cell"))).as("s"))
-        .select(col("s.cell").as("cell"), col("s.vec").as("vec"))
-      val means = assigned
+      // assignment is a literal-fold projection; the per-(cell, dimension)
+      // decimal-exact means are the ONLY shuffle of the iteration, and
+      // only nCells * dim tiny rows reach the driver. The cell is computed
+      // in its own projection BELOW the explode — inlined above the
+      // Generate it would re-evaluate once per exploded element.
+      val means = vecs
+        .select(assignCell(col("vec"), cents).as("cell"), col("vec"))
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("v").cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
-        .as[(Int, Seq[Double])].collect().toMap
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3).toSeq }
       cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
+    vecs.unpersist()
     cents
   }
 
@@ -145,21 +175,19 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 2,
-      kmeansIters: Int = 10,
+      kmeansIters: Int = 6,
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = deterministicCentroids(corpus, nCells, kmeansIters)
     val centDf = broadcast(centroids.toDF("cell", "centroid"))
 
-    val c = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("dvec"),
-      col("vec"))
-      .crossJoin(centDf)
-      .withColumn("dist", sqDist(col("dvec"), col("centroid")))
-      .groupBy(col("id"))
-      .agg(min_by(struct(col("cell"), col("vec")), struct(col("dist"), col("cell"))).as("s"))
-      .select(col("id").as("neighbor_id"), col("s.vec").as("cvec"),
-        norm(col("s.vec")).as("cn"), col("s.cell").as("cell"))
+    // corpus cell assignment: a pure projection over the literal centroids
+    // — the corpus is never shuffled for assignment, only for the probe
+    // join below
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"),
+      assignCell(transform(col("vec"), _.cast("double")), centroids).as("cell"))
 
     val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn"))
