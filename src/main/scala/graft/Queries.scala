@@ -586,6 +586,15 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // ANN LSH top-k with multi-probe (Hamming radius 1): candidates only
+    // from the probed hyperplane buckets, exact cosine re-rank.
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(e, e.filter(col("id") < 10), k = 5, nBits = 4, dim = 64,
+        probeHammingRadius = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF approximate NN: deterministic-KMeans cells + probe-limited exact
     // re-rank (oracle: expected table — Lloyd training is bit-reproducible
     // by construction but not reasonably SQL-expressible).
@@ -1024,6 +1033,30 @@ object Queries {
         |  regexp_replace('ftp://ftp.host.org/' || source || '/' || doc_id::VARCHAR || '.mgf',
         |    '^ftp://', 'https://') AS https_url
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
+         |q AS (SELECT id AS query_id, vec AS qvec, bucket AS b0 FROM b WHERE id < 10),
+         |probes AS (
+         |  SELECT query_id, qvec,
+         |    unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+         |  FROM q),
+         |cand AS (
+         |  SELECT DISTINCT query_id, qvec, c.id AS neighbor_id, c.vec AS cv
+         |  FROM probes p JOIN b c USING (bucket) WHERE p.query_id <> c.id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN ${normSql("qvec")} * ${normSql("cv")} > 0
+         |      THEN ${dotSql.replace("qv[", "qvec[")} / (${normSql("qvec")} * ${normSql("cv")})
+         |      ELSE 0.0 END AS cosine
+         |  FROM cand),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "dd_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
