@@ -586,6 +586,25 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing any 3-gram shingle
+    // with the "benchmark" slice (every 20th doc) are flagged — the
+    // train-set hygiene gate, one broadcast semi-join on the shingle.
+    "tdp_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      graft.operators.Curation.decontaminate(
+        d.filter(col("id") % 20 =!= 0), d.filter(col("id") % 20 === 0), n = 3)
+        .orderBy(col("id"))
+    }),
+
+    // Deterministic hash-stratified sampling: per-language keep fractions
+    // via a portable md5 uniform — reproducible lineage, pure filter.
+    "tdp_stratified_sample" -> ((s, dir) => {
+      graft.operators.Curation.stratifiedSample(
+        t(s, dir, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
     // ANN LSH top-k with multi-probe (Hamming radius 1): candidates only
     // from the probed hyperplane buckets, exact cosine re-rank.
     "sim_lsh_topk" -> ((s, dir) => {
@@ -1033,6 +1052,31 @@ object Queries {
         |  regexp_replace('ftp://ftp.host.org/' || source || '/' || doc_id::VARCHAR || '.mgf',
         |    '^ftp://', 'https://') AS https_url
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tdp_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM tk),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0),
+        |corpus AS (SELECT id FROM tk WHERE id % 20 <> 0),
+        |ov AS (
+        |  SELECT s.id, count(*) AS n FROM sh s JOIN bench b USING (shingle)
+        |  WHERE s.id % 20 <> 0 GROUP BY s.id)
+        |SELECT c.id, coalesce(ov.n, 0) AS n_bench_overlaps,
+        |  coalesce(ov.n, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN ov USING (id) ORDER BY id""".stripMargin,
+
+    "tdp_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
+        |  < CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
 
     "sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

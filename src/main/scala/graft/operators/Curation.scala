@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators beyond dedup: benchmark
+  * decontamination and reproducible stratified sampling — both standard
+  * steps of a large-scale training-data pipeline.
+  */
+object Curation {
+
+  /** Benchmark decontamination: count, per document, how many distinct
+    * word n-gram shingles it shares with a benchmark/eval corpus — the
+    * standard train-set hygiene gate (documents overlapping the eval set
+    * leak test answers into training).
+    *
+    * Scale shape: both sides explode to (shingle, id) and meet in ONE
+    * equi-join on the shingle — never a cross join. The benchmark side is
+    * tiny relative to the corpus (eval sets are thousands of documents,
+    * the corpus is billions), so its distinct-shingle table is
+    * broadcast; the corpus side is a single scan + explode with no
+    * shuffle at all in the broadcast plan.
+    *
+    * @return (id, n_bench_overlaps, contaminated) — one row per input
+    *         document; `contaminated` = any shared shingle.
+    */
+  def decontaminate(
+      docs: DataFrame, // (id, text)
+      benchmark: DataFrame, // (id, text)
+      n: Int = 8,
+  ): DataFrame = {
+    val benchShingles = broadcast(
+      benchmark
+        .select(explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+        .distinct())
+    val docShingles = docs.select(col("id"),
+      explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+    val overlaps = docShingles
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bench_overlaps"))
+    docs.select(col("id"))
+      .join(overlaps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bench_overlaps"), lit(0L)).as("n_bench_overlaps"))
+      .withColumn("contaminated", col("n_bench_overlaps") > 0)
+  }
+
+  /** Deterministic hash-stratified sampling: keep a per-stratum fraction
+    * of rows, selected by a portable md5-derived uniform over the row key
+    * — the same rows survive on every run, every partitioning, and every
+    * engine (no RNG, no seed plumbing, reproducible lineage for a
+    * training corpus).
+    *
+    * Scale shape: a pure filter projection — no shuffle, no sampling
+    * state; pushes down to the scan.
+    *
+    * @param fractions stratum value -> keep fraction [0, 1]
+    * @param defaultFraction keep fraction for strata not in the map
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratum: Column,
+      key: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+  ): DataFrame = {
+    // uniform in [0, 1): 32-bit md5 prefix / 2^32
+    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
+    val frac = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultFraction): Column) { case ((s, f), rest) =>
+        when(stratum === s, lit(f)).otherwise(rest)
+      }
+    df.filter(u < frac)
+  }
+}

@@ -76,6 +76,19 @@ class Round2Spec extends AnyFunSuite {
       .archiveSpectra.orderBy(col("usi")).collect()
     assert(windowOut.length == distOut.length && windowOut.nonEmpty)
     windowOut.zip(distOut).foreach { case (a, b) => assert(a == b) }
+    // and the over-threshold run really took the distributed path: the
+    // range-sort q-value frames enter the plan as RDD scans, which never
+    // appear on the window path
+    val distPlan = IndexPipeline
+      .run(graft.pipeline.DemoAssay.psms(spark), graft.pipeline.DemoAssay.spectra(spark),
+        None, base.copy(fdrWindowMaxRows = 1))
+      .archiveSpectra.queryExecution.optimizedPlan.toString
+    assert(distPlan.contains("ExistingRDD") || distPlan.contains("LogicalRDD"))
+    val windowPlan = IndexPipeline
+      .run(graft.pipeline.DemoAssay.psms(spark), graft.pipeline.DemoAssay.spectra(spark),
+        None, base)
+      .archiveSpectra.queryExecution.optimizedPlan.toString
+    assert(!windowPlan.contains("ExistingRDD") && !windowPlan.contains("LogicalRDD"))
   }
 
   test("global zero-q repair (broadcast aggregate) matches the grouped window form") {
