@@ -44,6 +44,10 @@ object Cli {
           peptideLength = o.get("peptide-length").map(_.toInt).getOrElse(7),
           minPsms = o.get("min-psms").map(_.toLong).getOrElse(1000L),
           scoreLowerIsBetter = o.get("score-lower-is-better").exists(_.toBoolean),
+          globalSampleProps = o.get("global-sample-props").map(_.split(";").toSeq
+            .filter(_.contains("="))
+            .map { kv => val parts = kv.split("=", 2); (parts(0).trim, parts(1).trim) })
+            .getOrElse(Seq.empty),
         )
         val exactMgf = o.get("exact-mgf").exists(_.toBoolean)
         val out = (o.get("mztab"), o.get("mzid")) match {
@@ -100,6 +104,7 @@ object Cli {
       |                       [--qvalue-threshold 0.01] [--peptide-length 7]
       |                       [--min-psms 1000] [--score-lower-is-better true]
       |                       [--exact-mgf true] [--sdrf F] --out DIR
+      |                       [--global-sample-props "organism=Homo sapiens;disease=..."]
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
       |                       [--index MGF_INDEX_SIDECAR]
       |  generate-mgf-files  --spectra-json DIR --out DIR

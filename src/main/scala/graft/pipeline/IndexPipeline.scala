@@ -57,6 +57,12 @@ object IndexPipeline {
       /** Decoy accession prefix — must match the PSM parser's
         * (MzTabIO.standardPsms decoyPrefix). */
       decoyPrefix: String = "DECOY_",
+      /** J5 fallback: project-level sample (name, value) params — e.g.
+        * organism / organism part / disease from the project metadata —
+        * stamped on PSMs whose file has NO SDRF characteristics
+        * (PrideAnalysisAssayService.java:365-385, :574-579; the reference
+        * leaves their accession null). */
+      globalSampleProps: Seq[(String, String)] = Seq.empty,
   )
 
   /** Monoisotopic delta masses for common UNIMOD accessions (public UNIMOD
@@ -245,6 +251,14 @@ object IndexPipeline {
     val assayValid = broadcast(preFilter.select((col("nr_decoys") > 0L).as("assayIsValid")))
 
     // ---- J5 sample properties ------------------------------------------
+    // Fallback for files without SDRF rows: the project-level params
+    // (a plan-time literal array — the reference's globalSampleProperties).
+    val globalProps: Column =
+      if (cfg.globalSampleProps.isEmpty)
+        array().cast("array<struct<accession:string,name:string,value:string>>")
+      else array(cfg.globalSampleProps.map { case (n, v) =>
+        struct(lit(null).cast("string").as("accession"), lit(n).as("name"), lit(v).as("value"))
+      }: _*)
     val sampleProps = sdrf match {
       case Some(sd) =>
         val grouped = sd.groupBy(col("fileKey")).agg(
@@ -254,12 +268,10 @@ object IndexPipeline {
           .withColumn("fileKey", UsiFunctions.fileNameNoExtension(col("fileName")))
           .join(broadcast(grouped), Seq("fileKey"), "left")
           .withColumn("sampleProperties",
-            coalesce(col("sampleProperties"),
-              array().cast("array<struct<accession:string,name:string,value:string>>")))
+            coalesce(col("sampleProperties"), globalProps))
           .drop("fileKey")
       case None =>
-        derived.withColumn("sampleProperties",
-          array().cast("array<struct<accession:string,name:string,value:string>>"))
+        derived.withColumn("sampleProperties", globalProps)
     }
 
     // ---- one row per USI (the usi is the primary key; multiple PSMs on

@@ -344,6 +344,32 @@ class Round2Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("J5 fallback: project-level sample params stamp files without SDRF rows") {
+    val cfg = graft.pipeline.DemoAssay.config.copy(
+      globalSampleProps = Seq(("organism", "Homo sapiens"), ("disease", "none")))
+    // no SDRF at all -> every PSM carries the global params
+    val noSdrf = IndexPipeline.run(
+      graft.pipeline.DemoAssay.psms(spark), graft.pipeline.DemoAssay.spectra(spark), None, cfg)
+    val props = noSdrf.archiveSpectra.limit(1)
+      .select(explode(col("sampleProperties")).as("p"))
+      .select(col("p.accession"), col("p.name"), col("p.value")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(props == Seq((null, "organism", "Homo sapiens"), (null, "disease", "none")))
+    noSdrf.unpersist()
+    // an SDRF row for the file wins over the global fallback
+    val sdrf = Seq(("run1", "EFO:0000634", "organism", "Mus musculus"))
+      .toDF("fileKey", "accession", "name", "value")
+    val withSdrf = IndexPipeline.run(
+      graft.pipeline.DemoAssay.psms(spark), graft.pipeline.DemoAssay.spectra(spark),
+      Some(sdrf), cfg)
+    val got = withSdrf.archiveSpectra.limit(1)
+      .select(explode(col("sampleProperties")).as("p"))
+      .select(col("p.name"), col("p.value")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("organism", "Mus musculus")))
+    withSdrf.unpersist()
+  }
+
   test("decimalFormat5 matches java.text.DecimalFormat(###.#####)") {
     val fmt = new java.text.DecimalFormat("###.#####")
     val samples = Seq(2.5, 2.0, 0.0, 0.5, 123456.789, 1.23456789, 0.000004,
