@@ -596,6 +596,17 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Deterministic sharded sequence packing: greedy token-budget bins in
+    // id order per md5 shard (the pre-tokenization batching step).
+    "tdp_pack_sequences" -> ((s, dir) => {
+      graft.operators.Curation.packSequences(
+        t(s, dir, "documents"), col("doc_id"),
+        TextFunctions.tokenCountEstimate(col("text")).cast("long"),
+        tokenBudget = 2048, numShards = 64)
+        .select(col("doc_id"), col("shard"), col("pack"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash-stratified sampling: per-language keep fractions
     // via a portable md5 uniform — reproducible lineage, pure filter.
     "tdp_stratified_sample" -> ((s, dir) => {
@@ -1071,6 +1082,24 @@ object Queries {
         |SELECT c.id, coalesce(ov.n, 0) AS n_bench_overlaps,
         |  coalesce(ov.n, 0) > 0 AS contaminated
         |FROM corpus c LEFT JOIN ov USING (id) ORDER BY id""".stripMargin,
+
+    "tdp_pack_sequences" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id,
+        |    (len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS tok,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64)::INTEGER AS shard
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn FROM base),
+        |state(shard, rn, id, tok, pack, fill) AS (
+        |  SELECT shard, rn, id, tok, 0::BIGINT, tok FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.id, r.tok,
+        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN s.pack + 1 ELSE s.pack END,
+        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN r.tok ELSE s.fill + r.tok END
+        |  FROM ranked r JOIN state s ON r.shard = s.shard AND r.rn = s.rn + 1)
+        |SELECT id AS doc_id, shard, pack FROM state ORDER BY doc_id""".stripMargin,
 
     "tdp_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -47,6 +47,56 @@ object Curation {
       .withColumn("contaminated", col("n_bench_overlaps") > 0)
   }
 
+  /** Deterministic sequence packing: assign documents to fixed-token-budget
+    * packs (the pre-tokenization batching step of an LLM training
+    * pipeline). Documents are sharded by a portable hash, then packed
+    * contiguously in id order within each shard: a document starts a new
+    * pack when the running token total would cross the budget.
+    *
+    * Scale shape: one hash shuffle on the shard key; the running total is
+    * a window PARTITIONED by shard (never a global sort), so packing
+    * parallelizes across `numShards` — which is how a real packer runs
+    * (per-worker bins), and keeps results deterministic because both the
+    * shard and the in-shard order derive from the data, not the
+    * partitioning.
+    *
+    * @return input plus (shard, pack) — pack is unique within a shard;
+    *         documents larger than the budget get a pack of their own.
+    */
+  def packSequences(
+      df: DataFrame,
+      id: Column,
+      tokenCount: Column,
+      tokenBudget: Long,
+      numShards: Int = 64,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // greedy packing is a sequential scan with resets — not a window
+    // aggregate — so it runs as one in-order pass per shard partition
+    // (genuine per-partition imperative logic, the mapPartitions case)
+    val base = df.select(id.cast("long").as("_id"), tokenCount.cast("long").as("_tok"))
+      .withColumn("shard",
+        pmod(TextFunctions.portableHash32(col("_id").cast("string")), lit(numShards))
+          .cast("int"))
+    val packed = base.select(col("shard"), col("_id"), col("_tok")).as[(Int, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("_id"))
+      .mapPartitions { rows =>
+        var curShard = Int.MinValue
+        var pack = 0L
+        var fill = 0L
+        rows.map { case (s, i, t) =>
+          if (s != curShard) { curShard = s; pack = 0L; fill = 0L }
+          if (fill > 0 && fill + t > tokenBudget) { pack += 1; fill = t }
+          else fill += t
+          (s, i, pack)
+        }
+      }
+      .toDF("shard", "_id", "pack")
+    df.join(packed, id.cast("long") === col("_id")).drop("_id")
+  }
+
   /** Deterministic hash-stratified sampling: keep a per-stratum fraction
     * of rows, selected by a portable md5-derived uniform over the row key
     * — the same rows survive on every run, every partitioning, and every

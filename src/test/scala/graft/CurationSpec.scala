@@ -35,6 +35,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 1L)
   }
 
+  test("sequence packing: greedy keep-whole bins, oversized docs, shard resets") {
+    // single shard so id order is the full packing order
+    val docs = Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 11L), (5L, 1L), (6L, 9L), (7L, 1L))
+      .toDF("id", "tok")
+    val got = Curation.packSequences(docs, col("id"), col("tok"),
+      tokenBudget = 10, numShards = 1)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("pack"))).toSeq
+    // 6 -> p0 ; 6 (6+6>10) -> p1 ; 6 -> p2 ; 11 oversized -> p3 alone ;
+    // 1 (11+1>10) -> p4 ; 9 (1+9=10 fits) -> p4 ; 1 (10+1>10) -> p5
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 4L), (7L, 5L)))
+    // every pack except oversized singletons respects the budget
+    val sums = Curation.packSequences(docs, col("id"), col("tok"), 10, 1)
+      .groupBy(col("pack")).agg(sum(col("tok")).as("s"), count(lit(1)).as("n")).collect()
+    sums.foreach(r => assert(r.getAs[Long]("s") <= 10 || r.getAs[Long]("n") == 1))
+    // sharded run is deterministic
+    val big = (1L to 500L).map(i => (i, (i % 7) + 1)).toDF("id", "tok")
+    val a = Curation.packSequences(big, col("id"), col("tok"), 16, numShards = 8)
+      .select(col("id"), col("shard"), col("pack")).collect().map(_.toSeq).sortBy(_.toString)
+    val b = Curation.packSequences(big, col("id"), col("tok"), 16, numShards = 8)
+      .select(col("id"), col("shard"), col("pack")).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("stratified sample is deterministic, honors per-stratum fractions, and filters only") {
     val docs = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
     val sample = Curation.stratifiedSample(
