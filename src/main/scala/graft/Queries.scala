@@ -583,6 +583,7 @@ object Queries {
         t(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
         graft.operators.CorpusPipeline.CorpusConfig(
           minQuality = 0.5, nearDupThreshold = 0.6))
+        .corpus
         .orderBy(col("id"))
     }),
 

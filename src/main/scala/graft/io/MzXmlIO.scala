@@ -70,6 +70,8 @@ object MzXmlIO {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    // CDATA-wrapped base64 payloads must surface as CHARACTERS events
+    factory.setProperty(XMLInputFactory.IS_COALESCING, true)
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
     val reader = factory.createXMLStreamReader(in)
     val fileName = java.nio.file.Paths.get(path).getFileName.toString

@@ -24,10 +24,17 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.7,
   )
 
+  /** Corpus result with a cache-release handle: `buildCorpus` persists an
+    * intermediate frame that the returned plan reads several times; callers
+    * in a long-lived session call `unpersist()` once the result has been
+    * materialized (same contract as `IndexPipeline.IndexOutputs`). */
+  final case class CorpusResult(corpus: DataFrame, unpersist: () => Unit)
+
   /** @param docs (id, text) document table
     * @return surviving documents (id, text, predicted_lang, quality_score)
+    *         plus the cache-release handle
     */
-  def buildCorpus(docs: DataFrame, cfg: CorpusConfig = CorpusConfig()): DataFrame = {
+  def buildCorpus(docs: DataFrame, cfg: CorpusConfig = CorpusConfig()): CorpusResult = {
     val q = TextFunctions.qualityMetrics(col("text"))
     val scored = docs
       .withColumn("quality_score", q.getField("quality_score"))
@@ -53,7 +60,8 @@ object CorpusPipeline {
       cfg.minHashes / cfg.lshBands, cfg.nearDupThreshold)
     val survivors = Dedup.dedupByPairs(exact.select(col("id")), pairs)
 
-    exact.join(survivors, Seq("id"), "left_semi")
+    val corpus = exact.join(survivors, Seq("id"), "left_semi")
       .select(col("id"), col("text"), col("predicted_lang"), col("quality_score"))
+    CorpusResult(corpus, () => { exact.unpersist(); () })
   }
 }

@@ -190,15 +190,21 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
-      converged = nextSig == sig
+      // The signature is the cheap per-round probe; a 64-bit collision
+      // between consecutive rounds must not fake convergence, so a
+      // signature match is CONFIRMED by an exact set-difference emptiness
+      // check (runs ~once per call: equal count + empty next\edges on
+      // distinct edge sets => set equality).
+      converged = nextSig == sig && next.exceptAll(edges).isEmpty
       edges = next
       sig = nextSig
       iter += 1
     }
     if (!converged)
-      System.err.println(
-        s"[graft] WARNING: connectedComponents hit maxIter=$maxIter before the " +
-          "fixpoint — some components may carry non-minimal labels")
+      throw new IllegalStateException(
+        s"connectedComponents hit maxIter=$maxIter before the fixpoint — " +
+          "components would carry non-minimal labels; raise maxIter " +
+          "(large-star/small-star needs O(log n) rounds)")
 
     // Converged edges are stars (component-min, member); roots and isolated
     // nodes label themselves.

@@ -194,7 +194,14 @@ object Commands {
       .withColumn("score", col("bestSearchEngineScore.value").cast("double"))
     val indexed = indexSidecar match {
       case Some(path) =>
-        spectra.join(spark.read.parquet(path).select(col("usi"), col("index")), Seq("usi"), "inner")
+        // A stale/mismatched sidecar (e.g. regenerated spectra JSON) must
+        // fail loudly, not silently truncate the inference input: left join
+        // and raise on the first spectrum with no sidecar row. Plan-level
+        // check — no extra driver action, every row verified in-flight.
+        spectra.join(spark.read.parquet(path).select(col("usi"), col("index")), Seq("usi"), "left")
+          .withColumn("index",
+            when(col("index").isNotNull, col("index")).otherwise(raise_error(concat(
+              lit(s"stale MGF index sidecar $path: no index row for usi "), col("usi")))))
       case None =>
         graft.operators.GlobalIndex.withGlobalIndex(spectra, Seq(col("usi")), "index")
     }

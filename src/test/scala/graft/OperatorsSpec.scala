@@ -99,9 +99,10 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "completely different content about a gardening manual for tomato plants and soil"),
       (5L, "short"), // fails quality length gate
     ).toDF("id", "text")
-    val corpus = CorpusPipeline.buildCorpus(docs,
+    val result = CorpusPipeline.buildCorpus(docs,
       CorpusPipeline.CorpusConfig(minQuality = 0.5, nearDupThreshold = 0.5))
-      .collect().map(_.getAs[Long]("id")).toSet
+    val corpus = result.corpus.collect().map(_.getAs[Long]("id")).toSet
+    result.unpersist()
     assert(corpus == Set(1L, 4L)) // 2 exact-dup, 3 near-dup, 5 low-quality
   }
 
