@@ -639,7 +639,7 @@ object Queries {
     // (stubbed decode — the Spark plumbing is the real contract).
     "mm_feature_extract" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").limit(50)
+      val media = t(s, dir, "documents").orderBy(col("doc_id")).limit(50)
         .select(col("doc_id"), col("text"), col("source"))
         .as[(Long, String, String)]
         .map { case (id, text, src) =>

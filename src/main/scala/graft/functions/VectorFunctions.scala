@@ -11,13 +11,11 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Dot product of two equal-length vectors (element types are cast to
-    * double before multiply, so float inputs are exact). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v,
-    )
+    * double before multiply, so float inputs are exact). Evaluates through
+    * the native codegen kernel ([[DotProductExpr]]) — a primitive loop with
+    * the same sequential fold order, so values are bit-identical to the
+    * higher-order-function form the SQL oracle reproduces. */
+  def dot(a: Column, b: Column): Column = VectorExprs.dotNative(a, b)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -56,11 +54,7 @@ object VectorFunctions {
     * the same sequential fold as the dynamic form, so values (and the SQL
     * oracle) are unchanged. */
   def hyperplaneBit(v: Column, plane: Int, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, typedLit(hyperplaneVector(plane, dim)), (x, h) => x.cast("double") * h),
-      lit(0.0),
-      (acc, x) => acc + x,
-    )
+    val proj = VectorExprs.dotNative(v, typedLit(hyperplaneVector(plane, dim)))
     when(proj >= 0.0, lit(1)).otherwise(lit(0))
   }
 

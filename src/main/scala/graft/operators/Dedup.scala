@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard. Designed scale-first:
   *
@@ -142,10 +144,22 @@ object Dedup {
     * a (count, hash-sum) signature — one tiny aggregate, no self-join.
     * Rounds are localCheckpoint-bounded so the plan never grows.
     *
+    * Adaptive tail: near-dup graphs are a small fraction of the corpus
+    * (LSH pairs, not the documents), so after canonicalization the edge
+    * set is often broadcast-sized even when the corpus is not. Below
+    * `localThreshold` edges the fixpoint runs as driver-side union-find —
+    * one bounded collect replacing O(log n) cluster-wide shuffle rounds;
+    * above it, the distributed loop runs unchanged. Both paths produce
+    * identical (id, component=min id) labels.
+    *
     * @param pairs (id_a, id_b) undirected edges
     * @return (id, component) where component = min id of the component
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      localThreshold: Long = 1000000,
+  ): DataFrame = {
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
@@ -176,6 +190,10 @@ object Dedup {
 
     var edges = canonical(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
+
+    // Materialized by the checkpoint — counting is a cached-block pass.
+    if (edges.count() <= localThreshold)
+      return localComponents(nodes, edges)
 
     def signature(e: DataFrame): (Long, Long) = {
       // count + xor-of-hashes: order-independent, ANSI-overflow-safe
@@ -212,6 +230,45 @@ object Dedup {
       .join(edges.select(col("v").as("id"), col("u").as("c")), Seq("id"), "left")
       .groupBy(col("id"))
       .agg(min(coalesce(col("c"), col("id"))).as("component"))
+  }
+
+  /** Driver-side union-find tail for [[connectedComponents]]: the edge set
+    * is bounded (<= localThreshold, a broadcast-scale collect), component
+    * labels are the same min-id the distributed fixpoint produces. Ids of
+    * any orderable primitive type. */
+  private def localComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val ord: Ordering[Any] = (idType match {
+      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case DoubleType => Ordering.by((x: Any) => x.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type ${other.sql}")
+    }): Ordering[Any]
+
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("u"), col("v")).collect().foreach { row =>
+      val (ru, rv) = (find(row.get(0)), find(row.get(1)))
+      if (ru != rv) parent(ord.max(ru, rv)) = ord.min(ru, rv)
+    }
+    val labels = parent.keys.map(x => (x, find(x))).toSeq
+    val rows = labels.map { case (id, c) => org.apache.spark.sql.Row(id, c) }
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("c", idType)))
+    val labelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    nodes.join(broadcast(labelDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
   }
 
   /** End-to-end corpus dedup: keep one representative (min id) per

@@ -84,10 +84,10 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  // Squared euclidean distance as a sequential fold — deterministic IEEE
-  // arithmetic, same value on every run.
+  // Squared euclidean distance — the native codegen kernel, the same
+  // sequential fold (deterministic IEEE arithmetic, same value every run).
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+    graft.functions.VectorExprs.sqDistNative(a, b)
 
   // Argmin cell over a PLAN-TIME LITERAL centroid table: a pure projection
   // — no join, no shuffle. The fold visits cells in ascending order and

@@ -90,6 +90,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L, 7L)) // reps + untouched singleton
   }
 
+  test("connected components: distributed fixpoint == driver union-find") {
+    // random-ish graph with chains, a star, dups and reversed edges; force
+    // the distributed large-star/small-star path with localThreshold = 0
+    // and require identical labels to the driver tail.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L), (10L, 9L), // chain with reversals
+      (20L, 21L), (20L, 22L), (20L, 23L), // star
+      (30L, 31L), (31L, 30L), (30L, 31L), // dups both directions
+      (40L, 40L), // self loop -> isolated node
+    ).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local(4L) == 1L && local(10L) == 1L && local(23L) == 20L
+      && local(31L) == 30L && local(40L) == 40L)
+  }
+
   test("corpus pipeline: quality gate, exact dedup, near-dup survivors") {
     import graft.operators.CorpusPipeline
     val docs = Seq(
