@@ -575,6 +575,73 @@ object Queries {
     "io_mztab_scan" -> ((s, _) =>
       jsonSafe(graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId")))),
 
+    // S2 complete: one fixture file per reference spectra FileType
+    // (MGF/PKL/mzML/mzXML/MS2/DTA/APL/PRIDE XML), unioned by the same
+    // readSpectraDir the CLI uses; every parsed value is oracle-pinned.
+    "io_spectra_formats" -> ((s, _) =>
+      jsonSafe(graft.pipeline.Commands.readSpectraDir(
+        s, graft.pipeline.DemoFixtures.spectraFormatsDir())
+        .withColumn("n_peaks", size(col("masses")))
+        .select(col("fileName"), col("fileType"), col("index"), col("scanId"),
+          col("title"), col("msLevel"), col("precursorMz"), col("precursorCharge"),
+          col("retentionTime"), col("n_peaks"), col("masses"), col("intensities"))
+        .orderBy(col("fileName"), col("index")))),
+
+    // S1 — mzIdentML scan: PSMs joined to their SpectraData declaration
+    // (score selection, positioned mods, decoy evidence, id formats).
+    "io_mzid_scan" -> ((s, _) => {
+      val path = graft.pipeline.DemoFixtures.mzidFile()
+      val psms = graft.io.MzIdentMlIO.readPsms(s, Seq(path))
+      val sd = graft.io.MzIdentMlIO.readSpectraData(s, Seq(path))
+        .withColumnRenamed("file", "sdFile")
+      jsonSafe(psms
+        .join(broadcast(sd),
+          psms("spectraDataRef") === sd("spectraDataId") && psms("file") === sd("sdFile"))
+        .select(col("psmId"), col("peptideSequence"), col("proteinAccession"),
+          col("isDecoy"), col("score"), col("rank"), col("charge"),
+          col("expMassToCharge"), col("calcMassToCharge"), col("modifications"),
+          col("sourceId"), col("location"), col("idFormatAccession"))
+        .orderBy(col("psmId"), col("proteinAccession")))
+    }),
+
+    // S3/S4 + F1/F2 + S8 — REST files catalog on a recorded payload:
+    // generated-artifact drop, RESULT-category gate, compressed-name
+    // normalization, ftp->https rewrite.
+    "io_rest_catalog" -> ((s, _) => {
+      val rest = new graft.io.PrideRest(
+        fetch = _ => graft.pipeline.DemoFixtures.restFilesJson)
+      rest.files(s, "PXDDEMO")
+        .select(
+          col("accession"),
+          col("fileName"),
+          col("fileCategory.accession").as("category_accession"),
+          col("fileCategory.value").as("category"),
+          (col("fileCategory.value") === "RESULT" &&
+            col("fileCategory.accession") =!= "PRIDE:1002848").as("is_result"),
+          regexp_replace(col("fileName"), "\\.(gz|zip)$", "").as("uncompressed_name"),
+          col("fileName").rlike("\\.(gz|zip)$").as("was_compressed"),
+          graft.functions.ParamFunctions.ftpToHttps(col("ftp")).as("https_url"))
+        .orderBy(col("accession"))
+    }),
+
+    // S7 — SDRF scan: characteristics melt + plan-time EFO accession
+    // resolution (unknown names carry NULL like the reference).
+    "io_sdrf_melt" -> ((s, _) =>
+      graft.io.SideInputs.readSdrf(s, graft.pipeline.DemoFixtures.sdrfFile())
+        .orderBy(col("fileKey"), col("name"))),
+
+    // K4 — result-file TSV sink roundtrip: write the tab-separated catalog,
+    // read it back as text columns (values survive the sink bit-for-bit).
+    "io_tsv_roundtrip" -> ((s, _) => {
+      val rest = new graft.io.PrideRest(
+        fetch = _ => graft.pipeline.DemoFixtures.restFilesJson)
+      val out = java.nio.file.Files.createTempDirectory("graft-demo-tsv")
+        .toString + "/result_files"
+      graft.io.PrideRest.writeResultFilesTsv(rest.files(s, "PXDDEMO"), out)
+      s.read.option("sep", "\t").option("header", "true").csv(out)
+        .orderBy(col("accession"))
+    }),
+
     // Composite corpus-construction pipeline over the documents table:
     // quality gate -> langid -> exact dedup -> MinHash near-dup components
     // -> representatives (rows-only; every stage is oracle-verified alone).
@@ -1157,6 +1224,20 @@ object Queries {
     // Expected table: the demo mzTab PSM section, values hand-checked.
     "io_mztab_scan" ->
       """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::BOOLEAN AS "isDecoy", c4::DOUBLE AS "score", c5::INTEGER AS "charge", c6::DOUBLE AS "expMassToCharge", c7::DOUBLE AS "calcMassToCharge", c8::VARCHAR AS "modifications", c9::VARCHAR AS "sourceId", c10::INTEGER AS "msRun", c11::DOUBLE AS "retentionTime" FROM (VALUES ('1', 'PEPTIDEK', 'sp|P1', FALSE, '0.9'::DOUBLE, 2, '445.1'::DOUBLE, '445.0'::DOUBLE, '{"3":"UNIMOD:35"}', 'index=0', 1, NULL), ('2', 'ELVISLIVESK', 'DECOY_sp|P2', TRUE, '0.8'::DOUBLE, 3, '500.0'::DOUBLE, '500.2'::DOUBLE, '{}', 'index=1', 1, NULL)) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "psmId"""",
+
+    // Expected tables for the IO fixture catalog queries (S1/S2/S3/S4/
+    // S7/K4/F1/F2/S8) — generated by tools/gen_values_oracle.py from the
+    // fixed fixture content, then reviewed.
+    "io_spectra_formats" ->
+      """SELECT c0::VARCHAR AS "fileName", c1::VARCHAR AS "fileType", c2::BIGINT AS "index", c3::VARCHAR AS "scanId", c4::VARCHAR AS "title", c5::INTEGER AS "msLevel", c6::DOUBLE AS "precursorMz", c7::INTEGER AS "precursorCharge", c8::DOUBLE AS "retentionTime", c9::INTEGER AS "n_peaks", c10::VARCHAR AS "masses", c11::VARCHAR AS "intensities" FROM (VALUES ('legacy.xml', 'PRIDE', 0, '3', '3', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('one.dta', 'DTA', 0, '0', '', 2, '445.998638'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.apl', 'APL', 0, '0', 'RawFile: r1 Index: 5', 2, '445.12'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 0, '7', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 1, '9', '', 2, '600.25'::DOUBLE, 0, NULL, 1, '[300.0]', '[30.0]'), ('run.pkl', 'PKL', 0, '0', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.pkl', 'PKL', 1, '1', '', 2, '600.25'::DOUBLE, 3, NULL, 1, '[300.0]', '[30.0]'), ('run1.mgf', 'MGF', 0, '0', 'spec0', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run1.mgf', 'MGF', 1, '1', 'spec1', 2, '512.75'::DOUBLE, 3, NULL, 1, '[55.5]', '[1.0]'), ('run2.mzML', 'MZML', 0, 'controllerType=0 controllerNumber=1 scan=1', 'controllerType=0 controllerNumber=1 scan=1', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('run2.mzML', 'MZML', 1, 'controllerType=0 controllerNumber=1 scan=2', 'controllerType=0 controllerNumber=1 scan=2', 1, '0.0'::DOUBLE, 0, NULL, 0, '[]', '[]'), ('run3.mzXML', 'MZXML', 0, '7', '7', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "fileName", "index"""",
+    "io_mzid_scan" ->
+      """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::BOOLEAN AS "isDecoy", c4::DOUBLE AS "score", c5::INTEGER AS "rank", c6::INTEGER AS "charge", c7::DOUBLE AS "expMassToCharge", c8::DOUBLE AS "calcMassToCharge", c9::VARCHAR AS "modifications", c10::VARCHAR AS "sourceId", c11::VARCHAR AS "location", c12::VARCHAR AS "idFormatAccession" FROM (VALUES ('sii1', 'PEPTIDEK', 'sp|Q1', FALSE, '0.001'::DOUBLE, 1, 2, '458.23'::DOUBLE, '458.22'::DOUBLE, '{"3":"UNIMOD:35"}', 'index=0', 'file://data/run1.mgf', 'MS:1000774'), ('sii2', 'ELVISLIVESK', 'DECOY_sp|Q2', TRUE, '0.02'::DOUBLE, 1, 3, '600.0'::DOUBLE, '600.1'::DOUBLE, '{}', 'controllerType=0 controllerNumber=1 scan=7', 'file://data/run2.mzML', 'MS:1001530')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "psmId", "proteinAccession"""",
+    "io_rest_catalog" ->
+      """SELECT c0::VARCHAR AS "accession", c1::VARCHAR AS "fileName", c2::VARCHAR AS "category_accession", c3::VARCHAR AS "category", c4::BOOLEAN AS "is_result", c5::VARCHAR AS "uncompressed_name", c6::BOOLEAN AS "was_compressed", c7::VARCHAR AS "https_url" FROM (VALUES ('PXF1', 'assay1.mzid', 'PRIDE:1002847', 'RESULT', TRUE, 'assay1.mzid', FALSE, 'https://ftp.pride.ebi.ac.uk/2020/01/PXD1/assay1.mzid'), ('PXF2', 'run1.mgf.gz', 'PRIDE:1002846', 'PEAK', FALSE, 'run1.mgf', TRUE, 'https://ftp.pride.ebi.ac.uk/2020/01/PXD1/run1.mgf.gz'), ('PXF3', 'junk.mztab', 'PRIDE:1002848', 'RESULT', FALSE, 'junk.mztab', FALSE, 'https://ftp.pride.ebi.ac.uk/2020/02/PXD1/junk.mztab'), ('PXF5', 'other.zip', 'PRIDE:1002846', 'PEAK', FALSE, 'other', TRUE, 'https://ftp.pride.ebi.ac.uk/2020/03/PXD1/other.zip')) AS t(c0, c1, c2, c3, c4, c5, c6, c7) ORDER BY "accession"""",
+    "io_sdrf_melt" ->
+      """SELECT c0::VARCHAR AS "fileKey", c1::VARCHAR AS "accession", c2::VARCHAR AS "name", c3::VARCHAR AS "value" FROM (VALUES ('run1', 'EFO:0000634', 'organism', 'Homo sapiens'), ('run1', 'EFO:0000635', 'organism part', 'liver'), ('run1', NULL, 'spiked compound', 'yes'), ('run2', 'EFO:0000634', 'organism', 'Mus musculus'), ('run2', 'EFO:0000635', 'organism part', 'brain'), ('run2', NULL, 'spiked compound', 'no')) AS t(c0, c1, c2, c3) ORDER BY "fileKey", "name"""",
+    "io_tsv_roundtrip" ->
+      """SELECT c0::VARCHAR AS "name", c1::VARCHAR AS "date", c2::VARCHAR AS "accession", c3::VARCHAR AS "ftp" FROM (VALUES ('assay1.mzid', '2020-01-15', 'PXF1', 'ftp://ftp.pride.ebi.ac.uk/2020/01/PXD1/assay1.mzid'), ('run1.mgf.gz', '2020-01-15', 'PXF2', 'ftp://ftp.pride.ebi.ac.uk/2020/01/PXD1/run1.mgf.gz'), ('junk.mztab', '2020-02-01', 'PXF3', 'ftp://ftp.pride.ebi.ac.uk/2020/02/PXD1/junk.mztab'), ('other.zip', '2020-03-10', 'PXF5', 'ftp://ftp.pride.ebi.ac.uk/2020/03/PXD1/other.zip')) AS t(c0, c1, c2, c3) ORDER BY "accession"""",
 
     // Expected table: MGF write->read round-trip of the demo assay.
     "io_mgf_roundtrip" ->

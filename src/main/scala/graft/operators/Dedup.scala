@@ -160,8 +160,13 @@ object Dedup {
       maxIter: Int = 50,
       localThreshold: Long = 1000000,
   ): DataFrame = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
+    // Pin the pair DAG once: the caller's candidate-pair plan (minhash /
+    // LSH / posting-list joins) is the expensive part, and it would
+    // otherwise re-execute for the node set, the edge canonicalization,
+    // and every downstream read of the result.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
       .distinct()
 
     def canonical(e: DataFrame): DataFrame = e
@@ -189,7 +194,7 @@ object Dedup {
     }
 
     var edges = canonical(
-      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
+      p.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
 
     // Materialized by the checkpoint — counting is a cached-block pass.
     if (edges.count() <= localThreshold)
