@@ -401,6 +401,20 @@ object Queries {
         .orderBy(col("hour_str"), col("event_type"))
     }),
 
+    // §2.7 gap-based session windows (the built-in session_window keyed
+    // state; same plan streams with the 10-min watermark — StreamingSpec).
+    "e_session_window" -> ((s, dir) => {
+      graft.streaming.EventStream.sessionWindows(
+        t(s, dir, "events").select(col("ts"), col("user_id"), col("value")),
+        gap = "30 minutes",
+        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // P11 — coalesce fallback chain (PSM rt -> spectrum rt -> NaN analogue).
     "p11_rt_fallback" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1064,6 +1078,29 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    // Gap sessionization: lag-based new-session flags + running sum; a
+    // session ends 30 minutes after its last event (session_window
+    // semantics: merge while next.ts < prev.ts + gap).
+    "e_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  user_id, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "p11_rt_fallback" ->
       """SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'),

@@ -38,6 +38,35 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based session windows per user (the built-in `session_window`
+    * keyed state): a session closes after `gap` of inactivity. The same
+    * plan runs batch (the `e_session_window` oracle query) and streaming
+    * (watermark bounds the open-session state; append emits closed
+    * sessions). */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      aggs: Seq[org.apache.spark.sql.Column] =
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_value")),
+  ): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Streaming exact dedup on a content fingerprint: state is bounded by
+    * the watermark (`dropDuplicatesWithinWatermark` — duplicates arriving
+    * inside the lateness horizon are dropped, state beyond it is evicted;
+    * the streaming counterpart of `Dedup.exact` for ingest pipelines). */
+  def streamingDedup(events: DataFrame, fingerprint: org.apache.spark.sql.Column): DataFrame =
+    events
+      .withColumn("fingerprint", fingerprint)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class Event(event_id: Long, user_id: Long, value: Double)
   final case class SessionState(n: Long, total: Double)
   final case class SessionUpdate(user_id: Long, n: Long, total: Double)

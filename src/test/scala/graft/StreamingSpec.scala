@@ -43,6 +43,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("2024-01-01T01:00:00Z", "view", 1L, 3.0)))
   }
 
+  test("session windows stream: append emits closed sessions after watermark") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:10:00.000Z","user_id":1,"event_type":"a","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T02:00:00.000Z","user_id":1,"event_type":"a","value":4.0}""",
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    val q = EventStream
+      .sessionWindows(EventStream.readEventStream(spark, dir), "30 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Paths.get(dir, "p2.json"),
+        """{"event_id":9,"ts":"2024-01-01T09:00:00.000Z","user_id":9,"event_type":"x","value":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions").orderBy(col("session_start"))
+      .collect().map(r => (r.getAs[Timestamp]("session_start").toInstant.toString,
+        r.getAs[Timestamp]("session_end").toInstant.toString,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    // events 1+2 merge (10 min < gap); event 3 opens its own session
+    assert(got.contains(("2024-01-01T00:00:00Z", "2024-01-01T00:40:00Z", 1L, 2L, 3.0)))
+    assert(got.contains(("2024-01-01T02:00:00Z", "2024-01-01T02:30:00Z", 1L, 1L, 4.0)))
+  }
+
+  test("streaming dedup drops in-watermark duplicate fingerprints") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"same","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00.000Z","user_id":1,"event_type":"same","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:02:00.000Z","user_id":1,"event_type":"other","value":2.0}""",
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    val q = EventStream
+      .streamingDedup(EventStream.readEventStream(spark, dir),
+        md5(concat_ws(":", col("user_id"), col("event_type"), col("value"))))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sdedup").collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == Set(1L, 3L)) // event 2 is an in-watermark duplicate
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),
