@@ -689,6 +689,25 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction over documents with deterministic injected PII (the
+    // synthetic corpus has none): email/IPv4/phone placeholders + counts.
+    "tdp_pii_scrub" -> ((s, dir) => {
+      val withPii = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Curation.redactPii(withPii).as("redacted"),
+          coalesce(regexp_count(withPii, lit(graft.operators.Curation.EmailRe)), lit(0))
+            .cast("long").as("n_emails"),
+          coalesce(regexp_count(withPii, lit(graft.operators.Curation.Ipv4Re)), lit(0))
+            .cast("long").as("n_ips"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash-stratified sampling: per-language keep fractions
     // via a portable md5 uniform — reproducible lineage, pure filter.
     "tdp_stratified_sample" -> ((s, dir) => {
@@ -1211,6 +1230,23 @@ object Queries {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
         |  < CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+
+    // PII scrub: identical injection + email->IP->phone redaction order,
+    // 'g' flags (DuckDB replaces first match only by default).
+    "tdp_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com or +1 (555) 010-' ||
+        |    lpad(doc_id::VARCHAR, 4, '0') || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[(]?[0-9][-0-9 ()]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

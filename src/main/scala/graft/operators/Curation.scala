@@ -97,6 +97,24 @@ object Curation {
     df.join(packed, id.cast("long") === col("_id")).drop("_id")
   }
 
+  /** PII redaction patterns (email, IPv4, phone) — shared verbatim with
+    * the SQL oracle, so they stay in the common Java/RE2 regex subset
+    * (no lookaround, no backrefs). Applied email -> IP -> phone so the
+    * digit-run phone pattern never eats an address already redacted. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[(]?[0-9][-0-9 ()]{6,}[0-9]"
+
+  /** Corpus-hygiene PII scrub: typed placeholder tokens for emails, IPv4
+    * addresses, and phone-shaped digit runs — a pure projection (codegen
+    * regex, no shuffle, pushes nothing but reads one column). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Deterministic hash-stratified sampling: keep a per-stratum fraction
     * of rows, selected by a portable md5-derived uniform over the row key
     * — the same rows survive on every run, every partitioning, and every

@@ -80,4 +80,21 @@ class CurationSpec extends AnyFunSuite {
     // plan is a pure filter: no exchange anywhere
     assert(!sample.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("PII redaction: typed placeholders, IP never eaten by the phone pattern") {
+    val docs = Seq(
+      (1L, "write to jane.doe+spam@sub.example.org today"),
+      (2L, "server at 192.168.001.042 answered"),
+      (3L, "call +44 (0) 2079-460000 now"),
+      (4L, "mixed a@b.io then 10.0.0.1 then (555) 010-0042 end"),
+      (5L, "clean text with the number 7 alone"),
+    ).toDF("id", "text")
+    val got = docs.select(col("id"), Curation.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "write to <EMAIL> today")
+    assert(got(2L) == "server at <IP> answered")
+    assert(got(3L) == "call <PHONE> now")
+    assert(got(4L) == "mixed <EMAIL> then <IP> then <PHONE> end")
+    assert(got(5L) == "clean text with the number 7 alone")
+  }
 }
