@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.functions.{DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, SqDistExpr, VectorExprs}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration for the engine's native Catalyst
+  * expressions — the deployment route for a shared cluster, where the
+  * functions must exist in every session without code calling a
+  * `register(spark)` helper first:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * }}}
+  *
+  * The injected names are identical to the per-session registrations the
+  * library helpers perform lazily (`VectorExprs.register`,
+  * `EncodePeptidoformExpr.register`, `ModsToStructsExpr.register`), so
+  * code works the same with or without the extension — the extension just
+  * makes them first-class, including from pure SQL
+  * (`SELECT graft_vec_dot(a, b)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(VectorExprs.DotName),
+      info(VectorExprs.DotName,
+        "_FUNC_(a, b) - sequential-fold dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorExprs.SqDistName),
+      info(VectorExprs.SqDistName,
+        "_FUNC_(a, b) - sequential-fold squared euclidean distance"),
+      (exprs: Seq[Expression]) => SqDistExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(EncodePeptidoformExpr.FunctionName),
+      info(EncodePeptidoformExpr.FunctionName,
+        "_FUNC_(sequence, mods, charge) - peptidoform string with positioned mods"),
+      (exprs: Seq[Expression]) => EncodePeptidoformExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(ModsToStructsExpr.FunctionName),
+      info(ModsToStructsExpr.FunctionName,
+        "_FUNC_(mods) - positioned modification map to IdentifiedModification structs"),
+      (exprs: Seq[Expression]) => ModsToStructsExpr(exprs(0))))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make every native expression available from pure
+  * SQL in a session built with `spark.sql.extensions` — no library
+  * register() call anywhere. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val base = TestSpark.spark
+
+  test("spark.sql.extensions session exposes the native functions to SQL") {
+    base.sparkContext // ensure the context exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val dot = s.sql("SELECT graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(dot == 11.0)
+      val sq = s.sql("SELECT graft_vec_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(sq == 8.0)
+      val pf = s.sql(
+        "SELECT graft_encode_peptidoform('PEPTIDE', map(1, 'UNIMOD:4'), 2) AS p")
+        .head().getString(0)
+      assert(pf == "P[UNIMOD:4]EPTIDE/2")
+      val mods = s.sql(
+        "SELECT graft_mods_to_structs(map(3, 'UNIMOD:35')) AS m")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(mods.length == 1)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
