@@ -726,6 +726,19 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Per-language embedding centroids (mean pooling): decimal-exact
+    // per-dimension sums, one IEEE division; output re-exploded flat so
+    // the oracle also pins the position-ordered reassembly.
+    "sim_group_centroids" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val joined = e.join(d, e("vec_id") === d("doc_id"))
+      Similarity.groupCentroids(joined, col("lang"), col("embedding"))
+        .select(col("k").as("lang"), posexplode(col("centroid")).as(Seq("pos", "m")))
+        .select(col("lang"), col("pos").cast("long").as("pos"), col("m"))
+        .orderBy(col("lang"), col("pos"))
+    }),
+
     // IVF approximate NN: deterministic-KMeans cells + probe-limited exact
     // re-rank (oracle: expected table — Lloyd training is bit-reproducible
     // by construction but not reasonably SQL-expressible).
@@ -1247,6 +1260,14 @@ object Queries {
         |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
         |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Mean pooling expected table (sf0.01-pinned, gen_values_oracle.py):
+    // a SQL re-derivation is NOT used because DuckDB's double->DECIMAL
+    // cast rounds half-even while Spark rounds half-up — one en-group
+    // value lands exactly on the 1e-12 boundary. Regenerate if the
+    // operator or the embeddings table changes.
+    "sim_group_centroids" ->
+      """SELECT c0::VARCHAR AS "lang", c1::BIGINT AS "pos", c2::DOUBLE AS "m" FROM (VALUES ('de', 0, '0.008641252473785714'::DOUBLE), ('de', 1, '-0.015431268880728571'::DOUBLE), ('de', 2, '0.016377452932657143'::DOUBLE), ('de', 3, '-0.0025674407021285713'::DOUBLE), ('de', 4, '0.009969134206328572'::DOUBLE), ('de', 5, '-3.642912115714286e-05'::DOUBLE), ('de', 6, '-0.032054580634585716'::DOUBLE), ('de', 7, '-0.007584145884657144'::DOUBLE), ('de', 8, '-0.0018152902509571427'::DOUBLE), ('de', 9, '0.010565054408328571'::DOUBLE), ('de', 10, '0.014137308769414285'::DOUBLE), ('de', 11, '0.020223281738757145'::DOUBLE), ('de', 12, '0.007825889369357143'::DOUBLE), ('de', 13, '0.007357007968571429'::DOUBLE), ('de', 14, '0.0050240630816'::DOUBLE), ('de', 15, '0.031244887710928575'::DOUBLE), ('de', 16, '0.021768629748871428'::DOUBLE), ('de', 17, '-0.0017075860997714286'::DOUBLE), ('de', 18, '0.0010076048742571429'::DOUBLE), ('de', 19, '0.006010213308085714'::DOUBLE), ('de', 20, '0.008519272779'::DOUBLE), ('de', 21, '-0.0026379312389'::DOUBLE), ('de', 22, '-0.00021940379518571427'::DOUBLE), ('de', 23, '0.002563333434871429'::DOUBLE), ('de', 24, '0.006218491940342857'::DOUBLE), ('de', 25, '0.02530293729004286'::DOUBLE), ('de', 26, '0.00843692478212857'::DOUBLE), ('de', 27, '0.017913582280771428'::DOUBLE), ('de', 28, '-0.003687119317642857'::DOUBLE), ('de', 29, '-0.004278964649057143'::DOUBLE), ('de', 30, '0.0040980590473857145'::DOUBLE), ('de', 31, '0.007542499101571429'::DOUBLE), ('de', 32, '0.003191562994814286'::DOUBLE), ('de', 33, '-0.005387966268271429'::DOUBLE), ('de', 34, '-0.033122292239985716'::DOUBLE), ('de', 35, '-0.0007447504205714286'::DOUBLE), ('de', 36, '-0.006905540880485714'::DOUBLE), ('de', 37, '-0.03400552613842857'::DOUBLE), ('de', 38, '-0.014204824044000001'::DOUBLE), ('de', 39, '-0.014679746053871429'::DOUBLE), ('de', 40, '-0.0023738953418142856'::DOUBLE), ('de', 41, '-0.011638052109657142'::DOUBLE), ('de', 42, '-0.019178639791371428'::DOUBLE), ('de', 43, '-0.03790771404918571'::DOUBLE), ('de', 44, '-0.01456184331327143'::DOUBLE), ('de', 45, '-0.023971595754042858'::DOUBLE), ('de', 46, '-0.012446505478257144'::DOUBLE), ('de', 47, '0.0097805058775'::DOUBLE), ('de', 48, '0.007488365572785714'::DOUBLE), ('de', 49, '-0.017234346337085715'::DOUBLE), ('de', 50, '0.00856733708317143'::DOUBLE), ('de', 51, '-0.020159229134814285'::DOUBLE), ('de', 52, '0.013562335286857142'::DOUBLE), ('de', 53, '0.014640704765300001'::DOUBLE), ('de', 54, '-0.0007693703352714286'::DOUBLE), ('de', 55, '0.01456932679622857'::DOUBLE), ('de', 56, '-0.016796577031671426'::DOUBLE), ('de', 57, '0.00027328278768571425'::DOUBLE), ('de', 58, '-0.011785264172314285'::DOUBLE), ('de', 59, '-0.020107624799571427'::DOUBLE), ('de', 60, '-0.009005317358028573'::DOUBLE), ('de', 61, '0.02579508272127143'::DOUBLE), ('de', 62, '-0.008293419145100001'::DOUBLE), ('de', 63, '0.0041572239832'::DOUBLE), ('en', 0, '-0.004542704783266055'::DOUBLE), ('en', 1, '-0.0093812472531422'::DOUBLE), ('en', 2, '-0.005894718655091743'::DOUBLE), ('en', 3, '-0.0068384469005412845'::DOUBLE), ('en', 4, '0.017440869148802753'::DOUBLE), ('en', 5, '0.007644423312481651'::DOUBLE), ('en', 6, '-0.017408028445688072'::DOUBLE), ('en', 7, '0.008430366502646789'::DOUBLE), ('en', 8, '-0.0004931197500963303'::DOUBLE), ('en', 9, '-0.008732881839853211'::DOUBLE), ('en', 10, '0.006342383383536697'::DOUBLE), ('en', 11, '0.0039395377915045875'::DOUBLE), ('en', 12, '-0.0030518331023302757'::DOUBLE), ('en', 13, '0.0014756289424862387'::DOUBLE), ('en', 14, '-0.0019535083223761467'::DOUBLE), ('en', 15, '0.012166531661477065'::DOUBLE), ('en', 16, '0.009839405620793577'::DOUBLE), ('en', 17, '0.009327080409954128'::DOUBLE), ('en', 18, '-0.00542667555383945'::DOUBLE), ('en', 19, '0.0032519410814770646'::DOUBLE), ('en', 20, '-0.008934996500422019'::DOUBLE), ('en', 21, '-0.0013130955582889908'::DOUBLE), ('en', 22, '0.007035113608908257'::DOUBLE), ('en', 23, '-0.006221221269697247'::DOUBLE), ('en', 24, '-0.007468737633779816'::DOUBLE), ('en', 25, '0.009793660115389907'::DOUBLE), ('en', 26, '0.00350126132066055'::DOUBLE), ('en', 27, '0.0080681784511422'::DOUBLE), ('en', 28, '0.0036882631221192663'::DOUBLE), ('en', 29, '-0.0025647503450504584'::DOUBLE), ('en', 30, '0.010225863983614678'::DOUBLE), ('en', 31, '-0.015538622094096332'::DOUBLE), ('en', 32, '0.013540754613513761'::DOUBLE), ('en', 33, '0.00010654584445412844'::DOUBLE), ('en', 34, '0.0064374135201972485'::DOUBLE), ('en', 35, '-0.003057671388321101'::DOUBLE), ('en', 36, '-0.00943133915096789'::DOUBLE), ('en', 37, '-0.0005353244792477064'::DOUBLE), ('en', 38, '0.007986492791830276'::DOUBLE), ('en', 39, '0.005182010047995413'::DOUBLE), ('en', 40, '0.010254585914655962'::DOUBLE), ('en', 41, '-0.01144225251301835'::DOUBLE), ('en', 42, '0.024268115115518348'::DOUBLE), ('en', 43, '-0.005170408482729358'::DOUBLE), ('en', 44, '-0.010659611218669724'::DOUBLE), ('en', 45, '0.016236031397536696'::DOUBLE), ('en', 46, '0.0019589107639266055'::DOUBLE), ('en', 47, '-0.007836731679155964'::DOUBLE), ('en', 48, '-0.0021493200427752292'::DOUBLE), ('en', 49, '0.00019417343625688073'::DOUBLE), ('en', 50, '0.004872207006224771'::DOUBLE), ('en', 51, '-0.0017601043940045872'::DOUBLE), ('en', 52, '0.002560354129151376'::DOUBLE), ('en', 53, '-0.02197339560224312'::DOUBLE), ('en', 54, '0.014101459032766056'::DOUBLE), ('en', 55, '-0.004094965786366972'::DOUBLE), ('en', 56, '0.008081850718284404'::DOUBLE), ('en', 57, '-0.002808184286197248'::DOUBLE), ('en', 58, '-0.00477203348853211'::DOUBLE), ('en', 59, '-0.009184167327252295'::DOUBLE), ('en', 60, '-0.0006848379965412845'::DOUBLE), ('en', 61, '-0.0029134217383944955'::DOUBLE), ('en', 62, '0.00939593500980734'::DOUBLE), ('en', 63, '-0.015731653257596328'::DOUBLE), ('es', 0, '0.024567192724150685'::DOUBLE), ('es', 1, '-0.0028551358343561644'::DOUBLE), ('es', 2, '-0.0005190268745753425'::DOUBLE), ('es', 3, '0.007503098266'::DOUBLE), ('es', 4, '-0.007800237317136987'::DOUBLE), ('es', 5, '0.022150106884342467'::DOUBLE), ('es', 6, '-0.023815615357821916'::DOUBLE), ('es', 7, '0.024412308730232875'::DOUBLE), ('es', 8, '-0.008276656575972603'::DOUBLE), ('es', 9, '-0.0007546905217534247'::DOUBLE), ('es', 10, '-0.004879556583520548'::DOUBLE), ('es', 11, '0.0005245236432876712'::DOUBLE), ('es', 12, '-0.008223445151479453'::DOUBLE), ('es', 13, '0.01317653146309589'::DOUBLE), ('es', 14, '0.004996459880027397'::DOUBLE), ('es', 15, '-0.00194564437469863'::DOUBLE), ('es', 16, '-0.002291451077479452'::DOUBLE), ('es', 17, '0.017769183121561644'::DOUBLE), ('es', 18, '0.003708187490712329'::DOUBLE), ('es', 19, '-0.010112663386534246'::DOUBLE), ('es', 20, '-0.011893427197219178'::DOUBLE), ('es', 21, '0.025345853587273974'::DOUBLE), ('es', 22, '0.009018037844534248'::DOUBLE), ('es', 23, '0.00038633907802739724'::DOUBLE), ('es', 24, '-0.00829444853319178'::DOUBLE), ('es', 25, '0.014251128764835617'::DOUBLE), ('es', 26, '-0.010384082241575342'::DOUBLE), ('es', 27, '-0.004377134448520548'::DOUBLE), ('es', 28, '0.03552675400280822'::DOUBLE), ('es', 29, '0.006554752663657535'::DOUBLE), ('es', 30, '-0.011411372782726028'::DOUBLE), ('es', 31, '0.0002576277195068493'::DOUBLE), ('es', 32, '-0.008530649596684932'::DOUBLE), ('es', 33, '-0.009324890223342467'::DOUBLE), ('es', 34, '0.01905408632869863'::DOUBLE), ('es', 35, '-0.009099354568863013'::DOUBLE), ('es', 36, '0.013484504105780821'::DOUBLE), ('es', 37, '-0.01357183003269863'::DOUBLE), ('es', 38, '-0.03688955578430137'::DOUBLE), ('es', 39, '0.009302057195712329'::DOUBLE), ('es', 40, '0.004826231846068493'::DOUBLE), ('es', 41, '-0.007339831229506849'::DOUBLE), ('es', 42, '-0.0172374184620137'::DOUBLE), ('es', 43, '0.01390559791130137'::DOUBLE), ('es', 44, '-0.010055139161753424'::DOUBLE), ('es', 45, '0.0072922093462191775'::DOUBLE), ('es', 46, '0.0057812665536164385'::DOUBLE), ('es', 47, '0.023759965691561646'::DOUBLE), ('es', 48, '-0.00928468123469863'::DOUBLE), ('es', 49, '-0.008123257334575341'::DOUBLE), ('es', 50, '0.010279300700808219'::DOUBLE), ('es', 51, '-0.005606045236808219'::DOUBLE), ('es', 52, '0.02548999339979452'::DOUBLE), ('es', 53, '0.013526621976232877'::DOUBLE), ('es', 54, '-0.017296032434712328'::DOUBLE), ('es', 55, '-0.0009817127489452054'::DOUBLE), ('es', 56, '0.007978355939410958'::DOUBLE), ('es', 57, '-0.004090412255164383'::DOUBLE), ('es', 58, '0.005764143806205479'::DOUBLE), ('es', 59, '-0.006110868744438357'::DOUBLE), ('es', 60, '0.0026457927005479453'::DOUBLE), ('es', 61, '0.013994216606438358'::DOUBLE), ('es', 62, '-0.01330701728579452'::DOUBLE), ('es', 63, '-0.008581278172671233'::DOUBLE), ('fr', 0, '0.006005897044796875'::DOUBLE), ('fr', 1, '-0.013978642153234374'::DOUBLE), ('fr', 2, '-0.001912557222578125'::DOUBLE), ('fr', 3, '-0.015032489071'::DOUBLE), ('fr', 4, '0.004122437152546875'::DOUBLE), ('fr', 5, '0.003001884157125'::DOUBLE), ('fr', 6, '-0.020871766071625'::DOUBLE), ('fr', 7, '0.012194345741625'::DOUBLE), ('fr', 8, '-0.000257996622109375'::DOUBLE), ('fr', 9, '0.000841969103890625'::DOUBLE), ('fr', 10, '0.0351789077104375'::DOUBLE), ('fr', 11, '0.00231503597753125'::DOUBLE), ('fr', 12, '0.0049852589218125'::DOUBLE), ('fr', 13, '-0.028954160843609376'::DOUBLE), ('fr', 14, '0.01187604717775'::DOUBLE), ('fr', 15, '-0.030893623498265625'::DOUBLE), ('fr', 16, '-0.011559200160296875'::DOUBLE), ('fr', 17, '0.015378998094078125'::DOUBLE), ('fr', 18, '0.00490119626015625'::DOUBLE), ('fr', 19, '0.00991636210890625'::DOUBLE), ('fr', 20, '0.00076939711834375'::DOUBLE), ('fr', 21, '0.004076691901953125'::DOUBLE), ('fr', 22, '0.006974990392421875'::DOUBLE), ('fr', 23, '-0.03393381580459375'::DOUBLE), ('fr', 24, '0.00246476586678125'::DOUBLE), ('fr', 25, '0.00887203465390625'::DOUBLE), ('fr', 26, '0.00088157792559375'::DOUBLE), ('fr', 27, '0.023932950076421874'::DOUBLE), ('fr', 28, '-0.049012966585'::DOUBLE), ('fr', 29, '-0.017405923666953125'::DOUBLE), ('fr', 30, '0.002122267997078125'::DOUBLE), ('fr', 31, '0.018571211100953125'::DOUBLE), ('fr', 32, '0.0057753937271875'::DOUBLE), ('fr', 33, '-0.01254778562'::DOUBLE), ('fr', 34, '0.03159259291710938'::DOUBLE), ('fr', 35, '0.005313429878671875'::DOUBLE), ('fr', 36, '-0.01198467862928125'::DOUBLE), ('fr', 37, '0.0367917526673125'::DOUBLE), ('fr', 38, '0.00088444717178125'::DOUBLE), ('fr', 39, '-0.01545066682775'::DOUBLE), ('fr', 40, '-0.007565764165984375'::DOUBLE), ('fr', 41, '-0.02398282945071875'::DOUBLE), ('fr', 42, '-0.002888636907234375'::DOUBLE), ('fr', 43, '0.02499734319565625'::DOUBLE), ('fr', 44, '-0.03193865896903125'::DOUBLE), ('fr', 45, '0.00934396449884375'::DOUBLE), ('fr', 46, '0.006707248267125'::DOUBLE), ('fr', 47, '-0.008916894459609375'::DOUBLE), ('fr', 48, '0.006795800237375'::DOUBLE), ('fr', 49, '-0.04974095664145312'::DOUBLE), ('fr', 50, '0.023015768991234375'::DOUBLE), ('fr', 51, '0.028819467488546874'::DOUBLE), ('fr', 52, '0.003761600539296875'::DOUBLE), ('fr', 53, '-0.002831483063265625'::DOUBLE), ('fr', 54, '0.007606757815609375'::DOUBLE), ('fr', 55, '-0.00785153165996875'::DOUBLE), ('fr', 56, '0.017288238796078124'::DOUBLE), ('fr', 57, '0.01692707633265625'::DOUBLE), ('fr', 58, '0.0109590724869375'::DOUBLE), ('fr', 59, '0.012759858000171875'::DOUBLE), ('fr', 60, '0.00090975489725'::DOUBLE), ('fr', 61, '0.009294397928890625'::DOUBLE), ('fr', 62, '-0.00085780056725'::DOUBLE), ('fr', 63, '-0.02086443796359375'::DOUBLE), ('zh', 0, '-0.00946674110832'::DOUBLE), ('zh', 1, '0.026059487477533335'::DOUBLE), ('zh', 2, '0.030186623694986665'::DOUBLE), ('zh', 3, '-0.004156601708386667'::DOUBLE), ('zh', 4, '0.010362276143106667'::DOUBLE), ('zh', 5, '0.00551005125356'::DOUBLE), ('zh', 6, '-3.432069517333334e-05'::DOUBLE), ('zh', 7, '0.009856149248426668'::DOUBLE), ('zh', 8, '-0.0047789809386666665'::DOUBLE), ('zh', 9, '0.011419750065546666'::DOUBLE), ('zh', 10, '-0.013992728268133333'::DOUBLE), ('zh', 11, '-0.010451934635626667'::DOUBLE), ('zh', 12, '-0.01240937816912'::DOUBLE), ('zh', 13, '0.014420235743773335'::DOUBLE), ('zh', 14, '-0.015438817429026667'::DOUBLE), ('zh', 15, '0.00313203364064'::DOUBLE), ('zh', 16, '-0.014594925797186666'::DOUBLE), ('zh', 17, '-0.01709490545562667'::DOUBLE), ('zh', 18, '0.0039662733239066664'::DOUBLE), ('zh', 19, '-0.005469374340026667'::DOUBLE), ('zh', 20, '0.003345191882333333'::DOUBLE), ('zh', 21, '-0.006522047224733333'::DOUBLE), ('zh', 22, '-0.007185067906986666'::DOUBLE), ('zh', 23, '-0.009425849411599999'::DOUBLE), ('zh', 24, '0.009267431534813334'::DOUBLE), ('zh', 25, '0.011862736064933333'::DOUBLE), ('zh', 26, '-0.01934366886190667'::DOUBLE), ('zh', 27, '0.014508956770133334'::DOUBLE), ('zh', 28, '-0.007722726344733333'::DOUBLE), ('zh', 29, '0.022524106081906668'::DOUBLE), ('zh', 30, '0.013112844272173333'::DOUBLE), ('zh', 31, '-0.016590165810946664'::DOUBLE), ('zh', 32, '0.01660624568038667'::DOUBLE), ('zh', 33, '-0.01999978679001333'::DOUBLE), ('zh', 34, '0.0010685858130266665'::DOUBLE), ('zh', 35, '0.0217531728838'::DOUBLE), ('zh', 36, '-0.00460793789476'::DOUBLE), ('zh', 37, '0.00448347601024'::DOUBLE), ('zh', 38, '0.018750191590973332'::DOUBLE), ('zh', 39, '-0.0048372591054400005'::DOUBLE), ('zh', 40, '-0.037460517704786665'::DOUBLE), ('zh', 41, '-0.007163652287173333'::DOUBLE), ('zh', 42, '-0.03130641200617333'::DOUBLE), ('zh', 43, '0.011788959163986666'::DOUBLE), ('zh', 44, '0.004812567968613333'::DOUBLE), ('zh', 45, '-0.014339751967546667'::DOUBLE), ('zh', 46, '-0.0094148488568'::DOUBLE), ('zh', 47, '0.03740166584645333'::DOUBLE), ('zh', 48, '-0.022501518493373333'::DOUBLE), ('zh', 49, '-0.002556118170413333'::DOUBLE), ('zh', 50, '0.010710977919706667'::DOUBLE), ('zh', 51, '-0.0050846921800666665'::DOUBLE), ('zh', 52, '0.00367984967612'::DOUBLE), ('zh', 53, '0.013337877042973335'::DOUBLE), ('zh', 54, '0.0014720937190933333'::DOUBLE), ('zh', 55, '-0.017888439911573333'::DOUBLE), ('zh', 56, '0.0014931079138133334'::DOUBLE), ('zh', 57, '-0.019024804852266666'::DOUBLE), ('zh', 58, '-0.02238865062048'::DOUBLE), ('zh', 59, '-0.01761927677317333'::DOUBLE), ('zh', 60, '0.005169558289146667'::DOUBLE), ('zh', 61, '-0.0037980903809599997'::DOUBLE), ('zh', 62, '-0.013613257234266667'::DOUBLE), ('zh', 63, '-0.020438122622053332'::DOUBLE)) AS t(c0, c1, c2) ORDER BY "lang", "pos"""",
 
     "sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

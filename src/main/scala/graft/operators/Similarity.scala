@@ -208,6 +208,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-group embedding centroids (mean pooling — prototype/class
+    * vectors). Scale shape: posexplode to (key, pos, v) rows, ONE shuffle
+    * on (key, pos) with partial aggregation, then per-key reassembly in
+    * position order. Sums run through DECIMAL (order-independent exact),
+    * the division is a single IEEE double op — bit-reproducible under any
+    * partitioning, and the SQL oracle reproduces it term for term.
+    *
+    * @return (key, centroid array<double>)
+    */
+  def groupCentroids(df: DataFrame, key: Column, vec: Column): DataFrame =
+    df.select(key.as("k"), posexplode(vec).as(Seq("pos", "v")))
+      .groupBy(col("k"), col("pos"))
+      .agg((sum(col("v").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("k"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (both sides bucketed once; only intra-bucket pairs verified). */
   def embeddingNearDupPairs(

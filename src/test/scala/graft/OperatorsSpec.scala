@@ -125,6 +125,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(corpus == Set(1L, 4L)) // 2 exact-dup, 3 near-dup, 5 low-quality
   }
 
+  test("group centroids: position-ordered exact means per key") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)), ("b", Seq(10.0f, 0.0f)),
+    ).toDF("k", "vec")
+    val got = Similarity.groupCentroids(df, col("k"), col("vec"))
+      .orderBy(col("k")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(got == Map("a" -> Seq(2.0, 4.0), "b" -> Seq(10.0, 0.0)))
+  }
+
   test("IVF top-k: probe-limited search finds the strong neighbor") {
     // 12 corpus vectors: a tight cluster around e1 and another around e2.
     val corpus = (0 until 12).map { i =>
