@@ -630,8 +630,7 @@ object Queries {
           col("fileName"),
           col("fileCategory.accession").as("category_accession"),
           col("fileCategory.value").as("category"),
-          (col("fileCategory.value") === "RESULT" &&
-            col("fileCategory.accession") =!= "PRIDE:1002848").as("is_result"),
+          graft.io.PrideRest.isResultFile.as("is_result"),
           regexp_replace(col("fileName"), "\\.(gz|zip)$", "").as("uncompressed_name"),
           col("fileName").rlike("\\.(gz|zip)$").as("was_compressed"),
           graft.functions.ParamFunctions.ftpToHttps(col("ftp")).as("https_url"))
@@ -658,7 +657,11 @@ object Queries {
 
     // Composite corpus-construction pipeline over the documents table:
     // quality gate -> langid -> exact dedup -> MinHash near-dup components
-    // -> representatives (rows-only; every stage is oracle-verified alone).
+    // -> representatives. The CorpusResult unpersist handle is dropped by
+    // design here: the driver contract needs a lazy DataFrame, and
+    // repeated invocations share ONE cache entry (CacheManager keys on the
+    // canonical plan), so memory is bounded; long-lived library callers
+    // use the handle.
     "tdp_build_corpus" -> ((s, dir) => {
       graft.operators.CorpusPipeline.buildCorpus(
         t(s, dir, "documents").select(col("doc_id").as("id"), col("text")),

@@ -27,9 +27,13 @@ private[graft] abstract class VectorFoldExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** The static kernel's fully-qualified method name (takes two ArrayData
-    * + two "is float element" booleans, returns java.lang.Double). */
+  /** The static kernel's fully-qualified method name for codegen (takes
+    * two ArrayData + two "is float element" booleans, returns
+    * java.lang.Double). */
   protected def kernel: String
+
+  /** The same kernel as a direct method reference for interpreted eval. */
+  protected def kernelFn: (ArrayData, ArrayData, Boolean, Boolean) => java.lang.Double
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -46,7 +50,7 @@ private[graft] abstract class VectorFoldExpr extends BinaryExpression {
   }
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    VectorExprs.eval(kernel, l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+    kernelFn(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
       elemIsFloat(left), elemIsFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,6 +66,7 @@ private[graft] abstract class VectorFoldExpr extends BinaryExpression {
 /** `sum_i a[i]*b[i]` as a primitive loop (cosine / projection kernel). */
 case class DotProductExpr(left: Expression, right: Expression) extends VectorFoldExpr {
   override protected def kernel: String = "graft.functions.VectorExprs.dot"
+  override protected def kernelFn = VectorExprs.dot
   override def prettyName: String = "graft_vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -70,19 +75,13 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorFol
 /** `sum_i (a[i]-b[i])^2` as a primitive loop (KMeans assignment kernel). */
 case class SqDistExpr(left: Expression, right: Expression) extends VectorFoldExpr {
   override protected def kernel: String = "graft.functions.VectorExprs.sqDist"
+  override protected def kernelFn = VectorExprs.sqDist
   override def prettyName: String = "graft_vec_sqdist"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object VectorExprs {
-
-  // Interpreted-eval dispatch (kernel name -> static method); codegen calls
-  // the static method directly.
-  private[graft] def eval(
-      kernel: String, a: ArrayData, b: ArrayData,
-      aFloat: Boolean, bFloat: Boolean): java.lang.Double =
-    if (kernel.endsWith("dot")) dot(a, b, aFloat, bFloat) else sqDist(a, b, aFloat, bFloat)
 
   @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -120,14 +119,28 @@ object VectorExprs {
   val DotName = "graft_vec_dot"
   val SqDistName = "graft_vec_sqdist"
 
+  private[graft] def arity2(name: String)(
+      build: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+      build(exprs(0), exprs(1))
+    }
+
+  // Memoized per session so building many columns (e.g. nBits hyperplane
+  // projections per plan) never re-mutates the shared function registry.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent registration in the session function registry (the same
     * registry route as [[EncodePeptidoformExpr]]). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SqDistName, exprs => SqDistExpr(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        DotName, arity2(DotName)(DotProductExpr), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        SqDistName, arity2(SqDistName)(SqDistExpr), "built-in")
+    }
 
   /** Registers on the active session and emits the native call; without an
     * active session (column built outside a session thread) falls back to

@@ -30,9 +30,7 @@ class PrideRest(
   /** RESULT-category files only, excluding category PRIDE:1002848 (F1,
     * PrideArchiveWebService.java:117-118; PrideAnalysisAssayService.java:128). */
   def resultFiles(spark: SparkSession, accession: String): DataFrame =
-    files(spark, accession)
-      .filter(col("fileCategory.value") === "RESULT" &&
-        col("fileCategory.accession") =!= "PRIDE:1002848")
+    files(spark, accession).filter(PrideRest.isResultFile)
 
   private def jsonToDf(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._
@@ -41,6 +39,12 @@ class PrideRest(
 }
 
 object PrideRest {
+
+  /** F1 gate as a shared predicate, so callers (and the demo oracle
+    * query) can never drift from [[PrideRest.resultFiles]]. */
+  val isResultFile: org.apache.spark.sql.Column =
+    col("fileCategory.value") === "RESULT" &&
+      col("fileCategory.accession") =!= "PRIDE:1002848"
 
   /** Plain `java.net.http` GET with retry/backoff — a driver-side utility,
     * deliberately not a Spark concern (SURVEY §4). */

@@ -158,7 +158,10 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 50,
-      localThreshold: Long = 1000000,
+      /** Driver-tail cutoff in edges. 250k long-pair edges collect to
+        * ~tens of MB transient (broadcast scale); raise only with a
+        * correspondingly sized driver. */
+      localThreshold: Long = 250000,
   ): DataFrame = {
     // Pin the pair DAG once: the caller's candidate-pair plan (minhash /
     // LSH / posting-list joins) is the expensive part, and it would

@@ -220,7 +220,9 @@ object Similarity {
   def groupCentroids(df: DataFrame, key: Column, vec: Column): DataFrame =
     df.select(key.as("k"), posexplode(vec).as(Seq("pos", "v")))
       .groupBy(col("k"), col("pos"))
-      .agg((sum(col("v").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("m"))
+      // count the non-null values sum() actually folded, so a null vector
+      // element can never silently shrink the mean
+      .agg((sum(col("v").cast("decimal(30,12)")).cast("double") / count(col("v"))).as("m"))
       .groupBy(col("k"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))

@@ -195,10 +195,19 @@ object Commands {
     val indexed = indexSidecar match {
       case Some(path) =>
         // A stale/mismatched sidecar (e.g. regenerated spectra JSON) must
-        // fail loudly, not silently truncate the inference input: left join
-        // and raise on the first spectrum with no sidecar row. Plan-level
-        // check — no extra driver action, every row verified in-flight.
-        spectra.join(spark.read.parquet(path).select(col("usi"), col("index")), Seq("usi"), "left")
+        // fail loudly, not silently corrupt the inference input — in either
+        // direction: a MISSING usi would drop spectra at an inner join, a
+        // DUPLICATE usi would fan spectra out through it. Both checks are
+        // plan-level (no extra driver action): the sidecar is grouped per
+        // usi (raising on duplicates), then left-joined (raising on holes).
+        val side = spark.read.parquet(path)
+          .groupBy(col("usi"))
+          .agg(min(col("index")).as("index"), count(lit(1)).as("_n"))
+          .withColumn("index",
+            when(col("_n") === 1, col("index")).otherwise(raise_error(concat(
+              lit(s"corrupt MGF index sidecar $path: duplicate rows for usi "), col("usi")))))
+          .drop("_n")
+        spectra.join(side, Seq("usi"), "left")
           .withColumn("index",
             when(col("index").isNotNull, col("index")).otherwise(raise_error(concat(
               lit(s"stale MGF index sidecar $path: no index row for usi "), col("usi")))))

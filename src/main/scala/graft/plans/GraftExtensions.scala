@@ -26,26 +26,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(VectorExprs.DotName),
       info(VectorExprs.DotName,
         "_FUNC_(a, b) - sequential-fold dot product of two float/double arrays"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+      arity(VectorExprs.DotName, 2)(exprs => DotProductExpr(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier(VectorExprs.SqDistName),
       info(VectorExprs.SqDistName,
         "_FUNC_(a, b) - sequential-fold squared euclidean distance"),
-      (exprs: Seq[Expression]) => SqDistExpr(exprs(0), exprs(1))))
+      arity(VectorExprs.SqDistName, 2)(exprs => SqDistExpr(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier(EncodePeptidoformExpr.FunctionName),
       info(EncodePeptidoformExpr.FunctionName,
         "_FUNC_(sequence, mods, charge) - peptidoform string with positioned mods"),
-      (exprs: Seq[Expression]) => EncodePeptidoformExpr(exprs(0), exprs(1), exprs(2))))
+      arity(EncodePeptidoformExpr.FunctionName, 3)(exprs =>
+        EncodePeptidoformExpr(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier(ModsToStructsExpr.FunctionName),
       info(ModsToStructsExpr.FunctionName,
         "_FUNC_(mods) - positioned modification map to IdentifiedModification structs"),
-      (exprs: Seq[Expression]) => ModsToStructsExpr(exprs(0))))
+      arity(ModsToStructsExpr.FunctionName, 1)(exprs => ModsToStructsExpr(exprs(0)))))
   }
 }

@@ -196,6 +196,36 @@ class CommandsSpec extends AnyFunSuite {
       |{"accession":"PXF4","fileName":"pride.mgf","fileCategory":{"accession":"PRIDE:1002846","value":"PEAK"}}
       |]""".stripMargin
 
+  test("perform-inference sidecar guard: stale (missing usi) and corrupt (dup usi) raise") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sidecar")
+    // index the demo assay, check it, and write its spectra JSON
+    val out = dir.resolve("out").toString
+    val idx = graft.pipeline.DemoAssay.runIndex(spark)
+    graft.io.ArchiveJson.write(idx.archiveSpectra, s"$out/spectra")
+    idx.unpersist()
+    val clusters = write(dir, "clusters.tsv", "f\t0\t1\nf\t1\t1\nf\t2\t2\n")
+
+    // stale: sidecar covers only one usi -> missing rows must raise
+    val stale = dir.resolve("stale.parquet").toString
+    Seq(("mzspec:PXDTEST:run1:index:1", 0L)).toDF("usi", "index")
+      .write.parquet(stale)
+    val e1 = intercept[Exception](graft.pipeline.Commands.performInference(
+      spark, s"$out/spectra", clusters, dir.resolve("o1").toString, Some(stale)))
+    assert(e1.getMessage != null || e1.getCause != null) // raised in-plan
+
+    // corrupt: duplicate usi rows must raise, not fan out
+    val dup = dir.resolve("dup.parquet").toString
+    Seq(("mzspec:PXDTEST:run1:index:1", 0L), ("mzspec:PXDTEST:run1:index:1", 1L),
+      ("mzspec:PXDTEST:run1:index:2", 2L), ("mzspec:PXDTEST:run1:index:3", 3L))
+      .toDF("usi", "index").write.parquet(dup)
+    val e2 = intercept[Exception](graft.pipeline.Commands.performInference(
+      spark, s"$out/spectra", clusters, dir.resolve("o2").toString, Some(dup)))
+    assert(e2.toString.contains("USER_RAISED_EXCEPTION") ||
+      Option(e2.getCause).exists(_.toString.contains("USER_RAISED_EXCEPTION")) ||
+      e2.toString.toLowerCase.contains("sidecar"))
+  }
+
   test("REST scans on recorded fixtures: generated-file drop + F1 category filter") {
     val rest = new PrideRest(fetch = _ => filesJson)
     assert(rest.files(spark, "PXDTEST").count() == 3) // pride.mgf dropped (S4)
