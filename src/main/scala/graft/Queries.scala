@@ -589,6 +589,24 @@ object Queries {
     "io_mztab_scan" -> ((s, _) =>
       jsonSafe(graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId")))),
 
+    // K1/K2 + S5 + F12 — archive JSON-lines roundtrip: the demo assay's
+    // spectra through the partitioned sink (batch = usi field 3), read
+    // back schema-locked, re-validated (F12 structural gate). Every
+    // surviving value is oracle-pinned.
+    "io_archive_json_roundtrip" -> ((s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-demo-json").toString
+      val idx = graft.pipeline.DemoAssay.runIndex(s)
+      graft.io.ArchiveJson.writePartitioned(idx.archiveSpectra, s"$out/spectra")
+      idx.unpersist()
+      val back = graft.io.ArchiveJson.validate(
+        graft.io.ArchiveJson.readPartitioned(s, s"$out/spectra"))
+      jsonSafe(back.select(col("usi"), col("batch"), col("peptideSequence"),
+        col("peptidoform"), col("isDecoy"), col("isValid"), col("precursorMz"),
+        col("precursorCharge"), col("numPeaks"), col("missedCleavages"),
+        col("proteinAccessions"), col("masses"), col("intensities"))
+        .orderBy(col("usi")))
+    }),
+
     // S2 complete: one fixture file per reference spectra FileType
     // (MGF/PKL/mzML/mzXML/MS2/DTA/APL/PRIDE XML), unioned by the same
     // readSpectraDir the CLI uses; every parsed value is oracle-pinned.
@@ -1325,6 +1343,8 @@ object Queries {
     // Expected tables for the IO fixture catalog queries (S1/S2/S3/S4/
     // S7/K4/F1/F2/S8) — generated by tools/gen_values_oracle.py from the
     // fixed fixture content, then reviewed.
+    "io_archive_json_roundtrip" ->
+      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "batch", c2::VARCHAR AS "peptideSequence", c3::VARCHAR AS "peptidoform", c4::BOOLEAN AS "isDecoy", c5::BOOLEAN AS "isValid", c6::DOUBLE AS "precursorMz", c7::INTEGER AS "precursorCharge", c8::INTEGER AS "numPeaks", c9::INTEGER AS "missedCleavages", c10::VARCHAR AS "proteinAccessions", c11::VARCHAR AS "masses", c12::VARCHAR AS "intensities" FROM (VALUES ('mzspec:PXDTEST:run1:index:1', 'run1', 'PEPTIDEK', 'PEP[UNIMOD:35]TIDEK/2', FALSE, TRUE, '400.0'::DOUBLE, 2, 3, 0, '["sp|P1"]', '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), ('mzspec:PXDTEST:run1:index:2', 'run1', 'ELVISLIVESK', 'ELVISLIVESK/2', FALSE, TRUE, '401.0'::DOUBLE, 2, 3, 0, '["sp|P1","sp|P2"]', '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), ('mzspec:PXDTEST:run1:index:3', 'run1', 'AAAAKPEPR', 'AAAAKPEPR/2', FALSE, TRUE, '402.0'::DOUBLE, 2, 3, 0, '["sp|P2"]', '[100.0,200.0,300.0]', '[10.0,20.0,30.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "usi"""",
     "io_spectra_formats" ->
       """SELECT c0::VARCHAR AS "fileName", c1::VARCHAR AS "fileType", c2::BIGINT AS "index", c3::VARCHAR AS "scanId", c4::VARCHAR AS "title", c5::INTEGER AS "msLevel", c6::DOUBLE AS "precursorMz", c7::INTEGER AS "precursorCharge", c8::DOUBLE AS "retentionTime", c9::INTEGER AS "n_peaks", c10::VARCHAR AS "masses", c11::VARCHAR AS "intensities" FROM (VALUES ('legacy.xml', 'PRIDE', 0, '3', '3', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('one.dta', 'DTA', 0, '0', '', 2, '445.998638'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.apl', 'APL', 0, '0', 'RawFile: r1 Index: 5', 2, '445.12'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 0, '7', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 1, '9', '', 2, '600.25'::DOUBLE, 0, NULL, 1, '[300.0]', '[30.0]'), ('run.pkl', 'PKL', 0, '0', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.pkl', 'PKL', 1, '1', '', 2, '600.25'::DOUBLE, 3, NULL, 1, '[300.0]', '[30.0]'), ('run1.mgf', 'MGF', 0, '0', 'spec0', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run1.mgf', 'MGF', 1, '1', 'spec1', 2, '512.75'::DOUBLE, 3, NULL, 1, '[55.5]', '[1.0]'), ('run2.mzML', 'MZML', 0, 'controllerType=0 controllerNumber=1 scan=1', 'controllerType=0 controllerNumber=1 scan=1', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('run2.mzML', 'MZML', 1, 'controllerType=0 controllerNumber=1 scan=2', 'controllerType=0 controllerNumber=1 scan=2', 1, '0.0'::DOUBLE, 0, NULL, 0, '[]', '[]'), ('run3.mzXML', 'MZXML', 0, '7', '7', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "fileName", "index"""",
     "io_mzid_scan" ->
