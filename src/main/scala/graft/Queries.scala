@@ -373,6 +373,15 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Intra-document repetition (duplicate 3-gram ratio — the Gopher-style
+    // boilerplate reject signal).
+    "txt_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.repetitionScore(col("text"), 3).as("rep3_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprints: normalized md5 + order-sensitive rolling hash.
     "txt_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1111,6 +1120,22 @@ object Queries {
         |       WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
         |       WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS predicted
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Repetition: same shingle/window terms, same single IEEE division.
+    "txt_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN len(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))))
+        |      ELSE 1 END AS nd,
+        |    greatest(len(t) - 2, 1) AS total
+        |  FROM toks)
+        |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "txt_fingerprint" ->
       """WITH tk AS (

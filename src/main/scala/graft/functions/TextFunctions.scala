@@ -38,6 +38,16 @@ object TextFunctions {
         .otherwise(array(concat_ws(" ", t))))
   }
 
+  /** Intra-document repetition score (the Gopher-style duplicate-n-gram
+    * quality signal): 1 - distinct n-gram shingles / total n-gram windows,
+    * 0.0 for documents too short to window. High values mean boilerplate /
+    * looped text — a standard corpus-quality reject rule. */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(1)).cast("double")
+    val distinctN = size(wordShingles(text, n)).cast("double")
+    lit(1.0) - distinctN / total
+  }
+
   /** Normalized-text fingerprint: lowercase, strip non-alphanumerics to
     * single spaces, trim, md5. Two documents differing only in case,
     * punctuation, or whitespace collide — the standard first-pass dedup key. */

@@ -125,6 +125,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(corpus == Set(1L, 4L)) // 2 exact-dup, 3 near-dup, 5 low-quality
   }
 
+  test("repetition score: looped text high, varied text zero, short text zero") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "spam ham eggs spam ham eggs spam ham eggs spam ham eggs"), // looped
+      (2L, "every single word here is used exactly once in this doc"), // varied
+      (3L, "too short"), // below window size
+    ).toDF("id", "text")
+    val got = docs.select(col("id"),
+      TextFunctions.repetitionScore(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > 0.5) // 12 tokens -> 10 windows, only 3 distinct
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
   test("group centroids: position-ordered exact means per key") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)), ("b", Seq(10.0f, 0.0f)),
