@@ -153,9 +153,16 @@ object IndexPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- A14 FDR + FDRScore + P9 repair --------------------------------
-    // Auto-switch: one window task is fine to a few million PSMs; a huge
-    // assay takes the range-partitioned distributed sort instead.
-    val psmCount = psmsU.count()
+    // ONE eager aggregate materializes the cache and yields both the F9
+    // counters and the FDR path decision; assay validity then enters the
+    // plan as a literal (no broadcast-subquery crossJoin per output).
+    // Counts come from the UNFILTERED PSM set (decoys counted before any
+    // q-value filter, PrideAnalysisAssayService.java:440-447).
+    val preCounts = psmsU.agg(
+      count(lit(1)).as("nr_psms"),
+      sum(when(col("isDecoy"), 1L).otherwise(0L)).as("nr_decoys")).head()
+    val psmCount = preCounts.getLong(0)
+    val nrDecoys = preCounts.getLong(1)
     val scored =
       if (useDistributedFdr(cfg, psmCount))
         TargetDecoy.withQValuesGlobal(
@@ -242,13 +249,9 @@ object IndexPipeline {
     // The reference stamps EVERY output PSM with the assay-level flag
     // (nrDecoys > 0, PrideAnalysisAssayService.java:448,728); the
     // per-spectrum structural check (F12) lives only in the
-    // spectra-json-check pass (ArchiveJson.validate). Counts come from the
-    // UNFILTERED PSM set (decoys counted before any q-value filter,
-    // :440-447).
-    val preFilter = psmsU.agg(
-      count(lit(1)).as("nr_psms"),
-      sum(when(col("isDecoy"), 1L).otherwise(0L)).as("nr_decoys"))
-    val assayValid = broadcast(preFilter.select((col("nr_decoys") > 0L).as("assayIsValid")))
+    // spectra-json-check pass (ArchiveJson.validate). The flag is a
+    // plan-time literal from the eager pre-count above.
+    val assayValid = lit(nrDecoys > 0L)
 
     // ---- J5 sample properties ------------------------------------------
     // Fallback for files without SDRF rows: the project-level params
@@ -282,7 +285,7 @@ object IndexPipeline {
     // from this frame — without it every caller action replays the full
     // FDR/join/projection DAG. Callers release via IndexOutputs.unpersist().
     val perPsm = sampleProps
-      .crossJoin(assayValid) // one broadcast row: the assay validity flag
+      .withColumn("assayIsValid", assayValid)
       .withColumn("proteinAccessions",
         array_distinct(flatten(collect_list(col("proteinAccessions")).over(wUsi))))
       .withColumn("_rn", row_number().over(wUsi.orderBy(col("psmId"))))
@@ -295,7 +298,10 @@ object IndexPipeline {
     val deltaCounters = perPsm.agg(
       sum(when(col("deltaMass") > 0.9, 1L).otherwise(0L)).as("nr_error_delta"), // F10
       max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)).as("hard_delta_fail"))
-    val validity = preFilter.crossJoin(deltaCounters)
+    val validity = deltaCounters
+      .withColumn("nr_psms", lit(psmCount))
+      .withColumn("nr_decoys", lit(nrDecoys))
+      .select(col("nr_psms"), col("nr_decoys"), col("nr_error_delta"), col("hard_delta_fail"))
 
     // ---- P1 archive spectra --------------------------------------------
     val bestScore = param("MS:1002355", "PSM-level q-value", col("q"))

@@ -40,6 +40,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("scan-parallelism guard keeps filters and pruning pushed below its exchange") {
+    val s = TestSpark.spark
+    val df = Tables(s, "/root/testdata/sf0.001", "lineitem")
+      .filter(col("l_quantity") >= 5)
+      .select(col("l_orderkey"), col("l_quantity"))
+    // sparkPlan: AQE wraps executedPlan in AdaptiveSparkPlanExec, which
+    // hides its children from collect until execution
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    // filter reached the parquet scan...
+    assert(scan.get.metadata("PushedFilters").contains("GreaterThanOrEqual(l_quantity"),
+      scan.get.metadata("PushedFilters"))
+    // ...and the read schema is pruned to the two projected columns
+    assert(scan.get.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = TestSpark.spark // default warehouse dir (static conf); tables dropped below
     val li = Tables(s, "/root/testdata/sf0.001", "lineitem")
