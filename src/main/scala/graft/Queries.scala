@@ -309,6 +309,29 @@ object Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Salted replicated join (hot-key path) — must equal the plain join,
+    // which is exactly what the oracle checks.
+    "a_salted_join" -> ((s, dir) => {
+      graft.operators.Skew.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        key = "l_orderkey",
+        probeUnique = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // W5 — distributed global row index (range-sort + zipWithIndex; the
+    // J4 positional-contract primitive — no single-task Window.orderBy).
+    "w5_global_index" -> ((s, dir) => {
+      graft.operators.GlobalIndex.withGlobalIndex(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq(col("doc_id")), "gidx")
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------- training-data operators
     // Exact dedup: md5 fingerprint, deterministic min-id survivor.
     "dd_exact_dedup" -> ((s, dir) => {
@@ -992,6 +1015,16 @@ object Queries {
     "a_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The salted replicated join must be observationally a plain join.
+    "a_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "w5_global_index" ->
+      """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS gidx
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dd_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint, count(*) AS dup_count
