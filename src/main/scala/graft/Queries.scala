@@ -580,6 +580,13 @@ object Queries {
     "pipeline_index_proteins" -> ((s, _) =>
       jsonSafe(graft.pipeline.DemoAssay.runIndex(s).proteinEvidence
         .orderBy(col("reportedAccession")))),
+    // F9/F10 — the assay validity counters (unfiltered PSM/decoy counts +
+    // post-join delta-mass error counters) as a driver-pinned row.
+    "pipeline_validity" -> ((s, _) => {
+      val idx = graft.pipeline.DemoAssay.runIndex(s)
+      idx.validity
+    }),
+
     "pipeline_cluster_inference" -> ((s, _) => {
       val out = graft.pipeline.ClusterInference.run(
         graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
@@ -1389,6 +1396,13 @@ object Queries {
     // Expected table pinned from the hand-checkable 6-row fixture.
     "fdr_protein_occam" ->
       """SELECT c0::VARCHAR AS "assay", c1::VARCHAR AS "accession", c2::VARCHAR AS "anchorProtein", c3::VARCHAR AS "memberType", c4::INTEGER AS "groupId", c5::INTEGER AS "numberPeptides" FROM (VALUES ('x', 'P1', 'P1', 'representative', 0, 2), ('x', 'P2', 'P1', 'sameset', 0, 2), ('x', 'P3', 'P1', 'subset', 2, 1), ('x', 'P4', 'P4', 'representative', 1, 1)) AS t(c0, c1, c2, c3, c4, c5) ORDER BY "accession"""",
+
+    // Expected row: F9 counters from the 8-row demo assay (7 unique PSMs
+    // after the per-psmId dedup, 1 decoy) + F10 post-join delta counters
+    // (synthetic demo precursors sit far from the peptide masses).
+    "pipeline_validity" ->
+      """SELECT 7::BIGINT AS nr_psms, 1::BIGINT AS nr_decoys,
+        |  3::BIGINT AS nr_error_delta, 1::BIGINT AS hard_delta_fail""".stripMargin,
 
     // Expected table: A10-A12 over the 7-spectrum demo clusters.
     "pipeline_cluster_inference" ->
