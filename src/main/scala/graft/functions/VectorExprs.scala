@@ -27,13 +27,23 @@ private[graft] abstract class VectorFoldExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** The static kernel's fully-qualified method name for codegen (takes
-    * two ArrayData + two "is float element" booleans, returns
-    * java.lang.Double). */
-  protected def kernel: String
+  /** Single source of truth for the kernel: the static method's simple
+    * name in [[VectorExprs]]. Codegen emits a call to it; interpreted
+    * eval resolves the method reference from the SAME name, so the two
+    * evaluation paths can never silently diverge. */
+  protected def kernelName: String
 
-  /** The same kernel as a direct method reference for interpreted eval. */
-  protected def kernelFn: (ArrayData, ArrayData, Boolean, Boolean) => java.lang.Double
+  /** Fully-qualified static call for codegen (two ArrayData + two "is
+    * float element" booleans, returns java.lang.Double). */
+  protected final def kernel: String = s"graft.functions.VectorExprs.$kernelName"
+
+  /** The same kernel as a method reference for interpreted eval. */
+  protected final def kernelFn: (ArrayData, ArrayData, Boolean, Boolean) => java.lang.Double =
+    kernelName match {
+      case "dot" => VectorExprs.dot
+      case "sqDist" => VectorExprs.sqDist
+      case other => throw new IllegalStateException(s"unknown vector kernel $other")
+    }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -65,8 +75,7 @@ private[graft] abstract class VectorFoldExpr extends BinaryExpression {
 
 /** `sum_i a[i]*b[i]` as a primitive loop (cosine / projection kernel). */
 case class DotProductExpr(left: Expression, right: Expression) extends VectorFoldExpr {
-  override protected def kernel: String = "graft.functions.VectorExprs.dot"
-  override protected def kernelFn = VectorExprs.dot
+  override protected def kernelName: String = "dot"
   override def prettyName: String = "graft_vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -74,8 +83,7 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorFol
 
 /** `sum_i (a[i]-b[i])^2` as a primitive loop (KMeans assignment kernel). */
 case class SqDistExpr(left: Expression, right: Expression) extends VectorFoldExpr {
-  override protected def kernel: String = "graft.functions.VectorExprs.sqDist"
-  override protected def kernelFn = VectorExprs.sqDist
+  override protected def kernelName: String = "sqDist"
   override def prettyName: String = "graft_vec_sqdist"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -119,28 +127,35 @@ object VectorExprs {
   val DotName = "graft_vec_dot"
   val SqDistName = "graft_vec_sqdist"
 
-  private[graft] def arity2(name: String)(
-      build: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+  /** Arity-validating registry builder — shared by the lazy per-session
+    * registration below and [[graft.plans.GraftExtensions]], so both
+    * paths fail a wrong-arity call with the same message. */
+  private[graft] def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     exprs => {
-      require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
-      build(exprs(0), exprs(1))
+      require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+      build(exprs)
     }
 
   // Memoized per session so building many columns (e.g. nBits hyperplane
   // projections per plan) never re-mutates the shared function registry.
   private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   /** Idempotent registration in the session function registry (the same
-    * registry route as [[EncodePeptidoformExpr]]). */
-  def register(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+    * registry route as [[EncodePeptidoformExpr]]). The session is marked
+    * registered only AFTER both functions exist, under the map lock, so a
+    * concurrent first use can never resolve against a half-registered
+    * session. */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        DotName, arity2(DotName)(DotProductExpr), "built-in")
+        DotName, arity(DotName, 2)(e => DotProductExpr(e(0), e(1))), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        SqDistName, arity2(SqDistName)(SqDistExpr), "built-in")
+        SqDistName, arity(SqDistName, 2)(e => SqDistExpr(e(0), e(1))), "built-in")
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
+  }
 
   /** Registers on the active session and emits the native call; without an
     * active session (column built outside a session thread) falls back to

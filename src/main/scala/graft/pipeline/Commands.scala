@@ -195,11 +195,14 @@ object Commands {
     val indexed = indexSidecar match {
       case Some(path) =>
         // A stale/mismatched sidecar (e.g. regenerated spectra JSON) must
-        // fail loudly, not silently corrupt the inference input — in either
+        // fail loudly, not silently corrupt the inference input — in every
         // direction: a MISSING usi would drop spectra at an inner join, a
-        // DUPLICATE usi would fan spectra out through it. Both checks are
-        // plan-level (no extra driver action): the sidecar is grouped per
-        // usi (raising on duplicates), then left-joined (raising on holes).
+        // DUPLICATE usi would fan spectra out through it, and an ORPHAN
+        // sidecar usi means the positional contract covers spectra that no
+        // longer exist (cluster members pointing at them would silently
+        // vanish downstream). All three checks are plan-level (no extra
+        // driver action): the sidecar is grouped per usi (raising on
+        // duplicates), then FULL-joined (raising on holes and orphans).
         val side = spark.read.parquet(path)
           .groupBy(col("usi"))
           .agg(min(col("index")).as("index"), count(lit(1)).as("_n"))
@@ -207,10 +210,18 @@ object Commands {
             when(col("_n") === 1, col("index")).otherwise(raise_error(concat(
               lit(s"corrupt MGF index sidecar $path: duplicate rows for usi "), col("usi")))))
           .drop("_n")
-        spectra.join(side, Seq("usi"), "left")
+        // Both raises live INSIDE the `index` column, which every
+        // downstream consumer evaluates (the cluster join keys on it) — a
+        // check in a separate dropped column would be pruned away with it.
+        spectra.withColumn("_present", lit(true))
+          .join(side, Seq("usi"), "full")
           .withColumn("index",
-            when(col("index").isNotNull, col("index")).otherwise(raise_error(concat(
-              lit(s"stale MGF index sidecar $path: no index row for usi "), col("usi")))))
+            when(col("_present").isNull, raise_error(concat(
+              lit(s"stale MGF index sidecar $path: orphan index row for usi "), col("usi"))))
+              .when(col("index").isNull, raise_error(concat(
+                lit(s"stale MGF index sidecar $path: no index row for usi "), col("usi"))))
+              .otherwise(col("index")))
+          .drop("_present")
       case None =>
         graft.operators.GlobalIndex.withGlobalIndex(spectra, Seq(col("usi")), "index")
     }

@@ -160,7 +160,9 @@ object IndexPipeline {
     // q-value filter, PrideAnalysisAssayService.java:440-447).
     val preCounts = psmsU.agg(
       count(lit(1)).as("nr_psms"),
-      sum(when(col("isDecoy"), 1L).otherwise(0L)).as("nr_decoys")).head()
+      // coalesce: sum() over ZERO rows is NULL — an empty assay must reach
+      // the validity gate, not NPE here
+      coalesce(sum(when(col("isDecoy"), 1L).otherwise(0L)), lit(0L)).as("nr_decoys")).head()
     val psmCount = preCounts.getLong(0)
     val nrDecoys = preCounts.getLong(1)
     val scored =

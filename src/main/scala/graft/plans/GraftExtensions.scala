@@ -28,10 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
-    exprs => {
-      require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
-      build(exprs)
-    }
+    VectorExprs.arity(name, n)(build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

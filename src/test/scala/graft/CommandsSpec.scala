@@ -212,7 +212,21 @@ class CommandsSpec extends AnyFunSuite {
       .write.parquet(stale)
     val e1 = intercept[Exception](graft.pipeline.Commands.performInference(
       spark, s"$out/spectra", clusters, dir.resolve("o1").toString, Some(stale)))
-    assert(e1.getMessage != null || e1.getCause != null) // raised in-plan
+    assert(e1.toString.contains("USER_RAISED_EXCEPTION") ||
+      Option(e1.getCause).exists(_.toString.contains("USER_RAISED_EXCEPTION")) ||
+      e1.toString.toLowerCase.contains("sidecar"), e1.toString)
+
+    // orphan: sidecar rows whose usi no longer exists in the spectra JSON
+    // must raise (cluster members pointing at them would silently vanish)
+    val orphan = dir.resolve("orphan.parquet").toString
+    Seq(("mzspec:PXDTEST:run1:index:1", 0L), ("mzspec:PXDTEST:run1:index:2", 1L),
+      ("mzspec:PXDTEST:run1:index:3", 2L), ("mzspec:PXDTEST:run1:index:9", 3L))
+      .toDF("usi", "index").write.parquet(orphan)
+    val e3 = intercept[Exception](graft.pipeline.Commands.performInference(
+      spark, s"$out/spectra", clusters, dir.resolve("o3").toString, Some(orphan)))
+    assert(e3.toString.contains("USER_RAISED_EXCEPTION") ||
+      Option(e3.getCause).exists(_.toString.contains("USER_RAISED_EXCEPTION")) ||
+      e3.toString.toLowerCase.contains("sidecar"), e3.toString)
 
     // corrupt: duplicate usi rows must raise, not fan out
     val dup = dir.resolve("dup.parquet").toString

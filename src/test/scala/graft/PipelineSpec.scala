@@ -196,4 +196,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(ClusterInference.run(spectra, clusters, legacyRatio = true)
       .representatives.count() == 0) // InferenceService.java:126 bug-compat
   }
+
+  test("empty assay: pipeline completes with zeroed validity, no crash") {
+    import org.apache.spark.sql.functions._
+    val psms = graft.pipeline.DemoAssay.psms(spark).filter(lit(false))
+    val out = graft.pipeline.IndexPipeline.run(
+      psms, graft.pipeline.DemoAssay.spectra(spark), None, graft.pipeline.DemoAssay.config)
+    val v = out.validity.head()
+    assert(v.getLong(0) == 0L && v.getLong(1) == 0L) // nr_psms, nr_decoys
+    assert(out.archiveSpectra.count() == 0L)
+    assert(out.proteinEvidence.count() == 0L)
+    out.unpersist()
+  }
 }
