@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{CorpusPipeline, Curation, Dedup}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation scale probe: synthesizes N documents (deterministic
+  * token soup with a planted near-duplicate fraction), then times the
+  * end-to-end corpus build (quality -> langid -> exact dedup -> MinHash
+  * LSH -> connected components -> survivors) plus the standalone
+  * dedup/curation stages — the 100x-the-testdata sanity check that the
+  * shuffle shapes hold when the documents table stops being toy-sized.
+  *
+  *   SPARK_GRAFT_NDOCS=500000 sbt "runMain graft.CorpusBench"
+  *
+  * Prints one JSON line: stage -> seconds plus survivor counts.
+  */
+object CorpusBench {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_NDOCS", "500000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Deterministic synthetic corpus: ~60-token docs from a 1k-word
+    // vocabulary; every 10th document is a near-duplicate of its
+    // predecessor (one token changed) and every 50th an exact duplicate.
+    val vocabSize = 1000
+    val docLen = 60
+    val base = spark.range(nDocs).select(col("id"))
+      .withColumn("toks", transform(sequence(lit(0), lit(docLen - 1)), i =>
+        concat(lit("w"), pmod(xxhash64(col("id") * lit(docLen) + i), lit(vocabSize)))))
+    val docs = base.select(
+      col("id"),
+      when(col("id") % 50 === 0 && col("id") > 0,
+        // exact duplicate of doc id-1's text
+        concat_ws(" ", transform(sequence(lit(0), lit(docLen - 1)), i =>
+          concat(lit("w"), pmod(xxhash64((col("id") - 1) * lit(docLen) + i), lit(vocabSize))))))
+        .when(col("id") % 10 === 0 && col("id") > 0,
+          // near duplicate: predecessor's tokens with the first replaced
+          concat_ws(" ", concat(lit("mut"), col("id")),
+            concat_ws(" ", transform(sequence(lit(1), lit(docLen - 1)), i =>
+              concat(lit("w"), pmod(xxhash64((col("id") - 1) * lit(docLen) + i), lit(vocabSize)))))))
+        .otherwise(concat_ws(" ", col("toks"))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count() // materialize the synthetic input before timing
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (nExact, tExact) = time {
+      Dedup.exact(docs, col("id"), md5(col("text"))).count()
+    }
+    val (nPairs, tLsh) = time {
+      val shingles = docs.select(col("id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("id"), col("shingle"), 16)
+      Dedup.minHashLshPairs(sigs, 4, 4, 0.5).count()
+    }
+    val (nCorpus, tCorpus) = time {
+      val r = CorpusPipeline.buildCorpus(docs,
+        CorpusPipeline.CorpusConfig(minQuality = 0.3, nearDupThreshold = 0.5))
+      val c = r.corpus.count(); r.unpersist(); c
+    }
+    val (nPack, tPack) = time {
+      Curation.packSequences(docs, col("id"),
+        TextFunctions.tokenCountEstimate(col("text")).cast("long"), 2048).count()
+    }
+
+    println(
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f}}""")
+    spark.stop()
+  }
+}
