@@ -28,8 +28,17 @@ object TextFunctions {
   def portableHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct, first-occurrence order), the
+    * MinHash/Jaccard input unit. Evaluates through the native codegen
+    * kernel ([[WordShinglesExpr]]) — the column-expression fold below is
+    * value-identical (property-tested) and remains the no-session
+    * fallback plus the oracle's reference semantics. */
+  def wordShingles(text: Column, n: Int): Column =
+    WordShinglesExpr.shinglesCol(text, n)
+
+  /** The higher-order-function form of [[wordShingles]] — interpreted
+    * lambdas per window; kept as the reference semantics and fallback. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     array_distinct(
       when(size(t) >= n,

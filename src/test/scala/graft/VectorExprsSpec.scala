@@ -77,6 +77,38 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(df.select(VectorExprs.dotNative(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
 
+  test("native word shingles == HOF fold for adversarial whitespace and any n (property)") {
+    import graft.functions.{TextFunctions, WordShinglesExpr}
+    import org.scalacheck.Gen
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val piece = Gen.frequency(
+      (4, tokenGen),
+      (2, Gen.oneOf(wsChars).map(_.toString)),
+      (1, Gen.listOfN(3, Gen.oneOf(wsChars)).map(_.mkString)))
+    val textGen = Gen.frequency(
+      (8, Gen.listOf(piece).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.const("   \t\n  ")))
+    val cases = (1 to 200).flatMap { seed =>
+      val params = org.scalacheck.Gen.Parameters.default
+        .withInitialSeed(org.scalacheck.rng.Seed(seed.toLong))
+      textGen(params, org.scalacheck.rng.Seed(seed.toLong))
+        .map(t => (t, seed % 5 + 1))
+    }
+    assert(cases.length > 150)
+    cases.groupBy(_._2).foreach { case (n, group) =>
+      val df = group.map(_._1).toDF("text")
+      val rows = df.select(
+        WordShinglesExpr.shinglesCol(col("text"), n).as("native"),
+        TextFunctions.wordShinglesHof(col("text"), n).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text=${group.map(_._1)}")
+      }
+    }
+  }
+
   test("kernel runs inside whole-stage codegen (range input defeats local-relation folding)") {
     val df = spark.range(100)
       .select(array((0 until 4).map(i => (col("id") + i).cast("double")): _*).as("a"))
