@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, SqDistExpr, VectorExprs}
+import graft.functions.{DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, SqDistExpr, VectorExprs, WordShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -52,5 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ModsToStructsExpr.FunctionName,
         "_FUNC_(mods) - positioned modification map to IdentifiedModification structs"),
       arity(ModsToStructsExpr.FunctionName, 1)(exprs => ModsToStructsExpr(exprs(0)))))
+    ext.injectFunction((
+      FunctionIdentifier(WordShinglesExpr.FunctionName),
+      info(WordShinglesExpr.FunctionName,
+        "_FUNC_(text, n) - distinct word n-gram shingles, first-occurrence order"),
+      arity(WordShinglesExpr.FunctionName, 2)(exprs =>
+        WordShinglesExpr(exprs(0), exprs(1)))))
   }
 }

@@ -34,6 +34,9 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_mods_to_structs(map(3, 'UNIMOD:35')) AS m")
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(mods.length == 1)
+      val sh = s.sql("SELECT graft_word_shingles('a b c d', 3) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
