@@ -30,7 +30,7 @@ import scala.collection.mutable
 case class WordShinglesExpr(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, IntegerType) if right.foldable =>

@@ -35,6 +35,7 @@ object CorpusPipeline {
     *         plus the cache-release handle
     */
   def buildCorpus(docs: DataFrame, cfg: CorpusConfig = CorpusConfig()): CorpusResult = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val q = TextFunctions.qualityMetrics(col("text"))
     val scored = docs
       .withColumn("quality_score", q.getField("quality_score"))

@@ -30,6 +30,7 @@ object Curation {
       benchmark: DataFrame, // (id, text)
       n: Int = 8,
   ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val benchShingles = broadcast(
       benchmark
         .select(explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))

@@ -303,6 +303,7 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Int = 100,
   ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val shingled = docs
       .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
       .distinct()

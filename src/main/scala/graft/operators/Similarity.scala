@@ -33,6 +33,7 @@ object Similarity {
     * @param k       neighbors per query (self-matches excluded)
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn")))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
@@ -61,6 +62,7 @@ object Similarity {
       dim: Int = 64,
       probeHammingRadius: Int = 0,
   ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
       norm(col("vec")).as("cn"), cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
     val qBase = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
@@ -179,6 +181,7 @@ object Similarity {
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val centroids = deterministicCentroids(corpus, nCells, kmeansIters)
     val centDf = broadcast(centroids.toDF("cell", "centroid"))
 
@@ -219,6 +222,7 @@ object Similarity {
     */
   def groupCentroids(df: DataFrame, key: Column, vec: Column): DataFrame =
     df.select(key.as("k"), posexplode(vec).as(Seq("pos", "v")))
+      // no native kernels here — pure built-ins, nothing to register
       .groupBy(col("k"), col("pos"))
       // count the non-null values sum() actually folded, so a null vector
       // element can never silently shrink the mean
@@ -231,6 +235,7 @@ object Similarity {
     * (both sides bucketed once; only intra-bucket pairs verified). */
   def embeddingNearDupPairs(
       df: DataFrame, threshold: Double, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val b = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
       cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
     b.as("l").join(b.as("r"), Seq("bucket"))

@@ -298,8 +298,11 @@ object IndexPipeline {
     // indexing loop, :646-660). Caller checks nr_decoys>0 &&
     // nr_psms>minPsms (:477-480).
     val deltaCounters = perPsm.agg(
-      sum(when(col("deltaMass") > 0.9, 1L).otherwise(0L)).as("nr_error_delta"), // F10
-      max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)).as("hard_delta_fail"))
+      // coalesce: aggregates over an EMPTY filtered assay are NULL
+      coalesce(sum(when(col("deltaMass") > 0.9, 1L).otherwise(0L)), lit(0L))
+        .as("nr_error_delta"), // F10
+      coalesce(max(when(col("deltaMass") > 10.0, 1L).otherwise(0L)), lit(0L))
+        .as("hard_delta_fail"))
     val validity = deltaCounters
       .withColumn("nr_psms", lit(psmCount))
       .withColumn("nr_decoys", lit(nrDecoys))

@@ -216,6 +216,16 @@ class CommandsSpec extends AnyFunSuite {
       Option(e1.getCause).exists(_.toString.contains("USER_RAISED_EXCEPTION")) ||
       e1.toString.toLowerCase.contains("sidecar"), e1.toString)
 
+    // happy path FIRST: a correct sidecar must run clean through the
+    // full-join guard and produce the inference output
+    val good = dir.resolve("good.parquet").toString
+    Seq(("mzspec:PXDTEST:run1:index:1", 0L), ("mzspec:PXDTEST:run1:index:2", 1L),
+      ("mzspec:PXDTEST:run1:index:3", 2L))
+      .toDF("usi", "index").write.parquet(good)
+    val reps = graft.pipeline.Commands.performInference(
+      spark, s"$out/spectra", clusters, dir.resolve("ok").toString, Some(good))
+    assert(reps.count() >= 1)
+
     // orphan: sidecar rows whose usi no longer exists in the spectra JSON
     // must raise (cluster members pointing at them would silently vanish)
     val orphan = dir.resolve("orphan.parquet").toString

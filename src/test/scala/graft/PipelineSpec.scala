@@ -203,7 +203,8 @@ class PipelineSpec extends AnyFunSuite {
     val out = graft.pipeline.IndexPipeline.run(
       psms, graft.pipeline.DemoAssay.spectra(spark), None, graft.pipeline.DemoAssay.config)
     val v = out.validity.head()
-    assert(v.getLong(0) == 0L && v.getLong(1) == 0L) // nr_psms, nr_decoys
+    // every counter must be a real zero, not a NULL aggregate
+    assert((0 to 3).forall(i => !v.isNullAt(i) && v.getLong(i) == 0L), v.toString)
     assert(out.archiveSpectra.count() == 0L)
     assert(out.proteinEvidence.count() == 0L)
     out.unpersist()
