@@ -92,16 +92,25 @@ object Similarity {
     graft.functions.VectorExprs.sqDistNative(a, b)
 
   // Argmin cell over a PLAN-TIME LITERAL centroid table: a pure projection
-  // — no join, no shuffle. The fold visits cells in ascending order and
-  // replaces only on strict improvement, so ties go to the lower cell.
-  //
-  // Deliberately a higher-order-function fold, NOT an unrolled literal
-  // arithmetic chain: unrolling nCells*dim literals makes a multi-thousand
-  // node expression tree that costs Catalyst seconds of optimizer time PER
-  // PLAN, while the fold's tree is constant-size and its interpreted
-  // per-row cost (nCells*dim flops) is microseconds. (A custom codegen
-  // Expression is the upgrade path if assignment ever dominates.)
-  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  // — no join, no shuffle. Evaluates through the native codegen kernel
+  // (ArgMinCellExpr: the centroid literal decodes ONCE per executor into
+  // a primitive double[][] reference object; assignment is two nested
+  // primitive loops). Assignment DID come to dominate at 1M vectors —
+  // the interpreted per-cell fold cost more than the brute-force scan —
+  // which is exactly the upgrade this kernel delivers. Same ascending
+  // scan + strict-improvement tie rule as the fold below.
+  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.ArgMinCellExpr.register(s)
+        graft.functions.ArgMinCellExpr.argMinCol(vec, cents.sortBy(_._1).map(_._2))
+      case None => assignCellHof(vec, cents)
+    }
+
+  // The struct-accumulator fold form — reference semantics and fallback.
+  // (NOT an unrolled literal arithmetic chain: unrolling nCells*dim
+  // literals costs Catalyst seconds of optimizer time per plan.)
+  private def assignCellHof(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     val centArr = array(cents.sortBy(_._1).map { case (i, v) =>
       struct(lit(i).as("cell"), array(v.map(lit): _*).as("centroid"))
     }: _*)
@@ -136,12 +145,27 @@ object Similarity {
       corpus: DataFrame, // (id, vec) — vec may be float or double
       nCells: Int,
       iters: Int = 10,
+      /** Lloyd trains on a deterministic hash-sample above this many rows
+        * (standard IVF practice — cell geometry needs thousands of
+        * vectors, not the full corpus; training on 1M vectors made IVF
+        * slower than brute force). Below the cap the full input trains,
+        * so small/pinned-oracle corpora are byte-identical. */
+      maxTrainRows: Long = 100000,
   ): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // cached: every Lloyd iteration re-reads this frame
-    val vecs = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("vec"))
+    val all = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = all.count()
+    val vecs =
+      if (total <= maxTrainRows) all
+      else {
+        // deterministic id-hash sample (~maxTrainRows rows, no RNG)
+        val mod = math.max(1L, total / maxTrainRows)
+        all.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy(col("id").asc).limit(nCells)
       .select(col("vec")).as[Seq[Double]].collect().toSeq
       .zipWithIndex.map { case (v, i) => (i, v) }
@@ -161,7 +185,8 @@ object Similarity {
         .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3).toSeq }
       cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
-    vecs.unpersist()
+    if (!(vecs eq all)) vecs.unpersist()
+    all.unpersist()
     cents
   }
 
