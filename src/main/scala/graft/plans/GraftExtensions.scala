@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, SqDistExpr, VectorExprs, WordShinglesExpr}
+import graft.functions.{ArgMinCellExpr, DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, SqDistExpr, VectorExprs, WordShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -58,5 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(text, n) - distinct word n-gram shingles, first-occurrence order"),
       arity(WordShinglesExpr.FunctionName, 2)(exprs =>
         WordShinglesExpr(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(ArgMinCellExpr.FunctionName),
+      info(ArgMinCellExpr.FunctionName,
+        "_FUNC_(vec, centroids) - nearest-centroid cell id (squared euclidean)"),
+      arity(ArgMinCellExpr.FunctionName, 2)(exprs =>
+        ArgMinCellExpr(exprs(0), exprs(1)))))
   }
 }

@@ -37,6 +37,11 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh = s.sql("SELECT graft_word_shingles('a b c d', 3) AS s")
         .head().getSeq[String](0)
       assert(sh == Seq("a b c", "b c d"))
+      val cell = s.sql(
+        "SELECT graft_argmin_cell(array(1.0d, 0.0d), " +
+          "array(array(0.0d, 0.0d), array(1.0d, 0.1d))) AS c")
+        .head().getInt(0)
+      assert(cell == 1)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
