@@ -58,6 +58,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.get.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"))
   }
 
+  test("global index is invariant to input partitioning") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val base = (0L until 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.GlobalIndex.withGlobalIndex(df, Seq(col("k").desc), "gidx")
+        .select(col("k"), col("gidx"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = idx(base.repartition(32))
+    val b = idx(base.coalesce(1))
+    val c = idx(base.repartition(7, col("v")))
+    assert(a == b && b == c)
+    assert(a(4999L) == 0L && a(0L) == 4999L) // desc order contract
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = TestSpark.spark // default warehouse dir (static conf); tables dropped below
     val li = Tables(s, "/root/testdata/sf0.001", "lineitem")

@@ -88,6 +88,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L)) // event 2 is an in-watermark duplicate
   }
 
+  test("session windows: streamed results numerically equal the batch twin") {
+    val dir = Files.createTempDirectory("graft-sess-par").toString
+    val json = (0 until 40).map { i =>
+      val min = (i * 7) % 180 // gaps of 7 min, wrapping -> several sessions
+      f"""{"event_id":$i,"ts":"2024-01-01T${min / 60}%02d:${min % 60}%02d:00.000Z","user_id":${i % 3},"event_type":"a","value":${i * 1.5}}"""
+    }.mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    val q = EventStream
+      .sessionWindows(EventStream.readEventStream(spark, dir), "30 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_par").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Paths.get(dir, "p2.json"),
+        """{"event_id":99,"ts":"2024-01-02T09:00:00.000Z","user_id":9,"event_type":"x","value":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") =!= 9)
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val streamed = canon(spark.table("sess_par"))
+    val batch = canon(EventStream.sessionWindows(
+      spark.read.schema(EventStream.eventSchema).json(dir), "30 minutes"))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),
