@@ -634,9 +634,10 @@ object Queries {
     // surviving value is oracle-pinned.
     "io_archive_json_roundtrip" -> ((s, _) => {
       val out = java.nio.file.Files.createTempDirectory("graft-demo-json").toString
+      // NOTE: no unpersist here — runIndex is session-memoized and shared
+      // by the other pipeline queries; entry points release it on exit.
       val idx = graft.pipeline.DemoAssay.runIndex(s)
       graft.io.ArchiveJson.writePartitioned(idx.archiveSpectra, s"$out/spectra")
-      idx.unpersist()
       val back = graft.io.ArchiveJson.validate(
         graft.io.ArchiveJson.readPartitioned(s, s"$out/spectra"))
       jsonSafe(back.select(col("usi"), col("batch"), col("peptideSequence"),

@@ -72,11 +72,19 @@ object Dedup {
       threshold: Double,
   ): DataFrame = {
     val k = numBands * rowsPerBand
+    // The signature frame feeds four reads below (band self-join left and
+    // right, sig_a, sig_b); left lazy, the caller's signature DAG — a
+    // shingle explode plus a k-way min aggregation, the dominant stage of
+    // the near-dup path — would re-execute once per read. An eager
+    // localCheckpoint materializes it exactly once and cuts the lineage;
+    // blocks are reclaimed by the context cleaner when the result is
+    // dereferenced (same pin contract as [[connectedComponents]]).
+    val sigs = signatures.localCheckpoint(true)
     val bandCols = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("bh"))
     }
-    val banded = signatures
+    val banded = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
@@ -90,9 +98,9 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    val sigA = signatures.select(col("id").as("id_a"),
+    val sigA = sigs.select(col("id").as("id_a"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig_a"))
-    val sigB = signatures.select(col("id").as("id_b"),
+    val sigB = sigs.select(col("id").as("id_b"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig_b"))
 
     candidates

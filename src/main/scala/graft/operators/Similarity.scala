@@ -250,8 +250,17 @@ object Similarity {
       // no native kernels here — pure built-ins, nothing to register
       .groupBy(col("k"), col("pos"))
       // count the non-null values sum() actually folded, so a null vector
-      // element can never silently shrink the mean
-      .agg((sum(col("v").cast("decimal(30,12)")).cast("double") / count(col("v"))).as("m"))
+      // element can never silently shrink the mean. decimal(38,12) leaves
+      // ~1e26 of integer headroom; if a per-(key,pos) sum still overflows,
+      // ANSI-off folds it to NULL — raise instead of emitting a silently
+      // null centroid element (count > 0 means the null can only be
+      // overflow).
+      .agg((coalesce(
+        sum(col("v").cast("decimal(38,12)")),
+        when(count(col("v")) > 0, raise_error(lit(
+          "groupCentroids: decimal(38,12) sum overflow — element magnitude " +
+            "exceeds supported range"))).cast("decimal(38,12)"))
+        .cast("double") / count(col("v"))).as("m"))
       .groupBy(col("k"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
@@ -261,8 +270,13 @@ object Similarity {
   def embeddingNearDupPairs(
       df: DataFrame, threshold: Double, nBits: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // Pin the bucketed side once: the self-join would otherwise compute the
+    // norm + nBits-hyperplane bucket projection twice (once per side).
+    // Eager localCheckpoint = materialize once, lineage cut, blocks
+    // GC-reclaimed (same contract as Dedup.minHashLshPairs' signature pin).
     val b = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
       cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
+      .localCheckpoint(true)
     b.as("l").join(b.as("r"), Seq("bucket"))
       .filter(col("l.id") < col("r.id"))
       .withColumn("cosine",

@@ -45,8 +45,25 @@ object DemoAssay {
     projectAccession = "PXDTEST", assayAccession = "assay1",
     qValueThreshold = 0.05, minPsms = 1)
 
+  /** Session-scoped memo for the demo index run: four driver queries
+    * (pipeline_index_spectra / pipeline_index_proteins / pipeline_validity
+    * / io_archive_json_roundtrip) plus the MGF roundtrip all read this same
+    * 8-row DAG; without the memo each re-derives the full
+    * FDR/join/projection pipeline. Entries hold persisted frames — entry
+    * points call [[releaseIndex]] on exit (the demo's only long-lived
+    * state). */
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, IndexPipeline.IndexOutputs]()
+
   def runIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
-    IndexPipeline.run(psms(spark), spectra(spark), None, config)
+    indexMemo.computeIfAbsent(spark,
+      s => IndexPipeline.run(psms(s), spectra(s), None, config))
+
+  /** Drop and unpersist this session's memoized index run (idempotent). */
+  def releaseIndex(spark: SparkSession): Unit = {
+    val v = indexMemo.remove(spark)
+    if (v != null) v.unpersist()
+  }
 
   def clusterSpectra(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -203,7 +203,6 @@ class CommandsSpec extends AnyFunSuite {
     val out = dir.resolve("out").toString
     val idx = graft.pipeline.DemoAssay.runIndex(spark)
     graft.io.ArchiveJson.write(idx.archiveSpectra, s"$out/spectra")
-    idx.unpersist()
     val clusters = write(dir, "clusters.tsv", "f\t0\t1\nf\t1\t1\nf\t2\t2\n")
 
     // stale: sidecar covers only one usi -> missing rows must raise
