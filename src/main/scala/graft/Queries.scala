@@ -147,6 +147,42 @@ object Queries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // J1 stage 2 — the unique-contains rescue
+    // (JmzReaderSpectrumService.java:85-89) through the production
+    // IndexPipeline.scanKeyJoin: even ids match the exact scan-token key,
+    // odd ids are written WITHOUT a scan= token on the PSM side and
+    // embedded inside a longer spectrum id — rescued only when exactly one
+    // spectrum id contains them (frag1 is ambiguous inside frag11/frag13…,
+    // frag499 is unique).
+    "j1_contains_fallback" -> ((s, dir) => {
+      import graft.functions.UsiFunctions
+      val d = t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 500)
+      val psmKeyed = d.select(
+        col("doc_id").as("psmId"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("scan="), col("doc_id").cast("string")))
+          .otherwise(concat(lit("frag"), col("doc_id").cast("string"))).as("sourceId"),
+        lit("f1.mzML").as("fileName"),
+        lit(UsiFunctions.IdFormat.MzmlId).as("idFormat"))
+        .withColumn("scanKey",
+          UsiFunctions.normalizeScanId(col("sourceId"), col("idFormat")))
+      val spectraKeyed = d.select(
+        lit("f1.mzML").as("fileName"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("controllerType=0 controllerNumber=1 scan="),
+            col("doc_id").cast("string")))
+          .otherwise(concat(lit("id_"), col("doc_id").cast("string"),
+            lit("_frag"), col("doc_id").cast("string"))).as("scanId"),
+        (col("doc_id") % 100 + 400).cast("double").as("precursor_mz"))
+        .withColumn("scanKey", UsiFunctions.normalizeScanId(col("scanId"),
+          lit(UsiFunctions.IdFormat.MzmlId)))
+        .withColumn("spectrumFileType", lit("MZML"))
+        .select("fileName", "scanKey", "scanId", "spectrumFileType", "precursor_mz")
+      graft.pipeline.IndexPipeline.scanKeyJoin(psmKeyed, spectraKeyed)
+        .select(col("psmId"), col("scanKey"), col("precursor_mz"))
+        .orderBy(col("psmId"))
+    }),
+
     // J2 — anti-join completeness guard (unmatched => error in the reference).
     "j2_unmatched_guard" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -587,6 +623,19 @@ object Queries {
       idx.validity
     }),
 
+    // F8 + F11 — gate-differentiating assay variant: uniquePeptides = 2
+    // drops the single-peptide protein sp|P4 from the evidence, and the
+    // injected msLevel-1 spectrum swallows PSM 9. Flipping either filter
+    // off changes this row set (closes the round-3 test-only gap).
+    "pipeline_filter_gates" -> ((s, _) => {
+      val out = graft.pipeline.DemoAssay.filterGateIndex(s)
+      out.archiveSpectra
+        .select(lit("spectrum").as("kind"), col("usi").as("id"))
+        .unionByName(out.proteinEvidence
+          .select(lit("protein").as("kind"), col("reportedAccession").as("id")))
+        .orderBy(col("kind"), col("id"))
+    }),
+
     "pipeline_cluster_inference" -> ((s, _) => {
       val out = graft.pipeline.ClusterInference.run(
         graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
@@ -918,6 +967,45 @@ object Queries {
         |SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM o JOIN lineitem ON CAST(regexp_replace(skey, '^scan=', '') AS BIGINT) = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j1_contains_fallback" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+        |psmk AS (
+        |  SELECT doc_id AS psmId,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'scan=' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'frag' || CAST(doc_id AS VARCHAR) END AS sourceId,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR)
+        |         ELSE 'frag' || CAST(doc_id AS VARCHAR) END AS scanKey
+        |  FROM d),
+        |speck AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'controllerType=0 controllerNumber=1 scan=' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'id_' || CAST(doc_id AS VARCHAR) || '_frag' || CAST(doc_id AS VARCHAR) END AS scanId,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR)
+        |         ELSE 'id_' || CAST(doc_id AS VARCHAR) || '_frag' || CAST(doc_id AS VARCHAR) END AS scanKey,
+        |    CAST(doc_id % 100 + 400 AS DOUBLE) AS precursor_mz
+        |  FROM d),
+        |exact AS (
+        |  SELECT p.psmId, p.scanKey, s.precursor_mz
+        |  FROM psmk p JOIN speck s ON p.scanKey = s.scanKey),
+        |unmatched AS (
+        |  SELECT p.*,
+        |    CASE WHEN starts_with(p.sourceId, 'scan=') THEN replace(p.sourceId, 'scan=', '')
+        |         ELSE p.sourceId END AS strippedId
+        |  FROM psmk p WHERE NOT EXISTS (SELECT 1 FROM speck s WHERE s.scanKey = p.scanKey)),
+        |lkp AS (SELECT DISTINCT strippedId FROM unmatched),
+        |hits AS (
+        |  SELECT l.strippedId, s.precursor_mz
+        |  FROM lkp l JOIN speck s ON contains(s.scanId, l.strippedId)),
+        |uniq AS (
+        |  SELECT strippedId, max(precursor_mz) AS precursor_mz
+        |  FROM hits GROUP BY strippedId HAVING count(*) = 1),
+        |rescued AS (
+        |  SELECT u.psmId, u.scanKey, q.precursor_mz
+        |  FROM unmatched u JOIN uniq q USING (strippedId))
+        |SELECT psmId, scanKey, precursor_mz FROM exact
+        |UNION ALL SELECT psmId, scanKey, precursor_mz FROM rescued
+        |ORDER BY psmId""".stripMargin,
 
     "j2_unmatched_guard" ->
       """SELECT count(*) AS n_unmatched FROM customer c
@@ -1432,6 +1520,12 @@ object Queries {
     // Expected table: MGF write->read round-trip of the demo assay.
     "io_mgf_roundtrip" ->
       """SELECT c0::BIGINT AS "index", c1::VARCHAR AS "scanId", c2::VARCHAR AS "title", c3::INTEGER AS "msLevel", c4::DOUBLE AS "precursorMz", c5::INTEGER AS "precursorCharge", c6::DOUBLE AS "retentionTime", c7::VARCHAR AS "masses", c8::VARCHAR AS "intensities" FROM (VALUES (0, '0', 'id=mzspec:PXDTEST:run1:index:1,sequence=PEP[UNIMOD:35]TIDEK/2', 2, '400.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (1, '1', 'id=mzspec:PXDTEST:run1:index:2,sequence=ELVISLIVESK/2', 2, '401.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (2, '2', 'id=mzspec:PXDTEST:run1:index:3,sequence=AAAAKPEPR/2', 2, '402.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8) ORDER BY "index"""",
+
+    // Expected table: F8/F11 gate-differentiating assay variant — sp|P4
+    // absent (uniquePeptides=2, while its PSM survives as index:8), PSM 9's
+    // spectrum absent (msLevel-1).
+    "pipeline_filter_gates" ->
+      """SELECT c0::VARCHAR AS "kind", c1::VARCHAR AS "id" FROM (VALUES ('protein', 'sp|P1'), ('protein', 'sp|P2'), ('spectrum', 'mzspec:PXDTEST:run1:index:1'), ('spectrum', 'mzspec:PXDTEST:run1:index:2'), ('spectrum', 'mzspec:PXDTEST:run1:index:3'), ('spectrum', 'mzspec:PXDTEST:run1:index:8')) AS t(c0, c1) ORDER BY "kind", "id"""",
 
     // Expected table: the full generate-index-files protein output on
     // the demo assay (complex columns as their JSON text).

@@ -53,16 +53,54 @@ object DemoAssay {
     * points call [[releaseIndex]] on exit (the demo's only long-lived
     * state). */
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, IndexPipeline.IndexOutputs]()
+    (SparkSession, String), IndexPipeline.IndexOutputs]()
 
   def runIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
-    indexMemo.computeIfAbsent(spark,
-      s => IndexPipeline.run(psms(s), spectra(s), None, config))
+    indexMemo.computeIfAbsent((spark, "default"),
+      { case (s, _) => IndexPipeline.run(psms(s), spectra(s), None, config) })
 
-  /** Drop and unpersist this session's memoized index run (idempotent). */
+  /** Drop and unpersist this session's memoized index runs (idempotent). */
   def releaseIndex(spark: SparkSession): Unit = {
-    val v = indexMemo.remove(spark)
-    if (v != null) v.unpersist()
+    import scala.jdk.CollectionConverters._
+    indexMemo.keySet.asScala.filter(_._1 eq spark).toSeq.foreach { k =>
+      val v = indexMemo.remove(k)
+      if (v != null) v.unpersist()
+    }
+  }
+
+  /** F8/F11 differentiating variant (round-3 gap): the demo assay plus a
+    * single-peptide protein sp|P4 (dropped only when `uniquePeptides` = 2,
+    * F8) and PSM 9 aimed at an injected msLevel-1 spectrum (swallowed only
+    * by the F11 gate). Flipping either filter off changes the row set. */
+  def filterGateIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
+    indexMemo.computeIfAbsent((spark, "filterGates"),
+      { case (s, _) => buildFilterGateIndex(s) })
+
+  private def buildFilterGateIndex(spark: SparkSession): IndexPipeline.IndexOutputs = {
+    import spark.implicits._
+    val extraPsms = Seq(
+      ("9", "MSLEVELONEK", "sp|P1", false, 5.5, 2, 630.84, 630.84,
+        Map.empty[Int, String], "index=6"),
+      ("10", "ONLYONEPEPK", "sp|P4", false, 5.0, 2, 635.35, 635.35,
+        Map.empty[Int, String], "index=7"),
+    ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
+      .withColumn("fileName", lit("run1.mgf"))
+      .withColumn("idFormat", lit(UsiFunctions.IdFormat.MultiPeakListNativeId))
+      .withColumn("fileType", lit("MGF"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+    val extraSpectra = Seq(
+      ("run1.mgf", 6L, "6", "spec6", 1, 406.0, 2, // msLevel 1 -> F11 drop
+        Some(66.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
+      ("run1.mgf", 7L, "7", "spec7", 2, 407.0, 2,
+        Some(67.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
+    ).toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
+        "precursorCharge", "retentionTime", "masses", "intensities")
+      .withColumn("fileType", lit("MGF"))
+    IndexPipeline.run(
+      psms(spark).unionByName(extraPsms),
+      spectra(spark).unionByName(extraSpectra),
+      None, config.copy(uniquePeptides = 2))
   }
 
   def clusterSpectra(spark: SparkSession): DataFrame = {

@@ -116,6 +116,73 @@ object IndexPipeline {
           properties = Seq.empty)
       })
 
+  /** J1 — PSM⋈spectrum resolution: the reference's staged id lookup
+    * (JmzReaderSpectrumService.getSpectrumById:70-106) as joins.
+    *
+    *  1. Exact: equi-join on the normalized `scanKey`
+    *     (UsiFunctions.normalizeScanId on both sides folds the reference's
+    *     raw-id equality and its per-token `scan=N` stage — :92-100 — into
+    *     one key).
+    *  2. Unique-contains rescue (:85-89): PSMs the exact join missed are
+    *     matched to the spectrum id of the same file that CONTAINS the
+    *     PSM's `scan=`-stripped id (:72-73), kept only when that
+    *     containing id is UNIQUE — zero or several hits leave the PSM
+    *     dropped, exactly like the reference.
+    *
+    * Scale shape: stage 2's probe set is only the exact-join misses —
+    * malformed-id rows, rare by construction — broadcast against ONE pass
+    * over the spectra (contains-theta join); the uniqueness gate is a tiny
+    * aggregation over the hits. Index-addressed formats (the MGF family)
+    * are never rescued: the reference reads those positionally
+    * (getSpectrumByIndex), not by id.
+    *
+    * @param psmKeyed PSM rows incl. `fileName`, `sourceId`, `idFormat`,
+    *                 `scanKey`
+    * @param spectraKeyed spectrum rows: `fileName`, `scanKey`, `scanId`,
+    *                 `spectrumFileType` + payload columns (the first four
+    *                 drive the join; `scanId`/`spectrumFileType` are
+    *                 dropped from the output)
+    * @return exact + rescued rows; rescued rows keep the PSM's `scanKey`
+    *         (USI identifiers derive from the PSM's own annotation)
+    */
+  def scanKeyJoin(psmKeyed: DataFrame, spectraKeyed: DataFrame): DataFrame = {
+    val specPayload = spectraKeyed.drop("scanId", "spectrumFileType")
+    val exact = psmKeyed.join(specPayload, Seq("fileName", "scanKey"), "inner")
+
+    val idBased = col("idFormat").isin(
+      UsiFunctions.IdFormat.SpectrumNativeId, UsiFunctions.IdFormat.MzmlId)
+    val unmatched = psmKeyed
+      .join(spectraKeyed.select("fileName", "scanKey"),
+        Seq("fileName", "scanKey"), "left_anti")
+      .filter(idBased)
+      .withColumn("_strippedId",
+        when(col("sourceId").startsWith("scan="),
+          regexp_replace(col("sourceId"), "scan=", ""))
+          .otherwise(col("sourceId"))) // :72-73
+
+    val lookup = unmatched.select(col("fileName"), col("_strippedId")).distinct()
+    val containsBase = spectraKeyed
+      .filter(!col("spectrumFileType").isin("MGF", "PKL", "APL", "DTA", "MS2"))
+    val payloadCols = containsBase.columns
+      .filterNot(Seq("fileName", "scanKey", "scanId", "spectrumFileType").contains).toSeq
+    val hits = containsBase.join(
+      broadcast(lookup.withColumnRenamed("fileName", "_lf")),
+      col("fileName") === col("_lf") && col("scanId").contains(col("_strippedId")))
+      .drop("_lf")
+    val uniqueHits = hits
+      .groupBy(col("fileName"), col("_strippedId"))
+      .agg(count(lit(1)).as("_nh"),
+        first(struct(payloadCols.map(col): _*)).as("_spec"))
+      .filter(col("_nh") === 1) // :88 — only a UNIQUE containing id rescues
+      .select(Seq(col("fileName"), col("_strippedId")) ++
+        payloadCols.map(c => col(s"_spec.$c").as(c)): _*)
+
+    val rescued = unmatched
+      .join(uniqueHits, Seq("fileName", "_strippedId"), "inner")
+      .drop("_strippedId")
+    exact.unionByName(rescued.select(exact.columns.map(col).toSeq: _*))
+  }
+
   /** Runs the full index step.
     *
     * @param psms standardized PSM rows (MzTabIO.standardPsms shape) plus
@@ -199,7 +266,9 @@ object IndexPipeline {
 
     // Spectrum-side key: MGF joins by 1-based index (the Mascot/MGF `+1`
     // rule, SubmissionPipelineUtils.java:229-235 — jmzReader MGF access is
-    // 1-based); mzML joins by the scan= token of its native id.
+    // 1-based); mzML joins by the scan= token of its native id. scanId and
+    // the spectrum-side fileType ride along for the stage-2 contains
+    // rescue, scanKeyJoin drops them before the equi-join.
     val spectraKeyed = spectra
       .filter(col("msLevel") =!= 1) // F11 (JmzReaderSpectrumService.java:105-106)
       .withColumn("scanKey",
@@ -210,10 +279,12 @@ object IndexPipeline {
       .withColumnRenamed("retentionTime", "spectrumRt")
       .withColumnRenamed("precursorMz", "spectrumPrecursorMz")
       .withColumnRenamed("precursorCharge", "spectrumPrecursorCharge")
-      .select("fileName", "scanKey", "msLevel", "spectrumPrecursorMz",
-        "spectrumPrecursorCharge", "spectrumRt", "masses", "intensities")
+      .withColumnRenamed("fileType", "spectrumFileType")
+      .select("fileName", "scanKey", "scanId", "spectrumFileType", "msLevel",
+        "spectrumPrecursorMz", "spectrumPrecursorCharge", "spectrumRt",
+        "masses", "intensities")
 
-    val joined = psmKeyed.join(spectraKeyed, Seq("fileName", "scanKey"), "inner")
+    val joined = scanKeyJoin(psmKeyed, spectraKeyed)
 
     // ---- P3-P6 identifiers ---------------------------------------------
     val isWiff = UsiFunctions.isWiffId(col("sourceId"))

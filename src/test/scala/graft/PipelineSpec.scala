@@ -197,6 +197,56 @@ class PipelineSpec extends AnyFunSuite {
       .representatives.count() == 0) // InferenceService.java:126 bug-compat
   }
 
+  test("J1 stage-2 unique-contains rescue (JmzReaderSpectrumService:85-89)") {
+    val MZML = graft.functions.UsiFunctions.IdFormat.MzmlId
+    // exact-miss PSMs: one uniquely-contained, one ambiguous, one targeting
+    // an index-addressed (MGF) file that must never be rescued; plus one
+    // exact hit via the scan-token key
+    val psmKeyed = Seq(
+      ("p_exact", "scan=9", "a.mzML", MZML),
+      ("p_unique", "scan=foo7", "a.mzML", MZML), // strippedId foo7, 1 hit
+      ("p_ambig", "amb", "a.mzML", MZML), // contained in 2 spectrum ids
+      ("p_mgf", "frag3", "b.mgf", MZML), // MGF family: index-addressed
+    ).toDF("psmId", "sourceId", "fileName", "idFormat")
+      .withColumn("scanKey", graft.functions.UsiFunctions.normalizeScanId(
+        col("sourceId"), col("idFormat")))
+    val spectraKeyed = Seq(
+      ("a.mzML", "controllerType=0 controllerNumber=1 scan=9", "MZML", 1.0),
+      ("a.mzML", "run foo7 extra", "MZML", 2.0),
+      ("a.mzML", "amb left", "MZML", 3.0),
+      ("a.mzML", "amb right", "MZML", 4.0),
+      ("b.mgf", "has frag3 inside", "MGF", 5.0),
+    ).toDF("fileName", "scanId", "spectrumFileType", "payload")
+      .withColumn("scanKey", graft.functions.UsiFunctions.normalizeScanId(
+        col("scanId"), lit(MZML)))
+      .select("fileName", "scanKey", "scanId", "spectrumFileType", "payload")
+    val out = IndexPipeline.scanKeyJoin(psmKeyed, spectraKeyed)
+      .select("psmId", "scanKey", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toMap2
+    assert(out == Map(
+      "p_exact" -> ("9", 1.0), // stage-1 scan-token equi-join
+      "p_unique" -> ("foo7", 2.0), // rescued; keeps the PSM's own scanKey
+    )) // p_ambig: 2 containing ids -> dropped; p_mgf: never id-rescued
+  }
+
+  private implicit class Tuples3(rows: Array[(String, String, Double)]) {
+    def toMap2: Map[String, (String, Double)] =
+      rows.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
+
+  test("F8/F11 filter-gate assay differentiates both gates") {
+    val out = graft.pipeline.DemoAssay.filterGateIndex(spark)
+    val prots = out.proteinEvidence.select("reportedAccession")
+      .as[String].collect().sorted
+    // sp|P4 has one unique peptide -> F8 (uniquePeptides=2) drops it, even
+    // though its PSM survives every PSM-level gate (index:8 below)
+    assert(prots.sameElements(Array("sp|P1", "sp|P2")), prots.mkString(","))
+    val usis = out.archiveSpectra.select("usi").as[String].collect().sorted
+    assert(usis.contains("mzspec:PXDTEST:run1:index:8"))
+    // PSM 9 differs from PSM 10 only in targeting the msLevel-1 spectrum
+    assert(!usis.exists(_.endsWith("index:7")), usis.mkString(","))
+  }
+
   test("empty assay: pipeline completes with zeroed validity, no crash") {
     import org.apache.spark.sql.functions._
     val psms = graft.pipeline.DemoAssay.psms(spark).filter(lit(false))
