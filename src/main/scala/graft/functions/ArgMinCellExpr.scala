@@ -73,8 +73,12 @@ object ArgMinCellExpr {
 
   /** Static kernel: nearest cell by squared euclidean, ascending scan,
     * strict improvement (ties keep the lower cell); NULL on a null
-    * element or a dimension mismatch (the fold's null semantics). */
+    * element, a dimension mismatch, or an EMPTY centroid table — the
+    * same cases the HOF fallback folds to NULL, so active-session and
+    * no-session paths agree ([[graft.operators.Similarity]] additionally
+    * rejects an empty table at operator entry). */
   def argMin(vec: ArrayData, matrix: Array[Array[Double]], isFloat: Boolean): java.lang.Integer = {
+    if (matrix.length == 0) return null
     val dim = vec.numElements()
     var best = Double.MaxValue
     var cell = Int.MaxValue

@@ -32,7 +32,13 @@ object TextFunctions {
     * MinHash/Jaccard input unit. Evaluates through the native codegen
     * kernel ([[WordShinglesExpr]]) — the column-expression fold below is
     * value-identical (property-tested) and remains the no-session
-    * fallback plus the oracle's reference semantics. */
+    * fallback plus the oracle's reference semantics.
+    *
+    * Session caveat: the kernel registers on the THREAD-LOCAL active
+    * session at column-build time; for a DataFrame owned by a different
+    * session (`newSession()`), call
+    * [[GraftFunctions.ensureRegistered]]`(df.sparkSession)` first (every
+    * graft operator entry point already does). */
   def wordShingles(text: Column, n: Int): Column =
     WordShinglesExpr.shinglesCol(text, n)
 

@@ -14,7 +14,14 @@ object VectorFunctions {
     * double before multiply, so float inputs are exact). Evaluates through
     * the native codegen kernel ([[DotProductExpr]]) — a primitive loop with
     * the same sequential fold order, so values are bit-identical to the
-    * higher-order-function form the SQL oracle reproduces. */
+    * higher-order-function form the SQL oracle reproduces.
+    *
+    * Session caveat: the kernel registers on the THREAD-LOCAL active
+    * session at column-build time. A DataFrame owned by a different
+    * session (`newSession()` isolates the function registry) can fail
+    * analysis with an undefined function — call
+    * [[GraftFunctions.ensureRegistered]]`(df.sparkSession)` first (every
+    * graft operator entry point already does). */
   def dot(a: Column, b: Column): Column = VectorExprs.dotNative(a, b)
 
   /** Euclidean norm. */

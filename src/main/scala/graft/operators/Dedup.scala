@@ -277,7 +277,10 @@ object Dedup {
       val (ru, rv) = (find(row.get(0)), find(row.get(1)))
       if (ru != rv) parent(ord.max(ru, rv)) = ord.min(ru, rv)
     }
-    val labels = parent.keys.map(x => (x, find(x))).toSeq
+    // snapshot the keys BEFORE mapping: find() path-compresses into the
+    // same map, and mutating a map while iterating its live key view is
+    // undefined even when only existing values change
+    val labels = parent.keys.toSeq.map(x => (x, find(x)))
     val rows = labels.map { case (id, c) => org.apache.spark.sql.Row(id, c) }
     val schema = StructType(Seq(
       StructField("id", idType), StructField("c", idType)))

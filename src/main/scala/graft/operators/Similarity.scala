@@ -99,13 +99,15 @@ object Similarity {
   // the interpreted per-cell fold cost more than the brute-force scan —
   // which is exactly the upgrade this kernel delivers. Same ascending
   // scan + strict-improvement tie rule as the fold below.
-  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "assignCell: empty centroid table")
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
         graft.functions.ArgMinCellExpr.register(s)
         graft.functions.ArgMinCellExpr.argMinCol(vec, cents.sortBy(_._1).map(_._2))
       case None => assignCellHof(vec, cents)
     }
+  }
 
   // The struct-accumulator fold form — reference semantics and fallback.
   // (NOT an unrolled literal arithmetic chain: unrolling nCells*dim
@@ -117,7 +119,7 @@ object Similarity {
     // field aliases are dropped inside lambda bodies — pin the accumulator
     // schema with an explicit cast on both branches
     val accType = "struct<d:double,cell:int>"
-    aggregate(
+    val folded = aggregate(
       centArr,
       struct(lit(Double.MaxValue), lit(Int.MaxValue)).cast(accType),
       (acc, c) => {
@@ -126,6 +128,10 @@ object Similarity {
           struct(d, c.getField("cell")).cast(accType)).otherwise(acc)
       },
       acc => acc.getField("cell"))
+    // A surviving Int.MaxValue sentinel means no distance ever compared
+    // true — null element / dimension mismatch (sqDist → NULL). Fold those
+    // to NULL for value parity with the native kernel ([[ArgMinCellExpr]]).
+    when(folded === Int.MaxValue, lit(null).cast("int")).otherwise(folded)
   }
 
   /** Deterministic distributed KMeans (Lloyd) for IVF cell training.

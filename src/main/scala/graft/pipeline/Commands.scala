@@ -200,9 +200,9 @@ object Commands {
         // DUPLICATE usi would fan spectra out through it, and an ORPHAN
         // sidecar usi means the positional contract covers spectra that no
         // longer exist (cluster members pointing at them would silently
-        // vanish downstream). All three checks are plan-level (no extra
-        // driver action): the sidecar is grouped per usi (raising on
-        // duplicates), then FULL-joined (raising on holes and orphans).
+        // vanish downstream). Duplicate/missing checks are plan-level: the
+        // sidecar is grouped per usi (raising on duplicates), then
+        // left-joined (raising on holes).
         val side = spark.read.parquet(path)
           .groupBy(col("usi"))
           .agg(min(col("index")).as("index"), count(lit(1)).as("_n"))
@@ -210,18 +210,23 @@ object Commands {
             when(col("_n") === 1, col("index")).otherwise(raise_error(concat(
               lit(s"corrupt MGF index sidecar $path: duplicate rows for usi "), col("usi")))))
           .drop("_n")
-        // Both raises live INSIDE the `index` column, which every
-        // downstream consumer evaluates (the cluster join keys on it) — a
-        // check in a separate dropped column would be pruned away with it.
-        spectra.withColumn("_present", lit(true))
-          .join(side, Seq("usi"), "full")
+        // The orphan check is EAGER (one tiny anti-join job over the
+        // sidecar): an in-plan raise on the orphan row would only fire if
+        // a consumer evaluated `index` for that row — a downstream filter
+        // dropping orphan rows first would silently skip it.
+        val orphan = side.join(spectra.select(col("usi")), Seq("usi"), "left_anti")
+          .select(col("usi")).limit(1).collect()
+        if (orphan.nonEmpty) throw new IllegalStateException(
+          s"stale MGF index sidecar $path: orphan index row for usi ${orphan(0).getString(0)}")
+        // The duplicate/hole raises live INSIDE the `index` column, which
+        // every downstream consumer evaluates (the cluster join keys on
+        // it) — a check in a separate dropped column would be pruned away
+        // with it.
+        spectra.join(side, Seq("usi"), "left")
           .withColumn("index",
-            when(col("_present").isNull, raise_error(concat(
-              lit(s"stale MGF index sidecar $path: orphan index row for usi "), col("usi"))))
-              .when(col("index").isNull, raise_error(concat(
-                lit(s"stale MGF index sidecar $path: no index row for usi "), col("usi"))))
+            when(col("index").isNull, raise_error(concat(
+              lit(s"stale MGF index sidecar $path: no index row for usi "), col("usi"))))
               .otherwise(col("index")))
-          .drop("_present")
       case None =>
         graft.operators.GlobalIndex.withGlobalIndex(spectra, Seq(col("usi")), "index")
     }
