@@ -616,6 +616,15 @@ object Queries {
     "pipeline_index_proteins" -> ((s, _) =>
       jsonSafe(graft.pipeline.DemoAssay.runIndex(s).proteinEvidence
         .orderBy(col("reportedAccession")))),
+    // PIA protein-FDR parity variant (PIAModelerService.java:80-101):
+    // proteins scored and calibrated off the PSM-level FDR score (the
+    // Combined-FDR-Score family) of the best PSM per peptide. The demo's
+    // accepted PSM q-values all tie while their FDR scores differ, so the
+    // reported score properties change per protein — flipping
+    // `proteinScoreFromPsmFdrScore` off breaks this query's hash.
+    "pipeline_proteins_combined_fdr" -> ((s, _) =>
+      jsonSafe(graft.pipeline.DemoAssay.combinedFdrProteinIndex(s).proteinEvidence
+        .orderBy(col("reportedAccession")))),
     // F9/F10 — the assay validity counters (unfiltered PSM/decoy counts +
     // post-join delta-mass error counters) as a driver-pinned row.
     "pipeline_validity" -> ((s, _) => {
@@ -1531,6 +1540,13 @@ object Queries {
     // the demo assay (complex columns as their JSON text).
     "pipeline_index_proteins" ->
       """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
+
+    // Expected table: the PIA protein-FDR parity variant (proteins scored
+    // off the PSM-level FDR score; see pipeline_proteins_combined_fdr in
+    // queries) — values hand-checked: sp|P1 = -log10(.0238095)-log10(.047619)
+    // = 2.94547, sp|P2 = -log10(.047619)-log10(.0714286) = 2.46835.
+    "pipeline_proteins_combined_fdr" ->
+      """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"2.94547"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 FDRScore)","value":"2.94547"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"2.46835"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 FDRScore)","value":"2.46835"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
 
     // Expected table: the full generate-index-files spectrum output on
     // the demo assay (complex columns as their JSON text).

@@ -103,6 +103,18 @@ object DemoAssay {
       None, config.copy(uniquePeptides = 2))
   }
 
+  /** PIA protein-FDR parity variant: the same demo rows with proteins
+    * scored and calibrated off the PSM-level FDR score
+    * (`proteinScoreFromPsmFdrScore`, PIAModelerService.java:80-101)
+    * instead of best PSM q. Differentiates from [[runIndex]]'s protein
+    * output: the demo PSM FDR scores (rank-interpolated) differ per PSM
+    * while all accepted q-values tie, so the multiplicative score — and
+    * the reported score properties — change per protein. */
+  def combinedFdrProteinIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
+    indexMemo.computeIfAbsent((spark, "combinedFdrProteins"),
+      { case (s, _) => IndexPipeline.run(psms(s), spectra(s), None,
+          config.copy(proteinScoreFromPsmFdrScore = true)) })
+
   def clusterSpectra(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(

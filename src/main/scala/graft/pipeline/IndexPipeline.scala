@@ -57,6 +57,16 @@ object IndexPipeline {
       /** Decoy accession prefix — must match the PSM parser's
         * (MzTabIO.standardPsms decoyPrefix). */
       decoyPrefix: String = "DECOY_",
+      /** PIA protein-FDR parity variant (PIAModelerService.java:80-101):
+        * PIA scores proteins with MultiplicativeScoring over the
+        * PSM-level FDR SCORE (the Combined-FDR-Score family) of the best
+        * PSM per peptide (PSMForScoring.ONLY_BEST), then calibrates the
+        * protein target-decoy q over that protein score
+        * (`updateFDRData`/`calculateFDR`). When true, the protein stage
+        * does the same: best-per-peptide selection, the multiplicative
+        * score, the picked competition, and the q calibration all key on
+        * the PSM `fdrScore` instead of the default best-PSM-q basis. */
+      proteinScoreFromPsmFdrScore: Boolean = false,
       /** J5 fallback: project-level sample (name, value) params — e.g.
         * organism / organism part / disease from the project metadata —
         * stamped on PSMs whose file has NO SDRF characteristics
@@ -432,24 +442,36 @@ object IndexPipeline {
     val exploded = perPsm.select(
       explode(col("proteinAccessions")).as("accession"),
       col("usi"), col("peptideSequence"), col("peptidoform"), col("isDecoy"),
-      col("charge"), col("expMassToCharge"), col("q"), col("modifications"))
+      col("charge"), col("expMassToCharge"), col("q"), col("fdrScore"),
+      col("modifications"))
+
+    // The per-PSM error estimate the protein stage keys on: best PSM q by
+    // default, or the PSM-level FDR score (Combined-FDR family) when the
+    // PIA-parity flag is set — used consistently for best-per-peptide
+    // selection, the multiplicative score, and the q calibration below.
+    val scoreBasis =
+      if (cfg.proteinScoreFromPsmFdrScore) col("fdrScore") else col("q")
 
     // A3 dedup: ONE psm per distinct peptideSequence per protein (the
-    // reference's TreeSet(comparing(getPeptideSequence)), :954-955).
+    // reference's TreeSet(comparing(getPeptideSequence)), :954-955;
+    // PSMForScoring.ONLY_BEST under the parity flag).
     val dedup = exploded
       .withColumn("_rn", row_number().over(Window
         .partitionBy(col("accession"), col("peptideSequence"))
-        .orderBy(col("q").asc, col("usi").asc)))
+        .orderBy(scoreBasis.asc, col("usi").asc)))
       .filter(col("_rn") === 1)
 
     val rollup = dedup.groupBy(col("accession")).agg(
       min(col("q")).as("bestQ"), // A4
       // A15 multiplicative scoring (PIA's OccamsRazor scoring,
       // PIAModelerService.java:80-101): product over peptides of the best
-      // PSM q — computed as -sum(log10 q) over the per-peptide best rows
-      // (this frame is already deduped to best-per-peptide). Clamped away
-      // from log10(0) after P9 repair edge cases.
-      round(-sum(log10(greatest(col("q"), lit(1e-18)))), 5).as("occamScore"),
+      // PSM error estimate — computed as -sum(log10 basis) over the
+      // per-peptide best rows (this frame is already deduped to
+      // best-per-peptide). Clamped away from log10(0) after P9 repair
+      // edge cases. Unrounded (`_calibScore`) for calibration ordering;
+      // rounded 5 dp for the reported property.
+      (-sum(log10(greatest(scoreBasis, lit(1e-18))))).as("_calibScore"),
+      round(-sum(log10(greatest(scoreBasis, lit(1e-18)))), 5).as("occamScore"),
       countDistinct(col("peptideSequence")).as("numberPeptides"), // A9
       count(lit(1)).as("numberPSMs"),
       max(col("isDecoy")).as("isDecoy"), // A7 (bool_or)
@@ -469,8 +491,13 @@ object IndexPipeline {
         col("peptidoform").as("peptide"), col("accession").as("protein")))
       .select(col("protein").as("accession"), col("category"))
 
-    // Protein-level target-decoy q-values over best PSM q (F5 gate),
-    // optionally after picked-pair competition.
+    // Protein-level target-decoy q-values (F5 gate), optionally after
+    // picked-pair competition. Default basis: best PSM q (lower better).
+    // PIA-parity flag: the multiplicative protein score (higher better),
+    // matching `updateFDRData`/`calculateFDR` over the inference score.
+    val betterFirst: Seq[Column] =
+      if (cfg.proteinScoreFromPsmFdrScore) Seq(col("_calibScore").desc)
+      else Seq(col("bestQ").asc)
     val competed =
       if (cfg.pickedProteinFdr)
         rollup
@@ -478,13 +505,19 @@ object IndexPipeline {
             "^" + java.util.regex.Pattern.quote(cfg.decoyPrefix), ""))
           .withColumn("_pr", row_number().over(Window
             .partitionBy(col("_pair"))
-            .orderBy(col("bestQ").asc, col("isDecoy").asc, col("accession"))))
+            .orderBy(betterFirst ++ Seq(col("isDecoy").asc, col("accession")): _*)))
           .filter(col("_pr") === 1)
           .drop("_pair", "_pr")
       else rollup
-    val proteinScored = TargetDecoy.withQValues(
-      competed, Seq.empty, col("bestQ"), col("isDecoy"), col("accession"),
-      lowerIsBetter = true)
+    val proteinScored =
+      if (cfg.proteinScoreFromPsmFdrScore)
+        TargetDecoy.withQValues(
+          competed, Seq.empty, col("_calibScore"), col("isDecoy"), col("accession"),
+          lowerIsBetter = false)
+      else
+        TargetDecoy.withQValues(
+          competed, Seq.empty, col("bestQ"), col("isDecoy"), col("accession"),
+          lowerIsBetter = true)
 
     proteinScored
       .join(categories, Seq("accession"), "left")
@@ -503,16 +536,21 @@ object IndexPipeline {
         struct(lit("MS:1002355").as("accession"), // P12 (:950-951)
           lit("protein-level q-value").as("name"),
           // DecimalFormat("###.#####") parity (the reference's score
-          // formatter, PeptideFunctions.decimalFormat5).
+          // formatter, PeptideFunctions.decimalFormat5). Under the
+          // PIA-parity flag the reported protein score IS the
+          // multiplicative inference score.
           PeptideFunctions.decimalFormat5(
-            PeptideFunctions.proteinScore(col("bestQ"))).as("value"))
+            if (cfg.proteinScoreFromPsmFdrScore) col("_calibScore")
+            else PeptideFunctions.proteinScore(col("bestQ"))).as("value"))
           .as("bestSearchEngineScore"),
         array(
           struct(lit("MS:1001600").as("accession"),
             lit("protein inference confidence category").as("name"),
             coalesce(col("category"), lit("indistinguishable")).as("value")),
           struct(lit("MS:1002404").as("accession"),
-            lit("multiplicative protein score (-sum log10 q)").as("name"),
+            lit(if (cfg.proteinScoreFromPsmFdrScore)
+              "multiplicative protein score (-sum log10 FDRScore)"
+            else "multiplicative protein score (-sum log10 q)").as("name"),
             col("occamScore").cast("string").as("value")),
         ).as("properties"),
         array(struct(lit("MS:1001194").as("accession"),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.fdr.CombinedFdr
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -102,5 +103,30 @@ class CombinedFdrSpec extends AnyFunSuite {
     // within the two-engine group, targets get a better q than the decoy
     assert(byKey("spec1").getAs[Double]("combined_q_value") <=
       byKey("spec9").getAs[Double]("combined_q_value"))
+  }
+
+  test("protein stage scored off PSM FDR score (PIA parity flag) — pinned golden") {
+    // PIAModelerService.java:80-101: MultiplicativeScoring over
+    // PSM_LEVEL_FDR_SCORE, ONLY_BEST per peptide, protein FDR over that
+    // score. Demo-assay FDR scores: PEPTIDEK 1/42, ELVISLIVESK 2/42,
+    // AAAAKPEPR 3/42 — so sp|P1 = -log10(1/42)-log10(2/42) = 2.94547 and
+    // sp|P2 = -log10(2/42)-log10(3/42) = 2.46835 (5 dp), where the
+    // default q-basis run reports 3.55629 for BOTH (all accepted PSM
+    // q-values tie at 0.016667).
+    val out = graft.pipeline.DemoAssay.combinedFdrProteinIndex(spark)
+      .proteinEvidence.orderBy(col("reportedAccession")).collect()
+    val scores = out.map(r => r.getAs[String]("reportedAccession") ->
+      r.getAs[Row]("bestSearchEngineScore").getAs[String]("value")).toMap
+    assert(scores == Map("sp|P1" -> "2.94547", "sp|P2" -> "2.46835"))
+    val props = out.head.getAs[scala.collection.Seq[Row]]("properties")
+      .map(p => p.getAs[String]("name")).toSeq
+    assert(props.contains("multiplicative protein score (-sum log10 FDRScore)"))
+
+    // the default basis is untouched by the flag (its own pinned golden)
+    val defaults = graft.pipeline.DemoAssay.runIndex(spark)
+      .proteinEvidence.orderBy(col("reportedAccession")).collect()
+      .map(r => r.getAs[String]("reportedAccession") ->
+        r.getAs[Row]("bestSearchEngineScore").getAs[String]("value")).toMap
+    assert(defaults == Map("sp|P1" -> "1.77814", "sp|P2" -> "1.77814"))
   }
 }
