@@ -19,6 +19,17 @@ object AnnBench {
   def main(args: Array[String]): Unit = {
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_NVECS", "1000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // IVF/LSH tuning knobs (the sweep axes): cells*probe sets the scanned
+    // corpus fraction (nProbe/nCells), iters the Lloyd training cost.
+    val ivfCells = sys.env.getOrElse("SPARK_GRAFT_IVF_CELLS", "64").toInt
+    val ivfProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_PROBE", "4").toInt
+    // Tuned defaults from the round-4 sweep (64/4 beat 128/4 — doubling
+    // the cell table doubled assignment cost for no re-rank win; 2 Lloyd
+    // iterations on a 50k sample pin the same planted-neighbor recall as
+    // 3 iterations on 100k at roughly half the training cost).
+    val ivfIters = sys.env.getOrElse("SPARK_GRAFT_IVF_ITERS", "2").toInt
+    val ivfTrain = sys.env.getOrElse("SPARK_GRAFT_IVF_TRAIN", "50000").toLong
+    val lshBits = sys.env.getOrElse("SPARK_GRAFT_LSH_BITS", "12").toInt
     val dim = 64
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,24 +59,35 @@ object AnnBench {
     }
 
     val queries = vecs.filter(col("id") < 100)
-    val (nBf, tBf) = time {
-      Similarity.bruteForceTopK(vecs, queries, 10).count()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute force IS the ground truth: recall@10 for the approximate
+    // paths is their overlap with the exact top-10 set.
+    val (bfSet, tBf) = time {
+      pairs(Similarity.bruteForceTopK(vecs, queries, 10))
     }
-    val (nLsh, tLsh) = time {
-      Similarity.lshTopK(vecs, queries, k = 10, nBits = 12, dim = dim,
-        probeHammingRadius = 1).count()
+    val (lshSet, tLsh) = time {
+      pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
+        probeHammingRadius = 1))
     }
-    val (nIvf, tIvf) = time {
-      Similarity.ivfTopK(vecs, queries, k = 10, nCells = 64, nProbe = 4,
-        kmeansIters = 3).count()
+    val (ivfSet, tIvf) = time {
+      pairs(Similarity.ivfTopK(vecs, queries, k = 10, nCells = ivfCells,
+        nProbe = ivfProbe, kmeansIters = ivfIters, maxTrainRows = ivfTrain))
     }
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
     }
+    val lshRecall = (lshSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
+    val ivfRecall = (ivfSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
+    // Planted-neighbor check: id%20==0 is a jittered copy of id-1, so the
+    // exact top-1 of query q is q-1 — verify the approximate paths keep it.
+    val planted = bfSet.filter { case (q, nb) => q % 20 == 0 && q > 0 && nb == q - 1 }
+    val ivfPlanted = (ivfSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":$nBf,"lsh_rows":$nLsh,"ivf_rows":$nIvf,"neardup_pairs":$nPairs,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_topk_100q":$tIvf%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_topk_100q":$tIvf%.1f,"neardup_pairs":$tPairs%.1f}}""")
     spark.stop()
   }
 }

@@ -43,7 +43,12 @@ object Cli {
           proteinQThreshold = o.get("protein-qvalue-threshold").map(_.toDouble).getOrElse(0.01),
           peptideLength = o.get("peptide-length").map(_.toInt).getOrElse(7),
           minPsms = o.get("min-psms").map(_.toLong).getOrElse(1000L),
+          uniquePeptides = o.get("unique-peptides").map(_.toInt).getOrElse(0),
           scoreLowerIsBetter = o.get("score-lower-is-better").exists(_.toBoolean),
+          distributedFdr = o.get("distributed-fdr").exists(_.toBoolean),
+          pickedProteinFdr = o.get("picked-protein-fdr").exists(_.toBoolean),
+          proteinScoreFromPsmFdrScore =
+            o.get("protein-score-from-fdrscore").exists(_.toBoolean),
           globalSampleProps = o.get("global-sample-props").map(_.split(";").toSeq
             .filter(_.contains("="))
             .map { kv => val parts = kv.split("=", 2); (parts(0).trim, parts(1).trim) })
@@ -103,6 +108,9 @@ object Cli {
       |                       --project-accession PXD... [--assay-accession A]
       |                       [--qvalue-threshold 0.01] [--peptide-length 7]
       |                       [--min-psms 1000] [--score-lower-is-better true]
+      |                       [--unique-peptides 0] [--distributed-fdr true]
+      |                       [--picked-protein-fdr true]
+      |                       [--protein-score-from-fdrscore true]
       |                       [--exact-mgf true] [--sdrf F] --out DIR
       |                       [--global-sample-props "organism=Homo sapiens;disease=..."]
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR

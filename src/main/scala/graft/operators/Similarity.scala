@@ -74,12 +74,15 @@ object Similarity {
     val q = qBase.select(col("query_id"), col("qvec"), col("qn"),
       explode(probes).as("bucket"))
 
+    // No dedup needed before ranking: each corpus row carries exactly ONE
+    // bucket and the probe list holds distinct buckets, so a (query,
+    // neighbor) pair can match at most once — a distinct() here would be
+    // a pure no-op shuffle over the full candidate set.
     val scored = q.join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -160,18 +163,21 @@ object Similarity {
   ): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // cached: every Lloyd iteration re-reads this frame
+    // NOT persisted: the full corpus projection is scanned once for the
+    // count and once to carve the sample — persisting it here would
+    // write a second full copy of the corpus to storage just to read a
+    // <= maxTrainRows slice back (measured seconds of fixed cost at 1M
+    // vectors). Only the sample — the frame every Lloyd iteration
+    // actually re-reads — is cached.
     val all = corpus.select(col("id"), transform(col("vec"), _.cast("double")).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = all.count()
-    val vecs =
+    val vecs = (
       if (total <= maxTrainRows) all
       else {
         // deterministic id-hash sample (~maxTrainRows rows, no RNG)
         val mod = math.max(1L, total / maxTrainRows)
         all.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy(col("id").asc).limit(nCells)
       .select(col("vec")).as[Seq[Double]].collect().toSeq
       .zipWithIndex.map { case (v, i) => (i, v) }
@@ -191,8 +197,7 @@ object Similarity {
         .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3).toSeq }
       cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
     }
-    if (!(vecs eq all)) vecs.unpersist()
-    all.unpersist()
+    vecs.unpersist()
     cents
   }
 
@@ -209,11 +214,17 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 2,
       kmeansIters: Int = 6,
+      /** Lloyd training-sample cap, passed through to
+        * [[deterministicCentroids]] — the training aggregation is the
+        * dominant fixed cost at corpus scale, and a few hundred vectors
+        * per cell already pin the geometry. Corpora at or below the cap
+        * train on every vector (pinned oracles unchanged). */
+      maxTrainRows: Long = 100000,
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val centroids = deterministicCentroids(corpus, nCells, kmeansIters)
+    val centroids = deterministicCentroids(corpus, nCells, kmeansIters, maxTrainRows)
     val centDf = broadcast(centroids.toDF("cell", "centroid"))
 
     // corpus cell assignment: a pure projection over the literal centroids
@@ -232,12 +243,15 @@ object Similarity {
       .filter(col("cr") <= nProbe)
       .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
 
+    // No dedup before ranking: every corpus vector is assigned exactly
+    // ONE cell and the nProbe probed cells per query are distinct, so
+    // (query, neighbor) pairs are unique by construction — a distinct()
+    // would shuffle the full candidate set for nothing.
     val scored = qCells.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -283,12 +297,13 @@ object Similarity {
     val b = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
       cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
       .localCheckpoint(true)
+    // Pairs are unique without a distinct(): each id sits in exactly one
+    // bucket, so an (id_a, id_b) pair joins at most once.
     b.as("l").join(b.as("r"), Seq("bucket"))
       .filter(col("l.id") < col("r.id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("l.vec"), col("r.vec")), col("l.n"), col("r.n")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
-      .distinct()
   }
 }
