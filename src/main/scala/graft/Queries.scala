@@ -645,6 +645,16 @@ object Queries {
         .orderBy(col("kind"), col("id"))
     }),
 
+    // Picked protein FDR (published target/decoy pair competition): the
+    // paired decoy DECOY_sp|P1 survives the loose q gates but loses the
+    // pair competition to sp|P1 and is absent here — flipping
+    // `pickedProteinFdr` off restores it and changes the row set.
+    "pipeline_picked_fdr" -> ((s, _) =>
+      graft.pipeline.DemoAssay.pickedFdrIndex(s).proteinEvidence
+        .select(col("reportedAccession"), col("isDecoy"),
+          col("numberPeptides"), col("numberPSMs"))
+        .orderBy(col("reportedAccession"))),
+
     "pipeline_cluster_inference" -> ((s, _) => {
       val out = graft.pipeline.ClusterInference.run(
         graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
@@ -1540,6 +1550,13 @@ object Queries {
     // the demo assay (complex columns as their JSON text).
     "pipeline_index_proteins" ->
       """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
+
+    // Expected table: picked protein FDR on the demo assay + paired decoy
+    // under loose q gates. DECOY_sp|P1 is absent (lost the pair
+    // competition to sp|P1); the UNPAIRED DECOY_P9 survives — picked
+    // competition only removes losing members of target/decoy pairs.
+    "pipeline_picked_fdr" ->
+      """SELECT c0::VARCHAR AS "reportedAccession", c1::BOOLEAN AS "isDecoy", c2::INTEGER AS "numberPeptides", c3::INTEGER AS "numberPSMs" FROM (VALUES ('DECOY_P9', TRUE, 1, 1), ('sp|P1', FALSE, 2, 2), ('sp|P2', FALSE, 2, 2)) AS t(c0, c1, c2, c3) ORDER BY "reportedAccession"""",
 
     // Expected table: the PIA protein-FDR parity variant (proteins scored
     // off the PSM-level FDR score; see pipeline_proteins_combined_fdr in

@@ -115,6 +115,40 @@ object DemoAssay {
       { case (s, _) => IndexPipeline.run(psms(s), spectra(s), None,
           config.copy(proteinScoreFromPsmFdrScore = true)) })
 
+  /** Picked-protein-FDR differentiating variant: the demo assay plus a
+    * decoy PSM for DECOY_sp|P1 — the paired-decoy partner of sp|P1 —
+    * under loose q thresholds so it survives to the protein stage. With
+    * `pickedProteinFdr = true` the pair competition drops the
+    * worse-scoring DECOY_sp|P1 before calibration; flipping the flag off
+    * leaves it in the evidence and changes the row set. */
+  def pickedFdrIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
+    indexMemo.computeIfAbsent((spark, "pickedFdr"),
+      { case (s, _) => buildPickedFdrIndex(s) })
+
+  private def buildPickedFdrIndex(spark: SparkSession): IndexPipeline.IndexOutputs = {
+    import spark.implicits._
+    val extraPsms = Seq(
+      ("11", "ELVISLIVESR", "DECOY_sp|P1", true, 3.0, 2, 640.0, 640.0,
+        Map.empty[Int, String], "index=6"),
+    ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
+      .withColumn("fileName", lit("run1.mgf"))
+      .withColumn("idFormat", lit(UsiFunctions.IdFormat.MultiPeakListNativeId))
+      .withColumn("fileType", lit("MGF"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+    val extraSpectra = Seq(
+      ("run1.mgf", 6L, "6", "spec6", 2, 406.0, 2,
+        Some(66.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
+    ).toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
+        "precursorCharge", "retentionTime", "masses", "intensities")
+      .withColumn("fileType", lit("MGF"))
+    IndexPipeline.run(
+      psms(spark).unionByName(extraPsms),
+      spectra(spark).unionByName(extraSpectra),
+      None, config.copy(qValueThreshold = 1.0, proteinQThreshold = 1.0,
+        pickedProteinFdr = true))
+  }
+
   def clusterSpectra(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
