@@ -216,14 +216,24 @@ object IndexPipeline {
     // ---- one row per PSM (mzTab repeats rows per protein accession).
     // A PSM is decoy only when ALL of its accessions are decoy (PIA
     // semantics) — min over the boolean, not whichever row the dedup keeps.
-    val wPsm = Window.partitionBy(col("psmId"))
+    // A groupBy, NOT a window: the aggregation gets map-side partial
+    // combine (mzTab's per-accession row expansion collapses before the
+    // shuffle) and skips the within-partition sort a row_number window
+    // needs — the same one exchange, strictly less work behind it. The
+    // surviving payload row is min_by over the accession, matching the
+    // window form's orderBy(proteinAccession) pick (the payload struct
+    // carries `modifications`, a map — unorderable, so the ordering key
+    // stays the bare accession).
+    val payloadCols = psms.columns.filterNot(c =>
+      c == "psmId" || c == "proteinAccession" || c == "isDecoy").toSeq
     val psmsU = psms
-      .withColumn("proteinAccessions",
-        sort_array(collect_set(col("proteinAccession")).over(wPsm)))
-      .withColumn("isDecoy", min(col("isDecoy")).over(wPsm))
-      .withColumn("_rn", row_number().over(wPsm.orderBy(col("proteinAccession"))))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "proteinAccession")
+      .groupBy(col("psmId"))
+      .agg(
+        sort_array(collect_set(col("proteinAccession"))).as("proteinAccessions"),
+        min(col("isDecoy")).as("isDecoy"),
+        min_by(struct(payloadCols.map(col): _*), col("proteinAccession")).as("_row"))
+      .select(Seq(col("psmId"), col("proteinAccessions"), col("isDecoy")) ++
+        payloadCols.map(c => col(s"_row.`$c`").as(c)): _*)
       // Shared by the FDR path, the F9 counters, and the assay-validity
       // flag; the eager count below both materializes the cache and
       // decides the FDR path.
