@@ -161,10 +161,14 @@ object IndexPipeline {
 
     val idBased = col("idFormat").isin(
       UsiFunctions.IdFormat.SpectrumNativeId, UsiFunctions.IdFormat.MzmlId)
+    // idBased filters the LEFT side only, so it commutes with the anti
+    // join — applied BEFORE it explicitly (not left to predicate
+    // pushdown), an index-addressed assay (the MGF family) feeds the
+    // rescue anti-join zero rows instead of its full PSM set.
     val unmatched = psmKeyed
+      .filter(idBased)
       .join(spectraKeyed.select("fileName", "scanKey"),
         Seq("fileName", "scanKey"), "left_anti")
-      .filter(idBased)
       .withColumn("_strippedId",
         when(col("sourceId").startsWith("scan="),
           regexp_replace(col("sourceId"), "scan=", ""))
