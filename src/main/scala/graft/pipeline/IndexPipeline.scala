@@ -222,12 +222,15 @@ object IndexPipeline {
     // semantics) — min over the boolean, not whichever row the dedup keeps.
     // A groupBy, NOT a window: the aggregation gets map-side partial
     // combine (mzTab's per-accession row expansion collapses before the
-    // shuffle) and skips the within-partition sort a row_number window
-    // needs — the same one exchange, strictly less work behind it. The
-    // surviving payload row is min_by over the accession, matching the
-    // window form's orderBy(proteinAccession) pick (the payload struct
-    // carries `modifications`, a map — unorderable, so the ordering key
-    // stays the bare accession).
+    // shuffle) behind the same single exchange. (collect_set/min_by run
+    // as ObjectHashAggregate, which falls back to sort-based above
+    // ~128 groups per partition — so at high cardinality the reduce side
+    // still sorts like the window did; the partial combine is the win,
+    // and the window form had neither.) The surviving payload row is
+    // min_by over the accession, matching the window form's
+    // orderBy(proteinAccession) pick (the payload struct carries
+    // `modifications`, a map — unorderable, so the ordering key stays
+    // the bare accession).
     val payloadCols = psms.columns.filterNot(c =>
       c == "psmId" || c == "proteinAccession" || c == "isDecoy").toSeq
     val psmsU = psms
