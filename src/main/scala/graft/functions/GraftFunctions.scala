@@ -18,5 +18,6 @@ object GraftFunctions {
     ArgMinCellExpr.register(spark)
     EncodePeptidoformExpr.register(spark)
     ModsToStructsExpr.register(spark)
+    ResidueMassExpr.register(spark)
   }
 }

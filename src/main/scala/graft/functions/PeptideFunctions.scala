@@ -84,14 +84,23 @@ object PeptideFunctions {
   private def massMapCol: Column =
     map(MonoisotopicMasses.toSeq.sortBy(_._1).flatMap { case (aa, m) => Seq(lit(aa), lit(m)) }: _*)
 
-  /** Theoretical m/z of a (sequence, charge) with total PTM delta mass:
-    * `(sum(residues) + water + ptmMass + z * proton) / z`. */
-  def theoreticalMz(sequence: Column, charge: Column, ptmMass: Column): Column = {
-    val residues = aggregate(
+  /** Summed residue masses as the column-expression fold — the reference
+    * semantics and no-session fallback for [[ResidueMassExpr]] (identical
+    * IEEE fold order; property-tested). */
+  def residueMassHof(sequence: Column): Column =
+    aggregate(
       transform(split(sequence, ""), c => coalesce(element_at(massMapCol, c), lit(0.0))),
       lit(0.0),
       (acc, x) => acc + x,
     )
+
+  /** Theoretical m/z of a (sequence, charge) with total PTM delta mass:
+    * `(sum(residues) + water + ptmMass + z * proton) / z`. Residue
+    * summing evaluates through the native codegen kernel
+    * ([[ResidueMassExpr]] — one primitive char loop per row instead of
+    * two interpreted lambdas per residue). */
+  def theoreticalMz(sequence: Column, charge: Column, ptmMass: Column): Column = {
+    val residues = ResidueMassExpr.residueMassCol(sequence)
     (residues + lit(WaterMono) + ptmMass + charge.cast("double") * lit(ProtonMono)) /
       charge.cast("double")
   }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArgMinCellExpr, DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, SqDistExpr, VectorExprs, WordShinglesExpr}
+import graft.functions.{ArgMinCellExpr, DotProductExpr, EncodePeptidoformExpr, ModsToStructsExpr, ResidueMassExpr, SqDistExpr, VectorExprs, WordShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -64,5 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(vec, centroids) - nearest-centroid cell id (squared euclidean)"),
       arity(ArgMinCellExpr.FunctionName, 2)(exprs =>
         ArgMinCellExpr(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(ResidueMassExpr.FunctionName),
+      info(ResidueMassExpr.FunctionName,
+        "_FUNC_(sequence) - summed monoisotopic residue mass of a peptide"),
+      arity(ResidueMassExpr.FunctionName, 1)(exprs => ResidueMassExpr(exprs(0)))))
   }
 }

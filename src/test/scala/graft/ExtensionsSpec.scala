@@ -42,6 +42,10 @@ class ExtensionsSpec extends AnyFunSuite {
           "array(array(0.0d, 0.0d), array(1.0d, 0.1d))) AS c")
         .head().getInt(0)
       assert(cell == 1)
+      val rm = s.sql("SELECT graft_residue_mass('PEPTIDE') AS m")
+        .head().getDouble(0)
+      assert(rm == graft.functions.ResidueMassExpr.residueMass(
+        org.apache.spark.unsafe.types.UTF8String.fromString("PEPTIDE")))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

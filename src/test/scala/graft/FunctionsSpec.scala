@@ -155,6 +155,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(delta - 0.5) < 1e-9)
   }
 
+  test("ResidueMassExpr == HOF fold, bit-exact (property, incl. junk chars)") {
+    graft.functions.ResidueMassExpr.register(spark)
+    // residue alphabet + characters OUTSIDE the mass table (digits, *, unicode)
+    val chars = Gen.oneOf(("ACDEFGHIKLMNPQRSTVWYUO" + "BXZ*17é").toSeq)
+    val seqs = Gen.listOf(chars).map(_.mkString)
+    val prop = forAll(seqs) { s: String =>
+      val rows = Seq(s).toDF("seq")
+      val native = rows.select(
+        graft.functions.ResidueMassExpr.residueMassCol(col("seq"))).head().getDouble(0)
+      val hof = rows.select(
+        PeptideFunctions.residueMassHof(col("seq"))).head().getDouble(0)
+      // bit-exact: same fold order, same 0.0 for unknown characters
+      java.lang.Double.doubleToLongBits(native) == java.lang.Double.doubleToLongBits(hof)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- P7 isobaric ----
   test("isobaric maps L to I") {
     assert(one(UsiFunctions.isobaric(lit("LEVELK"))) == "IEVEIK")
