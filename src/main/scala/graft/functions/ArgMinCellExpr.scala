@@ -73,10 +73,12 @@ object ArgMinCellExpr {
 
   /** Static kernel: nearest cell by squared euclidean, ascending scan,
     * strict improvement (ties keep the lower cell); NULL on a null
-    * element, a dimension mismatch, or an EMPTY centroid table — the
-    * same cases the HOF fallback folds to NULL, so active-session and
-    * no-session paths agree ([[graft.operators.Similarity]] additionally
-    * rejects an empty table at operator entry). */
+    * element, a dimension mismatch, an EMPTY centroid table, or when NO
+    * distance ever improves on the sentinel (NaN elements, infinite
+    * overflow) — the same cases the HOF fallback folds to NULL, so
+    * active-session and no-session paths agree
+    * ([[graft.operators.Similarity]] additionally rejects an empty table
+    * at operator entry). */
   def argMin(vec: ArrayData, matrix: Array[Array[Double]], isFloat: Boolean): java.lang.Integer = {
     if (matrix.length == 0) return null
     val dim = vec.numElements()
@@ -97,7 +99,7 @@ object ArgMinCellExpr {
       if (d < best) { best = d; cell = c }
       c += 1
     }
-    java.lang.Integer.valueOf(cell)
+    if (cell == Int.MaxValue) null else java.lang.Integer.valueOf(cell)
   }
 
   val FunctionName = "graft_argmin_cell"

@@ -75,11 +75,13 @@ object Dedup {
     // The signature frame feeds four reads below (band self-join left and
     // right, sig_a, sig_b); left lazy, the caller's signature DAG — a
     // shingle explode plus a k-way min aggregation, the dominant stage of
-    // the near-dup path — would re-execute once per read. An eager
-    // localCheckpoint materializes it exactly once and cuts the lineage;
-    // blocks are reclaimed by the context cleaner when the result is
-    // dereferenced (same pin contract as [[connectedComponents]]).
-    val sigs = signatures.localCheckpoint(true)
+    // the near-dup path — would re-execute once per read. A LAZY
+    // localCheckpoint cuts the lineage (all four reads reference one
+    // cached RDD, materialized at the first action — building the frame
+    // for a plan dump costs nothing); blocks are reclaimed by the context
+    // cleaner when the result is dereferenced (same pin contract as
+    // [[connectedComponents]]).
+    val sigs = signatures.localCheckpoint(false)
     val bandCols = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("bh"))

@@ -115,7 +115,9 @@ object Similarity {
   // The struct-accumulator fold form — reference semantics and fallback.
   // (NOT an unrolled literal arithmetic chain: unrolling nCells*dim
   // literals costs Catalyst seconds of optimizer time per plan.)
-  private def assignCellHof(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  // private[graft]: parity-tested against the native kernel (NaN/Inf
+  // inputs must yield NULL on BOTH eval paths).
+  private[graft] def assignCellHof(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     val centArr = array(cents.sortBy(_._1).map { case (i, v) =>
       struct(lit(i).as("cell"), array(v.map(lit): _*).as("centroid"))
     }: _*)
@@ -174,8 +176,11 @@ object Similarity {
     val vecs = (
       if (total <= maxTrainRows) all
       else {
-        // deterministic id-hash sample (~maxTrainRows rows, no RNG)
-        val mod = math.max(1L, total / maxTrainRows)
+        // deterministic id-hash sample (~maxTrainRows rows, no RNG).
+        // CEILING division: floor would give mod=1 for anything under
+        // 2x the cap — i.e. "sample" the full corpus — and generally
+        // overshoot the cap by up to 2x.
+        val mod = math.max(1L, (total + maxTrainRows - 1) / maxTrainRows)
         all.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy(col("id").asc).limit(nCells)
@@ -292,11 +297,13 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     // Pin the bucketed side once: the self-join would otherwise compute the
     // norm + nBits-hyperplane bucket projection twice (once per side).
-    // Eager localCheckpoint = materialize once, lineage cut, blocks
-    // GC-reclaimed (same contract as Dedup.minHashLshPairs' signature pin).
+    // LAZY localCheckpoint: lineage cut, one materialization at the first
+    // action into block-cache (both join sides read the cached blocks),
+    // blocks GC-reclaimed — and merely BUILDING the frame (plan dumps,
+    // explain) stays free (same contract as Dedup.minHashLshPairs).
     val b = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
       cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Pairs are unique without a distinct(): each id sits in exactly one
     // bucket, so an (id_a, id_b) pair joins at most once.
     b.as("l").join(b.as("r"), Seq("bucket"))

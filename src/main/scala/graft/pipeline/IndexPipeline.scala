@@ -155,7 +155,19 @@ object IndexPipeline {
     * @return exact + rescued rows; rescued rows keep the PSM's `scanKey`
     *         (USI identifiers derive from the PSM's own annotation)
     */
-  def scanKeyJoin(psmKeyed: DataFrame, spectraKeyed: DataFrame): DataFrame = {
+  /** Upper bound on the stage-2 rescue probe set (distinct missed ids
+    * collected to the driver). Rescue rows are malformed-id NOISE — a
+    * probe set anywhere near this size means the id format itself is
+    * wrong, and the join must fail with a diagnosis rather than broadcast
+    * the whole PSM id set. ~1M (fileName, id) strings ≈ low hundreds of
+    * MB on the driver, the same order as Spark's own broadcast ceiling. */
+  private[pipeline] val RescueLookupCap = 1000000
+
+  def scanKeyJoin(
+      psmKeyed: DataFrame,
+      spectraKeyed: DataFrame,
+      rescueLookupCap: Int = RescueLookupCap,
+  ): DataFrame = {
     val specPayload = spectraKeyed.drop("scanId", "spectrumFileType")
     val exact = psmKeyed.join(specPayload, Seq("fileName", "scanKey"), "inner")
 
@@ -171,10 +183,27 @@ object IndexPipeline {
         Seq("fileName", "scanKey"), "left_anti")
       .withColumn("_strippedId",
         when(col("sourceId").startsWith("scan="),
+          // ALL occurrences, not just the prefix: the reference's Java
+          // String.replace("scan=", "") is a replace-all — :72-73
           regexp_replace(col("sourceId"), "scan=", ""))
-          .otherwise(col("sourceId"))) // :72-73
+          .otherwise(col("sourceId")))
 
-    val lookup = unmatched.select(col("fileName"), col("_strippedId")).distinct()
+    // The rescue probe set is materialized on the driver (the broadcast
+    // build would collect it there anyway) behind a hard cap: a
+    // systematically mismatched id format would otherwise stream the whole
+    // PSM id set into an unbounded broadcast and die with an opaque OOM
+    // mid-shuffle. Over the cap we fail fast with the diagnosis instead —
+    // the limit short-circuits, so the guard never scans past cap+1 rows.
+    val spark = psmKeyed.sparkSession
+    val lookupSet = unmatched.select(col("fileName"), col("_strippedId")).distinct()
+    val lookupRows = lookupSet.limit(rescueLookupCap + 1).collect()
+    if (lookupRows.length > rescueLookupCap)
+      throw new IllegalStateException(
+        s"scanKeyJoin stage-2 rescue: more than $rescueLookupCap distinct PSM ids missed " +
+          "the exact scan-key join — the assay's spectrum id format is systematically " +
+          "mismatched, not malformed-row noise; fix the id normalization instead")
+    val lookup = spark.createDataFrame(
+      java.util.Arrays.asList(lookupRows: _*), lookupSet.schema)
     val containsBase = spectraKeyed
       .filter(!col("spectrumFileType").isin("MGF", "PKL", "APL", "DTA", "MS2"))
     val payloadCols = containsBase.columns
@@ -216,6 +245,10 @@ object IndexPipeline {
   ): IndexOutputs = {
     graft.functions.EncodePeptidoformExpr.register(psms.sparkSession)
     graft.functions.ModsToStructsExpr.register(psms.sparkSession)
+    // deltaMz/theoreticalMz below route residue summing through the native
+    // kernel — register it on the frame's OWNING session (call_function
+    // analyzes there; the active thread-local session may differ).
+    graft.functions.ResidueMassExpr.register(psms.sparkSession)
 
     // ---- one row per PSM (mzTab repeats rows per protein accession).
     // A PSM is decoy only when ALL of its accessions are decoy (PIA
@@ -238,7 +271,13 @@ object IndexPipeline {
       .agg(
         sort_array(collect_set(col("proteinAccession"))).as("proteinAccessions"),
         min(col("isDecoy")).as("isDecoy"),
-        min_by(struct(payloadCols.map(col): _*), col("proteinAccession")).as("_row"))
+        // The ordering key is null-proofed: min_by SKIPS rows whose key is
+        // NULL, so a PSM whose accessions are all NULL would collapse to a
+        // NULL payload struct. (false, "") < (true, acc) keeps the window
+        // form's asc-nulls-first pick and never discards the payload.
+        min_by(struct(payloadCols.map(col): _*),
+          struct(col("proteinAccession").isNotNull,
+            coalesce(col("proteinAccession"), lit("")))).as("_row"))
       .select(Seq(col("psmId"), col("proteinAccessions"), col("isDecoy")) ++
         payloadCols.map(c => col(s"_row.`$c`").as(c)): _*)
       // Shared by the FDR path, the F9 counters, and the assay-validity

@@ -247,6 +247,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!usis.exists(_.endsWith("index:7")), usis.mkString(","))
   }
 
+  test("PSM dedup: an all-NULL-accession PSM keeps its payload row") {
+    // min_by SKIPS null ordering keys — with the bare accession as the key,
+    // psm 4's single null-accession row would collapse the whole payload
+    // struct (sequence, charge, masses, ...) to NULL. The null-proofed key
+    // must keep it, matching the old window form's nulls-first pick.
+    val p = psms.withColumn("proteinAccession",
+      when(col("psmId") === "4", lit(null).cast("string"))
+        .otherwise(col("proteinAccession")))
+    val out = IndexPipeline.run(p, spectra, None, cfg)
+    val s = out.archiveSpectra
+      .filter(col("usi") === "mzspec:PXDTEST:run1:index:3").head()
+    assert(s.getAs[String]("peptideSequence") == "AAAAKPEPR", s.toString)
+    assert(s.getAs[scala.collection.Seq[String]]("proteinAccessions").isEmpty)
+    out.unpersist()
+  }
+
+  test("stage-2 rescue fails fast past the lookup cap (systematic id mismatch)") {
+    val MZML = graft.functions.UsiFunctions.IdFormat.MzmlId
+    val psmKeyed = Seq(("p1", "idA", "a.mzML", MZML), ("p2", "idB", "a.mzML", MZML))
+      .toDF("psmId", "sourceId", "fileName", "idFormat")
+      .withColumn("scanKey", graft.functions.UsiFunctions.normalizeScanId(
+        col("sourceId"), col("idFormat")))
+    val spectraKeyed = Seq(("a.mzML", "zzz", "MZML", 1.0))
+      .toDF("fileName", "scanId", "spectrumFileType", "payload")
+      .withColumn("scanKey", graft.functions.UsiFunctions.normalizeScanId(
+        col("scanId"), lit(MZML)))
+      .select("fileName", "scanKey", "scanId", "spectrumFileType", "payload")
+    val e = intercept[IllegalStateException] {
+      IndexPipeline.scanKeyJoin(psmKeyed, spectraKeyed, rescueLookupCap = 1)
+    }
+    assert(e.getMessage.contains("systematically mismatched"), e.getMessage)
+  }
+
   test("empty assay: pipeline completes with zeroed validity, no crash") {
     import org.apache.spark.sql.functions._
     val psms = graft.pipeline.DemoAssay.psms(spark).filter(lit(false))

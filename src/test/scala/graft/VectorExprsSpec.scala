@@ -109,6 +109,23 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("argmin-cell: NaN and overflow-to-Inf vectors yield NULL on BOTH eval paths") {
+    import graft.functions.ArgMinCellExpr
+    import graft.operators.Similarity
+    ArgMinCellExpr.register(spark)
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(1.0, 1.0)))
+    val df = Seq(
+      Seq(Double.NaN, 0.0), // NaN distance: no strict improvement ever fires
+      Seq(1e300, 1e300), // squared distance overflows to +Inf — same
+      Seq(0.5, 0.5), // control: a real nearest cell
+    ).toDF("vec")
+    val rows = df.select(
+      ArgMinCellExpr.argMinCol(col("vec"), cents.map(_._2)).as("native"),
+      Similarity.assignCellHof(col("vec"), cents).as("hof")).collect()
+    rows.take(2).foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString))
+    assert(rows(2).getInt(0) == rows(2).getInt(1))
+  }
+
   test("kernel runs inside whole-stage codegen (range input defeats local-relation folding)") {
     val df = spark.range(100)
       .select(array((0 until 4).map(i => (col("id") + i).cast("double")): _*).as("a"))
