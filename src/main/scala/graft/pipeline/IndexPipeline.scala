@@ -188,6 +188,23 @@ object IndexPipeline {
           regexp_replace(col("sourceId"), "scan=", ""))
           .otherwise(col("sourceId")))
 
+    // Index-addressed assays (the MGF family, a plan-time-literal
+    // idFormat) fold `unmatched` to an empty relation in the optimizer —
+    // for them the rescue is proven dead WITHOUT running a job, and the
+    // join stays a single lazy equi-join with zero added cost.
+    val rescueDead = unmatched.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+      case _ => false
+    }
+    if (rescueDead) return exact
+
+    // A live rescue subtree reads psmKeyed three times (exact side, probe
+    // collect, rescued side) — pin it so the upstream DAG (in the pipeline:
+    // the distributed FDR sort) runs once. Lazy persist: the probe collect
+    // below fills it. run() releases it via IndexOutputs.unpersist();
+    // standalone callers hold only their small keyed frames.
+    psmKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // The rescue probe set is materialized on the driver (the broadcast
     // build would collect it there anyway) behind a hard cap: a
     // systematically mismatched id format would otherwise stream the whole
@@ -327,6 +344,10 @@ object IndexPipeline {
           col("peptideSequence").substr(e.getField("key"), lit(1)) === "A"))
 
     // ---- J1 scan-key join ----------------------------------------------
+    // scanKeyJoin persists this frame ONLY when the stage-2 rescue subtree
+    // is live (it then has three readers above the FDR sort); for
+    // index-addressed assays the optimizer proves the rescue dead and no
+    // pin happens. Unpersist below is a no-op in that case.
     val psmKeyed = filtered.withColumn(
       "scanKey", UsiFunctions.normalizeScanId(col("sourceId"), col("idFormat")))
 
@@ -489,7 +510,8 @@ object IndexPipeline {
     // ---- J7 + A3-A9 + P12 + F5/F8 protein evidence ---------------------
     val proteinEvidence = buildProteinEvidence(perPsm, cfg)
 
-    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity, Seq(perPsm, psmsU))
+    IndexOutputs(archiveSpectra, psmSummaries, proteinEvidence, validity,
+      Seq(perPsm, psmsU, psmKeyed))
   }
 
   /** proteinIndexStep (PrideAnalysisAssayService.java:938-995) as one
