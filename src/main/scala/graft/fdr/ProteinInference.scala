@@ -50,7 +50,12 @@ object ProteinInference {
 
     // protein -> sorted distinct peptide set, then same-set collapse:
     // proteins with identical signatures form one group.
+    // Null pairs carry no evidence and are dropped up front — without
+    // this, collect_set (which skips nulls) can emit an EMPTY peptide or
+    // protein set and greedyCover's representative pick (`proteins.head`,
+    // subset-anchor `.head`) would crash the whole assay's inference.
     val signatures = peptideProteins
+      .filter($"peptide".isNotNull && $"protein".isNotNull)
       .groupBy($"assay", $"protein")
       .agg(sort_array(collect_set($"peptide")).as("peptides"))
       .groupBy($"assay", $"peptides")

@@ -188,8 +188,12 @@ object TargetDecoy {
     * partition — no driver round-trip, no cross join. */
   def repairZeroQValues(df: DataFrame, q: Column, partitionBy: Seq[Column], outCol: String): DataFrame = {
     def repaired(minPos: Column) =
-      when(q > 0.0, q).otherwise(
-        when(minPos.isNull, lit(Double.NaN)).otherwise(round(minPos / 10.0, 6)))
+      // NULL q stays NULL — only a literal zero is "repaired"; fabricating
+      // min/10 for a row whose q was never computed would invent confidence
+      when(q.isNull, lit(null).cast("double"))
+        .when(q > 0.0, q)
+        .otherwise(
+          when(minPos.isNull, lit(Double.NaN)).otherwise(round(minPos / 10.0, 6)))
     if (partitionBy.isEmpty) {
       // Global form: an empty-partition window would funnel the whole
       // frame through one task — a broadcast of the one-row aggregate

@@ -61,6 +61,11 @@ object EncodePeptidoformExpr {
 
     val sb = new java.lang.StringBuilder(sequence.length + 16 * n)
     var pi = 0
+    // Negative positions can never match any lookup — skip them up front
+    // (the map-based reference form simply never looks them up). Without
+    // this the sorted cursor would stall on the first negative entry and
+    // silently drop every later inline mod.
+    while (pi < n && pairs(pi)._1 < 0) pi += 1
     // N-term (position 0)
     while (pi < n && pairs(pi)._1 == 0) {
       sb.append('[').append(pairs(pi)._2).append(']'); pi += 1
@@ -85,14 +90,21 @@ object EncodePeptidoformExpr {
 
   val FunctionName = "graft_encode_peptidoform"
 
-  /** Register in the session's function registry (idempotent); the column
-    * API resolves through the registry so no private Column internals are
-    * touched. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => EncodePeptidoformExpr(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  /** Register in the session's function registry (idempotent and memoized
+    * per session, like the other kernels); the column API resolves through
+    * the registry so no private Column internals are touched. */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        FunctionName,
+        exprs => EncodePeptidoformExpr(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+      registered.put(spark, java.lang.Boolean.TRUE)
+    }
+  }
 
   /** Column-level API; caller must [[register]] on the session first.
     * Inputs: (string sequence, map<int,string> mods, int charge). */

@@ -90,9 +90,16 @@ object ModsToStructsExpr {
 
   val FunctionName = "graft_mods_to_structs"
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => ModsToStructsExpr(exprs.head), "built-in")
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        FunctionName, exprs => ModsToStructsExpr(exprs.head), "built-in")
+      registered.put(spark, java.lang.Boolean.TRUE)
+    }
+  }
 
   def toStructs(mods: Column): Column = call_function(FunctionName, mods)
 }

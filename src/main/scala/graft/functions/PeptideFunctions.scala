@@ -119,8 +119,9 @@ object PeptideFunctions {
   def proteinScore(bestQValue: Column): Column = round(-log10(bestQValue), 5)
 
   /** Java `DecimalFormat("###.#####")` parity — the reference's score
-    * formatter: at most 5 decimals (HALF_UP via `round`), trailing zeros
-    * and a bare decimal point trimmed, no grouping separators ("2.5", not
+    * formatter: at most 5 decimals (HALF_EVEN — `format_number`'s rounding
+    * AND DecimalFormat's default, so parity holds), trailing zeros and a
+    * bare decimal point trimmed, no grouping separators ("2.5", not
     * "2.50000"; "2", not "2.00000"). */
   def decimalFormat5(value: Column): Column =
     regexp_replace(

@@ -56,15 +56,21 @@ object ResidueMassExpr {
     t
   }
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Iterates the UTF-8 BYTES directly — zero per-row allocation (no
+    * String decode). Value-identical to the per-char form: ASCII residues
+    * are single bytes >= 0; every byte of a multi-byte character is
+    * negative (UTF-8 lead bytes >= 0xC0, continuation bytes >= 0x80) and
+    * contributes exactly 0.0, the same as the char form's out-of-table
+    * 0.0 (and += 0.0 never changes an IEEE accumulator). */
   def residueMass(seq: UTF8String): Double = {
-    val s = seq.toString
+    val n = seq.numBytes()
     var acc = 0.0
     var i = 0
-    val n = s.length
     while (i < n) {
-      val c = s.charAt(i)
-      if (c < 128) acc += Table(c)
+      val b = seq.getByte(i)
+      if (b >= 0) acc += Table(b)
       i += 1
     }
     acc

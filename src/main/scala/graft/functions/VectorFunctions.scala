@@ -27,10 +27,12 @@ object VectorFunctions {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe for zero vectors (returns 0.0). */
+  /** Cosine similarity; a zero-norm vector yields 0.0, while a NULL
+    * vector / null element / length mismatch propagates NULL (matching
+    * the dot kernel's semantics) rather than posing as a real 0.0. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
-    when(d > 0.0, dot(a, b) / d).otherwise(lit(0.0))
+    when(d > 0.0, dot(a, b) / d).otherwise(when(d.isNotNull, lit(0.0)))
   }
 
   /** Deterministic pseudo-random hyperplane component for LSH: a value in

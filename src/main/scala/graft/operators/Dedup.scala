@@ -21,11 +21,17 @@ object Dedup {
 
   /** Exact dedup on a fingerprint column: keeps the row with the smallest
     * `idCol` per fingerprint (deterministic survivor). Adds `fingerprint`
-    * and `dup_count`. */
+    * and `dup_count`. Rows with a NULL fingerprint (e.g. null text under
+    * md5) are each their own group — a null fingerprint proves nothing
+    * about content equality, so those rows must never collapse together. */
   def exact(df: DataFrame, idCol: Column, fingerprint: Column): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(idCol.asc)
+    // Second partition key: the row id when the fingerprint is null (one
+    // group per row), a constant NULL otherwise (no effect on the group).
+    val nullKey = when(col("fingerprint").isNull, idCol)
+    val w = Window.partitionBy(col("fingerprint"), nullKey).orderBy(idCol.asc)
     df.withColumn("fingerprint", fingerprint)
-      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .withColumn("dup_count",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"), nullKey)))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -41,14 +47,17 @@ object Dedup {
       shingle: Column,
       numHashes: Int,
   ): DataFrame = {
-    val h = portableHash32(shingle)
     val p = lit(2147483647L)
+    // All numHashes aggregates read the ONE materialized `_h` column —
+    // referencing the md5-derived hash expression directly would embed
+    // an md5+conv subtree per hash function, up to numHashes× redundant
+    // hashing over the dominant (id, shingle) stage.
     val aggs = (0 until numHashes).map { i =>
-      min(pmod(lit(hashA(i)) * h + lit(hashB(i)), p)).as(s"mh_$i")
+      min(pmod(lit(hashA(i)) * col("_h") + lit(hashB(i)), p)).as(s"mh_$i")
     }
     docShingles
       .withColumn("_id", id)
-      .withColumn("_h", h)
+      .withColumn("_h", portableHash32(shingle))
       .groupBy(col("_id").as("id"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -71,6 +80,15 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double,
   ): DataFrame = {
+    // Banding must tile the signature exactly: rowsPerBand = 0 (e.g. an
+    // integer-division config with more bands than hashes) would hash
+    // md5("") for EVERY band — all documents mutual candidates, an O(n^2)
+    // shuffle — and then divide by k = 0 into a silently empty result;
+    // a partial tiling would silently ignore trailing signature columns.
+    val sigWidth = signatures.columns.count(_.startsWith("mh_"))
+    require(numBands >= 1 && rowsPerBand >= 1 && numBands * rowsPerBand == sigWidth,
+      s"minHashLshPairs: numBands ($numBands) x rowsPerBand ($rowsPerBand) must tile the " +
+        s"signature width ($sigWidth)")
     val k = numBands * rowsPerBand
     // The signature frame feeds four reads below (band self-join left and
     // right, sig_a, sig_b); left lazy, the caller's signature DAG — a

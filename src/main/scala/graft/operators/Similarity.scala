@@ -23,8 +23,12 @@ object Similarity {
 
   // cosine from a pair dot and per-side precomputed norms; identical value
   // to VectorFunctions.cosine (same operand order).
+  // NULL inputs (null vector / null element / length mismatch) propagate
+  // as NULL — a missing-branch `when` yields NULL when na*nb is NULL —
+  // instead of masquerading as a real 0.0-similarity neighbor; only a
+  // genuine zero-norm vector folds to 0.0.
   private def cosineFromParts(dotC: Column, na: Column, nb: Column): Column =
-    when(na * nb > 0.0, dotC / (na * nb)).otherwise(lit(0.0))
+    when(na * nb > 0.0, dotC / (na * nb)).otherwise(when((na * nb).isNotNull, lit(0.0)))
 
   /** Exact cosine top-k neighbors for each query row.
     *
@@ -62,6 +66,11 @@ object Similarity {
       dim: Int = 64,
       probeHammingRadius: Int = 0,
   ): DataFrame = {
+    // Only radius 0 (own bucket) and 1 (plus nBits one-bit-flip probes)
+    // are implemented — reject larger radii instead of silently probing
+    // radius 1 and under-delivering the recall the caller asked for.
+    require(probeHammingRadius <= 1,
+      s"lshTopK: probeHammingRadius $probeHammingRadius unsupported (0 or 1)")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
       norm(col("vec")).as("cn"), cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
@@ -194,6 +203,10 @@ object Similarity {
       // Generate it would re-evaluate once per exploded element.
       val means = vecs
         .select(assignCell(col("vec"), cents).as("cell"), col("vec"))
+        // assignCell yields NULL for a null-element / wrong-dimension
+        // vector — drop those from training (they cannot place in any
+        // cell) instead of crashing the non-nullable Int decode below
+        .filter(col("cell").isNotNull)
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("v").cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))

@@ -88,7 +88,28 @@ class FdrSpec extends AnyFunSuite {
     assert(got.forall(_.isNaN))
   }
 
+  test("repairZeroQValues: NULL q stays NULL (never fabricated)") {
+    val df = Seq(Some(0.0), Some(0.05), None).toDF("q")
+    val got = TargetDecoy.repairZeroQValues(df, col("q"), Seq.empty, "r")
+      .select(col("q"), col("r")).collect()
+    val byQ = got.map(r => Option(r.get(0)) -> r).toMap
+    assert(byQ(Some(0.0)).getDouble(1) == 0.005)
+    assert(byQ(Some(0.05)).getDouble(1) == 0.05)
+    assert(byQ(None).isNullAt(1), got.mkString(","))
+  }
+
   // ---- A15 protein inference ----
+
+  test("occamsRazor: null peptide/protein pairs are dropped, not a crash") {
+    val pairs = Seq(
+      ("x", "pepA", "P1"),
+      ("x", null, "P2"), // protein with ONLY null peptides -> dropped
+      ("x", "pepB", null), // null protein -> dropped
+    ).toDF("assay", "peptide", "protein")
+    val got = ProteinInference.occamsRazor(pairs)
+      .select(col("accession")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("P1"), got.toString)
+  }
 
   test("occamsRazor: same-set collapse, subset elimination, greedy cover") {
     // P1 covers {pepA,pepB}; P2 identical set (same-set); P3 = {pepA} (subset);

@@ -186,8 +186,11 @@ class FunctionsSpec extends AnyFunSuite {
     val rows = (1 to 300).map { i =>
       val seq = (0 until (5 + rnd.nextInt(15))).map(_ => aas(rnd.nextInt(20))).mkString
       val nMods = rnd.nextInt(4)
+      // position range includes NEGATIVE keys (parser junk): the map form
+      // never looks them up; the kernel's sorted cursor must skip them
+      // without stalling and dropping the valid later mods
       val mods = (0 until nMods)
-        .map(_ => rnd.nextInt(seq.length + 2) -> s"UNIMOD:${rnd.nextInt(40)}").toMap
+        .map(_ => (rnd.nextInt(seq.length + 4) - 2) -> s"UNIMOD:${rnd.nextInt(40)}").toMap
       val charge = 1 + rnd.nextInt(12)
       (seq, mods, charge)
     }

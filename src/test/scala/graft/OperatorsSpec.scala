@@ -177,6 +177,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f(0).n_bytes == "fakepngbytes".length)
   }
 
+  test("exact dedup: NULL fingerprints never collapse together") {
+    val withNulls = Seq(
+      (1L, "same"), (2L, "same"), // real dup pair
+      (3L, null), (4L, null), (5L, null), // md5(null) = null — all distinct docs
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(withNulls, col("doc_id"), md5(col("text")))
+      .select("doc_id", "dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // survivor 1 covers 2; every null-fingerprint row survives alone
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L), out.toString)
+  }
+
+  test("minHashLshPairs rejects a banding that does not tile the signature") {
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), 2)).as("shingle"))
+    val sigs = Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(sigs, numBands = 5, rowsPerBand = 3, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("tile"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      // 32 bands of width 16/32 = 0 (the integer-division config trap)
+      Dedup.minHashLshPairs(sigs, numBands = 32, rowsPerBand = 0, threshold = 0.5)
+    }
+  }
+
+  test("cosine: NULL vector propagates NULL; zero vector scores 0.0") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))),
+      (2L, Some(Seq(0.0, 0.0)), Some(Seq(1.0, 0.0))), // zero norm -> 0.0
+      (3L, None, Some(Seq(1.0, 0.0))), // null vec -> NULL
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(got(0).getDouble(1) == 1.0)
+    assert(got(1).getDouble(1) == 0.0)
+    assert(got(2).isNullAt(1), got(2).toString)
+  }
+
+  test("lshTopK rejects an unimplemented probe radius") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(docsVecs, docsVecs, k = 1, nBits = 4, dim = 2,
+        probeHammingRadius = 2)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  private def docsVecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "vec")
+
+  test("IVF training survives corrupt vectors (null element / wrong dim)") {
+    val corpus = Seq(
+      (1L, Seq[Option[Double]](Some(0.0), Some(0.0))),
+      (2L, Seq[Option[Double]](Some(0.1), Some(0.0))),
+      (3L, Seq[Option[Double]](Some(5.0), Some(5.0))),
+      (4L, Seq[Option[Double]](Some(5.1), Some(5.0))),
+      (5L, Seq[Option[Double]](Some(1.0), None)), // null element
+      (6L, Seq[Option[Double]](Some(1.0))), // wrong dimension
+    ).toDF("id", "vec")
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 2, iters = 2)
+    assert(cents.length == 2) // trains on the 4 clean vectors, no crash
+    assert(cents.forall(_._2.length == 2))
+  }
+
   test("text quality + langid heuristics behave on edge inputs") {
     val df = Seq((1L, "the of and a to in is that the of"), (2L, "xyzzy")).toDF("doc_id", "text")
     val m = df.select(col("doc_id"), TextFunctions.qualityMetrics(col("text")).as("m"),
