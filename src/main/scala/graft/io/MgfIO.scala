@@ -57,10 +57,13 @@ object MgfIO {
           when(chargeRaw.endsWith("-"), -1).otherwise(1)).cast("int")
           .as("precursorCharge"),
         headerVal("RTINSECONDS").cast("double").as("retentionTime"),
+        // Columns 1 and 2 of the peak line, like [[parseBlocks]] — an
+        // end-anchored intensity regex would grab the CHARGE column of a
+        // 3-column "m/z intensity charge" peak line instead of column 2.
         transform(peakLines, l =>
-          regexp_extract(trim(l), "^([0-9.eE+-]+)", 1).cast("double")).as("masses"),
+          element_at(split(trim(l), "[ \\t]+"), 1).cast("double")).as("masses"),
         transform(peakLines, l =>
-          regexp_extract(trim(l), "[ \\t]+([0-9.eE+-]+)\\s*$", 1).cast("double"))
+          element_at(split(trim(l), "[ \\t]+"), 2).cast("double"))
           .as("intensities"),
       )
   }
@@ -123,14 +126,23 @@ object MgfIO {
     * the given order — the MGF row order IS the MaraCluster positional
     * contract (J4), so callers must pass an explicit `orderBy`. */
   def toMgfBlocks(df: DataFrame, orderBy: Seq[Column]): DataFrame = {
-    val charge = col("precursorCharge").cast("double")
+    // A null usi/precursorMz/precursorCharge would null the whole concat
+    // and the text writer would emit an EMPTY line — silently shifting
+    // every later spectrum index against the (usi, index) sidecar, i.e.
+    // corrupting the MaraCluster positional contract. Fail loudly instead
+    // (coalesce short-circuits, so the error fires only on an actual null).
+    def reqNonNull(c: Column, what: String): Column =
+      coalesce(c, raise_error(lit(
+        s"toMgfBlocks: null $what would emit an empty MGF block and shift " +
+          "the positional index")))
+    val charge = reqNonNull(col("precursorCharge").cast("double"), "precursorCharge")
     val block = concat(
       lit("BEGIN IONS\n"),
-      lit("TITLE=id="), col("usi"),
+      lit("TITLE=id="), reqNonNull(col("usi"), "usi"),
       when(col("peptidoform").isNotNull && length(col("peptidoform")) > 0,
         concat(lit(",sequence="), col("peptidoform"))).otherwise(lit("")),
       lit("\n"),
-      lit("PEPMASS="), charge_str(col("precursorMz")), lit("\n"),
+      lit("PEPMASS="), charge_str(reqNonNull(col("precursorMz"), "precursorMz")), lit("\n"),
       lit("CHARGE="), charge_str(charge),
       when(charge > 0, lit("+")).otherwise(lit("")), lit("\n"),
       when(size(col("masses")) > 0,

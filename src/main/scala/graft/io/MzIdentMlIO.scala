@@ -70,9 +70,9 @@ object MzIdentMlIO {
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     // CDATA-wrapped sequence text must surface as CHARACTERS events
     factory.setProperty(XMLInputFactory.IS_COALESCING, true)
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val in = IoSource.open(path)
     val reader = factory.createXMLStreamReader(in)
-    val fileName = java.nio.file.Paths.get(path).getFileName.toString
+    val fileName = IoSource.baseName(path)
 
     val spectraData = mutable.ArrayBuffer.empty[SpectraDataRow]
     val peptides = mutable.Map.empty[String, (String, Map[Int, String])]
@@ -213,6 +213,21 @@ object MzIdentMlIO {
       .parallelize(paths, math.max(1, paths.size))
       .flatMap(p => parseFile(p).psms)
       .toDF()
+  }
+
+  /** ONE StAX pass per file serving BOTH outputs: callers needing psms AND
+    * spectraData (generate-index-files) would otherwise parse every large
+    * XML file twice. The parsed RDD is pinned until the returned release
+    * handle is called. */
+  def readParsed(
+      spark: SparkSession, paths: Seq[String]): (DataFrame, DataFrame, () => Unit) = {
+    import spark.implicits._
+    val parsed = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .map(parseFile)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (parsed.flatMap(_.psms).toDF(), parsed.flatMap(_.spectraData).toDF(),
+      () => { parsed.unpersist(); () })
   }
 
   def readSpectraData(spark: SparkSession, paths: Seq[String]): DataFrame = {

@@ -69,9 +69,9 @@ object MzMlIO {
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     // CDATA-wrapped base64 payloads must surface as CHARACTERS events
     factory.setProperty(XMLInputFactory.IS_COALESCING, true)
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val in = IoSource.open(path)
     val reader = factory.createXMLStreamReader(in)
-    val fileName = java.nio.file.Paths.get(path).getFileName.toString
+    val fileName = IoSource.baseName(path)
 
     val out = mutable.ArrayBuffer.empty[MzMlSpectrum]
 
@@ -137,6 +137,16 @@ object MzMlIO {
                 case "MS:1000574" if inBinaryArray => zlib = true
                 case "MS:1000514" if inBinaryArray => isMz = true
                 case "MS:1000515" if inBinaryArray => isIntensity = true
+                // MS-Numpress encodings (linear / pic / slof): NOT
+                // implemented — reject loudly; decoding the numpress byte
+                // stream as raw IEEE floats would yield silent garbage
+                // masses/intensities (MS:1000576 = "no compression" is fine)
+                case "MS:1002312" | "MS:1002313" | "MS:1002314" | "MS:1002746" |
+                    "MS:1002747" | "MS:1002748" if inBinaryArray =>
+                  throw new UnsupportedOperationException(
+                    s"MzMlIO: unsupported binary compression $acc (MS-Numpress) " +
+                      s"in $fileName — only zlib (MS:1000574) and uncompressed " +
+                      "arrays are supported")
                 case _ =>
               }
             case _ =>

@@ -24,7 +24,10 @@ object MzTabIO {
 
     val cols = split(col("value"), "\t")
     val projected = header.zipWithIndex.map { case (name, i) =>
-      element_at(cols, i + 2).as(name) // +2: 1-based, skip "PSM" tag
+      // try_element_at: a PSM row with fewer fields than the PSH header
+      // (writers legally omit trailing optional columns) yields nulls for
+      // the missing columns instead of an ANSI INVALID_ARRAY_INDEX crash
+      try_element_at(cols, lit(i + 2)).as(name) // +2: 1-based, skip "PSM" tag
     }
     lines.filter(col("value").startsWith("PSM\t")).select(projected.toIndexedSeq: _*)
   }
@@ -63,8 +66,25 @@ object MzTabIO {
         case c => cur.append(c)
       }
       parts += cur.toString
+      // position/accession separator: the first '-' OUTSIDE brackets — a
+      // bare indexOf would match a '-' inside a bracketed CV term (e.g. a
+      // negative probability in `3[MS, MS:1001876, prob, -0.27]-UNIMOD:35`)
+      def dashAtDepth0(p: String): Int = {
+        var d = 0
+        var i = 0
+        while (i < p.length) {
+          p.charAt(i) match {
+            case '[' => d += 1
+            case ']' => d -= 1
+            case '-' if d == 0 => return i
+            case _ =>
+          }
+          i += 1
+        }
+        -1
+      }
       parts.iterator.flatMap { p =>
-        val dash = p.indexOf('-')
+        val dash = dashAtDepth0(p)
         if (dash <= 0) None
         else {
           val posPart = p.substring(0, dash)

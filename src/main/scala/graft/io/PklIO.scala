@@ -25,17 +25,23 @@ object PklIO {
       .withColumn("value", regexp_replace(col("value"), "\r", ""))
 
     // Re-split any chunk that still contains blank lines (the CRLF case),
-    // preserving order via posexplode.
+    // preserving order via posexplode. Ordering key stays COMPOSITE
+    // (_mid, _pos): folding it into one long via _mid * 1e6 would overflow
+    // past ~1074 input partitions (monotonically_increasing_id keeps the
+    // partition id in the upper 31 bits) and scramble the positional index.
     val raw = chunks
       .select(col("fileName"), col("_mid"),
         posexplode(split(col("value"), "\n\n")).as(Seq("_pos", "value")))
-      .withColumn("_mid", col("_mid") * 1000000 + col("_pos"))
       .filter(length(trim(col("value"))) > 0)
+      // Non-spectrum chunks (banners, truncated tails) would crash the
+      // ANSI header casts below — a PKL block starts with a numeric
+      // precursor header line; skip anything else.
+      .filter(trim(col("value")).rlike("^[0-9][0-9.eE+-]*[ \\t]"))
 
     val lines = filter(split(trim(col("value")), "\n"), l => length(trim(l)) > 0)
     val header = split(trim(element_at(lines, 1)), "[ \\t]+")
     val peakLines = slice(lines, lit(2), size(lines))
-    val w = Window.partitionBy(col("fileName")).orderBy(col("_mid"))
+    val w = Window.partitionBy(col("fileName")).orderBy(col("_mid"), col("_pos"))
 
     raw
       .withColumn("index", row_number().over(w).cast("long") - 1)
@@ -46,7 +52,9 @@ object PklIO {
         lit("").as("title"),
         lit(2).as("msLevel"),
         element_at(header, 1).cast("double").as("precursorMz"),
-        element_at(header, 3).cast("double").cast("int").as("precursorCharge"),
+        // a malformed 2-field header yields a null charge (caught by the
+        // F12 validity gate) instead of an ANSI INVALID_ARRAY_INDEX crash
+        try_element_at(header, lit(3)).cast("double").cast("int").as("precursorCharge"),
         lit(null).cast("double").as("retentionTime"),
         transform(peakLines, l =>
           element_at(split(trim(l), "[ \\t]+"), 1).cast("double")).as("masses"),

@@ -59,9 +59,9 @@ object PrideXmlIO {
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     // CDATA-wrapped base64 payloads must surface as CHARACTERS events
     factory.setProperty(XMLInputFactory.IS_COALESCING, true)
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val in = IoSource.open(path)
     val reader = factory.createXMLStreamReader(in)
-    val fileName = java.nio.file.Paths.get(path).getFileName.toString
+    val fileName = IoSource.baseName(path)
 
     val out = mutable.ArrayBuffer.empty[PrideSpectrum]
     var id: String = null

@@ -134,9 +134,9 @@ object Commands {
       sdrfPath: Option[String] = None,
       exactMgf: Boolean = false,
   ): IndexPipeline.IndexOutputs = {
-    val psmsRaw = MzIdentMlIO.readPsms(spark, mzidPaths)
-    val sd = MzIdentMlIO.readSpectraData(spark, mzidPaths)
-      .withColumnRenamed("file", "mzidFile")
+    // one StAX pass per file serves both frames (psms + SpectraData)
+    val (psmsRaw, sdRaw, releaseParsed) = MzIdentMlIO.readParsed(spark, mzidPaths)
+    val sd = sdRaw.withColumnRenamed("file", "mzidFile")
     val base = regexp_replace(element_at(split(col("location"), "/"), -1), "\\.(gz|zip)$", "")
     val lowerBase = lower(base)
     val sdInfo = sd.select(
@@ -169,6 +169,9 @@ object Commands {
     ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
     ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")
     ArchiveJson.write(out.proteinEvidence, s"$outDir/protein_evidence")
+    // outputs above materialized the pipeline caches; the raw parse RDD
+    // has no remaining readers
+    releaseParsed()
     out
   }
 

@@ -73,19 +73,36 @@ object EventStream {
 
   /** Stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state template (KeyValueGroupedDataset) for operators the
-    * built-in aggregations can't express. */
-  def sessionize(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
+    * built-in aggregations can't express.
+    *
+    * State is BOUNDED: a user idle for `idleTimeout` has its state
+    * evicted (final totals re-emitted at eviction) — with `NoTimeout`, a
+    * growing user-id space would grow the state store monotonically until
+    * executor OOM. Batch runs ignore timeouts (every group is complete
+    * within the run). */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[Event],
+      idleTimeout: String = "1 hour",
+  ): DataFrame = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          rows.foreach { e => n += 1; total += e.value }
-          state.update(SessionState(n, total))
-          SessionUpdate(user, n, total)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            SessionUpdate(user, last.n, last.total)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { e => n += 1; total += e.value }
+            state.update(SessionState(n, total))
+            state.setTimeoutDuration(idleTimeout)
+            SessionUpdate(user, n, total)
+          }
       }
       .toDF()
   }

@@ -51,6 +51,35 @@ class IoSpec extends AnyFunSuite {
     assert(r1.getAs[Int]("precursorCharge") == 3)
   }
 
+  test("MGF 3-column peak lines: intensity is column 2, not the trailing charge") {
+    val threeCol =
+      """BEGIN IONS
+        |TITLE=id=x
+        |PEPMASS=445.12
+        |CHARGE=2+
+        |100.0	200.0	1
+        |101.0	30.0	1
+        |END IONS
+        |""".stripMargin
+    val path = tmpFile("run3.mgf", threeCol)
+    val a = MgfIO.read(spark, path).head()
+    assert(a.getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(200.0, 30.0))
+    // parity with the whole-file parser on the same input
+    val b = MgfIO.readExact(spark, path).head()
+    assert(b.getAs[scala.collection.Seq[Double]]("intensities").toSeq == Seq(200.0, 30.0))
+  }
+
+  test("MGF writer fails loudly on a null precursor field (positional contract)") {
+    import spark.implicits._
+    val df = Seq(("u1", "PEP/2", Some(445.12), None: Option[Int],
+      Seq(100.0), Seq(1.0))).toDF(
+      "usi", "peptidoform", "precursorMz", "precursorCharge", "masses", "intensities")
+    val e = intercept[Exception] {
+      MgfIO.toMgfBlocks(df, Seq(col("usi"))).collect()
+    }
+    assert(e.getMessage.contains("precursorCharge"), e.getMessage)
+  }
+
   test("MGF exact reader equals the splittable reader") {
     val path = tmpFile("run1.mgf", mgf)
     val a = MgfIO.read(spark, path).orderBy(col("index")).collect().map(_.toSeq)
@@ -141,6 +170,25 @@ class IoSpec extends AnyFunSuite {
       Map(3 -> "[MS, MS:1001524, fragment neutral loss, 63.99]"))
     // multi-position entries take the first position
     assert(parseModifications("3|5-UNIMOD:35") == Map(3 -> "UNIMOD:35"))
+    // a '-' INSIDE a bracketed CV term (negative probability) is not the
+    // position/accession separator
+    assert(parseModifications("3[MS, MS:1001876, modification probability, -0.27]-UNIMOD:35") ==
+      Map(3 -> "UNIMOD:35"))
+    // negative CHEMMOD deltas keep the full accession after the first
+    // depth-0 dash
+    assert(parseModifications("2-CHEMMOD:-18.0106") == Map(2 -> "CHEMMOD:-18.0106"))
+  }
+
+  test("mzTab PSM rows with fewer fields than the PSH header yield nulls") {
+    val tab =
+      """MTD	mzTab-version	1.0.0
+        |PSH	sequence	PSM_ID	accession	unique	search_engine_score[1]	modifications	charge	exp_mass_to_charge	calc_mass_to_charge	spectra_ref	opt_global_cv_MS:1002217_decoy_peptide
+        |PSM	PEPTIDEK	1	sp|P1	1	100.0	null	2	445.1	445.1	ms_run[1]:index=0
+        |""".stripMargin // last (optional) column omitted on the data row
+    val path = tmpFile("short.mztab", tab)
+    val row = MzTabIO.readPsmSection(spark, path).head()
+    assert(row.isNullAt(row.fieldIndex("opt_global_cv_ms_1002217_decoy_peptide")))
+    assert(row.getAs[String]("sequence") == "PEPTIDEK")
   }
 
   test("mzTab standardizer tolerates 'null' numeric fields under ANSI") {

@@ -72,6 +72,47 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("msLevel") == 1) // F11 filters it downstream
   }
 
+  test("mzML parser rejects MS-Numpress compression loudly") {
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<mzML xmlns="http://psi.hupo.org/ms/mzml">
+         | <run><spectrumList count="1">
+         |  <spectrum index="0" id="scan=1">
+         |   <cvParam accession="MS:1000511" value="2"/>
+         |   <binaryDataArrayList>
+         |    <binaryDataArray><cvParam accession="MS:1002312"/><cvParam accession="MS:1000514"/>
+         |     <binary>${b64doubles(Array(1.0))}</binary></binaryDataArray>
+         |   </binaryDataArrayList>
+         |  </spectrum>
+         | </spectrumList></run>
+         |</mzML>""".stripMargin
+    val dir = Files.createTempDirectory("graft-mzml-np")
+    val path = dir.resolve("np.mzML")
+    Files.writeString(path, xml)
+    val e = intercept[org.apache.spark.SparkException] {
+      MzMlIO.read(spark, Seq(path.toString)).collect()
+    }
+    // decoding numpress bytes as IEEE floats would be silent garbage —
+    // the parser must fail with the accession in the message
+    assert(e.getMessage.contains("MS:1002312") ||
+      Option(e.getCause).exists(_.getMessage.contains("MS:1002312")), e.getMessage)
+  }
+
+  test("PKL parser skips non-spectrum banner chunks instead of crashing") {
+    val pkl =
+      """# exported by vendor tool
+        |
+        |445.50 1000.0 2
+        |100.0 10.0
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-pkl-banner")
+    Files.writeString(dir.resolve("banner.pkl"), pkl)
+    val rows = PklIO.read(spark, dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("precursorMz") == 445.5)
+    assert(rows(0).getAs[Long]("index") == 0L) // banner does not consume an index
+  }
+
   test("PKL parser: header line + peaks, blank-line blocks") {
     val pkl =
       """445.50 1000.0 2
