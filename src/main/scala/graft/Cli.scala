@@ -8,21 +8,46 @@ import org.apache.spark.sql.SparkSession
   * (ArchiveMoleculesIndexer.java:28-30) with `--key value` options. */
 object Cli {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  /** Strict `--key value` / bare `--flag` parser: a stray non-option token
+    * or a mis-paired window is an ERROR, not a silent drop — the old
+    * sliding(2,2) form silently discarded a trailing bare flag (shipping
+    * an index without the option the operator asked for). A `--flag`
+    * followed by another option (or end of line) reads as "true". */
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 1
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"),
+        s"unexpected argument '$k' (options are --key value)\n$usage")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out(k.stripPrefix("--")) = args(i + 1); i += 2
+      } else {
+        out(k.stripPrefix("--")) = "true"; i += 1
+      }
+    }
+    out.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    // Respect spark-submit's --master/--conf when present: hard-setting
+    // them here would silently force a cluster submission into local[*]
+    // with 32 shuffle partitions. Env vars win, then the submit conf,
+    // then the local defaults.
+    val submitConf = new org.apache.spark.SparkConf(true)
+    val builder = SparkSession.builder()
       .appName(s"graft-${args.head}")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    sys.env.get("SPARK_MASTER")
+      .orElse(if (submitConf.contains("spark.master")) None else Some("local[*]"))
+      .foreach(builder.master)
+    sys.env.get("SPARK_GRAFT_CPUS")
+      .orElse(if (submitConf.contains("spark.sql.shuffle.partitions")) None
+        else Some("32"))
+      .foreach(builder.config("spark.sql.shuffle.partitions", _))
+    val spark = builder.getOrCreate()
     try run(spark, args)
     finally spark.stop()
   }
@@ -106,12 +131,14 @@ object Cli {
       |  get-related-files   --project-accession PXD... --mzid a.mzid[,b.mzid] --out DIR
       |  generate-index-files (--mztab F | --mzid a.mzid[,b.mzid]) --spectra DIR
       |                       --project-accession PXD... [--assay-accession A]
+      |                       [--reanalysis-accession RPXD...]
       |                       [--qvalue-threshold 0.01] [--peptide-length 7]
-      |                       [--min-psms 1000] [--score-lower-is-better true]
-      |                       [--unique-peptides 0] [--distributed-fdr true]
-      |                       [--picked-protein-fdr true]
-      |                       [--protein-score-from-fdrscore true]
-      |                       [--exact-mgf true] [--sdrf F] --out DIR
+      |                       [--protein-qvalue-threshold 0.01]
+      |                       [--min-psms 1000] [--score-lower-is-better]
+      |                       [--unique-peptides 0] [--distributed-fdr]
+      |                       [--picked-protein-fdr]
+      |                       [--protein-score-from-fdrscore]
+      |                       [--exact-mgf] [--sdrf F] --out DIR
       |                       [--global-sample-props "organism=Homo sapiens;disease=..."]
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
       |                       [--index MGF_INDEX_SIDECAR]

@@ -701,7 +701,7 @@ object Queries {
     // back schema-locked, re-validated (F12 structural gate). Every
     // surviving value is oracle-pinned.
     "io_archive_json_roundtrip" -> ((s, _) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-demo-json").toString
+      val out = demoTempDir(s, "json")
       // NOTE: no unpersist here — runIndex is session-memoized and shared
       // by the other pipeline queries; entry points release it on exit.
       val idx = graft.pipeline.DemoAssay.runIndex(s)
@@ -774,8 +774,7 @@ object Queries {
     "io_tsv_roundtrip" -> ((s, _) => {
       val rest = new graft.io.PrideRest(
         fetch = _ => graft.pipeline.DemoFixtures.restFilesJson)
-      val out = java.nio.file.Files.createTempDirectory("graft-demo-tsv")
-        .toString + "/result_files"
+      val out = demoTempDir(s, "tsv") + "/result_files"
       graft.io.PrideRest.writeResultFilesTsv(rest.files(s, "PXDDEMO"), out)
       s.read.option("sep", "\t").option("header", "true").csv(out)
         .orderBy(col("accession"))
@@ -897,8 +896,21 @@ object Queries {
 
   // ------------------------------------------------------------------ oracles
 
+  /** The MinHash coefficient table, interpolated into BOTH minhash oracles
+    * (dd_minhash_lsh, tdp_build_corpus) so the SQL can never silently
+    * desync from [[Dedup.hashA]]/[[Dedup.hashB]]. */
   private val minhashCoeffs: String =
     (0 until 16).map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
+
+  /** One temp dir per (session, kind) for the sink-roundtrip queries —
+    * both sinks write mode("overwrite"), so repeated bench/verify
+    * invocations reuse one directory instead of accumulating orphans
+    * under /tmp on long loops. */
+  private val demoDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private def demoTempDir(s: org.apache.spark.sql.SparkSession, kind: String): String =
+    demoDirMemo.computeIfAbsent((s, kind),
+      { _ => java.nio.file.Files.createTempDirectory(s"graft-demo-$kind").toString })
 
   private val simhashSums: String =
     (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
@@ -1158,7 +1170,7 @@ object Queries {
          |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
          |mh AS (
          |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES (0, 1, 13), (1, 209459, 7932), (2, 418917, 15851), (3, 628375, 23770), (4, 837833, 31689), (5, 47288, 39608), (6, 256746, 47527), (7, 466204, 55446), (8, 675662, 63365), (9, 885120, 71284), (10, 94575, 79203), (11, 304033, 87122), (12, 513491, 95041), (13, 722949, 102960), (14, 932407, 110879), (15, 141862, 118798)) AS t(i, a, b)) co
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
          |  GROUP BY doc_id, i),
          |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
          |bands AS (
@@ -1697,7 +1709,7 @@ object Queries {
         |hs AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
         |mh AS (
         |  SELECT id, i, min((a * h + b) % 2147483647) AS mhv
-        |  FROM hs CROSS JOIN (SELECT * FROM (VALUES (0, 1, 13), (1, 209459, 7932), (2, 418917, 15851), (3, 628375, 23770), (4, 837833, 31689), (5, 47288, 39608), (6, 256746, 47527), (7, 466204, 55446), (8, 675662, 63365), (9, 885120, 71284), (10, 94575, 79203), (11, 304033, 87122), (12, 513491, 95041), (13, 722949, 102960), (14, 932407, 110879), (15, 141862, 118798)) AS t(i, a, b)) co
+        |  FROM hs CROSS JOIN (SELECT * FROM (VALUES MINHASH_COEFFS) AS t(i, a, b)) co
         |  GROUP BY id, i),
         |sig AS (SELECT id, list(mhv ORDER BY i) AS s FROM mh GROUP BY id),
         |bands AS (
@@ -1726,7 +1738,7 @@ object Queries {
         |losers AS (SELECT id FROM comp WHERE id <> component)
         |SELECT id, text, predicted_lang, quality_score
         |FROM exdocs WHERE id NOT IN (SELECT id FROM losers)
-        |ORDER BY id""".stripMargin,
+        |ORDER BY id""".stripMargin.replace("MINHASH_COEFFS", minhashCoeffs),
 
   )
 }

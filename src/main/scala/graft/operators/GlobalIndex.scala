@@ -27,7 +27,14 @@ object GlobalIndex {
     val n = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(outCol, LongType)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    // zipWithIndex EAGERLY runs one job at construction (its per-partition
+    // start offsets need the partition sizes). Pin the sorted RDD so that
+    // job fills a cache the real action then reads — unpinned, the full
+    // scan + range shuffle + sort would execute twice per caller. RDD
+    // blocks (unlike DataFrame cache entries) are reclaimed by the context
+    // cleaner once the result is dereferenced.
+    val rddSorted = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = rddSorted.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rdd, schema)

@@ -275,4 +275,18 @@ class CommandsSpec extends AnyFunSuite {
     val j3 = FileRelations.relateProjectFiles(projectFiles, sd).collect()
     assert(j3.length == 1 && j3(0).getAs[String]("fileName") == "PXD-run2.mgf")
   }
+
+  test("CLI arg parser: strict pairing, bare boolean flags, stray tokens error") {
+    // a trailing bare flag must be read as true, not silently dropped
+    assert(graft.Cli.parseArgs(Array("cmd", "--out", "O", "--picked-protein-fdr")) ==
+      Map("out" -> "O", "picked-protein-fdr" -> "true"))
+    // a bare flag mid-line must not swallow the next option as its value
+    assert(graft.Cli.parseArgs(Array("cmd", "--exact-mgf", "--out", "O")) ==
+      Map("exact-mgf" -> "true", "out" -> "O"))
+    // explicit values still work
+    assert(graft.Cli.parseArgs(Array("cmd", "--exact-mgf", "false")) ==
+      Map("exact-mgf" -> "false"))
+    // stray non-option tokens are an error, not a silent drop
+    intercept[IllegalArgumentException](graft.Cli.parseArgs(Array("cmd", "stray")))
+  }
 }
