@@ -8,11 +8,21 @@ import org.apache.spark.sql.SparkSession
   * (ArchiveMoleculesIndexer.java:28-30) with `--key value` options. */
 object Cli {
 
+  /** The options that are genuine bare flags — only these may appear with
+    * no value (reading as "true"). Every other option is value-typed: a
+    * missing value (end of line, or the next token is another option) is
+    * an ERROR, not "true" — a trailing `--out` with a forgotten path must
+    * fail loudly, not write the index to a directory literally named
+    * `true`. An explicit `--flag false` stays supported. */
+  private[graft] val BooleanFlags: Set[String] = Set(
+    "score-lower-is-better", "distributed-fdr", "picked-protein-fdr",
+    "protein-score-from-fdrscore", "exact-mgf")
+
   /** Strict `--key value` / bare `--flag` parser: a stray non-option token
     * or a mis-paired window is an ERROR, not a silent drop — the old
     * sliding(2,2) form silently discarded a trailing bare flag (shipping
-    * an index without the option the operator asked for). A `--flag`
-    * followed by another option (or end of line) reads as "true". */
+    * an index without the option the operator asked for). Only options in
+    * [[BooleanFlags]] may omit their value. */
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var i = 1
@@ -20,10 +30,13 @@ object Cli {
       val k = args(i)
       require(k.startsWith("--"),
         s"unexpected argument '$k' (options are --key value)\n$usage")
+      val key = k.stripPrefix("--")
       if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
-        out(k.stripPrefix("--")) = args(i + 1); i += 2
+        out(key) = args(i + 1); i += 2
       } else {
-        out(k.stripPrefix("--")) = "true"; i += 1
+        require(BooleanFlags(key),
+          s"option --$key needs a value\n$usage")
+        out(key) = "true"; i += 1
       }
     }
     out.toMap

@@ -632,10 +632,11 @@ object Queries {
       idx.validity
     }),
 
-    // F8 + F11 — gate-differentiating assay variant: uniquePeptides = 2
-    // drops the single-peptide protein sp|P4 from the evidence, and the
-    // injected msLevel-1 spectrum swallows PSM 9. Flipping either filter
-    // off changes this row set (closes the round-3 test-only gap).
+    // F8 + F11 — gate-differentiating assay variant, PIA unique-peptide
+    // semantics (NR_UNIQUE_PEPTIDES_PER_PROTEIN_FILTER): uniquePeptides = 1
+    // keeps sp|P4 (its peptide is unique to it) but drops sp|P5/sp|P6 —
+    // 2 distinct peptides each, all shared, 0 unique. Restoring the old
+    // distinct-count gate (or flipping F11 off) changes this row set.
     "pipeline_filter_gates" -> ((s, _) => {
       val out = graft.pipeline.DemoAssay.filterGateIndex(s)
       out.archiveSpectra
@@ -905,12 +906,19 @@ object Queries {
   /** One temp dir per (session, kind) for the sink-roundtrip queries —
     * both sinks write mode("overwrite"), so repeated bench/verify
     * invocations reuse one directory instead of accumulating orphans
-    * under /tmp on long loops. */
+    * under /tmp on long loops. A WeakHashMap keyed by session (like the
+    * expression kernels' registration memos): stopped sessions — and
+    * their dir strings — are GC-reclaimable instead of pinned for the
+    * JVM lifetime across repeated bench/verify loops. */
   private val demoDirMemo =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
   private def demoTempDir(s: org.apache.spark.sql.SparkSession, kind: String): String =
-    demoDirMemo.computeIfAbsent((s, kind),
-      { _ => java.nio.file.Files.createTempDirectory(s"graft-demo-$kind").toString })
+    demoDirMemo.synchronized {
+      demoDirMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(kind,
+          java.nio.file.Files.createTempDirectory(s"graft-demo-$kind").toString)
+    }
 
   private val simhashSums: String =
     (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
@@ -1552,11 +1560,14 @@ object Queries {
     "io_mgf_roundtrip" ->
       """SELECT c0::BIGINT AS "index", c1::VARCHAR AS "scanId", c2::VARCHAR AS "title", c3::INTEGER AS "msLevel", c4::DOUBLE AS "precursorMz", c5::INTEGER AS "precursorCharge", c6::DOUBLE AS "retentionTime", c7::VARCHAR AS "masses", c8::VARCHAR AS "intensities" FROM (VALUES (0, '0', 'id=mzspec:PXDTEST:run1:index:1,sequence=PEP[UNIMOD:35]TIDEK/2', 2, '400.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (1, '1', 'id=mzspec:PXDTEST:run1:index:2,sequence=ELVISLIVESK/2', 2, '401.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (2, '2', 'id=mzspec:PXDTEST:run1:index:3,sequence=AAAAKPEPR/2', 2, '402.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8) ORDER BY "index"""",
 
-    // Expected table: F8/F11 gate-differentiating assay variant — sp|P4
-    // absent (uniquePeptides=2, while its PSM survives as index:8), PSM 9's
-    // spectrum absent (msLevel-1).
+    // Expected table: F8/F11 gate-differentiating assay variant (PIA
+    // unique-peptide semantics, uniquePeptides=1) — sp|P4 present (its one
+    // peptide is UNIQUE to it; the old distinct-count >= 2 gate dropped
+    // it), sp|P5/sp|P6 absent (2 distinct peptides each but 0 unique —
+    // the old gate kept them, their PSMs survive as index:9/index:10),
+    // PSM 9's spectrum absent (msLevel-1).
     "pipeline_filter_gates" ->
-      """SELECT c0::VARCHAR AS "kind", c1::VARCHAR AS "id" FROM (VALUES ('protein', 'sp|P1'), ('protein', 'sp|P2'), ('spectrum', 'mzspec:PXDTEST:run1:index:1'), ('spectrum', 'mzspec:PXDTEST:run1:index:2'), ('spectrum', 'mzspec:PXDTEST:run1:index:3'), ('spectrum', 'mzspec:PXDTEST:run1:index:8')) AS t(c0, c1) ORDER BY "kind", "id"""",
+      """SELECT c0::VARCHAR AS "kind", c1::VARCHAR AS "id" FROM (VALUES ('protein', 'sp|P1'), ('protein', 'sp|P2'), ('protein', 'sp|P4'), ('spectrum', 'mzspec:PXDTEST:run1:index:1'), ('spectrum', 'mzspec:PXDTEST:run1:index:10'), ('spectrum', 'mzspec:PXDTEST:run1:index:2'), ('spectrum', 'mzspec:PXDTEST:run1:index:3'), ('spectrum', 'mzspec:PXDTEST:run1:index:8'), ('spectrum', 'mzspec:PXDTEST:run1:index:9')) AS t(c0, c1) ORDER BY "kind", "id"""",
 
     // Expected table: the full generate-index-files protein output on
     // the demo assay (complex columns as their JSON text).

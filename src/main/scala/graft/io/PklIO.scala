@@ -29,19 +29,32 @@ object PklIO {
     // (_mid, _pos): folding it into one long via _mid * 1e6 would overflow
     // past ~1074 input partitions (monotonically_increasing_id keeps the
     // partition id in the upper 31 bits) and scramble the positional index.
+    // Chunk triage: banners (vendor comments, non-numeric noise) are
+    // structural and skipped; anything that LOOKS like a spectrum block
+    // (first line starts with a digit or '.') is KEPT even when malformed
+    // — a truncated single-field header or a garbled peak line parses to
+    // null fields below, so the row reaches the F12 validity gate as an
+    // observable invalid spectrum instead of silently vanishing from the
+    // positional index.
     val raw = chunks
       .select(col("fileName"), col("_mid"),
         posexplode(split(col("value"), "\n\n")).as(Seq("_pos", "value")))
       .filter(length(trim(col("value"))) > 0)
-      // Non-spectrum chunks (banners, truncated tails) would crash the
-      // ANSI header casts below — a PKL block starts with a numeric
-      // precursor header line; skip anything else.
-      .filter(trim(col("value")).rlike("^[0-9][0-9.eE+-]*[ \\t]"))
+      .filter(trim(col("value")).rlike("^[0-9.]"))
 
     val lines = filter(split(trim(col("value")), "\n"), l => length(trim(l)) > 0)
     val header = split(trim(element_at(lines, 1)), "[ \\t]+")
     val peakLines = slice(lines, lit(2), size(lines))
     val w = Window.partitionBy(col("fileName")).orderBy(col("_mid"), col("_pos"))
+
+    // ANSI-safe numeric parse: rlike-guarded cast (the engine's pattern
+    // for untrusted strings) — a malformed token becomes null, never an
+    // ANSI cast crash that would kill the whole scan.
+    val numRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    def numAt(arr: org.apache.spark.sql.Column, i: Int) = {
+      val tok = try_element_at(arr, lit(i))
+      when(tok.rlike(numRe), tok.cast("double"))
+    }
 
     raw
       .withColumn("index", row_number().over(w).cast("long") - 1)
@@ -51,15 +64,15 @@ object PklIO {
         col("index").cast("string").as("scanId"),
         lit("").as("title"),
         lit(2).as("msLevel"),
-        element_at(header, 1).cast("double").as("precursorMz"),
+        numAt(header, 1).as("precursorMz"),
         // a malformed 2-field header yields a null charge (caught by the
         // F12 validity gate) instead of an ANSI INVALID_ARRAY_INDEX crash
-        try_element_at(header, lit(3)).cast("double").cast("int").as("precursorCharge"),
+        numAt(header, 3).cast("int").as("precursorCharge"),
         lit(null).cast("double").as("retentionTime"),
         transform(peakLines, l =>
-          element_at(split(trim(l), "[ \\t]+"), 1).cast("double")).as("masses"),
+          numAt(split(trim(l), "[ \\t]+"), 1)).as("masses"),
         transform(peakLines, l =>
-          element_at(split(trim(l), "[ \\t]+"), 2).cast("double")).as("intensities"),
+          numAt(split(trim(l), "[ \\t]+"), 2)).as("intensities"),
       )
   }
 }

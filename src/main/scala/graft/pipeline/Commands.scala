@@ -164,15 +164,18 @@ object Commands {
         "charge", "expMassToCharge", "calcMassToCharge", "modifications",
         "sourceId", "fileName", "idFormat", "fileType", "retentionTime")
 
-    val out = IndexPipeline.run(psms, readSpectraDir(spark, spectraDir, exactMgf),
-      sdrfPath.map(SideInputs.readSdrf(spark, _)), cfg)
-    ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
-    ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")
-    ArchiveJson.write(out.proteinEvidence, s"$outDir/protein_evidence")
-    // outputs above materialized the pipeline caches; the raw parse RDD
-    // has no remaining readers
-    releaseParsed()
-    out
+    // releaseParsed in finally: a failing write would otherwise skip it
+    // and pin the full parsed-XML RDD in MEMORY_AND_DISK until session
+    // end. On success the outputs above have materialized the pipeline
+    // caches, so the raw parse RDD has no remaining readers either way.
+    try {
+      val out = IndexPipeline.run(psms, readSpectraDir(spark, spectraDir, exactMgf),
+        sdrfPath.map(SideInputs.readSdrf(spark, _)), cfg)
+      ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
+      ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")
+      ArchiveJson.write(out.proteinEvidence, s"$outDir/protein_evidence")
+      out
+    } finally releaseParsed()
   }
 
   /** Index sidecar location for an MGF output dir: the (usi, index)

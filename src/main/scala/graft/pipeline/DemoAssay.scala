@@ -68,10 +68,17 @@ object DemoAssay {
     }
   }
 
-  /** F8/F11 differentiating variant (round-3 gap): the demo assay plus a
-    * single-peptide protein sp|P4 (dropped only when `uniquePeptides` = 2,
-    * F8) and PSM 9 aimed at an injected msLevel-1 spectrum (swallowed only
-    * by the F11 gate). Flipping either filter off changes the row set. */
+  /** F8/F11 differentiating variant (round-3 gap; F8 semantics re-pinned
+    * in round 5 to PIA parity): the demo assay plus
+    *  - sp|P4 with ONE peptide unique to it (kept at `uniquePeptides` = 1
+    *    under the PIA predicate; the old distinct-count ≥ 2 gate dropped it);
+    *  - sp|P5/sp|P6 sharing BOTH their peptides (2 distinct, 0 unique —
+    *    dropped ONLY by the PIA unique-to-protein predicate; the old
+    *    distinct-count gate kept them);
+    *  - PSM 9 aimed at an injected msLevel-1 spectrum (swallowed only by
+    *    the F11 gate).
+    * Flipping either filter off — or restoring the distinct-count F8 —
+    * changes the row set. */
   def filterGateIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
     indexMemo.computeIfAbsent((spark, "filterGates"),
       { case (s, _) => buildFilterGateIndex(s) })
@@ -83,6 +90,16 @@ object DemoAssay {
         Map.empty[Int, String], "index=6"),
       ("10", "ONLYONEPEPK", "sp|P4", false, 5.0, 2, 635.35, 635.35,
         Map.empty[Int, String], "index=7"),
+      // sp|P5/sp|P6: every peptide shared between exactly the two of them
+      // -> 2 distinct peptides each, 0 UNIQUE peptides each.
+      ("11", "SHAREDPEPAK", "sp|P5", false, 4.8, 2, 578.32, 578.32,
+        Map.empty[Int, String], "index=8"),
+      ("11", "SHAREDPEPAK", "sp|P6", false, 4.8, 2, 578.32, 578.32,
+        Map.empty[Int, String], "index=8"),
+      ("12", "SHAREDPEPBK", "sp|P5", false, 4.6, 2, 592.33, 592.33,
+        Map.empty[Int, String], "index=9"),
+      ("12", "SHAREDPEPBK", "sp|P6", false, 4.6, 2, 592.33, 592.33,
+        Map.empty[Int, String], "index=9"),
     ).toDF("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
         "charge", "expMassToCharge", "calcMassToCharge", "modifications", "sourceId")
       .withColumn("fileName", lit("run1.mgf"))
@@ -94,13 +111,17 @@ object DemoAssay {
         Some(66.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
       ("run1.mgf", 7L, "7", "spec7", 2, 407.0, 2,
         Some(67.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
+      ("run1.mgf", 8L, "8", "spec8", 2, 408.0, 2,
+        Some(68.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
+      ("run1.mgf", 9L, "9", "spec9", 2, 409.0, 2,
+        Some(69.0), Seq(100.0, 200.0, 300.0), Seq(10.0, 20.0, 30.0)),
     ).toDF("fileName", "index", "scanId", "title", "msLevel", "precursorMz",
         "precursorCharge", "retentionTime", "masses", "intensities")
       .withColumn("fileType", lit("MGF"))
     IndexPipeline.run(
       psms(spark).unionByName(extraPsms),
       spectra(spark).unionByName(extraSpectra),
-      None, config.copy(uniquePeptides = 2))
+      None, config.copy(uniquePeptides = 1))
   }
 
   /** PIA protein-FDR parity variant: the same demo rows with proteins

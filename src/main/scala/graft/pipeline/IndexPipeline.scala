@@ -211,14 +211,23 @@ object IndexPipeline {
     // PSM id set into an unbounded broadcast and die with an opaque OOM
     // mid-shuffle. Over the cap we fail fast with the diagnosis instead —
     // the limit short-circuits, so the guard never scans past cap+1 rows.
+    // A failing collect (or the cap exception) releases the pin above:
+    // run()'s IndexOutputs.unpersist only covers the success path, and a
+    // leaked persist would hold cache blocks for the session lifetime.
     val spark = psmKeyed.sparkSession
     val lookupSet = unmatched.select(col("fileName"), col("_strippedId")).distinct()
-    val lookupRows = lookupSet.limit(rescueLookupCap + 1).collect()
-    if (lookupRows.length > rescueLookupCap)
-      throw new IllegalStateException(
-        s"scanKeyJoin stage-2 rescue: more than $rescueLookupCap distinct PSM ids missed " +
-          "the exact scan-key join — the assay's spectrum id format is systematically " +
-          "mismatched, not malformed-row noise; fix the id normalization instead")
+    val lookupRows =
+      try {
+        val rows = lookupSet.limit(rescueLookupCap + 1).collect()
+        if (rows.length > rescueLookupCap)
+          throw new IllegalStateException(
+            s"scanKeyJoin stage-2 rescue: more than $rescueLookupCap distinct PSM ids missed " +
+              "the exact scan-key join — the assay's spectrum id format is systematically " +
+              "mismatched, not malformed-row noise; fix the id normalization instead")
+        rows
+      } catch {
+        case t: Throwable => psmKeyed.unpersist(); throw t
+      }
     val lookup = spark.createDataFrame(
       java.util.Arrays.asList(lookupRows: _*), lookupSet.schema)
     val containsBase = spectraKeyed
@@ -597,10 +606,35 @@ object IndexPipeline {
           competed, Seq.empty, col("bestQ"), col("isDecoy"), col("accession"),
           lowerIsBetter = true)
 
-    proteinScored
+    // F8 — PIA parity (NR_UNIQUE_PEPTIDES_PER_PROTEIN_FILTER,
+    // PrideAnalysisAssayService.java:470): the gate counts peptides UNIQUE
+    // to the protein — PIA's "unique peptide" is one whose protein list is
+    // exactly [this protein], the same uniqueness notion as the A6
+    // inference category — NOT the distinct-peptide count (that stays the
+    // reported `numberPeptides`, :963-964). Uniqueness is over
+    // peptideSequence, consistent with the A9 count the gate's namesake
+    // reports. At the default uniquePeptides=0 the gate is off and the
+    // uniqueness subtree is never built — zero added shuffles.
+    val qFiltered = proteinScored
       .join(categories, Seq("accession"), "left")
       .filter(col("q_value") <= cfg.proteinQThreshold) // F5 (:460)
-      .filter(col("numberPeptides") >= cfg.uniquePeptides) // F8 (:470)
+    val gated =
+      if (cfg.uniquePeptides <= 0) qFiltered
+      else {
+        val uniqueCounts = exploded
+          .groupBy(col("peptideSequence"))
+          .agg(collect_set(col("accession")).as("_accs"))
+          .filter(size(col("_accs")) === 1)
+          .select(element_at(col("_accs"), 1).as("accession"))
+          .groupBy(col("accession"))
+          .agg(count(lit(1)).as("_uniquePeptides"))
+        qFiltered
+          .join(uniqueCounts, Seq("accession"), "left")
+          .filter(coalesce(col("_uniquePeptides"), lit(0L)) >= cfg.uniquePeptides) // F8 (:470)
+          .drop("_uniquePeptides")
+      }
+
+    gated
       .select(
         col("accession").as("reportedAccession"),
         lit(cfg.projectAccession).as("projectAccession"),

@@ -288,5 +288,10 @@ class CommandsSpec extends AnyFunSuite {
       Map("exact-mgf" -> "false"))
     // stray non-option tokens are an error, not a silent drop
     intercept[IllegalArgumentException](graft.Cli.parseArgs(Array("cmd", "stray")))
+    // a value-typed option with a forgotten value is an ERROR — a trailing
+    // '--out' must not silently write the index to a dir named 'true'
+    intercept[IllegalArgumentException](graft.Cli.parseArgs(Array("cmd", "--out")))
+    intercept[IllegalArgumentException](
+      graft.Cli.parseArgs(Array("cmd", "--out", "--exact-mgf")))
   }
 }

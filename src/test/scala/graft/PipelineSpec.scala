@@ -234,15 +234,21 @@ class PipelineSpec extends AnyFunSuite {
       rows.map { case (a, b, c) => a -> (b, c) }.toMap
   }
 
-  test("F8/F11 filter-gate assay differentiates both gates") {
+  test("F8/F11 filter-gate assay differentiates both gates (PIA unique-peptide semantics)") {
     val out = graft.pipeline.DemoAssay.filterGateIndex(spark)
     val prots = out.proteinEvidence.select("reportedAccession")
       .as[String].collect().sorted
-    // sp|P4 has one unique peptide -> F8 (uniquePeptides=2) drops it, even
-    // though its PSM survives every PSM-level gate (index:8 below)
-    assert(prots.sameElements(Array("sp|P1", "sp|P2")), prots.mkString(","))
+    // PIA predicate at uniquePeptides=1: sp|P4's single peptide is unique
+    // to it (kept — the old distinct-count >= 2 gate dropped it); sp|P5 and
+    // sp|P6 each have 2 DISTINCT peptides but 0 UNIQUE ones (both shared
+    // between exactly the two) — the old gate kept them, PIA parity drops
+    // them even though every one of their PSMs survives the PSM gates
+    // (index:9 / index:10 below).
+    assert(prots.sameElements(Array("sp|P1", "sp|P2", "sp|P4")), prots.mkString(","))
     val usis = out.archiveSpectra.select("usi").as[String].collect().sorted
     assert(usis.contains("mzspec:PXDTEST:run1:index:8"))
+    assert(usis.contains("mzspec:PXDTEST:run1:index:9"))
+    assert(usis.contains("mzspec:PXDTEST:run1:index:10"))
     // PSM 9 differs from PSM 10 only in targeting the msLevel-1 spectrum
     assert(!usis.exists(_.endsWith("index:7")), usis.mkString(","))
   }

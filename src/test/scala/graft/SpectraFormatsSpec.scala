@@ -113,6 +113,32 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("index") == 0L) // banner does not consume an index
   }
 
+  test("PKL parser surfaces malformed spectrum-like blocks as F12-invalid rows") {
+    // A truncated single-field header (and a '.'-leading one) must NOT be
+    // silently dropped with the banners: the block parses with null
+    // precursor fields so the F12 validity gate observes the loss.
+    val pkl =
+      """445.5
+        |100.0 10.0
+        |
+        |.75 garbled
+        |oops nope
+        |
+        |600.25 500.0 3
+        |300.0 30.0
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft-pkl-malformed")
+    Files.writeString(dir.resolve("bad.pkl"), pkl)
+    val rows = PklIO.read(spark, dir.toString).orderBy(col("index")).collect()
+    assert(rows.length == 3, rows.mkString("\n"))
+    assert(rows(0).getAs[Double]("precursorMz") == 445.5) // single-field header kept
+    assert(rows(0).isNullAt(rows(0).fieldIndex("precursorCharge")))
+    assert(rows(1).getAs[Double]("precursorMz") == 0.75)
+    assert(rows(1).getAs[scala.collection.Seq[Any]]("masses").forall(_ == null))
+    assert(rows(2).getAs[Double]("precursorMz") == 600.25) // well-formed block intact
+    assert(rows(2).getAs[Int]("precursorCharge") == 3)
+  }
+
   test("PKL parser: header line + peaks, blank-line blocks") {
     val pkl =
       """445.50 1000.0 2
