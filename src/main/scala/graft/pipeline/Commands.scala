@@ -151,7 +151,7 @@ object Commands {
         .otherwise(idFormatFromName(lowerBase))
         .as("idFormat"))
 
-    val psms = psmsRaw
+    val joined = psmsRaw
       .join(broadcast(sdInfo),
         psmsRaw("file") === sdInfo("mzidFile") &&
           psmsRaw("spectraDataRef") === sdInfo("spectraDataId"))
@@ -160,6 +160,35 @@ object Commands {
       // multi-file run never merges distinct PSMs under one psmId (the
       // pipeline's per-psmId dedup window and FDR tiebreak both key on it).
       .withColumn("psmId", concat(col("file"), lit(":"), col("psmId")))
+
+    // Multi-file runs follow the reference's combined-inference setup
+    // (PIAModelerService.performInference:107-114): only rank-1
+    // identifications enter (setAllTopIdentifications(1)), and PSMs from
+    // different result files that identify the SAME spectrum as the same
+    // peptide/charge merge into one PSM set (createPSMSets(true)) carried
+    // by its best-scoring member — the downstream FDR then calibrates over
+    // sets, not per-file duplicates. (Different-peptide identifications of
+    // one spectrum stay separate sets, as in PIA; the per-USI output merge
+    // resolves them.) Single-file runs keep the flat path — no added
+    // window — matching performFilteringInference's
+    // setAllTopIdentifications(0).
+    val combined =
+      if (mzidPaths.sizeIs <= 1) joined
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val better =
+          if (cfg.scoreLowerIsBetter) col("score").asc else col("score").desc
+        joined
+          .filter(col("rank") <= 1)
+          .withColumn("_setRank", dense_rank().over(
+            Window.partitionBy(col("fileName"), col("sourceId"),
+              col("peptideSequence"), col("charge"))
+              .orderBy(better, col("psmId"))))
+          .filter(col("_setRank") === 1)
+          .drop("_setRank")
+      }
+
+    val psms = combined
       .select("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
         "charge", "expMassToCharge", "calcMassToCharge", "modifications",
         "sourceId", "fileName", "idFormat", "fileType", "retentionTime")

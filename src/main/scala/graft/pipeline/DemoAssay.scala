@@ -170,6 +170,24 @@ object DemoAssay {
         pickedProteinFdr = true))
   }
 
+  /** Multi-result-file e2e (the reference's combined-inference variant,
+    * PIAModelerService.java:191-219 + :107-114): two mzids over one MGF,
+    * run through the FULL generateIndexFilesFromMzid command (parse,
+    * SpectraData join, rank gate, PSM-set collapse, index DAG, JSON
+    * writes). Comet expectation scores: lower is better. */
+  def multiFileIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
+    indexMemo.computeIfAbsent((spark, "multiFile"),
+      { case (s, _) =>
+        val (mzids, spectraDir) = DemoFixtures.multiFileFixture()
+        val out = Files.createTempDirectory("graft-demo-multifile-out").toString
+        Commands.generateIndexFilesFromMzid(
+          s, mzids, spectraDir, out,
+          IndexPipeline.IndexConfig(
+            projectAccession = "PXDMULTI", assayAccession = "assayM",
+            qValueThreshold = 0.5, proteinQThreshold = 1.0, minPsms = 1,
+            scoreLowerIsBetter = true))
+      })
+
   def clusterSpectra(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(

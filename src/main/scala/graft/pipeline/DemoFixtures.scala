@@ -203,6 +203,130 @@ object DemoFixtures {
     Files.writeString(dir.resolve("assay.mzid"), mzid).toString
   }
 
+  private def mzidShell(body: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1">
+       |$body
+       |</MzIdentML>
+       |""".stripMargin
+
+  /** Multi-result-file fixture (PIAModelerService.java:191-219 combined
+    * runs): two mzids over ONE spectra file with an overlapping spectrum.
+    *  - a.mzid: PEPTIDEK on index=0 (rank 1) plus a BETTER-scoring rank-2
+    *    identification of the same spectrum whose psmId sorts first —
+    *    visible in the output iff the setAllTopIdentifications(1) rank
+    *    gate is missing; ELVISLIVESK on index=1 at 0.01; a decoy.
+    *  - b.mzid: the SAME spectrum index=1 as the same peptide/charge at a
+    *    better 0.002 (the PSM set collapses to this member —
+    *    createPSMSets(true)); AAAAKPEPR on index=3.
+    * Scores are Comet expectation values: lower is better. */
+  val mzidMultiA: String = mzidShell(
+    """ <SequenceCollection>
+      |  <DBSequence id="dbs1" accession="sp|Q1"/>
+      |  <DBSequence id="dbs3" accession="sp|Q3"/>
+      |  <DBSequence id="dbs7" accession="DECOY_sp|Q7"/>
+      |  <DBSequence id="dbs9" accession="sp|Q9"/>
+      |  <Peptide id="pep1"><PeptideSequence>PEPTIDEK</PeptideSequence></Peptide>
+      |  <Peptide id="pep2"><PeptideSequence>ELVISLIVESK</PeptideSequence></Peptide>
+      |  <Peptide id="pep7"><PeptideSequence>DECOYPEPK</PeptideSequence></Peptide>
+      |  <Peptide id="pep9"><PeptideSequence>RANKTWOPEPK</PeptideSequence></Peptide>
+      |  <PeptideEvidence id="ev1" peptide_ref="pep1" dBSequence_ref="dbs1" isDecoy="false"/>
+      |  <PeptideEvidence id="ev2" peptide_ref="pep2" dBSequence_ref="dbs3" isDecoy="false"/>
+      |  <PeptideEvidence id="ev7" peptide_ref="pep7" dBSequence_ref="dbs7" isDecoy="true"/>
+      |  <PeptideEvidence id="ev9" peptide_ref="pep9" dBSequence_ref="dbs9" isDecoy="false"/>
+      | </SequenceCollection>
+      | <DataCollection><Inputs>
+      |  <SpectraData id="sd1" location="file://data/run1.mgf">
+      |   <SpectrumIDFormat><cvParam accession="MS:1000774" name="multiple peak list nativeID format"/></SpectrumIDFormat>
+      |  </SpectraData>
+      | </Inputs>
+      | <AnalysisData>
+      |  <SpectrumIdentificationList>
+      |   <SpectrumIdentificationResult id="r1" spectrumID="index=0" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii0" rank="2" chargeState="2"
+      |      experimentalMassToCharge="650.37" calculatedMassToCharge="650.37" peptide_ref="pep9">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev9"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.0005"/>
+      |    </SpectrumIdentificationItem>
+      |    <SpectrumIdentificationItem id="sii1" rank="1" chargeState="2"
+      |      experimentalMassToCharge="458.23" calculatedMassToCharge="458.22" peptide_ref="pep1">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev1"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.001"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |   <SpectrumIdentificationResult id="r2" spectrumID="index=1" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii2" rank="1" chargeState="2"
+      |      experimentalMassToCharge="607.38" calculatedMassToCharge="607.38" peptide_ref="pep2">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev2"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.01"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |   <SpectrumIdentificationResult id="r3" spectrumID="index=2" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii3" rank="1" chargeState="2"
+      |      experimentalMassToCharge="524.76" calculatedMassToCharge="524.76" peptide_ref="pep7">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev7"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.9"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |  </SpectrumIdentificationList>
+      | </AnalysisData>
+      | </DataCollection>""".stripMargin)
+
+  val mzidMultiB: String = mzidShell(
+    """ <SequenceCollection>
+      |  <DBSequence id="dbs3" accession="sp|Q3"/>
+      |  <DBSequence id="dbs4" accession="sp|Q4"/>
+      |  <Peptide id="pep2"><PeptideSequence>ELVISLIVESK</PeptideSequence></Peptide>
+      |  <Peptide id="pep4"><PeptideSequence>AAAAKPEPR</PeptideSequence></Peptide>
+      |  <PeptideEvidence id="ev2" peptide_ref="pep2" dBSequence_ref="dbs3" isDecoy="false"/>
+      |  <PeptideEvidence id="ev4" peptide_ref="pep4" dBSequence_ref="dbs4" isDecoy="false"/>
+      | </SequenceCollection>
+      | <DataCollection><Inputs>
+      |  <SpectraData id="sd1" location="file://data/run1.mgf">
+      |   <SpectrumIDFormat><cvParam accession="MS:1000774" name="multiple peak list nativeID format"/></SpectrumIDFormat>
+      |  </SpectraData>
+      | </Inputs>
+      | <AnalysisData>
+      |  <SpectrumIdentificationList>
+      |   <SpectrumIdentificationResult id="r1" spectrumID="index=1" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii1" rank="1" chargeState="2"
+      |      experimentalMassToCharge="607.38" calculatedMassToCharge="607.38" peptide_ref="pep2">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev2"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.002"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |   <SpectrumIdentificationResult id="r2" spectrumID="index=3" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii2" rank="1" chargeState="2"
+      |      experimentalMassToCharge="456.76" calculatedMassToCharge="456.76" peptide_ref="pep4">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev4"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.005"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |  </SpectrumIdentificationList>
+      | </AnalysisData>
+      | </DataCollection>""".stripMargin)
+
+  /** A 4-spectrum MGF matching the multi-file mzids' index addressing. */
+  val mgfMulti: String = (0 to 3).map { i =>
+    s"""BEGIN IONS
+       |TITLE=mspec$i
+       |PEPMASS=${440.0 + i}
+       |CHARGE=2+
+       |100.0\t10.0
+       |200.0\t20.0
+       |END IONS""".stripMargin
+  }.mkString("", "\n", "\n")
+
+  /** Writes the two mzids + spectra dir; returns (mzidPaths, spectraDir). */
+  def multiFileFixture(): (Seq[String], String) = {
+    val dir = Files.createTempDirectory("graft-demo-multifile")
+    val a = Files.writeString(dir.resolve("a.mzid"), mzidMultiA).toString
+    val b = Files.writeString(dir.resolve("b.mzid"), mzidMultiB).toString
+    val spectraDir = Files.createDirectory(dir.resolve("spectra"))
+    Files.writeString(spectraDir.resolve("run1.mgf"), mgfMulti)
+    (Seq(a, b), spectraDir.toString)
+  }
+
   /** Recorded REST files payload (S4 shape, PrideFile.java:12-68): mixes
     * RESULT/PEAK categories, the PRIDE:1002848 generated-result exclusion,
     * pride.mgf generated artifacts, compressed names, and ftp URLs. */

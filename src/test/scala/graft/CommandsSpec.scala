@@ -188,6 +188,24 @@ class CommandsSpec extends AnyFunSuite {
     assert(!s0.getAs[Boolean]("isDecoy"))
   }
 
+  test("multi-mzid run: rank gate + cross-file PSM-set collapse (PIAModelerService:107-114)") {
+    val out = graft.pipeline.DemoAssay.multiFileIndex(spark)
+    val rows = out.archiveSpectra
+      .select("usi", "peptideSequence", "isDecoy")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    // 4 rows: the overlapping spectrum (index=1 in both files) appears ONCE
+    assert(rows.length == 4, rows.mkString("\n"))
+    // setAllTopIdentifications(1): the rank-2 RANKTWOPEPK — whose psmId
+    // sorts before the rank-1 item — must not usurp index:1
+    assert(rows(0) == ("mzspec:PXDMULTI:run1:index:1", "PEPTIDEK", false))
+    assert(rows(1) == ("mzspec:PXDMULTI:run1:index:2", "ELVISLIVESK", false))
+    // merged-set FDR: decoy q = 1 decoy / 3 target SETS (unmerged: 1/4)
+    val decoyQ = out.archiveSpectra
+      .filter(col("isDecoy"))
+      .select(col("bestSearchEngineScore").getField("value")).head().getString(0)
+    assert(decoyQ.startsWith("0.3333"), decoyQ)
+  }
+
   private val filesJson =
     """[
       |{"accession":"PXF1","fileName":"assay1.mzid","fileCategory":{"accession":"PRIDE:1002847","value":"RESULT"}},
