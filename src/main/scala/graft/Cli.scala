@@ -93,18 +93,27 @@ object Cli {
             .getOrElse(Seq.empty),
         )
         val exactMgf = o.get("exact-mgf").exists(_.toBoolean)
-        val out = (o.get("mztab"), o.get("mzid")) match {
-          case (Some(_), Some(_)) =>
-            throw new IllegalArgumentException(
-              s"--mztab and --mzid are mutually exclusive\n$usage")
-          case (Some(mztab), None) =>
+        val inputs = Seq("mztab", "mzid", "pridexml").flatMap(k => o.get(k).map(k -> _))
+        val out = inputs match {
+          case Seq(("mztab", mztab)) =>
             Commands.generateIndexFiles(
               spark, mztab, req("spectra"), req("out"), cfg, o.get("sdrf"), exactMgf)
-          case (None, Some(mzid)) =>
+          case Seq(("mzid", mzid)) =>
             Commands.generateIndexFilesFromMzid(
               spark, mzid.split(",").toSeq, req("spectra"), req("out"), cfg,
               o.get("sdrf"), exactMgf)
-          case _ => throw new IllegalArgumentException(s"need --mztab or --mzid\n$usage")
+          case Seq(("pridexml", xml)) =>
+            // PRIDE XML is self-contained (spectra + identifications in one
+            // file): --spectra is optional and defaults to the result files
+            Commands.generateIndexFilesFromPrideXml(
+              spark, xml.split(",").toSeq, req("out"), cfg, o.get("sdrf"),
+              o.get("spectra"))
+          case Seq() =>
+            throw new IllegalArgumentException(
+              s"need --mztab, --mzid or --pridexml\n$usage")
+          case many =>
+            throw new IllegalArgumentException(
+              s"${many.map("--" + _._1).mkString(" and ")} are mutually exclusive\n$usage")
         }
         val v = out.validity.head()
         println(s"[graft] nr_psms=${v.getAs[Long]("nr_psms")} nr_decoys=${v.getAs[Long]("nr_decoys")}")
@@ -142,7 +151,9 @@ object Cli {
     """usage: graft.Cli <command> [--key value ...]
       |  get-result-files    --project-accession PXD... --out DIR
       |  get-related-files   --project-accession PXD... --mzid a.mzid[,b.mzid] --out DIR
-      |  generate-index-files (--mztab F | --mzid a.mzid[,b.mzid]) --spectra DIR
+      |  generate-index-files (--mztab F | --mzid a.mzid[,b.mzid] | --pridexml a.xml[,b.xml])
+      |                       --spectra DIR (optional for --pridexml: defaults
+      |                       to the self-contained result files)
       |                       --project-accession PXD... [--assay-accession A]
       |                       [--reanalysis-accession RPXD...]
       |                       [--qvalue-threshold 0.01] [--peptide-length 7]

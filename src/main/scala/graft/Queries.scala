@@ -758,6 +758,21 @@ object Queries {
         .orderBy(col("psmId"), col("proteinAccession")))
     }),
 
+    // S1 (legacy) — PRIDE XML identification scan: GelFreeIdentification /
+    // TwoDimensionalIdentification sections to the standardized PSM shape.
+    // Pins: the shared peptide under two accessions collapsing to ONE
+    // content-derived psmId, the positioned PSI-MOD modification, the
+    // PeptideItem score/charge cvParams, the Identification-<Score>
+    // fallback, and the PRIDE:0000303 decoy-hit flag.
+    "io_pridexml_ident" -> ((s, _) =>
+      jsonSafe(graft.io.PrideXmlIO.readIdentifications(
+        s, Seq(graft.pipeline.DemoFixtures.prideXmlIdentFile()))
+        .select(col("psmId"), col("peptideSequence"), col("proteinAccession"),
+          col("database"), col("isDecoy"), col("score"), col("charge"),
+          col("expMassToCharge"), col("modifications"), col("sourceId"),
+          col("start"), col("end"))
+        .orderBy(col("psmId"), col("proteinAccession")))),
+
     // S3/S4 + F1/F2 + S8 — REST files catalog on a recorded payload:
     // generated-artifact drop, RESULT-category gate, compressed-name
     // normalization, ftp->https rewrite.
@@ -1562,6 +1577,10 @@ object Queries {
       """SELECT c0::VARCHAR AS "fileName", c1::VARCHAR AS "fileType", c2::BIGINT AS "index", c3::VARCHAR AS "scanId", c4::VARCHAR AS "title", c5::INTEGER AS "msLevel", c6::DOUBLE AS "precursorMz", c7::INTEGER AS "precursorCharge", c8::DOUBLE AS "retentionTime", c9::INTEGER AS "n_peaks", c10::VARCHAR AS "masses", c11::VARCHAR AS "intensities" FROM (VALUES ('legacy.xml', 'PRIDE', 0, '3', '3', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('one.dta', 'DTA', 0, '0', '', 2, '445.998638'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.apl', 'APL', 0, '0', 'RawFile: r1 Index: 5', 2, '445.12'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 0, '7', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 1, '9', '', 2, '600.25'::DOUBLE, 0, NULL, 1, '[300.0]', '[30.0]'), ('run.pkl', 'PKL', 0, '0', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.pkl', 'PKL', 1, '1', '', 2, '600.25'::DOUBLE, 3, NULL, 1, '[300.0]', '[30.0]'), ('run1.mgf', 'MGF', 0, '0', 'spec0', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run1.mgf', 'MGF', 1, '1', 'spec1', 2, '512.75'::DOUBLE, 3, NULL, 1, '[55.5]', '[1.0]'), ('run2.mzML', 'MZML', 0, 'controllerType=0 controllerNumber=1 scan=1', 'controllerType=0 controllerNumber=1 scan=1', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('run2.mzML', 'MZML', 1, 'controllerType=0 controllerNumber=1 scan=2', 'controllerType=0 controllerNumber=1 scan=2', 1, '0.0'::DOUBLE, 0, NULL, 0, '[]', '[]'), ('run3.mzXML', 'MZXML', 0, '7', '7', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "fileName", "index"""",
     "io_mzid_scan" ->
       """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::BOOLEAN AS "isDecoy", c4::DOUBLE AS "score", c5::INTEGER AS "rank", c6::INTEGER AS "charge", c7::DOUBLE AS "expMassToCharge", c8::DOUBLE AS "calcMassToCharge", c9::VARCHAR AS "modifications", c10::VARCHAR AS "sourceId", c11::VARCHAR AS "location", c12::VARCHAR AS "idFormatAccession" FROM (VALUES ('sii1', 'PEPTIDEK', 'sp|Q1', FALSE, '0.001'::DOUBLE, 1, 2, '458.23'::DOUBLE, '458.22'::DOUBLE, '{"3":"UNIMOD:35"}', 'index=0', 'file://data/run1.mgf', 'MS:1000774'), ('sii2', 'ELVISLIVESK', 'DECOY_sp|Q2', TRUE, '0.02'::DOUBLE, 1, 3, '600.0'::DOUBLE, '600.1'::DOUBLE, '{}', 'controllerType=0 controllerNumber=1 scan=7', 'file://data/run2.mzML', 'MS:1001530')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "psmId", "proteinAccession"""",
+    // Expected table: the PRIDE XML identification fixture, hand-checked.
+    "io_pridexml_ident" ->
+      """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::VARCHAR AS "database", c4::BOOLEAN AS "isDecoy", c5::DOUBLE AS "score", c6::INTEGER AS "charge", c7::DOUBLE AS "expMassToCharge", c8::VARCHAR AS "modifications", c9::VARCHAR AS "sourceId", c10::INTEGER AS "start", c11::INTEGER AS "end" FROM (VALUES ('legacy_ident.xml:1:PEPTIDEK:3=MOD:00696', 'PEPTIDEK', 'sp|A1', 'SWISSPROT', FALSE, '47.15'::DOUBLE, NULL, NULL, '{"3":"MOD:00696"}', '1', 10, 17), ('legacy_ident.xml:2:ELVISLIVESK', 'ELVISLIVESK', 'sp|A1', 'SWISSPROT', FALSE, '30.5'::DOUBLE, 2, NULL, '{}', '2', NULL, NULL), ('legacy_ident.xml:2:ELVISLIVESK', 'ELVISLIVESK', 'sp|A2', NULL, FALSE, '30.5'::DOUBLE, 2, NULL, '{}', '2', NULL, NULL), ('legacy_ident.xml:3:DECOYPEPK', 'DECOYPEPK', 'DECOY_sp|A9', NULL, TRUE, '5.0'::DOUBLE, NULL, NULL, '{}', '3', NULL, NULL)) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "psmId", "proteinAccession"""",
+
     "io_rest_catalog" ->
       """SELECT c0::VARCHAR AS "accession", c1::VARCHAR AS "fileName", c2::VARCHAR AS "category_accession", c3::VARCHAR AS "category", c4::BOOLEAN AS "is_result", c5::VARCHAR AS "uncompressed_name", c6::BOOLEAN AS "was_compressed", c7::VARCHAR AS "https_url" FROM (VALUES ('PXF1', 'assay1.mzid', 'PRIDE:1002847', 'RESULT', TRUE, 'assay1.mzid', FALSE, 'https://ftp.pride.ebi.ac.uk/2020/01/PXD1/assay1.mzid'), ('PXF2', 'run1.mgf.gz', 'PRIDE:1002846', 'PEAK', FALSE, 'run1.mgf', TRUE, 'https://ftp.pride.ebi.ac.uk/2020/01/PXD1/run1.mgf.gz'), ('PXF3', 'junk.mztab', 'PRIDE:1002848', 'RESULT', FALSE, 'junk.mztab', FALSE, 'https://ftp.pride.ebi.ac.uk/2020/02/PXD1/junk.mztab'), ('PXF5', 'other.zip', 'PRIDE:1002846', 'PEAK', FALSE, 'other', TRUE, 'https://ftp.pride.ebi.ac.uk/2020/03/PXD1/other.zip')) AS t(c0, c1, c2, c3, c4, c5, c6, c7) ORDER BY "accession"""",
     "io_sdrf_melt" ->

@@ -207,6 +207,54 @@ object Commands {
     } finally releaseParsed()
   }
 
+  /** generate-index-files from legacy PRIDE XML result files — the last
+    * identification input the reference accepts (through PIA/jmzReader's
+    * PRIDEXmlWrapper, JmzReaderSpectrumService.java:43-45). PRIDE XML is
+    * self-contained: the SAME file carries the mzData spectra and the
+    * identification sections, so `spectraDir` defaults to the result files
+    * themselves. Charge / experimental m/z live on the spectrum precursor
+    * in this format — PeptideItem-level values win when a writer emitted
+    * them, else they are resolved here from the matched spectrum (join on
+    * the raw spectrum id, the same key J1 uses for the PRIDE file type). */
+  def generateIndexFilesFromPrideXml(
+      spark: SparkSession,
+      xmlPaths: Seq[String],
+      outDir: String,
+      cfg: IndexPipeline.IndexConfig,
+      sdrfPath: Option[String] = None,
+      spectraDir: Option[String] = None,
+  ): IndexPipeline.IndexOutputs = {
+    val psmsRaw = PrideXmlIO.readIdentifications(spark, xmlPaths)
+    val spectra = spectraDir.map(readSpectraDir(spark, _))
+      .getOrElse(PrideXmlIO.read(spark, xmlPaths).withColumn("fileType", lit("PRIDE")))
+    val prec = spectra.select(col("fileName"), col("scanId").as("sourceId"),
+      col("precursorCharge").as("_specCharge"), col("precursorMz").as("_specMz"))
+    val psms = psmsRaw
+      .join(prec, Seq("fileName", "sourceId"), "left")
+      .withColumn("charge",
+        coalesce(col("charge"), when(col("_specCharge") =!= 0, col("_specCharge"))))
+      .withColumn("expMassToCharge",
+        coalesce(col("expMassToCharge"), when(col("_specMz") =!= 0.0, col("_specMz"))))
+      // a PeptideItem with no engine score term and no Identification
+      // <Score> fallback enters the FDR at 0.0 (same default the mzid
+      // reader applies to a score-less SII)
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("calcMassToCharge", lit(null).cast("double"))
+      .withColumn("retentionTime", lit(null).cast("double"))
+      .withColumn("idFormat", lit(graft.functions.UsiFunctions.IdFormat.None))
+      .withColumn("fileType", lit("PRIDE"))
+      .select("psmId", "peptideSequence", "proteinAccession", "isDecoy", "score",
+        "charge", "expMassToCharge", "calcMassToCharge", "modifications",
+        "sourceId", "fileName", "idFormat", "fileType", "retentionTime")
+
+    val out = IndexPipeline.run(psms, spectra,
+      sdrfPath.map(SideInputs.readSdrf(spark, _)), cfg)
+    ArchiveJson.writePartitioned(out.archiveSpectra, s"$outDir/archive_spectra")
+    ArchiveJson.write(out.psmSummaries, s"$outDir/psm_summaries")
+    ArchiveJson.write(out.proteinEvidence, s"$outDir/protein_evidence")
+    out
+  }
+
   /** Index sidecar location for an MGF output dir: the (usi, index)
     * mapping persisted at write time — the J4 positional contract carried
     * explicitly, never re-derived post-hoc (SURVEY §7.4 item 4). */

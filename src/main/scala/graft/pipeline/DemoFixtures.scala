@@ -134,6 +134,99 @@ object DemoFixtures {
        |</ExperimentCollection>""".stripMargin
   }
 
+  /** Self-contained PRIDE XML result file: mzData spectra PLUS
+    * identification sections (GelFreeIdentification and
+    * TwoDimensionalIdentification — the legacy identification input,
+    * JmzReaderSpectrumService.java:43-45). Exercises: shared peptide under
+    * two accessions (one content-derived psmId), positioned PSI-MOD
+    * modification, PeptideItem-level score/charge cvParams, the
+    * Identification-<Score> fallback, and the PRIDE:0000303 decoy-hit
+    * flag. */
+  def prideXmlIdent: String = {
+    val mz = b64doubles(Seq(100.5, 200.25))
+    val in = b64doubles(Seq(10.0, 20.0))
+    def spectrum(id: Int, precMz: Double): String =
+      s"""   <spectrum id="$id">
+         |    <spectrumDesc><spectrumSettings>
+         |     <spectrumInstrument msLevel="2"/>
+         |    </spectrumSettings>
+         |    <precursorList><precursor><ionSelection>
+         |     <cvParam cvLabel="psi" accession="PSI:1000040" name="m/z" value="$precMz"/>
+         |     <cvParam cvLabel="psi" accession="PSI:1000041" name="charge" value="2"/>
+         |    </ionSelection></precursor></precursorList></spectrumDesc>
+         |    <mzArrayBinary><data precision="64" endian="little">$mz</data></mzArrayBinary>
+         |    <intenArrayBinary><data precision="64" endian="little">$in</data></intenArrayBinary>
+         |   </spectrum>""".stripMargin
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<ExperimentCollection version="2.1">
+       | <Experiment>
+       |  <mzData>
+       |  <spectrumList count="3">
+       |${spectrum(1, 458.23)}
+       |${spectrum(2, 607.38)}
+       |${spectrum(3, 524.76)}
+       |  </spectrumList>
+       | </mzData>
+       | <GelFreeIdentification>
+       |  <Accession>sp|A1</Accession>
+       |  <Database>SWISSPROT</Database>
+       |  <PeptideItem>
+       |   <Sequence>PEPTIDEK</Sequence>
+       |   <Start>10</Start>
+       |   <End>17</End>
+       |   <SpectrumReference>1</SpectrumReference>
+       |   <ModificationItem>
+       |    <ModLocation>3</ModLocation>
+       |    <ModAccession>MOD:00696</ModAccession>
+       |    <ModDatabase>MOD</ModDatabase>
+       |   </ModificationItem>
+       |   <additional>
+       |    <cvParam cvLabel="PRIDE" accession="PRIDE:0000069" name="Mascot score" value="47.15"/>
+       |   </additional>
+       |  </PeptideItem>
+       |  <PeptideItem>
+       |   <Sequence>ELVISLIVESK</Sequence>
+       |   <SpectrumReference>2</SpectrumReference>
+       |   <additional>
+       |    <cvParam cvLabel="PRIDE" accession="PRIDE:0000069" name="Mascot score" value="30.5"/>
+       |    <cvParam cvLabel="MS" accession="MS:1000041" name="charge state" value="2"/>
+       |   </additional>
+       |  </PeptideItem>
+       |  <Score>47.15</Score>
+       |  <Threshold>20.0</Threshold>
+       |  <SearchEngine>Mascot</SearchEngine>
+       | </GelFreeIdentification>
+       | <GelFreeIdentification>
+       |  <Accession>sp|A2</Accession>
+       |  <PeptideItem>
+       |   <Sequence>ELVISLIVESK</Sequence>
+       |   <SpectrumReference>2</SpectrumReference>
+       |   <additional>
+       |    <cvParam cvLabel="PRIDE" accession="PRIDE:0000069" name="Mascot score" value="30.5"/>
+       |    <cvParam cvLabel="MS" accession="MS:1000041" name="charge state" value="2"/>
+       |   </additional>
+       |  </PeptideItem>
+       | </GelFreeIdentification>
+       | <TwoDimensionalIdentification>
+       |  <Accession>DECOY_sp|A9</Accession>
+       |  <PeptideItem>
+       |   <Sequence>DECOYPEPK</Sequence>
+       |   <SpectrumReference>3</SpectrumReference>
+       |  </PeptideItem>
+       |  <Score>5.0</Score>
+       |  <additional>
+       |   <cvParam cvLabel="PRIDE" accession="PRIDE:0000303" name="Decoy hit"/>
+       |  </additional>
+       | </TwoDimensionalIdentification>
+       | </Experiment>
+       |</ExperimentCollection>""".stripMargin
+  }
+
+  def prideXmlIdentFile(): String = {
+    val dir = Files.createTempDirectory("graft-demo-pridexml")
+    Files.writeString(dir.resolve("legacy_ident.xml"), prideXmlIdent).toString
+  }
+
   /** Writes one file per spectra format into a fresh temp dir; the
     * readSpectraDir union over it covers every reference FileType (S2). */
   def spectraFormatsDir(): String = {

@@ -188,6 +188,41 @@ class CommandsSpec extends AnyFunSuite {
     assert(!s0.getAs[Boolean]("isDecoy"))
   }
 
+  test("generate-index-files from PRIDE XML: self-contained legacy input") {
+    val dir = Files.createTempDirectory("graft-pridexml-cli")
+    val xml = write(dir, "legacy_ident.xml", graft.pipeline.DemoFixtures.prideXmlIdent)
+    val out = dir.resolve("out").toString
+
+    // No --spectra: the result file itself carries the mzData spectra.
+    Cli.run(spark, Array("generate-index-files",
+      "--pridexml", xml,
+      "--project-accession", "PXDPRIDE",
+      "--qvalue-threshold", "1.0", "--protein-qvalue-threshold", "1.0",
+      "--min-psms", "1", "--out", out))
+
+    val rows = ArchiveJson.readPartitioned(spark, s"$out/archive_spectra")
+      .select("usi", "peptidoform", "isDecoy", "precursorCharge", "proteinAccessions")
+      .orderBy("usi").collect()
+    // USI: PRIDE file type -> index scan type with the raw spectrum id;
+    // cleanUsi strips the '_' from the file name (P4).
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "mzspec:PXDPRIDE:legacyident:index:1",
+      "mzspec:PXDPRIDE:legacyident:index:2",
+      "mzspec:PXDPRIDE:legacyident:index:3"), rows.mkString("\n"))
+    // charge resolved from the spectrum precursor (the PeptideItem carries
+    // no charge cvParam for PSM 1)
+    assert(rows(0).getString(1) == "PEP[MOD:00696]TIDEK/2")
+    assert(rows(0).getInt(3) == 2)
+    // shared peptide under two accessions collapsed to ONE PSM set
+    assert(rows(1).getSeq[String](4).sorted == Seq("sp|A1", "sp|A2"))
+    // PRIDE:0000303 decoy-hit flag (the accession has no DECOY_ prefix need)
+    assert(rows(2).getBoolean(2))
+
+    val proteins = spark.read.json(s"$out/protein_evidence")
+      .select("reportedAccession").collect().map(_.getString(0)).sorted.toSeq
+    assert(proteins == Seq("DECOY_sp|A9", "sp|A1", "sp|A2"), proteins)
+  }
+
   test("multi-mzid run: rank gate + cross-file PSM-set collapse (PIAModelerService:107-114)") {
     val out = graft.pipeline.DemoAssay.multiFileIndex(spark)
     val rows = out.archiveSpectra

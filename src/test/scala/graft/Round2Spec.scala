@@ -173,11 +173,17 @@ class Round2Spec extends AnyFunSuite {
     assert(merged.select(col("mergedDecoy")).distinct().head().getBoolean(0) == false)
   }
 
-  test("multi-file mzid runs keep same-named SIIs as distinct PSMs") {
+  test("multi-file mzid runs keep same-named SIIs on DIFFERENT spectra distinct") {
     val dir = Files.createTempDirectory("graft-multimzid")
     val mzid = CommandsFixtures.simpleMzid
     val f1 = Files.writeString(dir.resolve("a.mzid"), mzid).toString
-    val f2 = Files.writeString(dir.resolve("b.mzid"), mzid).toString
+    // b.mzid reuses the SAME SII ids (sii1/sii2) but identifies DIFFERENT
+    // spectra: the file-scoped psmId plus the per-spectrum set key must
+    // keep all four apart. (Identical identifications across files DO
+    // merge into one PSM set — createPSMSets(true) semantics — covered by
+    // the multi-mzid CommandsSpec test and the pipeline_multifile oracle.)
+    val f2 = Files.writeString(dir.resolve("b.mzid"),
+      mzid.replace("index=0", "index=2").replace("index=1", "index=3")).toString
     val mgfDir = Files.createDirectory(dir.resolve("spectra"))
     Files.writeString(mgfDir.resolve("run1.mgf"),
       "BEGIN IONS\nTITLE=s0\nPEPMASS=400.0\nCHARGE=2+\n100.0\t10.0\nEND IONS\n" +
@@ -186,8 +192,6 @@ class Round2Spec extends AnyFunSuite {
       spark, Seq(f1, f2), mgfDir.toString, dir.resolve("out").toString,
       IndexPipeline.IndexConfig("PXDMULTI", "a1", qValueThreshold = 1.0,
         minPsms = 1, scoreLowerIsBetter = true))
-    // same SII ids in both files: the file-scoped psmId keeps them apart,
-    // so the pre-filter PSM counter sees all FOUR
     val v = out.validity.head()
     assert(v.getAs[Long]("nr_psms") == 4L)
     assert(v.getAs[Long]("nr_decoys") == 2L)

@@ -259,6 +259,37 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("precursorCharge") == 3)
   }
 
+  test("PRIDE XML identification parser: sections, scores, decoys, mods") {
+    val path = graft.pipeline.DemoFixtures.prideXmlIdentFile()
+    val psms = graft.io.PrideXmlIO.parseIdentFile(path).sortBy(p => (p.psmId, p.proteinAccession))
+    assert(psms.length == 4, psms.mkString("\n"))
+
+    val p1 = psms(0) // PEPTIDEK: mod + PeptideItem score, no charge cvParam
+    assert(p1.psmId == "legacy_ident.xml:1:PEPTIDEK:3=MOD:00696")
+    assert(p1.proteinAccession == "sp|A1" && p1.database.contains("SWISSPROT"))
+    assert(p1.score.contains(47.15) && p1.charge.isEmpty)
+    assert(p1.modifications == Map(3 -> "MOD:00696"))
+    assert(p1.start.contains(10) && p1.end.contains(17))
+    assert(!p1.isDecoy)
+
+    // shared peptide: same content-derived psmId under both accessions
+    val (p2a, p2b) = (psms(1), psms(2))
+    assert(p2a.psmId == p2b.psmId && p2a.psmId == "legacy_ident.xml:2:ELVISLIVESK")
+    assert(Seq(p2a, p2b).map(_.proteinAccession) == Seq("sp|A1", "sp|A2"))
+    assert(p2a.charge.contains(2)) // MS:1000041 cvParam on the PeptideItem
+
+    // TwoDimensionalIdentification + PRIDE:0000303 decoy + <Score> fallback
+    val p3 = psms(3)
+    assert(p3.peptideSequence == "DECOYPEPK" && p3.isDecoy)
+    assert(p3.score.contains(5.0))
+
+    // the SPECTRA reader over the same file ignores identification
+    // sections entirely (and vice versa)
+    val spectra = graft.io.PrideXmlIO.parseFile(path)
+    assert(spectra.map(_.scanId) == Seq("1", "2", "3"))
+    assert(spectra.forall(_.precursorCharge == 2))
+  }
+
   test("DTA parser: MH+ header converted to precursor m/z") {
     val dta = "890.99 2\n100.0 10.0\n200.0 20.0\n"
     val dir = Files.createTempDirectory("graft-dta")
