@@ -59,6 +59,21 @@ object DemoAssay {
     indexMemo.computeIfAbsent((spark, "default"),
       { case (s, _) => IndexPipeline.run(psms(s), spectra(s), None, config) })
 
+  /** Pre-materialize every session memo the driver queries share (the five
+    * demo index DAGs), so per-query bench numbers price per-query plans
+    * instead of whichever query runs first alphabetically paying the
+    * one-time cache build. Returns seconds spent; callers report it as a
+    * separate warmup figure. Evaluating one output per DAG suffices: the
+    * persisted frames (psmsU, perPsm) sit below every output. */
+  def warmup(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    Seq(
+      runIndex(spark), filterGateIndex(spark), combinedFdrProteinIndex(spark),
+      pickedFdrIndex(spark), multiFileIndex(spark),
+    ).foreach(_.archiveSpectra.write.format("noop").mode("overwrite").save())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Drop and unpersist this session's memoized index runs (idempotent). */
   def releaseIndex(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
