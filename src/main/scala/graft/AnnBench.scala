@@ -63,18 +63,37 @@ object AnnBench {
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     // Brute force IS the ground truth: recall@10 for the approximate
-    // paths is their overlap with the exact top-10 set.
-    val (bfSet, tBf) = time {
+    // paths is their overlap with the exact top-10 set. Two timed runs,
+    // min reported (first run pays codegen/JIT — startup, not throughput),
+    // matching the IVF steady-state measurement below.
+    val (bfSet, tBf1) = time {
       pairs(Similarity.bruteForceTopK(vecs, queries, 10))
     }
+    val (_, tBf2) = time {
+      pairs(Similarity.bruteForceTopK(vecs, queries, 10))
+    }
+    val tBf = math.min(tBf1, tBf2)
     val (lshSet, tLsh) = time {
       pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
         probeHammingRadius = 1))
     }
-    val (ivfSet, tIvf) = time {
-      pairs(Similarity.ivfTopK(vecs, queries, k = 10, nCells = ivfCells,
-        nProbe = ivfProbe, kmeansIters = ivfIters, maxTrainRows = ivfTrain))
+    // IVF the way it is used: build the inverted file ONCE (training +
+    // assignment + cache — reported separately), then serve query batches
+    // from it. The steady-state batch time is the brute-force comparison;
+    // the one-shot ivfTopK path equals build + first batch.
+    val (ivfIdx, tIvfBuild) = time {
+      val idx = Similarity.buildIvfIndex(vecs, nCells = ivfCells,
+        kmeansIters = ivfIters, maxTrainRows = ivfTrain)
+      idx.assigned.write.format("noop").mode("overwrite").save() // materialize
+      idx
     }
+    val (ivfSet, tIvfQ1) = time {
+      pairs(Similarity.ivfQuery(ivfIdx, queries, k = 10, nProbe = ivfProbe))
+    }
+    val (_, tIvfQ2) = time {
+      pairs(Similarity.ivfQuery(ivfIdx, queries, k = 10, nProbe = ivfProbe))
+    }
+    val tIvf = math.min(tIvfQ1, tIvfQ2)
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
@@ -87,7 +106,8 @@ object AnnBench {
     val ivfPlanted = (ivfSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_topk_100q":$tIvf%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
+    ivfIdx.release()
     spark.stop()
   }
 }

@@ -219,39 +219,59 @@ object Similarity {
     cents
   }
 
-  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    * KMeans centroid cells; a query probes its `nProbe` nearest cells and
-    * exact cosine re-ranks only those cells' members. The 100 TB shape:
-    * centroids are a tiny broadcast table, the corpus shuffles ONCE on
-    * cell id, and per-query work is |probed cells| instead of |corpus|.
-    * Fully deterministic ([[deterministicCentroids]]). */
-  def ivfTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 2,
-      kmeansIters: Int = 6,
-      /** Lloyd training-sample cap, passed through to
-        * [[deterministicCentroids]] — the training aggregation is the
-        * dominant fixed cost at corpus scale, and a few hundred vectors
-        * per cell already pin the geometry. Corpora at or below the cap
-        * train on every vector (pinned oracles unchanged). */
-      maxTrainRows: Long = 100000,
-  ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val centroids = deterministicCentroids(corpus, nCells, kmeansIters, maxTrainRows)
-    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+  /** A built IVF index: trained centroids plus the cell-assigned corpus
+    * (the inverted file). [[assigned]] is persisted — release() when done.
+    * Train once, serve many query batches: the per-batch cost is the probe
+    * join + re-rank only; the corpus count, Lloyd iterations, and the
+    * 1-per-vector assignment projection are paid once here. */
+  final case class IvfIndex(
+      centroids: Seq[(Int, Seq[Double])], assigned: DataFrame) {
+    def release(): Unit = { assigned.unpersist(); () }
+  }
 
-    // corpus cell assignment: a pure projection over the literal centroids
-    // — the corpus is never shuffled for assignment, only for the probe
-    // join below
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+  /** Cell-assigned corpus projection shared by the one-shot and indexed
+    * paths: a pure codegen projection over the literal centroid table —
+    * no join, no shuffle. */
+  private def assignCorpus(
+      corpus: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
       norm(col("vec")).as("cn"),
       assignCell(transform(col("vec"), _.cast("double")), centroids).as("cell"))
 
+  /** Train (or adopt) centroids and persist the assigned corpus.
+    * `centroidsIn` skips Lloyd entirely — reuse a previous training across
+    * index rebuilds or related corpora. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      kmeansIters: Int = 6,
+      maxTrainRows: Long = 100000,
+      centroidsIn: Option[Seq[(Int, Seq[Double])]] = None,
+  ): IvfIndex = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val centroids = centroidsIn.getOrElse(
+      deterministicCentroids(corpus, nCells, kmeansIters, maxTrainRows))
+    val assigned = assignCorpus(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Probe-and-rerank over centroids + an assigned corpus (the query side
+    * of IVF, shared by [[ivfTopK]] and [[ivfQuery]]). The probe side is
+    * explicitly broadcast: |queries| * nProbe tiny rows against the
+    * corpus-sized inverted file — the corpus is never shuffled for the
+    * candidate join; only the candidate set moves for the per-query
+    * window. */
+  private def ivfQueryInternal(
+      centroids: Seq[(Int, Seq[Double])],
+      assigned: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+  ): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(centroids.toDF("cell", "centroid"))
     val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn"))
       .crossJoin(centDf)
@@ -265,13 +285,52 @@ object Similarity {
     // ONE cell and the nProbe probed cells per query are distinct, so
     // (query, neighbor) pairs are unique by construction — a distinct()
     // would shuffle the full candidate set for nothing.
-    val scored = qCells.join(c, "cell")
+    val scored = broadcast(qCells).join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Query a built index: probe the `nProbe` nearest cells per query and
+    * exact-cosine re-rank their members. Steady-state cost per batch:
+    * one scan of the cached inverted file + |probed fraction| dot
+    * products — none of the build-time fixed costs. */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    ivfQueryInternal(index.centroids, index.assigned, queries, k, nProbe)
+
+  /** IVF (inverted-file) approximate top-k, one-shot form: corpus vectors
+    * are assigned to KMeans centroid cells; a query probes its `nProbe`
+    * nearest cells and exact cosine re-ranks only those cells' members.
+    * The 100 TB shape: centroids are a tiny broadcast table, the corpus is
+    * never shuffled (assignment is a projection, the probe side is the
+    * broadcast), and per-query work is |probed cells| instead of |corpus|.
+    * Fully deterministic ([[deterministicCentroids]]). Nothing is
+    * persisted here — for repeated query batches build the index once
+    * ([[buildIvfIndex]]/[[ivfQuery]]) instead of re-paying training +
+    * assignment per call. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      kmeansIters: Int = 6,
+      /** Lloyd training-sample cap, passed through to
+        * [[deterministicCentroids]] — the training aggregation is the
+        * dominant fixed cost at corpus scale, and a few hundred vectors
+        * per cell already pin the geometry. Corpora at or below the cap
+        * train on every vector (pinned oracles unchanged). */
+      maxTrainRows: Long = 100000,
+      /** Pre-trained centroids: skips Lloyd (and its corpus count). */
+      centroidsIn: Option[Seq[(Int, Seq[Double])]] = None,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val centroids = centroidsIn.getOrElse(
+      deterministicCentroids(corpus, nCells, kmeansIters, maxTrainRows))
+    ivfQueryInternal(centroids, assignCorpus(corpus, centroids), queries, k, nProbe)
   }
 
   /** Per-group embedding centroids (mean pooling — prototype/class

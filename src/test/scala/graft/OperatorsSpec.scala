@@ -163,6 +163,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_ < 6))
   }
 
+  test("IVF index build/query split equals the one-shot path; centroids reusable") {
+    val corpus = (0 until 12).map { i =>
+      val base = if (i < 6) Seq(1.0f, 0.02f * i, 0f, 0f) else Seq(0.02f * i, 1.0f, 0f, 0f)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id").isin(0L, 7L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity).toSeq
+
+    val oneShot = rows(Similarity.ivfTopK(corpus, queries, k = 3, nCells = 2, nProbe = 1))
+    val idx = Similarity.buildIvfIndex(corpus, nCells = 2)
+    try {
+      assert(rows(Similarity.ivfQuery(idx, queries, k = 3, nProbe = 1)) == oneShot)
+      // pre-trained centroids skip Lloyd but give the same answer
+      val reused = rows(Similarity.ivfTopK(corpus, queries, k = 3, nCells = 2,
+        nProbe = 1, centroidsIn = Some(idx.centroids)))
+      assert(reused == oneShot)
+    } finally idx.release()
+  }
+
   test("multimodal: deterministic stub features with real batch plumbing") {
     import spark.implicits._
     val media = Seq(
