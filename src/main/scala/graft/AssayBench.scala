@@ -20,6 +20,19 @@ object AssayBench {
   def main(args: Array[String]): Unit = {
     val nPsms = sys.env.getOrElse("SPARK_GRAFT_NPSMS", "800000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // reference envelope: 4
+    // SPARK_GRAFT_RESCUE=1: every PSM id misses the exact scan-key join and
+    // resolves through the stage-2 unique-contains rescue instead
+    // (scanKeyJoin's probe collect + broadcast contains-theta join at the
+    // scale of the whole assay — the worst legal case under the 1M
+    // RescueLookupCap). Spectrum ids are "S" + the 9-digit zero-padded
+    // index; PSM sourceIds are the bare padded index, so exact keys never
+    // match, every probe is contained in exactly ONE scanId (fixed-width
+    // padding: a scanId holds one 9-digit window), and the uniqueness gate
+    // passes all of them. NOTE the theta join is O(|probes| * |spectra|)
+    // string-contains by design — rescue rows are malformed-id noise in
+    // real assays; this measures the cliff, run it on 32 CPUs.
+    val rescueAll = sys.env.get("SPARK_GRAFT_RESCUE")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt, 4).toString)
@@ -49,18 +62,21 @@ object AssayBench {
       (lit(400.0) + pmod(col("id"), lit(1000)) / 2.0).as("calcMassToCharge"),
       when(pmod(col("id"), lit(5)) === 0, map(lit(3), lit("UNIMOD:35")))
         .otherwise(map().cast("map<int,string>")).as("modifications"),
-      concat(lit("index="), col("id").cast("string")).as("sourceId"),
-      lit("run1.mgf").as("fileName"),
-      lit(graft.functions.UsiFunctions.IdFormat.MultiPeakListNativeId).as("idFormat"),
-      lit("MGF").as("fileType"),
+      (if (rescueAll) lpad(col("id").cast("string"), 9, "0")
+       else concat(lit("index="), col("id").cast("string"))).as("sourceId"),
+      lit(if (rescueAll) "run1.mzML" else "run1.mgf").as("fileName"),
+      lit(if (rescueAll) graft.functions.UsiFunctions.IdFormat.MzmlId
+          else graft.functions.UsiFunctions.IdFormat.MultiPeakListNativeId).as("idFormat"),
+      lit(if (rescueAll) "MZML" else "MGF").as("fileType"),
       lit(null).cast("double").as("retentionTime"),
     )
 
     val peaks = sequence(lit(1), lit(60))
     val spectra = spark.range(nSpectra.toLong).select(
-      lit("run1.mgf").as("fileName"),
+      lit(if (rescueAll) "run1.mzML" else "run1.mgf").as("fileName"),
       col("id").as("index"),
-      col("id").cast("string").as("scanId"),
+      (if (rescueAll) concat(lit("S"), lpad(col("id").cast("string"), 9, "0"))
+       else col("id").cast("string")).as("scanId"),
       lit("t").as("title"),
       lit(2).as("msLevel"),
       (lit(400.0) + pmod(col("id"), lit(1000)) / 2.0).as("precursorMz"),
@@ -68,7 +84,7 @@ object AssayBench {
       (col("id") % 3600).cast("double").as("retentionTime"),
       transform(peaks, p => p.cast("double") * 10.0).as("masses"),
       transform(peaks, p => p.cast("double")).as("intensities"),
-    ).withColumn("fileType", lit("MGF"))
+    ).withColumn("fileType", lit(if (rescueAll) "MZML" else "MGF"))
 
     val cfg = IndexPipeline.IndexConfig(
       projectAccession = "PXDBENCH", assayAccession = "bench",
@@ -90,7 +106,10 @@ object AssayBench {
       out.proteinEvidence.write.format("noop").mode("overwrite").save())
     val (v, tValidity) = time(out.validity.head())
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"assay_index_sec","value":$sec%.1f,"unit":"sec","n_psms":$nPsms,"cpus":$cpus,"out_psms":${v.getAs[Long]("nr_psms")},"nr_decoys":${v.getAs[Long]("nr_decoys")},"stages":{"build_precount":$tBuild%.1f,"archive_spectra":$tSpectra%.1f,"psm_summaries":$tSummaries%.1f,"protein_evidence":$tProteins%.1f,"validity":$tValidity%.1f}}""")
+    // rescue mode: every output row came through stage 2 — count them so
+    // the probe path's effectiveness is part of the record, not just time
+    val rescuedRows = if (rescueAll) out.archiveSpectra.count() else -1L
+    println(f"""{"metric":"assay_index_sec","value":$sec%.1f,"unit":"sec","n_psms":$nPsms,"cpus":$cpus,"rescue_mode":$rescueAll,"rescued_rows":$rescuedRows,"out_psms":${v.getAs[Long]("nr_psms")},"nr_decoys":${v.getAs[Long]("nr_decoys")},"stages":{"build_precount":$tBuild%.1f,"archive_spectra":$tSpectra%.1f,"psm_summaries":$tSummaries%.1f,"protein_evidence":$tProteins%.1f,"validity":$tValidity%.1f}}""")
     spark.stop()
   }
 }

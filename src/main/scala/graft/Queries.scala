@@ -669,6 +669,19 @@ object Queries {
           col("bestSearchEngineScore").getField("value").as("q_value"))
         .orderBy(col("usi"))),
 
+    // PRIDE XML e2e: the full generate-index-files DAG over ONE
+    // self-contained legacy result file (identifications + mzData spectra).
+    // Pins: spectrum-precursor charge resolution (PSM 1 has no charge
+    // cvParam -> /2 from its spectrum), the shared-peptide PSM-set
+    // collapse (index:2 carries BOTH accessions), the PRIDE:0000303 decoy
+    // entering the FDR, and the index-type USI off the raw spectrum id.
+    "pipeline_pridexml" -> ((s, _) =>
+      jsonSafe(graft.pipeline.DemoAssay.prideXmlIndex(s).archiveSpectra
+        .select(col("usi"), col("peptideSequence"), col("peptidoform"),
+          col("isDecoy"), col("precursorCharge"), col("proteinAccessions"),
+          col("bestSearchEngineScore").getField("value").as("q_value"))
+        .orderBy(col("usi")))),
+
     "pipeline_cluster_inference" -> ((s, _) => {
       val out = graft.pipeline.ClusterInference.run(
         graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
@@ -1612,6 +1625,14 @@ object Queries {
     // q = 1/3 pins the merged-set FDR denominator (unmerged would be 1/4).
     "pipeline_multifile" ->
       """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "peptideSequence", c2::BOOLEAN AS "isDecoy", c3::VARCHAR AS "q_value" FROM (VALUES ('mzspec:PXDMULTI:run1:index:1', 'PEPTIDEK', FALSE, '0.033333'), ('mzspec:PXDMULTI:run1:index:2', 'ELVISLIVESK', FALSE, '0.033333'), ('mzspec:PXDMULTI:run1:index:3', 'DECOYPEPK', TRUE, '0.3333333333333333'), ('mzspec:PXDMULTI:run1:index:4', 'AAAAKPEPR', FALSE, '0.033333')) AS t(c0, c1, c2, c3) ORDER BY "usi"""",
+
+    // Expected table: PRIDE XML e2e. Charge /2 on every peptidoform comes
+    // from the SPECTRUM precursor (PSM 1 carries no charge cvParam);
+    // index:2 holds both accessions (one content-derived psmId for the
+    // shared peptide); decoy q = 1 decoy / 2 targets; target q = the P9
+    // repair (min nonzero q / 10).
+    "pipeline_pridexml" ->
+      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "peptidoform", c3::BOOLEAN AS "isDecoy", c4::INTEGER AS "precursorCharge", c5::VARCHAR AS "proteinAccessions", c6::VARCHAR AS "q_value" FROM (VALUES ('mzspec:PXDPRIDE:legacyident:index:1', 'PEPTIDEK', 'PEP[MOD:00696]TIDEK/2', FALSE, 2, '["sp|A1"]', '0.05'), ('mzspec:PXDPRIDE:legacyident:index:2', 'ELVISLIVESK', 'ELVISLIVESK/2', FALSE, 2, '["sp|A1","sp|A2"]', '0.05'), ('mzspec:PXDPRIDE:legacyident:index:3', 'DECOYPEPK', 'DECOYPEPK/2', TRUE, 2, '["DECOY_sp|A9"]', '0.5')) AS t(c0, c1, c2, c3, c4, c5, c6) ORDER BY "usi"""",
 
     // Expected table: picked protein FDR on the demo assay + paired decoy
     // under loose q gates. DECOY_sp|P1 is absent (lost the pair

@@ -69,7 +69,7 @@ object DemoAssay {
     val t0 = System.nanoTime()
     Seq(
       runIndex(spark), filterGateIndex(spark), combinedFdrProteinIndex(spark),
-      pickedFdrIndex(spark), multiFileIndex(spark),
+      pickedFdrIndex(spark), multiFileIndex(spark), prideXmlIndex(spark),
     ).foreach(_.archiveSpectra.write.format("noop").mode("overwrite").save())
     (System.nanoTime() - t0) / 1e9
   }
@@ -201,6 +201,23 @@ object DemoAssay {
             projectAccession = "PXDMULTI", assayAccession = "assayM",
             qValueThreshold = 0.5, proteinQThreshold = 1.0, minPsms = 1,
             scoreLowerIsBetter = true))
+      })
+
+  /** PRIDE XML e2e (the self-contained legacy identification input): the
+    * full generate-index-files DAG over the DemoFixtures.prideXmlIdent
+    * file — identification sections + mzData spectra from ONE file,
+    * spectrum-precursor charge resolution, PSM-set collapse of the shared
+    * peptide, PRIDE:0000303 decoy, index-type USIs. */
+  def prideXmlIndex(spark: SparkSession): IndexPipeline.IndexOutputs =
+    indexMemo.computeIfAbsent((spark, "prideXml"),
+      { case (s, _) =>
+        val xml = DemoFixtures.prideXmlIdentFile()
+        val out = Files.createTempDirectory("graft-demo-pridexml-out").toString
+        Commands.generateIndexFilesFromPrideXml(
+          s, Seq(xml), out,
+          IndexPipeline.IndexConfig(
+            projectAccession = "PXDPRIDE", assayAccession = "assayP",
+            qValueThreshold = 1.0, proteinQThreshold = 1.0, minPsms = 1))
       })
 
   def clusterSpectra(spark: SparkSession): DataFrame = {
