@@ -178,11 +178,19 @@ object Commands {
         import org.apache.spark.sql.expressions.Window
         val better =
           if (cfg.scoreLowerIsBetter) col("score").asc else col("score").desc
+        // PIA's set identity includes the MODIFICATIONS: the same
+        // spectrum/sequence/charge carrying different mods stays separate
+        // sets. Maps are unorderable in a window key — canonicalize to a
+        // sorted "pos=acc" string (deterministic whatever the map's
+        // internal entry order).
+        val modsKey = concat_ws(",", array_sort(transform(
+          map_entries(col("modifications")),
+          e => concat(e.getField("key").cast("string"), lit("="), e.getField("value")))))
         joined
           .filter(col("rank") <= 1)
           .withColumn("_setRank", dense_rank().over(
             Window.partitionBy(col("fileName"), col("sourceId"),
-              col("peptideSequence"), col("charge"))
+              col("peptideSequence"), col("charge"), modsKey)
               .orderBy(better, col("psmId"))))
           .filter(col("_setRank") === 1)
           .drop("_setRank")

@@ -198,6 +198,34 @@ class Round2Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("multi-file mzid: same spectrum/peptide/charge, DIFFERENT mods stay separate sets") {
+    // PIA set identity includes modifications — file B re-identifies the
+    // same spectra as the same peptide/charge but WITH an oxidation, so
+    // nothing merges: 4 PSM sets, not 2.
+    val dir = Files.createTempDirectory("graft-multimzid-mods")
+    val a = CommandsFixtures.simpleMzid
+    val b = a.replace(
+      "<Peptide id=\"pep1\"><PeptideSequence>PEPTIDEKR</PeptideSequence></Peptide>",
+      "<Peptide id=\"pep1\"><PeptideSequence>PEPTIDEKR</PeptideSequence>" +
+        "<Modification location=\"3\" monoisotopicMassDelta=\"15.994915\">" +
+        "<cvParam accession=\"UNIMOD:35\" name=\"Oxidation\" cvRef=\"UNIMOD\"/>" +
+        "</Modification></Peptide>")
+    assert(b != a, "fixture surgery failed — peptide element not found")
+    val f1 = Files.writeString(dir.resolve("a.mzid"), a).toString
+    val f2 = Files.writeString(dir.resolve("b.mzid"), b).toString
+    val mgfDir = Files.createDirectory(dir.resolve("spectra"))
+    Files.writeString(mgfDir.resolve("run1.mgf"),
+      "BEGIN IONS\nTITLE=s0\nPEPMASS=400.0\nCHARGE=2+\n100.0\t10.0\nEND IONS\n" +
+        "BEGIN IONS\nTITLE=s1\nPEPMASS=401.0\nCHARGE=2+\n100.0\t10.0\nEND IONS\n")
+    val out = Commands.generateIndexFilesFromMzid(
+      spark, Seq(f1, f2), mgfDir.toString, dir.resolve("out").toString,
+      IndexPipeline.IndexConfig("PXDMODS", "a1", qValueThreshold = 1.0,
+        minPsms = 1, scoreLowerIsBetter = true))
+    val v = out.validity.head()
+    assert(v.getAs[Long]("nr_psms") == 4L, v.toString)
+    out.unpersist()
+  }
+
   test("mzid SpectraData declaring a .ms2 file joins its spectra end-to-end") {
     val dir = Files.createTempDirectory("graft-ms2join")
     val mzid = CommandsFixtures.simpleMzid.replace("run1.mgf", "run1.ms2")
