@@ -87,6 +87,7 @@ object Cli {
           pickedProteinFdr = o.get("picked-protein-fdr").exists(_.toBoolean),
           proteinScoreFromPsmFdrScore =
             o.get("protein-score-from-fdrscore").exists(_.toBoolean),
+          decoyPrefix = o.getOrElse("decoy-prefix", "DECOY_"),
           globalSampleProps = o.get("global-sample-props").map(_.split(";").toSeq
             .filter(_.contains("="))
             .map { kv => val parts = kv.split("=", 2); (parts(0).trim, parts(1).trim) })
@@ -162,7 +163,8 @@ object Cli {
       |                       [--unique-peptides 0] [--distributed-fdr]
       |                       [--picked-protein-fdr]
       |                       [--protein-score-from-fdrscore]
-      |                       [--exact-mgf] [--sdrf F] --out DIR
+      |                       [--exact-mgf] [--sdrf F] [--decoy-prefix DECOY_]
+      |                       --out DIR
       |                       [--global-sample-props "organism=Homo sapiens;disease=..."]
       |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
       |                       [--index MGF_INDEX_SIDECAR]

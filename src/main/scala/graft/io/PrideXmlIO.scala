@@ -336,11 +336,13 @@ object PrideXmlIO {
   }
 
   /** Distributed identification scan: one task per file. */
-  def readIdentifications(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  def readIdentifications(
+      spark: SparkSession, paths: Seq[String],
+      decoyPrefix: String = "DECOY_"): DataFrame = {
     import spark.implicits._
     spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
-      .flatMap(p => parseIdentFile(p))
+      .flatMap(p => parseIdentFile(p, decoyPrefix))
       .toDF()
   }
 

@@ -108,7 +108,8 @@ object Commands {
       sdrfPath: Option[String] = None,
       exactMgf: Boolean = false,
   ): IndexPipeline.IndexOutputs = {
-    val psmsRaw = MzTabIO.standardPsms(MzTabIO.readPsmSection(spark, mzTabPath))
+    val psmsRaw = MzTabIO.standardPsms(
+      MzTabIO.readPsmSection(spark, mzTabPath), cfg.decoyPrefix)
     val runInfo = broadcast(msRunFileInfo(MzTabIO.readMsRuns(spark, mzTabPath)))
     val psms = psmsRaw.join(runInfo, Seq("msRun"), "left")
     val spectra = readSpectraDir(spark, mgfDir, exactMgf)
@@ -232,7 +233,7 @@ object Commands {
       sdrfPath: Option[String] = None,
       spectraDir: Option[String] = None,
   ): IndexPipeline.IndexOutputs = {
-    val psmsRaw = PrideXmlIO.readIdentifications(spark, xmlPaths)
+    val psmsRaw = PrideXmlIO.readIdentifications(spark, xmlPaths, cfg.decoyPrefix)
     val spectra = spectraDir.map(readSpectraDir(spark, _))
       .getOrElse(PrideXmlIO.read(spark, xmlPaths).withColumn("fileType", lit("PRIDE")))
     val prec = spectra.select(col("fileName"), col("scanId").as("sourceId"),
