@@ -104,9 +104,10 @@ object AnnBench {
     // exact top-1 of query q is q-1 — verify the approximate paths keep it.
     val planted = bfSet.filter { case (q, nb) => q % 20 == 0 && q > 0 && nb == q - 1 }
     val ivfPlanted = (ivfSet & planted).size.toDouble / math.max(planted.size, 1)
+    val lshPlanted = (lshSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
     ivfIdx.release()
     spark.stop()
   }
