@@ -301,6 +301,32 @@ object Similarity {
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
     ivfQueryInternal(index.centroids, index.assigned, queries, k, nProbe)
 
+  /** Persist an index to storage: centroids as a tiny parquet table, the
+    * inverted file partitioned BY CELL. The partition layout is the
+    * 100 TB story — a loaded index's probe join (broadcast query side on
+    * the `cell` partition column) qualifies for dynamic partition
+    * pruning, so a query batch reads ONLY the probed cells' files from
+    * disk instead of scanning the corpus. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Load a saved index. The inverted file stays DISK-backed (no cache
+    * pin): per-batch reads touch only the probed cells' partitions, which
+    * is the right trade at corpus scale — release() is a no-op. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** IVF (inverted-file) approximate top-k, one-shot form: corpus vectors
     * are assigned to KMeans centroid cells; a query probes its `nProbe`
     * nearest cells and exact cosine re-ranks only those cells' members.

@@ -184,6 +184,31 @@ class OperatorsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("IVF index save/load: disk-backed queries match, scan is partition-pruned") {
+    val corpus = (0 until 12).map { i =>
+      val base = if (i < 6) Seq(1.0f, 0.02f * i, 0f, 0f) else Seq(0.02f * i, 1.0f, 0f, 0f)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id").isin(0L, 7L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity).toSeq
+
+    val idx = Similarity.buildIvfIndex(corpus, nCells = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    try {
+      Similarity.saveIvfIndex(idx, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      assert(loaded.centroids == idx.centroids)
+      val disk = Similarity.ivfQuery(loaded, queries, k = 3, nProbe = 1)
+      assert(rows(disk) == rows(Similarity.ivfQuery(idx, queries, k = 3, nProbe = 1)))
+      // the 100 TB property: the broadcast probe side dynamically prunes
+      // the cell-partitioned scan — a batch reads only probed partitions
+      val plan = disk.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(2000))
+    } finally idx.release()
+  }
+
   test("multimodal: deterministic stub features with real batch plumbing") {
     import spark.implicits._
     val media = Seq(
