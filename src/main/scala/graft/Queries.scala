@@ -918,6 +918,24 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The disk-backed index path: build+save once per session (the
+    // _SUCCESS marker gates the rebuild), then query the LOADED index —
+    // the broadcast probe side dynamically prunes the cell-partitioned
+    // parquet, so the batch reads only probed cells. Same deterministic
+    // centroids as sim_ivf_topk -> same expected table.
+    "sim_ivf_disk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val out = demoTempDir(s, "ivfidx") + "/index"
+      if (!new java.io.File(s"$out/assigned/_SUCCESS").exists()) {
+        val idx = Similarity.buildIvfIndex(e, nCells = 8)
+        Similarity.saveIvfIndex(idx, out)
+        idx.release()
+      }
+      Similarity.ivfQuery(Similarity.loadIvfIndex(s, out), e.filter(col("id") < 10),
+        k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal batched feature extraction through the typed Dataset path
     // (stubbed decode — the Spark plumbing is the real contract).
     "mm_feature_extract" -> ((s, dir) => {
@@ -983,6 +1001,11 @@ object Queries {
   private val lshBucketSql: String =
     (0 until 4).map(p => s"(CASE WHEN ${hpProjSql(p)} >= 0.0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
+
+  // Shared expected table: deterministic centroids make the one-shot and
+  // disk-backed IVF paths value-identical.
+  private val IvfExpectedSql: String =
+    """SELECT c0::BIGINT AS "query_id", c1::BIGINT AS "neighbor_id", c2::DOUBLE AS "cosine", c3::INTEGER AS "rank" FROM (VALUES (0, 365, '0.3699935965460897'::DOUBLE, 1), (0, 387, '0.33113871888314317'::DOUBLE, 2), (0, 423, '0.2969335986409863'::DOUBLE, 3), (0, 73, '0.29543411523164853'::DOUBLE, 4), (0, 320, '0.2878605122093518'::DOUBLE, 5), (1, 386, '0.37148454183744223'::DOUBLE, 1), (1, 27, '0.3482081864636984'::DOUBLE, 2), (1, 407, '0.3270099496117245'::DOUBLE, 3), (1, 195, '0.32274442635213746'::DOUBLE, 4), (1, 64, '0.3163742953318501'::DOUBLE, 5), (2, 117, '0.318142564237661'::DOUBLE, 1), (2, 450, '0.26634395520019954'::DOUBLE, 2), (2, 188, '0.263272104561668'::DOUBLE, 3), (2, 418, '0.25402949645206835'::DOUBLE, 4), (2, 471, '0.24719275246584027'::DOUBLE, 5), (3, 130, '0.39987234325628024'::DOUBLE, 1), (3, 343, '0.30847165466962984'::DOUBLE, 2), (3, 174, '0.30354804540607316'::DOUBLE, 3), (3, 231, '0.29878836545413046'::DOUBLE, 4), (3, 207, '0.29170184705661967'::DOUBLE, 5), (4, 114, '0.39851269358433744'::DOUBLE, 1), (4, 496, '0.34121178056570023'::DOUBLE, 2), (4, 408, '0.32275312529105415'::DOUBLE, 3), (4, 482, '0.31389702932135605'::DOUBLE, 4), (4, 280, '0.27982608680315935'::DOUBLE, 5), (5, 404, '0.32840296338035546'::DOUBLE, 1), (5, 419, '0.31923743304166513'::DOUBLE, 2), (5, 157, '0.31125602484760423'::DOUBLE, 3), (5, 33, '0.3109867269549467'::DOUBLE, 4), (5, 359, '0.3058210572054561'::DOUBLE, 5), (6, 430, '0.32252026548071816'::DOUBLE, 1), (6, 145, '0.2976957384094014'::DOUBLE, 2), (6, 214, '0.2569408403316626'::DOUBLE, 3), (6, 252, '0.255629792758746'::DOUBLE, 4), (6, 374, '0.24757953117255718'::DOUBLE, 5), (7, 340, '0.4927657135003488'::DOUBLE, 1), (7, 425, '0.4075199341921925'::DOUBLE, 2), (7, 209, '0.3944625171493481'::DOUBLE, 3), (7, 334, '0.3569014029689115'::DOUBLE, 4), (7, 445, '0.34078247055145644'::DOUBLE, 5), (8, 39, '0.384696274117943'::DOUBLE, 1), (8, 138, '0.35667116396668896'::DOUBLE, 2), (8, 403, '0.3382375201415271'::DOUBLE, 3), (8, 380, '0.3045263882069312'::DOUBLE, 4), (8, 447, '0.28074172053081703'::DOUBLE, 5), (9, 49, '0.38517053208433855'::DOUBLE, 1), (9, 107, '0.2844935027707189'::DOUBLE, 2), (9, 259, '0.2514843841938669'::DOUBLE, 3), (9, 302, '0.24766351404606549'::DOUBLE, 4), (9, 319, '0.24190310903970472'::DOUBLE, 5)) AS t(c0, c1, c2, c3) ORDER BY "query_id", "rank""""
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1663,8 +1686,8 @@ object Queries {
     // Expected table: deterministic IVF top-k (Lloyd cells use min-id init
     // and decimal-exact means; re-rank values are exact cosine). Pinned at
     // sf0.01 — the driver's correctness SF.
-    "sim_ivf_topk" ->
-      """SELECT c0::BIGINT AS "query_id", c1::BIGINT AS "neighbor_id", c2::DOUBLE AS "cosine", c3::INTEGER AS "rank" FROM (VALUES (0, 365, '0.3699935965460897'::DOUBLE, 1), (0, 387, '0.33113871888314317'::DOUBLE, 2), (0, 423, '0.2969335986409863'::DOUBLE, 3), (0, 73, '0.29543411523164853'::DOUBLE, 4), (0, 320, '0.2878605122093518'::DOUBLE, 5), (1, 386, '0.37148454183744223'::DOUBLE, 1), (1, 27, '0.3482081864636984'::DOUBLE, 2), (1, 407, '0.3270099496117245'::DOUBLE, 3), (1, 195, '0.32274442635213746'::DOUBLE, 4), (1, 64, '0.3163742953318501'::DOUBLE, 5), (2, 117, '0.318142564237661'::DOUBLE, 1), (2, 450, '0.26634395520019954'::DOUBLE, 2), (2, 188, '0.263272104561668'::DOUBLE, 3), (2, 418, '0.25402949645206835'::DOUBLE, 4), (2, 471, '0.24719275246584027'::DOUBLE, 5), (3, 130, '0.39987234325628024'::DOUBLE, 1), (3, 343, '0.30847165466962984'::DOUBLE, 2), (3, 174, '0.30354804540607316'::DOUBLE, 3), (3, 231, '0.29878836545413046'::DOUBLE, 4), (3, 207, '0.29170184705661967'::DOUBLE, 5), (4, 114, '0.39851269358433744'::DOUBLE, 1), (4, 496, '0.34121178056570023'::DOUBLE, 2), (4, 408, '0.32275312529105415'::DOUBLE, 3), (4, 482, '0.31389702932135605'::DOUBLE, 4), (4, 280, '0.27982608680315935'::DOUBLE, 5), (5, 404, '0.32840296338035546'::DOUBLE, 1), (5, 419, '0.31923743304166513'::DOUBLE, 2), (5, 157, '0.31125602484760423'::DOUBLE, 3), (5, 33, '0.3109867269549467'::DOUBLE, 4), (5, 359, '0.3058210572054561'::DOUBLE, 5), (6, 430, '0.32252026548071816'::DOUBLE, 1), (6, 145, '0.2976957384094014'::DOUBLE, 2), (6, 214, '0.2569408403316626'::DOUBLE, 3), (6, 252, '0.255629792758746'::DOUBLE, 4), (6, 374, '0.24757953117255718'::DOUBLE, 5), (7, 340, '0.4927657135003488'::DOUBLE, 1), (7, 425, '0.4075199341921925'::DOUBLE, 2), (7, 209, '0.3944625171493481'::DOUBLE, 3), (7, 334, '0.3569014029689115'::DOUBLE, 4), (7, 445, '0.34078247055145644'::DOUBLE, 5), (8, 39, '0.384696274117943'::DOUBLE, 1), (8, 138, '0.35667116396668896'::DOUBLE, 2), (8, 403, '0.3382375201415271'::DOUBLE, 3), (8, 380, '0.3045263882069312'::DOUBLE, 4), (8, 447, '0.28074172053081703'::DOUBLE, 5), (9, 49, '0.38517053208433855'::DOUBLE, 1), (9, 107, '0.2844935027707189'::DOUBLE, 2), (9, 259, '0.2514843841938669'::DOUBLE, 3), (9, 302, '0.24766351404606549'::DOUBLE, 4), (9, 319, '0.24190310903970472'::DOUBLE, 5)) AS t(c0, c1, c2, c3) ORDER BY "query_id", "rank"""",
+    "sim_ivf_topk" -> IvfExpectedSql,
+    "sim_ivf_disk" -> IvfExpectedSql,
 
     // Full SQL re-derivation of the two-stage Combined FDR Score
     // (per-engine rank-interpolated FDR scores -> sorted-product ->
