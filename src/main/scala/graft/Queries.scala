@@ -838,6 +838,31 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Per-source corpus report card: doc counts, EXACT token totals (the
+    // long-typed estimate sums without float drift), language spread, and
+    // quality-gate pass counts — the rollup a training-data pipeline
+    // publishes per ingest source. One shuffle (the groupBy); quality and
+    // token expressions are the same pinned columns txt_quality /
+    // txt_token_estimate verify, so the oracle is a full SQL
+    // re-derivation, not an expected table.
+    "tdp_corpus_stats" -> ((s, dir) => {
+      val m = TextFunctions.qualityMetrics(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCountEstimate(col("text")).cast("long").as("_tok"),
+          m.getField("quality_score").as("_q"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_tok")).as("total_tokens_est"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("_q") >= 0.7, 1L).otherwise(0L)).as("n_quality_pass"),
+        )
+        .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing any 3-gram shingle
     // with the "benchmark" slice (every 20th doc) are flagged — the
     // train-set hygiene gate, one broadcast semi-join on the shingle.
@@ -1333,6 +1358,39 @@ object Queries {
         |    + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
         |    + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Full SQL re-derivation: same quality/token expressions as the
+    // txt_quality / txt_token_estimate oracles, rolled up per source.
+    // Integer sums only (token counts, char counts, pass counts) — no
+    // float accumulation; avg_chars is one IEEE division on both sides.
+    "tdp_corpus_stats" ->
+      """WITH tk AS (
+        |  SELECT source, lang, n_chars, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, lang, n_chars, text, len(toks) AS n_tokens,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |      / len(toks) AS stopword_ratio,
+        |    (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
+        |      / len(text) AS punct_ratio
+        |  FROM tk),
+        |q AS (
+        |  SELECT source, lang, n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS tok_est,
+        |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
+        |      + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
+        |  FROM m)
+        |SELECT source,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(tok_est)::BIGINT AS total_tokens_est,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass,
+        |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_langid" ->
       """WITH tk AS (
