@@ -61,6 +61,87 @@ object Multimodal {
     }
   }
 
+  /** Resized image row: payload re-sampled to `width`×`height`. */
+  final case class ResizedMedia(
+      media_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      payload: Array[Byte],
+  )
+
+  /** One sampled frame of a video payload. */
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      n_bytes: Int,
+      payload: Array[Byte],
+  )
+
+  /** STUB — deterministic fake "decode + resize": nearest-neighbor byte
+    * resample of the raw payload to a `w*h` gray8 buffer
+    * (`out(j) = in(j*inLen/outLen)`). Replace with a real image decoder;
+    * the signature (bytes -> w*h-byte buffer) is the real contract. */
+  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val outLen = w * h
+    if (payload.isEmpty) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](outLen)
+      var j = 0
+      while (j < outLen) {
+        out(j) = payload(((j.toLong * payload.length) / outLen).toInt)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Batched resize: partition-local loop over raw payloads — the same
+    * `mapInPandas`-shaped execution as [[extractFeatures]]. Metadata is
+    * REPLACED (width/height become the target dims), payload bytes come
+    * from [[stubResize]]. */
+  def resizeImages(media: Dataset[MediaRow], dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = stubResize(r.payload, dstW, dstH)
+        ResizedMedia(r.media_id, r.media_type, dstW, dstH, p.length, p)
+      }
+    }
+  }
+
+  /** STUB — deterministic fake "demux + frame decode": frame `i` of `n` is
+    * the `frameBytes`-byte payload slice starting at byte `i*len/n`
+    * (clamped at the payload tail). Replace with a real demuxer; the
+    * signature (bytes, frame index -> frame bytes) is the real contract. */
+  def stubFrameSlice(payload: Array[Byte], i: Int, n: Int, frameBytes: Int): Array[Byte] = {
+    val off = ((i.toLong * payload.length) / n).toInt
+    val len = math.min(frameBytes, payload.length - off)
+    java.util.Arrays.copyOfRange(payload, off, off + math.max(0, len))
+  }
+
+  /** Frame sampling: one output row per sampled frame, every `everyMs`
+    * milliseconds of the row's `duration_ms` (min one frame; rows without
+    * a duration yield a single frame at ts 0). Partition-local flatMap —
+    * each input video expands independently, so the operator needs no
+    * shuffle and a 100 TB corpus fans out linearly in frame count. */
+  def sampleFrames(
+      media: Dataset[MediaRow], everyMs: Long, frameBytes: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(everyMs > 0, s"sampleFrames: everyMs must be positive, got $everyMs")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = math.max(1L, r.duration_ms.getOrElse(0L) / everyMs).toInt
+        (0 until n).iterator.map { i =>
+          val p = stubFrameSlice(r.payload, i, n, frameBytes)
+          FrameRow(r.media_id, i, i * everyMs, p.length, p)
+        }
+      }
+    }
+  }
+
   /** Ingest a directory of media files as binary rows
     * (`spark.read.format("binaryFile")`), partitioned by inferred type. */
   def readBinaryDir(spark: SparkSession, path: String): DataFrame =

@@ -223,6 +223,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f(0).n_bytes == "fakepngbytes".length)
   }
 
+  test("multimodal resize: nearest-neighbor byte resample, metadata replaced") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", payload, Some(10), Some(10), None),
+      Multimodal.MediaRow(2L, "image", Array.emptyByteArray, Some(0), Some(0), None),
+    ).toDS()
+    val out = Multimodal.resizeImages(media, dstW = 4, dstH = 4)
+      .collect().sortBy(_.media_id)
+    assert(out.map(r => (r.width, r.height)).toSeq == Seq((4, 4), (4, 4)))
+    // out(j) = in(j*100/16): spot-check the resample map, not just shape
+    assert(out(0).payload.toSeq == (0 until 16).map(j => (j * 100 / 16).toByte))
+    assert(out(0).n_bytes == 16 && out(1).n_bytes == 0)
+    // upsampling repeats source bytes rather than failing
+    val up = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(3L, "image", Array[Byte](7, 9), None, None, None)).toDS(),
+      dstW = 2, dstH = 2).collect().head
+    assert(up.payload.toSeq == Seq[Byte](7, 7, 9, 9))
+  }
+
+  test("multimodal frame sampling: one row per everyMs tick, min one frame") {
+    import spark.implicits._
+    val payload = (0 until 50).map(_.toByte).toArray
+    val media = Seq(
+      // 450 ms at 100 ms/frame -> 4 frames; slices at offsets i*50/4
+      Multimodal.MediaRow(1L, "video", payload, None, None, Some(450L)),
+      // no duration -> single frame at ts 0
+      Multimodal.MediaRow(2L, "video", payload, None, None, None),
+    ).toDS()
+    val out = Multimodal.sampleFrames(media, everyMs = 100L, frameBytes = 8)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    val v1 = out.filter(_.media_id == 1L)
+    assert(v1.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(v1.map(_.ts_ms).toSeq == Seq(0L, 100L, 200L, 300L))
+    assert(v1.forall(_.n_bytes == 8))
+    assert(v1(2).payload.toSeq == (25 until 33).map(_.toByte)) // offset 2*50/4
+    val v2 = out.filter(_.media_id == 2L)
+    assert(v2.length == 1 && v2.head.ts_ms == 0L)
+    // tail clamp: last frame shorter than frameBytes when payload runs out
+    val tail = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaRow(3L, "video", (0 until 10).map(_.toByte).toArray,
+        None, None, Some(200L))).toDS(),
+      everyMs = 100L, frameBytes = 8).collect().sortBy(_.frame_idx)
+    assert(tail.map(_.n_bytes).toSeq == Seq(8, 5)) // frame 1 starts at byte 5
+  }
+
   test("exact dedup: NULL fingerprints never collapse together") {
     val withNulls = Seq(
       (1L, "same"), (2L, "same"), // real dup pair
