@@ -411,6 +411,18 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Int8-quantized ANN: candidates scored on the 8x-smaller int8
+    // representation (exact-integer dot in double), top k*oversample
+    // re-ranked by exact float cosine. The oracle re-derives every
+    // quantized byte (floor(x/scale + 0.5) is bit-identical across
+    // engines) and replays both ranking stages.
+    "sim_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.quantizedTopK(e, e.filter(col("id") < 10), k = 5, oversample = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Text quality metrics (token counts, ratios, composite score).
     "txt_quality" -> ((s, dir) => {
       val m = TextFunctions.qualityMetrics(col("text"))
@@ -1781,6 +1793,44 @@ object Queries {
     // values are per-SF by construction).
     "mm_feature_extract" ->
       """SELECT c0::BIGINT AS "media_id", c1::VARCHAR AS "media_type", c2::INTEGER AS "n_bytes", c3::VARCHAR AS "feature" FROM (VALUES (0, 'image', 157, '[8.092651,9.407623,9.760315,10.367691,9.535294,9.101761,10.812851,11.619644]'), (1, 'audio', 406, '[28.074493,22.767242,24.881042,25.967026,27.02414,24.625977,22.493729,21.71904]'), (2, 'image', 246, '[18.452469,15.750809,14.489822,15.452286,17.384811,15.772385,12.088455,15.094009]'), (3, 'audio', 147, '[6.823715,9.8910675,11.605301,8.691513,7.918106,8.720032,9.21965,7.286865]'), (4, 'image', 250, '[14.998886,15.092239,17.437317,20.3564,17.291656,17.094818,16.512161,12.823578]'), (5, 'audio', 314, '[20.665405,17.940765,19.688995,16.97641,18.985138,20.26271,18.48581,16.890991]'), (6, 'image', 78, '[4.124893,4.9199524,3.872284,3.5119781,4.7860565,4.329544,4.686264,3.8841705]'), (7, 'audio', 402, '[22.46666,22.17067,25.472092,23.60727,22.460663,22.251236,23.45398,26.33818]'), (8, 'image', 470, '[29.764984,28.915833,27.361893,29.494583,31.150116,31.588348,32.82567,28.803497]'), (9, 'audio', 391, '[23.49524,25.611313,24.203018,24.698639,23.140335,24.825607,24.65062,24.274887]'), (10, 'audio', 214, '[13.707657,11.650101,12.926758,13.382675,13.497147,12.9366,11.786102,8.962921]'), (11, 'image', 304, '[18.193726,15.682526,17.034714,19.927292,19.242096,20.065094,21.737747,18.817215]'), (12, 'audio', 348, '[21.633545,22.207916,23.42659,23.84111,19.095917,22.290161,20.368576,19.330887]'), (13, 'image', 346, '[18.99736,21.492569,20.778244,24.14592,18.233795,21.900314,21.86528,25.02237]'), (14, 'audio', 495, '[32.168564,32.34027,27.231415,29.731552,30.241287,28.214157,34.652634,32.87059]'), (15, 'image', 228, '[13.416122,12.982544,15.972839,13.751465,12.258636,13.715439,14.766083,14.739838]'), (16, 'audio', 90, '[5.4134064,5.151535,5.859421,4.6256256,4.3315277,4.7593994,6.8127747,7.0439453]'), (17, 'image', 426, '[24.171417,24.944153,24.226547,25.983444,25.647781,29.99907,25.558731,29.978851]'), (18, 'audio', 423, '[26.15245,24.827087,25.892776,25.61441,26.587234,27.567078,31.372406,26.859756]'), (19, 'image', 57, '[2.2397614,5.3989716,3.1667938,3.3924255,1.4587708,3.946106,3.034729,3.3079224]'), (20, 'image', 394, '[21.70755,23.375488,21.391296,20.086624,22.233963,23.75888,26.061707,23.0607]'), (21, 'audio', 217, '[14.398041,12.675476,12.457535,10.989777,12.802368,13.3089905,14.916718,13.16893]'), (22, 'image', 454, '[28.36444,25.72911,29.979828,25.681488,30.126953,28.859314,27.419098,26.067154]'), (23, 'audio', 166, '[10.146347,9.888809,10.203888,9.64563,10.755432,9.9841,8.883469,10.681198]'), (24, 'image', 535, '[31.200974,32.06697,32.37198,32.195602,31.283676,31.700409,35.188904,36.08426]'), (25, 'audio', 505, '[33.50879,31.614761,30.795685,30.694061,27.251648,32.588013,31.332779,29.252197]'), (26, 'image', 63, '[3.3470154,3.5104675,4.765274,4.1664734,3.947342,2.928711,4.3973083,3.015854]'), (27, 'audio', 346, '[21.887604,22.36229,23.061676,19.096115,24.793549,20.80008,21.000671,23.366623]'), (28, 'image', 334, '[20.54831,18.822556,19.38301,21.094482,19.21785,23.60048,21.022842,22.33229]'), (29, 'audio', 196, '[9.344452,14.582779,13.536331,14.1692505,12.858871,11.924606,13.974487,12.992767]'), (30, 'audio', 167, '[9.57959,12.107361,10.011963,11.559814,8.660568,7.8046265,10.932404,9.724625]'), (31, 'image', 250, '[15.04155,16.586975,15.725815,16.530304,13.70401,19.953522,16.76735,15.128098]'), (32, 'audio', 513, '[32.16835,32.35161,31.831085,29.64743,35.876083,33.20981,31.5867,35.120514]'), (33, 'image', 247, '[11.9539795,15.052551,13.247284,12.5385895,13.2322235,16.596893,15.203018,14.137527]'), (34, 'audio', 165, '[9.874084,8.091721,7.825775,12.95871,11.287079,8.611618,11.670364,7.9308014]'), (35, 'image', 452, '[31.140137,23.969376,29.336273,30.127502,30.16124,25.582825,27.76004,26.603073]'), (36, 'audio', 135, '[6.6020813,9.911667,8.936737,10.3489685,9.70195,7.6422424,7.339386,6.735367]'), (37, 'image', 378, '[27.076172,24.113937,21.880844,22.158508,23.683548,26.313766,24.597809,20.18901]'), (38, 'audio', 203, '[12.158417,14.499924,12.315521,15.207916,11.81337,10.159302,12.155563,12.650467]'), (39, 'image', 124, '[7.7734375,7.006592,7.917099,9.242722,6.705826,7.2056427,7.710312,8.26947]'), (40, 'image', 421, '[26.54869,22.346954,30.848679,23.264297,23.973083,23.75113,27.99173,28.035416]'), (41, 'audio', 337, '[20.914017,18.764389,20.987915,23.584183,19.138107,20.352966,21.25772,19.258911]'), (42, 'image', 303, '[18.024216,19.858795,23.074524,19.828735,16.792908,14.906952,15.254166,19.683426]'), (43, 'audio', 152, '[8.580627,8.357147,11.339996,8.980148,7.6123657,9.817947,9.495178,8.200165]'), (44, 'image', 128, '[10.022461,9.147812,8.852539,6.5509796,7.8925323,9.075607,9.925415,8.345154]'), (45, 'audio', 432, '[26.065811,29.862442,29.203033,28.487228,27.032425,27.28862,30.018692,27.831009]'), (46, 'image', 492, '[31.770538,30.8134,28.402084,28.104446,26.50409,34.616837,31.18924,27.347275]'), (47, 'audio', 224, '[15.034439,14.259354,13.761673,13.470749,15.375931,15.2734375,10.752563,13.386139]'), (48, 'image', 164, '[11.282806,12.033951,9.181747,12.623993,11.242615,8.32251,9.350357,10.306061]'), (49, 'audio', 256, '[17.999146,13.976883,13.834366,16.618393,14.9687195,16.442291,16.424042,13.685898]')) AS t(c0, c1, c2, c3) ORDER BY "media_id"""",
+
+    // Two-stage quantized ANN re-derivation: per-vector int8 quantization
+    // (scale = list_max(|v|)/127, q = floor(v/scale + 0.5) — exact in
+    // double on both engines), sequential-fold int dot (integer-valued
+    // doubles: association-order-proof), (dot*scaleA)*scaleB approx
+    // ranking to k*oversample=20, exact-cosine re-rank to k=5.
+    "sim_quantized_topk" ->
+      s"""WITH z AS (
+         |  SELECT vec_id, embedding,
+         |    greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0,
+         |      1e-30) AS scale
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, embedding, scale,
+         |    list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)) AS iq
+         |  FROM z),
+         |p AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    (list_reduce(list_prepend(0.0,
+         |       list_transform(range(1,65), i -> a.iq[i] * b.iq[i])), (x,y) -> x+y)
+         |     * a.scale) * b.scale AS approx,
+         |    a.embedding AS qv, b.embedding AS cv
+         |  FROM qz a, qz b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |cand AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nid ASC) AS ar
+         |  FROM p),
+         |sc AS (
+         |  SELECT qid, nid, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM cand WHERE ar <= 20),
+         |r AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY (CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END) DESC,
+         |        nid ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // Full re-derivation of the nearest-neighbor byte resample: output
     // byte j is input byte (j*len)//64, i.e. hex-string positions

@@ -71,6 +71,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head.getAs[Double]("cosine") > 0.99)
   }
 
+  test("int8 quantization: bytes bounded, extremes hit ±127, exact roundtrip order") {
+    val q = Similarity.quantizeEmbeddings(vecs, col("id"), col("vec"))
+      .orderBy(col("id")).collect()
+    val qv = q.map(r => r.getAs[scala.collection.Seq[Byte]]("qvec"))
+    assert(qv.forall(_.forall(b => b >= -127 && b <= 127)))
+    // max-|v| element quantizes to exactly 127; id=2's 0.1 -> round(0.1/(0.9/127)) = 14
+    assert(qv(0).toSeq == Seq[Byte](127, 0, 0, 0))
+    assert(qv(1).toSeq == Seq[Byte](127, 14, 0, 0))
+  }
+
+  test("quantized top-k matches brute force on separated vectors") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1), 2)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val quant = Similarity.quantizedTopK(vecs, vecs.filter(col("id") === 1), 2)
+      .orderBy(col("rank")).collect()
+    assert(quant.map(_.getAs[Long]("neighbor_id")).toSeq == brute)
+    // re-rank stage outputs EXACT float cosine, not the quantized estimate
+    assert(quant.head.getAs[Double]("cosine") ==
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1), 2)
+        .orderBy(col("rank")).collect().head.getAs[Double]("cosine"))
+  }
+
   test("LSH top-k finds the strong neighbor via bucket join") {
     val got = Similarity.lshTopK(vecs, vecs.filter(col("id") === 1), 2,
       nBits = 4, dim = 4, probeHammingRadius = 1)
