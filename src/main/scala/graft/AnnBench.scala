@@ -77,6 +77,13 @@ object AnnBench {
       pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
         probeHammingRadius = 1))
     }
+    // Int8-quantized scoring over the same exhaustive candidate space:
+    // the recall number is the point (how much the 8x-narrower candidate
+    // representation loses — compute cost matches brute force locally,
+    // the byte-width win shows up in scan/shuffle-bound cluster runs).
+    val (quantSet, tQuant) = time {
+      pairs(Similarity.quantizedTopK(vecs, queries, k = 10, oversample = 4))
+    }
     // IVF the way it is used: build the inverted file ONCE (training +
     // assignment + cache — reported separately), then serve query batches
     // from it. The steady-state batch time is the brute-force comparison;
@@ -100,14 +107,16 @@ object AnnBench {
     }
     val lshRecall = (lshSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val ivfRecall = (ivfSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
+    val quantRecall = (quantSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     // Planted-neighbor check: id%20==0 is a jittered copy of id-1, so the
     // exact top-1 of query q is q-1 — verify the approximate paths keep it.
     val planted = bfSet.filter { case (q, nb) => q % 20 == 0 && q > 0 && nb == q - 1 }
     val ivfPlanted = (ivfSet & planted).size.toDouble / math.max(planted.size, 1)
     val lshPlanted = (lshSet & planted).size.toDouble / math.max(planted.size, 1)
+    val quantPlanted = (quantSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
     ivfIdx.release()
     spark.stop()
   }

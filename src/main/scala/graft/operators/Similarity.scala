@@ -424,23 +424,35 @@ object Similarity {
         // products of <=127 integers summed over the dimension are exact
         // in double, so the approx score is bit-reproducible
         .withColumn("dq", transform(col("qvec"), _.cast("double")))
-        .withColumn("n", norm(col("vec")))
+    // Candidate rows entering the approx ranking sort are NARROW —
+    // (query_id, neighbor_id, approx), ~32 bytes. The float vectors are
+    // NOT carried through the window: a first cut that threaded
+    // qvec/cvec/norms through the ranking sort put ~1.5 KB/pair through
+    // the per-partition sorts at 1M corpus × 100 queries (a measured 25×
+    // spill-bound slowdown vs brute force). Survivors are a k*oversample
+    // per-query handful, so the exact stage re-acquires vectors with a
+    // broadcast of the candidate set — zero shuffle of the corpus.
     val c = quantized(corpus).select(
-      col("id").as("neighbor_id"), col("vec").as("cvec"), col("scale").as("cscale"),
-      col("dq").as("cq"), col("n").as("cn"))
+      col("id").as("neighbor_id"), col("scale").as("cscale"), col("dq").as("cq"))
     val q = broadcast(quantized(queries).select(
-      col("id").as("query_id"), col("vec").as("qvec"), col("scale").as("qscale"),
-      col("dq").as("qq"), col("n").as("qn")))
+      col("id").as("query_id"), col("scale").as("qscale"), col("dq").as("qq")))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val cand = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", (dot(col("qq"), col("cq")) * col("qscale")) * col("cscale"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((dot(col("qq"), col("cq")) * col("qscale")) * col("cscale")).as("approx"))
       .withColumn("_ar", row_number().over(wa))
       .filter(col("_ar") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"))
+    val qv = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand
+    cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
