@@ -460,10 +460,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** LSH bucket-occupancy report for [[embeddingNearDupPairs]] sizing:
+    * one row per bucket with its member count and the intra-bucket pair
+    * count it would contribute. Run this (cheap: one map-side-combined
+    * aggregation) before a large near-dup sweep to pick `nBits` — the
+    * pair work is `sum(n*(n-1)/2)`, and a single hot bucket dominates it
+    * long before it dominates row counts. */
+  def lshBucketStats(df: DataFrame, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_pairs", col("n_vecs") * (col("n_vecs") - 1) / 2)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
-    * (both sides bucketed once; only intra-bucket pairs verified). */
+    * (both sides bucketed once; only intra-bucket pairs verified).
+    *
+    * `maxBucketSize` is the hot-bucket skew guard (same contract as
+    * [[Dedup.ngramJaccardPairs]]'s `maxShingleDf`): a degenerate corpus —
+    * many near-identical or zero vectors — can put millions of rows in ONE
+    * bucket, and the self-join's intra-bucket term is quadratic, so a
+    * single hot bucket stalls the whole sweep. With the cap set, buckets
+    * above it contribute no pairs (their rows still pair in other-bucket
+    * terms — there are none, each row has one bucket — so capped buckets
+    * are SKIPPED, observably: size the cap from [[lshBucketStats]], and
+    * note that a bucket of genuinely near-identical vectors is better
+    * served by exact dedup on a content key than by enumerating its m²/2
+    * pairs). Default None preserves exhaustive intra-bucket pairing. */
   def embeddingNearDupPairs(
-      df: DataFrame, threshold: Double, nBits: Int = 8, dim: Int = 64): DataFrame = {
+      df: DataFrame, threshold: Double, nBits: Int = 8, dim: Int = 64,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     // Pin the bucketed side once: the self-join would otherwise compute the
     // norm + nBits-hyperplane bucket projection twice (once per side).
@@ -471,9 +498,19 @@ object Similarity {
     // action into block-cache (both join sides read the cached blocks),
     // blocks GC-reclaimed — and merely BUILDING the frame (plan dumps,
     // explain) stays free (same contract as Dedup.minHashLshPairs).
-    val b = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
+    val bAll = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
       cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
       .localCheckpoint(false)
+    val b = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"embeddingNearDupPairs: maxBucketSize must be >= 2, got $cap")
+        // One aggregation on the already-cached bucketed side; the semi
+        // join shares the self-join's bucket partitioning (exchange reuse).
+        val small = bAll.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= cap).select(col("bucket"))
+        bAll.join(small, Seq("bucket"), "left_semi")
+      case None => bAll
+    }
     // Pairs are unique without a distinct(): each id sits in exactly one
     // bucket, so an (id_a, id_b) pair joins at most once.
     b.as("l").join(b.as("r"), Seq("bucket"))

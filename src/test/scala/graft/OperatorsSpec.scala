@@ -100,6 +100,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains(2L)) // near-identical vector must share a probed bucket
   }
 
+  test("embedding near-dup hot-bucket cap skips the degenerate bucket only") {
+    import spark.implicits._
+    // 50 identical vectors (one hot bucket, 1225 would-be pairs) plus one
+    // isolated near-dup pair far from the clones
+    val clones = (0L until 50L).map(i => (i, Seq.fill(8)(0.5f)))
+    val pair = Seq((100L, Seq(1.0f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)),
+      (101L, Seq(0.99f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)))
+    val vecs8 = (clones ++ pair).toDF("id", "vec")
+    val uncapped = Similarity.embeddingNearDupPairs(vecs8, 0.99, nBits = 6, dim = 8)
+      .count()
+    val capped = Similarity.embeddingNearDupPairs(vecs8, 0.99, nBits = 6, dim = 8,
+      maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == 1225 + 1)
+    assert(capped == Set((100L, 101L))) // hot bucket skipped, real pair kept
+    // the stats report prices the hot bucket for cap sizing
+    val stats = Similarity.lshBucketStats(vecs8, nBits = 6, dim = 8)
+      .orderBy(col("n_vecs").desc).collect()
+    assert(stats.head.getAs[Long]("n_vecs") == 50 &&
+      stats.head.getAs[Double]("n_pairs") == 1225.0)
+  }
+
   test("connected components resolve transitive near-dup groups") {
     // chain 1-2-3 plus pair 7-8: components {1,2,3}->1, {7,8}->7
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
