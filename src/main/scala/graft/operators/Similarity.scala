@@ -316,15 +316,52 @@ object Similarity {
       .partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Continuous index maintenance: assign arriving embedding rows
+    * (`id`, `vec`) to their IVF cells — a pure codegen projection over the
+    * literal centroid table, so it is streaming-safe with NO state — and
+    * append them to the saved index as a cell-partitioned parquet stream.
+    * Rows land in `"$path/assigned_stream"`, NOT in the batch `assigned`
+    * area: a streaming parquet sink owns its directory via the
+    * `_spark_metadata` exactly-once log, and a batch-written file inside a
+    * log-owned directory becomes invisible to readers — keeping the two
+    * areas separate lets [[loadIvfIndex]] union them safely. Newly
+    * ingested vectors are visible to the next load; cell-partitioning (and
+    * with it dynamic partition pruning) applies to the streamed files the
+    * same as the batch ones. Caller owns the returned query's lifecycle. */
+  def streamingIvfIngest(
+      stream: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      path: String,
+      checkpoint: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    assignCorpus(stream, centroids)
+      .writeStream.format("parquet")
+      .option("path", s"$path/assigned_stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
+  }
+
   /** Load a saved index. The inverted file stays DISK-backed (no cache
     * pin): per-batch reads touch only the probed cells' partitions, which
-    * is the right trade at corpus scale — release() is a no-op. */
+    * is the right trade at corpus scale — release() is a no-op. Any
+    * [[streamingIvfIngest]] delta area is unioned in (by name — the
+    * partition column's read position differs from the write schema). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+    val base = spark.read.parquet(s"$path/assigned")
+    val streamPath = new org.apache.hadoop.fs.Path(s"$path/assigned_stream")
+    val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(streamPath) && fs.listStatus(streamPath).nonEmpty)
+        base.unionByName(spark.read.parquet(streamPath.toString))
+      else base
+    IvfIndex(centroids, assigned)
   }
 
   /** IVF (inverted-file) approximate top-k, one-shot form: corpus vectors

@@ -253,6 +253,37 @@ class OperatorsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("streaming IVF ingest: appended vectors visible to the reloaded index") {
+    val corpus = (0 until 12).map { i =>
+      val base = if (i < 6) Seq(1.0f, 0.02f * i, 0f, 0f) else Seq(0.02f * i, 1.0f, 0f, 0f)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    val idx = Similarity.buildIvfIndex(corpus, nCells = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ivf-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    try {
+      Similarity.saveIvfIndex(idx, dir)
+      // a near-clone of query 0's vector arrives on the stream
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, "new.json"),
+        """{"id":100,"vec":[1.0,0.001,0.0,0.0]}""" + "\n" +
+          """{"id":101,"vec":[0.0,0.0,1.0,0.0]}""")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+      val stream = spark.readStream.schema(schema).json(inDir)
+      val q = Similarity.streamingIvfIngest(stream, idx.centroids, dir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      val got = Similarity.ivfQuery(loaded, corpus.filter(col("id") === 0L), k = 1, nProbe = 1)
+        .collect()
+      // the streamed clone (id 100) displaces every batch vector as top-1
+      assert(got.length == 1 && got.head.getAs[Long]("neighbor_id") == 100L)
+    } finally idx.release()
+  }
+
   test("multimodal: deterministic stub features with real batch plumbing") {
     import spark.implicits._
     val media = Seq(
