@@ -73,17 +73,28 @@ object AnnBench {
       pairs(Similarity.bruteForceTopK(vecs, queries, 10))
     }
     val tBf = math.min(tBf1, tBf2)
-    val (lshSet, tLsh) = time {
+    // min-of-two like the bf/ivf measurements — a single-run figure would
+    // carry first-run codegen/JIT cost the other columns exclude
+    val (lshSet, tLsh1) = time {
       pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
         probeHammingRadius = 1))
     }
+    val (_, tLsh2) = time {
+      pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
+        probeHammingRadius = 1))
+    }
+    val tLsh = math.min(tLsh1, tLsh2)
     // Int8-quantized scoring over the same exhaustive candidate space:
     // the recall number is the point (how much the 8x-narrower candidate
     // representation loses — compute cost matches brute force locally,
     // the byte-width win shows up in scan/shuffle-bound cluster runs).
-    val (quantSet, tQuant) = time {
+    val (quantSet, tQuant1) = time {
       pairs(Similarity.quantizedTopK(vecs, queries, k = 10, oversample = 4))
     }
+    val (_, tQuant2) = time {
+      pairs(Similarity.quantizedTopK(vecs, queries, k = 10, oversample = 4))
+    }
+    val tQuant = math.min(tQuant1, tQuant2)
     // IVF the way it is used: build the inverted file ONCE (training +
     // assignment + cache — reported separately), then serve query batches
     // from it. The steady-state batch time is the brute-force comparison;

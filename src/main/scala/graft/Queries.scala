@@ -670,16 +670,19 @@ object Queries {
 
     // Multi-result-file assay (PIAModelerService.java:191-219): the same
     // spectrum (index=1) identified in BOTH mzids as the same peptide
-    // collapses to its best-scoring member before FDR (createPSMSets), a
-    // rank-2 identification whose psmId sorts first is swallowed by the
-    // setAllTopIdentifications(1) gate, and q-values (string-pinned below)
-    // calibrate over the merged set — removing either behavior changes
-    // this row set or its q denominators.
+    // collapses to one PSM set before FDR (createPSMSets) — scalar
+    // identity from the best-scoring member, protein accessions the UNION
+    // of every member's evidence (sp|Q5 is attested ONLY by the losing
+    // a.mzid and must survive); a rank-2 identification whose psmId sorts
+    // first is swallowed by the setAllTopIdentifications(1) gate, and
+    // q-values (string-pinned below) calibrate over the merged set —
+    // removing any behavior changes this row set or its q denominators.
     "pipeline_multifile" -> ((s, _) =>
-      graft.pipeline.DemoAssay.multiFileIndex(s).archiveSpectra
+      jsonSafe(graft.pipeline.DemoAssay.multiFileIndex(s).archiveSpectra
         .select(col("usi"), col("peptideSequence"), col("isDecoy"),
+          col("proteinAccessions"),
           col("bestSearchEngineScore").getField("value").as("q_value"))
-        .orderBy(col("usi"))),
+        .orderBy(col("usi")))),
 
     // PRIDE XML e2e: the full generate-index-files DAG over ONE
     // self-contained legacy result file (identifications + mzData spectra).
@@ -1754,11 +1757,13 @@ object Queries {
       """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
 
     // Expected table: multi-result-file assay. 4 rows: the overlapping
-    // index=1 spectrum appears ONCE (PSM set merged across a.mzid/b.mzid);
+    // index=1 spectrum appears ONCE (PSM set merged across a.mzid/b.mzid)
+    // and carries the UNION of both files' evidence — sp|Q5 comes only
+    // from the LOSING file (a.mzid, 0.01 vs b's 0.002 with lower-better);
     // RANKTWOPEPK absent (rank-2, setAllTopIdentifications(1)); decoy
     // q = 1/3 pins the merged-set FDR denominator (unmerged would be 1/4).
     "pipeline_multifile" ->
-      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "peptideSequence", c2::BOOLEAN AS "isDecoy", c3::VARCHAR AS "q_value" FROM (VALUES ('mzspec:PXDMULTI:run1:index:1', 'PEPTIDEK', FALSE, '0.033333'), ('mzspec:PXDMULTI:run1:index:2', 'ELVISLIVESK', FALSE, '0.033333'), ('mzspec:PXDMULTI:run1:index:3', 'DECOYPEPK', TRUE, '0.3333333333333333'), ('mzspec:PXDMULTI:run1:index:4', 'AAAAKPEPR', FALSE, '0.033333')) AS t(c0, c1, c2, c3) ORDER BY "usi"""",
+      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "peptideSequence", c2::BOOLEAN AS "isDecoy", c3::VARCHAR AS "proteinAccessions", c4::VARCHAR AS "q_value" FROM (VALUES ('mzspec:PXDMULTI:run1:index:1', 'PEPTIDEK', FALSE, '["sp|Q1"]', '0.033333'), ('mzspec:PXDMULTI:run1:index:2', 'ELVISLIVESK', FALSE, '["sp|Q3","sp|Q5"]', '0.033333'), ('mzspec:PXDMULTI:run1:index:3', 'DECOYPEPK', TRUE, '["DECOY_sp|Q7"]', '0.3333333333333333'), ('mzspec:PXDMULTI:run1:index:4', 'AAAAKPEPR', FALSE, '["sp|Q4"]', '0.033333')) AS t(c0, c1, c2, c3, c4) ORDER BY "usi"""",
 
     // Expected table: PRIDE XML e2e. Charge /2 on every peptidoform comes
     // from the SPECTRUM precursor (PSM 1 carries no charge cvParam);

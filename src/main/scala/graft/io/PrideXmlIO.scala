@@ -210,7 +210,7 @@ object PrideXmlIO {
     final case class Pep(
         seq: String, specRef: String, mods: Map[Int, String],
         score: Option[Double], charge: Option[Int], expMz: Option[Double],
-        start: Option[Int], end: Option[Int])
+        start: Option[Int], end: Option[Int], decoyCv: Boolean)
 
     val out = mutable.ArrayBuffer.empty[PrideIdentPsm]
     var inIdent = false
@@ -229,6 +229,7 @@ object PrideXmlIO {
     var pepExpMz: Option[Double] = None
     var pepStart: Option[Int] = None
     var pepEnd: Option[Int] = None
+    var pepDecoyCv = false
 
     var modLoc: Option[Int] = None
     var modAcc: String = null
@@ -257,7 +258,7 @@ object PrideXmlIO {
             case "PeptideItem" if inIdent =>
               inPep = true; pepSeq = null; pepSpecRef = null; pepMods = Map.empty
               pepScore = None; pepCharge = None; pepExpMz = None
-              pepStart = None; pepEnd = None
+              pepStart = None; pepEnd = None; pepDecoyCv = false
             case "ModificationItem" if inPep => inModItem = true; modLoc = None; modAcc = null
             case "additional" if inIdent => inAdditional = true
             case "cvParam" if inIdent && inAdditional && !inModItem =>
@@ -267,6 +268,9 @@ object PrideXmlIO {
                 acc match {
                   case "MS:1000041" | "PSI:1000041" => pepCharge = num.map(_.toInt)
                   case "MS:1000744" | "PSI:1000040" => pepExpMz = num
+                  // "Decoy hit" attaches at the PeptideItem level in many
+                  // real submissions, not only on the Identification
+                  case "PRIDE:0000303" => pepDecoyCv = true
                   case _ =>
                     if (pepScore.isEmpty && isScoreParam(nm)) pepScore = num
                 }
@@ -309,7 +313,7 @@ object PrideXmlIO {
             case "PeptideItem" if inPep =>
               if (pepSeq != null && pepSeq.nonEmpty)
                 peps += Pep(pepSeq, Option(pepSpecRef).getOrElse(""), pepMods,
-                  pepScore, pepCharge, pepExpMz, pepStart, pepEnd)
+                  pepScore, pepCharge, pepExpMz, pepStart, pepEnd, pepDecoyCv)
               inPep = false
             case "GelFreeIdentification" | "TwoDimensionalIdentification" =>
               val acc = Option(identAccession).getOrElse("")
@@ -317,7 +321,7 @@ object PrideXmlIO {
               peps.foreach { p =>
                 out += PrideIdentPsm(fileName,
                   canonicalPsmId(fileName, p.specRef, p.seq, p.mods),
-                  p.seq, acc, identDatabase, decoy,
+                  p.seq, acc, identDatabase, decoy || p.decoyCv,
                   // PeptideItem-level score wins; the Identification
                   // <Score> is the protein-level fallback (PIA does the
                   // same when the item carries no engine score term).

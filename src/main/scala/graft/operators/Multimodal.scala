@@ -133,7 +133,14 @@ object Multimodal {
     require(everyMs > 0, s"sampleFrames: everyMs must be positive, got $everyMs")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val n = math.max(1L, r.duration_ms.getOrElse(0L) / everyMs).toInt
+        val n64 = math.max(1L, r.duration_ms.getOrElse(0L) / everyMs)
+        // fail LOUDLY on an absurd duration/everyMs ratio — a silent
+        // .toInt overflow would make (0 until n) empty and drop the video
+        // with zero frames, violating the min-one-frame contract
+        require(n64 <= Int.MaxValue,
+          s"sampleFrames: media ${r.media_id} would fan out to $n64 frames " +
+            s"(duration ${r.duration_ms.getOrElse(0L)} ms / every $everyMs ms) — raise everyMs")
+        val n = n64.toInt
         (0 until n).iterator.map { i =>
           val p = stubFrameSlice(r.payload, i, n, frameBytes)
           FrameRow(r.media_id, i, i * everyMs, p.length, p)

@@ -357,9 +357,13 @@ object Similarity {
     val base = spark.read.parquet(s"$path/assigned")
     val streamPath = new org.apache.hadoop.fs.Path(s"$path/assigned_stream")
     val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only count DATA entries: a started-but-empty stream leaves just the
+    // _spark_metadata log, and read.parquet on a log-owned dir with no
+    // committed files fails schema inference instead of returning empty
+    val hasStreamData = fs.exists(streamPath) &&
+      fs.listStatus(streamPath).exists(s => !s.getPath.getName.startsWith("_"))
     val assigned =
-      if (fs.exists(streamPath) && fs.listStatus(streamPath).nonEmpty)
-        base.unionByName(spark.read.parquet(streamPath.toString))
+      if (hasStreamData) base.unionByName(spark.read.parquet(streamPath.toString))
       else base
     IvfIndex(centroids, assigned)
   }

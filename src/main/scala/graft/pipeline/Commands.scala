@@ -166,13 +166,17 @@ object Commands {
     // (PIAModelerService.performInference:107-114): only rank-1
     // identifications enter (setAllTopIdentifications(1)), and PSMs from
     // different result files that identify the SAME spectrum as the same
-    // peptide/charge merge into one PSM set (createPSMSets(true)) carried
-    // by its best-scoring member — the downstream FDR then calibrates over
-    // sets, not per-file duplicates. (Different-peptide identifications of
-    // one spectrum stay separate sets, as in PIA; the per-USI output merge
-    // resolves them.) Single-file runs keep the flat path — no added
-    // window — matching performFilteringInference's
-    // setAllTopIdentifications(0).
+    // peptide/charge merge into one PSM set (createPSMSets(true)). The
+    // set's scalar identity (psmId, score, masses, rt) comes from its
+    // best-scoring member, but the protein accessions are the UNION of
+    // every member's PeptideEvidence — PIA's intermediate structure
+    // aggregates a peptide's accessions across all files, so evidence
+    // attested only by a losing file must not vanish with its rows.
+    // The downstream FDR then calibrates over sets, not per-file
+    // duplicates. (Different-peptide identifications of one spectrum stay
+    // separate sets, as in PIA; the per-USI output merge resolves them.)
+    // Single-file runs keep the flat path — no added window — matching
+    // performFilteringInference's setAllTopIdentifications(0).
     val combined =
       if (mzidPaths.sizeIs <= 1) joined
       else {
@@ -187,14 +191,32 @@ object Commands {
         val modsKey = concat_ws(",", array_sort(transform(
           map_entries(col("modifications")),
           e => concat(e.getField("key").cast("string"), lit("="), e.getField("value")))))
+        val wOrd = Window.partitionBy(col("fileName"), col("sourceId"),
+          col("peptideSequence"), col("charge"), col("_modsKey"))
+          .orderBy(better, col("psmId"))
         joined
           .filter(col("rank") <= 1)
-          .withColumn("_setRank", dense_rank().over(
-            Window.partitionBy(col("fileName"), col("sourceId"),
-              col("peptideSequence"), col("charge"), modsKey)
-              .orderBy(better, col("psmId"))))
-          .filter(col("_setRank") === 1)
-          .drop("_setRank")
+          .withColumn("_modsKey", modsKey)
+          .withColumn("_bPsmId", first(col("psmId")).over(wOrd))
+          .withColumn("_bScore", first(col("score")).over(wOrd))
+          .withColumn("_bExp", first(col("expMassToCharge")).over(wOrd))
+          .withColumn("_bCalc", first(col("calcMassToCharge")).over(wOrd))
+          .withColumn("_bRt", first(col("retentionTime")).over(wOrd))
+          // one row per (set, accession): losing members' accessions
+          // survive, scalar fields come from the windowed best member
+          // (constant within the set after the `first` projections)
+          .groupBy(col("fileName"), col("sourceId"), col("peptideSequence"),
+            col("charge"), col("_modsKey"), col("proteinAccession"))
+          .agg(max(col("isDecoy")).as("isDecoy"),
+            first(col("_bPsmId")).as("psmId"),
+            first(col("_bScore")).as("score"),
+            first(col("_bExp")).as("expMassToCharge"),
+            first(col("_bCalc")).as("calcMassToCharge"),
+            first(col("_bRt")).as("retentionTime"),
+            first(col("modifications")).as("modifications"),
+            first(col("idFormat")).as("idFormat"),
+            first(col("fileType")).as("fileType"))
+          .drop("_modsKey")
       }
 
     val psms = combined

@@ -317,6 +317,7 @@ object DemoFixtures {
     """ <SequenceCollection>
       |  <DBSequence id="dbs1" accession="sp|Q1"/>
       |  <DBSequence id="dbs3" accession="sp|Q3"/>
+      |  <DBSequence id="dbs5" accession="sp|Q5"/>
       |  <DBSequence id="dbs7" accession="DECOY_sp|Q7"/>
       |  <DBSequence id="dbs9" accession="sp|Q9"/>
       |  <Peptide id="pep1"><PeptideSequence>PEPTIDEK</PeptideSequence></Peptide>
@@ -325,6 +326,7 @@ object DemoFixtures {
       |  <Peptide id="pep9"><PeptideSequence>RANKTWOPEPK</PeptideSequence></Peptide>
       |  <PeptideEvidence id="ev1" peptide_ref="pep1" dBSequence_ref="dbs1" isDecoy="false"/>
       |  <PeptideEvidence id="ev2" peptide_ref="pep2" dBSequence_ref="dbs3" isDecoy="false"/>
+      |  <PeptideEvidence id="ev2b" peptide_ref="pep2" dBSequence_ref="dbs5" isDecoy="false"/>
       |  <PeptideEvidence id="ev7" peptide_ref="pep7" dBSequence_ref="dbs7" isDecoy="true"/>
       |  <PeptideEvidence id="ev9" peptide_ref="pep9" dBSequence_ref="dbs9" isDecoy="false"/>
       | </SequenceCollection>
@@ -351,6 +353,7 @@ object DemoFixtures {
       |    <SpectrumIdentificationItem id="sii2" rank="1" chargeState="2"
       |      experimentalMassToCharge="607.38" calculatedMassToCharge="607.38" peptide_ref="pep2">
       |     <PeptideEvidenceRef peptideEvidence_ref="ev2"/>
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev2b"/>
       |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.01"/>
       |    </SpectrumIdentificationItem>
       |   </SpectrumIdentificationResult>

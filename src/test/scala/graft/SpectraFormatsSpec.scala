@@ -290,6 +290,33 @@ class SpectraFormatsSpec extends AnyFunSuite {
     assert(spectra.forall(_.precursorCharge == 2))
   }
 
+  test("PRIDE XML: PeptideItem-level PRIDE:0000303 marks the PSM as decoy") {
+    // real submissions attach "Decoy hit" to the PeptideItem, not only to
+    // the Identification — both placements must reach isDecoy
+    val xml =
+      """<?xml version="1.0"?>
+        |<ExperimentCollection><Experiment>
+        | <GelFreeIdentification>
+        |  <Accession>sp|B1</Accession>
+        |  <PeptideItem>
+        |   <Sequence>SHADOWPEPK</Sequence>
+        |   <SpectrumReference>7</SpectrumReference>
+        |   <additional>
+        |    <cvParam cvLabel="PRIDE" accession="PRIDE:0000303" name="Decoy hit"/>
+        |    <cvParam cvLabel="PRIDE" accession="PRIDE:0000069" name="Mascot score" value="12.5"/>
+        |   </additional>
+        |  </PeptideItem>
+        | </GelFreeIdentification>
+        |</Experiment></ExperimentCollection>""".stripMargin
+    val dir = Files.createTempDirectory("graft-pridexml-pepdecoy")
+    val path = dir.resolve("pep_decoy.xml")
+    Files.writeString(path, xml)
+    val psms = graft.io.PrideXmlIO.parseIdentFile(path.toString)
+    assert(psms.length == 1)
+    assert(psms.head.isDecoy, psms.head.toString) // flag read from the PeptideItem
+    assert(psms.head.score.contains(12.5)) // score selection unaffected
+  }
+
   test("DTA parser: MH+ header converted to precursor m/z") {
     val dta = "890.99 2\n100.0 10.0\n200.0 20.0\n"
     val dir = Files.createTempDirectory("graft-dta")
