@@ -888,6 +888,18 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Fuzzy decontamination: MinHash-banded cross-corpus near-dup flags —
+    // catches the paraphrased contamination exact shingle overlap misses.
+    // Train = docs not in the benchmark slice; benchmark = every 20th doc
+    // (dup/near-dup pairs planted in the corpus straddle the split).
+    "tdp_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      graft.operators.Curation.fuzzyDecontaminate(
+        d.filter(col("id") % 20 =!= 0), d.filter(col("id") % 20 === 0),
+        shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+        .orderBy(col("id"))
+    }),
+
     // Deterministic sharded sequence packing: greedy token-budget bins in
     // id order per md5 shard (the pre-tokenization batching step).
     "tdp_pack_sequences" -> ((s, dir) => {
@@ -1343,6 +1355,49 @@ object Queries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Cross-corpus fuzzy decontamination: the dd_minhash_lsh re-derivation
+    // with the band join taken BETWEEN the train/bench slices, verified
+    // estimates aggregated to a per-train-doc max, and unflagged docs
+    // surfaced with 0.0 via the left join.
+    "tdp_fuzzy_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id, r.doc_id AS bench_id
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+         |  WHERE l.doc_id % 20 <> 0 AND r.doc_id % 20 = 0),
+         |est AS (
+         |  SELECT id, bench_id,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS ej
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id
+         |  JOIN mh mb ON mb.doc_id = bench_id AND mb.i = ma.i
+         |  GROUP BY id, bench_id),
+         |mx AS (SELECT id, max(ej) AS mj FROM est GROUP BY id)
+         |SELECT d.doc_id AS id, coalesce(mx.mj, 0.0) AS max_bench_jaccard,
+         |  coalesce(mx.mj, 0.0) >= 0.5 AS contaminated
+         |FROM documents d LEFT JOIN mx ON mx.id = d.doc_id
+         |WHERE d.doc_id % 20 <> 0
+         |ORDER BY id""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH tok AS (

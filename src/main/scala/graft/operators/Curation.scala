@@ -48,6 +48,67 @@ object Curation {
       .withColumn("contaminated", col("n_bench_overlaps") > 0)
   }
 
+  /** Fuzzy decontamination — the near-dup complement of [[decontaminate]]:
+    * flags training documents whose MinHash-ESTIMATED Jaccard similarity
+    * to ANY benchmark document reaches `threshold`. Exact shingle overlap
+    * misses paraphrased or lightly-edited contamination (a reworded eval
+    * question shares few exact 8-grams but most of its 3-shingle set);
+    * the banded-signature join catches it at near-dup granularity.
+    *
+    * Scale shape: both corpora reduce to `numHashes`-component MinHash
+    * signatures (one shuffle each), candidates come from an LSH band
+    * equi-join BETWEEN the corpora — the cross-corpus analogue of
+    * [[Dedup.minHashLshPairs]], never all-pairs — and band collisions are
+    * verified on the full signatures. The benchmark side is eval-set
+    * sized, so its banded keys broadcast in practice.
+    *
+    * @return (id, max_bench_jaccard, contaminated) — one row per input
+    *         document; the reported figure is the highest verified
+    *         estimate over all band-colliding benchmark docs (0.0 when no
+    *         band collides).
+    */
+  def fuzzyDecontaminate(
+      docs: DataFrame, // (id, text)
+      benchmark: DataFrame, // (id, text)
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"fuzzyDecontaminate: numBands ($numBands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / numBands
+    def signatures(df: DataFrame) = Dedup.minHashSignature(
+      df.select(col("id"),
+        explode(TextFunctions.wordShingles(col("text"), shingleN)).as("shingle")),
+      col("id"), col("shingle"), numHashes)
+      // each side feeds two reads (band keys + verification array): lazy
+      // localCheckpoint pins the signature aggregation once, same
+      // contract as minHashLshPairs
+      .localCheckpoint(false)
+    val docSigs = signatures(docs)
+    val benchSigs = signatures(benchmark)
+    val sigArr = array((0 until numHashes).map(i => col(s"mh_$i")): _*)
+    val cand = Dedup.bandKeys(docSigs, numBands, rowsPerBand)
+      .join(Dedup.bandKeys(benchSigs, numBands, rowsPerBand)
+        .withColumnRenamed("id", "bench_id"), Seq("band", "bh"))
+      .select(col("id"), col("bench_id")).distinct()
+    val flagged = cand
+      .join(docSigs.select(col("id"), sigArr.as("sig_a")), "id")
+      .join(benchSigs.select(col("id").as("bench_id"), sigArr.as("sig_b")), "bench_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .groupBy(col("id"))
+      .agg(max(col("est_jaccard")).as("max_bench_jaccard"))
+    docs.select(col("id"))
+      .join(flagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("max_bench_jaccard"), lit(0.0)).as("max_bench_jaccard"))
+      .withColumn("contaminated", col("max_bench_jaccard") >= threshold)
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-token-budget
     * packs (the pre-tokenization batching step of an LLM training
     * pipeline). Documents are sharded by a portable hash, then packed

@@ -67,6 +67,24 @@ object Dedup {
   def hashA(i: Int): Long = (1L + 2L * i * 104729L) % 1000003L
   def hashB(i: Int): Long = (i * 7919L + 13L) % 1000003L
 
+  /** LSH band keys for a signature frame: one (id, band, bh) row per band,
+    * `bh` = md5 over the band's `rowsPerBand` signature components. Shared
+    * by the self-join pairing ([[minHashLshPairs]]) and the cross-corpus
+    * contamination join (Curation.fuzzyDecontaminate). */
+  def bandKeys(signatures: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val sigWidth = signatures.columns.count(_.startsWith("mh_"))
+    require(numBands >= 1 && rowsPerBand >= 1 && numBands * rowsPerBand == sigWidth,
+      s"bandKeys: numBands ($numBands) x rowsPerBand ($rowsPerBand) must tile the " +
+        s"signature width ($sigWidth)")
+    val bandCols = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("bh"))
+    }
+    signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
   /** MinHash + LSH banding near-dup pairs: signatures are cut into
     * `numBands` bands of `rowsPerBand`; documents sharing any band hash are
     * candidates; candidates are verified by estimated Jaccard = fraction of
@@ -100,13 +118,7 @@ object Dedup {
     // cleaner when the result is dereferenced (same pin contract as
     // [[connectedComponents]]).
     val sigs = signatures.localCheckpoint(false)
-    val bandCols = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("bh"))
-    }
-    val banded = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val banded = bandKeys(sigs, numBands, rowsPerBand)
 
     // Band buckets can be arbitrarily large (every true near-dup group
     // lands in one bucket), so candidates come from a self-equi-join on the

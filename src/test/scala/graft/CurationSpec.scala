@@ -35,6 +35,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 1L)
   }
 
+  test("fuzzy decontaminate flags identical and paraphrased docs, not unrelated ones") {
+    val bench = Seq(
+      (100L, "what is the boiling point of water at sea level pressure"),
+    ).toDF("id", "text")
+    val corpus = Seq(
+      // identical to the benchmark doc -> est jaccard 1.0
+      (1L, "what is the boiling point of water at sea level pressure"),
+      // light edit (one trailing word): 8 of 10 distinct shingles shared
+      // -> high jaccard; 8 bands x 2 rows gives ~j^2 collision per band
+      (2L, "what is the boiling point of water at sea level pressures"),
+      // unrelated -> no band collision, 0.0
+      (3L, "spark plans broadcast small dimension tables for join locality"),
+    ).toDF("id", "text")
+    val got = Curation.fuzzyDecontaminate(corpus, bench,
+      shingleN = 3, numHashes = 16, numBands = 8, threshold = 0.5)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 1.0 && got(0)._3, got.toString) // identical
+    assert(got(1)._2 >= 0.5 && got(1)._3, got.toString) // light edit caught
+    assert(got(2)._2 == 0.0 && !got(2)._3, got.toString) // unrelated clean
+    // the exact-shingle gate misses nothing here, but the phrase-swapped
+    // variant below is caught ONLY by the fuzzy path (zero shared
+    // 8-grams, high 3-shingle jaccard is the contaminated signal)
+    val swapped = Seq(
+      (9L, "at sea level pressure what is the boiling point of water"),
+    ).toDF("id", "text")
+    val fuzzy = Curation.fuzzyDecontaminate(swapped, bench,
+      shingleN = 3, numHashes = 16, numBands = 8, threshold = 0.4)
+      .collect().head
+    val exact = Curation.decontaminate(swapped, bench, n = 8).collect().head
+    assert(fuzzy.getBoolean(2), fuzzy.toString)
+    assert(!exact.getBoolean(2), exact.toString)
+  }
+
   test("sequence packing: greedy keep-whole bins, oversized docs, shard resets") {
     // single shard so id order is the full packing order
     val docs = Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 11L), (5L, 1L), (6L, 9L), (7L, 1L))
