@@ -62,39 +62,29 @@ object AnnBench {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Every query-path column is timed the same way: two runs, min
+    // reported (the first run pays codegen/JIT — startup, not
+    // throughput). One helper so a future column can't accidentally
+    // revert to a single-run figure.
+    def time2[A](f: => A): (A, Double) = {
+      val (r, t1) = time(f); val (_, t2) = time(f); (r, math.min(t1, t2))
+    }
     // Brute force IS the ground truth: recall@10 for the approximate
-    // paths is their overlap with the exact top-10 set. Two timed runs,
-    // min reported (first run pays codegen/JIT — startup, not throughput),
-    // matching the IVF steady-state measurement below.
-    val (bfSet, tBf1) = time {
+    // paths is their overlap with the exact top-10 set.
+    val (bfSet, tBf) = time2 {
       pairs(Similarity.bruteForceTopK(vecs, queries, 10))
     }
-    val (_, tBf2) = time {
-      pairs(Similarity.bruteForceTopK(vecs, queries, 10))
-    }
-    val tBf = math.min(tBf1, tBf2)
-    // min-of-two like the bf/ivf measurements — a single-run figure would
-    // carry first-run codegen/JIT cost the other columns exclude
-    val (lshSet, tLsh1) = time {
+    val (lshSet, tLsh) = time2 {
       pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
         probeHammingRadius = 1))
     }
-    val (_, tLsh2) = time {
-      pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
-        probeHammingRadius = 1))
-    }
-    val tLsh = math.min(tLsh1, tLsh2)
     // Int8-quantized scoring over the same exhaustive candidate space:
     // the recall number is the point (how much the 8x-narrower candidate
     // representation loses — compute cost matches brute force locally,
     // the byte-width win shows up in scan/shuffle-bound cluster runs).
-    val (quantSet, tQuant1) = time {
+    val (quantSet, tQuant) = time2 {
       pairs(Similarity.quantizedTopK(vecs, queries, k = 10, oversample = 4))
     }
-    val (_, tQuant2) = time {
-      pairs(Similarity.quantizedTopK(vecs, queries, k = 10, oversample = 4))
-    }
-    val tQuant = math.min(tQuant1, tQuant2)
     // IVF the way it is used: build the inverted file ONCE (training +
     // assignment + cache — reported separately), then serve query batches
     // from it. The steady-state batch time is the brute-force comparison;

@@ -97,9 +97,7 @@ object Curation {
     val flagged = cand
       .join(docSigs.select(col("id"), sigArr.as("sig_a")), "id")
       .join(benchSigs.select(col("id").as("bench_id"), sigArr.as("sig_b")), "bench_id")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .groupBy(col("id"))
       .agg(max(col("est_jaccard")).as("max_bench_jaccard"))
     docs.select(col("id"))

@@ -67,6 +67,15 @@ object Dedup {
   def hashA(i: Int): Long = (1L + 2L * i * 104729L) % 1000003L
   def hashB(i: Int): Long = (i * 7919L + 13L) % 1000003L
 
+  /** MinHash-estimated Jaccard between two equal-width signature arrays:
+    * the fraction of agreeing components. Single source of truth for the
+    * collision-verification formula — shared by the self-join pairing
+    * ([[minHashLshPairs]]) and the cross-corpus contamination check
+    * (Curation.fuzzyDecontaminate) so the two paths cannot desync. */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / lit(numHashes.toDouble)
+
   /** LSH band keys for a signature frame: one (id, band, bh) row per band,
     * `bh` = md5 over the band's `rowsPerBand` signature components. Shared
     * by the self-join pairing ([[minHashLshPairs]]) and the cross-corpus
@@ -138,10 +147,7 @@ object Dedup {
     candidates
       .join(sigA, "id_a")
       .join(sigB, "id_b")
-      .withColumn(
-        "est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(k.toDouble))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }

@@ -357,11 +357,27 @@ object Similarity {
     val base = spark.read.parquet(s"$path/assigned")
     val streamPath = new org.apache.hadoop.fs.Path(s"$path/assigned_stream")
     val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // only count DATA entries: a started-but-empty stream leaves just the
-    // _spark_metadata log, and read.parquet on a log-owned dir with no
-    // committed files fails schema inference instead of returning empty
-    val hasStreamData = fs.exists(streamPath) &&
-      fs.listStatus(streamPath).exists(s => !s.getPath.getName.startsWith("_"))
+    // read.parquet on a sink-log-owned dir trusts the log, so the decision
+    // must too: orphan part files from a crashed uncommitted batch don't
+    // count, and a log with zero committed adds must NOT trigger the read
+    // (schema inference fails on it). Log batch files are tiny JSON lines
+    // ("v1" header, one SinkFileStatus — with a "path" field — per add);
+    // scanning them avoids Spark's private FileStreamSinkLog API. A
+    // logless dir (plain batch writes) falls back to the data listing.
+    val metaDir = new org.apache.hadoop.fs.Path(streamPath, "_spark_metadata")
+    val hasStreamData =
+      if (fs.exists(metaDir))
+        fs.listStatus(metaDir).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.endsWith(".tmp") && {
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .exists(_.contains("\"path\""))
+            finally in.close()
+          }
+        }
+      else fs.exists(streamPath) &&
+        fs.listStatus(streamPath).exists(s => !s.getPath.getName.startsWith("_"))
     val assigned =
       if (hasStreamData) base.unionByName(spark.read.parquet(streamPath.toString))
       else base

@@ -202,9 +202,17 @@ object Commands {
           .withColumn("_bExp", first(col("expMassToCharge")).over(wOrd))
           .withColumn("_bCalc", first(col("calcMassToCharge")).over(wOrd))
           .withColumn("_bRt", first(col("retentionTime")).over(wOrd))
+          // idFormat/fileType are SpectraData-derived and can differ
+          // between files declaring the same spectra file — take the best
+          // member's, like the other scalars, so the merged set's USI
+          // normalization is deterministic
+          .withColumn("_bIdFormat", first(col("idFormat")).over(wOrd))
+          .withColumn("_bFileType", first(col("fileType")).over(wOrd))
           // one row per (set, accession): losing members' accessions
           // survive, scalar fields come from the windowed best member
-          // (constant within the set after the `first` projections)
+          // (constant within the set after the `first` projections;
+          // modifications are value-equal within the set — _modsKey is a
+          // canonical serialization and part of the group key)
           .groupBy(col("fileName"), col("sourceId"), col("peptideSequence"),
             col("charge"), col("_modsKey"), col("proteinAccession"))
           .agg(max(col("isDecoy")).as("isDecoy"),
@@ -214,8 +222,8 @@ object Commands {
             first(col("_bCalc")).as("calcMassToCharge"),
             first(col("_bRt")).as("retentionTime"),
             first(col("modifications")).as("modifications"),
-            first(col("idFormat")).as("idFormat"),
-            first(col("fileType")).as("fileType"))
+            first(col("_bIdFormat")).as("idFormat"),
+            first(col("_bFileType")).as("fileType"))
           .drop("_modsKey")
       }
 

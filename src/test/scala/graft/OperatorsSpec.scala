@@ -284,6 +284,34 @@ class OperatorsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("IVF load ignores a stream area whose sink log commits nothing") {
+    val corpus = (0 until 12).map { i =>
+      val base = if (i < 6) Seq(1.0f, 0.02f * i, 0f, 0f) else Seq(0.02f * i, 1.0f, 0f, 0f)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    val idx = Similarity.buildIvfIndex(corpus, nCells = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-orphan").toString
+    try {
+      Similarity.saveIvfIndex(idx, dir)
+      // a crashed first batch: the sink log exists but commits zero adds
+      // ("v1" header only), and an orphan uncommitted part file sits in a
+      // cell directory. read.parquet trusts the log, so the loader must
+      // treat this area as empty — counting the orphan file would feed
+      // the log-owned read exactly the zero-committed-files case that
+      // fails schema inference.
+      val streamDir = java.nio.file.Paths.get(dir, "assigned_stream")
+      java.nio.file.Files.createDirectories(streamDir.resolve("_spark_metadata"))
+      java.nio.file.Files.writeString(streamDir.resolve("_spark_metadata").resolve("0"), "v1\n")
+      java.nio.file.Files.createDirectories(streamDir.resolve("cell=0"))
+      java.nio.file.Files.writeString(streamDir.resolve("cell=0").resolve("part-orphan.parquet"),
+        "not a committed file")
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      val got = Similarity.ivfQuery(loaded, corpus.filter(col("id") === 0L), k = 1, nProbe = 1)
+        .collect()
+      assert(got.length == 1) // base index serves; orphan neither crashes nor contributes
+    } finally idx.release()
+  }
+
   test("multimodal: deterministic stub features with real batch plumbing") {
     import spark.implicits._
     val media = Seq(
