@@ -402,6 +402,38 @@ object DemoFixtures {
       | </AnalysisData>
       | </DataCollection>""".stripMargin)
 
+  /** Third result file for the combined run: identifies ONLY the shared
+    * spectrum (index=1, same peptide/charge, worst score 0.9) but declares
+    * a CONFLICTING SpectrumIDFormat for run1.mgf (MS:1000768 spectrum
+    * nativeID, vs a/b's MS:1000774 index addressing). The merged set must
+    * take the winning member's (b.mzid) idFormat: if this loser's format
+    * ever won, the set's scanKey would be derived as a nativeID, the J1
+    * join against the index-keyed MGF spectra would miss, and index:1
+    * would vanish from the pinned 4-row output. */
+  val mzidMultiC: String = mzidShell(
+    """ <SequenceCollection>
+      |  <DBSequence id="dbs3" accession="sp|Q3"/>
+      |  <Peptide id="pep2"><PeptideSequence>ELVISLIVESK</PeptideSequence></Peptide>
+      |  <PeptideEvidence id="ev2" peptide_ref="pep2" dBSequence_ref="dbs3" isDecoy="false"/>
+      | </SequenceCollection>
+      | <DataCollection><Inputs>
+      |  <SpectraData id="sd1" location="file://data/run1.mgf">
+      |   <SpectrumIDFormat><cvParam accession="MS:1000768" name="spectrum identifier nativeID format"/></SpectrumIDFormat>
+      |  </SpectraData>
+      | </Inputs>
+      | <AnalysisData>
+      |  <SpectrumIdentificationList>
+      |   <SpectrumIdentificationResult id="r1" spectrumID="index=1" spectraData_ref="sd1">
+      |    <SpectrumIdentificationItem id="sii1" rank="1" chargeState="2"
+      |      experimentalMassToCharge="607.38" calculatedMassToCharge="607.38" peptide_ref="pep2">
+      |     <PeptideEvidenceRef peptideEvidence_ref="ev2"/>
+      |     <cvParam accession="MS:1002257" name="Comet:expectation value" value="0.9"/>
+      |    </SpectrumIdentificationItem>
+      |   </SpectrumIdentificationResult>
+      |  </SpectrumIdentificationList>
+      | </AnalysisData>
+      | </DataCollection>""".stripMargin)
+
   /** A 4-spectrum MGF matching the multi-file mzids' index addressing. */
   val mgfMulti: String = (0 to 3).map { i =>
     s"""BEGIN IONS
@@ -413,14 +445,15 @@ object DemoFixtures {
        |END IONS""".stripMargin
   }.mkString("", "\n", "\n")
 
-  /** Writes the two mzids + spectra dir; returns (mzidPaths, spectraDir). */
+  /** Writes the three mzids + spectra dir; returns (mzidPaths, spectraDir). */
   def multiFileFixture(): (Seq[String], String) = {
     val dir = Files.createTempDirectory("graft-demo-multifile")
     val a = Files.writeString(dir.resolve("a.mzid"), mzidMultiA).toString
     val b = Files.writeString(dir.resolve("b.mzid"), mzidMultiB).toString
+    val c = Files.writeString(dir.resolve("c.mzid"), mzidMultiC).toString
     val spectraDir = Files.createDirectory(dir.resolve("spectra"))
     Files.writeString(spectraDir.resolve("run1.mgf"), mgfMulti)
-    (Seq(a, b), spectraDir.toString)
+    (Seq(a, b, c), spectraDir.toString)
   }
 
   /** Recorded REST files payload (S4 shape, PrideFile.java:12-68): mixes
