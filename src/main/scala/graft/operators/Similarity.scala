@@ -372,7 +372,7 @@ object Similarity {
           st.isFile && !n.startsWith(".") && !n.endsWith(".tmp") && {
             val in = fs.open(st.getPath)
             try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-              .exists(_.contains("\"path\""))
+              .exists(_.contains("\"action\":\"add\""))
             finally in.close()
           }
         }

@@ -202,12 +202,13 @@ object Commands {
           .withColumn("_bExp", first(col("expMassToCharge")).over(wOrd))
           .withColumn("_bCalc", first(col("calcMassToCharge")).over(wOrd))
           .withColumn("_bRt", first(col("retentionTime")).over(wOrd))
-          // idFormat/fileType are SpectraData-derived and can differ
-          // between files declaring the same spectra file — take the best
-          // member's, like the other scalars, so the merged set's USI
-          // normalization is deterministic
+          // idFormat is a DECLARED cvParam and can genuinely conflict
+          // between files referencing the same spectra file — take the
+          // best member's, like the other scalars, so the merged set's
+          // scanKey/USI normalization is deterministic. (fileType needs no
+          // window: it derives purely from the location basename, which IS
+          // the partition key fileName, so it is constant within the set.)
           .withColumn("_bIdFormat", first(col("idFormat")).over(wOrd))
-          .withColumn("_bFileType", first(col("fileType")).over(wOrd))
           // one row per (set, accession): losing members' accessions
           // survive, scalar fields come from the windowed best member
           // (constant within the set after the `first` projections;
@@ -223,7 +224,7 @@ object Commands {
             first(col("_bRt")).as("retentionTime"),
             first(col("modifications")).as("modifications"),
             first(col("_bIdFormat")).as("idFormat"),
-            first(col("_bFileType")).as("fileType"))
+            first(col("fileType")).as("fileType"))
           .drop("_modsKey")
       }
 

@@ -408,8 +408,9 @@ object DemoFixtures {
     * nativeID, vs a/b's MS:1000774 index addressing). The merged set must
     * take the winning member's (b.mzid) idFormat: if this loser's format
     * ever won, the set's scanKey would be derived as a nativeID, the J1
-    * join against the index-keyed MGF spectra would miss, and index:1
-    * would vanish from the pinned 4-row output. */
+    * join against the index-keyed MGF spectra would miss, and the
+    * ELVISLIVESK row — USI index:2 after the 1-based MGF index
+    * correction — would vanish from the pinned 4-row output. */
   val mzidMultiC: String = mzidShell(
     """ <SequenceCollection>
       |  <DBSequence id="dbs3" accession="sp|Q3"/>
