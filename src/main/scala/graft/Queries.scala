@@ -2,8 +2,8 @@ package graft
 
 import graft.fdr.TargetDecoy
 import graft.functions.{PeptideFunctions, TextFunctions, UsiFunctions}
-import graft.operators.{Dedup, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Similarity, SpectraCluster}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -531,6 +531,45 @@ object Queries {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.embeddingNearDupPairs(e, threshold = 0.35, nBits = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Native LSH-style spectra clustering (the MaraCluster-replacement
+    // scale extension, SURVEY §7.5): spectra synthesized deterministically
+    // from the embeddings table — planted near-copies at +1000 (same
+    // precursor slot, +0.01 m/z) and second-generation copies at +2000
+    // (+0.03 m/z: within tol of the FIRST copy but NOT of the base, so the
+    // 3-member clusters close only transitively through connected
+    // components, and the precursor gate provably cuts a >=0.95-cosine
+    // pair). Integer-valued intensities make every dot/norm sum exact, so
+    // the cosine threshold is engine-independent.
+    "dd_spectra_cluster" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // Generations via explode, NOT a self-union: unioning projections of
+      // the same scan trips UnionBase.rewriteConstraints ("key not found")
+      // on constraints referencing the pruned embedding column.
+      val tagged = emb.withColumn("gen", explode(
+        when(col("vec_id") < 20, array(lit(0L), lit(1L), lit(2L)))
+          .when(col("vec_id") < 60, array(lit(0L), lit(1L)))
+          .otherwise(array(lit(0L)))))
+      val spectra = tagged.select(
+        (col("vec_id") + col("gen") * lit(1000L)).as("specId"),
+        (lit(2) + col("vec_id") % 2).cast("int").as("precursorCharge"),
+        (lit(400.0) +
+          floor(abs(element_at(col("embedding"), 1).cast("double")) * lit(20.0)) * lit(0.04) +
+          when(col("gen") === 1, lit(0.01)).when(col("gen") === 2, lit(0.03))
+            .otherwise(lit(0.0))).as("precursorMz"),
+        transform(sequence(lit(0), lit(63)), i =>
+          lit(100.0) + floor(i.cast("double") / lit(2.0)) * lit(2.0)).as("masses"),
+        transform(sequence(lit(0), lit(63)), i =>
+          round(abs(element_at(col("embedding"), i + lit(1)).cast("double")) * lit(1000.0)) +
+            when(col("gen") === 1 && i % lit(9) === 0, lit(3.0))
+              .when(col("gen") === 2 && i % lit(7) === 0, lit(4.0))
+              .otherwise(lit(0.0))).as("intensities"))
+      SpectraCluster.clusterSpectra(spectra, SpectraCluster.Config(
+        binWidth = 1.0, topPeaks = 20, candidateBins = 6,
+        precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L))
+        .select(col("specId").as("spec_id"), col("clusterId").as("cluster_id"))
+        .orderBy(col("spec_id"))
     }),
 
     // Typed KeyValueGroupedDataset rollup (the custom-state template shape,
@@ -1355,6 +1394,73 @@ object Queries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Native spectra clustering re-derivation: identical synthesis
+    // (integer intensities => exact dots/norms), binning + top-20 bins with
+    // the kernel's (w DESC, bin ASC) tie-break, shared-top-6-bin candidate
+    // join with the exact |Δpmz| gate, cosine >= 0.95 edges, and
+    // connected components as a recursive min-label closure over the
+    // symmetric edge set (components are tiny planted chains, so the
+    // closure is bounded; the engine side runs large-star/small-star).
+    "dd_spectra_cluster" ->
+      """WITH base AS (
+        |  SELECT vec_id AS spec_id,
+        |    (2 + vec_id % 2)::INTEGER AS charge,
+        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.0 AS pmz,
+        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)) AS inten
+        |  FROM embeddings),
+        |copies AS (
+        |  SELECT vec_id + 1000 AS spec_id,
+        |    (2 + vec_id % 2)::INTEGER AS charge,
+        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.01 AS pmz,
+        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
+        |      + CASE WHEN i % 9 = 0 THEN 3.0 ELSE 0.0 END) AS inten
+        |  FROM embeddings WHERE vec_id < 60),
+        |copies2 AS (
+        |  SELECT vec_id + 2000 AS spec_id,
+        |    (2 + vec_id % 2)::INTEGER AS charge,
+        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.03 AS pmz,
+        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
+        |      + CASE WHEN i % 7 = 0 THEN 4.0 ELSE 0.0 END) AS inten
+        |  FROM embeddings WHERE vec_id < 20),
+        |spec AS (SELECT * FROM base UNION ALL SELECT * FROM copies UNION ALL SELECT * FROM copies2),
+        |peaks AS (
+        |  SELECT spec_id, charge, pmz, 100 + 2 * (i // 2) AS bin, inten[i+1] AS x
+        |  FROM spec CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |binsall AS (
+        |  SELECT spec_id, charge, pmz, bin, sum(x) AS w FROM peaks
+        |  WHERE x > 0 GROUP BY spec_id, charge, pmz, bin),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY spec_id ORDER BY w DESC, bin ASC) AS r
+        |  FROM binsall),
+        |topk AS (SELECT * FROM ranked WHERE r <= 20),
+        |norms AS (SELECT spec_id, sqrt(sum(w * w)) AS nrm FROM topk GROUP BY spec_id),
+        |cand AS (
+        |  SELECT DISTINCT a.spec_id AS id_a, b.spec_id AS id_b
+        |  FROM topk a JOIN topk b
+        |    ON a.charge = b.charge AND a.bin = b.bin AND a.spec_id < b.spec_id
+        |   AND abs(a.pmz - b.pmz) <= 0.02
+        |  WHERE a.r <= 6 AND b.r <= 6),
+        |dots AS (
+        |  SELECT c.id_a, c.id_b, sum(a.w * b.w) AS dot
+        |  FROM cand c JOIN topk a ON a.spec_id = c.id_a
+        |  JOIN topk b ON b.spec_id = c.id_b AND b.bin = a.bin
+        |  GROUP BY c.id_a, c.id_b),
+        |edges AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
+        |    FROM dots d JOIN norms na ON na.spec_id = d.id_a
+        |    JOIN norms nb ON nb.spec_id = d.id_b)
+        |  WHERE cosine >= 0.95),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        |        UNION ALL SELECT id_b, id_a FROM edges),
+        |labels AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT spec_id, spec_id FROM spec
+        |    UNION
+        |    SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.id)
+        |  SELECT id AS spec_id, min(lab) AS cluster_id FROM r GROUP BY id)
+        |SELECT spec_id, cluster_id FROM labels ORDER BY spec_id""".stripMargin,
 
     // Cross-corpus fuzzy decontamination: the dd_minhash_lsh re-derivation
     // with the band join taken BETWEEN the train/bench slices, verified
