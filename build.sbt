@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time" trailer: the bench driver parses JSON out of the
+// last ~2000 chars of stdout, and the trailer both wastes that budget and
+// displaces Bench's machine-readable final line.
+Global / showSuccess := false
+// Forked-run stdout must reach the console verbatim — the default logger
+// strategy prefixes every line with "[info] ", which breaks the driver's
+// JSON parse of Bench's output line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,9 +47,26 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2000 chars of stdout and json-parses
+    // what it finds there; one line with all per-query times (~2.3k chars and
+    // growing) gets its head truncated and never parses. So: (1) a full
+    // per-query line FIRST, queries sorted ASCENDING by time so truncation
+    // only eats the fastest entries, totals at the END of the object so they
+    // survive; (2) a compact, contract-shaped "metric" line LAST — short
+    // enough to always fit the tail window whole, so it parses. The full map
+    // is also written to bench_full.json for offline reading.
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warmup_sec":$warmupSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    def fmtQs(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val fullLine =
+      f"""{"queries":${fmtQs(results.sortBy(_._2))},"total_sec":$total%.3f,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    println(fullLine)
+    val top = results.sortBy(-_._2).take(10)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warmup_sec":$warmupSec%.3f,"n_queries":${results.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
     graft.pipeline.DemoAssay.releaseIndex(spark)
     spark.stop()
   }
