@@ -67,10 +67,23 @@ object DemoAssay {
     * persisted frames (psmsU, perPsm) sit below every output. */
   def warmup(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    Seq(
-      runIndex(spark), filterGateIndex(spark), combinedFdrProteinIndex(spark),
-      pickedFdrIndex(spark), multiFileIndex(spark), prideXmlIndex(spark),
-    ).foreach(_.archiveSpectra.write.format("noop").mode("overwrite").save())
+    // The six DAGs are independent and fixture-sized: wall time is driver
+    // planning + stage-scheduling latency, not data. Build and materialize
+    // them from parallel threads — Spark job submission is thread-safe, and
+    // the scheduler interleaves the six jobs' tiny stages. Sequential this
+    // was ~55 s of dead wall time before the first measured query.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val builds = Seq[SparkSession => IndexPipeline.IndexOutputs](
+      runIndex, filterGateIndex, combinedFdrProteinIndex,
+      pickedFdrIndex, multiFileIndex, prideXmlIndex,
+    ).map(b => Future {
+      b(spark).archiveSpectra.write.format("noop").mode("overwrite").save()
+    })
+    try Await.result(Future.sequence(builds), Duration.Inf)
+    finally pool.shutdown()
     (System.nanoTime() - t0) / 1e9
   }
 
