@@ -18,6 +18,15 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Pinned VALUES oracles whose Spark query reads SF-dir tables: the pin was
+# rendered from the sf0.01 run (gen_values_oracle.py), and the testdata
+# tables are independently generated per SF (same vec_id holds different
+# vectors), so these can only match at sf0.01 — the driver's gate SF.
+# At any other SF they are reported as skipped, not failed. Fixture-backed
+# pins (DemoAssay etc.) don't read SF tables and stay checked everywhere.
+SF001_PINNED = {"sim_ivf_topk", "sim_ivf_disk", "sim_group_centroids",
+                "mm_feature_extract"}
+
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -43,8 +52,14 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = fail = 0
+    at_pin_sf = sf_dir.rstrip("/").endswith("sf0.01")
+    ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
+        if name in SF001_PINNED and not at_pin_sf:
+            print(f"skip {name}: VALUES pin rendered at sf0.01; this SF's "
+                  f"tables hold different data")
+            skipped += 1
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -79,7 +94,8 @@ def main(sf_dir, out_dir):
                 print(f"    spark extra: {s_rows[n:n+2]}")
                 print(f"    duck  extra: {d_rows[n:n+2]}")
             fail += 1
-    print(f"\n{ok} ok, {fail} fail")
+    tail = f", {skipped} skipped (sf0.01-pinned)" if skipped else ""
+    print(f"\n{ok} ok, {fail} fail{tail}")
     return 1 if fail else 0
 
 
