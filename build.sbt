@@ -15,6 +15,7 @@ run / fork := true
 // last ~2000 chars of stdout, and the trailer both wastes that budget and
 // displaces Bench's machine-readable final line.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forked-run stdout must reach the console verbatim — the default logger
 // strategy prefixes every line with "[info] ", which breaks the driver's
 // JSON parse of Bench's output line.

@@ -543,33 +543,54 @@ object Queries {
     // pair). Integer-valued intensities make every dot/norm sum exact, so
     // the cosine threshold is engine-independent.
     "dd_spectra_cluster" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // Generations via explode, NOT a self-union: unioning projections of
-      // the same scan trips UnionBase.rewriteConstraints ("key not found")
-      // on constraints referencing the pruned embedding column.
-      val tagged = emb.withColumn("gen", explode(
-        when(col("vec_id") < 20, array(lit(0L), lit(1L), lit(2L)))
-          .when(col("vec_id") < 60, array(lit(0L), lit(1L)))
-          .otherwise(array(lit(0L)))))
-      val spectra = tagged.select(
-        (col("vec_id") + col("gen") * lit(1000L)).as("specId"),
-        (lit(2) + col("vec_id") % 2).cast("int").as("precursorCharge"),
-        (lit(400.0) +
-          floor(abs(element_at(col("embedding"), 1).cast("double")) * lit(20.0)) * lit(0.04) +
-          when(col("gen") === 1, lit(0.01)).when(col("gen") === 2, lit(0.03))
-            .otherwise(lit(0.0))).as("precursorMz"),
-        transform(sequence(lit(0), lit(63)), i =>
-          lit(100.0) + floor(i.cast("double") / lit(2.0)) * lit(2.0)).as("masses"),
-        transform(sequence(lit(0), lit(63)), i =>
-          round(abs(element_at(col("embedding"), i + lit(1)).cast("double")) * lit(1000.0)) +
-            when(col("gen") === 1 && i % lit(9) === 0, lit(3.0))
-              .when(col("gen") === 2 && i % lit(7) === 0, lit(4.0))
-              .otherwise(lit(0.0))).as("intensities"))
-      SpectraCluster.clusterSpectra(spectra, SpectraCluster.Config(
-        binWidth = 1.0, topPeaks = 20, candidateBins = 6,
-        precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L))
+      SpectraCluster.clusterSpectra(syntheticClusterSpectra(s, dir), nativeClusterConfig)
         .select(col("specId").as("spec_id"), col("clusterId").as("cluster_id"))
         .orderBy(col("spec_id"))
+    }),
+
+    // The MaraCluster-replacement path END TO END: native clustering
+    // (same synthesized spectra as dd_spectra_cluster) re-shaped through
+    // asMaraClusterRows into the S6 row contract, then the A10-A12
+    // cluster-inference purity filters + representative selection run on
+    // deterministically synthesized PSMs. Per (vec_id % 5): planted
+    // isobaric-DISTINCT sequences (gen-1 'LEK' vs 'PEK' — iso impurity),
+    // peptidoform splits (ratio <= 0.5 — majority impurity), L/I pairs
+    // ('PELK'/'PEIK' — isobaric-EQUAL, purity survives in 3-member
+    // clusters), and pure clusters. Output: kept representatives (usi) +
+    // removed clusters with reasons.
+    "pipeline_native_cluster" -> ((s, dir) => {
+      val spectra = syntheticClusterSpectra(s, dir)
+      val v = col("index") % 1000L
+      val g = (col("index") / lit(1000)).cast("long")
+      val seq =
+        when(v % 5 === 0, when(g === 1, "LEK").otherwise("PEK"))
+          .when(v % 5 === 1, lit("PEK"))
+          .when(v % 5 === 2, when(g === 1, "PEIK").otherwise("PELK"))
+          .otherwise(lit("AAK"))
+      val form =
+        when(v % 5 === 1,
+          when(g === 1, "PE[UNIMOD:35]K/2").when(g === 2, "PEK/3").otherwise("PEK/2"))
+          .otherwise(concat(seq, lit("/2")))
+      val psms = spectra.select(col("specId").as("index"))
+        .select(
+          col("index"),
+          concat(lit("u"), col("index").cast("string")).as("usi"),
+          seq.as("peptideSequence"),
+          form.as("peptidoform"),
+          lit(false).as("isDecoy"),
+          (((v * 7 + g * 3) % 100).cast("double") / lit(100.0)).as("score"))
+      val mapping = spectra.select(
+        lit("native.mgf").as("file"), col("specId").as("spectrumIndex"), col("specId"))
+      val mara = SpectraCluster.asMaraClusterRows(
+        mapping, SpectraCluster.clusterSpectra(spectra, nativeClusterConfig))
+      val out = graft.pipeline.ClusterInference.run(psms, mara)
+      out.representatives
+        .select(lit("rep").as("kind"), col("clusterId").cast("long").as("cluster_id"),
+          col("usi").as("detail"))
+        .unionByName(out.removed
+          .select(lit("removed").as("kind"), col("clusterId").cast("long").as("cluster_id"),
+            col("reason").as("detail")))
+        .orderBy(col("kind"), col("cluster_id"))
     }),
 
     // Typed KeyValueGroupedDataset rollup (the custom-state template shape,
@@ -1111,6 +1132,107 @@ object Queries {
           java.nio.file.Files.createTempDirectory(s"graft-demo-$kind").toString)
     }
 
+  /** Deterministic spectra synthesized from the embeddings table (shared by
+    * dd_spectra_cluster / pipeline_native_cluster): planted near-copies at
+    * +1000 (same precursor slot, +0.01 m/z) and second-generation copies at
+    * +2000 (+0.03 m/z — within tol of the FIRST copy but NOT of the base,
+    * so 3-member clusters close only transitively). Integer-valued
+    * intensities make every dot/norm sum exact. Generations via explode,
+    * NOT a self-union: unioning projections of the same scan trips
+    * UnionBase.rewriteConstraints ("key not found") on constraints
+    * referencing the pruned embedding column. */
+  private def syntheticClusterSpectra(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val tagged = emb.withColumn("gen", explode(
+      when(col("vec_id") < 20, array(lit(0L), lit(1L), lit(2L)))
+        .when(col("vec_id") < 60, array(lit(0L), lit(1L)))
+        .otherwise(array(lit(0L)))))
+    tagged.select(
+      (col("vec_id") + col("gen") * lit(1000L)).as("specId"),
+      (lit(2) + col("vec_id") % 2).cast("int").as("precursorCharge"),
+      (lit(400.0) +
+        floor(abs(element_at(col("embedding"), 1).cast("double")) * lit(20.0)) * lit(0.04) +
+        when(col("gen") === 1, lit(0.01)).when(col("gen") === 2, lit(0.03))
+          .otherwise(lit(0.0))).as("precursorMz"),
+      transform(sequence(lit(0), lit(63)), i =>
+        lit(100.0) + floor(i.cast("double") / lit(2.0)) * lit(2.0)).as("masses"),
+      transform(sequence(lit(0), lit(63)), i =>
+        round(abs(element_at(col("embedding"), i + lit(1)).cast("double")) * lit(1000.0)) +
+          when(col("gen") === 1 && i % lit(9) === 0, lit(3.0))
+            .when(col("gen") === 2 && i % lit(7) === 0, lit(4.0))
+            .otherwise(lit(0.0))).as("intensities"))
+  }
+
+  private val nativeClusterConfig = graft.operators.SpectraCluster.Config(
+    binWidth = 1.0, topPeaks = 20, candidateBins = 6,
+    precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L)
+
+  /** Shared DuckDB re-derivation of the native spectra clustering
+    * (synthesis -> binning -> candidate join -> cosine edges ->
+    * recursive min-label components): CTE chain ending at `labels
+    * (spec_id, cluster_id)` — consumers append their own final
+    * SELECT (dd_spectra_cluster) or further CTEs
+    * (pipeline_native_cluster). */
+  private val spectraClusterLabelCtes: String =
+    """WITH base AS (
+        |  SELECT vec_id AS spec_id,
+        |    (2 + vec_id % 2)::INTEGER AS charge,
+        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.0 AS pmz,
+        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)) AS inten
+        |  FROM embeddings),
+        |copies AS (
+        |  SELECT vec_id + 1000 AS spec_id,
+        |    (2 + vec_id % 2)::INTEGER AS charge,
+        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.01 AS pmz,
+        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
+        |      + CASE WHEN i % 9 = 0 THEN 3.0 ELSE 0.0 END) AS inten
+        |  FROM embeddings WHERE vec_id < 60),
+        |copies2 AS (
+        |  SELECT vec_id + 2000 AS spec_id,
+        |    (2 + vec_id % 2)::INTEGER AS charge,
+        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.03 AS pmz,
+        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
+        |      + CASE WHEN i % 7 = 0 THEN 4.0 ELSE 0.0 END) AS inten
+        |  FROM embeddings WHERE vec_id < 20),
+        |spec AS (SELECT * FROM base UNION ALL SELECT * FROM copies UNION ALL SELECT * FROM copies2),
+        |peaks AS (
+        |  SELECT spec_id, charge, pmz, 100 + 2 * (i // 2) AS bin, inten[i+1] AS x
+        |  FROM spec CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |binsall AS (
+        |  SELECT spec_id, charge, pmz, bin, sum(x) AS w FROM peaks
+        |  WHERE x > 0 GROUP BY spec_id, charge, pmz, bin),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY spec_id ORDER BY w DESC, bin ASC) AS r
+        |  FROM binsall),
+        |topk AS (SELECT * FROM ranked WHERE r <= 20),
+        |norms AS (SELECT spec_id, sqrt(sum(w * w)) AS nrm FROM topk GROUP BY spec_id),
+        |cand AS (
+        |  SELECT DISTINCT a.spec_id AS id_a, b.spec_id AS id_b
+        |  FROM topk a JOIN topk b
+        |    ON a.charge = b.charge AND a.bin = b.bin AND a.spec_id < b.spec_id
+        |   AND abs(a.pmz - b.pmz) <= 0.02
+        |  WHERE a.r <= 6 AND b.r <= 6),
+        |dots AS (
+        |  SELECT c.id_a, c.id_b, sum(a.w * b.w) AS dot
+        |  FROM cand c JOIN topk a ON a.spec_id = c.id_a
+        |  JOIN topk b ON b.spec_id = c.id_b AND b.bin = a.bin
+        |  GROUP BY c.id_a, c.id_b),
+        |edges AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
+        |    FROM dots d JOIN norms na ON na.spec_id = d.id_a
+        |    JOIN norms nb ON nb.spec_id = d.id_b)
+        |  WHERE cosine >= 0.95),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        |        UNION ALL SELECT id_b, id_a FROM edges),
+        |labels AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT spec_id, spec_id FROM spec
+        |    UNION
+        |    SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.id)
+        |  SELECT id AS spec_id, min(lab) AS cluster_id FROM r GROUP BY id)""".stripMargin
+
   private val simhashSums: String =
     (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
 
@@ -1403,64 +1525,72 @@ object Queries {
     // symmetric edge set (components are tiny planted chains, so the
     // closure is bounded; the engine side runs large-star/small-star).
     "dd_spectra_cluster" ->
-      """WITH base AS (
-        |  SELECT vec_id AS spec_id,
-        |    (2 + vec_id % 2)::INTEGER AS charge,
-        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.0 AS pmz,
-        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)) AS inten
-        |  FROM embeddings),
-        |copies AS (
-        |  SELECT vec_id + 1000 AS spec_id,
-        |    (2 + vec_id % 2)::INTEGER AS charge,
-        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.01 AS pmz,
-        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
-        |      + CASE WHEN i % 9 = 0 THEN 3.0 ELSE 0.0 END) AS inten
-        |  FROM embeddings WHERE vec_id < 60),
-        |copies2 AS (
-        |  SELECT vec_id + 2000 AS spec_id,
-        |    (2 + vec_id % 2)::INTEGER AS charge,
-        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.03 AS pmz,
-        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
-        |      + CASE WHEN i % 7 = 0 THEN 4.0 ELSE 0.0 END) AS inten
-        |  FROM embeddings WHERE vec_id < 20),
-        |spec AS (SELECT * FROM base UNION ALL SELECT * FROM copies UNION ALL SELECT * FROM copies2),
-        |peaks AS (
-        |  SELECT spec_id, charge, pmz, 100 + 2 * (i // 2) AS bin, inten[i+1] AS x
-        |  FROM spec CROSS JOIN (SELECT unnest(range(64)) AS i)),
-        |binsall AS (
-        |  SELECT spec_id, charge, pmz, bin, sum(x) AS w FROM peaks
-        |  WHERE x > 0 GROUP BY spec_id, charge, pmz, bin),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY spec_id ORDER BY w DESC, bin ASC) AS r
-        |  FROM binsall),
-        |topk AS (SELECT * FROM ranked WHERE r <= 20),
-        |norms AS (SELECT spec_id, sqrt(sum(w * w)) AS nrm FROM topk GROUP BY spec_id),
-        |cand AS (
-        |  SELECT DISTINCT a.spec_id AS id_a, b.spec_id AS id_b
-        |  FROM topk a JOIN topk b
-        |    ON a.charge = b.charge AND a.bin = b.bin AND a.spec_id < b.spec_id
-        |   AND abs(a.pmz - b.pmz) <= 0.02
-        |  WHERE a.r <= 6 AND b.r <= 6),
-        |dots AS (
-        |  SELECT c.id_a, c.id_b, sum(a.w * b.w) AS dot
-        |  FROM cand c JOIN topk a ON a.spec_id = c.id_a
-        |  JOIN topk b ON b.spec_id = c.id_b AND b.bin = a.bin
-        |  GROUP BY c.id_a, c.id_b),
-        |edges AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
-        |    FROM dots d JOIN norms na ON na.spec_id = d.id_a
-        |    JOIN norms nb ON nb.spec_id = d.id_b)
-        |  WHERE cosine >= 0.95),
-        |sym AS (SELECT id_a AS u, id_b AS v FROM edges
-        |        UNION ALL SELECT id_b, id_a FROM edges),
-        |labels AS (
-        |  WITH RECURSIVE r(id, lab) AS (
-        |    SELECT spec_id, spec_id FROM spec
-        |    UNION
-        |    SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.id)
-        |  SELECT id AS spec_id, min(lab) AS cluster_id FROM r GROUP BY id)
-        |SELECT spec_id, cluster_id FROM labels ORDER BY spec_id""".stripMargin,
+      (spectraClusterLabelCtes + "\nSELECT spec_id, cluster_id FROM labels ORDER BY spec_id"),
+
+    // The native-clustering + A10-A12 inference closure: cluster labels
+    // from the shared CTE chain, PSMs re-derived from spec_id arithmetic,
+    // purity stats as grouped subqueries (n_iso per cluster, form counts),
+    // the representative as the row_number-1 row under the engine's exact
+    // tie-break (ratio DESC, form ASC, score ASC, usi ASC), removed
+    // clusters with the engine's reason precedence (isobaric first).
+    "pipeline_native_cluster" ->
+      (spectraClusterLabelCtes + """,
+        |psm AS (
+        |  SELECT spec_id, 'u' || spec_id::VARCHAR AS usi,
+        |    CASE WHEN (spec_id % 1000) % 5 = 0 AND spec_id // 1000 = 1 THEN 'LEK'
+        |         WHEN (spec_id % 1000) % 5 = 0 THEN 'PEK'
+        |         WHEN (spec_id % 1000) % 5 = 1 THEN 'PEK'
+        |         WHEN (spec_id % 1000) % 5 = 2 AND spec_id // 1000 = 1 THEN 'PEIK'
+        |         WHEN (spec_id % 1000) % 5 = 2 THEN 'PELK'
+        |         ELSE 'AAK' END AS seq,
+        |    CASE WHEN (spec_id % 1000) % 5 = 1 THEN
+        |           CASE WHEN spec_id // 1000 = 1 THEN 'PE[UNIMOD:35]K/2'
+        |                WHEN spec_id // 1000 = 2 THEN 'PEK/3' ELSE 'PEK/2' END
+        |         WHEN (spec_id % 1000) % 5 = 0 AND spec_id // 1000 = 1 THEN 'LEK/2'
+        |         WHEN (spec_id % 1000) % 5 = 0 THEN 'PEK/2'
+        |         WHEN (spec_id % 1000) % 5 = 2 AND spec_id // 1000 = 1 THEN 'PEIK/2'
+        |         WHEN (spec_id % 1000) % 5 = 2 THEN 'PELK/2'
+        |         ELSE 'AAK/2' END AS form,
+        |    ((((spec_id % 1000) * 7 + (spec_id // 1000) * 3) % 100)::DOUBLE / 100.0) AS score
+        |  FROM labels),
+        |members AS (
+        |  SELECT l.spec_id, l.cluster_id, p.usi, p.seq, p.form, p.score
+        |  FROM labels l JOIN psm p USING (spec_id)),
+        |clstats AS (
+        |  SELECT cluster_id, count(DISTINCT replace(seq, 'L', 'I')) AS n_iso,
+        |    count(*) AS total
+        |  FROM members GROUP BY cluster_id),
+        |formstats AS (
+        |  SELECT cluster_id, form, count(*) AS form_count
+        |  FROM members GROUP BY cluster_id, form),
+        |ratios AS (
+        |  SELECT m.*, c.n_iso, c.total, f.form_count,
+        |    f.form_count::DOUBLE / c.total AS ratio
+        |  FROM members m
+        |  JOIN clstats c USING (cluster_id)
+        |  JOIN formstats f ON f.cluster_id = m.cluster_id AND f.form = m.form),
+        |withmax AS (
+        |  SELECT *, max(ratio) OVER (PARTITION BY cluster_id) AS max_ratio
+        |  FROM ratios),
+        |reps AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY ratio DESC, form ASC, score ASC, usi ASC) AS rn
+        |    FROM withmax WHERE n_iso <= 1 AND max_ratio > 0.5)
+        |  WHERE rn = 1),
+        |removedcl AS (
+        |  SELECT DISTINCT cluster_id,
+        |    CASE WHEN n_iso > 1 THEN 'multiple_isobaric_sequences'
+        |         ELSE 'no_majority_peptidoform' END AS reason
+        |  FROM withmax WHERE n_iso > 1 OR max_ratio <= 0.5)
+        |SELECT kind::VARCHAR AS "kind", cluster_id::BIGINT AS "cluster_id",
+        |  detail::VARCHAR AS "detail"
+        |FROM (
+        |  SELECT 'rep' AS kind, cluster_id, usi AS detail FROM reps
+        |  UNION ALL
+        |  SELECT 'removed', cluster_id, reason FROM removedcl)
+        |ORDER BY "kind", "cluster_id"""".stripMargin),
+
 
     // Cross-corpus fuzzy decontamination: the dd_minhash_lsh re-derivation
     // with the band join taken BETWEEN the train/bench slices, verified
