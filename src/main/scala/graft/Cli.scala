@@ -16,7 +16,7 @@ object Cli {
     * `true`. An explicit `--flag false` stays supported. */
   private[graft] val BooleanFlags: Set[String] = Set(
     "score-lower-is-better", "distributed-fdr", "picked-protein-fdr",
-    "protein-score-from-fdrscore", "exact-mgf")
+    "protein-score-from-fdrscore", "exact-mgf", "native-cluster")
 
   /** Strict `--key value` / bare `--flag` parser: a stray non-option token
     * or a mis-paired window is an ERROR, not a silent drop — the old
@@ -125,8 +125,17 @@ object Cli {
           System.err.println(s"[graft] WARNING: psms <= ${cfg.minPsms} — assay below minPSMs gate")
 
       case "perform-inference" =>
-        Commands.performInference(spark, req("spectra-json"), req("clusters"), req("out"),
-          o.get("index"))
+        if (o.contains("native-cluster")) {
+          require(!o.contains("clusters"),
+            s"--clusters and --native-cluster are mutually exclusive\n$usage")
+          Commands.performInferenceNative(
+            spark, req("spectra-json"), req("out"), o.get("index"),
+            graft.operators.SpectraCluster.Config(
+              precursorTol = o.get("precursor-tol").map(_.toDouble).getOrElse(0.05),
+              minCosine = o.get("min-cosine").map(_.toDouble).getOrElse(0.7)))
+        } else
+          Commands.performInference(spark, req("spectra-json"), req("clusters"), req("out"),
+            o.get("index"))
 
       case "generate-mgf-files" =>
         Commands.generateMgf(spark, req("spectra-json"), req("out"))
@@ -166,7 +175,9 @@ object Cli {
       |                       [--exact-mgf] [--sdrf F] [--decoy-prefix DECOY_]
       |                       --out DIR
       |                       [--global-sample-props "organism=Homo sapiens;disease=..."]
-      |  perform-inference   --spectra-json DIR --clusters TSV --out DIR
+      |  perform-inference   --spectra-json DIR --out DIR
+      |                       (--clusters TSV | --native-cluster
+      |                        [--precursor-tol 0.05] [--min-cosine 0.7])
       |                       [--index MGF_INDEX_SIDECAR]
       |  generate-mgf-files  --spectra-json DIR --out DIR
       |  spectra-json-check  --spectra-json DIR --out DIR

@@ -313,9 +313,56 @@ object Commands {
       outDir: String,
       indexSidecar: Option[String] = None,
   ): DataFrame = {
+    val indexed = indexedSpectra(spark, spectraJsonDir, indexSidecar)
+    val clusters = SideInputs.readMaraCluster(spark, clustersPath)
+    SideInputs.assertUniqueSpectrumIndex(clusters)
+    val out = ClusterInference.run(indexed, clusters)
+    val reps = out.representatives
+    ArchiveJson.write(reps, s"$outDir/consensus_spectra")
+    reps
+  }
+
+  /** perform-inference WITHOUT the external clustering tool: the validated
+    * spectra JSON carries the peak arrays, so the native clusterer
+    * ([[graft.operators.SpectraCluster]]) replaces the MaraCluster TSV —
+    * cluster ids are derived in-plan and fed to the same A10-A12
+    * inference. The positional contract is trivially consistent: the
+    * cluster input keys on the SAME `index` column the member join uses,
+    * so no sidecar/order mismatch can exist between clusterer and
+    * inference (the TSV path's whole failure class). */
+  def performInferenceNative(
+      spark: SparkSession,
+      spectraJsonDir: String,
+      outDir: String,
+      indexSidecar: Option[String] = None,
+      cfg: graft.operators.SpectraCluster.Config = graft.operators.SpectraCluster.Config(),
+  ): DataFrame = {
+    val indexed = indexedSpectra(spark, spectraJsonDir, indexSidecar)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clusterInput = indexed.select(
+        col("index").as("specId"), col("precursorMz"),
+        col("precursorCharge"), col("masses"), col("intensities"))
+      val clusters = graft.operators.SpectraCluster.clusterSpectra(clusterInput, cfg)
+        .select(col("specId").as("spectrumIndex"), col("clusterId"))
+      val out = ClusterInference.run(indexed, clusters)
+      val reps = out.representatives
+      ArchiveJson.write(reps, s"$outDir/consensus_spectra")
+      reps
+    } finally indexed.unpersist()
+  }
+
+  /** Shared by both inference paths: archive spectra with the per-row
+    * positional `index` (sidecar-validated when provided, range-sort
+    * derived otherwise). */
+  private def indexedSpectra(
+      spark: SparkSession,
+      spectraJsonDir: String,
+      indexSidecar: Option[String],
+  ): DataFrame = {
     val spectra = ArchiveJson.read(spark, spectraJsonDir)
       .withColumn("score", col("bestSearchEngineScore.value").cast("double"))
-    val indexed = indexSidecar match {
+    indexSidecar match {
       case Some(path) =>
         // A stale/mismatched sidecar (e.g. regenerated spectra JSON) must
         // fail loudly, not silently corrupt the inference input — in every
@@ -353,12 +400,6 @@ object Commands {
       case None =>
         graft.operators.GlobalIndex.withGlobalIndex(spectra, Seq(col("usi")), "index")
     }
-    val clusters = SideInputs.readMaraCluster(spark, clustersPath)
-    SideInputs.assertUniqueSpectrumIndex(clusters)
-    val out = ClusterInference.run(indexed, clusters)
-    val reps = out.representatives
-    ArchiveJson.write(reps, s"$outDir/consensus_spectra")
-    reps
   }
 
   /** generate-mgf-files: spectra JSON -> MGF (K3), ordered by usi so the

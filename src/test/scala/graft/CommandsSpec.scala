@@ -347,4 +347,34 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.Cli.parseArgs(Array("cmd", "--out", "--exact-mgf")))
   }
+
+  test("perform-inference --native-cluster: standalone path, no MaraCluster TSV") {
+    val dir = Files.createTempDirectory("graft-native-inf")
+    val out = dir.resolve("out").toString
+    val idx = graft.pipeline.DemoAssay.runIndex(spark)
+    graft.io.ArchiveJson.write(idx.archiveSpectra, s"$out/spectra")
+
+    // Tight tolerance (default 0.05): the three demo spectra (pmz 400/
+    // 401/402, identical peaks) stay apart -> three singleton clusters,
+    // each pure, three representatives.
+    val tight = graft.pipeline.Commands.performInferenceNative(
+      spark, s"$out/spectra", dir.resolve("tight").toString)
+    assert(tight.count() == 3, tight.collect().mkString("\n"))
+
+    // Loose tolerance (2.0): all three merge into ONE cluster (identical
+    // peaks -> cosine 1; 400<->402 closes transitively through 401) whose
+    // three isobaric-DISTINCT sequences make it impure -> zero
+    // representatives. The cluster STRUCTURE drives the difference, so
+    // this differentiates the native clusterer inside the command.
+    val loose = graft.pipeline.Commands.performInferenceNative(
+      spark, s"$out/spectra", dir.resolve("loose").toString,
+      cfg = graft.operators.SpectraCluster.Config(precursorTol = 2.0))
+    assert(loose.count() == 0, loose.collect().mkString("\n"))
+
+    // CLI surface: --native-cluster and --clusters are mutually exclusive.
+    val e = intercept[IllegalArgumentException](graft.Cli.run(spark, Array(
+      "perform-inference", "--spectra-json", s"$out/spectra",
+      "--clusters", "x.tsv", "--native-cluster", "--out", dir.resolve("x").toString)))
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
 }
