@@ -175,6 +175,71 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Per-source sampling plan for [[mixtureSample]]: one row per source
+    * with its observed token total, target mixture weight, and the derived
+    * keep fraction `least(1.0, tokenBudget * weight / total_tokens)`.
+    * Exposed separately so a pipeline can inspect/log the plan (and the
+    * expected token yield `frac * total_tokens`) before committing to a
+    * sweep — the aggregation is one map-side-combined shuffle over
+    * (source) keys, tiny output. Sources absent from `weights` get
+    * weight 0.0 (dropped by the sample). */
+  def mixturePlan(
+      df: DataFrame,
+      source: Column,
+      tokenCount: Column,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+  ): DataFrame = {
+    require(tokenBudget > 0, s"mixturePlan: tokenBudget must be positive, got $tokenBudget")
+    require(weights.values.forall(w => w >= 0 && java.lang.Double.isFinite(w)),
+      "mixturePlan: weights must be finite and non-negative")
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) { case ((s, w), rest) =>
+        when(col("source") === s, lit(w)).otherwise(rest)
+      }
+    df.select(source.as("source"), tokenCount.cast("long").as("_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("_tok")).as("total_tokens"))
+      .withColumn("weight", wCol)
+      // literal-first association (budget * weight) / total matches the
+      // SQL oracle's left-assoc rendering term for term — bit-identical
+      // IEEE doubles on both engines (totals are exact below 2^53)
+      .withColumn("keep_frac",
+        least(lit(1.0),
+          lit(tokenBudget.toDouble) * col("weight") / col("total_tokens").cast("double")))
+  }
+
+  /** Mixture sampling to a token budget — the corpus-mixing step of a
+    * training-data pipeline: given a target mixture (`weights`: source ->
+    * share of the budget) and a total token budget, keep each source at
+    * the document-sampling rate that yields its share in expectation.
+    * Selection reuses the md5-uniform of [[stratifiedSample]], so the
+    * surviving document set is deterministic across runs, partitionings,
+    * and engines; a source whose corpus is smaller than its share keeps
+    * everything (fraction capped at 1.0 — the budget is a target, and
+    * under-filled shares are visible in [[mixturePlan]]).
+    *
+    * Scale shape: one tiny per-source aggregation ([[mixturePlan]] — at
+    * most |sources| rows), broadcast back onto the corpus as a pure
+    * filter; the corpus itself is never shuffled.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      tokenCount: Column,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+  ): DataFrame = {
+    val plan = broadcast(
+      mixturePlan(df, source, tokenCount, weights, tokenBudget)
+        .select(col("source").as("_mx_src"), col("keep_frac").as("_mx_frac")))
+    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
+    df.join(plan, source === col("_mx_src"))
+      .filter(u < col("_mx_frac"))
+      .drop("_mx_src", "_mx_frac")
+  }
+
   /** Deterministic hash-stratified sampling: keep a per-stratum fraction
     * of rows, selected by a portable md5-derived uniform over the row key
     * — the same rows survive on every run, every partitioning, and every
