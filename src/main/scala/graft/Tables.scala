@@ -2,14 +2,17 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated testdata tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader refuses; it is read as a nanosecond long
-  * (`legacy.parquet.nanosAsLong`) and converted to a microsecond timestamp
-  * with exact integer division (`div`), matching DuckDB's ns->us
-  * truncation bit-for-bit. */
+  * `events.ts` has shipped in two parquet encodings across testdata
+  * generations: INT64 TIMESTAMP(NANOS) (which Spark's reader only accepts
+  * as a raw nanosecond long under `legacy.parquet.nanosAsLong`) and plain
+  * TIMESTAMP micros. The loader branches on the POST-READ type of `ts`
+  * rather than assuming either encoding, so a regeneration that flips the
+  * encoding again cannot break every events-table query (which is exactly
+  * what happened between rounds 5 and 6). */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -20,6 +23,25 @@ object Tables {
     * dimension tables stay scan-shaped (they broadcast anyway). */
   private val factTables = Set("orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Estimated scan split count from the file listing alone: parquet files
+    * are split by byte ranges, so splits ~= sum(ceil(size / maxPartitionBytes)).
+    * A pure-metadata probe — the previous `df.rdd.getNumPartitions` forced a
+    * plan->RDD conversion on every fact-table load. */
+  private def estimatedSplits(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val it = fs.listFiles(p, true)
+    var splits = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        splits += math.max(1L, (f.getLen + maxBytes - 1) / maxBytes)
+    }
+    splits
+  }
+
   /** Scale-aware parallelism guard. The driver's test parquet has a SINGLE
     * row group per file, so a scan yields one input split no matter the
     * split config, serializing every CPU-heavy projection above it (the
@@ -29,17 +51,46 @@ object Tables {
     * BELOW the exchange (verified in plan: PushedFilters on the scan, then
     * Exchange). On production inputs (many row groups / many files) splits
     * >= parallelism, so this is a no-op and plans stay pure scans. */
-  private def withScanParallelism(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def withScanParallelism(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (estimatedSplits(spark, path) * 2 < target) df.repartition(target) else df
+  }
+
+  /** True when the read failed because of an unsupported TIMESTAMP(NANOS)
+    * parquet column (Spark's refusal message names the NANOS unit). */
+  private def isNanosRefusal(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("NANOS") || Option(e.getCause).exists(isNanosRefusal)
+  }
+
+  /** Encoding-robust events reader; see object scaladoc. The nanos branch
+    * truncates ns->us with exact integer division (`div`), matching DuckDB's
+    * ns->us truncation bit-for-bit. `nanosAsLong` is only set when a plain
+    * read actually refuses the file — never unconditionally. */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception if isNanosRefusal(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanosAsLong in effect (set above, or left on by an earlier load)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected TIMESTAMP or INT64 nanos)")
+    }
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-    if (factTables(name)) withScanParallelism(spark, raw) else raw
+    val path = s"$dir/$name.parquet"
+    val raw =
+      if (name == "events") loadEvents(spark, path)
+      else spark.read.parquet(path)
+    if (factTables(name)) withScanParallelism(spark, path, raw) else raw
   }
 }

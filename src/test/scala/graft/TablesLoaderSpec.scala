@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loader-robustness regression for the events table (round-6 lesson: the
+  * driver regenerated testdata flipping `ts` from parquet TIMESTAMP(NANOS)
+  * to plain TIMESTAMP micros, and the loader's hard-coded nanos workaround
+  * crashed every events-table query). Both encodings ship as committed
+  * fixtures; the loader must read either and produce identical values. */
+class TablesLoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/graft/$name").toString
+
+  private def formatted(df: DataFrame): Seq[(Long, String)] =
+    df.select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+
+  test("micros-encoded events load without the legacy nanos conf") {
+    // run BEFORE the nanos test can set nanosAsLong on the shared session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val df = Tables.loadEvents(spark, fixture("events_ts_micros.parquet"))
+    val t = df.schema("ts").dataType
+    assert(t == TimestampType || t == TimestampNTZType, s"unexpected ts type $t")
+    assert(df.count() == 20)
+  }
+
+  test("nanos-encoded events load via the legacy-long fallback") {
+    val df = Tables.loadEvents(spark, fixture("events_ts_nanos.parquet"))
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() == 20)
+  }
+
+  test("both encodings yield identical timestamp values") {
+    val us = formatted(Tables.loadEvents(spark, fixture("events_ts_micros.parquet")))
+    val ns = formatted(Tables.loadEvents(spark, fixture("events_ts_nanos.parquet")))
+    assert(us == ns)
+    // spot-check an absolute value so both being wrong the same way fails
+    assert(us.head == (0L, "2025-03-01 12:00:00.000000"))
+  }
+}
