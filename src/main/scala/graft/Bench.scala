@@ -35,18 +35,26 @@ object Bench {
     // Each query runs `repeat` times; the MINIMUM is reported — first
     // executions pay JIT/codegen compilation, which is startup cost, not
     // steady-state throughput.
+    // A query that throws is reported in a "failed" list, NOT as a ~60ms
+    // exception pseudo-time that would flatter the total (round-5 lesson:
+    // 10 broken queries hid behind fake 0.05-0.2s entries).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    val ran = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.minOption
     }
+    val results = ran.collect { case (n, Some(t)) => n -> t }
+    val failed = ran.collect { case (n, None) => n }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // what it finds there; one line with all per-query times (~2.3k chars and
     // growing) gets its head truncated and never parses. So: (1) a full
@@ -59,14 +67,14 @@ object Bench {
     def fmtQs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"queries":${fmtQs(results.sortBy(_._2))},"total_sec":$total%.3f,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
+      f"""{"queries":${fmtQs(results.sortBy(_._2))},"failed":$failedJson,"total_sec":$total%.3f,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
     println(fullLine)
     val top = results.sortBy(-_._2).take(10)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warmup_sec":$warmupSec%.3f,"n_queries":${results.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warmup_sec":$warmupSec%.3f,"n_queries":${results.size},"n_failed":${failed.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
     graft.pipeline.DemoAssay.releaseIndex(spark)
     spark.stop()
   }

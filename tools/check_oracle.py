@@ -60,6 +60,12 @@ def main(sf_dir, out_dir):
                   f"tables hold different data")
             skipped += 1
             continue
+        import os
+        marker = f"{out_dir}/{name}/_FAILED"
+        if os.path.exists(marker):
+            print(f"FAIL {name}: query CRASHED: {open(marker).read().strip()}")
+            fail += 1
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
