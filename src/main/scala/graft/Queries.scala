@@ -304,6 +304,24 @@ object Queries {
         .orderBy(col("user_id"), col("rank"))
     }),
 
+    // W3 twin over an inline fixture: keeps the operator verified even if
+    // the SF testdata regenerates incompatibly (round-6 lesson: all ten
+    // events-table oracles vanished at once when the loader broke, leaving
+    // W3 with zero green rows).
+    "w3_top_rank_fx" -> ((s, _) => {
+      import s.implicits._
+      val ev = Seq(
+        (1L, 1L, 0.5), (1L, 2L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.1),
+        (2L, 5L, 1.0),
+        (3L, 6L, 2.0), (3L, 7L, 3.0), (3L, 8L, 1.0),
+      ).toDF("user_id", "event_id", "value")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+      ev.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
     // U1 — union of two sources, counted per key.
     "u1_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
@@ -479,6 +497,46 @@ object Queries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("hour_str"), col("event_type"))
+    }),
+
+    // Streaming-family twin on an inline fixture (same tumbling-window agg,
+    // SF-independent verification — see w3_top_rank_fx rationale).
+    "e_stream_window_fx" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        ("2025-01-01 00:05:00", "click", 1.25),
+        ("2025-01-01 00:40:00", "click", 2.50),
+        ("2025-01-01 00:55:00", "view", 0.75),
+        ("2025-01-01 01:10:00", "click", 3.25),
+        ("2025-01-01 01:59:59", "error", 1.00),
+        ("2025-01-01 02:00:00", "view", 4.50),
+      ).toDF("ts_str", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("ts_str")))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour_str"), col("event_type"))
+    }),
+
+    // Gap-session twin on an inline fixture, driving the real
+    // EventStream.sessionWindows operator (not a reimplementation).
+    "e_session_window_fx" -> ((s, _) => {
+      import s.implicits._
+      val ev = Seq(
+        (1L, "2025-01-01 00:00:00", 1.25),
+        (1L, "2025-01-01 00:10:00", 2.50),
+        (1L, "2025-01-01 01:00:00", 0.75),
+        (2L, "2025-01-01 00:05:00", 4.00),
+      ).toDF("user_id", "ts_str", "value")
+        .withColumn("ts", to_timestamp(col("ts_str")))
+        .select(col("ts"), col("user_id"), col("value"))
+      graft.streaming.EventStream.sessionWindows(ev, gap = "30 minutes",
+        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
     }),
 
     // §2.7 gap-based session windows (the built-in session_window keyed
@@ -1450,6 +1508,15 @@ object Queries {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
         |  FROM events) WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
 
+    "w3_top_rank_fx" ->
+      """SELECT user_id, rank, event_id, value FROM (
+        |  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM (VALUES (1, 1, '0.5'::DOUBLE), (1, 2, '0.9'::DOUBLE), (1, 3, '0.9'::DOUBLE),
+        |    (1, 4, '0.1'::DOUBLE), (2, 5, '1.0'::DOUBLE), (3, 6, '2.0'::DOUBLE),
+        |    (3, 7, '3.0'::DOUBLE), (3, 8, '1.0'::DOUBLE)) AS t(user_id, event_id, value))
+        |WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
+
     "u1_union" ->
       """SELECT nationkey, count(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
@@ -1793,6 +1860,44 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    "e_stream_window_fx" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM (VALUES
+        |  (TIMESTAMP '2025-01-01 00:05:00', 'click', '1.25'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 00:40:00', 'click', '2.5'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 00:55:00', 'view', '0.75'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 01:10:00', 'click', '3.25'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 01:59:59', 'error', '1.0'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 02:00:00', 'view', '4.5'::DOUBLE)) AS t(ts, event_type, value)
+        |GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    "e_session_window_fx" ->
+      """WITH ev AS (
+        |  SELECT user_id::BIGINT AS user_id, ts, value FROM (VALUES
+        |    (1, TIMESTAMP '2025-01-01 00:00:00', '1.25'::DOUBLE),
+        |    (1, TIMESTAMP '2025-01-01 00:10:00', '2.5'::DOUBLE),
+        |    (1, TIMESTAMP '2025-01-01 01:00:00', '0.75'::DOUBLE),
+        |    (2, TIMESTAMP '2025-01-01 00:05:00', '4.0'::DOUBLE)) AS t(user_id, ts, value)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  user_id, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // Gap sessionization: lag-based new-session flags + running sum; a
     // session ends 30 minutes after its last event (session_window
