@@ -1057,6 +1057,24 @@ object Queries {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
 
+    // Mixture plan: per-source token totals -> guarded keep fractions
+    // (explicit zero weight AND absent-source both yield 0.0; capped 1.0).
+    "tdp_mixture_plan" -> ((s, dir) => {
+      graft.operators.Curation.mixturePlan(
+        t(s, dir, "documents"), col("source"), length(col("text")),
+        Map("src1" -> 0.6, "src2" -> 0.4, "src3" -> 0.0), tokenBudget = 10000L)
+        .orderBy(col("source"))
+    }),
+
+    // Mixture sampling to a token budget: plan broadcast back as a pure
+    // deterministic filter (md5-uniform selection, corpus never shuffled).
+    "tdp_mixture_sample" -> ((s, dir) => {
+      graft.operators.Curation.mixtureSample(
+        t(s, dir, "documents"), col("source"), col("doc_id"), length(col("text")),
+        Map("src1" -> 0.6, "src2" -> 0.4, "src3" -> 0.0), tokenBudget = 10000L)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
     // ANN LSH top-k with multi-probe (Hamming radius 1): candidates only
     // from the probed hyperplane buckets, exact cosine re-rank.
     "sim_lsh_topk" -> ((s, dir) => {
@@ -2030,6 +2048,39 @@ object Queries {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
         |  < CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mixture plan/sample: weight CASE + guarded keep_frac; association
+    // (budget * weight) / total mirrors the Scala column term for term.
+    "tdp_mixture_plan" ->
+      """WITH a AS (
+        |  SELECT source, sum(length(text))::BIGINT AS total_tokens,
+        |    CASE WHEN source = 'src1' THEN '0.6'::DOUBLE
+        |         WHEN source = 'src2' THEN '0.4'::DOUBLE
+        |         ELSE '0.0'::DOUBLE END AS weight
+        |  FROM documents GROUP BY source)
+        |SELECT source, total_tokens, weight,
+        |  CASE WHEN coalesce(total_tokens, 0) <= 0 OR weight = 0.0 THEN '0.0'::DOUBLE
+        |       ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * weight / total_tokens::DOUBLE)
+        |  END AS keep_frac
+        |FROM a ORDER BY source""".stripMargin,
+
+    "tdp_mixture_sample" ->
+      """WITH a AS (
+        |  SELECT source AS mx_src, sum(length(text))::BIGINT AS total_tokens,
+        |    CASE WHEN source = 'src1' THEN '0.6'::DOUBLE
+        |         WHEN source = 'src2' THEN '0.4'::DOUBLE
+        |         ELSE '0.0'::DOUBLE END AS weight
+        |  FROM documents GROUP BY source
+        |), p AS (
+        |  SELECT mx_src,
+        |    CASE WHEN coalesce(total_tokens, 0) <= 0 OR weight = 0.0 THEN '0.0'::DOUBLE
+        |         ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * weight / total_tokens::DOUBLE)
+        |    END AS keep_frac
+        |  FROM a)
+        |SELECT doc_id, source FROM documents d JOIN p ON d.source = p.mx_src
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
+        |  < keep_frac
         |ORDER BY doc_id""".stripMargin,
 
     // PII scrub: identical injection + email->IP->phone redaction order,

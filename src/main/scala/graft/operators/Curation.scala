@@ -202,11 +202,18 @@ object Curation {
       .agg(sum(col("_tok")).as("total_tokens"))
       .withColumn("weight", wCol)
       // literal-first association (budget * weight) / total matches the
-      // SQL oracle's left-assoc rendering term for term — bit-identical
-      // IEEE doubles on both engines (totals are exact below 2^53)
+      // tdp_mixture_plan / tdp_mixture_sample SQL oracles' left-assoc
+      // rendering term for term — bit-identical IEEE doubles on both
+      // engines (totals are exact below 2^53). Null/zero totals and zero
+      // weights short-circuit to 0.0: without the guard, an all-null
+      // token column sums to null (least() skips nulls -> 1.0) and
+      // weight=0 over total=0 gives 0/0 = NaN (which Spark orders
+      // GREATEST, so least() returns 1.0) — either way an unweighted
+      // source would be kept entirely.
       .withColumn("keep_frac",
-        least(lit(1.0),
-          lit(tokenBudget.toDouble) * col("weight") / col("total_tokens").cast("double")))
+        when(coalesce(col("total_tokens"), lit(0L)) <= 0L || col("weight") === 0.0, lit(0.0))
+          .otherwise(least(lit(1.0),
+            lit(tokenBudget.toDouble) * col("weight") / col("total_tokens").cast("double"))))
   }
 
   /** Mixture sampling to a token budget — the corpus-mixing step of a
@@ -217,7 +224,10 @@ object Curation {
     * surviving document set is deterministic across runs, partitionings,
     * and engines; a source whose corpus is smaller than its share keeps
     * everything (fraction capped at 1.0 — the budget is a target, and
-    * under-filled shares are visible in [[mixturePlan]]).
+    * under-filled shares are visible in [[mixturePlan]]). Rows whose
+    * source is NULL never match the plan's inner equi-join and are
+    * dropped — the same fate as a source absent from `weights`
+    * (weight 0.0).
     *
     * Scale shape: one tiny per-source aggregation ([[mixturePlan]] — at
     * most |sources| rows), broadcast back onto the corpus as a pure

@@ -116,6 +116,60 @@ class CurationSpec extends AnyFunSuite {
     assert(!sample.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("mixture plan: keep_frac math, 1.0 cap, zero/absent weights and degenerate totals drop") {
+    val docs = Seq(
+      ("a", 1L, 400L), ("a", 2L, 600L),    // total 1000, weight 0.5 -> 500/1000 = 0.5
+      ("b", 3L, 50L),                       // total 50, weight 0.3 -> 300/50 -> capped 1.0
+      ("c", 4L, 100L),                      // weight 0.0 explicit -> 0.0
+      ("d", 5L, 100L),                      // absent from weights -> 0.0
+      ("e", 6L, 0L), ("e", 7L, 0L),         // total 0, weight 0.2 -> guarded 0.0 (0/0 NaN trap)
+    ).toDF("source", "id", "tok")
+    val plan = Curation.mixturePlan(docs, col("source"), col("tok"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.0, "e" -> 0.2), tokenBudget = 1000L)
+      .orderBy(col("source")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("keep_frac")).toMap
+    assert(plan("a") == 0.5)
+    assert(plan("b") == 1.0)
+    assert(plan("c") == 0.0)
+    assert(plan("d") == 0.0)
+    assert(plan("e") == 0.0)
+  }
+
+  test("mixture plan: all-null token counts yield keep_frac 0.0, not 1.0") {
+    val docs = Seq(("a", 1L), ("a", 2L)).toDF("source", "id")
+      .withColumn("tok", lit(null).cast("long"))
+    val plan = Curation.mixturePlan(docs, col("source"), col("tok"),
+      Map("a" -> 1.0), tokenBudget = 1000L).collect()
+    assert(plan.length == 1 && plan.head.getAs[Double]("keep_frac") == 0.0)
+  }
+
+  test("mixture sample: deterministic across partitionings, drops unweighted and null sources") {
+    val docs = (1L to 4000L).map { i =>
+      val src = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "zz"
+      (if (i % 100 == 0) null else src, i, 10L)
+    }.toDF("source", "id", "tok")
+    val weights = Map("a" -> 0.7, "b" -> 0.3)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Curation.mixtureSample(df, col("source"), col("id"), col("tok"),
+        weights, tokenBudget = 8000L).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    val a = ids(docs)
+    val b = ids(docs.repartition(7, col("id")))
+    assert(a == b) // bit-reproducible regardless of layout
+    val kept = Curation.mixtureSample(docs, col("source"), col("id"), col("tok"),
+      weights, tokenBudget = 8000L)
+    // unweighted source and null source contribute nothing
+    assert(kept.filter(col("source") === "zz" || col("source").isNull).count() == 0L)
+    // expected token yield per source ~ budget * weight (md5-uniform tolerance)
+    val byCnt = kept.groupBy(col("source")).agg(sum(col("tok")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    assert(byCnt("a") > 4200 && byCnt("a") < 7000, byCnt)  // target 5600
+    assert(byCnt("b") > 1500 && byCnt("b") < 3400, byCnt)  // target 2400
+    // a source smaller than its share keeps every row (cap at 1.0)
+    val tiny = Seq(("a", 1L, 5L), ("a", 2L, 5L)).toDF("source", "id", "tok")
+    assert(Curation.mixtureSample(tiny, col("source"), col("id"), col("tok"),
+      Map("a" -> 1.0), tokenBudget = 1000L).count() == 2L)
+  }
+
   test("PII redaction: typed placeholders, IP never eaten by the phone pattern") {
     val docs = Seq(
       (1L, "write to jane.doe+spam@sub.example.org today"),
