@@ -119,6 +119,44 @@ object AnnBench {
     println(
       f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
     ivfIdx.release()
+
+    // Recall@k table on the REAL SF embeddings table (not the synthetic
+    // corpus above): every approximate path scored against the exact
+    // brute-force top-k over the same vectors. Cell/probe counts are
+    // scaled to the table (sqrt-ish cells), not the 1M synthetic tuning.
+    sys.env.get("SPARK_GRAFT_SF_DIR").foreach { sfDir =>
+      val e = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nE = e.count()
+      val q = e.filter(col("id") < 100)
+      val ks = Seq(1, 5, 10)
+      def sets(df: org.apache.spark.sql.DataFrame): Map[Int, Set[(Long, Long)]] = {
+        val rows = df.select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("rank").intValue))
+        ks.map(k => k -> rows.collect { case (a, b, rk) if rk <= k => (a, b) }.toSet).toMap
+      }
+      val bf = sets(Similarity.bruteForceTopK(e, q, 10))
+      val sfCells = math.max(4, math.sqrt(nE.toDouble).toInt / 3)
+      val sfProbe = 4
+      val idx = Similarity.buildIvfIndex(e, nCells = sfCells, kmeansIters = 2,
+        maxTrainRows = nE)
+      val ivf = sets(Similarity.ivfQuery(idx, q, k = 10, nProbe = sfProbe))
+      // the recall/cost knob: doubling probed cells ~doubles the scanned
+      // fraction — report both points so the tradeoff is visible
+      val ivfWide = sets(Similarity.ivfQuery(idx, q, k = 10, nProbe = sfProbe * 2))
+      val lsh = sets(Similarity.lshTopK(e, q, k = 10, nBits = 8, dim = dim,
+        probeHammingRadius = 1))
+      val qnt = sets(Similarity.quantizedTopK(e, q, k = 10, oversample = 4))
+      def rec(m: Map[Int, Set[(Long, Long)]], k: Int): Double =
+        (m(k) & bf(k)).size.toDouble / math.max(bf(k).size, 1)
+      val tbl = ks.map { k =>
+        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"ann_recall_sf","sf":"$sfDir","n_vecs":$nE,"ivf_cells":$sfCells,"ivf_probe":$sfProbe,"recall_at_k":$tbl}""")
+      idx.release()
+      e.unpersist()
+    }
     spark.stop()
   }
 }
