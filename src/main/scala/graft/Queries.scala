@@ -1075,6 +1075,25 @@ object Queries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: fixed-token windows with overlap, pure
+    // projection + explode (no shuffle; offsets are arithmetic).
+    "tdp_chunk_documents" -> ((s, dir) => {
+      graft.operators.Curation.chunkDocuments(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), chunkSize = 50, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Deterministic epoch shuffle: md5("<id>:<epoch>") order key +
+    // range-sort global index (no single-task window).
+    "tdp_epoch_shuffle" -> ((s, dir) => {
+      graft.operators.Curation.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), epoch = 3)
+        .select(col("doc_id"), col("source"), col("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))
+    }),
+
     // ANN LSH top-k with multi-probe (Hamming radius 1): candidates only
     // from the probed hyperplane buckets, exact cosine re-rank.
     "sim_lsh_topk" -> ((s, dir) => {
@@ -2082,6 +2101,31 @@ object Queries {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
         |  < keep_frac
         |ORDER BY doc_id""".stripMargin,
+
+    // Chunking: same token split, stride arithmetic, and 1-based
+    // inclusive slicing on both engines (Spark slice(start,len) ==
+    // DuckDB list[start:start+len-1]).
+    "tdp_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(1, floor((len(toks)::BIGINT - 10 + 39)::DOUBLE / 40.0)::BIGINT) AS nc
+        |  FROM d
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c
+        |)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(toks[(i*40+1):(i*40+50)], ' ') AS chunk_text,
+        |  len(toks[(i*40+1):(i*40+50)])::INT AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "tdp_epoch_shuffle" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT, doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents ORDER BY shuffle_pos""".stripMargin,
 
     // PII scrub: identical injection + email->IP->phone redaction order,
     // 'g' flags (DuckDB replaces first match only by default).

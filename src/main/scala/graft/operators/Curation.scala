@@ -250,6 +250,60 @@ object Curation {
       .drop("_mx_src", "_mx_frac")
   }
 
+  /** Fixed-token-window document chunking — the context-window prep step
+    * of a training pipeline: whitespace tokens, `chunkSize` tokens per
+    * chunk, consecutive chunks overlapping by `overlap` tokens (stride =
+    * chunkSize - overlap). A document shorter than one window yields one
+    * chunk; the final chunk may be short. Deterministic: chunk count is
+    * ceil((nTokens - overlap) / stride) floored at 1, offsets are pure
+    * arithmetic.
+    *
+    * Scale shape: projection + explode — no shuffle, no state; output
+    * rows ~ corpus tokens / stride, generated streaming per input row.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      key: Column,
+      text: Column,
+      chunkSize: Int,
+      overlap: Int = 0,
+  ): DataFrame = {
+    require(chunkSize > 0, s"chunkDocuments: chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkDocuments: overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = split(trim(text), "\\s+")
+    val nChunks = greatest(lit(1L),
+      floor((size(toks).cast("long") - lit(overlap) + lit(stride - 1)).cast("double") /
+        lit(stride.toDouble)).cast("long"))
+    val base = df.select(key, toks.as("_toks"), nChunks.as("_nc"))
+    val keyName = base.columns.head
+    val window =
+      slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))
+    base
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_nc") - 1)))
+      .select(col(keyName), col("chunk_id"),
+        array_join(window, " ").as("chunk_text"),
+        size(window).as("n_tokens"))
+  }
+
+  /** Deterministic epoch shuffle — a bit-reproducible global training
+    * order per epoch: the order key is the portable md5 hash of
+    * "<key>:<epoch>", so every epoch is an independent pseudo-random
+    * permutation, identical across runs, partitionings, and engines
+    * (hash-collision ties break on the key). The 0-based position comes
+    * from the range-sort [[GlobalIndex]] — a parallel range shuffle, not
+    * a single-task global window.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int): DataFrame = {
+    val h = TextFunctions.portableHash32(
+      concat(key.cast("string"), lit(":"), lit(epoch.toString)))
+    GlobalIndex
+      .withGlobalIndex(df.withColumn("_shuffle_h", h),
+        Seq(col("_shuffle_h"), key), "shuffle_pos")
+      .drop("_shuffle_h")
+  }
+
   /** Deterministic hash-stratified sampling: keep a per-stratum fraction
     * of rows, selected by a portable md5-derived uniform over the row key
     * — the same rows survive on every run, every partitioning, and every

@@ -170,6 +170,45 @@ class CurationSpec extends AnyFunSuite {
       Map("a" -> 1.0), tokenBudget = 1000L).count() == 2L)
   }
 
+  test("chunking: overlapping windows, short docs, trailing partial chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),      // 7 toks, cs=3 ov=1 -> [a b c][c d e][e f g]
+      (2L, "x y"),                // shorter than one window -> single chunk
+      (3L, "p q r s t u v w"),    // 8 toks -> 4 chunks, last is 2 toks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, col("doc_id"), col("text"),
+      chunkSize = 3, overlap = 1)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c", 3), (1L, 1L, "c d e", 3), (1L, 2L, "e f g", 3),
+      (2L, 0L, "x y", 2),
+      (3L, 0L, "p q r", 3), (3L, 1L, "r s t", 3), (3L, 2L, "t u v", 3), (3L, 3L, "v w", 2),
+    ))
+    // no overlap: clean partition of the token stream
+    val flat = Curation.chunkDocuments(docs.filter(col("doc_id") === 1), col("doc_id"),
+      col("text"), chunkSize = 4)
+      .orderBy(col("chunk_id")).collect().map(_.getString(2)).toSeq
+    assert(flat == Seq("a b c d", "e f g"))
+    // pure projection + explode: no exchange in the plan
+    val plan = Curation.chunkDocuments(docs, col("doc_id"), col("text"), 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("epoch shuffle: exact permutation, reproducible, epochs independent") {
+    val docs = (1L to 1000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int): Seq[Long] =
+      Curation.epochShuffle(df, col("doc_id"), epoch)
+        .orderBy(col("shuffle_pos")).collect().map(_.getLong(0)).toSeq
+    val e1 = order(docs, 1)
+    assert(e1.sorted == (1L to 1000L)) // a true permutation, positions dense
+    assert(e1 == order(docs.repartition(13), 1)) // layout-independent
+    val e2 = order(docs, 2)
+    assert(e1 != e2) // epochs decorrelated
+    assert(e2.sorted == (1L to 1000L))
+  }
+
   test("PII redaction: typed placeholders, IP never eaten by the phone pattern") {
     val docs = Seq(
       (1L, "write to jane.doe+spam@sub.example.org today"),
