@@ -322,6 +322,20 @@ object Queries {
         .orderBy(col("user_id"), col("rank"))
     }),
 
+    // J8 — bucketed co-located join: both fact sides written bucketBy the
+    // join key, so the SMJ reads bucket metadata instead of shuffling
+    // either side (plan asserted exchange-free in BucketedSpec). The
+    // 100 TB shape for every repeated big-to-big join.
+    "j8_bucketed_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      graft.operators.Bucketed.coLocatedJoin(s, o, l, "k", nBuckets = 8,
+        tablePrefix = "graft_bkt_j8")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // U1 — union of two sources, counted per key.
     "u1_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
@@ -1553,6 +1567,12 @@ object Queries {
         |    (1, 4, '0.1'::DOUBLE), (2, 5, '1.0'::DOUBLE), (3, 6, '2.0'::DOUBLE),
         |    (3, 7, '3.0'::DOUBLE), (3, 8, '1.0'::DOUBLE)) AS t(user_id, event_id, value))
         |WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
+
+    "j8_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "u1_union" ->
       """SELECT nationkey, count(*) AS n FROM (

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-located join — the shuffle-elimination tool for the
+  * repeated big-to-big joins of a 100 TB pipeline (SURVEY §4: pre-bucket
+  * both fact tables on the join key once at ingest; every later join on
+  * that key reads bucket metadata instead of exchanging rows).
+  *
+  * Both sides are written `bucketBy(n, key).sortBy(key)` as parquet
+  * data-source tables in the session catalog (no Hive required): each
+  * bucket file holds exactly the rows whose `hash(key) % n` matches, so a
+  * join of two tables bucketed the same way is already co-partitioned —
+  * the physical plan is a SortMergeJoin over the bucketed scans with NO
+  * Exchange on either side (asserted in BucketedSpec). At production
+  * scale this turns the dominant join of every pipeline run from a
+  * full-corpus shuffle into a metadata lookup, paid once at write time.
+  */
+object Bucketed {
+
+  /** Writes `left` and `right` bucketed+sorted by `key` into the session
+    * catalog under `tablePrefix`, then returns their co-located equi-join.
+    * Overwrites any previous tables of the same name (idempotent across
+    * reruns in one warehouse). */
+  def coLocatedJoin(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      nBuckets: Int,
+      tablePrefix: String,
+  ): DataFrame = {
+    require(nBuckets > 0, s"coLocatedJoin: nBuckets must be positive, got $nBuckets")
+    val (lName, rName) = (s"${tablePrefix}_l", s"${tablePrefix}_r")
+    def save(df: DataFrame, name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // a warehouse dir left by a PREVIOUS session is invisible to this
+      // catalog but still blocks CREATE (LOCATION_ALREADY_EXISTS) —
+      // clear the orphan location before writing
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
+    }
+    save(left, lName)
+    save(right, rName)
+    spark.table(lName).join(spark.table(rName), key)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Bucketed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("co-located join plan has no exchange; values match a plain join") {
+    val left = (1L to 400L).map(i => (i % 50, i)).toDF("k", "lv")
+    val right = (1L to 300L).map(i => (i % 50, i * 10)).toDF("k", "rv")
+    // Broadcast would be the right plan for a table THIS small — disable
+    // it so the plan shows the big-to-big shape bucketing exists for.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.coLocatedJoin(spark, left, right, "k", nBuckets = 4,
+        tablePrefix = "graft_bkt_spec")
+
+      // the whole point: both scans are pre-partitioned by bucket metadata,
+      // so the SMJ needs no Exchange on either side
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("SelectedBucketsCount") || plan.toLowerCase.contains("bucketed: true"),
+        plan)
+
+      // correctness: identical multiset of joined rows as the shuffled join
+      val expected = left.join(right, "k")
+        .select(col("k"), col("lv"), col("rv")).collect().map(_.toSeq).sortBy(_.toString)
+      val got = joined
+        .select(col("k"), col("lv"), col("rv")).collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == expected.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("rewrite is idempotent: overwrite mode allows repeated runs") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val first = Bucketed.coLocatedJoin(spark, df, df, "k", 2, "graft_bkt_rerun").count()
+    val second = Bucketed.coLocatedJoin(spark, df, df, "k", 2, "graft_bkt_rerun").count()
+    assert(first == 2L && second == 2L)
+  }
+}
