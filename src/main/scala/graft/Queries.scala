@@ -1089,6 +1089,21 @@ object Queries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    // Corpus length distribution: exact interpolated percentiles per
+    // language (single hash-agg; the sort is per-group inside the agg
+    // buffer, no global sort).
+    "txt_length_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("double").as("len"))
+        .groupBy(col("lang"))
+        .agg(
+          percentile(col("len"), lit(0.5)).as("p50"),
+          percentile(col("len"), lit(0.9)).as("p90"),
+          percentile(col("len"), lit(0.99)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // Context-window chunking: fixed-token windows with overlap, pure
     // projection + explode (no shuffle; offsets are arithmetic).
     "tdp_chunk_documents" -> ((s, dir) => {
@@ -2121,6 +2136,16 @@ object Queries {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
         |  < keep_frac
         |ORDER BY doc_id""".stripMargin,
+
+    // Exact interpolated quantiles: both engines use lower +
+    // (upper-lower)*frac over the sorted values.
+    "txt_length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(length(text)::DOUBLE, 0.5) AS p50,
+        |  quantile_cont(length(text)::DOUBLE, 0.9) AS p90,
+        |  quantile_cont(length(text)::DOUBLE, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Chunking: same token split, stride arithmetic, and 1-based
     // inclusive slicing on both engines (Spark slice(start,len) ==
