@@ -76,9 +76,17 @@ object CorpusBench {
       Curation.packSequences(docs, col("id"),
         TextFunctions.tokenCountEstimate(col("text")).cast("long"), 2048).count()
     }
+    // round-6 stages: shuffle-free chunk explode; range-sort epoch order
+    val (nChunks, tChunk) = time {
+      Curation.chunkDocuments(docs, col("id"), col("text"),
+        chunkSize = 32, overlap = 8).count()
+    }
+    val (nShuffled, tShuffle) = time {
+      Curation.epochShuffle(docs.select(col("id")), col("id"), epoch = 1).count()
+    }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f}}""")
     spark.stop()
   }
 }
