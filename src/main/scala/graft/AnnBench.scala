@@ -119,6 +119,7 @@ object AnnBench {
     println(
       f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
     ivfIdx.release()
+    vecs.unpersist() // the synthetic corpus is done — free it before the SF phase
 
     // Recall@k table on the REAL SF embeddings table (not the synthetic
     // corpus above): every approximate path scored against the exact
@@ -129,6 +130,10 @@ object AnnBench {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nE = e.count()
+      // derive the dim from the table, not the synthetic corpus constant —
+      // a regeneration could change the embedding length (the round-6
+      // events-loader lesson applies here too)
+      val sfDim = e.select(size(col("vec"))).first().getInt(0)
       val q = e.filter(col("id") < 100)
       val ks = Seq(1, 5, 10)
       def sets(df: org.apache.spark.sql.DataFrame): Map[Int, Set[(Long, Long)]] = {
@@ -145,7 +150,7 @@ object AnnBench {
       // the recall/cost knob: doubling probed cells ~doubles the scanned
       // fraction — report both points so the tradeoff is visible
       val ivfWide = sets(Similarity.ivfQuery(idx, q, k = 10, nProbe = sfProbe * 2))
-      val lsh = sets(Similarity.lshTopK(e, q, k = 10, nBits = 8, dim = dim,
+      val lsh = sets(Similarity.lshTopK(e, q, k = 10, nBits = 8, dim = sfDim,
         probeHammingRadius = 1))
       val qnt = sets(Similarity.quantizedTopK(e, q, k = 10, oversample = 4))
       def rec(m: Map[Int, Set[(Long, Long)]], k: Int): Double =

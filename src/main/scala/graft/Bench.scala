@@ -35,9 +35,11 @@ object Bench {
     // Each query runs `repeat` times; the MINIMUM is reported — first
     // executions pay JIT/codegen compilation, which is startup cost, not
     // steady-state throughput.
-    // A query that throws is reported in a "failed" list, NOT as a ~60ms
-    // exception pseudo-time that would flatter the total (round-5 lesson:
-    // 10 broken queries hid behind fake 0.05-0.2s entries).
+    // A query that throws on ANY repeat is reported in the "failed" list,
+    // NOT as a ~60ms exception pseudo-time that would flatter the total
+    // (round-5 lesson: 10 broken queries hid behind fake 0.05-0.2s
+    // entries). Intermittent counts as failed — a min over the surviving
+    // repeats would hide a crash that fired on the other one.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val ran = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).flatMap { _ =>
@@ -50,7 +52,7 @@ object Bench {
           None
         }
       }
-      name -> times.minOption
+      name -> (if (times.size == repeat) times.minOption else None)
     }
     val results = ran.collect { case (n, Some(t)) => n -> t }
     val failed = ran.collect { case (n, None) => n }

@@ -23,23 +23,31 @@ object Tables {
     * dimension tables stay scan-shaped (they broadcast anyway). */
   private val factTables = Set("orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Estimated scan split count from the file listing alone: parquet files
-    * are split by byte ranges, so splits ~= sum(ceil(size / maxPartitionBytes)).
-    * A pure-metadata probe — the previous `df.rdd.getNumPartitions` forced a
-    * plan->RDD conversion on every fact-table load. */
+  /** Estimated scan split count from the file listing alone — a pure
+    * metadata probe (the previous `df.rdd.getNumPartitions` forced a
+    * plan->RDD conversion on every fact-table load). Mirrors Spark's own
+    * split sizing (`FilePartition.maxSplitBytes`): maxSplitBytes =
+    * min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)),
+    * so a single 100 MB file on 32 cores estimates ~25 splits (as the real
+    * scan yields), not 1 — without the shrink-to-parallelism term the
+    * guard would bolt a full-table repartition onto healthy scans. */
   private def estimatedSplits(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val conf = spark.sessionState.conf
     val it = fs.listFiles(p, true)
-    var splits = 0L
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
     while (it.hasNext) {
       val f = it.next()
       val n = f.getPath.getName
-      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
-        splits += math.max(1L, (f.getLen + maxBytes - 1) / maxBytes)
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) sizes += f.getLen
     }
-    splits
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes = sizes.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.max(1L,
+      math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
+    sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum
   }
 
   /** Scale-aware parallelism guard. The driver's test parquet has a SINGLE
@@ -65,19 +73,24 @@ object Tables {
 
   /** Encoding-robust events reader; see object scaladoc. The nanos branch
     * truncates ns->us with exact integer division (`div`), matching DuckDB's
-    * ns->us truncation bit-for-bit. `nanosAsLong` is only set when a plain
-    * read actually refuses the file — never unconditionally. */
+    * ns->us truncation bit-for-bit. The legacy `nanosAsLong` conf is set on
+    * an ISOLATED child session (`newSession`: shared SparkContext, own
+    * SQLConf) that only this relation captures — the caller's session conf
+    * is never mutated, so a later TIMESTAMP(NANOS) column in any OTHER
+    * table still fails loudly instead of silently loading as raw longs. */
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
     val df =
       try spark.read.parquet(path)
       catch {
         case e: Exception if isNanosRefusal(e) =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+          val nanosSession = spark.newSession()
+          nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          nanosSession.read.parquet(path)
       }
     df.schema("ts").dataType match {
       case LongType =>
-        // nanosAsLong in effect (set above, or left on by an earlier load)
+        // nanos read as raw longs (isolated session above, or the caller's
+        // own session already had the legacy conf on)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType | TimestampNTZType => df
       case other =>

@@ -29,9 +29,16 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
+        // recursive wipe: stale parquet OR a crashed write's _temporary
+        // tree would mask the failure (or feed partial data to a
+        // recursive-glob consumer)
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+          f.delete(); ()
+        }
         val d = new java.io.File(s"$outDir/$name")
+        Option(d.listFiles()).foreach(_.foreach(wipe))
         d.mkdirs()
-        d.listFiles().foreach(f => if (f.isFile) f.delete()) // stale parquet would mask the failure
         Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg)
       }
     }

@@ -278,6 +278,10 @@ object Curation {
         lit(stride.toDouble)).cast("long"))
     val base = df.select(key, toks.as("_toks"), nChunks.as("_nc"))
     val keyName = base.columns.head
+    // fail loudly instead of silently replacing the key column when its
+    // name collides with a generated column
+    require(!Set("chunk_id", "chunk_text", "n_tokens", "_toks", "_nc").contains(keyName),
+      s"chunkDocuments: key column '$keyName' collides with a generated output column — alias it")
     val window =
       slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))
     base
