@@ -1071,6 +1071,28 @@ object Queries {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     }),
 
+    // Incremental cross-batch dedup: new docs (id >= 250) against the
+    // standing corpus (id < 250); bloom prefilter + exact anti-join —
+    // result is exactly the plain anti-join (oracle). Every 5th batch doc
+    // borrows a seen doc's text (deterministic planted dups — the raw
+    // tables have no cross-boundary duplicates, so without the injection
+    // the oracle could not catch an anti-join that drops nothing).
+    "dd_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+      val borrowed = seen.select((col("doc_id") + 250).as("doc_id"),
+        col("text").as("_seen_text"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .join(borrowed, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, coalesce(col("_seen_text"), col("text")))
+            .otherwise(col("text")))
+        .drop("_seen_text")
+      Dedup.incrementalDedup(batch, md5(col("text")), seen, md5(col("text")),
+        expectedSeen = 250)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
     // Mixture plan: per-source token totals -> guarded keep fractions
     // (explicit zero weight AND absent-source both yield 0.0; capped 1.0).
     "tdp_mixture_plan" -> ((s, dir) => {
@@ -2102,6 +2124,18 @@ object Queries {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
         |  < CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "dd_incremental_dedup" ->
+      """WITH seen AS (SELECT * FROM documents WHERE doc_id < 250),
+        |b0 AS (
+        |  SELECT b.doc_id, b.source,
+        |    CASE WHEN b.doc_id % 5 = 0 THEN coalesce(s.text, b.text)
+        |         ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN seen s ON s.doc_id = b.doc_id - 250
+        |  WHERE b.doc_id >= 250)
+        |SELECT doc_id, source FROM b0 b
+        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE md5(s.text) = md5(b.text))
         |ORDER BY doc_id""".stripMargin,
 
     // Mixture plan/sample: weight CASE + guarded keep_frac; association

@@ -23,6 +23,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("dup_count") == 2)
   }
 
+  test("incremental dedup: exact anti-join semantics, bloom path and fallback agree") {
+    val seen = (1L to 300L).map(i => (i, s"doc text number ${i % 100}")).toDF("id", "text")
+    val batch = (301L to 500L).map(i => (i, s"doc text number ${i % 150}")).toDF("id", "text")
+    // ground truth: plain anti-join on the fingerprint
+    val expected = batch.join(seen.select(md5(col("text")).as("fp")).distinct(),
+        md5(col("text")) === col("fp"), "left_anti")
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    val bloomPath = Dedup.incrementalDedup(batch, md5(col("text")), seen, md5(col("text")),
+        expectedSeen = 300)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    val fallback = Dedup.incrementalDedup(batch, md5(col("text")), seen, md5(col("text")),
+        expectedSeen = 300, maxBloomItems = 10) // forces the no-bloom branch
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomPath == expected)
+    assert(fallback == expected)
+    // batch rows with a NULL fingerprint always survive (null proves nothing)
+    val withNull = batch.withColumn("text",
+      when(col("id") === 400, lit(null.asInstanceOf[String])).otherwise(col("text")))
+    val kept = Dedup.incrementalDedup(withNull, md5(col("text")), seen, md5(col("text")),
+        expectedSeen = 300)
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(kept.contains(400L))
+  }
+
   test("minhash signatures: identical docs identical, near-dups close") {
     val sh = docs.select(col("doc_id"),
       explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
