@@ -2498,12 +2498,12 @@ object Queries {
         |    sum(CASE WHEN is_decoy THEN 0 ELSE 1 END) OVER wb2 AS ct
         |  FROM comb
         |  WINDOW wb2 AS (PARTITION BY engines
-        |                 ORDER BY combined_fdr_score ASC, (spectrum || '|' || peptide) ASC
+        |                 ORDER BY combined_fdr_score ASC, spectrum ASC, peptide ASC
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |f2 AS (SELECT *, cd::DOUBLE / greatest(ct, 1) AS fdr2 FROM cum2),
         |q2 AS (
         |  SELECT *, min(fdr2) OVER (PARTITION BY engines
-        |    ORDER BY combined_fdr_score DESC, (spectrum || '|' || peptide) DESC
+        |    ORDER BY combined_fdr_score DESC, spectrum DESC, peptide DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS combined_q_value
         |  FROM f2)
         |SELECT spectrum, peptide, engines, is_decoy, combined_fdr_score,

@@ -38,8 +38,10 @@ object CombinedFdr {
       lowerIsBetter: Boolean = false,
   ): DataFrame = {
     val qd = TargetDecoy.withQValues(df, partitionBy, score, isDecoy, tieBreak, lowerIsBetter)
+    // null-symmetric ordering, identical to TargetDecoy.withQValues
     val bestFirst =
-      if (lowerIsBetter) Seq(score.asc, tieBreak.asc) else Seq(score.desc, tieBreak.asc)
+      if (lowerIsBetter) Seq(score.asc_nulls_last, tieBreak.asc)
+      else Seq(score.desc, tieBreak.asc)
     val w = Window.partitionBy(partitionBy: _*).orderBy(bestFirst: _*)
     val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -75,25 +77,42 @@ object CombinedFdr {
     * absent past the last decoy, where the row keeps its q-value. Two
     * equi-joins against the one-row-per-decoy step table replace the
     * global window, so the plan stays fully parallel on a
-    * range-partitioned global FDR output. */
-  def withFdrScoreFromCounts(df: DataFrame, isDecoy: Column): DataFrame = {
+    * range-partitioned global FDR output.
+    *
+    * For a PER-GROUP q-value frame (withQValues with non-empty
+    * partitionBy) pass the group column NAMES in `groupCols` — the step
+    * join then matches within each group. Without them, repeated
+    * cum_decoys values across groups would fan rows out against the wrong
+    * group's steps. */
+  def withFdrScoreFromCounts(
+      df: DataFrame, isDecoy: Column, groupCols: Seq[String] = Nil): DataFrame = {
     val rank = (col("cum_decoys") + col("cum_targets")).cast("double")
     val steps = df.filter(coalesce(isDecoy, lit(false)))
-      .select(col("cum_decoys").as("_step"),
+      .select(groupCols.map(g => col(g).as(s"_g_$g")) ++ Seq(
+        col("cum_decoys").as("_step"),
         (col("cum_decoys") + col("cum_targets")).cast("double").as("_sr"),
-        col("q_value").as("_sq"))
-    val prev = steps.select(col("_step"), col("_sr").as("_r0"), col("_sq").as("_q0"))
-    val next = steps.select((col("_step") - 1).as("_nstep"),
-      col("_sr").as("_r1"), col("_sq").as("_q1"))
-    df.join(prev, col("cum_decoys") === col("_step"), "left")
-      .join(next, col("cum_decoys") === col("_nstep"), "left")
+        col("q_value").as("_sq")): _*)
+    val prev = steps.select(groupCols.map(g => col(s"_g_$g")) ++ Seq(
+      col("_step"), col("_sr").as("_r0"), col("_sq").as("_q0")): _*)
+    val next = steps.select(groupCols.map(g => col(s"_g_$g").as(s"_h_$g")) ++ Seq(
+      (col("_step") - 1).as("_nstep"),
+      col("_sr").as("_r1"), col("_sq").as("_q1")): _*)
+    val prevCond = groupCols.foldLeft(col("cum_decoys") === col("_step")) {
+      (c, g) => c && col(g) <=> col(s"_g_$g")
+    }
+    val nextCond = groupCols.foldLeft(col("cum_decoys") === col("_nstep")) {
+      (c, g) => c && col(g) <=> col(s"_h_$g")
+    }
+    df.join(prev, prevCond, "left")
+      .join(next, nextCond, "left")
       .withColumn("fdr_score",
         when(col("_r1").isNull, col("q_value")) // past the last decoy step
           .otherwise(coalesce(col("_q0"), lit(0.0)) +
             (rank - coalesce(col("_r0"), lit(0.0))) *
               (col("_q1") - coalesce(col("_q0"), lit(0.0))) /
               (col("_r1") - coalesce(col("_r0"), lit(0.0)))))
-      .drop("_step", "_r0", "_q0", "_nstep", "_r1", "_q1")
+      .drop(Seq("_step", "_r0", "_q0", "_nstep", "_r1", "_q1")
+        ++ groupCols.map(g => s"_g_$g") ++ groupCols.map(g => s"_h_$g"): _*)
   }
 
   /** Stage 2 — combined q-values across engines.
@@ -140,13 +159,16 @@ object CombinedFdr {
         min(col("fdr_score")).as("best_engine_fdr_score"),
       )
 
-    // per engine-combination group, calibrate with target-decoy again
+    // per engine-combination group, calibrate with target-decoy again.
+    // struct ordering keeps the tiebreak INJECTIVE — a concat_ws join of
+    // the key parts would collide for e.g. ('a|b','c') vs ('a','b|c'),
+    // making tied-score row order nondeterministic
     val grouped = TargetDecoy.withQValues(
       combined,
       Seq(col("engines")),
       col("combined_fdr_score"),
       col("is_decoy"),
-      concat_ws("|", keyCols.map(_.cast("string")): _*),
+      struct(keyCols: _*),
       lowerIsBetter = true)
 
     grouped

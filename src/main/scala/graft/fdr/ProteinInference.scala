@@ -125,7 +125,12 @@ object ProteinInference {
     * else "indistinguishable".
     * Reference: InferenceService.getInferenceCategories:52-61. */
   def inferenceCategories(peptideProteins: DataFrame): DataFrame = {
-    val uniqueEvidence = peptideProteins
+    // null pairs carry no evidence — same rule as occamsRazor: a null
+    // peptide must not fabricate a "distinguishable" verdict, a null
+    // protein must not appear as an output row
+    val evidence = peptideProteins
+      .filter(col("peptide").isNotNull && col("protein").isNotNull)
+    val uniqueEvidence = evidence
       .groupBy(col("assay"), col("peptide"))
       .agg(collect_set(col("protein")).as("proteins"))
       .filter(size(col("proteins")) === 1)
@@ -133,7 +138,7 @@ object ProteinInference {
       .distinct()
       .withColumn("has_unique", lit(true))
 
-    peptideProteins
+    evidence
       .select(col("assay"), col("protein"))
       .distinct()
       .join(uniqueEvidence, Seq("assay", "protein"), "left")

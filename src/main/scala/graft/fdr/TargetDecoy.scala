@@ -40,12 +40,17 @@ object TargetDecoy {
       tieBreak: Column,
       lowerIsBetter: Boolean = false,
   ): DataFrame = {
+    // NULL scores rank WORST in both modes (asc_nulls_last /
+    // desc_nulls_first): plain .asc would place nulls first, handing a
+    // scoreless PSM rank 1 and fdr 0 in lower-is-better (e-value) mode.
     val bestFirst =
-      if (lowerIsBetter) Seq(score.asc, tieBreak.asc) else Seq(score.desc, tieBreak.asc)
+      if (lowerIsBetter) Seq(score.asc_nulls_last, tieBreak.asc)
+      else Seq(score.desc, tieBreak.asc)
     // exact reverse of bestFirst, so that "rows at or after i in best-first
     // order" === "rows at or before i in worst-first order"
     val worstFirst =
-      if (lowerIsBetter) Seq(score.desc, tieBreak.desc) else Seq(score.asc, tieBreak.desc)
+      if (lowerIsBetter) Seq(score.desc_nulls_first, tieBreak.desc)
+      else Seq(score.asc, tieBreak.desc)
 
     val wBest = Window
       .partitionBy(partitionBy: _*)
@@ -93,19 +98,29 @@ object TargetDecoy {
 
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
+    // same null-symmetric ordering as the window form (nulls rank worst)
     val bestFirst =
-      if (lowerIsBetter) Seq(score.asc, tieBreak.asc) else Seq(score.desc, tieBreak.asc)
+      if (lowerIsBetter) Seq(score.asc_nulls_last, tieBreak.asc)
+      else Seq(score.desc, tieBreak.asc)
 
+    // Output-column hygiene, matching the window form's overwrite
+    // semantics: pre-existing result columns are replaced, not duplicated
+    // (schema.add below would otherwise produce two `fdr`s and ambiguous
+    // downstream references). The internal decoy marker uses a reserved
+    // name we refuse to clobber silently.
+    require(!df.columns.contains("_td_decoy"),
+      "withQValuesGlobal: input already has a _td_decoy column (reserved)")
+    val cleaned = df.drop("cum_decoys", "cum_targets", "fdr", "q_value")
     // null decoy flags count as targets, matching the window form's
     // when(isDecoy, 1).otherwise(0) semantics (and avoiding an NPE in the
     // primitive getBoolean below)
-    val marked = df.withColumn("_decoy", coalesce(isDecoy, lit(false)))
+    val marked = cleaned.withColumn("_td_decoy", coalesce(isDecoy, lit(false)))
     val sorted = marked
       .repartitionByRange(n, bestFirst: _*)
       .sortWithinPartitions(bestFirst: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val decoyIdx = sorted.schema.fieldIndex("_decoy")
+    val decoyIdx = sorted.schema.fieldIndex("_td_decoy")
 
     // pass A: per-partition (decoys, targets)
     val subtotals = sorted.rdd
@@ -172,7 +187,7 @@ object TargetDecoy {
     // upstream caches can be released immediately — without this every
     // call would leak a cached copy of the assay for the session lifetime.
     val result = df.sparkSession.createDataFrame(qRdd, qSchema)
-      .drop("_decoy")
+      .drop("_td_decoy")
       .localCheckpoint(true)
     sorted.unpersist()
     withFdr.unpersist()
@@ -204,5 +219,29 @@ object TargetDecoy {
       val minPos = min(when(q > 0.0, q)).over(Window.partitionBy(partitionBy: _*))
       df.withColumn(outCol, repaired(minPos))
     }
+  }
+
+  /** Multi-column variant of [[repairZeroQValues]] for the global
+    * (empty-partition) case: ALL minima come from ONE aggregation and one
+    * broadcast crossJoin. Nested single-column calls each embed the input
+    * lineage twice (agg subtree + main side), so two nested repairs replay
+    * the upstream FDR plan four times on an uncached frame — this form
+    * bounds it at two regardless of how many columns are repaired. */
+  def repairZeroQValuesAll(df: DataFrame, repairs: Seq[(Column, String)]): DataFrame = {
+    require(repairs.nonEmpty, "repairZeroQValuesAll: no repairs given")
+    val aggs = repairs.zipWithIndex.map { case ((q, _), i) =>
+      min(when(q > 0.0, q)).as(s"_minPosQ$i")
+    }
+    val minRow = broadcast(df.agg(aggs.head, aggs.tail: _*))
+    val out = repairs.zipWithIndex.foldLeft(df.crossJoin(minRow)) {
+      case (acc, ((q, outCol), i)) =>
+        val minPos = col(s"_minPosQ$i")
+        acc.withColumn(outCol,
+          when(q.isNull, lit(null).cast("double"))
+            .when(q > 0.0, q)
+            .otherwise(when(minPos.isNull, lit(Double.NaN))
+              .otherwise(round(minPos / 10.0, 6))))
+    }
+    out.drop(repairs.indices.map(i => s"_minPosQ$i"): _*)
   }
 }

@@ -338,9 +338,10 @@ object IndexPipeline {
     // the raw q-value steps; both it and the q-value then get the
     // getQValueLower-style zero repair (P9).
     val withFdrScore = graft.fdr.CombinedFdr.withFdrScoreFromCounts(scored, col("isDecoy"))
-    val repaired = TargetDecoy.repairZeroQValues(
-      TargetDecoy.repairZeroQValues(withFdrScore, col("q_value"), Seq.empty, "q"),
-      col("fdr_score"), Seq.empty, "fdrScore")
+    // both zero-repairs from ONE aggregation pass — the nested
+    // single-column form re-embedded the FDR subtree once per column
+    val repaired = TargetDecoy.repairZeroQValuesAll(withFdrScore,
+      Seq(col("q_value") -> "q", col("fdr_score") -> "fdrScore"))
       .drop("cum_decoys", "cum_targets", "fdr", "q_value", "fdr_score")
 
     // ---- F3/F4/F6/F7 PSM filters ---------------------------------------

@@ -1,6 +1,6 @@
 package graft
 
-import graft.fdr.CombinedFdr
+import graft.fdr.{CombinedFdr, TargetDecoy}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -128,5 +128,30 @@ class CombinedFdrSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("reportedAccession") ->
         r.getAs[Row]("bestSearchEngineScore").getAs[String]("value")).toMap
     assert(defaults == Map("sp|P1" -> "1.77814", "sp|P2" -> "1.77814"))
+  }
+
+  test("withFdrScoreFromCounts with groupCols matches per-group windowed withFdrScore") {
+    import spark.implicits._
+    // two groups whose cum_decoys values REPEAT across groups — without
+    // the group-aware join the steps fan out and mix groups
+    val df = Seq(
+      ("e1", 1L, 10.0, false), ("e1", 2L, 9.0, true), ("e1", 3L, 8.0, false),
+      ("e1", 4L, 7.0, true), ("e1", 5L, 6.0, false),
+      ("e2", 6L, 10.0, false), ("e2", 7L, 9.5, true), ("e2", 8L, 9.0, true),
+      ("e2", 9L, 8.0, false),
+    ).toDF("g", "id", "score", "decoy")
+    val windowed = CombinedFdr.withFdrScore(
+      df, Seq(col("g")), col("score"), col("decoy"), col("id"))
+      .orderBy(col("id")).select(col("id"), col("fdr_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val counts = TargetDecoy.withQValues(
+      df, Seq(col("g")), col("score"), col("decoy"), col("id"))
+    val fromCounts = CombinedFdr.withFdrScoreFromCounts(counts, col("decoy"), Seq("g"))
+      .orderBy(col("id")).select(col("id"), col("fdr_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromCounts.size == windowed.size) // no fan-out
+    windowed.zip(fromCounts).foreach { case ((ia, a), (ib, b)) =>
+      assert(ia == ib && math.abs(a - b) < 1e-12, s"windowed=$windowed fromCounts=$fromCounts")
+    }
   }
 }

@@ -144,4 +144,66 @@ class FdrSpec extends AnyFunSuite {
     assert(got == Seq(
       ("A", "distinguishable"), ("B", "indistinguishable"), ("C", "indistinguishable")))
   }
+
+  test("inferenceCategories: null peptide/protein rows carry no evidence") {
+    val pairs = Seq(
+      ("x", "pep2", "A"), ("x", "pep2", "B"), // shared -> both indistinguishable
+      ("x", null, "B"),                        // null peptide must NOT distinguish B
+      ("x", "pep9", null),                     // null protein must NOT appear in output
+    ).toDF("assay", "peptide", "protein")
+    val got = ProteinInference.inferenceCategories(pairs)
+      .orderBy(col("protein"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("A", "indistinguishable"), ("B", "indistinguishable")))
+  }
+
+  test("null scores rank worst, not best, in lower-is-better mode (both forms)") {
+    // e-value mode: nulls must NOT take rank 1 / fdr 0
+    val df = Seq(
+      (1L, Some(0.001), false), (2L, None, false), (3L, Some(0.02), true),
+      (4L, None, true), (5L, Some(0.5), false),
+    ).toDF("id", "score", "decoy")
+    def firstRanked(got: org.apache.spark.sql.DataFrame): Long =
+      got.filter(col("cum_decoys") + col("cum_targets") === 1)
+        .select(col("id")).collect().head.getLong(0)
+    val win = TargetDecoy.withQValues(df, Seq.empty, col("score"), col("decoy"),
+      col("id"), lowerIsBetter = true)
+    val glob = TargetDecoy.withQValuesGlobal(df, col("score"), col("decoy"),
+      col("id"), lowerIsBetter = true, numPartitions = 3)
+    assert(firstRanked(win) == 1L) // best real score, not a null row
+    assert(firstRanked(glob) == 1L)
+    // both forms fully agree, nulls included
+    val a = win.orderBy(col("id")).select(col("id"), col("fdr"), col("q_value"))
+      .collect().map(_.toSeq).toSeq
+    val b = glob.orderBy(col("id")).select(col("id"), col("fdr"), col("q_value"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("withQValuesGlobal re-run on its own output replaces columns, never duplicates") {
+    val df = Seq((1L, 10.0, false), (2L, 8.0, true), (3L, 6.0, false))
+      .toDF("id", "score", "decoy")
+    val once = TargetDecoy.withQValuesGlobal(df, col("score"), col("decoy"), col("id"))
+    val twice = TargetDecoy.withQValuesGlobal(once, col("score"), col("decoy"), col("id"))
+    assert(twice.columns.count(_ == "fdr") == 1)
+    assert(twice.columns.count(_ == "q_value") == 1)
+    // selecting the recomputed column must not be ambiguous
+    assert(twice.select(col("q_value")).count() == 3)
+  }
+
+  test("repairZeroQValuesAll matches nested single-column repairs") {
+    val df = Seq(
+      (1L, 0.0, 0.0), (2L, 0.02, 0.001), (3L, 0.5, 0.0), (4L, 0.0, 0.3),
+    ).toDF("id", "q", "f")
+    val nested = TargetDecoy.repairZeroQValues(
+      TargetDecoy.repairZeroQValues(df, col("q"), Seq.empty, "q_r"),
+      col("f"), Seq.empty, "f_r")
+      .orderBy(col("id")).select(col("q_r"), col("f_r"))
+      .collect().map(_.toSeq).toSeq
+    val combined = TargetDecoy.repairZeroQValuesAll(df,
+      Seq(col("q") -> "q_r", col("f") -> "f_r"))
+      .orderBy(col("id")).select(col("q_r"), col("f_r"))
+      .collect().map(_.toSeq).toSeq
+    assert(combined == nested)
+  }
 }
