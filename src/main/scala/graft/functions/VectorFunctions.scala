@@ -64,7 +64,13 @@ object VectorFunctions {
     * oracle) are unchanged. */
   def hyperplaneBit(v: Column, plane: Int, dim: Int): Column = {
     val proj = VectorExprs.dotNative(v, typedLit(hyperplaneVector(plane, dim)))
-    when(proj >= 0.0, lit(1)).otherwise(lit(0))
+    // NULL/NaN projection (null element, or a vector whose length differs
+    // from `dim`) yields a NULL bit — NOT bit 0. An otherwise(0) here
+    // folded EVERY mismatched vector into bucket 0, silently collapsing
+    // the LSH join into the quadratic cross product it exists to avoid; a
+    // NULL bucket instead drops the invalid vector from the candidate
+    // equi-join (same excluded-from-candidates contract as a NULL cosine).
+    when(proj >= 0.0, lit(1)).when(proj < 0.0, lit(0))
   }
 
   /** nBits-bit random-hyperplane LSH bucket id for cosine similarity: vectors

@@ -26,9 +26,16 @@ object Similarity {
   // NULL inputs (null vector / null element / length mismatch) propagate
   // as NULL — a missing-branch `when` yields NULL when na*nb is NULL —
   // instead of masquerading as a real 0.0-similarity neighbor; only a
-  // genuine zero-norm vector folds to 0.0.
-  private def cosineFromParts(dotC: Column, na: Column, nb: Column): Column =
-    when(na * nb > 0.0, dotC / (na * nb)).otherwise(when((na * nb).isNotNull, lit(0.0)))
+  // genuine zero-norm vector folds to 0.0. A non-finite result (NaN/Inf
+  // element anywhere in either vector) ALSO folds to NULL: Spark's
+  // nan-safe sort ranks NaN above every real value, so one NaN vector
+  // would otherwise become the rank-1 neighbor of every query and pass
+  // every >= threshold gate.
+  private def cosineFromParts(dotC: Column, na: Column, nb: Column): Column = {
+    val c = when(na * nb > 0.0, dotC / (na * nb)).otherwise(when((na * nb).isNotNull, lit(0.0)))
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity,
+      lit(null).cast("double")).otherwise(c)
+  }
 
   /** Exact cosine top-k neighbors for each query row.
     *
@@ -46,6 +53,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      // a NULL cosine (invalid pair) must not consume a top-k rank slot
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -69,7 +78,7 @@ object Similarity {
     // Only radius 0 (own bucket) and 1 (plus nBits one-bit-flip probes)
     // are implemented — reject larger radii instead of silently probing
     // radius 1 and under-delivering the recall the caller asked for.
-    require(probeHammingRadius <= 1,
+    require(probeHammingRadius >= 0 && probeHammingRadius <= 1,
       s"lshTopK: probeHammingRadius $probeHammingRadius unsupported (0 or 1)")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
@@ -91,6 +100,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      .filter(col("cosine").isNotNull) // invalid pairs must not take rank slots
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -116,7 +126,14 @@ object Similarity {
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
         graft.functions.ArgMinCellExpr.register(s)
-        graft.functions.ArgMinCellExpr.argMinCol(vec, cents.sortBy(_._1).map(_._2))
+        val sorted = cents.sortBy(_._1)
+        val pos = graft.functions.ArgMinCellExpr.argMinCol(vec, sorted.map(_._2))
+        // the native kernel returns the POSITION in the sorted centroid
+        // table; map it back to the actual cell id so non-contiguous
+        // centroid ids (a reused/filtered centroid set) keep value parity
+        // with assignCellHof. element_at propagates a NULL position.
+        if (sorted.zipWithIndex.forall { case ((id, _), i) => id == i }) pos
+        else element_at(array(sorted.map(c => lit(c._1)): _*), pos + 1)
       case None => assignCellHof(vec, cents)
     }
   }
@@ -209,7 +226,15 @@ object Similarity {
         .filter(col("cell").isNotNull)
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))
+        // decimal(38,12) headroom + loud overflow, same guard as
+        // groupCentroids: ANSI-off folds an overflowed sum to NULL, which
+        // would otherwise crash the non-nullable decode with an opaque
+        // null-value error mid-training
+        .agg((coalesce(
+          sum(col("v").cast("decimal(38,12)")),
+          raise_error(lit("deterministicCentroids: decimal(38,12) sum overflow — " +
+            "element magnitude exceeds supported range")).cast("decimal(38,12)"))
+          / count(lit(1))).cast("double").as("m"))
         .as[(Int, Int, Double)].collect()
         .groupBy(_._1)
         .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3).toSeq }
@@ -271,11 +296,18 @@ object Similarity {
   ): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+    // Probe order must match the ASSIGNMENT metric (euclidean argmin):
+    // per query, |q - c|^2 = |q|^2 - 2<q,c> + |c|^2 orders cells by
+    // (|c|^2 - 2<q,c>) since |q|^2 is constant. A raw -dot order would
+    // skip a query's own cell whenever centroid norms differ (guaranteed
+    // for unnormalized embeddings) — systematic recall loss at any nProbe.
+    val centDf = broadcast(
+      centroids.map { case (c, v) => (c, v, v.map(x => x * x).sum) }
+        .toDF("cell", "centroid", "cn2"))
     val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn"))
       .crossJoin(centDf)
-      .withColumn("dist", -dot(col("qvec"), col("centroid"))) // cosine-ish probe order
+      .withColumn("dist", col("cn2") - lit(2.0) * dot(col("qvec"), col("centroid")))
       .withColumn("cr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("cell").asc)))
       .filter(col("cr") <= nProbe)
@@ -289,6 +321,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      .filter(col("cosine").isNotNull) // invalid pairs must not take rank slots
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -298,8 +331,10 @@ object Similarity {
     * exact-cosine re-rank their members. Steady-state cost per batch:
     * one scan of the cached inverted file + |probed fraction| dot
     * products — none of the build-time fixed costs. */
-  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     ivfQueryInternal(index.centroids, index.assigned, queries, k, nProbe)
+  }
 
   /** Persist an index to storage: centroids as a tiny parquet table, the
     * inverted file partitioned BY CELL. The partition layout is the
@@ -314,6 +349,13 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     index.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/assigned")
+    // Saving is a NEW index generation: any streaming delta rows were
+    // assigned under the PREVIOUS centroids, and their cell ids are
+    // meaningless (or duplicated) under the new geometry — wipe the delta
+    // area so loadIvfIndex cannot union stale assignments.
+    val streamPath = new org.apache.hadoop.fs.Path(s"$path/assigned_stream")
+    val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(streamPath)) { fs.delete(streamPath, true); () }
   }
 
   /** Continuous index maintenance: assign arriving embedding rows
@@ -350,6 +392,7 @@ object Similarity {
     * [[streamingIvfIngest]] delta area is unioned in (by name — the
     * partition column's read position differs from the write schema). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid"))
@@ -512,6 +555,7 @@ object Similarity {
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      .filter(col("cosine").isNotNull) // invalid pairs must not take rank slots
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

@@ -23,6 +23,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("dup_count") == 2)
   }
 
+  test("similarity: NaN/mismatched vectors are excluded, never rank-1 neighbors") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(Double.NaN, 1.0, 1.0, 1.0)),   // NaN sorts above all reals in Spark
+      (4L, Seq(0.0, 1.0)),                    // wrong dimension
+    ).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 1)
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq
+    // only the one valid neighbor survives; NaN and dim-mismatch rows
+    // neither rank first nor consume rank slots
+    assert(got == Seq((2L, 1)))
+    // LSH path: the mismatched/NaN vectors get a NULL bucket and drop out
+    // of the candidate join instead of collapsing into bucket 0
+    val lsh = Similarity.lshTopK(corpus, queries, k = 3, nBits = 4, dim = 4,
+      probeHammingRadius = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!lsh.contains(3L) && !lsh.contains(4L))
+  }
+
+  test("IVF assignment maps to actual cell ids for non-contiguous centroid tables") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),   // near centroid 5
+      (3L, Seq(10.0, 10.0)), (4L, Seq(9.9, 10.0)), // near centroid 9
+    ).toDF("id", "vec")
+    val idx = Similarity.buildIvfIndex(corpus, nCells = 2,
+      centroidsIn = Some(Seq((5, Seq(0.0, 0.0)), (9, Seq(10.0, 10.0)))))
+    val cells = idx.assigned.select(col("neighbor_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(1L -> 5, 2L -> 5, 3L -> 9, 4L -> 9), cells)
+    // and the probe join actually finds neighbors under those ids
+    val res = Similarity.ivfQuery(idx, corpus.filter(col("id") === 1), k = 1, nProbe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(res == Seq(2L))
+    idx.release()
+  }
+
   test("incremental dedup: exact anti-join semantics, bloom path and fallback agree") {
     val seen = (1L to 300L).map(i => (i, s"doc text number ${i % 100}")).toDF("id", "text")
     val batch = (301L to 500L).map(i => (i, s"doc text number ${i % 150}")).toDF("id", "text")
