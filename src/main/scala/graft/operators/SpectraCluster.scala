@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *     n-gram posting join in [[Dedup.ngramJaccardPairs]], never O(n²);
   *  3. the exact gates then run per candidate: |Δ precursor m/z| <=
   *     precursorTol (same charge), and binned-vector cosine >= minCosine
-  *     (numerator folded over the smaller side's bins in bin order —
-  *     deterministic; norms from exact per-spectrum sums);
+  *     (numerator folded over the min-specId side's bin array against the
+  *     other side's bin map — deterministic; norms from exact
+  *     per-spectrum sums);
   *  4. edges feed [[Dedup.connectedComponents]] (large-star/small-star,
   *     O(log n) rounds, driver union-find tail on broadcast-scale edge
   *     sets); every input spectrum gets a label, singletons label
@@ -74,6 +75,10 @@ object SpectraCluster {
     require(precursorTol > 0 && java.lang.Double.isFinite(precursorTol),
       "precursorTol must be finite positive")
     require(maxCandidateKeyDf >= 0, "maxCandidateKeyDf must be >= 0")
+    // NaN would make `cosine >= minCosine` never true — every spectrum a
+    // silent singleton instead of a loud error
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      "minCosine must be in [-1, 1] (and not NaN)")
   }
 
   /** Input contract: (specId: long — unique, precursorMz: double,
@@ -94,8 +99,10 @@ object SpectraCluster {
   def similarityEdges(spectra: DataFrame, cfg: Config = Config()): DataFrame = {
     val prepared = prepare(spectra, cfg)
       // Pinned once: the binning projection feeds both join sides, both
-      // score joins, and the norm lookups.
-      .localCheckpoint(true)
+      // score joins, and the norm lookups. LAZY (same as the
+      // minHashLshPairs pin): materialized by the first real action, so
+      // building the frame for a plan dump or schema check costs nothing.
+      .localCheckpoint(false)
 
     // byWeight: (w desc, bin asc) — the candidate-key selection order,
     // identical to the kernel's own topK order.
@@ -129,7 +136,8 @@ object SpectraCluster {
           .filter(col("df") > cfg.maxCandidateKeyDf)
           .select(col("charge"), col("jb"), col("candBin"))
         // The hot-key set is tiny by construction (keys over the cap);
-        // both sides drop it so no partial postings survive.
+        // dropping its INDEX postings suppresses every pair through the
+        // key (the probe side stays unguarded — see below).
         index.join(broadcast(hot), Seq("charge", "jb", "candBin"), "left_anti")
       }
     // The probe side needs no guard: every candidate pair joins one probe
@@ -159,7 +167,11 @@ object SpectraCluster {
       .withColumn("dot",
         aggregate(col("ba"), lit(0.0), (acc, e) =>
           acc + e.getField("w") *
-            coalesce(element_at(col("mb"), e.getField("bin")), lit(0.0))))
+            // try_element_at: explicit missing-key -> NULL contract
+            // independent of the ANSI strict-index setting (plain
+            // element_at happens to return NULL for map misses in Spark
+            // 4.1, but the try_ form pins the behavior)
+            coalesce(try_element_at(col("mb"), e.getField("bin")), lit(0.0))))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= cfg.minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -177,8 +189,14 @@ object SpectraCluster {
         BinPeaksExpr.binPeaksCol(
           spectra.sparkSession, col("masses"), col("intensities"),
           cfg.binWidth, cfg.topPeaks).as("binned"))
+      // non-finite pmz must drop here too: floor(Infinity/tol) narrows to
+      // Long.MaxValue (floor is not a Cast, so no ANSI range check) and
+      // the probe side's bucket + 1 then dies with ARITHMETIC_OVERFLOW
+      // under ANSI — one corrupt spectrum would kill the whole clustering
+      // job (verified against Spark 4.1)
       .filter(col("binned").isNotNull && size(col("binned")) > 0 &&
-        col("pmz").isNotNull && col("charge").isNotNull)
+        col("pmz").isNotNull && !isnan(col("pmz")) &&
+        abs(col("pmz")) < lit(Double.MaxValue) && col("charge").isNotNull)
       .withColumn("norm",
         sqrt(aggregate(col("binned"), lit(0.0),
           (acc, e) => acc + e.getField("w") * e.getField("w"))))

@@ -98,6 +98,29 @@ class SpectraClusterSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("clusterSpectra: non-finite precursorMz becomes a singleton, not a job crash") {
+    // floor(Infinity/tol) narrows to Long.MaxValue and the probe bucket+1
+    // overflowed under ANSI — one corrupt spectrum killed the whole job
+    val spectra = toDf(Seq(
+      spec(1L, 500.00, 2, (100.0, 10.0), (200.0, 20.0)),
+      spec(2L, 500.02, 2, (100.0, 10.0), (200.0, 20.0)),
+      spec(3L, Double.PositiveInfinity, 2, (100.0, 10.0), (200.0, 20.0)),
+      spec(4L, Double.NaN, 2, (100.0, 10.0), (200.0, 20.0)),
+    ))
+    val got = SpectraCluster.clusterSpectra(spectra, cfg)
+      .orderBy("specId").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("Config rejects NaN/out-of-range minCosine") {
+    intercept[IllegalArgumentException] {
+      SpectraCluster.Config(minCosine = Double.NaN)
+    }
+    intercept[IllegalArgumentException] {
+      SpectraCluster.Config(minCosine = 1.5)
+    }
+  }
+
   test("hot candidate keys are dropped by the df cap, restored when disabled") {
     // 5 near-identical spectra in one precursor bucket: every candidate
     // key indexes all 5. Cap of 4 kills all pairing; cap 0 restores it.
