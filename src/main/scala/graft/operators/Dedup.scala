@@ -47,6 +47,7 @@ object Dedup {
       shingle: Column,
       numHashes: Int,
   ): DataFrame = {
+    require(numHashes >= 1, s"minHashSignature: numHashes must be >= 1, got $numHashes")
     val p = lit(2147483647L)
     // All numHashes aggregates read the ONE materialized `_h` column —
     // referencing the md5-derived hash expression directly would embed
@@ -156,11 +157,16 @@ object Dedup {
     * sum over tokens of (+1 when bit j of `h(token)` is set else -1) is
     * positive. Near-dup docs differ in few bits (small Hamming distance). */
   def simHash32(docTokens: DataFrame /* (id, token) */, id: Column, token: Column): DataFrame = {
+    // a null token proves nothing (same convention as exact()/minhash):
+    // unfiltered it would hash to NULL and the when().otherwise(-1) below
+    // would count it as a real -1 vote on all 32 bits, dragging every
+    // doc's signature toward 0 and fabricating Hamming proximity
+    val tokens = docTokens.filter(token.isNotNull)
     val h = portableHash32(token)
     val bitAggs = (0 until 32).map { j =>
       sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$j")
     }
-    val sums = docTokens
+    val sums = tokens
       .withColumn("_id", id)
       .withColumn("_h", h)
       .groupBy(col("_id").as("id"))
@@ -171,10 +177,6 @@ object Dedup {
     sums.select(col("id"), sim.as("simhash"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
-    * `maxShingleDf` drops shingles present in more than that many docs
-    * before pairing (skew guard; identical filter applied on both sides of
-    * the oracle keeps semantics aligned). */
   /** Connected components by alternating large-star / small-star rounds
     * (the published two-phase MapReduce CC method of Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond") — the 100 TB shape:
@@ -246,8 +248,15 @@ object Dedup {
       p.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
 
     // Materialized by the checkpoint — counting is a cached-block pass.
-    if (edges.count() <= localThreshold)
-      return localComponents(nodes, edges)
+    // localComponents declines id types it has no Spark-ordering-matched
+    // driver Ordering for; those fall through to the distributed loop,
+    // which supports every orderable Spark type via least/greatest/min.
+    if (edges.count() <= localThreshold) {
+      localComponents(nodes, edges) match {
+        case Some(out) => return out
+        case None => ()
+      }
+    }
 
     def signature(e: DataFrame): (Long, Long) = {
       // count + xor-of-hashes: order-independent, ANSI-overflow-safe
@@ -288,20 +297,40 @@ object Dedup {
 
   /** Driver-side union-find tail for [[connectedComponents]]: the edge set
     * is bounded (<= localThreshold, a broadcast-scale collect), component
-    * labels are the same min-id the distributed fixpoint produces. Ids of
-    * any orderable primitive type. */
-  private def localComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    * labels are the same min-id the distributed fixpoint produces. Returns
+    * None for id types without a driver Ordering that provably matches
+    * Spark's — the caller then uses the distributed loop (correct for any
+    * orderable type) instead of risking a divergent label. */
+  private def localComponents(nodes: DataFrame, edges: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val spark = edges.sparkSession
     val idType = edges.schema("u").dataType
-    val ord: Ordering[Any] = (idType match {
-      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
-      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
-      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
-      case DoubleType => Ordering.by((x: Any) => x.asInstanceOf[Double])
-      case other => throw new IllegalArgumentException(
-        s"connectedComponents: unsupported id type ${other.sql}")
-    }): Ordering[Any]
+    // Strings compare as UTF-8 BYTES, matching Spark's binary string
+    // ordering — Scala's Ordering[String] (UTF-16 code units) disagrees
+    // for supplementary-plane vs U+E000..U+FFFF chars, which would label
+    // the same component differently on the two paths.
+    val utf8Ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+    val ordOpt: Option[Ordering[Any]] = idType match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case StringType => Some(utf8Ord)
+      case DoubleType => Some(Ordering.by((x: Any) => x.asInstanceOf[Double]))
+      case _ => None
+    }
+    if (ordOpt.isEmpty) return None
+    val ord = ordOpt.get
 
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
@@ -324,16 +353,23 @@ object Dedup {
       StructField("id", idType), StructField("c", idType)))
     val labelDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
-    nodes.join(broadcast(labelDf), Seq("id"), "left")
-      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+    Some(nodes.join(broadcast(labelDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component")))
   }
 
-  /** End-to-end corpus dedup: keep one representative (min id) per
-    * near-dup component; singletons keep themselves. Returns the surviving
-    * ids. */
+  /** End-to-end corpus dedup: keep one representative per near-dup
+    * component; singletons keep themselves. Returns the surviving ids.
+    * The representative is the min id among component members PRESENT in
+    * `allIds` — so a caller whose `allIds` snapshot no longer contains a
+    * component's global min (pairs computed over a pre-filter corpus)
+    * still keeps one survivor instead of silently deleting the whole
+    * component. */
   def dedupByPairs(allIds: DataFrame /* (id) */, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
-    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    val present = allIds.join(comps, Seq("id"))
+    val reps = present.groupBy(col("component")).agg(min(col("id")).as("_rep"))
+    val losers = present.join(reps, Seq("component"))
+      .filter(col("id") =!= col("_rep")).select(col("id"))
     allIds.join(losers, Seq("id"), "left_anti")
   }
 
@@ -344,6 +380,11 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)), b =>
         struct(a.as("a"), b.as("b")))))
 
+  /** Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
+    * `maxShingleDf` drops shingles present in more than that many docs
+    * before pairing (skew guard; identical filter applied on both sides of
+    * the oracle keeps semantics aligned — per-doc shingle SIZES are
+    * computed unfiltered, only the intersection join is capped). */
   def ngramJaccardPairs(
       docs: DataFrame,
       id: Column,
