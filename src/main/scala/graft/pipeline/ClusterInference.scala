@@ -47,11 +47,31 @@ object ClusterInference {
       clusters: DataFrame,
       legacyRatio: Boolean = false,
       legacyFirstSeen: Boolean = false,
+      requireFullCoverage: Boolean = true,
   ): ClusterOutputs = {
-    // J4 — positional join.
+    // Referential integrity first: a cluster member whose spectrumIndex
+    // has no spectrum row would silently vanish from the inner join,
+    // computing purity over PARTIAL membership (the stale-TSV failure the
+    // sidecar path documents as must-fail-loudly). Bounded probe: one
+    // limit(1) anti-join job.
+    if (requireFullCoverage) {
+      val orphan = clusters.select(col("spectrumIndex").as("index"))
+        .join(spectra.select(col("index")), Seq("index"), "left_anti")
+        .limit(1).collect()
+      require(orphan.isEmpty,
+        s"ClusterInference: cluster member spectrumIndex=${orphan.headOption.map(_.get(0))} " +
+          "has no spectrum row — stale cluster input? (pass requireFullCoverage=false to " +
+          "accept partial membership)")
+    }
+    // J4 — positional join. Members with a NULL peptide sequence carry no
+    // identification evidence (same null rule as the dedup/FDR family):
+    // unfiltered they would be invisible to the nIso purity set
+    // (collect_set drops nulls) yet still count toward `total`, and a
+    // null-form group could even emit a null-sequence representative.
     val members = spectra.join(
       clusters.select(col("spectrumIndex").as("index"), col("clusterId")),
       Seq("index"), "inner")
+      .filter(col("peptideSequence").isNotNull && col("peptidoform").isNotNull)
       .withColumn("isoSeq", UsiFunctions.isobaric(col("peptideSequence")))
 
     val wCluster = Window.partitionBy(col("clusterId"))
@@ -70,8 +90,12 @@ object ClusterInference {
         (col("formCount").cast("double") / col("total")).cast("long").cast("double")
       else col("formCount").cast("double") / col("total")
 
+    // Lazily pinned: both outputs (representatives AND removed) read this
+    // frame — unpinned, a consumer of both re-runs the members join and
+    // every window pass twice.
     val withRatio = formCounts.withColumn("ratio", ratio)
       .withColumn("maxRatio", max(col("ratio")).over(wCluster))
+      .localCheckpoint(false)
 
     val impure = col("nIso") > 1 || col("maxRatio") <= 0.5
     val removed = withRatio.filter(impure)
@@ -80,20 +104,30 @@ object ClusterInference {
           .otherwise("no_majority_peptidoform").as("reason"))
       .distinct()
 
-    // A12 — representative selection.
+    // A12 — representative selection. Scores order asc_nulls_last: a PSM
+    // whose score failed to parse (null) must never beat a real score as
+    // "best"; ties resolve on file order (index), the reference's
+    // strict-< keep-first rule — usi order need not match index order.
     val wBest =
       if (legacyFirstSeen) {
         // first-seen form wins: members of the form at the lowest index
         // rank first, then lower score within that form.
         Window.partitionBy(col("clusterId"))
-          .orderBy(col("firstSeenIndex").asc, col("score").asc, col("usi").asc)
+          .orderBy(col("firstSeenIndex").asc, col("score").asc_nulls_last, col("index").asc)
       } else
         Window.partitionBy(col("clusterId"))
-          .orderBy(col("ratio").desc, col("peptidoform").asc, col("score").asc, col("usi").asc)
+          .orderBy(col("ratio").desc, col("peptidoform").asc,
+            col("score").asc_nulls_last, col("index").asc)
     val withFirstSeen =
       if (legacyFirstSeen)
+        // First-seen FORM identity is isobaric (the reference compares
+        // PeptidoformClustered with L->I equality, InferenceService
+        // .java:134-140) — grouping by raw peptidoform would give an
+        // L/I-variant form its own first-seen index and pick the wrong
+        // representative.
         withRatio.withColumn("firstSeenIndex",
-          min(col("index")).over(Window.partitionBy(col("clusterId"), col("peptidoform"))))
+          min(col("index")).over(Window.partitionBy(col("clusterId"),
+            UsiFunctions.isobaric(col("peptidoform")))))
       else withRatio
     val representatives = withFirstSeen
       .filter(!impure)

@@ -182,6 +182,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(legacy == "u0") // reference: first-seen form wins outright
   }
 
+  test("cluster inference: legacy first-seen form identity is isobaric (L/I)") {
+    // forms differ only by L/I: the reference's PeptidoformClustered
+    // equality (L->I) treats all four as ONE form, so first-seen is index
+    // 0's form and the representative is the lowest score overall
+    val spectra = Seq(
+      (0L, "u0", "PEPTLDE", "PEPTLDE/2", false, 0.9),
+      (1L, "u1", "PEPTIDE", "PEPTIDE/2", false, 0.1),
+      (2L, "u2", "PEPTIDE", "PEPTIDE/2", false, 0.2),
+      (3L, "u3", "PEPTIDE", "PEPTIDE/2", false, 0.3),
+    ).toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+    val clusters = Seq(("f", 0L, 1L), ("f", 1L, 1L), ("f", 2L, 1L), ("f", 3L, 1L))
+      .toDF("file", "spectrumIndex", "clusterId")
+    val legacy = ClusterInference.run(spectra, clusters, legacyFirstSeen = true)
+      .representatives.select(col("usi")).head().getString(0)
+    assert(legacy == "u1") // NOT u0: raw-form grouping would pick 0.9's row
+  }
+
+  test("cluster inference: null scores never win; null sequences carry no evidence") {
+    val spectra = Seq(
+      (0L, "u0", "AAK", "AAK/2", false, null.asInstanceOf[java.lang.Double]),
+      (1L, "u1", "AAK", "AAK/2", false, java.lang.Double.valueOf(0.3)),
+      (2L, "u2", null.asInstanceOf[String], null.asInstanceOf[String], false,
+        java.lang.Double.valueOf(0.1)),
+    ).toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+    val clusters = Seq(("f", 0L, 1L), ("f", 1L, 1L), ("f", 2L, 1L))
+      .toDF("file", "spectrumIndex", "clusterId")
+    val rep = ClusterInference.run(spectra, clusters)
+      .representatives.select(col("usi")).head().getString(0)
+    assert(rep == "u1") // not the null-score u0, not the null-sequence u2
+  }
+
+  test("cluster inference: orphan cluster members fail loudly, not silently") {
+    val spectra = Seq((0L, "u0", "AAK", "AAK/2", false, 0.1))
+      .toDF("index", "usi", "peptideSequence", "peptidoform", "isDecoy", "score")
+    val clusters = Seq(("f", 0L, 1L), ("f", 99L, 1L)) // 99 has no spectrum row
+      .toDF("file", "spectrumIndex", "clusterId")
+    intercept[IllegalArgumentException] {
+      ClusterInference.run(spectra, clusters)
+    }
+    // opt-out accepts the partial membership
+    assert(ClusterInference.run(spectra, clusters, requireFullCoverage = false)
+      .representatives.count() == 1)
+  }
+
   test("cluster inference: legacy integer-ratio keeps only 100% clusters") {
     // 3 members, dominant form 2/3 (>0.5 clean, 0 legacy)
     val spectra = Seq(
