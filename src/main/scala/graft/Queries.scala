@@ -605,6 +605,30 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup: the embedding near-dup pairs closed into duplicate groups
+    // (connected components), min-id representative kept per group.
+    "dd_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.semanticDedup(e, threshold = 0.35, nBits = 4)
+        .select(col("id"), col("sem_group_size"))
+        .orderBy(col("id"))
+    }),
+
+    // Duplicate-span detection: maximal per-document token ranges covered
+    // by 5-gram windows that occur >= 2 times corpus-wide (Lee et al.
+    // substring dedup re-expressed as hash counts + gaps-and-islands).
+    "dd_dup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
+        .orderBy(col("id"), col("span_start"))
+    }),
+
+    // BM25 keyword retrieval: lexical top-k over the documents corpus.
+    "txt_bm25_topk" -> ((s, dir) => {
+      graft.operators.Search.bm25TopK(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        query = Seq("spark", "query", "fast"), k = 10)
+    }),
+
     // Native LSH-style spectra clustering (the MaraCluster-replacement
     // scale extension, SURVEY §7.5): spectra synthesized deterministically
     // from the embeddings table — planted near-copies at +1000 (same
@@ -2268,6 +2292,86 @@ object Queries {
          |  CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
          |FROM sc WHERE CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup: the dd_embedding_lsh pair derivation + transitive closure
+    // (recursive reach, min-id component) + min-id survivor per group.
+    "dd_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
+         |cand AS (
+         |  SELECT l.id AS ia, r.id AS ib, l.vec AS qv, r.vec AS cv
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id),
+         |sc AS (
+         |  SELECT ia, ib, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM cand),
+         |pairs AS (
+         |  SELECT DISTINCT ia AS id_a, ib AS id_b FROM sc
+         |  WHERE CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END >= 0.35),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s AS id, s AS r FROM edges
+         |  UNION
+         |  SELECT e2.s AS id, rr.r FROM edges e2 JOIN reach rr ON e2.d = rr.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |gs AS (SELECT component, min(id) AS rep, count(*) AS n FROM comp GROUP BY component)
+         |SELECT v.id, coalesce(g.n, 1)::BIGINT AS sem_group_size
+         |FROM e v
+         |LEFT JOIN gs g ON v.id = g.rep
+         |WHERE v.id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY v.id""".stripMargin,
+
+    // Duplicate spans: 5-gram hash counts over the corpus, windows with
+    // count >= 2 merge into maximal spans (gaps-and-islands; adjacency is
+    // start <= prev_start + 5).
+    "dd_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
+        |  FROM tk WHERE len(t) >= 5),
+        |h AS (
+        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
+        |d AS (
+        |  SELECT id, start FROM (
+        |    SELECT id, start, count(*) OVER (PARTITION BY gh) AS n FROM h) WHERE n >= 2),
+        |s AS (
+        |  SELECT id, start,
+        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
+        |i AS (
+        |  SELECT *, sum(ns) OVER
+        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s)
+        |SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end,
+        |  (max(start) + 4 - min(start) + 1)::INT AS span_tokens, count(*) AS n_windows
+        |FROM i GROUP BY id, sp
+        |ORDER BY id, span_start""".stripMargin,
+
+    // BM25: postings restricted to the query terms, Lucene-variant idf,
+    // document length from ALL terms; round(6) for ln/division ULP parity.
+    "txt_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
+        |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
+        |qp AS (
+        |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
+        |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
+        |sc AS (
+        |  SELECT id,
+        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS s,
+        |    count(*)::BIGINT AS n_matched
+        |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id)
+        |SELECT id, round(s, 6) AS score, n_matched FROM sc
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     // Expected table pinned from the hand-checkable 6-row fixture.
     "fdr_protein_occam" ->

@@ -465,4 +465,64 @@ object Dedup {
       }
     out.drop("_fp")
   }
+
+  /** Exact duplicate-span detection at token granularity (the
+    * substring-level dedup signal from "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022 — re-expressed for Spark:
+    * instead of a corpus-wide suffix array, every k-token window is
+    * hashed, windows whose hash occurs >= 2 times corpus-wide (within- or
+    * cross-document) mark their token range duplicated, and per document
+    * the overlapping-or-adjacent duplicated ranges merge into maximal
+    * spans).
+    *
+    * Returns one row per maximal duplicated span:
+    * `(id, span_start, span_end, span_tokens, n_windows)` with token
+    * indexes 0-based inclusive.
+    *
+    * Scale shape: strictly linear in corpus tokens — no pair join ever
+    * forms. One shuffle partitions the exploded k-gram stream by gram
+    * hash (the corpus-frequency count is a window aggregate over that
+    * partitioning, not a groupBy + re-join, so the stream is shuffled
+    * once); the surviving duplicated windows — typically a small fraction
+    * — re-shuffle by document for the island merge. Hot grams (boilerplate
+    * headers shared by millions of docs) cost one skewed count partition
+    * but never a pair expansion. */
+  def duplicateSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"duplicateSpans: window size k must be >= 1, got $k")
+    val toks = tokens(text)
+    val grams = docs
+      .select(id.as("id"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("_t")) - k),
+          i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
+      .select(col("id"), col("pos").as("start"), col("col").as("gh"))
+    // Corpus-wide occurrence count as a window over the gram-hash
+    // partitioning: one shuffle, no self-join back.
+    val dup = grams
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("_n") >= 2)
+      .select(col("id"), col("start"))
+    // Gaps-and-islands: same-width intervals [start, start+k-1] sorted by
+    // start merge while start <= prev_start + k (overlap or adjacency).
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("start"))
+    dup
+      .withColumn("_new",
+        when(lag(col("start"), 1).over(byDoc).isNull
+          || col("start") > lag(col("start"), 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("_span",
+        sum(col("_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_span"))
+      .agg(
+        min(col("start")).as("span_start"),
+        (max(col("start")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_windows"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text keyword retrieval over a document corpus: BM25 top-k scoring
+  * (Robertson/Sparck-Jones probabilistic ranking, the standard lexical
+  * complement to embedding ANN in a training-data pipeline — e.g. targeted
+  * corpus probes, contamination hunts, eval-set retrieval baselines).
+  *
+  * Scale-first shape:
+  *  - the corpus token stream is filtered to the query's terms BEFORE any
+  *    shuffle (the term list is a literal `isin` predicate pushed inside
+  *    the exploded projection), so the per-(doc, term) aggregation
+  *    shuffles only matching postings, not the whole corpus;
+  *  - corpus-level statistics (N, avgdl) are one tiny aggregate joined
+  *    back by broadcast cross-join (one row);
+  *  - per-term document frequencies are a second tiny aggregate over the
+  *    postings (bounded by |query terms|), joined by broadcast;
+  *  - the final top-k is a TakeOrdered (sort + limit), never a full sort.
+  */
+object Search {
+
+  /** Lowercased whitespace term stream — the indexing unit. */
+  def terms(text: Column): Column = tokens(lower(text))
+
+  /** BM25 scores for one bag-of-terms query; returns the top `k` documents
+    * as `(id, score, n_matched)` ordered by score desc (doc id asc on
+    * ties — fully deterministic cut).
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative Lucene
+    * variant); tf component = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    * `dl` counts ALL terms of the document, not just query terms. Scores
+    * are rounded to 6 dp to stay engine-portable (ln/division ULP). */
+  def bm25TopK(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val qTerms = query.map(_.toLowerCase).distinct.filter(_.nonEmpty)
+    require(qTerms.nonEmpty, "bm25TopK: query must contain at least one non-empty term")
+
+    val base = docs.select(id.as("id"), terms(text).as("_t"))
+    // Corpus stats: one row (N, avgdl) — broadcast cross join.
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(col("_t"))).as("avgdl"))
+    // Postings for query terms only: the isin predicate runs inside the
+    // projection, so non-matching tokens never leave the scan stage.
+    // LAZY localCheckpoint: the aggregated postings (tiny — docs matching
+    // the query only) are read twice (score join + document frequencies);
+    // without the pin the full corpus scan + explode would re-execute for
+    // the df branch (same contract as Dedup.minHashLshPairs).
+    val postings = base
+      .select(col("id"), size(col("_t")).as("dl"), explode(col("_t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(false)
+    // Per-term document frequency: bounded by |qTerms| rows — broadcast.
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+    postings
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", idf * tfPart)
+      .groupBy(col("id"))
+      .agg(round(sum(col("_s")), 6).as("score"), count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

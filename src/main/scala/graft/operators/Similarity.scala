@@ -621,4 +621,37 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * re-expressed on the engine's verified primitives): embedding-cosine
+    * near-dup pairs from [[embeddingNearDupPairs]] (LSH-bucketed — never
+    * all-pairs), closed into duplicate groups by
+    * [[Dedup.connectedComponents]], keeping the minimum-id representative
+    * of each group. Returns the KEPT rows of `df` plus `sem_group_size`
+    * (1 for rows with no semantic duplicate).
+    *
+    * Scale shape: inherits the bucketed pair join (cap hot buckets via
+    * `maxBucketSize`) and the O(log n) large-star/small-star component
+    * rounds; survivor selection is one aggregate + anti-join on ids. */
+  def semanticDedup(
+      df: DataFrame, // (id, vec)
+      threshold: Double,
+      nBits: Int = 8,
+      dim: Int = 64,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, threshold, nBits, dim, maxBucketSize)
+    val comps = Dedup.connectedComponents(pairs)
+    val groups = comps.groupBy(col("component"))
+      .agg(min(col("id")).as("_rep"), count(lit(1)).as("_gs"))
+    val losers = comps.join(groups, Seq("component"))
+      .filter(col("id") =!= col("_rep"))
+      .select(col("id"))
+    val repSizes = comps.join(groups, Seq("component"))
+      .filter(col("id") === col("_rep"))
+      .select(col("id"), col("_gs"))
+    df.join(losers, Seq("id"), "left_anti")
+      .join(repSizes, Seq("id"), "left")
+      .withColumn("sem_group_size", coalesce(col("_gs"), lit(1L)))
+      .drop("_gs")
+  }
 }

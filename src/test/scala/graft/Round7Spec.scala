@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Search, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: duplicate-span detection, BM25 retrieval, semantic
+  * dedup, plus direct kernels for previously query-only coverage rows
+  * (token estimate, fingerprints, embedding near-dup pairs). */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicate spans: cross-doc shared prefix merges into one maximal span") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e x y z"), // shares 3-gram windows 0,1,2 with doc 1
+      (3L, "q w e r t y u"),   // no duplicated window
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"), r.getAs[Long]("n_windows")))
+    // windows 0,1,2 cover tokens [0,4] in both docs; doc 3 is absent
+    assert(out.toSeq == Seq((1L, 0, 4, 5, 3L), (2L, 0, 4, 5, 3L)))
+  }
+
+  test("duplicate spans: within-doc repetition counts and adjacent ranges merge") {
+    val docs = Seq((7L, "m n o p m n o p")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+    // duplicated starts {0,1,4,5}: [0,3] and [4,7] are adjacent -> one span
+    assert(out.toSeq == Seq((0, 7)))
+    // separated repeats stay two spans
+    val far = Seq((8L, "m n o x1 x2 x3 x4 x5 x6 x7 m n o")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(far, col("doc_id"), col("text"), k = 3)
+      .orderBy(col("span_start"))
+      .collect().map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+    assert(spans.toSeq == Seq((0, 2), (10, 12)))
+  }
+
+  test("duplicate spans: short and empty docs contribute nothing") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    // both docs are below the window size: no windows, no spans (and no crash)
+    assert(Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3).count() == 0)
+  }
+
+  test("bm25: scores match the closed-form formula; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "spark slow"),
+      (3L, "other words here"),
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, col("doc_id"), col("text"), Seq("spark"), k = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_matched")))
+    val avgdl = 8.0 / 3.0
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    def tfp(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, r6(idf * tfp(2, 3)), 1L),
+      (2L, r6(idf * tfp(1, 2)), 1L)))
+  }
+
+  test("bm25: multi-term queries sum per-term scores and count matched terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha alpha"),
+      (3L, "beta delta"),
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("Alpha", "beta", "beta", ""), k = 2) // case-folded, deduped, blanks dropped
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_matched")))
+    assert(out.length == 2 && out.forall(_._2 >= 1))
+    val one = Search.bm25TopK(docs, col("doc_id"), col("text"), Seq("alpha", "beta"), k = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_matched")).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("semantic dedup: duplicate group keeps min id with group size; singletons size 1") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 1.0, 0.0, 0.0)),
+    ).toDF("id", "vec")
+    val out = Similarity.semanticDedup(vecs, threshold = 0.95, nBits = 2, dim = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("sem_group_size")).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("embedding near-dup pairs: identical vectors pair at cosine 1.0") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+    ).toDF("id", "vec")
+    val pairs = Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 2, dim = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("token estimate counts whitespace tokens plus punctuation runs") {
+    val df = Seq(("hello, world!!"), ("one two three"), ("")).toDF("text")
+      .select(TextFunctions.tokenCountEstimate(col("text")).as("n"))
+    assert(df.collect().map(_.getAs[Int]("n")).toSeq == Seq(4, 3, 0))
+  }
+
+  test("normalized fingerprint collides on case/punct variants; rolling hash is order-sensitive") {
+    val df = Seq(
+      ("Hello, World!"), ("hello world"), ("HELLO... world"), ("world hello"),
+    ).toDF("text").select(
+      TextFunctions.normalizedFingerprint(col("text")).as("fp"),
+      TextFunctions.rollingHash(col("text")).as("rh"))
+    val rows = df.collect()
+    assert(rows.take(3).map(_.getString(0)).distinct.length == 1)
+    assert(rows(3).getString(0) != rows(0).getString(0))
+    // same token multiset, different order -> different rolling hash
+    assert(rows(3).getLong(1) != rows(1).getLong(1))
+  }
+}
