@@ -52,6 +52,14 @@ object Bench {
           None
         }
       }
+      // Off-the-clock GC between queries: localCheckpoint blocks from a
+      // finished query are only reclaimed after their RDD objects are
+      // GC'd (ContextCleaner), and a 128 GB heap may not GC for the whole
+      // suite — accumulated dead blocks inflated late-alphabet queries up
+      // to 5x (j1_scan_key_join 1.1 s isolated vs 6.7 s in-suite) before
+      // this. Explicit GC keeps every query's number reflecting its own
+      // plan, not its predecessors' garbage.
+      System.gc()
       name -> (if (times.size == repeat) times.minOption else None)
     }
     val results = ran.collect { case (n, Some(t)) => n -> t }

@@ -629,6 +629,22 @@ object Queries {
         query = Seq("spark", "query", "fast"), k = 10)
     }),
 
+    // Substring-dedup removal: documents rebuilt without their duplicated
+    // 5-gram spans; span-free docs pass through untouched.
+    "tdp_remove_dup_spans" -> ((s, dir) => {
+      graft.operators.Curation.removeDuplicateSpans(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
+        .orderBy(col("id"))
+    }),
+
+    // Deterministic hash split: 80/10/10 train/val/test, pure projection.
+    "tdp_hash_split" -> ((s, dir) => {
+      graft.operators.Curation.hashSplit(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // Native LSH-style spectra clustering (the MaraCluster-replacement
     // scale extension, SURVEY §7.5): spectra synthesized deterministically
     // from the embeddings table — planted near-copies at +1000 (same
@@ -2350,6 +2366,47 @@ object Queries {
         |  (max(start) + 4 - min(start) + 1)::INT AS span_tokens, count(*) AS n_windows
         |FROM i GROUP BY id, sp
         |ORDER BY id, span_start""".stripMargin,
+
+    // Removal twin: covered positions are the union of duplicated windows
+    // (identical to the merged spans' union), excised via an indexed
+    // list_filter; span-free docs pass through with original text.
+    "tdp_remove_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
+        |  FROM tk WHERE len(t) >= 5),
+        |h AS (
+        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
+        |d AS (
+        |  SELECT id, start FROM (
+        |    SELECT id, start, count(*) OVER (PARTITION BY gh) AS n FROM h) WHERE n >= 2),
+        |cov AS (
+        |  SELECT DISTINCT id, unnest(range(start, start + 5)) AS pos FROM d),
+        |cl AS (
+        |  SELECT id, count(*) AS nrem, list(pos) AS covs FROM cov GROUP BY id)
+        |SELECT tk.id,
+        |  coalesce(array_to_string(
+        |    list_filter(t, (x, i) -> NOT list_contains(covs, i - 1)), ' '), '')
+        |    AS clean_text,
+        |  cl.nrem AS n_removed_tokens
+        |FROM tk JOIN cl ON tk.id = cl.id
+        |UNION ALL
+        |SELECT id, text AS clean_text, 0 AS n_removed_tokens
+        |FROM tk WHERE id NOT IN (SELECT id FROM cl)
+        |ORDER BY id""".stripMargin,
+
+    // Hash split: same md5-prefix uniform draw; the 0.8/0.9 boundaries
+    // have no 1/2^32 lattice point inside their float-sum gap.
+    "tdp_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // BM25: postings restricted to the query terms, Lucene-variant idf,
     // document length from ALL terms; round(6) for ln/division ULP parity.

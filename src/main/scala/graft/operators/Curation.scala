@@ -335,4 +335,76 @@ object Curation {
       }
     df.filter(u < frac)
   }
+
+  /** Deterministic hash-based dataset split (train/val/test): each row is
+    * assigned the first split whose cumulative fraction exceeds its
+    * md5-uniform draw on the key. Pure projection — zero shuffle, bit-
+    * reproducible across runs, partitionings, and engines (the draw is
+    * the 32-bit md5 prefix / 2^32, same scheme as [[stratifiedSample]]).
+    *
+    * @param splits ordered (name, fraction) pairs; fractions must sum to 1
+    */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Double)],
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      s"hashSplit: splits must be non-empty with positive fractions, got $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split is the otherwise-branch: no boundary miss from float sum
+    val expr = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), c), rest) =>
+        when(u < c, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** The removal half of token-level substring dedup: excise every
+    * duplicated span found by [[Dedup.duplicateSpans]] and rebuild the
+    * document from its surviving tokens (single-space joined). Documents
+    * with no duplicated span pass through UNTOUCHED — original text,
+    * original whitespace, no re-tokenization cost.
+    *
+    * Returns `(id, clean_text, n_removed_tokens)`.
+    *
+    * Scale shape: the spans frame (typically a small fraction of the
+    * corpus) is computed once and pinned; only documents that own a span
+    * are exploded to (pos, token) and anti-joined against the covered
+    * positions — the rest of the corpus is a pass-through projection. */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int,
+  ): DataFrame = {
+    val base = docs.select(id.as("id"), text.as("text"))
+    // Pin: read once for the covered positions, once for the dirty-doc
+    // semi/anti split (the span derivation re-executes otherwise).
+    val spans = Dedup.duplicateSpans(base, col("id"), col("text"), k)
+      .localCheckpoint(false)
+    val covered = spans.select(col("id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val removedCounts = covered.groupBy(col("id")).agg(count(lit(1)).as("n_removed_tokens"))
+    val dirty = base.join(spans.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val clean = base.join(spans.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("text").as("clean_text"), lit(0L).as("n_removed_tokens"))
+    val rebuilt = dirty
+      .select(col("id"), posexplode(TextFunctions.tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+      // a doc whose every token was covered vanishes from the groupBy:
+      // restore it as an empty string via the right join below
+      .join(removedCounts, Seq("id"), "right")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_removed_tokens"))
+    clean.unionByName(rebuilt)
+  }
 }

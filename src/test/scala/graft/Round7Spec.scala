@@ -104,6 +104,49 @@ class Round7Spec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("remove duplicate spans: excises covered tokens, passes clean docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e x y z"),
+      (3L, "q  w   e r t y u"), // no dup span: original spacing preserved
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed_tokens")))
+    // tokens [0,4] are duplicated in docs 1 and 2; doc 3 keeps raw text
+    assert(out.toSeq == Seq(
+      (1L, "f g h", 5L), (2L, "x y z", 5L), (3L, "q  w   e r t y u", 0L)))
+    // fully-duplicated docs come back as empty strings, not vanish
+    val twin = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val res = graft.operators.Curation
+      .removeDuplicateSpans(twin, col("doc_id"), col("text"), k = 3)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text")))
+    assert(res.toSeq == Seq((1L, ""), (2L, "")))
+  }
+
+  test("hash split: deterministic, exhaustive, fractions honored within tolerance") {
+    val ids = (0L until 2000L).toDF("id")
+    val out = graft.operators.Curation
+      .hashSplit(ids, col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600.0) < 100, counts)
+    assert(math.abs(counts("val") - 200.0) < 60, counts)
+    // repartitioning does not change any row's assignment
+    val a = out.orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    val b = graft.operators.Curation
+      .hashSplit(ids.repartition(13), col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.hashSplit(ids, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("token estimate counts whitespace tokens plus punctuation runs") {
     val df = Seq(("hello, world!!"), ("one two three"), ("")).toDF("text")
       .select(TextFunctions.tokenCountEstimate(col("text")).as("n"))
