@@ -237,8 +237,11 @@ object Queries {
     // A5/A6 — peptide-uniqueness inference category over a bipartite graph.
     "a6_inference_category" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val perPart = li.groupBy(col("l_partkey"))
-        .agg(countDistinct(col("l_suppkey")).as("ns"), min(col("l_suppkey")).as("only_supp"))
+      // pre-dedup (part, supp) then plain count+min: one partial-agg
+      // pipeline, no Expand from mixing countDistinct with min
+      val perPart = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("ns"), min(col("l_suppkey")).as("only_supp"))
       val unique = perPart.filter(col("ns") === 1)
         .select(col("only_supp").as("supp")).distinct().withColumn("u", lit(true))
       li.select(col("l_suppkey").as("supp")).distinct()
