@@ -84,9 +84,22 @@ object CorpusBench {
     val (nShuffled, tShuffle) = time {
       Curation.epochShuffle(docs.select(col("id")), col("id"), epoch = 1).count()
     }
+    // round-7 stages: linear substring-dedup spans + removal (the planted
+    // near/exact duplicates make every 10th doc share long 5-gram runs),
+    // and BM25 retrieval against three mid-vocabulary terms.
+    val (nSpans, tSpans) = time {
+      Dedup.duplicateSpans(docs, col("id"), col("text"), k = 5).count()
+    }
+    val (nCleaned, tRemove) = time {
+      Curation.removeDuplicateSpans(docs, col("id"), col("text"), k = 5).count()
+    }
+    val (nHits, tBm25) = time {
+      graft.operators.Search.bm25TopK(docs, col("id"), col("text"),
+        Seq("w17", "w421", "w900"), k = 100).count()
+    }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"cleaned":$nCleaned,"bm25_hits":$nHits,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f}}""")
     spark.stop()
   }
 }
