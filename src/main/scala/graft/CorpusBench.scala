@@ -90,6 +90,10 @@ object CorpusBench {
     val (nSpans, tSpans) = time {
       Dedup.duplicateSpans(docs, col("id"), col("text"), k = 5).count()
     }
+    val (nSpansXx, tSpansXx) = time {
+      Dedup.duplicateSpans(docs, col("id"), col("text"), k = 5,
+        portableHash = false).count()
+    }
     val (nCleaned, tRemove) = time {
       Curation.removeDuplicateSpans(docs, col("id"), col("text"), k = 5).count()
     }
@@ -99,7 +103,7 @@ object CorpusBench {
     }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"cleaned":$nCleaned,"bm25_hits":$nHits,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f}}""")
     spark.stop()
   }
 }

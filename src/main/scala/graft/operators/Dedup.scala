@@ -492,15 +492,22 @@ object Dedup {
       id: Column,
       text: Column,
       k: Int,
+      /** md5 (default) keeps the gram key engine-portable for the oracle;
+        * false switches to xxhash64 — an 8-byte long key instead of a
+        * 32-char string, which shrinks the dominant gram shuffle ~4x and
+        * skips md5's per-window cost. Same spans modulo hash collisions
+        * (~n²/2⁶⁴ expected false window-matches corpus-wide). */
+      portableHash: Boolean = true,
   ): DataFrame = {
     require(k >= 1, s"duplicateSpans: window size k must be >= 1, got $k")
     val toks = tokens(text)
+    val gram: Column => Column = if (portableHash) md5 else xxhash64(_)
     val grams = docs
       .select(id.as("id"), toks.as("_t"))
       .filter(size(col("_t")) >= k)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("_t")) - k),
-          i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
+          i => gram(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
       .select(col("id"), col("pos").as("start"), col("col").as("gh"))
     // Corpus-wide occurrence count as a window over the gram-hash
     // partitioning: one shuffle, no self-join back.

@@ -40,6 +40,19 @@ class Round7Spec extends AnyFunSuite {
     assert(spans.toSeq == Seq((0, 2), (10, 12)))
   }
 
+  test("duplicate spans: xxhash64 production path finds the same spans as md5") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e x y z"),
+      (3L, "m n o p m n o p"), (4L, "u v w x y z q r"),
+    ).toDF("doc_id", "text")
+    def spans(portable: Boolean) =
+      Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3, portableHash = portable)
+        .orderBy(col("id"), col("span_start")).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+        .toSeq
+    assert(spans(portable = true) == spans(portable = false))
+  }
+
   test("duplicate spans: short and empty docs contribute nothing") {
     val docs = Seq((1L, "a b"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
     // both docs are below the window size: no windows, no spans (and no crash)
