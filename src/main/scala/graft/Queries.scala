@@ -421,6 +421,24 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup components with the PRODUCTION survivor policy: keep the
+    // highest-quality member (here: longest, n_chars) per component.
+    "dd_keep_best_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      Dedup.dedupByPairsKeepBest(
+        docs.select(col("doc_id").as("id"), col("n_chars")), pairs, col("n_chars"))
+        .orderBy(col("id"))
+    }),
+
+    // Corpus vocabulary: top-50 terms by frequency (tokenizer training).
+    "txt_vocabulary" -> ((s, dir) => {
+      graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
+    }),
+
     // SimHash document signatures (32-bit, multiset token weights).
     "dd_simhash" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -1720,6 +1738,70 @@ object Queries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Keep-best dedup: the dd_minhash_lsh pair derivation + transitive
+    // closure, survivor = (n_chars DESC, id ASC) row per component.
+    "dd_keep_best_dedup" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS ej
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id_a
+         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+         |  GROUP BY id_a, id_b),
+         |pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s AS id, s AS r FROM edges
+         |  UNION
+         |  SELECT e2.s AS id, rr.r FROM edges e2 JOIN reach rr ON e2.d = rr.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |pres AS (
+         |  SELECT d.doc_id AS id, d.n_chars, c.component
+         |  FROM documents d JOIN comp c ON c.id = d.doc_id),
+         |reps AS (
+         |  SELECT component, id AS rep FROM (
+         |    SELECT component, id,
+         |      row_number() OVER (PARTITION BY component
+         |        ORDER BY n_chars DESC, id ASC) AS rn
+         |    FROM pres) WHERE rn = 1),
+         |losers AS (
+         |  SELECT p.id FROM pres p JOIN reps r USING (component) WHERE p.id <> r.rep)
+         |SELECT doc_id AS id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
+
+    "txt_vocabulary" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     // Native spectra clustering re-derivation: identical synthesis
     // (integer intensities => exact dots/norms), binning + top-20 bins with

@@ -373,6 +373,37 @@ object Dedup {
     allIds.join(losers, Seq("id"), "left_anti")
   }
 
+  /** [[dedupByPairs]] with a QUALITY-best survivor policy: per near-dup
+    * component, keep the member with the highest `quality` (id asc on
+    * ties — deterministic), instead of the smallest id. This is the
+    * production curation policy — when a boilerplate-laden page and its
+    * clean mirror near-dup, the clean one should survive.
+    *
+    * `scored` must carry unique `id` plus the quality column. Returns the
+    * surviving rows of `scored` (all columns), singletons included.
+    *
+    * Scale shape: one max_by aggregate per component + an anti join on
+    * ids — same as the min-id policy; the quality column rides along the
+    * existing component shuffle. */
+  def dedupByPairsKeepBest(
+      scored: DataFrame, // (id, ..., quality)
+      pairs: DataFrame,
+      quality: Column,
+  ): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val present = scored.select(col("id"), quality.as("_q")).join(comps, Seq("id"))
+    // max_by over (quality desc, id asc): encode as a struct ordering —
+    // null quality sorts last (struct comparison on the null flag first)
+    val reps = present
+      .groupBy(col("component"))
+      .agg(min(struct(
+        col("_q").isNull.as("qnull"), (-coalesce(col("_q"), lit(0.0))).as("negq"),
+        col("id").as("id"))).getField("id").as("_rep"))
+    val losers = present.join(reps, Seq("component"))
+      .filter(col("id") =!= col("_rep")).select(col("id"))
+    scored.join(losers, Seq("id"), "left_anti")
+  }
+
   /** All ordered pairs (a < b) from a sorted id list — the posting-list
     * expansion that replaces an inverted-index self-join. */
   private def pairCombinations(ids: Column): Column =

@@ -25,6 +25,17 @@ object Search {
   /** Lowercased whitespace term stream — the indexing unit. */
   def terms(text: Column): Column = tokens(lower(text))
 
+  /** Corpus vocabulary: the `topK` most frequent terms with counts — the
+    * tokenizer-training / stopword-mining primitive. One map-side-combined
+    * aggregation plus a TakeOrdered cut; ties break lexicographically. */
+  def vocabulary(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"vocabulary: topK must be >= 1, got $topK")
+    docs.select(explode(terms(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** BM25 scores for one bag-of-terms query; returns the top `k` documents
     * as `(id, score, n_matched)` ordered by score desc (doc id asc on
     * ties — fully deterministic cut).

@@ -160,6 +160,25 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("keep-best dedup: highest quality survives, id breaks ties, null quality loses") {
+    val scored = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0),       // component {1,2,3}
+      (4L, 0.1),                              // singleton
+      (5L, Double.NaN), (6L, 1.0),            // component {5,6}
+    ).toDF("id", "q").withColumn("q", when(col("id") === 5, lit(null)).otherwise(col("q")))
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairsKeepBest(scored, pairs, col("q"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("vocabulary: top-k terms by count with lexicographic tie-break") {
+    val docs = Seq((1L, "b a a C c"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.operators.Search.vocabulary(docs, col("text"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n")))
+    assert(out.toSeq == Seq(("a", 3L), ("c", 3L)))
+  }
+
   test("token estimate counts whitespace tokens plus punctuation runs") {
     val df = Seq(("hello, world!!"), ("one two three"), ("")).toDF("text")
       .select(TextFunctions.tokenCountEstimate(col("text")).as("n"))
