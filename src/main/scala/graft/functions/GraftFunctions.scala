@@ -19,5 +19,6 @@ object GraftFunctions {
     EncodePeptidoformExpr.register(spark)
     ModsToStructsExpr.register(spark)
     ResidueMassExpr.register(spark)
+    QualityMetricsExpr.register(spark)
   }
 }

@@ -116,8 +116,17 @@ object TextFunctions {
   /** Quality metrics struct: token count, mean token length, stopword ratio,
     * non-alphanumeric ratio, and a composite [0,1] quality score (heuristics
     * in the spirit of published LLM-corpus quality filters: length,
-    * punctuation and stopword signals). */
-  def qualityMetrics(text: Column): Column = {
+    * punctuation and stopword signals). Evaluates through the native
+    * single-pass kernel ([[QualityMetricsExpr]]); the column-expression
+    * form below is value-identical (property-tested) and remains the
+    * no-session fallback plus the oracle's reference semantics. */
+  def qualityMetrics(text: Column): Column =
+    QualityMetricsExpr.metricsCol(text)
+
+  /** The higher-order-function form of [[qualityMetrics]] — interpreted
+    * lambdas and separate regex passes; kept as the reference semantics
+    * and fallback. */
+  def qualityMetricsHof(text: Column): Column = {
     val t = tokens(text)
     val nTok = size(t).cast("double")
     val meanLen = when(nTok > 0, aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / nTok)

@@ -179,6 +179,34 @@ class Round7Spec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 3L), ("c", 3L)))
   }
 
+  test("native quality metrics == HOF form for adversarial text (property)") {
+    import graft.functions.{QualityMetricsExpr, TextFunctions}
+    import org.scalacheck.Gen
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val piece = Gen.frequency(
+      (4, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)),
+      (2, Gen.oneOf(TextFunctions.StopwordLexicons("en"))),
+      (2, Gen.oneOf(wsChars).map(_.toString)),
+      (2, Gen.oneOf(".", ",", "!!", "--", "é", "中文", "😀", "a.b", "the.")),
+    )
+    val textGen = Gen.frequency(
+      (8, Gen.listOf(piece).map(_.mkString(" "))),
+      (1, Gen.const("")),
+      (1, Gen.const(" \t\n ")))
+    val texts = (1 to 120).flatMap { seed =>
+      textGen(org.scalacheck.Gen.Parameters.default
+        .withInitialSeed(seed.toLong), org.scalacheck.rng.Seed(seed.toLong))
+    } ++ Seq("the a of and to in is that", "x" * 20000, null)
+    val df = texts.toDF("text")
+    val rows = df.select(
+      QualityMetricsExpr.metricsCol(col("text")).as("native"),
+      TextFunctions.qualityMetricsHof(col("text")).as("hof")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"text=${Option(t).map(_.take(60))}: native=${r.getStruct(0)} hof=${r.getStruct(1)}")
+    }
+  }
+
   test("token estimate counts whitespace tokens plus punctuation runs") {
     val df = Seq(("hello, world!!"), ("one two three"), ("")).toDF("text")
       .select(TextFunctions.tokenCountEstimate(col("text")).as("n"))
