@@ -55,6 +55,10 @@ object CorpusBench {
     val n = docs.count() // materialize the synthetic input before timing
 
     def time[A](f: => A): (A, Double) = {
+      // off-the-clock GC first: dead localCheckpoint/persist blocks from the
+      // PREVIOUS stage otherwise inflate this one (same lesson as Bench —
+      // bm25 measured 26 s after the span stages vs 1.6 s isolated)
+      System.gc()
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
