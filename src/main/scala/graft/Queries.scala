@@ -339,6 +339,45 @@ object Queries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // J9 — as-of join: each click picks up the latest purchase at or
+    // before it per user (union + running-last window — ONE shuffle on
+    // the key, no range self-join). The right side pre-aggregates per
+    // (user, ts) so duplicate-timestamp survivor semantics are pinned —
+    // which also keeps DuckDB's native ASOF JOIN oracle well-defined.
+    "j9_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "pts")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // J10 — range join: clicks falling inside the 2-hour window after a
+    // purchase by the same user. Binned to an equi-join on (user, hour
+    // bucket of unix micros) + exact re-check — the inequality join never
+    // runs as a nested loop. The DuckDB oracle states the predicate as a
+    // plain inequality join, a semantically independent formulation.
+    "j10_range_join" -> ((s, dir) => {
+      // session TZ is pinned UTC, so the NTZ->instant cast is lossless
+      val ev = t(s, dir, "events")
+      val micros = (c: Column) => unix_micros(c.cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), micros(col("ts")).as("cx"),
+          col("ts").as("click_ts"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          micros(col("ts")).as("ws"),
+          micros(col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, windows, Seq("user_id"), "cx", "ws", "we",
+          binWidth = 3600L * 1000000L) // 1-hour bins ~ the typical span
+        .select(col("user_id"), col("event_id"), col("click_ts"), col("purchase_ts"))
+        .orderBy(col("user_id"), col("event_id"), col("purchase_ts"))
+    }),
+
     // U1 — union of two sources, counted per key.
     "u1_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
@@ -1671,6 +1710,22 @@ object Queries {
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "j9_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts AS pts, max(value) AS purchase_value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.user_id, l.event_id, l.ts, l.value, r.pts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    "j10_range_join" ->
+      """SELECT c.user_id, c.event_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
+        |ORDER BY c.user_id, c.event_id, p.ts""".stripMargin,
 
     "u1_union" ->
       """SELECT nationkey, count(*) AS n FROM (

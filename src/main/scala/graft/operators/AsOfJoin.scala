@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join — the nearest-predecessor temporal join Spark
+  * has no native operator for. For each left ("probe") row, attaches the
+  * payload of the single right ("reference") row whose timestamp is the
+  * greatest one <= the probe timestamp (direction "backward"; smallest
+  * >= for "forward") within the same key group — the standard way to
+  * align a fact stream against slowly-arriving reference points (last
+  * quote before a trade, last config before an event, last purchase
+  * before a click).
+  *
+  * Spark-first design: rather than a per-key collect, a range self-join
+  * (quadratic in hot keys), or a broadcast of either side, both sides
+  * union into one relation tagged by side and a single running
+  * `last(payload, ignoreNulls)` window per key in time order carries the
+  * latest reference payload forward onto every probe row. Cost at scale:
+  * ONE hash-partition shuffle of (|L| + |R|) rows on the key plus a
+  * per-key sort — both sides may be fact-sized. Hot keys serialize
+  * within their partition, which matches the semantics (an as-of match
+  * is inherently a per-key scan in time order); the window frame is
+  * running (UNBOUNDED PRECEDING..CURRENT ROW), so Spark evaluates it as
+  * an O(1)-per-row streaming frame, never buffering the full partition
+  * frame-by-frame.
+  */
+object AsOfJoin {
+
+  /** @param keys       equi-join key columns present on BOTH sides (non-empty:
+    *                   a keyless global as-of would funnel everything into one
+    *                   window partition, which is exactly the plan this
+    *                   operator exists to avoid)
+    * @param leftTs     probe timestamp column on `left` (timestamp or numeric;
+    *                   must union-compatibly match `rightTs`'s type)
+    * @param rightTs    reference timestamp column on `right`
+    * @param direction  "backward" (greatest rightTs <= leftTs, the default)
+    *                   or "forward" (smallest rightTs >= leftTs)
+    * @param allowExactMatches whether a reference row AT the probe timestamp
+    *                   may match (pandas merge_asof semantics)
+    * @param tolerance  optional maximum match distance (an interval literal
+    *                   for timestamp domains, numeric otherwise); matches
+    *                   farther than this null out instead of matching
+    * @param rightPrefix prefix applied to the right payload columns in the
+    *                   output (use when names collide with left columns)
+    * @return all `left` columns plus the matched right payload columns
+    *         (every right column except the keys, including `rightTs` —
+    *         callers read the matched timestamp from there); unmatched
+    *         probes keep nulls (left-outer semantics)
+    *
+    * Determinism: several reference rows sharing (key, ts) resolve to the
+    * greatest payload struct (field order = right column order). Callers
+    * wanting different survivor semantics should pre-aggregate the right
+    * side per (key, ts) — which also keeps an oracle like DuckDB's ASOF
+    * JOIN (undefined under duplicate timestamps) well-defined.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Column] = None,
+      rightPrefix: String = "",
+  ): DataFrame = {
+    require(keys.nonEmpty, "asOf: keys must be non-empty (a keyless as-of is a single-partition sort)")
+    require(direction == "backward" || direction == "forward",
+      s"asOf: direction must be backward|forward, got $direction")
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+    require(rightPayload.nonEmpty, "asOf: right side has no payload columns besides the keys")
+    val outRight = rightPayload.map(rightPrefix + _)
+    val collisions = outRight.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"asOf: output name collision on ${collisions.mkString(", ")} — set rightPrefix")
+
+    // Union-compatible tagged relation: each side carries its own payload
+    // struct and a null of the OTHER side's struct type.
+    val lType = left.select(struct(leftCols.map(col): _*).as("s")).schema("s").dataType
+    val rType = right.select(struct(rightPayload.map(col): _*).as("s")).schema("s").dataType
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_aoj_ts"),
+        struct(leftCols.map(col): _*).as("_aoj_l"),
+        lit(null).cast(rType).as("_aoj_r"),
+        lit(1).as("_aoj_side")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_aoj_ts"),
+        lit(null).cast(lType).as("_aoj_l"),
+        struct(rightPayload.map(col): _*).as("_aoj_r"),
+        lit(0).as("_aoj_side")): _*)
+
+    // Scan order: time order (reversed for "forward" so "next reference"
+    // becomes "latest seen"); at equal timestamps the side order decides
+    // whether an exact-timestamp reference is visible to the probe row.
+    val tsOrd = if (direction == "backward") col("_aoj_ts").asc else col("_aoj_ts").desc
+    val sideOrd = if (allowExactMatches) col("_aoj_side").asc else col("_aoj_side").desc
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(tsOrd, sideOrd, col("_aoj_r").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l2.unionByName(r2)
+      .withColumn("_aoj_m", last(col("_aoj_r"), ignoreNulls = true).over(w))
+      .withColumn("_aoj_mts",
+        last(when(col("_aoj_side") === 0, col("_aoj_ts")), ignoreNulls = true).over(w))
+
+    val gated = tolerance match {
+      case Some(tol) =>
+        val ok =
+          if (direction == "backward") col("_aoj_mts") >= col("_aoj_ts") - tol
+          else col("_aoj_mts") <= col("_aoj_ts") + tol
+        matched.withColumn("_aoj_m", when(ok, col("_aoj_m")))
+      case None => matched
+    }
+
+    gated
+      .filter(col("_aoj_side") === 1)
+      .select(
+        leftCols.map(c => col("_aoj_l").getField(c).as(c)) ++
+          rightPayload.zip(outRight).map { case (c, o) => col("_aoj_m").getField(c).as(o) }: _*)
+  }
+}

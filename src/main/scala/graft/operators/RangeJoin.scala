@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed range (interval) joins. Spark executes a raw inequality
+  * join as BroadcastNestedLoop (or a full cartesian when neither side
+  * broadcasts) — quadratic and undistributable at fact×fact scale. The
+  * standard scalable re-expression is BINNING: quantize the numeric
+  * domain into fixed-width bins, explode each interval onto every bin it
+  * covers, meet the two sides in a plain equi-join on (keys, bin), and
+  * re-check the exact predicate. The quadratic pair space never
+  * materializes; the cost is the equi-join plus an explode factor of
+  * ceil(span / binWidth) per interval.
+  *
+  * Domains are numeric (LongType images). For timestamp data, bin on
+  * `unix_micros(ts)` — exact integer microseconds, no double rounding.
+  * Bin arithmetic uses pmod-based floor division, exact for the whole
+  * long range (negatives included) — `floor(x / w)` on doubles would
+  * lose precision above 2^53.
+  */
+object RangeJoin {
+
+  private def floorDiv(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+
+  /** Points × intervals: emit one row per (point, interval) pair with
+    * `start <= point <= end` (inclusive) and equal `keys`. Each point
+    * owns exactly one bin, so a matching pair meets exactly once — no
+    * dedup pass needed.
+    *
+    * Intervals wider than `maxBinsPerInterval * binWidth` fail the job
+    * loudly (`raise_error`) rather than silently exploding the bin fan-out:
+    * a mis-sized binWidth at 100 TB would otherwise turn one pathological
+    * interval into millions of rows. Pick binWidth near the TYPICAL
+    * interval span so most intervals cover 1-2 bins.
+    *
+    * @param points    side with `pointCol` (LongType domain image)
+    * @param intervals side with `startCol`/`endCol` (same domain image)
+    * @param keys      optional equi-key columns present on both sides
+    * @return all point columns + all interval columns (names must not
+    *         collide); rows with a null point/start/end drop (inner join)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long,
+      maxBinsPerInterval: Int = 10000,
+  ): DataFrame = {
+    require(binWidth > 0, s"pointInInterval: binWidth must be positive, got $binWidth")
+    val pointCols = points.columns.toSeq
+    val ivalCols = intervals.columns.toSeq.filterNot(keys.contains)
+    val collisions = pointCols.toSet.intersect(ivalCols.toSet) -- keys
+    require(collisions.isEmpty,
+      s"pointInInterval: column collision on ${collisions.mkString(", ")} — rename one side")
+
+    val p2 = points.withColumn("_rj_bin", floorDiv(col(pointCol), binWidth))
+    val nBins = floorDiv(col(endCol), binWidth) - floorDiv(col(startCol), binWidth) + lit(1L)
+    val i2 = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
+      .withColumn("_rj_guard",
+        when(nBins > maxBinsPerInterval,
+          raise_error(concat(lit(s"pointInInterval: interval spans more than $maxBinsPerInterval bins "),
+            lit(s"of width $binWidth — raise binWidth or maxBinsPerInterval"))))
+          .otherwise(lit(null)))
+      .withColumn("_rj_bin",
+        explode(sequence(floorDiv(col(startCol), binWidth), floorDiv(col(endCol), binWidth))))
+      .drop("_rj_guard")
+    p2.join(i2, keys :+ "_rj_bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_rj_bin")
+  }
+
+  /** Interval × interval overlap join: emit one row per (left, right)
+    * pair with `lStart <= rEnd && rStart <= lEnd` and equal `keys`.
+    * Overlapping pairs co-occur in every bin covering their
+    * intersection; the FIRST such bin (the greater of the two start
+    * bins) "owns" the pair and is the only one that emits it — the
+    * classic ownership trick that avoids a distinct-shuffle dedup pass.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      binWidth: Long,
+      maxBinsPerInterval: Int = 10000,
+  ): DataFrame = {
+    require(binWidth > 0, s"intervalOverlap: binWidth must be positive, got $binWidth")
+    val lCols = left.columns.toSeq.filterNot(keys.contains)
+    val rCols = right.columns.toSeq.filterNot(keys.contains)
+    val collisions = lCols.toSet.intersect(rCols.toSet)
+    require(collisions.isEmpty,
+      s"intervalOverlap: column collision on ${collisions.mkString(", ")} — rename one side")
+
+    def binned(df: DataFrame, s: String, e: String): DataFrame = {
+      val nBins = floorDiv(col(e), binWidth) - floorDiv(col(s), binWidth) + lit(1L)
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .withColumn("_rj_guard",
+          when(nBins > maxBinsPerInterval,
+            raise_error(lit(s"intervalOverlap: interval spans more than $maxBinsPerInterval bins of width $binWidth")))
+            .otherwise(lit(null)))
+        .withColumn("_rj_bin", explode(sequence(floorDiv(col(s), binWidth), floorDiv(col(e), binWidth))))
+        .drop("_rj_guard")
+    }
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), keys :+ "_rj_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_rj_bin") === greatest(floorDiv(col(lStart), binWidth), floorDiv(col(rStart), binWidth)))
+      .drop("_rj_bin")
+  }
+}

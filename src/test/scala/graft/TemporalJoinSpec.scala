@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // probe side: (key, pid, ts)
+  private def probes = Seq(
+    ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 5L),
+    ("b", 4L, 100L),
+    ("c", 5L, 50L), // key with no reference rows at all
+  ).toDF("k", "pid", "pts")
+
+  // reference side: (key, ts, val)
+  private def refs = Seq(
+    ("a", 8L, "r8"), ("a", 10L, "r10"), ("a", 15L, "r15"),
+    ("b", 200L, "r200"),
+  ).toDF("k", "rts", "rv")
+
+  private def runAsOf(direction: String, exact: Boolean = true,
+      tol: Option[org.apache.spark.sql.Column] = None) =
+    AsOfJoin.asOf(probes, refs, Seq("k"), "pts", "rts",
+        direction = direction, allowExactMatches = exact, tolerance = tol)
+      .orderBy("pid")
+      .collect()
+      .map(r => (r.getAs[Long]("pid"), Option(r.getAs[String]("rv")).orNull))
+      .toSeq
+
+  test("backward as-of: latest reference <= probe, exact match visible, unmatched null") {
+    assert(runAsOf("backward") == Seq(
+      (1L, "r10"), // exact ts=10 match allowed
+      (2L, "r15"),
+      (3L, null),  // nothing at or before ts=5
+      (4L, null),  // only ref is at 200 > 100
+      (5L, null),  // key with no refs
+    ))
+  }
+
+  test("backward as-of without exact matches skips the equal-ts reference") {
+    assert(runAsOf("backward", exact = false) == Seq(
+      (1L, "r8"), (2L, "r15"), (3L, null), (4L, null), (5L, null)))
+  }
+
+  test("forward as-of: earliest reference >= probe") {
+    assert(runAsOf("forward") == Seq(
+      (1L, "r10"), (2L, null), (3L, "r8"), (4L, "r200"), (5L, null)))
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    // backward with numeric tolerance 3: pid=2 (pts=20, match rts=15, gap 5) drops
+    assert(runAsOf("backward", tol = Some(lit(3L))) == Seq(
+      (1L, "r10"), (2L, null), (3L, null), (4L, null), (5L, null)))
+  }
+
+  test("duplicate (key, ts) reference rows resolve to the greatest payload struct") {
+    val dupRefs = Seq(("a", 10L, "x1"), ("a", 10L, "x9"), ("a", 10L, "x5")).toDF("k", "rts", "rv")
+    val out = AsOfJoin.asOf(probes.filter($"pid" === 1L), dupRefs, Seq("k"), "pts", "rts")
+      .collect()
+    assert(out.length == 1 && out.head.getAs[String]("rv") == "x9")
+  }
+
+  test("as-of carries the matched reference timestamp and left columns through") {
+    val row = AsOfJoin.asOf(probes, refs, Seq("k"), "pts", "rts")
+      .filter($"pid" === 2L).collect().head
+    assert(row.getAs[Long]("rts") == 15L && row.getAs[String]("k") == "a"
+      && row.getAs[Long]("pts") == 20L)
+  }
+
+  test("as-of rejects empty keys and colliding output names") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(probes, refs, Seq.empty, "pts", "rts")
+    }
+    val clash = refs.withColumnRenamed("rv", "pid")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(probes, clash, Seq("k"), "pts", "rts")
+    }
+    // ... and the prefix resolves the collision
+    val out = AsOfJoin.asOf(probes, clash, Seq("k"), "pts", "rts", rightPrefix = "r_")
+    assert(out.columns.contains("r_pid"))
+  }
+
+  private def points = Seq(
+    ("a", 1L, 7L), ("a", 2L, 12L), ("a", 3L, 25L), ("b", 4L, 7L),
+  ).toDF("k", "pid", "x")
+
+  private def intervals = Seq(
+    ("a", 10L, 5L, 14L),   // covers x=7 and x=12
+    ("a", 11L, 12L, 12L),  // degenerate [12,12] covers x=12 only
+    ("a", 12L, 30L, 40L),  // covers nothing
+    ("b", 13L, 0L, 100L),  // wide interval, other key
+  ).toDF("k", "iid", "s", "e")
+
+  test("point-in-interval: inclusive bounds, key-scoped, exactly-once pairs") {
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"), "x", "s", "e", binWidth = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 13L)))
+  }
+
+  test("point-in-interval: bin width does not change results (exactly-once under any width)") {
+    for (w <- Seq(1L, 3L, 7L, 1000L)) {
+      val out = RangeJoin.pointInInterval(points, intervals, Seq("k"), "x", "s", "e", binWidth = w,
+          maxBinsPerInterval = 200)
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq
+      assert(out.size == out.toSet.size, s"dup pair at binWidth=$w")
+      assert(out.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 13L)), s"binWidth=$w")
+    }
+  }
+
+  test("point-in-interval: negative domain floor division stays exact") {
+    val p = Seq((1L, -7L)).toDF("pid", "x")
+    val i = Seq((10L, -10L, -5L), (11L, -4L, 0L)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(p, i, Seq.empty, "x", "s", "e", binWidth = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("point-in-interval: over-wide interval fails loudly, inverted interval drops") {
+    val p = Seq((1L, 0L)).toDF("pid", "x")
+    val wide = Seq((10L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(p, wide, Seq.empty, "x", "s", "e", binWidth = 2L,
+        maxBinsPerInterval = 10).collect()
+    }
+    assert(ex.getMessage.contains("bins") || Option(ex.getCause).exists(_.getMessage.contains("bins")))
+    val inverted = Seq((10L, 5L, 1L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(p, inverted, Seq.empty, "x", "s", "e", binWidth = 2L)
+      .count() == 0L)
+  }
+
+  test("interval overlap: ownership emits each overlapping pair exactly once") {
+    val l = Seq(("a", 1L, 0L, 10L), ("a", 2L, 20L, 30L)).toDF("k", "lid", "ls", "le")
+    val r = Seq(("a", 7L, 5L, 25L), ("a", 8L, 40L, 50L)).toDF("k", "rid", "rs", "re")
+    for (w <- Seq(1L, 4L, 100L)) {
+      val out = RangeJoin.intervalOverlap(l, r, Seq("k"), "ls", "le", "rs", "re", binWidth = w,
+          maxBinsPerInterval = 200)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(out.sorted == Seq((1L, 7L), (2L, 7L)), s"binWidth=$w")
+    }
+  }
+}
