@@ -450,6 +450,17 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Blocked fuzzy entity resolution: candidate pairs only within
+    // (nation, segment) blocks, verified by banded levenshtein — the
+    // quadratic all-pairs space never materializes. The DuckDB oracle
+    // states it as the raw inequality join over the same blocks.
+    "dd_entity_blocking" -> ((s, dir) => {
+      graft.operators.EntityResolution.blockedFuzzyPairs(
+        t(s, dir, "customer"), "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDistance = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash + LSH banding near-dup pairs (16 hashes, 4x4 bands).
     "dd_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1759,6 +1770,16 @@ object Queries {
     "dd_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "dd_entity_blocking" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  levenshtein(a.c_name, b.c_name)::BIGINT AS distance
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_minhash_lsh" ->
       s"""WITH toks AS (

@@ -59,17 +59,17 @@ object RangeJoin {
       s"pointInInterval: column collision on ${collisions.mkString(", ")} — rename one side")
 
     val p2 = points.withColumn("_rj_bin", floorDiv(col(pointCol), binWidth))
-    val nBins = floorDiv(col(endCol), binWidth) - floorDiv(col(startCol), binWidth) + lit(1L)
+    // The fan-out guard lives INSIDE the sequence() upper bound so it is
+    // part of a consumed expression — a standalone guard column would be
+    // legal prey for column pruning and could silently never evaluate.
+    val guardedEnd = when(
+      floorDiv(col(endCol), binWidth) - floorDiv(col(startCol), binWidth) >= maxBinsPerInterval,
+      raise_error(lit(s"pointInInterval: interval spans more than $maxBinsPerInterval bins " +
+        s"of width $binWidth — raise binWidth or maxBinsPerInterval")))
+      .otherwise(floorDiv(col(endCol), binWidth))
     val i2 = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
-      .withColumn("_rj_guard",
-        when(nBins > maxBinsPerInterval,
-          raise_error(concat(lit(s"pointInInterval: interval spans more than $maxBinsPerInterval bins "),
-            lit(s"of width $binWidth — raise binWidth or maxBinsPerInterval"))))
-          .otherwise(lit(null)))
-      .withColumn("_rj_bin",
-        explode(sequence(floorDiv(col(startCol), binWidth), floorDiv(col(endCol), binWidth))))
-      .drop("_rj_guard")
+      .withColumn("_rj_bin", explode(sequence(floorDiv(col(startCol), binWidth), guardedEnd)))
     p2.join(i2, keys :+ "_rj_bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_rj_bin")
@@ -101,14 +101,13 @@ object RangeJoin {
       s"intervalOverlap: column collision on ${collisions.mkString(", ")} — rename one side")
 
     def binned(df: DataFrame, s: String, e: String): DataFrame = {
-      val nBins = floorDiv(col(e), binWidth) - floorDiv(col(s), binWidth) + lit(1L)
+      // guard embedded in the consumed expression — see pointInInterval
+      val guardedEnd = when(
+        floorDiv(col(e), binWidth) - floorDiv(col(s), binWidth) >= maxBinsPerInterval,
+        raise_error(lit(s"intervalOverlap: interval spans more than $maxBinsPerInterval bins of width $binWidth")))
+        .otherwise(floorDiv(col(e), binWidth))
       df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
-        .withColumn("_rj_guard",
-          when(nBins > maxBinsPerInterval,
-            raise_error(lit(s"intervalOverlap: interval spans more than $maxBinsPerInterval bins of width $binWidth")))
-            .otherwise(lit(null)))
-        .withColumn("_rj_bin", explode(sequence(floorDiv(col(s), binWidth), floorDiv(col(e), binWidth))))
-        .drop("_rj_guard")
+        .withColumn("_rj_bin", explode(sequence(floorDiv(col(s), binWidth), guardedEnd)))
     }
     binned(left, lStart, lEnd)
       .join(binned(right, rStart, rEnd), keys :+ "_rj_bin")
