@@ -716,6 +716,26 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // KMV distinct sketches: O(k)-state cardinality estimates whose
+    // portable md5-prefix hash lets DuckDB re-derive the k-min set AND
+    // the estimator bit-identically — an approximate operator with an
+    // exact oracle. user_id/event_id exceed k (true estimate path);
+    // event_type undershoots it (sketch degenerates to the exact count).
+    "tdp_sketch_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Sketches.kmvDistinct(ev, "event_id", col("event_id"), 64)
+        .unionByName(graft.operators.Sketches.kmvDistinct(ev, "event_type", col("event_type"), 64))
+        .unionByName(graft.operators.Sketches.kmvDistinct(ev, "user_id", col("user_id"), 64))
+        .orderBy(col("column_name"))
+    }),
+
+    // Exact heavy-hitter diagnostic (partial agg + TakeOrdered — no
+    // global sort): the report that decides where salting is needed.
+    "tdp_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Skew.heavyHitters(t(s, dir, "events"), col("user_id"), 10)
+        .orderBy(col("n").desc, col("key").asc)
+    }),
+
     // Native LSH-style spectra clustering (the MaraCluster-replacement
     // scale extension, SURVEY §7.5): spectra synthesized deterministically
     // from the embeddings table — planted near-copies at +1000 (same
@@ -2568,6 +2588,32 @@ object Queries {
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "tdp_sketch_distinct" ->
+      """WITH
+        |he AS (SELECT DISTINCT ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS h
+        |       FROM events WHERE event_id IS NOT NULL),
+        |ht AS (SELECT DISTINCT ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS h
+        |       FROM events WHERE event_type IS NOT NULL),
+        |hu AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+        |       FROM events WHERE user_id IS NOT NULL),
+        |ke AS (SELECT h FROM he ORDER BY h LIMIT 64),
+        |kt AS (SELECT h FROM ht ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM hu ORDER BY h LIMIT 64),
+        |a AS (
+        |  SELECT 'event_id' AS column_name, count(*) AS n_kmv, max(h) AS kth_hash FROM ke
+        |  UNION ALL
+        |  SELECT 'event_type', count(*), max(h) FROM kt
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), max(h) FROM ku)
+        |SELECT column_name, 64 AS k, n_kmv, kth_hash,
+        |  CASE WHEN n_kmv < 64 THEN n_kmv::DOUBLE
+        |       ELSE 63.0 * 4294967296.0 / kth_hash::DOUBLE END AS estimate
+        |FROM a ORDER BY column_name""".stripMargin,
+
+    "tdp_heavy_hitters" ->
+      """SELECT user_id AS key, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
 
     // BM25: postings restricted to the query terms, Lucene-variant idf,
     // document length from ALL terms; round(6) for ln/division ULP parity.

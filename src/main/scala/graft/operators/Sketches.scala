@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory cardinality sketches. At 100 TB an exact COUNT(DISTINCT)
+  * shuffles every distinct value; a KMV (k-minimum-values) sketch answers
+  * the same question from the k smallest hash values — O(k) state per
+  * partition, k rows per partition over the wire, and nothing else.
+  *
+  * The hash is the engine-portable md5-prefix ([[TextFunctions.portableHash32]],
+  * uniform on [0, 2^32)), so the WHOLE sketch — hash, k-min set, and
+  * estimator — re-derives bit-identically in DuckDB SQL: this is the rare
+  * approximate operator with an exact cross-engine oracle (Spark's own
+  * `approx_count_distinct` HLL± can never be checked that way).
+  *
+  * Estimator (Beyer et al., "On Synopses for Distinct-Value Estimation
+  * Under Multiset Operations", SIGMOD'07): with U(k) the k-th smallest
+  * hash normalized to (0,1], E[distinct] ≈ (k-1)/U(k); when fewer than k
+  * distinct hashes exist the sketch IS the exact distinct set.
+  */
+object Sketches {
+
+  /** The k smallest DISTINCT portable hashes of `c` (column "h", ≤ k rows).
+    *
+    * Per-partition bounded TreeSet via `mapPartitions` — the one shape
+    * Spark's declarative API cannot express (a distinct-respecting
+    * bounded top-k without shuffling the full distinct set). Each task
+    * emits at most k longs; the merge input is bounded by k × partitions
+    * rows, so the final distinct+sort is metadata-sized at any corpus
+    * scale.
+    */
+  def kmvMinHashes(df: DataFrame, c: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmvMinHashes: k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df
+      .select(TextFunctions.portableHash32(c.cast("string")).as("h"))
+      .filter(col("h").isNotNull)
+      .as[Long]
+    val partial = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (set.size < k) { set.add(h); () }
+        else if (h < set.last()) { if (set.add(h)) { set.pollLast(); () } }
+      }
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(_.longValue())
+    }
+    partial.toDF("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** One-row distinct-count estimate for `c`: (column_name, k, n_kmv,
+    * kth_hash, estimate). `n_kmv < k` means the sketch saw the whole
+    * distinct set and `estimate` is exact.
+    */
+  def kmvDistinct(df: DataFrame, name: String, c: Column, k: Int): DataFrame =
+    kmvMinHashes(df, c, k)
+      .agg(count(lit(1)).as("n_kmv"), max(col("h")).as("kth_hash"))
+      .select(
+        lit(name).as("column_name"),
+        lit(k).as("k"),
+        col("n_kmv"),
+        col("kth_hash"),
+        when(col("n_kmv") < k, col("n_kmv").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
+          .as("estimate"))
+}

@@ -53,4 +53,19 @@ object Skew {
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Exact heavy-hitter report: the k hottest values of `key` with their
+    * row counts — the diagnostic that decides WHERE the salting above is
+    * needed. Deterministic tie-break (count desc, then key asc). Plan
+    * shape at scale: partial aggregation map-side, one exchange on the
+    * key, then `TakeOrderedAndProject` (per-partition top-k merged at the
+    * driver) — no global sort ever materializes.
+    */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"heavyHitters: k must be positive, got $k")
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(k)
+  }
 }
