@@ -716,6 +716,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff between two corpus versions: only (id, md5) shuffles,
+    // never document bodies. The two versions derive deterministically
+    // from the documents table (drop-by-modulus + an edit marker).
+    "tdp_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Curation.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+        .orderBy(col("id"))
+    }),
+
     // KMV distinct sketches: O(k)-state cardinality estimates whose
     // portable md5-prefix hash lets DuckDB re-derive the k-min set AND
     // the estimator bit-identically — an approximate operator with an
@@ -2588,6 +2602,19 @@ object Queries {
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "tdp_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(v1.id, v2.id) AS id,
+        |  CASE WHEN v1.id IS NULL THEN 'added'
+        |       WHEN v2.id IS NULL THEN 'removed'
+        |       WHEN md5(v1.text) IS NOT DISTINCT FROM md5(v2.text) THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+        |ORDER BY id""".stripMargin,
 
     "tdp_sketch_distinct" ->
       """WITH

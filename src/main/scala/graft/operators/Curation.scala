@@ -407,4 +407,37 @@ object Curation {
         col("n_removed_tokens"))
     clean.unionByName(rebuilt)
   }
+
+  /** Snapshot diff between two corpus versions keyed by `idCol`: per id,
+    * `status` ∈ added | removed | changed | unchanged. The versioning
+    * primitive of an iterated training-data pipeline — what actually
+    * changed between crawl N and crawl N+1 drives incremental downstream
+    * recompute.
+    *
+    * Scale shape: each side projects to (id, fingerprint) BEFORE the
+    * full-outer join, so only ids + fixed-width hashes shuffle — never
+    * document bodies. Pass a content hash (md5/xxhash64 of the compared
+    * columns) as `fingerprint`; a hash collision can only misreport
+    * changed→unchanged, at hash-collision probability. Null fingerprints
+    * compare null-safely (two null-content versions are `unchanged`).
+    * Ids must be unique within each snapshot (a duplicated id
+    * cross-multiplies in the join, as in any keyed diff).
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      fingerprint: Column,
+  ): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      fingerprint.as("_sd_oldf"), lit(true).as("_sd_inold"))
+    val n = newSnap.select(col(idCol).as("id"),
+      fingerprint.as("_sd_newf"), lit(true).as("_sd_innew"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_sd_inold").isNull, lit("added"))
+          .when(col("_sd_innew").isNull, lit("removed"))
+          .when(col("_sd_oldf") <=> col("_sd_newf"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

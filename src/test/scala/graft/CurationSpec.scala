@@ -225,4 +225,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == "mixed <EMAIL> then <IP> then <PHONE> end")
     assert(got(5L) == "clean text with the number 7 alone")
   }
+
+  test("snapshot diff: added/removed/changed/unchanged, null content null-safe") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null), (5L, "e"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B!"), (4L, null), (5L, null), (6L, "new"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("status"))).toSeq
+    assert(got == Seq(
+      (1L, "unchanged"),
+      (2L, "changed"),
+      (3L, "removed"),
+      (4L, "unchanged"), // null fingerprint on both sides compares null-safely
+      (5L, "changed"),   // e -> null content is a change, not a removal
+      (6L, "added"),
+    ))
+  }
 }
