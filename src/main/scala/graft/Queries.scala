@@ -489,6 +489,27 @@ object Queries {
       graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
     }),
 
+    // BPE tokenizer end-to-end on a deterministic fixture: distributed
+    // word-frequency train (groupBy count + TakeOrdered cap) -> exact
+    // driver merge loop -> broadcast-merges mapPartitions encode. The
+    // merge loop is not SQL-expressible, so the oracle is a reviewed
+    // VALUES pin (fixture-backed: SF-independent, always checked).
+    "txt_bpe_encode" -> ((s, _) => {
+      import s.implicits._
+      val corpus = Seq(
+        (1L, "low low low low low"),
+        (2L, "lower lower"),
+        (3L, "newest newest newest newest newest newest"),
+        (4L, "widest widest widest"),
+        (5L, "the lowest newest widest low"),
+      ).toDF("id", "text")
+      val merges = graft.operators.Bpe.train(corpus, col("text"), nMerges = 8)
+      graft.operators.Bpe.encode(corpus, col("id"), col("text"), merges)
+        .select(col("id"), col("n_tokens"),
+          array_join(col("tokens"), " ").as("token_str"))
+        .orderBy(col("id"))
+    }),
+
     // SimHash document signatures (32-bit, multiset token weights).
     "dd_simhash" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -2602,6 +2623,19 @@ object Queries {
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // reviewed pin (gen_values_oracle): newest (7 occurrences, the most
+    // frequent word) merges to one token; widest only reaches est</w>
+    // before the 8-merge budget ends; lowest composes low + est</w>
+    "txt_bpe_encode" ->
+      """SELECT c0::BIGINT AS "id", c1::BIGINT AS "n_tokens", c2::VARCHAR AS "token_str"
+        |FROM (VALUES
+        |  (1, 10, 'low </w> low </w> low </w> low </w> low </w>'),
+        |  (2, 8, 'low e r </w> low e r </w>'),
+        |  (3, 6, 'newest</w> newest</w> newest</w> newest</w> newest</w> newest</w>'),
+        |  (4, 12, 'w i d est</w> w i d est</w> w i d est</w>'),
+        |  (5, 13, 't h e </w> low est</w> newest</w> w i d est</w> low </w>'))
+        |AS t(c0, c1, c2) ORDER BY "id"""".stripMargin,
 
     "tdp_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
