@@ -105,9 +105,17 @@ object CorpusBench {
       graft.operators.Search.bm25TopK(docs, col("id"), col("text"),
         Seq("w17", "w421", "w900"), k = 100).count()
     }
+    // round-6 stage: BPE — distributed word-frequency train (vocabulary is
+    // 1k words + per-doc mutation markers) then full-corpus encode
+    val (nBpeToks, tBpe) = time {
+      val merges = graft.operators.Bpe.train(docs, col("text"),
+        nMerges = 200, maxWords = 50000)
+      graft.operators.Bpe.encode(docs, col("id"), col("text"), merges)
+        .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f}}""")
     spark.stop()
   }
 }

@@ -764,6 +764,16 @@ object Queries {
         .orderBy(col("column_name"))
     }),
 
+    // Per-group KMV via the native TypedImperativeAggregate: partial
+    // buffers cap at k longs per (partition, group) — the bounded
+    // grouped sketch collect_set cannot express. Same portable hash, so
+    // DuckDB re-derives every group's sketch bit-identically.
+    "tdp_sketch_by_group" -> ((s, dir) => {
+      graft.operators.Sketches.kmvDistinctByGroup(
+        t(s, dir, "events"), Seq(col("event_type")), col("user_id"), 32)
+        .orderBy(col("event_type"))
+    }),
+
     // Exact heavy-hitter diagnostic (partial agg + TakeOrdered — no
     // global sort): the report that decides where salting is needed.
     "tdp_heavy_hitters" -> ((s, dir) => {
@@ -2675,6 +2685,20 @@ object Queries {
     "tdp_heavy_hitters" ->
       """SELECT user_id AS key, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
+
+    "tdp_sketch_by_group" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |a AS (SELECT event_type, count(*) AS n_kmv, max(h) AS kth_hash
+        |      FROM r WHERE rn <= 32 GROUP BY event_type)
+        |SELECT event_type, n_kmv, kth_hash,
+        |  CASE WHEN n_kmv < 32 THEN n_kmv::DOUBLE
+        |       ELSE 31.0 * 4294967296.0 / kth_hash::DOUBLE END AS estimate
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // BM25: postings restricted to the query terms, Lucene-variant idf,
     // document length from ALL terms; round(6) for ln/division ULP parity.

@@ -20,5 +20,6 @@ object GraftFunctions {
     ModsToStructsExpr.register(spark)
     ResidueMassExpr.register(spark)
     QualityMetricsExpr.register(spark)
+    KmvSketchAgg.register(spark)
   }
 }

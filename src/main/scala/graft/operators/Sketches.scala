@@ -66,4 +66,22 @@ object Sketches {
         when(col("n_kmv") < k, col("n_kmv").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
           .as("estimate"))
+
+  /** Per-GROUP distinct-count estimate via the native
+    * [[graft.functions.KmvSketchAgg]] aggregate: one row per group with
+    * (n_kmv, kth_hash, estimate). The partial buffers cap at k longs per
+    * (partition, group), so a hot group can never blow the aggregation
+    * buffer the way `collect_set` would. Groups whose values are all
+    * null report an empty sketch (n_kmv 0, estimate 0.0).
+    */
+  def kmvDistinctByGroup(df: DataFrame, groupCols: Seq[Column], c: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val h = TextFunctions.portableHash32(c.cast("string"))
+    df.groupBy(groupCols: _*)
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(spark, h, k).as("_sk"))
+      .withColumn("n_kmv", col("_sk.n_kmv"))
+      .withColumn("kth_hash", col("_sk.kth_hash"))
+      .withColumn("estimate", col("_sk.estimate"))
+      .drop("_sk")
+  }
 }

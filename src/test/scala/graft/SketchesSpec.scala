@@ -44,6 +44,59 @@ class SketchesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_kmv") == 0L && row.getAs[Double]("estimate") == 0.0)
   }
 
+  test("grouped kmv agg matches the per-group brute-force k-min sketch") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val got = Sketches.kmvDistinctByGroup(df, Seq(col("g")), col("v"), 16)
+      .orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_kmv"),
+        r.getAs[Long]("kth_hash"), r.getAs[Double]("estimate"))).toSeq
+    // brute force per group via the relation-level sketch on a filtered df
+    (0 to 2).foreach { gi =>
+      val sub = df.filter(col("g") === s"g$gi").select(col("v"))
+      val bf = Sketches.kmvDistinct(sub, "v", col("v"), 16).collect().head
+      val row = got.find(_._1 == s"g$gi").get
+      assert(row._2 == bf.getAs[Long]("n_kmv"))
+      assert(row._3 == bf.getAs[Long]("kth_hash"))
+      assert(row._4 == bf.getAs[Double]("estimate"))
+    }
+    // partitioning invariance of the merge path
+    val got2 = Sketches.kmvDistinctByGroup(df.repartition(13), Seq(col("g")), col("v"), 16)
+      .orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_kmv"),
+        r.getAs[Long]("kth_hash"), r.getAs[Double]("estimate"))).toSeq
+    assert(got2 == got)
+  }
+
+  test("grouped kmv: nulls ignored, all-null group reports an empty sketch") {
+    val df = Seq(("a", Some(1)), ("a", Some(2)), ("a", None), ("b", None))
+      .toDF("g", "v")
+    val got = Sketches.kmvDistinctByGroup(df, Seq(col("g")), col("v"), 8)
+      .orderBy("g").collect()
+    assert(got(0).getAs[Long]("n_kmv") == 2L)
+    assert(got(1).getAs[Long]("n_kmv") == 0L
+      && got(1).isNullAt(got(1).fieldIndex("kth_hash"))
+      && got(1).getAs[Double]("estimate") == 0.0)
+  }
+
+  test("grouped kmv buffer stays capped on a hot group (estimate still sane)") {
+    val hot = (1 to 50000).map(i => ("hot", i)).toDF("g", "v")
+    val row = Sketches.kmvDistinctByGroup(hot, Seq(col("g")), col("v"), 64)
+      .collect().head
+    assert(row.getAs[Long]("n_kmv") == 64L)
+    val est = row.getAs[Double]("estimate")
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.4, s"estimate $est")
+  }
+
+  test("kmv_sketch is callable from SQL after registration") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    (1 to 100).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "h")
+      .createOrReplaceTempView("kmv_sql_in")
+    val rows = spark.sql(
+      "SELECT g, kmv_sketch(h, 8).n_kmv AS n FROM kmv_sql_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("g0", 8L), ("g1", 8L)))
+  }
+
   test("heavy hitters: count-desc then key-asc, exactly k rows") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
