@@ -325,6 +325,23 @@ object Queries {
         .orderBy(col("user_id"), col("rank"))
     }),
 
+    // W6 — trailing range-frame window (RANGE BETWEEN 1 HOUR PRECEDING):
+    // per-user rolling event count + exact decimal rolling sum. The
+    // running range frame evaluates streaming per partition — no
+    // full-frame buffering; decimal sum keeps the rolling total
+    // order-free for cross-engine parity.
+    "w6_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            .as("sum_trailing_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // J8 — bucketed co-located join: both fact sides written bucketBy the
     // join key, so the SMJ reads bucket metadata instead of shuffling
     // either side (plan asserted exchange-free in BucketedSpec). The
@@ -762,6 +779,22 @@ object Queries {
         .unionByName(graft.operators.Sketches.kmvDistinct(ev, "event_type", col("event_type"), 64))
         .unionByName(graft.operators.Sketches.kmvDistinct(ev, "user_id", col("user_id"), 64))
         .orderBy(col("column_name"))
+    }),
+
+    // Z-order layout: quantize (user_id, event time) and bit-interleave
+    // into the Morton value a write-side ORDER BY would use — every file
+    // then carries a tight min/max envelope on BOTH columns for parquet
+    // zone-map pruning. Pure integer shift/mask arithmetic, re-derived
+    // operator-for-operator by the DuckDB oracle.
+    "tdp_zorder" -> ((s, dir) => {
+      val tsMin = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+      val tsMax = 1735689600000000L // 2025-01-01T00:00:00Z
+      val z = graft.operators.ZOrder.zValue(
+        Seq(col("user_id"), unix_micros(col("ts").cast("timestamp"))),
+        Seq((0L, 100000L), (tsMin, tsMax)), bits = 8)
+      t(s, dir, "events")
+        .select(col("event_id"), z.as("z"))
+        .orderBy(col("event_id"))
     }),
 
     // Per-group KMV via the native TypedImperativeAggregate: partial
@@ -1781,6 +1814,15 @@ object Queries {
         |    (3, 7, '3.0'::DOUBLE), (3, 8, '1.0'::DOUBLE)) AS t(user_id, event_id, value))
         |WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
 
+    "w6_rolling_range" ->
+      """SELECT user_id, event_id, ts,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  (sum(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "j8_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
@@ -2685,6 +2727,28 @@ object Queries {
     "tdp_heavy_hitters" ->
       """SELECT user_id AS key, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
+
+    "tdp_zorder" ->
+      """WITH q AS (
+        |  SELECT event_id,
+        |    (least(greatest(user_id, 0), 100000) - least(greatest(user_id, 0), 100000) % 391) / 391 AS qu,
+        |    ((o - o % 123525000001) / 123525000001) AS qt
+        |  FROM (SELECT event_id, user_id,
+        |          least(greatest(epoch_us(ts), 1704067200000000), 1735689600000000)
+        |            - 1704067200000000 AS o
+        |        FROM events))
+        |SELECT event_id,
+        |  -- DuckDB bitwise operators share one precedence level and bind
+        |  -- left-to-right, so every term is fully parenthesized
+        |  ((((CAST(qu AS BIGINT) >> 0) & 1) << 0) | (((CAST(qt AS BIGINT) >> 0) & 1) << 1)
+        |  | (((CAST(qu AS BIGINT) >> 1) & 1) << 2) | (((CAST(qt AS BIGINT) >> 1) & 1) << 3)
+        |  | (((CAST(qu AS BIGINT) >> 2) & 1) << 4) | (((CAST(qt AS BIGINT) >> 2) & 1) << 5)
+        |  | (((CAST(qu AS BIGINT) >> 3) & 1) << 6) | (((CAST(qt AS BIGINT) >> 3) & 1) << 7)
+        |  | (((CAST(qu AS BIGINT) >> 4) & 1) << 8) | (((CAST(qt AS BIGINT) >> 4) & 1) << 9)
+        |  | (((CAST(qu AS BIGINT) >> 5) & 1) << 10) | (((CAST(qt AS BIGINT) >> 5) & 1) << 11)
+        |  | (((CAST(qu AS BIGINT) >> 6) & 1) << 12) | (((CAST(qt AS BIGINT) >> 6) & 1) << 13)
+        |  | (((CAST(qu AS BIGINT) >> 7) & 1) << 14) | (((CAST(qt AS BIGINT) >> 7) & 1) << 15)) AS z
+        |FROM q ORDER BY event_id""".stripMargin,
 
     "tdp_sketch_by_group" ->
       """WITH h AS (

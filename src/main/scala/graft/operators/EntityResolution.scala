@@ -71,6 +71,12 @@ object EntityResolution {
 
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
+      // |len(a) - len(b)| <= maxDistance is a NECESSARY condition for the
+      // edit distance — an integer compare that prunes candidates before
+      // the O(len·k) DP runs (Catalyst evaluates the distance twice: once
+      // in the pushed join residual, once in the output projection, so
+      // every pair this gate kills saves two DP evaluations)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
       .join(sizes, blockCols)
       .withColumn("distance", distance.cast("long"))
       // banded levenshtein returns -1 above the threshold
