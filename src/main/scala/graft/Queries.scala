@@ -2751,7 +2751,8 @@ object Queries {
         |FROM q ORDER BY event_id""".stripMargin,
 
     "tdp_sketch_by_group" ->
-      """WITH h AS (
+      """WITH g AS (SELECT DISTINCT event_type FROM events),
+        |h AS (
         |  SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
         |  FROM events WHERE user_id IS NOT NULL),
@@ -2759,10 +2760,14 @@ object Queries {
         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
         |a AS (SELECT event_type, count(*) AS n_kmv, max(h) AS kth_hash
         |      FROM r WHERE rn <= 32 GROUP BY event_type)
-        |SELECT event_type, n_kmv, kth_hash,
-        |  CASE WHEN n_kmv < 32 THEN n_kmv::DOUBLE
-        |       ELSE 31.0 * 4294967296.0 / kth_hash::DOUBLE END AS estimate
-        |FROM a ORDER BY event_type""".stripMargin,
+        |-- a group whose values are ALL null has no h rows but still gets
+        |-- an empty-sketch row (n_kmv 0, estimate 0.0), like the operator
+        |SELECT g.event_type, coalesce(a.n_kmv, 0) AS n_kmv, a.kth_hash,
+        |  CASE WHEN a.n_kmv IS NULL THEN 0.0
+        |       WHEN a.n_kmv < 32 THEN a.n_kmv::DOUBLE
+        |       ELSE 31.0 * 4294967296.0 / a.kth_hash::DOUBLE END AS estimate
+        |FROM g LEFT JOIN a ON g.event_type IS NOT DISTINCT FROM a.event_type
+        |ORDER BY g.event_type""".stripMargin,
 
     // BM25: postings restricted to the query terms, Lucene-variant idf,
     // document length from ALL terms; round(6) for ln/division ULP parity.

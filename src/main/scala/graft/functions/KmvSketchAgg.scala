@@ -113,8 +113,10 @@ object KmvSketchAgg {
     StructField("estimate", DoubleType, nullable = false)))
 
   private val Name = "kmv_sketch"
+  // weak keys, same as every sibling registration — a strong map would
+  // pin dropped sessions (and their sessionState) forever
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   def register(spark: SparkSession): Unit = registered.synchronized {
     if (!registered.containsKey(spark)) {

@@ -87,12 +87,20 @@ object AsOfJoin {
         struct(leftCols.map(col): _*).as("_aoj_l"),
         lit(null).cast(rType).as("_aoj_r"),
         lit(1).as("_aoj_side")): _*)
-    val r2 = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("_aoj_ts"),
-        lit(null).cast(lType).as("_aoj_l"),
-        struct(rightPayload.map(col): _*).as("_aoj_r"),
-        lit(0).as("_aoj_side")): _*)
+    // Equi-join semantics: a reference row with a null key or null
+    // timestamp can never match (it would otherwise sort first in the
+    // backward scan — nulls-first — and hand its payload to every probe).
+    // Null-key/null-ts PROBE rows stay in the output, just unmatched
+    // (left-outer semantics); with null references gone they can only
+    // share a window partition with other null-key rows, all probes.
+    val r2 = right
+      .filter(col(rightTs).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("_aoj_ts"),
+          lit(null).cast(lType).as("_aoj_l"),
+          struct(rightPayload.map(col): _*).as("_aoj_r"),
+          lit(0).as("_aoj_side")): _*)
 
     // Scan order: time order (reversed for "forward" so "next reference"
     // becomes "latest seen"); at equal timestamps the side order decides
@@ -120,6 +128,10 @@ object AsOfJoin {
 
     gated
       .filter(col("_aoj_side") === 1)
+      // a probe with a null timestamp has no "before"/"after": unmatched
+      // (in the forward scan — ts desc, nulls last — it would otherwise
+      // see every reference)
+      .withColumn("_aoj_m", when(col("_aoj_ts").isNotNull, col("_aoj_m")))
       .select(
         leftCols.map(c => col("_aoj_l").getField(c).as(c)) ++
           rightPayload.zip(outRight).map { case (c, o) => col("_aoj_m").getField(c).as(o) }: _*)

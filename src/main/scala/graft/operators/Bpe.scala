@@ -139,12 +139,23 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val r = bc.value
+        // bounded memo: natural corpora repeat words heavily (hit rate
+        // stays high at this cap), but an id/URL/code-heavy partition
+        // must not grow the map without limit — past the cap, unseen
+        // words just encode directly
+        val memoCap = 200000
         val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
         it.map { case (docId, t) =>
           val toks: Seq[String] =
             if (t == null) Seq.empty
             else t.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-              memo.getOrElseUpdate(w, encodeWord(w, r))
+              memo.get(w) match {
+                case Some(enc) => enc
+                case None =>
+                  val enc = encodeWord(w, r)
+                  if (memo.size < memoCap) memo.update(w, enc)
+                  enc
+              }
             }.toSeq
           (docId, toks, toks.length.toLong)
         }

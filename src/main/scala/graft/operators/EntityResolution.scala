@@ -57,17 +57,22 @@ object EntityResolution {
     // aggregation makes it cheap); joining it back co-partitions for free.
     val sizes = base.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("_er_n"))
 
-    val a = base.select(blockCols.map(col) ++
-      Seq(col(idCol).as("id_a"), col(nameCol).as("name_a")): _*)
-    val b = base.select(blockCols.map(col) ++
-      Seq(col(idCol).as("id_b"), col(nameCol).as("name_b")): _*)
-
-    // Guard rides inside the distance expression every kept row consumes,
-    // so column pruning can never drop it (see RangeJoin for the pattern).
-    val distance = when(col("_er_n") > maxBlockSize,
+    // The size guard rides inside the id every PAIR-INPUT row consumes
+    // (ids feed the id_a < id_b join filter), so it fires on the linear
+    // pre-join rows — BEFORE the quadratic expansion, and independent of
+    // whether any pair later survives the length/distance filters. A
+    // guard attached only to surviving pairs would let an oversized
+    // block burn |block|^2 silently whenever its pairs all fail the
+    // cheap gates.
+    val guardedId = when(col("_er_n") > maxBlockSize,
       raise_error(lit(s"blockedFuzzyPairs: a block exceeds $maxBlockSize rows — " +
         "choose a more selective blocking key")))
-      .otherwise(levenshtein(col("name_a"), col("name_b"), maxDistance))
+      .otherwise(col(idCol))
+    val sized = base.join(sizes, blockCols)
+    val a = sized.select(blockCols.map(col) ++
+      Seq(guardedId.as("id_a"), col(nameCol).as("name_a")): _*)
+    val b = sized.select(blockCols.map(col) ++
+      Seq(guardedId.as("id_b"), col(nameCol).as("name_b")): _*)
 
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
@@ -77,8 +82,8 @@ object EntityResolution {
       // in the pushed join residual, once in the output projection, so
       // every pair this gate kills saves two DP evaluations)
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
-      .join(sizes, blockCols)
-      .withColumn("distance", distance.cast("long"))
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("name_b"), maxDistance).cast("long"))
       // banded levenshtein returns -1 above the threshold
       .filter(col("distance") >= 0 && col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("distance"))

@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Domains are numeric (LongType images). For timestamp data, bin on
   * `unix_micros(ts)` — exact integer microseconds, no double rounding.
-  * Bin arithmetic uses pmod-based floor division, exact for the whole
-  * long range (negatives included) — `floor(x / w)` on doubles would
-  * lose precision above 2^53.
+  * Bin arithmetic is exact floor division over the whole long range
+  * (negatives included): the pmod-adjusted numerator is an exact
+  * multiple of the width and the division runs through the INTEGRAL
+  * `div` operator — Spark's Column `/` would detour through doubles and
+  * mis-bin beyond 2^53.
   */
 object RangeJoin {
 
   private def floorDiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+    call_function("div", x - pmod(x, lit(w)), lit(w))
 
   /** Points × intervals: emit one row per (point, interval) pair with
     * `start <= point <= end` (inclusive) and equal `keys`. Each point

@@ -48,6 +48,23 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(msg(ex).contains("block"))
   }
 
+  test("oversized block fails even when every pair would fail the cheap gates") {
+    // names of wildly different lengths: every pair dies at the length
+    // gate, but the size guard must STILL fire (it rides the pre-join
+    // id projection, not the surviving pairs)
+    val skewed = Seq(
+      (1L, "a", "X"), (2L, "bbbbbbbbbb", "X"), (3L, "c" * 20, "X"),
+      (4L, "d" * 30, "X"), (5L, "e" * 40, "X"),
+    ).toDF("id", "name", "region")
+    val ex = intercept[Exception] {
+      EntityResolution.blockedFuzzyPairs(skewed, "id", "name", Seq("region"),
+        maxDistance = 2, maxBlockSize = 3).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(ex).contains("block"))
+  }
+
   test("empty blocking is rejected") {
     intercept[IllegalArgumentException] {
       EntityResolution.blockedFuzzyPairs(records, "id", "name", Seq.empty, maxDistance = 1)

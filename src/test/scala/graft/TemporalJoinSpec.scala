@@ -70,6 +70,42 @@ class TemporalJoinSpec extends AnyFunSuite {
       && row.getAs[Long]("pts") == 20L)
   }
 
+  test("null reference timestamps and null keys never match; null-ts probes stay unmatched") {
+    val refsWithNulls = Seq(
+      (Option.empty[String], Option(1L), "nullkey"),
+      (Option("a"), Option.empty[Long], "nullts"),
+      (Option("a"), Option(8L), "r8"),
+    ).toDF("k", "rts", "rv")
+    // probe at ts=5 ("a"): nothing at/before 5 except the null-ts row,
+    // which must NOT win; null-key probe must not pick up the null-key ref
+    val probesWithNulls = Seq(
+      (Option("a"), 1L, Option(5L)),
+      (Option.empty[String], 2L, Option(10L)),
+      (Option("a"), 3L, Option.empty[Long]), // null probe ts
+    ).toDF("k", "pid", "pts")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.asOf(probesWithNulls, refsWithNulls, Seq("k"), "pts", "rts",
+          direction = dir)
+        .orderBy("pid").collect()
+        .map(r => (r.getAs[Long]("pid"), Option(r.getAs[String]("rv")).orNull)).toSeq
+      val expected =
+        if (dir == "backward") Seq((1L, null), (2L, null), (3L, null))
+        else Seq((1L, "r8"), (2L, null), (3L, null))
+      assert(out == expected, s"direction=$dir")
+    }
+  }
+
+  test("point-in-interval stays exact beyond 2^53 (integral div binning)") {
+    val base = 1L << 60
+    val p = Seq((1L, base + 2L)).toDF("pid", "x")
+    val i = Seq((10L, base + 1L, base + 4L), (11L, base + 5L, base + 9L)).toDF("iid", "s", "e")
+    for (w <- Seq(3L, 7L)) {
+      val out = RangeJoin.pointInInterval(p, i, Seq.empty, "x", "s", "e", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 10L)), s"binWidth=$w")
+    }
+  }
+
   test("as-of rejects empty keys and colliding output names") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOf(probes, refs, Seq.empty, "pts", "rts")
