@@ -167,6 +167,88 @@ class TemporalJoinSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("as-of matches a brute-force reference on random data (all 4 modes)") {
+    val rnd = new scala.util.Random(42)
+    val ks = Vector("a", "b", "c", "d")
+    val probeRows = (1 to 200).map(i =>
+      (ks(rnd.nextInt(4)), i.toLong, rnd.nextInt(100).toLong))
+    val refRows = (1 to 150).map(i =>
+      (ks(rnd.nextInt(4)), rnd.nextInt(100).toLong, s"v${rnd.nextInt(1000)}"))
+    val probeDf = probeRows.toDF("k", "pid", "pts")
+    val refDf = refRows.toDF("k", "rts", "rv")
+    for (dir <- Seq("backward", "forward"); exact <- Seq(true, false)) {
+      val got = AsOfJoin.asOf(probeDf, refDf, Seq("k"), "pts", "rts",
+          direction = dir, allowExactMatches = exact)
+        .collect()
+        .map(r => r.getAs[Long]("pid") -> Option(r.getAs[String]("rv")))
+        .toMap
+      probeRows.foreach { case (k, pid, pts) =>
+        val eligible = refRows.filter { case (rk, rts, _) =>
+          rk == k && (dir match {
+            case "backward" => if (exact) rts <= pts else rts < pts
+            case "forward"  => if (exact) rts >= pts else rts > pts
+          })
+        }
+        val expected =
+          if (eligible.isEmpty) None
+          else {
+            val bestTs =
+              if (dir == "backward") eligible.map(_._2).max else eligible.map(_._2).min
+            // duplicate-(key,ts) tie-break: greatest payload struct (rts, rv)
+            Some(eligible.filter(_._2 == bestTs).map(_._3).max)
+          }
+        assert(got(pid) == expected, s"pid=$pid dir=$dir exact=$exact")
+      }
+    }
+  }
+
+  test("point-in-interval matches a brute-force nested loop on random data") {
+    val rnd = new scala.util.Random(7)
+    val pRows = (1 to 120).map(i => (rnd.nextInt(3).toString, i.toLong, rnd.nextInt(200).toLong))
+    val iRows = (1 to 80).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (rnd.nextInt(3).toString, (1000 + i).toLong, s, s + rnd.nextInt(30).toLong)
+    }
+    val pDf = pRows.toDF("k", "pid", "x")
+    val iDf = iRows.toDF("k", "iid", "s", "e")
+    val want = (for {
+      (pk, pid, x) <- pRows
+      (ik, iid, s, e) <- iRows
+      if pk == ik && x >= s && x <= e
+    } yield (pid, iid)).toSet
+    for (w <- Seq(1L, 8L, 64L)) {
+      val got = RangeJoin.pointInInterval(pDf, iDf, Seq("k"), "x", "s", "e", binWidth = w,
+          maxBinsPerInterval = 100)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs at w=$w")
+      assert(got.toSet == want, s"binWidth=$w")
+    }
+  }
+
+  test("interval overlap matches a brute-force nested loop on random data") {
+    val rnd = new scala.util.Random(11)
+    def mkIvals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(150).toLong
+      (rnd.nextInt(2).toString, idBase + i, s, s + rnd.nextInt(25).toLong)
+    }
+    val lRows = mkIvals(60, 0L)
+    val rRows = mkIvals(60, 1000L)
+    val lDf = lRows.toDF("k", "lid", "ls", "le")
+    val rDf = rRows.toDF("k", "rid", "rs", "re")
+    val want = (for {
+      (lk, lid, ls, le) <- lRows
+      (rk, rid, rs, re) <- rRows
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    for (w <- Seq(4L, 32L)) {
+      val got = RangeJoin.intervalOverlap(lDf, rDf, Seq("k"), "ls", "le", "rs", "re",
+          binWidth = w, maxBinsPerInterval = 100)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs at w=$w")
+      assert(got.toSet == want, s"binWidth=$w")
+    }
+  }
+
   test("interval overlap: ownership emits each overlapping pair exactly once") {
     val l = Seq(("a", 1L, 0L, 10L), ("a", 2L, 20L, 30L)).toDF("k", "lid", "ls", "le")
     val r = Seq(("a", 7L, 5L, 25L), ("a", 8L, 40L, 50L)).toDF("k", "rid", "rs", "re")
