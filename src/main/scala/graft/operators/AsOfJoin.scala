@@ -35,8 +35,10 @@ object AsOfJoin {
     * @param leftTs     probe timestamp column on `left` (timestamp or numeric;
     *                   must union-compatibly match `rightTs`'s type)
     * @param rightTs    reference timestamp column on `right`
-    * @param direction  "backward" (greatest rightTs <= leftTs, the default)
-    *                   or "forward" (smallest rightTs >= leftTs)
+    * @param direction  "backward" (greatest rightTs <= leftTs, the default),
+    *                   "forward" (smallest rightTs >= leftTs), or "nearest"
+    *                   (minimum |rightTs - leftTs|; equidistant ties take
+    *                   the backward row, pandas merge_asof semantics)
     * @param allowExactMatches whether a reference row AT the probe timestamp
     *                   may match (pandas merge_asof semantics)
     * @param tolerance  optional maximum match distance (an interval literal
@@ -67,8 +69,8 @@ object AsOfJoin {
       rightPrefix: String = "",
   ): DataFrame = {
     require(keys.nonEmpty, "asOf: keys must be non-empty (a keyless as-of is a single-partition sort)")
-    require(direction == "backward" || direction == "forward",
-      s"asOf: direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asOf: direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(keys.contains)
     require(rightPayload.nonEmpty, "asOf: right side has no payload columns besides the keys")
@@ -105,25 +107,41 @@ object AsOfJoin {
     // Scan order: time order (reversed for "forward" so "next reference"
     // becomes "latest seen"); at equal timestamps the side order decides
     // whether an exact-timestamp reference is visible to the probe row.
-    val tsOrd = if (direction == "backward") col("_aoj_ts").asc else col("_aoj_ts").desc
-    val sideOrd = if (allowExactMatches) col("_aoj_side").asc else col("_aoj_side").desc
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(tsOrd, sideOrd, col("_aoj_r").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Each direction is one running window; "nearest" runs both over the
+    // SAME union (the hash exchange on the keys is shared — only the two
+    // per-partition sorts differ) and picks the closer match per probe.
+    def annotate(df: DataFrame, dir: String): DataFrame = {
+      val tsOrd = if (dir == "backward") col("_aoj_ts").asc else col("_aoj_ts").desc
+      val sideOrd = if (allowExactMatches) col("_aoj_side").asc else col("_aoj_side").desc
+      val w = Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(tsOrd, sideOrd, col("_aoj_r").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = last(col("_aoj_r"), ignoreNulls = true).over(w)
+      val mts = last(when(col("_aoj_side") === 0, col("_aoj_ts")), ignoreNulls = true).over(w)
+      // tolerance gates each direction independently, before any choice
+      val ok = tolerance match {
+        case Some(tol) =>
+          if (dir == "backward") mts >= col("_aoj_ts") - tol
+          else mts <= col("_aoj_ts") + tol
+        case None => lit(true)
+      }
+      df.withColumn(s"_aoj_m_$dir", when(ok, m))
+        .withColumn(s"_aoj_mts_$dir", when(ok, mts))
+    }
 
-    val matched = l2.unionByName(r2)
-      .withColumn("_aoj_m", last(col("_aoj_r"), ignoreNulls = true).over(w))
-      .withColumn("_aoj_mts",
-        last(when(col("_aoj_side") === 0, col("_aoj_ts")), ignoreNulls = true).over(w))
-
-    val gated = tolerance match {
-      case Some(tol) =>
-        val ok =
-          if (direction == "backward") col("_aoj_mts") >= col("_aoj_ts") - tol
-          else col("_aoj_mts") <= col("_aoj_ts") + tol
-        matched.withColumn("_aoj_m", when(ok, col("_aoj_m")))
-      case None => matched
+    val u = l2.unionByName(r2)
+    val gated = direction match {
+      case "nearest" =>
+        val both = annotate(annotate(u, "backward"), "forward")
+        val bw = col("_aoj_m_backward"); val bwTs = col("_aoj_mts_backward")
+        val fw = col("_aoj_m_forward"); val fwTs = col("_aoj_mts_forward")
+        // backward wins ties (pandas merge_asof picks the earlier row
+        // when both sides are equally distant)
+        val useBw = bw.isNotNull &&
+          (fw.isNull || col("_aoj_ts") - bwTs <= fwTs - col("_aoj_ts"))
+        both.withColumn("_aoj_m", when(useBw, bw).otherwise(fw))
+      case d => annotate(u, d).withColumnRenamed(s"_aoj_m_$d", "_aoj_m")
     }
 
     gated

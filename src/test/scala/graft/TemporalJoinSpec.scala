@@ -50,6 +50,27 @@ class TemporalJoinSpec extends AnyFunSuite {
       (1L, "r10"), (2L, null), (3L, "r8"), (4L, "r200"), (5L, null)))
   }
 
+  test("nearest as-of: minimum absolute distance, ties take the backward row") {
+    assert(runAsOf("nearest") == Seq(
+      (1L, "r10"), // exact hit
+      (2L, "r15"), // d5 backward vs nothing forward
+      (3L, "r8"),  // d3 forward beats nothing backward
+      (4L, "r200"),
+      (5L, null),
+    ))
+    // equidistant: probe ts=10 between refs at 8 and 12 -> backward (r8)
+    val p = Seq(("a", 1L, 10L)).toDF("k", "pid", "pts")
+    val r = Seq(("a", 8L, "r8"), ("a", 12L, "r12")).toDF("k", "rts", "rv")
+    val out = AsOfJoin.asOf(p, r, Seq("k"), "pts", "rts", direction = "nearest")
+      .collect().head
+    assert(out.getAs[String]("rv") == "r8")
+    // nearest + tolerance: the d5 match of pid=2 drops at tol 3
+    assert(runAsOf("nearest", tol = Some(lit(3L))) == Seq(
+      (1L, "r10"), (2L, null), (3L, "r8"), (4L, null), (5L, null)))
+    // nearest without exact matches skips the equal-ts reference
+    assert(runAsOf("nearest", exact = false).take(1) == Seq((1L, "r8")))
+  }
+
   test("tolerance nulls out matches farther than the bound") {
     // backward with numeric tolerance 3: pid=2 (pts=20, match rts=15, gap 5) drops
     assert(runAsOf("backward", tol = Some(lit(3L))) == Seq(
@@ -176,27 +197,38 @@ class TemporalJoinSpec extends AnyFunSuite {
       (ks(rnd.nextInt(4)), rnd.nextInt(100).toLong, s"v${rnd.nextInt(1000)}"))
     val probeDf = probeRows.toDF("k", "pid", "pts")
     val refDf = refRows.toDF("k", "rts", "rv")
-    for (dir <- Seq("backward", "forward"); exact <- Seq(true, false)) {
+    for (dir <- Seq("backward", "forward", "nearest"); exact <- Seq(true, false)) {
       val got = AsOfJoin.asOf(probeDf, refDf, Seq("k"), "pts", "rts",
           direction = dir, allowExactMatches = exact)
         .collect()
         .map(r => r.getAs[Long]("pid") -> Option(r.getAs[String]("rv")))
         .toMap
       probeRows.foreach { case (k, pid, pts) =>
-        val eligible = refRows.filter { case (rk, rts, _) =>
-          rk == k && (dir match {
+        def eligible(d: String) = refRows.filter { case (rk, rts, _) =>
+          rk == k && (d match {
             case "backward" => if (exact) rts <= pts else rts < pts
             case "forward"  => if (exact) rts >= pts else rts > pts
           })
         }
-        val expected =
-          if (eligible.isEmpty) None
+        def best(rows: Seq[(String, Long, String)], d: String): Option[String] =
+          if (rows.isEmpty) None
           else {
-            val bestTs =
-              if (dir == "backward") eligible.map(_._2).max else eligible.map(_._2).min
+            val bestTs = if (d == "backward") rows.map(_._2).max else rows.map(_._2).min
             // duplicate-(key,ts) tie-break: greatest payload struct (rts, rv)
-            Some(eligible.filter(_._2 == bestTs).map(_._3).max)
+            Some(rows.filter(_._2 == bestTs).map(_._3).max)
           }
+        val expected = dir match {
+          case "nearest" =>
+            val bw = eligible("backward"); val fw = eligible("forward")
+            val bwBest = best(bw, "backward").map(v => (bw.map(_._2).max, v))
+            val fwBest = best(fw, "forward").map(v => (fw.map(_._2).min, v))
+            (bwBest, fwBest) match {
+              case (Some((bts, bv)), Some((fts, fv))) =>
+                if (pts - bts <= fts - pts) Some(bv) else Some(fv)
+              case (b, f) => b.orElse(f).map(_._2)
+            }
+          case d => best(eligible(d), d)
+        }
         assert(got(pid) == expected, s"pid=$pid dir=$dir exact=$exact")
       }
     }
