@@ -2776,7 +2776,7 @@ object Queries {
         |  SELECT doc_id AS id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
-        |st AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
+        |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
         |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
         |qp AS (
         |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post

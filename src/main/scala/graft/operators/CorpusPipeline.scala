@@ -22,7 +22,13 @@ object CorpusPipeline {
       minHashes: Int = 16,
       lshBands: Int = 4,
       nearDupThreshold: Double = 0.7,
-  )
+  ) {
+    // validated at the config boundary so a bad combination names THESE
+    // fields, not the derived rowsPerBand deep inside minHashLshPairs
+    require(lshBands >= 1, s"CorpusConfig: lshBands must be >= 1, got $lshBands")
+    require(minHashes >= 1 && minHashes % lshBands == 0,
+      s"CorpusConfig: minHashes ($minHashes) must be a positive multiple of lshBands ($lshBands)")
+  }
 
   /** Corpus result with a cache-release handle: `buildCorpus` persists an
     * intermediate frame that the returned plan reads several times; callers

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * The actual media codecs are NOT available in this environment, so the
   * decode step is STUBBED with a deterministic fake (clearly marked below);
   * the Spark-side plumbing — schema, batched `mapPartitions` execution
-  * shape, partitioning by media type, binary-file ingestion — is real and
+  * shape, media-type classification, binary-file ingestion — is real and
   * tested. Swapping the stub for a real decoder (e.g. a JNI codec or a
   * Pandas-UDF equivalent) changes one function.
   */
@@ -83,8 +83,13 @@ object Multimodal {
   /** STUB — deterministic fake "decode + resize": nearest-neighbor byte
     * resample of the raw payload to a `w*h` gray8 buffer
     * (`out(j) = in(j*inLen/outLen)`). Replace with a real image decoder;
-    * the signature (bytes -> w*h-byte buffer) is the real contract. */
+    * the signature (bytes -> w*h-byte buffer) is the real contract.
+    * Dimensions are validated loudly: w*h would otherwise overflow Int
+    * (silently-empty or negative-size buffers) — same guard posture as
+    * [[sampleFrames]]'s fan-out check. */
   def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"stubResize: dimensions must be positive, got ${w}x$h")
+    require(w.toLong * h <= Int.MaxValue, s"stubResize: ${w}x$h overflows an Int buffer")
     val outLen = w * h
     if (payload.isEmpty) Array.emptyByteArray
     else {
@@ -103,6 +108,9 @@ object Multimodal {
     * REPLACED (width/height become the target dims), payload bytes come
     * from [[stubResize]]. */
   def resizeImages(media: Dataset[MediaRow], dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
+    // fail at plan-build time, not once per task, for bad dimensions
+    require(dstW > 0 && dstH > 0, s"resizeImages: dimensions must be positive, got ${dstW}x$dstH")
+    require(dstW.toLong * dstH <= Int.MaxValue, s"resizeImages: ${dstW}x$dstH overflows an Int buffer")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -150,7 +158,11 @@ object Multimodal {
   }
 
   /** Ingest a directory of media files as binary rows
-    * (`spark.read.format("binaryFile")`), partitioned by inferred type. */
+    * (`spark.read.format("binaryFile")`). Partitioning follows the file
+    * layout (binaryFile splits); type classification is a COLUMN
+    * (`withMediaType`), not a physical partitioning — callers running a
+    * per-type partition-local decoder should `repartition` on media_type
+    * (plus a spread key for parallelism) first. */
   def readBinaryDir(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
       .select(

@@ -58,9 +58,13 @@ object Search {
     require(qTerms.nonEmpty, "bm25TopK: query must contain at least one non-empty term")
 
     val base = docs.select(id.as("id"), terms(text).as("_t"))
-    // Corpus stats: one row (N, avgdl) — broadcast cross join.
+    // Corpus stats: one row (N, avgdl) — broadcast cross join. N counts
+    // TOKENIZABLE docs (count of non-null token arrays), consistent with
+    // avgdl's null-skipping average: a null-text doc can never match a
+    // term, so letting it inflate N would overstate every idf relative
+    // to the retrievable corpus.
     val stats = base.agg(
-      count(lit(1)).as("n_docs"),
+      count(col("_t")).as("n_docs"),
       avg(size(col("_t"))).as("avgdl"))
     // Postings for query terms only: the isin predicate runs inside the
     // projection, so non-matching tokens never leave the scan stage.

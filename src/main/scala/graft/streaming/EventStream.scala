@@ -48,7 +48,8 @@ object EventStream {
       gap: String = "30 minutes",
       aggs: Seq[org.apache.spark.sql.Column] =
         Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_value")),
-  ): DataFrame =
+  ): DataFrame = {
+    require(aggs.nonEmpty, "sessionWindows: aggs must be non-empty")
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -56,16 +57,23 @@ object EventStream {
       .withColumn("session_start", col("session_window.start"))
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
+  }
 
   /** Streaming exact dedup on a content fingerprint: state is bounded by
     * the watermark (`dropDuplicatesWithinWatermark` — duplicates arriving
     * inside the lateness horizon are dropped, state beyond it is evicted;
-    * the streaming counterpart of `Dedup.exact` for ingest pipelines). */
+    * the streaming counterpart of `Dedup.exact` for ingest pipelines).
+    * NULL-fingerprint parity with `Dedup.exact`: a null fingerprint
+    * proves nothing about content equality, so each such event gets a
+    * unique secondary key and never collapses with another (the state
+    * key treats nulls as equal otherwise — silent event loss). */
   def streamingDedup(events: DataFrame, fingerprint: org.apache.spark.sql.Column): DataFrame =
     events
       .withColumn("fingerprint", fingerprint)
+      .withColumn("_dd_nullkey", when(col("fingerprint").isNull, expr("uuid()")))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint", "_dd_nullkey")
+      .drop("_dd_nullkey")
 
   final case class Event(event_id: Long, user_id: Long, value: Double)
   final case class SessionState(n: Long, total: Double)
