@@ -372,6 +372,21 @@ object Queries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // J9b — the dimension-table form of the as-of join: per-key sorted
+    // reference arrays + array-filter lookup (broadcast-able key join,
+    // zero probe-side shuffle; composes with stream-static joins).
+    // Identical semantics to j9 — same DuckDB ASOF oracle.
+    "j9_asof_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin.asOfLookup(clicks, purchases, Seq("user_id"), "ts", "pts")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // J10 — range join: clicks falling inside the 2-hour window after a
     // purchase by the same user. Binned to an equi-join on (user, hour
     // bucket of unix micros) + exact re-check — the inequality join never
@@ -1830,6 +1845,14 @@ object Queries {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "j9_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts AS pts, max(value) AS purchase_value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.user_id, l.event_id, l.ts, l.value, r.pts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    "j9_asof_lookup" ->
       """WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
         |     r AS (SELECT user_id, ts AS pts, max(value) AS purchase_value FROM events
         |           WHERE event_type = 'purchase' GROUP BY user_id, ts)

@@ -154,4 +154,96 @@ object AsOfJoin {
         leftCols.map(c => col("_aoj_l").getField(c).as(c)) ++
           rightPayload.zip(outRight).map { case (c, o) => col("_aoj_m").getField(c).as(o) }: _*)
   }
+
+  /** Dimension-table as-of: the fast path when the reference side is
+    * small PER KEY (quotes/configs per entity, not another fact stream).
+    * The reference collapses to one sorted (ts, payload) array per key;
+    * probes equi-join on the key and resolve the match with an array
+    * filter — no window, no union, and (critically) it composes with
+    * Structured Streaming's stream-STATIC join, where the union+window
+    * form of [[asOf]] cannot run (a streaming union side can't be
+    * window-sorted). On a batch cluster the key join is broadcast-able
+    * when the reference is dimension-sized — zero shuffle of the probe
+    * side.
+    *
+    * Memory contract: one key's references must fit in a single array
+    * (executor-memory-bounded). For fact-sized reference sides use
+    * [[asOf]]. Semantics (directions, exact-match toggle, tolerance,
+    * duplicate-ts greatest-payload tie-break, null hygiene) are
+    * IDENTICAL to [[asOf]] — property-tested equal on random data.
+    */
+  def asOfLookup(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Column] = None,
+      rightPrefix: String = "",
+  ): DataFrame = {
+    require(keys.nonEmpty, "asOfLookup: keys must be non-empty")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asOfLookup: direction must be backward|forward|nearest, got $direction")
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+    require(rightPayload.nonEmpty, "asOfLookup: right side has no payload columns besides the keys")
+    val outRight = rightPayload.map(rightPrefix + _)
+    val collisions = outRight.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"asOfLookup: output name collision on ${collisions.mkString(", ")} — set rightPrefix")
+
+    // sorted (t, p) per key; ascending struct order puts the greatest
+    // payload last within equal timestamps — same tie-break as asOf
+    val rAgg = right
+      .filter(col(rightTs).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("t"),
+        struct(rightPayload.map(col): _*).as("p")))).as("_aol_arr"))
+
+    val pts = col(leftTs)
+    def pick(dir: String): Column = {
+      val elig = dir match {
+        case "backward" =>
+          val cmp = (e: Column) =>
+            if (allowExactMatches) e.getField("t") <= pts else e.getField("t") < pts
+          filter(col("_aol_arr"), e => cmp(e))
+        case _ =>
+          val cmp = (e: Column) =>
+            if (allowExactMatches) e.getField("t") >= pts else e.getField("t") > pts
+          filter(col("_aol_arr"), e => cmp(e))
+      }
+      val tolGated = tolerance match {
+        case Some(tol) =>
+          if (dir == "backward") filter(elig, e => e.getField("t") >= pts - tol)
+          else filter(elig, e => e.getField("t") <= pts + tol)
+        case None => elig
+      }
+      // try_element_at: an empty eligible array is "no match" (NULL), not
+      // an ANSI index error
+      if (dir == "backward") try_element_at(tolGated, lit(-1))
+      else {
+        // smallest eligible ts, but greatest payload among its ties
+        val minT = try_element_at(tolGated, lit(1)).getField("t")
+        try_element_at(filter(tolGated, e => e.getField("t") === minT), lit(-1))
+      }
+    }
+    val matched = direction match {
+      case "nearest" =>
+        val bw = pick("backward"); val fw = pick("forward")
+        when(bw.isNotNull && (fw.isNull || pts - bw.getField("t") <= fw.getField("t") - pts), bw)
+          .otherwise(fw)
+      case d => pick(d)
+    }
+
+    left.join(rAgg, keys, "left")
+      .withColumn("_aol_m", when(pts.isNotNull && col("_aol_arr").isNotNull, matched))
+      .select(
+        leftCols.map(col) ++
+          rightPayload.zip(outRight).map { case (c, o) =>
+            col("_aol_m").getField("p").getField(c).as(o)
+          }: _*)
+  }
 }

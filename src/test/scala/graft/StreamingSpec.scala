@@ -117,6 +117,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("asOfLookup enriches a stream against a static reference (stream-static join)") {
+    val dir = Files.createTempDirectory("graft-asof-stream").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "p.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:30:00.000Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:30:00.000Z","user_id":2,"event_type":"click","value":3.0}""",
+    ).mkString("\n"))
+    val probes = EventStream.readEventStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val refs = Seq(
+      (1L, Timestamp.from(java.time.Instant.parse("2024-01-01T00:10:00Z")), "cfgA"),
+      (1L, Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), "cfg0"),
+      (2L, Timestamp.from(java.time.Instant.parse("2024-01-01T01:00:00Z")), "late"),
+    ).toDF("user_id", "rts", "cfg")
+    val q = graft.operators.AsOfJoin
+      .asOfLookup(probes, refs, Seq("user_id"), "ts", "rts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("asof_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("asof_stream").orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("cfg")).orNull))
+      .toSeq
+    // event 1 predates cfgA -> cfg0; event 2 after cfgA; user 2's only ref is later -> null
+    assert(got == Seq((1L, "cfg0"), (2L, "cfgA"), (3L, null)))
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),

@@ -77,6 +77,29 @@ class TemporalJoinSpec extends AnyFunSuite {
       (1L, "r10"), (2L, null), (3L, null), (4L, null), (5L, null)))
   }
 
+  test("asOfLookup: tolerance and null hygiene match asOf") {
+    val got = AsOfJoin.asOfLookup(probes, refs, Seq("k"), "pts", "rts",
+        tolerance = Some(lit(3L)))
+      .orderBy("pid").collect()
+      .map(r => (r.getAs[Long]("pid"), Option(r.getAs[String]("rv")).orNull)).toSeq
+    assert(got == Seq((1L, "r10"), (2L, null), (3L, null), (4L, null), (5L, null)))
+    val refsWithNulls = Seq(
+      (Option.empty[String], Option(1L), "nullkey"),
+      (Option("a"), Option.empty[Long], "nullts"),
+      (Option("a"), Option(8L), "r8"),
+    ).toDF("k", "rts", "rv")
+    val probesWithNulls = Seq(
+      (Option("a"), 1L, Option(5L)),
+      (Option.empty[String], 2L, Option(10L)),
+      (Option("a"), 3L, Option.empty[Long]),
+    ).toDF("k", "pid", "pts")
+    val out = AsOfJoin.asOfLookup(probesWithNulls, refsWithNulls, Seq("k"), "pts", "rts",
+        direction = "forward")
+      .orderBy("pid").collect()
+      .map(r => (r.getAs[Long]("pid"), Option(r.getAs[String]("rv")).orNull)).toSeq
+    assert(out == Seq((1L, "r8"), (2L, null), (3L, null)))
+  }
+
   test("duplicate (key, ts) reference rows resolve to the greatest payload struct") {
     val dupRefs = Seq(("a", 10L, "x1"), ("a", 10L, "x9"), ("a", 10L, "x5")).toDF("k", "rts", "rv")
     val out = AsOfJoin.asOf(probes.filter($"pid" === 1L), dupRefs, Seq("k"), "pts", "rts")
@@ -203,6 +226,14 @@ class TemporalJoinSpec extends AnyFunSuite {
         .collect()
         .map(r => r.getAs[Long]("pid") -> Option(r.getAs[String]("rv")))
         .toMap
+      // the dimension-table lookup form must agree with the window form
+      // in every mode (documented-identical semantics)
+      val gotLookup = AsOfJoin.asOfLookup(probeDf, refDf, Seq("k"), "pts", "rts",
+          direction = dir, allowExactMatches = exact)
+        .collect()
+        .map(r => r.getAs[Long]("pid") -> Option(r.getAs[String]("rv")))
+        .toMap
+      assert(gotLookup == got, s"asOfLookup diverges from asOf: dir=$dir exact=$exact")
       probeRows.foreach { case (k, pid, pts) =>
         def eligible(d: String) = refRows.filter { case (rk, rts, _) =>
           rk == k && (d match {
