@@ -63,16 +63,17 @@ object EntityResolution {
     // whether any pair later survives the length/distance filters. A
     // guard attached only to surviving pairs would let an oversized
     // block burn |block|^2 silently whenever its pairs all fail the
-    // cheap gates.
+    // cheap gates. One side suffices (every oversized block has a-side
+    // rows); the b side stays a plain projection so the sizes
+    // aggregate+join runs once, not twice.
     val guardedId = when(col("_er_n") > maxBlockSize,
       raise_error(lit(s"blockedFuzzyPairs: a block exceeds $maxBlockSize rows — " +
         "choose a more selective blocking key")))
       .otherwise(col(idCol))
-    val sized = base.join(sizes, blockCols)
-    val a = sized.select(blockCols.map(col) ++
+    val a = base.join(sizes, blockCols).select(blockCols.map(col) ++
       Seq(guardedId.as("id_a"), col(nameCol).as("name_a")): _*)
-    val b = sized.select(blockCols.map(col) ++
-      Seq(guardedId.as("id_b"), col(nameCol).as("name_b")): _*)
+    val b = base.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_b"), col(nameCol).as("name_b")): _*)
 
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))

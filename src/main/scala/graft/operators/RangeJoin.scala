@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def floorDiv(x: Column, w: Long): Column =
-    call_function("div", x - pmod(x, lit(w)), lit(w))
+  /** Exact floor division of a long column by a positive constant, safe
+    * over the WHOLE long range: integral `div` truncates toward zero, so
+    * negative inexact quotients step down by one (a pmod-adjusted
+    * numerator would overflow within binWidth-1 of Long.MinValue; the
+    * q0-1 correction cannot overflow, since |q0| <= |x|/w and the w==1
+    * case never takes the branch). Shared with [[ZOrder]]. */
+  private[operators] def floorDiv(x: Column, w: Long): Column = {
+    require(w > 0, s"floorDiv: width must be positive, got $w")
+    val q0 = call_function("div", x, lit(w))
+    when(x < 0 && x % lit(w) =!= 0, q0 - lit(1L)).otherwise(q0)
+  }
 
   /** Points × intervals: emit one row per (point, interval) pair with
     * `start <= point <= end` (inclusive) and equal `keys`. Each point

@@ -26,22 +26,19 @@ object ZOrder {
   /** Quantize `c` (long domain) from [min, max] onto [0, 2^bits) by
     * fixed-step floor division with clamping. The step is computed
     * driver-side (`floor(span / 2^bits) + 1`, which guarantees the
-    * quantized value stays below 2^bits); the row-side arithmetic is a
-    * pmod-based floor division over offsets <= span — EXACT as long as
-    * span < 2^53 (Spark's `/` is double division; offsets and their
-    * step-multiples below 2^53 divide exactly). Any realistic id or
-    * microsecond-timestamp span satisfies that; the require makes the
-    * limit loud rather than silently off-by-one.
+    * quantized value stays below 2^bits); the row-side arithmetic is the
+    * shared exact integral floor division ([[RangeJoin.floorDiv]]) — no
+    * double detour, no span limit. `max - min` must not overflow a long
+    * (i.e. the domain can span at most the positive long range).
     */
   def quantize(c: Column, min: Long, max: Long, bits: Int): Column = {
     require(bits >= 1 && bits <= 20, s"quantize: bits must be in [1,20], got $bits")
     require(max > min, s"quantize: empty domain [$min, $max]")
     val span = max - min
-    require(span < (1L << 53), s"quantize: span $span exceeds exact double range")
+    require(span > 0, s"quantize: domain [$min, $max] overflows a long span")
     val step = (span >> bits) + 1L
     val clamped = least(greatest(c, lit(min)), lit(max))
-    val off = clamped - lit(min)
-    ((off - pmod(off, lit(step))) / lit(step)).cast("long")
+    RangeJoin.floorDiv(clamped - lit(min), step)
   }
 
   /** Bit-interleave quantized coordinates (round-robin, first column in
