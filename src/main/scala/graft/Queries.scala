@@ -796,6 +796,27 @@ object Queries {
         .orderBy(col("column_name"))
     }),
 
+    // Deterministic k-per-group sampling: smallest-portable-hash rows of
+    // each language (fixed-count complement of the fraction-based
+    // stratified sample; rerun/engine reproducible).
+    "tdp_sample_per_group" -> ((s, dir) => {
+      graft.operators.Curation.samplePerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq(col("lang")), col("doc_id"), k = 5)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Fixed-memory histogram quantiles on document length: O(span/step)
+    // state vs the exact percentile's full-width sort; midpoint within
+    // step/2 of a true quantile element. Integral bucket math replays
+    // bit-identically in DuckDB.
+    "tdp_quantile_sketch" -> ((s, dir) => {
+      graft.operators.Sketches.histogramQuantiles(
+        t(s, dir, "documents"), col("n_chars"), step = 200L,
+        qs = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q"))
+    }),
+
     // Z-order layout: quantize (user_id, event time) and bit-interleave
     // into the Morton value a write-side ORDER BY would use — every file
     // then carries a tight min/max envelope on BOTH columns for parquet
@@ -2750,6 +2771,27 @@ object Queries {
     "tdp_heavy_hitters" ->
       """SELECT user_id AS key, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
+
+    "tdp_sample_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    "tdp_quantile_sketch" ->
+      """WITH b AS (
+        |  SELECT n_chars // 200 AS bucket, count(*)::BIGINT AS n
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT a.bucket, sum(b.n)::BIGINT AS cum
+        |  FROM b a JOIN b ON b.bucket <= a.bucket GROUP BY a.bucket),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM b),
+        |q AS (SELECT unnest(['0.5'::DOUBLE, '0.9'::DOUBLE, '0.99'::DOUBLE]) AS q)
+        |SELECT q, min(bucket) AS bucket, min(bucket) * 200 + 100 AS approx
+        |FROM q CROSS JOIN t JOIN c ON c.cum >= q.q * t.total
+        |GROUP BY q ORDER BY q""".stripMargin,
 
     "tdp_zorder" ->
       """WITH q AS (

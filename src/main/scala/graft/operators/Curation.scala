@@ -408,6 +408,29 @@ object Curation {
     clean.unionByName(rebuilt)
   }
 
+  /** Deterministic fixed-size sample PER GROUP: the k rows of each group
+    * with the smallest portable id hash (hash order = an arbitrary-but-
+    * fixed shuffle, so this is an unbiased without-replacement sample
+    * that every engine and every rerun reproduces bit-identically —
+    * the fixed-count complement of the fraction-based
+    * [[stratifiedSample]]). One shuffle on the group key; the per-group
+    * sort is bounded by the group size.
+    */
+  def samplePerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      id: Column,
+      k: Int,
+  ): DataFrame = {
+    require(k > 0, s"samplePerGroup: k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*)
+      .orderBy(TextFunctions.portableHash32(id.cast("string")).asc, id.asc)
+    df.withColumn("_spg_rn", row_number().over(w))
+      .filter(col("_spg_rn") <= k)
+      .drop("_spg_rn")
+  }
+
   /** Snapshot diff between two corpus versions keyed by `idCol`: per id,
     * `status` ∈ added | removed | changed | unchanged. The versioning
     * primitive of an iterated training-data pipeline — what actually

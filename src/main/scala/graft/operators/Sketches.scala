@@ -67,6 +67,47 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
           .as("estimate"))
 
+  /** Fixed-memory approximate quantiles for a LONG-domain column via a
+    * fixed-step histogram: one distributed aggregate over
+    * floor(v / step) buckets, a cumulative count over the (small) bucket
+    * table, and quantile selection — state is O(domain / step)
+    * regardless of row count, vs the full-width sort state of an exact
+    * percentile. Error is bounded by the bucket: the reported midpoint
+    * is within step/2 of a true q-quantile element.
+    *
+    * The cumulative count runs as a bounded theta self-join over the
+    * bucket table (no unpartitioned window — the bucket table is small
+    * by construction, O(B²) pairs where B = span/step; size `step` so B
+    * stays in the thousands). Bit-exact cross-engine: bucket arithmetic
+    * is integral, the q*total threshold and midpoint math replay
+    * identically in DuckDB.
+    *
+    * @return one row per q: (q, bucket, approx) with
+    *         approx = bucket*step + step/2 (long midpoint)
+    */
+  def histogramQuantiles(df: DataFrame, c: Column, step: Long, qs: Seq[Double]): DataFrame = {
+    require(step > 0, s"histogramQuantiles: step must be positive, got $step")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"histogramQuantiles: quantiles must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df
+      .filter(c.isNotNull)
+      .select(RangeJoin.floorDiv(c, step).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val cum = buckets.as("a")
+      .join(buckets.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n")).as("cum"))
+    val total = buckets.agg(sum(col("n")).as("total"))
+    qs.toDF("q")
+      .crossJoin(total)
+      .join(cum, col("cum") >= col("q") * col("total"))
+      .groupBy(col("q")).agg(min(col("bucket")).as("bucket"))
+      .select(col("q"), col("bucket"),
+        (col("bucket") * lit(step) + lit(step / 2)).as("approx"))
+  }
+
   /** Per-GROUP distinct-count estimate via the native
     * [[graft.functions.KmvSketchAgg]] aggregate: one row per group with
     * (n_kmv, kth_hash, estimate). The partial buffers cap at k longs per

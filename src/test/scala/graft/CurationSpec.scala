@@ -226,6 +226,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == "clean text with the number 7 alone")
   }
 
+  test("samplePerGroup: exactly k per group, deterministic across partitionings") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val s1 = Curation.samplePerGroup(df, Seq(col("g")), col("id"), k = 4)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s1.groupBy(_._1).forall(_._2.size == 4))
+    val s2 = Curation.samplePerGroup(df.repartition(11), Seq(col("g")), col("id"), k = 4)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s2 == s1)
+    // undersized group: returned whole
+    val tiny = Seq(("a", 1L), ("a", 2L)).toDF("g", "id")
+    assert(Curation.samplePerGroup(tiny, Seq(col("g")), col("id"), 5).count() == 2L)
+  }
+
   test("snapshot diff: added/removed/changed/unchanged, null content null-safe") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null), (5L, "e"))
       .toDF("doc_id", "text")

@@ -97,6 +97,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows == Seq(("g0", 8L), ("g1", 8L)))
   }
 
+  test("histogram quantiles: within step/2 of the exact quantile, partition-invariant") {
+    val df = (1 to 10000).map(_.toLong).toDF("v")
+    val got = Sketches.histogramQuantiles(df, col("v"), step = 100L, qs = Seq(0.5, 0.9, 1.0))
+      .orderBy("q").collect()
+      .map(r => (r.getAs[Double]("q"), r.getAs[Long]("approx"))).toSeq
+    // exact quantiles of 1..10000: 5000, 9000, 10000
+    assert(math.abs(got(0)._2 - 5000L) <= 50L)
+    assert(math.abs(got(1)._2 - 9000L) <= 50L)
+    assert(math.abs(got(2)._2 - 10000L) <= 50L)
+    val got2 = Sketches.histogramQuantiles(df.repartition(7), col("v"), 100L, Seq(0.5, 0.9, 1.0))
+      .orderBy("q").collect().map(r => (r.getAs[Double]("q"), r.getAs[Long]("approx"))).toSeq
+    assert(got2 == got)
+  }
+
+  test("histogram quantiles: negative domain and validation") {
+    val df = Seq(-1000L, -500L, -1L, 1L, 500L).toDF("v")
+    val got = Sketches.histogramQuantiles(df, col("v"), step = 10L, qs = Seq(1.0))
+      .collect().head.getAs[Long]("approx")
+    assert(got >= 500L - 10L && got <= 500L + 10L)
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(df, col("v"), step = 0L, qs = Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(df, col("v"), step = 10L, qs = Seq(0.0))
+    }
+  }
+
   test("heavy hitters: count-desc then key-asc, exactly k rows") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
       .toDF("k")
