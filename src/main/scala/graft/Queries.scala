@@ -796,6 +796,15 @@ object Queries {
         .orderBy(col("column_name"))
     }),
 
+    // Model inference as columns: hashed linear quality scorer (fastText
+    // shape) as a zero-shuffle projection — plan-time literal weight
+    // table, exact long fold over the token array.
+    "txt_quality_model" -> ((s, dir) => {
+      graft.operators.QualityModel
+        .scoreDocs(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
     // Deterministic k-per-group sampling: smallest-portable-hash rows of
     // each language (fixed-count complement of the fraction-based
     // stratified sample; rerun/engine reproducible).
@@ -2771,6 +2780,22 @@ object Queries {
     "tdp_heavy_hitters" ->
       """SELECT user_id AS key, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
+
+    // weight table rendered from the SAME source seq the operator uses
+    "txt_quality_model" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
+         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
+         |      FROM tok),
+         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id)
+         |SELECT d.doc_id AS id, coalesce(s.n, 0) AS n_tokens,
+         |  CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+         |       ELSE sw::DOUBLE / 1000.0 / n END AS score
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY id""".stripMargin,
 
     "tdp_sample_per_group" ->
       """SELECT doc_id, lang FROM (
