@@ -342,6 +342,20 @@ object Queries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // W3 aggregate tier: bounded top-k per group via the native
+    // TopKByAgg — partial top-k map-side, only k pairs per (partition,
+    // group) cross the shuffle (the window form sorts every row of
+    // every group). Same result as the w3 row_number oracle.
+    "w3_topk_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKByAgg.topKIds(s, col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.ord").as("value"), col("col.id").as("event_id"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // J8 — bucketed co-located join: both fact sides written bucketBy the
     // join key, so the SMJ reads bucket metadata instead of shuffling
     // either side (plan asserted exchange-free in BucketedSpec). The
@@ -1858,6 +1872,14 @@ object Queries {
         |    (1, 4, '0.1'::DOUBLE), (2, 5, '1.0'::DOUBLE), (3, 6, '2.0'::DOUBLE),
         |    (3, 7, '3.0'::DOUBLE), (3, 8, '1.0'::DOUBLE)) AS t(user_id, event_id, value))
         |WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
+
+    "w3_topk_agg" ->
+      """SELECT event_type, rank, value, event_id FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "w6_rolling_range" ->
       """SELECT user_id, event_id, ts,

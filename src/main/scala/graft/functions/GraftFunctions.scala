@@ -21,5 +21,6 @@ object GraftFunctions {
     ResidueMassExpr.register(spark)
     QualityMetricsExpr.register(spark)
     KmvSketchAgg.register(spark)
+    TopKByAgg.register(spark)
   }
 }

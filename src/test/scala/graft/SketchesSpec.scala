@@ -87,6 +87,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 50000.0) / 50000.0 < 0.4, s"estimate $est")
   }
 
+  test("topk_ids agg matches the window row_number form, partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 2000).map(i => (s"g${i % 4}", i.toLong, rnd.nextInt(500).toDouble))
+      .toDF("g", "id", "v")
+    def windowForm(d: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("g", "rn", "v", "id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    }
+    def aggForm(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g"))
+        .agg(graft.functions.TopKByAgg.topKIds(spark, col("v"), col("id"), 5).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rn"), col("col.ord"), col("col.id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    assert(aggForm(df) == windowForm(df))
+    assert(aggForm(df.repartition(13)) == aggForm(df))
+  }
+
+  test("topk_ids: nulls skipped, undersized groups return what exists, SQL callable") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      ("a", Option(1L), Option(5.0)), ("a", Option(2L), Option.empty[Double]),
+      ("a", Option.empty[Long], Option(9.0)), ("b", Option(3L), Option(1.0)),
+    ).toDF("g", "id", "v")
+    df.createOrReplaceTempView("topk_in")
+    val got = spark.sql(
+      "SELECT g, size(topk_ids(v, id, 3)) AS n FROM topk_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("a", 1), ("b", 1)))
+  }
+
   test("kmv_sketch is callable from SQL after registration") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     (1 to 100).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "h")

@@ -143,6 +143,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, "cfg0"), (2L, "cfgA"), (3L, null)))
   }
 
+  test("binned range join composes with a streaming point side (stream-static)") {
+    val dir = Files.createTempDirectory("graft-range-stream").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "p.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T02:30:00.000Z","user_id":1,"event_type":"click","value":2.0}""",
+    ).mkString("\n"))
+    val points = EventStream.readEventStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("x"))
+    val intervals = Seq(
+      // covers event 1 (00:00-01:00), misses event 2
+      (1L, 10L,
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L,
+        java.time.Instant.parse("2024-01-01T01:00:00Z").toEpochMilli * 1000L),
+    ).toDF("user_id", "iid", "s", "e")
+    val q = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, Seq("user_id"), "x", "s", "e",
+        binWidth = 3600L * 1000000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("range_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("range_stream")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("iid"))).toSeq
+    assert(got == Seq((1L, 10L)))
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),
