@@ -74,17 +74,20 @@ object Bench {
     // enough to always fit the tail window whole, so it parses. The full map
     // is also written to bench_full.json for offline reading.
     val total = results.map(_._2).sum
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit unparseable "JSON"
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmtQs(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"queries":${fmtQs(results.sortBy(_._2))},"failed":$failedJson,"total_sec":$total%.3f,"warmup_sec":$warmupSec%.3f,"sf":"$sfDir"}"""
+      s"""{"queries":${fmtQs(results.sortBy(_._2))},"failed":$failedJson,"total_sec":${d3(total)},"warmup_sec":${d3(warmupSec)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
     println(fullLine)
     val top = results.sortBy(-_._2).take(10)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warmup_sec":$warmupSec%.3f,"n_queries":${results.size},"n_failed":${failed.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","warmup_sec":${d3(warmupSec)},"n_queries":${results.size},"n_failed":${failed.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
     graft.pipeline.DemoAssay.releaseIndex(spark)
     spark.stop()
   }

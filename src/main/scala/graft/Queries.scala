@@ -347,9 +347,12 @@ object Queries {
     // group) cross the shuffle (the window form sorts every row of
     // every group). Same result as the w3 row_number oracle.
     "w3_topk_agg" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(graft.functions.TopKByAgg.topKIds(s, col("value"), col("event_id"), 3).as("top"))
+      val ev = t(s, dir, "events")
+      // register on the frame's OWNING session — the nanos-fallback
+      // loader hands back a newSession() frame with its own registry
+      ev.groupBy(col("event_type"))
+        .agg(graft.functions.TopKByAgg
+          .topKIds(ev.sparkSession, col("value"), col("event_id"), 3).as("top"))
         .select(col("event_type"), posexplode(col("top")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("col.ord").as("value"), col("col.id").as("event_id"))

@@ -85,6 +85,12 @@ object Tables {
         case e: Exception if isNanosRefusal(e) =>
           val nanosSession = spark.newSession()
           nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          // newSession() isolates the FUNCTION REGISTRY too: any query
+          // using a native temp function (kmv_sketch, topk_ids, the
+          // codegen kernels) would hit UNRESOLVED_ROUTINE when analyzed
+          // against this frame's session — register them all up front so
+          // an encoding flip still cannot break an events-table query
+          graft.functions.GraftFunctions.ensureRegistered(nanosSession)
           nanosSession.read.parquet(path)
       }
     df.schema("ts").dataType match {

@@ -49,10 +49,8 @@ case class KmvSketchAgg(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last()) { if (buf.add(h)) { buf.pollLast(); () } }
-  }
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    BoundedSets.keepSmallest(buf, java.lang.Long.valueOf(h), k)
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {

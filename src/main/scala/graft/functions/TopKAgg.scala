@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   *
   * Typed to the common case: DOUBLE ordering value, BIGINT id payload.
   * Result: array<struct<ord double, id bigint>> sorted ord desc, id asc.
-  * Null ord or id rows are skipped (they cannot rank).
+  * Null ord or id rows are skipped (they cannot rank). SET semantics:
+  * fully identical (ord, id) duplicate ROWS collapse to one entry —
+  * callers wanting row_number-style multiplicity must feed a row-unique
+  * id (as every registered query does; an id that is not row-unique
+  * makes "top-k rows" ill-defined anyway).
   */
 case class TopKByAgg(
     ord: Expression,
@@ -46,22 +50,19 @@ case class TopKByAgg(
     else if (k < 1) TypeCheckResult.TypeCheckFailure(s"topk_ids: k must be >= 1, got $k")
     else TypeCheckResult.TypeCheckSuccess
 
-  // natural tuple order = (ord asc, id asc); the WORST kept element is
-  // first under "greater ord wins, smaller id wins ties" — so the tree
-  // stores (ord, -id)? No: we keep ord-desc winners with id-asc
-  // tie-break, i.e. candidate beats (o, i) iff o' > o || (o' == o &&
-  // i' < i). Order the tree by (ord asc, id desc): the HEAD is the
-  // weakest element and a stronger candidate replaces it.
+  // "best" = (ord desc, id asc); ordering the tree by exactly that rank
+  // makes the shared keep-k-SMALLEST invariant keep the k best, ascending
+  // iteration emit best-first, and the last element be the weakest kept.
+  // NaN ords rank first (TotalOrdering reversed), matching Spark's
+  // NaN-greatest sort order in the window form.
   private val ordering: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
 
   override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
     new java.util.TreeSet[(Double, Long)](ordering)
 
-  private def insert(buf: java.util.TreeSet[(Double, Long)], e: (Double, Long)): Unit = {
-    if (buf.size < k) { buf.add(e); () }
-    else if (ordering.compare(e, buf.first()) > 0) { if (buf.add(e)) { buf.pollFirst(); () } }
-  }
+  private def insert(buf: java.util.TreeSet[(Double, Long)], e: (Double, Long)): Unit =
+    BoundedSets.keepSmallest(buf, e, k)
 
   override def update(
       buf: java.util.TreeSet[(Double, Long)], input: InternalRow): java.util.TreeSet[(Double, Long)] = {
@@ -80,9 +81,9 @@ case class TopKByAgg(
   }
 
   override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
-    // descending iteration = ord desc with id asc within ties
+    // ascending tree order IS (ord desc, id asc) — best first
     val out = new Array[Any](buf.size)
-    val it = buf.descendingIterator()
+    val it = buf.iterator()
     var i = 0
     while (it.hasNext) {
       val (o, d) = it.next()

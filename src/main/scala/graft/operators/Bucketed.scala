@@ -31,6 +31,11 @@ object Bucketed {
       tablePrefix: String,
   ): DataFrame = {
     require(nBuckets > 0, s"coLocatedJoin: nBuckets must be positive, got $nBuckets")
+    // the prefix is interpolated into SQL identifiers: a '-' would fail
+    // the DROP/CREATE parse and a '.' would silently target another
+    // database while the path math assumed the default one
+    require(tablePrefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"coLocatedJoin: tablePrefix must be a plain identifier, got '$tablePrefix'")
     val (lName, rName) = (s"${tablePrefix}_l", s"${tablePrefix}_r")
     def save(df: DataFrame, name: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")

@@ -32,7 +32,11 @@ object GlobalIndex {
     // job fills a cache the real action then reads — unpinned, the full
     // scan + range shuffle + sort would execute twice per caller. RDD
     // blocks (unlike DataFrame cache entries) are reclaimed by the context
-    // cleaner once the result is dereferenced.
+    // cleaner once the result is dereferenced — NOTE the pin therefore
+    // lives exactly as long as the caller holds ANY frame derived from
+    // the result (an eager unpersist here would force the sort to rerun
+    // on every later action). Long-lived holders should materialize
+    // (write / localCheckpoint) and drop the reference.
     val rddSorted = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rdd = rddSorted.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)

@@ -30,26 +30,30 @@ object QualityModel {
 
   private def weightLit: Column = array(weightsMilli.map(lit): _*)
 
-  /** (sum of bucket weights in milli, token count) for `text`. */
-  private def folded(text: Column): (Column, Column) = {
-    val toks = TextFunctions.tokens(text)
-    val sumMilli = aggregate(toks, lit(0L), (acc, t) =>
-      acc + element_at(weightLit,
-        (pmod(TextFunctions.portableHash32(t), lit(NumBuckets)) + lit(1)).cast("int")))
-    (sumMilli, size(toks))
-  }
-
   /** Score each document: (id, n_tokens, score) with
     * score = (milliSum / 1000) / n_tokens (fixed double evaluation
     * order), 0.0 for empty or null text.
+    *
+    * Tokenization happens ONCE in a dedicated projection (the split +
+    * higher-order filter is the per-row hot cost; HOFs are
+    * CodegenFallback, so common-subexpression elimination cannot be
+    * relied on to dedupe repeated embeddings). Null text coalesces to an
+    * empty array up front, which also keeps the contract independent of
+    * the ANSI/`legacy.sizeOfNull` setting (`size(null)` is -1 with ANSI
+    * off — the naive null guard would report n_tokens -1).
     */
   def scoreDocs(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val (sumMilli, n) = folded(text)
-    docs.select(
-      id.as("id"),
-      coalesce(n, lit(0)).cast("long").as("n_tokens"),
-      when(n.isNull || n === 0, lit(0.0))
-        .otherwise(sumMilli.cast("double") / lit(1000.0) / n)
-        .as("score"))
+    val toks = coalesce(TextFunctions.tokens(text), array())
+    val sumMilli = aggregate(col("_qm_toks"), lit(0L), (acc, t) =>
+      acc + element_at(weightLit,
+        (pmod(TextFunctions.portableHash32(t), lit(NumBuckets)) + lit(1)).cast("int")))
+    docs
+      .select(id.as("id"), toks.as("_qm_toks"))
+      .select(
+        col("id"),
+        size(col("_qm_toks")).cast("long").as("n_tokens"),
+        when(size(col("_qm_toks")) === 0, lit(0.0))
+          .otherwise(sumMilli.cast("double") / lit(1000.0) / size(col("_qm_toks")))
+          .as("score"))
   }
 }

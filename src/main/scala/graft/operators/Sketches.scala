@@ -41,10 +41,7 @@ object Sketches {
       .as[Long]
     val partial = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()
-      it.foreach { h =>
-        if (set.size < k) { set.add(h); () }
-        else if (h < set.last()) { if (set.add(h)) { set.pollLast(); () } }
-      }
+      it.foreach(h => graft.functions.BoundedSets.keepSmallest(set, java.lang.Long.valueOf(h), k))
       import scala.jdk.CollectionConverters._
       set.iterator().asScala.map(_.longValue())
     }

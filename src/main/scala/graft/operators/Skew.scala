@@ -29,12 +29,14 @@ object Skew {
       saltBuckets: Int,
       partials: Seq[Column],
       finals: Seq[Column],
-  ): DataFrame =
+  ): DataFrame = {
+    require(saltBuckets > 0, s"saltedAggregate: saltBuckets must be positive, got $saltBuckets")
     df.withColumn("_salt", pmod(xxhash64(uniqueCol), lit(saltBuckets)))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col("_key"))
       .agg(finals.head, finals.tail: _*)
+  }
 
   /** Salted broadcast-free join for one skewed build side: the probe side
     * gets a deterministic salt in [0, n); the build side is replicated n
@@ -48,6 +50,7 @@ object Skew {
       probeUnique: Column,
       saltBuckets: Int,
   ): DataFrame = {
+    require(saltBuckets > 0, s"saltedJoin: saltBuckets must be positive, got $saltBuckets")
     val salted = probe.withColumn("_salt", pmod(xxhash64(probeUnique), lit(saltBuckets)))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
