@@ -39,6 +39,20 @@ class TablesLoaderSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("native temp functions resolve on the nanos fallback's isolated session") {
+    // the fallback frame is owned by a newSession() whose function
+    // registry starts empty — loadEvents must pre-register the native
+    // functions or any aggregate like topk_ids dies UNRESOLVED_ROUTINE
+    val df = Tables.loadEvents(spark, fixture("events_ts_nanos.parquet"))
+    val top = df.groupBy(col("event_id") % 2)
+      .agg(graft.functions.TopKByAgg
+        .topKIds(df.sparkSession, col("event_id").cast("double"), col("event_id"), 2).as("t"))
+    assert(top.select(explode(col("t"))).count() == 4)
+    val sk = graft.operators.Sketches.kmvDistinctByGroup(
+      df, Seq(lit(1)), col("event_id"), 8)
+    assert(sk.collect().head.getAs[Long]("n_kmv") == 8L)
+  }
+
   test("both encodings yield identical timestamp values") {
     val us = formatted(Tables.loadEvents(spark, fixture("events_ts_micros.parquet")))
     val ns = formatted(Tables.loadEvents(spark, fixture("events_ts_nanos.parquet")))
