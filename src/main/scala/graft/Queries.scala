@@ -1560,7 +1560,13 @@ object Queries {
     * referencing the pruned embedding column. */
   private def syntheticClusterSpectra(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // vec_id < 1000 keeps the synthetic spec-id arithmetic (vec_id +
+    // gen*1000) collision-free at EVERY SF — at sf0.1 the raw table has
+    // 2000 vectors and base ids 1000+ would collide with the gen-1
+    // copies (the one way an SF regeneration could redden this oracle;
+    // scale evidence for the clusterer itself is ClusterBench at 500k)
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 1000)
     val tagged = emb.withColumn("gen", explode(
       when(col("vec_id") < 20, array(lit(0L), lit(1L), lit(2L)))
         .when(col("vec_id") < 60, array(lit(0L), lit(1L)))
@@ -1597,7 +1603,7 @@ object Queries {
         |    (2 + vec_id % 2)::INTEGER AS charge,
         |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.0 AS pmz,
         |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)) AS inten
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id < 1000),
         |copies AS (
         |  SELECT vec_id + 1000 AS spec_id,
         |    (2 + vec_id % 2)::INTEGER AS charge,

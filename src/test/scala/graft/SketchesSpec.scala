@@ -123,6 +123,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1), ("b", 1)))
   }
 
+  test("native aggregates run with map-side partial aggregation (plan shape)") {
+    val df = (1 to 100).map(i => (s"g${i % 2}", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val kmvPlan = Sketches.kmvDistinctByGroup(df, Seq(col("g")), col("id"), 8)
+      .queryExecution.executedPlan.toString()
+    assert(kmvPlan.contains("partial_kmv_sketch"), s"no partial agg:\n$kmvPlan")
+    val topPlan = df.groupBy(col("g"))
+      .agg(graft.functions.TopKByAgg.topKIds(spark, col("v"), col("id"), 3))
+      .queryExecution.executedPlan.toString()
+    assert(topPlan.contains("partial_topk_ids"), s"no partial agg:\n$topPlan")
+  }
+
   test("kmv_sketch is callable from SQL after registration") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     (1 to 100).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "h")
