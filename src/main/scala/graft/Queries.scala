@@ -538,6 +538,33 @@ object Queries {
       graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
     }),
 
+    // Bigram LM training (capped model): the top-400 bigram count table
+    // trained over the documents corpus — two map-side-combined count
+    // aggregations plus deterministic TakeOrdered caps.
+    "txt_lm_train" -> ((s, dir) => {
+      graft.operators.LanguageModel
+        .trainBigramLm(t(s, dir, "documents"), col("text"),
+          vocabSize = 20, maxBigrams = 400)
+        .bigrams
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+    }),
+
+    // LM perplexity scoring (CCNet-style quality filter): stupid-backoff
+    // bigram model trained on the corpus, every doc scored by mean
+    // per-token negative log-prob. The caps (vocab 20 of 31, bigrams 400
+    // of ~916) BIND at every SF, so the OOV and backoff paths are
+    // genuinely exercised. Scoring is shuffle-free except the final
+    // per-doc aggregation (model lookups are broadcast joins).
+    "txt_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.LanguageModel
+        .trainBigramLm(docs, col("text"), vocabSize = 20, maxBigrams = 400)
+      graft.operators.LanguageModel
+        .scoreBigramLm(docs, col("doc_id"), col("text"), lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer end-to-end on a deterministic fixture: distributed
     // word-frequency train (groupBy count + TakeOrdered cap) -> exact
     // driver merge loop -> broadcast-merges mapPartitions encode. The
@@ -2069,6 +2096,63 @@ object Queries {
         |    AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "txt_lm_train" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT w1, w2, count(*)::BIGINT AS c FROM (
+        |  SELECT t[i-1] AS w1, t[i] AS w2
+        |  FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
+        |GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT 400""".stripMargin,
+
+    // Full re-derivation of the stupid-backoff bigram LM score: capped
+    // count tables, smoothed unigram fallback, per-token neg-log-probs
+    // rounded to 6 dp and decimal-summed. All double arithmetic mirrors
+    // the engine's association order term for term (single divisions,
+    // literal-first products, ::DOUBLE literals to defeat DuckDB's
+    // DECIMAL literal typing).
+    "txt_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni_all AS (
+        |  SELECT term, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
+        |st AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tok, count(*)::BIGINT AS v
+        |       FROM uni_all),
+        |uni AS (SELECT term, c FROM uni_all ORDER BY c DESC, term LIMIT 20),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c FROM (
+        |    SELECT t[i-1] AS w1, t[i] AS w2
+        |    FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
+        |  GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT 400),
+        |pos AS (
+        |  SELECT id, i, t[i] AS term, CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+        |sc AS (
+        |  SELECT p.id,
+        |    round(-ln(CASE WHEN p.i = 1
+        |        THEN (coalesce(u.c, 0) + 0.5::DOUBLE)
+        |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1))
+        |      WHEN bp.c IS NOT NULL AND up.c IS NOT NULL
+        |        THEN bp.c::DOUBLE / up.c::DOUBLE
+        |      ELSE 0.4::DOUBLE * ((coalesce(u.c, 0) + 0.5::DOUBLE)
+        |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1)))
+        |      END), 6)::DECIMAL(28,6) AS nl
+        |  FROM pos p
+        |  LEFT JOIN uni u ON u.term = p.term
+        |  LEFT JOIN uni up ON up.term = p.prev
+        |  LEFT JOIN bi bp ON bp.w1 = p.prev AND bp.w2 = p.term
+        |  CROSS JOIN st),
+        |agg AS (SELECT id, count(*)::BIGINT AS n_tokens, sum(nl) AS s,
+        |          (sum(nl) * 1000000)::BIGINT AS u
+        |        FROM sc GROUP BY id)
+        |SELECT d.id AS doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
+        |FROM d LEFT JOIN agg a ON d.id = a.id
+        |ORDER BY doc_id""".stripMargin,
 
     // Native spectra clustering re-derivation: identical synthesis
     // (integer intensities => exact dots/norms), binning + top-20 bins with

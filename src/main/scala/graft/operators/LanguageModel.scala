@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet-style perplexity
+  * filter of a training-data pipeline: train a bigram model over a (clean)
+  * corpus, score every candidate document by its mean per-token negative
+  * log-probability, and gate/bucket documents on that score. Low score ==
+  * in-domain fluent text; high score == noise, boilerplate, wrong language.
+  *
+  * Model: stupid backoff (Brants et al. 2007, "Large Language Models in
+  * Machine Translation" — the web-scale choice precisely because its
+  * training is two count aggregations, no normalization pass):
+  *
+  *   p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})      if the bigram and
+  *                                                        its context are in
+  *                                                        the capped model
+  *                    = backoff * p_uni(w_i)              otherwise
+  *   p(w_1)           = p_uni(w_1)                        (no context)
+  *   p_uni(w)         = (c(w) + k) / (N + k * (V + 1))    add-k smoothed,
+  *                                                        OOV -> c = 0
+  *
+  * where N = total training tokens and V = full (uncapped) vocabulary
+  * width — so OOV mass is real probability mass, and p_uni < 1 always.
+  *
+  * Scale shape (the reason this form survives 100 TB):
+  *  - training is two map-side-combined count aggregations (unigrams,
+  *    bigrams) — one shuffle each over the token/bigram stream;
+  *  - the MODEL is capped: top-`vocabSize` unigrams and top-`maxBigrams`
+  *    bigrams by count (ties broken lexicographically — a deterministic
+  *    TakeOrdered cut, never a full sort). Dropped tails fall back to the
+  *    backoff/OOV paths, which is exactly the semantics of a capped LM;
+  *  - scoring never shuffles the corpus: tokenize + posexplode is a
+  *    Generate projection, the three model lookups are BROADCAST joins
+  *    (the model is bounded by construction), corpus stats ride a 1-row
+  *    broadcast cross-join, and the only exchange is the final per-doc
+  *    aggregation — `posexplode_outer` keeps empty/null documents in that
+  *    same aggregation, so no second join against the doc spine is needed.
+  *
+  * Engine parity: per-token neg-log-probs are rounded to 6 dp and summed
+  * as DECIMAL(28,6) (order-independent exact sum); all double arithmetic
+  * is single-division/same-association on both engines, so the DuckDB
+  * oracle replays bit-identically.
+  */
+object LanguageModel {
+
+  /** A trained capped bigram model. `stats` is one row (n_tok, v) over the
+    * UNCAPPED training stream; `unigrams` (term, c) and `bigrams`
+    * (w1, w2, c) are the capped count tables. */
+  final case class BigramLm(
+      stats: DataFrame,
+      unigrams: DataFrame,
+      bigrams: DataFrame,
+      k: Double)
+
+  /** Train a capped bigram LM over `text` (lowercased whitespace tokens,
+    * [[Search.terms]] — the shared corpus tokenizer). */
+  def trainBigramLm(
+      docs: DataFrame,
+      text: Column,
+      vocabSize: Int,
+      maxBigrams: Int,
+      k: Double = 0.5): BigramLm = {
+    require(vocabSize >= 1, s"trainBigramLm: vocabSize must be >= 1, got $vocabSize")
+    require(maxBigrams >= 0, s"trainBigramLm: maxBigrams must be >= 0, got $maxBigrams")
+    require(k > 0 && java.lang.Double.isFinite(k),
+      s"trainBigramLm: smoothing k must be finite and > 0, got $k")
+    val toks = docs.select(Search.terms(text).as("t"))
+    // Lazy-pin the unigram counts: stats, the capped vocab, and BOTH
+    // scoring-side lookups (term and prev) reference this subtree — without
+    // the pin each reference re-runs the corpus scan + count shuffle.
+    val uniAll = toks.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    // Corpus stats come from the UNCAPPED counts: N and V are properties of
+    // the training stream, not of the model cap (otherwise shrinking the
+    // cap would inflate every smoothed probability).
+    val stats = uniAll.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_tok"),
+      count(lit(1)).as("v"))
+    val unigrams = uniAll
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(vocabSize)
+    // Bigram stream: per-token fan-out with the previous token resolved
+    // from the array itself (element_at is 1-based, pos is 0-based, so
+    // element_at(t, pos) IS the predecessor) — no window, no self-join.
+    val bigrams = toks
+      .select(col("t"), posexplode(col("t")).as(Seq("i0", "w2")))
+      .where(col("i0") > 0)
+      .select(element_at(col("t"), col("i0")).as("w1"), col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(maxBigrams)
+    BigramLm(stats, unigrams, bigrams, k)
+  }
+
+  /** Score `docs` under `lm`: returns (id, n_tokens, lm_score) where
+    * lm_score is the mean per-token negative log-probability rounded to
+    * 6 dp (NULL for empty/null documents, which still appear with
+    * n_tokens = 0). Lower is better. */
+  def scoreBigramLm(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      lm: BigramLm,
+      backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0 && backoff <= 1 && java.lang.Double.isFinite(backoff),
+      s"scoreBigramLm: backoff must be in (0, 1], got $backoff")
+    val pos = docs
+      .select(id.as("id"), Search.terms(text).as("t"))
+      // _outer keeps empty/null docs as a single null-term row, so they
+      // survive to the final aggregation without a second doc-spine join
+      .select(col("id"), col("t"), posexplode_outer(col("t")).as(Seq("i0", "term")))
+      .select(col("id"), col("i0"), col("term"),
+        when(col("i0") > 0, element_at(col("t"), col("i0"))).as("prev"))
+    val uni = broadcast(lm.unigrams)
+    val joined = pos
+      .join(uni.select(col("term"), col("c").as("c_uni")), Seq("term"), "left")
+      .join(uni.select(col("term").as("prev"), col("c").as("c_prev")), Seq("prev"), "left")
+      .join(broadcast(lm.bigrams).select(
+        col("w1").as("prev"), col("w2").as("term"), col("c").as("c_bi")),
+        Seq("prev", "term"), "left")
+      .crossJoin(broadcast(lm.stats))
+    // (c + k) / (N + k*(V+1)) — one division, literal-first products; the
+    // SQL oracle renders the identical association term for term.
+    val pUni = (coalesce(col("c_uni"), lit(0L)).cast("double") + lit(lm.k)) /
+      (col("n_tok") + lit(lm.k) * (col("v") + lit(1L)))
+    val p = when(col("i0") === 0, pUni)
+      .when(col("c_bi").isNotNull && col("c_prev").isNotNull,
+        col("c_bi").cast("double") / col("c_prev").cast("double"))
+      .otherwise(lit(backoff) * pUni)
+    // Null-term rows (empty docs) must NOT contribute a backoff term.
+    val nl = when(col("term").isNotNull, round(-log(p), 6).cast("decimal(28,6)"))
+    // Mean at 6 dp via EXACT integer half-up — round(s/n, 6) on a double
+    // is engine-divergent at half-way points (s/n is a small-denominator
+    // rational, so unlike the ln() outputs it actually lands on them;
+    // observed once in 5000 docs at sf0.1): u = s in micro-units, then
+    // (2u + n) div (2n) is round-half-up(u/n) in pure BIGINT arithmetic.
+    // n_tokens = 0 or s NULL propagate to a NULL score on both engines.
+    joined
+      .groupBy(col("id"))
+      .agg(count(col("term")).as("n_tokens"), sum(nl).as("s"))
+      .withColumn("_u", (col("s") * lit(1000000)).cast("long"))
+      .select(col("id"), col("n_tokens"),
+        (expr("(_u * 2 + n_tokens) div (n_tokens * 2)").cast("double") / lit(1000000))
+          .as("lm_score"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.LanguageModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram LM training + stupid-backoff perplexity scoring. Expected values
+  * come from an independent plain-Scala re-derivation of the same model
+  * definition (counts, add-k unigram, backoff), not from the DataFrame
+  * path under test. */
+class LanguageModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val trainDocs = Seq((1L, "a b a"), (2L, "a c")).toDF("id", "text")
+
+  // Model over trainDocs with vocabSize=2 (binds: counts a=3,b=1,c=1 ->
+  // {a,b} kept, c OOV), maxBigrams=10 (all of (a,b),(b,a),(a,c) kept).
+  // N=5 tokens, V=3 full vocab, k=0.5 -> denom = 5 + 0.5*4 = 7.
+  private lazy val lm =
+    LanguageModel.trainBigramLm(trainDocs, col("text"), vocabSize = 2, maxBigrams = 10)
+
+  private def pUni(c: Long): Double = (c + 0.5) / 7.0
+  private def nl(p: Double): BigDecimal =
+    BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  private def mean6(xs: Seq[BigDecimal]): Double = {
+    // mirror the operator's exact integer half-up mean
+    val u = (xs.sum * 1000000).toLongExact
+    ((u * 2 + xs.size) / (2L * xs.size)).toDouble / 1000000
+  }
+
+  test("train: caps bind deterministically, stats are uncapped") {
+    val uni = lm.unigrams.orderBy(col("term")).as[(String, Long)].collect().toSeq
+    assert(uni == Seq(("a", 3L), ("b", 1L)))
+    val bi = lm.bigrams.orderBy(col("w1"), col("w2")).as[(String, String, Long)].collect().toSeq
+    assert(bi == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L)))
+    val st = lm.stats.as[(Long, Long)].collect().head
+    assert(st == ((5L, 3L))) // N counts ALL tokens, V the full vocab incl. the capped-out c
+  }
+
+  test("score: bigram, first-token, OOV and backoff paths against hand math") {
+    val scoreDocs = Seq(
+      (1L, "a b a"), // all-bigram path
+      (2L, "a c"),   // bigram (a,c) survives the cap even though c is OOV
+      (3L, "c d"),   // OOV first token + backoff (no (c,d) bigram, c not in vocab)
+    ).toDF("id", "text")
+    val out = LanguageModel.scoreBigramLm(scoreDocs, col("id"), col("text"), lm)
+      .orderBy(col("id")).as[(Long, Long, Double)].collect().toSeq
+    val exp1 = mean6(Seq(nl(pUni(3)), nl(1.0 / 3.0), nl(1.0 / 1.0)))
+    val exp2 = mean6(Seq(nl(pUni(3)), nl(1.0 / 3.0)))
+    val exp3 = mean6(Seq(nl(pUni(0)), nl(0.4 * pUni(0))))
+    assert(out == Seq((1L, 3L, exp1), (2L, 2L, exp2), (3L, 2L, exp3)))
+  }
+
+  test("score: empty and null documents keep a row with n_tokens 0 and null score") {
+    val docs = Seq((1L, Some("a b")), (2L, Some("")), (3L, None), (4L, Some("   ")))
+      .toDF("id", "text")
+    val out = LanguageModel.scoreBigramLm(docs, col("id"), col("text"), lm)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (1L, 2L, Some(mean6(Seq(nl(pUni(3)), nl(1.0 / 3.0))))),
+      (2L, 0L, None), (3L, 0L, None), (4L, 0L, None)))
+  }
+
+  test("score: partitioning-layout invariant") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"a b c a ${"xyz" * (i % 3)}"))
+      .toDF("id", "text")
+    val one = LanguageModel.scoreBigramLm(docs.coalesce(1), col("id"), col("text"), lm)
+      .orderBy(col("id")).collect().toSeq
+    val many = LanguageModel.scoreBigramLm(docs.repartition(7), col("id"), col("text"), lm)
+      .orderBy(col("id")).collect().toSeq
+    assert(one == many)
+  }
+
+  test("train: tie at the vocab-cap boundary breaks lexicographically") {
+    val docs = Seq((1L, "z y z y x")).toDF("id", "text")
+    // counts: z=2, y=2, x=1; cap 1 -> y wins the tie over z at count 2
+    val m = LanguageModel.trainBigramLm(docs, col("text"), vocabSize = 1, maxBigrams = 0)
+    assert(m.unigrams.as[(String, Long)].collect().toSeq == Seq(("y", 2L)))
+    assert(m.bigrams.count() == 0L) // maxBigrams=0: pure smoothed-unigram model
+  }
+
+  test("validation: bad hyperparameters are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      LanguageModel.trainBigramLm(trainDocs, col("text"), vocabSize = 0, maxBigrams = 1)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.trainBigramLm(trainDocs, col("text"), vocabSize = 1, maxBigrams = -1)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.trainBigramLm(trainDocs, col("text"), vocabSize = 1, maxBigrams = 1, k = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.scoreBigramLm(trainDocs, col("id"), col("text"), lm, backoff = 0.0)
+    }
+  }
+}
