@@ -538,6 +538,25 @@ object Queries {
       graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
     }),
 
+    // Per-source Count-Min frequency sketch (native cms_sketch aggregate,
+    // depth 4 x width 16 — narrower than the 31-term vocab, so collisions
+    // and real overestimates occur) probed with every distinct term next
+    // to its exact count. The whole counter matrix re-derives exactly in
+    // DuckDB (portable md5 hash + integer bucket arithmetic).
+    "tdp_cms_freq" -> ((s, dir) => {
+      import graft.operators.{Search, Sketches}
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(Search.terms(col("text"))).as("term"))
+      val sk = Sketches.cmsSketchByGroup(
+        toks, Seq(col("source")), col("term"), depth = 4, width = 16)
+      val exact = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("exact"))
+      exact.join(broadcast(sk), Seq("source"))
+        .select(col("source"), col("term"), col("exact"),
+          Sketches.cmsEstimate(col("counters"), col("term"), depth = 4, width = 16).as("est"),
+          col("total"))
+        .orderBy(col("source"), col("term"))
+    }),
+
     // Bigram LM training (capped model): the top-400 bigram count table
     // trained over the documents corpus — two map-side-combined count
     // aggregations plus deterministic TakeOrdered caps.
@@ -2096,6 +2115,43 @@ object Queries {
         |    AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // Exact re-derivation of the Count-Min sketch: same portable hash,
+    // same per-row (A, B) constants, bucket = ((A*(h%P)+B)%P)%width with
+    // P = 2^31-1 — every counter and every min-of-d point estimate is
+    // bit-identical integer arithmetic on both engines.
+    "tdp_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |consts AS (SELECT * FROM (VALUES
+        |  (0, 1::BIGINT, 0::BIGINT), (1, 1777::BIGINT, 97::BIGINT),
+        |  (2, 7919::BIGINT, 1009::BIGINT), (3, 104729::BIGINT, 30011::BIGINT))
+        |  AS t(r, a, b)),
+        |h AS (SELECT source, term, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM toks),
+        |bkt AS (
+        |  SELECT source, c.r AS r,
+        |    ((c.a * (h.h % 2147483647) + c.b) % 2147483647) % 16 AS bk,
+        |    count(*)::BIGINT AS cnt
+        |  FROM h CROSS JOIN consts c
+        |  GROUP BY source, c.r, bk),
+        |tot AS (SELECT source, count(*)::BIGINT AS total FROM toks GROUP BY source),
+        |exact AS (SELECT source, term, count(*)::BIGINT AS exact
+        |          FROM toks GROUP BY source, term),
+        |probe AS (
+        |  SELECT e.source, e.term, e.exact, c.r,
+        |    ((c.a * ((('0x' || substr(md5(e.term), 1, 8))::BIGINT) % 2147483647) + c.b)
+        |      % 2147483647) % 16 AS bk
+        |  FROM exact e CROSS JOIN consts c),
+        |est AS (
+        |  SELECT p.source, p.term, p.exact, min(b.cnt) AS est
+        |  FROM probe p
+        |  JOIN bkt b ON b.source = p.source AND b.r = p.r AND b.bk = p.bk
+        |  GROUP BY p.source, p.term, p.exact)
+        |SELECT e.source, e.term, e.exact, e.est, t.total
+        |FROM est e JOIN tot t USING (source)
+        |ORDER BY source, term""".stripMargin,
 
     "txt_lm_train" ->
       """WITH d AS (

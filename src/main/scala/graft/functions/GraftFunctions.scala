@@ -22,5 +22,6 @@ object GraftFunctions {
     QualityMetricsExpr.register(spark)
     KmvSketchAgg.register(spark)
     TopKByAgg.register(spark)
+    CountMinAgg.register(spark)
   }
 }

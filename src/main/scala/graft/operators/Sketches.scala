@@ -122,4 +122,42 @@ object Sketches {
       .withColumn("estimate", col("_sk.estimate"))
       .drop("_sk")
   }
+
+  /** Per-group Count-Min frequency sketch via the native
+    * [[graft.functions.CountMinAgg]] aggregate: one row per group with
+    * (total, counters[depth*width]). The frequency complement of
+    * [[kmvDistinctByGroup]] — bounded depth×width state per (partition,
+    * group) no matter how many distinct values the column holds. */
+  def cmsSketchByGroup(
+      df: DataFrame, groupCols: Seq[Column], c: Column,
+      depth: Int, width: Int): DataFrame = {
+    val spark = df.sparkSession
+    val h = TextFunctions.portableHash32(c.cast("string"))
+    df.groupBy(groupCols: _*)
+      .agg(graft.functions.CountMinAgg.cmsSketch(spark, h, depth, width).as("_sk"))
+      .withColumn("total", col("_sk.total"))
+      .withColumn("counters", col("_sk.counters"))
+      .drop("_sk")
+  }
+
+  /** Point query against an evaluated CMS `counters` array for the value
+    * in `c`: the minimum of the value's d counters — a pure codegen
+    * column (`least` over `element_at`s), never an action. Guaranteed
+    * >= the true count; NULL for a NULL value. */
+  def cmsEstimate(counters: Column, c: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= graft.functions.CountMinAgg.MaxDepth,
+      s"cmsEstimate: depth must be in [1, ${graft.functions.CountMinAgg.MaxDepth}], got $depth")
+    require(width >= 1, s"cmsEstimate: width must be >= 1, got $width")
+    val h = TextFunctions.portableHash32(c.cast("string"))
+    val reads = (0 until depth).map { r =>
+      element_at(counters,
+        (lit(r.toLong * width) + graft.functions.CountMinAgg.bucketCol(h, r, width) + lit(1L))
+          .cast("int"))
+    }
+    val est = if (reads.size == 1) reads.head else least(reads: _*)
+    // explicit NULL gate: a NULL value must yield a NULL estimate even
+    // after constant folding (a folded NullType-literal read has been
+    // observed to surface as 0 through an aggregate's result projection)
+    when(h.isNotNull, est)
+  }
 }

@@ -178,4 +178,82 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"))).toSeq
     assert(out == Seq(("a", 5L), ("b", 5L), ("c", 3L)))
   }
+
+  // ------------------------------------------------------------ Count-Min
+
+  /** Plain-Scala re-derivation of the CMS counter matrix. */
+  private def cmsBrute(values: Seq[String], depth: Int, width: Int): Array[Long] = {
+    val buf = new Array[Long](depth * width)
+    values.foreach { v =>
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      (0 until depth).foreach { r =>
+        buf(r * width + graft.functions.CountMinAgg.bucket(h, r, width)) += 1L
+      }
+    }
+    buf
+  }
+
+  test("cms counters match a brute-force re-derivation, partition-invariant") {
+    val values = (1 to 400).map(i => s"k${i % 23}")
+    for (n <- Seq(1, 7)) {
+      val df = values.toDF("v").repartition(n)
+      val out = Sketches.cmsSketchByGroup(df, Seq(lit(1).as("g")), col("v"), 4, 16)
+        .collect().head
+      assert(out.getAs[Long]("total") == 400L)
+      assert(out.getAs[scala.collection.Seq[Long]]("counters").toSeq == cmsBrute(values, 4, 16).toSeq)
+    }
+  }
+
+  test("cms point estimates never underestimate and are exact without collisions") {
+    val values = (1 to 300).flatMap(i => Seq.fill(i % 5 + 1)(s"w${i % 11}"))
+    val df = values.toDF("v")
+    val sk = Sketches.cmsSketchByGroup(df, Seq(lit(1).as("g")), col("v"), 4, 8)
+    val probes = values.distinct.toDF("v")
+    val out = probes.crossJoin(broadcast(sk.drop("g")))
+      .select(col("v"), Sketches.cmsEstimate(col("counters"), col("v"), 4, 8).as("est"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (v, c) => assert(out(v) >= c, s"$v: est ${out(v)} < exact $c") }
+    // a sketch wider than the key space with depth 4 resolves all 11 keys here
+    val wide = Sketches.cmsSketchByGroup(df, Seq(lit(1).as("g")), col("v"), 4, 512)
+    val outWide = probes.crossJoin(broadcast(wide.drop("g")))
+      .select(col("v"), Sketches.cmsEstimate(col("counters"), col("v"), 4, 512).as("est"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    exact.foreach { case (v, c) => assert(outWide(v) == c) }
+  }
+
+  test("cms skips nulls; an all-null group reports an empty sketch") {
+    val df = Seq(("a", Some("x")), ("a", None), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val out = Sketches.cmsSketchByGroup(df, Seq(col("g")), col("v"), 2, 4)
+      .orderBy(col("g")).collect()
+    assert(out(0).getAs[Long]("total") == 1L)
+    assert(out(1).getAs[Long]("total") == 0L)
+    assert(out(1).getAs[scala.collection.Seq[Long]]("counters").forall(_ == 0L))
+    // NULL probe value -> NULL estimate
+    val est = Sketches.cmsSketchByGroup(df, Seq(lit(1).as("g")), col("v"), 2, 4)
+      .select(Sketches.cmsEstimate(col("counters"), lit(null).cast("string"), 2, 4))
+      .collect().head
+    assert(est.isNullAt(0), s"est=$est")
+  }
+
+  test("cms_sketch is callable from SQL and rejects bad shapes") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Seq("x", "y", "x").toDF("v").createOrReplaceTempView("cms_in")
+    val row = spark.sql(
+      """SELECT cms_sketch(CAST(conv(substr(md5(v), 1, 8), 16, 10) AS BIGINT), 2, 4) AS sk
+        |FROM cms_in""".stripMargin).select(col("sk.total")).collect().head
+    assert(row.getLong(0) == 3L)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT cms_sketch(CAST(conv(substr(md5(v), 1, 8), 16, 10) AS BIGINT), 99, 4) FROM cms_in")
+        .collect()
+    }
+    assert(e.getMessage.contains("depth"))
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(col("c"), col("v"), depth = 0, width = 4)
+    }
+  }
 }
