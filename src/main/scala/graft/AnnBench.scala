@@ -102,6 +102,19 @@ object AnnBench {
       pairs(Similarity.ivfQuery(ivfIdx, queries, k = 10, nProbe = ivfProbe))
     }
     val tIvf = math.min(tIvfQ1, tIvfQ2)
+    // Product quantization over the same exhaustive candidate space: the
+    // headline is recall at an nSub-lookup scoring cost over an nSub-byte
+    // corpus representation (vs dim floats); train once, report separately.
+    // 8 x 64 codes / oversample 16: near-uniform synthetic vectors have
+    // tightly clustered pair distances, so PQ needs a finer codebook and
+    // a wider exact re-rank than real clustered embeddings would.
+    val (pqModel, tPqTrain) = time {
+      Similarity.trainPq(vecs, dim = dim, nSub = 8, nCodes = 64,
+        kmeansIters = ivfIters, maxTrainRows = ivfTrain)
+    }
+    val (pqSet, tPq) = time2 {
+      pairs(Similarity.pqTopK(vecs, queries, k = 10, pqModel, oversample = 16))
+    }
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
@@ -109,15 +122,17 @@ object AnnBench {
     val lshRecall = (lshSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val ivfRecall = (ivfSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val quantRecall = (quantSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
+    val pqRecall = (pqSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     // Planted-neighbor check: id%20==0 is a jittered copy of id-1, so the
     // exact top-1 of query q is q-1 — verify the approximate paths keep it.
     val planted = bfSet.filter { case (q, nb) => q % 20 == 0 && q > 0 && nb == q - 1 }
     val ivfPlanted = (ivfSet & planted).size.toDouble / math.max(planted.size, 1)
     val lshPlanted = (lshSet & planted).size.toDouble / math.max(planted.size, 1)
     val quantPlanted = (quantSet & planted).size.toDouble / math.max(planted.size, 1)
+    val pqPlanted = (pqSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
     ivfIdx.release()
     vecs.unpersist() // the synthetic corpus is done — free it before the SF phase
 
@@ -153,10 +168,16 @@ object AnnBench {
       val lsh = sets(Similarity.lshTopK(e, q, k = 10, nBits = 8, dim = sfDim,
         probeHammingRadius = 1))
       val qnt = sets(Similarity.quantizedTopK(e, q, k = 10, oversample = 4))
+      // largest nSub <= 8 dividing the table's dim (same regen-proofing
+      // as sfDim itself; 8 for the current 64-dim table)
+      val pqSub = (8 to 1 by -1).find(sfDim % _ == 0).get
+      val pqM = Similarity.trainPq(e, dim = sfDim, nSub = pqSub,
+        nCodes = math.min(64, nE.toInt), kmeansIters = 2, maxTrainRows = nE)
+      val pq = sets(Similarity.pqTopK(e, q, k = 10, pqM, oversample = 8))
       def rec(m: Map[Int, Set[(Long, Long)]], k: Int): Double =
         (m(k) & bf(k)).size.toDouble / math.max(bf(k).size, 1)
       val tbl = ks.map { k =>
-        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f}"""
+        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f,"pq":${rec(pq, k)}%.3f}"""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"ann_recall_sf","sf":"$sfDir","n_vecs":$nE,"ivf_cells":$sfCells,"ivf_probe":$sfProbe,"recall_at_k":$tbl}""")
       idx.release()

@@ -642,6 +642,19 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN: 8 subspaces x 8 codes, kmeansIters=0 so
+    // the codebooks are the sub-slices of the 8 smallest-id vectors —
+    // which makes the ENTIRE pipeline (codebooks, argmin encode, per-query
+    // ADC tables, candidate cut, exact re-rank) SQL-re-derivable instead
+    // of a pinned regression table.
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val model = Similarity.trainPq(e, dim = 64, nSub = 8, nCodes = 8, kmeansIters = 0)
+      Similarity.pqTopK(e, e.filter(col("id") < 10), k = 5, model, oversample = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Text quality metrics (token counts, ratios, composite score).
     "txt_quality" -> ((s, dir) => {
       val m = TextFunctions.qualityMetrics(col("text"))
@@ -3187,6 +3200,62 @@ object Queries {
          |      ORDER BY (CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END) DESC,
          |        nid ASC) AS rank
          |  FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Full PQ re-derivation (kmeansIters=0): codebook m = sub-slice m of
+    // the 8 smallest-vec_id embeddings; encode = argmin cell per (vector,
+    // subspace) with the engine's (d ASC, cell ASC) tie rule; ADC = the
+    // m-ordered sequential fold of the query's table entries at the
+    // neighbor's codes; candidate cut at k*oversample=20 by (approx ASC,
+    // nid ASC); exact-cosine re-rank to k=5. Every double op mirrors the
+    // engine's fold/association order.
+    "sim_pq_topk" ->
+      s"""WITH cb AS (
+         |  SELECT m.m AS m, t.rn - 1 AS cell,
+         |    list_transform(range(1, 9), j -> t.embedding[m.m * 8 + j]::DOUBLE) AS cent
+         |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM embeddings) t
+         |  CROSS JOIN (SELECT unnest(range(8)) AS m) m
+         |  WHERE t.rn <= 8),
+         |dall AS (
+         |  SELECT e.vec_id AS id, cb.m, cb.cell,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      j -> (e.embedding[cb.m * 8 + j]::DOUBLE - cb.cent[j])
+         |         * (e.embedding[cb.m * 8 + j]::DOUBLE - cb.cent[j]))), (a,b) -> a+b) AS d
+         |  FROM embeddings e CROSS JOIN cb),
+         |enc AS (
+         |  SELECT id, m, cell FROM (
+         |    SELECT id, m, cell,
+         |      row_number() OVER (PARTITION BY id, m ORDER BY d ASC, cell ASC) AS r
+         |    FROM dall) WHERE r = 1),
+         |pair AS (
+         |  SELECT dq.id AS qid, en.id AS nid, dq.m, dq.d
+         |  FROM enc en JOIN dall dq ON dq.m = en.m AND dq.cell = en.cell
+         |  WHERE dq.id < 10 AND dq.id <> en.id),
+         |adc AS (
+         |  SELECT qid, nid, list_reduce(list(d ORDER BY m), (a,b) -> a+b) AS approx
+         |  FROM pair GROUP BY qid, nid),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY approx ASC, nid ASC) AS ar
+         |    FROM adc) WHERE ar <= 20),
+         |sc AS (
+         |  SELECT c.qid, c.nid, q.embedding AS qv, n.embedding AS cv
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.qid
+         |  JOIN embeddings n ON n.vec_id = c.nid),
+         |sc2 AS (
+         |  SELECT qid, nid, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM sc),
+         |r AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY (CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END) DESC,
+         |        nid ASC) AS rank
+         |  FROM sc2)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 

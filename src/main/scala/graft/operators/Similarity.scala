@@ -545,6 +545,16 @@ object Similarity {
       .withColumn("_ar", row_number().over(wa))
       .filter(col("_ar") <= k * oversample)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, cand, k)
+  }
+
+  /** Shared exact re-rank tail of the two-stage rankers: the approximate
+    * stage hands over a NARROW (query_id, neighbor_id) candidate set —
+    * a k*oversample-per-query handful — which is broadcast back against
+    * the corpus, so the float vectors are never shuffled and never pass
+    * through the candidate ranking sort. */
+  private def exactRerank(
+      corpus: DataFrame, queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
       norm(col("vec")).as("cn"))
     val qv = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
@@ -559,6 +569,103 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // ------------------------------------------------------- product quantization
+
+  /** Trained PQ codebooks: `codebooks(m)` is subspace m's centroid table
+    * (cell id -> subDim doubles), every table covering cells 0..nCodes-1. */
+  final case class PqModel(codebooks: Seq[Seq[(Int, Seq[Double])]], subDim: Int) {
+    require(codebooks.nonEmpty, "PqModel: no codebooks")
+    require(codebooks.forall(_.map(_._1).sorted == (0 until codebooks.head.size)),
+      "PqModel: every codebook must cover contiguous cells 0..nCodes-1")
+    def nSub: Int = codebooks.size
+    def nCodes: Int = codebooks.head.size
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): the vector
+    * is split into `nSub` contiguous subvectors and each subspace gets its
+    * own `nCodes`-cell deterministic-Lloyd codebook. Training cost is
+    * nSub independent [[deterministicCentroids]] runs, each bounded by
+    * `maxTrainRows` sampled vectors; with `kmeansIters = 0` the codebooks
+    * are the sub-slices of the nCodes smallest-id vectors — fully
+    * SQL-re-derivable, which is what the `sim_pq_topk` oracle pins. */
+  def trainPq(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      nSub: Int,
+      nCodes: Int,
+      kmeansIters: Int = 4,
+      maxTrainRows: Long = 100000): PqModel = {
+    require(nSub >= 1 && dim >= 1 && dim % nSub == 0,
+      s"trainPq: nSub must divide dim, got dim=$dim nSub=$nSub")
+    require(nCodes >= 1, s"trainPq: nCodes must be >= 1, got $nCodes")
+    val subDim = dim / nSub
+    val cbs = (0 until nSub).map { m =>
+      deterministicCentroids(
+        corpus.select(col("id"), slice(col("vec"), m * subDim + 1, subDim).as("vec")),
+        nCodes, kmeansIters, maxTrainRows)
+    }
+    PqModel(cbs, subDim)
+  }
+
+  /** PQ-encode the corpus: (id, codes array<int>) where codes(m) is the
+    * argmin cell of subvector m — nSub bytes of information per vector, an
+    * 8-32× narrower scan/shuffle representation than the float vector.
+    * A pure codegen projection (argmin kernel over literal codebooks);
+    * un-placeable vectors (null element / wrong dimension) carry a NULL
+    * code and are excluded from ranking downstream. */
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus.select(col("id"), array((0 until model.nSub).map { m =>
+      assignCell(
+        transform(slice(col("vec"), m * model.subDim + 1, model.subDim), _.cast("double")),
+        model.codebooks(m))
+    }: _*).as("codes"))
+  }
+
+  /** PQ top-k via asymmetric distance computation: each query precomputes
+    * its nSub × nCodes squared-distance table ONCE (a projection over the
+    * literal codebooks), so scoring a candidate is nSub table lookups —
+    * not a dim-length float loop — over the nSub-int encoded corpus. The
+    * top k*oversample per query by ADC then re-rank exactly through
+    * [[exactRerank]]. Composes with the IVF/LSH candidate generators the
+    * same way [[quantizedTopK]] does; demonstrated over the exhaustive
+    * scorer so the approximation error is isolated to the PQ step. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      model: PqModel,
+      oversample: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(oversample >= 1, s"pqTopK: oversample must be >= 1, got $oversample")
+    val enc = pqEncode(corpus, model)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    // flattened per-query distance table: entry m*nCodes + cell
+    val dtab = array((for {
+      m <- 0 until model.nSub
+      (_, cent) <- model.codebooks(m).sortBy(_._1)
+    } yield sqDist(
+      transform(slice(col("vec"), m * model.subDim + 1, model.subDim), _.cast("double")),
+      array(cent.map(lit): _*))): _*)
+    val q = broadcast(queries.select(col("id").as("query_id"), dtab.as("dtab")))
+    val adc = (0 until model.nSub).map { m =>
+      element_at(col("dtab"),
+        (lit(m * model.nCodes) + element_at(col("codes"), m + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").asc, col("neighbor_id").asc)
+    // candidate rows entering the ranking sort are NARROW: (query_id,
+    // neighbor_id, approx) — same hygiene as quantizedTopK
+    val cand = q.crossJoin(enc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("approx"))
+      .filter(col("approx").isNotNull)
+      .withColumn("_ar", row_number().over(wa))
+      .filter(col("_ar") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, cand, k)
   }
 
   /** LSH bucket-occupancy report for [[embeddingNearDupPairs]] sizing:
