@@ -705,6 +705,22 @@ object Queries {
 
     // Streaming-shaped tumbling-window aggregation (batch equivalence; the
     // Structured Streaming path is exercised in the test suite).
+    // Stream-stream interval join, batch twin (view -> purchase
+    // attribution within 15 minutes per user). The IDENTICAL plan runs as
+    // a watermarked stream-stream join in StreamingSpec; here the driver
+    // checks it against a plain SQL interval join.
+    "e_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        within = "15 minutes")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     "e_stream_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
@@ -2494,6 +2510,16 @@ object Queries {
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e_interval_join" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'view' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
     "e_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,

@@ -75,6 +75,41 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint", "_dd_nullkey")
       .drop("_dd_nullkey")
 
+  /** Stream-stream interval join (the view→conversion attribution shape):
+    * every left event pairs with same-key right events occurring within
+    * `within` AFTER it (inclusive on both ends).
+    *
+    * Scale/state shape: both sides carry watermarks and the join
+    * condition bounds the event-time range, so Spark derives a state
+    * horizon for BOTH buffers — neither side's join state outlives
+    * watermark + `within`, no matter how long the streams run. The
+    * equi-key (`user_id`) keeps it a hash join; at 100 TB the hot-key
+    * concern is the same as any keyed shuffle (AQE skew handling batch
+    * side; keyed state distribution stream side).
+    *
+    * Batch/stream parity: `withWatermark` is a no-op on static frames, so
+    * the identical plan serves the `e_interval_join` batch oracle and the
+    * streaming path (StreamingSpec drives two file-arrival streams into
+    * the memory sink and compares against the batch twin). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      within: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, value: Double)
   final case class SessionState(n: Long, total: Double)
   final case class SessionUpdate(user_id: Long, n: Long, total: Double)

@@ -169,6 +169,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L)))
   }
 
+  test("stream-stream interval join matches the batch twin on the same data") {
+    val dirL = Files.createTempDirectory("graft-ij-l").toString
+    val dirR = Files.createTempDirectory("graft-ij-r").toString
+    // views (left) and purchases (right); user 1 converts twice within 15
+    // minutes of view 1, user 2's purchase is 20 min late, user 3 has an
+    // exact-boundary conversion (inclusive end)
+    Files.writeString(java.nio.file.Paths.get(dirL, "l.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:00.000Z","user_id":2,"event_type":"view","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:00:00.000Z","user_id":3,"event_type":"view","value":1.0}""",
+    ).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(dirR, "r.json"), Seq(
+      """{"event_id":11,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"purchase","value":9.0}""",
+      """{"event_id":12,"ts":"2024-01-01T00:14:00.000Z","user_id":1,"event_type":"purchase","value":8.0}""",
+      """{"event_id":13,"ts":"2024-01-01T00:20:00.000Z","user_id":2,"event_type":"purchase","value":7.0}""",
+      """{"event_id":14,"ts":"2024-01-01T00:15:00.000Z","user_id":3,"event_type":"purchase","value":6.0}""",
+    ).mkString("\n"))
+    val q = EventStream.intervalJoin(
+      EventStream.readEventStream(spark, dirL),
+      EventStream.readEventStream(spark, dirR),
+      within = "15 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_stream").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks so all joinable pairs are emitted
+      Files.writeString(java.nio.file.Paths.get(dirL, "l2.json"),
+        """{"event_id":8,"ts":"2024-01-01T09:00:00.000Z","user_id":9,"event_type":"view","value":0.0}""")
+      Files.writeString(java.nio.file.Paths.get(dirR, "r2.json"),
+        """{"event_id":9,"ts":"2024-01-01T09:00:00.000Z","user_id":8,"event_type":"purchase","value":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ij_stream")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("l_id"),
+        r.getAs[Long]("r_id"))).toSet
+    assert(streamed == Set((1L, 1L, 11L), (1L, 1L, 12L), (3L, 3L, 14L)))
+    // batch twin over the same rows returns exactly the same pairs
+    val allRows = spark.read.schema(EventStream.eventSchema).json(dirL, dirR)
+    val batch = EventStream.intervalJoin(
+      allRows.filter(col("event_type") === "view"),
+      allRows.filter(col("event_type") === "purchase"),
+      within = "15 minutes")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("l_id"),
+        r.getAs[Long]("r_id"))).toSet
+    assert(batch == streamed)
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),
