@@ -538,6 +538,21 @@ object Queries {
       graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
     }),
 
+    // Fixed-point PageRank over the near-dup similarity graph (canonical-
+    // member centrality): the dd_minhash_lsh pair derivation feeds the
+    // integer-arithmetic PageRank loop — BIGINT contributions/sums, so
+    // the result is partitioning-independent and the oracle replays all
+    // three iterations bit-identically.
+    "tdp_graph_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      graft.operators.Graph.pageRankFixedPoint(pairs, iters = 3)
+        .orderBy(col("rank_fp").desc, col("id"))
+    }),
+
     // Per-source Count-Min frequency sketch (native cms_sketch aggregate,
     // depth 4 x width 16 — narrower than the 31-term vocab, so collisions
     // and real overestimates occur) probed with every distinct term next
@@ -2144,6 +2159,68 @@ object Queries {
         |    AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // Fixed-point PageRank re-derivation: the dd_minhash_lsh pair CTEs,
+    // then three unrolled iterations of pure-BIGINT PageRank (teleport =
+    // 15*1e12 // (100*n), damped = (85 * sum(pr // deg)) // 100) — every
+    // intermediate is exact integer arithmetic on both engines.
+    "tdp_graph_rank" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id_a
+         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+         |  GROUP BY id_a, id_b),
+         |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |sym AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT id_a AS src, id_b AS dst FROM pairs
+         |    UNION ALL SELECT id_b, id_a FROM pairs)
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |nodes AS (SELECT src AS id, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+         |st AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |p0 AS (SELECT id, deg, 1000000000000 // n AS pr FROM nodes CROSS JOIN st),
+         |c1 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
+         |       FROM p0 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
+         |p1 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
+         |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
+         |       FROM p0 p LEFT JOIN c1 c ON c.id = p.id CROSS JOIN st),
+         |c2 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
+         |       FROM p1 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
+         |p2 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
+         |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
+         |       FROM p1 p LEFT JOIN c2 c ON c.id = p.id CROSS JOIN st),
+         |c3 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
+         |       FROM p2 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
+         |p3 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
+         |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
+         |       FROM p2 p LEFT JOIN c3 c ON c.id = p.id CROSS JOIN st)
+         |SELECT id, pr AS rank_fp, pr::DOUBLE / 1000000000000 AS rank
+         |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
 
     // Exact re-derivation of the Count-Min sketch: same portable hash,
     // same per-row (A, B) constants, bucket = ((A*(h%P)+B)%P)%width with

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over derived document/entity graphs — e.g. ranking the
+  * canonical member of a near-dup cluster by how central it is in the
+  * similarity graph (the PageRank-as-canonicalizer pattern), or weighting
+  * sources by citation-like link structure before mixture sampling.
+  *
+  * FIXED-POINT arithmetic, deliberately: float PageRank sums partial
+  * contributions in shuffle order, so two runs of the same job (or the
+  * same run after an AQE re-plan or task retry) can disagree in the last
+  * ulps — and a rank ORDER can flip on a near-tie. Ranks here live in
+  * integer units of 1e-12 ("picoranks"): contributions use integer
+  * division, sums are exact BIGINT adds (associative/commutative — any
+  * partitioning, any engine), and the DuckDB oracle replays every
+  * iteration bit-identically. The truncation error is bounded by 1 unit
+  * per division — ~1e-12 per node per iteration, orders below anything a
+  * ranking could notice.
+  *
+  * Scale shape: the classic 2-shuffles-per-iteration loop — contributions
+  * shuffle on src (a join against the symmetrized edge list), sums
+  * shuffle on dst with map-side partial aggregation; the edge list is
+  * lazily pinned so iterations re-read it instead of re-deriving it. Hot
+  * (high-degree) nodes are ordinary AQE skew-join territory; the per-node
+  * state is one long.
+  */
+object Graph {
+
+  val Scale: Long = 1000000000000L // 1e12 picorank units
+
+  /** Fixed-point PageRank over an UNDIRECTED pair list (id_a, id_b).
+    *
+    * Pairs are symmetrized and de-duplicated; nodes are the pair
+    * endpoints (an isolated document has no edges and no rank — filter
+    * your corpus against the output, don't expect a row). Per iteration:
+    *
+    *   pr_{t+1}(v) = ((100-dampingPct) * Scale) div (100 * n)
+    *               + (dampingPct * Σ_{u~v} (pr_t(u) div deg(u))) div 100
+    *
+    * all in BIGINT. Returns (id, rank_fp, rank) with rank = rank_fp/1e12
+    * as a double (exact: both operands integral), ordered by nothing —
+    * callers order. */
+  def pageRankFixedPoint(
+      pairs: DataFrame, // (id_a, id_b)
+      iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"pageRankFixedPoint: iters must be in [1, 20], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"pageRankFixedPoint: dampingPct must be in [1, 99], got $dampingPct")
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct() // a duplicated input pair must not double an edge's weight
+      .localCheckpoint(false) // every iteration re-reads the edges — pin once
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n1 = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.select(col("src").as("id"), col("deg"))
+      .crossJoin(broadcast(n1))
+      .withColumn("pr", expr(s"$Scale div n"))
+    val teleport = expr(s"((${100 - dampingPct}) * $Scale) div (100 * n)")
+    for (_ <- 0 until iters) {
+      val contribs = pr
+        .select(col("id").as("src"), expr("pr div deg").as("c"))
+        .join(sym, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .withColumnRenamed("dst", "id")
+      pr = pr.drop("pr").join(contribs, Seq("id"), "left")
+        .withColumn("pr", teleport + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+        .drop("s")
+    }
+    pr.select(col("id"), col("pr").as("rank_fp"),
+      (col("pr").cast("double") / lit(Scale)).as("rank"))
+  }
+
+  /** Canonical member per near-dup component by graph centrality: the
+    * highest-PageRank node of each connected component (rank ties break
+    * to the smallest id) — the "most representative duplicate" policy,
+    * complementing min-id ([[Dedup.dedupByPairs]]) and best-quality
+    * ([[Dedup.dedupByPairsKeepBest]]) survivor rules. */
+  def canonicalByRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val ranks = pageRankFixedPoint(pairs, iters)
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("rank_fp").desc, col("id").asc)
+    comps.join(ranks, Seq("id"))
+      .withColumn("_rn", row_number().over(w))
+      .select(col("id"), col("component"), col("rank_fp"), col("rank"),
+        (col("_rn") === 1).as("is_canonical"))
+  }
+}
