@@ -538,6 +538,34 @@ object Queries {
       graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
     }),
 
+    // CMS join-cardinality estimation: |orders ⋈ lineitem| estimated from
+    // two bounded sketches (min over rows of the counter inner product —
+    // exact BIGINT arithmetic) next to the true join count. The planner
+    // primitive for salting/broadcast decisions without running the join.
+    // The ratio column makes the additive |A||B|/width error VISIBLE:
+    // ~1.0x at sf0.001, ~3x at sf0.1 (150k x 600k keys over 65536
+    // buckets) — right on the documented bound; production sizing is
+    // width ≈ |A||B| / tolerable_error.
+    "tdp_cms_join_size" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val d = 4; val w = 65536
+      val o = Sketches.cmsSketchByGroup(
+        t(s, dir, "orders"), Seq(lit(1).as("g")), col("o_orderkey"), d, w)
+        .select(col("counters").as("ca"))
+      val l = Sketches.cmsSketchByGroup(
+        t(s, dir, "lineitem"), Seq(lit(1).as("g")), col("l_orderkey"), d, w)
+        .select(col("counters").as("cb"))
+      val exact = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact"))
+      o.crossJoin(l).crossJoin(exact)
+        .select(
+          Sketches.cmsJoinSizeEstimate(col("ca"), col("cb"), d, w).as("est"),
+          col("exact"),
+          (Sketches.cmsJoinSizeEstimate(col("ca"), col("cb"), d, w).cast("double") /
+            col("exact")).as("ratio"))
+    }),
+
     // Fixed-point PageRank over the near-dup similarity graph (canonical-
     // member centrality): the dd_minhash_lsh pair derivation feeds the
     // integer-arithmetic PageRank loop — BIGINT contributions/sums, so
@@ -2159,6 +2187,37 @@ object Queries {
         |    AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // CMS join-size re-derivation: both sketches rebuilt as (r, bucket)
+    // count tables, inner product per row as an exact BIGINT sum of
+    // products (zero buckets contribute zero, so joining only the
+    // co-occupied buckets is identical to the engine's full-width fold),
+    // min over the depth rows, next to the true join count.
+    "tdp_cms_join_size" ->
+      """WITH consts AS (SELECT * FROM (VALUES
+        |  (0, 1::BIGINT, 0::BIGINT), (1, 1777::BIGINT, 97::BIGINT),
+        |  (2, 7919::BIGINT, 1009::BIGINT), (3, 104729::BIGINT, 30011::BIGINT))
+        |  AS t(r, a, b)),
+        |ha AS (SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT AS h
+        |       FROM orders WHERE o_orderkey IS NOT NULL),
+        |hb AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT AS h
+        |       FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |ba AS (SELECT c.r AS r,
+        |         ((c.a * (h % 2147483647) + c.b) % 2147483647) % 65536 AS bk,
+        |         count(*)::BIGINT AS cnt
+        |       FROM ha CROSS JOIN consts c GROUP BY c.r, bk),
+        |bb AS (SELECT c.r AS r,
+        |         ((c.a * (h % 2147483647) + c.b) % 2147483647) % 65536 AS bk,
+        |         count(*)::BIGINT AS cnt
+        |       FROM hb CROSS JOIN consts c GROUP BY c.r, bk),
+        |er AS (SELECT ba.r, sum(ba.cnt * bb.cnt)::BIGINT AS ip
+        |       FROM ba JOIN bb ON bb.r = ba.r AND bb.bk = ba.bk GROUP BY ba.r),
+        |es AS (SELECT min(coalesce(e.ip, 0))::BIGINT AS est
+        |       FROM consts c LEFT JOIN er e ON e.r = c.r),
+        |ex AS (SELECT count(*)::BIGINT AS exact
+        |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT es.est, ex.exact, es.est::DOUBLE / ex.exact AS ratio
+        |FROM es CROSS JOIN ex""".stripMargin,
 
     // Fixed-point PageRank re-derivation: the dd_minhash_lsh pair CTEs,
     // then three unrolled iterations of pure-BIGINT PageRank (teleport =

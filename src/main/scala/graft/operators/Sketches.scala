@@ -140,6 +140,30 @@ object Sketches {
       .drop("_sk")
   }
 
+  /** Join-cardinality estimate from two CMS sketches (the inner-product
+    * estimator, Cormode & Muthukrishnan 2005): |A ⋈_k B| = Σ_k cA(k)·cB(k),
+    * estimated as min over rows r of Σ_b cmsA[r][b]·cmsB[r][b]. Always an
+    * OVERestimate (collision mass only adds), with additive error
+    * ~|A|·|B|/width per row — size `width` to |A|·|B|/tolerable_error.
+    *
+    * The planner-side use: decide salting/broadcast/bucketing for an
+    * expensive join from two bounded sketches WITHOUT running the join —
+    * each side is one map-side-combined aggregation, and the estimate is
+    * a pure column over the two counter arrays (exact BIGINT arithmetic:
+    * bit-identical on any engine, any partitioning). */
+  def cmsJoinSizeEstimate(
+      countersA: Column, countersB: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= graft.functions.CountMinAgg.MaxDepth,
+      s"cmsJoinSizeEstimate: depth must be in [1, ${graft.functions.CountMinAgg.MaxDepth}], got $depth")
+    require(width >= 1, s"cmsJoinSizeEstimate: width must be >= 1, got $width")
+    val rows = (0 until depth).map { r =>
+      val a = slice(countersA, r * width + 1, width)
+      val b = slice(countersB, r * width + 1, width)
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    }
+    if (rows.size == 1) rows.head else least(rows: _*)
+  }
+
   /** Point query against an evaluated CMS `counters` array for the value
     * in `c`: the minimum of the value's d counters — a pure codegen
     * column (`least` over `element_at`s), never an action. Guaranteed

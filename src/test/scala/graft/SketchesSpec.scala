@@ -239,6 +239,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(est.isNullAt(0), s"est=$est")
   }
 
+  test("cms join-size estimate: >= true inner product, exact without collisions") {
+    val a = (1 to 300).map(i => s"k${i % 20}")  // 20 keys, 15 each
+    val b = (1 to 100).map(i => s"k${i % 25}")  // 25 keys (5 unmatched), 4 each
+    val trueJoin = a.flatMap(x => b.filter(_ == x)).size.toLong // sum cA(k)*cB(k)
+    def est(width: Int, dfA: Seq[String], dfB: Seq[String], parts: Int): Long = {
+      val sa = Sketches.cmsSketchByGroup(
+        dfA.toDF("v").repartition(parts), Seq(lit(1).as("g")), col("v"), 4, width)
+        .select(col("counters").as("ca"))
+      val sb = Sketches.cmsSketchByGroup(
+        dfB.toDF("v").repartition(parts), Seq(lit(1).as("g")), col("v"), 4, width)
+        .select(col("counters").as("cb"))
+      sa.crossJoin(sb)
+        .select(Sketches.cmsJoinSizeEstimate(col("ca"), col("cb"), 4, width))
+        .collect().head.getLong(0)
+    }
+    val narrow = est(8, a, b, 3)
+    assert(narrow >= trueJoin, s"narrow $narrow < true $trueJoin")
+    // wide sketch: 4 independent rows over 4096 buckets for 25 keys —
+    // a surviving collision in EVERY row is (~25*25/4096)^4-improbable
+    assert(est(4096, a, b, 3) == trueJoin)
+    // partitioning invariance of the whole pipeline
+    assert(est(8, a, b, 1) == narrow)
+  }
+
   test("cms_sketch is callable from SQL and rejects bad shapes") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     Seq("x", "y", "x").toDF("v").createOrReplaceTempView("cms_in")
