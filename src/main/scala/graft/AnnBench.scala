@@ -115,6 +115,12 @@ object AnnBench {
     val (pqSet, tPq) = time2 {
       pairs(Similarity.pqTopK(vecs, queries, k = 10, pqModel, oversample = 16))
     }
+    // IVF-PQ: same probe as ivfQuery, PQ-coded scoring inside the probed
+    // cells only — the production composition
+    val (ivfPqSet, tIvfPq) = time2 {
+      pairs(Similarity.ivfPqTopK(ivfIdx, pqModel, vecs, queries, k = 10,
+        nProbe = ivfProbe, oversample = 16))
+    }
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
@@ -123,6 +129,7 @@ object AnnBench {
     val ivfRecall = (ivfSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val quantRecall = (quantSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val pqRecall = (pqSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
+    val ivfPqRecall = (ivfPqSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     // Planted-neighbor check: id%20==0 is a jittered copy of id-1, so the
     // exact top-1 of query q is q-1 — verify the approximate paths keep it.
     val planted = bfSet.filter { case (q, nb) => q % 20 == 0 && q > 0 && nb == q - 1 }
@@ -132,7 +139,7 @@ object AnnBench {
     val pqPlanted = (pqSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
     ivfIdx.release()
     vecs.unpersist() // the synthetic corpus is done — free it before the SF phase
 
@@ -174,10 +181,12 @@ object AnnBench {
       val pqM = Similarity.trainPq(e, dim = sfDim, nSub = pqSub,
         nCodes = math.min(64, nE.toInt), kmeansIters = 2, maxTrainRows = nE)
       val pq = sets(Similarity.pqTopK(e, q, k = 10, pqM, oversample = 8))
+      val ivfpq = sets(Similarity.ivfPqTopK(idx, pqM, e, q, k = 10,
+        nProbe = sfProbe, oversample = 8))
       def rec(m: Map[Int, Set[(Long, Long)]], k: Int): Double =
         (m(k) & bf(k)).size.toDouble / math.max(bf(k).size, 1)
       val tbl = ks.map { k =>
-        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f,"pq":${rec(pq, k)}%.3f}"""
+        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f,"pq":${rec(pq, k)}%.3f,"ivfpq":${rec(ivfpq, k)}%.3f}"""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"ann_recall_sf","sf":"$sfDir","n_vecs":$nE,"ivf_cells":$sfCells,"ivf_probe":$sfProbe,"recall_at_k":$tbl}""")
       idx.release()

@@ -287,24 +287,23 @@ object Similarity {
     * corpus-sized inverted file — the corpus is never shuffled for the
     * candidate join; only the candidate set moves for the per-query
     * window. */
-  private def ivfQueryInternal(
+  /** Per-query probed cells: (query_id, qvec, qn, cell) for the `nProbe`
+    * cells nearest to each query. Probe order must match the ASSIGNMENT
+    * metric (euclidean argmin): per query, |q - c|^2 = |q|^2 - 2<q,c> +
+    * |c|^2 orders cells by (|c|^2 - 2<q,c>) since |q|^2 is constant. A
+    * raw -dot order would skip a query's own cell whenever centroid norms
+    * differ (guaranteed for unnormalized embeddings) — systematic recall
+    * loss at any nProbe. Shared by the exact-cosine and PQ probe paths. */
+  private def probeCells(
       centroids: Seq[(Int, Seq[Double])],
-      assigned: DataFrame,
       queries: DataFrame,
-      k: Int,
-      nProbe: Int,
-  ): DataFrame = {
-    val spark = assigned.sparkSession
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    // Probe order must match the ASSIGNMENT metric (euclidean argmin):
-    // per query, |q - c|^2 = |q|^2 - 2<q,c> + |c|^2 orders cells by
-    // (|c|^2 - 2<q,c>) since |q|^2 is constant. A raw -dot order would
-    // skip a query's own cell whenever centroid norms differ (guaranteed
-    // for unnormalized embeddings) — systematic recall loss at any nProbe.
     val centDf = broadcast(
       centroids.map { case (c, v) => (c, v, v.map(x => x * x).sum) }
         .toDF("cell", "centroid", "cn2"))
-    val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+    queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn"))
       .crossJoin(centDf)
       .withColumn("dist", col("cn2") - lit(2.0) * dot(col("qvec"), col("centroid")))
@@ -312,6 +311,16 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("cell").asc)))
       .filter(col("cr") <= nProbe)
       .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
+  }
+
+  private def ivfQueryInternal(
+      centroids: Seq[(Int, Seq[Double])],
+      assigned: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+  ): DataFrame = {
+    val qCells = probeCells(centroids, queries, nProbe)
 
     // No dedup before ranking: every corpus vector is assigned exactly
     // ONE cell and the nProbe probed cells per query are distinct, so
@@ -659,6 +668,57 @@ object Similarity {
     // candidate rows entering the ranking sort are NARROW: (query_id,
     // neighbor_id, approx) — same hygiene as quantizedTopK
     val cand = q.crossJoin(enc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("approx"))
+      .filter(col("approx").isNotNull)
+      .withColumn("_ar", row_number().over(wa))
+      .filter(col("_ar") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, cand, k)
+  }
+
+  /** IVF-PQ (the production composition, Jégou et al. 2011 §IV): IVF
+    * limits WHICH vectors are scored (the nProbe nearest cells), PQ
+    * limits WHAT is scored (nSub code lookups over an nSub-int row
+    * instead of a dim-float dot). The scoring pass touches only the
+    * probed fraction of an inverted file that is 8-32× narrower than the
+    * float corpus — the memory/IO representation a 100 TB index actually
+    * caches — and the exact re-rank re-acquires float vectors only for
+    * the k*oversample survivors. `corpus` must be the same (id, vec)
+    * relation the index was built from. */
+  def ivfPqTopK(
+      index: IvfIndex,
+      model: PqModel,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      oversample: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(oversample >= 1, s"ivfPqTopK: oversample must be >= 1, got $oversample")
+    // PQ-encode the inverted file (projection over the cached assignment;
+    // a persisted IVF-PQ index would store these codes instead of cvec)
+    val enc = index.assigned.select(col("cell"), col("neighbor_id"),
+      array((0 until model.nSub).map { m =>
+        assignCell(
+          transform(slice(col("cvec"), m * model.subDim + 1, model.subDim), _.cast("double")),
+          model.codebooks(m))
+      }: _*).as("codes"))
+    val dtab = array((for {
+      m <- 0 until model.nSub
+      (_, cent) <- model.codebooks(m).sortBy(_._1)
+    } yield sqDist(
+      transform(slice(col("qvec"), m * model.subDim + 1, model.subDim), _.cast("double")),
+      array(cent.map(lit): _*))): _*)
+    val probed = probeCells(index.centroids, queries, nProbe)
+      .select(col("query_id"), col("cell"), dtab.as("dtab"))
+    val adc = (0 until model.nSub).map { m =>
+      element_at(col("dtab"),
+        (lit(m * model.nCodes) + element_at(col("codes"), m + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").asc, col("neighbor_id").asc)
+    val cand = broadcast(probed).join(enc, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("approx"))
       .filter(col("approx").isNotNull)

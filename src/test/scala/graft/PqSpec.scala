@@ -80,6 +80,34 @@ class PqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ivfPqTopK: probing every cell with a full-width oversample equals brute force") {
+    val df = toDf(mkVecs(40, 7))
+    val model = Similarity.trainPq(df, dim, nSub = 4, nCodes = 4, kmeansIters = 1)
+    val idx = Similarity.buildIvfIndex(df, nCells = 4, kmeansIters = 2)
+    try {
+      val q = df.filter(col("id") < 4)
+      val got = Similarity.ivfPqTopK(idx, model, df, q, k = 5, nProbe = 4, oversample = 8)
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      val bf = Similarity.bruteForceTopK(df, q, k = 5)
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      assert(got == bf)
+    } finally idx.release()
+  }
+
+  test("ivfPqTopK: planted near-duplicate found with a narrow probe") {
+    val base = mkVecs(300, 8)
+    val planted = base :+ (999L, base.head._2.map(x => x + 0.001f))
+    val df = toDf(planted)
+    val model = Similarity.trainPq(df, dim, nSub = 4, nCodes = 8, kmeansIters = 3)
+    val idx = Similarity.buildIvfIndex(df, nCells = 8, kmeansIters = 3)
+    try {
+      val out = Similarity.ivfPqTopK(idx, model, df, df.filter(col("id") === 0L),
+        k = 3, nProbe = 2, oversample = 3)
+        .orderBy(col("rank")).collect()
+      assert(out.head.getAs[Long]("neighbor_id") == 999L)
+    } finally idx.release()
+  }
+
   test("validation: bad shapes are rejected loudly") {
     val df = toDf(mkVecs(10, 6))
     intercept[IllegalArgumentException] {
