@@ -627,6 +627,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // SF-independent LM twin (same operator, inline corpus — OOV, backoff
+    // and empty-doc paths all hit; see e_*_fx rationale).
+    "txt_lm_score_fx" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq((1L, "a b a b c"), (2L, "a a a"), (3L, "c d a"), (4L, ""))
+        .toDF("doc_id", "text")
+      val lm = graft.operators.LanguageModel
+        .trainBigramLm(docs, col("text"), vocabSize = 3, maxBigrams = 10)
+      graft.operators.LanguageModel
+        .scoreBigramLm(docs, col("doc_id"), col("text"), lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer end-to-end on a deterministic fixture: distributed
     // word-frequency train (groupBy count + TakeOrdered cap) -> exact
     // driver merge loop -> broadcast-merges mapPartitions encode. The
@@ -774,6 +788,30 @@ object Queries {
 
     // Streaming-family twin on an inline fixture (same tumbling-window agg,
     // SF-independent verification — see w3_top_rank_fx rationale).
+    // Interval-join twin on an inline fixture (drives the real
+    // EventStream.intervalJoin; SF-independent verification so the
+    // operator keeps a green row even if the events table regenerates
+    // incompatibly — the round-5 lesson).
+    "e_interval_join_fx" -> ((s, _) => {
+      import s.implicits._
+      def ev(rows: Seq[(Long, String, Long)]) =
+        rows.toDF("event_id", "ts_str", "user_id")
+          .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"),
+            col("user_id"), lit(0.0).as("value"))
+      val views = ev(Seq(
+        (1L, "2025-01-01 00:00:00", 1L),
+        (2L, "2025-01-01 00:00:00", 2L),
+        (3L, "2025-01-01 00:00:00", 3L)))
+      val buys = ev(Seq(
+        (11L, "2025-01-01 00:05:00", 1L),
+        (12L, "2025-01-01 00:14:00", 1L),
+        (13L, "2025-01-01 00:20:00", 2L), // 5 min past the window
+        (14L, "2025-01-01 00:15:00", 3L))) // inclusive boundary
+      graft.streaming.EventStream.intervalJoin(views, buys, within = "15 minutes")
+        .select(col("user_id"), col("l_id"), col("r_id"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     "e_stream_window_fx" -> ((s, _) => {
       import s.implicits._
       Seq(
@@ -1782,6 +1820,51 @@ object Queries {
 
   private val usiCharClass = """[()_ =&$@;+?{^}%\]>\[~<#|]"""
 
+  /** Stupid-backoff bigram-LM score re-derivation, parameterized over the
+    * (id, text) relation and the model caps — shared by the SF query and
+    * its inline-fixture twin. */
+  private def lmScoreSql(docsFrom: String, vocabCap: Int, bigramCap: Int): String =
+    s"""WITH d AS (
+       |  SELECT id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM $docsFrom),
+       |uni_all AS (
+       |  SELECT term, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
+       |st AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tok, count(*)::BIGINT AS v
+       |       FROM uni_all),
+       |uni AS (SELECT term, c FROM uni_all ORDER BY c DESC, term LIMIT $vocabCap),
+       |bi AS (
+       |  SELECT w1, w2, count(*)::BIGINT AS c FROM (
+       |    SELECT t[i-1] AS w1, t[i] AS w2
+       |    FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
+       |  GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT $bigramCap),
+       |pos AS (
+       |  SELECT id, i, t[i] AS term, CASE WHEN i > 1 THEN t[i-1] END AS prev
+       |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+       |sc AS (
+       |  SELECT p.id,
+       |    round(-ln(CASE WHEN p.i = 1
+       |        THEN (coalesce(u.c, 0) + 0.5::DOUBLE)
+       |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1))
+       |      WHEN bp.c IS NOT NULL AND up.c IS NOT NULL
+       |        THEN bp.c::DOUBLE / up.c::DOUBLE
+       |      ELSE 0.4::DOUBLE * ((coalesce(u.c, 0) + 0.5::DOUBLE)
+       |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1)))
+       |      END), 6)::DECIMAL(28,6) AS nl
+       |  FROM pos p
+       |  LEFT JOIN uni u ON u.term = p.term
+       |  LEFT JOIN uni up ON up.term = p.prev
+       |  LEFT JOIN bi bp ON bp.w1 = p.prev AND bp.w2 = p.term
+       |  CROSS JOIN st),
+       |agg AS (SELECT id, count(*)::BIGINT AS n_tokens, sum(nl) AS s,
+       |          (sum(nl) * 1000000)::BIGINT AS u
+       |        FROM sc GROUP BY id)
+       |SELECT d.id AS doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
+       |FROM d LEFT JOIN agg a ON d.id = a.id
+       |ORDER BY doc_id""".stripMargin
+
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
   private def normSql(v: String) =
@@ -2334,46 +2417,15 @@ object Queries {
     // literal-first products, ::DOUBLE literals to defeat DuckDB's
     // DECIMAL literal typing).
     "txt_lm_score" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |uni_all AS (
-        |  SELECT term, count(*)::BIGINT AS c
-        |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
-        |st AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tok, count(*)::BIGINT AS v
-        |       FROM uni_all),
-        |uni AS (SELECT term, c FROM uni_all ORDER BY c DESC, term LIMIT 20),
-        |bi AS (
-        |  SELECT w1, w2, count(*)::BIGINT AS c FROM (
-        |    SELECT t[i-1] AS w1, t[i] AS w2
-        |    FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
-        |  GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT 400),
-        |pos AS (
-        |  SELECT id, i, t[i] AS term, CASE WHEN i > 1 THEN t[i-1] END AS prev
-        |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
-        |sc AS (
-        |  SELECT p.id,
-        |    round(-ln(CASE WHEN p.i = 1
-        |        THEN (coalesce(u.c, 0) + 0.5::DOUBLE)
-        |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1))
-        |      WHEN bp.c IS NOT NULL AND up.c IS NOT NULL
-        |        THEN bp.c::DOUBLE / up.c::DOUBLE
-        |      ELSE 0.4::DOUBLE * ((coalesce(u.c, 0) + 0.5::DOUBLE)
-        |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1)))
-        |      END), 6)::DECIMAL(28,6) AS nl
-        |  FROM pos p
-        |  LEFT JOIN uni u ON u.term = p.term
-        |  LEFT JOIN uni up ON up.term = p.prev
-        |  LEFT JOIN bi bp ON bp.w1 = p.prev AND bp.w2 = p.term
-        |  CROSS JOIN st),
-        |agg AS (SELECT id, count(*)::BIGINT AS n_tokens, sum(nl) AS s,
-        |          (sum(nl) * 1000000)::BIGINT AS u
-        |        FROM sc GROUP BY id)
-        |SELECT d.id AS doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-        |  ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
-        |FROM d LEFT JOIN agg a ON d.id = a.id
-        |ORDER BY doc_id""".stripMargin,
+      lmScoreSql("(SELECT doc_id AS id, text FROM documents)", 20, 400),
+
+    // SF-independent LM twin on an inline corpus that hits every path:
+    // vocab cap 3 of 4 (d is OOV), an unseen bigram (backoff), an empty
+    // doc (n_tokens 0, NULL score).
+    "txt_lm_score_fx" ->
+      lmScoreSql(
+        "(VALUES (1, 'a b a b c'), (2, 'a a a'), (3, 'c d a'), (4, '')) AS v(id, text)",
+        3, 10),
 
     // Native spectra clustering re-derivation: identical synthesis
     // (integer intensities => exact dots/norms), binning + top-20 bins with
@@ -2661,6 +2713,13 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    // Expected rows: user 1 converts twice inside 15 min, user 2 is 5 min
+    // late, user 3 hits the inclusive boundary exactly.
+    "e_interval_join_fx" ->
+      """SELECT c0::BIGINT AS user_id, c1::BIGINT AS l_id, c2::BIGINT AS r_id
+        |FROM (VALUES (1, 1, 11), (1, 1, 12), (3, 3, 14)) AS t(c0, c1, c2)
+        |ORDER BY user_id, l_id, r_id""".stripMargin,
 
     "e_stream_window_fx" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
