@@ -627,6 +627,27 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Model training as aggregation: 2 full-batch gradient-descent
+    // iterations of a logistic-regression language gate (predict lang=en
+    // from [bias, token count, chars/100]), then sigma(w.x) inference
+    // over every doc. Gradients are exact integer nano-unit sums, so the
+    // trained weights — and therefore every score — replay bit-identically
+    // in the DuckDB oracle's unrolled iterations.
+    "txt_lr_train" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val docs = t(s, dir, "documents")
+      def feats = Seq(
+        lit(1.0),
+        size(TextFunctions.tokens(col("text"))).cast("double"),
+        col("n_chars").cast("double") / lit(100.0))
+      val label = (col("lang") === "en").cast("int")
+      val w = QualityModel.trainLogReg(docs, feats, label, iters = 2, lr = 0.5)
+      docs.select(col("doc_id"), label.cast("long").as("y"),
+        floor(QualityModel.logRegScore(feats, w) * lit(1e9) + lit(0.5))
+          .cast("long").as("score_n"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SF-independent LM twin (same operator, inline corpus — OOV, backoff
     // and empty-doc paths all hit; see e_*_fx rationale).
     "txt_lm_score_fx" -> ((s, _) => {
@@ -2400,6 +2421,60 @@ object Queries {
         |SELECT e.source, e.term, e.exact, e.est, t.total
         |FROM est e JOIN tot t USING (source)
         |ORDER BY source, term""".stripMargin,
+
+    // Two unrolled GD iterations: per-row gradient contributions quantized
+    // via floor(x*1e9 + 0.5) (bit-stable IEEE) and summed as BIGINT, the
+    // weight updates as single double ops in the engine's association
+    // order, then sigma(w.x) re-scored over ALL docs (nulls propagate).
+    "txt_lr_train" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    1.0::DOUBLE AS x0,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS x1,
+        |    n_chars::DOUBLE / 100 AS x2,
+        |    (lang = 'en')::INT::DOUBLE AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |s1 AS (SELECT
+        |    sum((floor((y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(0.0::DOUBLE*x0 + 0.0::DOUBLE*x1 + 0.0::DOUBLE*x2))))
+        |      * x0 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s0,
+        |    sum((floor((y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(0.0::DOUBLE*x0 + 0.0::DOUBLE*x1 + 0.0::DOUBLE*x2))))
+        |      * x1 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s1,
+        |    sum((floor((y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(0.0::DOUBLE*x0 + 0.0::DOUBLE*x1 + 0.0::DOUBLE*x2))))
+        |      * x2 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s2,
+        |    count(*)::BIGINT AS n
+        |  FROM f),
+        |w1 AS (SELECT
+        |    0.0::DOUBLE + 0.5::DOUBLE * ((s0::DOUBLE / 1e9) / n) AS w0,
+        |    0.0::DOUBLE + 0.5::DOUBLE * ((s1::DOUBLE / 1e9) / n) AS w1,
+        |    0.0::DOUBLE + 0.5::DOUBLE * ((s2::DOUBLE / 1e9) / n) AS w2
+        |  FROM s1),
+        |s2 AS (SELECT
+        |    sum((floor((f.y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))
+        |      * f.x0 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s0,
+        |    sum((floor((f.y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))
+        |      * f.x1 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s1,
+        |    sum((floor((f.y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))
+        |      * f.x2 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s2,
+        |    count(*)::BIGINT AS n
+        |  FROM f CROSS JOIN w1 w),
+        |w2 AS (SELECT
+        |    w.w0 + 0.5::DOUBLE * ((s.s0::DOUBLE / 1e9) / s.n) AS w0,
+        |    w.w1 + 0.5::DOUBLE * ((s.s1::DOUBLE / 1e9) / s.n) AS w1,
+        |    w.w2 + 0.5::DOUBLE * ((s.s2::DOUBLE / 1e9) / s.n) AS w2
+        |  FROM w1 w CROSS JOIN s2 s),
+        |fall AS (
+        |  SELECT doc_id,
+        |    1.0::DOUBLE AS x0,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS x1,
+        |    n_chars::DOUBLE / 100 AS x2,
+        |    (lang = 'en')::INT AS y
+        |  FROM documents)
+        |SELECT f.doc_id, f.y::BIGINT AS y,
+        |  (floor(1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2)))
+        |    * 1e9 + 0.5::DOUBLE))::BIGINT AS score_n
+        |FROM fall f CROSS JOIN w2 w
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_lm_train" ->
       """WITH d AS (

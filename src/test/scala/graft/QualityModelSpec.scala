@@ -39,4 +39,57 @@ class QualityModelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  /** Plain-Scala replay of the quantized-gradient recurrence. */
+  private def bruteLogReg(
+      rows: Seq[(Seq[Double], Double)], iters: Int, lr: Double): Seq[Double] = {
+    val d = rows.head._1.size
+    var w = Seq.fill(d)(0.0)
+    for (_ <- 0 until iters) {
+      val sums = (0 until d).map { j =>
+        rows.map { case (x, y) =>
+          val m = (0 until d).map(i => w(i) * x(i)).reduce(_ + _)
+          val g = y - 1.0 / (1.0 + math.exp(-m))
+          math.floor(g * x(j) * 1e9 + 0.5).toLong
+        }.sum
+      }
+      w = (0 until d).map(j => w(j) + lr * (sums(j).toDouble / 1e9 / rows.size))
+    }
+    w
+  }
+
+  test("trainLogReg matches the plain-Scala quantized-gradient replay exactly") {
+    val rows = Seq(
+      (Seq(1.0, 2.0), 1.0), (Seq(1.0, 8.0), 0.0),
+      (Seq(1.0, 1.5), 1.0), (Seq(1.0, 9.0), 0.0), (Seq(1.0, 3.0), 1.0))
+    val df = rows.map { case (x, y) => (x(0), x(1), y) }.toDF("x0", "x1", "y")
+    for (parts <- Seq(1, 3)) {
+      val w = QualityModel.trainLogReg(df.repartition(parts),
+        Seq(col("x0"), col("x1")), col("y"), iters = 3, lr = 0.5)
+      assert(w == bruteLogReg(rows, 3, 0.5), s"parts=$parts")
+    }
+    // the gate separates: short docs (x1 small) score above long ones
+    val w = QualityModel.trainLogReg(df, Seq(col("x0"), col("x1")), col("y"), iters = 10)
+    assert(w(1) < 0.0) // negative weight on the feature that predicts label 0
+  }
+
+  test("trainLogReg drops NULL rows and rejects an all-null frame") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(1.0)), (Some(1.0), None, Some(0.0)),
+      (Some(1.0), Some(3.0), None),
+    ).toDF("x0", "x1", "y")
+    val w = QualityModel.trainLogReg(df, Seq(col("x0"), col("x1")), col("y"), iters = 1)
+    val wClean = QualityModel.trainLogReg(
+      Seq((1.0, 2.0, 1.0)).toDF("x0", "x1", "y"),
+      Seq(col("x0"), col("x1")), col("y"), iters = 1)
+    assert(w == wClean) // only the complete row trained
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogReg(
+        Seq((Option.empty[Double], 1.0)).toDF("x0", "y"),
+        Seq(col("x0")), col("y"), iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogReg(df, Seq(col("x0")), col("y"), iters = 0)
+    }
+  }
 }
