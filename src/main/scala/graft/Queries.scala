@@ -627,6 +627,30 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Data-quality expectation report: five contract rules over events in
+    // ONE aggregation pass (value_small deliberately fails — max value is
+    // ~560 — so both report states appear).
+    "tdp_expectations" -> ((s, dir) => {
+      graft.operators.DataQuality.expectationReport(t(s, dir, "events"), Seq(
+        "event_id_not_null" -> col("event_id").isNotNull,
+        "event_type_known" ->
+          col("event_type").isin("click", "view", "purchase", "signup", "error"),
+        "ts_in_2024" -> (year(col("ts")) === 2024),
+        "user_id_positive" -> (col("user_id") > 0),
+        "value_small" -> (col("value") < 100.0)))
+    }),
+
+    // PSI distribution drift between two derived corpus snapshots on
+    // n_chars (12 equal bins over [0, 600), Laplace-smoothed shares,
+    // 9-dp decimal-summed contributions).
+    "tdp_psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
+    }),
+
     // Model training as aggregation: 2 full-batch gradient-descent
     // iterations of a logistic-regression language gate (predict lang=en
     // from [bias, token count, chars/100]), then sigma(w.x) inference
@@ -2421,6 +2445,56 @@ object Queries {
         |SELECT e.source, e.term, e.exact, e.est, t.total
         |FROM est e JOIN tot t USING (source)
         |ORDER BY source, term""".stripMargin,
+
+    // One-pass conditional counts, NULL predicate counts as violation.
+    "tdp_expectations" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+        |  sum(CASE WHEN NOT coalesce(event_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v1,
+        |  sum(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) THEN 1 ELSE 0 END)::BIGINT AS v2,
+        |  sum(CASE WHEN NOT coalesce(year(ts) = 2024, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v3,
+        |  sum(CASE WHEN NOT coalesce(user_id > 0, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v4,
+        |  sum(CASE WHEN NOT coalesce(value < 100.0, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v5
+        |  FROM events)
+        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+        |  SELECT 'event_id_not_null' AS rule, n, v1 AS v FROM a
+        |  UNION ALL SELECT 'event_type_known', n, v2 FROM a
+        |  UNION ALL SELECT 'ts_in_2024', n, v3 FROM a
+        |  UNION ALL SELECT 'user_id_positive', n, v4 FROM a
+        |  UNION ALL SELECT 'value_small', n, v5 FROM a)
+        |ORDER BY rule""".stripMargin,
+
+    // PSI re-derivation: same clamped equal-width binning, Laplace
+    // shares as exact rationals, contribution = round((p-q)*ln(p/q), 9)
+    // decimal-summed.
+    "tdp_psi_drift" ->
+      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
+        |ba AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
+        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
+        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
+        |  LEFT JOIN bb ON bb.bucket = b.bucket),
+        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
+        |c AS (
+        |  SELECT j.bucket, j.n_a, j.n_b,
+        |    round(((j.n_a + 1)::DOUBLE / (t.t_a + 12) - (j.n_b + 1)::DOUBLE / (t.t_b + 12))
+        |      * ln(((j.n_a + 1)::DOUBLE / (t.t_a + 12)) / ((j.n_b + 1)::DOUBLE / (t.t_b + 12))),
+        |      9)::DECIMAL(28,9) AS contrib
+        |  FROM j CROSS JOIN t),
+        |p AS (SELECT sum(contrib)::DOUBLE AS psi FROM c)
+        |SELECT c.bucket, c.n_a, c.n_b, c.contrib, p.psi
+        |FROM c CROSS JOIN p ORDER BY bucket""".stripMargin,
 
     // Two unrolled GD iterations: per-row gradient contributions quantized
     // via floor(x*1e9 + 0.5) (bit-stable IEEE) and summed as BIGINT, the

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.DataQuality
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("expectation report: per-rule violation counts, NULL predicate violates") {
+    val df = Seq(
+      (Some(1L), Some(5.0)), (Some(2L), Some(-1.0)),
+      (None, Some(3.0)), (Some(4L), None),
+    ).toDF("id", "v")
+    val out = DataQuality.expectationReport(df, Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "v_positive" -> (col("v") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // v_positive: -1.0 fails, NULL v is an unevaluable expectation -> violation
+    assert(out.toSeq == Seq(
+      ("id_not_null", 4L, 1L, false), ("v_positive", 4L, 2L, false)))
+    val pass = DataQuality.expectationReport(df, Seq("always" -> lit(true)))
+      .collect().head
+    assert(pass.getBoolean(3))
+    intercept[IllegalArgumentException] {
+      DataQuality.expectationReport(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
+  test("psi: identical snapshots give exactly 0; a shift gives a positive psi") {
+    val a = (1 to 300).map(i => (i % 100).toLong).toDF("x")
+    val same = DataQuality.psiDrift(a, a, col("x"), 0L, 100L, 10)
+      .collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    assert(same.forall(r => r.getAs[java.math.BigDecimal]("contrib").signum == 0))
+    val shifted = (1 to 300).map(i => (i % 100 + 50).toLong).toDF("x")
+    val psi = DataQuality.psiDrift(a, shifted, col("x"), 0L, 100L, 10)
+      .collect().head.getAs[Double]("psi")
+    assert(psi > 0.25, s"psi=$psi") // half the mass left its bins: 'shifted' regime
+  }
+
+  test("psi: out-of-range values clamp into edge bins, nulls drop, layout-invariant") {
+    val a = Seq(-50L, 0L, 99L, 250L).toDF("x") // -50 -> bin 0, 250 -> bin 9
+    val b = Seq(Some(10L), None).toDF("x")
+    val rows = DataQuality.psiDrift(a, b, col("x"), 0L, 100L, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows(0) == ((0, 2L, 0L))) // -50 and 0
+    assert(rows(9) == ((9, 2L, 0L))) // 99 and 250
+    assert(rows.map(_._3).sum == 1L) // the null dropped
+    val one = DataQuality.psiDrift(a.coalesce(1), b, col("x"), 0L, 100L, 10).collect().toSeq
+    val many = DataQuality.psiDrift(a.repartition(5), b, col("x"), 0L, 100L, 10).collect().toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] {
+      DataQuality.psiDrift(a, b, col("x"), 0L, 100L, 1)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.psiDrift(a, b, col("x"), 100L, 100L, 10)
+    }
+  }
+}
