@@ -114,8 +114,26 @@ object CorpusBench {
         .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
     }
 
+    // round-6 continuation stages: bigram-LM perplexity scoring (train a
+    // capped model on the corpus, score every doc — the CCNet-style
+    // quality pass) and per-source CMS frequency sketching (one grouped
+    // native aggregate over the full token stream)
+    val (lmSum, tLm) = time {
+      val lm = graft.operators.LanguageModel.trainBigramLm(
+        docs, col("text"), vocabSize = 2000, maxBigrams = 100000)
+      graft.operators.LanguageModel.scoreBigramLm(docs, col("id"), col("text"), lm)
+        .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    }
+    val (cmsTotal, tCms) = time {
+      graft.operators.Sketches.cmsSketchByGroup(
+        docs.select((col("id") % 16).as("src"),
+          explode(graft.operators.Search.terms(col("text"))).as("term")),
+        Seq(col("src")), col("term"), depth = 4, width = 1024)
+        .agg(sum(col("total"))).collect()(0).getLong(0)
+    }
+
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f}}""")
     spark.stop()
   }
 }
