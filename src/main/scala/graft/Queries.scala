@@ -651,6 +651,68 @@ object Queries {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // Chi-square independence between corpus facets (source × lang):
+    // observed cells + independence expectations, chi2 via the closed
+    // form Σ o²/e − n (absent cells never materialized), 9-dp
+    // decimal-summed terms.
+    "dq_chi_square" -> ((s, dir) => {
+      graft.operators.DataQuality.chiSquare(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
+    // PPS (size-weighted Poisson) sampling with Horvitz-Thompson
+    // weights: expected-100-doc sample, inclusion probability
+    // proportional to document length; one 1-row total broadcast back
+    // as a pure filter + weight projection.
+    "tdp_pps_sample" -> ((s, dir) => {
+      graft.operators.Curation.ppsSample(
+        t(s, dir, "documents"), col("doc_id"), length(col("text")), target = 100L)
+        .select(col("doc_id"), col("source"), col("ht_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Curriculum staging: 4 difficulty tiers by exact interpolated
+    // length quantiles — one percentile aggregation broadcast back as a
+    // pure projection (the corpus never shuffles).
+    "tdp_curriculum" -> ((s, dir) => {
+      graft.operators.Curation.curriculumStages(
+        t(s, dir, "documents"), length(col("text")), nStages = 4)
+        .select(col("doc_id"), col("stage"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Event-time OHLC downsample: per (event_type, hour bucket)
+    // open/close by (ts, event_id) champion aggregates (min_by/max_by —
+    // a plain hash agg, no per-bucket sort window).
+    "e_downsample_ohlc" -> ((s, dir) => {
+      graft.operators.TimeSeries.downsampleOhlc(
+        t(s, dir, "events"), col("ts"), col("event_id"), col("value"),
+        widthSeconds = 3600L, keys = Seq(col("event_type")))
+        .select(col("event_type"), col("bucket"), col("bucket_start"),
+          col("open"), col("close"), col("high"), col("low"), col("volume"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Per-user arrival-gap diagnostics: lag window partitioned by user
+    // (parallel across keys) + one hash agg sharing the same shuffle;
+    // gaps > 60 s counted, max/mean exact micros arithmetic.
+    "e_gap_stats" -> ((s, dir) => {
+      graft.operators.TimeSeries.gapStats(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("ts"), gapSeconds = 60L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // PMI collocations (phrase mining): bigram/unigram count aggs, the
+    // minCount filter BEFORE the count joins, bounded TakeOrdered cut at
+    // (pmi desc, w1, w2) — 6-dp-rounded PMI makes the ranking
+    // deterministic cross-engine.
+    "txt_pmi_bigrams" -> ((s, dir) => {
+      graft.operators.LanguageModel.pmiCollocations(
+        t(s, dir, "documents"), col("text"), minCount = 5L, topK = 25)
+    }),
+
     // Model training as aggregation: 2 full-batch gradient-descent
     // iterations of a logistic-regression language gate (predict lang=en
     // from [bias, token count, chars/100]), then sigma(w.x) inference
@@ -2495,6 +2557,136 @@ object Queries {
         |p AS (SELECT sum(contrib)::DOUBLE AS psi FROM c)
         |SELECT c.bucket, c.n_a, c.n_b, c.contrib, p.psi
         |FROM c CROSS JOIN p ORDER BY bucket""".stripMargin,
+
+    // Chi-square re-derivation: observed cells, marginals, expectation
+    // (rt*ct)::DOUBLE/n, contributions and closed-form terms rounded to
+    // 9 dp and decimal-summed; level counts from the marginal frames so
+    // a NULL level still counts toward dof.
+    "dq_chi_square" ->
+      """WITH cells AS (
+        |  SELECT source::VARCHAR AS r, lang::VARCHAR AS c, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o)::BIGINT AS mrt FROM cells GROUP BY r),
+        |ct AS (SELECT c, sum(o)::BIGINT AS mct FROM cells GROUP BY c),
+        |nn AS (SELECT sum(mrt)::BIGINT AS n, count(*)::BIGINT AS nr FROM rt),
+        |nc AS (SELECT count(*)::BIGINT AS ncl FROM ct),
+        |we AS (
+        |  SELECT cells.r, cells.c, cells.o,
+        |    (rt.mrt * ct.mct)::DOUBLE / nn.n::DOUBLE AS e
+        |  FROM cells
+        |  JOIN rt ON rt.r IS NOT DISTINCT FROM cells.r
+        |  JOIN ct ON ct.c IS NOT DISTINCT FROM cells.c
+        |  CROSS JOIN nn),
+        |wc AS (
+        |  SELECT r, c, o, e,
+        |    round((o - e) * (o - e) / e, 9)::DECIMAL(28,9) AS contrib,
+        |    round(o::DOUBLE * o::DOUBLE / e, 9)::DECIMAL(28,9) AS term
+        |  FROM we),
+        |st AS (
+        |  SELECT sum(wc.term)::DOUBLE - nn.n::DOUBLE AS chi2,
+        |    ((nn.nr - 1) * (nc.ncl - 1))::BIGINT AS dof
+        |  FROM wc CROSS JOIN nn CROSS JOIN nc GROUP BY nn.n, nn.nr, nc.ncl)
+        |SELECT wc.r, wc.c, wc.o, wc.e, wc.contrib, st.chi2, st.dof
+        |FROM wc CROSS JOIN st ORDER BY r, c""".stripMargin,
+
+    // PPS sample: same md5-uniform, inclusion probability
+    // least(1, (target * size) / total) in the engine's literal-first
+    // association, HT weight = 1/p.
+    "tdp_pps_sample" ->
+      """WITH tot AS (
+        |  SELECT sum(CASE WHEN length(text) > 0 THEN length(text)::BIGINT ELSE 0 END)::BIGINT
+        |    AS total
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(text) IS NULL OR length(text) <= 0 OR coalesce(total, 0) <= 0
+        |         THEN '0.0'::DOUBLE
+        |         ELSE least('1.0'::DOUBLE,
+        |           '100.0'::DOUBLE * length(text)::DOUBLE / total::DOUBLE) END AS pi
+        |  FROM documents CROSS JOIN tot)
+        |SELECT doc_id, source, '1.0'::DOUBLE / pi AS ht_weight
+        |FROM p
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0 < pi
+        |ORDER BY doc_id""".stripMargin,
+
+    // Curriculum stages: interpolated quantile thresholds (both engines
+    // compute lower + (upper-lower)*frac), first-boundary-wins CASE with
+    // ties to the lower stage.
+    "tdp_curriculum" ->
+      """WITH thr AS (
+        |  SELECT quantile_cont(length(text)::DOUBLE, 0.25) AS t0,
+        |    quantile_cont(length(text)::DOUBLE, 0.5) AS t1,
+        |    quantile_cont(length(text)::DOUBLE, 0.75) AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN length(text) IS NULL THEN NULL
+        |        WHEN length(text)::DOUBLE <= t0 THEN 0
+        |        WHEN length(text)::DOUBLE <= t1 THEN 1
+        |        WHEN length(text)::DOUBLE <= t2 THEN 2
+        |        ELSE 3 END)::INT AS stage
+        |FROM documents CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+
+    // OHLC: same exact floor-division bucketing (epoch micros // width);
+    // open/close re-derived via (ts, event_id)-ordered row_number — the
+    // window is the oracle's rendering of the engine's min_by/max_by
+    // champion (event_id is unique, so both are deterministic).
+    "e_downsample_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, ts, event_id, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, bucket,
+        |  make_timestamp(bucket * 3600000000) AS bucket_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low, count(*)::BIGINT AS volume
+        |FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    // Gap stats: lag over epoch micros per user (ties lag equal values —
+    // the gap multiset is order-invariant), exact integer sums divided
+    // once; a / b / c left-association matches the engine.
+    "e_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS gap_us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN gap_us > 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+        |  max(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS max_gap_s,
+        |  sum(gap_us)::DOUBLE / count(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS mean_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // PMI: same tokenizer as the LM oracles, bigrams from the token list
+    // itself, single-ln ratio in the engine's association rounded to
+    // 6 dp, (pmi desc, w1, w2) cut.
+    "txt_pmi_bigrams" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT term, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
+        |st AS (SELECT sum(c)::BIGINT AS n_tok FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c_bi FROM (
+        |    SELECT t[i-1] AS w1, t[i] AS w2
+        |    FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
+        |  GROUP BY w1, w2),
+        |bst AS (SELECT sum(c_bi)::BIGINT AS m_bi FROM bi)
+        |SELECT b.w1, b.w2, b.c_bi, u1.c AS c1, u2.c AS c2,
+        |  round(ln((b.c_bi::DOUBLE / m_bi::DOUBLE) /
+        |    ((u1.c::DOUBLE / n_tok::DOUBLE) * (u2.c::DOUBLE / n_tok::DOUBLE))), 6) AS pmi
+        |FROM bi b JOIN uni u1 ON u1.term = b.w1 JOIN uni u2 ON u2.term = b.w2
+        |CROSS JOIN st CROSS JOIN bst
+        |WHERE b.c_bi >= 5
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 25""".stripMargin,
 
     // Two unrolled GD iterations: per-row gradient contributions quantized
     // via floor(x*1e9 + 0.5) (bit-stable IEEE) and summed as BIGINT, the

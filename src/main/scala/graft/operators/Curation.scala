@@ -463,4 +463,81 @@ object Curation {
           .when(col("_sd_oldf") <=> col("_sd_newf"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Probability-proportional-to-size (Poisson PPS) sampling with
+    * Horvitz-Thompson weights — the size-aware counterpart of
+    * [[stratifiedSample]]: each row is kept independently with inclusion
+    * probability p_i = min(1, target * s_i / Σs), so the expected sample
+    * size is ≈ `target` and big documents (by tokens/bytes) are
+    * over-represented exactly in proportion to their size. The returned
+    * `ht_weight` = 1/p_i makes any downstream total an unbiased
+    * Horvitz-Thompson estimate of the corpus total (Σ kept x_i/p_i).
+    *
+    * Deterministic and engine-portable: the uniform is the 32-bit md5
+    * prefix of the key (same scheme as [[stratifiedSample]]), and p_i
+    * uses only multiplication/division (exactly-rounded IEEE ops), so the
+    * surviving set and weights are bit-identical across runs,
+    * partitionings, and engines. Rows with NULL or non-positive size
+    * carry p = 0 and are never kept (a sizeless row cannot be
+    * size-weighted; filter or floor sizes upstream to include them).
+    *
+    * Scale shape: one map-side-combined 1-row total, broadcast back onto
+    * the corpus as a pure filter + projection — the corpus itself never
+    * shuffles.
+    */
+  def ppsSample(
+      df: DataFrame,
+      key: Column,
+      size: Column,
+      target: Long,
+  ): DataFrame = {
+    require(target > 0, s"ppsSample: target must be positive, got $target")
+    val total = df.agg(
+      sum(when(size > 0L, size.cast("long")).otherwise(lit(0L))).as("_pps_total"))
+    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
+    df.crossJoin(broadcast(total))
+      .withColumn("_pps_p",
+        when(size.isNull || size <= 0L || coalesce(col("_pps_total"), lit(0L)) <= 0L, lit(0.0))
+          .otherwise(least(lit(1.0),
+            lit(target.toDouble) * size.cast("double") / col("_pps_total").cast("double"))))
+      .filter(u < col("_pps_p"))
+      .withColumn("ht_weight", lit(1.0) / col("_pps_p"))
+      .drop("_pps_total", "_pps_p")
+  }
+
+  /** Curriculum staging: split a corpus into `nStages` difficulty tiers
+    * by exact score quantiles — the curriculum-learning prep step (feed
+    * stage 0 first, hardest stage last). Stage boundaries are the
+    * interpolated (`percentile_cont`) quantiles at i/nStages; a document
+    * lands in the FIRST stage whose upper boundary is >= its score
+    * (ties at a boundary go to the lower stage), so stages are
+    * near-equal-sized with deterministic edge handling.
+    *
+    * Scale shape: one exact-percentile aggregation (a single hash-agg
+    * whose buffer sorts per group — no global sort of the corpus), its
+    * nStages-1 thresholds broadcast back onto the corpus as a pure
+    * projection. The corpus never shuffles. At 100 TB swap the exact
+    * percentile for `approx_percentile` (same plan shape, bounded
+    * buffer); the exact form is kept here because the oracle pins
+    * interpolated quantiles bit-for-bit.
+    *
+    * NULL scores yield a NULL stage (unscoreable is not a difficulty
+    * tier); filter upstream to drop them.
+    */
+  def curriculumStages(
+      df: DataFrame,
+      score: Column,
+      nStages: Int,
+  ): DataFrame = {
+    require(nStages >= 2, s"curriculumStages: nStages must be >= 2, got $nStages")
+    val probes = (1 until nStages).map(i => i.toDouble / nStages)
+    val thr = df.agg(
+      percentile(score.cast("double"), array(probes.map(lit): _*)).as("_cs_thr"))
+    val stage = (0 until nStages - 1).foldRight(lit(nStages - 1): Column) { (i, rest) =>
+      when(score.cast("double") <= col("_cs_thr").getItem(i), lit(i)).otherwise(rest)
+    }
+    df.crossJoin(broadcast(thr))
+      .withColumn("stage", when(score.isNull, lit(null)).otherwise(stage).cast("int"))
+      .drop("_cs_thr")
+  }
 }

@@ -82,4 +82,68 @@ object DataQuality {
       .crossJoin(broadcast(psi))
       .orderBy(col("bucket"))
   }
+
+  /** Chi-square independence test between two categorical columns — the
+    * profiling check for suspicious correlation between corpus facets
+    * (source × language, split × label): observed cell counts vs the
+    * independence expectation e = rowTotal * colTotal / n, with
+    *
+    *   chi2 = Σ_cells (o - e)² / e
+    *
+    * over the cells of the OBSERVED table (absent combinations have
+    * o = 0 and contribute e — their contribution rides the closed form
+    * Σ o²/e - n, so no dense cross-join of the category spaces is ever
+    * materialized: chi2 = Σ_observed o²/e - n exactly). Per-cell
+    * contributions and the total are exact-rational until one division
+    * each, rounded to 9 dp and decimal-summed — order-independent and
+    * bit-identical cross-engine. NULL categories form their own level
+    * (a missing facet is still a facet).
+    *
+    * Scale shape: one hash aggregation for the cells, two tiny marginal
+    * re-aggregations of those cells (already at most |r|×|c| rows),
+    * broadcast back. The input never shuffles twice.
+    *
+    * @return one row per observed cell: (r, c, o, e, contrib) plus the
+    *         constant `chi2` and `dof`, ordered by (r, c). */
+  def chiSquare(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
+    // lazy-pin the cell table: marginals, totals, AND the output all hang
+    // off this subtree — without the pin each reference re-runs the corpus
+    // scan + count shuffle (4 scans of a 100 TB input instead of 1); the
+    // pinned frame is at most |r|×|c| rows
+    val cells = df
+      .groupBy(rowCat.cast("string").as("r"), colCat.cast("string").as("c"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val rowTot = cells.groupBy(col("r")).agg(sum(col("o")).as("_rt"))
+    val colTot = cells.groupBy(col("c")).agg(sum(col("o")).as("_ct"))
+    // level counts come from the marginal frames (one row per level,
+    // NULL included) — countDistinct would silently drop a NULL level
+    val n = rowTot.agg(sum(col("_rt")).as("_n"), count(lit(1)).as("_nr"))
+      .crossJoin(colTot.agg(count(lit(1)).as("_nc")))
+    val e = (col("_rt") * col("_ct")).cast("double") / col("_n").cast("double")
+    // null-SAFE marginal joins: a NULL level is a real level, and a
+    // null-unsafe key would silently drop its cells (and their o-mass
+    // from chi2)
+    val withE = cells
+      .join(broadcast(rowTot.withColumnRenamed("r", "_rj")), col("r") <=> col("_rj"))
+      .join(broadcast(colTot.withColumnRenamed("c", "_cj")), col("c") <=> col("_cj"))
+      .drop("_rj", "_cj")
+      .crossJoin(broadcast(n))
+      .withColumn("e", e)
+      .withColumn("contrib",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
+          .cast("decimal(28,9)"))
+      // closed-form absent-cell correction: Σ_observed o²/e - n adds the
+      // e-mass of every zero cell without materializing it
+      .withColumn("_chi_term",
+        round(col("o").cast("double") * col("o").cast("double") / col("e"), 9)
+          .cast("decimal(28,9)"))
+    val stat = withE.agg(
+      (sum(col("_chi_term")).cast("double") - first(col("_n")).cast("double")).as("chi2"),
+      ((first(col("_nr")) - 1) * (first(col("_nc")) - 1)).cast("long").as("dof"))
+    withE
+      .select(col("r"), col("c"), col("o"), col("e"), col("contrib"))
+      .crossJoin(broadcast(stat))
+      .orderBy(col("r"), col("c"))
+  }
 }

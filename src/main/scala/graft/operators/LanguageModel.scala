@@ -146,4 +146,59 @@ object LanguageModel {
         (expr("(_u * 2 + n_tokens) div (n_tokens * 2)").cast("double") / lit(1000000))
           .as("lm_score"))
   }
+
+  /** Pointwise-mutual-information collocations — the phrase-mining pass of
+    * a corpus pipeline (multi-word terms worth fusing before tokenizer
+    * training; the PMI ranking of Mikolov et al. 2013's phrase step):
+    *
+    *   pmi(w1, w2) = ln( p(w1 w2) / (p(w1) p(w2)) )
+    *               = ln( (c_bi / M) / ((c_1 / N) * (c_2 / N)) )
+    *
+    * with M = total bigram contexts, N = total tokens. Only bigrams with
+    * `minCount`+ occurrences rank (rare pairs have unreliable, inflated
+    * PMI); the top `topK` by (pmi desc, w1, w2) return. PMI is rounded to
+    * 6 dp, making the ranking deterministic and cross-engine identical
+    * (the single ln() call agrees to far better than 1e-6; every other op
+    * is exactly-rounded IEEE in a fixed association).
+    *
+    * Scale shape: the same two map-side-combined count aggregations as
+    * [[trainBigramLm]] (no window, no self-join — predecessors resolve
+    * from the token array), then two equi-joins of unigram counts onto
+    * the minCount-FILTERED bigram table (the filter runs before the
+    * joins, so only candidate phrases shuffle; AQE broadcasts the
+    * filtered side when small), a 1-row stats cross-join, and a bounded
+    * TakeOrdered cut — never a full sort.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      text: Column,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"pmiCollocations: topK must be >= 1, got $topK")
+    val toks = docs.select(Search.terms(text).as("t"))
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val stats = uni.agg(coalesce(sum(col("c")), lit(0L)).as("_n_tok"))
+    val bi = toks
+      .select(col("t"), posexplode(col("t")).as(Seq("i0", "w2")))
+      .where(col("i0") > 0)
+      .select(element_at(col("t"), col("i0")).as("w1"), col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
+      .localCheckpoint(false)
+    val biStats = bi.agg(coalesce(sum(col("c_bi")), lit(0L)).as("_m_bi"))
+    val pmi = round(log(
+      (col("c_bi").cast("double") / col("_m_bi").cast("double")) /
+        ((col("c1").cast("double") / col("_n_tok").cast("double")) *
+          (col("c2").cast("double") / col("_n_tok").cast("double")))), 6)
+    bi.filter(col("c_bi") >= minCount)
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(biStats))
+      .select(col("w1"), col("w2"), col("c_bi"), col("c1"), col("c2"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time downsampling and continuity diagnostics — the time-series
+  * prep steps of an event-log pipeline: collapse a raw event stream to
+  * fixed-width buckets (OHLC/volume rollup, the classic telemetry /
+  * market-data reduction) and measure per-key arrival gaps (session
+  * continuity, sensor dropout, crawl staleness).
+  */
+object TimeSeries {
+
+  /** Epoch micros for either timestamp flavor (`unix_micros` rejects
+    * TIMESTAMP_NTZ outright): NTZ casts through LTZ using the session
+    * timezone — the identity on the instant under the engine's UTC
+    * sessions; a non-UTC session interprets NTZ wall times in that zone,
+    * which is the standard Spark convention. */
+  private def epochMicros(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  /** Epoch-microsecond bucket index for a timestamp at `widthSeconds`.
+    * Exact integer floor division of unix micros ([[RangeJoin.floorDiv]]
+    * — correct for pre-1970 instants too, where `div` would truncate the
+    * wrong way), so bucket assignment is identical across engines and
+    * timezones (timestamps are NTZ/UTC in the testdata; production
+    * TZ-aware columns bucket on their UTC instant). */
+  def timeBucket(ts: Column, widthSeconds: Long): Column = {
+    require(widthSeconds > 0 && widthSeconds <= Long.MaxValue / 1000000L,
+      s"timeBucket: widthSeconds out of range, got $widthSeconds")
+    RangeJoin.floorDiv(epochMicros(ts), widthSeconds * 1000000L)
+  }
+
+  /** OHLC downsample: one row per (bucket) [or (key, bucket) when `keys`
+    * is non-empty] with open/close (value of the earliest/latest event),
+    * high/low (min/max value), volume (event count), and the bucket start
+    * timestamp. Ties in event time break on `id` (pass a unique id), so
+    * open/close are deterministic even when events share a timestamp.
+    *
+    * Scale shape: one shuffle on the bucket key via min_by/max_by
+    * aggregates over a (ts, id) struct — a plain hash aggregation with
+    * map-side partials, NO window (a window would sort every bucket's
+    * rows; min_by keeps a single running champion per group). Bucket keys
+    * are dense and bounded by the time range, and adding the natural
+    * entity key to `keys` spreads hot buckets.
+    */
+  def downsampleOhlc(
+      events: DataFrame,
+      ts: Column,
+      id: Column,
+      value: Column,
+      widthSeconds: Long,
+      keys: Seq[Column] = Nil,
+  ): DataFrame = {
+    require(widthSeconds > 0, s"downsampleOhlc: widthSeconds must be positive, got $widthSeconds")
+    val ord = struct(ts.as("t"), id.as("i"))
+    events
+      .filter(ts.isNotNull)
+      .withColumn("bucket", timeBucket(ts, widthSeconds))
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(
+        min_by(value, ord).as("open"),
+        max_by(value, ord).as("close"),
+        max(value).as("high"),
+        min(value).as("low"),
+        count(lit(1)).as("volume"))
+      // NTZ like the source columns (timestamp_micros yields LTZ; the
+      // session tz is UTC so the cast is the identity on the instant)
+      .withColumn("bucket_start",
+        timestamp_micros(col("bucket") * lit(widthSeconds * 1000000L)).cast("timestamp_ntz"))
+  }
+
+  /** Per-key arrival-gap diagnostics: for each key, the count of
+    * consecutive-event gaps exceeding `gapSeconds`, the maximum gap, and
+    * the mean gap (seconds, exact micros arithmetic; single-event keys
+    * report zero gaps with NULL max/mean). The dropout/staleness monitor
+    * for ingest feeds.
+    *
+    * Scale shape: one lag window PARTITIONED BY the key (parallel across
+    * keys — never a global single-partition sort) feeding one hash
+    * aggregation on the same key, so the sort and the agg share a single
+    * shuffle. Events sharing a timestamp produce the same gap multiset
+    * whatever their relative order (equal values lag to a zero gap), so
+    * the aggregates are deterministic without an id tie-break. Mean gaps
+    * are exact integer-microsecond averages divided once at the end —
+    * bit-identical cross-engine.
+    */
+  def gapStats(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      gapSeconds: Long,
+  ): DataFrame = {
+    require(gapSeconds > 0, s"gapStats: gapSeconds must be positive, got $gapSeconds")
+    events
+      .filter(ts.isNotNull)
+      .select(key.as("key"), epochMicros(ts).as("_us"))
+      .withColumn("_gap_us", col("_us") - lag(col("_us"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("_us").asc)))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("_gap_us") > gapSeconds * 1000000L, lit(1L)).otherwise(lit(0L)))
+          .as("n_gaps"),
+        (max(col("_gap_us")).cast("double") / lit(1000000.0)).as("max_gap_s"),
+        (sum(col("_gap_us")).cast("double") / count(col("_gap_us")).cast("double") /
+          lit(1000000.0)).as("mean_gap_s"))
+  }
+}

@@ -256,4 +256,66 @@ class CurationSpec extends AnyFunSuite {
       (6L, "added"),
     ))
   }
+
+  test("pps sample: deterministic, size-weighted, oversize rows kept with weight 1") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "sz")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.ppsSample(d, col("id"), col("sz"), target = 10L)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val one = run(df.coalesce(1))
+    assert(one == run(df.repartition(7)))
+    // every kept row carries ht_weight = 1/p = total / (target * sz)
+    one.foreach { case (id, w) =>
+      assert(w == 1.0 / (10.0 * id.toDouble / 5050.0), s"id=$id")
+    }
+    // a row bigger than total/target has p = 1: always kept, weight exactly 1
+    val withWhale = df.union(Seq((999L, 100000L)).toDF("id", "sz"))
+    val whale = Curation.ppsSample(withWhale, col("id"), col("sz"), 10L)
+      .filter(col("id") === 999L).collect()
+    assert(whale.length == 1 && whale.head.getDouble(2) == 1.0)
+  }
+
+  test("pps sample: null/zero sizes never kept; all-null sizes give empty output") {
+    val df = Seq((1L, Some(0L)), (2L, None), (3L, Some(50L))).toDF("id", "sz")
+    val kept = Curation.ppsSample(df, col("id"), col("sz"), 100L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L)) // p=1 for the only sized row; 0/null excluded
+    val empty = Seq((1L, None: Option[Long]), (2L, None)).toDF("id", "sz")
+    assert(Curation.ppsSample(empty, col("id"), col("sz"), 10L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Curation.ppsSample(df, col("id"), col("sz"), 0L)
+    }
+  }
+
+  test("curriculum stages: interpolated boundaries, ties to lower stage, NULL score") {
+    val df = (1 to 100).map(_.toLong).toDF("s")
+      .union(Seq(null.asInstanceOf[java.lang.Long]).toDF("s"))
+    val out = Curation.curriculumStages(df, col("s"), nStages = 4)
+      .collect().map(r => (Option(r.getAs[java.lang.Long]("s")).map(_.toLong),
+        Option(r.getAs[java.lang.Integer]("stage")).map(_.toInt)))
+    val stages = out.collect { case (Some(s), st) => s -> st }.toMap
+    // thresholds over 1..100: 25.75 / 50.5 / 75.25 (nulls excluded)
+    assert(stages(25L).contains(0) && stages(26L).contains(1))
+    assert(stages(50L).contains(1) && stages(51L).contains(2))
+    assert(stages(75L).contains(2) && stages(76L).contains(3))
+    assert(stages(100L).contains(3))
+    assert(out.exists { case (s, st) => s.isEmpty && st.isEmpty }) // NULL -> NULL
+    // near-equal tiers
+    val sizes = out.collect { case (_, Some(st)) => st }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(sizes == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    intercept[IllegalArgumentException] {
+      Curation.curriculumStages(df, col("s"), nStages = 1)
+    }
+  }
+
+  test("curriculum stages: a score exactly ON a boundary goes to the lower stage") {
+    // 1..4: thresholds 1.75, 2.5, 3.25; add 2.5 twice so the boundary hits
+    val df = Seq(1.0, 2.0, 2.5, 2.5, 3.0, 4.0).toDF("s")
+    val out = Curation.curriculumStages(df, col("s"), nStages = 2)
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toMap
+    // median of {1, 2, 2.5, 2.5, 3, 4} = 2.5 -> the 2.5 scores stage 0
+    assert(out(2.5) == 0 && out(3.0) == 1)
+  }
 }

@@ -59,4 +59,37 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.psiDrift(a, b, col("x"), 100L, 100L, 10)
     }
   }
+
+  test("chi-square: hand-computed 2x2, closed form matches the definition") {
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))).toDF("r0", "c0")
+    val rows = DataQuality.chiSquare(df, col("r0"), col("c0"))
+      .collect()
+    val byCell = rows.map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getDouble(3)))).toMap
+    assert(byCell(("a", "x")) == ((10L, 12.0)))
+    assert(byCell(("b", "y")) == ((40L, 42.0)))
+    // closed form: Σ round(o²/e, 9) summed as DECIMAL = 100.793650793
+    // exactly, then ::DOUBLE − 100.0 (the defined cross-engine semantics)
+    assert(rows.head.getAs[Double]("chi2") ==
+      BigDecimal("100.793650793").toDouble - 100.0)
+    assert(rows.head.getAs[Long]("dof") == 1L)
+  }
+
+  test("chi-square: independent facets give chi2 exactly 0; NULL level counts in dof") {
+    val ind = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(3)(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("r0", "c0")
+    val r = DataQuality.chiSquare(ind, col("r0"), col("c0")).collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+    val withNull = Seq(("a", Some("x")), ("a", None), ("b", Some("x")), ("b", None))
+      .toDF("r0", "c0")
+    val rows = DataQuality.chiSquare(withNull, col("r0"), col("c0")).collect()
+    assert(rows.length == 4) // the NULL column level forms real cells
+    assert(rows.head.getAs[Long]("dof") == 1L) // (2-1) * (2-1): NULL counted
+    val one = DataQuality.chiSquare(withNull.coalesce(1), col("r0"), col("c0"))
+      .collect().toSeq
+    val many = DataQuality.chiSquare(withNull.repartition(5), col("r0"), col("c0"))
+      .collect().toSeq
+    assert(one == many)
+  }
 }

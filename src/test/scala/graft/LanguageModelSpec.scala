@@ -96,4 +96,26 @@ class LanguageModelSpec extends AnyFunSuite {
       LanguageModel.scoreBigramLm(trainDocs, col("id"), col("text"), lm, backoff = 0.0)
     }
   }
+
+  test("pmi collocations: hand-computed values, minCount gate, deterministic order") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    // N=6 (a=3, b=2, c=1), M=3 bigrams: (a,b)=2, (a,c)=1
+    // pmi(a,b) = ln((2/3)/((3/6)*(2/6))) = ln 4; pmi(a,c) = ln((1/3)/((3/6)*(1/6))) = ln 4
+    val out = LanguageModel.pmiCollocations(docs, col("text"), minCount = 1L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 1.386294), ("a", "c", 1L, 1.386294)))
+    // minCount 2 drops the singleton bigram
+    val gated = LanguageModel.pmiCollocations(docs, col("text"), minCount = 2L, topK = 5)
+      .collect()
+    assert(gated.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+    val one = LanguageModel.pmiCollocations(docs.coalesce(1), col("text"), 1L, 5)
+      .collect().toSeq
+    val many = LanguageModel.pmiCollocations(docs.repartition(4), col("text"), 1L, 5)
+      .collect().toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] {
+      LanguageModel.pmiCollocations(docs, col("text"), minCount = 0L, topK = 5)
+    }
+  }
 }
