@@ -713,6 +713,77 @@ object Queries {
         t(s, dir, "documents"), col("text"), minCount = 5L, topK = 25)
     }),
 
+    // Ordered funnel (view -> click -> purchase): greedy earliest-
+    // completion per user; one hash agg per step over a shrinking
+    // frontier, each frontier lazily pinned.
+    "e_funnel" -> ((s, dir) => {
+      graft.operators.TimeSeries.funnel(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+        .withColumnRenamed("user", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // Weekly cohort retention triangle: first-seen bucket join + one
+    // (cohort, offset) distinct count.
+    "e_cohort_retention" -> ((s, dir) => {
+      graft.operators.TimeSeries.cohortRetention(
+        t(s, dir, "events"), col("user_id"), col("ts"), widthSeconds = 604800L)
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
+    // Hybrid-retrieval fusion: BM25 lexical top-10 + brute-force cosine
+    // top-10 for embedding query 3, reciprocal-rank fused (k=60). Both
+    // input rankings are already top-k bounded, so the fusion is a
+    // broadcast-sized full-outer join + bounded cut.
+    "txt_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bm = graft.operators.Search.bm25TopK(
+        docs, col("doc_id"), col("text"), query = Seq("spark", "query", "fast"), k = 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bf = Similarity.bruteForceTopK(e, e.filter(col("id") === 3), k = 10)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      graft.operators.Search.rrfFuse(bm, bf, "id", "rank", k = 60, topK = 10)
+    }),
+
+    // Language-ID accuracy audit: confusion matrix of the n-gram
+    // heuristic against the labeled lang column, with per-cell recall
+    // share (diagonal = class recall). Cells pinned, totals broadcast.
+    "dq_langid_confusion" -> ((s, dir) => {
+      graft.operators.DataQuality.confusionMatrix(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred")),
+        col("lang"), col("pred"))
+    }),
+
+    // Reliability report for the hashed quality scorer against the
+    // lang=en outcome: 10 equal-width score bins on [-0.5, 0.5) with
+    // observed positive rate vs exact mean score per bin.
+    "dq_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = graft.operators.QualityModel.scoreDocs(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("score"))
+      val lab = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("y"))
+      graft.operators.DataQuality.calibrationReport(
+        sc.join(lab, Seq("id")), col("score"), col("y"),
+        lo = -0.5, hi = 0.5, buckets = 10)
+    }),
+
+    // Tokenizer-coverage audit: per-doc OOV rate under the top-20 corpus
+    // vocabulary (11 of 31 terms fall outside the cap, so real OOV mass);
+    // vocab broadcast, corpus never shuffles by content.
+    "txt_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Search.vocabulary(docs, col("text"), topK = 20)
+        .select(col("token").as("term"))
+      graft.operators.Search.oovRate(docs, col("doc_id"), col("text"), vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Model training as aggregation: 2 full-batch gradient-descent
     // iterations of a logistic-regression language gate (predict lang=en
     // from [bias, token count, chars/100]), then sigma(w.x) inference
@@ -2687,6 +2758,167 @@ object Queries {
         |CROSS JOIN st CROSS JOIN bst
         |WHERE b.c_bi >= 5
         |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 25""".stripMargin,
+
+    // Funnel: per-step min-ts CTEs, each gated on the previous step's
+    // completion time (>=), left-joined for the stage count.
+    "e_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view'
+        |       GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t0 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t1 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  (1 + CASE WHEN s2.t1 IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN s3.t2 IS NOT NULL THEN 1 ELSE 0 END)::INT AS stages_completed,
+        |  s1.t0 AS first_at, coalesce(s3.t2, s2.t1, s1.t0) AS completed_at
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // Cohort retention: same exact floor-division week bucketing,
+    // first-seen join, distinct count per (cohort, offset).
+    "e_cohort_retention" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(b) AS cohort FROM b GROUP BY user_id)
+        |SELECT f.cohort, b.b - f.cohort AS "offset",
+        |  count(DISTINCT b.user_id)::BIGINT AS n_users
+        |FROM b JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // RRF fusion: BM25 ranking re-derived as in txt_bm25_topk (rank =
+    // row_number over its deterministic cut), cosine ranking re-derived
+    // as in sim_topk_bruteforce for query 3, then
+    // 1/(60+ra) + 1/(60+rb) in the engine's association.
+    "txt_rrf_fusion" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
+         |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
+         |qp AS (
+         |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
+         |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
+         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
+         |bsc AS (
+         |  SELECT id,
+         |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS score
+         |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id),
+         |ra AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+         |  FROM (SELECT id, score FROM bsc ORDER BY score DESC, id LIMIT 10)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id <> 3),
+         |p AS (
+         |  SELECT nid, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM q, c),
+         |csc AS (
+         |  SELECT nid, CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
+         |  FROM p),
+         |rb AS (
+         |  SELECT nid AS id, row_number() OVER (ORDER BY cosine DESC, nid) AS r
+         |  FROM csc QUALIFY r <= 10),
+         |f AS (
+         |  SELECT coalesce(ra.id, rb.id) AS id, ra.r AS rank_a, rb.r AS rank_b
+         |  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
+         |SELECT id,
+         |  coalesce('1.0'::DOUBLE / (60 + rank_a), '0.0'::DOUBLE)
+         |    + coalesce('1.0'::DOUBLE / (60 + rank_b), '0.0'::DOUBLE) AS rrf,
+         |  rank_a, rank_b
+         |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+
+    // Confusion matrix: the txt_langid prediction CTE + cell counts with
+    // a per-actual window total (the oracle's rendering of the engine's
+    // broadcast marginal join — same single division).
+    "dq_langid_confusion" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS predicted
+        |  FROM b),
+        |cells AS (
+        |  SELECT actual, predicted, count(*)::BIGINT AS n
+        |  FROM pr GROUP BY actual, predicted)
+        |SELECT actual, predicted, n,
+        |  n::DOUBLE / (sum(n) OVER (PARTITION BY actual))::DOUBLE AS recall_frac
+        |FROM cells ORDER BY actual, predicted""".stripMargin,
+
+    // Calibration: the txt_quality_model score CTE joined to the lang=en
+    // label, psi-style clamped binning, round-then-decimal-summed mean
+    // scores, single trailing divisions.
+    "dq_calibration" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
+         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
+         |      FROM tok),
+         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id AS id,
+         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+         |         ELSE sw::DOUBLE / 1000.0 / n END AS score
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |lab AS (SELECT doc_id AS id, (lang = 'en') AS y FROM documents),
+         |j AS (
+         |  SELECT sc.score AS sv, lab.y FROM sc JOIN lab USING (id)
+         |  WHERE sc.score IS NOT NULL AND lab.y IS NOT NULL),
+         |g AS (
+         |  SELECT least(9, greatest(0,
+         |      floor((sv - '-0.5'::DOUBLE) * '10.0'::DOUBLE / '1.0'::DOUBLE)::INT)) AS bucket,
+         |    count(*)::BIGINT AS n, sum(y::INT)::BIGINT AS n_pos,
+         |    sum(round(sv, 9)::DECIMAL(28,9))::DOUBLE / count(*)::DOUBLE AS mean_score
+         |  FROM j GROUP BY 1)
+         |SELECT bucket, n, n_pos, mean_score,
+         |  n_pos::DOUBLE / n::DOUBLE AS pos_rate
+         |FROM g ORDER BY bucket""".stripMargin,
+
+    // OOV rate: vocab re-derived as the txt_vocabulary top-20 cut, token
+    // stream left-joined against it, doc spine restored so empty/null
+    // docs keep their row (unnest drops them in DuckDB; the engine's
+    // explode_outer keeps them).
+    "txt_oov_rate" ->
+      """WITH v AS (
+        |  SELECT token AS term FROM (
+        |    SELECT token, count(*) AS n FROM (
+        |      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |        AS token
+        |      FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 20)),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |a AS (
+        |  SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM x LEFT JOIN v ON v.term = x.term GROUP BY x.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+        |       THEN a.n_oov::DOUBLE / a.n_tokens::DOUBLE END AS oov_rate
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Two unrolled GD iterations: per-row gradient contributions quantized
     // via floor(x*1e9 + 0.5) (bit-stable IEEE) and summed as BIGINT, the

@@ -146,4 +146,64 @@ object DataQuality {
       .crossJoin(broadcast(stat))
       .orderBy(col("r"), col("c"))
   }
+
+  /** Classifier confusion matrix with per-cell recall share — the
+    * accuracy report for heuristic labelers (language-ID vs labeled
+    * lang, quality gate vs human rating): one row per observed
+    * (actual, predicted) cell with its count and the share of the actual
+    * class it represents (`recall_frac`; the diagonal cell's share IS
+    * that class's recall). NULL levels are real levels, as in
+    * [[chiSquare]].
+    *
+    * Scale shape: one hash aggregation over the input (cells lazily
+    * pinned, at most |classes|² rows), one tiny re-aggregation for the
+    * actual-class totals, broadcast back null-safely. One exact division.
+    */
+  def confusionMatrix(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val cells = df
+      .groupBy(actual.cast("string").as("actual"), predicted.cast("string").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val rowTot = cells.groupBy(col("actual")).agg(sum(col("n")).as("_at"))
+    cells
+      .join(broadcast(rowTot.withColumnRenamed("actual", "_aj")), col("actual") <=> col("_aj"))
+      .drop("_aj")
+      .select(col("actual"), col("predicted"), col("n"),
+        (col("n").cast("double") / col("_at").cast("double")).as("recall_frac"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  /** Calibration (reliability) report for a scored binary outcome:
+    * equal-width score bins on [lo, hi) (out-of-range clamped into the
+    * edge bins, the [[psiDrift]] binning), each with its count, positive
+    * count, observed positive rate, and exact mean score — the
+    * "predicted vs observed" table behind a reliability diagram, the
+    * standard check before gating a corpus on a quality model's score.
+    *
+    * One map-side-combined aggregation; rows with NULL score or label
+    * are excluded (they calibrate nothing). Mean scores are decimal-
+    * exact sums with one trailing division — order-independent and
+    * bit-identical cross-engine.
+    */
+  def calibrationReport(
+      df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"calibrationReport: buckets must be >= 2, got $buckets")
+    require(hi > lo, s"calibrationReport: need hi > lo, got [$lo, $hi)")
+    df
+      .select(score.cast("double").as("_s"), label.cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+      .groupBy(least(lit(buckets - 1), greatest(lit(0),
+        floor((col("_s") - lit(lo)) * lit(buckets.toDouble) / lit(hi - lo)).cast("int")))
+        .as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_y").cast("long")).as("n_pos"),
+        // round-then-decimal-sum, the psiDrift contrib pattern: a raw
+        // DECIMAL cast rounds half-up in Spark vs half-even in DuckDB
+        (sum(round(col("_s"), 9).cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_score"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -95,4 +95,69 @@ object Search {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of two rankings — the hybrid-retrieval
+    * combiner (lexical BM25 + embedding ANN is the canonical pair;
+    * Cormack et al. 2009):
+    *
+    *   rrf(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d))
+    *
+    * with a missing ranking contributing 0. Rank-based, so the two score
+    * scales never need calibration. Both inputs must carry one row per
+    * id with a 1-based `rank` column (ties pre-broken upstream — both
+    * this engine's rankers break on id). Exact arithmetic: two exactly-
+    * rounded divisions and one add in a fixed order, bit-identical
+    * cross-engine. Output ordered (rrf desc, id), cut at `topK`.
+    *
+    * Scale shape: a full-outer equi-join of two ALREADY-CUT rankings
+    * (both bounded by their own top-k — broadcast-sized by construction)
+    * and a bounded TakeOrdered. Per-query fusion at scale is the same
+    * join keyed by (query_id, id): pass rankings carrying a composite id.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      id: String,
+      rank: String = "rank",
+      k: Int = 60,
+      topK: Int = 10,
+  ): DataFrame = {
+    require(k >= 1, s"rrfFuse: k must be >= 1, got $k")
+    require(topK >= 1, s"rrfFuse: topK must be >= 1, got $topK")
+    val left = a.select(col(id).as("id"), col(rank).as("_ra"))
+    val right = b.select(col(id).as("id"), col(rank).as("_rb"))
+    left.join(right, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(k) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("_rb")), lit(0.0))).as("rrf"),
+        col("_ra").as("rank_a"), col("_rb").as("rank_b"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** Per-document out-of-vocabulary rate under a vocabulary table — the
+    * tokenizer-coverage check run before committing to a trained vocab:
+    * (id, n_tokens, n_oov, oov_rate) with NULL rate for empty/null docs
+    * (which keep their row). One exact division.
+    *
+    * Scale shape: the vocab is explicitly broadcast (it is top-K bounded
+    * by construction), tokens explode in a Generate projection, and the
+    * only exchange is the per-doc count aggregation — the corpus itself
+    * never shuffles by content.
+    */
+  def oovRate(docs: DataFrame, id: Column, text: Column, vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("term")).filter(col("term").isNotNull)
+      .distinct().withColumn("_in_vocab", lit(1)))
+    docs.select(id.as("id"), terms(text).as("_t"))
+      .select(col("id"), explode_outer(col("_t")).as("term"))
+      .join(v, Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(col("term")).as("n_tokens"),
+        sum(when(col("term").isNotNull && col("_in_vocab").isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
 }

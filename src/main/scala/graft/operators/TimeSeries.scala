@@ -85,6 +85,79 @@ object TimeSeries {
     * are exact integer-microsecond averages divided once at the end —
     * bit-identical cross-engine.
     */
+  /** Ordered funnel analysis — the conversion diagnostic of an event
+    * pipeline: for each user, how far through `steps` they progressed,
+    * where step i+1 only counts if it occurs AT OR AFTER the user's
+    * earliest completion of step i (greedy earliest-completion
+    * semantics — the standard funnel definition; simultaneous events
+    * count, `>=`). Returns one row per user who completed at least the
+    * first step: (user, stages_completed, first_at, completed_at).
+    *
+    * Scale shape: one hash aggregation per step over a monotonically
+    * SHRINKING frontier (frontier i+1 ⊆ frontier i), each an equi-join
+    * on the user key — broadcast once the frontier is small, never a
+    * per-user event sort. Each frontier is lazily pinned: it feeds both
+    * the next step and the final assembly, and without the pin frontier
+    * i would re-execute once per later step (quadratic re-scan).
+    */
+  def funnel(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      step: Column,
+      steps: Seq[String],
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size, s"funnel: steps must be distinct, got $steps")
+    val base = events
+      .filter(ts.isNotNull && user.isNotNull)
+      .select(user.as("user"), ts.as("_ts"), step.as("_step"))
+    val first = base.filter(col("_step") === steps.head)
+      .groupBy(col("user")).agg(min(col("_ts")).as("t_0"))
+      .localCheckpoint(false)
+    val frontiers = steps.tail.zipWithIndex.scanLeft(first) { case (prev, (s, i)) =>
+      base.filter(col("_step") === s)
+        .join(prev.select(col("user"), col(s"t_$i")), Seq("user"))
+        .filter(col("_ts") >= col(s"t_$i"))
+        .groupBy(col("user")).agg(min(col("_ts")).as(s"t_${i + 1}"))
+        .localCheckpoint(false)
+    }
+    val joined = frontiers.zipWithIndex.tail.foldLeft(frontiers.head) {
+      case (acc, (f, i)) => acc.join(f, Seq("user"), "left")
+    }
+    val stages = frontiers.indices.tail.foldLeft(lit(1): Column) { (a, i) =>
+      a + when(col(s"t_$i").isNotNull, lit(1)).otherwise(lit(0))
+    }
+    joined.select(col("user"), stages.as("stages_completed"),
+      col("t_0").as("first_at"),
+      coalesce(frontiers.indices.reverse.map(i => col(s"t_$i")): _*).as("completed_at"))
+  }
+
+  /** Cohort retention — users bucketed by their FIRST-seen period
+    * (`widthSeconds`-wide, e.g. 7 days), counted per (cohort, offset)
+    * period they return in. Offset 0 is the cohort period itself; the
+    * classic retention triangle.
+    *
+    * Scale shape: one min-aggregation for first-seen, joined back on the
+    * user key (both sides shuffle-partition on user), then one
+    * (cohort, offset) count-distinct — cohort×offset keys are bounded by
+    * the time span squared, tiny. No window over the event stream.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      widthSeconds: Long,
+  ): DataFrame = {
+    val base = events
+      .filter(ts.isNotNull && user.isNotNull)
+      .select(user.as("user"), timeBucket(ts, widthSeconds).as("_b"))
+    val firstSeen = base.groupBy(col("user")).agg(min(col("_b")).as("cohort"))
+    base.join(firstSeen, Seq("user"))
+      .groupBy(col("cohort"), (col("_b") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+
   def gapStats(
       events: DataFrame,
       key: Column,

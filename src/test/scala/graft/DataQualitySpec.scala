@@ -92,4 +92,39 @@ class DataQualitySpec extends AnyFunSuite {
       .collect().toSeq
     assert(one == many)
   }
+
+  test("confusion matrix: per-cell recall share; NULL prediction is a real level") {
+    val df = (Seq.fill(8)(("en", "en")) ++ Seq.fill(2)(("en", "de")) ++
+      Seq.fill(5)(("de", "de")) ++ Seq(("de", null))).toDF("a", "p")
+    val out = DataQuality.confusionMatrix(df, col("a"), col("p"))
+      .collect().map(r => ((r.getString(0), Option(r.getString(1))),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("en", Some("en"))) == ((8L, 8.0 / 10.0))) // en recall 0.8
+    assert(out(("en", Some("de"))) == ((2L, 2.0 / 10.0)))
+    assert(out(("de", Some("de"))) == ((5L, 5.0 / 6.0)))
+    assert(out(("de", None)) == ((1L, 1.0 / 6.0))) // null prediction kept
+  }
+
+  test("calibration: bin rates and clamped edges; NULL score/label rows excluded") {
+    val df = Seq(
+      (0.55, Some(true)), (0.55, Some(false)),   // bin 5 (for [0,1) x10)
+      (0.95, Some(true)), (0.95, Some(true)),    // bin 9
+      (1.50, Some(true)),                        // clamps into bin 9
+      (-0.3, Some(false)),                       // clamps into bin 0
+      (0.5, None),                               // null label: excluded
+    ).toDF("s", "y")
+    val out = DataQuality.calibrationReport(df, col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0, 1L, 0L, 0.0),
+      (5, 2L, 1L, 0.5),
+      (9, 3L, 3L, 1.0)))
+    // mean_score is the decimal-exact average: bin 9 = (0.95+0.95+1.5)/3
+    val m9 = DataQuality.calibrationReport(df, col("s"), col("y"), 0.0, 1.0, 10)
+      .filter(col("bucket") === 9).collect().head.getAs[Double]("mean_score")
+    assert(m9 == BigDecimal("3.400000000").toDouble / 3.0)
+    intercept[IllegalArgumentException] {
+      DataQuality.calibrationReport(df, col("s"), col("y"), 1.0, 1.0, 10)
+    }
+  }
 }

@@ -179,6 +179,40 @@ class Round7Spec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 3L), ("c", 3L)))
   }
 
+  test("rrf fusion: hand-computed scores, one-sided docs, deterministic tie-break") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = graft.operators.Search.rrfFuse(a, b, "id", "rank", k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 20: 1/62 + 1/61 (both); 10: 1/61; 40: 1/62; 30: 1/63
+    assert(out == Seq(
+      (20L, 1.0 / 62 + 1.0 / 61),
+      (10L, 1.0 / 61 + 0.0),
+      (40L, 1.0 / 62 + 0.0),
+      (30L, 1.0 / 63 + 0.0)))
+    // equal contributions tie-break on id: ranks symmetric across lists
+    val t1 = Seq((2L, 1)).toDF("id", "rank")
+    val t2 = Seq((1L, 1)).toDF("id", "rank")
+    val tied = graft.operators.Search.rrfFuse(t1, t2, "id", "rank")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(1L, 2L))
+  }
+
+  test("oov rate: per-doc fraction outside the vocab; empty docs keep a NULL-rate row") {
+    val docs = Seq((1L, "a b zz"), (2L, "a a"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("term")
+    val out = graft.operators.Search.oovRate(docs, col("doc_id"), col("text"), vocab)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("oov_rate")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, Some(1.0 / 3.0)),
+      (2L, 2L, 0L, Some(0.0)),
+      (3L, 0L, 0L, None),
+      (4L, 0L, 0L, None)))
+  }
+
   test("native quality metrics == HOF form for adversarial text (property)") {
     import graft.functions.{QualityMetricsExpr, TextFunctions}
     import org.scalacheck.Gen

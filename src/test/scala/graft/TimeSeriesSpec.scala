@@ -73,6 +73,67 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r2.isNullAt(3) && r2.isNullAt(4))
   }
 
+  test("funnel: ordered completion only — out-of-order steps don't advance") {
+    val df = Seq(
+      // u1 completes all three in order
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:01:00", "click"),
+      (3L, 1L, "2024-01-01 00:02:00", "purchase"),
+      // u2 clicked BEFORE viewing: click must not count
+      (4L, 2L, "2024-01-01 00:00:00", "click"),
+      (5L, 2L, "2024-01-01 00:01:00", "view"),
+      // u3 view only
+      (6L, 3L, "2024-01-01 00:00:00", "view"),
+      // u4 never viewed: not in the funnel at all
+      (7L, 4L, "2024-01-01 00:00:00", "purchase"),
+      // u5: simultaneous view+click counts (>= semantics)
+      (8L, 5L, "2024-01-01 00:00:00", "view"),
+      (9L, 5L, "2024-01-01 00:00:00", "click"),
+    ).toDF("event_id", "u", "ts_s", "step")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = TimeSeries.funnel(df, col("u"), col("ts"), col("step"),
+      Seq("view", "click", "purchase"))
+      .orderBy(col("user"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 3), (2L, 1), (3L, 1), (5L, 2)))
+  }
+
+  test("funnel: completed_at is the last completed step's time; layout-invariant") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:05:00", "click"),
+      (3L, 1L, "2024-01-01 00:01:00", "click"), // earliest qualifying click wins over 00:05
+    ).toDF("event_id", "u", "ts_s", "step")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    def run(d: org.apache.spark.sql.DataFrame) = TimeSeries.funnel(
+      d, col("u"), col("ts"), col("step"), Seq("view", "click"))
+      .select(date_format(col("first_at"), "HH:mm").as("f"),
+        date_format(col("completed_at"), "HH:mm").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // earliest qualifying click is 00:01
+    assert(run(df.coalesce(1)) == Seq(("00:00", "00:01")))
+    assert(run(df.repartition(5)) == run(df.coalesce(1)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.funnel(df, col("u"), col("ts"), col("step"), Seq("a", "a"))
+    }
+  }
+
+  test("cohort retention: first-seen buckets and return offsets") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"), // cohort week W
+      (2L, 1L, "2024-01-09 00:00:00"), // W+1 (Jan 1 2024 falls mid-bucket)
+      (3L, 2L, "2024-01-01 12:00:00"), // same cohort as u1
+      (4L, 2L, "2024-01-02 00:00:00"), // same week: offset 0, counted once
+      (5L, 3L, "2024-01-09 00:00:00"), // later cohort
+    ).toDF("event_id", "u", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = TimeSeries.cohortRetention(df, col("u"), col("ts"), 604800L)
+      .orderBy(col("cohort"), col("offset"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // cohort A: 2 users at offset 0, 1 returns at offset 1; cohort B: 1 user
+    assert(out == Seq((0L, 2L), (1L, 1L), (0L, 1L)))
+  }
+
   test("gapStats: equal-timestamp events yield an order-invariant gap multiset") {
     val df = ev(Seq(
       (1L, "2024-01-01 00:00:00", 0.0),
