@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-analytics scale probe: synthesizes N events (deterministic
+  * hash-derived timestamps over 30 days, 100k users, 5 event types) and
+  * times the OHLC downsample, gap diagnostics, funnel, and cohort
+  * retention at 1300x the sf0.1 events table — the sanity check that the
+  * champion-aggregate / shrinking-frontier / keyed-window shapes hold at
+  * fact scale.
+  *
+  *   SPARK_GRAFT_NEVENTS=20000000 sbt "runMain graft.EventBench"
+  *
+  * Prints one JSON line: stage -> seconds plus result counts.
+  */
+object EventBench {
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_NEVENTS", "20000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nUsers = 100000L
+    val spanMicros = 30L * 24 * 3600 * 1000000 // 30 days
+    val types = array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error"))
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(nUsers)).as("user_id"),
+      timestamp_micros(pmod(xxhash64(col("id") + lit(7)), lit(spanMicros))).as("ts"),
+      // skewed type mix: ~50% view, ~30% click, ~10% purchase, rest split
+      element_at(types,
+        (when(pmod(xxhash64(col("id") + lit(13)), lit(10)) < 5, 0)
+          .when(pmod(xxhash64(col("id") + lit(13)), lit(10)) < 8, 1)
+          .when(pmod(xxhash64(col("id") + lit(13)), lit(10)) < 9, 2)
+          .otherwise(pmod(xxhash64(col("id") + lit(19)), lit(2)).cast("int") + 3) + 1)
+          .cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id") + lit(17)), lit(10000)) / lit(100.0)).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = events.count()
+
+    def time[A](f: => A): (A, Double) = {
+      System.gc()
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // hourly OHLC keyed by event_type: ~3600 output groups
+    val (nOhlc, tOhlc) = time {
+      TimeSeries.downsampleOhlc(events, col("ts"), col("event_id"), col("value"),
+        widthSeconds = 3600L, keys = Seq(col("event_type"))).count()
+    }
+    // per-user gap stats: 100k keyed windows over 20M rows
+    val (nGaps, tGaps) = time {
+      TimeSeries.gapStats(events, col("user_id"), col("ts"), gapSeconds = 300L).count()
+    }
+    // 3-step funnel over the full soup
+    val (nFunnel, tFunnel) = time {
+      TimeSeries.funnel(events, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+        .filter(col("stages_completed") === 3).count()
+    }
+    // daily cohort retention triangle
+    val (nCohort, tCohort) = time {
+      TimeSeries.cohortRetention(events, col("user_id"), col("ts"),
+        widthSeconds = 86400L).count()
+    }
+
+    println(
+      f"""{"metric":"event_bench","n_events":$n,"ohlc_buckets":$nOhlc,"gap_keys":$nGaps,"funnel_completed":$nFunnel,"cohort_cells":$nCohort,"sec":{"ohlc":$tOhlc%.1f,"gaps":$tGaps%.1f,"funnel":$tFunnel%.1f,"cohort":$tCohort%.1f}}""")
+    spark.stop()
+  }
+}

@@ -21,7 +21,14 @@ object Bucketed {
   /** Writes `left` and `right` bucketed+sorted by `key` into the session
     * catalog under `tablePrefix`, then returns their co-located equi-join.
     * Overwrites any previous tables of the same name (idempotent across
-    * reruns in one warehouse). */
+    * reruns in one warehouse).
+    *
+    * `reuseExisting = true` skips the write when BOTH tables are already
+    * in the session catalog — the production contract (bucket once at
+    * ingest, every later join reads bucket metadata; re-paying the write
+    * per join would erase the operator's point). The caller owns cache
+    * coherence: reuse assumes the existing tables were built from the
+    * same inputs with the same (key, nBuckets) spec. */
   def coLocatedJoin(
       spark: SparkSession,
       left: DataFrame,
@@ -29,6 +36,7 @@ object Bucketed {
       key: String,
       nBuckets: Int,
       tablePrefix: String,
+      reuseExisting: Boolean = false,
   ): DataFrame = {
     require(nBuckets > 0, s"coLocatedJoin: nBuckets must be positive, got $nBuckets")
     // the prefix is interpolated into SQL identifiers: a '-' would fail
@@ -50,8 +58,12 @@ object Bucketed {
       df.write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
     }
-    save(left, lName)
-    save(right, rName)
+    val reusable = reuseExisting &&
+      spark.catalog.tableExists(lName) && spark.catalog.tableExists(rName)
+    if (!reusable) {
+      save(left, lName)
+      save(right, rName)
+    }
     spark.table(lName).join(spark.table(rName), key)
   }
 }

@@ -42,4 +42,19 @@ class BucketedSpec extends AnyFunSuite {
     val second = Bucketed.coLocatedJoin(spark, df, df, "k", 2, "graft_bkt_rerun").count()
     assert(first == 2L && second == 2L)
   }
+
+  test("reuseExisting skips the rewrite and serves the cataloged tables") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Bucketed.coLocatedJoin(spark, df, df, "k", 2, "graft_bkt_reuse").count()
+    // second call with DIFFERENT input but reuse on: the cataloged
+    // (first-build) tables win, proving the write was skipped
+    val other = Seq((9L, "z")).toDF("k", "v")
+    val reused = Bucketed.coLocatedJoin(spark, other, other, "k", 2,
+      "graft_bkt_reuse", reuseExisting = true)
+    assert(reused.count() == 2L)
+    // without reuse the same call rebuilds from the new input
+    val rebuilt = Bucketed.coLocatedJoin(spark, other, other, "k", 2,
+      "graft_bkt_reuse")
+    assert(rebuilt.count() == 1L)
+  }
 }
