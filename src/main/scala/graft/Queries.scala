@@ -751,6 +751,31 @@ object Queries {
       graft.operators.Search.rrfFuse(bm, bf, "id", "rank", k = 60, topK = 10)
     }),
 
+    // Hard-negative mining: exact cosine top-5 restricted to rows
+    // PROVABLY of a different label (both known, unequal) — the
+    // informative negatives for contrastive training.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      Similarity.hardNegativeTopK(e, e.filter(col("id") < 5), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Deterministic uniform negative sampling: k pseudo-random other
+    // docs per anchor, self-pairing structurally impossible
+    // (offset 1 + h % (n-1)); one global index + one resolve join.
+    "tdp_negative_sample" -> ((s, dir) => {
+      graft.operators.Curation.negativeSample(
+        t(s, dir, "documents"), col("doc_id"), k = 3)
+        .orderBy(col("anchor"), col("neg_rank"))
+    }),
+
+    // One-pass dataset profile of the documents table: dtype, nulls,
+    // exact distincts, min/max per column (single aggregation pass).
+    "dq_profile" -> ((s, dir) => {
+      graft.operators.DataQuality.profileFrame(t(s, dir, "documents"))
+    }),
+
     // Language-ID accuracy audit: confusion matrix of the n-gram
     // heuristic against the labeled lang column, with per-cell recall
     // share (diagonal = class recall). Cells pinned, totals broadcast.
@@ -956,6 +981,42 @@ object Queries {
           date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
           date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
         .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
+    // Left-outer interval join: views with NO conversion in-window emit
+    // null-padded (the abandonment signal); streaming emits them only
+    // once the watermark proves absence (StreamingSpec).
+    "e_interval_join_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        within = "15 minutes", joinType = "left_outer")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
+    // SCD2 versioned merge over a deterministic change batch: inserts,
+    // effective upserts (close + reopen), no-op upserts, deletes, and
+    // untouched closed history all exercised in one run.
+    "tdp_scd2_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val open = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("key"), col("text").as("value"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val closedHist = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("key"), concat(lit("old "), col("text")).as("value"),
+          lit(-100L).as("valid_from"), lit(0L).as("valid_to"))
+      val changes = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("key"),
+          when(col("doc_id") % 5 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("value"),
+          lit(100L).as("ts"),
+          when(col("doc_id") % 7 === 0, lit("delete")).otherwise(lit("upsert")).as("op"))
+      graft.operators.Scd.scd2Merge(open.unionByName(closedHist), changes)
+        .orderBy(col("key"), col("valid_from"))
     }),
 
     "e_stream_window" -> ((s, dir) => {
@@ -2835,6 +2896,69 @@ object Queries {
          |  rank_a, rank_b
          |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
 
+    // Hard negatives: the bruteforce CTE chain plus the strict label
+    // mismatch (both known AND unequal) before ranking.
+    "sim_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS nid, embedding AS cv, label AS cl FROM embeddings),
+         |p AS (
+         |  SELECT qid, nid, cl, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> nid AND ql IS NOT NULL AND cl IS NOT NULL AND ql <> cl),
+         |sc AS (
+         |  SELECT qid, nid, cl,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
+         |r AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id, cl AS neg_label, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, neg_label, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Negative sampling: dense index via row_number()-1, the same
+    // md5("<i>:<j>:neg") draw and 1 + h % (n-1) offset, resolved by an
+    // index equi-join.
+    "tdp_negative_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM documents),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM idx),
+        |pairs AS (
+        |  SELECT idx.doc_id AS anchor, g.j AS neg_rank,
+        |    (i + 1 + (('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':neg'), 1, 8))
+        |      ::BIGINT % (n - 1))) % n AS ni
+        |  FROM idx CROSS JOIN nn, LATERAL unnest(generate_series(1, 3)) AS g(j)
+        |  WHERE n > 1)
+        |SELECT p.anchor, p.neg_rank, i2.doc_id AS negative
+        |FROM pairs p JOIN idx i2 ON i2.i = p.ni
+        |ORDER BY anchor, neg_rank""".stripMargin,
+
+    // Profile: per-column aggregates unpivoted as UNION ALL; dtypes are
+    // the engine's simpleString names. documents carries no doubles, so
+    // every min/max renders identically as VARCHAR on both engines.
+    "dq_profile" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
+        |    min(doc_id)::VARCHAR AS mn1, max(doc_id)::VARCHAR AS mx1,
+        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
+        |    min(text)::VARCHAR AS mn2, max(text)::VARCHAR AS mx2,
+        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
+        |    min(lang)::VARCHAR AS mn3, max(lang)::VARCHAR AS mx3,
+        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
+        |    min(source)::VARCHAR AS mn4, max(source)::VARCHAR AS mx4,
+        |  sum((n_chars IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_chars)::BIGINT AS nd5,
+        |    min(n_chars)::VARCHAR AS mn5, max(n_chars)::VARCHAR AS mx5
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS dtype, n AS n_rows, nu1 AS n_nulls,
+        |    nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4, mn4, mx4 FROM a
+        |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5, mn5, mx5 FROM a)
+        |ORDER BY "column"""".stripMargin,
+
     // Confusion matrix: the txt_langid prediction CTE + cell counts with
     // a per-actual window total (the oracle's rendering of the engine's
     // broadcast marginal join — same single division).
@@ -3283,6 +3407,52 @@ object Queries {
         | AND l.event_type = 'view' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
         |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    "e_interval_join_outer" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'view'),
+        |     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
+        |FROM l LEFT JOIN r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    // SCD2: the merge-rule union re-derived case by case (null-safe
+    // value compare via IS DISTINCT FROM).
+    "tdp_scd2_merge" ->
+      """WITH hist_open AS (
+        |  SELECT doc_id AS key, text AS value, 0::BIGINT AS valid_from,
+        |    NULL::BIGINT AS valid_to
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |hist_closed AS (
+        |  SELECT doc_id AS key, 'old ' || text AS value, (-100)::BIGINT AS valid_from,
+        |    0::BIGINT AS valid_to
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ch AS (
+        |  SELECT doc_id AS key,
+        |    CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS cv,
+        |    100::BIGINT AS cts,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |j AS (
+        |  SELECT coalesce(o.key, c.key) AS key, o.value AS ov, o.valid_from AS ofrom,
+        |    c.cv, c.cts, c.op, (o.key IS NOT NULL) AS has_open, (c.key IS NOT NULL) AS has_ch
+        |  FROM hist_open o FULL OUTER JOIN ch c ON o.key = c.key),
+        |out_old AS (
+        |  SELECT key, ov AS value, ofrom AS valid_from,
+        |    CASE WHEN NOT has_ch OR (op = 'upsert' AND ov IS NOT DISTINCT FROM cv)
+        |         THEN NULL::BIGINT ELSE cts END AS valid_to
+        |  FROM j WHERE has_open),
+        |out_new AS (
+        |  SELECT key, cv AS value, cts AS valid_from, NULL::BIGINT AS valid_to
+        |  FROM j WHERE has_ch AND op = 'upsert'
+        |    AND (NOT has_open OR ov IS DISTINCT FROM cv))
+        |SELECT key, value, valid_from, valid_to FROM hist_closed
+        |UNION ALL SELECT * FROM out_old
+        |UNION ALL SELECT * FROM out_new
+        |ORDER BY key, valid_from""".stripMargin,
 
     "e_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,

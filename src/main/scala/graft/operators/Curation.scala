@@ -505,6 +505,38 @@ object Curation {
       .drop("_pps_total", "_pps_p")
   }
 
+  /** Deterministic uniform negative sampling — the contrastive-pair prep
+    * step: for each anchor row, `k` pseudo-random other rows drawn with
+    * replacement from the corpus (word2vec/DPR-style random negatives;
+    * for similarity-ranked ones see `Similarity.hardNegativeTopK`).
+    * Self-pairing is structurally impossible: the offset is
+    * 1 + hash % (n-1), so the negative index never equals the anchor's.
+    * The draw is the portable md5 hash of "<index>:<rank>:<seed>" —
+    * bit-reproducible across runs, partitionings, and engines.
+    *
+    * Scale shape: one [[GlobalIndex]] range-sort (parallel, no global
+    * window), a 1-row count broadcast, a Generate fan-out of k rows per
+    * anchor, and ONE equi-join back on the dense index to resolve
+    * negative keys. Corpora with fewer than 2 rows yield no pairs. Keys
+    * must be unique (a duplicated key would blur which row a pair names).
+    */
+  def negativeSample(df: DataFrame, key: Column, k: Int, seed: String = "neg"): DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1, got $k")
+    val idx = GlobalIndex.withGlobalIndex(
+      df.select(key.as("anchor")), Seq(col("anchor")), "_ni")
+    val n1 = idx.agg(count(lit(1)).as("_nn"))
+    idx.crossJoin(broadcast(n1))
+      .filter(col("_nn") > 1L)
+      .withColumn("neg_rank", explode(sequence(lit(1), lit(k))))
+      .withColumn("_negidx",
+        pmod(col("_ni") + lit(1L) + pmod(
+          TextFunctions.portableHash32(
+            concat(col("_ni"), lit(":"), col("neg_rank"), lit(":"), lit(seed))),
+          col("_nn") - lit(1L)), col("_nn")))
+      .join(idx.select(col("anchor").as("negative"), col("_ni").as("_negidx")), Seq("_negidx"))
+      .select(col("anchor"), col("neg_rank"), col("negative"))
+  }
+
   /** Curriculum staging: split a corpus into `nStages` difficulty tiers
     * by exact score quantiles — the curriculum-learning prep step (feed
     * stage 0 first, hardest stage last). Stage boundaries are the

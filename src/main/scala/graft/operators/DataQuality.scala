@@ -147,6 +147,58 @@ object DataQuality {
       .orderBy(col("r"), col("c"))
   }
 
+  /** One-pass frame profile — the dataset-card generator: one row per
+    * input column with its dtype, null count, exact distinct count, and
+    * min/max (rendered as strings for a uniform schema). Complex-typed
+    * columns (array/map/struct) profile nulls only — they have no
+    * portable ordering or cheap distinct.
+    *
+    * All statistics ride ONE aggregation pass (every stat is another
+    * aggregate expression over the same scan). The exact countDistinct
+    * expands the aggregate input |atomic columns|-fold — acceptable for
+    * a profile run; at 100 TB swap in `approx_count_distinct`, which
+    * drops the expand while keeping the single pass. String renderings
+    * of doubles differ between engines — profile exact-rendered types
+    * (integers, strings, booleans, timestamps) when hash-comparing
+    * cross-engine.
+    */
+  def profileFrame(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "profileFrame: input has no columns")
+    def isComplex(f: org.apache.spark.sql.types.StructField) = f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_n"))
+    fields.foreach { f =>
+      val c = col(f.name)
+      aggs += sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as(s"_null_${f.name}")
+      if (!isComplex(f)) {
+        aggs += countDistinct(c).as(s"_nd_${f.name}")
+        aggs += min(c).cast("string").as(s"_min_${f.name}")
+        aggs += max(c).cast("string").as(s"_max_${f.name}")
+      }
+    }
+    df.agg(aggs.head, aggs.tail.toSeq: _*)
+      .select(explode(array(fields.map { f =>
+        struct(
+          lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("dtype"),
+          col("_n").as("n_rows"),
+          col(s"_null_${f.name}").as("n_nulls"),
+          (if (isComplex(f)) lit(null).cast("long") else col(s"_nd_${f.name}"))
+            .as("n_distinct"),
+          (if (isComplex(f)) lit(null).cast("string") else col(s"_min_${f.name}"))
+            .as("min_value"),
+          (if (isComplex(f)) lit(null).cast("string") else col(s"_max_${f.name}"))
+            .as("max_value"))
+      }.toIndexedSeq: _*)).as("p"))
+      .select(col("p.column"), col("p.dtype"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy(col("column"))
+  }
+
   /** Classifier confusion matrix with per-cell recall share — the
     * accuracy report for heuristic labelers (language-ID vs labeled
     * lang, quality gate vs human rating): one row per observed

@@ -62,6 +62,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: exact cosine top-k
+    * over the corpus RESTRICTED to rows PROVABLY of a different class —
+    * both labels known and unequal (an unlabeled row could be a
+    * positive, so it never qualifies as a negative, and an unlabeled
+    * query mines nothing). The "most similar yet wrong-class" examples
+    * are the informative negatives; same (id, vec) contract as
+    * [[bruteForceTopK]] plus a `label` column on both sides.
+    *
+    * This is the exact baseline (the label predicate rides the same
+    * broadcast cross-score); the scale path composes the same predicate
+    * into the IVF probe's re-rank stage. */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn"), col("label").as("_qlabel")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"), col("label").as("neg_label"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("_qlabel").isNotNull && col("neg_label").isNotNull &&
+        col("_qlabel") =!= col("neg_label"))
+      .withColumn("cosine",
+        cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by an
     * `nBits` random-hyperplane signature; candidates share a bucket; exact
     * cosine re-ranks within buckets. Recall grows with fewer bits or with

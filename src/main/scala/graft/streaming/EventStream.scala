@@ -95,7 +95,15 @@ object EventStream {
       left: DataFrame,
       right: DataFrame,
       within: String = "15 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    // left_outer: a left event with no same-key right event in its window
+    // still emits (null right side) — but only once the right watermark
+    // passes the window end, when absence is PROVEN; state stays bounded
+    // exactly as in the inner case. Batch runs emit null-padded rows
+    // immediately (no watermark semantics on static frames).
+    require(Set("inner", "left_outer")(joinType),
+      s"intervalJoin: joinType must be inner or left_outer, got $joinType")
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
       col("user_id"), col("value").as("l_value"))
       .withWatermark("l_ts", watermark)
@@ -105,7 +113,8 @@ object EventStream {
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select(col("user_id"), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
   }

@@ -310,6 +310,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("negative sampling: exactly k per anchor, never self, deterministic") {
+    val df = (1L to 50L).map(i => i * 10).toDF("id") // sparse keys
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.negativeSample(d, col("id"), k = 4)
+        .orderBy(col("anchor"), col("neg_rank"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val one = run(df.coalesce(1))
+    assert(one == run(df.repartition(7)))
+    assert(one.size == 50 * 4)
+    assert(one.forall { case (a, _, n) => a != n }) // structurally impossible
+    assert(one.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1, 2, 3, 4)))
+    // under 2 rows there is nothing to pair with
+    assert(Curation.negativeSample(Seq(1L).toDF("id"), col("id"), 3).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Curation.negativeSample(df, col("id"), k = 0)
+    }
+  }
+
   test("curriculum stages: a score exactly ON a boundary goes to the lower stage") {
     // 1..4: thresholds 1.75, 2.5, 3.25; add 2.5 twice so the boundary hits
     val df = Seq(1.0, 2.0, 2.5, 2.5, 3.0, 4.0).toDF("s")

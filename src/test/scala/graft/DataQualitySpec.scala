@@ -127,4 +127,25 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.calibrationReport(df, col("s"), col("y"), 1.0, 1.0, 10)
     }
   }
+
+  test("profile: per-column nulls/distincts/minmax; complex columns nulls-only") {
+    val df = Seq(
+      (1L, Some("b"), Seq(1, 2)),
+      (2L, Some("a"), Seq(3)),
+      (3L, None, null.asInstanceOf[Seq[Int]]),
+      (4L, Some("a"), Seq(4)),
+    ).toDF("id", "s", "arr")
+    val out = DataQuality.profileFrame(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val idp = out("id")
+    assert((idp.getString(1), idp.getLong(2), idp.getLong(3), idp.getLong(4),
+      idp.getString(5), idp.getString(6)) == (("bigint", 4L, 0L, 4L, "1", "4")))
+    val sp = out("s")
+    assert((sp.getLong(3), sp.getLong(4), sp.getString(5), sp.getString(6)) ==
+      ((1L, 2L, "a", "b")))
+    val ap = out("arr")
+    assert(ap.getString(1).startsWith("array"))
+    assert(ap.getLong(3) == 1L)
+    assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
+  }
 }

@@ -45,6 +45,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!lsh.contains(3L) && !lsh.contains(4L))
   }
 
+  test("hard negatives: same-label and unlabeled rows never qualify") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0), Some(7)),
+      (2L, Seq(0.99, 0.01), Some(7)),  // nearest, but same label: excluded
+      (3L, Seq(0.9, 0.1), Some(8)),    // best provably-wrong-label neighbor
+      (4L, Seq(0.5, 0.5), None),       // unlabeled: could be a positive
+      (5L, Seq(0.0, 1.0), Some(8)),
+    ).toDF("id", "vec", "label")
+    val got = Similarity.hardNegativeTopK(vecs, vecs.filter(col("id") === 1), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSeq
+    assert(got == Seq((3L, 1), (5L, 2)))
+    // an unlabeled QUERY mines nothing
+    assert(Similarity.hardNegativeTopK(vecs, vecs.filter(col("id") === 4), k = 4)
+      .count() == 0L)
+  }
+
   test("IVF assignment maps to actual cell ids for non-contiguous centroid tables") {
     val corpus = Seq(
       (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),   // near centroid 5

@@ -216,6 +216,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("left-outer interval join emits unmatched views once absence is proven") {
+    val dirL = Files.createTempDirectory("graft-ijo-l").toString
+    val dirR = Files.createTempDirectory("graft-ijo-r").toString
+    Files.writeString(java.nio.file.Paths.get(dirL, "l.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:00.000Z","user_id":2,"event_type":"view","value":1.0}""",
+    ).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(dirR, "r.json"), Seq(
+      """{"event_id":11,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"purchase","value":9.0}""",
+      """{"event_id":13,"ts":"2024-01-01T00:20:00.000Z","user_id":2,"event_type":"purchase","value":7.0}""",
+    ).mkString("\n"))
+    val q = EventStream.intervalJoin(
+      EventStream.readEventStream(spark, dirL),
+      EventStream.readEventStream(spark, dirR),
+      within = "15 minutes", joinType = "left_outer")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ijo_stream").start()
+    try {
+      q.processAllAvailable()
+      // push both watermarks far past user 2's window so the null-padded
+      // row is provably unmatched and can be emitted
+      Files.writeString(java.nio.file.Paths.get(dirL, "l2.json"),
+        """{"event_id":8,"ts":"2024-01-01T09:00:00.000Z","user_id":9,"event_type":"view","value":0.0}""")
+      Files.writeString(java.nio.file.Paths.get(dirR, "r2.json"),
+        """{"event_id":9,"ts":"2024-01-01T09:00:00.000Z","user_id":8,"event_type":"purchase","value":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ijo_stream")
+      .filter(col("user_id").isin(1L, 2L))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong))).toSet
+    // user 1 converted in-window; user 2's purchase was 20 min late ->
+    // the view emits null-padded
+    assert(got == Set((1L, Some(11L)), (2L, None)))
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),
