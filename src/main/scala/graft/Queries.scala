@@ -983,6 +983,21 @@ object Queries {
         .orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
+    // Incremental aggregate maintenance: per-user state built from two
+    // disjoint batches and MERGED — decimal-exact partials make the
+    // merged state bit-identical to the oracle's full recompute.
+    "e_incremental_rollup" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = t(s, dir, "events")
+      val s1 = Incremental.aggState(
+        ev.filter(col("event_id") % 2 === 0), col("user_id"), col("value"))
+      val s2 = Incremental.aggState(
+        ev.filter(col("event_id") % 2 === 1), col("user_id"), col("value"))
+      Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // Left-outer interval join: views with NO conversion in-window emit
     // null-padded (the abandonment signal); streaming emits them only
     // once the watermark proves absence (StreamingSpec).
@@ -3407,6 +3422,16 @@ object Queries {
         | AND l.event_type = 'view' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
         |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    // Incremental rollup: the oracle recomputes DIRECTLY over the full
+    // table — equality proves merge(batch states) == full recompute.
+    "e_incremental_rollup" ->
+      """SELECT user_id, count(value) AS n,
+        |  sum(value::DECIMAL(28,9))::DOUBLE AS sum_v,
+        |  CASE WHEN count(value) > 0
+        |       THEN sum(value::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e_interval_join_outer" ->
       """WITH l AS (SELECT * FROM events WHERE event_type = 'view'),

@@ -479,7 +479,9 @@ object Curation {
     * surviving set and weights are bit-identical across runs,
     * partitionings, and engines. Rows with NULL or non-positive size
     * carry p = 0 and are never kept (a sizeless row cannot be
-    * size-weighted; filter or floor sizes upstream to include them).
+    * size-weighted; filter or floor sizes upstream to include them), and
+    * a NULL key hashes to a NULL uniform, which never passes the
+    * selection — same fate as in [[stratifiedSample]].
     *
     * Scale shape: one map-side-combined 1-row total, broadcast back onto
     * the corpus as a pure filter + projection — the corpus itself never

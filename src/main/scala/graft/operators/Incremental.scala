@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the materialized-rollup pattern of
+  * a continuously-ingesting pipeline: keep a small per-key STATE table
+  * whose columns are mergeable (associative + commutative) partial
+  * aggregates, fold each new batch into it, and render user-facing
+  * metrics from state alone. Reprocessing cost per batch is O(batch),
+  * never O(history).
+  *
+  * State columns: (key, n, sum_dec, min_v, max_v). Sums are carried as
+  * DECIMAL(28,9) — exact, so merge order (batch arrival order, partition
+  * layout, engine) cannot change a single bit of the result, and
+  * incrementally-maintained state is PROVABLY identical to a full
+  * recompute (the oracle checks exactly that). Distinct-count state
+  * composes the same way via the bounded
+  * [[graft.functions.KmvSketchAgg]] buffer when needed.
+  *
+  * Scale shape: one hash aggregation per batch (map-side combined), one
+  * key-partitioned merge aggregation over (state ∪ batch-state) — both
+  * sides already one-row-per-key.
+  */
+object Incremental {
+
+  private val stateCols = Seq("key", "n", "sum_dec", "min_v", "max_v")
+
+  /** Per-key mergeable state from a raw batch. NULL values contribute to
+    * no aggregate (a key with only NULL values reports n = 0 and NULL
+    * sum/min/max — present, but metric-less). */
+  def aggState(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(
+        count(value).as("n"),
+        sum(value.cast("decimal(28,9)")).as("sum_dec"),
+        min(value).as("min_v"),
+        max(value).as("max_v"))
+
+  /** Merge state tables (any number ≥ 1, any order — the columns are
+    * associative/commutative by construction). */
+  def mergeStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeStates: need at least one state table")
+    states.foreach { s =>
+      require(stateCols.forall(s.columns.contains),
+        s"mergeStates: state table must have columns $stateCols, got ${s.columns.toSeq}")
+    }
+    states.map(_.select(stateCols.map(col): _*)).reduce(_ unionByName _)
+      .groupBy(col("key"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_dec")).as("sum_dec"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** User-facing metrics rendered from state alone: exact sum (one
+    * decimal→double conversion) and mean (one division). */
+  def stateMetrics(state: DataFrame): DataFrame =
+    state.select(
+      col("key"), col("n"),
+      col("sum_dec").cast("double").as("sum_v"),
+      when(col("n") > 0, col("sum_dec").cast("double") / col("n").cast("double"))
+        .as("mean_v"),
+      col("min_v"), col("max_v"))
+}

@@ -53,6 +53,10 @@ object TimeSeries {
       keys: Seq[Column] = Nil,
   ): DataFrame = {
     require(widthSeconds > 0, s"downsampleOhlc: widthSeconds must be positive, got $widthSeconds")
+    // fail loudly instead of silently replacing an input column with the
+    // generated bucket key (the chunkDocuments guard, same rationale)
+    require(!events.columns.contains("bucket"),
+      "downsampleOhlc: input already has a 'bucket' column — alias it away")
     val ord = struct(ts.as("t"), id.as("i"))
     events
       .filter(ts.isNotNull)
