@@ -706,6 +706,17 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    // JS vocabulary drift between corpus halves: the textual PSI —
+    // top-25-union vocab + <oov> fold, Laplace shares, 9-dp
+    // decimal-summed JS contributions (js in [0, ln 2]).
+    "txt_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LanguageModel.vocabularyDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("text"), vocabSize = 25)
+    }),
+
     // PMI collocations (phrase mining): bigram/unigram count aggs, the
     // minCount filter BEFORE the count joins, bounded TakeOrdered cut at
     // (pmi desc, w1, w2) — 6-dp-rounded PMI makes the ranking
@@ -2811,6 +2822,51 @@ object Queries {
         |  max(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS max_gap_s,
         |  sum(gap_us)::DOUBLE / count(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS mean_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // JS vocab drift: union vocab cut, per-side Laplace shares as exact
+    // rationals, contribution association 0.5*(p*ln(p/m)) + 0.5*(q*ln(q/m))
+    // mirrored term for term, decimal-summed.
+    "txt_vocab_drift" ->
+      """WITH ca AS (
+        |  SELECT term, count(*)::BIGINT AS c_a FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      AS term
+        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY term),
+        |cb AS (
+        |  SELECT term, count(*)::BIGINT AS c_b FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      AS term
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY term),
+        |u AS (
+        |  SELECT term, coalesce(c_a, 0) + coalesce(c_b, 0) AS c
+        |  FROM ca FULL OUTER JOIN cb USING (term)),
+        |v AS (SELECT term FROM u ORDER BY c DESC, term LIMIT 25),
+        |j AS (
+        |  SELECT v.term, coalesce(ca.c_a, 0)::BIGINT AS c_a,
+        |    coalesce(cb.c_b, 0)::BIGINT AS c_b
+        |  FROM v LEFT JOIN ca USING (term) LEFT JOIN cb USING (term)),
+        |t AS (SELECT
+        |  (SELECT coalesce(sum(c_a), 0)::BIGINT FROM ca) AS t_a,
+        |  (SELECT coalesce(sum(c_b), 0)::BIGINT FROM cb) AS t_b,
+        |  (SELECT coalesce(sum(c_a), 0)::BIGINT FROM j) AS v_a,
+        |  (SELECT coalesce(sum(c_b), 0)::BIGINT FROM j) AS v_b),
+        |w AS (
+        |  SELECT term, c_a, c_b FROM j
+        |  UNION ALL SELECT '<oov>', t_a - v_a, t_b - v_b FROM t),
+        |pq AS (
+        |  SELECT w.term, w.c_a, w.c_b,
+        |    (w.c_a + 1)::DOUBLE / (t.t_a + 26) AS p,
+        |    (w.c_b + 1)::DOUBLE / (t.t_b + 26) AS q
+        |  FROM w CROSS JOIN t),
+        |c2 AS (
+        |  SELECT term, c_a, c_b,
+        |    round('0.5'::DOUBLE * (p * ln(p / ((p + q) / '2.0'::DOUBLE)))
+        |        + '0.5'::DOUBLE * (q * ln(q / ((p + q) / '2.0'::DOUBLE))), 9)
+        |      ::DECIMAL(28,9) AS contrib
+        |  FROM pq),
+        |js AS (SELECT sum(contrib)::DOUBLE AS js FROM c2)
+        |SELECT c2.term, c2.c_a, c2.c_b, c2.contrib, js.js
+        |FROM c2 CROSS JOIN js ORDER BY term""".stripMargin,
 
     // PMI: same tokenizer as the LM oracles, bigrams from the token list
     // itself, single-ln ratio in the engine's association rounded to

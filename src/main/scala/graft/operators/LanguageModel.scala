@@ -201,4 +201,78 @@ object LanguageModel {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }
+
+  /** Jensen-Shannon vocabulary drift between two corpus snapshots — the
+    * TEXTUAL counterpart of [[DataQuality.psiDrift]] (which bins a
+    * numeric column): compare the unigram distributions of snapshots A
+    * and B over their top-`vocabSize` UNION vocabulary, with all
+    * remaining mass folded into an `<oov>` bucket so both distributions
+    * sum to exactly 1:
+    *
+    *   js = 0.5 * Σ_t p_t ln(p_t/m_t) + 0.5 * Σ_t q_t ln(q_t/m_t),
+    *   m = (p + q)/2
+    *
+    * Laplace-smoothed shares p_t = (c_t + 1)/(n + |V|+1) keep every log
+    * finite; shares are exact rationals (identical doubles on any
+    * engine) and per-term contributions are rounded to 9 dp and
+    * decimal-summed — the [[DataQuality.psiDrift]] parity discipline.
+    * js ∈ [0, ln 2]; 0 = identical vocabularies.
+    *
+    * Scale shape: one count aggregation per snapshot, a TakeOrdered
+    * vocab cut on their union (deterministic (count desc, term) ties),
+    * two broadcast joins of the tiny vocab back onto the count tables,
+    * |V|+1 rows after that. Corpora never shuffle by content.
+    *
+    * @return one row per vocab term (+ `<oov>`): (term, c_a, c_b,
+    *         contrib) plus the constant `js`, ordered by term. */
+  def vocabularyDrift(
+      a: DataFrame, b: DataFrame, text: Column, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabularyDrift: vocabSize must be >= 1, got $vocabSize")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(Search.terms(text)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+        .localCheckpoint(false)
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val vocab = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("c_a"), lit(0L)) + coalesce(col("c_b"), lit(0L))).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"))
+    // the preserved side of an outer join cannot be the broadcast side,
+    // so shrink each count table to the vocab FIRST (broadcast semi-join
+    // — the scale-bearing step), then outer-join the ≤|V|-row leftovers
+    val caV = ca.join(broadcast(vocab), Seq("term"), "left_semi")
+    val cbV = cb.join(broadcast(vocab), Seq("term"), "left_semi")
+    val joined = vocab
+      .join(caV, Seq("term"), "left")
+      .join(cbV, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint(false)
+    val totals = ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("t_a"))
+      .crossJoin(cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("t_b")))
+      .crossJoin(joined.agg(
+        coalesce(sum(col("c_a")), lit(0L)).as("v_a"),
+        coalesce(sum(col("c_b")), lit(0L)).as("v_b")))
+    val withOov = joined.unionByName(
+      broadcast(totals).select(lit("<oov>").as("term"),
+        (col("t_a") - col("v_a")).as("c_a"), (col("t_b") - col("v_b")).as("c_b")))
+    val denomTerms = lit((vocabSize + 1).toLong)
+    val p = (col("c_a") + lit(1L)).cast("double") / (col("t_a") + denomTerms)
+    val q = (col("c_b") + lit(1L)).cast("double") / (col("t_b") + denomTerms)
+    val m = (p + q) / lit(2.0)
+    val contrib = round(lit(0.5) * (p * log(p / m)) + lit(0.5) * (q * log(q / m)), 9)
+      .cast("decimal(28,9)")
+    val withContrib = withOov.crossJoin(broadcast(totals.select(col("t_a"), col("t_b"))))
+      .withColumn("contrib", contrib)
+      .localCheckpoint(false)
+    val js = withContrib.agg(sum(col("contrib")).cast("double").as("js"))
+    withContrib
+      .select(col("term"), col("c_a"), col("c_b"), col("contrib"))
+      .crossJoin(broadcast(js))
+      .orderBy(col("term"))
+  }
 }

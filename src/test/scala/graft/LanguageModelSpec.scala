@@ -118,4 +118,40 @@ class LanguageModelSpec extends AnyFunSuite {
       LanguageModel.pmiCollocations(docs, col("text"), minCount = 0L, topK = 5)
     }
   }
+
+  test("vocabulary drift: identical snapshots give js exactly 0; disjoint ones don't") {
+    val a = Seq((1L, "x y x"), (2L, "x z")).toDF("id", "text")
+    val same = LanguageModel.vocabularyDrift(a, a, col("text"), vocabSize = 10)
+      .collect()
+    assert(same.forall(_.getAs[Double]("js") == 0.0))
+    assert(same.forall(r => r.getAs[java.math.BigDecimal]("contrib").signum == 0))
+    assert(same.map(_.getString(0)).contains("<oov>")) // fold row always present
+    // disjoint vocabularies with counts big enough that the +1 smoothing
+    // (which flattens tiny corpora toward uniform) stops dominating
+    val bigA = Seq((1L, Seq.fill(200)("x y").mkString(" "))).toDF("id", "text")
+    val bigB = Seq((1L, Seq.fill(200)("p q").mkString(" "))).toDF("id", "text")
+    val js = LanguageModel.vocabularyDrift(bigA, bigB, col("text"), vocabSize = 10)
+      .collect().head.getAs[Double]("js")
+    assert(js > 0.3 && js <= math.log(2.0) + 1e-9, s"js=$js")
+  }
+
+  test("vocabulary drift: oov fold keeps both distributions summing to the totals") {
+    // vocab cap 2 of 4 terms: the tail mass must land in <oov>
+    val a = Seq((1L, "w w w x x y z")).toDF("id", "text")
+    val b = Seq((1L, "w x")).toDF("id", "text")
+    val rows = LanguageModel.vocabularyDrift(a, b, col("text"), vocabSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // union counts: w=4, x=3, y=1, z=1 -> vocab {w, x}; oov a-side = y+z = 2
+    assert(rows.map(_._1).sorted == Seq("<oov>", "w", "x"))
+    assert(rows.find(_._1 == "<oov>").get._2 == 2L)
+    assert(rows.map(_._2).sum == 7L && rows.map(_._3).sum == 2L)
+    val one = LanguageModel.vocabularyDrift(a.coalesce(1), b, col("text"), 2)
+      .collect().toSeq
+    val many = LanguageModel.vocabularyDrift(a.repartition(5), b.repartition(3),
+      col("text"), 2).collect().toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] {
+      LanguageModel.vocabularyDrift(a, b, col("text"), vocabSize = 0)
+    }
+  }
 }
