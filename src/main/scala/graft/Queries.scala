@@ -3483,9 +3483,9 @@ object Queries {
     // table — equality proves merge(batch states) == full recompute.
     "e_incremental_rollup" ->
       """SELECT user_id, count(value) AS n,
-        |  sum(value::DECIMAL(28,9))::DOUBLE AS sum_v,
+        |  sum(round(value, 9)::DECIMAL(28,9))::DOUBLE AS sum_v,
         |  CASE WHEN count(value) > 0
-        |       THEN sum(value::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
+        |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -166,13 +166,18 @@ object DataQuality {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val fields = df.schema.fields
     require(fields.nonEmpty, "profileFrame: input has no columns")
+    require(fields.map(_.name).distinct.length == fields.length,
+      s"profileFrame: duplicate column names in ${fields.map(_.name).toSeq}")
+    // backquote every generated lookup: a legal column named "a.b" would
+    // otherwise parse as a struct-field path and fail resolution
+    def q(name: String) = col(s"`$name`")
     def isComplex(f: org.apache.spark.sql.types.StructField) = f.dataType match {
       case _: ArrayType | _: MapType | _: StructType => true
       case _ => false
     }
     val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_n"))
     fields.foreach { f =>
-      val c = col(f.name)
+      val c = q(f.name)
       aggs += sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as(s"_null_${f.name}")
       if (!isComplex(f)) {
         aggs += countDistinct(c).as(s"_nd_${f.name}")
@@ -186,12 +191,12 @@ object DataQuality {
           lit(f.name).as("column"),
           lit(f.dataType.simpleString).as("dtype"),
           col("_n").as("n_rows"),
-          col(s"_null_${f.name}").as("n_nulls"),
-          (if (isComplex(f)) lit(null).cast("long") else col(s"_nd_${f.name}"))
+          q(s"_null_${f.name}").as("n_nulls"),
+          (if (isComplex(f)) lit(null).cast("long") else q(s"_nd_${f.name}"))
             .as("n_distinct"),
-          (if (isComplex(f)) lit(null).cast("string") else col(s"_min_${f.name}"))
+          (if (isComplex(f)) lit(null).cast("string") else q(s"_min_${f.name}"))
             .as("min_value"),
-          (if (isComplex(f)) lit(null).cast("string") else col(s"_max_${f.name}"))
+          (if (isComplex(f)) lit(null).cast("string") else q(s"_max_${f.name}"))
             .as("max_value"))
       }.toIndexedSeq: _*)).as("p"))
       .select(col("p.column"), col("p.dtype"), col("p.n_rows"), col("p.n_nulls"),

@@ -33,7 +33,10 @@ object Incremental {
     df.groupBy(key.as("key"))
       .agg(
         count(value).as("n"),
-        sum(value.cast("decimal(28,9)")).as("sum_dec"),
+        // round-then-decimal: a raw double->DECIMAL cast rounds half-up
+        // in Spark vs half-even in DuckDB at 9-dp halfway points (the
+        // calibrationReport parity note) -- round() agrees on both
+        sum(round(value, 9).cast("decimal(28,9)")).as("sum_dec"),
         min(value).as("min_v"),
         max(value).as("max_v"))
 

@@ -43,23 +43,46 @@ object Similarity {
     * @param queries (id, vec) DataFrame — broadcast when small
     * @param k       neighbors per query (self-matches excluded)
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    crossScoredTopK(corpus, queries, k,
+      extraQueryCols = Nil, extraCorpusCols = Nil,
+      pairPredicate = lit(true), extraOutCols = Nil)
+
+  /** Shared exact cross-score pipeline: broadcast queries × corpus,
+    * self-pairs excluded, `pairPredicate` applied BEFORE scoring, NULL
+    * cosines (invalid pairs) never consume a rank slot, deterministic
+    * (cosine desc, neighbor_id) ranking cut at k. Both public baselines
+    * ([[bruteForceTopK]], [[hardNegativeTopK]]) are thin wrappers, so a
+    * ranking/NULL-handling fix lands in exactly one place. */
+  private def crossScoredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      extraQueryCols: Seq[(String, String)],
+      extraCorpusCols: Seq[(String, String)],
+      pairPredicate: Column,
+      extraOutCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      norm(col("vec")).as("qn")))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-      norm(col("vec")).as("cn"))
+    val qCols = Seq(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn")) ++ extraQueryCols.map { case (in, out) => col(in).as(out) }
+    val cCols = Seq(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn")) ++ extraCorpusCols.map { case (in, out) => col(in).as(out) }
+    val q = broadcast(queries.select(qCols: _*))
+    val c = corpus.select(cCols: _*)
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(pairPredicate)
       .withColumn("cosine",
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       // a NULL cosine (invalid pair) must not consume a top-k rank slot
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val out = Seq(col("query_id"), col("neighbor_id")) ++ extraOutCols.map(col) ++
+      Seq(col("cosine"), col("rank"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .select(out: _*)
   }
 
   /** Hard-negative mining for contrastive training: exact cosine top-k
@@ -73,25 +96,13 @@ object Similarity {
     * This is the exact baseline (the label predicate rides the same
     * broadcast cross-score); the scale path composes the same predicate
     * into the IVF probe's re-rank stage. */
-  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      norm(col("vec")).as("qn"), col("label").as("_qlabel")))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-      norm(col("vec")).as("cn"), col("label").as("neg_label"))
-    val scored = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .filter(col("_qlabel").isNotNull && col("neg_label").isNotNull &&
-        col("_qlabel") =!= col("neg_label"))
-      .withColumn("cosine",
-        cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
-      .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("neg_label"), col("cosine"), col("rank"))
-  }
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    crossScoredTopK(corpus, queries, k,
+      extraQueryCols = Seq("label" -> "_qlabel"),
+      extraCorpusCols = Seq("label" -> "neg_label"),
+      pairPredicate = col("_qlabel").isNotNull && col("neg_label").isNotNull &&
+        col("_qlabel") =!= col("neg_label"),
+      extraOutCols = Seq("neg_label"))
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by an
     * `nBits` random-hyperplane signature; candidates share a bucket; exact

@@ -74,21 +74,6 @@ object TimeSeries {
         timestamp_micros(col("bucket") * lit(widthSeconds * 1000000L)).cast("timestamp_ntz"))
   }
 
-  /** Per-key arrival-gap diagnostics: for each key, the count of
-    * consecutive-event gaps exceeding `gapSeconds`, the maximum gap, and
-    * the mean gap (seconds, exact micros arithmetic; single-event keys
-    * report zero gaps with NULL max/mean). The dropout/staleness monitor
-    * for ingest feeds.
-    *
-    * Scale shape: one lag window PARTITIONED BY the key (parallel across
-    * keys — never a global single-partition sort) feeding one hash
-    * aggregation on the same key, so the sort and the agg share a single
-    * shuffle. Events sharing a timestamp produce the same gap multiset
-    * whatever their relative order (equal values lag to a zero gap), so
-    * the aggregates are deterministic without an id tie-break. Mean gaps
-    * are exact integer-microsecond averages divided once at the end —
-    * bit-identical cross-engine.
-    */
   /** Ordered funnel analysis — the conversion diagnostic of an event
     * pipeline: for each user, how far through `steps` they progressed,
     * where step i+1 only counts if it occurs AT OR AFTER the user's
@@ -162,6 +147,21 @@ object TimeSeries {
       .agg(countDistinct(col("user")).as("n_users"))
   }
 
+  /** Per-key arrival-gap diagnostics: for each key, the count of
+    * consecutive-event gaps exceeding `gapSeconds`, the maximum gap, and
+    * the mean gap (seconds, exact micros arithmetic; single-event keys
+    * report zero gaps with NULL max/mean). The dropout/staleness monitor
+    * for ingest feeds.
+    *
+    * Scale shape: one lag window PARTITIONED BY the key (parallel across
+    * keys — never a global single-partition sort) feeding one hash
+    * aggregation on the same key, so the sort and the agg share a single
+    * shuffle. Events sharing a timestamp produce the same gap multiset
+    * whatever their relative order (equal values lag to a zero gap), so
+    * the aggregates are deterministic without an id tie-break. Mean gaps
+    * are exact integer-microsecond averages divided once at the end —
+    * bit-identical cross-engine.
+    */
   def gapStats(
       events: DataFrame,
       key: Column,

@@ -70,4 +70,39 @@ class ScdSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("scd2: unknown or NULL op fails loudly instead of acting as a delete") {
+    val h = hist((1L, "a", 0L, None))
+    intercept[Exception] {
+      Scd.scd2Merge(h, ch((1L, "x", 5L, "UPSERT"))).collect() // case typo
+    }
+    intercept[Exception] {
+      Scd.scd2Merge(h, ch((1L, "x", 5L, null.asInstanceOf[String]))).collect()
+    }
+  }
+
+  test("scd2: an open row with NULL valid_from still exists (presence != payload)") {
+    val h = Seq((1L, "a", None: Option[Long], None: Option[Long]),
+      (2L, "b", None: Option[Long], None: Option[Long]))
+      .toDF("key", "value", "valid_from", "valid_to")
+    // no change for key 1: the open row must pass through, not vanish
+    val out = Scd.scd2Merge(h, ch((2L, "b2", 9L, "upsert")))
+      .orderBy(col("key"), col("valid_from")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (2L, "b2")))
+  }
+
+  test("scd2: timestamp-typed validity intervals work (type-generic ts)") {
+    val h = Seq((1L, "a", "2024-01-01 00:00:00", null.asInstanceOf[String]))
+      .toDF("key", "value", "f", "t")
+      .select(col("key"), col("value"), to_timestamp(col("f")).as("valid_from"),
+        to_timestamp(col("t")).as("valid_to"))
+    val c = Seq((1L, "b", "2024-06-01 00:00:00", "upsert"))
+      .toDF("key", "value", "ts_s", "op")
+      .select(col("key"), col("value"), to_timestamp(col("ts_s")).as("ts"), col("op"))
+    val out = Scd.scd2Merge(h, c).orderBy(col("valid_from")).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "a" && !out(0).isNullAt(3)) // closed at ts
+    assert(out(1).getString(1) == "b" && out(1).isNullAt(3))  // new open
+  }
 }
