@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorExprs.arity(name, n)(build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: interpreted HOF dot/sqdist folds -> native kernels
+    // (strict bit-identical match only; see NativeVectorRule)
+    ext.injectOptimizerRule(_ => NativeVectorRule)
     ext.injectFunction((
       FunctionIdentifier(VectorExprs.DotName),
       info(VectorExprs.DotName,

@@ -46,6 +46,35 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getDouble(0)
       assert(rm == graft.functions.ResidueMassExpr.residueMass(
         org.apache.spark.unsafe.types.UTF8String.fromString("PEPTIDE")))
+
+      // optimizer rule: the idiomatic HOF dot product rewrites to the
+      // native kernel (visible in the optimized plan) with equal values
+      // non-foldable source (arrays derive from range's id), or constant
+      // folding erases the evidence of the rewrite from the plan
+      val src = "(SELECT array(1.0d, id + 2.0d) AS a, array(3.0d, id + 4.0d) AS b " +
+        "FROM range(1)) t"
+      val hofDot = "aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)"
+      val dfDot = s.sql(s"SELECT $hofDot AS d FROM $src")
+      assert(dfDot.queryExecution.optimizedPlan.toString.contains("graft_vec_dot"),
+        dfDot.queryExecution.optimizedPlan.toString)
+      assert(dfDot.head().getDouble(0) == 11.0) // [1,2]·[3,4]
+      val hofSq =
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, (acc, v) -> acc + v)"
+      val dfSq = s.sql(s"SELECT $hofSq AS d FROM $src")
+      assert(dfSq.queryExecution.optimizedPlan.toString.contains("graft_vec_sqdist"),
+        dfSq.queryExecution.optimizedPlan.toString)
+      assert(dfSq.head().getDouble(0) == 8.0)
+      // strictness: float arrays fold in float precision — NOT rewritten
+      val srcF = "(SELECT array(float(1.0), float(id + 2)) AS a, " +
+        "array(float(3.0), float(id + 4)) AS b FROM range(1)) t"
+      val dfFloat = s.sql(s"SELECT $hofDot AS d FROM $srcF")
+      assert(!dfFloat.queryExecution.optimizedPlan.toString.contains("graft_vec_dot"))
+      // strictness: a non-zero seed changes semantics — NOT rewritten
+      val dfSeed = s.sql(
+        s"SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1d, (acc, v) -> acc + v) AS d " +
+          s"FROM $src")
+      assert(!dfSeed.queryExecution.optimizedPlan.toString.contains("graft_vec_dot"))
+      assert(dfSeed.head().getDouble(0) == 12.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
