@@ -1805,6 +1805,25 @@ object Queries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    // Temperature mixture plan (alpha-sampling, alpha=0.5): corpus
+    // shares^alpha renormalized — big sources down-, small sources
+    // up-weighted; all arithmetic rounds/decimal-sums for parity.
+    "tdp_temperature_plan" -> ((s, dir) => {
+      graft.operators.Curation.temperatureMixturePlan(
+        t(s, dir, "documents"), col("source"), length(col("text")),
+        alpha = 0.5, tokenBudget = 10000L)
+        .orderBy(col("source"))
+    }),
+
+    // The sampled corpus under the alpha=0.5 plan (plan broadcast back
+    // as a pure deterministic filter).
+    "tdp_temperature_mixture" -> ((s, dir) => {
+      graft.operators.Curation.temperatureMixtureSample(
+        t(s, dir, "documents"), col("source"), col("doc_id"), length(col("text")),
+        alpha = 0.5, tokenBudget = 10000L)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
     // Corpus length distribution: exact interpolated percentiles per
     // language (single hash-agg; the sort is per-group inside the agg
     // buffer, no global sort).
@@ -3759,6 +3778,59 @@ object Queries {
         |    END AS keep_frac
         |  FROM a)
         |SELECT doc_id, source FROM documents d JOIN p ON d.source = p.mx_src
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
+        |  < keep_frac
+        |ORDER BY doc_id""".stripMargin,
+
+    // Temperature mixture: shares^alpha rounded to 9 dp, decimal-exact
+    // normalizer, every division in the engine's association order.
+    "tdp_temperature_plan" ->
+      """WITH tot AS (
+        |  SELECT source,
+        |    sum(CASE WHEN length(text) > 0 THEN length(text)::BIGINT ELSE 0 END)::BIGINT
+        |      AS s_tok
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |g AS (SELECT coalesce(sum(s_tok), 0)::BIGINT AS gs FROM tot),
+        |w AS (
+        |  SELECT source, s_tok,
+        |    CASE WHEN g.gs <= 0 OR s_tok <= 0 THEN '0.0'::DOUBLE
+        |         ELSE round(pow(s_tok::DOUBLE / g.gs::DOUBLE, '0.5'::DOUBLE), 9) END AS w
+        |  FROM tot CROSS JOIN g),
+        |nw AS (SELECT sum(w::DECIMAL(28,9))::DOUBLE AS tw FROM w),
+        |q AS (
+        |  SELECT source, s_tok, w,
+        |    CASE WHEN nw.tw <= 0.0 THEN '0.0'::DOUBLE ELSE w / nw.tw END AS q
+        |  FROM w CROSS JOIN nw)
+        |SELECT source, s_tok, w, q,
+        |  CASE WHEN s_tok <= 0 THEN '0.0'::DOUBLE
+        |       ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * q / s_tok::DOUBLE) END
+        |    AS keep_frac
+        |FROM q ORDER BY source""".stripMargin,
+
+    "tdp_temperature_mixture" ->
+      """WITH tot AS (
+        |  SELECT source,
+        |    sum(CASE WHEN length(text) > 0 THEN length(text)::BIGINT ELSE 0 END)::BIGINT
+        |      AS s_tok
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |g AS (SELECT coalesce(sum(s_tok), 0)::BIGINT AS gs FROM tot),
+        |w AS (
+        |  SELECT source, s_tok,
+        |    CASE WHEN g.gs <= 0 OR s_tok <= 0 THEN '0.0'::DOUBLE
+        |         ELSE round(pow(s_tok::DOUBLE / g.gs::DOUBLE, '0.5'::DOUBLE), 9) END AS w
+        |  FROM tot CROSS JOIN g),
+        |nw AS (SELECT sum(w::DECIMAL(28,9))::DOUBLE AS tw FROM w),
+        |q AS (
+        |  SELECT source, s_tok,
+        |    CASE WHEN nw.tw <= 0.0 THEN '0.0'::DOUBLE ELSE w / nw.tw END AS q
+        |  FROM w CROSS JOIN nw),
+        |p AS (
+        |  SELECT source,
+        |    CASE WHEN s_tok <= 0 THEN '0.0'::DOUBLE
+        |         ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * q / s_tok::DOUBLE) END
+        |      AS keep_frac
+        |  FROM q)
+        |SELECT doc_id, source FROM documents d JOIN p USING (source)
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
         |  < keep_frac
         |ORDER BY doc_id""".stripMargin,

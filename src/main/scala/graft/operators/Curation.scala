@@ -507,6 +507,83 @@ object Curation {
       .drop("_pps_total", "_pps_p")
   }
 
+  /** Temperature-scaled mixture sampling (alpha-sampling — the
+    * multilingual/multi-source rebalancing of mC4/XLM-R): instead of
+    * caller-fixed weights ([[mixtureSample]]), each source's share of the
+    * token budget is its corpus share raised to `alpha` and renormalized,
+    *
+    *   q_i = p_i^alpha / Σ_j p_j^alpha,   p_i = tokens_i / Σ tokens
+    *
+    * alpha = 1 keeps natural proportions, alpha = 0 gives every source an
+    * equal share, between the two big sources are down- and small sources
+    * up-weighted. Rows keep with probability min(1, budget·q_i / s_i)
+    * under the same md5-uniform as [[stratifiedSample]].
+    *
+    * Engine parity: shares are exact-rational; the single pow() per
+    * source is rounded to 9 dp (cross-engine agreement to well under
+    * that), the normalizer is a decimal-exact sum of the rounded weights,
+    * and every later step is one exactly-rounded division — so the plan
+    * AND the sampled id set replay bit-identically in SQL.
+    *
+    * Scale shape: one tiny per-source aggregation, re-aggregated once for
+    * the normalizer (|sources| rows), broadcast back onto the corpus as a
+    * pure filter; the corpus never shuffles.
+    */
+  def temperatureMixturePlan(
+      df: DataFrame,
+      source: Column,
+      tokenCount: Column,
+      alpha: Double,
+      tokenBudget: Long,
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0 && java.lang.Double.isFinite(alpha),
+      s"temperatureMixturePlan: alpha must be in [0, 1], got $alpha")
+    require(tokenBudget > 0, s"temperatureMixturePlan: tokenBudget must be positive, got $tokenBudget")
+    val totals = df
+      .filter(source.isNotNull)
+      .select(source.as("source"), tokenCount.cast("long").as("_tok"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("_tok") > 0L, col("_tok")).otherwise(lit(0L))).as("s_tok"))
+      .localCheckpoint(false)
+    val grand = totals.agg(coalesce(sum(col("s_tok")), lit(0L)).as("_S"))
+    val weighted = totals.crossJoin(broadcast(grand))
+      .withColumn("w",
+        when(col("_S") <= 0L || col("s_tok") <= 0L, lit(0.0))
+          .otherwise(round(
+            pow(col("s_tok").cast("double") / col("_S").cast("double"), lit(alpha)), 9)))
+      .localCheckpoint(false)
+    val norm = weighted.agg(
+      sum(col("w").cast("decimal(28,9)")).cast("double").as("_W"))
+    weighted.crossJoin(broadcast(norm))
+      .withColumn("q",
+        when(col("_W") <= 0.0, lit(0.0)).otherwise(col("w") / col("_W")))
+      .withColumn("keep_frac",
+        when(col("s_tok") <= 0L, lit(0.0))
+          .otherwise(least(lit(1.0),
+            lit(tokenBudget.toDouble) * col("q") / col("s_tok").cast("double"))))
+      .select(col("source"), col("s_tok"), col("w"), col("q"), col("keep_frac"))
+  }
+
+  /** Apply a [[temperatureMixturePlan]] as a deterministic row filter
+    * (md5-uniform on `key`, plan broadcast — corpus never shuffles).
+    * NULL sources never match the plan join and are dropped. */
+  def temperatureMixtureSample(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      tokenCount: Column,
+      alpha: Double,
+      tokenBudget: Long,
+  ): DataFrame = {
+    val plan = broadcast(
+      temperatureMixturePlan(df, source, tokenCount, alpha, tokenBudget)
+        .select(col("source").as("_tm_src"), col("keep_frac").as("_tm_frac")))
+    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
+    df.join(plan, source === col("_tm_src"))
+      .filter(u < col("_tm_frac"))
+      .drop("_tm_src", "_tm_frac")
+  }
+
   /** Deterministic uniform negative sampling — the contrastive-pair prep
     * step: for each anchor row, `k` pseudo-random other rows drawn with
     * replacement from the corpus (word2vec/DPR-style random negatives;

@@ -310,6 +310,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixture: alpha=0 equalizes shares, alpha=1 keeps proportions") {
+    val df = ((1 to 90).map(i => (i.toLong, "big", "x" * 100)) ++
+      (91 to 100).map(i => (i.toLong, "small", "x" * 100)))
+      .toDF("id", "src", "text")
+    // alpha=0: every source gets w=1 -> q=0.5 each
+    val eq = Curation.temperatureMixturePlan(df, col("src"), length(col("text")),
+      alpha = 0.0, tokenBudget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(eq("big") == 0.5 && eq("small") == 0.5)
+    // alpha=1: q == corpus share (to the 9-dp weight rounding)
+    val prop = Curation.temperatureMixturePlan(df, col("src"), length(col("text")),
+      alpha = 1.0, tokenBudget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(prop("big") - 0.9) < 1e-8 && math.abs(prop("small") - 0.1) < 1e-8)
+    // alpha=0.5: small source upweighted relative to its share
+    val half = Curation.temperatureMixturePlan(df, col("src"), length(col("text")),
+      alpha = 0.5, tokenBudget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(half("small") > 0.1 && half("big") < 0.9)
+    // sampling is deterministic across partitionings
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.temperatureMixtureSample(d, col("src"), col("id"),
+        length(col("text")), 0.5, 1000L)
+        .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(df.coalesce(1)) == run(df.repartition(7)))
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixturePlan(df, col("src"), length(col("text")), 1.5, 1000L)
+    }
+  }
+
   test("negative sampling: exactly k per anchor, never self, deterministic") {
     val df = (1L to 50L).map(i => i * 10).toDF("id") // sparse keys
     def run(d: org.apache.spark.sql.DataFrame) =
