@@ -437,6 +437,48 @@ object Queries {
         .orderBy(col("nationkey"))
     }),
 
+    // U3 — INTERSECT / EXCEPT (distinct set semantics both engines):
+    // nations that have customers but no suppliers, and both.
+    "u3_intersect_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+      val both = c.intersect(sup).withColumn("relation", lit("both"))
+      val onlyC = c.except(sup).withColumn("relation", lit("customers_only"))
+      both.unionByName(onlyC).orderBy(col("relation"), col("nationkey"))
+    }),
+
+    // A16 — ROLLUP grouping-set aggregation: per-(flag, status) revenue
+    // plus per-flag and grand totals in one pass (the grouping-id keeps
+    // NULL category values distinct from subtotal rows).
+    "a16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // W7 — the ranking/distribution window family in one query:
+    // lead/lag/ntile/percent_rank/cume_dist per nation partition (exact
+    // rational outputs; acctbal guaranteed distinct per partition is NOT
+    // assumed — ties break on custkey in the window order).
+    "w7_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("c_custkey").as("custkey"),
+          col("c_acctbal"),
+          lag(col("c_custkey"), 1).over(w).as("prev_key"),
+          lead(col("c_custkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("nationkey"), col("custkey"))
+    }),
+
     // U2 — explode(split) token flattening + counts.
     "u2_explode_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2421,6 +2463,38 @@ object Queries {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "u3_intersect_except" ->
+      """SELECT nationkey, relation FROM (
+        |  SELECT nationkey, 'both' AS relation FROM (
+        |    SELECT c_nationkey::INT AS nationkey FROM customer
+        |    INTERSECT SELECT s_nationkey::INT FROM supplier)
+        |  UNION ALL
+        |  SELECT nationkey, 'customers_only' FROM (
+        |    SELECT c_nationkey::INT AS nationkey FROM customer
+        |    EXCEPT SELECT s_nationkey::INT FROM supplier))
+        |ORDER BY relation, nationkey""".stripMargin,
+
+    // ROLLUP: grouping_id re-derived as GROUPING(first)*2 + GROUPING(second)
+    // (Spark's bit order: first grouping column is most significant).
+    "a16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
+        |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // Window family: identical full ordering (acctbal, custkey) makes
+    // every peer group a single row — percent_rank/cume_dist are the
+    // same exact rationals on both engines.
+    "w7_window_family" ->
+      """SELECT c_nationkey::INT AS nationkey, c_custkey AS custkey, c_acctbal,
+        |  lag(c_custkey) OVER w AS prev_key, lead(c_custkey) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY nationkey, custkey""".stripMargin,
 
     "u2_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
