@@ -240,14 +240,21 @@ object Curation {
       tokenCount: Column,
       weights: Map[String, Double],
       tokenBudget: Long,
-  ): DataFrame = {
-    val plan = broadcast(
-      mixturePlan(df, source, tokenCount, weights, tokenBudget)
-        .select(col("source").as("_mx_src"), col("keep_frac").as("_mx_frac")))
+  ): DataFrame =
+    applyPlanFilter(df, source, key,
+      mixturePlan(df, source, tokenCount, weights, tokenBudget))
+
+  /** Shared plan-application tail for the mixture samplers: broadcast the
+    * (source, keep_frac) plan, select by the portable md5-uniform of the
+    * key (strict `<`), drop the plan columns. One place, so the two
+    * samplers cannot silently diverge on selection semantics. */
+  private def applyPlanFilter(
+      df: DataFrame, source: Column, key: Column, plan: DataFrame): DataFrame = {
+    val p = broadcast(plan.select(col("source").as("_pl_src"), col("keep_frac").as("_pl_frac")))
     val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
-    df.join(plan, source === col("_mx_src"))
-      .filter(u < col("_mx_frac"))
-      .drop("_mx_src", "_mx_frac")
+    df.join(p, source === col("_pl_src"))
+      .filter(u < col("_pl_frac"))
+      .drop("_pl_src", "_pl_frac")
   }
 
   /** Fixed-token-window document chunking — the context-window prep step
@@ -574,15 +581,9 @@ object Curation {
       tokenCount: Column,
       alpha: Double,
       tokenBudget: Long,
-  ): DataFrame = {
-    val plan = broadcast(
-      temperatureMixturePlan(df, source, tokenCount, alpha, tokenBudget)
-        .select(col("source").as("_tm_src"), col("keep_frac").as("_tm_frac")))
-    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
-    df.join(plan, source === col("_tm_src"))
-      .filter(u < col("_tm_frac"))
-      .drop("_tm_src", "_tm_frac")
-  }
+  ): DataFrame =
+    applyPlanFilter(df, source, key,
+      temperatureMixturePlan(df, source, tokenCount, alpha, tokenBudget))
 
   /** Deterministic uniform negative sampling — the contrastive-pair prep
     * step: for each anchor row, `k` pseudo-random other rows drawn with

@@ -169,8 +169,9 @@ object DataQuality {
     require(fields.map(_.name).distinct.length == fields.length,
       s"profileFrame: duplicate column names in ${fields.map(_.name).toSeq}")
     // backquote every generated lookup: a legal column named "a.b" would
-    // otherwise parse as a struct-field path and fail resolution
-    def q(name: String) = col(s"`$name`")
+    // otherwise parse as a struct-field path and fail resolution; embedded
+    // backticks escape by doubling
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
     def isComplex(f: org.apache.spark.sql.types.StructField) = f.dataType match {
       case _: ArrayType | _: MapType | _: StructType => true
       case _ => false

@@ -35,7 +35,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 object NativeVectorRule extends Rule[LogicalPlan] {
 
   private def isZeroD(e: Expression): Boolean = e match {
-    case Literal(v: Double, DoubleType) => v == 0.0
+    // raw-bits check: -0.0 == 0.0 is true, but a -0.0 seed is observable
+    // (empty arrays return the seed; -0.0 + -0.0 = -0.0) — not bit-identical
+    case Literal(v: Double, DoubleType) => java.lang.Double.doubleToRawLongBits(v) == 0L
     case _ => false
   }
 
