@@ -459,6 +459,19 @@ object Queries {
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // A17 — PIVOT cross-tab: per-user-decile event counts by type, the
+    // pinned-value-list form (fixed schema; Catalyst rewrites it to one
+    // conditional aggregation pass — no per-type scans).
+    "a17_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("decile", (col("user_id") % 10).cast("int"))
+        .groupBy(col("decile"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("decile"))
+    }),
+
     // W7 — the ranking/distribution window family in one query:
     // lead/lag/ntile/percent_rank/cume_dist per nation partition (exact
     // rational outputs; acctbal guaranteed distinct per partition is NOT
@@ -2483,6 +2496,17 @@ object Queries {
         |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // PIVOT: conditional-count rendering (the same plan Catalyst lowers
+    // the pivot to); absent combinations are 0 via the na.fill.
+    "a17_pivot" ->
+      """SELECT (user_id % 10)::INT AS decile,
+        |  count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error
+        |FROM events GROUP BY 1 ORDER BY decile""".stripMargin,
 
     // Window family: identical full ordering (acctbal, custkey) makes
     // every peer group a single row — percent_rank/cume_dist are the
