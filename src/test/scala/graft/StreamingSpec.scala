@@ -252,6 +252,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, Some(11L)), (2L, None)))
   }
 
+  test("streaming OHLC downsample equals the batch twin (complete mode)") {
+    val dir = Files.createTempDirectory("graft-ohlc").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "e.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:01.000Z","user_id":1,"event_type":"view","value":5.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:00:01.000Z","user_id":1,"event_type":"view","value":7.0}""",
+      """{"event_id":3,"ts":"2024-01-01T10:30:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+      """{"event_id":4,"ts":"2024-01-01T11:00:00.000Z","user_id":1,"event_type":"view","value":4.0}""",
+    ).mkString("\n"))
+    val q = graft.operators.TimeSeries.downsampleOhlc(
+      EventStream.readEventStream(spark, dir),
+      col("ts"), col("event_id"), col("value"), widthSeconds = 3600L)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ohlc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ohlc_stream")
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("open"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume"))).toSeq
+    val batch = graft.operators.TimeSeries.downsampleOhlc(
+      spark.read.schema(EventStream.eventSchema).json(dir),
+      col("ts"), col("event_id"), col("value"), widthSeconds = 3600L)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("open"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume"))).toSeq
+    assert(streamed == batch)
+    assert(batch.map(b => (b._2, b._3, b._4)) == Seq((5.0, 1.0, 3L), (4.0, 4.0, 1L)))
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val events = Seq(
       EventStream.Event(1, 10, 1.0), EventStream.Event(2, 10, 2.0),
