@@ -132,8 +132,32 @@ object CorpusBench {
         .agg(sum(col("total"))).collect()(0).getLong(0)
     }
 
+    // round-6 third-batch stages: sampling/staging/drift operators over
+    // the same corpus (16 synthetic sources; length(text) as token proxy)
+    val srcDocs = docs.withColumn("src", concat(lit("s"), col("id") % 16))
+    val (nTemp, tTemp) = time {
+      graft.operators.Curation.temperatureMixtureSample(
+        srcDocs, col("src"), col("id"), length(col("text")),
+        alpha = 0.5, tokenBudget = nDocs * 100).count()
+    }
+    val (nPps, tPps) = time {
+      graft.operators.Curation.ppsSample(
+        docs, col("id"), length(col("text")), target = nDocs / 10).count()
+    }
+    val (nStage, tStage) = time {
+      graft.operators.Curation.curriculumStages(
+        docs, length(col("text")), nStages = 4)
+        .groupBy(col("stage")).count().count()
+    }
+    val (jsDrift, tDrift) = time {
+      graft.operators.LanguageModel.vocabularyDrift(
+        docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
+        col("text"), vocabSize = 2000)
+        .select(col("js")).limit(1).collect()(0).getDouble(0)
+    }
+
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f}}""")
     spark.stop()
   }
 }
