@@ -460,15 +460,17 @@ object Queries {
     }),
 
     // A17 — PIVOT cross-tab: per-user-decile event counts by type, the
-    // pinned-value-list form (fixed schema; Catalyst rewrites it to one
-    // conditional aggregation pass — no per-type scans).
+    // pinned-value-list form (fixed schema; Catalyst lowers it to a
+    // two-level pivotfirst aggregation over ONE scan — no per-type
+    // scans). The zero-fill is scoped to the count columns: an unscoped
+    // fill would also rewrite a NULL decile key to 0.
     "a17_pivot" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("decile", (col("user_id") % 10).cast("int"))
         .groupBy(col("decile"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .count()
-        .na.fill(0L)
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
         .orderBy(col("decile"))
     }),
 
