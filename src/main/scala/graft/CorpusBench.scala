@@ -153,7 +153,7 @@ object CorpusBench {
       graft.operators.LanguageModel.vocabularyDrift(
         docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
         col("text"), vocabSize = 2000)
-        .select(col("js")).limit(1).collect()(0).getDouble(0)
+        .select(col("js").cast("double")).limit(1).collect()(0).getDouble(0)
     }
 
     println(

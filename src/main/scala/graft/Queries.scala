@@ -629,7 +629,10 @@ object Queries {
     // member centrality): the dd_minhash_lsh pair derivation feeds the
     // integer-arithmetic PageRank loop — BIGINT contributions/sums, so
     // the result is partitioning-independent and the oracle replays all
-    // three iterations bit-identically.
+    // three iterations bit-identically. The contract ships ONLY the
+    // exact BIGINT picorank (the display double rank_fp/1e12 stays an
+    // API-level convenience) — r6 lesson: any runtime-recomputed raw
+    // DOUBLE output column is oracle-environment-sensitive.
     "tdp_graph_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val shingles = docs.select(col("doc_id"),
@@ -637,6 +640,7 @@ object Queries {
       val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
       val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
       graft.operators.Graph.pageRankFixedPoint(pairs, iters = 3)
+        .select(col("id"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("id"))
     }),
 
@@ -2747,7 +2751,7 @@ object Queries {
          |p3 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
          |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
          |       FROM p2 p LEFT JOIN c3 c ON c.id = p.id CROSS JOIN st)
-         |SELECT id, pr AS rank_fp, pr::DOUBLE / 1000000000000 AS rank
+         |SELECT id, pr AS rank_fp
          |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
 
     // Exact re-derivation of the Count-Min sketch: same portable hash,
@@ -2833,7 +2837,7 @@ object Queries {
         |      * ln(((j.n_a + 1)::DOUBLE / (t.t_a + 12)) / ((j.n_b + 1)::DOUBLE / (t.t_b + 12))),
         |      9)::DECIMAL(28,9) AS contrib
         |  FROM j CROSS JOIN t),
-        |p AS (SELECT sum(contrib)::DOUBLE AS psi FROM c)
+        |p AS (SELECT sum(contrib)::DECIMAL(28,9) AS psi FROM c)
         |SELECT c.bucket, c.n_a, c.n_b, c.contrib, p.psi
         |FROM c CROSS JOIN p ORDER BY bucket""".stripMargin,
 
@@ -2857,12 +2861,12 @@ object Queries {
         |  JOIN ct ON ct.c IS NOT DISTINCT FROM cells.c
         |  CROSS JOIN nn),
         |wc AS (
-        |  SELECT r, c, o, e,
+        |  SELECT r, c, o, round(e, 9)::DECIMAL(28,9) AS e,
         |    round((o - e) * (o - e) / e, 9)::DECIMAL(28,9) AS contrib,
         |    round(o::DOUBLE * o::DOUBLE / e, 9)::DECIMAL(28,9) AS term
         |  FROM we),
         |st AS (
-        |  SELECT sum(wc.term)::DOUBLE - nn.n::DOUBLE AS chi2,
+        |  SELECT (sum(wc.term) - nn.n::DECIMAL(28,9))::DECIMAL(28,9) AS chi2,
         |    ((nn.nr - 1) * (nc.ncl - 1))::BIGINT AS dof
         |  FROM wc CROSS JOIN nn CROSS JOIN nc GROUP BY nn.n, nn.nr, nc.ncl)
         |SELECT wc.r, wc.c, wc.o, wc.e, wc.contrib, st.chi2, st.dof
@@ -2983,7 +2987,7 @@ object Queries {
         |        + '0.5'::DOUBLE * (q * ln(q / ((p + q) / '2.0'::DOUBLE))), 9)
         |      ::DECIMAL(28,9) AS contrib
         |  FROM pq),
-        |js AS (SELECT sum(contrib)::DOUBLE AS js FROM c2)
+        |js AS (SELECT sum(contrib)::DECIMAL(28,9) AS js FROM c2)
         |SELECT c2.term, c2.c_a, c2.c_b, c2.contrib, js.js
         |FROM c2 CROSS JOIN js ORDER BY term""".stripMargin,
 

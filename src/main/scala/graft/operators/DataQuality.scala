@@ -43,9 +43,12 @@ object DataQuality {
     * with Laplace-smoothed shares p_b = (n_b + 1)/(n + buckets) — exact
     * rationals, so the shares are identical doubles on any engine, and
     * no bin can zero the logarithm. Per-bin contributions are rounded to
-    * 9 dp and decimal-summed (order-independent), so the total replays
-    * bit-identically cross-engine. The usual gate: psi < 0.1 stable,
-    * 0.1-0.25 drifting, > 0.25 shifted.
+    * 9 dp and decimal-summed (order-independent), and the total STAYS a
+    * DECIMAL(28,9) — a final decimal→double re-conversion is the one
+    * step different runtimes round differently (hugeint/10^scale vs
+    * correctly-rounded BigDecimal), so it never ships in the output.
+    * The usual gate: psi < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    * shifted.
     *
     * One aggregation per side (map-side combined, `buckets` rows out);
     * NULL values are excluded from both counts.
@@ -76,7 +79,7 @@ object DataQuality {
     val contrib = round((p - q) * log(p / q), 9).cast("decimal(28,9)")
     val withContrib = joined.crossJoin(broadcast(totals))
       .withColumn("contrib", contrib)
-    val psi = withContrib.agg(sum(col("contrib")).cast("double").as("psi"))
+    val psi = withContrib.agg(sum(col("contrib")).cast("decimal(28,9)").as("psi"))
     withContrib
       .select(col("bucket"), col("n_a"), col("n_b"), col("contrib"))
       .crossJoin(broadcast(psi))
@@ -96,8 +99,11 @@ object DataQuality {
     * materialized: chi2 = Σ_observed o²/e - n exactly). Per-cell
     * contributions and the total are exact-rational until one division
     * each, rounded to 9 dp and decimal-summed — order-independent and
-    * bit-identical cross-engine. NULL categories form their own level
-    * (a missing facet is still a facet).
+    * bit-identical cross-engine. The shipped `e` and `chi2` are
+    * DECIMAL(28,9), never raw doubles: a decimal→double (or
+    * unrounded-double) output column is the one thing different
+    * runtimes round differently in the last ulp. NULL categories form
+    * their own level (a missing facet is still a facet).
     *
     * Scale shape: one hash aggregation for the cells, two tiny marginal
     * re-aggregations of those cells (already at most |r|×|c| rows),
@@ -129,17 +135,22 @@ object DataQuality {
       .join(broadcast(colTot.withColumnRenamed("c", "_cj")), col("c") <=> col("_cj"))
       .drop("_rj", "_cj")
       .crossJoin(broadcast(n))
-      .withColumn("e", e)
+      .withColumn("_e", e) // raw double only INTERNALLY, for the divisions
+      .withColumn("e", round(col("_e"), 9).cast("decimal(28,9)"))
       .withColumn("contrib",
-        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
+        round((col("o") - col("_e")) * (col("o") - col("_e")) / col("_e"), 9)
           .cast("decimal(28,9)"))
       // closed-form absent-cell correction: Σ_observed o²/e - n adds the
       // e-mass of every zero cell without materializing it
       .withColumn("_chi_term",
-        round(col("o").cast("double") * col("o").cast("double") / col("e"), 9)
+        round(col("o").cast("double") * col("o").cast("double") / col("_e"), 9)
           .cast("decimal(28,9)"))
     val stat = withE.agg(
-      (sum(col("_chi_term")).cast("double") - first(col("_n")).cast("double")).as("chi2"),
+      // narrow the decimal(38,9) sum BEFORE subtracting: at full width the
+      // difference overflows precision 38 and Spark's allowPrecisionLoss
+      // silently trims the scale to 8, corrupting the 9th digit
+      (sum(col("_chi_term")).cast("decimal(28,9)") - first(col("_n")).cast("decimal(28,9)"))
+        .cast("decimal(28,9)").as("chi2"),
       ((first(col("_nr")) - 1) * (first(col("_nc")) - 1)).cast("long").as("dof"))
     withE
       .select(col("r"), col("c"), col("o"), col("e"), col("contrib"))

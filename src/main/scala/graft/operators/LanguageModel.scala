@@ -206,8 +206,11 @@ object LanguageModel {
     * TEXTUAL counterpart of [[DataQuality.psiDrift]] (which bins a
     * numeric column): compare the unigram distributions of snapshots A
     * and B over their top-`vocabSize` UNION vocabulary, with all
-    * remaining mass folded into an `<oov>` bucket so both distributions
-    * sum to exactly 1:
+    * remaining mass folded into an `<oov>` bucket (with Laplace
+    * smoothing over the fixed `vocabSize + 1` term slots, so each
+    * distribution sums to 1 exactly when the realized union vocabulary
+    * fills all slots, and to slightly less when the corpus has fewer
+    * distinct terms than `vocabSize` — the drift ranking is unaffected):
     *
     *   js = 0.5 * Σ_t p_t ln(p_t/m_t) + 0.5 * Σ_t q_t ln(q_t/m_t),
     *   m = (p + q)/2
@@ -269,7 +272,9 @@ object LanguageModel {
     val withContrib = withOov.crossJoin(broadcast(totals.select(col("t_a"), col("t_b"))))
       .withColumn("contrib", contrib)
       .localCheckpoint(false)
-    val js = withContrib.agg(sum(col("contrib")).cast("double").as("js"))
+    // the total stays DECIMAL(28,9): a decimal→double re-conversion is
+    // the one step different runtimes round differently in the last ulp
+    val js = withContrib.agg(sum(col("contrib")).cast("decimal(28,9)").as("js"))
     withContrib
       .select(col("term"), col("c_a"), col("c_b"), col("contrib"))
       .crossJoin(broadcast(js))

@@ -33,11 +33,11 @@ class DataQualitySpec extends AnyFunSuite {
     val same = DataQuality.psiDrift(a, a, col("x"), 0L, 100L, 10)
       .collect()
     assert(same.length == 10)
-    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    assert(same.forall(_.getAs[java.math.BigDecimal]("psi").signum == 0))
     assert(same.forall(r => r.getAs[java.math.BigDecimal]("contrib").signum == 0))
     val shifted = (1 to 300).map(i => (i % 100 + 50).toLong).toDF("x")
     val psi = DataQuality.psiDrift(a, shifted, col("x"), 0L, 100L, 10)
-      .collect().head.getAs[Double]("psi")
+      .collect().head.getAs[java.math.BigDecimal]("psi").doubleValue
     assert(psi > 0.25, s"psi=$psi") // half the mass left its bins: 'shifted' regime
   }
 
@@ -66,13 +66,14 @@ class DataQualitySpec extends AnyFunSuite {
     val rows = DataQuality.chiSquare(df, col("r0"), col("c0"))
       .collect()
     val byCell = rows.map(r => ((r.getString(0), r.getString(1)),
-      (r.getLong(2), r.getDouble(3)))).toMap
+      (r.getLong(2), r.getAs[java.math.BigDecimal](3).doubleValue))).toMap
     assert(byCell(("a", "x")) == ((10L, 12.0)))
     assert(byCell(("b", "y")) == ((40L, 42.0)))
     // closed form: Σ round(o²/e, 9) summed as DECIMAL = 100.793650793
-    // exactly, then ::DOUBLE − 100.0 (the defined cross-engine semantics)
-    assert(rows.head.getAs[Double]("chi2") ==
-      BigDecimal("100.793650793").toDouble - 100.0)
+    // exactly, then − 100 staying DECIMAL (the defined cross-engine
+    // semantics — no decimal→double re-conversion ever ships)
+    assert(rows.head.getAs[java.math.BigDecimal]("chi2")
+      .compareTo(new java.math.BigDecimal("0.793650793")) == 0)
     assert(rows.head.getAs[Long]("dof") == 1L)
   }
 
@@ -80,7 +81,7 @@ class DataQualitySpec extends AnyFunSuite {
     val ind = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
       Seq.fill(3)(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("r0", "c0")
     val r = DataQuality.chiSquare(ind, col("r0"), col("c0")).collect().head
-    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[java.math.BigDecimal]("chi2").signum == 0)
     val withNull = Seq(("a", Some("x")), ("a", None), ("b", Some("x")), ("b", None))
       .toDF("r0", "c0")
     val rows = DataQuality.chiSquare(withNull, col("r0"), col("c0")).collect()

@@ -123,7 +123,7 @@ class LanguageModelSpec extends AnyFunSuite {
     val a = Seq((1L, "x y x"), (2L, "x z")).toDF("id", "text")
     val same = LanguageModel.vocabularyDrift(a, a, col("text"), vocabSize = 10)
       .collect()
-    assert(same.forall(_.getAs[Double]("js") == 0.0))
+    assert(same.forall(_.getAs[java.math.BigDecimal]("js").signum == 0))
     assert(same.forall(r => r.getAs[java.math.BigDecimal]("contrib").signum == 0))
     assert(same.map(_.getString(0)).contains("<oov>")) // fold row always present
     // disjoint vocabularies with counts big enough that the +1 smoothing
@@ -131,7 +131,7 @@ class LanguageModelSpec extends AnyFunSuite {
     val bigA = Seq((1L, Seq.fill(200)("x y").mkString(" "))).toDF("id", "text")
     val bigB = Seq((1L, Seq.fill(200)("p q").mkString(" "))).toDF("id", "text")
     val js = LanguageModel.vocabularyDrift(bigA, bigB, col("text"), vocabSize = 10)
-      .collect().head.getAs[Double]("js")
+      .collect().head.getAs[java.math.BigDecimal]("js").doubleValue
     assert(js > 0.3 && js <= math.log(2.0) + 1e-9, s"js=$js")
   }
 
