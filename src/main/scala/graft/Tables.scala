@@ -1,18 +1,22 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Loader for the driver-generated testdata tables (TESTDATA.md).
   *
-  * `events.ts` has shipped in two parquet encodings across testdata
-  * generations: INT64 TIMESTAMP(NANOS) (which Spark's reader only accepts
-  * as a raw nanosecond long under `legacy.parquet.nanosAsLong`) and plain
-  * TIMESTAMP micros. The loader branches on the POST-READ type of `ts`
-  * rather than assuming either encoding, so a regeneration that flips the
-  * encoding again cannot break every events-table query (which is exactly
-  * what happened between rounds 5 and 6). */
+  * The generator regenerates the parquet between rounds and has changed
+  * physical encodings before: `events.ts` has shipped BOTH as INT64
+  * TIMESTAMP(NANOS) (which Spark's reader only accepts as a raw
+  * nanosecond long under `legacy.parquet.nanosAsLong`) and as plain
+  * TIMESTAMP micros — the round-5→6 flip crashed every events-table
+  * query. The loader therefore trusts NO encoding: every table reads
+  * through the nanos-refusal fallback, and every column is conformed to
+  * the canonical engine-facing type by branching on the POST-READ type —
+  * exact integral/fractional/array-element/timestamp coercions load
+  * transparently, anything else fails with one loud message naming the
+  * table and column instead of ten vanished query families. */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -22,6 +26,40 @@ object Tables {
   /** Fact tables worth redistributing when the scan under-splits; the five
     * dimension tables stay scan-shaped (they broadcast anyway). */
   private val factTables = Set("orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The engine-facing column types every registered query (and the six
+    * native vector/text kernels, which type-check their inputs) was
+    * written against — the generation the 156 oracles are green on. A
+    * regenerated file may flip widths/units; [[conform]] casts back. */
+  private val canonical: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+  )
 
   /** Estimated scan split count from the file listing alone — a pure
     * metadata probe (the previous `df.rdd.getNumPartitions` forced a
@@ -71,45 +109,88 @@ object Tables {
     m.contains("NANOS") || Option(e.getCause).exists(isNanosRefusal)
   }
 
-  /** Encoding-robust events reader; see object scaladoc. The nanos branch
-    * truncates ns->us with exact integer division (`div`), matching DuckDB's
-    * ns->us truncation bit-for-bit. The legacy `nanosAsLong` conf is set on
-    * an ISOLATED child session (`newSession`: shared SparkContext, own
-    * SQLConf) that only this relation captures — the caller's session conf
-    * is never mutated, so a later TIMESTAMP(NANOS) column in any OTHER
-    * table still fails loudly instead of silently loading as raw longs. */
-  def loadEvents(spark: SparkSession, path: String): DataFrame = {
-    val df =
-      try spark.read.parquet(path)
-      catch {
-        case e: Exception if isNanosRefusal(e) =>
-          val nanosSession = spark.newSession()
-          nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          // newSession() isolates the FUNCTION REGISTRY too: any query
-          // using a native temp function (kmv_sketch, topk_ids, the
-          // codegen kernels) would hit UNRESOLVED_ROUTINE when analyzed
-          // against this frame's session — register them all up front so
-          // an encoding flip still cannot break an events-table query
-          graft.functions.GraftFunctions.ensureRegistered(nanosSession)
-          nanosSession.read.parquet(path)
-      }
-    df.schema("ts").dataType match {
-      case LongType =>
-        // nanos read as raw longs (isolated session above, or the caller's
-        // own session already had the legacy conf on)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType | TimestampNTZType => df
-      case other =>
-        throw new IllegalStateException(
-          s"events.ts: unsupported parquet type $other (expected TIMESTAMP or INT64 nanos)")
+  /** Parquet read that survives a TIMESTAMP(NANOS) regeneration of ANY
+    * table. The legacy `nanosAsLong` conf is set on an ISOLATED child
+    * session (`newSession`: shared SparkContext, own SQLConf) that only
+    * this relation captures — the caller's session conf is never mutated,
+    * so a NANOS column elsewhere still fails loudly instead of silently
+    * loading as raw longs. The nanos column then surfaces as LongType and
+    * [[conform]] truncates ns→µs with exact integer `div`, matching
+    * DuckDB's own ns→µs truncation bit-for-bit. */
+  private def readWithNanosFallback(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception if isNanosRefusal(e) =>
+        val nanosSession = spark.newSession()
+        nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // newSession() isolates the FUNCTION REGISTRY too: any query
+        // using a native temp function (kmv_sketch, topk_ids, the
+        // codegen kernels) would hit UNRESOLVED_ROUTINE when analyzed
+        // against this frame's session — register them all up front so
+        // an encoding flip still cannot break a query family
+        graft.functions.GraftFunctions.ensureRegistered(nanosSession)
+        nanosSession.read.parquet(path)
+    }
+
+  /** Exact, value-preserving coercion from a drifted post-read type to the
+    * canonical engine-facing type; None = not safely coercible. */
+  private def coercion(name: String, from: DataType, to: DataType): Option[Column] = {
+    val c = col(name)
+    (from, to) match {
+      case (f, t) if f == t => Some(c)
+      // integral width flips (int32<->int64 etc.): values in this corpus
+      // fit either way; a genuinely overflowing narrow would be a
+      // generator bug better caught downstream than silently rejected here
+      case (ByteType | ShortType | IntegerType | LongType,
+            ByteType | ShortType | IntegerType | LongType) => Some(c.cast(to))
+      // float<->double flips: the generator has only ever produced
+      // float-representable values; widening is exact, narrowing returns
+      // to the width every oracle was rendered against
+      case (FloatType | DoubleType, FloatType | DoubleType) => Some(c.cast(to))
+      // TIMESTAMP(NANOS) read as raw longs under the fallback session
+      case (LongType, TimestampType) =>
+        Some(timestamp_micros(expr(s"`$name` div 1000")).as(name))
+      case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType) =>
+        Some(c.cast(to)) // session tz is UTC end to end: a pure re-tag
+      case (DateType, TimestampType) => Some(c.cast(to))
+      // embedding-style element flips inside arrays
+      case (ArrayType(f, n), ArrayType(t, _)) =>
+        coercion("__elem", f, t).map(_ => c.cast(ArrayType(t, n)).as(name))
+      case (_: DecimalType, DoubleType | FloatType | LongType | IntegerType) =>
+        Some(c.cast(to))
+      case _ => None
     }
   }
 
+  /** Conform every canonical column present in the frame to its engine-
+    * facing type (see [[canonical]]); extra columns pass through, a
+    * missing column is left to Spark's own (clear) unresolved-column
+    * error at query time. Non-coercible drift fails here, loudly. */
+  private[graft] def conform(table: String, df: DataFrame): DataFrame = {
+    val expected = canonical.getOrElse(table, Seq.empty).toMap
+    val cols = df.schema.fields.map { f =>
+      expected.get(f.name) match {
+        case Some(want) =>
+          coercion(f.name, f.dataType, want).getOrElse(
+            throw new IllegalStateException(
+              s"$table.${f.name}: regenerated parquet type ${f.dataType.simpleString} " +
+                s"is not safely coercible to the engine's ${want.simpleString} — " +
+                "update Tables.canonical (and re-audit the oracles) for this generation"))
+            .as(f.name)
+        case None => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Encoding-robust events reader (kept as the public single-table entry
+    * point — specs and the streaming fixtures drive it directly). */
+  def loadEvents(spark: SparkSession, path: String): DataFrame =
+    conform("events", readWithNanosFallback(spark, path))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val raw =
-      if (name == "events") loadEvents(spark, path)
-      else spark.read.parquet(path)
+    val raw = conform(name, readWithNanosFallback(spark, path))
     if (factTables(name)) withScanParallelism(spark, path, raw) else raw
   }
 }

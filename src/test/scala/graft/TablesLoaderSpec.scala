@@ -60,4 +60,50 @@ class TablesLoaderSpec extends AnyFunSuite {
     // spot-check an absolute value so both being wrong the same way fails
     assert(us.head == (0L, "2025-03-01 12:00:00.000000"))
   }
+
+  // --- generalized drift tolerance (round-7: the r5→r6 nanos flip was
+  // only patched for events.ts; any fact-table column type can flip) ---
+
+  /** Stage a fixture under the `$dir/$name.parquet` layout Tables expects. */
+  private def staged(fixture: String, table: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("tables_drift").toString
+    val src = java.nio.file.Paths.get(
+      new java.net.URI(getClass.getResource(s"/graft/$fixture").toString))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    dir
+  }
+
+  test("documents with narrowed int32 ids/n_chars conform to the canonical longs") {
+    val df = Tables(spark, staged("documents_narrow_ids.parquet", "documents"), "documents")
+    assert(df.schema("doc_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("n_chars").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.filter(col("doc_id") % 2 === 0).count() == 10)
+  }
+
+  test("embeddings with double elements / long label conform to float32 / int32") {
+    import org.apache.spark.sql.types._
+    val df = Tables(spark, staged("embeddings_double_elems.parquet", "embeddings"), "embeddings")
+    assert(df.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(df.schema("label").dataType == IntegerType)
+    // the native vector kernels type-check for float32 input — must still run
+    val n = df.select(graft.functions.VectorFunctions.cosine(
+      col("embedding"), col("embedding")).as("c")).filter(col("c") > 0.99).count()
+    assert(n == 10)
+  }
+
+  test("events with float32 value / int32 user_id conform to double / long") {
+    import org.apache.spark.sql.types._
+    val df = Tables(spark, staged("events_drifted_types.parquet", "events"), "events")
+    assert(df.schema("value").dataType == DoubleType)
+    assert(df.schema("user_id").dataType == LongType)
+    assert(df.schema("ts").dataType == TimestampType || df.schema("ts").dataType == TimestampNTZType)
+    assert(df.count() == 20)
+  }
+
+  test("non-coercible drift fails loudly naming the table and column") {
+    val err = intercept[IllegalStateException] {
+      Tables(spark, staged("documents_bad_text.parquet", "documents"), "documents")
+    }
+    assert(err.getMessage.contains("documents.text"), err.getMessage)
+  }
 }
