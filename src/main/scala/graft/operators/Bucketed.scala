@@ -24,11 +24,11 @@ object Bucketed {
     * reruns in one warehouse).
     *
     * `reuseExisting = true` skips the write when BOTH tables are already
-    * in the session catalog — the production contract (bucket once at
-    * ingest, every later join reads bucket metadata; re-paying the write
-    * per join would erase the operator's point). The caller owns cache
-    * coherence: reuse assumes the existing tables were built from the
-    * same inputs with the same (key, nBuckets) spec. */
+    * in the session catalog AND their stamped fingerprint (input files,
+    * key, nBuckets — a table property written at save time) matches the
+    * current call — a prefix reused against different inputs (e.g. two
+    * scale-factor dirs in one session) or a changed spec rebuilds
+    * transparently instead of silently joining the first build's data. */
   def coLocatedJoin(
       spark: SparkSession,
       left: DataFrame,
@@ -45,7 +45,19 @@ object Bucketed {
     require(tablePrefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"coLocatedJoin: tablePrefix must be a plain identifier, got '$tablePrefix'")
     val (lName, rName) = (s"${tablePrefix}_l", s"${tablePrefix}_r")
-    def save(df: DataFrame, name: String): Unit = {
+    // identity of (inputs, spec): file-backed frames contribute their file
+    // list; a non-file frame contributes nothing (spec-only fingerprint)
+    def fingerprint(df: DataFrame): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val basis = (df.inputFiles.sorted.mkString("\n") + s"\n$key\n$nBuckets")
+      md.digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def stampedFingerprint(name: String): Option[String] =
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .properties.get("graft.fingerprint")
+    val (lFp, rFp) = (fingerprint(left), fingerprint(right))
+    def save(df: DataFrame, name: String, fp: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       // a warehouse dir left by a PREVIOUS session is invisible to this
       // catalog but still blocks CREATE (LOCATION_ALREADY_EXISTS) —
@@ -57,12 +69,14 @@ object Bucketed {
       if (fs.exists(loc)) fs.delete(loc, true)
       df.write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('graft.fingerprint'='$fp')")
     }
     val reusable = reuseExisting &&
-      spark.catalog.tableExists(lName) && spark.catalog.tableExists(rName)
+      spark.catalog.tableExists(lName) && spark.catalog.tableExists(rName) &&
+      stampedFingerprint(lName).contains(lFp) && stampedFingerprint(rName).contains(rFp)
     if (!reusable) {
-      save(left, lName)
-      save(right, rName)
+      save(left, lName, lFp)
+      save(right, rName, rFp)
     }
     spark.table(lName).join(spark.table(rName), key)
   }

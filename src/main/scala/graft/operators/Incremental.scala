@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * never O(history).
   *
   * State columns: (key, n, sum_dec, min_v, max_v). Sums are carried as
-  * DECIMAL(28,9) — exact, so merge order (batch arrival order, partition
+  * DECIMAL(38,9) (9-dp-rounded inputs sum-widened to full precision, and
+  * both aggState and mergeStates pin that type explicitly so a consumer
+  * persisting state gets a stable schema) — exact, so merge order (batch
+  * arrival order, partition
   * layout, engine) cannot change a single bit of the result, and
   * incrementally-maintained state is PROVABLY identical to a full
   * recompute (the oracle checks exactly that). Distinct-count state
@@ -36,7 +39,7 @@ object Incremental {
         // round-then-decimal: a raw double->DECIMAL cast rounds half-up
         // in Spark vs half-even in DuckDB at 9-dp halfway points (the
         // calibrationReport parity note) -- round() agrees on both
-        sum(round(value, 9).cast("decimal(28,9)")).as("sum_dec"),
+        sum(round(value, 9).cast("decimal(28,9)")).cast("decimal(38,9)").as("sum_dec"),
         min(value).as("min_v"),
         max(value).as("max_v"))
 
@@ -52,7 +55,7 @@ object Incremental {
       .groupBy(col("key"))
       .agg(
         sum(col("n")).as("n"),
-        sum(col("sum_dec")).as("sum_dec"),
+        sum(col("sum_dec")).cast("decimal(38,9)").as("sum_dec"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
   }

@@ -57,4 +57,27 @@ class BucketedSpec extends AnyFunSuite {
       "graft_bkt_reuse")
     assert(rebuilt.count() == 1L)
   }
+
+  test("reuseExisting rebuilds when file-backed inputs change (fingerprint mismatch)") {
+    // the r6-advice hazard: one tablePrefix, two data dirs in one session —
+    // reuse must NOT serve the first dir's data for the second
+    val dirA = java.nio.file.Files.createTempDirectory("bkt_fp_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("bkt_fp_b").toString
+    (1L to 4L).map(i => (i, "a")).toDF("k", "v").write.mode("overwrite").parquet(dirA)
+    (1L to 7L).map(i => (i, "b")).toDF("k", "v").write.mode("overwrite").parquet(dirB)
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB)
+    val first = Bucketed.coLocatedJoin(spark, a, a, "k", 2,
+      "graft_bkt_fp", reuseExisting = true)
+    assert(first.count() == 4L)
+    // same prefix + reuse on, different input files: fingerprint mismatch
+    // forces a rebuild from dirB instead of silently serving dirA
+    val second = Bucketed.coLocatedJoin(spark, b, b, "k", 2,
+      "graft_bkt_fp", reuseExisting = true)
+    assert(second.count() == 7L)
+    // unchanged inputs + reuse: served from the catalog (fingerprint match)
+    val third = Bucketed.coLocatedJoin(spark, b, b, "k", 2,
+      "graft_bkt_fp", reuseExisting = true)
+    assert(third.count() == 7L)
+  }
 }
