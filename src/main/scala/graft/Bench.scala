@@ -41,12 +41,20 @@ object Bench {
     // entries). Intermittent counts as failed — a min over the surviving
     // repeats would hide a crash that fired on the other one.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
+    // Process-CPU time next to wall time (r6 lesson: a co-tenant on the
+    // box inflated driver-run wall numbers 4.5-10x; cpu_sec barely moves
+    // under contention, so wall>>previous-round-wall with flat cpu reads
+    // as a noisy box, not a regression). local[*] keeps all executor
+    // work in-process, so this captures the whole query's CPU.
+    val osBean = java.lang.management.ManagementFactory
+      .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
     val ran = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
+        val c0 = osBean.getProcessCpuTime
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -60,9 +68,10 @@ object Bench {
       // this. Explicit GC keeps every query's number reflecting its own
       // plan, not its predecessors' garbage.
       System.gc()
-      name -> (if (times.size == repeat) times.minOption else None)
+      name -> (if (times.size == repeat) times.minByOption(_._1) else None)
     }
-    val results = ran.collect { case (n, Some(t)) => n -> t }
+    val results = ran.collect { case (n, Some((w, _))) => n -> w }
+    val cpuByName = ran.collect { case (n, Some((_, c))) => n -> c }.toMap
     val failed = ran.collect { case (n, None) => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
@@ -74,20 +83,21 @@ object Bench {
     // enough to always fit the tail window whole, so it parses. The full map
     // is also written to bench_full.json for offline reading.
     val total = results.map(_._2).sum
+    val totalCpu = cpuByName.values.sum
     // Locale.ROOT: the f interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit unparseable "JSON"
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmtQs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"queries":${fmtQs(results.sortBy(_._2))},"failed":$failedJson,"total_sec":${d3(total)},"warmup_sec":${d3(warmupSec)},"sf":"$sfDir"}"""
+      s"""{"queries":${fmtQs(results.sortBy(_._2))},"cpu":${fmtQs(results.sortBy(_._2).map { case (n, _) => n -> cpuByName(n) })},"failed":$failedJson,"total_sec":${d3(total)},"total_cpu_sec":${d3(totalCpu)},"warmup_sec":${d3(warmupSec)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
     println(fullLine)
     val top = results.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","warmup_sec":${d3(warmupSec)},"n_queries":${results.size},"n_failed":${failed.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_cpu_sec":${d3(totalCpu)},"warmup_sec":${d3(warmupSec)},"n_queries":${results.size},"n_failed":${failed.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")
     graft.pipeline.DemoAssay.releaseIndex(spark)
     spark.stop()
   }

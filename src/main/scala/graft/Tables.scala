@@ -24,7 +24,12 @@ object Tables {
   )
 
   /** Fact tables worth redistributing when the scan under-splits; the five
-    * dimension tables stay scan-shaped (they broadcast anyway). */
+    * dimension tables stay scan-shaped (they broadcast anyway). customer
+    * was A/B-tested into this set and REVERTED: it fixed the serialized
+    * dd_entity_blocking verify stage (4.6→1.7 s) but taxed every query
+    * that broadcasts customer (q3 1.3→1.7 s, j5 0.33→0.75 s) with an
+    * exchange below the broadcast — the parallelism fix lives inside
+    * blockedFuzzyPairs instead, where the work actually fans out. */
   private val factTables = Set("orders", "lineitem", "events", "documents", "embeddings")
 
   /** The engine-facing column types every registered query (and the six

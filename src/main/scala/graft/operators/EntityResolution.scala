@@ -52,6 +52,20 @@ object EntityResolution {
       .filter(col(idCol).isNotNull && col(nameCol).isNotNull
         && blockCols.map(col(_).isNotNull).reduce(_ && _))
       .select((blockCols.map(col) ++ Seq(col(idCol), col(nameCol))): _*)
+      // spread the verify stage BEFORE the pair expansion: the probe side
+      // of the candidate join inherits this partitioning, so the quadratic
+      // levenshtein work fans out no matter how few splits the input scan
+      // produced (an under-split scan serialized the whole stage onto one
+      // task: 4.6 s wall at 6.5 s CPU on 32 threads vs 1.6 s spread —
+      // measured at sf0.1). Explicit partition count: the pre-expansion
+      // rows are tiny in BYTES, so AQE's size-based coalescing would fold
+      // a column-only repartition back to one partition (measured: 5.4 s)
+      // — the cost here is compute-after-expansion, which AQE can't see.
+      // Hashing on (block, id) spreads rows near-evenly (block-only
+      // hashing leaves block-size skew); the b side broadcasts, so probe
+      // partitioning is free to be finer than the join key.
+      .repartition(records.sparkSession.sparkContext.defaultParallelism,
+        (blockCols :+ idCol).map(col): _*)
 
     // One extra aggregate on the SAME shuffle key as the pair join (partial
     // aggregation makes it cheap); joining it back co-partitions for free.
