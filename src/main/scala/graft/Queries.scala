@@ -858,6 +858,25 @@ object Queries {
         col("lang"), col("pred"))
     }),
 
+    // Cohen's kappa between the gold lang label and the heuristic
+    // prediction — chance-corrected agreement over the same joint counts
+    // the confusion matrix reports. Every division is a single exactly-
+    // rounded IEEE op over exact integers (no rounding discipline needed).
+    "dq_cohen_kappa" -> ((s, dir) => {
+      graft.operators.DataQuality.cohenKappa(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred")),
+        col("lang"), col("pred"))
+    }),
+
+    // Per-source label balance: Shannon entropy + Gini impurity of the
+    // lang distribution inside each source — ln rides round-then-decimal
+    // contributions and the totals STAY decimal (r6 oracle lesson).
+    "dq_label_balance" -> ((s, dir) => {
+      graft.operators.DataQuality.labelBalance(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
     // Reliability report for the hashed quality scorer against the
     // lang=en outcome: 10 equal-width score bins on [-0.5, 0.5) with
     // observed positive rate vs exact mean score per bin.
@@ -960,6 +979,18 @@ object Queries {
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteForceTopK(e, e.filter(col("id") < 10), 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Matryoshka-funnel ANN: candidates ranked on the 32-dim prefix
+    // cosine (half the FLOPs per pair), top 20 re-ranked by full 64-dim
+    // exact cosine. Both stages re-derive in SQL (prefix folds are
+    // range(1,33) versions of the brute-force fold).
+    "sim_matryoshka_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.matryoshkaTopK(e, e.filter(col("id") < 10), k = 5,
+        prefixDims = 32, oversample = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1252,6 +1283,48 @@ object Queries {
       graft.operators.Search.bm25TopK(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         query = Seq("spark", "query", "fast"), k = 10)
+    }),
+
+    // Retrieval-evaluation metrics over the BM25 run: qrels = documents
+    // containing ALL three query terms (binary contains-all relevance),
+    // run = the same top-10 the txt_bm25_topk oracle re-derives, ranked
+    // (score desc, id). MRR/recall are single exact divisions; the log2
+    // gains ride round-then-decimal; nDCG ships as BIGINT micro units.
+    // The rank window is bounded by the k=10 run cut.
+    "txt_retrieval_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val run = graft.operators.Search.bm25TopK(
+        docs, col("doc_id"), col("text"),
+        query = Seq("spark", "query", "fast"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .select(lit(1L).as("query_id"), col("id").as("doc_id"), col("rank"))
+      val qrels = docs
+        .select(col("doc_id"), graft.operators.Search.terms(col("text")).as("_t"))
+        .filter(array_contains(col("_t"), "spark") && array_contains(col("_t"), "query")
+          && array_contains(col("_t"), "fast"))
+        .select(lit(1L).as("query_id"), col("doc_id"))
+      graft.operators.Search.retrievalMetrics(run, qrels, k = 10)
+    }),
+
+    // Inline-fixture twin (family-survival policy): multi-query edge
+    // cases — a partial-hit query, a judged query the retriever missed
+    // entirely (must still report zeros), a query with more relevant
+    // docs than k (idcg caps at k), and an UNJUDGED run query (must not
+    // appear: metrics against no judgments are undefined).
+    "txt_retrieval_metrics_fx" -> ((s, _) => {
+      import s.implicits._
+      val runs = Seq(
+        (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+        (3L, 30L, 1L), (3L, 31L, 2L),
+        (4L, 40L, 1L),
+      ).toDF("query_id", "doc_id", "rank")
+      val qrels = Seq(
+        (1L, 11L), (1L, 99L),
+        (2L, 20L),
+        (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L),
+      ).toDF("query_id", "doc_id")
+      graft.operators.Search.retrievalMetrics(runs, qrels, k = 3)
     }),
 
     // Substring-dedup removal: documents rebuilt without their duplicated
@@ -2216,6 +2289,11 @@ object Queries {
     "list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
   private def normSql(v: String) =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
+  // prefix-fold variants over the first n components (matryoshka stage 1)
+  private def dotPreSql(n: Int) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1,${n + 1}), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
+  private def normPreSql(v: String, n: Int) =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,${n + 1}), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
 
   // Random-hyperplane projection for plane p, bit-identical to
   // VectorFunctions.hyperplaneComponent / hyperplaneBit (md5-derived
@@ -3182,6 +3260,69 @@ object Queries {
         |  n::DOUBLE / (sum(n) OVER (PARTITION BY actual))::DOUBLE AS recall_frac
         |FROM cells ORDER BY actual, predicted""".stripMargin,
 
+    // Cohen's kappa re-derivation: the dq_langid_confusion prediction
+    // CTEs, then pure exact-integer marginal products and three single
+    // exactly-rounded divisions in the engine's association order.
+    "dq_cohen_kappa" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
+        |  FROM b),
+        |cells AS (SELECT a, p, count(*)::BIGINT AS o FROM pr GROUP BY a, p),
+        |ag AS (
+        |  SELECT sum(o)::BIGINT AS n,
+        |    sum(CASE WHEN a IS NOT DISTINCT FROM p THEN o ELSE 0 END)::BIGINT AS agree
+        |  FROM cells),
+        |rt AS (SELECT a, sum(o)::BIGINT AS mrt FROM cells GROUP BY a),
+        |ct AS (SELECT p, sum(o)::BIGINT AS mct FROM cells GROUP BY p),
+        |pn AS (
+        |  SELECT coalesce(sum(mrt * mct), 0)::BIGINT AS pe_num
+        |  FROM rt JOIN ct ON rt.a IS NOT DISTINCT FROM ct.p),
+        |st AS (
+        |  SELECT n, agree,
+        |    agree::DOUBLE / n::DOUBLE AS po,
+        |    pe_num::DOUBLE / (n * n)::DOUBLE AS pe
+        |  FROM ag CROSS JOIN pn)
+        |SELECT n, agree, po, pe,
+        |  CASE WHEN pe < '1.0'::DOUBLE
+        |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
+        |FROM st""".stripMargin,
+
+    // Label-balance re-derivation: exact-rational shares, ln riding
+    // round-then-decimal contributions, totals STAYING decimal (the
+    // gini subtraction narrows before subtracting, mirroring the engine).
+    "dq_label_balance" ->
+      """WITH cells AS (
+        |  SELECT source::VARCHAR AS g, lang::VARCHAR AS l, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
+        |w AS (
+        |  SELECT cells.g, cells.c, tot.n, cells.c::DOUBLE / tot.n::DOUBLE AS p
+        |  FROM cells JOIN tot ON tot.g IS NOT DISTINCT FROM cells.g),
+        |c2 AS (
+        |  SELECT g, n,
+        |    round((-p) * ln(p), 9)::DECIMAL(28,9) AS h,
+        |    round(p * p, 9)::DECIMAL(28,9) AS gg
+        |  FROM w)
+        |SELECT g AS "group", min(n)::BIGINT AS n, count(*)::BIGINT AS n_labels,
+        |  sum(h)::DECIMAL(28,9) AS entropy,
+        |  (1::DECIMAL(28,9) - sum(gg)::DECIMAL(28,9))::DECIMAL(28,9) AS gini
+        |FROM c2 GROUP BY g ORDER BY "group"""".stripMargin,
+
     // Calibration: the txt_quality_model score CTE joined to the lang=en
     // label, psi-style clamped binning, round-then-decimal-summed mean
     // scores, single trailing divisions.
@@ -3488,6 +3629,38 @@ object Queries {
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
          |  FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Matryoshka funnel re-derivation: stage 1 the range(1,33) prefix
+    // fold, candidate cut at k*oversample = 20, stage 2 the full
+    // range(1,65) fold over survivors, both ties on neighbor id.
+    "sim_matryoshka_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT qid, nid, qv, cv, ${dotPreSql(32)} AS pdot,
+         |    ${normPreSql("qv", 32)} AS npq, ${normPreSql("cv", 32)} AS npc
+         |  FROM q, c WHERE qid <> nid),
+         |s1 AS (
+         |  SELECT qid, nid, qv, cv,
+         |    CASE WHEN npq * npc > 0 THEN pdot / (npq * npc) ELSE 0.0 END AS prefix_cosine
+         |  FROM p),
+         |cand AS (
+         |  SELECT qid, nid, qv, cv, prefix_cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY prefix_cosine DESC, nid ASC) AS prank
+         |  FROM s1),
+         |s2 AS (
+         |  SELECT qid, nid, prefix_cosine, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM cand WHERE prank <= 20),
+         |sc AS (
+         |  SELECT qid, nid, prefix_cosine,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM s2),
+         |r AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id, prefix_cosine, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, prefix_cosine, cosine, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     "txt_quality" ->
@@ -4287,6 +4460,100 @@ object Queries {
         |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id)
         |SELECT id, round(s, 6) AS score, n_matched FROM sc
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    // Retrieval metrics re-derivation: the txt_bm25_topk CTEs produce the
+    // run, list_has_all produces the qrels, then exact divisions, decimal
+    // log2 gains, and the BIGINT micro-nDCG fixed-point division.
+    "txt_retrieval_metrics" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
+        |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
+        |qp AS (
+        |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
+        |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
+        |sc AS (
+        |  SELECT id,
+        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS s,
+        |    count(*)::BIGINT AS n_matched
+        |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id),
+        |run AS (
+        |  SELECT id AS doc_id, round(s, 6) AS score FROM sc
+        |  ORDER BY score DESC, doc_id LIMIT 10),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+        |  FROM run),
+        |qrels AS (SELECT id AS doc_id FROM d
+        |  WHERE list_has_all(t, ['spark', 'query', 'fast'])),
+        |nrel AS (SELECT count(*)::BIGINT AS n_rel FROM qrels),
+        |hits AS (
+        |  SELECT rank FROM ranked
+        |  WHERE rank <= 10 AND doc_id IN (SELECT doc_id FROM qrels)),
+        |hag AS (
+        |  SELECT count(*)::BIGINT AS hits_k, min(rank) AS first_rank,
+        |    sum(round('1.0'::DOUBLE / log2(rank + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
+        |      ::DECIMAL(28,9) AS dcg
+        |  FROM hits),
+        |ig AS (
+        |  SELECT sum(round('1.0'::DOUBLE / log2(r + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
+        |      ::DECIMAL(28,9) AS idcg
+        |  FROM (SELECT unnest(range(1, least(10, (SELECT n_rel FROM nrel)) + 1)) AS r))
+        |SELECT 1::BIGINT AS query_id, nrel.n_rel,
+        |  coalesce(hag.hits_k, 0)::BIGINT AS hits_k,
+        |  CASE WHEN hag.first_rank IS NOT NULL
+        |       THEN '1.0'::DOUBLE / hag.first_rank::DOUBLE ELSE '0.0'::DOUBLE END AS mrr,
+        |  coalesce(hag.hits_k, 0)::DOUBLE / nrel.n_rel::DOUBLE AS recall_k,
+        |  coalesce(hag.dcg, 0::DECIMAL(28,9))::DECIMAL(28,9) AS dcg,
+        |  ig.idcg,
+        |  (CAST(coalesce(hag.dcg, 0::DECIMAL(28,9)) * 1000000000 AS BIGINT) * 1000000)
+        |    // CAST(ig.idcg * 1000000000 AS BIGINT) AS ndcg_fp
+        |FROM nrel CROSS JOIN hag CROSS JOIN ig""".stripMargin,
+
+    // Fixture-twin re-derivation from the same inline VALUES.
+    "txt_retrieval_metrics_fx" ->
+      """WITH runs(query_id, doc_id, rank) AS (VALUES
+        |  (1, 10, 1), (1, 11, 2), (1, 12, 3),
+        |  (3, 30, 1), (3, 31, 2),
+        |  (4, 40, 1)),
+        |qrels(query_id, doc_id) AS (VALUES
+        |  (1, 11), (1, 99),
+        |  (2, 20),
+        |  (3, 30), (3, 31), (3, 32), (3, 33)),
+        |nrel AS (
+        |  SELECT query_id::BIGINT AS query_id, count(*)::BIGINT AS n_rel
+        |  FROM qrels GROUP BY query_id),
+        |hits AS (
+        |  SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank
+        |  FROM runs r JOIN qrels q
+        |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+        |  WHERE r.rank <= 3),
+        |hag AS (
+        |  SELECT query_id, count(*)::BIGINT AS hits_k, min(rank) AS first_rank,
+        |    sum(round('1.0'::DOUBLE / log2(rank + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
+        |      ::DECIMAL(28,9) AS dcg
+        |  FROM hits GROUP BY query_id),
+        |ig AS (
+        |  SELECT query_id, n_rel,
+        |    sum(round('1.0'::DOUBLE / log2(r + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
+        |      ::DECIMAL(28,9) AS idcg
+        |  FROM nrel, LATERAL unnest(range(1, least(3, n_rel) + 1)) AS u(r)
+        |  GROUP BY query_id, n_rel)
+        |SELECT ig.query_id, ig.n_rel,
+        |  coalesce(hag.hits_k, 0)::BIGINT AS hits_k,
+        |  CASE WHEN hag.first_rank IS NOT NULL
+        |       THEN '1.0'::DOUBLE / hag.first_rank::DOUBLE ELSE '0.0'::DOUBLE END AS mrr,
+        |  coalesce(hag.hits_k, 0)::DOUBLE / ig.n_rel::DOUBLE AS recall_k,
+        |  coalesce(hag.dcg, 0::DECIMAL(28,9))::DECIMAL(28,9) AS dcg,
+        |  ig.idcg,
+        |  (CAST(coalesce(hag.dcg, 0::DECIMAL(28,9)) * 1000000000 AS BIGINT) * 1000000)
+        |    // CAST(ig.idcg * 1000000000 AS BIGINT) AS ndcg_fp
+        |FROM ig LEFT JOIN hag ON hag.query_id = ig.query_id
+        |ORDER BY ig.query_id""".stripMargin,
 
     // Expected table pinned from the hand-checkable 6-row fixture.
     "fdr_protein_occam" ->

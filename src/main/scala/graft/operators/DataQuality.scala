@@ -275,4 +275,97 @@ object DataQuality {
       .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
       .orderBy(col("bucket"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (two annotators, or a heuristic labeler
+    * vs gold labels — the standard label-quality gate before training on
+    * annotated data):
+    *
+    *   kappa = (po - pe) / (1 - pe),
+    *   po = agree / n,   pe = Σ_k rowTotal_k * colTotal_k / n²
+    *
+    * Every division is a single exactly-rounded IEEE op over exact
+    * integers in a fixed association order — bit-identical cross-engine
+    * with NO rounding discipline needed (contrast [[chiSquare]], whose
+    * per-cell divisions force the decimal path). NULL is a real level on
+    * both sides (null-safe agreement), mirroring [[confusionMatrix]].
+    * kappa is NULL when pe = 1 (a single level on both sides — chance
+    * agreement is total and the statistic is undefined).
+    *
+    * Scale shape: ONE hash aggregation over the input (cells lazily
+    * pinned, at most |levels|² rows); marginals, the pe product sum, and
+    * po are all re-aggregations of those cells. The input never shuffles
+    * twice. The n² and Σ rt·ct terms are BIGINT-exact up to n ≈ 3·10⁹
+    * rows; past that, cast the marginals to DECIMAL(38,0) before the
+    * products (kept BIGINT here because the oracle contract needs the
+    * cheaper type and label audits run on samples, not the raw corpus).
+    *
+    * @return one row: (n, agree, po, pe, kappa) */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df
+      .groupBy(a.cast("string").as("_a"), b.cast("string").as("_b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val rowTot = cells.groupBy(col("_a")).agg(sum(col("o")).as("_rt"))
+    val colTot = cells.groupBy(col("_b")).agg(sum(col("o")).as("_ct"))
+    val agg = cells.agg(
+      sum(col("o")).as("n"),
+      sum(when(col("_a") <=> col("_b"), col("o")).otherwise(lit(0L))).as("agree"))
+    // pe numerator: Σ rt_k * ct_k over levels present on BOTH sides (a
+    // level missing from one margin contributes a zero product). Exact
+    // BIGINT arithmetic; the null-safe key keeps NULL a real level.
+    val peNum = rowTot
+      .join(colTot, col("_a") <=> col("_b"))
+      .agg(coalesce(sum(col("_rt") * col("_ct")), lit(0L)).as("_pe_num"))
+    agg.crossJoin(broadcast(peNum))
+      .withColumn("po", col("agree").cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        col("_pe_num").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select(col("n"), col("agree"), col("po"), col("pe"), col("kappa"))
+  }
+
+  /** Per-group label-balance diagnostics — the class-skew check run
+    * before sampling or loss-weighting a labeled corpus: for each group,
+    * the label count, Shannon entropy (nats) and Gini impurity of the
+    * label distribution.
+    *
+    *   entropy = Σ_labels round(-p ln p, 9)   (decimal-summed)
+    *   gini    = 1 - Σ_labels round(p², 9)    (decimal arithmetic)
+    *
+    * p = c/n is an exact rational (identical doubles on any engine); the
+    * ln rides the round-then-decimal-sum discipline and the totals STAY
+    * decimal (no decimal→double re-conversion ships — the r6 oracle
+    * lesson). NULL labels form a real level; NULL groups form a real
+    * group.
+    *
+    * Scale shape: one hash aggregation to (group, label) cells, one
+    * re-aggregation per group sharing the same shuffle key prefix — at
+    * most |groups|·|labels| intermediate rows.
+    *
+    * @return one row per group: (group, n, n_labels, entropy, gini),
+    *         ordered by group */
+  def labelBalance(df: DataFrame, group: Column, label: Column): DataFrame = {
+    val cells = df
+      .groupBy(group.cast("string").as("group"), label.cast("string").as("_l"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("group")).agg(sum(col("c")).as("_n"))
+    val p = col("c").cast("double") / col("_n").cast("double")
+    cells
+      .join(broadcast(tot.withColumnRenamed("group", "_gj")), col("group") <=> col("_gj"))
+      .drop("_gj")
+      .withColumn("_h", round(-p * log(p), 9).cast("decimal(28,9)"))
+      .withColumn("_g", round(p * p, 9).cast("decimal(28,9)"))
+      .groupBy(col("group"))
+      .agg(
+        first(col("_n")).as("n"),
+        count(lit(1)).as("n_labels"),
+        sum(col("_h")).cast("decimal(28,9)").as("entropy"),
+        // narrow the decimal(38,9) sum BEFORE subtracting (the chiSquare
+        // precision-loss trap: full-width arithmetic trims scale to 8)
+        (lit(1).cast("decimal(28,9)") - sum(col("_g")).cast("decimal(28,9)"))
+          .cast("decimal(28,9)").as("gini"))
+      .orderBy(col("group"))
+  }
 }

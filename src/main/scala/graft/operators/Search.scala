@@ -160,4 +160,83 @@ object Search {
         when(col("n_tokens") > 0,
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
+
+  /** Ranked-retrieval evaluation — MRR, recall@k, and nDCG@k per query:
+    * the metrics harness run over any of this engine's rankers (BM25,
+    * ANN top-k, RRF fusion) against a relevance-judgment table, the
+    * standard gate before trusting a retriever to mine training data.
+    *
+    * Binary relevance; a run row is a hit when (query_id, doc_id) appears
+    * in qrels. Within the top k:
+    *
+    *   mrr      = 1 / rank of the first hit          (0 when no hit)
+    *   recall_k = hits_k / n_rel
+    *   dcg      = Σ_hits  round(1/log2(rank+1), 9)   (decimal-summed)
+    *   idcg     = Σ_{r=1..min(k, n_rel)} round(1/log2(r+1), 9)
+    *   ndcg_fp  = (dcg · 10^15-units) div idcg        (micro-nDCG BIGINT)
+    *
+    * Parity discipline: mrr/recall are single exactly-rounded divisions
+    * of exact integers; the log2 gains ride round-then-decimal-sum; and
+    * the nDCG ratio ships as an exact BIGINT fixed-point (micro units,
+    * truncating div of the decimal sums' unscaled values) — never as a
+    * recomputed double (the r6 oracle lesson). Queries present in qrels
+    * but absent from the run still report (hits_k=0, mrr=0, recall=0) —
+    * a silent retriever miss must not vanish from the report.
+    *
+    * Scale shape: runs⋈qrels is an equi-join on (query_id, doc_id);
+    * per-query metrics are one hash aggregation; idcg explodes a
+    * bounded 1..min(k,n_rel) sequence per query (≤ k rows each). The
+    * corpus itself is never touched — both inputs are already-cut
+    * rankings and judgment lists.
+    *
+    * @param runs  (query_id, doc_id, rank) — 1-based, ties pre-broken
+    * @param qrels (query_id, doc_id) binary relevance judgments
+    * @return one row per judged query: (query_id, n_rel, hits_k, mrr,
+    *         recall_k, dcg, idcg, ndcg_fp), ordered by query_id */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
+    val rel = qrels
+      .select(col("query_id"), col("doc_id"))
+      .filter(col("query_id").isNotNull && col("doc_id").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // judged pairs + per-query totals both read it
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val gain = round(lit(1.0) / log2(col("rank") + lit(1.0)), 9).cast("decimal(28,9)")
+    val hits = runs
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left_semi")
+    val perQuery = hits
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("hits_k"),
+        min(col("rank")).as("_first_rank"),
+        sum(gain).cast("decimal(28,9)").as("dcg"))
+    val idcg = nRel
+      .select(col("query_id"), col("n_rel"),
+        explode(sequence(lit(1L), least(lit(k.toLong), col("n_rel")))).as("rank"))
+      .groupBy(col("query_id"), col("n_rel"))
+      .agg(sum(gain).cast("decimal(28,9)").as("idcg"))
+    idcg
+      .join(perQuery, Seq("query_id"), "left")
+      // coalesce BEFORE the fixed-point expr, as a decimal — a 0.0 double
+      // fallback would coerce the whole ratio into float arithmetic
+      .withColumn("dcg", coalesce(col("dcg"), lit(0).cast("decimal(28,9)")))
+      .withColumn("hits_k", coalesce(col("hits_k"), lit(0L)))
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        col("hits_k"),
+        when(col("_first_rank").isNotNull,
+          lit(1.0) / col("_first_rank").cast("double")).otherwise(lit(0.0)).as("mrr"),
+        (col("hits_k").cast("double") / col("n_rel").cast("double")).as("recall_k"),
+        col("dcg"),
+        col("idcg"),
+        // exact fixed-point ratio in micro-nDCG: both sums carry scale 9,
+        // so (dcg·10^9 as BIGINT)·10^6 div (idcg·10^9 as BIGINT) is pure
+        // integer arithmetic — no decimal→double re-conversion ships
+        expr("(cast(dcg * 1000000000 as bigint) * 1000000) div " +
+          "cast(idcg * 1000000000 as bigint)").as("ndcg_fp"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -104,6 +104,60 @@ object Similarity {
         col("_qlabel") =!= col("neg_label"),
       extraOutCols = Seq("neg_label"))
 
+  /** Matryoshka-funnel ANN: candidates ranked on the PREFIX cosine (the
+    * first `prefixDims` components — mathematically equal to the cosine
+    * of the renormalized truncated embeddings, so no renormalization
+    * pass exists), top `k * oversample` survivors re-ranked by full-dim
+    * exact cosine. With MRL-trained embeddings (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning") the prefix is a faithful
+    * coarse scorer, making this the cheap funnel between brute force and
+    * IVF: stage 1 spends prefixDims/dim of the FLOPs per pair, stage 2
+    * is exact over a k·oversample-bounded set.
+    *
+    * Exact-baseline shape (broadcast queries × corpus), mirroring
+    * [[bruteForceTopK]]; at 100 TB the same two-stage funnel composes
+    * with [[ivfQuery]] probing, and stage 1 should read a MATERIALIZED
+    * prefix column so the scan prunes bytes, not just FLOPs. Ties break
+    * (cosine desc, neighbor_id) in both stages; NULL/invalid cosines
+    * never consume a rank slot (the [[bruteForceTopK]] contract). */
+  def matryoshkaTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      prefixDims: Int,
+      oversample: Int = 4): DataFrame = {
+    require(k >= 1, s"matryoshkaTopK: k must be >= 1, got $k")
+    require(prefixDims >= 1, s"matryoshkaTopK: prefixDims must be >= 1, got $prefixDims")
+    require(oversample >= 1, s"matryoshkaTopK: oversample must be >= 1, got $oversample")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def withPre(df: DataFrame, idOut: String, vecOut: String, preOut: String) = df
+      .select(col("id").as(idOut), col("vec").as(vecOut),
+        slice(col("vec"), 1, prefixDims).as(preOut))
+    val q = broadcast(withPre(queries, "query_id", "qvec", "qpre")
+      .withColumn("qn", norm(col("qvec"))).withColumn("qpn", norm(col("qpre"))))
+    val c = withPre(corpus, "neighbor_id", "cvec", "cpre")
+      .withColumn("cn", norm(col("cvec"))).withColumn("cpn", norm(col("cpre")))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("prefix_cosine").desc, col("neighbor_id").asc)
+    val candidates = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("prefix_cosine",
+        cosineFromParts(dot(col("qpre"), col("cpre")), col("qpn"), col("cpn")))
+      .filter(col("prefix_cosine").isNotNull)
+      .withColumn("_prank", row_number().over(wPre))
+      .filter(col("_prank") <= k * oversample)
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cosine",
+        cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("prefix_cosine"),
+        col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by an
     * `nBits` random-hyperplane signature; candidates share a bucket; exact
     * cosine re-ranks within buckets. Recall grows with fewer bits or with

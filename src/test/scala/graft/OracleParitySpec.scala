@@ -60,6 +60,10 @@ class OracleParitySpec extends AnyFunSuite {
       "weights are integer-quantized gradient accumulations rendered at fixed scale",
     "txt_pmi_bigrams" ->
       "pmi is round(ln-ratio, 6)-ed on both engines (driver-green since r5)",
+    "txt_retrieval_metrics" ->
+      "mrr/recall_k are single exact divisions of integers; the log2 feeds only decimal gains",
+    "txt_retrieval_metrics_fx" ->
+      "fixture twin of txt_retrieval_metrics; same contract",
     "txt_rrf_fusion" ->
       "rrf score is an exact small-rational sum rendered round(.., 9) on both engines",
   )

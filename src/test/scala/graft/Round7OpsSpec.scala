@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{DataQuality, Search, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operator additions: Cohen's kappa, per-group label balance,
+  * ranked-retrieval metrics (MRR / recall@k / nDCG@k), and the
+  * matryoshka-prefix ANN funnel. */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- Cohen's kappa ---
+
+  test("kappa: hand-computed 2x2 agreement") {
+    val df = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))).toDF("a", "b")
+    val r = DataQuality.cohenKappa(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("n") == 50L && r.getAs[Long]("agree") == 35L)
+    val po = 35.0 / 50.0
+    val pe = 1250.0 / 2500.0 // rt: x=25,y=25; ct: x=30,y=20
+    assert(r.getAs[Double]("po") == po && r.getAs[Double]("pe") == pe)
+    assert(r.getAs[Double]("kappa") == (po - pe) / (1.0 - pe))
+  }
+
+  test("kappa: perfect agreement is 1; single-level input is NULL (pe=1)") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(DataQuality.cohenKappa(perfect, col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    val degenerate = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = DataQuality.cohenKappa(degenerate, col("a"), col("b")).collect().head
+    assert(r.getAs[Double]("pe") == 1.0 && r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("kappa: NULL is a real level on both sides; layout-invariant") {
+    val df = Seq(("x", Some("x")), ("x", None), (null, null), ("y", Some("y")))
+      .toDF("a", "b")
+    val r = DataQuality.cohenKappa(df, col("a"), col("b")).collect().head
+    // agreements: (x,x), (null,null), (y,y) — the null pair agrees null-safely
+    assert(r.getAs[Long]("agree") == 3L && r.getAs[Long]("n") == 4L)
+    val one = DataQuality.cohenKappa(df.coalesce(1), col("a"), col("b")).collect().toSeq
+    val many = DataQuality.cohenKappa(df.repartition(5), col("a"), col("b")).collect().toSeq
+    assert(one == many)
+  }
+
+  // --- label balance ---
+
+  test("label balance: uniform two-label group vs single-label group") {
+    val df = (Seq.fill(10)(("g1", "en")) ++ Seq.fill(10)(("g1", "de")) ++
+      Seq.fill(7)(("g2", "en"))).toDF("src", "lang")
+    val rows = DataQuality.labelBalance(df, col("src"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Long]("n_labels"),
+        r.getAs[java.math.BigDecimal]("entropy"),
+        r.getAs[java.math.BigDecimal]("gini"))).toSeq
+    assert(rows.map(t => (t._1, t._2, t._3)) == Seq(("g1", 20L, 2L), ("g2", 7L, 1L)))
+    // uniform 2 labels: entropy = 2*round(0.5*ln 2, 9), gini = 1 - 2*round(0.25, 9)
+    assert(rows(0)._4.compareTo(new java.math.BigDecimal("0.693147180")) == 0)
+    assert(rows(0)._5.compareTo(new java.math.BigDecimal("0.500000000")) == 0)
+    // degenerate single label: entropy 0 (−1·ln 1), gini 0 (1 − 1)
+    assert(rows(1)._4.signum == 0 && rows(1)._5.signum == 0)
+  }
+
+  test("label balance: NULL labels and NULL groups are real levels") {
+    val df = Seq(("g", "en"), ("g", null), (null, "de")).toDF("src", "lang")
+    val rows = DataQuality.labelBalance(df, col("src"), col("lang")).collect()
+    assert(rows.length == 2) // groups: "g" and NULL
+    assert(rows.map(_.getAs[Long]("n_labels")).toSet == Set(2L, 1L))
+  }
+
+  // --- retrieval metrics ---
+
+  test("retrieval metrics: hits, misses, idcg cap, and the unjudged query") {
+    val out = SparkEntry.queries("txt_retrieval_metrics_fx")(spark, "")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_rel"),
+        r.getAs[Long]("hits_k"), r.getAs[Double]("mrr"), r.getAs[Double]("recall_k"),
+        r.getAs[java.math.BigDecimal]("dcg"), r.getAs[java.math.BigDecimal]("idcg"),
+        r.getAs[Long]("ndcg_fp"))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L)) // query 4 is unjudged: absent
+    val g2 = new java.math.BigDecimal("0.630929754") // round(1/log2(3), 9)
+    val one = java.math.BigDecimal.ONE.setScale(9)
+    // q1: hit at rank 2 of 2 relevant
+    assert(out(0)._3 == 1L && out(0)._4 == 0.5 && out(0)._5 == 0.5)
+    assert(out(0)._6.compareTo(g2) == 0 && out(0)._7.compareTo(one.add(g2)) == 0)
+    // q2: judged, retriever returned nothing — zeros, idcg = g(1)
+    assert(out(1) == ((2L, 1L, 0L, 0.0, 0.0,
+      new java.math.BigDecimal("0E-9"), one, 0L)) ||
+      (out(1)._3 == 0L && out(1)._4 == 0.0 && out(1)._6.signum == 0 && out(1)._8 == 0L))
+    // q3: hits at ranks 1,2; n_rel=4 but idcg caps at k=3 ranks
+    assert(out(2)._3 == 2L && out(2)._4 == 1.0 && out(2)._5 == 0.5)
+    assert(out(2)._6.compareTo(one.add(g2)) == 0)
+    assert(out(2)._7.compareTo(one.add(g2).add(new java.math.BigDecimal("0.500000000"))) == 0)
+    // ndcg_fp is the exact integer-division fixed point of the decimals
+    assert(out(2)._8 == (one.add(g2).unscaledValue().longValue() * 1000000L) /
+      one.add(g2).add(new java.math.BigDecimal("0.500000000")).unscaledValue().longValue())
+  }
+
+  test("retrieval metrics: validation and rank>k run rows never count") {
+    val runs = Seq((1L, 10L, 5L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L)).toDF("query_id", "doc_id")
+    val r = Search.retrievalMetrics(runs, qrels, k = 3).collect().head
+    assert(r.getAs[Long]("hits_k") == 0L && r.getAs[Double]("mrr") == 0.0)
+    intercept[IllegalArgumentException] { Search.retrievalMetrics(runs, qrels, 0) }
+  }
+
+  // --- matryoshka funnel ---
+
+  test("matryoshka: full-width prefix with oversample 1 equals brute force") {
+    val vecs = (1L to 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 4f))
+    }.toDF("id", "vec")
+    val q = vecs.filter(col("id") < 4)
+    val bf = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id", "cosine", "rank").collect().map(_.toSeq).toSet
+    val mt = Similarity.matryoshkaTopK(vecs, q, 5, prefixDims = 8, oversample = 1)
+      .select("query_id", "neighbor_id", "cosine", "rank").collect().map(_.toSeq).toSet
+    assert(mt == bf)
+  }
+
+  test("matryoshka: a too-small oversample misses what a wider funnel finds") {
+    // prefix dim 1: every positive-x candidate has prefix cosine 1.0 for a
+    // positive-x query, so stage-1 ties break purely by id — candidate id 2
+    // survives with oversample 1 even though id 3 has the better full cosine
+    val corpus = Seq(
+      (2L, Array(1.0f, -1.0f)), // prefix ties at 1.0, full cosine 0
+      (3L, Array(1.0f, 1.0f)),  // full cosine 1 — the true neighbor
+    ).toDF("id", "vec")
+    val q = Seq((1L, Array(0.5f, 0.5f))).toDF("id", "vec")
+    val narrow = Similarity.matryoshkaTopK(corpus, q, k = 1, prefixDims = 1, oversample = 1)
+      .collect().head
+    assert(narrow.getAs[Long]("neighbor_id") == 2L)
+    val wide = Similarity.matryoshkaTopK(corpus, q, k = 1, prefixDims = 1, oversample = 2)
+      .collect().head
+    assert(wide.getAs[Long]("neighbor_id") == 3L)
+    assert(wide.getAs[Double]("cosine") > 0.999) // sqrt norms leave an ulp
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(corpus, q, 1, prefixDims = 0)
+    }
+  }
+}
