@@ -569,6 +569,13 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Corpus-overlap matrix: pairwise word-3-shingle containment between
+    // sources — exact distinct-set arithmetic, one division per pair.
+    "dd_source_overlap" -> ((s, dir) => {
+      graft.operators.Dedup.groupShingleOverlap(
+        t(s, dir, "documents"), col("source"), col("text"), shingleN = 3)
+    }),
+
     // MinHash + LSH banding near-dup pairs (16 hashes, 4x4 bands).
     "dd_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -875,6 +882,15 @@ object Queries {
     "dq_label_balance" -> ((s, dir) => {
       graft.operators.DataQuality.labelBalance(
         t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
+    // Per-class precision/recall/F1 for the langid heuristic vs the gold
+    // label — single-chain exact divisions, NULL where undefined.
+    "dq_classification_report" -> ((s, dir) => {
+      graft.operators.DataQuality.classificationReport(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred")),
+        col("lang"), col("pred"))
     }),
 
     // Reliability report for the hashed quality scorer against the
@@ -1325,6 +1341,26 @@ object Queries {
         (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L),
       ).toDF("query_id", "doc_id")
       graft.operators.Search.retrievalMetrics(runs, qrels, k = 3)
+    }),
+
+    // Length-bias diagnostic: Spearman rho between the BM25 top-10
+    // ranking and the SAME docs ranked by raw length — exact integer
+    // Σd²/n(n²-1) with one trailing division. The re-rank windows are
+    // bounded by the k=10 run cut.
+    "txt_rank_correlation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val run = graft.operators.Search.bm25TopK(
+        docs, col("doc_id"), col("text"),
+        query = Seq("spark", "query", "fast"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      val byLen = run
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      graft.operators.Search.rankCorrelation(run, byLen, "id")
     }),
 
     // Substring-dedup removal: documents rebuilt without their duplicated
@@ -2832,6 +2868,29 @@ object Queries {
          |SELECT id, pr AS rank_fp
          |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
 
+    // Overlap-matrix re-derivation: the tdp_graph_rank shingle CTE keyed
+    // by source, distinct sets, shingle-keyed pair join, one division.
+    "dd_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |sh0 AS (
+        |  SELECT source AS g,
+        |    unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT g, sh FROM sh0),
+        |sizes AS (SELECT g, count(*)::BIGINT AS n FROM sh GROUP BY g),
+        |common AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, count(*)::BIGINT AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.g <> b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT group_a, group_b, s.n AS n_a, n_common,
+        |  n_common::DOUBLE / s.n::DOUBLE AS containment
+        |FROM common JOIN sizes s ON s.g = common.group_a
+        |ORDER BY group_a, group_b""".stripMargin,
+
     // Exact re-derivation of the Count-Min sketch: same portable hash,
     // same per-row (A, B) constants, bucket = ((A*(h%P)+B)%P)%width with
     // P = 2^31-1 — every counter and every min-of-d point estimate is
@@ -3322,6 +3381,50 @@ object Queries {
         |  sum(h)::DECIMAL(28,9) AS entropy,
         |  (1::DECIMAL(28,9) - sum(gg)::DECIMAL(28,9))::DECIMAL(28,9) AS gini
         |FROM c2 GROUP BY g ORDER BY "group"""".stripMargin,
+
+    // Classification report re-derivation: the langid prediction CTEs,
+    // union class set via null-safe full outer, single-chain divisions.
+    "dq_classification_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
+        |  FROM b),
+        |cells AS (SELECT a, p, count(*)::BIGINT AS o FROM pr GROUP BY a, p),
+        |at AS (SELECT a, sum(o)::BIGINT AS support FROM cells GROUP BY a),
+        |pt AS (SELECT p, sum(o)::BIGINT AS n_pred FROM cells GROUP BY p),
+        |tpc AS (SELECT a AS c, o AS tp FROM cells WHERE a IS NOT DISTINCT FROM p),
+        |cls AS (
+        |  SELECT coalesce(at.a, pt.p) AS class,
+        |    coalesce(support, 0)::BIGINT AS support,
+        |    coalesce(n_pred, 0)::BIGINT AS n_pred
+        |  FROM at FULL OUTER JOIN pt ON at.a IS NOT DISTINCT FROM pt.p),
+        |j AS (
+        |  SELECT class, support, n_pred, coalesce(tpc.tp, 0)::BIGINT AS tp
+        |  FROM cls LEFT JOIN tpc ON cls.class IS NOT DISTINCT FROM tpc.c),
+        |w AS (
+        |  SELECT class, support, n_pred, tp,
+        |    CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END AS "precision",
+        |    CASE WHEN support > 0 THEN tp::DOUBLE / support::DOUBLE END AS recall
+        |  FROM j)
+        |SELECT class, support, n_pred, tp, "precision", recall,
+        |  CASE WHEN "precision" + recall > '0.0'::DOUBLE
+        |       THEN '2.0'::DOUBLE * "precision" * recall / ("precision" + recall)
+        |  END AS f1
+        |FROM w ORDER BY class""".stripMargin,
 
     // Calibration: the txt_quality_model score CTE joined to the lang=en
     // label, psi-style clamped binning, round-then-decimal-summed mean
@@ -4554,6 +4657,49 @@ object Queries {
         |    // CAST(ig.idcg * 1000000000 AS BIGINT) AS ndcg_fp
         |FROM ig LEFT JOIN hag ON hag.query_id = ig.query_id
         |ORDER BY ig.query_id""".stripMargin,
+
+    // Spearman re-derivation: bm25 CTEs for the run, length ranking over
+    // the same 10 docs, dense re-ranks inside the intersection, exact
+    // integer sums, one trailing multiply+division.
+    "txt_rank_correlation" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
+        |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
+        |qp AS (
+        |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
+        |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
+        |sc AS (
+        |  SELECT id,
+        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS s,
+        |    count(*)::BIGINT AS n_matched
+        |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id),
+        |run AS (
+        |  SELECT id, round(s, 6) AS score FROM sc
+        |  ORDER BY score DESC, id LIMIT 10),
+        |ranked AS (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id)::BIGINT AS ra
+        |  FROM run),
+        |bylen AS (
+        |  SELECT ranked.id,
+        |    row_number() OVER (ORDER BY doc.n_chars DESC, ranked.id)::BIGINT AS rb
+        |  FROM ranked JOIN documents doc ON doc.doc_id = ranked.id),
+        |j AS (
+        |  SELECT row_number() OVER (ORDER BY ra, id)::BIGINT AS ra2,
+        |    row_number() OVER (ORDER BY rb, id)::BIGINT AS rb2
+        |  FROM (SELECT ranked.id, ra, rb FROM ranked JOIN bylen USING (id))),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum((ra2 - rb2) * (ra2 - rb2)), 0)::BIGINT AS sum_d2
+        |  FROM j)
+        |SELECT n, sum_d2,
+        |  CASE WHEN n >= 2 THEN '1.0'::DOUBLE - ('6.0'::DOUBLE * sum_d2::DOUBLE)
+        |    / (n * (n * n - 1))::DOUBLE END AS rho
+        |FROM ag""".stripMargin,
 
     // Expected table pinned from the hand-checkable 6-row fixture.
     "fdr_protein_occam" ->

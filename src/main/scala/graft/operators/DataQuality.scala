@@ -326,6 +326,55 @@ object DataQuality {
       .select(col("n"), col("agree"), col("po"), col("pe"), col("kappa"))
   }
 
+  /** Per-class precision / recall / F1 with supports — the standard
+    * classifier report over (actual, predicted) labelings, one row per
+    * class in the UNION of both level sets (a predicted-only class shows
+    * support 0; an actual-only class shows n_pred 0 — both real failure
+    * shapes a symmetric report must surface). NULL is a real level.
+    *
+    * precision = tp/n_pred, recall = tp/support, f1 = 2·p·r/(p+r) — all
+    * single-chain exactly-rounded IEEE ops over exact integers in a
+    * fixed association order (bit-identical cross-engine, no rounding
+    * discipline); each is NULL where its denominator is 0. Macro
+    * averages are the caller's one-line aggregation away — kept out of
+    * the output so the row shape stays uniform.
+    *
+    * Scale shape: ONE hash aggregation to cells (lazily pinned, at most
+    * |levels|² rows); marginals and true-positives are re-aggregations
+    * of those cells joined back null-safely.
+    *
+    * @return (class, support, n_pred, tp, precision, recall, f1),
+    *         ordered by class */
+  def classificationReport(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val cells = df
+      .groupBy(actual.cast("string").as("_a"), predicted.cast("string").as("_p"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val actTot = cells.groupBy(col("_a")).agg(sum(col("o")).as("support"))
+    val predTot = cells.groupBy(col("_p")).agg(sum(col("o")).as("n_pred"))
+    val tp = cells.filter(col("_a") <=> col("_p"))
+      .select(col("_a").as("_c"), col("o").as("tp"))
+    val classes = actTot
+      .join(predTot, col("_a") <=> col("_p"), "full_outer")
+      .select(coalesce(col("_a"), col("_p")).as("class"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    val p = when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred").cast("double"))
+    val r = when(col("support") > 0, col("tp").cast("double") / col("support").cast("double"))
+    classes
+      .join(broadcast(tp), col("class") <=> col("_c"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .select(col("class"), col("support"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy(col("class"))
+  }
+
   /** Per-group label-balance diagnostics — the class-skew check run
     * before sampling or loss-weighting a labeled corpus: for each group,
     * the label count, Shannon entropy (nats) and Gini impurity of the

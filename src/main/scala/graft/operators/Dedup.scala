@@ -153,6 +153,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Pairwise n-gram containment between corpus groups (sources, snapshots,
+    * splits) — the corpus-overlap matrix behind "how much of source B is
+    * already in source A" and train/test leakage audits at the GROUP
+    * level (the doc-level variant is Curation.decontaminate):
+    *
+    *   containment(a → b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    *
+    * over DISTINCT word shingles per group. Asymmetric by definition —
+    * both directions emit. Exact set arithmetic with one exactly-rounded
+    * division; no estimate, no rounding discipline.
+    *
+    * Scale shape: one distinct aggregation to (group, shingle), then a
+    * self-equi-join ON THE SHINGLE — each shingle expands to at most
+    * |groups|² pair rows (groups are few by construction: sources,
+    * splits, snapshots), so the join is linear in distinct shingles. A
+    * group-pair count aggregation and a broadcast of the |groups|-row
+    * size table finish it. The corpus never cross-joins.
+    *
+    * @return (group_a, group_b, n_a, n_common, containment) for every
+    *         ordered pair with at least one shared shingle, ordered */
+  def groupShingleOverlap(
+      df: DataFrame, group: Column, text: Column, shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val gs = df
+      .select(group.cast("string").as("g"),
+        explode(graft.functions.TextFunctions.wordShingles(text, shingleN)).as("sh"))
+      .filter(col("g").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // sizes + both join legs read it
+    val sizes = gs.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val common = gs.as("a")
+      .join(gs.as("b").withColumnRenamed("g", "g2"), Seq("sh"))
+      .filter(col("g") =!= col("g2"))
+      .groupBy(col("g").as("group_a"), col("g2").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))), "group_a")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a").cast("double")).as("containment"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** 32-bit SimHash over a token multiset: bit j of the result is 1 iff the
     * sum over tokens of (+1 when bit j of `h(token)` is set else -1) is
     * positive. Near-dup docs differ in few bits (small Hamming distance). */

@@ -161,6 +161,44 @@ object Search {
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Spearman rank correlation between two rankings — the retriever
+    * diagnostic behind questions like "is this ranking just document
+    * length?" or "how far apart are the lexical and embedding runs?":
+    *
+    *   rho = 1 - 6 Σ d² / (n (n² - 1)),  d = rank_a - rank_b
+    *
+    * computed over the ID INTERSECTION of the two rankings, each side
+    * re-ranked densely within the intersection by its original rank
+    * (the standard treatment for comparing top-k lists). Σd² and
+    * n(n²-1) are exact integers; rho is one multiply and one division —
+    * exactly-rounded IEEE, bit-identical cross-engine with no rounding
+    * discipline. rho is NULL when n < 2 (undefined). Ties in the input
+    * rank column break on id, deterministically.
+    *
+    * Scale shape: an equi-join of two ALREADY-CUT rankings (both
+    * top-k-bounded by construction — the global re-rank windows run
+    * over at most min(k_a, k_b) rows, never a corpus).
+    *
+    * @return one row: (n, sum_d2, rho) */
+  def rankCorrelation(a: DataFrame, b: DataFrame, id: String,
+      rank: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = a.select(col(id).as("id"), col(rank).cast("long").as("_ra"))
+    val r = b.select(col(id).as("id"), col(rank).cast("long").as("_rb"))
+    val joined = l.join(r, Seq("id"))
+      .withColumn("ra",
+        row_number().over(Window.orderBy(col("_ra").asc, col("id").asc)).cast("long"))
+      .withColumn("rb",
+        row_number().over(Window.orderBy(col("_rb").asc, col("id").asc)).cast("long"))
+    val d2 = (col("ra") - col("rb")) * (col("ra") - col("rb"))
+    joined
+      .agg(count(lit(1)).as("n"), coalesce(sum(d2), lit(0L)).as("sum_d2"))
+      .withColumn("rho",
+        when(col("n") >= 2,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n") * (col("n") * col("n") - lit(1L))).cast("double")))
+  }
+
   /** Ranked-retrieval evaluation — MRR, recall@k, and nDCG@k per query:
     * the metrics harness run over any of this engine's rankers (BM25,
     * ANN top-k, RRF fusion) against a relevance-judgment table, the

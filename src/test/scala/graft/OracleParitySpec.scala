@@ -64,6 +64,9 @@ class OracleParitySpec extends AnyFunSuite {
       "mrr/recall_k are single exact divisions of integers; the log2 feeds only decimal gains",
     "txt_retrieval_metrics_fx" ->
       "fixture twin of txt_retrieval_metrics; same contract",
+    "txt_rank_correlation" ->
+      ("rho is one multiply+division over exact integers; the ln lives only in the " +
+        "upstream BM25 run derivation whose rounded scores both engines already share"),
     "txt_rrf_fusion" ->
       "rrf score is an exact small-rational sum rendered round(.., 9) on both engines",
   )

@@ -104,6 +104,65 @@ class Round7OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Search.retrievalMetrics(runs, qrels, 0) }
   }
 
+  // --- Spearman rank correlation ---
+
+  test("rank correlation: identity is 1, reversal is -1, intersection-only") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L)).toDF("id", "rank")
+    val rev = Seq((10L, 4L), (11L, 3L), (12L, 2L), (13L, 1L)).toDF("id", "rank")
+    assert(Search.rankCorrelation(a, a, "id").collect().head.getAs[Double]("rho") == 1.0)
+    val r = Search.rankCorrelation(a, rev, "id").collect().head
+    assert(r.getAs[Long]("sum_d2") == 20L && r.getAs[Double]("rho") == -1.0)
+    // only shared ids count, re-ranked densely within the intersection
+    val partial = Seq((11L, 1L), (13L, 2L), (99L, 3L)).toDF("id", "rank")
+    val p = Search.rankCorrelation(a, partial, "id").collect().head
+    assert(p.getAs[Long]("n") == 2L && p.getAs[Double]("rho") == 1.0)
+    // n < 2: undefined
+    val single = Seq((10L, 1L)).toDF("id", "rank")
+    val s1 = Search.rankCorrelation(a, single, "id").collect().head
+    assert(s1.isNullAt(s1.fieldIndex("rho")))
+  }
+
+  // --- classification report ---
+
+  test("classification report: per-class P/R/F1, union class set, NULL where undefined") {
+    val df = (Seq.fill(8)(("en", "en")) ++ Seq.fill(2)(("en", "de")) ++
+      Seq.fill(5)(("de", "de")) ++ Seq.fill(1)(("de", "fr"))).toDF("a", "p")
+    val rows = DataQuality.classificationReport(df, col("a"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("en", "de", "fr"))
+    val en = rows("en")
+    assert(en.getAs[Long]("support") == 10L && en.getAs[Long]("n_pred") == 8L
+      && en.getAs[Long]("tp") == 8L)
+    assert(en.getAs[Double]("precision") == 1.0 && en.getAs[Double]("recall") == 0.8)
+    assert(en.getAs[Double]("f1") == 2.0 * 1.0 * 0.8 / 1.8)
+    // fr was never an actual label: support 0, recall NULL, f1 NULL
+    val fr = rows("fr")
+    assert(fr.getAs[Long]("support") == 0L && fr.getAs[Long]("n_pred") == 1L
+      && fr.getAs[Long]("tp") == 0L)
+    assert(fr.isNullAt(fr.fieldIndex("recall")) && fr.isNullAt(fr.fieldIndex("f1")))
+    assert(fr.getAs[Double]("precision") == 0.0)
+  }
+
+  // --- group shingle overlap ---
+
+  test("group overlap: asymmetric containment over distinct shingle sets") {
+    val docs = Seq(
+      ("a", "w x y z"),      // shingles: {w x y, x y z}
+      ("a", "w x y"),        // duplicate shingle within the group: distinct
+      ("b", "w x y q"),      // shares {w x y} with a; adds {x y q}
+      ("c", "p q r"),        // disjoint
+    ).toDF("src", "text")
+    val rows = graft.operators.Dedup
+      .groupShingleOverlap(docs, col("src"), col("text"), 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_common"), r.getAs[Double]("containment"))))
+      .toMap
+    // a has 2 distinct shingles, b has 2; they share exactly 1
+    assert(rows(("a", "b")) == ((2L, 1L, 0.5)))
+    assert(rows(("b", "a")) == ((2L, 1L, 0.5)))
+    assert(!rows.contains(("a", "c"))) // disjoint pairs emit nothing
+  }
+
   // --- matryoshka funnel ---
 
   test("matryoshka: full-width prefix with oversample 1 equals brute force") {
