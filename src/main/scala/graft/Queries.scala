@@ -1355,6 +1355,10 @@ object Queries {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("id").asc)))
         .select(col("id"), col("rank"))
+        // the 10-row run feeds BOTH ranking legs (and each leg twice in
+        // the correlation join): pin it once or the full BM25 retrieval
+        // pass re-executes per read
+        .localCheckpoint(false)
       val byLen = run
         .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
         .withColumn("rank", row_number().over(
