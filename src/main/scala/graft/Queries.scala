@@ -1161,6 +1161,19 @@ object Queries {
         .orderBy(col("hour_str"), col("event_type"))
     }),
 
+    // Windowed drift monitor: hourly event-type mix PSI'd against the
+    // global reference distribution — the vocabularyDrift fold per
+    // tumbling window, psi per window STAYING decimal. Stage 1 (the
+    // per-window counts) is the watermarkable streaming aggregation.
+    "e_windowed_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ref = ev
+        .groupBy(col("event_type").cast("string").as("category"))
+        .agg(count(lit(1)).as("ref_n"))
+      graft.streaming.EventStream.windowedDrift(
+        ev, col("event_type"), ref, windowLength = "1 hour")
+    }),
+
     // Streaming-family twin on an inline fixture (same tumbling-window agg,
     // SF-independent verification — see w3_top_rank_fx rationale).
     // Interval-join twin on an inline fixture (drives the real
@@ -3942,6 +3955,43 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
         |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    // Windowed-drift re-derivation: reference counts, per-hour folded
+    // counts, the full (window x category+<other>) grid, Laplace shares,
+    // decimal contributions, decimal per-window psi.
+    "e_windowed_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type::VARCHAR AS category, count(*)::BIGINT AS ref_n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |rs AS (SELECT count(*)::BIGINT AS n_cats, sum(ref_n)::BIGINT AS ref_total FROM ref),
+        |cnt AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    CASE WHEN event_type IN (SELECT category FROM ref)
+        |         THEN event_type::VARCHAR ELSE '<other>' END AS category,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |wins AS (SELECT w, sum(n)::BIGINT AS n_w FROM cnt GROUP BY w),
+        |space AS (
+        |  SELECT category, ref_n FROM ref
+        |  UNION ALL SELECT '<other>', 0::BIGINT),
+        |grid AS (
+        |  SELECT wins.w, wins.n_w, space.category, space.ref_n
+        |  FROM wins CROSS JOIN space),
+        |j AS (
+        |  SELECT g.w, g.n_w, g.category, g.ref_n, coalesce(cnt.n, 0)::BIGINT AS n
+        |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
+        |c AS (
+        |  SELECT w, category, n,
+        |    round(((n + 1)::DOUBLE / (n_w + n_cats + 1)
+        |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
+        |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
+        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))), 9)
+        |      ::DECIMAL(28,9) AS contrib
+        |  FROM j CROSS JOIN rs),
+        |p AS (SELECT w, sum(contrib)::DECIMAL(28,9) AS psi FROM c GROUP BY w)
+        |SELECT strftime(c.w, '%Y-%m-%d %H:%M') AS window_start, c.category, c.n,
+        |  c.contrib, p.psi
+        |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
 
     // Expected rows: user 1 converts twice inside 15 min, user 2 is 5 min
     // late, user 3 hits the inclusive boundary exactly.

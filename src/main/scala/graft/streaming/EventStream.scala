@@ -119,6 +119,80 @@ object EventStream {
         col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
   }
 
+  /** Per-window categorical distribution drift vs a fixed reference —
+    * the streaming drift monitor behind "did this hour's traffic mix
+    * shift from the trained distribution": for each tumbling event-time
+    * window, the PSI of `category`'s distribution against broadcast
+    * reference counts, with every non-reference category folded into an
+    * `<other>` bucket so no mass silently vanishes (the
+    * [[graft.operators.LanguageModel.vocabularyDrift]] fold, windowed).
+    *
+    * Laplace-smoothed shares over the |C|+1 slots are exact rationals;
+    * per-category contributions ride round-then-decimal-sum and the psi
+    * total STAYS DECIMAL (the r6 oracle discipline). Gate as in
+    * [[graft.operators.DataQuality.psiDrift]]: < 0.1 stable, > 0.25
+    * shifted.
+    *
+    * Scale/streaming shape: stage 1 — the per-(window, category) count —
+    * is a single watermarkable streaming aggregation (`window()` group);
+    * the PSI assembly is a tiny per-window re-aggregation over
+    * |C|+1-bounded rows, run batch-side (foreachBatch over the counts
+    * sink in a live stream, plain composition here). The reference is
+    * |C| rows, always broadcast.
+    *
+    * @param reference (category, ref_n) counts defining the expected mix
+    * @return one row per (window, category incl. `<other>`):
+    *         (window_start, category, n, contrib, psi), ordered */
+  def windowedDrift(
+      events: DataFrame,
+      category: org.apache.spark.sql.Column,
+      reference: DataFrame,
+      windowLength: String = "1 hour"): DataFrame = {
+    val ref = reference
+      .select(col("category").cast("string").as("category"),
+        col("ref_n").cast("long").as("ref_n"))
+      .filter(col("category").isNotNull)
+      .localCheckpoint(false) // sizes + grid both read it
+    val counts = events
+      .withColumn("_c", category.cast("string"))
+      .groupBy(window(col("ts"), windowLength).as("_w"), col("_c"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val refStats = ref.agg(
+      count(lit(1)).as("_n_cats"), sum(col("ref_n")).as("_ref_total"))
+    // fold non-reference categories (and NULL) into <other> per window
+    val folded = counts
+      .join(broadcast(ref.select(col("category").as("_c"), lit(1).as("_in_ref"))),
+        Seq("_c"), "left")
+      .withColumn("_cat",
+        when(col("_in_ref").isNotNull, col("_c")).otherwise(lit("<other>")))
+      .groupBy(col("_w"), col("_cat")).agg(sum(col("n")).as("n"))
+    val wins = folded.groupBy(col("_w")).agg(sum(col("n")).as("_n_w"))
+    val catSpace = ref.select(col("category"), col("ref_n"))
+      .unionByName(ref.sparkSession.range(1)
+        .select(lit("<other>").as("category"), lit(0L).as("ref_n")))
+    val grid = wins
+      .crossJoin(broadcast(catSpace))
+      .join(folded.withColumnRenamed("_cat", "category"), Seq("_w", "category"), "left")
+      .crossJoin(broadcast(refStats))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val slots = col("_n_cats") + lit(1L)
+    val p = (col("n") + lit(1L)).cast("double") / (col("_n_w") + slots)
+    val q = (col("ref_n") + lit(1L)).cast("double") / (col("_ref_total") + slots)
+    val withContrib = grid
+      .withColumn("contrib", round((p - q) * log(p / q), 9).cast("decimal(28,9)"))
+      .localCheckpoint(false)
+    val psi = withContrib.groupBy(col("_w"))
+      .agg(sum(col("contrib")).cast("decimal(28,9)").as("psi"))
+    withContrib
+      .join(psi, Seq("_w"))
+      // string-rendered window start: the proven cross-engine timestamp
+      // parity shape (e_stream_window precedent)
+      .select(date_format(col("_w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("category"), col("n"), col("contrib"), col("psi"))
+      .orderBy(col("window_start"), col("category"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, value: Double)
   final case class SessionState(n: Long, total: Double)
   final case class SessionUpdate(user_id: Long, n: Long, total: Double)

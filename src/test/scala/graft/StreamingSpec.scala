@@ -289,4 +289,60 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq((10L, 2L, 3.0), (20L, 1L, 5.0)))
   }
+
+  test("windowed drift: identical mix gives psi ~ smoothing-only; fold catches unknowns") {
+    def ev(id: Long, hour: Int, minute: Int, typ: String) =
+      (id, Timestamp.from(java.time.Instant.parse(
+        f"2024-01-01T$hour%02d:$minute%02d:00Z")), typ)
+    // hour 0 mirrors the reference mix exactly; hour 1 is all-"b" plus an
+    // unknown type that must fold into <other>
+    val events = (Seq(
+      ev(1, 0, 5, "a"), ev(2, 0, 10, "a"), ev(3, 0, 20, "b"),
+      ev(4, 1, 5, "b"), ev(5, 1, 10, "b"), ev(6, 1, 20, "zz"),
+    )).toDF("event_id", "ts", "event_type")
+    val ref = Seq(("a", 2L), ("b", 1L)).toDF("category", "ref_n")
+    val rows = EventStream.windowedDrift(events, col("event_type"), ref, "1 hour")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("psi")))).toMap
+    // category space per window = {a, b, <other>}, both windows complete
+    assert(rows.keySet == Set(
+      ("2024-01-01 00:00", "a"), ("2024-01-01 00:00", "b"), ("2024-01-01 00:00", "<other>"),
+      ("2024-01-01 01:00", "a"), ("2024-01-01 01:00", "b"), ("2024-01-01 01:00", "<other>")))
+    assert(rows(("2024-01-01 01:00", "<other>"))._1 == 1L) // zz folded
+    val psiSame = rows(("2024-01-01 00:00", "a"))._2.doubleValue
+    val psiShift = rows(("2024-01-01 01:00", "a"))._2.doubleValue
+    // hour 0 matches the reference mix exactly (shares identical, psi 0);
+    // hour 1's inverted mix must read clearly drifted
+    assert(math.abs(psiSame) < 1e-9, s"psiSame=$psiSame")
+    assert(psiShift > 0.25, s"psiShift=$psiShift")
+  }
+
+  test("windowed drift: stage-1 counts stream; batch assembly matches the batch twin") {
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:15:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:25:00.000Z","user_id":2,"event_type":"b","value":1.0}""",
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    // stage 1 as a live stream: the watermarkable per-(window, type) count
+    val q = EventStream.readEventStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drift_counts").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Paths.get(dir, "p2.json"),
+        """{"event_id":9,"ts":"2024-01-01T09:00:00.000Z","user_id":9,"event_type":"x","value":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_counts")
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .filter(col("w") < lit(Timestamp.from(java.time.Instant.parse("2024-01-01T09:00:00Z"))))
+      .collect().map(r => (r.getAs[Timestamp](0).toInstant.toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == Set(("2024-01-01T00:00:00Z", "a", 2L), ("2024-01-01T00:00:00Z", "b", 1L)))
+  }
 }
