@@ -155,9 +155,16 @@ object CorpusBench {
         col("text"), vocabSize = 2000)
         .select(col("js").cast("double")).limit(1).collect()(0).getDouble(0)
     }
+    // overlap matrix: the heaviest round-7 op — a distinct over ~n*58
+    // (group, shingle) rows then a shingle-keyed pair join (5 groups)
+    val (nOverlap, tOverlap) = time {
+      graft.operators.Dedup.groupShingleOverlap(
+        docs.withColumn("src", concat(lit("s"), col("id") % 5)),
+        col("src"), col("text"), shingleN = 3).count()
+    }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"overlap_pairs":$nOverlap,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f}}""")
     spark.stop()
   }
 }
