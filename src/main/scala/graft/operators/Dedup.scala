@@ -164,29 +164,37 @@ object Dedup {
     * both directions emit. Exact set arithmetic with one exactly-rounded
     * division; no estimate, no rounding discipline.
     *
-    * Scale shape: one distinct aggregation to (group, shingle), then a
-    * self-equi-join ON THE SHINGLE — each shingle expands to at most
-    * |groups|² pair rows (groups are few by construction: sources,
-    * splits, snapshots), so the join is linear in distinct shingles. A
-    * group-pair count aggregation and a broadcast of the |groups|-row
-    * size table finish it. The corpus never cross-joins.
+    * Scale shape: ONE heavy shuffle — a per-shingle `collect_set(group)`
+    * aggregation (map-side partial sets, so the exchange carries
+    * per-partition-distinct rows; state per shingle is bounded by
+    * |groups|, few by construction: sources, splits, snapshots).
+    * Everything downstream — per-group sizes, ordered-pair explosion
+    * (≤ |groups|² rows per SHARED shingle), the pair count — runs on the
+    * pinned set frame; the |groups|-row size table broadcasts back. The
+    * corpus never self-joins (the previous distinct + shingle-keyed
+    * self-join shape measured 3× slower at 500k docs: 28.9 s vs 9.0 s
+    * warm — the join shuffled the 29 M-row set frame twice).
     *
     * @return (group_a, group_b, n_a, n_common, containment) for every
     *         ordered pair with at least one shared shingle, ordered */
   def groupShingleOverlap(
       df: DataFrame, group: Column, text: Column, shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val gs = df
+    val bySh = df
       .select(group.cast("string").as("g"),
         explode(graft.functions.TextFunctions.wordShingles(text, shingleN)).as("sh"))
       .filter(col("g").isNotNull)
-      .distinct()
-      .localCheckpoint(false) // sizes + both join legs read it
-    val sizes = gs.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val common = gs.as("a")
-      .join(gs.as("b").withColumnRenamed("g", "g2"), Seq("sh"))
-      .filter(col("g") =!= col("g2"))
-      .groupBy(col("g").as("group_a"), col("g2").as("group_b"))
+      .groupBy(col("sh")).agg(collect_set(col("g")).as("gset"))
+      .localCheckpoint(false) // sizes + the pair explosion both read it
+    val sizes = bySh
+      .select(explode(col("gset")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val common = bySh
+      .filter(size(col("gset")) >= 2)
+      .select(explode(col("gset")).as("group_a"), col("gset"))
+      .select(col("group_a"), explode(col("gset")).as("group_b"))
+      .filter(col("group_a") =!= col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))), "group_a")
