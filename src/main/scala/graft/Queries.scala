@@ -1084,6 +1084,32 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual near-dup pairs over binary payloads: banded aHash
+    // (64 block bytes, mean-threshold bits, 4x16-bit LSH bands, exact
+    // Hamming verify; maxHamming 3 < 4 bands = pigeonhole-exact recall).
+    // The corpus = every "image" UNIONed with its 16x8 resized thumbnail
+    // (id + 1000000) — the aHash use case: each thumbnail must be found
+    // as a perceptual duplicate of its original (nearest-neighbor
+    // resampling commutes with block sampling, so hamming is exactly 0),
+    // and the oracle re-derives the thumbnails byte-for-byte.
+    "mm_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.operators.Multimodal.MediaRow(
+            id, "image", text.getBytes("UTF-8"), None, None, None)
+        }
+      val thumbs = graft.operators.Multimodal.resizeImages(media, dstW = 16, dstH = 8)
+        .toDF()
+        .select((col("media_id") + 1000000L).as("doc_id"), col("payload"))
+      val all = docs
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(thumbs)
+      graft.operators.Multimodal.aHashNearDupPairs(
+        all, col("doc_id"), col("payload"), maxHamming = 3)
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence; the
     // Structured Streaming path is exercised in the test suite).
     // Stream-stream interval join, batch twin (view -> purchase
@@ -4961,6 +4987,48 @@ object Queries {
         |       CAST((j*octet_length(text::BLOB))//64 AS BIGINT)*2+1, 2)
         |     for j in range(64)], 'string_agg', '')) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // aHash near-dup re-derivation: block bytes from hex slices (the
+    // mm_resize rule), mean-threshold band bits as exact integer sums,
+    // band-keyed candidate join, bit_count(xor) Hamming verify.
+    "mm_phash_neardup" -> {
+      def bandSql(k: Int) =
+        (0 until 16).map(j =>
+          s"(CASE WHEN 64*vals[${16 * k + j + 1}] > total THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH d0 AS (
+         |  SELECT doc_id AS id, hex(text::BLOB) AS h,
+         |    octet_length(text::BLOB)::BIGINT AS len
+         |  FROM documents WHERE octet_length(text::BLOB) > 0),
+         |dth AS (
+         |  SELECT id + 1000000 AS id,
+         |    list_aggregate([substring(h, CAST(((i*len)//128)*2+1 AS BIGINT), 2)
+         |                    for i in range(128)], 'string_agg', '') AS h,
+         |    128::BIGINT AS len
+         |  FROM d0),
+         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM dth),
+         |v AS (
+         |  SELECT id, [('0x' || substring(h, CAST(((j*len)//64)*2+1 AS BIGINT), 2))::BIGINT
+         |              for j in range(64)] AS vals
+         |  FROM d),
+         |tt AS (SELECT id, vals,
+         |  list_reduce(list_prepend(0::BIGINT, vals), (a,b) -> a+b) AS total FROM v),
+         |sg AS (SELECT id,
+         |  ${(0 until 4).map(k => s"(${bandSql(k)}) AS band_$k").mkString(",\n         |  ")}
+         |  FROM tt),
+         |bk AS (
+         |  ${(0 until 4).map(k => s"SELECT id, $k AS band, band_$k AS bv FROM sg")
+                .mkString("\n         |  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id),
+         |hm AS (
+         |  SELECT id_a, id_b,
+         |    (${(0 until 4).map(k => s"bit_count(xor(a.band_$k, b.band_$k))").mkString(" + ")})::BIGINT AS hamming
+         |  FROM cand JOIN sg a ON a.id = id_a JOIN sg b ON b.id = id_b)
+         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Frame i of n (= max(1, duration//100), duration = 1 ms/byte) is the
     // 24-byte payload slice at byte offset (i*len)//n — re-derived as a

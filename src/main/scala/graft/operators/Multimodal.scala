@@ -157,6 +157,92 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) perceptual signature bands over a binary
+    * payload — the image-near-dup primitive: block-resample the payload
+    * to 64 "pixels" (the [[stubResize]] nearest-neighbor rule, so a real
+    * decoder slots in by materializing a decoded gray8 column), set bit
+    * j iff block j is strictly brighter than the mean, and ship the
+    * 64-bit signature as FOUR 16-bit band integers — the banding IS the
+    * LSH key (near-dup images differ in few bits, so they collide on at
+    * least one intact band), and 16-bit ints sidestep 64-bit sign
+    * overflow in cross-engine SQL.
+    *
+    * Everything is exact integer arithmetic on byte values (the
+    * mean compare is `64·b_j > Σb` — no division), re-derivable
+    * bit-identically from hex-string slices like [[resizeImages]]'
+    * oracle. Pure projection: zero shuffle, whole-stage codegen.
+    *
+    * @return (id, len, band_0..band_3), empty payloads dropped (no
+    *         blocks — nothing to hash) */
+  def aHashSignatures(media: DataFrame, id: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column): DataFrame = {
+    val blocks = 64
+    val h = hex(payload)
+    val len = octet_length(payload).cast("long")
+    val base = media
+      .select(id.as("id"), h.as("_h"), len.as("_len"))
+      .filter(col("_len") > 0L)
+    val vals = array((0 until blocks).map { j =>
+      // block j's byte = payload[(j*len) div 64], read as a hex pair;
+      // `div` (not `/`) keeps the offset in exact integer arithmetic
+      conv(col("_h").substr(
+        expr(s"cast((($j * _len) div $blocks) * 2 + 1 as int)"),
+        lit(2)), 16, 10).cast("long")
+    }: _*)
+    val withVals = base
+      .withColumn("_vals", vals)
+      .withColumn("_total", aggregate(col("_vals"), lit(0L), (a, x) => a + x))
+    val bands = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(element_at(col("_vals"), 16 * k + j + 1) * lit(blocks.toLong) > col("_total"),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band_$k")
+    }
+    withVals.select(Seq(col("id"), col("_len").as("len")) ++ bands: _*)
+  }
+
+  /** Perceptual near-duplicate pairs by banded aHash: candidates collide
+    * on at least one exact 16-bit band (an equi-join on (band index,
+    * band value) — never an all-pairs scan), then verify by exact
+    * Hamming distance over all four bands (`bit_count(xor)`), keeping
+    * pairs within `maxHamming` of 64 bits.
+    *
+    * Recall contract: a pair differing in more than `maxHamming` bits is
+    * out by definition; a pair within it is FOUND iff some band is
+    * intact — guaranteed when maxHamming < 4 bands (pigeonhole: ≤ 3
+    * differing bits cannot touch all 4 bands), probabilistic above.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, ordered */
+  def aHashNearDupPairs(media: DataFrame, id: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"aHashNearDupPairs: maxHamming must be in [0, 64], got $maxHamming")
+    val sigs = aHashSignatures(media, id, payload)
+      .localCheckpoint(false) // band keys + both verify legs read it
+    val keyed = sigs.select(col("id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"band_$k").as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val candidates = keyed.as("l")
+      .join(keyed.as("r"), Seq("band", "bv"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val left = sigs.select(Seq(col("id").as("id_a")) ++
+      (0 until 4).map(k => col(s"band_$k").as(s"a_$k")): _*)
+    val right = sigs.select(Seq(col("id").as("id_b")) ++
+      (0 until 4).map(k => col(s"band_$k").as(s"b_$k")): _*)
+    candidates
+      .join(left, "id_a")
+      .join(right, "id_b")
+      .withColumn("hamming",
+        (0 until 4).map(k =>
+          bit_count(col(s"a_$k").bitwiseXOR(col(s"b_$k")))).reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Ingest a directory of media files as binary rows
     * (`spark.read.format("binaryFile")`). Partitioning follows the file
     * layout (binaryFile splits); type classification is a COLUMN

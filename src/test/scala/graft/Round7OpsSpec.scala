@@ -163,6 +163,42 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!rows.contains(("a", "c"))) // disjoint pairs emit nothing
   }
 
+  // --- perceptual (aHash) near-dup ---
+
+  test("aHash near-dup: identical and thumbnail payloads pair at hamming 0") {
+    import graft.operators.Multimodal
+    val orig = "the quick brown fox jumps over the lazy dog " * 8
+    val media = Seq(
+      (1L, orig.getBytes("UTF-8")),
+      (2L, Multimodal.stubResize(orig.getBytes("UTF-8"), 16, 8)), // thumbnail
+      (3L, ("completely different payload bytes zzzz " * 9).getBytes("UTF-8")),
+      (4L, Array.emptyByteArray), // empty: dropped, never pairs
+    ).toDF("id", "payload")
+    val pairs = Multimodal.aHashNearDupPairs(media, col("id"), col("payload"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSeq
+    // resampling commutes with block sampling: the thumbnail IS the original
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashNearDupPairs(media, col("id"), col("payload"), maxHamming = 65)
+    }
+  }
+
+  test("aHash signatures: bands are 16-bit, deterministic, layout-invariant") {
+    import graft.operators.Multimodal
+    val media = (1L to 30L)
+      .map(i => (i, (s"payload number $i with some shared structure " * 6).getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val one = Multimodal.aHashSignatures(media.coalesce(1), col("id"), col("payload"))
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val many = Multimodal.aHashSignatures(media.repartition(7), col("id"), col("payload"))
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    assert(one == many)
+    assert(one.forall(r => (2 to 5).forall(i =>
+      r(i).asInstanceOf[Long] >= 0L && r(i).asInstanceOf[Long] <= 0xFFFFL)))
+  }
+
   // --- matryoshka funnel ---
 
   test("matryoshka: full-width prefix with oversample 1 equals brute force") {
