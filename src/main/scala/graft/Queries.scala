@@ -1049,6 +1049,37 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization (native codegen kernel) over the
+    // corpus — two INDEPENDENT NFC implementations (java.text.Normalizer
+    // vs DuckDB nfc_normalize) must agree on every document.
+    "txt_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextFunctions.nfcNormalize(col("text"))).as("norm_md5"),
+          (TextFunctions.nfcNormalize(col("text")) <=> col("text")).as("unchanged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixture twin with REAL normalization work: decomposed combining
+    // sequences, an already-composed twin, the ASCII fast path, and the
+    // U+212B angstrom-sign canonical singleton.
+    "txt_normalize_fx" -> ((s, _) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val rows = Seq(
+        (1L, "Café au lait"),   // e + combining acute -> é
+        (2L, "Café au lait"),    // already composed: unchanged
+        (3L, "plain ascii"),          // ascii fast path
+        (4L, "Å ring"),         // A + combining ring -> Å
+        (5L, "Å angstrom sign"), // singleton: -> Å
+      ).toDF("id", "text")
+      rows.select(col("id"),
+        TextFunctions.nfcNormalize(col("text")).as("norm"),
+        (TextFunctions.nfcNormalize(col("text")) === col("text")).as("unchanged"))
+        .orderBy(col("id"))
+    }),
+
     // Language-ID heuristic (stopword-lexicon argmax).
     "txt_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3860,6 +3891,26 @@ object Queries {
         |  sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass,
         |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // NFC parity: DuckDB's nfc_normalize is an INDEPENDENT Unicode NFC
+    // implementation — agreement cross-validates both engines' tables.
+    "txt_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+        |  nfc_normalize(text) IS NOT DISTINCT FROM text AS unchanged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Fixture twin: chr() builds the decomposed inputs so the SQL text
+    // stays ASCII; codes 769=U+0301, 233=U+00E9, 778=U+030A, 8491=U+212B.
+    "txt_normalize_fx" ->
+      """WITH d(id, text) AS (VALUES
+        |  (1, 'Cafe' || chr(769) || ' au lait'),
+        |  (2, 'Caf' || chr(233) || ' au lait'),
+        |  (3, 'plain ascii'),
+        |  (4, 'A' || chr(778) || ' ring'),
+        |  (5, chr(8491) || ' angstrom sign'))
+        |SELECT id::BIGINT AS id, nfc_normalize(text) AS norm,
+        |  nfc_normalize(text) = text AS unchanged
+        |FROM d ORDER BY id""".stripMargin,
 
     "txt_langid" ->
       """WITH tk AS (

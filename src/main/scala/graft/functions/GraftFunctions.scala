@@ -15,6 +15,7 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     VectorExprs.register(spark)
     WordShinglesExpr.register(spark)
+    NfcNormalizeExpr.register(spark)
     ArgMinCellExpr.register(spark)
     EncodePeptidoformExpr.register(spark)
     ModsToStructsExpr.register(spark)

@@ -42,6 +42,12 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     WordShinglesExpr.shinglesCol(text, n)
 
+  /** Unicode NFC canonicalization (native codegen kernel,
+    * [[NfcNormalizeExpr]]) — run BEFORE any dedup/fingerprint/tokenize
+    * stage so composed and decomposed spellings of the same grapheme
+    * cannot dodge an exact or near-dup match. */
+  def nfcNormalize(text: Column): Column = NfcNormalizeExpr.normalizeCol(text)
+
   /** The higher-order-function form of [[wordShingles]] — interpreted
     * lambdas per window; kept as the reference semantics and fallback. */
   def wordShinglesHof(text: Column, n: Int): Column = {

@@ -163,6 +163,38 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!rows.contains(("a", "c"))) // disjoint pairs emit nothing
   }
 
+  // --- NFC normalization kernel ---
+
+  test("nfc kernel: composes decomposed sequences, identity on ascii/NFC text") {
+    import graft.functions.TextFunctions
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (1L, "Café"), (2L, "Café"), (3L, "ascii only"),
+      (4L, "Å"), (5L, "Å"), (6L, null.asInstanceOf[String]),
+    ).toDF("id", "text")
+    val got = rows.select(col("id"), TextFunctions.nfcNormalize(col("text")).as("n"))
+      .orderBy(col("id")).collect().map(r => Option(r.getString(1))).toSeq
+    // reference: java.text.Normalizer on the same inputs
+    assert(got == Seq(Some("Café"), Some("Café"), Some("ascii only"),
+      Some("Å"), Some("Å"), None))
+    // normalized twins now hash-collide — the dedup motivation
+    val fps = rows.filter(col("id") <= 2)
+      .select(md5(TextFunctions.nfcNormalize(col("text")))).distinct().count()
+    assert(fps == 1L)
+  }
+
+  test("nfc kernel: stays inside whole-stage codegen") {
+    import graft.functions.TextFunctions
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = spark.range(10).select(
+      TextFunctions.nfcNormalize(concat(lit("x́"), col("id"))).as("n"))
+    val codegenned = df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenned.isDefined, df.queryExecution.executedPlan.toString)
+    assert(df.distinct().count() == 10)
+  }
+
   // --- perceptual (aHash) near-dup ---
 
   test("aHash near-dup: identical and thumbnail payloads pair at hamming 0") {
