@@ -721,6 +721,17 @@ object Queries {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // Binned two-sample KS drift on n_chars between corpus halves — the
+    // no-smoothing, no-transcendental distribution test: exact integer
+    // CDF sums, single divisions, max. Window runs over 12 summary rows.
+    "dq_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
+    }),
+
     // Chi-square independence between corpus facets (source × lang):
     // observed cells + independence expectations, chi2 via the closed
     // form Σ o²/e − n (absent cells never materialized), 9-dp
@@ -3051,6 +3062,45 @@ object Queries {
         |p AS (SELECT sum(contrib)::DECIMAL(28,9) AS psi FROM c)
         |SELECT c.bucket, c.n_a, c.n_b, c.contrib, p.psi
         |FROM c CROSS JOIN p ORDER BY bucket""".stripMargin,
+
+    // KS re-derivation: the psi binning CTEs, running-sum CDFs (exact
+    // integers), single divisions, abs-difference, max — no rounding
+    // discipline anywhere.
+    "dq_ks_drift" ->
+      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
+        |ba AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
+        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
+        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
+        |  LEFT JOIN bb ON bb.bucket = b.bucket),
+        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
+        |cd AS (
+        |  SELECT bucket, n_a, n_b,
+        |    sum(n_a) OVER (ORDER BY bucket)::BIGINT AS cum_a,
+        |    sum(n_b) OVER (ORDER BY bucket)::BIGINT AS cum_b
+        |  FROM j),
+        |w2 AS (
+        |  SELECT cd.bucket, cd.n_a, cd.n_b, cd.cum_a, cd.cum_b,
+        |    cum_a::DOUBLE / t.t_a::DOUBLE AS cdf_a,
+        |    cum_b::DOUBLE / t.t_b::DOUBLE AS cdf_b,
+        |    abs(cum_a::DOUBLE / t.t_a::DOUBLE - cum_b::DOUBLE / t.t_b::DOUBLE) AS d
+        |  FROM cd CROSS JOIN t),
+        |k AS (SELECT max(d) AS ks FROM w2)
+        |SELECT w2.bucket, w2.n_a, w2.n_b, w2.cum_a, w2.cum_b,
+        |  w2.cdf_a, w2.cdf_b, w2.d, k.ks
+        |FROM w2 CROSS JOIN k ORDER BY bucket""".stripMargin,
 
     // Chi-square re-derivation: observed cells, marginals, expectation
     // (rt*ct)::DOUBLE/n, contributions and closed-form terms rounded to

@@ -86,6 +86,70 @@ object DataQuality {
       .orderBy(col("bucket"))
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic — the
+    * distribution-shift test that, unlike [[psiDrift]], needs NO
+    * smoothing and carries NO transcendental: with the same clamped
+    * equal-width binning,
+    *
+    *   ks = max_b | F_a(b) - F_b(b) |
+    *
+    * over the binned empirical CDFs. Cumulative counts are exact
+    * integers (a running-sum window over `buckets` rows), each CDF value
+    * is ONE exactly-rounded division, the difference and max are exact —
+    * bit-identical cross-engine with no rounding discipline at all.
+    * Classical gate at 5%: ks > 1.358·sqrt((n_a+n_b)/(n_a·n_b)).
+    *
+    * Scale shape: one aggregation per side (map-side combined, `buckets`
+    * rows out); the window runs over the `buckets`-row frame, never the
+    * input. Empty sides are rejected loudly (an empty CDF is undefined).
+    *
+    * @return one row per bin: (bucket, n_a, n_b, cum_a, cum_b, cdf_a,
+    *         cdf_b, d) plus the constant `ks`, ordered by bucket. */
+  def ksDrift(
+      a: DataFrame, b: DataFrame, c: Column,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"ksDrift: buckets must be >= 2, got $buckets")
+    require(hi > lo, s"ksDrift: need hi > lo, got [$lo, $hi)")
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .select(c.cast("double").as("_x")).filter(col("_x").isNotNull)
+      .select(least(lit(buckets - 1), greatest(lit(0),
+        floor((col("_x") - lit(lo)) * lit(buckets) / lit((hi - lo).toDouble)).cast("int")))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val bins = a.sparkSession.range(buckets).select(col("id").cast("int").as("bucket"))
+    val joined = bins
+      .join(binned(a, "n_a"), Seq("bucket"), "left")
+      .join(binned(b, "n_b"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // the window frame is the buckets-row summary, never the input
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = joined.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val cdfed = joined
+      .withColumn("cum_a", sum(col("n_a")).over(w))
+      .withColumn("cum_b", sum(col("n_b")).over(w))
+      .crossJoin(broadcast(totals))
+      // the emptiness guard rides INSIDE the surviving cdf columns — a
+      // standalone guard column would be pruned away unevaluated
+      .withColumn("cdf_a", col("cum_a").cast("double") /
+        when(col("t_a") > 0L, col("t_a")).otherwise(
+          raise_error(lit("ksDrift: both sides must be non-empty"))).cast("double"))
+      .withColumn("cdf_b", col("cum_b").cast("double") /
+        when(col("t_b") > 0L, col("t_b")).otherwise(
+          raise_error(lit("ksDrift: both sides must be non-empty"))).cast("double"))
+      .withColumn("d", abs(col("cdf_a") - col("cdf_b")))
+      .localCheckpoint(false)
+    val ks = cdfed.agg(max(col("d")).as("ks"))
+    cdfed
+      .select(col("bucket"), col("n_a"), col("n_b"), col("cum_a"), col("cum_b"),
+        col("cdf_a"), col("cdf_b"), col("d"))
+      .crossJoin(broadcast(ks))
+      .orderBy(col("bucket"))
+  }
+
   /** Chi-square independence test between two categorical columns — the
     * profiling check for suspicious correlation between corpus facets
     * (source × language, split × label): observed cell counts vs the

@@ -60,6 +60,30 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ks drift: identical snapshots give 0; disjoint halves give 1; exact CDF math") {
+    val a = (1 to 100).map(i => (i % 50).toLong).toDF("x")
+    val same = DataQuality.ksDrift(a, a, col("x"), 0L, 100L, 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getAs[Double]("ks") == 0.0))
+    // disjoint supports: a lives in [0,50), b in [50,100) — some prefix
+    // of bins holds ALL of a and NONE of b, so ks is exactly 1
+    val b = (1 to 80).map(i => (50 + i % 50).toLong).toDF("x")
+    val rows = DataQuality.ksDrift(a, b, col("x"), 0L, 100L, 10).collect()
+    assert(rows.head.getAs[Double]("ks") == 1.0)
+    // exact CDF at bin 4 (covers values < 50): all of a, none of b
+    val bin4 = rows.find(_.getInt(0) == 4).get
+    assert(bin4.getAs[Long]("cum_a") == 100L && bin4.getAs[Long]("cum_b") == 0L)
+    assert(bin4.getAs[Double]("cdf_a") == 1.0 && bin4.getAs[Double]("cdf_b") == 0.0)
+    val one = DataQuality.ksDrift(a.coalesce(1), b, col("x"), 0L, 100L, 10).collect().toSeq
+    val many = DataQuality.ksDrift(a.repartition(5), b.repartition(3),
+      col("x"), 0L, 100L, 10).collect().toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] { DataQuality.ksDrift(a, b, col("x"), 0L, 0L, 10) }
+    intercept[Exception] { // loud on an empty side, not a silent NULL CDF
+      DataQuality.ksDrift(a.filter(col("x") < -1), b, col("x"), 0L, 100L, 10).collect()
+    }
+  }
+
   test("chi-square: hand-computed 2x2, closed form matches the definition") {
     val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
       Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))).toDF("r0", "c0")
