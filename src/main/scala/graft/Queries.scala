@@ -917,6 +917,19 @@ object Queries {
         lo = -0.5, hi = 0.5, buckets = 10)
     }),
 
+    // Binned ROC-AUC for the same scorer/outcome as dq_calibration —
+    // ranking quality next to probability quality. The trapezoid
+    // numerator is EXACT BIGINT until one trailing division.
+    "dq_binned_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = graft.operators.QualityModel.scoreDocs(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("score"))
+      val lab = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("y"))
+      graft.operators.DataQuality.binnedAuc(
+        sc.join(lab, Seq("id")), col("score"), col("y"),
+        lo = -0.5, hi = 0.5, buckets = 10)
+    }),
+
     // Tokenizer-coverage audit: per-doc OOV rate under the top-20 corpus
     // vocabulary (11 of 31 terms fall outside the cap, so real OOV mass);
     // vocab broadcast, corpus never shuffles by content.
@@ -3553,6 +3566,53 @@ object Queries {
     // Calibration: the txt_quality_model score CTE joined to the lang=en
     // label, psi-style clamped binning, round-then-decimal-summed mean
     // scores, single trailing divisions.
+    // Binned-AUC re-derivation: the calibration score CTEs, full bin
+    // spine, descending cumulative TP/FP, the exact BIGINT trapezoid
+    // numerator, one trailing division.
+    "dq_binned_auc" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
+         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
+         |      FROM tok),
+         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id AS id,
+         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+         |         ELSE sw::DOUBLE / 1000.0 / n END AS score
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |lab AS (SELECT doc_id AS id, (lang = 'en') AS y FROM documents),
+         |j AS (
+         |  SELECT sc.score AS sv, lab.y FROM sc JOIN lab USING (id)
+         |  WHERE sc.score IS NOT NULL AND lab.y IS NOT NULL),
+         |g AS (
+         |  SELECT least(9, greatest(0,
+         |      floor((sv - '-0.5'::DOUBLE) * '10.0'::DOUBLE / '1.0'::DOUBLE)::INT)) AS bucket,
+         |    sum(y::INT)::BIGINT AS n_pos, sum((NOT y)::INT)::BIGINT AS n_neg
+         |  FROM j GROUP BY 1),
+         |spine AS (
+         |  SELECT b.bucket, coalesce(g.n_pos, 0)::BIGINT AS n_pos,
+         |    coalesce(g.n_neg, 0)::BIGINT AS n_neg
+         |  FROM (SELECT unnest(range(10)) AS bucket) b
+         |  LEFT JOIN g ON g.bucket = b.bucket),
+         |t AS (SELECT sum(n_pos)::BIGINT AS p, sum(n_neg)::BIGINT AS nn FROM spine),
+         |c AS (
+         |  SELECT bucket, n_pos, n_neg,
+         |    sum(n_pos) OVER (ORDER BY bucket DESC)::BIGINT AS cum_tp,
+         |    sum(n_neg) OVER (ORDER BY bucket DESC)::BIGINT AS cum_fp,
+         |    (n_neg * (2 * (sum(n_pos) OVER (ORDER BY bucket DESC) - n_pos) + n_pos))::BIGINT
+         |      AS term
+         |  FROM spine),
+         |a AS (SELECT (sum(term)::DOUBLE / (2 * t.p * t.nn)::DOUBLE) AS auc
+         |      FROM c CROSS JOIN t GROUP BY t.p, t.nn)
+         |SELECT c.bucket, c.n_pos, c.n_neg, c.cum_tp, c.cum_fp,
+         |  c.cum_tp::DOUBLE / t.p::DOUBLE AS tpr,
+         |  c.cum_fp::DOUBLE / t.nn::DOUBLE AS fpr,
+         |  a.auc
+         |FROM c CROSS JOIN t CROSS JOIN a ORDER BY bucket DESC""".stripMargin,
+
     "dq_calibration" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t

@@ -150,6 +150,75 @@ object DataQuality {
       .orderBy(col("bucket"))
   }
 
+  /** Binned ROC-AUC for a scored binary outcome — the ranking-quality
+    * gate for a corpus quality model (complementing
+    * [[calibrationReport]]'s probability-quality view): scores bin into
+    * clamped equal-width buckets, predicted-positive-first means
+    * descending buckets, and the AUC is the trapezoid area over the
+    * binned ROC — computed as an EXACT INTEGER numerator:
+    *
+    *   auc = Σ_b fp_b · (2·cumTP_{before b} + tp_b)  /  (2·P·N)
+    *
+    * (within-bucket score ties contribute the standard half credit).
+    * Everything is BIGINT until the single trailing division, so the
+    * result is bit-identical cross-engine with no rounding discipline —
+    * and partitioning-independent by construction. BIGINT-exact to
+    * P·N < 2^63 (n ≈ 3·10⁹; cast to DECIMAL beyond, as [[cohenKappa]]).
+    *
+    * Scale shape: ONE map-side-combined aggregation to `buckets` rows;
+    * the cumulative window runs over that summary frame, never the
+    * input. Rows with NULL score or label are excluded (they rank
+    * nothing); an input with no positives or no negatives raises loudly
+    * (AUC undefined).
+    *
+    * @return one row per bucket, descending score order: (bucket, n_pos,
+    *         n_neg, cum_tp, cum_fp, tpr, fpr) plus the constant `auc`. */
+  def binnedAuc(
+      df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"binnedAuc: buckets must be >= 2, got $buckets")
+    require(hi > lo, s"binnedAuc: need hi > lo, got [$lo, $hi)")
+    val binnedCounts = df
+      .select(score.cast("double").as("_s"), label.cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+      .groupBy(least(lit(buckets - 1), greatest(lit(0),
+        floor((col("_s") - lit(lo)) * lit(buckets.toDouble) / lit(hi - lo)).cast("int")))
+        .as("bucket"))
+      .agg(
+        sum(when(col("_y"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("_y"), lit(0L)).otherwise(lit(1L))).as("n_neg"))
+    val bins = df.sparkSession.range(buckets).select(col("id").cast("int").as("bucket"))
+    val joined = bins.join(binnedCounts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = joined.agg(sum(col("n_pos")).as("_p"), sum(col("n_neg")).as("_n"))
+    val cum = joined
+      .withColumn("cum_tp", sum(col("n_pos")).over(wDesc))
+      .withColumn("cum_fp", sum(col("n_neg")).over(wDesc))
+      // exact per-bucket trapezoid term: fp · (2·cumTP_before + tp)
+      .withColumn("_term",
+        col("n_neg") * (lit(2L) * (col("cum_tp") - col("n_pos")) + col("n_pos")))
+      .crossJoin(broadcast(totals))
+      .localCheckpoint(false)
+    def pos = when(col("_p") > 0L, col("_p")).otherwise(
+      raise_error(lit("binnedAuc: need at least one positive and one negative")))
+    def neg = when(col("_n") > 0L, col("_n")).otherwise(
+      raise_error(lit("binnedAuc: need at least one positive and one negative")))
+    val auc = cum.agg(
+      (sum(col("_term")).cast("double") /
+        (lit(2L) * first(pos) * first(neg)).cast("double")).as("auc"))
+    cum
+      .select(col("bucket"), col("n_pos"), col("n_neg"), col("cum_tp"), col("cum_fp"),
+        (col("cum_tp").cast("double") / pos.cast("double")).as("tpr"),
+        (col("cum_fp").cast("double") / neg.cast("double")).as("fpr"))
+      .crossJoin(broadcast(auc))
+      .orderBy(col("bucket").desc)
+  }
+
   /** Chi-square independence test between two categorical columns — the
     * profiling check for suspicious correlation between corpus facets
     * (source × language, split × label): observed cell counts vs the

@@ -84,6 +84,33 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("binned auc: perfect separation 1, anti-separation 0, within-bucket ties half") {
+    def df(rows: Seq[(Double, Boolean)]) = rows.toDF("s", "y")
+    // positives all score high, negatives low, distinct buckets
+    val perfect = df(Seq((0.9, true), (0.8, true), (0.1, false), (0.2, false)))
+    assert(DataQuality.binnedAuc(perfect, col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().head.getAs[Double]("auc") == 1.0)
+    val inverted = df(Seq((0.1, true), (0.2, true), (0.9, false), (0.8, false)))
+    assert(DataQuality.binnedAuc(inverted, col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().head.getAs[Double]("auc") == 0.0)
+    // everything in ONE bucket: pure tie -> exactly 0.5
+    val tied = df(Seq((0.55, true), (0.55, false), (0.55, true), (0.55, false)))
+    assert(DataQuality.binnedAuc(tied, col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().head.getAs[Double]("auc") == 0.5)
+    // layout invariance + loud failure without both classes
+    val one = DataQuality.binnedAuc(perfect.coalesce(1), col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().toSeq
+    val many = DataQuality.binnedAuc(perfect.repartition(5), col("s"), col("y"), 0.0, 1.0, 10)
+      .collect().toSeq
+    assert(one == many)
+    intercept[Exception] {
+      DataQuality.binnedAuc(df(Seq((0.5, true))), col("s"), col("y"), 0.0, 1.0, 10).collect()
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.binnedAuc(perfect, col("s"), col("y"), 1.0, 1.0, 10)
+    }
+  }
+
   test("chi-square: hand-computed 2x2, closed form matches the definition") {
     val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
       Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))).toDF("r0", "c0")
