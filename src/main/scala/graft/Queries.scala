@@ -917,6 +917,16 @@ object Queries {
         lo = -0.5, hi = 0.5, buckets = 10)
     }),
 
+    // Per-source langid ACCURACY with Wilson 95% bounds — rate plus
+    // uncertainty in one exactly-rounded IEEE chain (sqrt included).
+    "dq_rate_wilson" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.rateWithWilson(
+        docs.select(col("source"),
+          (TextFunctions.langIdHeuristic(col("text")) <=> col("lang")).as("ok")),
+        col("source"), col("ok"))
+    }),
+
     // Binned ROC-AUC for the same scorer/outcome as dq_calibration —
     // ranking quality next to probability quality. The trapezoid
     // numerator is EXACT BIGINT until one trailing division.
@@ -3566,6 +3576,45 @@ object Queries {
     // Calibration: the txt_quality_model score CTE joined to the lang=en
     // label, psi-style clamped binning, round-then-decimal-summed mean
     // scores, single trailing divisions.
+    // Wilson re-derivation: langid prediction CTEs carrying source, one
+    // accuracy agg, then the interval chain in the engine's association
+    // order (every op exactly-rounded IEEE, sqrt included).
+    "dq_rate_wilson" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT source, lang,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
+        |  FROM b),
+        |g AS (
+        |  SELECT source::VARCHAR AS "group", count(*)::BIGINT AS n,
+        |    sum((p IS NOT DISTINCT FROM lang)::INT)::BIGINT AS k
+        |  FROM pr GROUP BY 1),
+        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
+        |c3 AS (SELECT *,
+        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
+        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
+        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
+        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
+        |SELECT "group", n, k, p AS rate,
+        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
+        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
+        |FROM c3 ORDER BY "group"""".stripMargin,
+
     // Binned-AUC re-derivation: the calibration score CTEs, full bin
     // spine, descending cumulative TP/FP, the exact BIGINT trapezoid
     // numerator, one trailing division.

@@ -409,6 +409,42 @@ object DataQuality {
       .orderBy(col("bucket"))
   }
 
+  /** Per-group rate with Wilson score interval — the "error rate with
+    * uncertainty" report (annotation QA, per-source defect rates, A/B
+    * gate readouts): for each group, the success share p̂ = k/n and the
+    * Wilson 95% bounds
+    *
+    *   (p̂ + z²/2n ± z·sqrt(p̂(1-p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * with z = 1.96 literal. Every step — including sqrt — is an
+    * exactly-rounded IEEE op over exact inputs in a fixed association
+    * order, so the bounds are bit-identical cross-engine with no
+    * rounding discipline (the Wald interval's well-known n·p̂ > 5
+    * fragility is why Wilson is the default here). NULL predicates count
+    * as failures (same posture as [[expectationReport]]).
+    *
+    * Scale shape: ONE map-side-combined aggregation; groups-row output.
+    *
+    * @return one row per group: (group, n, k, rate, lo, hi), ordered */
+  def rateWithWilson(df: DataFrame, group: Column, success: Column): DataFrame = {
+    val z = lit(1.96)
+    val agg = df
+      .groupBy(group.cast("string").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(coalesce(success, lit(false)), lit(1L)).otherwise(lit(0L))).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val z2 = z * z
+    val center = p + z2 / (lit(2.0) * n)
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * (n * n)))
+    val denom = lit(1.0) + z2 / n
+    agg
+      .withColumn("rate", p)
+      .withColumn("lo", greatest(lit(0.0), (center - half) / denom))
+      .withColumn("hi", least(lit(1.0), (center + half) / denom))
+      .orderBy(col("group"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * labelings of the same rows (two annotators, or a heuristic labeler
     * vs gold labels — the standard label-quality gate before training on

@@ -84,6 +84,32 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("wilson rate: hand-checked bounds, degenerate rates stay clamped, NULL fails") {
+    val df = (Seq.fill(80)(("g1", Some(true))) ++ Seq.fill(20)(("g1", Some(false))) ++
+      Seq.fill(5)(("g2", Some(true))) ++
+      Seq.fill(4)(("g3", Some(false))) ++ Seq(("g3", None))).toDF("g", "ok")
+    val rows = DataQuality.rateWithWilson(df, col("g"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Double]("rate"),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    // g1: 80/100 — canonical Wilson bounds around 0.8
+    val (n1, k1, r1, lo1, hi1) = rows("g1")
+    assert(n1 == 100L && k1 == 80L && r1 == 0.8)
+    assert(lo1 > 0.70 && lo1 < 0.8 && hi1 > 0.8 && hi1 < 0.88)
+    // hand-replay the exact chain for the lower bound
+    val z2 = 1.96 * 1.96
+    val p = 80.0 / 100.0; val nd = 100.0
+    val center = p + z2 / (2.0 * nd)
+    val half = 1.96 * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * (nd * nd)))
+    assert(lo1 == math.max(0.0, (center - half) / (1.0 + z2 / nd)))
+    // g2: all successes — rate 1, hi clamps to 1, lo strictly below 1
+    val (_, _, r2, lo2, hi2) = rows("g2")
+    assert(r2 == 1.0 && hi2 == 1.0 && lo2 < 1.0 && lo2 > 0.4)
+    // g3: NULL predicate counts as failure -> k=0 of 5
+    val (n3, k3, r3, lo3, _) = rows("g3")
+    assert(n3 == 5L && k3 == 0L && r3 == 0.0 && lo3 == 0.0)
+  }
+
   test("binned auc: perfect separation 1, anti-separation 0, within-bucket ties half") {
     def df(rows: Seq[(Double, Boolean)]) = rows.toDF("s", "y")
     // positives all score high, negatives low, distinct buckets
