@@ -92,8 +92,20 @@ object TemporalBench {
         maxDistance = 1, maxBlockSize = 10000).count()
     }
 
+    // streaming drift monitor at fact scale: hourly event-type mix vs the
+    // global reference over 20M events (720 windows x 5 categories)
+    val (nDrift, tDrift) = time {
+      val typed = events.select(
+        org.apache.spark.sql.functions.timestamp_micros(col("tsu")).as("ts"),
+        concat(lit("t"), pmod(xxhash64(col("event_id") + 23), lit(5))).as("event_type"))
+      val ref = typed.groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("ref_n"))
+      graft.streaming.EventStream.windowedDrift(
+        typed, col("event_type"), ref, windowLength = "1 hour").count()
+    }
+
     println(
-      f"""{"metric":"temporal_bench","n_events":$n,"asof_matched":$nAsof,"nearest_matched":$nNearest,"lookup_matched":$nLookup,"range_pairs":$nRange,"er_pairs":$nPairs,"sec":{"asof":$tAsof%.1f,"asof_nearest":$tNearest%.1f,"asof_lookup":$tLookup%.1f,"range_join":$tRange%.1f,"entity_pairs":$tEr%.1f}}""")
+      f"""{"metric":"temporal_bench","n_events":$n,"asof_matched":$nAsof,"nearest_matched":$nNearest,"lookup_matched":$nLookup,"range_pairs":$nRange,"er_pairs":$nPairs,"drift_rows":$nDrift,"sec":{"asof":$tAsof%.1f,"asof_nearest":$tNearest%.1f,"asof_lookup":$tLookup%.1f,"range_join":$tRange%.1f,"entity_pairs":$tEr%.1f,"windowed_drift":$tDrift%.1f}}""")
     spark.stop()
   }
 }
