@@ -1487,6 +1487,31 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Split-leakage audit: near-dup pairs (the dd_minhash_lsh derivation)
+    // crossing the 80/10/10 hash-split boundaries — the doc-level
+    // train/test contamination check a group-level overlap matrix can't
+    // see. One broadcast of the tiny split assignment per pair side;
+    // ordered (split_a <= split_b) so each unordered pairing counts once.
+    "tdp_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val splits = graft.operators.Curation.hashSplit(
+        docs.select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("_sa")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("_sb")), "id_b")
+        .select(least(col("_sa"), col("_sb")).as("split_a"),
+          greatest(col("_sa"), col("_sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("crosses_split", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // Snapshot diff between two corpus versions: only (id, md5) shuffles,
     // never document bodies. The two versions derive deterministically
     // from the documents table (drop-by-modulus + an edit marker).
@@ -4701,6 +4726,54 @@ object Queries {
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // Split-leakage re-derivation: the dd_minhash_lsh pair CTEs + the
+    // tdp_hash_split assignment, joined and counted per split pairing.
+    "tdp_split_leakage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id_a
+         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+         |  GROUP BY id_a, id_b),
+         |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+         |    FROM documents)),
+         |lab AS (
+         |  SELECT least(sa.split, sb.split) AS split_a,
+         |    greatest(sa.split, sb.split) AS split_b
+         |  FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b)
+         |SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+         |  split_a <> split_b AS crosses_split
+         |FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
 
     // reviewed pin (gen_values_oracle): newest (7 occurrences, the most
     // frequent word) merges to one token; widest only reaches est</w>
