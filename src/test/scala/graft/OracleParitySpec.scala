@@ -71,6 +71,14 @@ class OracleParitySpec extends AnyFunSuite {
       "rrf score is an exact small-rational sum rendered round(.., 9) on both engines",
   )
 
+  test("registry is closed: every query has an oracle and every oracle a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle (driver records only a " +
+      s"weak rows-only check): ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("no oracle re-converts a decimal sum to DOUBLE") {
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) if !isValuesPin(sql) =>
