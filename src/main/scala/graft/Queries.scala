@@ -5285,14 +5285,15 @@ object Queries {
          |  FROM documents WHERE octet_length(text::BLOB) > 0),
          |dth AS (
          |  SELECT id + 1000000 AS id,
-         |    list_aggregate([substring(h, CAST(((i*len)//128)*2+1 AS BIGINT), 2)
-         |                    for i in range(128)], 'string_agg', '') AS h,
+         |    list_aggregate(list_transform(range(128),
+         |      i -> substring(h, CAST(((i*len)//128)*2+1 AS BIGINT), 2)),
+         |      'string_agg', '') AS h,
          |    128::BIGINT AS len
          |  FROM d0),
          |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM dth),
          |v AS (
-         |  SELECT id, [('0x' || substring(h, CAST(((j*len)//64)*2+1 AS BIGINT), 2))::BIGINT
-         |              for j in range(64)] AS vals
+         |  SELECT id, list_transform(range(64),
+         |    j -> ('0x' || substring(h, CAST(((j*len)//64)*2+1 AS BIGINT), 2))::BIGINT) AS vals
          |  FROM d),
          |tt AS (SELECT id, vals,
          |  list_reduce(list_prepend(0::BIGINT, vals), (a,b) -> a+b) AS total FROM v),
