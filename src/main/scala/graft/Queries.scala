@@ -1114,6 +1114,23 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Fixture twin of e_windowed_drift (events is the historically most
+    // regeneration-prone table): hour 0 mirrors the reference mix
+    // exactly (psi 0), hour 1 inverts it and adds an unknown type that
+    // must fold into <other>.
+    "e_windowed_drift_fx" -> ((s, _) => {
+      import s.implicits._
+      val ev = Seq(
+        (1L, "2024-01-01 00:05:00", "a"), (2L, "2024-01-01 00:10:00", "a"),
+        (3L, "2024-01-01 00:20:00", "b"),
+        (4L, "2024-01-01 01:05:00", "b"), (5L, "2024-01-01 01:10:00", "b"),
+        (6L, "2024-01-01 01:20:00", "zz"),
+      ).toDF("event_id", "ts_str", "event_type")
+        .withColumn("ts", to_timestamp(col("ts_str")))
+      val ref = Seq(("a", 2L), ("b", 1L)).toDF("category", "ref_n")
+      graft.streaming.EventStream.windowedDrift(ev, col("event_type"), ref, "1 hour")
+    }),
+
     // Language-ID heuristic (stopword-lexicon argmax).
     "txt_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -4075,6 +4092,47 @@ object Queries {
         |  sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass,
         |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // Windowed-drift fixture twin: same grid/fold/decimal derivation
+    // over inline VALUES (timestamps parsed identically on both engines).
+    "e_windowed_drift_fx" ->
+      """WITH ev(event_id, ts, event_type) AS (VALUES
+        |  (1, '2024-01-01 00:05:00'::TIMESTAMP, 'a'),
+        |  (2, '2024-01-01 00:10:00'::TIMESTAMP, 'a'),
+        |  (3, '2024-01-01 00:20:00'::TIMESTAMP, 'b'),
+        |  (4, '2024-01-01 01:05:00'::TIMESTAMP, 'b'),
+        |  (5, '2024-01-01 01:10:00'::TIMESTAMP, 'b'),
+        |  (6, '2024-01-01 01:20:00'::TIMESTAMP, 'zz')),
+        |ref(category, ref_n) AS (VALUES ('a', 2::BIGINT), ('b', 1::BIGINT)),
+        |rs AS (SELECT count(*)::BIGINT AS n_cats, sum(ref_n)::BIGINT AS ref_total FROM ref),
+        |cnt AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    CASE WHEN event_type IN (SELECT category FROM ref)
+        |         THEN event_type ELSE '<other>' END AS category,
+        |    count(*)::BIGINT AS n
+        |  FROM ev GROUP BY 1, 2),
+        |wins AS (SELECT w, sum(n)::BIGINT AS n_w FROM cnt GROUP BY w),
+        |space AS (
+        |  SELECT category, ref_n FROM ref
+        |  UNION ALL SELECT '<other>', 0::BIGINT),
+        |grid AS (
+        |  SELECT wins.w, wins.n_w, space.category, space.ref_n
+        |  FROM wins CROSS JOIN space),
+        |j AS (
+        |  SELECT g.w, g.n_w, g.category, g.ref_n, coalesce(cnt.n, 0)::BIGINT AS n
+        |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
+        |c AS (
+        |  SELECT w, category, n,
+        |    round(((n + 1)::DOUBLE / (n_w + n_cats + 1)
+        |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
+        |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
+        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))), 9)
+        |      ::DECIMAL(28,9) AS contrib
+        |  FROM j CROSS JOIN rs),
+        |p AS (SELECT w, sum(contrib)::DECIMAL(28,9) AS psi FROM c GROUP BY w)
+        |SELECT strftime(c.w, '%Y-%m-%d %H:%M') AS window_start, c.category, c.n,
+        |  c.contrib, p.psi
+        |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
 
     // NFC parity: DuckDB's nfc_normalize is an INDEPENDENT Unicode NFC
     // implementation — agreement cross-validates both engines' tables.
