@@ -345,4 +345,45 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == Set(("2024-01-01T00:00:00Z", "a", 2L), ("2024-01-01T00:00:00Z", "b", 1L)))
   }
+
+  test("windowed drift end-to-end in foreachBatch equals the batch twin") {
+    // the live deployment shape: each micro-batch runs the FULL
+    // windowedDrift assembly over the events seen so far (source-side
+    // accumulation; a production job would fold counts incrementally)
+    val dir = Files.createTempDirectory("graft-drift-fb").toString
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:15:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:25:00.000Z","user_id":2,"event_type":"b","value":1.0}""",
+      """{"event_id":4,"ts":"2024-01-01T01:10:00.000Z","user_id":2,"event_type":"b","value":1.0}""",
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    val ref = Seq(("a", 2L), ("b", 2L)).toDF("category", "ref_n")
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    val q = EventStream.readEventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // batch is a plain DataFrame: the whole drift assembly applies
+        results.put(id, EventStream.windowedDrift(
+          batch.select(col("ts"), col("event_type")), col("event_type"), ref, "1 hour")
+          .collect())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = results.values().iterator().next()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[java.math.BigDecimal]("psi"))).toSeq.sortBy(t => (t._1, t._2))
+    val batchTwin = EventStream.windowedDrift(
+      Seq(("2024-01-01 00:05:00", "a"), ("2024-01-01 00:15:00", "a"),
+        ("2024-01-01 00:25:00", "b"), ("2024-01-01 01:10:00", "b"))
+        .toDF("ts_str", "event_type")
+        .withColumn("ts", to_timestamp(col("ts_str"))),
+      col("event_type"), ref, "1 hour")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[java.math.BigDecimal]("psi"))).toSeq.sortBy(t => (t._1, t._2))
+    assert(streamed == batchTwin)
+    assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00", "2024-01-01 01:00"))
+  }
 }
