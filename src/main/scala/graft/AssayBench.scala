@@ -90,26 +90,36 @@ object AssayBench {
       projectAccession = "PXDBENCH", assayAccession = "bench",
       qValueThreshold = 0.05, minPsms = 1)
 
-    def time[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    // Per-stage WALL + process-CPU (verdict r7 item 7: two identical-code
+    // runs spanned 441-761 s under co-tenancy; CPU barely moves under
+    // contention, so stage wall>>stage cpu/threads reads as a noisy box,
+    // not a regression — same mechanism as Bench's per-query cpu map).
+    val osBean = java.lang.management.ManagementFactory
+      .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
+    def time[A](f: => A): (A, Double, Double) = {
+      val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
     val t0 = System.nanoTime()
+    val cpu0 = osBean.getProcessCpuTime
     // Stage attribution: `build` runs the eager pre-count + plan
     // construction; the first sink drive pays the shared FDR + join +
     // projection DAG (cached at perPsm), the later drives reuse it.
-    val (out, tBuild) = time(IndexPipeline.run(psms, spectra, None, cfg))
-    val (_, tSpectra) = time(
+    val (out, tBuild, cBuild) = time(IndexPipeline.run(psms, spectra, None, cfg))
+    val (_, tSpectra, cSpectra) = time(
       out.archiveSpectra.write.format("noop").mode("overwrite").save())
-    val (_, tSummaries) = time(
+    val (_, tSummaries, cSummaries) = time(
       out.psmSummaries.write.format("noop").mode("overwrite").save())
-    val (_, tProteins) = time(
+    val (_, tProteins, cProteins) = time(
       out.proteinEvidence.write.format("noop").mode("overwrite").save())
-    val (v, tValidity) = time(out.validity.head())
+    val (v, tValidity, cValidity) = time(out.validity.head())
     val sec = (System.nanoTime() - t0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     // rescue mode: every output row came through stage 2 — count them so
     // the probe path's effectiveness is part of the record, not just time
     val rescuedRows = if (rescueAll) out.archiveSpectra.count() else -1L
-    println(f"""{"metric":"assay_index_sec","value":$sec%.1f,"unit":"sec","n_psms":$nPsms,"cpus":$cpus,"rescue_mode":$rescueAll,"rescued_rows":$rescuedRows,"out_psms":${v.getAs[Long]("nr_psms")},"nr_decoys":${v.getAs[Long]("nr_decoys")},"stages":{"build_precount":$tBuild%.1f,"archive_spectra":$tSpectra%.1f,"psm_summaries":$tSummaries%.1f,"protein_evidence":$tProteins%.1f,"validity":$tValidity%.1f}}""")
+    println(f"""{"metric":"assay_index_sec","value":$sec%.1f,"unit":"sec","cpu_sec":$cpuSec%.1f,"n_psms":$nPsms,"cpus":$cpus,"rescue_mode":$rescueAll,"rescued_rows":$rescuedRows,"out_psms":${v.getAs[Long]("nr_psms")},"nr_decoys":${v.getAs[Long]("nr_decoys")},"stages":{"build_precount":$tBuild%.1f,"archive_spectra":$tSpectra%.1f,"psm_summaries":$tSummaries%.1f,"protein_evidence":$tProteins%.1f,"validity":$tValidity%.1f},"stages_cpu":{"build_precount":$cBuild%.1f,"archive_spectra":$cSpectra%.1f,"psm_summaries":$cSummaries%.1f,"protein_evidence":$cProteins%.1f,"validity":$cValidity%.1f}}""")
     spark.stop()
   }
 }

@@ -25,4 +25,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracleSql
+
+  /** Live DuckDB re-derivations for the VALUES-pinned subset of oracleSql
+    * — local logic lint only (tools/check_oracle.py), never shipped to the
+    * driver gate. See Queries.rederiveSql. */
+  def rederiveSql: Map[String, String] = Queries.rederiveSql
 }

@@ -143,18 +143,49 @@ object Tables {
     val c = col(name)
     (from, to) match {
       case (f, t) if f == t => Some(c)
-      // integral width flips (int32<->int64 etc.): values in this corpus
-      // fit either way; a genuinely overflowing narrow would be a
-      // generator bug better caught downstream than silently rejected here
-      case (ByteType | ShortType | IntegerType | LongType,
-            ByteType | ShortType | IntegerType | LongType) => Some(c.cast(to))
+      // integral width flips (int32<->int64 etc.): widening is exact; a
+      // NARROWING cast wraps silently under non-ANSI semantics (and under
+      // ANSI throws an anonymous CAST_OVERFLOW naming no table) — a
+      // wrapped key would never be "caught downstream", it would silently
+      // corrupt joins. try_cast is null exactly iff out-of-range, so the
+      // guard is one codegen-friendly null check with a named loud error.
+      case (f @ (ByteType | ShortType | IntegerType | LongType),
+            t @ (ByteType | ShortType | IntegerType | LongType)) =>
+        def width(dt: DataType): Int = dt match {
+          case ByteType => 1; case ShortType => 2; case IntegerType => 4; case _ => 8
+        }
+        if (width(t) >= width(f)) Some(c.cast(to))
+        else {
+          val narrowed = expr(s"try_cast(`$name` AS ${t.sql})")
+          Some(when(c.isNull, lit(null).cast(t))
+            .when(narrowed.isNotNull, narrowed)
+            .otherwise(raise_error(concat(
+              lit(s"$name: value "), c.cast(StringType),
+              lit(s" overflows the engine's ${t.simpleString} — regenerated " +
+                "parquet widened this column with real out-of-range data; " +
+                "update Tables.canonical (and re-audit the oracles)"))).cast(t))
+            .as(name))
+        }
       // float<->double flips: the generator has only ever produced
       // float-representable values; widening is exact, narrowing returns
       // to the width every oracle was rendered against
       case (FloatType | DoubleType, FloatType | DoubleType) => Some(c.cast(to))
-      // TIMESTAMP(NANOS) read as raw longs under the fallback session
+      // TIMESTAMP(NANOS) read as raw longs under the fallback session.
+      // The div-1000 assumes NANOSECOND epochs — but a regeneration could
+      // ship plain INT64 micro/second epochs with no NANOS annotation, in
+      // which case the fallback never fires and this branch would load
+      // values 1e3x/1e9x off. Sanity-check the magnitude per row: ns
+      // epochs for any plausible event date are ~1e18 (1e17 ≈ 1973); a
+      // µs epoch (~1e15) or s epoch (~1e9) fails loudly instead.
       case (LongType, TimestampType) =>
-        Some(timestamp_micros(expr(s"`$name` div 1000")).as(name))
+        val plausibleNs = c.isNull.or(abs(c) >= lit(100000000000000000L))
+        Some(when(plausibleNs, timestamp_micros(expr(s"`$name` div 1000")))
+          .otherwise(raise_error(concat(
+            lit(s"$name: INT64 value "), c.cast(StringType),
+            lit(" is too small to be a nanosecond epoch — regenerated " +
+              "parquet likely ships µs/s epochs; update Tables.conform " +
+              "for this generation"))).cast(TimestampType))
+          .as(name))
       case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType) =>
         Some(c.cast(to)) // session tz is UTC end to end: a pure re-tag
       case (DateType, TimestampType) => Some(c.cast(to))

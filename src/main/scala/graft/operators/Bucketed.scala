@@ -25,10 +25,12 @@ object Bucketed {
     *
     * `reuseExisting = true` skips the write when BOTH tables are already
     * in the session catalog AND their stamped fingerprint (input files,
-    * key, nBuckets — a table property written at save time) matches the
-    * current call — a prefix reused against different inputs (e.g. two
-    * scale-factor dirs in one session) or a changed spec rebuilds
-    * transparently instead of silently joining the first build's data. */
+    * canonicalized logical plan, key, nBuckets — a table property written
+    * at save time) matches the current call — a prefix reused against
+    * different inputs (e.g. two scale-factor dirs in one session), a
+    * differently filtered/projected frame over the same files, or a
+    * changed spec rebuilds transparently instead of silently joining the
+    * first build's data. */
   def coLocatedJoin(
       spark: SparkSession,
       left: DataFrame,
@@ -45,11 +47,19 @@ object Bucketed {
     require(tablePrefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"coLocatedJoin: tablePrefix must be a plain identifier, got '$tablePrefix'")
     val (lName, rName) = (s"${tablePrefix}_l", s"${tablePrefix}_r")
-    // identity of (inputs, spec): file-backed frames contribute their file
-    // list; a non-file frame contributes nothing (spec-only fingerprint)
+    // identity of (inputs, TRANSFORMATION, spec): file-backed frames
+    // contribute their file list, and every frame contributes its
+    // canonicalized analyzed plan — two differently filtered/projected
+    // frames over the same files (or two non-file frames) must NOT share
+    // a fingerprint, or reuseExisting would serve the first build's data
     def fingerprint(df: DataFrame): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val basis = (df.inputFiles.sorted.mkString("\n") + s"\n$key\n$nBuckets")
+      val plan = df.queryExecution.analyzed.canonicalized
+      // toString captures structure (filters/projections/paths) but elides
+      // a LocalRelation's rows; semanticHash is case-class equality over
+      // the canonicalized tree, so it covers in-memory data too
+      val basis = df.inputFiles.sorted.mkString("\n") +
+        s"\n$plan\n${df.queryExecution.analyzed.semanticHash()}\n$key\n$nBuckets"
       md.digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
     def stampedFingerprint(name: String): Option[String] =

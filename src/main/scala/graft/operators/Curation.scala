@@ -527,10 +527,15 @@ object Curation {
     * under the same md5-uniform as [[stratifiedSample]].
     *
     * Engine parity: shares are exact-rational; the single pow() per
-    * source is rounded to 9 dp (cross-engine agreement to well under
-    * that), the normalizer is a decimal-exact sum of the rounded weights,
-    * and every later step is one exactly-rounded division — so the plan
-    * AND the sampled id set replay bit-identically in SQL.
+    * source is rounded to 6 dp — the proven cross-engine contract
+    * (txt_pmi_bigrams precedent; round-8 rule in OracleParitySpec: a
+    * transcendental may feed a shipped value only under a <=6 dp
+    * symmetric round, the 9-dp variant went driver-red twice) — the
+    * normalizer is a decimal-exact sum of the rounded weights, and every
+    * later step is one exactly-rounded division — so the plan AND the
+    * sampled id set replay bit-identically in SQL. Consequence: a
+    * source's weight resolves at 1e-6 — corpus shares below ~(1e-6)^(1/
+    * alpha) round to weight 0 and drop from the plan.
     *
     * Scale shape: one tiny per-source aggregation, re-aggregated once for
     * the normalizer (|sources| rows), broadcast back onto the corpus as a
@@ -557,7 +562,7 @@ object Curation {
       .withColumn("w",
         when(col("_S") <= 0L || col("s_tok") <= 0L, lit(0.0))
           .otherwise(round(
-            pow(col("s_tok").cast("double") / col("_S").cast("double"), lit(alpha)), 9)))
+            pow(col("s_tok").cast("double") / col("_S").cast("double"), lit(alpha)), 6)))
       .localCheckpoint(false)
     val norm = weighted.agg(
       sum(col("w").cast("decimal(28,9)")).cast("double").as("_W"))

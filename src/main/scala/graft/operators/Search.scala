@@ -227,7 +227,9 @@ object Search {
     * corpus itself is never touched — both inputs are already-cut
     * rankings and judgment lists.
     *
-    * @param runs  (query_id, doc_id, rank) — 1-based, ties pre-broken
+    * @param runs  (query_id, doc_id, rank) — 1-based, ties pre-broken;
+    *              duplicate (query_id, doc_id) rows are collapsed to
+    *              their best (min) rank before scoring
     * @param qrels (query_id, doc_id) binary relevance judgments
     * @return one row per judged query: (query_id, n_rel, hits_k, mrr,
     *         recall_k, dcg, idcg, ndcg_fp), ordered by query_id */
@@ -243,6 +245,11 @@ object Search {
     val hits = runs
       .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
       .filter(col("rank") <= k)
+      // dedupe the run on (query_id, doc_id) keeping the best (min) rank:
+      // a doc listed at two ranks within top-k must not double-count
+      // hits_k/dcg (which would let recall_k exceed 1)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("rank"))
       .join(rel, Seq("query_id", "doc_id"), "left_semi")
     val perQuery = hits
       .groupBy(col("query_id"))

@@ -187,8 +187,9 @@ object EventStream {
     withContrib
       .join(psi, Seq("_w"))
       // string-rendered window start: the proven cross-engine timestamp
-      // parity shape (e_stream_window precedent)
-      .select(date_format(col("_w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+      // parity shape (e_stream_window precedent). Seconds resolution so
+      // sub-minute windowLengths keep distinct output keys.
+      .select(date_format(col("_w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("category"), col("n"), col("contrib"), col("psi"))
       .orderBy(col("window_start"), col("category"))
   }

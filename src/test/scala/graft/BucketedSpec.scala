@@ -43,19 +43,45 @@ class BucketedSpec extends AnyFunSuite {
     assert(first == 2L && second == 2L)
   }
 
-  test("reuseExisting skips the rewrite and serves the cataloged tables") {
+  test("reuseExisting skips the rewrite for an identical call and rebuilds on changed input") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Bucketed.coLocatedJoin(spark, df, df, "k", 2, "graft_bkt_reuse").count()
-    // second call with DIFFERENT input but reuse on: the cataloged
-    // (first-build) tables win, proving the write was skipped
-    val other = Seq((9L, "z")).toDF("k", "v")
-    val reused = Bucketed.coLocatedJoin(spark, other, other, "k", 2,
+    def createdAt: Long = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_bkt_reuse_l"))
+      .createTime
+    val t0 = createdAt
+    // identical call + reuse on: served from the catalog, no rewrite
+    val reused = Bucketed.coLocatedJoin(spark, df, df, "k", 2,
       "graft_bkt_reuse", reuseExisting = true)
     assert(reused.count() == 2L)
-    // without reuse the same call rebuilds from the new input
+    assert(createdAt == t0, "identical reuse call must not rewrite the tables")
+    // r7-advice hazard: a DIFFERENT non-file input (distinct local
+    // relation) must NOT be served the first build's data — the plan-aware
+    // fingerprint mismatches and forces a rebuild
+    val other = Seq((9L, "z")).toDF("k", "v")
     val rebuilt = Bucketed.coLocatedJoin(spark, other, other, "k", 2,
-      "graft_bkt_reuse")
+      "graft_bkt_reuse", reuseExisting = true)
     assert(rebuilt.count() == 1L)
+  }
+
+  test("reuseExisting rebuilds when the transformation over the same files changes") {
+    // r7-advice hazard: same input FILES, different filter/projection —
+    // a file-list-only fingerprint would serve the unfiltered build
+    val dir = java.nio.file.Files.createTempDirectory("bkt_fp_plan").toString
+    (1L to 6L).map(i => (i, "x")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val first = Bucketed.coLocatedJoin(spark, full, full, "k", 2,
+      "graft_bkt_plan", reuseExisting = true)
+    assert(first.count() == 6L)
+    val filtered = full.filter(col("k") <= 2L)
+    val second = Bucketed.coLocatedJoin(spark, filtered, filtered, "k", 2,
+      "graft_bkt_plan", reuseExisting = true)
+    assert(second.count() == 2L,
+      "a differently-filtered frame over the same files must rebuild, not reuse")
+    // unchanged (files, plan, spec): served from the catalog
+    val third = Bucketed.coLocatedJoin(spark, filtered, filtered, "k", 2,
+      "graft_bkt_plan", reuseExisting = true)
+    assert(third.count() == 2L)
   }
 
   test("reuseExisting rebuilds when file-backed inputs change (fingerprint mismatch)") {

@@ -319,7 +319,7 @@ class CurationSpec extends AnyFunSuite {
       alpha = 0.0, tokenBudget = 1000L)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(eq("big") == 0.5 && eq("small") == 0.5)
-    // alpha=1: q == corpus share (to the 9-dp weight rounding)
+    // alpha=1: q == corpus share (to the 6-dp weight rounding)
     val prop = Curation.temperatureMixturePlan(df, col("src"), length(col("text")),
       alpha = 1.0, tokenBudget = 1000L)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap

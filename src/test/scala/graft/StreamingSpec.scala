@@ -306,11 +306,11 @@ class StreamingSpec extends AnyFunSuite {
         (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("psi")))).toMap
     // category space per window = {a, b, <other>}, both windows complete
     assert(rows.keySet == Set(
-      ("2024-01-01 00:00", "a"), ("2024-01-01 00:00", "b"), ("2024-01-01 00:00", "<other>"),
-      ("2024-01-01 01:00", "a"), ("2024-01-01 01:00", "b"), ("2024-01-01 01:00", "<other>")))
-    assert(rows(("2024-01-01 01:00", "<other>"))._1 == 1L) // zz folded
-    val psiSame = rows(("2024-01-01 00:00", "a"))._2.doubleValue
-    val psiShift = rows(("2024-01-01 01:00", "a"))._2.doubleValue
+      ("2024-01-01 00:00:00", "a"), ("2024-01-01 00:00:00", "b"), ("2024-01-01 00:00:00", "<other>"),
+      ("2024-01-01 01:00:00", "a"), ("2024-01-01 01:00:00", "b"), ("2024-01-01 01:00:00", "<other>")))
+    assert(rows(("2024-01-01 01:00:00", "<other>"))._1 == 1L) // zz folded
+    val psiSame = rows(("2024-01-01 00:00:00", "a"))._2.doubleValue
+    val psiShift = rows(("2024-01-01 01:00:00", "a"))._2.doubleValue
     // hour 0 matches the reference mix exactly (shares identical, psi 0);
     // hour 1's inverted mix must read clearly drifted
     assert(math.abs(psiSame) < 1e-9, s"psiSame=$psiSame")
@@ -384,6 +384,6 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getAs[java.math.BigDecimal]("psi"))).toSeq.sortBy(t => (t._1, t._2))
     assert(streamed == batchTwin)
-    assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00", "2024-01-01 01:00"))
+    assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
   }
 }

@@ -100,6 +100,64 @@ class TablesLoaderSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  // --- round-8 advice guards: silent-corruption paths in conform ---
+
+  private def messages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("integral narrowing with an out-of-range value fails loudly, not wrapping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_overflow").toString
+    // canonical embeddings.label is int32; 3e9 does not fit — a plain cast
+    // would silently wrap to a negative key
+    Seq((1L, Array(0.5f, 0.5f), 3000000000L), (2L, Array(0.25f, 0.75f), 1L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val err = intercept[Exception] {
+      Tables(spark, dir, "embeddings").collect()
+    }
+    assert(messages(err).contains("overflows"), messages(err))
+  }
+
+  test("in-range integral narrowing still loads (guard is value-level)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_narrow_ok").toString
+    Seq((1L, Array(0.5f, 0.5f), 7L), (2L, Array(0.25f, 0.75f), -3L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables(spark, dir, "embeddings")
+    assert(df.schema("label").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.select(sum(col("label"))).head().getLong(0) == 4L)
+  }
+
+  test("plain INT64 micro-epoch ts fails loudly instead of loading 1000x off") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_us_epoch").toString
+    // 2025-02-19T21:20:00Z as MICROSECONDS (~1.7e15): the ns-assuming
+    // div-1000 would silently land in year 2025/1000 territory
+    Seq((1L, 1740000000000000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val err = intercept[Exception] {
+      Tables(spark, dir, "events").collect()
+    }
+    assert(messages(err).contains("nanosecond"), messages(err))
+  }
+
+  test("plain INT64 nano-epoch ts loads as exact truncated microseconds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_ns_epoch").toString
+    Seq((1L, 1740000000000000123L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .head().getString(0)
+    assert(got == "2025-02-19 21:20:00.000000", got)
+  }
+
   test("non-coercible drift fails loudly naming the table and column") {
     val err = intercept[IllegalStateException] {
       Tables(spark, staged("documents_bad_text.parquet", "documents"), "documents")

@@ -19,13 +19,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # Pinned VALUES oracles whose Spark query reads SF-dir tables: the pin was
-# rendered from the sf0.01 run (gen_values_oracle.py), and the testdata
-# tables are independently generated per SF (same vec_id holds different
-# vectors), so these can only match at sf0.01 — the driver's gate SF.
-# At any other SF they are reported as skipped, not failed. Fixture-backed
+# rendered from the sf0.01 run (gen_values_oracle.py / gen_pins.py), and
+# the testdata tables are independently generated per SF (same vec_id holds
+# different vectors), so these can only match at sf0.01 — the driver's gate
+# SF. At any other SF they are reported as skipped, not failed (their LIVE
+# re-derivations in rederive_sql.json still run at every SF). Fixture-backed
 # pins (DemoAssay etc.) don't read SF tables and stay checked everywhere.
 SF001_PINNED = {"sim_ivf_topk", "sim_ivf_disk", "sim_group_centroids",
-                "mm_feature_extract"}
+                "mm_feature_extract",
+                # round-8 transcendental-decimal pins (VERDICT r7 item 1)
+                "dq_chi_square", "dq_label_balance", "tdp_psi_drift",
+                "txt_vocab_drift", "txt_retrieval_metrics",
+                "e_windowed_drift"}
 
 
 def canon(rows, cols):
@@ -102,6 +107,43 @@ def main(sf_dir, out_dir):
             fail += 1
     tail = f", {skipped} skipped (sf0.01-pinned)" if skipped else ""
     print(f"\n{ok} ok, {fail} fail{tail}")
+
+    # Local logic lint: replay the live re-derivations of the VALUES-pinned
+    # oracles (rederive_sql.json). These run at EVERY SF — the pin proves
+    # environment-independence at the gate SF, the re-derivation keeps
+    # proving the logic everywhere. Exact compare, same canon as above.
+    import os
+    rpath = f"{out_dir}/rederive_sql.json"
+    if os.path.exists(rpath):
+        rederive = json.load(open(rpath))
+        rok = rfail = 0
+        print(f"\n-- rederive lint ({len(rederive)} pinned queries) --")
+        for name, sql in sorted(rederive.items()):
+            try:
+                spark_rel = con.sql(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+                s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+                d_rel = con.sql(sql)
+                d_cols, d_rows = canon(d_rel.fetchall(), d_rel.columns)
+            except Exception as e:
+                print(f"RFAIL {name}: {e}")
+                rfail += 1
+                continue
+            if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
+                print(f"RFAIL {name}: columns spark={s_cols} duck={d_cols}")
+                rfail += 1
+            elif s_rows == d_rows:
+                print(f"rok  {name} ({len(s_rows)} rows)")
+                rok += 1
+            else:
+                print(f"RFAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+                for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+                    if a != b:
+                        print(f"  first diff at {i}:\n    spark={a}\n    duck ={b}")
+                        break
+                rfail += 1
+        print(f"rederive: {rok} ok, {rfail} fail")
+        fail += rfail
     return 1 if fail else 0
 
 
