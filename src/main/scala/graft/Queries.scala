@@ -2057,6 +2057,22 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-safe tokenizer-aware training-shard plan (round-8): exact
+    // dedup -> epoch-1 shuffle order -> round-robin shards -> greedy
+    // token packs, rolled up per (shard, pack). The hash breaks if the
+    // dedup survivor set, the epoch permutation, the shard assignment,
+    // or the packing boundaries drift.
+    "tdp_training_shards" -> ((s, dir) => {
+      graft.operators.Curation.trainingShardPlan(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        TextFunctions.tokenCountEstimate(col("text")).cast("long"),
+        epoch = 1, tokenBudget = 2048, numShards = 8)
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("shuffle_pos")).as("first_pos"))
+        .orderBy(col("shard"), col("pack"))
+    }),
+
     // PII redaction over documents with deterministic injected PII (the
     // synthetic corpus has none): email/IPv4/phone placeholders + counts.
     "tdp_pii_scrub" -> ((s, dir) => {
@@ -4252,6 +4268,40 @@ object Queries {
         |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN r.tok ELSE s.fill + r.tok END
         |  FROM ranked r JOIN state s ON r.shard = s.shard AND r.rn = s.rn + 1)
         |SELECT id AS doc_id, shard, pack FROM state ORDER BY doc_id""".stripMargin,
+
+    // Training-shard plan re-derivation: md5 min-id dedup, the epoch-1
+    // md5-hash permutation as a row_number, round-robin shards, and the
+    // same recursive greedy packing as tdp_pack_sequences but walking the
+    // epoch order within each shard.
+    "tdp_training_shards" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    (len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS tok,
+        |    md5(text) AS th
+        |  FROM documents),
+        |surv AS (SELECT th, min(doc_id) AS doc_id FROM base GROUP BY th),
+        |d AS (SELECT b.doc_id, b.tok FROM base b JOIN surv s USING (th, doc_id)),
+        |ord AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT, doc_id) - 1
+        |      AS pos
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id, tok, pos, (pos % 8)::INTEGER AS shard,
+        |    row_number() OVER (PARTITION BY pos % 8 ORDER BY pos) AS rn
+        |  FROM ord),
+        |state(shard, rn, doc_id, tok, pos, pack, fill) AS (
+        |  SELECT shard, rn, doc_id, tok, pos, 0::BIGINT, tok FROM sh WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.tok, r.pos,
+        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN s.pack + 1 ELSE s.pack END,
+        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN r.tok ELSE s.fill + r.tok END
+        |  FROM sh r JOIN state s ON r.shard = s.shard AND r.rn = s.rn + 1)
+        |SELECT shard, pack, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS pack_tokens,
+        |  min(pos)::BIGINT AS first_pos
+        |FROM state GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
 
     "tdp_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

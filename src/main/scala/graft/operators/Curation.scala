@@ -130,31 +130,48 @@ object Curation {
       tokenBudget: Long,
       numShards: Int = 64,
   ): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // greedy packing is a sequential scan with resets — not a window
-    // aggregate — so it runs as one in-order pass per shard partition
-    // (genuine per-partition imperative logic, the mapPartitions case)
     val base = df.select(id.cast("long").as("_id"), tokenCount.cast("long").as("_tok"))
       .withColumn("shard",
         pmod(TextFunctions.portableHash32(col("_id").cast("string")), lit(numShards))
           .cast("int"))
-    val packed = base.select(col("shard"), col("_id"), col("_tok")).as[(Int, Long, Long)]
+    // in-shard packing order = the id itself
+    val packed = greedyPack(base.withColumn("_ord", col("_id")), tokenBudget)
+      .select(col("shard"), col("_id"), col("pack"))
+    df.join(packed, id.cast("long") === col("_id")).drop("_id")
+  }
+
+  /** Greedy in-order packing of (shard, _ord, _id, _tok) rows: within each
+    * shard, walking rows in `_ord` order, a row starts a new pack when the
+    * running token total would cross `tokenBudget` (oversized rows get a
+    * pack of their own). Returns (shard, _ord, _id, _tok, pack) — input
+    * columns pass through so callers that already carry everything they
+    * need ([[trainingShardPlan]]) skip the join back entirely.
+    *
+    * Greedy packing is a sequential scan with resets — not a window
+    * aggregate — so it runs as one in-order pass per shard partition
+    * (genuine per-partition imperative logic, the mapPartitions case).
+    * Deterministic across partitionings because both the shard and the
+    * in-shard order derive from the data. Shared by [[packSequences]]
+    * (order = id) and [[trainingShardPlan]] (order = epoch position). */
+  private def greedyPack(base: DataFrame, tokenBudget: Long): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col("shard"), col("_ord"), col("_id"), col("_tok"))
+      .as[(Int, Long, Long, Long)]
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("_id"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
       .mapPartitions { rows =>
         var curShard = Int.MinValue
         var pack = 0L
         var fill = 0L
-        rows.map { case (s, i, t) =>
+        rows.map { case (s, o, i, t) =>
           if (s != curShard) { curShard = s; pack = 0L; fill = 0L }
           if (fill > 0 && fill + t > tokenBudget) { pack += 1; fill = t }
           else fill += t
-          (s, i, pack)
+          (s, o, i, t, pack)
         }
       }
-      .toDF("shard", "_id", "pack")
-    df.join(packed, id.cast("long") === col("_id")).drop("_id")
+      .toDF("shard", "_ord", "_id", "_tok", "pack")
   }
 
   /** PII redaction patterns (email, IPv4, phone) — shared verbatim with
@@ -313,6 +330,87 @@ object Curation {
       .withGlobalIndex(df.withColumn("_shuffle_h", h),
         Seq(col("_shuffle_h"), key), "shuffle_pos")
       .drop("_shuffle_h")
+  }
+
+  /** Dedup-safe, tokenizer-aware training-shard plan — the full layout
+    * decision of an epoch's training corpus as ONE deterministic frame:
+    *
+    *   1. exact-content dedup (min-id survivor per md5(text) — a document
+    *      ingested twice must never be packed twice into an epoch),
+    *   2. [[epochShuffle]] order (bit-reproducible pseudo-random global
+    *      position, independent per epoch),
+    *   3. round-robin shard assignment `shuffle_pos % numShards`
+    *      (balanced to ±1 row by construction, no hash skew),
+    *   4. greedy token-budget packing along the epoch order within each
+    *      shard ([[greedyPack]] — the packSequences pass, epoch-ordered).
+    *
+    * Scale shape: one hash agg + semi-join for dedup, the GlobalIndex
+    * range-sort (parallel, no global window), ONE repartition on the
+    * shard key for the greedy pass — and NO join back, because greedyPack
+    * passes every needed column through. The corpus never self-joins.
+    *
+    * @return (doc_id, shard, pack, shuffle_pos, n_tokens) — pack is
+    *         unique within a shard; oversized documents pack alone. */
+  def trainingShardPlan(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      tokenCount: Column,
+      epoch: Int,
+      tokenBudget: Long,
+      numShards: Int,
+  ): DataFrame = {
+    require(numShards > 0, s"trainingShardPlan: numShards must be positive, got $numShards")
+    require(tokenBudget > 0, s"trainingShardPlan: tokenBudget must be positive, got $tokenBudget")
+    val hashed = df.select(
+      id.cast("long").as("doc_id"),
+      tokenCount.cast("long").as("n_tokens"),
+      md5(text).as("_th"))
+    val survivors = hashed.groupBy(col("_th")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = hashed.join(survivors, Seq("_th", "doc_id"), "left_semi").drop("_th")
+    val sharded = epochShuffle(deduped, col("doc_id"), epoch)
+      .withColumn("shard", pmod(col("shuffle_pos"), lit(numShards.toLong)).cast("int"))
+    greedyPack(
+      sharded.select(col("shard"), col("shuffle_pos").as("_ord"),
+        col("doc_id").as("_id"), col("n_tokens").as("_tok")),
+      tokenBudget)
+      .select(col("_id").as("doc_id"), col("shard"), col("pack"),
+        col("_ord").as("shuffle_pos"), col("_tok").as("n_tokens"))
+  }
+
+  /** The write path over [[trainingShardPlan]]: one parquet directory per
+    * shard (`partitionBy`), rows inside each shard laid out by the
+    * Z-value of (pack, n_tokens) — every written file then carries tight
+    * min/max envelopes on BOTH columns, so a training reader resuming at
+    * pack K and an analytics scan slicing by document length each prune
+    * files from parquet footers alone.
+    *
+    * The `repartition(numShards, shard)` ahead of the write is the
+    * small-files guard: without it every upstream task would open a
+    * writer per shard it happens to hold rows for (tasks × shards files);
+    * with it each shard's rows land in one task = one file per shard.
+    *
+    * @return the read-back frame (schema: shard partition column + plan
+    *         columns), so callers can verify the written layout. */
+  def writeTrainingShards(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      tokenCount: Column,
+      epoch: Int,
+      tokenBudget: Long,
+      numShards: Int,
+      outDir: String,
+      zBits: Int = 12,
+  ): DataFrame = {
+    val plan = trainingShardPlan(df, id, text, tokenCount, epoch, tokenBudget, numShards)
+    plan
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(ZOrder.zValue(
+        Seq(col("pack"), col("n_tokens")),
+        Seq((0L, 1L << 20), (0L, tokenBudget)), zBits))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
   }
 
   /** Deterministic hash-stratified sampling: keep a per-stratum fraction

@@ -366,4 +366,69 @@ class CurationSpec extends AnyFunSuite {
     // median of {1, 2, 2.5, 2.5, 3, 4} = 2.5 -> the 2.5 scores stage 0
     assert(out(2.5) == 0 && out(3.0) == 1)
   }
+
+  test("training-shard plan: dedup-safe, balanced shards, budget-respecting packs") {
+    // 40 docs with varying token counts, plus doc 99 an exact duplicate of
+    // doc 5's text — an epoch must never pack the same content twice
+    // texts are UNIQUE per doc (id-prefixed) except the planted pair —
+    // md5-exact dedup would otherwise (correctly) collapse same-length docs
+    val base = (1L to 40L).map(i =>
+      (i, (Seq(s"d$i") ++ Seq.fill((i % 7).toInt + 1)("w")).mkString(" ")))
+    val docs = (base :+ (99L, base(4)._2)).toDF("id", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    def plan(d: org.apache.spark.sql.DataFrame) =
+      Curation.trainingShardPlan(d, col("id"), col("text"), tok,
+        epoch = 1, tokenBudget = 8, numShards = 4)
+    val p = plan(docs)
+    val rows = p.collect()
+    // dedup: 40 survivors, and the survivor of the duplicate pair is the
+    // MIN id (5), never 99
+    assert(rows.length == 40)
+    assert(!rows.exists(_.getLong(0) == 99L))
+    assert(rows.exists(_.getLong(0) == 5L))
+    // round-robin shards balance to +-1 by construction
+    val perShard = rows.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(perShard.keySet == Set(0, 1, 2, 3))
+    assert(perShard.values.max - perShard.values.min <= 1, perShard)
+    // every pack respects the budget unless it holds a single oversized doc
+    val packs = p.groupBy(col("shard"), col("pack"))
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n")).collect()
+    assert(packs.forall(r => r.getLong(2) <= 8L || r.getLong(3) == 1L))
+    // deterministic across partitionings
+    val a = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val b = plan(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(a == b)
+    // a different epoch is a different permutation (not necessarily for
+    // every doc; at 40 docs a fixed point across ALL of them is ~0)
+    val e2 = Curation.trainingShardPlan(docs, col("id"), col("text"), tok,
+      epoch = 2, tokenBudget = 8, numShards = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val e1 = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(e1 != e2)
+  }
+
+  test("writeTrainingShards: one file per shard, z-laid rows round-trip the plan") {
+    val docs = (1L to 60L).map(i =>
+      (i, (Seq(s"d$i") ++ Seq.fill((i % 9).toInt + 1)("w")).mkString(" "))).toDF("id", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    val outDir = java.nio.file.Files.createTempDirectory("train_shards").toString + "/epoch1"
+    val back = Curation.writeTrainingShards(docs, col("id"), col("text"), tok,
+      epoch = 1, tokenBudget = 12, numShards = 4, outDir = outDir)
+    val plan = Curation.trainingShardPlan(docs, col("id"), col("text"), tok,
+      epoch = 1, tokenBudget = 12, numShards = 4)
+    // written data == plan, row for row
+    val got = back.select(col("doc_id"), col("shard").cast("int"), col("pack"), col("shuffle_pos"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val want = plan.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want)
+    // small-files guard: exactly one parquet file per shard directory
+    val shardDirs = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 4, shardDirs.map(_.getName).mkString(","))
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+  }
 }
