@@ -1565,6 +1565,34 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Calibrated quality ensemble (round-8): heuristic + hashed-model +
+    // bigram-LM signals, each quantile-normalized to its corpus CDF, in
+    // ONE corpus scan (the heuristic/model projections ride the LM
+    // scorer's carry columns).
+    "txt_quality_ensemble" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.LanguageModel
+        .trainBigramLm(docs, col("text"), vocabSize = 20, maxBigrams = 400)
+      graft.operators.QualityModel
+        .ensembleQuality(docs, col("doc_id"), col("text"), lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // The ensemble score driven through the dq calibration report — the
+    // reliability readout a quality gate is tuned against (label: the
+    // heuristic rule fires fully, i.e. q_heuristic = 1.0).
+    "txt_ensemble_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.LanguageModel
+        .trainBigramLm(docs, col("text"), vocabSize = 20, maxBigrams = 400)
+      val scored = graft.operators.QualityModel
+        .ensembleQuality(docs, col("doc_id"), col("text"), lm)
+      graft.operators.DataQuality.calibrationReport(
+        scored, col("ensemble"), col("q_heuristic") >= 1.0,
+        lo = 0.0, hi = 1.0, buckets = 10)
+    }),
+
     // Deterministic k-per-group sampling: smallest-portable-hash rows of
     // each language (fixed-count complement of the fraction-based
     // stratified sample; rerun/engine reproducible).
@@ -2445,7 +2473,9 @@ object Queries {
   /** Stupid-backoff bigram-LM score re-derivation, parameterized over the
     * (id, text) relation and the model caps — shared by the SF query and
     * its inline-fixture twin. */
-  private def lmScoreSql(docsFrom: String, vocabCap: Int, bigramCap: Int): String =
+  /** The bigram-LM CTE chain through per-doc `agg` (shared by
+    * txt_lm_score and the quality-ensemble oracle). */
+  private def lmScoreCtes(docsFrom: String, vocabCap: Int, bigramCap: Int): String =
     s"""WITH d AS (
        |  SELECT id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
@@ -2481,11 +2511,15 @@ object Queries {
        |  CROSS JOIN st),
        |agg AS (SELECT id, count(*)::BIGINT AS n_tokens, sum(nl) AS s,
        |          (sum(nl) * 1000000)::BIGINT AS u
-       |        FROM sc GROUP BY id)
-       |SELECT d.id AS doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-       |  ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
-       |FROM d LEFT JOIN agg a ON d.id = a.id
-       |ORDER BY doc_id""".stripMargin
+       |        FROM sc GROUP BY id)""".stripMargin
+
+  private def lmScoreSql(docsFrom: String, vocabCap: Int, bigramCap: Int): String =
+    lmScoreCtes(docsFrom, vocabCap, bigramCap) +
+      """
+        |SELECT d.id AS doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
+        |FROM d LEFT JOIN agg a ON d.id = a.id
+        |ORDER BY doc_id""".stripMargin
 
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
@@ -4720,6 +4754,13 @@ object Queries {
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |ORDER BY id""".stripMargin,
 
+    "txt_quality_ensemble" -> qualityEnsembleSql,
+
+    // VALUES pin: the live re-derivation (ensembleCalibrationSql, in
+    // rederiveSql) mixes the LM ln() with the calibration contract's
+    // round(.., 9) — the combination the round-8 lint forbids live.
+    "txt_ensemble_calibration" -> PinnedOracles.sql("txt_ensemble_calibration"),
+
     "tdp_sample_per_group" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
@@ -5284,7 +5325,106 @@ object Queries {
     * of last-digit flips at 9 dp; see gen_pins.py header). The pin proves
     * environment-independence; this map keeps proving the logic.
     */
+  /** Quality-ensemble re-derivation: the shared LM CTE chain, the
+    * txt_quality heuristic CASE, the txt_quality_model hashed sum, then
+    * 20-bin per-signal CDF calibration and the fixed weighted mean —
+    * every arithmetic step mirrors the Scala columns term for term. */
+  private def ensembleCtes: String =
+    lmScoreCtes("(SELECT doc_id AS id, text FROM documents)", 20, 400) +
+      s""",
+        |lmsc AS (
+        |  SELECT d.id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |    ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
+        |  FROM d LEFT JOIN agg a ON d.id = a.id),
+        |hm AS (
+        |  SELECT doc_id AS id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |hq AS (
+        |  SELECT id, coalesce(
+        |    (CASE WHEN len(toks) >= 10 AND len(toks) <= 10000
+        |          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
+        |    + (CASE WHEN len(list_filter(toks,
+        |          t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |          / len(toks) > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+        |          / len(text) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END),
+        |    0.0::DOUBLE) AS q_heuristic
+        |  FROM hm),
+        |qtok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |qb AS (SELECT doc_id,
+        |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
+        |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
+        |      FROM qtok),
+        |qs AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM qb GROUP BY doc_id),
+        |qm AS (
+        |  SELECT d0.doc_id AS id,
+        |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+        |         ELSE sw::DOUBLE / 1000.0 / n END AS q_model
+        |  FROM documents d0 LEFT JOIN qs s ON d0.doc_id = s.doc_id),
+        |sigj AS (
+        |  SELECT l.id, l.n_tokens, h.q_heuristic, q.q_model, l.lm_score
+        |  FROM lmsc l JOIN hq h USING (id) JOIN qm q USING (id)),
+        |binned AS (
+        |  SELECT *,
+        |    least(19, greatest(0,
+        |      floor((q_heuristic - 0.0::DOUBLE) * 20.0::DOUBLE / 1.0::DOUBLE)::INT)) AS bh,
+        |    least(19, greatest(0,
+        |      floor((q_model - '-1.0'::DOUBLE) * 20.0::DOUBLE / 2.0::DOUBLE)::INT)) AS bm,
+        |    CASE WHEN lm_score IS NOT NULL THEN least(19, greatest(0,
+        |      floor((lm_score - 0.0::DOUBLE) * 20.0::DOUBLE / 16.0::DOUBLE)::INT)) END AS bl
+        |  FROM sigj),
+        |hist AS (
+        |  SELECT sig_i, bin, count(*)::BIGINT AS n FROM (
+        |    SELECT 0 AS sig_i, bh AS bin FROM binned
+        |    UNION ALL SELECT 1, bm FROM binned
+        |    UNION ALL SELECT 2, bl FROM binned)
+        |  WHERE bin IS NOT NULL GROUP BY sig_i, bin),
+        |cdfq AS (
+        |  SELECT sig_i, bin,
+        |    (sum(n) OVER (PARTITION BY sig_i ORDER BY bin ROWS UNBOUNDED PRECEDING))::DOUBLE
+        |      / (sum(n) OVER (PARTITION BY sig_i))::DOUBLE AS cdf
+        |  FROM hist),
+        |ens AS (
+        |  SELECT b.id AS doc_id, b.n_tokens, b.q_heuristic, b.q_model, b.lm_score,
+        |    ch.cdf AS cal_heuristic, cm.cdf AS cal_model, cl.cdf AS cal_lm,
+        |    0.25::DOUBLE * ch.cdf + 0.35::DOUBLE * cm.cdf
+        |      + 0.40::DOUBLE * (1.0::DOUBLE - cl.cdf) AS ensemble
+        |  FROM binned b
+        |  LEFT JOIN cdfq ch ON ch.sig_i = 0 AND ch.bin = b.bh
+        |  LEFT JOIN cdfq cm ON cm.sig_i = 1 AND cm.bin = b.bm
+        |  LEFT JOIN cdfq cl ON cl.sig_i = 2 AND cl.bin = b.bl)""".stripMargin
+
+  private def qualityEnsembleSql: String =
+    ensembleCtes + """
+      |SELECT doc_id, n_tokens, q_heuristic, q_model, lm_score,
+      |  cal_heuristic, cal_model, cal_lm, ensemble
+      |FROM ens ORDER BY doc_id""".stripMargin
+
+  /** The ensemble driven through calibrationReport (same bucket math and
+    * 9-dp round-then-decimal mean as the dq_calibration oracle). Lives in
+    * rederiveSql only: its text mixes the LM ln() with the calibration
+    * contract's round(.., 9), the exact combination the round-8 lint
+    * forbids in a live oracle — so the shipped oracle is a VALUES pin. */
+  private def ensembleCalibrationSql: String =
+    ensembleCtes + """,
+      |j AS (
+      |  SELECT ensemble AS sv, (q_heuristic >= 1.0::DOUBLE) AS y FROM ens
+      |  WHERE ensemble IS NOT NULL AND q_heuristic IS NOT NULL),
+      |g AS (
+      |  SELECT least(9, greatest(0,
+      |      floor((sv - 0.0::DOUBLE) * 10.0::DOUBLE / 1.0::DOUBLE)::INT)) AS bucket,
+      |    count(*)::BIGINT AS n, sum(y::INT)::BIGINT AS n_pos,
+      |    sum(round(sv, 9)::DECIMAL(28,9))::DOUBLE / count(*)::DOUBLE AS mean_score
+      |  FROM j GROUP BY 1)
+      |SELECT bucket, n, n_pos, mean_score,
+      |  n_pos::DOUBLE / n::DOUBLE AS pos_rate
+      |FROM g ORDER BY bucket""".stripMargin
+
   val rederiveSql: Map[String, String] = Map(
+    "txt_ensemble_calibration" -> ensembleCalibrationSql,
     "w3_top_rank_fx" ->
       """SELECT user_id, rank, event_id, value FROM (
         |  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, value,

@@ -98,22 +98,34 @@ object LanguageModel {
   /** Score `docs` under `lm`: returns (id, n_tokens, lm_score) where
     * lm_score is the mean per-token negative log-probability rounded to
     * 6 dp (NULL for empty/null documents, which still appear with
-    * n_tokens = 0). Lower is better. */
+    * n_tokens = 0). Lower is better.
+    *
+    * `carry` columns (evaluated against the INPUT frame, before the token
+    * explode) ride the per-token rows and re-surface per doc via first()
+    * — this lets a caller fuse other per-doc projections into this
+    * operator's single corpus scan instead of joining a second scan back
+    * on id (see [[QualityModel.ensembleQuality]]). */
   def scoreBigramLm(
       docs: DataFrame,
       id: Column,
       text: Column,
       lm: BigramLm,
-      backoff: Double = 0.4): DataFrame = {
+      backoff: Double = 0.4,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(backoff > 0 && backoff <= 1 && java.lang.Double.isFinite(backoff),
       s"scoreBigramLm: backoff must be in (0, 1], got $backoff")
+    val carryNames = carry.map(_._1)
+    val carryCols = carryNames.map(col)
     val pos = docs
-      .select(id.as("id"), Search.terms(text).as("t"))
+      .select(id.as("id") +: Search.terms(text).as("t") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
       // _outer keeps empty/null docs as a single null-term row, so they
       // survive to the final aggregation without a second doc-spine join
-      .select(col("id"), col("t"), posexplode_outer(col("t")).as(Seq("i0", "term")))
-      .select(col("id"), col("i0"), col("term"),
-        when(col("i0") > 0, element_at(col("t"), col("i0"))).as("prev"))
+      .select(col("id") +: col("t") +:
+        posexplode_outer(col("t")).as(Seq("i0", "term")) +: carryCols: _*)
+      .select(col("id") +: col("i0") +: col("term") +:
+        when(col("i0") > 0, element_at(col("t"), col("i0"))).as("prev") +:
+        carryCols: _*)
     val uni = broadcast(lm.unigrams)
     val joined = pos
       .join(uni.select(col("term"), col("c").as("c_uni")), Seq("term"), "left")
@@ -140,11 +152,12 @@ object LanguageModel {
     // n_tokens = 0 or s NULL propagate to a NULL score on both engines.
     joined
       .groupBy(col("id"))
-      .agg(count(col("term")).as("n_tokens"), sum(nl).as("s"))
+      .agg(count(col("term")).as("n_tokens"), sum(nl).as("s") +:
+        carryNames.map(n => first(col(n)).as(n)): _*)
       .withColumn("_u", (col("s") * lit(1000000)).cast("long"))
-      .select(col("id"), col("n_tokens"),
+      .select(col("id") +: col("n_tokens") +:
         (expr("(_u * 2 + n_tokens) div (n_tokens * 2)").cast("double") / lit(1000000))
-          .as("lm_score"))
+          .as("lm_score") +: carryCols: _*)
   }
 
   /** Pointwise-mutual-information collocations — the phrase-mining pass of

@@ -44,17 +44,25 @@ object QualityModel {
     */
   def scoreDocs(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = coalesce(TextFunctions.tokens(text), array())
-    val sumMilli = aggregate(col("_qm_toks"), lit(0L), (acc, t) =>
-      acc + element_at(weightLit,
-        (pmod(TextFunctions.portableHash32(t), lit(NumBuckets)) + lit(1)).cast("int")))
     docs
       .select(id.as("id"), toks.as("_qm_toks"))
       .select(
         col("id"),
         size(col("_qm_toks")).cast("long").as("n_tokens"),
-        when(size(col("_qm_toks")) === 0, lit(0.0))
-          .otherwise(sumMilli.cast("double") / lit(1000.0) / size(col("_qm_toks")))
-          .as("score"))
+        scoreColumn(col("_qm_toks")).as("score"))
+  }
+
+  /** The hashed-linear score as a bare column over a PRE-TOKENIZED array
+    * — (milliSum / 1000) / n_tokens in that fixed double association,
+    * 0.0 for an empty array. Shared by [[scoreDocs]] and
+    * [[ensembleQuality]] so the ensemble fuses this scorer into an
+    * existing projection instead of paying a second corpus scan. */
+  def scoreColumn(toks: Column): Column = {
+    val sumMilli = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(weightLit,
+        (pmod(TextFunctions.portableHash32(t), lit(NumBuckets)) + lit(1)).cast("int")))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(sumMilli.cast("double") / lit(1000.0) / size(toks))
   }
 
   /** MODEL TRAINING AS AGGREGATION: distributed full-batch gradient
@@ -121,5 +129,89 @@ object QualityModel {
     require(features.size == w.size, "logRegScore: features/weights arity mismatch")
     val margin = w.indices.map(i => lit(w(i)) * features(i).cast("double")).reduce(_ + _)
     lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** Document-quality ENSEMBLE — the FineWeb/DCLM-style "no single signal
+    * is trustworthy" gate: three independent quality signals per document
+    * (heuristic rule score, hashed-linear model score, bigram-LM mean
+    * negative-log-likelihood), each CALIBRATED to its empirical corpus
+    * CDF (quantile normalization — the signals live on incomparable
+    * scales, so raw averaging would let whichever signal has the widest
+    * range dominate), combined as a fixed weighted mean. The LM signal is
+    * inverted (lower nll = higher quality).
+    *
+    * Scale shape: ONE corpus scan — the heuristic kernel and the hashed
+    * scorer ride [[LanguageModel.scoreBigramLm]]'s projection via its
+    * `carry` columns, so no per-doc join of separate scans ever happens.
+    * Calibration is a 3x`buckets`-bounded histogram (one map-side-combined
+    * aggregation of the scored frame), a window over those bounded rows,
+    * and three broadcast joins back. The corpus shuffles once (the LM
+    * score's own per-doc aggregation), exactly as scoreBigramLm alone.
+    *
+    * Engine parity: the heuristic and model signals are exact rational
+    * arithmetic; the LM signal is the proven 6-dp-decimal contract;
+    * calibrated values are BIGINT-count ratios (one exact division); the
+    * ensemble is a fixed-association IEEE weighted mean of those — every
+    * shipped double replays bit-identically in SQL.
+    *
+    * Documents with no tokens keep n_tokens = 0 and a NULL lm_score, so
+    * their cal_lm and ensemble are NULL — an empty document has no
+    * defensible quality, and silently scoring it 0 or 1 would bias
+    * downstream gates; filter on `ensemble IS NOT NULL` to drop them.
+    *
+    * @param buckets calibration histogram resolution per signal
+    * @return (id, n_tokens, q_heuristic, q_model, lm_score,
+    *         cal_heuristic, cal_model, cal_lm, ensemble) */
+  def ensembleQuality(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      lm: LanguageModel.BigramLm,
+      buckets: Int = 20,
+      weights: (Double, Double, Double) = (0.25, 0.35, 0.40)): DataFrame = {
+    require(buckets >= 2, s"ensembleQuality: buckets must be >= 2, got $buckets")
+    val toks = coalesce(TextFunctions.tokens(text), array())
+    val scored = LanguageModel.scoreBigramLm(docs, id, text, lm, carry = Seq(
+        "q_heuristic" ->
+          coalesce(TextFunctions.qualityMetrics(text).getField("quality_score"), lit(0.0)),
+        "q_model" -> scoreColumn(toks)))
+      .localCheckpoint(false)
+    // clamped equi-width bins, the binnedAuc/calibrationReport shape;
+    // signal ranges are structural: heuristic in [0,1] (CASE sum), model
+    // in [-0.5, 0.5] (weights capped at |500| milli / token), lm nll >= 0
+    def bin(s: Column, lo: Double, hi: Double): Column =
+      least(lit(buckets - 1), greatest(lit(0),
+        floor((s - lit(lo)) * lit(buckets.toDouble) / lit(hi - lo)).cast("int")))
+    val binned = scored.select(
+        col("id"), col("n_tokens"), col("q_heuristic"), col("q_model"), col("lm_score"),
+        bin(col("q_heuristic"), 0.0, 1.0).as("_bh"),
+        bin(col("q_model"), -1.0, 1.0).as("_bm"),
+        when(col("lm_score").isNotNull, bin(col("lm_score"), 0.0, 16.0)).as("_bl"))
+      .localCheckpoint(false)
+    val hist = binned
+      .select(expr("stack(3, 0, _bh, 1, _bm, 2, _bl) AS (sig, bin)"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("sig"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("sig").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val cdf = hist
+      .withColumn("cdf", sum(col("n")).over(wCum).cast("double") /
+        sum(col("n")).over(wTot).cast("double"))
+      .select(col("sig"), col("bin"), col("cdf"))
+    def cal(sig: Int, binCol: String, outName: String): DataFrame =
+      broadcast(cdf.filter(col("sig") === sig)
+        .select(col("bin").as(binCol), col("cdf").as(outName)))
+    val (wh, wm, wl) = weights
+    binned
+      .join(cal(0, "_bh", "cal_heuristic"), Seq("_bh"), "left")
+      .join(cal(1, "_bm", "cal_model"), Seq("_bm"), "left")
+      .join(cal(2, "_bl", "cal_lm"), Seq("_bl"), "left")
+      .select(col("id"), col("n_tokens"), col("q_heuristic"), col("q_model"),
+        col("lm_score"), col("cal_heuristic"), col("cal_model"), col("cal_lm"),
+        (lit(wh) * col("cal_heuristic") + lit(wm) * col("cal_model") +
+          lit(wl) * (lit(1.0) - col("cal_lm"))).as("ensemble"))
   }
 }

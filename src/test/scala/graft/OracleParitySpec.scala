@@ -99,6 +99,10 @@ class OracleParitySpec extends AnyFunSuite {
       "weights are integer-quantized gradient accumulations rendered at fixed scale",
     "txt_pmi_bigrams" ->
       "pmi is round(ln-ratio, 6)-ed on both engines (driver-green since r5)",
+    "txt_quality_ensemble" ->
+      ("lm_score is the 6-dp decimal contract; heuristic/model signals and the " +
+        "calibrated CDF ratios are exact rationals; the ensemble is a " +
+        "fixed-association IEEE weighted mean of those"),
     "txt_rank_correlation" ->
       ("rho is one multiply+division over exact integers; the ln lives only in the " +
         "upstream BM25 run derivation whose round(..,6) scores both engines already share"),

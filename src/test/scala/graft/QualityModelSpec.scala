@@ -92,4 +92,67 @@ class QualityModelSpec extends AnyFunSuite {
       QualityModel.trainLogReg(df, Seq(col("x0")), col("y"), iters = 0)
     }
   }
+
+  test("scoreBigramLm carry columns surface per doc, including empty docs") {
+    import graft.operators.LanguageModel
+    val docs = Seq((1L, "a b a"), (2L, ""), (3L, "b b")).toDF("id", "text")
+    val lm = LanguageModel.trainBigramLm(docs, col("text"), 10, 10)
+    val got = LanguageModel.scoreBigramLm(docs, col("id"), col("text"), lm,
+        carry = Seq("tag" -> length(col("text")).cast("long")))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("tag"))).toSeq
+    assert(got == Seq((1L, 3L, 5L), (2L, 0L, 0L), (3L, 2L, 3L)))
+  }
+
+  test("ensembleQuality: calibrated CDFs, weighted mean, NULL for empty docs") {
+    import graft.operators.LanguageModel
+    // 30 docs: varying length/stopword content plus one empty doc
+    val docs = ((1L to 30L).map { i =>
+      val words = Seq.fill((i % 5).toInt + 3)(s"w$i") ++ Seq("the", "of")
+      (i, words.mkString(" "))
+    } :+ (99L, "")).toDF("id", "text")
+    val lm = LanguageModel.trainBigramLm(docs, col("text"), vocabSize = 10, maxBigrams = 50)
+    val out = QualityModel.ensembleQuality(docs, col("id"), col("text"), lm, buckets = 10)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 31)
+    // empty doc: n_tokens 0, NULL lm_score -> NULL cal_lm and NULL ensemble
+    val empty = rows(99L)
+    assert(empty.getAs[Long]("n_tokens") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("lm_score")))
+    assert(empty.isNullAt(empty.fieldIndex("cal_lm")))
+    assert(empty.isNullAt(empty.fieldIndex("ensemble")))
+    // calibrated values are CDFs: in (0, 1], and the ensemble is exactly
+    // the fixed-association weighted mean of them
+    rows.values.filterNot(_.isNullAt(rows(1L).fieldIndex("ensemble"))).foreach { r =>
+      val ch = r.getAs[Double]("cal_heuristic")
+      val cm = r.getAs[Double]("cal_model")
+      val cl = r.getAs[Double]("cal_lm")
+      assert(ch > 0.0 && ch <= 1.0 && cm > 0.0 && cm <= 1.0 && cl > 0.0 && cl <= 1.0)
+      assert(r.getAs[Double]("ensemble") == 0.25 * ch + 0.35 * cm + 0.40 * (1.0 - cl))
+    }
+    // calibration is monotone: a doc with a strictly higher raw model
+    // score never gets a lower calibrated one
+    val byModel = rows.values.toSeq.sortBy(_.getAs[Double]("q_model"))
+    byModel.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Double]("cal_model") <= b.getAs[Double]("cal_model"))
+    case _ => ()
+    }
+    // deterministic across partitionings
+    val again = QualityModel.ensembleQuality(
+      docs.repartition(7), col("id"), col("text"), lm, buckets = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("q_model"),
+        Option(r.getAs[Any]("ensemble")))).sortBy(_._1).toSeq
+    val first = out.collect().map(r => (r.getLong(0), r.getAs[Double]("q_model"),
+      Option(r.getAs[Any]("ensemble")))).sortBy(_._1).toSeq
+    assert(first == again)
+  }
+
+  test("ensembleQuality rejects degenerate bucket counts") {
+    import graft.operators.LanguageModel
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    val lm = LanguageModel.trainBigramLm(docs, col("text"), 10, 10)
+    intercept[IllegalArgumentException] {
+      QualityModel.ensembleQuality(docs, col("id"), col("text"), lm, buckets = 1)
+    }
+  }
 }

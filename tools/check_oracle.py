@@ -30,7 +30,9 @@ SF001_PINNED = {"sim_ivf_topk", "sim_ivf_disk", "sim_group_centroids",
                 # round-8 transcendental-decimal pins (VERDICT r7 item 1)
                 "dq_chi_square", "dq_label_balance", "tdp_psi_drift",
                 "txt_vocab_drift", "txt_retrieval_metrics",
-                "e_windowed_drift"}
+                "e_windowed_drift",
+                # round-8 ensemble calibration (ln + round-9 mix, pinned)
+                "txt_ensemble_calibration"}
 
 
 def canon(rows, cols):
