@@ -1593,6 +1593,49 @@ object Queries {
         lo = 0.0, hi = 1.0, buckets = 10)
     }),
 
+    // CCNet-style perplexity bucketing: head/middle/tail by interpolated
+    // nll quantiles (thresholds broadcast; corpus shuffles once, in the
+    // LM scorer itself).
+    "txt_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.LanguageModel
+        .trainBigramLm(docs, col("text"), vocabSize = 20, maxBigrams = 400)
+      graft.operators.LanguageModel
+        .perplexityBuckets(docs, col("doc_id"), col("text"), lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-frequency boilerplate scrub at SF scale. The SF corpus is
+    // single-line word soup, so the separator-unit degenerates to the
+    // word (corpus-frequency token removal) — identical semantics and
+    // plan shape as the newline case; txt_boilerplate_fx exercises the
+    // real line-structured behavior.
+    "txt_boilerplate_scrub" -> ((s, dir) => {
+      graft.operators.Curation.removeBoilerplateLines(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        minDocFrac = 0.8, sep = " ")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Line-structured boilerplate fixture: a banner in 4/4 docs and a
+    // footer in 3/4 exceed ceil(0.6 * 4) = 3; doc 4 is fully boilerplate
+    // and must keep its row with empty text.
+    "txt_boilerplate_fx" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "COOKIE BANNER\nalpha beta\nfooter"),
+        (2L, "COOKIE BANNER\ngamma delta\nfooter"),
+        (3L, "COOKIE BANNER\nepsilon zeta"),
+        (4L, "COOKIE BANNER\nfooter"),
+      ).toDF("id", "text")
+      graft.operators.Curation
+        .removeBoilerplateLines(docs, col("id"), col("text"), minDocFrac = 0.6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic k-per-group sampling: smallest-portable-hash rows of
     // each language (fixed-count complement of the fraction-based
     // stratified sample; rerun/engine reproducible).
@@ -4756,6 +4799,33 @@ object Queries {
 
     "txt_quality_ensemble" -> qualityEnsembleSql,
 
+    // Perplexity buckets: the shared LM chain, quantile_cont thresholds
+    // (the proven percentile interpolation parity), two comparisons.
+    "txt_ppl_buckets" ->
+      (lmScoreCtes("(SELECT doc_id AS id, text FROM documents)", 20, 400) + """,
+        |lmsc AS (
+        |  SELECT d.id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |    ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
+        |  FROM d LEFT JOIN agg a ON d.id = a.id),
+        |th AS (
+        |  SELECT quantile_cont(lm_score, '0.1'::DOUBLE) AS t_head,
+        |         quantile_cont(lm_score, '0.6'::DOUBLE) AS t_mid
+        |  FROM lmsc WHERE lm_score IS NOT NULL)
+        |SELECT id AS doc_id, n_tokens, lm_score,
+        |  CASE WHEN lm_score IS NULL THEN NULL
+        |       WHEN lm_score <= t_head THEN 'head'
+        |       WHEN lm_score <= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM lmsc CROSS JOIN th ORDER BY doc_id""".stripMargin),
+
+    "txt_boilerplate_scrub" -> boilerplateScrubSql(
+      "(SELECT doc_id AS id, text FROM documents)", "' '", 0.8),
+
+    // VALUES pin (fx-twin policy: a pinned output is what makes a twin
+    // environment- and regeneration-proof); live re-derivation below in
+    // rederiveSql.
+    "txt_boilerplate_fx" -> PinnedOracles.sql("txt_boilerplate_fx"),
+
     // VALUES pin: the live re-derivation (ensembleCalibrationSql, in
     // rederiveSql) mixes the LM ln() with the calibration contract's
     // round(.., 9) — the combination the round-8 lint forbids live.
@@ -5325,6 +5395,36 @@ object Queries {
     * of last-digit flips at 9 dp; see gen_pins.py header). The pin proves
     * environment-independence; this map keeps proving the logic.
     */
+  /** Boilerplate-scrub re-derivation: positional line explode, distinct
+    * document frequencies, the ceil(frac * n) threshold, NOT EXISTS
+    * anti-join, ordered string_agg rebuild — mirror of
+    * Curation.removeBoilerplateLines term for term. `sepSql` is a SQL
+    * expression for the separator (e.g. "' '" or "chr(10)"). */
+  private def boilerplateScrubSql(docsFrom: String, sepSql: String, frac: Double): String =
+    s"""WITH d AS (SELECT id, text FROM $docsFrom),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+       |l AS (
+       |  SELECT id, i, L[i] AS line
+       |  FROM (SELECT id, string_split(text, $sepSql) AS L FROM d),
+       |  LATERAL unnest(generate_series(1, len(L))) AS g(i)),
+       |dfc AS (SELECT line, count(DISTINCT id)::BIGINT AS df FROM l GROUP BY line),
+       |boiler AS (
+       |  SELECT line FROM dfc CROSS JOIN n
+       |  WHERE df >= ceil('$frac'::DOUBLE * n_docs::DOUBLE)),
+       |keep AS (
+       |  SELECT id, i, line FROM l
+       |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)),
+       |reb AS (
+       |  SELECT id, count(*)::BIGINT AS n_kept,
+       |    string_agg(line, $sepSql ORDER BY i) AS text_clean
+       |  FROM keep GROUP BY id),
+       |tot AS (SELECT id, len(string_split(text, $sepSql))::BIGINT AS n_lines FROM d)
+       |SELECT t.id AS doc_id, t.n_lines,
+       |  t.n_lines - coalesce(r.n_kept, 0) AS n_removed,
+       |  coalesce(r.text_clean, '') AS text_clean
+       |FROM tot t LEFT JOIN reb r ON r.id = t.id
+       |ORDER BY doc_id""".stripMargin
+
   /** Quality-ensemble re-derivation: the shared LM CTE chain, the
     * txt_quality heuristic CASE, the txt_quality_model hashed sum, then
     * 20-bin per-signal CDF calibration and the fixed weighted mean —
@@ -5425,6 +5525,13 @@ object Queries {
 
   val rederiveSql: Map[String, String] = Map(
     "txt_ensemble_calibration" -> ensembleCalibrationSql,
+    "txt_boilerplate_fx" -> boilerplateScrubSql(
+      """(SELECT c0::BIGINT AS id, c1::VARCHAR AS text FROM (VALUES
+        |  (1, 'COOKIE BANNER' || chr(10) || 'alpha beta' || chr(10) || 'footer'),
+        |  (2, 'COOKIE BANNER' || chr(10) || 'gamma delta' || chr(10) || 'footer'),
+        |  (3, 'COOKIE BANNER' || chr(10) || 'epsilon zeta'),
+        |  (4, 'COOKIE BANNER' || chr(10) || 'footer')) AS t(c0, c1))""".stripMargin,
+      "chr(10)", 0.6),
     "w3_top_rank_fx" ->
       """SELECT user_id, rank, event_id, value FROM (
         |  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, value,

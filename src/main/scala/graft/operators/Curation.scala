@@ -332,6 +332,64 @@ object Curation {
       .drop("_shuffle_h")
   }
 
+  /** Corpus-frequency boilerplate scrub — the CCNet/RefinedWeb line-dedup
+    * hygiene pass: a separator-unit ("line") that appears in at least
+    * `minDocFrac` of all documents is boilerplate (navigation chrome,
+    * cookie banners, repeated headers/footers) and is removed from every
+    * document, preserving the order of the surviving lines. The threshold
+    * adapts to corpus size (df >= ceil(minDocFrac * nDocs)), so one
+    * setting scales across ingests.
+    *
+    * Scale shape: explode to (id, pos, line) (no shuffle), ONE line-key
+    * aggregation with map-side partials for document frequencies, a
+    * left_anti join of the exploded corpus against the (small, filtered)
+    * boilerplate line set — AQE broadcasts it — and one per-doc
+    * re-aggregation that rebuilds the text with an array_sort on (pos,
+    * line) structs, never a per-doc window. A repeated line inside ONE
+    * document counts that document once (count_distinct on id).
+    *
+    * @param minDocFrac document-frequency threshold as a fraction of the
+    *                   corpus (0, 1]; e.g. 0.6 = "in 60%+ of docs"
+    * @param sep        literal line separator (regex-quoted for the
+    *                   split), also used to re-join survivors
+    * @return (id, n_lines, n_removed, text_clean) — a fully-boilerplate
+    *         document keeps its row with text_clean = "" */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minDocFrac: Double,
+      sep: String = "\n"): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"removeBoilerplateLines: minDocFrac must be in (0, 1], got $minDocFrac")
+    require(sep.nonEmpty, "removeBoilerplateLines: sep must be non-empty")
+    val lines = docs
+      .select(id.as("id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val nDocs = docs.select(id.as("id")).agg(count(lit(1)).as("_n_docs"))
+    val boiler = lines
+      .groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("_df") >= ceil(lit(minDocFrac) * col("_n_docs").cast("double")))
+      .select(col("line"))
+    val rebuilt = lines
+      .join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("_n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text_clean"))
+    docs
+      .select(id.as("id"),
+        size(split(text, java.util.regex.Pattern.quote(sep))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Dedup-safe, tokenizer-aware training-shard plan — the full layout
     * decision of an epoch's training corpus as ONE deterministic frame:
     *

@@ -160,6 +160,51 @@ object LanguageModel {
           .as("lm_score") +: carryCols: _*)
   }
 
+  /** CCNet-style perplexity bucketing — split a corpus into head / middle
+    * / tail by LM score (Wenzek et al. 2020: documents most similar to a
+    * trusted LM's distribution are "head" and sampled preferentially;
+    * the noisy tail is down-weighted or dropped). Thresholds are the
+    * exact interpolated `headFrac` and `headFrac + midFrac` quantiles of
+    * the corpus's mean-nll distribution; lower nll = closer to the LM =
+    * head.
+    *
+    * Scale shape: the LM score's own single corpus pass, ONE 2-number
+    * quantile aggregation, and a broadcast of those thresholds back onto
+    * the scored frame as a pure projection — the corpus never shuffles
+    * again. Documents with no tokens have NULL lm_score and get a NULL
+    * bucket (same posture as [[QualityModel.ensembleQuality]]).
+    *
+    * Engine parity: lm_score is the 6-dp decimal contract; the quantile
+    * is the proven percentile/quantile_cont interpolation (lower +
+    * (upper-lower)*frac over identical doubles — txt_length_quantiles
+    * precedent); bucket labels are two comparisons of identical doubles.
+    *
+    * @return (id, n_tokens, lm_score, ppl_bucket) */
+  def perplexityBuckets(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      lm: BigramLm,
+      headFrac: Double = 0.1,
+      midFrac: Double = 0.5): DataFrame = {
+    require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1,
+      s"perplexityBuckets: need 0 < headFrac, 0 < midFrac, headFrac + midFrac < 1; " +
+        s"got $headFrac / $midFrac")
+    val scored = scoreBigramLm(docs, id, text, lm).localCheckpoint(false)
+    val thresholds = scored
+      .filter(col("lm_score").isNotNull)
+      .agg(
+        percentile(col("lm_score"), lit(headFrac)).as("_t_head"),
+        percentile(col("lm_score"), lit(headFrac + midFrac)).as("_t_mid"))
+    scored
+      .crossJoin(broadcast(thresholds))
+      .select(col("id"), col("n_tokens"), col("lm_score"),
+        when(col("lm_score").isNull, lit(null).cast("string"))
+          .when(col("lm_score") <= col("_t_head"), lit("head"))
+          .when(col("lm_score") <= col("_t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Pointwise-mutual-information collocations — the phrase-mining pass of
     * a corpus pipeline (multi-word terms worth fusing before tokenizer
     * training; the PMI ranking of Mikolov et al. 2013's phrase step):

@@ -431,4 +431,37 @@ class CurationSpec extends AnyFunSuite {
       assert(files.length == 1, s"${d.getName}: ${files.length} files")
     }
   }
+
+  test("removeBoilerplateLines: df-threshold scrub preserves order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "BANNER\nalpha beta\nfooter"),
+      (2L, "BANNER\ngamma delta\nfooter"),
+      (3L, "BANNER\nepsilon zeta"),
+      (4L, "BANNER\nfooter"),
+    ).toDF("id", "text")
+    // ceil(0.6 * 4) = 3: BANNER (df 4) and footer (df 3) are boilerplate
+    val got = Curation.removeBoilerplateLines(docs, col("id"), col("text"), 0.6)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "alpha beta"),
+      (2L, 3L, 2L, "gamma delta"),
+      (3L, 2L, 1L, "epsilon zeta"),
+      (4L, 2L, 2L, "")))
+    // a line repeated WITHIN one doc counts that doc once: df of "dup" is
+    // 1 of 3 docs < ceil(0.5*3)=2, so it survives (both copies, in order)
+    val rep = Seq((1L, "dup\ndup\nx"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    val kept = Curation.removeBoilerplateLines(rep, col("id"), col("text"), 0.5)
+      .filter(col("id") === 1L).head()
+    assert(kept.getString(3) == "dup\ndup\nx", kept.toString)
+    // deterministic across partitionings
+    val big = (1L to 200L).map(i => (i, s"HEADER\nbody $i\nmid ${i % 5}")).toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.removeBoilerplateLines(d, col("id"), col("text"), 0.3)
+        .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1).toSeq
+    assert(run(big) == run(big.repartition(7)))
+    intercept[IllegalArgumentException] {
+      Curation.removeBoilerplateLines(docs, col("id"), col("text"), 0.0)
+    }
+  }
 }

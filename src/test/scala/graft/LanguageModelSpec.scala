@@ -154,4 +154,34 @@ class LanguageModelSpec extends AnyFunSuite {
       LanguageModel.vocabularyDrift(a, b, col("text"), vocabSize = 0)
     }
   }
+
+  test("perplexityBuckets: quantile thresholds split head/middle/tail; empty docs NULL") {
+    // 20 docs over a shared tiny vocab so lm scores spread; plus an empty doc
+    val docs = ((1L to 20L).map { i =>
+      (i, (Seq.fill((i % 4).toInt + 1)("a") ++ Seq.fill((i % 3).toInt)("b") ++ Seq(s"w$i")).mkString(" "))
+    } :+ (99L, "")).toDF("id", "text")
+    val lm = LanguageModel.trainBigramLm(docs, col("text"), vocabSize = 5, maxBigrams = 20)
+    val out = LanguageModel.perplexityBuckets(docs, col("id"), col("text"), lm,
+      headFrac = 0.25, midFrac = 0.5)
+    val rows = out.collect()
+    assert(rows.length == 21)
+    val byBucket = rows.filter(!_.isNullAt(3)).groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    // interpolated quantiles put ~25% head, ~50% middle, ~25% tail (ties
+    // can shift a few across boundaries but all three must be populated)
+    assert(byBucket.keySet == Set("head", "middle", "tail"), byBucket)
+    assert(byBucket("head") >= 3 && byBucket("tail") >= 3, byBucket)
+    // bucket assignment is monotone in lm_score
+    val sorted = rows.filter(!_.isNullAt(3)).sortBy(_.getDouble(2))
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(order(a.getString(3)) <= order(b.getString(3)))
+      case _ => ()
+    }
+    // empty doc: NULL score, NULL bucket
+    val empty = rows.find(_.getLong(0) == 99L).get
+    assert(empty.isNullAt(2) && empty.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      LanguageModel.perplexityBuckets(docs, col("id"), col("text"), lm, 0.5, 0.5)
+    }
+  }
 }

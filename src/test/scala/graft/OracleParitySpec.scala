@@ -103,6 +103,9 @@ class OracleParitySpec extends AnyFunSuite {
       ("lm_score is the 6-dp decimal contract; heuristic/model signals and the " +
         "calibrated CDF ratios are exact rationals; the ensemble is a " +
         "fixed-association IEEE weighted mean of those"),
+    "txt_ppl_buckets" ->
+      ("lm_score is the 6-dp decimal contract; the quantile thresholds are the " +
+        "proven percentile/quantile_cont interpolation over those identical doubles"),
     "txt_rank_correlation" ->
       ("rho is one multiply+division over exact integers; the ln lives only in the " +
         "upstream BM25 run derivation whose round(..,6) scores both engines already share"),
