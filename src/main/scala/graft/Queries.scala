@@ -2194,6 +2194,32 @@ object Queries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    // Incremental NEAR-dup against a signature store (round-8): seen =
+    // docs < 250 (signatures only), batch = docs >= 250 with every 5th
+    // text replaced by its seen counterpart -> near_dup at est 1.0; the
+    // standing corpus text is never re-shingled.
+    "dd_incremental_neardup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val all = t(s, dir, "documents")
+      val seen = all.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("id"), col("text"))
+      val batch = all.filter(col("doc_id") >= 250).alias("b")
+        .join(seen.select((col("id") + 250).as("doc_id"), col("text").as("s_text")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") % 5 === 0, coalesce(col("s_text"), col("b.text")))
+            .otherwise(col("b.text")).as("text"))
+      def sigs(d: org.apache.spark.sql.DataFrame) = graft.operators.Dedup.minHashSignature(
+        d.select(col("id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle")),
+        col("id"), col("shingle"), numHashes = 16)
+      graft.operators.Dedup
+        .incrementalNearDup(sigs(batch), sigs(seen),
+          numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixture plan: per-source token totals -> guarded keep fractions
     // (explicit zero weight AND absent-source both yield 0.0; capped 1.0).
     "tdp_mixture_plan" -> ((s, dir) => {
@@ -4397,6 +4423,59 @@ object Queries {
         |SELECT doc_id, source FROM b0 b
         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE md5(s.text) = md5(b.text))
         |ORDER BY doc_id""".stripMargin,
+
+    // Incremental near-dup: the tdp_fuzzy_decontaminate minhash chain over
+    // the seen/batch split (disjoint id ranges stand in for the is_batch
+    // tag), batch side with the dd_incremental_dedup text replacement.
+    "dd_incremental_neardup" ->
+      s"""WITH b0 AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN b.doc_id % 5 = 0 THEN coalesce(s.text, b.text)
+         |         ELSE b.text END AS text
+         |  FROM documents b
+         |  LEFT JOIN (SELECT * FROM documents WHERE doc_id < 250) s
+         |    ON s.doc_id = b.doc_id - 250
+         |  WHERE b.doc_id >= 250),
+         |corpus AS (
+         |  SELECT doc_id, text FROM b0
+         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM corpus),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id, r.doc_id AS seen_id
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+         |  WHERE l.doc_id >= 250 AND r.doc_id < 250),
+         |est AS (
+         |  SELECT id, seen_id,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS ej
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id
+         |  JOIN mh mb ON mb.doc_id = seen_id AND mb.i = ma.i
+         |  GROUP BY id, seen_id),
+         |mx AS (SELECT id, max(ej) AS mj FROM est GROUP BY id)
+         |SELECT b0.doc_id, coalesce(mx.mj, 0.0) AS max_seen_jaccard,
+         |  coalesce(mx.mj, 0.0) >= 0.5 AS near_dup
+         |FROM b0 LEFT JOIN mx ON mx.id = b0.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // Mixture plan/sample: weight CASE + guarded keep_frac; association
     // (budget * weight) / total mirrors the Scala column term for term.

@@ -87,24 +87,12 @@ object Curation {
       // localCheckpoint pins the signature aggregation once, same
       // contract as minHashLshPairs
       .localCheckpoint(false)
-    val docSigs = signatures(docs)
-    val benchSigs = signatures(benchmark)
-    val sigArr = array((0 until numHashes).map(i => col(s"mh_$i")): _*)
-    val cand = Dedup.bandKeys(docSigs, numBands, rowsPerBand)
-      .join(Dedup.bandKeys(benchSigs, numBands, rowsPerBand)
-        .withColumnRenamed("id", "bench_id"), Seq("band", "bh"))
-      .select(col("id"), col("bench_id")).distinct()
-    val flagged = cand
-      .join(docSigs.select(col("id"), sigArr.as("sig_a")), "id")
-      .join(benchSigs.select(col("id").as("bench_id"), sigArr.as("sig_b")), "bench_id")
-      .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes))
-      .groupBy(col("id"))
-      .agg(max(col("est_jaccard")).as("max_bench_jaccard"))
-    docs.select(col("id"))
-      .join(flagged, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("max_bench_jaccard"), lit(0.0)).as("max_bench_jaccard"))
-      .withColumn("contaminated", col("max_bench_jaccard") >= threshold)
+    // text-side shingling + the cross-frame signature matcher: the corpus
+    // plays "batch", the benchmark plays the signature store
+    Dedup.incrementalNearDup(
+      signatures(docs), signatures(benchmark), numBands, rowsPerBand, threshold)
+      .withColumnRenamed("max_seen_jaccard", "max_bench_jaccard")
+      .withColumnRenamed("near_dup", "contaminated")
   }
 
   /** Deterministic sequence packing: assign documents to fixed-token-budget

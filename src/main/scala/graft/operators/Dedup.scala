@@ -547,6 +547,62 @@ object Dedup {
     out.drop("_fp")
   }
 
+  /** Incremental (cross-batch) NEAR-dup against a persisted MinHash
+    * signature STORE: flag each new-batch document whose signature
+    * near-matches ANY standing-corpus document — the nightly "near-dedupe
+    * the new crawl against yesterday's corpus" step, run WITHOUT
+    * re-reading (or re-shingling) the standing corpus: only its
+    * k-integer-per-doc signatures persist, a small fraction of corpus
+    * bytes at 100 TB (write them once per ingest with [[minHashSignature]]
+    * and keep them bucketed on id).
+    *
+    * Scale shape: band keys on both sides, candidates from ONE
+    * cross-frame equi-join on (band, bh) — never batch x corpus — then a
+    * signature-verify join and one max-per-batch-id aggregation.
+    * Batch-INTERNAL near-dups are out of scope by design (run
+    * [[minHashLshPairs]] within the batch for those): keeping the two
+    * concerns separate means the store join never degrades into the
+    * self-join's skew profile. [[graft.operators.Curation.fuzzyDecontaminate]]
+    * is this operator plus text-side shingling, via delegation.
+    *
+    * @return one row per batch id: (id, max_seen_jaccard, near_dup) */
+  def incrementalNearDup(
+      batchSignatures: DataFrame, // (id, mh_0..mh_{k-1})
+      seenSignatures: DataFrame, // (id, mh_0..mh_{k-1})
+      numBands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+  ): DataFrame = {
+    def width(df: DataFrame) = df.columns.count(_.startsWith("mh_"))
+    val k = numBands * rowsPerBand
+    require(width(batchSignatures) == width(seenSignatures),
+      s"incrementalNearDup: signature widths differ (${width(batchSignatures)} vs " +
+        s"${width(seenSignatures)}) — the store was built with different numHashes")
+    require(numBands >= 1 && rowsPerBand >= 1 && k == width(batchSignatures),
+      s"incrementalNearDup: numBands ($numBands) x rowsPerBand ($rowsPerBand) must tile " +
+        s"the signature width (${width(batchSignatures)})")
+    // each side feeds two reads (band keys + verification array): lazy
+    // localCheckpoint pins each signature aggregation once, the
+    // minHashLshPairs contract
+    val b = batchSignatures.localCheckpoint(false)
+    val sn = seenSignatures.localCheckpoint(false)
+    val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
+    val cand = bandKeys(b, numBands, rowsPerBand)
+      .join(bandKeys(sn, numBands, rowsPerBand).withColumnRenamed("id", "seen_id"),
+        Seq("band", "bh"))
+      .select(col("id"), col("seen_id")).distinct()
+    val verified = cand
+      .join(b.select(col("id"), sigArr.as("sig_a")), "id")
+      .join(sn.select(col("id").as("seen_id"), sigArr.as("sig_b")), "seen_id")
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
+      .groupBy(col("id"))
+      .agg(max(col("est_jaccard")).as("max_seen_jaccard"))
+    b.select(col("id"))
+      .join(verified, Seq("id"), "left")
+      .select(col("id"), coalesce(col("max_seen_jaccard"), lit(0.0)).as("max_seen_jaccard"))
+      .withColumn("near_dup", col("max_seen_jaccard") >= threshold)
+  }
+
   /** Exact duplicate-span detection at token granularity (the
     * substring-level dedup signal from "Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022 — re-expressed for Spark:

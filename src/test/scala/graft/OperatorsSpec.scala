@@ -526,4 +526,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q1.getAs[Long]("n_tokens") == 10L)
     assert(q1.getAs[Double]("stopword_ratio") == 1.0)
   }
+
+  test("incrementalNearDup: store roundtrip flags planted near-dups, misses unrelated") {
+    def sigs(d: org.apache.spark.sql.DataFrame) = Dedup.minHashSignature(
+      d.select(col("doc_id").as("id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle")),
+      col("id"), col("shingle"), numHashes = 16)
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark plans broadcast small dimension tables for joins"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact copy of 1
+      (11L, "the quick brown fox jumps over the lazy cat"), // near copy of 1
+      (12L, "entirely unrelated words about nothing shared at all"),
+    ).toDF("doc_id", "text")
+    // persist the store and read it back — the signature-store contract:
+    // flags must be identical whether the store frame is live or reloaded
+    val storeDir = java.nio.file.Files.createTempDirectory("sig_store").toString
+    sigs(seen).write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    def run(st: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDup(sigs(batch), st, numBands = 4, rowsPerBand = 4, 0.5)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val live = run(sigs(seen))
+    val reloaded = run(store)
+    assert(live == reloaded)
+    assert(live.map(_._1) == Seq(10L, 11L, 12L))
+    assert(live(0)._2 == 1.0 && live(0)._3, live.toString) // exact copy
+    assert(live(1)._3, live.toString) // near copy over threshold
+    assert(live(2)._2 == 0.0 && !live(2)._3, live.toString) // unrelated
+    // width mismatch (store built with different numHashes) fails loudly
+    val narrow = Dedup.minHashSignature(
+      seen.select(col("doc_id").as("id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle")),
+      col("id"), col("shingle"), numHashes = 8)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(sigs(batch), narrow, 4, 4, 0.5)
+    }
+  }
 }
