@@ -197,10 +197,15 @@ object QualityModel {
       .partitionBy("sig").orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    // pin the (<= 3*buckets)-row CDF: the three cal() broadcast joins each
+    // filter this frame, and without the pin every filter re-executes the
+    // whole histogram DAG — 3 extra passes over the corpus-sized binned
+    // frame (seen in the executed plan before this)
     val cdf = hist
       .withColumn("cdf", sum(col("n")).over(wCum).cast("double") /
         sum(col("n")).over(wTot).cast("double"))
       .select(col("sig"), col("bin"), col("cdf"))
+      .localCheckpoint(false)
     def cal(sig: Int, binCol: String, outName: String): DataFrame =
       broadcast(cdf.filter(col("sig") === sig)
         .select(col("bin").as(binCol), col("cdf").as(outName)))
