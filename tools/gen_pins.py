@@ -15,8 +15,12 @@ Literal rules match gen_values_oracle.py: doubles render via repr()
 render exact digit strings at their declared scale, NULL vs NaN is
 preserved through pyarrow (pandas would fold both to NaN).
 
-Usage: python3 tools/gen_pins.py <verifyOutDir> <query1,query2,...>
-Rewrites src/main/scala/graft/PinnedOracles.scala with ALL named pins.
+Usage: python3 tools/gen_pins.py <verifyOutDir> [query1,query2,...]
+Rewrites src/main/scala/graft/PinnedOracles.scala with EXACTLY the named
+pins. The special name "all" (and the no-names default) expands to every
+pin currently in PinnedOracles.scala — use `all,new_name` to ADD a pin
+without dropping the rest; <verifyOutDir> must contain outputs for every
+rendered name.
 """
 import glob
 import math
@@ -109,8 +113,32 @@ def render_pin(out_dir, query):
     return prefix, rows, suffix, len(data)
 
 
+def existing_pin_names():
+    """Pin names already in PinnedOracles.scala (the `v_<name>` vals)."""
+    import re
+    path = f"{REPO}/src/main/scala/graft/PinnedOracles.scala"
+    try:
+        src = open(path).read()
+    except FileNotFoundError:
+        return []
+    return re.findall(r"private val v_(\w+): Seq\[String\]", src)
+
+
 def main():
-    out_dir, queries = sys.argv[1], sys.argv[2].split(",")
+    out_dir = sys.argv[1]
+    # This tool REWRITES PinnedOracles.scala with exactly the named pins —
+    # a subset would silently DROP every other pin (it bit us in round 8:
+    # a 1-name call wiped 13 pins; the OracleParitySpec closure test is the
+    # backstop). Default (no names) re-renders every EXISTING pin from the
+    # given Verify dir, so adding one pin is:
+    #   python3 tools/gen_pins.py <dirWithAllPinOutputs> all,new_name
+    # where "all" expands to the current pin set.
+    raw = sys.argv[2].split(",") if len(sys.argv) > 2 else ["all"]
+    queries = []
+    for q in raw:
+        queries.extend(existing_pin_names() if q == "all" else [q])
+    queries = sorted(set(queries))
+    print(f"rendering {len(queries)} pins from {out_dir}")
     entries = []
     for q in sorted(queries):
         prefix, rows, suffix, n = render_pin(out_dir, q)
