@@ -163,8 +163,49 @@ object CorpusBench {
         col("src"), col("text"), shingleN = 3).count()
     }
 
+    // round-8 stages: calibrated ensemble (LM + heuristics + CDF joins),
+    // the epoch-ordered shard plan, the boilerplate token scrub (1k-word
+    // vocabulary: ~6% df per word, so frac 0.03 actually scrubs), and the
+    // cross-half incremental near-dup against a signature store
+    val (nEnsemble, tEnsemble) = time {
+      val lm = graft.operators.LanguageModel.trainBigramLm(
+        docs, col("text"), vocabSize = 2000, maxBigrams = 100000)
+      graft.operators.QualityModel.ensembleQuality(
+        docs, col("id"), col("text"), lm)
+        .filter(col("ensemble").isNotNull).count()
+    }
+    val (nShardPacks, tShards) = time {
+      Curation.trainingShardPlan(docs, col("id"), col("text"),
+        TextFunctions.tokenCountEstimate(col("text")).cast("long"),
+        epoch = 1, tokenBudget = 2048, numShards = 64)
+        .select(col("shard"), col("pack")).distinct().count()
+    }
+    val (nScrubbed, tScrub) = time {
+      Curation.removeBoilerplateLines(docs, col("id"), col("text"),
+        minDocFrac = 0.03, sep = " ")
+        .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    }
+    val (nNearFlags, tIncNd) = time {
+      def sigs(d: org.apache.spark.sql.DataFrame) = Dedup.minHashSignature(
+        d.select(col("id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle")),
+        col("id"), col("shingle"), 16)
+      Dedup.incrementalNearDup(
+        sigs(docs.filter(col("id") >= nDocs / 2)),
+        sigs(docs.filter(col("id") < nDocs / 2)),
+        numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .filter(col("near_dup")).count()
+    }
+    val (nHeadDocs, tPpl) = time {
+      val lm = graft.operators.LanguageModel.trainBigramLm(
+        docs, col("text"), vocabSize = 2000, maxBigrams = 100000)
+      graft.operators.LanguageModel.perplexityBuckets(
+        docs, col("id"), col("text"), lm)
+        .filter(col("ppl_bucket") === "head").count()
+    }
+
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"overlap_pairs":$nOverlap,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f}}""")
     spark.stop()
   }
 }
