@@ -1308,7 +1308,19 @@ object Queries {
         .orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
-    "e_stream_window_fx" -> ((s, _) => {
+        // Batch twin of EventStream.streamingDedup's state semantics: one
+    // survivor per content fingerprint, min event_id standing in for the
+    // stream's first arrival (dropDuplicatesWithinWatermark itself
+    // requires a stream — the live path is driven in StreamingSpec).
+    "e_stream_dedup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(md5(concat(col("user_id").cast("string"), lit(":"),
+          coalesce(col("event_type"), lit("")))).as("fingerprint"))
+        .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("event_id"))
+    }),
+
+"e_stream_window_fx" -> ((s, _) => {
       import s.implicits._
       Seq(
         ("2025-01-01 00:05:00", "click", 1.25),
@@ -4236,6 +4248,11 @@ object Queries {
 
     // Expected rows: user 1 converts twice inside 15 min, user 2 is 5 min
     // late, user 3 hits the inclusive boundary exactly.
+    "e_stream_dedup" ->
+      """SELECT md5(user_id::VARCHAR || ':' || coalesce(event_type, '')) AS fingerprint,
+        |  min(event_id)::BIGINT AS event_id, count(*)::BIGINT AS n_dups
+        |FROM events GROUP BY 1 ORDER BY event_id""".stripMargin,
+
     "e_interval_join_fx" ->
       """SELECT c0::BIGINT AS user_id, c1::BIGINT AS l_id, c2::BIGINT AS r_id
         |FROM (VALUES (1, 1, 11), (1, 1, 12), (3, 3, 14)) AS t(c0, c1, c2)
