@@ -651,6 +651,44 @@ object Queries {
         .orderBy(col("rank_fp").desc, col("id"))
     }),
 
+    // Bradley-Terry preference ranking (round-8): pairwise "which source
+    // wrote the longer doc" comparisons from consecutive doc pairs, MM
+    // fit in integer fixed-point (micro-unit strengths — the picorank
+    // discipline), dense rank by strength.
+    "tdp_bt_ranking" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val pairs = d.alias("a").join(
+        d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("b_source"), col("n_chars").as("b_chars")),
+        Seq("doc_id"))
+        .filter(col("a.source").isNotNull && col("b_source").isNotNull &&
+          col("a.source") =!= col("b_source") && col("a.n_chars") =!= col("b_chars"))
+      val comparisons = pairs.select(
+        when(col("a.n_chars") > col("b_chars"), col("a.source"))
+          .otherwise(col("b_source")).as("w"),
+        when(col("a.n_chars") > col("b_chars"), col("b_source"))
+          .otherwise(col("a.source")).as("l"))
+      graft.operators.Preference.bradleyTerry(
+        comparisons, col("w"), col("l"), iterations = 3)
+    }),
+
+    // ROUGE-2 generation-eval metric (round-8): clipped bigram overlap
+    // between each doc and its same-source successor.
+    "txt_rouge_pairs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("reference", lead(col("text"), 1).over(w))
+        .filter(col("reference").isNotNull)
+        .select(col("doc_id").as("pair_id"), col("text").as("candidate"),
+          col("reference"))
+      graft.operators.Search.rougeN(
+        pairs, col("pair_id"), col("candidate"), col("reference"), n = 2)
+        .withColumnRenamed("pair_id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source Count-Min frequency sketch (native cms_sketch aggregate,
     // depth 4 x width 16 — narrower than the 31-term vocab, so collisions
     // and real overestimates occur) probed with every distinct term next
@@ -3141,6 +3179,94 @@ object Queries {
          |       FROM p2 p LEFT JOIN c3 c ON c.id = p.id CROSS JOIN st)
          |SELECT id, pr::BIGINT AS rank_fp
          |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
+
+    // Bradley-Terry re-derivation: integer fixed-point MM, three chained
+    // iterations (the pagerank p0..p3 shape); every sum and division is
+    // BIGINT-exact, dense_rank cast to INTEGER (Spark's rank type;
+    // DuckDB's is BIGINT — the tdp_graph_rank physical-type lesson).
+    "tdp_bt_ranking" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS w,
+        |         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS l
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source IS NOT NULL AND b.source IS NOT NULL
+        |    AND a.source <> b.source AND a.n_chars <> b.n_chars),
+        |dcount AS (SELECT w, l, count(*)::BIGINT AS cnt FROM c GROUP BY w, l),
+        |m AS (
+        |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
+        |    SELECT w AS a, l AS b, cnt FROM dcount
+        |    UNION ALL SELECT l, w, cnt FROM dcount)
+        |  GROUP BY a, b),
+        |wi AS (SELECT w AS item, sum(cnt)::BIGINT AS wins FROM dcount GROUP BY w),
+        |it AS (
+        |  SELECT i.item, coalesce(wi.wins, 0)::BIGINT AS wins
+        |  FROM (SELECT DISTINCT a AS item FROM m) i LEFT JOIN wi ON wi.item = i.item),
+        |p0 AS (SELECT item, 1000000::BIGINT AS pi FROM it),
+        |e1 AS (SELECT m.a, sum((m.n * 1000000000000) // greatest(pa.pi + pb.pi, 1))::BIGINT AS d
+        |       FROM m JOIN p0 pa ON pa.item = m.a JOIN p0 pb ON pb.item = m.b GROUP BY m.a),
+        |p1 AS (SELECT it.item, ((it.wins * 1000000000000) // greatest(coalesce(e1.d, 0), 1))::BIGINT AS pi
+        |       FROM it LEFT JOIN e1 ON e1.a = it.item),
+        |e2 AS (SELECT m.a, sum((m.n * 1000000000000) // greatest(pa.pi + pb.pi, 1))::BIGINT AS d
+        |       FROM m JOIN p1 pa ON pa.item = m.a JOIN p1 pb ON pb.item = m.b GROUP BY m.a),
+        |p2 AS (SELECT it.item, ((it.wins * 1000000000000) // greatest(coalesce(e2.d, 0), 1))::BIGINT AS pi
+        |       FROM it LEFT JOIN e2 ON e2.a = it.item),
+        |e3 AS (SELECT m.a, sum((m.n * 1000000000000) // greatest(pa.pi + pb.pi, 1))::BIGINT AS d
+        |       FROM m JOIN p2 pa ON pa.item = m.a JOIN p2 pb ON pb.item = m.b GROUP BY m.a),
+        |p3 AS (SELECT it.item, ((it.wins * 1000000000000) // greatest(coalesce(e3.d, 0), 1))::BIGINT AS pi
+        |       FROM it LEFT JOIN e3 ON e3.a = it.item),
+        |nm AS (SELECT a AS item, sum(n)::BIGINT AS n_matches FROM m GROUP BY a)
+        |SELECT it.item, it.wins, nm.n_matches, p3.pi AS bt_score_fp,
+        |  (dense_rank() OVER (ORDER BY p3.pi DESC, it.item ASC))::INTEGER AS rank
+        |FROM it JOIN p3 ON p3.item = it.item JOIN nm ON nm.item = it.item
+        |ORDER BY rank, it.item""".stripMargin,
+
+    // ROUGE-2 re-derivation: same tokenizer as the LM chain, positional
+    // bigram lists with a side tag, clipped-min overlap, single-division
+    // ratios and a fixed-association f1.
+    "txt_rouge_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT pair_id, ct, rt FROM (
+        |    SELECT doc_id AS pair_id, t AS ct,
+        |      lead(t) OVER (PARTITION BY source ORDER BY doc_id) AS rt
+        |    FROM d)
+        |  WHERE rt IS NOT NULL),
+        |sides AS (
+        |  SELECT pair_id, 0 AS side, array_to_string(ct[i:i+1], ' ') AS gram
+        |  FROM p, LATERAL unnest(generate_series(1, len(ct) - 1)) AS g(i)
+        |  WHERE len(ct) >= 2
+        |  UNION ALL
+        |  SELECT pair_id, 1, array_to_string(rt[i:i+1], ' ')
+        |  FROM p, LATERAL unnest(generate_series(1, len(rt) - 1)) AS g(i)
+        |  WHERE len(rt) >= 2),
+        |pg AS (
+        |  SELECT pair_id, gram,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS rc
+        |  FROM sides GROUP BY pair_id, gram),
+        |ro AS (
+        |  SELECT pair_id, sum(cc)::BIGINT AS n_cand, sum(rc)::BIGINT AS n_ref,
+        |    sum(least(cc, rc))::BIGINT AS overlap
+        |  FROM pg GROUP BY pair_id),
+        |fin AS (
+        |  SELECT p.pair_id AS doc_id,
+        |    coalesce(ro.n_cand, 0) AS n_cand, coalesce(ro.n_ref, 0) AS n_ref,
+        |    coalesce(ro.overlap, 0) AS overlap,
+        |    CASE WHEN coalesce(ro.n_cand, 0) > 0
+        |      THEN coalesce(ro.overlap, 0)::DOUBLE / ro.n_cand::DOUBLE END AS precision,
+        |    CASE WHEN coalesce(ro.n_ref, 0) > 0
+        |      THEN coalesce(ro.overlap, 0)::DOUBLE / ro.n_ref::DOUBLE END AS recall
+        |  FROM p LEFT JOIN ro ON ro.pair_id = p.pair_id)
+        |SELECT doc_id, n_cand, n_ref, overlap, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |         AND (precision + recall) > 0.0::DOUBLE
+        |       THEN 2.0::DOUBLE * precision * recall / (precision + recall)
+        |       WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |       THEN 0.0::DOUBLE END AS f1
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // Overlap-matrix re-derivation: the tdp_graph_rank shingle CTE keyed
     // by source, distinct sets, shingle-keyed pair join, one division.

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-data operators — the RLHF/eval side of a training-data
+  * pipeline: turning pairwise comparisons (human ratings, model win/loss
+  * records, A/B outcomes) into per-item strength scores and rankings.
+  */
+object Preference {
+
+  /** Fixed-point scale: strengths are BIGINTs in micro-units (the
+    * tdp_graph_rank picorank discipline — integer arithmetic is
+    * order-free and bit-identical on every engine; doubles summed in an
+    * aggregation are not). */
+  val Scale = 1000000L
+
+  /** Bradley-Terry strength fit over pairwise comparisons via the
+    * minorize-maximize update (Hunter 2004), run for a FIXED number of
+    * iterations in integer fixed-point:
+    *
+    *   pi'_i = w_i / Sum_j n_ij / (pi_i + pi_j)
+    *
+    * with w_i = i's total wins and n_ij = matches between i and j. Items
+    * with zero wins converge to strength 0 (they lose every matchup the
+    * model can express); self-matches and NULL ids are dropped.
+    *
+    * Determinism contract: strengths are micro-unit BIGINTs; each MM term
+    * is one integer division `(n_ij * Scale^2) div (pi_i + pi_j)` and the
+    * denominator is an exact BIGINT sum — no double ever enters an
+    * aggregation, so the fit replays bit-identically in SQL regardless of
+    * aggregation order (the r6/r7 oracle lesson, applied from the start).
+    * Division-by-zero guards (`greatest(.., 1)`) only engage for all-zero
+    * strength pairs, identically on both engines. n_ij * Scale^2 must fit
+    * a BIGINT: at most ~9.2e6 comparisons per PAIR — a cap on repeated
+    * matchups between two specific items, not on corpus size.
+    *
+    * Scale shape: the comparison corpus shuffles ONCE (the two count
+    * aggregations); every MM iteration after that is an equi-join on the
+    * BOUNDED item-pair graph (|items|^2 at worst, the realized matchup
+    * set in practice) — iteration cost is independent of how many raw
+    * comparisons were ingested. The final dense_rank is a window over the
+    * item set, not the corpus.
+    *
+    * @param comparisons one row per decided matchup
+    * @param winner      winning item id (cast to string)
+    * @param loser       losing item id
+    * @param iterations  fixed MM iteration count (>= 1)
+    * @return (item, wins, n_matches, bt_score_fp, rank) ordered by rank —
+    *         bt_score_fp is the micro-unit strength; rank is dense by
+    *         (bt_score_fp DESC, item ASC) */
+  def bradleyTerry(
+      comparisons: DataFrame,
+      winner: Column,
+      loser: Column,
+      iterations: Int = 3,
+  ): DataFrame = {
+    require(iterations >= 1, s"bradleyTerry: iterations must be >= 1, got $iterations")
+    val canon = comparisons
+      .select(winner.cast("string").as("w"), loser.cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    // ONE corpus-scale aggregation; everything below is item-scale
+    val directed = canon.groupBy(col("w"), col("l")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val matchups = directed.select(col("w").as("a"), col("l").as("b"), col("c"))
+      .unionByName(directed.select(col("l").as("a"), col("w").as("b"), col("c")))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+      .localCheckpoint(false)
+    val wins = directed.groupBy(col("w").as("item")).agg(sum(col("c")).as("wins"))
+    val items = matchups.select(col("a").as("item")).distinct()
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint(false)
+
+    var pi = items.select(col("item"), lit(Scale).as("pi"))
+    for (_ <- 1 to iterations) {
+      val denom = matchups
+        .join(pi.select(col("item").as("a"), col("pi").as("pi_a")), Seq("a"))
+        .join(pi.select(col("item").as("b"), col("pi").as("pi_b")), Seq("b"))
+        .select(col("a"),
+          // (n * Scale^2) div (pi_a + pi_b): micro-scaled MM term, exact
+          expr(s"(n * ${Scale * Scale}L) div greatest(pi_a + pi_b, 1L)").as("term"))
+        .groupBy(col("a")).agg(sum(col("term")).as("d"))
+      pi = items
+        .join(denom.withColumnRenamed("a", "item"), Seq("item"), "left")
+        .select(col("item"),
+          expr(s"(wins * ${Scale * Scale}L) div greatest(coalesce(d, 0L), 1L)").as("pi"))
+        .localCheckpoint(false)
+    }
+    val byScore = Window.orderBy(col("bt_score_fp").desc, col("item").asc)
+    items
+      .join(pi, Seq("item"))
+      .join(matchups.groupBy(col("a").as("item")).agg(sum(col("n")).as("n_matches")),
+        Seq("item"))
+      .select(col("item"), col("wins"), col("n_matches"), col("pi").as("bt_score_fp"))
+      .withColumn("rank", dense_rank().over(byScore))
+      .orderBy(col("rank"), col("item"))
+  }
+}

@@ -233,6 +233,80 @@ object Search {
     * @param qrels (query_id, doc_id) binary relevance judgments
     * @return one row per judged query: (query_id, n_rel, hits_k, mrr,
     *         recall_k, dcg, idcg, ndcg_fp), ordered by query_id */
+  /** ROUGE-N between candidate/reference text pairs — the n-gram-overlap
+    * generation-eval metric (Lin 2004): per pair, clipped n-gram overlap
+    *
+    *   overlap = Sum_g min(count_cand(g), count_ref(g))
+    *   recall = overlap / |ref grams|, precision = overlap / |cand grams|,
+    *   f1 = 2pr / (p + r)
+    *
+    * Engine parity: counts are exact BIGINTs; precision/recall are one
+    * IEEE division each and f1 one fixed-association expression over
+    * them — no rounding discipline needed. Pairs where either side has no
+    * n-grams (text shorter than n) keep their row with NULL metrics: an
+    * undefined ratio reported as 0 would read as "candidate scored worst"
+    * in downstream aggregation.
+    *
+    * Scale shape: candidate and reference live on the SAME row, so both
+    * explode from one scan with a side tag; ONE (pair, gram) aggregation
+    * with map-side partials computes the clipped overlap; one per-pair
+    * rollup finishes. No join at any point.
+    *
+    * @param pairs (pair_id, candidate, reference)
+    * @return (pair_id, n_cand, n_ref, overlap, precision, recall, f1)
+    *         ordered by pair_id */
+  def rougeN(
+      pairs: DataFrame,
+      pairId: Column,
+      candidate: Column,
+      reference: Column,
+      n: Int = 2,
+  ): DataFrame = {
+    require(n >= 1, s"rougeN: n must be >= 1, got $n")
+    def grams(text: Column): Column = {
+      val t = terms(text)
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - lit(n)), i =>
+          concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val sides = pairs.select(pairId.as("pair_id"),
+        grams(candidate).as("cg"), grams(reference).as("rg"))
+      .select(col("pair_id"),
+        explode(concat(
+          transform(col("cg"), g => struct(lit(0).as("side"), g.as("g"))),
+          transform(col("rg"), g => struct(lit(1).as("side"), g.as("g"))))).as("e"))
+      .select(col("pair_id"), col("e.side").as("side"), col("e.g").as("gram"))
+    val perGram = sides
+      .groupBy(col("pair_id"), col("gram"))
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
+    val rolled = perGram
+      .groupBy(col("pair_id"))
+      .agg(
+        sum(col("cc")).as("n_cand"),
+        sum(col("rc")).as("n_ref"),
+        sum(least(col("cc"), col("rc"))).as("overlap"))
+    val p = when(col("n_cand") > 0L,
+      col("overlap").cast("double") / col("n_cand").cast("double"))
+    val r = when(col("n_ref") > 0L,
+      col("overlap").cast("double") / col("n_ref").cast("double"))
+    pairs.select(pairId.as("pair_id"))
+      .join(rolled, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(p.isNotNull && r.isNotNull && (p + r) > 0.0,
+          lit(2.0) * p * r / (p + r)).otherwise(
+          when(p.isNotNull && r.isNotNull, lit(0.0))))
+      .orderBy(col("pair_id"))
+  }
+
   def retrievalMetrics(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
     val rel = qrels

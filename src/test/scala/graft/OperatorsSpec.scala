@@ -566,4 +566,48 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.incrementalNearDup(sigs(batch), narrow, 4, 4, 0.5)
     }
   }
+
+  test("bradleyTerry: dominant item ranks first, integer fit is partition-invariant") {
+    import graft.operators.Preference
+    // a beats b 9:1, b beats c 9:1, c never wins
+    val comps = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) :+ ("a", "a") /* dropped */)
+      .toDF("w", "l")
+    val got = Preference.bradleyTerry(comps, col("w"), col("l"), iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val byItem = got.map(r => r._1 -> r).toMap
+    assert(byItem("a")._5 == 1 && byItem("c")._5 == 3, got.toSeq.toString)
+    assert(byItem("a")._4 > byItem("b")._4 && byItem("b")._4 > byItem("c")._4)
+    assert(byItem("a")._2 == 9L && byItem("a")._3 == 10L) // wins / matches
+    // partitioning-layout invariance of the integer fit
+    val again = Preference.bradleyTerry(comps.repartition(7), col("w"), col("l"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(again == got.map(r => (r._1, r._4)).sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(comps, col("w"), col("l"), iterations = 0)
+    }
+  }
+
+  test("rougeN: clipped bigram overlap against hand math; short texts keep NULL metrics") {
+    import graft.operators.Search
+    val pairs = Seq(
+      // cand bigrams: [the cat, cat sat, sat down]; ref: [the cat, cat sat, sat up]
+      // overlap = 2 -> p = r = 2/3, f1 = 2/3
+      (1L, "the cat sat down", "the cat sat up"),
+      // repeated bigram clipping: cand has "a a" x2, ref "a a" x1 -> overlap 1
+      (2L, "a a a", "a a"),
+      // reference shorter than n: NULL recall/f1 path -> metrics NULL
+      (3L, "some long candidate text", "x"),
+    ).toDF("pair_id", "cand", "ref")
+    val got = Search.rougeN(pairs, col("pair_id"), col("cand"), col("ref"), n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(3) == 2L) // overlap
+    assert(r1.getDouble(4) == 2.0 / 3.0 && r1.getDouble(5) == 2.0 / 3.0)
+    assert(math.abs(r1.getDouble(6) - 2.0 / 3.0) < 1e-15)
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 2L && r2.getLong(2) == 1L && r2.getLong(3) == 1L)
+    val r3 = got(3L)
+    assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
+  }
 }
