@@ -672,6 +672,25 @@ object Queries {
         comparisons, col("w"), col("l"), iterations = 3)
     }),
 
+    // Pairwise win rates with Wilson bounds over the same comparison set
+    // as tdp_bt_ranking — the small-sample confidence gate a preference
+    // dataset is audited with before fitting strengths.
+    "tdp_win_rates" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val pairs = d.alias("a").join(
+        d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("b_source"), col("n_chars").as("b_chars")),
+        Seq("doc_id"))
+        .filter(col("a.source").isNotNull && col("b_source").isNotNull &&
+          col("a.source") =!= col("b_source") && col("a.n_chars") =!= col("b_chars"))
+      val comparisons = pairs.select(
+        when(col("a.n_chars") > col("b_chars"), col("a.source"))
+          .otherwise(col("b_source")).as("w"),
+        when(col("a.n_chars") > col("b_chars"), col("b_source"))
+          .otherwise(col("a.source")).as("l"))
+      graft.operators.Preference.winRateReport(comparisons, col("w"), col("l"))
+    }),
+
     // ROUGE-2 generation-eval metric (round-8): clipped bigram overlap
     // between each doc and its same-source successor.
     "txt_rouge_pairs" -> ((s, dir) => {
@@ -3219,6 +3238,35 @@ object Queries {
         |  (dense_rank() OVER (ORDER BY p3.pi DESC, it.item ASC))::INTEGER AS rank
         |FROM it JOIN p3 ON p3.item = it.item JOIN nm ON nm.item = it.item
         |ORDER BY rank, it.item""".stripMargin,
+
+    // Win-rate Wilson re-derivation: canonical unordered pair key, one
+    // count aggregation, the dq_rate_wilson IEEE chain verbatim.
+    "tdp_win_rates" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS w,
+        |         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS l
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source IS NOT NULL AND b.source IS NOT NULL
+        |    AND a.source <> b.source AND a.n_chars <> b.n_chars),
+        |canon AS (
+        |  SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+        |    (w = least(w, l)) AS a_won
+        |  FROM c),
+        |g AS (
+        |  SELECT item_a, item_b, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN a_won THEN 1 ELSE 0 END)::BIGINT AS wins_a
+        |  FROM canon GROUP BY item_a, item_b),
+        |c2 AS (SELECT *, wins_a::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
+        |c3 AS (SELECT *,
+        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
+        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
+        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
+        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c2)
+        |SELECT item_a, item_b, n, wins_a, p AS rate,
+        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
+        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
+        |FROM c3 ORDER BY item_a, item_b""".stripMargin,
 
     // ROUGE-2 re-derivation: same tokenizer as the LM chain, positional
     // bigram lists with a side tag, clipped-min overlap, single-division

@@ -97,4 +97,46 @@ object Preference {
       .withColumn("rank", dense_rank().over(byScore))
       .orderBy(col("rank"), col("item"))
   }
+
+  /** Pairwise win-rate report with Wilson 95% bounds — the "is A actually
+    * better than B, given how few matchups we have" readout that gates a
+    * preference dataset before the [[bradleyTerry]] fit (a 3-0 record is
+    * not evidence; the Wilson interval says so). One row per UNORDERED
+    * pair, canonicalized so `item_a < item_b`; `rate` is a's win share.
+    *
+    * Engine parity: counts are exact; rate and the Wilson chain are the
+    * [[DataQuality.rateWithWilson]] fixed-association IEEE contract
+    * (sqrt is exactly rounded per IEEE 754 — not a transcendental).
+    *
+    * Scale shape: ONE aggregation of the comparison corpus on the
+    * canonical pair key; everything else is a projection. */
+  def winRateReport(
+      comparisons: DataFrame,
+      winner: Column,
+      loser: Column,
+  ): DataFrame = {
+    val canon = comparisons
+      .select(winner.cast("string").as("w"), loser.cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+      .select(
+        least(col("w"), col("l")).as("item_a"),
+        greatest(col("w"), col("l")).as("item_b"),
+        (col("w") === least(col("w"), col("l"))).as("_a_won"))
+    val agg = canon
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_a_won"), lit(1L)).otherwise(lit(0L))).as("wins_a"))
+    val z = lit(1.96)
+    val n = col("n").cast("double")
+    val p = col("wins_a").cast("double") / n
+    val z2 = z * z
+    val center = p + z2 / (lit(2.0) * n)
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * (n * n)))
+    val denom = lit(1.0) + z2 / n
+    agg
+      .withColumn("rate", p)
+      .withColumn("lo", greatest(lit(0.0), (center - half) / denom))
+      .withColumn("hi", least(lit(1.0), (center + half) / denom))
+      .orderBy(col("item_a"), col("item_b"))
+  }
 }

@@ -610,4 +610,20 @@ class OperatorsSpec extends AnyFunSuite {
     val r3 = got(3L)
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
+
+  test("winRateReport: canonical pairs, exact counts, Wilson bounds bracket the rate") {
+    import graft.operators.Preference
+    val comps = (Seq.fill(8)(("a", "b")) ++ Seq.fill(2)(("b", "a")) :+ ("b", "c"))
+      .toDF("w", "l")
+    val got = Preference.winRateReport(comps, col("w"), col("l"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val ab = got(("a", "b"))
+    assert(ab._1 == 10L && ab._2 == 8L && ab._3 == 0.8)
+    assert(ab._4 > 0.4 && ab._4 < 0.8 && ab._5 > 0.8 && ab._5 <= 1.0, ab.toString)
+    // single observation: bounds nearly span the unit interval — the
+    // "3-0 is not evidence" property the report exists for
+    val bc = got(("b", "c"))
+    assert(bc._1 == 1L && bc._3 == 1.0 && bc._4 < 0.3 && bc._5 == 1.0, bc.toString)
+  }
 }
