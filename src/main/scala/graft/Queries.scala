@@ -691,6 +691,15 @@ object Queries {
       graft.operators.Preference.winRateReport(comparisons, col("w"), col("l"))
     }),
 
+    // DPO-style chosen/rejected pairs: per user, the highest- and
+    // lowest-valued event as a preference pair with its margin (champion
+    // struct extremes — one aggregation, no per-key sort window).
+    "tdp_chosen_rejected" -> ((s, dir) => {
+      graft.operators.Preference.chosenRejected(
+        t(s, dir, "events"), col("user_id"), col("event_id"), col("value"))
+        .withColumnRenamed("prompt", "user_id")
+    }),
+
     // ROUGE-2 generation-eval metric (round-8): clipped bigram overlap
     // between each doc and its same-source successor.
     "txt_rouge_pairs" -> ((s, dir) => {
@@ -3267,6 +3276,27 @@ object Queries {
         |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
         |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
         |FROM c3 ORDER BY item_a, item_b""".stripMargin,
+
+    // Chosen/rejected re-derivation: the struct-extreme tie-break
+    // rendered as two row_number windows — (score DESC, response DESC)
+    // for chosen, (score ASC, response ASC) for rejected — equivalent to
+    // the engine's lexicographic (score, response) max/min.
+    "tdp_chosen_rejected" ->
+      """WITH b AS (
+        |  SELECT user_id AS prompt, event_id::VARCHAR AS r, value::DOUBLE AS sc
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |rk AS (
+        |  SELECT prompt, r, sc,
+        |    row_number() OVER (PARTITION BY prompt ORDER BY sc DESC, r DESC) AS rb,
+        |    row_number() OVER (PARTITION BY prompt ORDER BY sc ASC, r ASC) AS rw
+        |  FROM b),
+        |best AS (SELECT prompt, r AS chosen, sc AS chosen_score FROM rk WHERE rb = 1),
+        |worst AS (SELECT prompt, r AS rejected, sc AS rejected_score FROM rk WHERE rw = 1)
+        |SELECT b2.prompt AS user_id, chosen, rejected, chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM best b2 JOIN worst w ON w.prompt = b2.prompt
+        |WHERE NOT (chosen = rejected AND chosen_score = rejected_score)
+        |ORDER BY user_id""".stripMargin,
 
     // ROUGE-2 re-derivation: same tokenizer as the LM chain, positional
     // bigram lists with a side tag, clipped-min overlap, single-division

@@ -98,6 +98,47 @@ object Preference {
       .orderBy(col("rank"), col("item"))
   }
 
+  /** Chosen/rejected pair construction from scored completions — the DPO/
+    * RLHF dataset-prep step: per prompt, the best- and worst-scored
+    * response with the score margin between them. Selection is a
+    * lexicographic struct extreme — (score, response) — so ties break
+    * deterministically (equal scores: the max/min response id) with ONE
+    * map-side-combined aggregation per prompt, never a per-prompt sort
+    * window. Prompts whose best and worst ROWS coincide (a single
+    * response, or every row identical) are dropped — a pair with no
+    * contrast teaches nothing. Distinct responses with EQUAL scores
+    * survive with margin 0 (the deterministic id tie-break picks the
+    * pair); filter `margin > 0` before a margin-weighted loss.
+    *
+    * Engine parity: the extremes are exact value comparisons; margin is
+    * one IEEE subtract of identical doubles.
+    *
+    * @return (prompt, chosen, rejected, chosen_score, rejected_score,
+    *         margin) ordered by prompt */
+  def chosenRejected(
+      responses: DataFrame,
+      prompt: Column,
+      response: Column,
+      score: Column,
+  ): DataFrame = {
+    val base = responses.select(
+      prompt.as("prompt"),
+      response.cast("string").as("r"),
+      score.cast("double").as("sc"))
+      .filter(col("r").isNotNull && col("sc").isNotNull)
+    base
+      .groupBy(col("prompt"))
+      .agg(
+        max(struct(col("sc"), col("r"))).as("_best"),
+        min(struct(col("sc"), col("r"))).as("_worst"))
+      .filter(col("_best") =!= col("_worst"))
+      .select(col("prompt"),
+        col("_best.r").as("chosen"), col("_worst.r").as("rejected"),
+        col("_best.sc").as("chosen_score"), col("_worst.sc").as("rejected_score"),
+        (col("_best.sc") - col("_worst.sc")).as("margin"))
+      .orderBy(col("prompt"))
+  }
+
   /** Pairwise win-rate report with Wilson 95% bounds — the "is A actually
     * better than B, given how few matchups we have" readout that gates a
     * preference dataset before the [[bradleyTerry]] fit (a 3-0 record is

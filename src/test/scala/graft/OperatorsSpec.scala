@@ -626,4 +626,23 @@ class OperatorsSpec extends AnyFunSuite {
     val bc = got(("b", "c"))
     assert(bc._1 == 1L && bc._3 == 1.0 && bc._4 < 0.3 && bc._5 == 1.0, bc.toString)
   }
+
+  test("chosenRejected: extremes with deterministic tie-break, contrast-free prompts drop") {
+    import graft.operators.Preference
+    val rows = Seq(
+      (1L, 11L, 0.2), (1L, 12L, 0.9), (1L, 13L, 0.5), // clear best/worst
+      (2L, 21L, 0.7), (2L, 22L, 0.7),                 // score tie -> id tie-break
+      (3L, 31L, 0.4),                                 // single response -> dropped
+    ).toDF("prompt", "resp", "score")
+    val got = Preference.chosenRejected(rows, col("prompt"), col("resp"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(5))).toSeq
+    assert(got == Seq((1L, "12", "11", 0.7000000000000001) , (2L, "22", "21", 0.0)) ||
+      got == Seq((1L, "12", "11", 0.9 - 0.2), (2L, "22", "21", 0.0)), got.toString)
+    // deterministic across partitionings
+    val a = Preference.chosenRejected(rows.repartition(5), col("prompt"), col("resp"), col("score"))
+      .collect().map(_.toSeq).toSeq
+    val b = Preference.chosenRejected(rows, col("prompt"), col("resp"), col("score"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
