@@ -270,8 +270,13 @@ object Search {
           concat_ws(" ", slice(t, i + lit(1), lit(n)))))
         .otherwise(array().cast("array<string>"))
     }
-    val sides = pairs.select(pairId.as("pair_id"),
+    // pin the pair projection: the gram explode AND the final pair spine
+    // both read it, and without the pin the caller's pair-construction
+    // DAG (often a corpus window/join) would execute twice
+    val projected = pairs.select(pairId.as("pair_id"),
         grams(candidate).as("cg"), grams(reference).as("rg"))
+      .localCheckpoint(false)
+    val sides = projected
       .select(col("pair_id"),
         explode(concat(
           transform(col("cg"), g => struct(lit(0).as("side"), g.as("g"))),
@@ -292,7 +297,7 @@ object Search {
       col("overlap").cast("double") / col("n_cand").cast("double"))
     val r = when(col("n_ref") > 0L,
       col("overlap").cast("double") / col("n_ref").cast("double"))
-    pairs.select(pairId.as("pair_id"))
+    projected.select(col("pair_id"))
       .join(rolled, Seq("pair_id"), "left")
       .select(col("pair_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
