@@ -263,18 +263,24 @@ object Search {
       n: Int = 2,
   ): DataFrame = {
     require(n >= 1, s"rougeN: n must be >= 1, got $n")
-    def grams(text: Column): Column = {
-      val t = terms(text)
+    // n-grams over an ALREADY-BOUND token-array attribute: higher-order
+    // functions are CodegenFallback, so an expression argument would be
+    // re-evaluated per reference — tokenization must happen once, in the
+    // projection below, never inline here (isolated-bench lesson: the
+    // inline form ran terms() three times per row, 7 s for 5k pairs)
+    def grams(t: Column): Column =
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - lit(n)), i =>
           concat_ws(" ", slice(t, i + lit(1), lit(n)))))
         .otherwise(array().cast("array<string>"))
-    }
     // pin the pair projection: the gram explode AND the final pair spine
     // both read it, and without the pin the caller's pair-construction
     // DAG (often a corpus window/join) would execute twice
-    val projected = pairs.select(pairId.as("pair_id"),
-        grams(candidate).as("cg"), grams(reference).as("rg"))
+    val projected = pairs
+      .select(pairId.as("pair_id"),
+        terms(candidate).as("_ct"), terms(reference).as("_rt"))
+      .select(col("pair_id"),
+        grams(col("_ct")).as("cg"), grams(col("_rt")).as("rg"))
       .localCheckpoint(false)
     val sides = projected
       .select(col("pair_id"),
