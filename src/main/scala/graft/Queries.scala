@@ -1671,6 +1671,28 @@ object Queries {
         lo = 0.0, hi = 1.0, buckets = 10)
     }),
 
+    // The ensemble as an actual GATE: per-source pass rates at a 0.5
+    // ensemble threshold — the per-ingest report a curation pipeline
+    // publishes when the calibrated score starts filtering.
+    "tdp_quality_gate_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.LanguageModel
+        .trainBigramLm(docs, col("text"), vocabSize = 20, maxBigrams = 400)
+      val scored = graft.operators.QualityModel
+        .ensembleQuality(docs, col("doc_id"), col("text"), lm)
+        .select(col("id").as("doc_id"), col("ensemble"))
+      docs.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ensemble").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+          sum(when(col("ensemble") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_rate",
+          col("n_pass").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // CCNet-style perplexity bucketing: head/middle/tail by interpolated
     // nll quantiles (thresholds broadcast; corpus shuffles once, in the
     // LM scorer itself).
@@ -5130,6 +5152,18 @@ object Queries {
     // rederiveSql) mixes the LM ln() with the calibration contract's
     // round(.., 9) — the combination the round-8 lint forbids live.
     "txt_ensemble_calibration" -> PinnedOracles.sql("txt_ensemble_calibration"),
+
+    // Quality-gate rollup: the ensemble CTE chain, one boolean gate at
+    // 0.5 (identical doubles on both engines), exact-count pass rates.
+    "tdp_quality_gate_stats" ->
+      (ensembleCtes + """
+        |SELECT d2.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN e.ensemble IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_scored,
+        |  sum(CASE WHEN e.ensemble >= 0.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  sum(CASE WHEN e.ensemble >= 0.5::DOUBLE THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS pass_rate
+        |FROM ens e JOIN documents d2 ON d2.doc_id = e.doc_id
+        |GROUP BY d2.source ORDER BY d2.source""".stripMargin),
 
     "tdp_sample_per_group" ->
       """SELECT doc_id, lang FROM (

@@ -106,6 +106,9 @@ class OracleParitySpec extends AnyFunSuite {
     "txt_ppl_buckets" ->
       ("lm_score is the 6-dp decimal contract; the quantile thresholds are the " +
         "proven percentile/quantile_cont interpolation over those identical doubles"),
+    "tdp_quality_gate_stats" ->
+      ("pass_rate is an exact BIGINT count ratio; the ln reaches it only through " +
+        "the ensemble's deterministic gate (6-dp lm contract + exact CDF ratios)"),
     "txt_rank_correlation" ->
       ("rho is one multiply+division over exact integers; the ln lives only in the " +
         "upstream BM25 run derivation whose round(..,6) scores both engines already share"),
