@@ -700,6 +700,19 @@ object Queries {
         .withColumnRenamed("prompt", "user_id")
     }),
 
+    // GRPO group advantage normalization (round-9): per user group, each
+    // event's centi-quantized reward centered/scaled by the group's own
+    // mean and std — exact BIGINT sums, int64→double conversions, IEEE
+    // fixed-association arithmetic and one exactly-rounded sqrt; no
+    // decimal→double re-conversion anywhere (the r6 red-row vector).
+    "tdp_group_advantage" -> ((s, dir) => {
+      graft.operators.Preference.groupAdvantage(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("user_id"), col("event_id"), floor(col("value") * 100))
+        .withColumnRenamed("group_id", "user_id")
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // ROUGE-2 generation-eval metric (round-8): clipped bigram overlap
     // between each doc and its same-source successor.
     "txt_rouge_pairs" -> ((s, dir) => {
@@ -951,6 +964,16 @@ object Queries {
         t(s, dir, "documents").select(col("lang"),
           TextFunctions.langIdHeuristic(col("text")).as("pred")),
         col("lang"), col("pred"))
+    }),
+
+    // Krippendorff's alpha (round-9): multi-annotator nominal agreement
+    // over synthetic rating slots (unit = event_id div 10, annotator =
+    // event_id % 10, label = event_type) — BIGINT micro fixed-point end
+    // to end, integer `div` the only division (picorank discipline).
+    "dq_krippendorff_alpha" -> ((s, dir) => {
+      graft.operators.DataQuality.krippendorffAlpha(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        expr("event_id div 10"), expr("event_id % 10"), col("event_type"))
     }),
 
     // Per-source label balance: Shannon entropy + Gini impurity of the
@@ -3320,6 +3343,31 @@ object Queries {
         |WHERE NOT (chosen = rejected AND chosen_score = rejected_score)
         |ORDER BY user_id""".stripMargin,
 
+    // Group-advantage re-derivation: exact BIGINT group sums s/ss, every
+    // double an int64→double conversion or fixed-association IEEE op in
+    // the engine's exact order ((ss/n - mean*mean) guarded to 0, one
+    // exactly-rounded sqrt, (r - mean)/std).
+    "tdp_group_advantage" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS reward_fp
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(reward_fp) AS s,
+        |         SUM(reward_fp * reward_fp) AS ss
+        |  FROM b GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id, n,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+        |  FROM g)
+        |SELECT b.user_id, b.event_id, b.reward_fp, st.n, st.mean, st.std,
+        |  CASE WHEN st.std > 0.0
+        |       THEN (CAST(b.reward_fp AS DOUBLE) - st.mean) / st.std
+        |       ELSE 0.0 END AS advantage
+        |FROM b JOIN st ON st.user_id = b.user_id
+        |ORDER BY b.user_id, b.event_id""".stripMargin,
+
     // ROUGE-2 re-derivation: same tokenizer as the LM chain, positional
     // bigram lists with a side tag, clipped-min overlap, single-division
     // ratios and a fixed-association f1.
@@ -3806,6 +3854,38 @@ object Queries {
         |  CASE WHEN pe < '1.0'::DOUBLE
         |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
         |FROM st""".stripMargin,
+
+    // Krippendorff re-derivation: coincidence-matrix algebra over exact
+    // BIGINT cell counts; the per-unit 1/(m-1) weight carried in micro
+    // fixed point via `//` (truncation identical on both engines), every
+    // shipped HUGEINT total cast back to BIGINT (the r7 physical-type
+    // lesson).
+    "dq_krippendorff_alpha" ->
+      """WITH slots AS (
+        |  SELECT CAST(event_id // 10 AS VARCHAR) AS u,
+        |         CAST(event_id % 10 AS VARCHAR) AS a, min(event_type) AS l
+        |  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT u, l, count(*)::BIGINT AS c FROM slots GROUP BY u, l),
+        |units AS (
+        |  SELECT u, sum(c)::BIGINT AS m, sum(c * c)::BIGINT AS sq
+        |  FROM cells GROUP BY u HAVING sum(c) >= 2),
+        |pc AS (SELECT cells.* FROM cells WHERE u IN (SELECT u FROM units)),
+        |obs AS (
+        |  SELECT count(*)::BIGINT AS n_units, sum(m)::BIGINT AS n,
+        |    sum(((m * m - sq) * 1000000) // (m - 1))::BIGINT AS ufp
+        |  FROM units),
+        |marg AS (
+        |  SELECT count(*)::BIGINT AS n_labels,
+        |    coalesce(sum(nc * nc), 0)::BIGINT AS sqm
+        |  FROM (SELECT l, sum(c)::BIGINT AS nc FROM pc GROUP BY l))
+        |SELECT n_units, n AS n_ratings, n_labels,
+        |  (ufp // n)::BIGINT AS do_fp,
+        |  (((n * n - sqm) * 1000000) // (n * (n - 1)))::BIGINT AS de_fp,
+        |  CASE WHEN n * n = sqm THEN NULL
+        |       ELSE (1000000 - (((n - 1) * ufp) // (n * n - sqm)))::BIGINT
+        |  END AS alpha_fp
+        |FROM obs CROSS JOIN marg""".stripMargin,
 
     // Label-balance re-derivation: exact-rational shares, ln riding
     // round-then-decimal contributions, totals STAYING decimal (the

@@ -586,4 +586,81 @@ object DataQuality {
           .cast("decimal(28,9)").as("gini"))
       .orderBy(col("group"))
   }
+
+  /** Krippendorff's alpha (nominal) — the multi-annotator agreement
+    * coefficient that, unlike [[cohenKappa]], handles any number of
+    * annotators and missing ratings (Krippendorff 2004). Over ratings
+    * (unit, annotator, label), using only units with m_u >= 2 ratings:
+    *
+    *   alpha = 1 - (n-1) · Σ_u (m_u² - Σ_c m_uc²)/(m_u - 1) / (n² - Σ_c n_c²)
+    *
+    * where m_uc counts label c in unit u, m_u = Σ_c m_uc, n_c = Σ_u m_uc
+    * and n = Σ_u m_u — the coincidence-matrix form with the per-unit
+    * pair weighting folded in. The annotator identity only establishes
+    * one-rating-per-slot; duplicate (unit, annotator) rows are collapsed
+    * to their min label first so a double-logged rating cannot inflate m_u.
+    *
+    * Determinism contract: the per-unit disagreement weight 1/(m_u - 1)
+    * is carried in micro-unit fixed point via integer division
+    * (`x * 1e6 div (m_u - 1)` — truncation identical on every engine, the
+    * picorank discipline), so `alpha_fp` is a BIGINT end to end: no
+    * double ever enters an aggregation and no decimal→double conversion
+    * ships. (n-1)·U must fit a BIGINT: n <= ~3e6 pairable ratings at the
+    * 1e-6 alpha resolution — guarded with a loud error; beyond that,
+    * re-render at a coarser Scale (the bound is resolution·n², not
+    * corpus size).
+    *
+    * Scale shape: ONE hash aggregation of the rating corpus to
+    * (unit, label) cells, a per-unit re-aggregation sharing the same
+    * shuffle-key prefix, then two scalar totals — the label-marginal
+    * frame is |labels|-bounded and the final assembly is a cross join of
+    * three one-row frames.
+    *
+    * @return one row: (n_units, n_ratings, n_labels, do_fp, de_fp,
+    *         alpha_fp) — do/de in 1e-6 units of disagreement-per-pairable
+    *         -value, alpha_fp = 1e6 · alpha truncated */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unit: Column,
+      annotator: Column,
+      label: Column,
+  ): DataFrame = {
+    val S = 1000000L
+    val slots = df
+      .select(unit.cast("string").as("_u"), annotator.cast("string").as("_a"),
+        label.cast("string").as("_l"))
+      .filter(col("_u").isNotNull && col("_a").isNotNull && col("_l").isNotNull)
+      .groupBy(col("_u"), col("_a")).agg(min(col("_l")).as("_l"))
+    val cells = slots.groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("c"))
+    val units = cells.groupBy(col("_u"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("sq"))
+      .filter(col("m") >= 2)
+    // pairable units only: a single-rating unit contributes no pair, and
+    // its labels must not enter the marginals either
+    val pairableCells = cells.join(units.select(col("_u")), Seq("_u"), "left_semi")
+    val obs = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("m")).as("n"),
+      // Σ_u (m_u² - Σ_c m_uc²) · S div (m_u - 1): exact integers, the
+      // only division carried in micro fixed point
+      sum(expr(s"((m * m - sq) * ${S}L) div (m - 1L)")).as("_u_fp"))
+    val marg = pairableCells.groupBy(col("_l")).agg(sum(col("c")).as("nc"))
+      .agg(count(lit(1)).as("n_labels"),
+        coalesce(sum(col("nc") * col("nc")), lit(0L)).as("_sq_marg"))
+    obs.crossJoin(broadcast(marg))
+      // (n-1)·U <= n²·S: refuse loudly past the BIGINT horizon instead of
+      // wrapping into a silently wrong alpha
+      .withColumn("_guard",
+        when(col("n") <= lit(3000000L), lit(1L))
+          .otherwise(raise_error(concat(lit("krippendorffAlpha: "), col("n").cast("string"),
+            lit(" pairable ratings exceeds the 1e-6 fixed-point horizon (3e6); " +
+              "re-render at a coarser scale"))).cast("long")))
+      .select(
+        col("n_units"), col("n").as("n_ratings"), col("n_labels"),
+        expr(s"_guard * _u_fp div n").as("do_fp"),
+        expr(s"((n * n - _sq_marg) * ${S}L) div (n * (n - 1L))").as("de_fp"),
+        when(col("n") * col("n") === col("_sq_marg"), lit(null).cast("long"))
+          .otherwise(expr(s"${S}L - (((n - 1L) * _u_fp) div (n * n - _sq_marg))"))
+          .as("alpha_fp"))
+  }
 }

@@ -180,4 +180,77 @@ object Preference {
       .withColumn("hi", least(lit(1.0), (center + half) / denom))
       .orderBy(col("item_a"), col("item_b"))
   }
+
+  /** GRPO-style group advantage normalization — the RL post-training
+    * data-prep step: per prompt group, each sampled completion's reward is
+    * centered and scaled by the group's own statistics,
+    *
+    *   advantage_i = (r_i - mean(r_group)) / std(r_group)
+    *
+    * (Shao et al. 2024, DeepSeekMath — group-relative policy optimization
+    * estimates the baseline from the sample group instead of a critic).
+    * Degenerate groups (one sample, or all rewards equal: std = 0) ship
+    * advantage 0 — no contrast, no gradient.
+    *
+    * Determinism contract: `reward` MUST be integral (the picorank /
+    * [[bradleyTerry]] fixed-point discipline — quantize upstream, e.g.
+    * `floor(score * 1e6)`). Group sums `s = Sum r` and `ss = Sum r^2` are
+    * then exact BIGINTs, and every shipped double derives from them via
+    * int64→double conversion (correctly rounded IEEE, identical on every
+    * engine — unlike a decimal→double re-conversion, the r6 red-row
+    * vector) plus fixed-association +,-,*,/ and one exactly-rounded
+    * sqrt. No transcendental, no decimal, no rounding contract needed.
+    * r^2 per row must fit a BIGINT: |reward| <= ~3e9, a cap on the
+    * quantized reward magnitude, not on corpus or group size (the guard
+    * raises loudly, it never wraps).
+    *
+    * Scale shape: ONE map-side-combined aggregation of the corpus on the
+    * group key plus one co-partitioned equi-join of the |groups|-bounded
+    * stats frame back onto the corpus — both shuffles hash on `group`, so
+    * AQE plans the pair as a single exchange reuse. No window, no sort:
+    * a per-group sort window would order every completion at 100 TB for
+    * statistics that one partial-aggregable pass already yields.
+    *
+    * @param responses one row per sampled completion
+    * @param group     the prompt/group key
+    * @param id        completion id (unique within group; output order key)
+    * @param reward    integral quantized reward
+    * @return (group_id, id, reward_fp, n, mean, std, advantage) ordered by
+    *         (group_id, id) */
+  def groupAdvantage(
+      responses: DataFrame,
+      group: Column,
+      id: Column,
+      reward: Column,
+  ): DataFrame = {
+    val base = responses.select(
+      group.as("group_id"), id.as("id"), reward.cast("long").as("reward_fp"))
+      .filter(col("group_id").isNotNull && col("reward_fp").isNotNull)
+      // |r| <= 3e9 keeps r*r inside a BIGINT; a wrapped square would
+      // silently corrupt the variance, so refuse loudly instead
+      .withColumn("reward_fp",
+        when(abs(col("reward_fp")) <= lit(3000000000L), col("reward_fp"))
+          .otherwise(raise_error(concat(
+            lit("groupAdvantage: |reward| "), col("reward_fp").cast("string"),
+            lit(" exceeds 3e9 — quantize at a coarser scale")))
+            .cast("long")))
+    val stats = base
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("reward_fp")).as("_s"),
+        sum(col("reward_fp") * col("reward_fp")).as("_ss"))
+      .withColumn("mean", col("_s").cast("double") / col("n"))
+      .withColumn("_var",
+        greatest(col("_ss").cast("double") / col("n") - col("mean") * col("mean"),
+          lit(0.0)))
+      .withColumn("std", sqrt(col("_var")))
+    base
+      .join(stats, Seq("group_id"))
+      .select(col("group_id"), col("id"), col("reward_fp"), col("n"),
+        col("mean"), col("std"),
+        when(col("std") > 0.0,
+          (col("reward_fp").cast("double") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)).as("advantage"))
+      .orderBy(col("group_id"), col("id"))
+  }
 }

@@ -226,4 +226,32 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.getLong(3) == 1L)
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
+
+  test("krippendorffAlpha: hand-computed nominal cases") {
+    import org.apache.spark.sql.functions.col
+    def alpha(rows: Seq[(String, String, String)]) = {
+      val df = rows.toDF("u", "a", "l")
+      DataQuality.krippendorffAlpha(df, col("u"), col("a"), col("l")).collect().head
+    }
+    // one agreeing + one disagreeing 2-rating unit: Do = De = 0.5 -> alpha 0
+    val r0 = alpha(Seq(("u1", "a1", "A"), ("u1", "a2", "A"),
+      ("u2", "a1", "A"), ("u2", "a2", "B")))
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) == ((2L, 4L, 2L)))
+    assert(r0.getLong(3) == 500000L && r0.getLong(4) == 500000L)
+    assert(r0.getLong(5) == 0L)
+    // perfect agreement across two label levels -> alpha 1
+    val r1 = alpha(Seq(("u1", "a1", "A"), ("u1", "a2", "A"),
+      ("u2", "a1", "B"), ("u2", "a2", "B")))
+    assert(r1.getLong(5) == 1000000L)
+    // no label variation at all -> alpha undefined (NULL)
+    val r2 = alpha(Seq(("u1", "a1", "A"), ("u1", "a2", "A"),
+      ("u2", "a1", "A"), ("u2", "a2", "A")))
+    assert(r2.isNullAt(5))
+    // single-rating units and duplicate (unit, annotator) slots are inert:
+    // the dup collapses to its min label, the singleton never pairs
+    val r3 = alpha(Seq(("u1", "a1", "A"), ("u1", "a1", "B"), ("u1", "a2", "A"),
+      ("u2", "a1", "A"), ("u2", "a2", "B"), ("u3", "a1", "B")))
+    assert((r3.getLong(0), r3.getLong(1)) == ((2L, 4L)))
+    assert(r3.getLong(5) == r0.getLong(5))
+  }
 }

@@ -645,4 +645,30 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("groupAdvantage: GRPO normalization — exact stats, degenerate groups ship 0") {
+    import graft.operators.Preference
+    val rows = Seq(
+      (1L, 11L, 10L), (1L, 12L, 20L), (1L, 13L, 30L), // mean 20, var 200/3
+      (2L, 21L, 5L), (2L, 22L, 5L),                   // all equal -> std 0
+      (3L, 31L, 7L),                                  // singleton -> std 0
+    ).toDF("g", "id", "r")
+    val got = Preference.groupAdvantage(rows, col("g"), col("id"), col("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    val std1 = math.sqrt(200.0 / 3.0) // squared devs 100+0+100 over n=3
+    assert(got.size == 6)
+    val g1 = got.filter(_._1 == 1L)
+    assert(g1.map(_._3).forall(_ == 20.0))
+    assert(math.abs(g1.head._4 - std1) < 1e-12)
+    assert(math.abs(g1.map(_._5).sum) < 1e-12, "advantages center to 0")
+    assert(g1.find(_._2 == 13L).get._5 > 0 && g1.find(_._2 == 11L).get._5 < 0)
+    assert(got.filter(_._1 != 1L).map(_._5).forall(_ == 0.0), "degenerate groups -> 0")
+    // deterministic across partitionings (exact integer sums)
+    val a = Preference.groupAdvantage(rows.repartition(7), col("g"), col("id"), col("r"))
+      .collect().map(_.toSeq).toSeq
+    val b = Preference.groupAdvantage(rows, col("g"), col("id"), col("r"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
