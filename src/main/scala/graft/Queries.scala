@@ -1172,6 +1172,16 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality rules (round-9): every threshold a cross-
+    // multiplied integer comparison over exact per-doc counts — no
+    // division, no double, no rounding contract anywhere. minWords=5 so
+    // the pass flag varies on the synthetic corpus.
+    "txt_gopher_rules" -> ((s, dir) => {
+      graft.operators.Curation.gopherRules(
+        t(s, dir, "documents"), col("doc_id"), col("text"), minWords = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Unicode NFC canonicalization (native codegen kernel) over the
     // corpus — two INDEPENDENT NFC implementations (java.text.Normalizer
     // vs DuckDB nfc_normalize) must agree on every document.
@@ -1312,6 +1322,24 @@ object Queries {
       Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // CDC changelog apply (round-9): snapshot ⟵ change stream via the
+    // per-key champion change (max version; I/U upsert, D delete) —
+    // idempotent under replay, one aggregation + one full-outer join.
+    "e_cdc_apply" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = t(s, dir, "events")
+      val snap = ev.filter(col("event_id") % 3 === 0)
+        .select(expr("event_id div 3").as("k"), col("value"),
+          col("event_type").as("etype"))
+      val ch = ev.filter(col("event_id") % 3 =!= 0)
+        .select(expr("event_id div 3").as("k"), col("event_id").as("ver"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_id") % 3 === 1, "U").otherwise("I").as("op"),
+          col("value"), col("event_type").as("etype"))
+      Incremental.applyChangelog(snap, ch, col("k"), col("ver"), col("op"),
+        Seq("value", "etype"))
     }),
 
     // Left-outer interval join: views with NO conversion in-window emit
@@ -4378,6 +4406,46 @@ object Queries {
         |    + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // Gopher-rules re-derivation: identical tokenization (single-space
+    // words, chr(10) lines), identical replace-scan symbol counts, every
+    // flag the same cross-multiplied integer comparison.
+    "txt_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text AS t,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+        |                (a, b) -> a + b)::BIGINT AS sum_word_len,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    ((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS n_sym,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))::BIGINT AS n_bullet_lines,
+        |    len(list_filter(lines, x -> x LIKE '%...'))::BIGINT AS n_ellipsis_lines,
+        |    len(list_filter(list_distinct(toks),
+        |        x -> x IN ('the','a','of','and','to','in','is','that')))::BIGINT AS n_stop_distinct
+        |  FROM tk),
+        |f AS (
+        |  SELECT *,
+        |    (n_words >= 5 AND n_words <= 100000) AS ok_words,
+        |    (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS ok_mean_len,
+        |    (10 * n_sym < n_words) AS ok_symbol,
+        |    (10 * n_bullet_lines < 9 * n_lines) AS ok_bullet,
+        |    (10 * n_ellipsis_lines < 3 * n_lines) AS ok_ellipsis,
+        |    (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+        |    (n_stop_distinct >= 2) AS ok_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_sym, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
+        |  ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis, ok_alpha, ok_stop,
+        |  (ok_words AND ok_mean_len AND ok_symbol AND ok_bullet AND ok_ellipsis
+        |    AND ok_alpha AND ok_stop) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // Full SQL re-derivation: same quality/token expressions as the
     // txt_quality / txt_token_estimate oracles, rolled up per source.
     // Integer sums only (token counts, char counts, pass counts) — no
@@ -4495,6 +4563,33 @@ object Queries {
         |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // CDC-apply re-derivation: the champion change as a row_number window
+    // (versions are unique event_ids, so ORDER BY v DESC is the same
+    // winner as the engine's lexicographic struct max), then the
+    // full-outer upsert/delete merge. Payloads pass through untouched —
+    // bit-identical doubles, no arithmetic.
+    "e_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT event_id // 3 AS k, value, event_type AS etype
+        |  FROM events WHERE event_id % 3 = 0),
+        |ch AS (
+        |  SELECT event_id // 3 AS k, event_id AS v,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_id % 3 = 1 THEN 'U' ELSE 'I' END AS op,
+        |    value, event_type AS etype
+        |  FROM events WHERE event_id % 3 <> 0),
+        |w AS (
+        |  SELECT k, op, value, etype FROM (
+        |    SELECT k, op, value, etype,
+        |      row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(w.k, s.k)::BIGINT AS key,
+        |  CASE WHEN w.k IS NOT NULL THEN w.value ELSE s.value END AS value,
+        |  CASE WHEN w.k IS NOT NULL THEN w.etype ELSE s.etype END AS etype
+        |FROM snap s FULL OUTER JOIN w ON w.k = s.k
+        |WHERE w.op IS NULL OR w.op <> 'D'
+        |ORDER BY key""".stripMargin,
 
     "e_interval_join_outer" ->
       """WITH l AS (SELECT * FROM events WHERE event_type = 'view'),

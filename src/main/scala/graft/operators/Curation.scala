@@ -801,4 +801,81 @@ object Curation {
       .withColumn("stage", when(score.isNull, lit(null)).otherwise(stage).cast("int"))
       .drop("_cs_thr")
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1) — the
+    * per-document repetition/format gate applied before a corpus enters
+    * training: word-count bounds, mean word length bounds, symbol-to-word
+    * ratio, bullet/ellipsis line fractions, alphabetic-word fraction and
+    * a minimum distinct-stopword hit count, plus the conjunction `pass`.
+    *
+    * Every threshold is evaluated as a CROSS-MULTIPLIED integer
+    * comparison (`10·n_sym < n_words` instead of `n_sym/n_words < 0.1`)
+    * over exact per-document counts — no division, no double, no
+    * rounding contract anywhere; the oracle re-derives each flag
+    * bit-identically from the same counts.
+    *
+    * Tokenization contract (shared with the txt_quality family): words
+    * split on single spaces, empties dropped; lines split on '\n' (a
+    * lineless document is one line). Symbols are '#' characters plus
+    * non-overlapping left-to-right '...' occurrences — both engines'
+    * `replace` scans identically.
+    *
+    * Scale shape: a pure zero-shuffle projection — one scan, all counts
+    * from per-row array/string expressions inside whole-stage codegen.
+    * The final orderBy is presentation-only (drop it when feeding the
+    * gate into a write).
+    *
+    * @return (id, n_words, sum_word_len, n_alpha_words, n_sym, n_lines,
+    *         n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
+    *         ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis,
+    *         ok_alpha, ok_stop, pass) ordered by id */
+  def gopherRules(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+  ): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+    val base = df
+      .select(id.as("id"), text.as("_t"))
+      .filter(col("_t").isNotNull)
+      .withColumn("_toks", filter(split(col("_t"), " "), t => t =!= ""))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .select(
+        col("id"),
+        size(col("_toks")).cast("long").as("n_words"),
+        aggregate(transform(col("_toks"), t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b).as("sum_word_len"),
+        size(filter(col("_toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        ((length(col("_t")) - length(regexp_replace(col("_t"), "#", ""))) +
+          expr("(length(_t) - length(replace(_t, '...', ''))) div 3"))
+          .cast("long").as("n_sym"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(filter(col("_lines"), l => l.rlike("^\\s*[-*•]")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(col("_lines"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis_lines"),
+        size(filter(array_distinct(col("_toks")),
+          t => t.isin(stop.map(x => x: Any): _*))).cast("long").as("n_stop_distinct"))
+    base
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10L) * col("n_words"))
+      .withColumn("ok_symbol", lit(10L) * col("n_sym") < col("n_words"))
+      .withColumn("ok_bullet",
+        lit(10L) * col("n_bullet_lines") < lit(9L) * col("n_lines"))
+      .withColumn("ok_ellipsis",
+        lit(10L) * col("n_ellipsis_lines") < lit(3L) * col("n_lines"))
+      .withColumn("ok_alpha",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("ok_stop", col("n_stop_distinct") >= 2L)
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
+      .orderBy(col("id"))
+  }
 }

@@ -69,4 +69,63 @@ object Incremental {
       when(col("n") > 0, col("sum_dec").cast("double") / col("n").cast("double"))
         .as("mean_v"),
       col("min_v"), col("max_v"))
+
+  /** Apply a CDC changelog to a snapshot — the upsert/delete merge that
+    * keeps a materialized table current from a change stream (the batch
+    * half of a Debezium/Delta-MERGE shape). Each change row carries a
+    * key, a monotone version (LSN / commit ts), an op in
+    * {'I','U','D'} and the new payload; the result is the snapshot with,
+    * per key, the HIGHEST-versioned change applied: I/U upserts the
+    * payload, D deletes the key. Keys untouched by the changelog pass
+    * through unchanged.
+    *
+    * Late/duplicate delivery is absorbed by the champion semantics: only
+    * the (version, op) lexicographic maximum per key wins, so replaying
+    * a batch — or applying two overlapping batches in either order — is
+    * idempotent. Ties on version break deterministically by op then
+    * payload (exact value comparison; at-least-once streams should make
+    * versions unique upstream).
+    *
+    * Scale shape: ONE map-side-combined champion aggregation collapses
+    * the changelog to a row per touched key (batch-sized, typically ≪
+    * snapshot), then ONE full-outer equi-join on the key applies it —
+    * the snapshot is never sorted and never shuffles more than once; a
+    * small batch broadcast-joins under AQE.
+    *
+    * @param snapshot current table: key + `valueCols`
+    * @param changes  changelog: key, version, op, + `valueCols`
+    * @param valueCols payload column names present in BOTH frames
+    * @return the new snapshot (key + valueCols), ordered by key */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      key: Column,
+      version: Column,
+      op: Column,
+      valueCols: Seq[String],
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "applyChangelog: need at least one payload column")
+    val canonOp = upper(op.cast("string"))
+    val guardedOp = when(canonOp.isin("I", "U", "D"), canonOp)
+      .otherwise(raise_error(concat(
+        lit("applyChangelog: unknown op '"), coalesce(canonOp, lit("NULL")),
+        lit("' — expected I/U/D"))))
+    // champion change per key: lexicographic (version, op, payload) max —
+    // one aggregation, no per-key sort window
+    val winner = changes
+      .select((key.as("_k") +: version.as("_v") +: guardedOp.as("_op") +:
+        valueCols.map(col)): _*)
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_k"))
+      .agg(max(struct((col("_v") +: col("_op") +: valueCols.map(col)): _*)).as("_w"))
+      .select(col("_k"), col("_w._op").as("_op"),
+        struct(valueCols.map(c => col(s"_w.$c").as(c)): _*).as("_payload"))
+    val snap = snapshot.select((key.as("_k") +: valueCols.map(col)): _*)
+    snap
+      .join(winner, Seq("_k"), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col("_k").as("key") +: valueCols.map(c =>
+        when(col("_op").isNotNull, col(s"_payload.$c")).otherwise(col(c)).as(c)): _*)
+      .orderBy(col("key"))
+  }
 }

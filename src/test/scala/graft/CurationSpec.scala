@@ -464,4 +464,35 @@ class CurationSpec extends AnyFunSuite {
       Curation.removeBoilerplateLines(docs, col("id"), col("text"), 0.0)
     }
   }
+
+  test("gopherRules: integer-exact flags over hand-built documents") {
+    val docs = Seq(
+      // clean prose: 12 words, mean len 39/12, stopwords, all-alpha -> pass
+      (1L, "the cats sat down on a mat and that was fine today"),
+      // symbol-heavy: 10 words + 2 '#' -> 10*2 >= 10 -> ok_symbol false
+      (2L, "the cat sat on a mat and that was ##"),
+      // bullet-dominated lines (3 of 3) -> ok_bullet false
+      (3L, "- the alpha point here now\n- and beta point is that\n- of gamma too"),
+      // ellipsis line endings (2 of 3 >= 0.3) -> ok_ellipsis false
+      (4L, "the start is here...\nand more of that...\na clean end now"),
+      // too few words -> ok_words false
+      (5L, "tiny doc"),
+      // numeric words: alpha fraction 2/10 < 0.8, no 2 distinct stopwords
+      (6L, "1 2 3 4 5 6 7 8 the go"),
+    ).toDF("id", "text")
+    val out = Curation.gopherRules(docs, col("id"), col("text"), minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (9 to 15).map(out(id).getBoolean).toList
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("ok_symbol") && out(2L).getLong(4) == 2L)
+    assert(!out(3L).getAs[Boolean]("ok_bullet") && out(3L).getLong(6) == 3L)
+    assert(!out(4L).getAs[Boolean]("ok_ellipsis") && out(4L).getLong(7) == 2L)
+    assert(!out(5L).getAs[Boolean]("ok_words"))
+    assert(!out(6L).getAs[Boolean]("ok_alpha") && !out(6L).getAs[Boolean]("ok_stop"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(i => !out(i).getAs[Boolean]("pass")))
+    // '...' symbol counting is the non-overlapping replace scan: 5 dots -> 1
+    val dots = Seq((1L, "w1 w2 w3 w4 w5 .....")).toDF("id", "text")
+    assert(Curation.gopherRules(dots, col("id"), col("text")).head().getLong(4) == 1L)
+    assert(flags(1L).forall(identity))
+  }
 }

@@ -53,4 +53,30 @@ class IncrementalSpec extends AnyFunSuite {
       Incremental.mergeStates(Seq(Seq((1L, 2L)).toDF("key", "n")))
     }
   }
+
+  test("applyChangelog: champion upsert/delete merge, idempotent under replay") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val ch = Seq(
+      (2L, 100L, "U", "b2", 21.0), // update key 2
+      (2L, 90L, "U", "stale", 19.0), // outvoted by version 100
+      (3L, 100L, "D", null, 0.0), // delete key 3
+      (4L, 100L, "I", "d", 40.0), // insert new key 4
+      (5L, 100L, "I", "e", 50.0), (5L, 110L, "D", null, 0.0), // insert then delete
+    ).toDF("k", "ver", "op", "name", "v")
+    def apply(c: org.apache.spark.sql.DataFrame) =
+      Incremental.applyChangelog(snap, c, col("k"), col("ver"), col("op"),
+        Seq("name", "v"))
+    val got = apply(ch).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+    // replaying the same batch over the applied result is a no-op for
+    // upserts; the deleted keys stay deleted
+    val replayed = Incremental.applyChangelog(
+      apply(ch).withColumnRenamed("key", "k"), ch, col("k"), col("ver"), col("op"),
+      Seq("name", "v")).collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(replayed == got)
+    // unknown op fails loudly
+    val bad = Seq((1L, 1L, "X", "z", 0.0)).toDF("k", "ver", "op", "name", "v")
+    intercept[Exception] { apply(bad).collect() }
+  }
 }
