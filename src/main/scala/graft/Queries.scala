@@ -1247,6 +1247,16 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document n-gram novelty (round-9): fraction of each doc's
+    // distinct 3-gram shingles appearing in no other document — the
+    // memorization-exposure / boilerplate readout; inverted-index df
+    // count, no pair join.
+    "txt_ngram_novelty" -> ((s, dir) => {
+      graft.operators.Search.ngramNovelty(
+        t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Document fingerprints: normalized md5 + order-sensitive rolling hash.
     "txt_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2462,6 +2472,15 @@ object Queries {
         .select(col("k").as("lang"), posexplode(col("centroid")).as(Seq("pos", "m")))
         .select(col("lang"), col("pos").cast("long").as("pos"), col("m"))
         .orderBy(col("lang"), col("pos"))
+    }),
+
+    // Per-label embedding outliers (round-9): micro-quantized exact-BIGINT
+    // centroid sums + fixed-order distance folds + bounded top-k agg —
+    // unlike sim_group_centroids, fully live-oracle-able (no decimal→
+    // double conversion anywhere).
+    "sim_label_outliers" -> ((s, dir) => {
+      graft.operators.Similarity.labelOutliers(
+        t(s, dir, "embeddings"), col("vec_id"), col("label"), col("embedding"), k = 5)
     }),
 
     // IVF approximate NN: deterministic-KMeans cells + probe-limited exact
@@ -4338,6 +4357,35 @@ object Queries {
         |WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Label-outlier re-derivation: identical micro-quantization (floor of
+    // one IEEE multiply), exact BIGINT dim sums, int→double centroid
+    // division, and the SAME sequential fold order as the engine's
+    // `aggregate` (list_reduce is left-to-right).
+    "sim_label_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+        |s AS (
+        |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM e, LATERAL unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY label, i),
+        |m AS (
+        |  SELECT label, list(s::DOUBLE / n::DOUBLE ORDER BY pos) AS mv
+        |  FROM s GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> (e.q[i]::DOUBLE - mv[i]) * (e.q[i]::DOUBLE - mv[i]))), (a, b) -> a + b)
+        |      / 1000000000000.0 AS dist2
+        |  FROM e JOIN m USING (label)),
+        |r AS (
+        |  SELECT label, vec_id, dist2,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS rank
+        |  FROM d)
+        |SELECT label, rank::BIGINT AS rank, vec_id, dist2 FROM r WHERE rank <= 5
+        |ORDER BY label, rank""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
@@ -4528,6 +4576,25 @@ object Queries {
         |  FROM toks)
         |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Novelty re-derivation: the decontaminate shingle contract (distinct
+    // 3-gram windows, short docs collapse to one whole-text shingle),
+    // plain df count, exact-integer rollup + one IEEE division.
+    "txt_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM tk),
+        |df AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     "txt_fingerprint" ->
       """WITH tk AS (

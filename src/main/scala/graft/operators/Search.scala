@@ -161,6 +161,42 @@ object Search {
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Per-document n-gram novelty — the memorization/duplication exposure
+    * metric: what fraction of a document's distinct word n-gram shingles
+    * appear in NO other document of the corpus. Low novelty marks
+    * template/boilerplate documents (their content lives elsewhere too);
+    * high novelty marks unique text worth keeping through dedup.
+    *
+    * Engine parity: counts are exact BIGINTs over the shared shingle
+    * contract ([[graft.functions.TextFunctions.wordShingles]] — distinct,
+    * short docs collapse to one whole-text shingle); `novelty` is one
+    * exactly-rounded IEEE division.
+    *
+    * Scale shape: the inverted-index pattern without the pair join — ONE
+    * (doc, shingle) explode (shingles are pre-distinct per doc, so
+    * document frequency is a plain count), ONE shingle-keyed df
+    * aggregation, and a df join back on the SAME shingle key before the
+    * per-doc rollup. The corpus never self-joins; state per shingle is
+    * one counter, so no df cap is needed (unlike the pair-generating
+    * Jaccard index, a hot shingle costs a bigger count, not a quadratic
+    * candidate set).
+    *
+    * @return (id, n_grams, n_novel, novelty) ordered by id */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n must be >= 1, got $n")
+    val sh = docs
+      .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("id"))
+  }
+
   /** Spearman rank correlation between two rankings — the retriever
     * diagnostic behind questions like "is this ranking just document
     * length?" or "how far apart are the lexical and embedding runs?":

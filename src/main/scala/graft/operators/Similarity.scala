@@ -593,6 +593,70 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
+  /** Per-label embedding outliers: the `k` vectors farthest (squared
+    * euclidean) from their own label's centroid — the mislabeled-example
+    * / anomaly surfacer run over an embedded corpus before training.
+    *
+    * Determinism contract (how this differs from [[groupCentroids]],
+    * whose decimal→double mean forces a pinned oracle): every element is
+    * first MICRO-QUANTIZED — `floor(v · 1e6)`, one IEEE multiply + floor,
+    * bit-identical everywhere — so per-(label,dim) sums are exact
+    * BIGINTs, the centroid is int64→double conversions plus one IEEE
+    * division (micro-units), and each distance is a fixed-order
+    * sequential fold over dimensions (`aggregate`, matching the oracle's
+    * `list_reduce`). `dist2` rescales by one division through 1e12.
+    * Quantization is part of the operator's contract, not an
+    * approximation footnote: an outlier REPORT at 1e-6 embedding
+    * resolution is the same report.
+    *
+    * Scale shape: one explode-aggregation to (label, dim) sums (state
+    * |labels|·dim, map-side combined), the |labels|-bounded centroid
+    * frame broadcast back onto the corpus (zero corpus shuffle), and the
+    * top-k cut via the bounded [[graft.functions.TopKByAgg]] buffer —
+    * never a per-label sort window over the corpus.
+    *
+    * @return (label, rank, vec_id, dist2) ordered by (label, rank) */
+  def labelOutliers(
+      df: DataFrame,
+      id: Column,
+      label: Column,
+      vec: Column,
+      k: Int = 5,
+  ): DataFrame = {
+    require(k >= 1, s"labelOutliers: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val base = df
+      .select(id.cast("long").as("id"), label.as("label"),
+        transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("_q"))
+      .filter(col("id").isNotNull && col("label").isNotNull && col("_q").isNotNull)
+    val sums = base
+      .select(col("label"), posexplode(col("_q")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val centroids = sums
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("s"), col("n")))),
+        x => x.getField("s").cast("double") / x.getField("n").cast("double"))
+        .as("_m"))
+    val dist = base
+      .join(broadcast(centroids), Seq("label"))
+      .select(col("label"), col("id"),
+        (aggregate(
+          zip_with(col("_q"), col("_m"), (q, m) => {
+            val d = q.cast("double") - m
+            d * d
+          }),
+          lit(0.0), (acc, x) => acc + x) / lit(1.0e12)).as("dist2"))
+    dist
+      .groupBy(col("label"))
+      .agg(graft.functions.TopKByAgg.topKIds(spark, col("dist2"), col("id"), k).as("_top"))
+      .select(col("label"), posexplode(col("_top")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.ord").as("dist2"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** Per-vector symmetric int8 quantization: `scale = max|v|/127` (clamped
     * away from zero) and `q(i) = floor(v(i)/scale + 0.5)` in [-127, 127],
     * stored as TINYINT — the candidate-generation representation is 8×

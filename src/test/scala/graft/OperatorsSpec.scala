@@ -646,6 +646,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ngramNovelty: df==1 shingles over a shared-template corpus") {
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "the quick brown"+.. with 2
+      (2L, "the quick brown fox runs far"),
+      (3L, "completely different text lives here alone"),
+      (4L, "ab"),                                // short doc -> whole-text shingle
+    ).toDF("id", "text")
+    val got = Search.ngramNovelty(docs, col("id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 4 shingles, shares 2 ("the quick brown", "quick brown fox") -> 2 novel
+    assert(got(1L) == ((4L, 2L)))
+    assert(got(2L) == ((4L, 2L)))
+    assert(got(3L) == ((4L, 4L)), "fully unique doc is 100% novel")
+    assert(got(4L) == ((1L, 1L)), "short doc collapses to one whole-text shingle")
+    val out = Search.ngramNovelty(docs, col("id"), col("text"), n = 3)
+      .filter(col("id") === 3L).head()
+    assert(out.getDouble(3) == 1.0)
+  }
+
+  test("labelOutliers: farthest-from-centroid per label, quantized-exact") {
+    import graft.operators.Similarity
+    // label 0: three vecs near origin + one far point; label 1: two points
+    val rows = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(0.1f, 0.0f)),
+      (3L, 0, Seq(0.0f, 0.1f)), (4L, 0, Seq(5.0f, 5.0f)),
+      (10L, 1, Seq(1.0f, 1.0f)), (11L, 1, Seq(3.0f, 3.0f)),
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(rows, col("vec_id"), col("label"),
+      col("embedding"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.take(2) == Seq((0, 1L, 4L), (0, 2L, 1L)),
+      s"far point ranks first in label 0, got $got")
+    // label 1 is symmetric: both points equidistant -> tie breaks on id asc
+    assert(got.drop(2) == Seq((1, 1L, 10L), (1, 2L, 11L)))
+    // deterministic across partitionings (exact sums + bounded agg)
+    val a = Similarity.labelOutliers(rows.repartition(5), col("vec_id"), col("label"),
+      col("embedding"), k = 2).collect().map(_.toSeq).toSeq
+    val b = Similarity.labelOutliers(rows, col("vec_id"), col("label"),
+      col("embedding"), k = 2).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("groupAdvantage: GRPO normalization — exact stats, degenerate groups ship 0") {
     import graft.operators.Preference
     val rows = Seq(
