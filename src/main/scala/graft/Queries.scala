@@ -651,6 +651,19 @@ object Queries {
         .orderBy(col("rank_fp").desc, col("id"))
     }),
 
+    // Per-node triangle counts (round-9) over the same near-dup LSH pair
+    // graph — degree-ordered node-iterator (each edge oriented low→high
+    // under (deg, id), wedges at the apex, closed against the edge list);
+    // separates tight template cliques from hub false positives.
+    "tdp_graph_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      graft.operators.Graph.triangleCounts(pairs)
+    }),
+
     // Bradley-Terry preference ranking (round-8): pairwise "which source
     // wrote the longer doc" comparisons from consecutive doc pairs, MM
     // fit in integer fixed-point (micro-unit strengths — the picorank
@@ -966,6 +979,15 @@ object Queries {
         col("lang"), col("pred"))
     }),
 
+    // Robust median/MAD outliers (round-9) per event type: |x - median| >
+    // 3·MAD — heavy tails can't drag their own threshold; medians ride
+    // the proven percentile/quantile_cont interpolation contract.
+    "dq_robust_outliers" -> ((s, dir) => {
+      graft.operators.DataQuality.robustOutliers(
+        t(s, dir, "events"), col("event_type"), col("value"), k = 3.0)
+        .withColumnRenamed("group", "event_type")
+    }),
+
     // Krippendorff's alpha (round-9): multi-annotator nominal agreement
     // over synthetic rating slots (unit = event_id div 10, annotator =
     // event_id % 10, label = event_type) — BIGINT micro fixed-point end
@@ -1245,6 +1267,15 @@ object Queries {
         .select(col("doc_id"),
           TextFunctions.repetitionScore(col("text"), 3).as("rep3_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source distinct-2 diversity (round-9): distinct bigrams over
+    // total bigram windows — the corpus-scope mode-collapse/template
+    // readout; exact counts, one IEEE ratio.
+    "txt_distinct_ngrams" -> ((s, dir) => {
+      graft.operators.Search.distinctNgrams(
+        t(s, dir, "documents"), col("source"), col("text"), n = 2)
+        .withColumnRenamed("group", "source")
     }),
 
     // Cross-document n-gram novelty (round-9): fraction of each doc's
@@ -3300,6 +3331,65 @@ object Queries {
          |SELECT id, pr::BIGINT AS rank_fp
          |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
 
+    // Triangle re-derivation: the graph_rank pair CTEs, then the same
+    // degree-ordered orientation, apex wedge join and closing-edge match
+    // — exact BIGINT counts end to end.
+    "tdp_graph_triangles" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id_a
+         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+         |  GROUP BY id_a, id_b),
+         |canon AS (SELECT id_a AS a, id_b AS b FROM est WHERE est_jaccard >= 0.5),
+         |deg AS (
+         |  SELECT id, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+         |  GROUP BY id),
+         |o AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+         |              THEN c.a ELSE c.b END AS src,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+         |              THEN c.b ELSE c.a END AS dst
+         |  FROM canon c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b),
+         |wedge AS (
+         |  SELECT l.src, l.dst AS va, r.dst AS vb
+         |  FROM o l JOIN o r ON l.src = r.src AND l.dst < r.dst),
+         |cl AS (SELECT least(src, dst) AS va, greatest(src, dst) AS vb FROM o),
+         |tri AS (SELECT w.src, w.va, w.vb FROM wedge w JOIN cl USING (va, vb)),
+         |pn AS (
+         |  SELECT id, count(*)::BIGINT AS n FROM (
+         |    SELECT src AS id FROM tri UNION ALL SELECT va FROM tri
+         |    UNION ALL SELECT vb FROM tri)
+         |  GROUP BY id)
+         |SELECT d.id, coalesce(pn.n, 0)::BIGINT AS n_triangles
+         |FROM deg d LEFT JOIN pn ON pn.id = d.id
+         |ORDER BY d.id""".stripMargin,
+
     // Bradley-Terry re-derivation: integer fixed-point MM, three chained
     // iterations (the pagerank p0..p3 shape); every sum and division is
     // BIGINT-exact, dense_rank cast to INTEGER (Spark's rank type;
@@ -3901,6 +3991,26 @@ object Queries {
         |  CASE WHEN pe < '1.0'::DOUBLE
         |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
         |FROM st""".stripMargin,
+
+    // Robust-outlier re-derivation: quantile_cont medians (the proven
+    // interpolation contract), fixed-association IEEE deviations and
+    // threshold, exact BIGINT counters.
+    "dq_robust_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, value::DOUBLE AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS median FROM b GROUP BY event_type),
+        |d AS (
+        |  SELECT b.event_type, abs(b.v - m.median) AS dev, m.median
+        |  FROM b JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, md.n, m.median, md.mad,
+        |  sum(CASE WHEN d.dev > 3.0::DOUBLE * md.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM d JOIN md USING (event_type) JOIN m USING (event_type)
+        |GROUP BY d.event_type, md.n, m.median, md.mad
+        |ORDER BY d.event_type""".stripMargin,
 
     // Krippendorff re-derivation: coincidence-matrix algebra over exact
     // BIGINT cell counts; the per-unit 1/(m-1) weight carried in micro
@@ -4576,6 +4686,22 @@ object Queries {
         |  FROM toks)
         |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Distinct-n re-derivation: the terms tokenizer (regex whitespace
+    // split of the lowercased text), every bigram window non-distinct,
+    // one (source, gram) aggregation, exact counts + one IEEE division.
+    "txt_distinct_ngrams" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(t[i:i+1], ' ') AS gram
+        |  FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT source, gram, count(*)::BIGINT AS c FROM g GROUP BY source, gram)
+        |SELECT source, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+        |  count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // Novelty re-derivation: the decontaminate shingle contract (distinct
     // 3-gram windows, short docs collapse to one whole-text shingle),

@@ -587,6 +587,58 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** Robust per-group outlier report — median/MAD instead of mean/std,
+    * so a heavy tail cannot drag its own detection threshold (the
+    * standard robust-statistics objection to z-scores): a value is an
+    * outlier when |x - median| > k · MAD, MAD = median(|x - median|).
+    *
+    * Engine parity: medians are the proven percentile/quantile_cont
+    * linear interpolation over identical doubles (the txt_ppl_buckets
+    * contract); deviations, the k·MAD threshold and the comparison are
+    * fixed-association exactly-rounded IEEE ops; counters are exact
+    * BIGINTs. A group where >50% of values tie (MAD = 0) flags every
+    * value off the median — the degenerate case every MAD treatment
+    * shares; it is deterministic here.
+    *
+    * Scale shape: two percentile aggregations and one count aggregation,
+    * all hash-keyed on the group with the corpus re-shuffling on the
+    * SAME key (exchange reuse). CAVEAT — exact percentile state is
+    * O(group) on the agg buffer, the price of an exact median; for
+    * unbounded groups at 100 TB use [[Sketches.histogramQuantiles]] to
+    * pick approximate thresholds instead.
+    *
+    * @return (group, n, median, mad, n_outliers) ordered by group */
+  def robustOutliers(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      k: Double = 3.0,
+  ): DataFrame = {
+    require(k > 0, s"robustOutliers: k must be > 0, got $k")
+    val base = df
+      .select(group.as("group"), value.cast("double").as("_v"))
+      .filter(col("group").isNotNull && col("_v").isNotNull)
+    val med = base.groupBy(col("group"))
+      .agg(percentile(col("_v"), lit(0.5)).as("median"))
+    val dev = base.join(med, Seq("group"))
+      .withColumn("_dev", abs(col("_v") - col("median")))
+    dev
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("median")).as("median"),
+        percentile(col("_dev"), lit(0.5)).as("mad"))
+      .join(dev.select(col("group"), col("_dev")), Seq("group"))
+      .groupBy(col("group"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("_dev") > lit(k) * col("mad"), lit(1L)).otherwise(lit(0L)))
+          .as("n_outliers"))
+      .orderBy(col("group"))
+  }
+
   /** Krippendorff's alpha (nominal) — the multi-annotator agreement
     * coefficient that, unlike [[cohenKappa]], handles any number of
     * annotators and missing ratings (Krippendorff 2004). Over ratings

@@ -92,4 +92,70 @@ object Graph {
       .select(col("id"), col("component"), col("rank_fp"), col("rank"),
         (col("_rn") === 1).as("is_canonical"))
   }
+
+  /** Per-node triangle counts over an undirected pair list — the local
+    * clustering signal that separates a tight template family (every
+    * member similar to every other) from a hub-and-spokes false-positive
+    * cluster (one doc superficially similar to many unrelated ones) in a
+    * near-dup graph; also the standard community-structure probe.
+    *
+    * Algorithm: degree-ordered node-iterator (Schank & Wagner 2005) —
+    * each undirected edge is ORIENTED from its lower to its higher
+    * endpoint under the total order (degree, id), wedges are generated
+    * only at each node's oriented out-neighborhood, and a wedge closes
+    * iff its two endpoints are themselves an oriented edge. Orienting by
+    * degree caps every out-degree at O(√m), so a celebrity node of
+    * degree d generates O(d) wedge work instead of O(d²) — the reason
+    * this survives a power-law 100 TB graph where the naive
+    * all-neighbor-pairs join does not. Each triangle is generated
+    * exactly once (its lowest-ordered vertex owns it).
+    *
+    * Scale shape: one degree aggregation, one self-equi-join of the
+    * oriented edge list on the wedge apex, one equi-join of wedges
+    * against the edge list on the closing pair, one explode+count —
+    * every join an equi-join on bounded keys, all counts exact BIGINTs
+    * (trivially oracle-portable).
+    *
+    * @param pairs (id_a, id_b) undirected; self-loops/nulls dropped,
+    *              duplicates collapse
+    * @return (id, n_triangles) — every node of the pair list, 0 for
+    *         triangle-free nodes, ordered by id */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val canon = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = canon.select(col("a").as("id")).unionAll(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    // orient each edge low -> high under the (deg, id) total order
+    val oriented = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
+      .select(
+        when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .localCheckpoint(false)
+    // wedges at the apex: unordered out-neighbor pairs, then close against
+    // the oriented edge list (either orientation of the closing pair)
+    val l = oriented.select(col("src"), col("dst").as("_v"))
+    val r = oriented.select(col("src"), col("dst").as("_w"))
+    val wedges = l.join(r, Seq("src")).filter(col("_v") < col("_w"))
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("_v"), greatest(col("src"), col("dst")).as("_w"))
+    val tris = wedges.join(closing, Seq("_v", "_w"))
+    val perNode = tris
+      .select(explode(array(col("src"), col("_v"), col("_w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    deg.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+      .orderBy(col("id"))
+  }
 }

@@ -161,6 +161,37 @@ object Search {
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Per-group distinct-n diversity (Li et al. 2016's distinct-n, at
+    * corpus scope): distinct n-grams over TOTAL n-gram windows for each
+    * group — the repetitiveness/mode-collapse readout run over generated
+    * corpora (and the per-source template-density probe on scraped ones).
+    * Unlike [[graft.functions.TextFunctions.repetitionScore]] (within one
+    * document), this measures diversity ACROSS a group's documents.
+    *
+    * Engine parity: both counters are exact BIGINTs from one (group,
+    * gram) aggregation; the ratio is one exactly-rounded IEEE division.
+    *
+    * Scale shape: explode + two-level hash aggregation sharing the group
+    * key prefix, map-side combined; no join, no window. Groups whose
+    * documents are all shorter than `n` emit no row (no windows exist).
+    *
+    * @return (group, n_grams, n_distinct, distinct_ratio) ordered by
+    *         group */
+  def distinctNgrams(docs: DataFrame, group: Column, text: Column, n: Int = 2): DataFrame = {
+    require(n >= 1, s"distinctNgrams: n must be >= 1, got $n")
+    val tks = terms(text)
+    val grams = when(size(tks) >= n,
+      transform(sequence(lit(0), size(tks) - n), i => concat_ws(" ", slice(tks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(group.as("group"), explode(grams).as("gram"))
+      .groupBy(col("group"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("group"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("group"))
+  }
+
   /** Per-document n-gram novelty — the memorization/duplication exposure
     * metric: what fraction of a document's distinct word n-gram shingles
     * appear in NO other document of the corpus. Low novelty marks

@@ -227,6 +227,28 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
 
+  test("robustOutliers: median/MAD flags resist the heavy tail") {
+    import org.apache.spark.sql.functions.col
+    // group a: 9 values near 10 plus one extreme; MAD ~1 so 1000 flags,
+    // but a mean/std z-score at 3 sigma would NOT flag it as crisply
+    val rows = (Seq.tabulate(9)(i => ("a", 8.0 + i * 0.5)) :+ (("a", 1000.0))) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0)) // MAD 0: nothing off-median
+    val got = DataQuality.robustOutliers(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 10L)
+    assert(a.getDouble(2) == 10.25) // median of 8.0,8.5..12.0,1000
+    assert(a.getLong(4) == 1L, s"exactly the extreme value flags: $a")
+    val b = got("b")
+    assert(b.getDouble(3) == 0.0 && b.getLong(4) == 0L)
+    // deterministic across partitionings
+    val d1 = DataQuality.robustOutliers(rows.toDF("g", "v").repartition(5), col("g"), col("v"))
+      .collect().map(_.toSeq).toSeq
+    val d2 = DataQuality.robustOutliers(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(_.toSeq).toSeq
+    assert(d1 == d2)
+  }
+
   test("krippendorffAlpha: hand-computed nominal cases") {
     import org.apache.spark.sql.functions.col
     def alpha(rows: Seq[(String, String, String)]) = {

@@ -78,4 +78,28 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graph.pageRankFixedPoint(df, iters = 0) }
     intercept[IllegalArgumentException] { Graph.pageRankFixedPoint(df, dampingPct = 100) }
   }
+
+  test("triangleCounts: clique, hub and path shapes") {
+    import spark.implicits._
+    // K4 on 1-4 (every node in C(3,2)=3 triangles), a hub 10 with three
+    // spokes (no triangles), a dangling path 20-21
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L),
+      (2L, 1L), (1L, 2L), // duplicates + reversed collapse
+      (5L, 5L), // self loop dropped
+    ).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 3L), got.toString)
+    assert(Seq(10L, 11L, 12L, 13L, 20L, 21L).forall(got(_) == 0L))
+    assert(!got.contains(5L), "self-loop-only node has no edges")
+    // total triangles = sum/3 = 4 (the K4)
+    assert(got.values.sum == 12L)
+    // deterministic across partitionings
+    val a = Graph.triangleCounts(pairs.repartition(7)).collect().map(_.toSeq).toSeq
+    val b = Graph.triangleCounts(pairs).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -646,6 +646,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("distinctNgrams: corpus-scope bigram diversity per group") {
+    import graft.operators.Search
+    val docs = Seq(
+      ("rep", "go go go go"),        // windows: "go go" x3 -> 3 total, 1 distinct
+      ("rep", "go go"),              // +1 window, same gram -> 4 total, 1 distinct
+      ("div", "alpha beta gamma"),   // 2 distinct windows
+      ("div", "delta epsilon"),      // +1 -> 3 total, 3 distinct
+      ("tiny", "one"),               // shorter than n -> no row
+    ).toDF("src", "text")
+    val got = Search.distinctNgrams(docs, col("src"), col("text"), n = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("rep") == ((4L, 1L, 0.25)))
+    assert(got("div") == ((3L, 3L, 1.0)))
+    assert(!got.contains("tiny"))
+  }
+
   test("ngramNovelty: df==1 shingles over a shared-template corpus") {
     import graft.operators.Search
     val docs = Seq(
