@@ -1136,6 +1136,15 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Asymmetric containment pairs (round-9): n_common / min(|A|,|B|)
+    // fires on quote/expansion subset-duplicates that Jaccard's union
+    // denominator dilutes; same df-capped inverted index.
+    "dd_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, threshold = 0.6, maxShingleDf = 50)
+    }),
+
     // Brute-force cosine top-k similarity search (exact baseline).
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -2503,6 +2512,18 @@ object Queries {
         .select(col("k").as("lang"), posexplode(col("centroid")).as(Seq("pos", "m")))
         .select(col("lang"), col("pos").cast("long").as("pos"), col("m"))
         .orderBy(col("lang"), col("pos"))
+    }),
+
+    // ANN recall report (round-9): LSH top-5 vs the exact brute-force
+    // top-5 per query — the index-quality gate; both sides top-k-bounded
+    // so every join is dimension-sized.
+    "sim_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.filter(col("id") < 10)
+      val approx = Similarity.lshTopK(e, q, k = 5, nBits = 4, dim = 64,
+        probeHammingRadius = 1)
+      val exact = Similarity.bruteForceTopK(e, q, 5)
+      Similarity.annRecallReport(approx, exact, k = 5)
     }),
 
     // Per-label embedding outliers (round-9): micro-quantized exact-BIGINT
@@ -4466,6 +4487,90 @@ object Queries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Containment re-derivation: the dd_ngram_jaccard index CTEs with the
+    // min-size denominator and the contained/container orientation.
+    "dd_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM toks),
+        |rare AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 50),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n_common
+        |  FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY l.doc_id, r.doc_id)
+        |SELECT
+        |  CASE WHEN sa.n_shingles <= sb.n_shingles THEN id_a ELSE id_b END AS contained_id,
+        |  CASE WHEN sa.n_shingles <= sb.n_shingles THEN id_b ELSE id_a END AS container_id,
+        |  n_common,
+        |  least(sa.n_shingles, sb.n_shingles) AS n_contained,
+        |  greatest(sa.n_shingles, sb.n_shingles) AS n_container,
+        |  n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles)::DOUBLE AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles)::DOUBLE >= 0.6
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    // Recall re-derivation: the sim_topk_bruteforce and sim_lsh_topk
+    // ranking CTEs side by side, intersected per query — exact counts,
+    // one IEEE division.
+    "sim_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT qid, nid, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
+         |ex AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |    FROM sc) WHERE rank <= 5),
+         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
+         |q2 AS (SELECT id AS query_id, vec AS qvec, bucket AS b0 FROM b WHERE id < 10),
+         |probes AS (
+         |  SELECT query_id, qvec,
+         |    unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+         |  FROM q2),
+         |cand AS (
+         |  SELECT DISTINCT query_id, qvec, cc.id AS neighbor_id, cc.vec AS cv
+         |  FROM probes pr JOIN b cc USING (bucket) WHERE pr.query_id <> cc.id),
+         |sc2 AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN ${normSql("qvec")} * ${normSql("cv")} > 0
+         |      THEN ${dotSql.replace("qv[", "qvec[")} / (${normSql("qvec")} * ${normSql("cv")})
+         |      ELSE 0.0 END AS cosine
+         |  FROM cand),
+         |ap AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |    FROM sc2) WHERE rank <= 5),
+         |h AS (
+         |  SELECT a.query_id, count(*)::BIGINT AS hits
+         |  FROM ap a JOIN ex ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+         |  GROUP BY a.query_id),
+         |na AS (SELECT query_id, count(*)::BIGINT AS n_approx FROM ap GROUP BY query_id),
+         |ne AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY query_id)
+         |SELECT ne.query_id, coalesce(na.n_approx, 0)::BIGINT AS n_approx, ne.n_exact,
+         |  coalesce(h.hits, 0)::BIGINT AS hits,
+         |  coalesce(h.hits, 0)::DOUBLE / ne.n_exact::DOUBLE AS recall
+         |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // Label-outlier re-derivation: identical micro-quantization (floor of
     // one IEEE multiply), exact BIGINT dim sums, int→double centroid

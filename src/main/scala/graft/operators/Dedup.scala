@@ -499,6 +499,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs — the subset-duplicate detector Jaccard
+    * structurally misses: a tweet quoted inside an article shares ~100%
+    * of ITS shingles but a tiny fraction of the union, so
+    * `containment = n_common / min(|A|, |B|)` fires where
+    * `jaccard = n_common / |A ∪ B|` stays low. The standard
+    * quote/expansion/wrapper-page signal in corpus dedup.
+    *
+    * Same candidate generation as [[ngramJaccardPairs]] (df-capped
+    * inverted index — one shuffle on the shingle, pairs expanded only on
+    * capped posting lists, never an all-pairs join), same exact-integer
+    * counters; the ratio is one IEEE division. The df cap bounds recall
+    * the same way it does for Jaccard: a shingle shared by more than
+    * `maxShingleDf` documents contributes no candidates (boilerplate by
+    * definition).
+    *
+    * @return (contained_id, container_id, n_common, n_contained,
+    *         n_container, containment) — contained = the side with fewer
+    *         shingles (tie: lower id) — ordered by (contained_id,
+    *         container_id) */
+  def containmentPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Int = 100,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val shingled = docs
+      .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
+      .distinct()
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = shingled
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val aIsContained = col("n_a") < col("n_b") ||
+      (col("n_a") === col("n_b")) // pairCombinations already has id_a < id_b
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(aIsContained, col("id_a")).otherwise(col("id_b")).as("contained_id"),
+        when(aIsContained, col("id_b")).otherwise(col("id_a")).as("container_id"),
+        col("n_common"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        col("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Incremental (cross-batch) exact dedup: keep only the rows of `batch`
     * whose `batchFp` fingerprint does NOT appear in `seen` — the nightly
     * "dedupe the new crawl against the standing corpus" step. Result is

@@ -593,6 +593,47 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
+  /** ANN recall report — the index-quality gate: per query, how much of
+    * the EXACT top-k an approximate index actually returned
+    * (`recall = |approx ∩ exact| / |exact top-k|`). Run on a sampled
+    * query set before trusting an LSH/IVF/PQ configuration at corpus
+    * scale; the per-query rows surface WHICH queries an index fails
+    * (boundary-bucket queries for LSH, cell-edge queries for IVF), which
+    * a single macro average hides.
+    *
+    * Engine parity: both inputs are already-ranked frames; hits and
+    * counts are exact BIGINTs from one equi-join on (query_id,
+    * neighbor_id), recall is one IEEE division.
+    *
+    * Scale shape: both sides are top-k-bounded by construction
+    * (|queries|·k rows), so every join here is dimension-sized — the
+    * corpus was only touched by the rankers upstream.
+    *
+    * @param approx (query_id, neighbor_id, rank) from the approximate index
+    * @param exact  (query_id, neighbor_id, rank) from the exact scorer
+    * @return (query_id, n_approx, n_exact, hits, recall) ordered by
+    *         query_id — one row per query present in `exact` */
+  def annRecallReport(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"annRecallReport: k must be >= 1, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val e = exact.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val na = a.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+    val ne = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    ne.join(na, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Per-label embedding outliers: the `k` vectors farthest (squared
     * euclidean) from their own label's centroid — the mislabeled-example
     * / anomaly surfacer run over an embedded corpus before training.

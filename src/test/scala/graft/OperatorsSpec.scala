@@ -646,6 +646,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("containmentPairs: subset-dup fires where jaccard stays low") {
+    val quote = "alpha beta gamma delta epsilon"
+    val article = s"intro words first $quote closing words after end here now"
+    val docs = Seq(
+      (1L, quote),              // fully contained in 2
+      (2L, article),
+      (3L, "totally unrelated content about other things entirely"),
+    ).toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, col("id"), col("text"),
+      n = 3, threshold = 0.9, maxShingleDf = 10).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)), "small doc is the contained side")
+    assert(r.getDouble(5) == 1.0, s"every quote shingle appears in the article: $r")
+    // jaccard on the same pair is well below the containment
+    val j = Dedup.ngramJaccardPairs(docs, col("id"), col("text"),
+      n = 3, threshold = 0.01, maxShingleDf = 10)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).head()
+    assert(j.getDouble(2) < 0.5)
+  }
+
+  test("annRecallReport: intersection counts against a known split") {
+    import graft.operators.Similarity
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 99L, 3L), // 2 of 3 right
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L), // perfect
+      (3L, 98L, 1L), (3L, 97L, 2L), (3L, 96L, 3L), // all wrong
+    ).toDF("query_id", "neighbor_id", "rank")
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L),
+      (4L, 40L, 1L), // query the index never answered
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.annRecallReport(approx, exact, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2.0 / 3.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+  }
+
   test("distinctNgrams: corpus-scope bigram diversity per group") {
     import graft.operators.Search
     val docs = Seq(

@@ -386,4 +386,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchTwin)
     assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
   }
+
+  test("CDC apply in foreachBatch: maintained snapshot equals one-shot apply") {
+    import graft.operators.Incremental
+    // a change stream arriving as two micro-batches; the maintained
+    // snapshot after both must equal applying the union in one shot
+    // (applyChangelog's champion semantics make fold order irrelevant
+    // only ACROSS keys touched once per batch — replay/idempotence is
+    // spec'd in IncrementalSpec; here we prove the streaming fold shape)
+    val dir = Files.createTempDirectory("graft-cdc-fb").toString
+    val b1 = Seq(
+      """{"k":2,"ver":100,"op":"U","name":"b2","v":21.0}""",
+      """{"k":4,"ver":100,"op":"I","name":"d","v":40.0}""").mkString("\n")
+    val b2 = Seq(
+      """{"k":3,"ver":200,"op":"D","name":null,"v":0.0}""",
+      """{"k":4,"ver":210,"op":"U","name":"d2","v":41.0}""").mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "b1.json"), b1)
+    val snap0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val state = new java.util.concurrent.atomic.AtomicReference(snap0)
+    val schema = "k LONG, ver LONG, op STRING, name STRING, v DOUBLE"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = Incremental.applyChangelog(
+          state.get(), batch, col("k"), col("ver"), col("op"), Seq("name", "v"))
+          .withColumnRenamed("key", "k").localCheckpoint(true)
+        state.set(next)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Paths.get(dir, "b2.json"), b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = state.get().orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val oneShot = Incremental.applyChangelog(
+      snap0,
+      Seq((2L, 100L, "U", "b2", 21.0), (4L, 100L, "I", "d", 40.0),
+        (3L, 200L, "D", null, 0.0), (4L, 210L, "U", "d2", 41.0))
+        .toDF("k", "ver", "op", "name", "v"),
+      col("k"), col("ver"), col("op"), Seq("name", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(streamed == oneShot)
+    assert(streamed == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d2", 41.0)))
+  }
 }
