@@ -1278,6 +1278,15 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source TF-IDF keyword profile (round-9): top-10 terms by
+    // tf·round(ln((1+N)/(1+df)),6) — the 6-dp ln contract (pmi
+    // precedent); the ranking window runs over the vocab table.
+    "txt_tfidf_terms" -> ((s, dir) => {
+      graft.operators.Search.tfidfTerms(
+        t(s, dir, "documents"), col("source"), col("text"), topK = 10)
+        .withColumnRenamed("group", "source")
+    }),
+
     // Per-source distinct-2 diversity (round-9): distinct bigrams over
     // total bigram windows — the corpus-scope mode-collapse/template
     // readout; exact counts, one IEEE ratio.
@@ -4791,6 +4800,30 @@ object Queries {
         |  FROM toks)
         |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF re-derivation: exact tf/df/N counts, idf the 6-dp-rounded
+    // ln ratio on both engines, score one IEEE multiply, rank over the
+    // identical (score, term) order.
+    "txt_tfidf_terms" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM tk GROUP BY source, term),
+        |ng AS (SELECT count(DISTINCT source)::BIGINT AS n FROM tf),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.source, tf.term, tf.tf,
+        |    round(ln((1.0::DOUBLE + ng.n) / (1.0::DOUBLE + df.df)), 6) AS idf
+        |  FROM tf CROSS JOIN ng JOIN df USING (term)),
+        |r AS (
+        |  SELECT source, term, tf, idf, tf::DOUBLE * idf AS score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY tf::DOUBLE * idf DESC, term ASC) AS rank
+        |  FROM sc)
+        |SELECT source, rank::BIGINT AS rank, term, tf, idf, score
+        |FROM r WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
 
     // Distinct-n re-derivation: the terms tokenizer (regex whitespace
     // split of the lowercased text), every bigram window non-distinct,

@@ -161,6 +161,48 @@ object Search {
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Top TF-IDF terms per group — the per-source keyword/topic profile
+    * (what distinguishes THIS slice of the corpus), the lightweight
+    * domain-tagging signal mixture planning reads before weighting
+    * sources.
+    *
+    *   idf = round(ln((1 + N) / (1 + df)), 6),  score = tf · idf
+    *
+    * with N = number of groups and df = groups containing the term (the
+    * smoothed document-frequency form). Engine parity: tf/df/N are exact
+    * BIGINTs; the ln rides the PROVEN 6-dp round contract
+    * (txt_pmi_bigrams precedent, driver-green since r5); score is one
+    * IEEE multiply of an exact-int double by that 6-dp value.
+    *
+    * Scale shape: one (group, term) aggregation of the corpus, a
+    * |terms|-bounded df re-aggregation, a one-row N frame cross-joined
+    * broadcast, and the top-k cut as a row_number window over the
+    * (group, term) TABLE — vocabulary-bounded, never the corpus.
+    *
+    * @return (group, rank, term, tf, idf, score) ordered by
+    *         (group, rank) */
+  def tfidfTerms(docs: DataFrame, group: Column, text: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"tfidfTerms: topK must be >= 1, got $topK")
+    val tf = docs.select(group.as("group"), explode(terms(text)).as("term"))
+      .groupBy(col("group"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val ng = tf.select(col("group")).distinct().agg(count(lit(1)).as("_n"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(ng))
+      .withColumn("idf",
+        round(log((lit(1.0) + col("_n")) / (lit(1.0) + col("_df"))), 6))
+      .withColumn("score", col("tf").cast("double") * col("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("group"), col("rank"), col("term"), col("tf"), col("idf"), col("score"))
+      .orderBy(col("group"), col("rank"))
+  }
+
   /** Per-group distinct-n diversity (Li et al. 2016's distinct-n, at
     * corpus scope): distinct n-grams over TOTAL n-gram windows for each
     * group — the repetitiveness/mode-collapse readout run over generated

@@ -687,6 +687,26 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 3L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
   }
 
+  test("tfidfTerms: group-distinctive terms outrank shared ones") {
+    import graft.operators.Search
+    val docs = Seq(
+      ("s1", "shared shared quantum quantum quantum"),
+      ("s2", "shared shared finance finance finance"),
+      ("s3", "shared shared gardens gardens gardens"),
+    ).toDF("src", "text")
+    val got = Search.tfidfTerms(docs, col("src"), col("text"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // "shared" has df=3 of N=3 -> idf ln(4/4)=0; each unique term df=1 ->
+    // idf ln(2) > 0, so the unique term ranks first everywhere
+    assert(got.filter(_._2 == 1L).map(_._3).sorted == Seq("finance", "gardens", "quantum"))
+    val s1 = got.filter(_._1 == "s1")
+    assert(s1.head._3 == "quantum")
+    // idf of the everywhere-term is exactly 0 -> score 0
+    val full = Search.tfidfTerms(docs, col("src"), col("text"), topK = 2)
+      .filter(col("term") === "shared").collect()
+    assert(full.forall(_.getAs[Double]("score") == 0.0))
+  }
+
   test("distinctNgrams: corpus-scope bigram diversity per group") {
     import graft.operators.Search
     val docs = Seq(

@@ -114,6 +114,9 @@ class OracleParitySpec extends AnyFunSuite {
         "upstream BM25 run derivation whose round(..,6) scores both engines already share"),
     "txt_rrf_fusion" ->
       "rrf score is an exact small-rational sum rendered round(.., 6) on both engines",
+    "txt_tfidf_terms" ->
+      ("idf is round(ln-ratio, 6) on both engines (the pmi contract); score is one " +
+        "IEEE multiply of an exact-integer tf by that 6-dp value"),
   )
 
   /** All `round(expr, N)` precisions in `sql`, paren-aware (the precision
