@@ -2264,6 +2264,39 @@ object Queries {
         .orderBy(col("accession"))
     }),
 
+    // ORC sink + scan roundtrip (round-9): the events table written
+    // through Spark's native ORC writer and read back must be value-
+    // identical to the parquet original (the oracle reads the parquet) —
+    // columnar-format portability for consumers standardized on ORC.
+    "io_orc_roundtrip" -> ((s, dir) => {
+      val out = demoTempDir(s, "orc") + "/events_orc"
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Seasonal anomaly baseline (round-9): groupAdvantage composed over a
+    // derived (event_type, hour-of-day) season key — each event's value
+    // in sigma units of ITS seasonal slot; the operator doubles as the
+    // seasonal-baseline anomaly scorer unchanged.
+    "e_seasonal_baseline" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("season",
+          concat_ws(":", col("event_type"), hour(col("ts")).cast("string")))
+      graft.operators.Preference.groupAdvantage(
+        ev, col("season"), col("event_id"), floor(col("value") * 100))
+        .withColumnRenamed("group_id", "season")
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // Composite corpus-construction pipeline over the documents table:
     // quality gate -> langid -> exact dedup -> MinHash near-dup components
     // -> representatives. The CorpusResult unpersist handle is dropped by
@@ -3509,6 +3542,39 @@ object Queries {
         |FROM best b2 JOIN worst w ON w.prompt = b2.prompt
         |WHERE NOT (chosen = rejected AND chosen_score = rejected_score)
         |ORDER BY user_id""".stripMargin,
+
+    // ORC roundtrip oracle: plain parquet read — equality proves the ORC
+    // write+read preserved every value (ts rendered at second precision
+    // on both engines).
+    "io_orc_roundtrip" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Seasonal-baseline re-derivation: the tdp_group_advantage algebra
+    // keyed by the derived season string.
+    "e_seasonal_baseline" ->
+      """WITH b AS (
+        |  SELECT event_type || ':' || CAST(hour(ts) AS VARCHAR) AS season, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS reward_fp
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT season, COUNT(*) AS n, SUM(reward_fp) AS s,
+        |         SUM(reward_fp * reward_fp) AS ss
+        |  FROM b GROUP BY season),
+        |st AS (
+        |  SELECT season, n,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+        |  FROM g)
+        |SELECT b.season, b.event_id, b.reward_fp, st.n, st.mean, st.std,
+        |  CASE WHEN st.std > 0.0
+        |       THEN (CAST(b.reward_fp AS DOUBLE) - st.mean) / st.std
+        |       ELSE 0.0 END AS advantage
+        |FROM b JOIN st ON st.season = b.season
+        |ORDER BY b.season, b.event_id""".stripMargin,
 
     // Group-advantage re-derivation: exact BIGINT group sums s/ss, every
     // double an int64→double conversion or fixed-association IEEE op in
