@@ -204,8 +204,39 @@ object CorpusBench {
         .filter(col("ppl_bucket") === "head").count()
     }
 
+    // round-9 stages: cross-corpus novelty (inverted-index df), asymmetric
+    // containment pairs, triangle counts over the LSH pair graph (the
+    // planted near-dup chains make real wedges), Gopher rules (zero-
+    // shuffle projection) and corpus-scope distinct-2 diversity
+    val (nNovel, tNovelty) = time {
+      graft.operators.Search.ngramNovelty(docs, col("id"), col("text"), n = 3)
+        .agg(sum(col("n_novel"))).collect()(0).getLong(0)
+    }
+    val (nContain, tContain) = time {
+      Dedup.containmentPairs(docs, col("id"), col("text"),
+        n = 3, threshold = 0.8, maxShingleDf = 50).count()
+    }
+    val (nTris, tTri) = time {
+      val shingles = docs.select(col("id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, 4, 4, 0.5)
+      graft.operators.Graph.triangleCounts(pairs)
+        .agg(sum(col("n_triangles"))).collect()(0).getLong(0) / 3
+    }
+    val (nGopherPass, tGopher) = time {
+      Curation.gopherRules(docs, col("id"), col("text"), minWords = 5)
+        .filter(col("pass")).count()
+    }
+    val (nDistinct, tDiversity) = time {
+      graft.operators.Search.distinctNgrams(
+        docs.withColumn("src", concat(lit("s"), col("id") % 5)),
+        col("src"), col("text"), n = 2)
+        .agg(sum(col("n_distinct"))).collect()(0).getLong(0)
+    }
+
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"novel_grams":$nNovel,"containment_pairs":$nContain,"triangles":$nTris,"gopher_pass":$nGopherPass,"distinct_bigrams":$nDistinct,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f,"novelty":$tNovelty%.1f,"containment":$tContain%.1f,"triangles":$tTri%.1f,"gopher":$tGopher%.1f,"diversity":$tDiversity%.1f}}""")
     spark.stop()
   }
 }

@@ -1278,6 +1278,16 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence-length bucketing report (round-9): power-of-two buckets
+    // over the BPE-ish token estimate — the padding-waste readout that
+    // decides bucketed batching vs packing; pure integer CASE ladder.
+    "tdp_length_buckets" -> ((s, dir) => {
+      graft.operators.Curation.lengthBuckets(
+        t(s, dir, "documents").select(
+          TextFunctions.tokenCountEstimate(col("text")).as("n_tok")),
+        col("n_tok"))
+    }),
+
     // Per-source TF-IDF keyword profile (round-9): top-10 terms by
     // tf·round(ln((1+N)/(1+df)),6) — the 6-dp ln contract (pmi
     // precedent); the ranking window runs over the vocab table.
@@ -4866,6 +4876,29 @@ object Queries {
         |  FROM toks)
         |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Length-bucket re-derivation: the txt_token_estimate tokenizer, the
+    // same clamp and power-of-two CASE ladder, exact integer sums.
+    "tdp_length_buckets" ->
+      """WITH m AS (
+        |  SELECT least(greatest(
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')), 1), 16384) AS len
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT len,
+        |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+        |         WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+        |         WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+        |         WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
+        |         WHEN len <= 4096 THEN 4096 WHEN len <= 8192 THEN 8192
+        |         ELSE 16384 END AS bucket
+        |  FROM m)
+        |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+        |  sum(len)::BIGINT AS sum_tokens,
+        |  sum(bucket - len)::BIGINT AS sum_padding,
+        |  sum(len)::DOUBLE / (sum(len) + sum(bucket - len))::DOUBLE AS efficiency
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // TF-IDF re-derivation: exact tf/df/N counts, idf the 6-dp-rounded
     // ln ratio on both engines, score one IEEE multiply, rank over the

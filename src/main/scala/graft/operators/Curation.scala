@@ -802,6 +802,51 @@ object Curation {
       .drop("_cs_thr")
   }
 
+  /** Sequence-length bucketing report — the batching-efficiency planner:
+    * assign each document to the smallest power-of-two length bucket that
+    * holds it and report, per bucket, how much padding a
+    * pad-to-bucket-boundary batcher would burn (the "are we wasting 40%
+    * of FLOPs on pad tokens" readout that decides between bucketed
+    * batching and [[packSequences]]).
+    *
+    * Buckets are 2^minLog2 .. 2^maxLog2; longer documents CLAMP to the
+    * top bucket with their length truncated to it (the chunker's
+    * contract — past the cap a sequence is split upstream, so the report
+    * charges it zero padding rather than negative). The bucket ladder is
+    * a finite CASE chain over exact integers — no log2, no float,
+    * trivially oracle-portable; efficiency is one IEEE division.
+    *
+    * Scale shape: one zero-join projection + one map-side-combined
+    * aggregation on the bucket key (at most maxLog2-minLog2+1 groups).
+    *
+    * @return (bucket, n_docs, sum_tokens, sum_padding, efficiency)
+    *         ordered by bucket */
+  def lengthBuckets(
+      df: DataFrame,
+      nTokens: Column,
+      minLog2: Int = 4,
+      maxLog2: Int = 14,
+  ): DataFrame = {
+    require(minLog2 >= 1 && maxLog2 > minLog2 && maxLog2 <= 62,
+      s"lengthBuckets: need 1 <= minLog2 < maxLog2 <= 62, got ($minLog2, $maxLog2)")
+    val cap = 1L << maxLog2
+    val len = least(greatest(nTokens.cast("long"), lit(1L)), lit(cap))
+    val bucket = (minLog2 until maxLog2).foldRight(lit(cap): Column) { (k, rest) =>
+      when(len <= (1L << k), lit(1L << k)).otherwise(rest)
+    }
+    df.filter(nTokens.isNotNull)
+      .select(len.as("_len"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_len")).as("sum_tokens"),
+        sum(col("bucket") - col("_len")).as("sum_padding"))
+      .withColumn("efficiency",
+        col("sum_tokens").cast("double") /
+          (col("sum_tokens") + col("sum_padding")).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1) — the
     * per-document repetition/format gate applied before a corpus enters
     * training: word-count bounds, mean word length bounds, symbol-to-word

@@ -465,6 +465,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBuckets: power-of-two ladder, clamp, padding accounting") {
+    val df = Seq(10L, 16L, 17L, 100L, 20000L).toDF("n")
+    val got = Curation.lengthBuckets(df, col("n"), minLog2 = 4, maxLog2 = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 10,16 -> bucket 16 (padding 6+0); 17 -> 32 (15); 100 -> 128 (28);
+    // 20000 clamps to 16384 with zero padding
+    assert(got == Seq(
+      (16L, 2L, 26L, 6L), (32L, 1L, 17L, 15L),
+      (128L, 1L, 100L, 28L), (16384L, 1L, 16384L, 0L)))
+    val eff = Curation.lengthBuckets(df, col("n")).filter(col("bucket") === 16L)
+      .head().getDouble(4)
+    assert(eff == 26.0 / 32.0)
+    intercept[IllegalArgumentException] {
+      Curation.lengthBuckets(df, col("n"), minLog2 = 5, maxLog2 = 5)
+    }
+  }
+
   test("gopherRules: integer-exact flags over hand-built documents") {
     val docs = Seq(
       // clean prose: 12 words, mean len 39/12, stopwords, all-alpha -> pass
