@@ -824,6 +824,17 @@ object Queries {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // Wasserstein-1 drift (round-9): same grid as dq_ks_drift but the
+    // earth-mover statistic — exact-integer CDF-difference numerators,
+    // two trailing IEEE ops, no transcendental and no smoothing.
+    "dq_wasserstein_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.wassersteinDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
+    }),
+
     // Chi-square independence between corpus facets (source × lang):
     // observed cells + independence expectations, chi2 via the closed
     // form Σ o²/e − n (absent cells never materialized), 9-dp
@@ -1391,6 +1402,14 @@ object Queries {
       Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // User growth curve (round-9): new + cumulative distinct users per
+    // day — one champion-min debut aggregation, never a windowed
+    // count-distinct; the running sum windows the day summary only.
+    "e_user_growth" -> ((s, dir) => {
+      graft.operators.TimeSeries.userGrowth(
+        t(s, dir, "events"), col("user_id"), col("ts"), unit = "day")
     }),
 
     // CDC changelog apply (round-9): snapshot ⟵ change stream via the
@@ -3780,6 +3799,48 @@ object Queries {
         |  w2.cdf_a, w2.cdf_b, w2.d, k.ks
         |FROM w2 CROSS JOIN k ORDER BY bucket""".stripMargin,
 
+    // Wasserstein re-derivation: the dq_ks_drift grid CTEs with the
+    // exact-integer |cum_a·t_b − cum_b·t_a| numerators and the two
+    // trailing IEEE ops.
+    "dq_wasserstein_drift" ->
+      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
+        |ba AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
+        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
+        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
+        |  LEFT JOIN bb ON bb.bucket = b.bucket),
+        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
+        |cd AS (
+        |  SELECT bucket, n_a, n_b,
+        |    sum(n_a) OVER (ORDER BY bucket)::BIGINT AS cum_a,
+        |    sum(n_b) OVER (ORDER BY bucket)::BIGINT AS cum_b
+        |  FROM j),
+        |d AS (
+        |  SELECT cd.bucket, cd.n_a, cd.n_b, cd.cum_a, cd.cum_b,
+        |    abs(cd.cum_a * t.t_b - cd.cum_b * t.t_a)::BIGINT AS diff_num,
+        |    t.t_a, t.t_b
+        |  FROM cd CROSS JOIN t),
+        |w1t AS (
+        |  SELECT sum(diff_num)::BIGINT AS w1_num,
+        |    sum(diff_num)::DOUBLE / (any_value(t_a) * any_value(t_b))::DOUBLE
+        |      * (600.0::DOUBLE / 12) AS w1
+        |  FROM d)
+        |SELECT d.bucket, d.n_a, d.n_b, d.cum_a, d.cum_b, d.diff_num,
+        |  w1t.w1_num, w1t.w1
+        |FROM d CROSS JOIN w1t ORDER BY d.bucket""".stripMargin,
+
     // Chi-square re-derivation: observed cells, marginals, expectation
     // (rt*ct)::DOUBLE/n, contributions and closed-form terms rounded to
     // 9 dp and decimal-summed; level counts from the marginal frames so
@@ -4993,6 +5054,18 @@ object Queries {
         |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Growth re-derivation: champion-min debut, per-day rollup, running
+    // sum over the day summary; second-precision string buckets.
+    "e_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (SELECT d, count(*)::BIGINT AS n_new FROM f GROUP BY d)
+        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_start, n_new,
+        |  sum(n_new) OVER (ORDER BY d)::BIGINT AS cum_users
+        |FROM g ORDER BY bucket_start""".stripMargin,
 
     // CDC-apply re-derivation: the champion change as a row_number window
     // (versions are unique event_ids, so ORDER BY v DESC is the same

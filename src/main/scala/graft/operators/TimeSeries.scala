@@ -183,4 +183,40 @@ object TimeSeries {
         (sum(col("_gap_us")).cast("double") / count(col("_gap_us")).cast("double") /
           lit(1000000.0)).as("mean_gap_s"))
   }
+
+  /** User growth curve — new and cumulative distinct users per time
+    * bucket, the adoption/coverage readout. Computed WITHOUT a windowed
+    * count-distinct over the corpus (quadratic state): each user
+    * contributes exactly once at their FIRST bucket (one champion-min
+    * aggregation), the per-bucket rollup counts those debuts, and the
+    * running total is a window over the |buckets|-row summary frame —
+    * never the events.
+    *
+    * Engine parity: exact BIGINT counts; bucket boundaries via
+    * date_trunc on both engines; the bucket renders as a string at
+    * second precision (the interval-join ts contract).
+    *
+    * @param unit date_trunc unit ('day', 'hour', 'week', ...)
+    * @return (bucket_start, n_new, cum_users) ordered by bucket_start */
+  def userGrowth(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      unit: String = "day",
+  ): DataFrame = {
+    require(Set("year", "quarter", "month", "week", "day", "hour", "minute")(unit.toLowerCase),
+      s"userGrowth: unsupported trunc unit '$unit'")
+    val debut = events
+      .filter(user.isNotNull && ts.isNotNull)
+      .groupBy(user.as("_u"))
+      .agg(min(date_trunc(unit, ts)).as("_d"))
+    val perBucket = debut.groupBy(col("_d")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(date_format(col("_d"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("n_new"), col("cum_users"))
+      .orderBy(col("bucket_start"))
+  }
 }

@@ -227,6 +227,33 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
 
+  test("wassersteinDrift: shifted mass integrates, identical sides are 0") {
+    import org.apache.spark.sql.functions.col
+    // a: uniform over buckets 0..3 (values 0,10,20,30); b: same shifted
+    // +10 (the top point clamps into the last bucket) -> CDF gaps
+    // 1/4,1/4,1/4,0 over 10-wide bins: W1 = 7.5
+    val a = Seq(0.0, 10.0, 20.0, 30.0).toDF("v")
+    val b = Seq(10.0, 20.0, 30.0, 39.0).toDF("v")
+    val got = DataQuality.wassersteinDrift(a, b, col("v"), 0L, 40L, 4)
+      .collect()
+    assert(got.length == 4)
+    assert(got.head.getAs[Long]("w1_num") == 12L)
+    assert(got.head.getAs[Double]("w1") == 7.5, got.head.toString)
+    // identical inputs -> 0 drift
+    val z = DataQuality.wassersteinDrift(a, a, col("v"), 0L, 40L, 4)
+      .collect().head
+    assert(z.getAs[Long]("w1_num") == 0L && z.getAs[Double]("w1") == 0.0)
+    // unequal sample sizes: the common-denominator numerators stay exact
+    val c = Seq(0.0, 0.0, 10.0, 10.0, 20.0, 20.0, 30.0, 30.0).toDF("v")
+    val e = DataQuality.wassersteinDrift(a, c, col("v"), 0L, 40L, 4)
+      .collect().head
+    assert(e.getAs[Double]("w1") == 0.0, "same distribution at 2x n")
+    intercept[Exception] {
+      DataQuality.wassersteinDrift(a, b.filter(col("v") < 0), col("v"), 0L, 40L, 4)
+        .collect()
+    }
+  }
+
   test("robustOutliers: median/MAD flags resist the heavy tail") {
     import org.apache.spark.sql.functions.col
     // group a: 9 values near 10 plus one extreme; MAD ~1 so 1000 flags,

@@ -148,4 +148,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(a.getLong(2) == 1L && a.getDouble(3) == 120.0)
     assert(a.getDouble(4) == 120000000.0 / 2.0 / 1000000.0)
   }
+
+  test("userGrowth: debut-bucket counting, returning users never recount") {
+    val df = ev(Seq(
+      (1L, "2024-01-01 08:00:00", 0.0), // u1 debut day 1
+      (2L, "2024-01-01 09:00:00", 0.0), // u2 debut day 1
+      (3L, "2024-01-02 10:00:00", 0.0), // u1 returns -> not new
+      (4L, "2024-01-03 11:00:00", 0.0), // u3 debut day 3 (day 2 has no debut)
+    )).withColumn("u",
+      when(col("event_id") === 2L, 2L).when(col("event_id") === 4L, 3L).otherwise(1L))
+    val got = TimeSeries.userGrowth(df, col("u"), col("ts"), "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", 2L, 2L),
+      ("2024-01-03 00:00:00", 1L, 3L)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.userGrowth(df, col("u"), col("ts"), "fortnight")
+    }
+  }
 }
