@@ -990,6 +990,22 @@ object Queries {
         col("lang"), col("pred"))
     }),
 
+    // Primary-key audits (round-9) across three tables — uniqueness/
+    // nullability of the columns every join and dedup trusts; a
+    // composite key audits through its canonical string form.
+    "dq_key_audit" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      def one(name: String, df: DataFrame, k: Column) =
+        DataQuality.keyAudit(df, k).withColumn("table_key", lit(name))
+      one("documents.doc_id", t(s, dir, "documents"), col("doc_id"))
+        .unionByName(one("events.event_id", t(s, dir, "events"), col("event_id")))
+        .unionByName(one("lineitem.orderkey_linenumber", t(s, dir, "lineitem"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+        .select(col("table_key"), col("n_rows"), col("n_null_keys"), col("n_keys"),
+          col("n_dup_keys"), col("max_multiplicity"), col("n_excess_rows"))
+        .orderBy(col("table_key"))
+    }),
+
     // Robust median/MAD outliers (round-9) per event type: |x - median| >
     // 3·MAD — heavy tails can't drag their own threshold; medians ride
     // the proven percentile/quantile_cont interpolation contract.
@@ -1287,6 +1303,34 @@ object Queries {
         .select(col("doc_id"),
           TextFunctions.repetitionScore(col("text"), 3).as("rep3_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source dataset card (round-9): the documentation artifact a
+    // corpus release ships — size, token volume, language spread, Gopher
+    // pass count and bigram diversity in ONE frame (three independent
+    // aggregations joined on the |sources|-bounded key).
+    "tdp_dataset_card" -> ((s, dir) => {
+      import graft.operators.{Curation, Search}
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCountEstimate(col("text")).cast("long"))
+          .as("total_tokens_est"),
+        count_distinct(col("lang")).as("n_langs"))
+      val gopher = Curation.gopherRules(docs, col("doc_id"), col("text"), minWords = 5)
+        .select(col("id").as("doc_id"), col("pass"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("pass"), lit(1L)).otherwise(lit(0L))).as("n_gopher_pass"))
+      val diversity = Search.distinctNgrams(docs, col("source"), col("text"), n = 2)
+        .select(col("group").as("source"), col("distinct_ratio"))
+      stats
+        .join(gopher, Seq("source"), "left")
+        .join(diversity, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_tokens_est"), col("n_langs"),
+          coalesce(col("n_gopher_pass"), lit(0L)).as("n_gopher_pass"),
+          col("distinct_ratio"))
+        .orderBy(col("source"))
     }),
 
     // Sequence-length bucketing report (round-9): power-of-two buckets
@@ -4159,6 +4203,28 @@ object Queries {
         |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
         |FROM st""".stripMargin,
 
+    // Key-audit re-derivation: one multiplicity table per audited key
+    // (unioned through a canonical string form), exact BIGINT rollups.
+    "dq_key_audit" ->
+      """WITH u AS (
+        |  SELECT 'documents.doc_id' AS table_key, doc_id::VARCHAR AS k FROM documents
+        |  UNION ALL
+        |  SELECT 'events.event_id', event_id::VARCHAR FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_linenumber',
+        |    concat_ws(':', l_orderkey, l_linenumber) FROM lineitem),
+        |m AS (SELECT table_key, k, count(*)::BIGINT AS c FROM u GROUP BY table_key, k)
+        |SELECT table_key,
+        |  sum(c)::BIGINT AS n_rows,
+        |  coalesce(sum(CASE WHEN k IS NULL THEN c ELSE 0 END), 0)::BIGINT AS n_null_keys,
+        |  count(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT AS n_keys,
+        |  coalesce(sum(CASE WHEN k IS NOT NULL AND c > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_dup_keys,
+        |  coalesce(max(CASE WHEN k IS NOT NULL THEN c END), 0)::BIGINT AS max_multiplicity,
+        |  coalesce(sum(CASE WHEN k IS NOT NULL AND c > 1 THEN c - 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_excess_rows
+        |FROM m GROUP BY table_key ORDER BY table_key""".stripMargin,
+
     // Robust-outlier re-derivation: quantile_cont medians (the proven
     // interpolation contract), fixed-association IEEE deviations and
     // threshold, exact BIGINT counters.
@@ -4937,6 +5003,63 @@ object Queries {
         |  FROM toks)
         |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Dataset-card re-derivation: the corpus-stats token estimate, the
+    // gopher-rules flag chain rolled up per source, and the distinct-2
+    // ratio, joined on source.
+    "tdp_dataset_card" ->
+      """WITH stats AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS total_tokens_est,
+        |    count(DISTINCT lang)::BIGINT AS n_langs
+        |  FROM documents GROUP BY source),
+        |gt AS (
+        |  SELECT doc_id, source, text AS t,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE text IS NOT NULL),
+        |gm AS (
+        |  SELECT doc_id, source,
+        |    len(toks)::BIGINT AS n_words,
+        |    list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+        |                (a, b) -> a + b)::BIGINT AS sum_word_len,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    ((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS n_sym,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))::BIGINT AS n_bul,
+        |    len(list_filter(lines, x -> x LIKE '%...'))::BIGINT AS n_ell,
+        |    len(list_filter(list_distinct(toks),
+        |        x -> x IN ('the','a','of','and','to','in','is','that')))::BIGINT AS n_stop
+        |  FROM gt),
+        |gp AS (
+        |  SELECT source,
+        |    sum(CASE WHEN n_words >= 5 AND n_words <= 100000
+        |      AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        |      AND 10 * n_sym < n_words
+        |      AND 10 * n_bul < 9 * n_lines
+        |      AND 10 * n_ell < 3 * n_lines
+        |      AND 5 * n_alpha_words >= 4 * n_words
+        |      AND n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass
+        |  FROM gm GROUP BY source),
+        |dk AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dg AS (
+        |  SELECT source, array_to_string(t[i:i+1], ' ') AS gram
+        |  FROM dk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)
+        |  WHERE len(t) >= 2),
+        |dc AS (SELECT source, gram, count(*)::BIGINT AS c FROM dg GROUP BY source, gram),
+        |dv AS (
+        |  SELECT source, count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
+        |  FROM dc GROUP BY source)
+        |SELECT s.source, s.n_docs, s.total_tokens_est, s.n_langs,
+        |  coalesce(gp.n_gopher_pass, 0)::BIGINT AS n_gopher_pass, dv.distinct_ratio
+        |FROM stats s
+        |LEFT JOIN gp ON gp.source = s.source
+        |LEFT JOIN dv ON dv.source = s.source
+        |ORDER BY s.source""".stripMargin,
 
     // Length-bucket re-derivation: the txt_token_estimate tokenizer, the
     // same clamp and power-of-two CASE ladder, exact integer sums.

@@ -657,6 +657,37 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** Primary-key audit — the uniqueness/nullability contract check run
+    * before a column is trusted as a join or dedup key: row and distinct
+    * counts, NULL keys (which match nothing in an equi-join), duplicated
+    * keys, the worst multiplicity, and the excess-row count a
+    * dedup-by-key would remove. One row out.
+    *
+    * Engine parity: every column is an exact BIGINT from one
+    * aggregation chain. Scale shape: one map-side-combined aggregation
+    * to the key-multiplicity table, one total rollup; NULL keys are
+    * counted from the same pass (no second scan).
+    *
+    * @return one row: (n_rows, n_null_keys, n_keys, n_dup_keys,
+    *         max_multiplicity, n_excess_rows) */
+  def keyAudit(df: DataFrame, key: Column): DataFrame = {
+    val mult = df
+      .select(key.as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    mult.agg(
+      sum(col("c")).as("n_rows"),
+      coalesce(sum(when(col("_k").isNull, col("c")).otherwise(lit(0L))), lit(0L))
+        .as("n_null_keys"),
+      count(when(col("_k").isNotNull, lit(1))).as("n_keys"),
+      coalesce(sum(when(col("_k").isNotNull && col("c") > 1L, lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("n_dup_keys"),
+      coalesce(max(when(col("_k").isNotNull, col("c"))), lit(0L))
+        .as("max_multiplicity"),
+      coalesce(sum(when(col("_k").isNotNull && col("c") > 1L, col("c") - 1L)
+        .otherwise(lit(0L))), lit(0L)).as("n_excess_rows"))
+  }
+
   /** Robust per-group outlier report — median/MAD instead of mean/std,
     * so a heavy tail cannot drag its own detection threshold (the
     * standard robust-statistics objection to z-scores): a value is an

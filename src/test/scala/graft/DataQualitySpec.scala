@@ -227,6 +227,19 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
 
+  test("keyAudit: uniqueness, nulls, multiplicity accounting") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(1L), Some(2L), Some(2L), Some(2L), Some(3L), None, None)
+      .toDF("k")
+    val r = DataQuality.keyAudit(df, col("k")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((7L, 2L, 3L, 1L, 3L, 2L)))
+    // a clean unique key audits clean
+    val clean = DataQuality.keyAudit(Seq(1L, 2L, 3L).toDF("k"), col("k"))
+      .collect().head
+    assert((clean.getLong(3), clean.getLong(4), clean.getLong(5)) == ((0L, 1L, 0L)))
+  }
+
   test("wassersteinDrift: shifted mass integrates, identical sides are 0") {
     import org.apache.spark.sql.functions.col
     // a: uniform over buckets 0..3 (values 0,10,20,30); b: same shifted
