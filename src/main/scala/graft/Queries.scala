@@ -1448,6 +1448,21 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    // Windowed Wasserstein drift (round-9): per-hour earth-mover distance
+    // of the value distribution vs the GLOBAL distribution — the exact-
+    // arithmetic sibling of the pinned PSI monitor; live-oracle-able
+    // because every number is BIGINT until two trailing IEEE ops.
+    "e_windowed_wdrift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ref = ev.filter(col("value").isNotNull)
+        .select(least(lit(9), greatest(lit(0),
+          floor((col("value").cast("double") - lit(0L)) * lit(10) / lit(1000.0))
+            .cast("int"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
+      graft.streaming.EventStream.windowedWassersteinDrift(
+        ev, col("value"), ref, lo = 0L, hi = 1000L, buckets = 10, "1 hour")
+    }),
+
     // User growth curve (round-9): new + cumulative distinct users per
     // day — one champion-min debut aggregation, never a windowed
     // count-distinct; the running sum windows the day summary only.
@@ -2335,6 +2350,22 @@ object Queries {
       graft.io.PrideRest.writeResultFilesTsv(rest.files(s, "PXDDEMO"), out)
       s.read.option("sep", "\t").option("header", "true").csv(out)
         .orderBy(col("accession"))
+    }),
+
+    // Gzip JSON-lines roundtrip (round-9): events written as .json.gz
+    // (the shape crawl logs actually arrive in) and read back through
+    // Spark's transparent codec path must equal the parquet original.
+    "io_jsonl_gzip" -> ((s, dir) => {
+      val out = demoTempDir(s, "jsgz") + "/events_jsonl_gz"
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      s.read
+        .schema("event_id LONG, ts_str STRING, user_id LONG, event_type STRING, value DOUBLE")
+        .json(out)
+        .orderBy(col("event_id"))
     }),
 
     // ORC sink + scan roundtrip (round-9): the events table written
@@ -3615,6 +3646,14 @@ object Queries {
         |FROM best b2 JOIN worst w ON w.prompt = b2.prompt
         |WHERE NOT (chosen = rejected AND chosen_score = rejected_score)
         |ORDER BY user_id""".stripMargin,
+
+    // Gzip JSON-lines oracle: plain parquet read — equality proves the
+    // compressed text write+read preserved every value (doubles survive
+    // via shortest-roundtrip JSON rendering).
+    "io_jsonl_gzip" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // ORC roundtrip oracle: plain parquet read — equality proves the ORC
     // write+read preserved every value (ts rendered at second precision
@@ -5177,6 +5216,47 @@ object Queries {
         |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Windowed-W1 re-derivation: global reference bins, per-hour bins on
+    // the same clamped grid, the full (window × bucket) grid with
+    // per-window cumulative sums, exact |cum_w·t_ref − cum_ref·t_w|
+    // numerators, two trailing IEEE ops per window.
+    "e_windowed_wdrift" ->
+      """WITH v AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    least(9, greatest(0, floor((value::DOUBLE - 0) * 10 / 1000.0::DOUBLE)::INT)) AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |ref AS (SELECT bucket, count(*)::BIGINT AS ref_n FROM v GROUP BY bucket),
+        |bins AS (
+        |  SELECT b.bucket, coalesce(ref.ref_n, 0)::BIGINT AS ref_n
+        |  FROM (SELECT unnest(range(10))::INT AS bucket) b
+        |  LEFT JOIN ref ON ref.bucket = b.bucket),
+        |rt AS (SELECT sum(ref_n)::BIGINT AS t_ref FROM bins),
+        |wc AS (SELECT w, bucket, count(*)::BIGINT AS n FROM v GROUP BY w, bucket),
+        |wins AS (SELECT w, sum(n)::BIGINT AS t_w FROM wc GROUP BY w),
+        |grid AS (
+        |  SELECT wins.w, bins.bucket, bins.ref_n, wins.t_w,
+        |    coalesce(wc.n, 0)::BIGINT AS n
+        |  FROM wins CROSS JOIN bins
+        |  LEFT JOIN wc ON wc.w = wins.w AND wc.bucket = bins.bucket),
+        |cum AS (
+        |  SELECT w, bucket, n, t_w,
+        |    sum(n) OVER (PARTITION BY w ORDER BY bucket)::BIGINT AS cum_n,
+        |    sum(ref_n) OVER (PARTITION BY w ORDER BY bucket)::BIGINT AS cum_ref
+        |  FROM grid),
+        |d AS (
+        |  SELECT cum.*, rt.t_ref,
+        |    abs(cum_n * rt.t_ref - cum_ref * t_w)::BIGINT AS diff_num
+        |  FROM cum CROSS JOIN rt),
+        |w1 AS (
+        |  SELECT w, sum(diff_num)::BIGINT AS w1_num,
+        |    sum(diff_num)::DOUBLE / (any_value(t_w) * any_value(t_ref))::DOUBLE
+        |      * (1000.0::DOUBLE / 10) AS w1
+        |  FROM d GROUP BY w)
+        |SELECT strftime(d.w, '%Y-%m-%d %H:%M:%S') AS window_start, d.bucket, d.n,
+        |  d.cum_n, d.diff_num, w1.w1_num, w1.w1
+        |FROM d JOIN w1 ON w1.w = d.w
+        |ORDER BY window_start, d.bucket""".stripMargin,
 
     // Growth re-derivation: champion-min debut, per-day rollup, running
     // sum over the day summary; second-precision string buckets.

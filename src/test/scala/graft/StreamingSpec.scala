@@ -387,6 +387,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
   }
 
+  test("windowed W1 drift in foreachBatch equals the batch twin, exact") {
+    val dir = Files.createTempDirectory("graft-wdrift-fb").toString
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"a","value":5.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:15:00.000Z","user_id":1,"event_type":"a","value":15.0}""",
+      """{"event_id":3,"ts":"2024-01-01T01:10:00.000Z","user_id":2,"event_type":"b","value":35.0}""",
+      """{"event_id":4,"ts":"2024-01-01T01:20:00.000Z","user_id":2,"event_type":"b","value":35.0}""",
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    // uniform reference over 4 ten-wide buckets
+    val ref = Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L)).toDF("bucket", "ref_n")
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    val q = EventStream.readEventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        results.put(id, EventStream.windowedWassersteinDrift(
+          batch, col("value"), ref, 0L, 40L, 4, "1 hour").collect())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def render(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1), r.getLong(4), r.getDouble(6)))
+        .sortBy(t => (t._1, t._2))
+    val streamed = render(results.values().iterator().next().toSeq)
+    val batchTwin = render(EventStream.windowedWassersteinDrift(
+      Seq(("2024-01-01 00:05:00", 5.0), ("2024-01-01 00:15:00", 15.0),
+        ("2024-01-01 01:10:00", 35.0), ("2024-01-01 01:20:00", 35.0))
+        .toDF("ts_str", "value")
+        .withColumn("ts", to_timestamp(col("ts_str"))),
+      col("value"), ref, 0L, 40L, 4, "1 hour").collect().toSeq)
+    assert(streamed == batchTwin)
+    // window 0 holds buckets {0,1} vs uniform ref: CDF gaps |2*4-1*2|=6,
+    // |4*2... hand math: cum_w = 1,2,2,2; cum_ref = 1,2,3,4; t_w=2, t_ref=4
+    // diff = |1*4-1*2|=2, |2*4-2*2|=4, |8-3*2|=2, 0 -> w1_num=8,
+    // w1 = 8/(2*4)*10 = 10.0
+    val w0 = streamed.filter(_._1 == "2024-01-01 00:00:00")
+    assert(w0.map(_._3) == Seq(2L, 4L, 2L, 0L) && w0.head._4 == 10.0, w0.toString)
+  }
+
   test("CDC apply in foreachBatch: maintained snapshot equals one-shot apply") {
     import graft.operators.Incremental
     // a change stream arriving as two micro-batches; the maintained
