@@ -2660,6 +2660,16 @@ object Queries {
         .orderBy(col("lang"), col("pos"))
     }),
 
+    // Per-dimension min-max scaling (round-9): stats over the FULL
+    // corpus (exact value selections), output cut to the first 100
+    // vectors; the mixed-source normalization step before indexing.
+    "sim_minmax_scale" -> ((s, dir) => {
+      Similarity.minMaxScale(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+        .filter(col("id") < 100)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // ANN recall report (round-9): LSH top-5 vs the exact brute-force
     // top-5 per query — the index-quality gate; both sides top-k-bounded
     // so every join is dimension-sized.
@@ -4771,6 +4781,21 @@ object Queries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles)::DOUBLE >= 0.6
         |ORDER BY contained_id, container_id""".stripMargin,
+
+    // Min-max re-derivation: per-dim exact min/max selections over the
+    // full corpus, one IEEE scaling chain, first-100 cut.
+    "sim_minmax_scale" ->
+      """WITH x AS (
+        |  SELECT vec_id, i AS pos1, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |st AS (SELECT pos1, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos1)
+        |SELECT x.vec_id, (x.pos1 - 1)::BIGINT AS pos, x.v,
+        |  CASE WHEN st.mx > st.mn THEN (x.v - st.mn) / (st.mx - st.mn)
+        |       ELSE 0.0 END AS scaled
+        |FROM x JOIN st USING (pos1)
+        |WHERE x.vec_id < 100
+        |ORDER BY vec_id, pos""".stripMargin,
 
     // Recall re-derivation: the sim_topk_bruteforce and sim_lsh_topk
     // ranking CTEs side by side, intersected per query — exact counts,

@@ -593,6 +593,35 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
+  /** Per-dimension min-max feature scaling — the embedding-normalization
+    * step run before quantization or mixed-source indexing (two models'
+    * embeddings rarely share per-dimension ranges; un-scaled, one source
+    * dominates every distance): scaled_i = (v_i - min_i)/(max_i - min_i),
+    * constant dimensions ship 0.
+    *
+    * Engine parity: min/max are exact value SELECTIONS (no arithmetic),
+    * float→double conversions are exact, and the scaling is one
+    * fixed-association IEEE chain — live-oracle-able with no rounding
+    * discipline. Scale shape: one explode-aggregation to dim stats
+    * (|dim| rows, map-side combined), broadcast back; the corpus never
+    * shuffles.
+    *
+    * @return (id, pos, v, scaled) — one row per vector element, pos
+    *         0-based — ordered by (id, pos) */
+  def minMaxScale(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("_v"))
+      .filter(col("id").isNotNull && col("_v").isNotNull)
+    val x = base.select(col("id"), posexplode(col("_v")).as(Seq("pos", "v")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+    val stats = x.groupBy(col("pos"))
+      .agg(min(col("v")).as("_mn"), max(col("v")).as("_mx"))
+    x.join(broadcast(stats), Seq("pos"))
+      .select(col("id"), col("pos"), col("v"),
+        when(col("_mx") > col("_mn"), (col("v") - col("_mn")) / (col("_mx") - col("_mn")))
+          .otherwise(lit(0.0)).as("scaled"))
+      .orderBy(col("id"), col("pos"))
+  }
+
   /** ANN recall report — the index-quality gate: per query, how much of
     * the EXACT top-k an approximate index actually returned
     * (`recall = |approx ∩ exact| / |exact top-k|`). Run on a sampled
