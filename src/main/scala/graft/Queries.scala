@@ -990,6 +990,24 @@ object Queries {
         col("lang"), col("pred"))
     }),
 
+    // Deterministic Pearson correlation (round-9) over quantized
+    // lineitem measures — exact integer moments, one IEEE chain; what
+    // the float corr() aggregator cannot promise across re-plans.
+    "a_pearson_corr" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      val li = t(s, dir, "lineitem")
+      DataQuality.pearsonCorr(li, floor(col("l_quantity")),
+        floor(col("l_discount") * 100))
+        .withColumn("pair", lit("qty_discount"))
+        .unionByName(
+          DataQuality.pearsonCorr(li, floor(col("l_quantity")),
+            floor(col("l_extendedprice")))
+            .withColumn("pair", lit("qty_price")))
+        .select(col("pair"), col("n"), col("sum_x"), col("sum_y"), col("sum_xy"),
+          col("corr"))
+        .orderBy(col("pair"))
+    }),
+
     // Primary-key audits (round-9) across three tables — uniqueness/
     // nullability of the columns every join and dedup trusts; a
     // composite key audits through its canonical string form.
@@ -4251,6 +4269,39 @@ object Queries {
         |  CASE WHEN pe < '1.0'::DOUBLE
         |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
         |FROM st""".stripMargin,
+
+    // Pearson re-derivation: exact integer moments (HUGEINT sums cast
+    // back to BIGINT), the engine's exact IEEE association order.
+    "a_pearson_corr" ->
+      """WITH b1 AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+        |         CAST(floor(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |b2 AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a1 AS (
+        |  SELECT 'qty_discount' AS pair, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        |    sum(x * y)::BIGINT AS sum_xy
+        |  FROM b1),
+        |a2 AS (
+        |  SELECT 'qty_price' AS pair, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        |    sum(x * y)::BIGINT AS sum_xy
+        |  FROM b2),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT pair, n, sum_x, sum_y, sum_xy,
+        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0.0
+        |        AND n::DOUBLE * syy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0.0
+        |       THEN (n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+        |         / (sqrt(n::DOUBLE * sxx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+        |            * sqrt(n::DOUBLE * syy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE))
+        |  END AS corr
+        |FROM u ORDER BY pair""".stripMargin,
 
     // Key-audit re-derivation: one multiplicity table per audited key
     // (unioned through a canonical string form), exact BIGINT rollups.

@@ -657,6 +657,60 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** Deterministic Pearson correlation over pre-quantized INTEGRAL
+    * columns — what Spark's built-in `corr` cannot promise: the float
+    * aggregator sums partial moments in shuffle order, so two runs (or
+    * an AQE re-plan) can disagree in the last ulps. Here the five
+    * moments (Σx, Σy, Σx², Σy², Σxy) are EXACT integers (per-row
+    * products widen through DECIMAL(38,0) so they cannot wrap; the sums
+    * are guarded back into int64 with a loud error past the horizon),
+    * and the correlation is one fixed-association IEEE chain over their
+    * exact long→double conversions:
+    *
+    *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄))
+    *
+    * NULL when either variance is zero. Quantize upstream (e.g.
+    * `floor(price)`, `floor(discount·100)`) — the [[graft.operators.Preference.groupAdvantage]]
+    * fixed-point contract.
+    *
+    * Scale shape: ONE map-side-combined total aggregation; nothing else.
+    *
+    * @return one row: (n, sum_x, sum_y, sum_xy, corr) */
+  def pearsonCorr(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("_x"))).as("_sx"),
+      sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(dec(col("_y")) * dec(col("_y"))).as("_syy"),
+      sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"))
+    // exact-int accumulators must fit int64: long→double is correctly
+    // rounded on every engine, decimal→double is not (the r6 red-row
+    // vector) — refuse loudly instead of shipping an unportable value
+    def guarded(c: Column, what: String) =
+      when(abs(c) <= lit(Long.MaxValue), c.cast("long"))
+        .otherwise(raise_error(lit(
+          s"pearsonCorr: $what exceeds the int64 horizon — quantize coarser"))
+          .cast("long"))
+    val g = agg.select(
+      col("n"),
+      guarded(col("_sx"), "sum(x)").as("sum_x"),
+      guarded(col("_sy"), "sum(y)").as("sum_y"),
+      guarded(col("_sxx"), "sum(x^2)").as("_sxx"),
+      guarded(col("_syy"), "sum(y^2)").as("_syy"),
+      guarded(col("_sxy"), "sum(x*y)").as("sum_xy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("sum_xy") - d("sum_x") * d("sum_y")
+    val vx = nD * d("_sxx") - d("sum_x") * d("sum_x")
+    val vy = nD * d("_syy") - d("sum_y") * d("sum_y")
+    g.select(col("n"), col("sum_x"), col("sum_y"), col("sum_xy"),
+      when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy))).as("corr"))
+  }
+
   /** Primary-key audit — the uniqueness/nullability contract check run
     * before a column is trusted as a join or dedup key: row and distinct
     * counts, NULL keys (which match nothing in an equi-join), duplicated

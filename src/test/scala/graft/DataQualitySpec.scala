@@ -227,6 +227,27 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
 
+  test("pearsonCorr: exact moments, known correlations, zero-variance NULL") {
+    import org.apache.spark.sql.functions.col
+    // y = 2x + 1 -> perfect positive correlation
+    val lin = Seq((1L, 3L), (2L, 5L), (3L, 7L), (4L, 9L)).toDF("x", "y")
+    val r1 = DataQuality.pearsonCorr(lin, col("x"), col("y")).collect().head
+    assert(r1.getLong(0) == 4L && math.abs(r1.getDouble(4) - 1.0) < 1e-12)
+    // y = -x -> perfect negative
+    val neg = Seq((1L, -1L), (2L, -2L), (3L, -3L)).toDF("x", "y")
+    assert(math.abs(DataQuality.pearsonCorr(neg, col("x"), col("y"))
+      .collect().head.getDouble(4) + 1.0) < 1e-12)
+    // constant y -> undefined (NULL)
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    assert(DataQuality.pearsonCorr(const, col("x"), col("y")).collect().head.isNullAt(4))
+    // deterministic across partitionings (integer moments)
+    val big = (1L to 1000L).map(i => (i, (i * 7) % 13)).toDF("x", "y")
+    val a = DataQuality.pearsonCorr(big.repartition(11), col("x"), col("y"))
+      .collect().head.getDouble(4)
+    val b = DataQuality.pearsonCorr(big, col("x"), col("y")).collect().head.getDouble(4)
+    assert(a == b)
+  }
+
   test("keyAudit: uniqueness, nulls, multiplicity accounting") {
     import org.apache.spark.sql.functions.col
     val df = Seq(Some(1L), Some(2L), Some(2L), Some(2L), Some(3L), None, None)
