@@ -73,8 +73,40 @@ object EventBench {
         widthSeconds = 86400L).count()
     }
 
+    // round-9 stages: GRPO advantage over 100k user groups, daily user
+    // growth (champion-min debut), windowed W1 drift vs the global
+    // distribution (720 hourly windows x 10 buckets), and the CDC
+    // champion merge applying a 1/3-size changelog onto a 2/3 snapshot
+    val (nAdv, tAdv) = time {
+      graft.operators.Preference.groupAdvantage(
+        events, col("user_id"), col("event_id"), floor(col("value") * 100))
+        .filter(abs(col("advantage")) > 3.0).count()
+    }
+    val (nGrowth, tGrowth) = time {
+      TimeSeries.userGrowth(events, col("user_id"), col("ts"), "day").count()
+    }
+    val (nWdrift, tWdrift) = time {
+      val ref = events.select(least(lit(9), greatest(lit(0),
+        floor(col("value") * lit(10) / lit(100.0)).cast("int"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
+      graft.streaming.EventStream.windowedWassersteinDrift(
+        events, col("value"), ref, lo = 0L, hi = 100L, buckets = 10, "1 hour")
+        .count()
+    }
+    val (nCdc, tCdc) = time {
+      val snap = events.filter(col("event_id") % 3 === 0)
+        .select(expr("event_id div 3").as("k"), col("value"), col("event_type"))
+      val ch = events.filter(col("event_id") % 3 =!= 0)
+        .select(expr("event_id div 3").as("k"), col("event_id").as("ver"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"), col("event_type"))
+      graft.operators.Incremental.applyChangelog(
+        snap, ch, col("k"), col("ver"), col("op"), Seq("value", "event_type"))
+        .count()
+    }
+
     println(
-      f"""{"metric":"event_bench","n_events":$n,"ohlc_buckets":$nOhlc,"gap_keys":$nGaps,"funnel_completed":$nFunnel,"cohort_cells":$nCohort,"sec":{"ohlc":$tOhlc%.1f,"gaps":$tGaps%.1f,"funnel":$tFunnel%.1f,"cohort":$tCohort%.1f}}""")
+      f"""{"metric":"event_bench","n_events":$n,"ohlc_buckets":$nOhlc,"gap_keys":$nGaps,"funnel_completed":$nFunnel,"cohort_cells":$nCohort,"adv_outliers":$nAdv,"growth_days":$nGrowth,"wdrift_rows":$nWdrift,"cdc_rows":$nCdc,"sec":{"ohlc":$tOhlc%.1f,"gaps":$tGaps%.1f,"funnel":$tFunnel%.1f,"cohort":$tCohort%.1f,"group_advantage":$tAdv%.1f,"user_growth":$tGrowth%.1f,"windowed_w1":$tWdrift%.1f,"cdc_apply":$tCdc%.1f}}""")
     spark.stop()
   }
 }

@@ -667,6 +667,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.getDouble(2) < 0.5)
   }
 
+  test("minMaxScale: per-dim scaling, constant dims ship 0") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, Seq(0.0f, 5.0f, 2.0f)),
+      (2L, Seq(10.0f, 5.0f, 4.0f)),
+      (3L, Seq(5.0f, 5.0f, 6.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.minMaxScale(rows, col("vec_id"), col("embedding"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((1L, 0L)) == 0.0 && got((2L, 0L)) == 1.0 && got((3L, 0L)) == 0.5)
+    assert(Seq(1L, 2L, 3L).forall(i => got((i, 1L)) == 0.0), "constant dim -> 0")
+    assert(got((2L, 2L)) == 0.5)
+  }
+
   test("annRecallReport: intersection counts against a known split") {
     import graft.operators.Similarity
     val approx = Seq(
