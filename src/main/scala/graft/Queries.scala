@@ -1481,6 +1481,15 @@ object Queries {
         ev, col("value"), ref, lo = 0L, hi = 1000L, buckets = 10, "1 hour")
     }),
 
+    // Per-type OLS trend slopes (round-9): centi-value drift per minute,
+    // group-centered minute x so every moment stays int64-exact.
+    "e_trend_slopes" -> ((s, dir) => {
+      graft.operators.DataQuality.groupTrend(
+        t(s, dir, "events"), col("event_type"), col("ts"),
+        floor(col("value") * 100))
+        .withColumnRenamed("group", "event_type")
+    }),
+
     // User growth curve (round-9): new + cumulative distinct users per
     // day — one champion-min debut aggregation, never a windowed
     // count-distinct; the running sum windows the day summary only.
@@ -5333,6 +5342,31 @@ object Queries {
         |  d.cum_n, d.diff_num, w1.w1_num, w1.w1
         |FROM d JOIN w1 ON w1.w = d.w
         |ORDER BY window_start, d.bucket""".stripMargin,
+
+    // Trend re-derivation: group-centered minute x (`//` truncation),
+    // exact integer moments, one IEEE division; HUGEINT products cast
+    // back to BIGINT.
+    "e_trend_slopes" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |t0 AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY event_type),
+        |xy AS (
+        |  SELECT b.event_type, (b.us - t0.us0) // 60000000 AS x, b.y
+        |  FROM b JOIN t0 USING (event_type)),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |  FROM xy GROUP BY event_type)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy)::BIGINT AS slope_num,
+        |  (n * sxx - sx * sx)::BIGINT AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |       THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |  END AS slope
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // Growth re-derivation: champion-min debut, per-day rollup, running
     // sum over the day summary; second-precision string buckets.

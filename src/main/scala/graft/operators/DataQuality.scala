@@ -657,6 +657,62 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** Per-group OLS trend slope over time — "is this metric drifting up
+    * or down, and how fast" — in the same exact-integer moment
+    * discipline as [[pearsonCorr]]: x is the event time quantized to
+    * MINUTES RELATIVE TO THE GROUP'S OWN FIRST EVENT (centering keeps
+    * Σx² inside int64 for spans up to centuries; raw epoch seconds
+    * squared would overflow), y is the caller's pre-quantized integral
+    * metric.
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)    [y-units/minute]
+    *
+    * Both sides of the division ship as exact BIGINTs (`slope_num`,
+    * `slope_den`, DECIMAL-widened then int64-guarded) plus the one-IEEE
+    * -division `slope`; NULL slope when all events share a minute.
+    *
+    * Scale shape: one min-aggregation for the group epoch, one
+    * co-keyed join back, one moment aggregation — three hash exchanges
+    * on the same group key (AQE reuses the partitioning).
+    *
+    * @return (group, n, slope_num, slope_den, slope) ordered by group */
+  def groupTrend(
+      df: DataFrame,
+      group: Column,
+      ts: Column,
+      y: Column,
+  ): DataFrame = {
+    val base = df
+      .select(group.as("group"), unix_micros(ts.cast("timestamp")).as("_us"),
+        y.cast("long").as("_y"))
+      .filter(col("group").isNotNull && col("_us").isNotNull && col("_y").isNotNull)
+    val t0 = base.groupBy(col("group")).agg(min(col("_us")).as("_us0"))
+    val xy = base.join(t0, Seq("group"))
+      .withColumn("_x", expr("(_us - _us0) div 60000000L"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    def guarded(c: Column, what: String) =
+      when(abs(c) <= lit(Long.MaxValue), c.cast("long"))
+        .otherwise(raise_error(lit(
+          s"groupTrend: $what exceeds the int64 horizon — quantize coarser"))
+          .cast("long"))
+    xy.groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        guarded(sum(dec(col("_x"))), "sum(x)").as("_sx"),
+        guarded(sum(dec(col("_y"))), "sum(y)").as("_sy"),
+        guarded(sum(dec(col("_x")) * dec(col("_x"))), "sum(x^2)").as("_sxx"),
+        guarded(sum(dec(col("_x")) * dec(col("_y"))), "sum(x*y)").as("_sxy"))
+      .select(col("group"), col("n"),
+        guarded(dec(col("n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")),
+          "slope numerator").as("slope_num"),
+        guarded(dec(col("n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")),
+          "slope denominator").as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") > 0L,
+          col("slope_num").cast("double") / col("slope_den").cast("double")))
+      .orderBy(col("group"))
+  }
+
   /** Deterministic Pearson correlation over pre-quantized INTEGRAL
     * columns — what Spark's built-in `corr` cannot promise: the float
     * aggregator sums partial moments in shuffle order, so two runs (or

@@ -227,6 +227,30 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
 
+  test("groupTrend: exact OLS slope per group, single-minute groups NULL") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val rows = Seq(
+      // group a: y = 10 + 2*minute -> slope 2
+      ("a", "2024-01-01 00:00:00", 10L), ("a", "2024-01-01 00:01:00", 12L),
+      ("a", "2024-01-01 00:02:00", 14L), ("a", "2024-01-01 00:03:00", 16L),
+      // group b: flat -> slope 0
+      ("b", "2024-01-01 00:00:00", 5L), ("b", "2024-01-01 00:05:00", 5L),
+      // group c: one minute only -> undefined
+      ("c", "2024-01-01 00:00:10", 7L), ("c", "2024-01-01 00:00:50", 9L),
+    ).toDF("g", "ts_s", "y").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = DataQuality.groupTrend(rows, col("g"), col("ts"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(4) == 2.0, got("a").toString)
+    assert(got("b").getDouble(4) == 0.0)
+    assert(got("c").isNullAt(4), "zero x-variance is undefined, not 0")
+    // deterministic across partitionings
+    val d1 = DataQuality.groupTrend(rows.repartition(5), col("g"), col("ts"), col("y"))
+      .collect().map(_.toSeq).toSeq
+    val d2 = DataQuality.groupTrend(rows, col("g"), col("ts"), col("y"))
+      .collect().map(_.toSeq).toSeq
+    assert(d1 == d2)
+  }
+
   test("pearsonCorr: exact moments, known correlations, zero-variance NULL") {
     import org.apache.spark.sql.functions.col
     // y = 2x + 1 -> perfect positive correlation
