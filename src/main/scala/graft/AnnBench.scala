@@ -125,6 +125,18 @@ object AnnBench {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
     }
+    // round-9 stages: per-label centroid-distance outliers (label = a
+    // 16-way hash facet) and per-dim min-max scaling — both centroid/
+    // stats-broadcast shapes that must hold at 1M x 64
+    val (nOut, tOutliers) = time {
+      Similarity.labelOutliers(
+        vecs.withColumn("label", pmod(xxhash64(col("id")), lit(16)).cast("int")),
+        col("id"), col("label"), col("vec"), k = 10).count()
+    }
+    val (nScaled, tScale) = time {
+      Similarity.minMaxScale(vecs, col("id"), col("vec"))
+        .filter(col("scaled") > 0.999).count()
+    }
     val lshRecall = (lshSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val ivfRecall = (ivfSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val quantRecall = (quantSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
@@ -139,7 +151,7 @@ object AnnBench {
     val pqPlanted = (pqSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"outlier_rows":$nOut,"scaled_hits":$nScaled,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f,"label_outliers":$tOutliers%.1f,"minmax_scale":$tScale%.1f}}""")
     ivfIdx.release()
     vecs.unpersist() // the synthetic corpus is done — free it before the SF phase
 

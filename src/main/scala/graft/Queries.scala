@@ -1498,6 +1498,19 @@ object Queries {
         t(s, dir, "events"), col("user_id"), col("ts"), unit = "day")
     }),
 
+    // Fan-out-guarded join (round-9): the join-explosion tripwire — the
+    // per-user dim is provably unique, so the guard passes and the
+    // result equals the plain join (which is exactly what the oracle
+    // checks); the violated case is spec'd (raise with the offending
+    // key), since an oracle can't assert an exception.
+    "j_guarded_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id")).agg(min(col("event_type")).as("first_type"))
+      graft.operators.Skew.fanoutGuardedJoin(
+        ev.select(col("event_id"), col("user_id")), dim, "user_id", maxMatches = 1)
+        .orderBy(col("event_id"))
+    }),
+
     // CDC changelog apply (round-9): snapshot ⟵ change stream via the
     // per-key champion change (max version; I/U upsert, D delete) —
     // idempotent under replay, one aggregation + one full-outer join.
@@ -5379,6 +5392,16 @@ object Queries {
         |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_start, n_new,
         |  sum(n_new) OVER (ORDER BY d)::BIGINT AS cum_users
         |FROM g ORDER BY bucket_start""".stripMargin,
+
+    // Guarded-join oracle: the plain join — equality proves the guard
+    // column was pass-through (no multiplicity violated, nothing added).
+    "j_guarded_join" ->
+      """SELECT e.user_id, e.event_id, d.first_type
+        |FROM events e
+        |JOIN (SELECT user_id, min(event_type) AS first_type
+        |      FROM events GROUP BY user_id) d
+        |  ON d.user_id = e.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     // CDC-apply re-derivation: the champion change as a row_number window
     // (versions are unique event_ids, so ORDER BY v DESC is the same

@@ -71,4 +71,46 @@ object Skew {
       .orderBy(col("n").desc, col("key").asc)
       .limit(k)
   }
+
+  /** Fan-out-guarded equi-join — the join-explosion tripwire: at 100 TB
+    * an unexpected duplicate key on the build side doesn't produce a
+    * wrong answer you notice, it produces 10^12 rows you pay for. This
+    * join asserts, AT RUNTIME and inside the same pass, that no right-
+    * side key matches more than `maxMatches` rows — one aggregation on
+    * the right side computes per-key multiplicity, the guard rides the
+    * joined rows as a codegen `raise_error` (a violated contract kills
+    * the job with the offending key in the message, instead of melting
+    * the shuffle tier).
+    *
+    * Cost: one extra map-side-combined aggregation of the right side on
+    * the SAME join key (the exchange is reused for the join itself) and
+    * one BIGINT column through the join — no second pass over the left
+    * side, no driver collect.
+    *
+    * @return left ⋈ right on `key` (inner), all columns of both plus
+    *         nothing extra; throws SparkException(USER_RAISED_EXCEPTION)
+    *         when any matched right key exceeds `maxMatches` */
+  def fanoutGuardedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      maxMatches: Long,
+  ): DataFrame = {
+    require(maxMatches >= 1, s"fanoutGuardedJoin: maxMatches must be >= 1, got $maxMatches")
+    val mult = right.groupBy(col(key)).agg(count(lit(1)).as("_fanout"))
+    // the guard rides a FILTER, not a projected column — a projected
+    // guard that nothing downstream reads is column-pruned unevaluated
+    // (the ksDrift lesson); a filter predicate must evaluate per row
+    val guarded = right
+      .join(mult, Seq(key))
+      .filter(
+        when(col("_fanout") <= maxMatches, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"fanoutGuardedJoin: key "), col(key).cast("string"),
+            lit(s" matches "), col("_fanout").cast("string"),
+            lit(s" right rows (> $maxMatches) — the join would explode")))
+            .cast("boolean")))
+      .drop("_fanout")
+    left.join(guarded, Seq(key))
+  }
 }

@@ -40,6 +40,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("fanoutGuardedJoin: passes on a unique dim, raises on the explosion") {
+    val left = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val ok = Skew.fanoutGuardedJoin(left, dim, "k", maxMatches = 1)
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ok.toSeq == Seq((1L, "x", "a"), (2L, "y", "b")))
+    assert(!ok.map(_._1).contains(3L), "inner join: unmatched left drops")
+    // duplicate dim key over the cap -> loud runtime failure naming it
+    val dup = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "name")
+    val e = intercept[Exception] {
+      Skew.fanoutGuardedJoin(left, dup, "k", maxMatches = 1).collect()
+    }
+    assert(e.getMessage.contains("fanoutGuardedJoin") || Option(e.getCause)
+      .exists(_.getMessage.contains("fanoutGuardedJoin")), e.toString)
+    // a cap of 2 tolerates it
+    assert(Skew.fanoutGuardedJoin(left, dup, "k", maxMatches = 2).count() == 3L)
+  }
+
   test("scan-parallelism guard keeps filters and pruning pushed below its exchange") {
     val s = TestSpark.spark
     val df = Tables(s, "/root/testdata/sf0.001", "lineitem")
