@@ -1361,6 +1361,22 @@ object Queries {
         col("n_tok"))
     }),
 
+    // Tokenizer compression ratio (round-9): chars per estimated token,
+    // per source — the "how expensive is this domain to tokenize"
+    // readout; exact integer sums, one IEEE division.
+    "txt_compression_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(TextFunctions.tokenCountEstimate(col("text")).cast("long"))
+            .as("total_tokens_est"))
+        .withColumn("chars_per_token",
+          when(col("total_tokens_est") > 0,
+            col("total_chars").cast("double") / col("total_tokens_est").cast("double")))
+        .orderBy(col("source"))
+    }),
+
     // Per-source TF-IDF keyword profile (round-9): top-10 terms by
     // tf·round(ln((1+N)/(1+df)),6) — the 6-dp ln contract (pmi
     // precedent); the ranking window runs over the vocab table.
@@ -5220,6 +5236,21 @@ object Queries {
         |  sum(bucket - len)::BIGINT AS sum_padding,
         |  sum(len)::DOUBLE / (sum(len) + sum(bucket - len))::DOUBLE AS efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Compression-ratio re-derivation: the txt_token_estimate tokenizer,
+    // exact sums, one IEEE division.
+    "txt_compression_ratio" ->
+      """SELECT source,
+        |  sum(len(text))::BIGINT AS total_chars,
+        |  sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS total_tokens_est,
+        |  CASE WHEN sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+'))) > 0
+        |    THEN sum(len(text))::DOUBLE
+        |      / sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |        + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::DOUBLE
+        |  END AS chars_per_token
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // TF-IDF re-derivation: exact tf/df/N counts, idf the 6-dp-rounded
     // ln ratio on both engines, score one IEEE multiply, rank over the
