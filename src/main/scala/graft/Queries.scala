@@ -990,6 +990,26 @@ object Queries {
         col("lang"), col("pred"))
     }),
 
+    // pass@k (round-9): HumanEval-style unbiased estimator per user task
+    // group — fixed-order IEEE product fold, n<k NULL, n-c<k exactly 1.
+    "tdp_pass_at_k" -> ((s, dir) => {
+      graft.operators.Preference.passAtK(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("user_id"), col("value") > 500.0, ks = Seq(1, 5, 10))
+        .withColumnRenamed("task", "user_id")
+    }),
+
+    // k-anonymity audit (round-9) over derived quasi-identifiers
+    // (event_type, day, value centile-band): class structure + violating
+    // mass at k=5; exact BIGINTs, NULL is a real class value.
+    "dq_k_anonymity" -> ((s, dir) => {
+      graft.operators.DataQuality.kAnonymity(
+        t(s, dir, "events"),
+        Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          expr("cast(floor(value / 100) as bigint)")),
+        k = 5L)
+    }),
+
     // Deterministic Pearson correlation (round-9) over quantized
     // lineitem measures — exact integer moments, one IEEE chain; what
     // the float corr() aggregator cannot promise across re-plans.
@@ -4307,6 +4327,46 @@ object Queries {
         |  CASE WHEN pe < '1.0'::DOUBLE
         |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
         |FROM st""".stripMargin,
+
+    // pass@k re-derivation: same sequential product fold (list_reduce is
+    // left-to-right like Spark's aggregate), same NULL / exact-1 edges.
+    "tdp_pass_at_k" ->
+      """WITH b AS (
+        |  SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN value > 500.0::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n, c,
+        |  CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0::DOUBLE
+        |    ELSE 1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
+        |      list_transform(range(1), i ->
+        |        (n::DOUBLE - c::DOUBLE - i::DOUBLE) / (n::DOUBLE - i::DOUBLE))),
+        |      (a, x) -> a * x) END AS pass_at_1,
+        |  CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0::DOUBLE
+        |    ELSE 1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
+        |      list_transform(range(5), i ->
+        |        (n::DOUBLE - c::DOUBLE - i::DOUBLE) / (n::DOUBLE - i::DOUBLE))),
+        |      (a, x) -> a * x) END AS pass_at_5,
+        |  CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0::DOUBLE
+        |    ELSE 1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
+        |      list_transform(range(10), i ->
+        |        (n::DOUBLE - c::DOUBLE - i::DOUBLE) / (n::DOUBLE - i::DOUBLE))),
+        |      (a, x) -> a * x) END AS pass_at_10
+        |FROM b ORDER BY user_id""".stripMargin,
+
+    // k-anonymity re-derivation: the equivalence-class multiplicity
+    // table (NULL-safe grouping), exact rollups.
+    "dq_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 100) AS BIGINT) AS vband, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+        |  min(c)::BIGINT AS min_class_size,
+        |  coalesce(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_k,
+        |  coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)::BIGINT AS n_rows_below_k,
+        |  min(c) >= 5 AS k_anonymous
+        |FROM cls""".stripMargin,
 
     // Pearson re-derivation: exact integer moments (HUGEINT sums cast
     // back to BIGINT), the engine's exact IEEE association order.

@@ -657,6 +657,41 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** k-anonymity audit — the re-identification check run before a
+    * dataset with quasi-identifier columns leaves the curation pipeline
+    * (Sweeney 2002): a release is k-anonymous when every distinct
+    * quasi-identifier combination covers at least k rows; any smaller
+    * equivalence class singles real records out. Reports the class
+    * structure and the violating mass — the decision inputs for
+    * generalize/suppress — not the fix itself.
+    *
+    * Engine parity: exact BIGINTs from one multiplicity aggregation.
+    * NULL is a real quasi-identifier value (two NULL-city rows are in
+    * the same equivalence class; dropping them would HIDE violators).
+    *
+    * Scale shape: one map-side-combined aggregation to the class table,
+    * one total rollup.
+    *
+    * @param quasi the quasi-identifier columns (the attacker's join key)
+    * @return one row: (n_rows, n_classes, min_class_size,
+    *         n_classes_below_k, n_rows_below_k, k_anonymous) */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity: need at least one quasi-identifier column")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    val classes = df
+      .groupBy(quasi.zipWithIndex.map { case (c, i) => c.as(s"_q$i") }: _*)
+      .agg(count(lit(1)).as("c"))
+    classes.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("c")).as("min_class_size"),
+      coalesce(sum(when(col("c") < k, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("n_classes_below_k"),
+      coalesce(sum(when(col("c") < k, col("c")).otherwise(lit(0L))), lit(0L))
+        .as("n_rows_below_k"))
+      .withColumn("k_anonymous", col("min_class_size") >= k)
+  }
+
   /** Per-group OLS trend slope over time — "is this metric drifting up
     * or down, and how fast" — in the same exact-integer moment
     * discipline as [[pearsonCorr]]: x is the event time quantized to

@@ -181,6 +181,52 @@ object Preference {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** pass@k — the unbiased estimator behind HumanEval-style functional
+    * correctness reporting (Chen et al. 2021, eq. 1): for a task with n
+    * samples of which c passed,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+    *
+    * computed as the right-hand SEQUENTIAL product — a fixed-order IEEE
+    * fold over exact small integers (both engines fold left-to-right),
+    * so no binomial ever materializes and the value is bit-identical
+    * cross-engine. Edge cases: n < k ships NULL (the estimator is
+    * undefined — reporting 0 or 1 would silently bias a macro average);
+    * n − c < k ships exactly 1.0 (every size-k draw contains a pass).
+    *
+    * Scale shape: ONE map-side-combined (task) aggregation; the fold
+    * runs over a k-element literal sequence per task row.
+    *
+    * @param samples one row per (task, attempt)
+    * @param correct boolean pass signal
+    * @param ks      the k values to report (columns `pass_at_<k>`)
+    * @return (task, n, c, pass_at_k...) ordered by task */
+  def passAtK(
+      samples: DataFrame,
+      task: Column,
+      correct: Column,
+      ks: Seq[Int] = Seq(1, 5, 10),
+  ): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"passAtK: ks must be >= 1, got $ks")
+    val base = samples
+      .select(task.as("task"), correct.cast("boolean").as("_ok"))
+      .filter(col("task").isNotNull && col("_ok").isNotNull)
+      .groupBy(col("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_ok"), lit(1L)).otherwise(lit(0L))).as("c"))
+    val nD = col("n").cast("double")
+    val cD = col("c").cast("double")
+    val withKs = ks.foldLeft(base) { (df, k) =>
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * ((nD - cD - i.cast("double")) / (nD - i.cast("double"))))
+      df.withColumn(s"pass_at_$k",
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, lit(1.0))
+          .otherwise(lit(1.0) - prod))
+    }
+    withKs.orderBy(col("task"))
+  }
+
   /** GRPO-style group advantage normalization — the RL post-training
     * data-prep step: per prompt group, each sampled completion's reward is
     * centered and scaled by the group's own statistics,

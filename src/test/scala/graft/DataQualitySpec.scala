@@ -227,6 +227,27 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ap.isNullAt(4) && ap.isNullAt(5) && ap.isNullAt(6))
   }
 
+  test("kAnonymity: class accounting, NULL is a real class") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("NY", 30), ("NY", 30), ("NY", 30),   // class of 3
+      ("SF", 40), ("SF", 40),               // class of 2
+      ("LA", 50),                           // class of 1 -> violator
+      (null.asInstanceOf[String], 30), (null, 30), // NULL class of 2
+    ).toDF("city", "age")
+    val r = DataQuality.kAnonymity(rows, Seq(col("city"), col("age")), k = 2L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getBoolean(5)) == ((8L, 4L, 1L, 1L, 1L, false)))
+    val ok = DataQuality.kAnonymity(
+      rows.filter(col("city").isNotNull && col("city") =!= "LA"),
+      Seq(col("city"), col("age")), k = 2L).collect().head
+    assert(ok.getBoolean(5), "suppressing the singleton restores 2-anonymity")
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymity(rows, Seq.empty, k = 2L)
+    }
+  }
+
   test("groupTrend: exact OLS slope per group, single-minute groups NULL") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     val rows = Seq(

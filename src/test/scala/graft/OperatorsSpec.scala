@@ -780,6 +780,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("passAtK: HumanEval estimator — closed-form cases and edges") {
+    import graft.operators.Preference
+    // task t1: n=4, c=2 -> pass@1 = c/n = 0.5; pass@2 = 1 - C(2,2)/C(4,2) = 5/6
+    val rows = Seq(
+      ("t1", true), ("t1", true), ("t1", false), ("t1", false),
+      ("t2", false), ("t2", false), ("t2", false),  // c=0 -> pass 0
+      ("t3", true),                                  // n=1 < 2 -> pass@2 NULL
+    ).toDF("task", "ok")
+    val got = Preference.passAtK(rows, col("task"), col("ok"), ks = Seq(1, 2))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("t1").getDouble(3) - 0.5) < 1e-15)
+    assert(math.abs(got("t1").getDouble(4) - 5.0 / 6.0) < 1e-15)
+    assert(got("t2").getDouble(3) == 0.0 && got("t2").getDouble(4) == 0.0)
+    assert(got("t3").getDouble(3) == 1.0, "n=c=1: every 1-draw passes")
+    assert(got("t3").isNullAt(4), "k > n is undefined, not 0")
+  }
+
   test("groupAdvantage: GRPO normalization — exact stats, degenerate groups ship 0") {
     import graft.operators.Preference
     val rows = Seq(
