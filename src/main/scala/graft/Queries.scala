@@ -1010,6 +1010,16 @@ object Queries {
         k = 5L)
     }),
 
+    // l-diversity audit (round-9): the homogeneity-attack check on the
+    // same quasi-identifiers with event_type as the sensitive value.
+    "dq_l_diversity" -> ((s, dir) => {
+      graft.operators.DataQuality.lDiversity(
+        t(s, dir, "events"),
+        Seq(date_format(col("ts"), "yyyy-MM-dd"),
+          expr("cast(floor(value / 100) as bigint)")),
+        col("event_type"), l = 2L)
+    }),
+
     // Deterministic Pearson correlation (round-9) over quantized
     // lineitem measures — exact integer moments, one IEEE chain; what
     // the float corr() aggregator cannot promise across re-plans.
@@ -4366,6 +4376,24 @@ object Queries {
         |  coalesce(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_k,
         |  coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)::BIGINT AS n_rows_below_k,
         |  min(c) >= 5 AS k_anonymous
+        |FROM cls""".stripMargin,
+
+    // l-diversity re-derivation: two-level class/sensitive aggregation,
+    // exact rollups.
+    "dq_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 100) AS BIGINT) AS vband, event_type,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT day, vband, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
+        |  FROM cells GROUP BY day, vband)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+        |  min(d)::BIGINT AS min_distinct_sensitive,
+        |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_l,
+        |  coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0)::BIGINT AS n_rows_below_l,
+        |  min(d) >= 2 AS l_diverse
         |FROM cls""".stripMargin,
 
     // Pearson re-derivation: exact integer moments (HUGEINT sums cast

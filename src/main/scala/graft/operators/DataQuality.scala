@@ -692,6 +692,45 @@ object DataQuality {
       .withColumn("k_anonymous", col("min_class_size") >= k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s necessary companion (Machanavajjhala
+    * et al. 2007): a class can be k-anonymous and still leak when every
+    * one of its rows shares the SAME sensitive value (the homogeneity
+    * attack — "all 5 patients in that class have cancer"). Reports the
+    * minimum distinct-sensitive-value count over equivalence classes and
+    * the violating mass at the given l.
+    *
+    * Engine parity: exact BIGINTs from a two-level aggregation sharing
+    * the class-key prefix. NULL quasi values form real classes; NULL
+    * sensitive values count as one distinct value.
+    *
+    * @return one row: (n_rows, n_classes, min_distinct_sensitive,
+    *         n_classes_below_l, n_rows_below_l, l_diverse) */
+  def lDiversity(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      l: Long,
+  ): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity: need at least one quasi-identifier column")
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    val qCols = quasi.zipWithIndex.map { case (c, i) => c.as(s"_q$i") }
+    val cells = df
+      .groupBy((qCols :+ sensitive.as("_s")): _*)
+      .agg(count(lit(1)).as("c"))
+    val classes = cells
+      .groupBy(cells.columns.dropRight(2).map(col): _*)
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
+    classes.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("d")).as("min_distinct_sensitive"),
+      coalesce(sum(when(col("d") < l, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("n_classes_below_l"),
+      coalesce(sum(when(col("d") < l, col("n")).otherwise(lit(0L))), lit(0L))
+        .as("n_rows_below_l"))
+      .withColumn("l_diverse", col("min_distinct_sensitive") >= l)
+  }
+
   /** Per-group OLS trend slope over time — "is this metric drifting up
     * or down, and how fast" — in the same exact-integer moment
     * discipline as [[pearsonCorr]]: x is the event time quantized to

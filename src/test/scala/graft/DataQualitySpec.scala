@@ -248,6 +248,24 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity: homogeneous k-anonymous class still fails") {
+    import org.apache.spark.sql.functions.col
+    // class (NY,30): 3 rows but ALL share disease A -> d=1, not 2-diverse
+    // even though it IS 3-anonymous; class (SF,40): 2 rows, 2 diseases -> ok
+    val rows = Seq(
+      ("NY", 30, "A"), ("NY", 30, "A"), ("NY", 30, "A"),
+      ("SF", 40, "A"), ("SF", 40, "B"),
+    ).toDF("city", "age", "disease")
+    val r = DataQuality.lDiversity(rows, Seq(col("city"), col("age")),
+      col("disease"), l = 2L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getBoolean(5)) == ((5L, 2L, 1L, 1L, 3L, false)))
+    // and the same data IS 2-anonymous — the two audits measure
+    // different attacks
+    assert(DataQuality.kAnonymity(rows, Seq(col("city"), col("age")), k = 2L)
+      .collect().head.getBoolean(5))
+  }
+
   test("groupTrend: exact OLS slope per group, single-minute groups NULL") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     val rows = Seq(
