@@ -1010,6 +1010,25 @@ object Queries {
         k = 5L)
     }),
 
+    // Referential-integrity audits (round-9): the two FK contracts the
+    // TPC-H-ish join queries trust (lineitem→orders, orders→customer),
+    // unioned with a labeled row each.
+    "dq_ref_integrity" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      DataQuality.referentialIntegrity(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        t(s, dir, "orders"), col("o_orderkey"))
+        .withColumn("fk", lit("lineitem.l_orderkey->orders"))
+        .unionByName(
+          DataQuality.referentialIntegrity(
+            t(s, dir, "orders"), col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey"))
+            .withColumn("fk", lit("orders.o_custkey->customer")))
+        .select(col("fk"), col("n_child_rows"), col("n_null_fk"),
+          col("n_orphans"), col("intact"))
+        .orderBy(col("fk"))
+    }),
+
     // l-diversity audit (round-9): the homogeneity-attack check on the
     // same quasi-identifiers with event_type as the sensitive value.
     "dq_l_diversity" -> ((s, dir) => {
@@ -4377,6 +4396,33 @@ object Queries {
         |  coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)::BIGINT AS n_rows_below_k,
         |  min(c) >= 5 AS k_anonymous
         |FROM cls""".stripMargin,
+
+    // Ref-integrity re-derivation: left join against distinct parent
+    // keys, exact rollups, labeled union.
+    "dq_ref_integrity" ->
+      """WITH li AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |    count(*)::BIGINT AS n_child_rows,
+        |    sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+        |    sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |             WHERE o_orderkey IS NOT NULL) o
+        |    ON o.o_orderkey = l.l_orderkey),
+        |oc AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk,
+        |    count(*)::BIGINT AS n_child_rows,
+        |    sum(CASE WHEN ord.o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+        |    sum(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM orders ord
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |             WHERE c_custkey IS NOT NULL) c
+        |    ON c.c_custkey = ord.o_custkey)
+        |SELECT fk, n_child_rows, n_null_fk, n_orphans, n_orphans = 0 AS intact
+        |FROM (SELECT * FROM li UNION ALL SELECT * FROM oc)
+        |ORDER BY fk""".stripMargin,
 
     // l-diversity re-derivation: two-level class/sensitive aggregation,
     // exact rollups.

@@ -657,6 +657,36 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** Referential-integrity audit — the FK contract check behind every
+    * join the pipeline trusts: how many child rows reference a parent
+    * key that does not exist (orphans silently vanish from inner joins
+    * and null-pad outer ones — both wrong answers, neither loud), plus
+    * the NULL-FK mass that can never match.
+    *
+    * Engine parity: exact BIGINTs; the orphan count is a broadcast-able
+    * anti-join semantics expressed as a left join against the DISTINCT
+    * parent key set (one |parents|-bounded frame).
+    *
+    * Scale shape: the child scans once; the parent collapses to its
+    * distinct key (map-side combined) before the join.
+    *
+    * @return one row: (n_child_rows, n_null_fk, n_orphans, intact) */
+  def referentialIntegrity(
+      child: DataFrame, fk: Column,
+      parent: DataFrame, pk: Column): DataFrame = {
+    val keys = parent.select(pk.as("_pk")).filter(col("_pk").isNotNull).distinct()
+      .withColumn("_present", lit(1))
+    child.select(fk.as("_fk"))
+      .join(keys, col("_fk") === col("_pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child_rows"),
+        coalesce(sum(when(col("_fk").isNull, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_null_fk"),
+        coalesce(sum(when(col("_fk").isNotNull && col("_present").isNull, lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("n_orphans"))
+      .withColumn("intact", col("n_orphans") === 0L)
+  }
+
   /** k-anonymity audit — the re-identification check run before a
     * dataset with quasi-identifier columns leaves the curation pipeline
     * (Sweeney 2002): a release is k-anonymous when every distinct

@@ -248,6 +248,20 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("referentialIntegrity: orphans and null FKs accounted separately") {
+    import org.apache.spark.sql.functions.col
+    val parent = Seq(1L, 2L, 2L).toDF("pk") // duplicate parent keys collapse
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None).toDF("fk")
+    val r = DataQuality.referentialIntegrity(child, col("fk"), parent, col("pk"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ((5L, 1L, 1L, false)))
+    val clean = DataQuality.referentialIntegrity(
+      child.filter(col("fk").isin(1L, 2L)), col("fk"), parent, col("pk"))
+      .collect().head
+    assert(clean.getBoolean(3) && clean.getLong(2) == 0L)
+  }
+
   test("lDiversity: homogeneous k-anonymous class still fails") {
     import org.apache.spark.sql.functions.col
     // class (NY,30): 3 rows but ALL share disease A -> d=1, not 2-diverse
