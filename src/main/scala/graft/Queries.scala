@@ -1531,6 +1531,16 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    // Sliding-window counts (round-9): 2h windows sliding hourly — each
+    // event lands in exactly two panes; the overlapping-window streaming
+    // semantic the tumbling family can't express.
+    "e_sliding_window" -> ((s, dir) => {
+      graft.streaming.EventStream.slidingCounts(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        windowLength = "2 hours", slide = "1 hour")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // Windowed Wasserstein drift (round-9): per-hour earth-mover distance
     // of the value distribution vs the GLOBAL distribution — the exact-
     // arithmetic sibling of the pinned PSI monitor; live-oracle-able
@@ -5479,6 +5489,18 @@ object Queries {
         |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Sliding-window re-derivation: every event unnests into its two
+    // panes (epoch-aligned 2h/1h grid), exact counts.
+    "e_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS ws, event_type
+        |  FROM events, LATERAL unnest([0, 1]) AS t(o)
+        |  WHERE ts IS NOT NULL)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*)::BIGINT AS n
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     // Windowed-W1 re-derivation: global reference bins, per-hour bins on
     // the same clamped grid, the full (window × bucket) grid with

@@ -38,6 +38,25 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** SLIDING-window counts — each event contributes to
+    * length/slide overlapping windows (the trailing-window rate monitor:
+    * "events in the last 2 h, refreshed hourly"). Same plan batch and
+    * streaming (watermark bounds open windows; state per key is
+    * length/slide window panes). Exact BIGINT counts; window starts
+    * render at second precision (the stream-window contract).
+    *
+    * @return (window_start, event_type, n) ordered */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "2 hours",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+
   /** Gap-based session windows per user (the built-in `session_window`
     * keyed state): a session closes after `gap` of inactivity. The same
     * plan runs batch (the `e_session_window` oracle query) and streaming

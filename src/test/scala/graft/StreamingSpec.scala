@@ -387,6 +387,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
   }
 
+  test("slidingCounts: every event lands in exactly length/slide panes") {
+    val df = Seq(
+      ("2024-01-01 00:30:00", "a"), ("2024-01-01 00:45:00", "a"),
+      ("2024-01-01 01:30:00", "b"),
+    ).toDF("ts_str", "event_type").withColumn("ts", to_timestamp(col("ts_str")))
+    val got = EventStream.slidingCounts(df, "2 hours", "1 hour")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    // a@00:30/00:45 -> panes starting 23:00 and 00:00; b@01:30 -> 00:00, 01:00
+    assert(got == Seq(
+      ("2023-12-31 23:00:00", "a", 2L),
+      ("2024-01-01 00:00:00", "a", 2L),
+      ("2024-01-01 00:00:00", "b", 1L),
+      ("2024-01-01 01:00:00", "b", 1L)))
+    // total pane contributions = 2 panes per event
+    assert(got.map(_._3).sum == 2L * df.count())
+  }
+
   test("windowed W1 drift in foreachBatch equals the batch twin, exact") {
     val dir = Files.createTempDirectory("graft-wdrift-fb").toString
     val json = Seq(
