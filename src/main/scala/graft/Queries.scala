@@ -1029,6 +1029,19 @@ object Queries {
         .orderBy(col("fk"))
     }),
 
+    // t-closeness audit (round-9): per-class total-variation distance of
+    // the event_type distribution vs global — the skewness-attack check
+    // completing the k-anonymity / l-diversity privacy triple.
+    "dq_t_closeness" -> ((s, dir) => {
+      graft.operators.DataQuality.tCloseness(
+        t(s, dir, "events"),
+        Seq(date_format(col("ts"), "yyyy-MM-dd"),
+          expr("cast(floor(value / 100) as bigint)")),
+        col("event_type"))
+        .withColumnRenamed("q0", "day")
+        .withColumnRenamed("q1", "vband")
+    }),
+
     // l-diversity audit (round-9): the homogeneity-attack check on the
     // same quasi-identifiers with event_type as the sensitive value.
     "dq_l_diversity" -> ((s, dir) => {
@@ -4433,6 +4446,32 @@ object Queries {
         |SELECT fk, n_child_rows, n_null_fk, n_orphans, n_orphans = 0 AS intact
         |FROM (SELECT * FROM li UNION ALL SELECT * FROM oc)
         |ORDER BY fk""".stripMargin,
+
+    // t-closeness re-derivation: the (class × value) grid with null-safe
+    // matches, exact cross-multiplied numerators, one IEEE chain.
+    "dq_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 100) AS BIGINT) AS vband,
+        |    event_type::VARCHAR AS s, count(*)::BIGINT AS n_cs
+        |  FROM events GROUP BY 1, 2, 3),
+        |cls AS (SELECT day, vband, sum(n_cs)::BIGINT AS n_c FROM cells GROUP BY day, vband),
+        |g AS (SELECT s, sum(n_cs)::BIGINT AS n_s FROM cells GROUP BY s),
+        |tt AS (SELECT sum(n_s)::BIGINT AS nn FROM g),
+        |grid AS (
+        |  SELECT cls.day, cls.vband, cls.n_c, g.s, g.n_s,
+        |    coalesce(c.n_cs, 0)::BIGINT AS n_cs, tt.nn
+        |  FROM cls CROSS JOIN g
+        |  LEFT JOIN cells c ON c.day IS NOT DISTINCT FROM cls.day
+        |    AND c.vband IS NOT DISTINCT FROM cls.vband
+        |    AND c.s IS NOT DISTINCT FROM g.s
+        |  CROSS JOIN tt)
+        |SELECT day, vband, n_c AS n,
+        |  sum(abs(n_cs * nn - n_s * n_c))::BIGINT AS tvd_num,
+        |  sum(abs(n_cs * nn - n_s * n_c))::DOUBLE
+        |    / (2.0::DOUBLE * n_c::DOUBLE * nn::DOUBLE) AS tvd
+        |FROM grid GROUP BY day, vband, n_c, nn
+        |ORDER BY day, vband""".stripMargin,
 
     // l-diversity re-derivation: two-level class/sensitive aggregation,
     // exact rollups.

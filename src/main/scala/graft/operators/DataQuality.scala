@@ -761,6 +761,65 @@ object DataQuality {
       .withColumn("l_diverse", col("min_distinct_sensitive") >= l)
   }
 
+  /** t-closeness audit (categorical) — the third privacy check after
+    * [[kAnonymity]] and [[lDiversity]] (Li et al. 2007): an equivalence
+    * class leaks when its sensitive-value DISTRIBUTION differs too much
+    * from the table's global one (a class can be diverse and still be
+    * 90% cancer against a 1% base rate — the skewness attack). For a
+    * categorical sensitive attribute the distance is total variation:
+    *
+    *   tvd(class) = ½ Σ_s |n_cs/n_c − N_s/N|
+    *
+    * carried as the EXACT integer numerator Σ_s |n_cs·N − N_s·n_c| over
+    * the common denominator (the wassersteinDrift cross-multiplication
+    * discipline), so `tvd` is one int→double division chain —
+    * bit-identical cross-engine. Absent (class, value) pairs contribute
+    * their full global mass (the grid is materialized against the
+    * |values|-bounded broadcast value set).
+    *
+    * Scale shape: one (class, sensitive) aggregation, one class rollup
+    * sharing the key prefix, a |values|-bounded broadcast grid join.
+    *
+    * @return one row per class: (class key columns, n, tvd_num, tvd),
+    *         ordered by the class key columns */
+  def tCloseness(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+  ): DataFrame = {
+    require(quasi.nonEmpty, "tCloseness: need at least one quasi-identifier column")
+    val qNames = quasi.indices.map(i => s"q$i")
+    val qCols = quasi.zip(qNames).map { case (c, n) => c.as(n) }
+    val cells = df
+      .groupBy((qCols :+ sensitive.cast("string").as("_s")): _*)
+      .agg(count(lit(1)).as("n_cs"))
+      .localCheckpoint(false)
+    val classes = cells.groupBy(qNames.map(col): _*).agg(sum(col("n_cs")).as("n_c"))
+    val globals = cells.groupBy(col("_s")).agg(sum(col("n_cs")).as("n_s"))
+      .localCheckpoint(false)
+    val total = globals.agg(sum(col("n_s")).as("_n"))
+    // null-safe grid join: a NULL quasi value is a REAL class (the
+    // kAnonymity convention) — an equi-join would silently zero its
+    // cell counts and fabricate a maximal tvd
+    val cellsA = cells.select(
+      (qNames.map(n => col(n).as(s"_ce_$n")) :+ col("_s").as("_ce_s") :+ col("n_cs")): _*)
+    val joinCond = (qNames.map(n => col(n) <=> col(s"_ce_$n")) :+
+      (col("_s") <=> col("_ce_s"))).reduce(_ && _)
+    val grid = classes
+      .crossJoin(broadcast(globals))
+      .join(cellsA, joinCond, "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_cs", coalesce(col("n_cs"), lit(0L)))
+    grid
+      .groupBy((qNames.map(col) :+ col("n_c") :+ col("_n")): _*)
+      .agg(sum(abs(col("n_cs") * col("_n") - col("n_s") * col("n_c"))).as("tvd_num"))
+      .select((qNames.map(col) :+ col("n_c").as("n") :+ col("tvd_num") :+
+        (col("tvd_num").cast("double") /
+          (lit(2.0) * col("n_c").cast("double") * col("_n").cast("double")))
+          .as("tvd")): _*)
+      .orderBy(qNames.map(col): _*)
+  }
+
   /** Per-group OLS trend slope over time — "is this metric drifting up
     * or down, and how fast" — in the same exact-integer moment
     * discipline as [[pearsonCorr]]: x is the event time quantized to

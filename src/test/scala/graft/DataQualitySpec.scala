@@ -262,6 +262,26 @@ class DataQualitySpec extends AnyFunSuite {
     assert(clean.getBoolean(3) && clean.getLong(2) == 0L)
   }
 
+  test("tCloseness: skewed class distance, matching class is 0, NULL class real") {
+    import org.apache.spark.sql.functions.col
+    // global: A 4/8, B 4/8. class (NY,30): all A -> tvd = 1/2.
+    // class (SF,40): 2A 2B == global -> tvd 0. NULL city class: all B.
+    val rows = Seq(
+      ("NY", 30, "A"), ("NY", 30, "A"),
+      ("SF", 40, "A"), ("SF", 40, "A"), ("SF", 40, "B"), ("SF", 40, "B"),
+      (null.asInstanceOf[String], 50, "B"), (null, 50, "B"),
+    ).toDF("city", "age", "disease")
+    val got = DataQuality.tCloseness(rows, Seq(col("city"), col("age")), col("disease"))
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val byCity = got.map(t => t._1 -> t).toMap
+    assert(byCity("NY")._4 == 0.5, byCity("NY").toString)
+    assert(byCity("SF")._4 == 0.0)
+    assert(byCity("<null>")._4 == 0.5, "NULL class audits like any other")
+    // exact numerators: NY n_c=2, N=8: |2*8-4*2| + |0*8-4*2| = 8+8 = 16
+    assert(byCity("NY")._3 == 16L && byCity("NY")._2 == 2L)
+  }
+
   test("lDiversity: homogeneous k-anonymous class still fails") {
     import org.apache.spark.sql.functions.col
     // class (NY,30): 3 rows but ALL share disease A -> d=1, not 2-diverse
