@@ -1457,6 +1457,19 @@ object Queries {
         .withColumnRenamed("group", "source")
     }),
 
+    // Shingle document-frequency profile (round-9): how many shingles
+    // appear in exactly df documents — the empirical basis for choosing
+    // the inverted-index df caps (maxShingleDf) the near-dup family runs
+    // with; two chained exact aggregations.
+    "dd_shingle_df_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+        .orderBy(col("df"))
+    }),
+
     // Cross-document n-gram novelty (round-9): fraction of each doc's
     // distinct 3-gram shingles appearing in no other document — the
     // memorization-exposure / boilerplate readout; inverted-index df
@@ -1542,6 +1555,17 @@ object Queries {
       Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // Hourly error rate with Wilson bounds (round-9): rateWithWilson
+    // keyed by the hour string — the small-sample-honest SLO readout
+    // (3 errors of 7 events is not a 43% error rate you can act on).
+    "e_error_rate_wilson" -> ((s, dir) => {
+      graft.operators.DataQuality.rateWithWilson(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .select(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+            (col("event_type") === "error").as("ok")),
+        col("hr"), col("ok"))
     }),
 
     // Sliding-window counts (round-9): 2h windows sliding hourly — each
@@ -5475,6 +5499,22 @@ object Queries {
         |  count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
+    // DF-profile re-derivation: the shared shingle contract, df per
+    // shingle, shingles per df.
+    "dd_shingle_df_profile" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM tk),
+        |d AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
+        |SELECT df, count(*)::BIGINT AS n_shingles
+        |FROM d GROUP BY df ORDER BY df""".stripMargin,
+
     // Novelty re-derivation: the decontaminate shingle contract (distinct
     // 3-gram windows, short docs collapse to one whole-text shingle),
     // plain df count, exact-integer rollup + one IEEE division.
@@ -5528,6 +5568,25 @@ object Queries {
         |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Hourly-Wilson re-derivation: the dq_rate_wilson IEEE chain keyed
+    // by the hour string.
+    "e_error_rate_wilson" ->
+      """WITH g AS (
+        |  SELECT strftime(ts, '%Y-%m-%d %H') AS "group", count(*)::BIGINT AS n,
+        |    sum((event_type IS NOT DISTINCT FROM 'error')::INT)::BIGINT AS k
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
+        |c3 AS (SELECT *,
+        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
+        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
+        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
+        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
+        |SELECT "group", n, k, p AS rate,
+        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
+        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
+        |FROM c3 ORDER BY "group"""".stripMargin,
 
     // Sliding-window re-derivation: every event unnests into its two
     // panes (epoch-aligned 2h/1h grid), exact counts.
