@@ -2834,6 +2834,17 @@ object Queries {
       Similarity.annRecallReport(approx, exact, k = 5)
     }),
 
+    // Per-label centroid drift (round-9): mean-vector shift between the
+    // even and odd halves of the embeddings table — the encoder/mix
+    // regression monitor; same micro-quantized exact contract.
+    "sim_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        col("label"), col("embedding"))
+    }),
+
     // Per-label embedding outliers (round-9): micro-quantized exact-BIGINT
     // centroid sums + fixed-order distance folds + bounded top-k agg —
     // unlike sim_group_centroids, fully live-oracle-able (no decimal→
@@ -5143,6 +5154,38 @@ object Queries {
          |  coalesce(h.hits, 0)::DOUBLE / ne.n_exact::DOUBLE AS recall
          |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // Centroid-drift re-derivation: the label-outlier centroid CTEs per
+    // half, joined on label, the same sequential distance fold.
+    "sim_centroid_drift" ->
+      """WITH ea AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL),
+        |eb AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
+        |sa AS (
+        |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM ea, LATERAL unnest(generate_series(1, 64)) AS t(i) GROUP BY label, i),
+        |sb AS (
+        |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM eb, LATERAL unnest(generate_series(1, 64)) AS t(i) GROUP BY label, i),
+        |ma AS (
+        |  SELECT label, any_value(n)::BIGINT AS n_a,
+        |    list(s::DOUBLE / n::DOUBLE ORDER BY pos) AS mv
+        |  FROM sa GROUP BY label),
+        |mb AS (
+        |  SELECT label, any_value(n)::BIGINT AS n_b,
+        |    list(s::DOUBLE / n::DOUBLE ORDER BY pos) AS mv
+        |  FROM sb GROUP BY label)
+        |SELECT ma.label, ma.n_a, mb.n_b,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |    i -> (ma.mv[i] - mb.mv[i]) * (ma.mv[i] - mb.mv[i]))), (a, b) -> a + b)
+        |    / 1000000000000.0 AS dist2
+        |FROM ma JOIN mb USING (label)
+        |ORDER BY label""".stripMargin,
 
     // Label-outlier re-derivation: identical micro-quantization (floor of
     // one IEEE multiply), exact BIGINT dim sums, int→double centroid

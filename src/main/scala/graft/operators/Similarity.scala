@@ -622,6 +622,48 @@ object Similarity {
       .orderBy(col("id"), col("pos"))
   }
 
+  /** Per-label centroid drift between two embedding snapshots — the
+    * embedding-space monitor run when the upstream encoder, the corpus
+    * mix, or the crawl window changes: how far did each label's mean
+    * vector move? Catches silent encoder regressions that per-scalar
+    * drift monitors (value histograms) are blind to.
+    *
+    * Same determinism contract as [[labelOutliers]]: micro-quantized
+    * exact BIGINT per-(label, dim) sums, int64→double centroid
+    * divisions, one fixed-order sequential fold per label for the
+    * squared distance (rescaled through 1e12) — fully live-oracle-able.
+    *
+    * Scale shape: one explode-aggregation per side (map-side combined,
+    * |labels|·dim state), a |labels|-keyed join of two tiny centroid
+    * frames; the corpora never shuffle.
+    *
+    * @return (label, n_a, n_b, dist2) ordered by label — labels present
+    *         on only one side are dropped (no drift is defined) */
+  def centroidDrift(
+      a: DataFrame, b: DataFrame,
+      label: Column, vec: Column): DataFrame = {
+    def centroids(df: DataFrame, nName: String, mName: String): DataFrame = df
+      .select(label.as("label"),
+        transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("_q"))
+      .filter(col("label").isNotNull && col("_q").isNotNull)
+      .select(col("label"), posexplode(col("_q")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(first(col("n")).as(nName),
+        transform(sort_array(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => x.getField("s").cast("double") / x.getField("n").cast("double"))
+          .as(mName))
+    centroids(a, "n_a", "_ma")
+      .join(centroids(b, "n_b", "_mb"), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (aggregate(
+          zip_with(col("_ma"), col("_mb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d) / lit(1.0e12)).as("dist2"))
+      .orderBy(col("label"))
+  }
+
   /** ANN recall report — the index-quality gate: per query, how much of
     * the EXACT top-k an approximate index actually returned
     * (`recall = |approx ∩ exact| / |exact top-k|`). Run on a sampled

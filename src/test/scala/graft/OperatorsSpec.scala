@@ -667,6 +667,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.getDouble(2) < 0.5)
   }
 
+  test("centroidDrift: shifted label moves, stable label stays at 0") {
+    import graft.operators.Similarity
+    val a = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(2.0f, 0.0f)), // centroid (1,0)
+      (3L, 1, Seq(5.0f, 5.0f)),                           // centroid (5,5)
+      (4L, 2, Seq(9.0f, 9.0f)),                           // label only in a
+    ).toDF("vec_id", "label", "embedding")
+    val b = Seq(
+      (11L, 0, Seq(4.0f, 0.0f)), (12L, 0, Seq(4.0f, 0.0f)), // centroid (4,0)
+      (13L, 1, Seq(5.0f, 5.0f)),                            // unchanged
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(a, b, col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(got(0) == 9.0, s"centroid moved (1,0)->(4,0): dist2 9, got ${got(0)}")
+    assert(got(1) == 0.0)
+    assert(!got.contains(2), "one-sided labels drop")
+  }
+
   test("minMaxScale: per-dim scaling, constant dims ship 0") {
     import graft.operators.Similarity
     val rows = Seq(
