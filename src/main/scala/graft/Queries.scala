@@ -1457,6 +1457,23 @@ object Queries {
         .withColumnRenamed("group", "source")
     }),
 
+    // Exact-duplicate mass by source (round-9): what fraction of each
+    // source's rows carry a corpus-wide duplicated fingerprint — the
+    // per-source curation dashboard number behind "which feed is
+    // recycling content"; exact counts, one IEEE ratio.
+    "dd_dup_mass_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("_fp"))
+      val fpCounts = d.groupBy(col("_fp")).agg(count(lit(1)).as("_c"))
+      d.join(fpCounts, Seq("_fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_c") > 1L, lit(1L)).otherwise(lit(0L))).as("n_dup_rows"))
+        .withColumn("dup_mass",
+          col("n_dup_rows").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // Shingle document-frequency profile (round-9): how many shingles
     // appear in exactly df documents — the empirical basis for choosing
     // the inverted-index df caps (maxShingleDf) the near-dup family runs
@@ -1555,6 +1572,18 @@ object Queries {
       Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // Hourly active users (round-9): exact distinct-user counts per hour
+    // — the basic engagement series (the KMV sketch family covers the
+    // approximate path; this is the exact one).
+    "e_hourly_active_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("hr"))
     }),
 
     // Hourly error rate with Wilson bounds (round-9): rateWithWilson
@@ -5541,6 +5570,24 @@ object Queries {
         |SELECT source, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
         |  count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Dup-mass re-derivation: fingerprint multiplicity joined back, per-
+    // source rollup, one IEEE ratio.
+    "dd_dup_mass_by_source" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |fc AS (SELECT fp, count(*)::BIGINT AS c FROM d GROUP BY fp)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_rows,
+        |  sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_mass
+        |FROM d JOIN fc ON fc.fp = d.fp
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Hourly-active-users oracle: exact distinct counts per hour string.
+    "e_hourly_active_users" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
+        |  count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY hr""".stripMargin,
 
     // DF-profile re-derivation: the shared shingle contract, df per
     // shingle, shingles per df.
