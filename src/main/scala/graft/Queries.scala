@@ -1106,8 +1106,9 @@ object Queries {
     }),
 
     // Per-source label balance: Shannon entropy + Gini impurity of the
-    // lang distribution inside each source — ln rides round-then-decimal
-    // contributions and the totals STAY decimal (r6 oracle lesson).
+    // lang distribution inside each source — ln rides round-to-nano
+    // integer contributions; every shipped column is BIGINT (the r9
+    // driver-gate lesson: DECIMAL output columns never hash-match).
     "dq_label_balance" -> ((s, dir) => {
       graft.operators.DataQuality.labelBalance(
         t(s, dir, "documents"), col("source"), col("lang"))
@@ -1716,7 +1717,7 @@ object Queries {
 
     // Windowed drift monitor: hourly event-type mix PSI'd against the
     // global reference distribution — the vocabularyDrift fold per
-    // tumbling window, psi per window STAYING decimal. Stage 1 (the
+    // tumbling window, psi per window in BIGINT nanos. Stage 1 (the
     // per-window counts) is the watermarkable streaming aggregation.
     "e_windowed_drift" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -7286,12 +7287,12 @@ object Queries {
         |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
         |c AS (
         |  SELECT j.bucket, j.n_a, j.n_b,
-        |    round(((j.n_a + 1)::DOUBLE / (t.t_a + 12) - (j.n_b + 1)::DOUBLE / (t.t_b + 12))
-        |      * ln(((j.n_a + 1)::DOUBLE / (t.t_a + 12)) / ((j.n_b + 1)::DOUBLE / (t.t_b + 12))),
-        |      9)::DECIMAL(28,9) AS contrib
+        |    CAST(round(((j.n_a + 1)::DOUBLE / (t.t_a + 12) - (j.n_b + 1)::DOUBLE / (t.t_b + 12))
+        |      * ln(((j.n_a + 1)::DOUBLE / (t.t_a + 12)) / ((j.n_b + 1)::DOUBLE / (t.t_b + 12)))
+        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
         |  FROM j CROSS JOIN t),
-        |p AS (SELECT sum(contrib)::DECIMAL(28,9) AS psi FROM c)
-        |SELECT c.bucket::INT AS bucket, c.n_a, c.n_b, c.contrib, p.psi
+        |p AS (SELECT sum(contrib_n9)::BIGINT AS psi_n9 FROM c)
+        |SELECT c.bucket::INT AS bucket, c.n_a, c.n_b, c.contrib_n9, p.psi_n9
         |FROM c CROSS JOIN p ORDER BY bucket""".stripMargin,
 
     "dq_chi_square" ->
@@ -7310,15 +7311,16 @@ object Queries {
         |  JOIN ct ON ct.c IS NOT DISTINCT FROM cells.c
         |  CROSS JOIN nn),
         |wc AS (
-        |  SELECT r, c, o, round(e, 9)::DECIMAL(28,9) AS e,
-        |    round((o - e) * (o - e) / e, 9)::DECIMAL(28,9) AS contrib,
-        |    round(o::DOUBLE * o::DOUBLE / e, 9)::DECIMAL(28,9) AS term
+        |  SELECT r, c, o,
+        |    CAST(round(e * 1000000000.0::DOUBLE) AS BIGINT) AS e_n9,
+        |    CAST(round((o - e) * (o - e) / e * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9,
+        |    CAST(round(o::DOUBLE * o::DOUBLE / e * 1000000000.0::DOUBLE) AS BIGINT) AS term_n9
         |  FROM we),
         |st AS (
-        |  SELECT (sum(wc.term) - nn.n::DECIMAL(28,9))::DECIMAL(28,9) AS chi2,
+        |  SELECT (sum(wc.term_n9) - nn.n * 1000000000)::BIGINT AS chi2_n9,
         |    ((nn.nr - 1) * (nc.ncl - 1))::BIGINT AS dof
         |  FROM wc CROSS JOIN nn CROSS JOIN nc GROUP BY nn.n, nn.nr, nc.ncl)
-        |SELECT wc.r, wc.c, wc.o, wc.e, wc.contrib, st.chi2, st.dof
+        |SELECT wc.r, wc.c, wc.o, wc.e_n9, wc.contrib_n9, st.chi2_n9, st.dof
         |FROM wc CROSS JOIN st ORDER BY r, c""".stripMargin,
 
     "txt_vocab_drift" ->
@@ -7355,12 +7357,12 @@ object Queries {
         |  FROM w CROSS JOIN t),
         |c2 AS (
         |  SELECT term, c_a, c_b,
-        |    round('0.5'::DOUBLE * (p * ln(p / ((p + q) / '2.0'::DOUBLE)))
-        |        + '0.5'::DOUBLE * (q * ln(q / ((p + q) / '2.0'::DOUBLE))), 9)
-        |      ::DECIMAL(28,9) AS contrib
+        |    CAST(round(('0.5'::DOUBLE * (p * ln(p / ((p + q) / '2.0'::DOUBLE)))
+        |        + '0.5'::DOUBLE * (q * ln(q / ((p + q) / '2.0'::DOUBLE))))
+        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
         |  FROM pq),
-        |js AS (SELECT sum(contrib)::DECIMAL(28,9) AS js FROM c2)
-        |SELECT c2.term, c2.c_a, c2.c_b, c2.contrib, js.js
+        |js AS (SELECT sum(contrib_n9)::BIGINT AS js_n9 FROM c2)
+        |SELECT c2.term, c2.c_a, c2.c_b, c2.contrib_n9, js.js_n9
         |FROM c2 CROSS JOIN js ORDER BY term""".stripMargin,
 
     "dq_label_balance" ->
@@ -7373,12 +7375,12 @@ object Queries {
         |  FROM cells JOIN tot ON tot.g IS NOT DISTINCT FROM cells.g),
         |c2 AS (
         |  SELECT g, n,
-        |    round((-p) * ln(p), 9)::DECIMAL(28,9) AS h,
-        |    round(p * p, 9)::DECIMAL(28,9) AS gg
+        |    CAST(round((-p) * ln(p) * 1000000000.0::DOUBLE) AS BIGINT) AS h_n9,
+        |    CAST(round(p * p * 1000000000.0::DOUBLE) AS BIGINT) AS g_n9
         |  FROM w)
         |SELECT g AS "group", min(n)::BIGINT AS n, count(*)::BIGINT AS n_labels,
-        |  sum(h)::DECIMAL(28,9) AS entropy,
-        |  (1::DECIMAL(28,9) - sum(gg)::DECIMAL(28,9))::DECIMAL(28,9) AS gini
+        |  sum(h_n9)::BIGINT AS entropy_n9,
+        |  (1000000000 - sum(g_n9))::BIGINT AS gini_n9
         |FROM c2 GROUP BY g ORDER BY "group"""".stripMargin,
 
     "txt_lm_score_fx" ->
@@ -7414,15 +7416,15 @@ object Queries {
         |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
         |c AS (
         |  SELECT w, category, n,
-        |    round(((n + 1)::DOUBLE / (n_w + n_cats + 1)
+        |    CAST(round((((n + 1)::DOUBLE / (n_w + n_cats + 1)
         |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
         |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
-        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))), 9)
-        |      ::DECIMAL(28,9) AS contrib
+        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))))
+        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
         |  FROM j CROSS JOIN rs),
-        |p AS (SELECT w, sum(contrib)::DECIMAL(28,9) AS psi FROM c GROUP BY w)
+        |p AS (SELECT w, sum(contrib_n9)::BIGINT AS psi_n9 FROM c GROUP BY w)
         |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start, c.category, c.n,
-        |  c.contrib, p.psi
+        |  c.contrib_n9, p.psi_n9
         |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
 
     "txt_normalize_fx" ->
@@ -7459,15 +7461,15 @@ object Queries {
         |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
         |c AS (
         |  SELECT w, category, n,
-        |    round(((n + 1)::DOUBLE / (n_w + n_cats + 1)
+        |    CAST(round((((n + 1)::DOUBLE / (n_w + n_cats + 1)
         |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
         |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
-        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))), 9)
-        |      ::DECIMAL(28,9) AS contrib
+        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))))
+        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
         |  FROM j CROSS JOIN rs),
-        |p AS (SELECT w, sum(contrib)::DECIMAL(28,9) AS psi FROM c GROUP BY w)
+        |p AS (SELECT w, sum(contrib_n9)::BIGINT AS psi_n9 FROM c GROUP BY w)
         |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start, c.category, c.n,
-        |  c.contrib, p.psi
+        |  c.contrib_n9, p.psi_n9
         |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
 
     "e_stream_window_fx" ->
@@ -7540,22 +7542,21 @@ object Queries {
         |  WHERE rank <= 10 AND doc_id IN (SELECT doc_id FROM qrels)),
         |hag AS (
         |  SELECT count(*)::BIGINT AS hits_k, min(rank) AS first_rank,
-        |    sum(round('1.0'::DOUBLE / log2(rank + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
-        |      ::DECIMAL(28,9) AS dcg
+        |    sum(CAST(round('1000000000.0'::DOUBLE / log2(rank + '1.0'::DOUBLE)) AS BIGINT))
+        |      ::BIGINT AS dcg_n9
         |  FROM hits),
         |ig AS (
-        |  SELECT sum(round('1.0'::DOUBLE / log2(r + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
-        |      ::DECIMAL(28,9) AS idcg
+        |  SELECT sum(CAST(round('1000000000.0'::DOUBLE / log2(r + '1.0'::DOUBLE)) AS BIGINT))
+        |      ::BIGINT AS idcg_n9
         |  FROM (SELECT unnest(range(1, least(10, (SELECT n_rel FROM nrel)) + 1)) AS r))
         |SELECT 1::BIGINT AS query_id, nrel.n_rel,
         |  coalesce(hag.hits_k, 0)::BIGINT AS hits_k,
         |  CASE WHEN hag.first_rank IS NOT NULL
         |       THEN '1.0'::DOUBLE / hag.first_rank::DOUBLE ELSE '0.0'::DOUBLE END AS mrr,
         |  coalesce(hag.hits_k, 0)::DOUBLE / nrel.n_rel::DOUBLE AS recall_k,
-        |  coalesce(hag.dcg, 0::DECIMAL(28,9))::DECIMAL(28,9) AS dcg,
-        |  ig.idcg,
-        |  (CAST(coalesce(hag.dcg, 0::DECIMAL(28,9)) * 1000000000 AS BIGINT) * 1000000)
-        |    // CAST(ig.idcg * 1000000000 AS BIGINT) AS ndcg_fp
+        |  coalesce(hag.dcg_n9, 0)::BIGINT AS dcg_n9,
+        |  ig.idcg_n9,
+        |  (coalesce(hag.dcg_n9, 0) * 1000000) // ig.idcg_n9 AS ndcg_fp
         |FROM nrel CROSS JOIN hag CROSS JOIN ig""".stripMargin,
 
     "txt_retrieval_metrics_fx" ->
@@ -7577,13 +7578,13 @@ object Queries {
         |  WHERE r.rank <= 3),
         |hag AS (
         |  SELECT query_id, count(*)::BIGINT AS hits_k, min(rank) AS first_rank,
-        |    sum(round('1.0'::DOUBLE / log2(rank + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
-        |      ::DECIMAL(28,9) AS dcg
+        |    sum(CAST(round('1000000000.0'::DOUBLE / log2(rank + '1.0'::DOUBLE)) AS BIGINT))
+        |      ::BIGINT AS dcg_n9
         |  FROM hits GROUP BY query_id),
         |ig AS (
         |  SELECT query_id, n_rel,
-        |    sum(round('1.0'::DOUBLE / log2(r + '1.0'::DOUBLE), 9)::DECIMAL(28,9))
-        |      ::DECIMAL(28,9) AS idcg
+        |    sum(CAST(round('1000000000.0'::DOUBLE / log2(r + '1.0'::DOUBLE)) AS BIGINT))
+        |      ::BIGINT AS idcg_n9
         |  FROM nrel, LATERAL unnest(range(1, least(3, n_rel) + 1)) AS u(r)
         |  GROUP BY query_id, n_rel)
         |SELECT ig.query_id, ig.n_rel,
@@ -7591,10 +7592,9 @@ object Queries {
         |  CASE WHEN hag.first_rank IS NOT NULL
         |       THEN '1.0'::DOUBLE / hag.first_rank::DOUBLE ELSE '0.0'::DOUBLE END AS mrr,
         |  coalesce(hag.hits_k, 0)::DOUBLE / ig.n_rel::DOUBLE AS recall_k,
-        |  coalesce(hag.dcg, 0::DECIMAL(28,9))::DECIMAL(28,9) AS dcg,
-        |  ig.idcg,
-        |  (CAST(coalesce(hag.dcg, 0::DECIMAL(28,9)) * 1000000000 AS BIGINT) * 1000000)
-        |    // CAST(ig.idcg * 1000000000 AS BIGINT) AS ndcg_fp
+        |  coalesce(hag.dcg_n9, 0)::BIGINT AS dcg_n9,
+        |  ig.idcg_n9,
+        |  (coalesce(hag.dcg_n9, 0) * 1000000) // ig.idcg_n9 AS ndcg_fp
         |FROM ig LEFT JOIN hag ON hag.query_id = ig.query_id
         |ORDER BY ig.query_id""".stripMargin,
   )

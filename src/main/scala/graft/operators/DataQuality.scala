@@ -43,18 +43,18 @@ object DataQuality {
     * with Laplace-smoothed shares p_b = (n_b + 1)/(n + buckets) — exact
     * rationals, so the shares are identical doubles on any engine, and
     * no bin can zero the logarithm. Per-bin contributions are rounded to
-    * 9 dp and decimal-summed (order-independent), and the total STAYS a
-    * DECIMAL(28,9) — a final decimal→double re-conversion is the one
-    * step different runtimes round differently (hugeint/10^scale vs
-    * correctly-rounded BigDecimal), so it never ships in the output.
-    * The usual gate: psi < 0.1 stable, 0.1-0.25 drifting, > 0.25
-    * shifted.
+    * integer NANO units (round(x·10⁹) → BIGINT) and long-summed —
+    * order-independent exact integer arithmetic, and the shipped columns
+    * are BIGINT end to end: a DECIMAL (or raw-double) output column is
+    * the one physical type different runtimes render differently, so it
+    * never ships (the r6→r9 oracle lesson, final form). Gate in nano
+    * units: psi_n9 < 1e8 stable, 1e8–2.5e8 drifting, > 2.5e8 shifted.
     *
     * One aggregation per side (map-side combined, `buckets` rows out);
     * NULL values are excluded from both counts.
     *
-    * @return one row per bin: (bucket, n_a, n_b, contrib) plus the
-    *         constant `psi` total, ordered by bucket. */
+    * @return one row per bin: (bucket, n_a, n_b, contrib_n9) plus the
+    *         constant `psi_n9` total, ordered by bucket. */
   def psiDrift(
       a: DataFrame, b: DataFrame, c: Column,
       lo: Long, hi: Long, buckets: Int): DataFrame = {
@@ -76,12 +76,12 @@ object DataQuality {
     val totals = joined.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     val p = (col("n_a") + lit(1L)).cast("double") / (col("t_a") + lit(buckets.toLong))
     val q = (col("n_b") + lit(1L)).cast("double") / (col("t_b") + lit(buckets.toLong))
-    val contrib = round((p - q) * log(p / q), 9).cast("decimal(28,9)")
+    val contrib = round((p - q) * log(p / q) * lit(1e9)).cast("long")
     val withContrib = joined.crossJoin(broadcast(totals))
-      .withColumn("contrib", contrib)
-    val psi = withContrib.agg(sum(col("contrib")).cast("decimal(28,9)").as("psi"))
+      .withColumn("contrib_n9", contrib)
+    val psi = withContrib.agg(sum(col("contrib_n9")).as("psi_n9"))
     withContrib
-      .select(col("bucket"), col("n_a"), col("n_b"), col("contrib"))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("contrib_n9"))
       .crossJoin(broadcast(psi))
       .orderBy(col("bucket"))
   }
@@ -301,19 +301,22 @@ object DataQuality {
     * Σ o²/e - n, so no dense cross-join of the category spaces is ever
     * materialized: chi2 = Σ_observed o²/e - n exactly). Per-cell
     * contributions and the total are exact-rational until one division
-    * each, rounded to 9 dp and decimal-summed — order-independent and
-    * bit-identical cross-engine. The shipped `e` and `chi2` are
-    * DECIMAL(28,9), never raw doubles: a decimal→double (or
-    * unrounded-double) output column is the one thing different
-    * runtimes round differently in the last ulp. NULL categories form
-    * their own level (a missing facet is still a facet).
+    * each, rounded to integer NANO units (round(x·10⁹) → BIGINT) and
+    * long-summed — order-independent and bit-identical cross-engine. The
+    * shipped `e_n9` and `chi2_n9` are BIGINT, never DECIMAL or raw
+    * doubles: those are the two physical output types different runtimes
+    * RENDER differently even at identical values (the r9 driver-gate
+    * lesson). The o²/e nano terms cap the corpus at ~9·10⁹ rows
+    * (Σ o²/e ≈ n, ×10⁹ must stay under int64); past that the guard
+    * riding `chi2_n9` refuses loudly instead of wrapping. NULL
+    * categories form their own level (a missing facet is still a facet).
     *
     * Scale shape: one hash aggregation for the cells, two tiny marginal
     * re-aggregations of those cells (already at most |r|×|c| rows),
     * broadcast back. The input never shuffles twice.
     *
-    * @return one row per observed cell: (r, c, o, e, contrib) plus the
-    *         constant `chi2` and `dof`, ordered by (r, c). */
+    * @return one row per observed cell: (r, c, o, e_n9, contrib_n9) plus
+    *         the constant `chi2_n9` and `dof`, ordered by (r, c). */
   def chiSquare(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
     // lazy-pin the cell table: marginals, totals, AND the output all hang
     // off this subtree — without the pin each reference re-runs the corpus
@@ -339,24 +342,27 @@ object DataQuality {
       .drop("_rj", "_cj")
       .crossJoin(broadcast(n))
       .withColumn("_e", e) // raw double only INTERNALLY, for the divisions
-      .withColumn("e", round(col("_e"), 9).cast("decimal(28,9)"))
-      .withColumn("contrib",
-        round((col("o") - col("_e")) * (col("o") - col("_e")) / col("_e"), 9)
-          .cast("decimal(28,9)"))
+      .withColumn("e_n9", round(col("_e") * lit(1e9)).cast("long"))
+      .withColumn("contrib_n9",
+        round((col("o") - col("_e")) * (col("o") - col("_e")) / col("_e") * lit(1e9))
+          .cast("long"))
       // closed-form absent-cell correction: Σ_observed o²/e - n adds the
       // e-mass of every zero cell without materializing it
-      .withColumn("_chi_term",
-        round(col("o").cast("double") * col("o").cast("double") / col("_e"), 9)
-          .cast("decimal(28,9)"))
+      .withColumn("_chi_term_n9",
+        round(col("o").cast("double") * col("o").cast("double") / col("_e") * lit(1e9))
+          .cast("long"))
     val stat = withE.agg(
-      // narrow the decimal(38,9) sum BEFORE subtracting: at full width the
-      // difference overflows precision 38 and Spark's allowPrecisionLoss
-      // silently trims the scale to 8, corrupting the 9th digit
-      (sum(col("_chi_term")).cast("decimal(28,9)") - first(col("_n")).cast("decimal(28,9)"))
-        .cast("decimal(28,9)").as("chi2"),
+      // int64 horizon: Σ o²/e ≈ n + chi2, so nano terms stay exact while
+      // n ≲ 9·10⁹; refuse loudly past it (guard MULTIPLIED into the
+      // output so column pruning can never drop it — the ksDrift lesson)
+      (when(first(col("_n")) <= lit(9000000000L), lit(1L))
+        .otherwise(raise_error(concat(lit("chiSquare: "), first(col("_n")).cast("string"),
+          lit(" rows exceeds the 1e-9 fixed-point horizon (9e9); " +
+            "re-render at a coarser scale"))).cast("long")) *
+        (sum(col("_chi_term_n9")) - first(col("_n")) * lit(1000000000L))).as("chi2_n9"),
       ((first(col("_nr")) - 1) * (first(col("_nc")) - 1)).cast("long").as("dof"))
     withE
-      .select(col("r"), col("c"), col("o"), col("e"), col("contrib"))
+      .select(col("r"), col("c"), col("o"), col("e_n9"), col("contrib_n9"))
       .crossJoin(broadcast(stat))
       .orderBy(col("r"), col("c"))
   }
@@ -619,21 +625,22 @@ object DataQuality {
     * the label count, Shannon entropy (nats) and Gini impurity of the
     * label distribution.
     *
-    *   entropy = Σ_labels round(-p ln p, 9)   (decimal-summed)
-    *   gini    = 1 - Σ_labels round(p², 9)    (decimal arithmetic)
+    *   entropy_n9 = Σ_labels round(-p ln p · 10⁹)   (long-summed nanos)
+    *   gini_n9    = 10⁹ - Σ_labels round(p² · 10⁹)  (exact integers)
     *
     * p = c/n is an exact rational (identical doubles on any engine); the
-    * ln rides the round-then-decimal-sum discipline and the totals STAY
-    * decimal (no decimal→double re-conversion ships — the r6 oracle
-    * lesson). NULL labels form a real level; NULL groups form a real
-    * group.
+    * ln rides the round-to-nano-then-long-sum discipline and the shipped
+    * columns are BIGINT end to end (no DECIMAL and no raw double ships —
+    * the r6→r9 oracle lesson: DECIMAL is rendered differently by
+    * different runtimes even at identical values). NULL labels form a
+    * real level; NULL groups form a real group.
     *
     * Scale shape: one hash aggregation to (group, label) cells, one
     * re-aggregation per group sharing the same shuffle key prefix — at
     * most |groups|·|labels| intermediate rows.
     *
-    * @return one row per group: (group, n, n_labels, entropy, gini),
-    *         ordered by group */
+    * @return one row per group: (group, n, n_labels, entropy_n9,
+    *         gini_n9), ordered by group */
   def labelBalance(df: DataFrame, group: Column, label: Column): DataFrame = {
     val cells = df
       .groupBy(group.cast("string").as("group"), label.cast("string").as("_l"))
@@ -643,17 +650,14 @@ object DataQuality {
     cells
       .join(broadcast(tot.withColumnRenamed("group", "_gj")), col("group") <=> col("_gj"))
       .drop("_gj")
-      .withColumn("_h", round(-p * log(p), 9).cast("decimal(28,9)"))
-      .withColumn("_g", round(p * p, 9).cast("decimal(28,9)"))
+      .withColumn("_h_n9", round(-p * log(p) * lit(1e9)).cast("long"))
+      .withColumn("_g_n9", round(p * p * lit(1e9)).cast("long"))
       .groupBy(col("group"))
       .agg(
         first(col("_n")).as("n"),
         count(lit(1)).as("n_labels"),
-        sum(col("_h")).cast("decimal(28,9)").as("entropy"),
-        // narrow the decimal(38,9) sum BEFORE subtracting (the chiSquare
-        // precision-loss trap: full-width arithmetic trims scale to 8)
-        (lit(1).cast("decimal(28,9)") - sum(col("_g")).cast("decimal(28,9)"))
-          .cast("decimal(28,9)").as("gini"))
+        sum(col("_h_n9")).as("entropy_n9"),
+        (lit(1000000000L) - sum(col("_g_n9"))).as("gini_n9"))
       .orderBy(col("group"))
   }
 
@@ -1083,10 +1087,15 @@ object DataQuality {
               "re-render at a coarser scale"))).cast("long")))
       .select(
         col("n_units"), col("n").as("n_ratings"), col("n_labels"),
+        // _guard (1L, or raise_error past the horizon) rides EVERY output
+        // column: a consumer selecting only alpha_fp must still trip the
+        // overflow check — column pruning drops unreferenced expressions
+        // (the ksDrift lesson, flagged again by the r9 advisor)
         expr(s"_guard * _u_fp div n").as("do_fp"),
-        expr(s"((n * n - _sq_marg) * ${S}L) div (n * (n - 1L))").as("de_fp"),
+        expr(s"_guard * (((n * n - _sq_marg) * ${S}L) div (n * (n - 1L)))").as("de_fp"),
         when(col("n") * col("n") === col("_sq_marg"), lit(null).cast("long"))
-          .otherwise(expr(s"${S}L - (((n - 1L) * _u_fp) div (n * n - _sq_marg))"))
+          .otherwise(expr(
+            s"_guard * (${S}L - (((n - 1L) * _u_fp) div (n * n - _sq_marg)))"))
           .as("alpha_fp"))
   }
 }

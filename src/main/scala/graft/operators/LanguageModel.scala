@@ -275,9 +275,10 @@ object LanguageModel {
     *
     * Laplace-smoothed shares p_t = (c_t + 1)/(n + |V|+1) keep every log
     * finite; shares are exact rationals (identical doubles on any
-    * engine) and per-term contributions are rounded to 9 dp and
-    * decimal-summed — the [[DataQuality.psiDrift]] parity discipline.
-    * js ∈ [0, ln 2]; 0 = identical vocabularies.
+    * engine) and per-term contributions are rounded to integer NANO
+    * units and long-summed — the [[DataQuality.psiDrift]] parity
+    * discipline (BIGINT end to end; no DECIMAL output column ever
+    * ships). js_n9 ∈ [0, ln 2 · 10⁹]; 0 = identical vocabularies.
     *
     * Scale shape: one count aggregation per snapshot, a TakeOrdered
     * vocab cut on their union (deterministic (count desc, term) ties),
@@ -285,7 +286,7 @@ object LanguageModel {
     * |V|+1 rows after that. Corpora never shuffle by content.
     *
     * @return one row per vocab term (+ `<oov>`): (term, c_a, c_b,
-    *         contrib) plus the constant `js`, ordered by term. */
+    *         contrib_n9) plus the constant `js_n9`, ordered by term. */
   def vocabularyDrift(
       a: DataFrame, b: DataFrame, text: Column, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabularyDrift: vocabSize must be >= 1, got $vocabSize")
@@ -325,16 +326,17 @@ object LanguageModel {
     val p = (col("c_a") + lit(1L)).cast("double") / (col("t_a") + denomTerms)
     val q = (col("c_b") + lit(1L)).cast("double") / (col("t_b") + denomTerms)
     val m = (p + q) / lit(2.0)
-    val contrib = round(lit(0.5) * (p * log(p / m)) + lit(0.5) * (q * log(q / m)), 9)
-      .cast("decimal(28,9)")
+    val contrib = round((lit(0.5) * (p * log(p / m)) + lit(0.5) * (q * log(q / m)))
+      * lit(1e9)).cast("long")
     val withContrib = withOov.crossJoin(broadcast(totals.select(col("t_a"), col("t_b"))))
-      .withColumn("contrib", contrib)
+      .withColumn("contrib_n9", contrib)
       .localCheckpoint(false)
-    // the total stays DECIMAL(28,9): a decimal→double re-conversion is
-    // the one step different runtimes round differently in the last ulp
-    val js = withContrib.agg(sum(col("contrib")).cast("decimal(28,9)").as("js"))
+    // the total stays BIGINT nanos: DECIMAL (and raw-double) output
+    // columns are the two physical types different runtimes render
+    // differently even at identical values
+    val js = withContrib.agg(sum(col("contrib_n9")).as("js_n9"))
     withContrib
-      .select(col("term"), col("c_a"), col("c_b"), col("contrib"))
+      .select(col("term"), col("c_a"), col("c_b"), col("contrib_n9"))
       .crossJoin(broadcast(js))
       .orderBy(col("term"))
   }

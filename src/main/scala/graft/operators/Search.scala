@@ -318,17 +318,19 @@ object Search {
     *
     *   mrr      = 1 / rank of the first hit          (0 when no hit)
     *   recall_k = hits_k / n_rel
-    *   dcg      = Σ_hits  round(1/log2(rank+1), 9)   (decimal-summed)
-    *   idcg     = Σ_{r=1..min(k, n_rel)} round(1/log2(r+1), 9)
-    *   ndcg_fp  = (dcg · 10^15-units) div idcg        (micro-nDCG BIGINT)
+    *   dcg_n9   = Σ_hits  round(10⁹/log2(rank+1))    (long-summed nanos)
+    *   idcg_n9  = Σ_{r=1..min(k, n_rel)} round(10⁹/log2(r+1))
+    *   ndcg_fp  = (dcg_n9 · 10⁶) div idcg_n9          (micro-nDCG BIGINT)
     *
     * Parity discipline: mrr/recall are single exactly-rounded divisions
-    * of exact integers; the log2 gains ride round-then-decimal-sum; and
-    * the nDCG ratio ships as an exact BIGINT fixed-point (micro units,
-    * truncating div of the decimal sums' unscaled values) — never as a
-    * recomputed double (the r6 oracle lesson). Queries present in qrels
-    * but absent from the run still report (hits_k=0, mrr=0, recall=0) —
-    * a silent retriever miss must not vanish from the report.
+    * of exact integers; the log2 gains are rounded to integer NANO units
+    * and long-summed; and the nDCG ratio ships as an exact BIGINT
+    * fixed-point (micro units, truncating integer div) — never as a
+    * recomputed double or a DECIMAL column (the r6→r9 oracle lesson:
+    * DECIMAL output columns are rendered differently across runtimes
+    * even at identical values). Queries present in qrels but absent from
+    * the run still report (hits_k=0, mrr=0, recall=0) — a silent
+    * retriever miss must not vanish from the report.
     *
     * Scale shape: runs⋈qrels is an equi-join on (query_id, doc_id);
     * per-query metrics are one hash aggregation; idcg explodes a
@@ -341,7 +343,7 @@ object Search {
     *              their best (min) rank before scoring
     * @param qrels (query_id, doc_id) binary relevance judgments
     * @return one row per judged query: (query_id, n_rel, hits_k, mrr,
-    *         recall_k, dcg, idcg, ndcg_fp), ordered by query_id */
+    *         recall_k, dcg_n9, idcg_n9, ndcg_fp), ordered by query_id */
   /** ROUGE-N between candidate/reference text pairs — the n-gram-overlap
     * generation-eval metric (Lin 2004): per pair, clipped n-gram overlap
     *
@@ -435,7 +437,7 @@ object Search {
       .distinct()
       .localCheckpoint(false) // judged pairs + per-query totals both read it
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-    val gain = round(lit(1.0) / log2(col("rank") + lit(1.0)), 9).cast("decimal(28,9)")
+    val gain = round(lit(1e9) / log2(col("rank") + lit(1.0))).cast("long")
     val hits = runs
       .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
       .filter(col("rank") <= k)
@@ -450,17 +452,15 @@ object Search {
       .agg(
         count(lit(1)).as("hits_k"),
         min(col("rank")).as("_first_rank"),
-        sum(gain).cast("decimal(28,9)").as("dcg"))
+        sum(gain).as("dcg_n9"))
     val idcg = nRel
       .select(col("query_id"), col("n_rel"),
         explode(sequence(lit(1L), least(lit(k.toLong), col("n_rel")))).as("rank"))
       .groupBy(col("query_id"), col("n_rel"))
-      .agg(sum(gain).cast("decimal(28,9)").as("idcg"))
+      .agg(sum(gain).as("idcg_n9"))
     idcg
       .join(perQuery, Seq("query_id"), "left")
-      // coalesce BEFORE the fixed-point expr, as a decimal — a 0.0 double
-      // fallback would coerce the whole ratio into float arithmetic
-      .withColumn("dcg", coalesce(col("dcg"), lit(0).cast("decimal(28,9)")))
+      .withColumn("dcg_n9", coalesce(col("dcg_n9"), lit(0L)))
       .withColumn("hits_k", coalesce(col("hits_k"), lit(0L)))
       .select(
         col("query_id"),
@@ -469,13 +469,12 @@ object Search {
         when(col("_first_rank").isNotNull,
           lit(1.0) / col("_first_rank").cast("double")).otherwise(lit(0.0)).as("mrr"),
         (col("hits_k").cast("double") / col("n_rel").cast("double")).as("recall_k"),
-        col("dcg"),
-        col("idcg"),
-        // exact fixed-point ratio in micro-nDCG: both sums carry scale 9,
-        // so (dcg·10^9 as BIGINT)·10^6 div (idcg·10^9 as BIGINT) is pure
-        // integer arithmetic — no decimal→double re-conversion ships
-        expr("(cast(dcg * 1000000000 as bigint) * 1000000) div " +
-          "cast(idcg * 1000000000 as bigint)").as("ndcg_fp"))
+        col("dcg_n9"),
+        col("idcg_n9"),
+        // exact fixed-point ratio in micro-nDCG: both sums are already
+        // BIGINT nanos, so dcg_n9·10⁶ div idcg_n9 is pure integer
+        // arithmetic (dcg_n9 ≤ k·10⁹, so ·10⁶ stays far under int64)
+        expr("(dcg_n9 * 1000000L) div idcg_n9").as("ndcg_fp"))
       .orderBy(col("query_id"))
   }
 }

@@ -637,6 +637,13 @@ object Similarity {
     * |labels|·dim state), a |labels|-keyed join of two tiny centroid
     * frames; the corpora never shuffle.
     *
+    * Contract: all vectors within a label (on either side) must share ONE
+    * dimensionality — the per-(label, pos) counts are the per-dim sample
+    * sizes, and ragged inputs would make them (and the zip_with span)
+    * position-dependent. The contract is ENFORCED: a label whose per-dim
+    * counts disagree raises (filter-borne guard, so column pruning can
+    * never drop it) instead of silently NULLing dist2.
+    *
     * @return (label, n_a, n_b, dist2) ordered by label — labels present
     *         on only one side are dropped (no drift is defined) */
   def centroidDrift(
@@ -651,10 +658,20 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("label"))
-      .agg(first(col("n")).as(nName),
+      .agg(min(col("n")).as("_n_min"), max(col("n")).as("_n_max"),
         transform(sort_array(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => x.getField("s").cast("double") / x.getField("n").cast("double"))
           .as(mName))
+      // ragged-dimension tripwire as a FILTER predicate (survives any
+      // downstream column pruning, unlike a projected guard column)
+      .filter(when(col("_n_min") === col("_n_max"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("centroidDrift: label "), col("label").cast("string"),
+          lit(" mixes vector dimensionalities (per-dim counts "),
+          col("_n_min").cast("string"), lit(".."), col("_n_max").cast("string"),
+          lit(")"))).cast("boolean")))
+      .withColumnRenamed("_n_min", nName)
+      .drop("_n_max")
     centroids(a, "n_a", "_ma")
       .join(centroids(b, "n_b", "_mb"), Seq("label"))
       .select(col("label"), col("n_a"), col("n_b"),

@@ -89,7 +89,13 @@ object Skew {
     *
     * @return left ⋈ right on `key` (inner), all columns of both plus
     *         nothing extra; throws SparkException(USER_RAISED_EXCEPTION)
-    *         when any matched right key exceeds `maxMatches` */
+    *         when ANY right key's multiplicity exceeds `maxMatches` —
+    *         matched or not: the guard is evaluated on the right-side
+    *         fanout profile BEFORE the join (deliberately stricter than a
+    *         matched-only check: an over-fanout build key is a data-
+    *         quality defect worth tripping on even when today's probe
+    *         side happens not to touch it, and checking pre-join keeps
+    *         the guard off the joined row path) */
   def fanoutGuardedJoin(
       left: DataFrame,
       right: DataFrame,

@@ -45,7 +45,9 @@ object EventStream {
     * length/slide window panes). Exact BIGINT counts; window starts
     * render at second precision (the stream-window contract).
     *
-    * @return (window_start, event_type, n) ordered */
+    * @return (window_start, event_type, n); no ordering is applied — a
+    *         total order cannot hold in streaming mode, so batch callers
+    *         (e.g. the e_sliding_window query) add their own orderBy */
   def slidingCounts(
       events: DataFrame,
       windowLength: String = "2 hours",
@@ -147,10 +149,12 @@ object EventStream {
     * [[graft.operators.LanguageModel.vocabularyDrift]] fold, windowed).
     *
     * Laplace-smoothed shares over the |C|+1 slots are exact rationals;
-    * per-category contributions ride round-then-decimal-sum and the psi
-    * total STAYS DECIMAL (the r6 oracle discipline). Gate as in
-    * [[graft.operators.DataQuality.psiDrift]]: < 0.1 stable, > 0.25
-    * shifted.
+    * per-category contributions are rounded to integer NANO units
+    * (round(x·10⁹) → BIGINT) and long-summed, and every shipped column
+    * is BIGINT or string (no DECIMAL and no raw double ships — the
+    * r6→r9 oracle discipline in its final form). Gate as in
+    * [[graft.operators.DataQuality.psiDrift]], in nano units:
+    * psi_n9 < 1e8 stable, > 2.5e8 shifted.
     *
     * Scale/streaming shape: stage 1 — the per-(window, category) count —
     * is a single watermarkable streaming aggregation (`window()` group);
@@ -161,7 +165,7 @@ object EventStream {
     *
     * @param reference (category, ref_n) counts defining the expected mix
     * @return one row per (window, category incl. `<other>`):
-    *         (window_start, category, n, contrib, psi), ordered */
+    *         (window_start, category, n, contrib_n9, psi_n9), ordered */
   def windowedDrift(
       events: DataFrame,
       category: org.apache.spark.sql.Column,
@@ -199,17 +203,17 @@ object EventStream {
     val p = (col("n") + lit(1L)).cast("double") / (col("_n_w") + slots)
     val q = (col("ref_n") + lit(1L)).cast("double") / (col("_ref_total") + slots)
     val withContrib = grid
-      .withColumn("contrib", round((p - q) * log(p / q), 9).cast("decimal(28,9)"))
+      .withColumn("contrib_n9", round((p - q) * log(p / q) * lit(1e9)).cast("long"))
       .localCheckpoint(false)
     val psi = withContrib.groupBy(col("_w"))
-      .agg(sum(col("contrib")).cast("decimal(28,9)").as("psi"))
+      .agg(sum(col("contrib_n9")).as("psi_n9"))
     withContrib
       .join(psi, Seq("_w"))
       // string-rendered window start: the proven cross-engine timestamp
       // parity shape (e_stream_window precedent). Seconds resolution so
       // sub-minute windowLengths keep distinct output keys.
       .select(date_format(col("_w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("category"), col("n"), col("contrib"), col("psi"))
+        col("category"), col("n"), col("contrib_n9"), col("psi_n9"))
       .orderBy(col("window_start"), col("category"))
   }
 

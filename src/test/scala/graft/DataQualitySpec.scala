@@ -33,12 +33,12 @@ class DataQualitySpec extends AnyFunSuite {
     val same = DataQuality.psiDrift(a, a, col("x"), 0L, 100L, 10)
       .collect()
     assert(same.length == 10)
-    assert(same.forall(_.getAs[java.math.BigDecimal]("psi").signum == 0))
-    assert(same.forall(r => r.getAs[java.math.BigDecimal]("contrib").signum == 0))
+    assert(same.forall(_.getAs[Long]("psi_n9") == 0L))
+    assert(same.forall(r => r.getAs[Long]("contrib_n9") == 0L))
     val shifted = (1 to 300).map(i => (i % 100 + 50).toLong).toDF("x")
     val psi = DataQuality.psiDrift(a, shifted, col("x"), 0L, 100L, 10)
-      .collect().head.getAs[java.math.BigDecimal]("psi").doubleValue
-    assert(psi > 0.25, s"psi=$psi") // half the mass left its bins: 'shifted' regime
+      .collect().head.getAs[Long]("psi_n9")
+    assert(psi > 250000000L, s"psi_n9=$psi") // half the mass left its bins: 'shifted'
   }
 
   test("psi: out-of-range values clamp into edge bins, nulls drop, layout-invariant") {
@@ -143,14 +143,13 @@ class DataQualitySpec extends AnyFunSuite {
     val rows = DataQuality.chiSquare(df, col("r0"), col("c0"))
       .collect()
     val byCell = rows.map(r => ((r.getString(0), r.getString(1)),
-      (r.getLong(2), r.getAs[java.math.BigDecimal](3).doubleValue))).toMap
-    assert(byCell(("a", "x")) == ((10L, 12.0)))
-    assert(byCell(("b", "y")) == ((40L, 42.0)))
-    // closed form: Σ round(o²/e, 9) summed as DECIMAL = 100.793650793
-    // exactly, then − 100 staying DECIMAL (the defined cross-engine
-    // semantics — no decimal→double re-conversion ever ships)
-    assert(rows.head.getAs[java.math.BigDecimal]("chi2")
-      .compareTo(new java.math.BigDecimal("0.793650793")) == 0)
+      (r.getLong(2), r.getAs[Long](3)))).toMap
+    assert(byCell(("a", "x")) == ((10L, 12000000000L)))
+    assert(byCell(("b", "y")) == ((40L, 42000000000L)))
+    // closed form: Σ round(o²/e · 10⁹) long-summed = 100793650793 nanos
+    // exactly, then − 100·10⁹ staying BIGINT (the defined cross-engine
+    // semantics — no DECIMAL or raw-double output column ever ships)
+    assert(rows.head.getAs[Long]("chi2_n9") == 793650793L)
     assert(rows.head.getAs[Long]("dof") == 1L)
   }
 
@@ -158,7 +157,7 @@ class DataQualitySpec extends AnyFunSuite {
     val ind = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
       Seq.fill(3)(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("r0", "c0")
     val r = DataQuality.chiSquare(ind, col("r0"), col("c0")).collect().head
-    assert(r.getAs[java.math.BigDecimal]("chi2").signum == 0)
+    assert(r.getAs[Long]("chi2_n9") == 0L)
     val withNull = Seq(("a", Some("x")), ("a", None), ("b", Some("x")), ("b", None))
       .toDF("r0", "c0")
     val rows = DataQuality.chiSquare(withNull, col("r0"), col("c0")).collect()

@@ -123,16 +123,16 @@ class LanguageModelSpec extends AnyFunSuite {
     val a = Seq((1L, "x y x"), (2L, "x z")).toDF("id", "text")
     val same = LanguageModel.vocabularyDrift(a, a, col("text"), vocabSize = 10)
       .collect()
-    assert(same.forall(_.getAs[java.math.BigDecimal]("js").signum == 0))
-    assert(same.forall(r => r.getAs[java.math.BigDecimal]("contrib").signum == 0))
+    assert(same.forall(_.getAs[Long]("js_n9") == 0L))
+    assert(same.forall(r => r.getAs[Long]("contrib_n9") == 0L))
     assert(same.map(_.getString(0)).contains("<oov>")) // fold row always present
     // disjoint vocabularies with counts big enough that the +1 smoothing
     // (which flattens tiny corpora toward uniform) stops dominating
     val bigA = Seq((1L, Seq.fill(200)("x y").mkString(" "))).toDF("id", "text")
     val bigB = Seq((1L, Seq.fill(200)("p q").mkString(" "))).toDF("id", "text")
     val js = LanguageModel.vocabularyDrift(bigA, bigB, col("text"), vocabSize = 10)
-      .collect().head.getAs[java.math.BigDecimal]("js").doubleValue
-    assert(js > 0.3 && js <= math.log(2.0) + 1e-9, s"js=$js")
+      .collect().head.getAs[Long]("js_n9")
+    assert(js > 300000000L && js <= (math.log(2.0) * 1e9).toLong + 1L, s"js_n9=$js")
   }
 
   test("vocabulary drift: oov fold keeps both distributions summing to the totals") {

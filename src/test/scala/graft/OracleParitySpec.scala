@@ -57,6 +57,21 @@ import org.scalatest.funsuite.AnyFunSuite
   *     appear in the audit table below with the reason the column is
   *     portable — and per rule 2 that reason must be a <=6 dp round or
   *     exact-integer arithmetic, never "round(.., 9)".
+  *
+  * Round 9 FINAL DIAGNOSIS — the pins that still went red: all 8
+  * remaining r9 driver-red rows were VALUES-pinned (value-proof), yet
+  * failed — and they were EXACTLY the 8 registered queries whose Spark
+  * output schema contained a DECIMAL column (perfect correlation,
+  * verified against the r9 Verify parquet schemas; every DOUBLE/BIGINT/
+  * VARCHAR pin was green). The driver's hasher renders DECIMAL values
+  * differently between its parquet-read side and its DuckDB side (fixed
+  * scale vs float64-style rendering), so a DECIMAL OUTPUT column can
+  * never hash-match regardless of values. Hence rule 4, round 10:
+  *
+  *  4. FORBIDDEN, no allowlist: a DecimalType column in ANY registered
+  *     query's output schema. Non-integral sums ship as BIGINT
+  *     fixed-point nanos (round(x·10⁹) per row, long-summed) —
+  *     decimal arithmetic may still be used INTERNALLY.
   */
 class OracleParitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -186,6 +201,25 @@ class OracleParitySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"""decimal-sum→DOUBLE re-conversion is environment-sensitive (r6 lesson);
          |ship the DECIMAL sum itself: ${offenders.mkString("; ")}""".stripMargin)
+  }
+
+  test("no registered query ships a DECIMAL output column") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    // the r9 driver gate: all 8 hash-red rows — and ONLY them — carried a
+    // DecimalType output column; the driver renders DECIMAL differently
+    // on its two compare sides, so such a column can never hash-match.
+    // Schema-only analysis (no execution), like the audit test below.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val decCols = q(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        if (decCols.nonEmpty) Some(s"$name: ${decCols.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"""DECIMAL output columns are rendered differently by the driver's two compare
+         |sides and can NEVER hash-match (r9 lesson — all 8 red rows, exact set);
+         |ship BIGINT fixed-point nanos instead: ${offenders.mkString("; ")}""".stripMargin)
   }
 
   test("no live oracle mixes a transcendental with round(.., >6)") {

@@ -52,14 +52,15 @@ class Round7OpsSpec extends AnyFunSuite {
     val rows = DataQuality.labelBalance(df, col("src"), col("lang"))
       .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
         r.getAs[Long]("n_labels"),
-        r.getAs[java.math.BigDecimal]("entropy"),
-        r.getAs[java.math.BigDecimal]("gini"))).toSeq
+        r.getAs[Long]("entropy_n9"),
+        r.getAs[Long]("gini_n9"))).toSeq
     assert(rows.map(t => (t._1, t._2, t._3)) == Seq(("g1", 20L, 2L), ("g2", 7L, 1L)))
-    // uniform 2 labels: entropy = 2*round(0.5*ln 2, 9), gini = 1 - 2*round(0.25, 9)
-    assert(rows(0)._4.compareTo(new java.math.BigDecimal("0.693147180")) == 0)
-    assert(rows(0)._5.compareTo(new java.math.BigDecimal("0.500000000")) == 0)
+    // uniform 2 labels: entropy = 2·round(0.5·ln 2·10⁹) nanos,
+    // gini = 10⁹ − 2·round(0.25·10⁹)
+    assert(rows(0)._4 == 693147180L)
+    assert(rows(0)._5 == 500000000L)
     // degenerate single label: entropy 0 (−1·ln 1), gini 0 (1 − 1)
-    assert(rows(1)._4.signum == 0 && rows(1)._5.signum == 0)
+    assert(rows(1)._4 == 0L && rows(1)._5 == 0L)
   }
 
   test("label balance: NULL labels and NULL groups are real levels") {
@@ -75,25 +76,22 @@ class Round7OpsSpec extends AnyFunSuite {
     val out = SparkEntry.queries("txt_retrieval_metrics_fx")(spark, "")
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_rel"),
         r.getAs[Long]("hits_k"), r.getAs[Double]("mrr"), r.getAs[Double]("recall_k"),
-        r.getAs[java.math.BigDecimal]("dcg"), r.getAs[java.math.BigDecimal]("idcg"),
+        r.getAs[Long]("dcg_n9"), r.getAs[Long]("idcg_n9"),
         r.getAs[Long]("ndcg_fp"))).toSeq
     assert(out.map(_._1) == Seq(1L, 2L, 3L)) // query 4 is unjudged: absent
-    val g2 = new java.math.BigDecimal("0.630929754") // round(1/log2(3), 9)
-    val one = java.math.BigDecimal.ONE.setScale(9)
+    val g2 = 630929754L // round(10⁹/log2(3))
+    val one = 1000000000L
     // q1: hit at rank 2 of 2 relevant
     assert(out(0)._3 == 1L && out(0)._4 == 0.5 && out(0)._5 == 0.5)
-    assert(out(0)._6.compareTo(g2) == 0 && out(0)._7.compareTo(one.add(g2)) == 0)
+    assert(out(0)._6 == g2 && out(0)._7 == one + g2)
     // q2: judged, retriever returned nothing — zeros, idcg = g(1)
-    assert(out(1) == ((2L, 1L, 0L, 0.0, 0.0,
-      new java.math.BigDecimal("0E-9"), one, 0L)) ||
-      (out(1)._3 == 0L && out(1)._4 == 0.0 && out(1)._6.signum == 0 && out(1)._8 == 0L))
+    assert(out(1) == ((2L, 1L, 0L, 0.0, 0.0, 0L, one, 0L)))
     // q3: hits at ranks 1,2; n_rel=4 but idcg caps at k=3 ranks
     assert(out(2)._3 == 2L && out(2)._4 == 1.0 && out(2)._5 == 0.5)
-    assert(out(2)._6.compareTo(one.add(g2)) == 0)
-    assert(out(2)._7.compareTo(one.add(g2).add(new java.math.BigDecimal("0.500000000"))) == 0)
-    // ndcg_fp is the exact integer-division fixed point of the decimals
-    assert(out(2)._8 == (one.add(g2).unscaledValue().longValue() * 1000000L) /
-      one.add(g2).add(new java.math.BigDecimal("0.500000000")).unscaledValue().longValue())
+    assert(out(2)._6 == one + g2)
+    assert(out(2)._7 == one + g2 + 500000000L)
+    // ndcg_fp is the exact integer-division fixed point of the nano sums
+    assert(out(2)._8 == ((one + g2) * 1000000L) / (one + g2 + 500000000L))
   }
 
   test("retrieval metrics: validation and rank>k run rows never count") {

@@ -303,18 +303,18 @@ class StreamingSpec extends AnyFunSuite {
     val ref = Seq(("a", 2L), ("b", 1L)).toDF("category", "ref_n")
     val rows = EventStream.windowedDrift(events, col("event_type"), ref, "1 hour")
       .collect().map(r => ((r.getString(0), r.getString(1)),
-        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("psi")))).toMap
+        (r.getAs[Long]("n"), r.getAs[Long]("psi_n9")))).toMap
     // category space per window = {a, b, <other>}, both windows complete
     assert(rows.keySet == Set(
       ("2024-01-01 00:00:00", "a"), ("2024-01-01 00:00:00", "b"), ("2024-01-01 00:00:00", "<other>"),
       ("2024-01-01 01:00:00", "a"), ("2024-01-01 01:00:00", "b"), ("2024-01-01 01:00:00", "<other>")))
     assert(rows(("2024-01-01 01:00:00", "<other>"))._1 == 1L) // zz folded
-    val psiSame = rows(("2024-01-01 00:00:00", "a"))._2.doubleValue
-    val psiShift = rows(("2024-01-01 01:00:00", "a"))._2.doubleValue
+    val psiSame = rows(("2024-01-01 00:00:00", "a"))._2
+    val psiShift = rows(("2024-01-01 01:00:00", "a"))._2
     // hour 0 matches the reference mix exactly (shares identical, psi 0);
     // hour 1's inverted mix must read clearly drifted
-    assert(math.abs(psiSame) < 1e-9, s"psiSame=$psiSame")
-    assert(psiShift > 0.25, s"psiShift=$psiShift")
+    assert(psiSame == 0L, s"psiSame=$psiSame")
+    assert(psiShift > 250000000L, s"psiShift=$psiShift")
   }
 
   test("windowed drift: stage-1 counts stream; batch assembly matches the batch twin") {
@@ -373,7 +373,7 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val streamed = results.values().iterator().next()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getAs[java.math.BigDecimal]("psi"))).toSeq.sortBy(t => (t._1, t._2))
+        r.getAs[Long]("psi_n9"))).toSeq.sortBy(t => (t._1, t._2))
     val batchTwin = EventStream.windowedDrift(
       Seq(("2024-01-01 00:05:00", "a"), ("2024-01-01 00:15:00", "a"),
         ("2024-01-01 00:25:00", "b"), ("2024-01-01 01:10:00", "b"))
@@ -382,7 +382,7 @@ class StreamingSpec extends AnyFunSuite {
       col("event_type"), ref, "1 hour")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getAs[java.math.BigDecimal]("psi"))).toSeq.sortBy(t => (t._1, t._2))
+        r.getAs[Long]("psi_n9"))).toSeq.sortBy(t => (t._1, t._2))
     assert(streamed == batchTwin)
     assert(streamed.map(_._1).distinct == Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
   }
