@@ -664,6 +664,40 @@ object Queries {
       graft.operators.Graph.triangleCounts(pairs)
     }),
 
+    // Canonical member per near-dup component by PageRank centrality
+    // (round-10): the "most representative duplicate" survivor policy —
+    // CC labels (min-id components) joined with the fixed-point BIGINT
+    // picoranks, one winner per component at (rank_fp desc, id). Ships
+    // only exact integers + the boolean flag (rank_fp stays the
+    // tdp_graph_rank contract).
+    "dd_canonical_by_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      graft.operators.Graph.canonicalByRank(pairs, iters = 3)
+        .select(col("id"), col("component"), col("rank_fp"), col("is_canonical"))
+        .orderBy(col("component"), col("id"))
+    }),
+
+    // Near-dup component-size histogram (round-10): the dedup report
+    // a corpus release quotes — how many duplicate clusters of each size
+    // the similarity graph contains (pair endpoints only; singletons by
+    // definition have no row). Two exact-count aggregations over the
+    // |components|-bounded label frame.
+    "dd_component_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("size"))
+    }),
+
     // Bradley-Terry preference ranking (round-8): pairwise "which source
     // wrote the longer doc" comparisons from consecutive doc pairs, MM
     // fit in integer fixed-point (micro-unit strengths — the picorank
@@ -835,10 +869,21 @@ object Queries {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // Benford first-digit audit (round-10) on order-line amounts in
+    // cents — the fabricated-numbers / truncated-extract tripwire. Pure
+    // exact-integer contract: leading digits from integer rendering,
+    // reviewed nano-share constants (no runtime log10), BIGINT deviation
+    // and total-variation columns.
+    "dq_benford" -> ((s, dir) => {
+      graft.operators.DataQuality.benfordAudit(
+        t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * lit(100)).cast("long"))
+    }),
+
     // Chi-square independence between corpus facets (source × lang):
     // observed cells + independence expectations, chi2 via the closed
-    // form Σ o²/e − n (absent cells never materialized), 9-dp
-    // decimal-summed terms.
+    // form Σ o²/e − n (absent cells never materialized), round-to-nano
+    // long-summed terms.
     "dq_chi_square" -> ((s, dir) => {
       graft.operators.DataQuality.chiSquare(
         t(s, dir, "documents"), col("source"), col("lang"))
@@ -1606,6 +1651,17 @@ object Queries {
         t(s, dir, "events").filter(col("ts").isNotNull),
         windowLength = "2 hours", slide = "1 hour")
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Windowed heavy hitters (round-10): per-hour top-3 event types by
+    // exact count with dense ranks — the trending-items monitor. Stage 1
+    // (the per-window counts) is the watermarkable streaming
+    // aggregation; the rank cut partitions BY WINDOW (parallel across
+    // windows, |categories|-bounded per partition).
+    "e_windowed_topk" -> ((s, dir) => {
+      graft.streaming.EventStream.windowedTopK(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        col("event_type"), windowLength = "1 hour", k = 3)
     }),
 
     // Windowed Wasserstein drift (round-9): per-hour earth-mover distance
@@ -2978,6 +3034,79 @@ object Queries {
   private val minhashCoeffs: String =
     (0 until 16).map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
 
+  /** The dd_minhash_lsh candidate-pair derivation as a reusable CTE chain
+    * ending in `pairs(id_a, id_b)` (id_a < id_b, est_jaccard >= 0.5) —
+    * the same chain the tdp_graph_rank / tdp_graph_triangles oracles
+    * carry inline; shared by the round-10 graph oracles built over the
+    * near-dup similarity graph. */
+  private def lshPairCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+       |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+       |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN mh ma ON ma.doc_id = id_a
+       |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+       |  GROUP BY id_a, id_b),
+       |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5)""".stripMargin
+
+  /** Symmetrized edges + degree/rank fixed point over [[lshPairCtes]]'s
+    * `pairs` — the tdp_graph_rank iteration chain, reused by the
+    * canonical-member oracle. Ends in `p3(id, deg, pr)`. */
+  private def pageRankCtes: String =
+    """,
+      |sym AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT id_a AS src, id_b AS dst FROM pairs
+      |    UNION ALL SELECT id_b, id_a FROM pairs)
+      |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+      |nodes AS (SELECT src AS id, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+      |st AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      |p0 AS (SELECT id, deg, 1000000000000 // n AS pr FROM nodes CROSS JOIN st),
+      |c1 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
+      |       FROM p0 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
+      |p1 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
+      |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
+      |       FROM p0 p LEFT JOIN c1 c ON c.id = p.id CROSS JOIN st),
+      |c2 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
+      |       FROM p1 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
+      |p2 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
+      |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
+      |       FROM p1 p LEFT JOIN c2 c ON c.id = p.id CROSS JOIN st),
+      |c3 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
+      |       FROM p2 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
+      |p3 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
+      |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
+      |       FROM p2 p LEFT JOIN c3 c ON c.id = p.id CROSS JOIN st),
+      |labels AS (
+      |  WITH RECURSIVE r(id, lab) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id)
+      |  SELECT id, min(lab)::BIGINT AS component FROM r GROUP BY id)""".stripMargin
+
   /** One temp dir per (session, kind) for the sink-roundtrip queries —
     * both sinks write mode("overwrite"), so repeated bench/verify
     * invocations reuse one directory instead of accumulating orphans
@@ -3639,6 +3768,26 @@ object Queries {
         |SELECT es.est, ex.exact, es.est::DOUBLE / ex.exact AS ratio
         |FROM es CROSS JOIN ex""".stripMargin,
 
+    // Canonical-member re-derivation (round-10): the shared LSH pair
+    // CTEs + the unrolled BIGINT PageRank chain + recursive min-label
+    // components, one row_number per component at (pr desc, id).
+    "dd_canonical_by_rank" ->
+      (lshPairCtes + pageRankCtes + "\n" +
+        """SELECT l.id, l.component, p3.pr::BIGINT AS rank_fp,
+          |  (row_number() OVER (PARTITION BY l.component
+          |     ORDER BY p3.pr DESC, l.id ASC) = 1) AS is_canonical
+          |FROM labels l JOIN p3 ON p3.id = l.id
+          |ORDER BY l.component, l.id""".stripMargin),
+
+    // Component-size histogram re-derivation: the same pair chain + the
+    // recursive labels, two exact-count rollups (the unused PageRank
+    // CTEs cost nothing — DuckDB evaluates CTEs lazily).
+    "dd_component_sizes" ->
+      (lshPairCtes + pageRankCtes + "," + "\n" +
+        """cs AS (SELECT component, count(*)::BIGINT AS size FROM labels GROUP BY component)
+          |SELECT size, count(*)::BIGINT AS n_components
+          |FROM cs GROUP BY size ORDER BY size""".stripMargin),
+
     // Fixed-point PageRank re-derivation: the dd_minhash_lsh pair CTEs,
     // then three unrolled iterations of pure-BIGINT PageRank (teleport =
     // 15*1e12 // (100*n), damped = (85 * sum(pr // deg)) // 100) — every
@@ -4084,6 +4233,34 @@ object Queries {
         |SELECT w2.bucket, w2.n_a, w2.n_b, w2.cum_a, w2.cum_b,
         |  w2.cdf_a, w2.cdf_b, w2.d, k.ks
         |FROM w2 CROSS JOIN k ORDER BY bucket""".stripMargin,
+
+    // Benford re-derivation: leading digits from exact integer→string
+    // rendering, the reviewed nano-share constants, BIGINT deviations
+    // and integer-div total variation — no float anywhere.
+    "dq_benford" ->
+      """WITH v AS (
+        |  SELECT abs(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(substr(v::VARCHAR, 1, 1) AS INTEGER) AS digit,
+        |    count(*)::BIGINT AS o
+        |  FROM v WHERE v > 0 GROUP BY 1),
+        |t AS (SELECT coalesce(sum(o), 0)::BIGINT AS n FROM c),
+        |g AS (
+        |  SELECT d.digit, coalesce(c.o, 0)::BIGINT AS o,
+        |    (CASE d.digit WHEN 1 THEN 301029996 WHEN 2 THEN 176091259
+        |      WHEN 3 THEN 124938737 WHEN 4 THEN 96910013 WHEN 5 THEN 79181246
+        |      WHEN 6 THEN 66946790 WHEN 7 THEN 57991947 WHEN 8 THEN 51152522
+        |      ELSE 45757491 END)::BIGINT AS share_n9, t.n
+        |  FROM (SELECT unnest(range(1, 10))::INTEGER AS digit) d
+        |  LEFT JOIN c ON c.digit = d.digit CROSS JOIN t),
+        |g2 AS (
+        |  SELECT digit, o, share_n9,
+        |    abs(o * 1000000000 - n * share_n9)::BIGINT AS dev_n9, n
+        |  FROM g),
+        |tv AS (SELECT (sum(dev_n9) // (2 * n))::BIGINT AS tv_n9 FROM g2 GROUP BY n)
+        |SELECT g2.digit, g2.o, g2.share_n9, g2.dev_n9, g2.n, tv.tv_n9
+        |FROM g2 CROSS JOIN tv ORDER BY g2.digit""".stripMargin,
 
     // Wasserstein re-derivation: the dq_ks_drift grid CTEs with the
     // exact-integer |cum_a·t_b − cum_b·t_a| numerators and the two
@@ -5690,6 +5867,20 @@ object Queries {
         |  count(*)::BIGINT AS n
         |FROM w GROUP BY ws, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Windowed heavy hitters re-derivation: per-hour exact counts, one
+    // row_number per window at (n desc, category), k=3 cut.
+    "e_windowed_topk" ->
+      """WITH cnt AS (
+        |  SELECT date_trunc('hour', ts) AS w, event_type::VARCHAR AS category,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w, category, n,
+        |    row_number() OVER (PARTITION BY w ORDER BY n DESC, category ASC)::INTEGER AS rank
+        |  FROM cnt)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, category, n, rank
+        |FROM r WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
 
     // Windowed-W1 re-derivation: global reference bins, per-hour bins on
     // the same clamped grid, the full (window × bucket) grid with

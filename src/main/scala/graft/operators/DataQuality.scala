@@ -661,6 +661,68 @@ object DataQuality {
       .orderBy(col("group"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-numbers /
+    * truncated-extract tripwire for financial-style magnitude columns:
+    * naturally-occurring multi-order-of-magnitude amounts follow
+    * P(d) = log10(1 + 1/d); synthetic, capped, or copy-pasted data
+    * doesn't. Run it on amounts BEFORE trusting a new source's numbers.
+    *
+    * Pure integer arithmetic end to end: the leading digit comes from
+    * the exact integer→string rendering (no log10 at runtime), the
+    * Benford shares are FIXED nano-unit constants (the only
+    * transcendental is baked into the table below at review time), and
+    * the per-digit deviation |o·10⁹ − n·share_n9| and total-variation
+    * distance tv_n9 = Σ dev div 2n are exact BIGINT ops — bit-identical
+    * cross-engine with no rounding discipline at all. Int64 horizon:
+    * Σ_d dev_n9 ≤ 2n·10⁹ caps n at 4.5·10⁹ rows (the SUM, not the
+    * per-row product, is the binding constraint — Spark long sums wrap
+    * silently); the guard rides every derived output column (the
+    * ksDrift pruning lesson). Gate rule of thumb: tv_n9 ≲ 1e8
+    * (TV < 0.1) looks Benford; ≫ that, investigate.
+    *
+    * Scale shape: one map-side-combined count to 9 rows, a broadcast
+    * grid join — the input never shuffles by value.
+    *
+    * @param c integer-valued magnitude column (pre-scale doubles with
+    *          floor(x·100) cents upstream); nulls and zeros drop, signs
+    *          fold
+    * @return one row per digit 1..9: (digit, o, share_n9, dev_n9) plus
+    *         the constant n and tv_n9, ordered by digit */
+  def benfordAudit(df: DataFrame, c: Column): DataFrame = {
+    // round(log10(1 + 1/d) * 1e9) — reviewed constants, not runtime libm
+    val shareCase = "CASE digit WHEN 1 THEN 301029996L WHEN 2 THEN 176091259L " +
+      "WHEN 3 THEN 124938737L WHEN 4 THEN 96910013L WHEN 5 THEN 79181246L " +
+      "WHEN 6 THEN 66946790L WHEN 7 THEN 57991947L WHEN 8 THEN 51152522L " +
+      "ELSE 45757491L END"
+    val counts = df
+      .select(abs(c.cast("long")).as("_v"))
+      .filter(col("_v").isNotNull && col("_v") > 0L)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+    val tot = counts.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    val grid = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_n9", expr(shareCase))
+      .withColumn("_guard",
+        when(col("n") <= lit(4500000000L), lit(1L))
+          .otherwise(raise_error(concat(lit("benfordAudit: "), col("n").cast("string"),
+            lit(" rows exceeds the 1e-9 fixed-point horizon (4.5e9: " +
+              "the dev sum reaches 2n*1e9); pre-aggregate or sample"))).cast("long")))
+      .withColumn("dev_n9",
+        col("_guard") * abs(col("o") * lit(1000000000L) - col("n") * col("share_n9")))
+    // integer div, NOT `/` (long / long is a double divide in Spark);
+    // n = 0 (empty input) yields a NULL tv over an all-zero grid
+    val tv = grid.agg(sum(col("dev_n9")).as("_s"), first(col("n")).as("_n"))
+      .select(expr("_s div (2 * _n)").as("tv_n9"))
+    grid
+      .select(col("digit"), col("o"), col("share_n9"), col("dev_n9"), col("n"))
+      .crossJoin(broadcast(tv))
+      .orderBy(col("digit"))
+  }
+
   /** Referential-integrity audit — the FK contract check behind every
     * join the pipeline trusts: how many child rows reference a parent
     * key that does not exist (orphans silently vanish from inner joins

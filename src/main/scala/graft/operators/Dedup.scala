@@ -478,6 +478,10 @@ object Dedup {
     val shingled = docs
       .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
       .distinct()
+      // sizes AND the inverted index hang off this subtree: without the
+      // pin each reference re-runs the corpus scan + shingle explode +
+      // distinct shuffle (2 full passes instead of 1)
+      .localCheckpoint(false)
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
 
     // Inverted index: one shuffle on shingle; the df cap (skew guard) and
@@ -530,6 +534,10 @@ object Dedup {
     val shingled = docs
       .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
       .distinct()
+      // sizes AND the inverted index hang off this subtree: without the
+      // pin each reference re-runs the corpus scan + shingle explode +
+      // distinct shuffle (2 full passes instead of 1)
+      .localCheckpoint(false)
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val inter = shingled
       .groupBy(col("shingle"))

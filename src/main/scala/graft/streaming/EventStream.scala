@@ -59,6 +59,46 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Per-window top-k categories by exact count — windowed heavy hitters
+    * ("trending event types this hour"), the rank companion of
+    * [[slidingCounts]]: which k categories dominated each tumbling
+    * window, with their exact counts and dense 1..k ranks.
+    *
+    * Scale/streaming shape: stage 1 — the per-(window, category) count —
+    * is a single watermarkable streaming aggregation; the rank cut is a
+    * per-window window function over |categories|-bounded rows, run
+    * batch-side (foreachBatch over the counts sink in a live stream,
+    * plain composition here — the [[windowedDrift]] deployment shape).
+    * The rank window partitions BY WINDOW, so it parallelizes across
+    * windows and never sees more than |categories| rows per partition —
+    * no global sort, no single-partition WindowExec.
+    *
+    * Determinism: counts are exact BIGINTs and ties break (n desc,
+    * category asc) — bit-identical under any partitioning.
+    *
+    * @return one row per (window, top-k category):
+    *         (window_start, category, n, rank), ordered */
+  def windowedTopK(
+      events: DataFrame,
+      category: org.apache.spark.sql.Column,
+      windowLength: String = "1 hour",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"windowedTopK: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_w"))
+      .orderBy(col("n").desc, col("category").asc)
+    events
+      .withColumn("_c", category.cast("string"))
+      .groupBy(window(col("ts"), windowLength).as("_w"), col("_c"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("_c", "category")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(date_format(col("_w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("category"), col("n"), col("rank"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   /** Gap-based session windows per user (the built-in `session_window`
     * keyed state): a session closes after `gap` of inactivity. The same
     * plan runs batch (the `e_session_window` oracle query) and streaming

@@ -433,4 +433,21 @@ class DataQualitySpec extends AnyFunSuite {
     assert((r3.getLong(0), r3.getLong(1)) == ((2L, 4L)))
     assert(r3.getLong(5) == r0.getLong(5))
   }
+  test("benford: hand-computed digit counts, deviations, and TV; zeros/nulls drop") {
+    val df = Seq(Some(10L), Some(11L), Some(-12L), Some(20L), Some(3L), Some(0L), None)
+      .toDF("v")
+    val rows = DataQuality.benfordAudit(df, col("v")).collect()
+    assert(rows.length == 9)
+    val byDigit = rows.map(r => (r.getInt(0),
+      (r.getAs[Long]("o"), r.getAs[Long]("share_n9"), r.getAs[Long]("dev_n9")))).toMap
+    assert(byDigit(1) == ((3L, 301029996L, 1494850020L))) // |3e9 - 5*share|
+    assert(byDigit(2) == ((1L, 176091259L, 119543705L)))
+    assert(byDigit(4) == ((0L, 96910013L, 484550065L))) // absent digit: o=0
+    assert(rows.forall(_.getAs[Long]("n") == 5L))
+    // tv = sum(dev) div (2*5) — exact integer arithmetic end to end
+    assert(rows.head.getAs[Long]("tv_n9") == 397940008L)
+    val one = DataQuality.benfordAudit(df.coalesce(1), col("v")).collect().toSeq
+    val many = DataQuality.benfordAudit(df.repartition(5), col("v")).collect().toSeq
+    assert(one == many)
+  }
 }

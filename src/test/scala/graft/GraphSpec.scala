@@ -102,4 +102,14 @@ class GraphSpec extends AnyFunSuite {
     val b = Graph.triangleCounts(pairs).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+  test("component-size histogram over CC labels counts each cluster once") {
+    import spark.implicits._
+    // components: {1,2,3} (size 3), {10,11} (size 2), {20,21} (size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val hist = graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 2L))
+  }
 }

@@ -492,4 +492,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == oneShot)
     assert(streamed == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d2", 41.0)))
   }
+  test("windowedTopK: per-window exact top-k, name tie-break, k cut, rank order") {
+    val df = Seq(
+      ("2024-01-01 00:05:00", "a"), ("2024-01-01 00:10:00", "a"), ("2024-01-01 00:20:00", "a"),
+      ("2024-01-01 00:25:00", "b"), ("2024-01-01 00:30:00", "b"),
+      ("2024-01-01 00:40:00", "c"), ("2024-01-01 00:45:00", "d"),
+      ("2024-01-01 01:10:00", "x"),
+    ).toDF("ts_str", "event_type").withColumn("ts", to_timestamp(col("ts_str")))
+    val got = EventStream.windowedTopK(df, col("event_type"), "1 hour", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    // hour 0: a(3), b(2), then the n=1 tie breaks to c over d; d is cut at k=3
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", "a", 3L, 1),
+      ("2024-01-01 00:00:00", "b", 2L, 2),
+      ("2024-01-01 00:00:00", "c", 1L, 3),
+      ("2024-01-01 01:00:00", "x", 1L, 1)))
+    val one = EventStream.windowedTopK(df.coalesce(1), col("event_type"), "1 hour", 3)
+      .collect().toSeq
+    val many = EventStream.windowedTopK(df.repartition(5), col("event_type"), "1 hour", 3)
+      .collect().toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] {
+      EventStream.windowedTopK(df, col("event_type"), "1 hour", k = 0)
+    }
+  }
+
+  test("windowedTopK stage-1 counts stream; the rank assembly matches the batch twin") {
+    val dir = Files.createTempDirectory("graft-wtopk").toString
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:15:00.000Z","user_id":1,"event_type":"a","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:25:00.000Z","user_id":2,"event_type":"b","value":1.0}""",
+    ).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), json)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    val q = EventStream.readEventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        results.put(id, EventStream.windowedTopK(
+          batch.select(col("ts"), col("event_type")), col("event_type"), "1 hour", 2)
+          .collect())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = results.values().iterator().next()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(streamed == Seq(
+      ("2024-01-01 00:00:00", "a", 2L, 1), ("2024-01-01 00:00:00", "b", 1L, 2)))
+  }
 }
