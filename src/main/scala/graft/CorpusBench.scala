@@ -153,7 +153,7 @@ object CorpusBench {
       graft.operators.LanguageModel.vocabularyDrift(
         docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
         col("text"), vocabSize = 2000)
-        .select(col("js").cast("double")).limit(1).collect()(0).getDouble(0)
+        .select(col("js_n9")).limit(1).collect()(0).getLong(0)
     }
     // overlap matrix: the heaviest round-7 op — a distinct over ~n*58
     // (group, shingle) rows then a shingle-keyed pair join (5 groups)
@@ -228,6 +228,25 @@ object CorpusBench {
       Curation.gopherRules(docs, col("id"), col("text"), minWords = 5)
         .filter(col("pass")).count()
     }
+    // round-10 stages: CC component-size histogram and the PageRank-
+    // canonical member over the LSH pair graph (CC + 3 integer PR
+    // iterations at 500k-doc pair scale)
+    val (nComps, tComps) = time {
+      val shingles = docs.select(col("id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, 4, 4, 0.5)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).count().count()
+    }
+    val (nCanon, tCanon) = time {
+      val shingles = docs.select(col("id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, 4, 4, 0.5)
+      graft.operators.Graph.canonicalByRank(pairs, iters = 3)
+        .filter(col("is_canonical")).count()
+    }
     val (nDistinct, tDiversity) = time {
       graft.operators.Search.distinctNgrams(
         docs.withColumn("src", concat(lit("s"), col("id") % 5)),
@@ -236,7 +255,7 @@ object CorpusBench {
     }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js":$jsDrift%.6f,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"novel_grams":$nNovel,"containment_pairs":$nContain,"triangles":$nTris,"gopher_pass":$nGopherPass,"distinct_bigrams":$nDistinct,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f,"novelty":$tNovelty%.1f,"containment":$tContain%.1f,"triangles":$tTri%.1f,"gopher":$tGopher%.1f,"diversity":$tDiversity%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js_n9":$jsDrift,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"novel_grams":$nNovel,"containment_pairs":$nContain,"triangles":$nTris,"gopher_pass":$nGopherPass,"distinct_bigrams":$nDistinct,"components":$nComps,"canonical":$nCanon,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f,"novelty":$tNovelty%.1f,"containment":$tContain%.1f,"triangles":$tTri%.1f,"gopher":$tGopher%.1f,"diversity":$tDiversity%.1f,"components":$tComps%.1f,"canonical_rank":$tCanon%.1f}}""")
     spark.stop()
   }
 }

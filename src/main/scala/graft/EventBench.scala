@@ -105,8 +105,21 @@ object EventBench {
         .count()
     }
 
+    // round-10 stages: per-hour exact top-3 heavy hitters (720 windows
+    // over the full soup — the rank cut never leaves its window) and the
+    // Benford audit on integer cents (one 9-row count + broadcast grid)
+    val (nTopk, tTopk) = time {
+      graft.streaming.EventStream.windowedTopK(
+        events, col("event_type"), "1 hour", k = 3).count()
+    }
+    val (tvBenford, tBenford) = time {
+      graft.operators.DataQuality.benfordAudit(
+        events, floor(col("value") * lit(100)).cast("long"))
+        .select(col("tv_n9")).head().getLong(0)
+    }
+
     println(
-      f"""{"metric":"event_bench","n_events":$n,"ohlc_buckets":$nOhlc,"gap_keys":$nGaps,"funnel_completed":$nFunnel,"cohort_cells":$nCohort,"adv_outliers":$nAdv,"growth_days":$nGrowth,"wdrift_rows":$nWdrift,"cdc_rows":$nCdc,"sec":{"ohlc":$tOhlc%.1f,"gaps":$tGaps%.1f,"funnel":$tFunnel%.1f,"cohort":$tCohort%.1f,"group_advantage":$tAdv%.1f,"user_growth":$tGrowth%.1f,"windowed_w1":$tWdrift%.1f,"cdc_apply":$tCdc%.1f}}""")
+      f"""{"metric":"event_bench","n_events":$n,"ohlc_buckets":$nOhlc,"gap_keys":$nGaps,"funnel_completed":$nFunnel,"cohort_cells":$nCohort,"adv_outliers":$nAdv,"growth_days":$nGrowth,"wdrift_rows":$nWdrift,"cdc_rows":$nCdc,"topk_rows":$nTopk,"benford_tv_n9":$tvBenford,"sec":{"ohlc":$tOhlc%.1f,"gaps":$tGaps%.1f,"funnel":$tFunnel%.1f,"cohort":$tCohort%.1f,"group_advantage":$tAdv%.1f,"user_growth":$tGrowth%.1f,"windowed_w1":$tWdrift%.1f,"cdc_apply":$tCdc%.1f,"windowed_topk":$tTopk%.1f,"benford":$tBenford%.1f}}""")
     spark.stop()
   }
 }

@@ -459,6 +459,18 @@ object Queries {
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // A18 — CUBE: the full 2^k grouping-set lattice (rollup's superset;
+    // one scan, Catalyst expands the grouping sets map-side). Completes
+    // the multi-dimensional aggregation surface next to a16/a17.
+    "a18_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // A17 — PIVOT cross-tab: per-user-decile event counts by type, the
     // pinned-value-list form (fixed schema; Catalyst lowers it to a
     // two-level pivotfirst aggregation over ONE scan — no per-type
@@ -3577,6 +3589,13 @@ object Queries {
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
         |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "a18_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
+        |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     // PIVOT: conditional-count rendering (the same plan Catalyst lowers

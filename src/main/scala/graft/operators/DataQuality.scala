@@ -699,6 +699,9 @@ object DataQuality {
       .filter(col("_v").isNotNull && col("_v") > 0L)
       .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+      // the ≤9-row count table feeds BOTH the total and the grid join:
+      // pin it or each reference re-runs the full input scan
+      .localCheckpoint(false)
     val tot = counts.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
     val grid = df.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("digit"))
