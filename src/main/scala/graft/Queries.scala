@@ -1026,6 +1026,22 @@ object Queries {
       graft.operators.DataQuality.profileFrame(t(s, dir, "documents"))
     }),
 
+    // Schema/profile drift between snapshots (round-10): snapshot B
+    // simulates a regenerated corpus — n_chars dropped, n_tokens added,
+    // lang 10%-nulled — and the diff must surface the one-sided
+    // columns, the unchanged dtypes, and the exact null-ppm shift.
+    "dq_schema_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("lang",
+          when(col("doc_id") % 10 === 1, lit(null).cast("string"))
+            .otherwise(col("lang")))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .drop("n_chars")
+      graft.operators.DataQuality.schemaDrift(a, b)
+    }),
+
     // Language-ID accuracy audit: confusion matrix of the n-gram
     // heuristic against the labeled lang column, with per-cell recall
     // share (diagonal = class recall). Cells pinned, totals broadcast.
@@ -1663,6 +1679,16 @@ object Queries {
         t(s, dir, "events").filter(col("ts").isNotNull),
         windowLength = "2 hours", slide = "1 hour")
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Per-type hourly EWMA baseline (round-10): exact-cents bucket
+    // means + a fixed-order sequential fold per key (α=0.3) — the
+    // anomaly-monitor expectation; the oracle replays the identical op
+    // sequence through a recursive CTE.
+    "e_ewma_baseline" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewmaBaseline(
+        t(s, dir, "events"), col("event_type"), col("ts"), col("value"),
+        widthSeconds = 3600L, alphaPct = 30)
     }),
 
     // Windowed heavy hitters (round-10): per-hour top-3 event types by
@@ -4570,6 +4596,55 @@ object Queries {
         |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5, mn5, mx5 FROM a)
         |ORDER BY "column"""".stripMargin,
 
+    // Schema-drift re-derivation: one stats CTE per snapshot (the
+    // dq_profile shape minus min/max), per-column rows via UNION ALL,
+    // full-outer on column name, exact ppm integer divisions.
+    "dq_schema_drift" ->
+      """WITH da AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |db AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 10 = 1 THEN NULL ELSE lang END AS lang, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sa AS (SELECT count(*)::BIGINT AS n,
+        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
+        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
+        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
+        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
+        |  sum((n_chars IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_chars)::BIGINT AS nd5
+        |  FROM da),
+        |sb AS (SELECT count(*)::BIGINT AS n,
+        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
+        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
+        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
+        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
+        |  sum((n_tokens IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_tokens)::BIGINT AS nd5
+        |  FROM db),
+        |pa AS (
+        |  SELECT 'doc_id' AS col, 'bigint' AS dtype_a, n AS n_rows_a,
+        |    nu1 AS nulls_a, nd1 AS n_distinct_a FROM sa
+        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2 FROM sa
+        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3 FROM sa
+        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4 FROM sa
+        |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5 FROM sa),
+        |pb AS (
+        |  SELECT 'doc_id' AS col, 'bigint' AS dtype_b, n AS n_rows_b,
+        |    nu1 AS nulls_b, nd1 AS n_distinct_b FROM sb
+        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2 FROM sb
+        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3 FROM sb
+        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4 FROM sb
+        |  UNION ALL SELECT 'n_tokens', 'bigint', n, nu5, nd5 FROM sb)
+        |SELECT coalesce(pa.col, pb.col) AS "column",
+        |  pa.dtype_a, pb.dtype_b,
+        |  (pa.dtype_a IS DISTINCT FROM pb.dtype_b) AS type_changed,
+        |  pa.n_rows_a, pb.n_rows_b,
+        |  (pa.nulls_a * 1000000) // pa.n_rows_a AS null_ppm_a,
+        |  (pb.nulls_b * 1000000) // pb.n_rows_b AS null_ppm_b,
+        |  (coalesce((pb.nulls_b * 1000000) // pb.n_rows_b, 0)
+        |    - coalesce((pa.nulls_a * 1000000) // pa.n_rows_a, 0)) AS null_ppm_delta,
+        |  pa.n_distinct_a, pb.n_distinct_b
+        |FROM pa FULL OUTER JOIN pb ON pb.col = pa.col
+        |ORDER BY "column"""".stripMargin,
+
     // Confusion matrix: the txt_langid prediction CTE + cell counts with
     // a per-actual window total (the oracle's rendering of the engine's
     // broadcast marginal join — same single division).
@@ -5886,6 +5961,34 @@ object Queries {
         |  count(*)::BIGINT AS n
         |FROM w GROUP BY ws, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // EWMA re-derivation: identical exact-cents means, then the SAME
+    // fixed-order fold replayed by a recursive CTE over the per-key
+    // bucket index — each step one IEEE multiply-add with the same
+    // 0.3/0.7 literals, so every intermediate is bit-identical.
+    "e_ewma_baseline" ->
+      """WITH b AS (
+        |  SELECT event_type::VARCHAR AS key, epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS n,
+        |    sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT key, bucket, n, (sc::DOUBLE / '100.0'::DOUBLE) / n::DOUBLE AS mean_v,
+        |    row_number() OVER (PARTITION BY key ORDER BY bucket) AS idx
+        |  FROM b),
+        |e AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT key, bucket, n, mean_v, idx, mean_v AS ewma FROM m WHERE idx = 1
+        |    UNION ALL
+        |    SELECT m.key, m.bucket, m.n, m.mean_v, m.idx,
+        |      '0.3'::DOUBLE * m.mean_v + '0.7'::DOUBLE * r.ewma
+        |    FROM m JOIN r ON r.key = m.key AND m.idx = r.idx + 1)
+        |  SELECT * FROM r)
+        |SELECT key, bucket,
+        |  strftime(make_timestamp(bucket * 3600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |  n, mean_v, ewma
+        |FROM e ORDER BY key, bucket""".stripMargin,
 
     // Windowed heavy hitters re-derivation: per-hour exact counts, one
     // row_number per window at (n desc, category), k=3 cut.

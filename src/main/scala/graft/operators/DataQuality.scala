@@ -425,6 +425,71 @@ object DataQuality {
       .orderBy(col("column"))
   }
 
+  /** Column-level profile drift between two frame snapshots — the
+    * schema/quality regression check run between corpus releases:
+    * which columns appeared/vanished, changed dtype, or shifted their
+    * null rate or distinct cardinality. The dataset-card DIFF next to
+    * [[profileFrame]]'s card.
+    *
+    * Null rates ship as exact ppm integers (n_nulls·10⁶ div n_rows —
+    * truncating integer division, identical cross-engine); dtypes are
+    * Spark's simpleString names; columns present on one side only
+    * surface with a NULL other side (full-outer on column name), never
+    * silently dropped. Every output column is BIGINT/string/boolean.
+    *
+    * Scale shape: ONE aggregation pass per snapshot (every stat an
+    * aggregate expression over the same scan — the profileFrame shape,
+    * without its min/max renderings), then a |columns|-row join.
+    * The exact countDistinct expands the aggregate input; swap
+    * approx_count_distinct in at 100 TB as with profileFrame.
+    *
+    * @return one row per column name in either snapshot: (column,
+    *         dtype_a, dtype_b, type_changed, n_rows_a, n_rows_b,
+    *         null_ppm_a, null_ppm_b, null_ppm_delta, n_distinct_a,
+    *         n_distinct_b), ordered by column */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def lean(df: DataFrame, side: String): DataFrame = {
+      val fields = df.schema.fields
+      require(fields.nonEmpty, "schemaDrift: input has no columns")
+      require(fields.map(_.name).distinct.length == fields.length,
+        s"schemaDrift: duplicate column names in ${fields.map(_.name).toSeq}")
+      def q(name: String) = col("`" + name.replace("`", "``") + "`")
+      def isComplex(f: org.apache.spark.sql.types.StructField) = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }
+      val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_n"))
+      fields.foreach { f =>
+        val c = q(f.name)
+        aggs += sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as(s"_null_${f.name}")
+        if (!isComplex(f)) aggs += countDistinct(c).as(s"_nd_${f.name}")
+      }
+      df.agg(aggs.head, aggs.tail.toSeq: _*)
+        .select(explode(array(fields.map { f =>
+          struct(
+            lit(f.name).as("column"),
+            lit(f.dataType.simpleString).as(s"dtype_$side"),
+            col("_n").as(s"n_rows_$side"),
+            q(s"_null_${f.name}").as(s"_nulls_$side"),
+            (if (isComplex(f)) lit(null).cast("long") else q(s"_nd_${f.name}"))
+              .as(s"n_distinct_$side"))
+        }.toIndexedSeq: _*)).as("p"))
+        .select(col("p.*"))
+    }
+    lean(a, "a").join(lean(b, "b"), Seq("column"), "full_outer")
+      .withColumn("null_ppm_a", expr("(_nulls_a * 1000000L) div n_rows_a"))
+      .withColumn("null_ppm_b", expr("(_nulls_b * 1000000L) div n_rows_b"))
+      .select(col("column"), col("dtype_a"), col("dtype_b"),
+        (!(col("dtype_a") <=> col("dtype_b"))).as("type_changed"),
+        col("n_rows_a"), col("n_rows_b"),
+        col("null_ppm_a"), col("null_ppm_b"),
+        (coalesce(col("null_ppm_b"), lit(0L)) - coalesce(col("null_ppm_a"), lit(0L)))
+          .as("null_ppm_delta"),
+        col("n_distinct_a"), col("n_distinct_b"))
+      .orderBy(col("column"))
+  }
+
   /** Classifier confusion matrix with per-cell recall share — the
     * accuracy report for heuristic labelers (language-ID vs labeled
     * lang, quality gate vs human rating): one row per observed

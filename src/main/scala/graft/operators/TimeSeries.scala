@@ -219,4 +219,73 @@ object TimeSeries {
         col("n_new"), col("cum_users"))
       .orderBy(col("bucket_start"))
   }
+
+  /** Per-key EWMA baseline over time buckets — the smoothed expectation
+    * an anomaly monitor compares each new bucket against ("is this
+    * hour's mean 3x its trailing baseline?"):
+    *
+    *   mean_t = (Σ floor(v·100)) / 100 / n_t          (exact cents)
+    *   ewma_0 = mean_0
+    *   ewma_t = α·mean_t + (1−α)·ewma_{t−1}           (α = alphaPct/100)
+    *
+    * Determinism contract: bucket means divide exact integer cents
+    * (every step exactly-rounded IEEE); the EWMA is a FIXED-ORDER
+    * sequential fold over the bucket sequence — the proven sequential-
+    * fold parity shape (engine `aggregate` ↔ oracle recursive CTE
+    * replay the identical op sequence), never a shuffle-order float
+    * sum. Missing buckets are skipped, not zero-filled: the fold runs
+    * over OBSERVED buckets in order (zero-fill upstream if gaps must
+    * decay the baseline).
+    *
+    * Scale shape: one map-side-combined aggregation to (key, bucket)
+    * rows, then one collect_list per key over its OWN buckets — state
+    * is |buckets|-bounded per key (720/month at 1 h), keys run in
+    * parallel, the event stream never sorts globally. Streaming: stage
+    * 1 is the watermarkable count/sum aggregation; the fold is the
+    * batch-side assembly (the windowedDrift deployment shape).
+    *
+    * @return one row per (key, bucket): (key, bucket, bucket_start,
+    *         n, mean_v, ewma), ordered */
+  def ewmaBaseline(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      widthSeconds: Long = 3600L,
+      alphaPct: Int = 30): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99,
+      s"ewmaBaseline: alphaPct must be in [1, 99], got $alphaPct")
+    val a = alphaPct / 100.0
+    val b = (100 - alphaPct) / 100.0
+    val buckets = events
+      .filter(ts.isNotNull && value.isNotNull)
+      .select(key.cast("string").as("key"),
+        timeBucket(ts, widthSeconds).as("bucket"),
+        floor(value.cast("double") * lit(100)).cast("long").as("_cents"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_cents")).as("_sc"))
+      .withColumn("mean_v",
+        col("_sc").cast("double") / lit(100.0) / col("n").cast("double"))
+    val outType = "ARRAY<STRUCT<bucket: BIGINT, n: BIGINT, mean_v: DOUBLE, ewma: DOUBLE>>"
+    buckets
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(
+        col("bucket"), col("n"), col("mean_v")))).as("_s"))
+      .select(col("key"), explode(aggregate(
+        col("_s"),
+        expr(s"CAST(array() AS $outType)"),
+        (acc, x) => {
+          val prev = element_at(acc, size(acc)) // lazily evaluated branch only
+          val e = when(size(acc) === 0, x.getField("mean_v"))
+            .otherwise(lit(a) * x.getField("mean_v") + lit(b) * prev.getField("ewma"))
+          concat(acc, array(struct(
+            x.getField("bucket").as("bucket"), x.getField("n").as("n"),
+            x.getField("mean_v").as("mean_v"), e.as("ewma"))))
+        })).as("r"))
+      .select(col("key"), col("r.bucket").as("bucket"),
+        date_format(timestamp_seconds(col("r.bucket") * lit(widthSeconds)),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("r.n").as("n"), col("r.mean_v").as("mean_v"), col("r.ewma").as("ewma"))
+      .orderBy(col("key"), col("bucket"))
+  }
 }

@@ -450,4 +450,30 @@ class DataQualitySpec extends AnyFunSuite {
     val many = DataQuality.benfordAudit(df.repartition(5), col("v")).collect().toSeq
     assert(one == many)
   }
+  test("schema drift: one-sided columns, dtype change, exact ppm null shift") {
+    val a = Seq((1L, Some("x"), 1.0), (2L, None, 2.0), (3L, Some("z"), 3.0))
+      .toDF("id", "tag", "v")
+    val b = Seq((1, Some("x")), (2, None), (3, None), (4, Some("w")))
+      .toDF("id", "tag") // id narrowed to int, v dropped
+      .withColumn("extra", lit(true))
+    val rows = DataQuality.schemaDrift(a, b).collect()
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(rows.map(_.getString(0)).toSeq == Seq("extra", "id", "tag", "v")) // ordered
+    val id = byCol("id")
+    assert(id.getAs[String]("dtype_a") == "bigint" && id.getAs[String]("dtype_b") == "int")
+    assert(id.getAs[Boolean]("type_changed"))
+    assert(id.getAs[Long]("n_rows_a") == 3L && id.getAs[Long]("n_rows_b") == 4L)
+    val tag = byCol("tag")
+    assert(!tag.getAs[Boolean]("type_changed"))
+    assert(tag.getAs[Long]("null_ppm_a") == 333333L) // 1*1e6 div 3, truncating
+    assert(tag.getAs[Long]("null_ppm_b") == 500000L)
+    assert(tag.getAs[Long]("null_ppm_delta") == 166667L)
+    assert(tag.getAs[Long]("n_distinct_a") == 2L && tag.getAs[Long]("n_distinct_b") == 2L)
+    val v = byCol("v") // a-side only: b side NULL, never dropped
+    assert(v.getAs[String]("dtype_a") == "double" && v.isNullAt(v.fieldIndex("dtype_b")))
+    assert(v.getAs[Boolean]("type_changed"))
+    assert(v.getAs[Long]("null_ppm_delta") == 0L - 0L)
+    val e = byCol("extra")
+    assert(e.isNullAt(e.fieldIndex("dtype_a")) && e.getAs[String]("dtype_b") == "boolean")
+  }
 }

@@ -166,4 +166,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.userGrowth(df, col("u"), col("ts"), "fortnight")
     }
   }
+  test("ewmaBaseline: exact means, fixed-order fold, missing buckets skipped") {
+    val df = Seq(
+      ("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 00:20:00", 3.0),
+      ("a", "2024-01-01 01:10:00", 10.0),
+      ("a", "2024-01-01 03:10:00", 2.0), // hour 2 missing: fold skips it
+      ("b", "2024-01-01 00:30:00", 5.0),
+      ("b", "2024-01-01 00:40:00", null.asInstanceOf[Any]),
+    ).map { case (k, t, v) => (k, t, Option(v).map(_.asInstanceOf[Double])) }
+      .toDF("event_type", "ts_str", "value")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+    val got = TimeSeries.ewmaBaseline(df, col("event_type"), col("ts"), col("value"),
+      widthSeconds = 3600L, alphaPct = 30)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val e0 = 2.0 // (100+300)/100/2
+    val e1 = 0.3 * 10.0 + 0.7 * e0
+    val e2 = 0.3 * 2.0 + 0.7 * e1 // hour-3 bucket folds against hour 1
+    assert(got == Seq(
+      ("a", "2024-01-01 00:00:00", 2L, 2.0, e0),
+      ("a", "2024-01-01 01:00:00", 1L, 10.0, e1),
+      ("a", "2024-01-01 03:00:00", 1L, 2.0, e2),
+      ("b", "2024-01-01 00:00:00", 1L, 5.0, 5.0))) // null value dropped
+    val one = TimeSeries.ewmaBaseline(df.coalesce(1), col("event_type"), col("ts"),
+      col("value"), 3600L, 30).collect().toSeq
+    val many = TimeSeries.ewmaBaseline(df.repartition(5), col("event_type"), col("ts"),
+      col("value"), 3600L, 30).collect().toSeq
+    assert(one == many)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaBaseline(df, col("event_type"), col("ts"), col("value"), 3600L, 0)
+    }
+  }
 }
