@@ -1342,6 +1342,18 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // EXACT Jaccard self-join via PPJoin-style prefix filtering
+    // (round-10): no df cap, no sketch — every pair >= 1/2 is emitted
+    // with exact integer counts. The doc_id < 500 gate bounds the
+    // brute-force oracle at every SF; the operator itself is unbounded
+    // (candidates come from the rarest-first prefix equi-join).
+    "dd_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Asymmetric containment pairs (round-9): n_common / min(|A|,|B|)
     // fires on quote/expansion subset-duplicates that Jaccard's union
     // denominator dilutes; same df-capped inverted index.
@@ -1520,6 +1532,23 @@ object Queries {
         t(s, dir, "documents").select(
           TextFunctions.tokenCountEstimate(col("text")).as("n_tok")),
         col("n_tok"))
+    }),
+
+    // Pareto-frontier document selection (round-10): the skyline on
+    // (maximize distinct-token types, minimize token count) — "most
+    // lexical diversity per token budget". Corpus-scale shape: per-value
+    // staircase aggregate, tiny single-partition window over the
+    // staircase only, broadcast membership join back.
+    "tdp_pareto_frontier" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      graft.operators.Curation.paretoFrontier(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(array_distinct(toks)).as("n_types"),
+            size(toks).as("n_tok")),
+        col("doc_id"), col("n_types"), col("n_tok"))
+        .select(col("id").as("doc_id"), col("d").as("n_types"), col("n").as("n_tok"))
+        .orderBy(col("n_types").desc, col("doc_id"))
     }),
 
     // Tokenizer compression ratio (round-9): chars per estimated token,
@@ -5394,6 +5423,29 @@ object Queries {
         |WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Brute-force all-pairs re-derivation: the prefix filter is a pure
+    // candidate PRUNE, so the engine's output must equal the unpruned
+    // quadratic scan. Threshold and share are exact integer arithmetic
+    // (tNum=1, tDen=2): c*2 >= u, jacc_n9 = (c*1e9) // u.
+    "dd_prefix_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS n_common,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, n_common, n_union,
+        |  (n_common * 1000000000) // n_union AS jacc_n9
+        |FROM p WHERE n_common * 2 >= n_union
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Containment re-derivation: the dd_ngram_jaccard index CTEs with the
     // min-size denominator and the contained/container orientation.
     "dd_containment_pairs" ->
@@ -5824,6 +5876,21 @@ object Queries {
         |  sum(bucket - len)::BIGINT AS sum_padding,
         |  sum(len)::DOUBLE / (sum(len) + sum(bucket - len))::DOUBLE AS efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Independent skyline re-derivation: NOT EXISTS dominance over the
+    // full quadratic space — the engine's staircase prune must agree.
+    "tdp_pareto_frontier" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS n_types,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+        |  FROM documents)
+        |SELECT t.doc_id, t.n_types, t.n_tok FROM m t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m o
+        |  WHERE o.n_types >= t.n_types AND o.n_tok <= t.n_tok
+        |    AND (o.n_types > t.n_types OR o.n_tok < t.n_tok))
+        |ORDER BY t.n_types DESC, t.doc_id""".stripMargin,
 
     // Compression-ratio re-derivation: the txt_token_estimate tokenizer,
     // exact sums, one IEEE division.

@@ -923,4 +923,44 @@ object Curation {
           col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stop"))
       .orderBy(col("id"))
   }
+
+  /** 2-D Pareto frontier (skyline) for corpus selection: keep every row
+    * not DOMINATED on (maximize `maxDim`, minimize `minDim`) — e.g. pick
+    * the documents where no other document has at least the lexical
+    * diversity at no more cost. Dominance is the standard skyline
+    * relation: o dominates t iff o is >= on the maximized dim, <= on the
+    * minimized dim, and strictly better on at least one. Ties on BOTH
+    * dims survive together (neither dominates).
+    *
+    * Scale shape — the corpus never sees a global sort or window:
+    *  1. one shuffle keyed by the maximized dim builds the per-value
+    *     min(minDim) staircase (map-side combined; |distinct maxDim|
+    *     rows);
+    *  2. the strictly-better-maxDim running min is a single-partition
+    *     window over THAT aggregate only — state bounded by the
+    *     staircase size, not the corpus;
+    *  3. frontier membership broadcasts back as an equi-join on maxDim
+    *     (a row survives iff it achieves its value's min AND beats every
+    *     higher value's best).
+    *
+    * @return (id, d, n) — frontier rows with d = maxDim, n = minDim. */
+  def paretoFrontier(
+      df: DataFrame,
+      id: Column,
+      maxDim: Column,
+      minDim: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val m = df.select(id.as("id"), maxDim.cast("long").as("d"), minDim.cast("long").as("n"))
+      .filter(col("d").isNotNull && col("n").isNotNull)
+    val stair = m.groupBy(col("d")).agg(min(col("n")).as("_min_n"))
+      // rows with strictly greater d = the window's preceding rows under
+      // a desc order; the frame excludes the current (distinct) d
+      .withColumn("_best_higher",
+        min(col("_min_n")).over(
+          w.orderBy(col("d").desc).rowsBetween(w.unboundedPreceding, -1)))
+    m.join(broadcast(stair), "d")
+      .filter(col("n") === col("_min_n") &&
+        (col("_best_higher").isNull || col("_best_higher") > col("n")))
+      .select(col("id"), col("d"), col("n"))
+  }
 }

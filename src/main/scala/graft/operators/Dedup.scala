@@ -734,4 +734,85 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_windows"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family, Xiao et al. WWW'08): emits every unordered pair whose
+    * n-gram-shingle-set Jaccard is >= tNum/tDen, with exact intersection
+    * and union counts — no df cap, no sketch, no missed pair. The
+    * complement to [[ngramJaccardPairs]] (whose df cap trades recall on
+    * pathological shingles for a bounded candidate count).
+    *
+    * Candidate generation is the prefix-filter theorem: order the shingle
+    * vocabulary globally by (document frequency asc, shingle asc) —
+    * rarest first — and cut each document's sorted set to its first
+    * |S| - ceil(t·|S|) + 1 shingles. Any pair with Jaccard >= t must
+    * share at least one PREFIX shingle, so an equi-join on prefix
+    * shingles finds every qualifying pair; a symmetric length filter
+    * (t·max(|A|,|B|) <= min(|A|,|B|), a Jaccard necessary condition)
+    * prunes size-incompatible candidates before verification.
+    *
+    * Scale shape: one shuffle keyed by shingle (the df count — reusing
+    * the exchange for the df join), one keyed by doc id (per-doc sort +
+    * prefix cut), and the candidate equi-join keyed by prefix shingle —
+    * the quadratic pair space is never materialized. Verification joins
+    * only candidate ids back to the doc→shingle-array table and
+    * intersects two already-distinct arrays. Rarest-first ordering makes
+    * prefix shingles the LOWEST-df keys in the corpus, so the candidate
+    * join is naturally skew-free (the stop-shingle that every document
+    * shares sits at the END of the order and never enters a prefix
+    * unless t is very low). The threshold decision is exact integer
+    * arithmetic on the tNum/tDen rational: no float is involved.
+    *
+    * @return (id_a, id_b, n_common, n_union, jacc_n9) with id_a < id_b;
+    *         jacc_n9 = (n_common·1e9) div n_union, a truncated BIGINT
+    *         fixed-point share (never DECIMAL — the driver-gate rule). */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      tNum: Int,
+      tDen: Int,
+  ): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // wordShingles is already per-document distinct; sets AND the df count
+    // hang off this subtree, so pin it (one corpus scan, not two).
+    val shingled = docs
+      .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
+      .localCheckpoint(false)
+    val dfCounts = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    // Per-doc set sorted rarest-first under the global (df, shingle) total
+    // order; the prefix cut is ceil-exact integer arithmetic.
+    val docsets = shingled
+      .join(dfCounts, "shingle")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ord"))
+      .select(
+        col("id"),
+        transform(col("_ord"), x => x.getField("shingle")).as("sh"),
+        size(col("_ord")).cast("long").as("n_sh"))
+      .withColumn("_plen",
+        expr(s"n_sh - ((n_sh * $tNum + ${tDen - 1}) div $tDen) + 1"))
+    val prefixes = docsets
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("sh"), lit(1), col("_plen").cast("int"))).as("shingle"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .filter( // length filter: t * max <= min, in exact integers
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(tNum.toLong)
+          <= least(col("a.n_sh"), col("b.n_sh")) * lit(tDen.toLong))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = docsets.select(col("id"), col("sh"), col("n_sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("_sa"), col("n_sh").as("_na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("_sb"), col("n_sh").as("_nb")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("n_union", col("_na") + col("_nb") - col("n_common"))
+      .filter(col("n_common") * lit(tDen.toLong) >= col("n_union") * lit(tNum.toLong))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+        expr("(n_common * 1000000000L) div n_union").as("jacc_n9"))
+  }
 }

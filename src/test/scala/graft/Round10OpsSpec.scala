@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 operators: PPJoin-style exact Jaccard self-join (prefix
+  * filtering) and the 2-D Pareto-frontier (skyline) selector. */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prefixJaccardPairs emits exactly the pairs above the rational threshold") {
+    // n=1 shingles = distinct tokens, so the set math is hand-checkable
+    val docs = Seq(
+      (1L, "a b c d"), // {a,b,c,d}
+      (2L, "a b c e"), // J(1,2) = 3/5
+      (3L, "x y z"), //    J(·,3) = 0
+      (4L, "a b c d"), // J(1,4) = 1, J(2,4) = 3/5
+    ).toDF("id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, col("id"), col("text"), n = 1, tNum = 1, tDen = 2)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 5L, 600000000L),
+      (1L, 4L, 4L, 4L, 1000000000L),
+      (2L, 4L, 3L, 5L, 600000000L)))
+  }
+
+  test("prefixJaccardPairs equals the unpruned all-pairs scan (prefix filter loses nothing)") {
+    // Deterministic corpus: overlapping token windows from a fixed word
+    // wheel — plenty of near-dup structure, no RNG.
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa")
+    val docs = (0 until 40)
+      .map(i => (i.toLong, (0 until 8).map(j => words((i / 3 + j) % words.size)).mkString(" ")))
+      .toDF("id", "text")
+    val fast = Dedup.prefixJaccardPairs(docs, col("id"), col("text"), n = 2, tNum = 2, tDen = 5)
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    // Reference: full quadratic scan over the same shingle sets
+    val sets = docs.select(col("id"),
+      graft.functions.TextFunctions.wordShingles(col("text"), 2).as("sh"))
+    val brute = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
+        (size(col("a.sh")) + size(col("b.sh"))
+          - size(array_intersect(col("a.sh"), col("b.sh")))).cast("long").as("n_union"))
+      .filter(col("n_common") * 5L >= col("n_union") * 2L)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+        expr("(n_common * 1000000000L) div n_union").as("jacc_n9"))
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
+    assert(fast == brute)
+  }
+
+  test("paretoFrontier keeps non-dominated rows and ALL ties, drops dominated ones") {
+    val rows = Seq(
+      (1L, 10L, 5L), // frontier
+      (2L, 10L, 5L), // exact tie with 1 — both survive
+      (3L, 10L, 6L), // dominated by 1 (same d, worse n)
+      (4L, 12L, 7L), // frontier (best d)
+      (5L, 12L, 7L), // tie with 4
+      (6L, 11L, 7L), // dominated by 4 (worse d, same n)
+      (7L, 8L, 4L), //  frontier (cheapest n)
+      (8L, 8L, 5L), //  dominated by 1 (worse d, same n)
+    ).toDF("id", "d", "n")
+    val got = Curation.paretoFrontier(rows, col("id"), col("d"), col("n"))
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 4L, 5L, 7L))
+  }
+
+  test("paretoFrontier matches the quadratic NOT-EXISTS dominance scan") {
+    // staircase-ish deterministic grid with collisions
+    val rows = (0 until 60)
+      .map(i => (i.toLong, ((i * 7) % 13).toLong, ((i * 5) % 11 + i % 3).toLong))
+      .toDF("id", "d", "n")
+    val fast = Curation.paretoFrontier(rows, col("id"), col("d"), col("n"))
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    val brute = rows.as("t").join(rows.as("o"),
+        col("o.d") >= col("t.d") && col("o.n") <= col("t.n") &&
+          (col("o.d") > col("t.d") || col("o.n") < col("t.n")), "left_anti")
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(brute.nonEmpty && fast == brute)
+  }
+}
