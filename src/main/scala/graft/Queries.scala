@@ -1354,6 +1354,17 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // kNN document families (round-10): top-3 most-similar others per
+    // document above a 1/5 Jaccard floor — exact prefix-filtered pairs,
+    // symmetrized, per-doc WindowGroupLimit rank. Same doc_id < 500
+    // oracle gate as dd_prefix_jaccard.
+    "dd_knn_similar" -> ((s, dir) => {
+      Dedup.knnSimilarDocs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        col("doc_id"), col("text"), n = 3, k = 3, floorNum = 1, floorDen = 5)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Asymmetric containment pairs (round-9): n_common / min(|A|,|B|)
     // fires on quote/expansion subset-duplicates that Jaccard's union
     // denominator dilutes; same df-capped inverted index.
@@ -5445,6 +5456,32 @@ object Queries {
         |  (n_common * 1000000000) // n_union AS jacc_n9
         |FROM p WHERE n_common * 2 >= n_union
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // kNN re-derivation: symmetric brute-force pairs above the 1/5
+    // floor, deterministic (jacc DESC, nbr) rank, top 3 per document.
+    "dd_knn_similar" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id, b.doc_id AS nbr,
+        |    len(list_intersect(a.s, b.s)) AS c,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
+        |f AS (
+        |  SELECT doc_id, nbr, (c * 1000000000) // u AS jacc_n9
+        |  FROM p WHERE c * 5 >= u),
+        |r AS (
+        |  SELECT doc_id, nbr, jacc_n9,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY jacc_n9 DESC, nbr) AS rk
+        |  FROM f)
+        |SELECT doc_id, nbr, jacc_n9, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     // Containment re-derivation: the dd_ngram_jaccard index CTEs with the
     // min-size denominator and the contained/container orientation.

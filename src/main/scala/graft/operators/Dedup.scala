@@ -794,6 +794,10 @@ object Dedup {
         size(col("_ord")).cast("long").as("n_sh"))
       .withColumn("_plen",
         expr(s"n_sh - ((n_sh * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      // Four consumers hang off this subtree (both prefix sides, both
+      // verification sides): without the pin each re-runs the df join +
+      // per-doc sort — 4 corpus passes instead of 1.
+      .localCheckpoint(false)
     val prefixes = docsets
       .select(col("id"), col("n_sh"),
         explode(slice(col("sh"), lit(1), col("_plen").cast("int"))).as("shingle"))
@@ -814,5 +818,41 @@ object Dedup {
       .filter(col("n_common") * lit(tDen.toLong) >= col("n_union") * lit(tNum.toLong))
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
         expr("(n_common * 1000000000L) div n_union").as("jacc_n9"))
+  }
+
+  /** k-nearest-neighbour documents by EXACT n-gram Jaccard: for every
+    * document, its top-k most-similar others above a floor similarity —
+    * the "show me this document's family" primitive behind manual dedup
+    * review and cluster seeding. Composes [[prefixJaccardPairs]] (the
+    * floor keeps the candidate space subquadratic; lower floors trade
+    * prefix-prune selectivity for recall depth), symmetrizes the
+    * unordered pairs, and cuts each document's neighbour list with a
+    * deterministic (jacc_n9 DESC, nbr ASC) rank.
+    *
+    * Scale: the per-document window is keyed by doc id — ranking is
+    * parallel across documents, and Spark's WindowGroupLimit rewrite
+    * cuts each id's candidates to k map-side before the window
+    * exchange. No stage sees more than the floored pair set.
+    *
+    * @return (doc_id, nbr, jacc_n9, rk) with rk in 1..k. */
+  def knnSimilarDocs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      k: Int,
+      floorNum: Int,
+      floorDen: Int,
+  ): DataFrame = {
+    val pairs = prefixJaccardPairs(docs, id, text, n, floorNum, floorDen)
+    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"), col("jacc_n9"))
+      .unionByName(
+        pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr"), col("jacc_n9")))
+    sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("jacc_n9").desc, col("nbr")))
+        .cast("long")) // BIGINT like every engine's row_number
+      .filter(col("rk") <= k)
   }
 }

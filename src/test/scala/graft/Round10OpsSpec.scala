@@ -52,6 +52,24 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(fast == brute)
   }
 
+  test("knnSimilarDocs ranks symmetric neighbours with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "x y z"),
+      (4L, "a b c d"),
+    ).toDF("id", "text")
+    // pairs >= 1/2: 1<->2 (3/5), 1<->4 (1), 2<->4 (3/5); doc 3 isolated
+    val got = Dedup.knnSimilarDocs(docs, col("id"), col("text"),
+        n = 1, k = 2, floorNum = 1, floorDen = 2)
+      .orderBy(col("doc_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 1000000000L, 1L), (1L, 2L, 600000000L, 2L),
+      (2L, 1L, 600000000L, 1L), (2L, 4L, 600000000L, 2L), // tie -> nbr asc
+      (4L, 1L, 1000000000L, 1L), (4L, 2L, 600000000L, 2L)))
+  }
+
   test("paretoFrontier keeps non-dominated rows and ALL ties, drops dominated ones") {
     val rows = Seq(
       (1L, 10L, 5L), // frontier
