@@ -354,6 +354,12 @@ object Curation {
     val lines = docs
       .select(id.as("id"),
         posexplode(split(text, java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      // NOT pinned, deliberately: two consumers re-run this explode, but
+      // it is a NARROW codegen'd split over the input scan — measured A/B
+      // at 500k docs / 30M tokens: recompute 30.8 s, localCheckpoint pin
+      // 140.7 s (4.5x worse; materializing 30M rows costs far more than
+      // splitting twice). Pin only subtrees that contain a shuffle (the
+      // containmentPairs explode+DISTINCT precedent, 5x the other way).
     val nDocs = docs.select(id.as("id")).agg(count(lit(1)).as("_n_docs"))
     val boiler = lines
       .groupBy(col("line"))

@@ -776,21 +776,31 @@ object Dedup {
   ): DataFrame = {
     require(tNum >= 1 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // wordShingles is already per-document distinct; sets AND the df count
-    // hang off this subtree, so pin it (one corpus scan, not two).
+    // wordShingles is already per-document distinct. The string shingle
+    // never leaves the doc row: all shuffle/join KEYS are its xxhash64
+    // (8 bytes vs ~20-byte 3-gram strings). A 64-bit collision can only
+    // merge two shingles' df counts and mis-sort the rarest-first order
+    // — both harmless: the prefix-filter theorem holds under ANY
+    // consistent global total order, and (df-of-hash, hash) is one.
+    // Verification below intersects the TRUE string arrays, so the
+    // emitted pairs and counts stay exact. Pinned: sets and the df
+    // count both hang off this subtree (one corpus scan, not two).
     val shingled = docs
       .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
+      .withColumn("_h", xxhash64(col("shingle")))
       .localCheckpoint(false)
-    val dfCounts = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    // Per-doc set sorted rarest-first under the global (df, shingle) total
-    // order; the prefix cut is ceil-exact integer arithmetic.
+    val dfCounts = shingled.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    // Per-doc set sorted rarest-first under the global (df, hash) total
+    // order (shingle string rides along for exact verification); the
+    // prefix cut is ceil-exact integer arithmetic.
     val docsets = shingled
-      .join(dfCounts, "shingle")
+      .join(dfCounts, "_h")
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ord"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_h"), col("shingle")))).as("_ord"))
       .select(
         col("id"),
         transform(col("_ord"), x => x.getField("shingle")).as("sh"),
+        transform(col("_ord"), x => x.getField("_h")).as("_hs"),
         size(col("_ord")).cast("long").as("n_sh"))
       .withColumn("_plen",
         expr(s"n_sh - ((n_sh * $tNum + ${tDen - 1}) div $tDen) + 1"))
@@ -800,10 +810,10 @@ object Dedup {
       .localCheckpoint(false)
     val prefixes = docsets
       .select(col("id"), col("n_sh"),
-        explode(slice(col("sh"), lit(1), col("_plen").cast("int"))).as("shingle"))
+        explode(slice(col("_hs"), lit(1), col("_plen").cast("int"))).as("_h"))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a._h") === col("b._h") && col("a.id") < col("b.id"))
       .filter( // length filter: t * max <= min, in exact integers
         greatest(col("a.n_sh"), col("b.n_sh")) * lit(tNum.toLong)
           <= least(col("a.n_sh"), col("b.n_sh")) * lit(tDen.toLong))
