@@ -103,6 +103,25 @@ object Queries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Q18-shape large-volume-customer query (round-10): the HAVING-on-
+    // aggregate semi-join pattern — lineitem rolls up per order FIRST
+    // (map-side combined, the only corpus-wide shuffle), and only the
+    // 204 qualifying orders ever touch the orders/customer joins (both
+    // broadcast-able dims at any scale once the agg filter has run).
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 250L)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
     // F2-F8 — predicate chain + projection, pushed to the parquet scan.
     "f_filter_chain" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3450,6 +3469,20 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // Integral quantities: BIGINT-exact sum on both engines (DuckDB's
+    // rounding double->BIGINT cast equals Spark's truncation on whole
+    // numbers); HUGEINT sum cast back per the physical-type rule.
+    "q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_totalprice, total_qty::BIGINT AS total_qty
+        |FROM customer, orders,
+        |  (SELECT l_orderkey, sum(l_quantity::BIGINT) AS total_qty
+        |   FROM lineitem GROUP BY 1
+        |   HAVING sum(l_quantity::BIGINT) > 250) t
+        |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
 
     "f_filter_chain" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
