@@ -1373,6 +1373,22 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup threshold-tuning curve (round-10): how much pair mass each
+    // candidate Jaccard threshold would remove — ONE exact pair pass at
+    // the 1/5 floor, then a tiny thresholds×pairs conditional count
+    // (the pair set never recomputes per threshold). The real pipeline
+    // decision this answers: where to set the near-dup cutoff.
+    "dd_threshold_curve" -> ((s, dir) => {
+      val pairs = Dedup.prefixJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 5)
+      val thresholds = s.range(2, 10).select((col("id") * 100000000L).as("t_n9"))
+      thresholds.join(pairs, col("jacc_n9") >= col("t_n9"), "left")
+        .groupBy(col("t_n9"))
+        .agg(count(col("id_a")).as("n_pairs"))
+        .orderBy(col("t_n9"))
+    }),
+
     // kNN document families (round-10): top-3 most-similar others per
     // document above a 1/5 Jaccard floor — exact prefix-filtered pairs,
     // symmetrized, per-doc WindowGroupLimit rank. Same doc_id < 500
@@ -5489,6 +5505,29 @@ object Queries {
         |  (n_common * 1000000000) // n_union AS jacc_n9
         |FROM p WHERE n_common * 2 >= n_union
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Threshold-curve re-derivation: unpruned quadratic pairs at the
+    // 1/5 floor, conditional count per threshold step (left join keeps
+    // zero-pair thresholds).
+    "dd_threshold_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS c,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |f AS (SELECT id_a, (c * 1000000000) // u AS jacc_n9 FROM p WHERE c * 5 >= u),
+        |th AS (SELECT unnest(range(2, 10)) * 100000000 AS t_n9)
+        |SELECT th.t_n9, count(f.id_a) AS n_pairs
+        |FROM th LEFT JOIN f ON f.jacc_n9 >= th.t_n9
+        |GROUP BY th.t_n9 ORDER BY th.t_n9""".stripMargin,
 
     // kNN re-derivation: symmetric brute-force pairs above the 1/5
     // floor, deterministic (jacc DESC, nbr) rank, top 3 per document.
