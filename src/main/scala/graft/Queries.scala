@@ -2148,6 +2148,18 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Span-level decontamination (round-10): WHERE the benchmark leaks
+    // into each training document (token offsets to excise), not just
+    // which documents to drop — the exact-substring complement to the
+    // document-level tdp_decontaminate flag. Same %20 benchmark split.
+    "tdp_decon_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      graft.operators.Curation.decontaminateSpans(
+        d.filter(col("id") % 20 =!= 0), col("id"), col("text"),
+        d.filter(col("id") % 20 === 0), col("text"), k = 5)
+        .orderBy(col("id"), col("span_start"))
+    }),
+
     // Deterministic hash split: 80/10/10 train/val/test, pure projection.
     "tdp_hash_split" -> ((s, dir) => {
       graft.operators.Curation.hashSplit(
@@ -6865,6 +6877,36 @@ object Queries {
         |d AS (
         |  SELECT id, start FROM (
         |    SELECT id, start, count(*) OVER (PARTITION BY gh) AS n FROM h) WHERE n >= 2),
+        |s AS (
+        |  SELECT id, start,
+        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
+        |i AS (
+        |  SELECT *, sum(ns) OVER
+        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s)
+        |SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end,
+        |  (max(start) + 4 - min(start) + 1)::INT AS span_tokens, count(*) AS n_windows
+        |FROM i GROUP BY id, sp
+        |ORDER BY id, span_start""".stripMargin,
+
+    // Span-decon re-derivation: benchmark 5-gram set (deduped) semi-joins
+    // the train grams, then the dd_dup_spans gaps-and-islands merge.
+    "tdp_decon_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
+        |  FROM tk WHERE len(t) >= 5),
+        |h AS (
+        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
+        |bench AS (
+        |  SELECT DISTINCT gh FROM h WHERE id % 20 = 0),
+        |d AS (
+        |  SELECT id, start FROM h
+        |  WHERE id % 20 <> 0 AND gh IN (SELECT gh FROM bench)),
         |s AS (
         |  SELECT id, start,
         |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5

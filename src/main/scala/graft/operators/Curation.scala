@@ -930,6 +930,55 @@ object Curation {
       .orderBy(col("id"))
   }
 
+  /** SPAN-level cross-corpus decontamination (the exact-substring
+    * companion to [[decontaminate]]'s document-level flag): report every
+    * maximal token range of a training document that reproduces a k-gram
+    * window of the benchmark — the positions to EXCISE, not just the
+    * document to drop. Document-level decon throws away a whole document
+    * for one leaked quote; span-level keeps the document minus the leak.
+    *
+    * Mechanics: k-token windows of both corpora meet on an md5 gram-key
+    * equi-join (benchmark side deduped; train side never self-joins),
+    * then matched window starts merge into maximal spans with the same
+    * gaps-and-islands pass as [[graft.operators.Dedup.duplicateSpans]]
+    * (overlap or adjacency within k merges). Per-document window
+    * ordering is a doc-keyed window — parallel across documents.
+    *
+    * @return (id, span_start, span_end, span_tokens, n_windows) — token
+    *         offsets are 0-based inclusive, one row per maximal span. */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      id: Column,
+      text: Column,
+      benchmark: DataFrame,
+      benchText: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"decontaminateSpans: window size k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame, cols: Seq[Column], t: Column) = df
+      .select((cols :+ TextFunctions.tokens(t).as("_t")): _*)
+      .filter(size(col("_t")) >= k)
+      .select((cols :+ posexplode(transform(sequence(lit(0), size(col("_t")) - k),
+        i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("start", "gh"))): _*)
+    val trainGrams = grams(corpus, Seq(id.as("id")), text)
+    val benchGrams = grams(benchmark, Seq.empty, benchText).select(col("gh")).distinct()
+    val hit = trainGrams.join(benchGrams, Seq("gh"), "left_semi")
+    val byDoc = w.partitionBy(col("id")).orderBy(col("start"))
+    hit
+      .withColumn("_new",
+        when(lag(col("start"), 1).over(byDoc).isNull
+          || col("start") > lag(col("start"), 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("_span",
+        sum(col("_new")).over(byDoc.rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .groupBy(col("id"), col("_span"))
+      .agg(
+        min(col("start")).as("span_start"),
+        (max(col("start")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_windows"))
+  }
+
   /** 2-D Pareto frontier (skyline) for corpus selection: keep every row
     * not DOMINATED on (maximize `maxDim`, minimize `minDim`) — e.g. pick
     * the documents where no other document has at least the lexical

@@ -86,6 +86,23 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 4L, 5L, 7L))
   }
 
+  test("decontaminateSpans reports maximal leaked ranges with 0-based offsets") {
+    val corpus = Seq(
+      (1L, "p q r a b c d e f s t"), // one 6-token leak at offsets 3..8
+      (2L, "totally clean text here"), //            no leak -> no rows
+      (3L, "a b c x x x x d e f"), //   two separated 3-token leaks
+    ).toDF("id", "text")
+    val bench = Seq((9L, "a b c d e f")).toDF("id", "text")
+    val got = Curation.decontaminateSpans(
+        corpus, col("id"), col("text"), bench, col("text"), k = 3)
+      .orderBy(col("id"), col("span_start")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3, 8, 6, 4L), // windows at 3,4,5,6 merge (adjacency within k)
+      (3L, 0, 2, 3, 1L),
+      (3L, 7, 9, 3, 1L)))
+  }
+
   test("paretoFrontier matches the quadratic NOT-EXISTS dominance scan") {
     // staircase-ish deterministic grid with collisions
     val rows = (0 until 60)
