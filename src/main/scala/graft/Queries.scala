@@ -1597,6 +1597,17 @@ object Queries {
         .orderBy(col("n_types").desc, col("doc_id"))
     }),
 
+    // Per-source percentile normalization (round-10): raw scores are
+    // only comparable within a source; selection thresholds act on the
+    // within-group percentile. Exact-integer cume_dist (ties share a
+    // percentile via the RANGE frame; no float, no ordinal tie-break).
+    "txt_source_percentile" -> ((s, dir) => {
+      graft.operators.Curation.percentileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer compression ratio (round-9): chars per estimated token,
     // per source — the "how expensive is this domain to tokenize"
     // readout; exact integer sums, one IEEE division.
@@ -6012,6 +6023,15 @@ object Queries {
         |  WHERE o.n_types >= t.n_types AND o.n_tok <= t.n_tok
         |    AND (o.n_types > t.n_types OR o.n_tok < t.n_tok))
         |ORDER BY t.n_types DESC, t.doc_id""".stripMargin,
+
+    // Percentile re-derivation: RANGE-frame cume count over the same
+    // (source, n_chars) order, integer share.
+    "txt_source_percentile" ->
+      """SELECT doc_id, source, n_chars,
+        |  (count(*) OVER (PARTITION BY source ORDER BY n_chars
+        |                  RANGE UNBOUNDED PRECEDING) * 1000000000)
+        |    // count(*) OVER (PARTITION BY source) AS pct_n9
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Compression-ratio re-derivation: the txt_token_estimate tokenizer,
     // exact sums, one IEEE division.

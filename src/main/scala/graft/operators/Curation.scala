@@ -930,6 +930,37 @@ object Curation {
       .orderBy(col("id"))
   }
 
+  /** Per-group percentile normalization — the cross-source quality
+    * calibrator: a raw score is only comparable WITHIN its source (each
+    * source's scorer has its own scale), so selection thresholds must be
+    * set on each document's percentile within its group. Exact-integer
+    * cume_dist: pct_n9 = (#rows with score <= mine) * 1e9 div (group
+    * size) — ties share a percentile by construction (RANGE frame), no
+    * float enters, no ordinal tie-break needed.
+    *
+    * Scale: two window passes over ONE group-keyed exchange (the second
+    * WindowExec reuses the first's partitioning — verified in the plan:
+    * one hashpartitioning(source) shuffle) — never a global sort;
+    * parallel across groups.
+    *
+    * @return input columns plus pct_n9 in (0, 1e9]. */
+  def percentileNormalize(
+      df: DataFrame,
+      group: Column,
+      score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    df
+      .withColumn("_le", count(lit(1)).over(
+        w.partitionBy(group).orderBy(score.asc)
+          .rangeBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("_n", count(lit(1)).over(w.partitionBy(group)))
+      // counts are BIGINT; _le*1e9 binds the int64 horizon at ~9.2e9
+      // rows per group — far beyond any real group, and an overflow
+      // would go negative and fail the (0, 1e9] range loudly downstream
+      .withColumn("pct_n9", expr("(_le * 1000000000L) div _n"))
+      .drop("_le", "_n")
+  }
+
   /** SPAN-level cross-corpus decontamination (the exact-substring
     * companion to [[decontaminate]]'s document-level flag): report every
     * maximal token range of a training document that reproduces a k-gram

@@ -103,6 +103,18 @@ class Round10OpsSpec extends AnyFunSuite {
       (3L, 7, 9, 3, 1L)))
   }
 
+  test("percentileNormalize gives tied scores one shared exact percentile") {
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 40L),
+      (5L, "b", 7L), // singleton group -> pct 1e9
+    ).toDF("id", "src", "score")
+    val got = Curation.percentileNormalize(rows, col("src"), col("score"))
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 250000000L), (2L, 750000000L), (3L, 750000000L),
+      (4L, 1000000000L), (5L, 1000000000L)))
+  }
+
   test("paretoFrontier matches the quadratic NOT-EXISTS dominance scan") {
     // staircase-ish deterministic grid with collisions
     val rows = (0 until 60)
