@@ -50,6 +50,21 @@ class Round10OpsSpec extends AnyFunSuite {
       .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
     assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
     assert(fast == brute)
+
+    // second threshold (4/5): shorter prefixes, harsher prune — the
+    // theorem must still lose nothing
+    val fastHi = Dedup.prefixJaccardPairs(docs, col("id"), col("text"), n = 2, tNum = 4, tDen = 5)
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    val bruteHi = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
+        (size(col("a.sh")) + size(col("b.sh"))
+          - size(array_intersect(col("a.sh"), col("b.sh")))).cast("long").as("n_union"))
+      .filter(col("n_common") * 5L >= col("n_union") * 4L)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+        expr("(n_common * 1000000000L) div n_union").as("jacc_n9"))
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    assert(bruteHi.nonEmpty && fastHi == bruteHi)
   }
 
   test("knnSimilarDocs ranks symmetric neighbours with deterministic tie-break") {
