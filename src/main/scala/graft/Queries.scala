@@ -122,6 +122,42 @@ object Queries {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     }),
 
+    // Q8-shape market-share query (round-10): the dimension-role stress
+    // test — nation joins TWICE in different roles (customer's nation
+    // gates the ASIA region; supplier's nation is the market-share
+    // numerator), with a conditional sum so numerator and denominator
+    // come out of ONE aggregation pass. Exact integer cents end to end;
+    // the share ships as BIGINT nanos (never DECIMAL, never a float
+    // ratio recomputed oracle-side).
+    "q8_market_share" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+      val custAsia = t(s, dir, "customer")
+        .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation").select(col("n_nationkey").as("_snk"),
+          col("n_name").as("supp_nation")), col("s_nationkey") === col("_snk"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          cents.as("_c"), col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("_c")).as("total_cents"),
+          sum(when(col("supp_nation") === "NATION_7", col("_c")).otherwise(lit(0L)))
+            .as("nation_cents"))
+        // the x1e9 product widens through DECIMAL(38,0) (long*long wraps
+        // silently past ~9.2e9 cents); the div result is back in (0,1e9]
+        .withColumn("share_n9", expr(
+          "CAST((CAST(nation_cents AS DECIMAL(38,0)) * 1000000000) div total_cents AS BIGINT)"))
+        .orderBy(col("o_year"))
+    }),
+
     // F2-F8 — predicate chain + projection, pushed to the parquet scan.
     "f_filter_chain" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3508,6 +3544,30 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // Market-share re-derivation: identical IEEE cents quantization,
+    // HUGEINT-wide share product cast back to BIGINT.
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  sum(floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
+        |    AS total_cents,
+        |  sum(CASE WHEN sn.n_name = 'NATION_7'
+        |      THEN floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
+        |      ELSE 0 END)::BIGINT AS nation_cents,
+        |  ((sum(CASE WHEN sn.n_name = 'NATION_7'
+        |       THEN floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
+        |       ELSE 0 END) * 1000000000)
+        |   // sum(floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT))::BIGINT
+        |    AS share_n9
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // Integral quantities: BIGINT-exact sum on both engines (DuckDB's
     // rounding double->BIGINT cast equals Spark's truncation on whole
