@@ -1633,6 +1633,18 @@ object Queries {
         .orderBy(col("n_types").desc, col("doc_id"))
     }),
 
+    // Score-monotonicity audit (round-10): does click-rate rise with
+    // event value? Equal-population value bands via the staircase
+    // pattern (per-value agg -> tiny cumulative window -> 10-row
+    // rollup); exact-integer band rates; is_violation flags a band
+    // whose rate drops. Scores quantized to cents upstream.
+    "dq_monotonicity" -> ((s, dir) => {
+      graft.operators.DataQuality.monotonicityAudit(
+        t(s, dir, "events"),
+        floor(col("value") * lit(100)).cast("long"),
+        col("event_type") === "click", buckets = 10)
+    }),
+
     // Per-source percentile normalization (round-10): raw scores are
     // only comparable within a source; selection thresholds act on the
     // within-group percentile. Exact-integer cume_dist (ties share a
@@ -6083,6 +6095,31 @@ object Queries {
         |  WHERE o.n_types >= t.n_types AND o.n_tok <= t.n_tok
         |    AND (o.n_types > t.n_types OR o.n_tok < t.n_tok))
         |ORDER BY t.n_types DESC, t.doc_id""".stripMargin,
+
+    // Monotonicity re-derivation: same staircase arithmetic — per-cent
+    // counts, cumulative band cut, integer rates, lag violation flag.
+    "dq_monotonicity" ->
+      """WITH m AS (
+        |  SELECT floor(value * 100)::BIGINT AS s, (event_type = 'click') AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |ps AS (
+        |  SELECT s, count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+        |  FROM m GROUP BY s),
+        |st AS (
+        |  SELECT n, np,
+        |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM ps),
+        |b AS (SELECT ((cum - 1) * 10) // total AS bucket, n, np FROM st),
+        |r AS (
+        |  SELECT bucket::BIGINT AS bucket, sum(n)::BIGINT AS n,
+        |    sum(np)::BIGINT AS n_pos,
+        |    ((sum(np) * 1000000000) // sum(n))::BIGINT AS pos_rate_n9
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n, n_pos, pos_rate_n9,
+        |  coalesce(pos_rate_n9 < lag(pos_rate_n9) OVER (ORDER BY bucket), false)
+        |    AS is_violation
+        |FROM r ORDER BY bucket""".stripMargin,
 
     // Percentile re-derivation: RANGE-frame cume count over the same
     // (source, n_chars) order, integer share.

@@ -550,6 +550,50 @@ object DataQuality {
       .orderBy(col("bucket"))
   }
 
+  /** Score-monotonicity audit — does the label rate actually RISE with
+    * the score? The ranking-sanity companion to [[calibrationReport]]
+    * (which checks absolute calibration): a quality score whose decile
+    * positive-rates are non-monotone is mis-ranking even if its mean is
+    * calibrated. Rows are cut into `buckets` equal-population score
+    * bands (ties share a band by construction), each band reports its
+    * exact positive-rate in BIGINT nanos, and `is_violation` marks a
+    * band whose rate drops below its predecessor's.
+    *
+    * Scale shape (the paretoFrontier staircase pattern): ONE map-side-
+    * combined aggregate keyed by the score value, then cumulative
+    * counts over the |distinct score| staircase (single-partition
+    * window over THAT aggregate only — quantize continuous scores
+    * upstream, e.g. floor(x*100)), then a |buckets|-row rollup. The
+    * corpus never sees a global sort or window.
+    *
+    * @return (bucket, n, n_pos, pos_rate_n9, is_violation) ordered. */
+  def monotonicityAudit(
+      df: DataFrame, score: Column, label: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"monotonicityAudit: buckets must be >= 2, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .select(score.cast("long").as("_s"), label.cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y").cast("long")).as("_np"))
+    val staged = perScore
+      .withColumn("_cum", sum(col("_n")).over(
+        w.orderBy(col("_s")).rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("_total", sum(col("_n")).over(w.partitionBy()))
+      // the whole VALUE group lands in one band: band of its last row
+      .withColumn("bucket", expr(s"((_cum - 1L) * ${buckets}L) div _total"))
+    val banded = staged
+      .groupBy(col("bucket"))
+      .agg(sum(col("_n")).as("n"), sum(col("_np")).as("n_pos"))
+      .withColumn("pos_rate_n9", expr("(n_pos * 1000000000L) div n"))
+    banded
+      .withColumn("is_violation",
+        coalesce(col("pos_rate_n9") <
+          lag(col("pos_rate_n9"), 1).over(w.orderBy(col("bucket"))), lit(false)))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-group rate with Wilson score interval — the "error rate with
     * uncertainty" report (annotation QA, per-source defect rates, A/B
     * gate readouts): for each group, the success share p̂ = k/n and the

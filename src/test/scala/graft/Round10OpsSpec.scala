@@ -118,6 +118,19 @@ class Round10OpsSpec extends AnyFunSuite {
       (3L, 7, 9, 3, 1L)))
   }
 
+  test("monotonicityAudit cuts equal-population bands and flags rate drops") {
+    val rows = Seq(
+      (1L, true), (2L, true), (3L, false), (4L, false),
+    ).toDF("score", "label")
+    val got = graft.operators.DataQuality.monotonicityAudit(
+        rows, col("score"), col("label"), buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    // low band all-positive, high band all-negative -> a violation
+    assert(got == Seq(
+      (0L, 2L, 2L, 1000000000L, false),
+      (1L, 2L, 0L, 0L, true)))
+  }
+
   test("percentileNormalize gives tied scores one shared exact percentile") {
     val rows = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 40L),
