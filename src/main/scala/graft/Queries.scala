@@ -158,6 +158,28 @@ object Queries {
         .orderBy(col("o_year"))
     }),
 
+    // Q10-shape returned-items ranking (round-10): which customers
+    // returned the most revenue in a quarter — lineitem filters on
+    // returnflag at the scan, aggregates per customer FIRST, and only
+    // then meets the customer/nation dims; the top-20 cut rides a
+    // TakeOrderedAndProject (no global sort materializes).
+    "q10_returned_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // F2-F8 — predicate chain + projection, pushed to the parquet scan.
     "f_filter_chain" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3556,6 +3578,18 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+        |    AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND o_orderkey = l_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     // Market-share re-derivation: identical IEEE cents quantization,
     // HUGEINT-wide share product cast back to BIGINT.
