@@ -1841,6 +1841,16 @@ object Queries {
         .orderBy(col("hr"))
     }),
 
+    // EXACT trailing 24 h active users per hour (round-10): the rolling-
+    // DAU monitor — events collapse to distinct (user, hour) FIRST, only
+    // that pre-aggregate fans out to the 24 windows each pair affects,
+    // then one distinct count per window end. No sketch.
+    "e_rolling_active_users" -> ((s, dir) => {
+      graft.operators.TimeSeries.rollingActiveUsers(
+        t(s, dir, "events"), col("user_id"), col("ts"),
+        widthSeconds = 3600L, windowBuckets = 24)
+    }),
+
     // Hourly error rate with Wilson bounds (round-9): rateWithWilson
     // keyed by the hour string — the small-sample-honest SLO readout
     // (3 errors of 7 events is not a 43% error rate you can act on).
@@ -6236,6 +6246,23 @@ object Queries {
         |  count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
         |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
         |GROUP BY 1 ORDER BY hr""".stripMargin,
+
+    // Rolling-active re-derivation: distinct user-hours, 24-shift
+    // unnest, distinct count per window end; µs epochs via the proven
+    // epoch_us ↔ unix_micros parity (NS files truncate through ::TIMESTAMP
+    // exactly like the loader's ns->µs div).
+    "e_rolling_active_users" ->
+      """WITH ub AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts::TIMESTAMP) // 3600000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (
+        |  SELECT DISTINCT u, unnest(range(b, b + 24)) AS window_end FROM ub)
+        |SELECT window_end,
+        |  strftime(to_timestamp((window_end - 23) * 3600), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start_ts,
+        |  count(*) AS n_users
+        |FROM w GROUP BY window_end ORDER BY window_end""".stripMargin,
 
     // DF-profile re-derivation: the shared shingle contract, df per
     // shingle, shingles per df.

@@ -246,6 +246,48 @@ object TimeSeries {
     *
     * @return one row per (key, bucket): (key, bucket, bucket_start,
     *         n, mean_v, ewma), ordered */
+  /** EXACT trailing active users — "distinct users in the last
+    * `windowBuckets` hours, refreshed hourly" (the rolling-DAU/WAU
+    * monitor, where the overlapping windows make a naive distinct-per-
+    * window recompute the whole window every slide).
+    *
+    * Scale shape: raw events first collapse to DISTINCT (user, bucket)
+    * pairs (one shuffle, map-side combined — the only stage that sees
+    * the event stream), and only that pre-aggregated set fans out to
+    * the `windowBuckets` windows each pair affects (explode of a
+    * sequence literal: cardinality = active-user-hours x window width,
+    * NOT events x width), then one distinct count per window end. All
+    * exact integers; no sketch, no approximation.
+    *
+    * @return (window_end, window_start_ts, n_users) for every window
+    *         end from the first to `windowBuckets`-1 past the last
+    *         active bucket (trailing windows drain as activity ages
+    *         out), ordered. */
+  def rollingActiveUsers(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      widthSeconds: Long = 3600L,
+      windowBuckets: Int = 24): DataFrame = {
+    require(windowBuckets >= 1,
+      s"rollingActiveUsers: windowBuckets must be >= 1, got $windowBuckets")
+    events
+      .filter(user.isNotNull && ts.isNotNull)
+      .select(user.as("u"), timeBucket(ts, widthSeconds).as("b"))
+      .distinct()
+      .select(col("u"),
+        explode(sequence(col("b"), col("b") + lit(windowBuckets - 1))).as("window_end"))
+      .distinct()
+      .groupBy(col("window_end"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window_end"),
+        date_format(timestamp_seconds(
+          (col("window_end") - lit(windowBuckets - 1)) * lit(widthSeconds)),
+          "yyyy-MM-dd HH:mm:ss").as("window_start_ts"),
+        col("n_users"))
+      .orderBy(col("window_end"))
+  }
+
   def ewmaBaseline(
       events: DataFrame,
       key: Column,

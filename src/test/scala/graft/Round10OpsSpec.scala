@@ -118,6 +118,21 @@ class Round10OpsSpec extends AnyFunSuite {
       (3L, 7, 9, 3, 1L)))
   }
 
+  test("rollingActiveUsers counts each user once per trailing window") {
+    // width 10 s, window 3 buckets; user 1 active in buckets 0 and 2,
+    // user 2 in bucket 1 only
+    val evs = Seq(
+      (1L, 5L), (1L, 25L), (1L, 27L), // buckets 0, 2, 2
+      (2L, 15L), //                      bucket 1
+    ).toDF("user_id", "sec").select(col("user_id"),
+      timestamp_seconds(col("sec")).as("ts"))
+    val got = graft.operators.TimeSeries.rollingActiveUsers(
+        evs, col("user_id"), col("ts"), widthSeconds = 10L, windowBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // window ends 0..4: [0]={u1}, [1]={u1,u2}, [2]={u1,u2}, [3]={u1,u2}, [4]={u1}
+    assert(got == Seq((0L, 1L), (1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
   test("monotonicityAudit cuts equal-population bands and flags rate drops") {
     val rows = Seq(
       (1L, true), (2L, true), (3L, false), (4L, false),
