@@ -700,6 +700,36 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // LSH-config recall audit (round-10): how much of the EXACT >= 1/2
+    // Jaccard pair set the 16-hash/4x4-band MinHash config actually
+    // surfaces — the dedup twin of sim_ann_recall (trust the banding
+    // config only after measuring what it misses). Ground truth is the
+    // prefix-filtered exact join; both sides share the doc_id < 500
+    // oracle gate. Exact-integer recall/precision in BIGINT nanos.
+    "dd_lsh_recall" -> ((s, dir) => {
+      val gated = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val exact = Dedup.prefixJaccardPairs(
+        gated, col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
+        .select(col("id_a"), col("id_b"))
+      val sh = gated.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val lsh = Dedup.minHashLshPairs(
+        Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16),
+        numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val counted = exact
+        .join(lsh.withColumn("_l", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_l"), lit(0L))).as("n_hit"))
+      counted
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000000L) div n_exact END")
+            .as("recall_n9"),
+          expr("CASE WHEN n_lsh > 0 THEN (n_hit * 1000000000L) div n_lsh END")
+            .as("precision_n9"))
+    }),
+
     // Near-dup components with the PRODUCTION survivor policy: keep the
     // highest-quality member (here: longest, n_chars) per component.
     "dd_keep_best_dedup" -> ((s, dir) => {
@@ -5693,6 +5723,32 @@ object Queries {
         |  FROM f)
         |SELECT doc_id, nbr, jacc_n9, rk FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+
+    // Recall-audit re-derivation: the shared LSH pair chain gated to
+    // doc_id < 500, intersected with an unpruned exact >= 1/2 pair scan.
+    "dd_lsh_recall" ->
+      (lshPairCtes + ",\n" +
+        """gsets AS (
+          |  SELECT doc_id, list(shingle) AS s FROM sh WHERE doc_id < 500
+          |  GROUP BY doc_id),
+          |gexact AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.s, b.s)) * 2
+          |    >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+          |glsh AS (SELECT id_a, id_b FROM pairs WHERE id_a < 500 AND id_b < 500),
+          |hit AS (
+          |  SELECT count(*) AS n_hit FROM gexact e
+          |  JOIN glsh l ON e.id_a = l.id_a AND e.id_b = l.id_b),
+          |ce AS (SELECT count(*) AS n_exact FROM gexact),
+          |cl AS (SELECT count(*) AS n_lsh FROM glsh)
+          |SELECT n_exact::BIGINT AS n_exact, n_lsh::BIGINT AS n_lsh,
+          |  n_hit::BIGINT AS n_hit,
+          |  (CASE WHEN n_exact > 0
+          |    THEN (n_hit * 1000000000) // n_exact END)::BIGINT AS recall_n9,
+          |  (CASE WHEN n_lsh > 0
+          |    THEN (n_hit * 1000000000) // n_lsh END)::BIGINT AS precision_n9
+          |FROM ce, cl, hit""".stripMargin),
 
     // Containment re-derivation: the dd_ngram_jaccard index CTEs with the
     // min-size denominator and the contained/container orientation.
