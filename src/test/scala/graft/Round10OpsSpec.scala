@@ -67,6 +67,35 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(bruteHi.nonEmpty && fastHi == bruteHi)
   }
 
+  test("prefixJaccardPairs equals brute force on seeded random corpora (property-style)") {
+    // seeded randomized corpora: docs built from a small phrase pool so
+    // near-dup structure is dense and thresholds actually bite
+    for (seed <- Seq(7, 41, 1009); (tn, td) <- Seq((1, 3), (3, 5))) {
+      val rnd = new scala.util.Random(seed)
+      val pool = Vector("red fox", "lazy dog", "spark plan", "shuffle key",
+        "broadcast join", "column prune", "codegen stage", "range scan")
+      val docs = (0 until 25)
+        .map(i => (i.toLong,
+          (0 until 3 + rnd.nextInt(5)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")))
+        .toDF("id", "text")
+      val fast = Dedup.prefixJaccardPairs(docs, col("id"), col("text"), 2, tn, td)
+        .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+      val sets = docs.select(col("id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 2).as("sh"))
+      val brute = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
+          (size(col("a.sh")) + size(col("b.sh"))
+            - size(array_intersect(col("a.sh"), col("b.sh")))).cast("long").as("n_union"))
+        .filter(col("n_common") * td.toLong >= col("n_union") * tn.toLong)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+          expr("(n_common * 1000000000L) div n_union").as("jacc_n9"))
+        .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+      assert(fast == brute, s"seed=$seed t=$tn/$td")
+      assert(brute.nonEmpty, s"degenerate corpus at seed=$seed t=$tn/$td")
+    }
+  }
+
   test("knnSimilarDocs ranks symmetric neighbours with deterministic tie-break") {
     val docs = Seq(
       (1L, "a b c d"),
