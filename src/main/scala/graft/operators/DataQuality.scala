@@ -555,9 +555,11 @@ object DataQuality {
     * (which checks absolute calibration): a quality score whose decile
     * positive-rates are non-monotone is mis-ranking even if its mean is
     * calibrated. Rows are cut into `buckets` equal-population score
-    * bands (ties share a band by construction), each band reports its
-    * exact positive-rate in BIGINT nanos, and `is_violation` marks a
-    * band whose rate drops below its predecessor's.
+    * bands (ties share a band by construction — a tie-heavy distribution
+    * therefore yields FEWER than `buckets` rows, never a split tie),
+    * each band reports its exact positive-rate in BIGINT nanos, and
+    * `is_violation` marks a band whose rate drops below its
+    * predecessor's.
     *
     * Scale shape (the paretoFrontier staircase pattern): ONE map-side-
     * combined aggregate keyed by the score value, then cumulative

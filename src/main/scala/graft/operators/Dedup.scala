@@ -854,6 +854,7 @@ object Dedup {
       floorNum: Int,
       floorDen: Int,
   ): DataFrame = {
+    require(k >= 1, s"knnSimilarDocs: k must be >= 1, got $k")
     val pairs = prefixJaccardPairs(docs, id, text, n, floorNum, floorDen)
     val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"), col("jacc_n9"))
       .unionByName(
