@@ -2961,6 +2961,22 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    // Per-source contamination rate with Wilson 95% bounds (round-10):
+    // the decontaminate flags rolled up per source through rateWithWilson
+    // — "which ingestion source leaks benchmark text, with uncertainty".
+    // Pure composition of two verified operators.
+    "tdp_contamination_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val flags = graft.operators.Curation.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id").as("id"), col("text")),
+        d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("id"), col("text")), n = 3)
+      graft.operators.DataQuality.rateWithWilson(
+        flags.join(d.select(col("doc_id").as("id"), col("source")), "id"),
+        col("source"), col("contaminated"))
+    }),
+
     // Fuzzy decontamination: MinHash-banded cross-corpus near-dup flags —
     // catches the paraphrased contamination exact shingle overlap misses.
     // Train = docs not in the benchmark slice; benchmark = every 20th doc
@@ -6739,6 +6755,42 @@ object Queries {
         |  regexp_replace('ftp://ftp.host.org/' || source || '/' || doc_id::VARCHAR || '.mgf',
         |    '^ftp://', 'https://') AS https_url
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Contamination-rate re-derivation: the decontaminate flag CTEs
+    // rolled up per source through the proven Wilson tail.
+    "tdp_contamination_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+        |  FROM tk),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0),
+        |ov AS (
+        |  SELECT s.id, count(*) AS nn FROM sh s JOIN bench b USING (shingle)
+        |  WHERE s.id % 20 <> 0 GROUP BY s.id),
+        |fl AS (
+        |  SELECT tk.id, tk.source, coalesce(ov.nn, 0) > 0 AS contaminated
+        |  FROM tk LEFT JOIN ov USING (id) WHERE tk.id % 20 <> 0),
+        |g AS (
+        |  SELECT source::VARCHAR AS "group", count(*)::BIGINT AS n,
+        |    sum(contaminated::INT)::BIGINT AS k
+        |  FROM fl GROUP BY 1),
+        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
+        |c3 AS (SELECT *,
+        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
+        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
+        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
+        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
+        |SELECT "group", n, k, p AS rate,
+        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
+        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
+        |FROM c3 ORDER BY "group"""".stripMargin,
 
     "tdp_decontaminate" ->
       """WITH tk AS (
