@@ -700,34 +700,48 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // LSH-config recall audit (round-10): how much of the EXACT >= 1/2
-    // Jaccard pair set the 16-hash/4x4-band MinHash config actually
-    // surfaces — the dedup twin of sim_ann_recall (trust the banding
-    // config only after measuring what it misses). Ground truth is the
-    // prefix-filtered exact join; both sides share the doc_id < 500
-    // oracle gate. Exact-integer recall/precision in BIGINT nanos.
+    // LSH-config recall audit (round-10, made DISCRIMINATING round-11):
+    // how much of the EXACT >= 1/2 Jaccard pair set each MinHash banding
+    // config actually surfaces — the dedup twin of sim_ann_recall (trust
+    // a banding config only after measuring what it misses). Two rows
+    // over the SAME 16-hash signature and the SAME exact ground truth:
+    // the shipped 4 bands x 4 rows, and a deliberately cheap 2 bands x 8
+    // rows whose per-band match probability at J=0.5 is 0.5^8 — the
+    // audit earns its place by showing a config going lossy, not by
+    // printing 1.0 twice. Ground truth is the prefix-filtered exact
+    // join; both sides share the doc_id < 500 oracle gate. n_hit is
+    // coalesced so an exact-pair-free corpus reports 0, not NULL (the
+    // oracle's COUNT over an empty join is 0). Exact-integer
+    // recall/precision in BIGINT nanos.
     "dd_lsh_recall" -> ((s, dir) => {
       val gated = t(s, dir, "documents").filter(col("doc_id") < 500)
+      // ground truth + signature each feed both config rows: pin once or
+      // the prefix join / shingle-explode-min-agg re-execute per config
       val exact = Dedup.prefixJaccardPairs(
         gated, col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint(false)
       val sh = gated.select(col("doc_id"),
         explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val lsh = Dedup.minHashLshPairs(
-        Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16),
-        numBands = 4, rowsPerBand = 4, threshold = 0.5)
-        .select(col("id_a"), col("id_b"))
-      val counted = exact
-        .join(lsh.withColumn("_l", lit(1L)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("_l"), lit(0L))).as("n_hit"))
-      counted
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-          expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000000L) div n_exact END")
-            .as("recall_n9"),
-          expr("CASE WHEN n_lsh > 0 THEN (n_hit * 1000000000L) div n_lsh END")
-            .as("precision_n9"))
+      val sigs = Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16)
+        .localCheckpoint(false)
+      def auditRow(cfg: String, nb: Int, rpb: Int): DataFrame = {
+        val lsh = Dedup.minHashLshPairs(
+          sigs, numBands = nb, rowsPerBand = rpb, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        exact
+          .join(lsh.withColumn("_l", lit(1L)), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(coalesce(col("_l"), lit(0L))), lit(0L)).as("n_hit"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .select(lit(cfg).as("config"), col("n_exact"), col("n_lsh"), col("n_hit"),
+            expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000000L) div n_exact END")
+              .as("recall_n9"),
+            expr("CASE WHEN n_lsh > 0 THEN (n_hit * 1000000000L) div n_lsh END")
+              .as("precision_n9"))
+      }
+      auditRow("16h_2x8", 2, 8).unionAll(auditRow("16h_4x4", 4, 4))
+        .orderBy(col("config"))
     }),
 
     // Near-dup components with the PRODUCTION survivor policy: keep the
@@ -5740,31 +5754,79 @@ object Queries {
         |SELECT doc_id, nbr, jacc_n9, rk FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
 
-    // Recall-audit re-derivation: the shared LSH pair chain gated to
-    // doc_id < 500, intersected with an unpruned exact >= 1/2 pair scan.
+    // Recall-audit re-derivation: one shared 16-hash signature, TWO
+    // banding derivations (4x4 and 2x8) unioned under a config label,
+    // each intersected with the same unpruned exact >= 1/2 pair scan.
     "dd_lsh_recall" ->
-      (lshPairCtes + ",\n" +
-        """gsets AS (
-          |  SELECT doc_id, list(shingle) AS s FROM sh WHERE doc_id < 500
-          |  GROUP BY doc_id),
-          |gexact AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.s, b.s)) * 2
-          |    >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-          |glsh AS (SELECT id_a, id_b FROM pairs WHERE id_a < 500 AND id_b < 500),
-          |hit AS (
-          |  SELECT count(*) AS n_hit FROM gexact e
-          |  JOIN glsh l ON e.id_a = l.id_a AND e.id_b = l.id_b),
-          |ce AS (SELECT count(*) AS n_exact FROM gexact),
-          |cl AS (SELECT count(*) AS n_lsh FROM glsh)
-          |SELECT n_exact::BIGINT AS n_exact, n_lsh::BIGINT AS n_lsh,
-          |  n_hit::BIGINT AS n_hit,
-          |  (CASE WHEN n_exact > 0
-          |    THEN (n_hit * 1000000000) // n_exact END)::BIGINT AS recall_n9,
-          |  (CASE WHEN n_lsh > 0
-          |    THEN (n_hit * 1000000000) // n_lsh END)::BIGINT AS precision_n9
-          |FROM ce, cl, hit""".stripMargin),
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id < 500),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
+         |  GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT '16h_4x4' AS config, doc_id, b,
+         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
+         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+         |  UNION ALL
+         |  SELECT '16h_2x8' AS config, doc_id, b,
+         |    md5(s[8*b+1]::VARCHAR || ':' || s[8*b+2]::VARCHAR || ':' ||
+         |        s[8*b+3]::VARCHAR || ':' || s[8*b+4]::VARCHAR || ':' ||
+         |        s[8*b+5]::VARCHAR || ':' || s[8*b+6]::VARCHAR || ':' ||
+         |        s[8*b+7]::VARCHAR || ':' || s[8*b+8]::VARCHAR) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(2)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.config, l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.config = r.config AND l.b = r.b AND l.bh = r.bh
+         |      AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT config, id_a, id_b,
+         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = id_a
+         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
+         |  GROUP BY config, id_a, id_b),
+         |lshp AS (SELECT config, id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |gsets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+         |gexact AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 2
+         |    >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+         |cfg AS (SELECT unnest(['16h_4x4', '16h_2x8']) AS config),
+         |ce AS (
+         |  SELECT c.config, count(e.id_a) AS n_exact
+         |  FROM cfg c LEFT JOIN gexact e ON true GROUP BY c.config),
+         |cl AS (
+         |  SELECT c.config, count(l.id_a) AS n_lsh
+         |  FROM cfg c LEFT JOIN lshp l ON l.config = c.config GROUP BY c.config),
+         |hits AS (
+         |  SELECT l.config, count(*) AS n FROM gexact e
+         |  JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
+         |  GROUP BY l.config)
+         |SELECT c.config, ce.n_exact::BIGINT AS n_exact, cl.n_lsh::BIGINT AS n_lsh,
+         |  coalesce(h.n, 0)::BIGINT AS n_hit,
+         |  (CASE WHEN ce.n_exact > 0
+         |    THEN (coalesce(h.n, 0) * 1000000000) // ce.n_exact END)::BIGINT AS recall_n9,
+         |  (CASE WHEN cl.n_lsh > 0
+         |    THEN (coalesce(h.n, 0) * 1000000000) // cl.n_lsh END)::BIGINT AS precision_n9
+         |FROM cfg c
+         |JOIN ce ON ce.config = c.config
+         |JOIN cl ON cl.config = c.config
+         |LEFT JOIN hits h ON h.config = c.config
+         |ORDER BY c.config""".stripMargin,
 
     // Containment re-derivation: the dd_ngram_jaccard index CTEs with the
     // min-size denominator and the contained/container orientation.
@@ -6329,12 +6391,16 @@ object Queries {
         |    epoch_us(ts::TIMESTAMP) // 3600000000 AS b
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |w AS (
-        |  SELECT DISTINCT u, unnest(range(b, b + 24)) AS window_end FROM ub)
-        |SELECT window_end,
-        |  strftime(to_timestamp((window_end - 23) * 3600), '%Y-%m-%d %H:%M:%S')
+        |  SELECT DISTINCT u, unnest(range(b, b + 24)) AS window_end FROM ub),
+        |c AS (SELECT window_end, count(*)::BIGINT AS n_users FROM w GROUP BY window_end),
+        |spine AS (
+        |  SELECT unnest(range(min(b), max(b) + 24)) AS window_end FROM ub)
+        |SELECT s.window_end,
+        |  strftime(to_timestamp((s.window_end - 23) * 3600), '%Y-%m-%d %H:%M:%S')
         |    AS window_start_ts,
-        |  count(*) AS n_users
-        |FROM w GROUP BY window_end ORDER BY window_end""".stripMargin,
+        |  coalesce(c.n_users, 0)::BIGINT AS n_users
+        |FROM spine s LEFT JOIN c ON c.window_end = s.window_end
+        |ORDER BY s.window_end""".stripMargin,
 
     // DF-profile re-derivation: the shared shingle contract, df per
     // shingle, shingles per df.
@@ -6446,7 +6512,8 @@ object Queries {
         |  SELECT event_type::VARCHAR AS key, epoch_us(ts) // 3600000000 AS bucket,
         |    count(*)::BIGINT AS n,
         |    sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sc
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
         |  GROUP BY 1, 2),
         |m AS (
         |  SELECT key, bucket, n, (sc::DOUBLE / '100.0'::DOUBLE) / n::DOUBLE AS mean_v,

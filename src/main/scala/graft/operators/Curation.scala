@@ -955,9 +955,15 @@ object Curation {
           .rangeBetween(w.unboundedPreceding, w.currentRow)))
       .withColumn("_n", count(lit(1)).over(w.partitionBy(group)))
       // counts are BIGINT; _le*1e9 binds the int64 horizon at ~9.2e9
-      // rows per group — far beyond any real group, and an overflow
-      // would go negative and fail the (0, 1e9] range loudly downstream
-      .withColumn("pct_n9", expr("(_le * 1000000000L) div _n"))
+      // rows per group — refuse loudly past it (nothing downstream is
+      // guaranteed to range-check, so the guard rides the output column
+      // itself, same discipline as chiSquare/benfordAudit/krippendorff)
+      .withColumn("pct_n9",
+        when(col("_n") <= lit(9000000000L), lit(1L))
+          .otherwise(raise_error(concat(
+            lit("percentileNormalize: group of "), col("_n").cast("string"),
+            lit(" rows exceeds the 1e-9 fixed-point horizon (9e9)"))).cast("long"))
+          * expr("(_le * 1000000000L) div _n"))
       .drop("_le", "_n")
   }
 

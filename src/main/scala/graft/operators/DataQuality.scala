@@ -352,12 +352,17 @@ object DataQuality {
         round(col("o").cast("double") * col("o").cast("double") / col("_e") * lit(1e9))
           .cast("long"))
     val stat = withE.agg(
-      // int64 horizon: Σ o²/e ≈ n + chi2, so nano terms stay exact while
-      // n ≲ 9·10⁹; refuse loudly past it (guard MULTIPLIED into the
-      // output so column pruning can never drop it — the ksDrift lesson)
-      (when(first(col("_n")) <= lit(9000000000L), lit(1L))
-        .otherwise(raise_error(concat(lit("chiSquare: "), first(col("_n")).cast("string"),
-          lit(" rows exceeds the 1e-9 fixed-point horizon (9e9); " +
+      // int64 horizon: Σ o²/e = n + chi2 ≤ n·min(r,c) (chi2 ≤ n·(min(r,c)−1)),
+      // so the nano sum stays exact only while n·min(r,c) ≲ 9·10⁹ — guarding
+      // n alone would let an associated table wrap silently. Belt-and-braces:
+      // a wrapped long sum makes Σ_chi_term_n9 < n·1e9 (chi2 ≥ 0), so that is
+      // raised on too. Guard MULTIPLIED into the output so column pruning can
+      // never drop it — the ksDrift lesson.
+      (when(first(col("_n")) * least(first(col("_nr")), first(col("_nc"))) <= lit(9000000000L)
+          && sum(col("_chi_term_n9")) >= first(col("_n")) * lit(1000000000L), lit(1L))
+        .otherwise(raise_error(concat(lit("chiSquare: n*min(r,c) = "),
+          (first(col("_n")) * least(first(col("_nr")), first(col("_nc")))).cast("string"),
+          lit(" exceeds the 1e-9 fixed-point horizon (9e9) or the nano sum wrapped; " +
             "re-render at a coarser scale"))).cast("long")) *
         (sum(col("_chi_term_n9")) - first(col("_n")) * lit(1000000000L))).as("chi2_n9"),
       ((first(col("_nr")) - 1) * (first(col("_nc")) - 1)).cast("long").as("dof"))

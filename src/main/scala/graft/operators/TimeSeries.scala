@@ -259,10 +259,15 @@ object TimeSeries {
     * NOT events x width), then one distinct count per window end. All
     * exact integers; no sketch, no approximation.
     *
-    * @return (window_end, window_start_ts, n_users) for every window
+    * @return (window_end, window_start_ts, n_users) for EVERY window
     *         end from the first to `windowBuckets`-1 past the last
     *         active bucket (trailing windows drain as activity ages
-    *         out), ordered. */
+    *         out), ordered — DENSE across activity gaps: a window end
+    *         whose trailing window contains zero active users ships an
+    *         explicit n_users = 0 row (a monitor must see the zero,
+    *         not a missing row). The densified range is bounded by the
+    *         data's own bucket span, so the explode stays
+    *         |buckets|-sized — never events-sized. */
   def rollingActiveUsers(
       events: DataFrame,
       user: Column,
@@ -271,15 +276,29 @@ object TimeSeries {
       windowBuckets: Int = 24): DataFrame = {
     require(windowBuckets >= 1,
       s"rollingActiveUsers: windowBuckets must be >= 1, got $windowBuckets")
-    events
+    // the distinct (user, bucket) set feeds BOTH the window fan-out and
+    // the densification range: pin it so the event-stream distinct (the
+    // only stage that sees raw events) runs once
+    val ub = events
       .filter(user.isNotNull && ts.isNotNull)
       .select(user.as("u"), timeBucket(ts, widthSeconds).as("b"))
       .distinct()
+      .localCheckpoint(false)
+    val counts = ub
       .select(col("u"),
         explode(sequence(col("b"), col("b") + lit(windowBuckets - 1))).as("window_end"))
       .distinct()
       .groupBy(col("window_end"))
       .agg(count(lit(1)).as("n_users"))
+    // dense window-end spine: min(b) .. max(b) + w - 1 (empty input ->
+    // NULL bounds -> NULL sequence -> zero rows, not a crash)
+    val spine = ub
+      .agg(min(col("b")).as("_lo"), max(col("b")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi") + lit(windowBuckets - 1)))
+        .as("window_end"))
+    spine
+      .join(counts, Seq("window_end"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
       .select(col("window_end"),
         date_format(timestamp_seconds(
           (col("window_end") - lit(windowBuckets - 1)) * lit(widthSeconds)),
@@ -300,7 +319,10 @@ object TimeSeries {
     val a = alphaPct / 100.0
     val b = (100 - alphaPct) / 100.0
     val buckets = events
-      .filter(ts.isNotNull && value.isNotNull)
+      // key joins back to its per-key series downstream (and any SQL
+      // twin's equi-join drops NULL keys silently) — a NULL key is
+      // excluded like a NULL ts/value, not folded into a phantom series
+      .filter(key.isNotNull && ts.isNotNull && value.isNotNull)
       .select(key.cast("string").as("key"),
         timeBucket(ts, widthSeconds).as("bucket"),
         floor(value.cast("double") * lit(100)).cast("long").as("_cents"))
