@@ -2202,6 +2202,19 @@ object Queries {
         .orderBy(col("id"), col("span_start"))
     }),
 
+    // Global CROSS-DOCUMENT exact-substring dedup (round-11, Lee et al.
+    // ExactSubstr): maximal spans whose 5-gram windows all occur in >= 2
+    // DISTINCT documents, clustered by exact span content with a
+    // first-occurrence survivor flag — the flagship training-data dedup
+    // primitive; the oracle re-derives duplicated positions through an
+    // UNPRUNED quadratic gram self-join instead of the engine's O(1)
+    // min/max window, so the two sides agree only if the distributed
+    // pruning is exact.
+    "dd_substring_dedup" -> ((s, dir) => {
+      Dedup.substringDedup(t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
+        .orderBy(col("id"), col("span_start"))
+    }),
+
     // BM25 keyword retrieval: lexical top-k over the documents corpus.
     "txt_bm25_topk" -> ((s, dir) => {
       graft.operators.Search.bm25TopK(
@@ -7242,6 +7255,46 @@ object Queries {
         |  (max(start) + 4 - min(start) + 1)::INT AS span_tokens, count(*) AS n_windows
         |FROM i GROUP BY id, sp
         |ORDER BY id, span_start""".stripMargin,
+
+    // Exact-substring-dedup re-derivation: duplicated positions via an
+    // UNPRUNED quadratic gram self-join (a.gh = b.gh across distinct
+    // docs) — independent of the engine's O(1) min/max-per-gram pruning
+    // — then the same island merge, span slice, and content clustering.
+    "dd_substring_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
+        |  FROM tk WHERE len(t) >= 5),
+        |h AS (
+        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
+        |d AS (
+        |  SELECT DISTINCT a.id, a.start
+        |  FROM h a JOIN h b ON a.gh = b.gh AND a.id <> b.id),
+        |s AS (
+        |  SELECT id, start,
+        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
+        |i AS (
+        |  SELECT *, sum(ns) OVER
+        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s),
+        |spans AS (
+        |  SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end,
+        |    count(*)::BIGINT AS n_windows
+        |  FROM i GROUP BY id, sp),
+        |ct AS (
+        |  SELECT spans.id, span_start, span_end, n_windows,
+        |    md5(array_to_string(tk.t[span_start+1:span_end+1], ' ')) AS cluster
+        |  FROM spans JOIN tk ON tk.id = spans.id)
+        |SELECT id, span_start, span_end,
+        |  (span_end - span_start + 1)::INT AS span_tokens,
+        |  n_windows, cluster,
+        |  count(*) OVER (PARTITION BY cluster)::BIGINT AS n_occ,
+        |  (row_number() OVER (PARTITION BY cluster ORDER BY id, span_start) = 1) AS keep
+        |FROM ct ORDER BY id, span_start""".stripMargin,
 
     // Span-decon re-derivation: benchmark 5-gram set (deduped) semi-joins
     // the train grams, then the dd_dup_spans gaps-and-islands merge.

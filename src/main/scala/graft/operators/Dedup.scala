@@ -735,6 +735,92 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_windows"))
   }
 
+  /** Global CROSS-DOCUMENT exact-substring dedup — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) primitive, re-expressed distributed: every maximal
+    * per-document token span whose k-token windows ALL occur in at least
+    * one OTHER document, clustered by exact span content so a survivor
+    * policy can keep one occurrence per duplicated substring and excise
+    * the rest.
+    *
+    * The union of duplicated substrings of length >= k equals the union
+    * of duplicated k-grams (every length->=k duplicate is a chain of
+    * duplicated k-windows; every duplicated k-window is itself a
+    * length-k duplicate), so the suffix-array pass of the reference
+    * implementation is equivalently a k-gram multiplicity scan + island
+    * merge — which distributes, while a global suffix array does not.
+    *
+    * Cluster semantics: `cluster` = md5 of the span's exact token text.
+    * Identical boilerplate across documents lands in one cluster
+    * (n_occ = its occurrence count, `keep` = true on the first
+    * occurrence by (id, span_start) — the canonical survivor); a span
+    * whose windows matched DIFFERENT partner documents (a mosaic of
+    * shared k-grams with no single verbatim twin) is its own singleton
+    * cluster (n_occ = 1, keep = true) — still honest removal input,
+    * since every k-window inside it is duplicated somewhere.
+    *
+    * Scale shape (100 TB): one gram-hash shuffle with O(1) window state
+    * (cross-doc duplication is min(id) < max(id) over the gram
+    * partition — never a countDistinct expand, and a boilerplate gram
+    * shared by millions of docs costs one skewed min/max partition but
+    * NEVER a pair expansion), one doc-keyed island merge, one equi-join
+    * back to the pinned token arrays for the span slice, one
+    * cluster-hash window. No stage is quadratic in corpus size or in
+    * duplication multiplicity.
+    *
+    * @return (id, span_start, span_end, span_tokens, n_windows,
+    *         cluster, n_occ, keep) — token offsets 0-based inclusive,
+    *         one row per maximal span. */
+  def substringDedup(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"substringDedup: window size k must be >= 1, got $k")
+    // token arrays feed the gram scan AND the span-text slice join: pin
+    // once or the corpus re-tokenizes per read
+    val tk = docs
+      .select(id.as("id"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= k)
+      .localCheckpoint(false)
+    val grams = tk
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("_t")) - k),
+          i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
+      .select(col("id"), col("pos").as("start"), col("col").as("gh"))
+    val byGram = Window.partitionBy(col("gh"))
+    val dup = grams
+      .withColumn("_mn", min(col("id")).over(byGram))
+      .withColumn("_mx", max(col("id")).over(byGram))
+      .filter(col("_mn") < col("_mx")) // >= 2 DISTINCT docs, O(1) state
+      .select(col("id"), col("start"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("start"))
+    val spans = dup
+      .withColumn("_new",
+        when(lag(col("start"), 1).over(byDoc).isNull
+          || col("start") > lag(col("start"), 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("_span",
+        sum(col("_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_span"))
+      .agg(
+        min(col("start")).as("span_start"),
+        (max(col("start")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    val byCluster = Window.partitionBy(col("cluster"))
+    spans
+      .join(tk, Seq("id"))
+      .withColumn("cluster",
+        md5(concat_ws(" ", slice(col("_t"), col("span_start") + lit(1),
+          col("span_end") - col("span_start") + lit(1)))))
+      .drop("_t")
+      .withColumn("n_occ", count(lit(1)).over(byCluster))
+      .withColumn("keep",
+        row_number().over(byCluster.orderBy(col("id"), col("span_start"))) === 1)
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"), col("cluster"), col("n_occ"), col("keep"))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (the PPJoin
     * family, Xiao et al. WWW'08): emits every unordered pair whose
     * n-gram-shingle-set Jaccard is >= tNum/tDen, with exact intersection

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 operators: global cross-document exact-substring dedup
+  * (Lee et al. ExactSubstr shape — duplicated-k-gram islands clustered
+  * by exact span content with a first-occurrence survivor flag). */
+class Round11OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side reference: duplicated k-gram starts (>= 2 DISTINCT
+    * docs), island merge (gap > k splits), content clusters, survivor
+    * flag — the definition, computed the slow way. */
+  private def refSubstringDedup(
+      docs: Seq[(Long, String)],
+      k: Int): Seq[(Long, Int, Int, Int, Long, String, Long, Boolean)] = {
+    val toks = docs
+      .map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toVector }
+      .filter(_._2.size >= k)
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, tk) <- toks; i <- 0 to tk.size - k)
+      gramDocs.getOrElseUpdate(tk.slice(i, i + k).mkString(" "),
+        scala.collection.mutable.Set.empty[Long]) += id
+    val spans = for {
+      (id, tk) <- toks
+      island <- {
+        val dupStarts = (0 to tk.size - k)
+          .filter(i => (gramDocs(tk.slice(i, i + k).mkString(" ")) - id).nonEmpty)
+        dupStarts.foldLeft(Vector.empty[Vector[Int]]) { (acc, s) =>
+          if (acc.nonEmpty && s <= acc.last.last + k) acc.init :+ (acc.last :+ s)
+          else acc :+ Vector(s)
+        }
+      }
+    } yield {
+      val s = island.head; val e = island.last + k - 1
+      (id, s, e, e - s + 1, island.size.toLong, tk.slice(s, e + 1).mkString(" "))
+    }
+    val byCluster = spans.groupBy(_._6)
+    spans.map { case (id, s, e, w, nw, text) =>
+      val occ = byCluster(text)
+      val canonical = occ.minBy(o => (o._1, o._2))
+      (id, s, e, w, nw, md5hex(text), occ.size.toLong,
+        canonical._1 == id && canonical._2 == s)
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  private def engine(docs: Seq[(Long, String)], k: Int) =
+    Dedup.substringDedup(docs.toDF("id", "text"), col("id"), col("text"), k)
+      .orderBy(col("id"), col("span_start"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getBoolean(7)))
+      .toSeq
+
+  test("substringDedup finds shared boilerplate and clusters identical spans") {
+    val boiler = "terms of service apply to all users here"
+    val docs = Seq(
+      (1L, s"intro text one two $boiler closing words alpha"),
+      (2L, s"different lead in phrase $boiler and a distinct tail"),
+      (3L, "totally unrelated content with no duplication at all whatsoever"),
+    )
+    val got = engine(docs, k = 5)
+    // both occurrences of the 8-token boilerplate surface, same cluster
+    assert(got.size == 2)
+    val Seq(a, b) = got
+    assert(a._1 == 1L && b._1 == 2L)
+    assert(a._4 == 8 && b._4 == 8, "span_tokens must cover the 8-token boilerplate")
+    assert(a._6 == b._6, "identical span text must share a cluster")
+    assert(a._7 == 2L && b._7 == 2L)
+    assert(a._8 && !b._8, "first occurrence by (id, start) is the survivor")
+    assert(got == refSubstringDedup(docs, 5))
+  }
+
+  test("substringDedup ignores repeats that live in a single document") {
+    val docs = Seq(
+      (1L, "x y z w v x y z w v"), // self-repeat only: not CROSS-document
+      (2L, "p q r s t u"),
+    )
+    assert(engine(docs, k = 5).isEmpty)
+  }
+
+  test("substringDedup equals the driver reference on seeded random corpora") {
+    for (seed <- Seq(11, 137, 4099)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = Vector("red fox", "lazy dog jumps high", "spark plan folds",
+        "shuffle key salt", "broadcast join wins", "column prune early",
+        "codegen stage four", "range scan fast")
+      val docs = (0 until 30).map { i =>
+        (i.toLong,
+          (0 until 4 + rnd.nextInt(5)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+      }
+      for (k <- Seq(3, 5)) {
+        val got = engine(docs, k)
+        val want = refSubstringDedup(docs, k)
+        assert(want.nonEmpty, s"degenerate corpus at seed=$seed k=$k")
+        assert(got == want, s"seed=$seed k=$k")
+      }
+    }
+  }
+}
