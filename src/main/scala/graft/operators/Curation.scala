@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus curation operators beyond dedup: benchmark
@@ -565,6 +566,55 @@ object Curation {
     clean.unionByName(rebuilt)
   }
 
+  /** Apply-step of [[graft.operators.Dedup.substringDedup]] — the true
+    * Lee et al. ExactSubstr REMOVAL: every cross-document duplicated
+    * span is excised from all but its canonical (first-by-(id, start))
+    * occurrence, so exactly ONE copy of each duplicated substring
+    * survives the corpus. Contrast [[removeDuplicateSpans]], which
+    * removes EVERY covered occurrence (nothing survives) — right for
+    * scrubbing, wrong for dedup, where the content itself should stay
+    * represented once.
+    *
+    * Same rebuild shape as [[removeDuplicateSpans]]: covered positions
+    * (non-canonical spans only) anti-join the token explode; untouched
+    * docs pass through string-identical on the anti-join branch.
+    *
+    * @return (id, clean_text, n_removed_tokens) */
+  def applySubstringDedup(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int,
+  ): DataFrame = {
+    val base = docs.select(id.as("id"), text.as("text"))
+    // Pin: read once for the covered positions, once for the dirty-doc
+    // semi/anti split (the span derivation re-executes otherwise).
+    val spans = Dedup.substringDedup(base, col("id"), col("text"), k)
+      .filter(!col("keep"))
+      .select(col("id"), col("span_start"), col("span_end"))
+      .localCheckpoint(false)
+    val covered = spans.select(col("id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val removedCounts = covered.groupBy(col("id")).agg(count(lit(1)).as("n_removed_tokens"))
+    val dirty = base.join(spans.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val clean = base.join(spans.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("text").as("clean_text"), lit(0L).as("n_removed_tokens"))
+    val rebuilt = dirty
+      .select(col("id"), posexplode(TextFunctions.tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+      // a doc whose every token was excised vanishes from the groupBy:
+      // restore it as an empty string via the right join below
+      .join(removedCounts, Seq("id"), "right")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_removed_tokens"))
+    clean.unionByName(rebuilt)
+  }
+
   /** Deterministic fixed-size sample PER GROUP: the k rows of each group
     * with the smallest portable id hash (hash order = an arbitrary-but-
     * fixed shuffle, so this is an unbiased without-replacement sample
@@ -739,6 +789,71 @@ object Curation {
   ): DataFrame =
     applyPlanFilter(df, source, key,
       temperatureMixturePlan(df, source, tokenCount, alpha, tokenBudget))
+
+  /** HARD per-source token quota — the Common-Crawl-style "no single
+    * domain may exceed N tokens" gate that proportional mixture planning
+    * ([[mixturePlan]]/[[temperatureMixturePlan]]) cannot enforce: a plan
+    * scales sources by a keep FRACTION, so a monster domain still lands
+    * oversized; the quota is an exact ceiling with a deterministic
+    * admission order (md5 of the key — a reproducible uniform shuffle,
+    * so what survives under the cap is an unbiased sample of the
+    * source). A document is admitted iff the running token total of its
+    * source, in admission order, stays <= `quotaTokens` INCLUDING its
+    * own tokens — i.e. the admitted set is the longest PREFIX of the
+    * md5-ordered stream that fits the cap (tokens are non-negative, so
+    * past the first overflow nothing later re-enters). Exact,
+    * reproducible; a document larger than the whole quota ends its
+    * source's admission where it lands — prefix-cut semantics, not
+    * knapsack (skip-over packing is a sequential fold that neither
+    * distributes nor stays order-free).
+    *
+    * Scale shape (the reason this is not one window): a cumulative sum
+    * over `Window.partitionBy(source)` puts an entire source in ONE
+    * task — the biggest domain of a 100 TB crawl in one partition. The
+    * md5 admission order makes a two-level prefix sum exact instead:
+    * the first hex byte of the priority is a RANGE of the order, so
+    * per-(source, bucket) subtotals (one map-side-combined agg) prefix
+    * across <= 256 bucket rows per source (tiny window), and the
+    * within-bucket cumulative sum runs over (source, bucket) partitions
+    * bounded at ~|source|/256. Three shuffles, all equi-keyed; no
+    * stage's window state exceeds a hash bucket.
+    *
+    * @return (id, source, n_tokens, cum_tokens, admitted) — cum_tokens
+    *         is the running total including this row, in admission
+    *         order. */
+  def sourceQuota(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      tokenCount: Column,
+      quotaTokens: Long): DataFrame = {
+    require(quotaTokens > 0, s"sourceQuota: quotaTokens must be positive, got $quotaTokens")
+    val tagged = df
+      .filter(source.isNotNull && tokenCount.isNotNull)
+      .select(key.as("id"), source.as("source"),
+        tokenCount.cast("long").as("n_tokens"))
+      // lowercase fixed-width hex: string order == numeric order, and
+      // the first byte is a prefix of the order — the bucketing lever
+      .withColumn("_pri", md5(col("id").cast("string")))
+      .withColumn("_bkt", conv(substring(col("_pri"), 1, 2), 16, 10).cast("int"))
+    val byBucket = Window.partitionBy(col("source")).orderBy(col("_bkt"))
+    val offsets = tagged
+      .groupBy(col("source"), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_off",
+        coalesce(sum(col("_bt")).over(
+          byBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("_bkt"), col("_off"))
+    val inBucket = Window.partitionBy(col("source"), col("_bkt"))
+      .orderBy(col("_pri"), col("id"))
+    tagged
+      .join(offsets, Seq("source", "_bkt"))
+      .withColumn("cum_tokens",
+        col("_off") + sum(col("n_tokens")).over(
+          inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("admitted", col("cum_tokens") <= lit(quotaTokens))
+      .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"), col("admitted"))
+  }
 
   /** Deterministic uniform negative sampling — the contrastive-pair prep
     * step: for each anchor row, `k` pseudo-random other rows drawn with

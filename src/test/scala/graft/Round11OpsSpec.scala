@@ -86,6 +86,90 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(engine(docs, k = 5).isEmpty)
   }
 
+  test("applySubstringDedup keeps exactly one occurrence of duplicated text") {
+    val boiler = "terms of service apply to all users here"
+    val docs = Seq(
+      (1L, s"intro text one two $boiler closing words alpha"),
+      (2L, s"different lead in phrase $boiler and a distinct tail"),
+      (3L, "totally unrelated content with no duplication at all whatsoever"),
+    )
+    val got = graft.operators.Curation.applySubstringDedup(
+      docs.toDF("id", "text"), col("id"), col("text"), k = 5)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 3)
+    // canonical (doc 1) keeps the boilerplate verbatim
+    assert(got(0)._2 == docs.head._2 && got(0)._3 == 0L)
+    // doc 2 loses exactly the 8 boilerplate tokens, rest intact in order
+    assert(got(1)._2 == "different lead in phrase and a distinct tail")
+    assert(got(1)._3 == 8L)
+    // untouched doc passes through string-identical
+    assert(got(2)._2 == docs(2)._2 && got(2)._3 == 0L)
+  }
+
+  test("sourceQuota admits a deterministic prefix and never exceeds the cap") {
+    val docs = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), (4L, "a", 40L),
+      (5L, "b", 10L), (6L, "b", 200L), // oversize doc in a small source
+      (7L, "c", 100L), // exactly the quota
+    ).toDF("id", "src", "tok")
+    val got = graft.operators.Curation.sourceQuota(
+      docs, col("src"), col("id"), col("tok"), quotaTokens = 100L)
+      .orderBy(col("source"), col("cum_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // cap is never exceeded by the admitted set, per source
+    val admittedBySrc = got.filter(_._5).groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(admittedBySrc.forall(_._2 <= 100L), s"quota exceeded: $admittedBySrc")
+    // source a: 40-token docs, only 2 of 4 fit under 100
+    assert(got.count(r => r._2 == "a" && r._5) == 2)
+    // the 200-token doc can never be admitted (alone it exceeds the cap)
+    assert(got.find(_._1 == 6L).exists(!_._5))
+    // admission is a PREFIX of the md5 order: within each source,
+    // cum_tokens is non-decreasing and admitted never flips back to true
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val byCum = rows.sortBy(_._4)
+      assert(byCum.map(_._4).sameElements(byCum.map(_._4).sorted))
+      assert(!byCum.map(_._5).sliding(2).exists(p => p.length == 2 && !p(0) && p(1)),
+        s"admitted flag re-fired after an overflow: ${byCum.mkString(",")}")
+    }
+    // source c: exactly-quota doc is admitted (<= semantics)
+    assert(got.find(_._1 == 7L).exists(_._5))
+    // admission order is the md5 order: rerun is bit-identical
+    val again = graft.operators.Curation.sourceQuota(
+      docs, col("src"), col("id"), col("tok"), quotaTokens = 100L)
+      .orderBy(col("source"), col("cum_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.sameElements(again))
+  }
+
+  test("sourceQuota two-level prefix sum equals the flat per-source window") {
+    val rnd = new scala.util.Random(271828)
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"s${i % 7}", 1L + rnd.nextInt(50).toLong))
+      .toDF("id", "src", "tok")
+    val got = graft.operators.Curation.sourceQuota(
+      docs, col("src"), col("id"), col("tok"), quotaTokens = 300L)
+      .orderBy(col("source"), col("cum_tokens"), col("id"))
+      .collect().map(_.toSeq).toSeq
+    // flat reference: one window per source ordered by (md5(id), id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_pri"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val flat = docs
+      .select(col("id"), col("src").as("source"), col("tok").cast("long").as("n_tokens"))
+      .withColumn("_pri", md5(col("id").cast("string")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("admitted", col("cum_tokens") <= 300L)
+      .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"), col("admitted"))
+      .orderBy(col("source"), col("cum_tokens"), col("id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == flat)
+  }
+
   test("substringDedup equals the driver reference on seeded random corpora") {
     for (seed <- Seq(11, 137, 4099)) {
       val rnd = new scala.util.Random(seed)
