@@ -318,7 +318,22 @@ object TimeSeries {
       s"ewmaBaseline: alphaPct must be in [1, 99], got $alphaPct")
     val a = alphaPct / 100.0
     val b = (100 - alphaPct) / 100.0
-    val buckets = events
+    // Linear per-key scan (genuine per-partition imperative logic, the
+    // mapPartitions case): the recurrence e_i = a·m_i + b·e_{i-1} cannot
+    // be a window aggregate, and the previous array-fold
+    // (aggregate + concat) copied the accumulator per step — quadratic
+    // in buckets-per-key: 53.3 s -> 24.3 s at 20M events/100k keys in
+    // EventBench. The (key, bucket) aggregation is FUSED into the same
+    // scan (round-11): with ~1 event per (key, bucket) cell, a groupBy
+    // gains nothing map-side but pays its own full exchange plus a
+    // second repartition(key) — shuffling the RAW rows once by key and
+    // finishing the bucket aggregation on the sorted run halves the
+    // shuffle count (EventBench A/B: 14.8 -> 3.3 s at 20M events, same
+    // box, PLANS.md). Cent sums are exact longs (order-free), and the
+    // mean/EWMA float ops replay the previous plan's exact IEEE
+    // sequence, so results are bit-identical (gate + invariance prove
+    // it). Deterministic across partitionings: order derives from data.
+    val filtered = events
       // key joins back to its per-key series downstream (and any SQL
       // twin's equi-join drops NULL keys silently) — a NULL key is
       // excluded like a NULL ts/value, not folded into a phantom series
@@ -326,36 +341,31 @@ object TimeSeries {
       .select(key.cast("string").as("key"),
         timeBucket(ts, widthSeconds).as("bucket"),
         floor(value.cast("double") * lit(100)).cast("long").as("_cents"))
-      .groupBy(col("key"), col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("_cents")).as("_sc"))
-      .withColumn("mean_v",
-        col("_sc").cast("double") / lit(100.0) / col("n").cast("double"))
-    // Linear per-key scan (genuine per-partition imperative logic, the
-    // mapPartitions case): the recurrence e_i = a·m_i + b·e_{i-1} cannot
-    // be a window aggregate, and the previous array-fold
-    // (aggregate + concat) copied the accumulator per step — quadratic
-    // in buckets-per-key: 53.3 s -> 24.3 s at 20M events/100k keys in
-    // EventBench (the residue is the upstream 17.5M-group bucket
-    // aggregation, not the scan). repartition(key) + sortWithinPartitions gives
-    // each key a contiguous bucket-ordered run inside one partition;
-    // the scan's float ops (mul, mul, add) replay the fold's exact IEEE
-    // sequence, so results are bit-identical (gate + invariance prove
-    // it). Deterministic across partitionings: order derives from data.
-    val spark = buckets.sparkSession
+    val spark = filtered.sparkSession
     import spark.implicits._
-    buckets
-      .select(col("key"), col("bucket"), col("n"), col("mean_v"))
-      .as[(String, Long, Long, Double)]
+    filtered
+      .as[(String, Long, Long)]
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("bucket"))
-      .mapPartitions { rows =>
+      .mapPartitions { it =>
+        val rows = it.buffered
         var started = false
         var curKey: String = null
         var prev = 0.0
-        rows.map { case (k, bkt, n, m) =>
-          val e = if (!started || k != curKey) m else a * m + b * prev
-          started = true; curKey = k; prev = e
-          (k, bkt, n, m, e)
+        new Iterator[(String, Long, Long, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (String, Long, Long, Double, Double) = {
+            val (k, bkt, _) = rows.head
+            var n = 0L
+            var sc = 0L
+            while (rows.hasNext && rows.head._1 == k && rows.head._2 == bkt) {
+              sc += rows.next()._3; n += 1
+            }
+            val m = sc.toDouble / 100.0 / n.toDouble
+            val e = if (!started || k != curKey) m else a * m + b * prev
+            started = true; curKey = k; prev = e
+            (k, bkt, n, m, e)
+          }
         }
       }
       .toDF("key", "bucket", "n", "mean_v", "ewma")
