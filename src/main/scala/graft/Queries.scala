@@ -24,8676 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
-
-  /** Session-scoped memo of the capped (vocab 20, bigrams 400) documents
-    * bigram LM. Six registered queries train this EXACT deterministic
-    * model (TakeOrdered caps with total tie-breaks — same tables every
-    * run); training it once per (session, sf-dir) and lazy-pinning the
-    * three tiny tables (1 + 20 + 400 rows) removes five redundant
-    * full-corpus token-count passes from a Verify/Bench session without
-    * touching any query's semantics or oracle. Keyed by session identity
-    * so InvarianceCheck's two differently-configured sessions never share
-    * state. */
-  /** Same session-scoped memo discipline for sim_ivf_topk's Lloyd
-    * centroids (deterministic, tiny — 8 cells x 16 dims). */
-  private val ivfCentroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
-  private val lmCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.LanguageModel.BigramLm]()
-  private def sharedLm(s: SparkSession, dir: String): graft.operators.LanguageModel.BigramLm =
-    lmCache.computeIfAbsent(System.identityHashCode(s).toString + "|" + dir, _ => {
-      val lm = graft.operators.LanguageModel.trainBigramLm(
-        t(s, dir, "documents"), col("text"), vocabSize = 20, maxBigrams = 400)
-      graft.operators.LanguageModel.BigramLm(
-        lm.stats.localCheckpoint(false),
-        lm.unigrams.localCheckpoint(false),
-        lm.bigrams.localCheckpoint(false),
-        lm.k)
-    })
-
-  // Decimal-exact sum of a double column, returned as double.
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
-
-  // Driver-facing projection guard: the harness comparator canonicalizes
-  // results through pandas, which cannot hash array/map/struct cells. Any
-  // complex-typed output column ships as its JSON text here. The engine
-  // outputs themselves stay nested — only these driver projections flatten.
-  private def jsonSafe(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: ArrayType | _: MapType | _: StructType => to_json(col(f.name)).as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    df.select(cols.toIndexedSeq: _*)
-  }
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ----------------------------------------------------------- aggregations
-    // A1/A13 + pricing-summary flagship (conditional counts, exact sums).
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-          count(lit(1)).as("count_order"),
-        )
-        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // Composite multi-join analytics (optimizer stress: 3-way join with
-    // pushed filters, decimal-exact revenue, deterministic top-10).
-    "q3_multi_join" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-    }),
-
-    // Q5-shape 6-table star join (round-10): region gate → nation →
-    // customer/supplier co-nationality → orders window → lineitem
-    // revenue, grouped by nation. The Catalyst showcase: all four dim
-    // sides broadcast, the orders date filter pushes to the scan, and
-    // the only shuffle is the final 5-row nation aggregate.
-    "q5_region_revenue" -> ((s, dir) => {
-      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val n = t(s, dir, "nation")
-      val c = t(s, dir, "customer")
-      val su = t(s, dir, "supplier")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
-      val l = t(s, dir, "lineitem")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(n, col("s_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
-    }),
-
-    // Q18-shape large-volume-customer query (round-10): the HAVING-on-
-    // aggregate semi-join pattern — lineitem rolls up per order FIRST
-    // (map-side combined, the only corpus-wide shuffle), and only the
-    // 204 qualifying orders ever touch the orders/customer joins (both
-    // broadcast-able dims at any scale once the agg filter has run).
-    "q18_large_orders" -> ((s, dir) => {
-      val big = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
-        .filter(col("total_qty") > 250L)
-      t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-          col("o_totalprice"), col("total_qty"))
-        .orderBy(col("total_qty").desc, col("o_orderkey"))
-    }),
-
-    // Q8-shape market-share query (round-10): the dimension-role stress
-    // test — nation joins TWICE in different roles (customer's nation
-    // gates the ASIA region; supplier's nation is the market-share
-    // numerator), with a conditional sum so numerator and denominator
-    // come out of ONE aggregation pass. Exact integer cents end to end;
-    // the share ships as BIGINT nanos (never DECIMAL, never a float
-    // ratio recomputed oracle-side).
-    "q8_market_share" -> ((s, dir) => {
-      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
-      val custAsia = t(s, dir, "customer")
-        .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_custkey"))
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
-          col("l_partkey") === col("p_partkey"))
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(custAsia, col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, dir, "nation").select(col("n_nationkey").as("_snk"),
-          col("n_name").as("supp_nation")), col("s_nationkey") === col("_snk"))
-        .select(year(col("o_orderdate")).cast("long").as("o_year"),
-          cents.as("_c"), col("supp_nation"))
-        .groupBy(col("o_year"))
-        .agg(sum(col("_c")).as("total_cents"),
-          sum(when(col("supp_nation") === "NATION_7", col("_c")).otherwise(lit(0L)))
-            .as("nation_cents"))
-        // the x1e9 product widens through DECIMAL(38,0) (long*long wraps
-        // silently past ~9.2e9 cents); the div result is back in (0,1e9]
-        .withColumn("share_n9", expr(
-          "CAST((CAST(nation_cents AS DECIMAL(38,0)) * 1000000000) div total_cents AS BIGINT)"))
-        .orderBy(col("o_year"))
-    }),
-
-    // Q10-shape returned-items ranking (round-10): which customers
-    // returned the most revenue in a quarter — lineitem filters on
-    // returnflag at the scan, aggregates per customer FIRST, and only
-    // then meets the customer/nation dims; the top-20 cut rides a
-    // TakeOrderedAndProject (no global sort materializes).
-    "q10_returned_revenue" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-          col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
-      o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "nation"),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_name"), col("n_name"),
-          col("c_acctbal"), col("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
-    }),
-
-    // F2-F8 — predicate chain + projection, pushed to the parquet scan.
-    "f_filter_chain" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
-        .filter(col("l_quantity") >= 5 && col("l_quantity") <= 45)
-        .filter(col("l_returnflag") =!= "A")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
-
-    // P3/P4/P5 — USI build + special-char cleaning + spectraUsi prefix.
-    "p3_p5_usi" -> ((s, dir) => {
-      val raw = concat(
-        lit("mzspec:PXD000001:"), col("source"), lit("_"), col("lang"), lit(" ("),
-        col("doc_id").cast("string"), lit("):scan:"), col("doc_id").cast("string"),
-        lit(":PEPTIDE/2"))
-      val usi = UsiFunctions.cleanUsi(raw)
-      t(s, dir, "documents")
-        .select(col("doc_id"), usi.as("usi"), UsiFunctions.spectraUsi(usi).as("spectra_usi"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // P7 — isobaric L->I normalization (translate).
-    "p7_isobaric" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          UsiFunctions.isobaric(substring(col("text"), 1, 40)).as("iso_prefix"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // P9 — q==0 repair from the group-global positive minimum.
-    "p9_qvalue_repair" -> ((s, dir) => {
-      val d = t(s, dir, "lineitem").select(col("l_discount").as("q")).distinct()
-      TargetDecoy.repairZeroQValues(d, col("q"), Seq.empty, "q_repaired")
-        .orderBy(col("q"))
-    }),
-
-    // P10 — missed-cleavage counting via regexp over sequence text.
-    "p10_missed_cleavages" -> ((s, dir) => {
-      val up = upper(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          (coalesce(regexp_count(up, lit("[KR]")), lit(0)) -
-            coalesce(regexp_count(up, lit("[KR]P")), lit(0))).cast("long").as("mc"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // P12 — -log10 score transform, 5 dp.
-    "p12_score_transform" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .select(col("l_discount").as("q")).filter(col("q") > 0).distinct()
-        .select(col("q"), PeptideFunctions.proteinScore(col("q")).as("score"))
-        .orderBy(col("q"))
-    }),
-
-    // ------------------------------------------------------------------ joins
-    // J1 — normalize-then-equijoin (the PSM<->spectrum scan-key pattern).
-    "j1_scan_key_join" -> ((s, dir) => {
-      val withKey = t(s, dir, "orders")
-        .withColumn("skey", concat(lit("scan="), col("o_orderkey").cast("string")))
-      val norm = regexp_replace(col("skey"), "^scan=", "").cast("long")
-      val li = t(s, dir, "lineitem")
-      withKey
-        .join(li, norm === li("l_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // J1 stage 2 — the unique-contains rescue
-    // (JmzReaderSpectrumService.java:85-89) through the production
-    // IndexPipeline.scanKeyJoin: even ids match the exact scan-token key,
-    // odd ids are written WITHOUT a scan= token on the PSM side and
-    // embedded inside a longer spectrum id — rescued only when exactly one
-    // spectrum id contains them (frag1 is ambiguous inside frag11/frag13…,
-    // frag499 is unique).
-    "j1_contains_fallback" -> ((s, dir) => {
-      import graft.functions.UsiFunctions
-      val d = t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 500)
-      val psmKeyed = d.select(
-        col("doc_id").as("psmId"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("scan="), col("doc_id").cast("string")))
-          .otherwise(concat(lit("frag"), col("doc_id").cast("string"))).as("sourceId"),
-        lit("f1.mzML").as("fileName"),
-        lit(UsiFunctions.IdFormat.MzmlId).as("idFormat"))
-        .withColumn("scanKey",
-          UsiFunctions.normalizeScanId(col("sourceId"), col("idFormat")))
-      val spectraKeyed = d.select(
-        lit("f1.mzML").as("fileName"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("controllerType=0 controllerNumber=1 scan="),
-            col("doc_id").cast("string")))
-          .otherwise(concat(lit("id_"), col("doc_id").cast("string"),
-            lit("_frag"), col("doc_id").cast("string"))).as("scanId"),
-        (col("doc_id") % 100 + 400).cast("double").as("precursor_mz"))
-        .withColumn("scanKey", UsiFunctions.normalizeScanId(col("scanId"),
-          lit(UsiFunctions.IdFormat.MzmlId)))
-        .withColumn("spectrumFileType", lit("MZML"))
-        .select("fileName", "scanKey", "scanId", "spectrumFileType", "precursor_mz")
-      graft.pipeline.IndexPipeline.scanKeyJoin(psmKeyed, spectraKeyed)
-        .select(col("psmId"), col("scanKey"), col("precursor_mz"))
-        .orderBy(col("psmId"))
-    }),
-
-    // J2 — anti-join completeness guard (unmatched => error in the reference).
-    "j2_unmatched_guard" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_unmatched"))
-    }),
-
-    // J3 — contains()-theta join over small broadcast dims.
-    "j3_contains_join" -> ((s, dir) => {
-      val n = t(s, dir, "nation")
-      val r = broadcast(t(s, dir, "region"))
-      n.join(r, n("n_name").contains(substring(r("r_name"), 1, 1)))
-        .select(col("n_name"), col("r_name"))
-        .orderBy(col("n_name"), col("r_name"))
-    }),
-
-    // J5 — broadcast dimension lookup with coalesce fallback.
-    "j5_dim_lookup" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val n = broadcast(t(s, dir, "nation"))
-      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
-        .select(col("c_custkey"), coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    // J6 — left-semi membership filter.
-    "j6_semi_join" -> ((s, dir) => {
-      val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
-        .select(col("o_orderkey"))
-      t(s, dir, "lineitem")
-        .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // J7 + A3/A7/A9 — single groupBy assembling the per-key rollup
-    // (the protein-evidence shape: counts, best score, dedup'd member list).
-    "j7_rollup" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          countDistinct(col("o_orderpriority")).as("n_priorities"),
-          min(col("o_totalprice")).as("best_price"),
-          max((col("o_orderstatus") === "O").cast("int")).cast("boolean").as("any_open"),
-          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
-        )
-        .orderBy(col("o_custkey"))
-    }),
-
-    // A5/A6 — peptide-uniqueness inference category over a bipartite graph.
-    "a6_inference_category" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      // pre-dedup (part, supp) then plain count+min: one partial-agg
-      // pipeline, no Expand from mixing countDistinct with min
-      val perPart = li.select(col("l_partkey"), col("l_suppkey")).distinct()
-        .groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("ns"), min(col("l_suppkey")).as("only_supp"))
-      val unique = perPart.filter(col("ns") === 1)
-        .select(col("only_supp").as("supp")).distinct().withColumn("u", lit(true))
-      li.select(col("l_suppkey").as("supp")).distinct()
-        .join(unique, Seq("supp"), "left")
-        .select(col("supp"),
-          when(col("u"), lit("distinguishable")).otherwise(lit("indistinguishable")).as("category"))
-        .orderBy(col("supp"))
-    }),
-
-    // A11 — cluster purity: dominant member form must exceed the ratio gate.
-    "a11_cluster_purity" -> ((s, dir) => {
-      val counts = t(s, dir, "events")
-        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("user_id"))
-      val wr = w.orderBy(col("cnt").desc, col("event_type").asc)
-      counts
-        .withColumn("total", sum(col("cnt")).over(w))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === 1)
-        .withColumn("ratio", col("cnt").cast("double") / col("total"))
-        .filter(col("ratio") > 0.22)
-        .select(col("user_id"), col("event_type").as("dominant_type"), col("ratio"))
-        .orderBy(col("user_id"))
-    }),
-
-    // A12/W1 — best-per-group representative via window rank.
-    "a12_best_per_cluster" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
-      t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), col("value"))
-        .orderBy(col("user_id"))
-    }),
-
-    // A14/W2 — target-decoy FDR + q-values (running counts + reverse min).
-    "a14_fdr_qvalues" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("assay", col("user_id") % 8)
-        .withColumn("is_decoy", col("event_type") === "error")
-      TargetDecoy
-        .withQValues(ev, Seq(col("assay")), col("value"), col("is_decoy"), col("event_id"))
-        .select(col("assay"), col("event_id"), col("is_decoy"), col("fdr"), col("q_value"))
-        .orderBy(col("assay"), col("event_id"))
-    }),
-
-    // W4 — deterministic ordered collection (sorted member list per key).
-    "w4_sorted_collect" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(array_join(sort_array(collect_list(
-          concat_ws(":", col("event_type"), col("event_id")))), ",").as("members"))
-        .orderBy(col("user_id"))
-    }),
-
-    // W3 — top-k identifications per spectrum (rank limit).
-    "w3_top_rank" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
-      t(s, dir, "events")
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 2)
-        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
-        .orderBy(col("user_id"), col("rank"))
-    }),
-
-    // W3 twin over an inline fixture: keeps the operator verified even if
-    // the SF testdata regenerates incompatibly (round-6 lesson: all ten
-    // events-table oracles vanished at once when the loader broke, leaving
-    // W3 with zero green rows).
-    "w3_top_rank_fx" -> ((s, _) => {
-      import s.implicits._
-      val ev = Seq(
-        (1L, 1L, 0.5), (1L, 2L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.1),
-        (2L, 5L, 1.0),
-        (3L, 6L, 2.0), (3L, 7L, 3.0), (3L, 8L, 1.0),
-      ).toDF("user_id", "event_id", "value")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
-      ev.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 2)
-        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
-        .orderBy(col("user_id"), col("rank"))
-    }),
-
-    // W6 — trailing range-frame window (RANGE BETWEEN 1 HOUR PRECEDING):
-    // per-user rolling event count + exact decimal rolling sum. The
-    // running range frame evaluates streaming per partition — no
-    // full-frame buffering; decimal sum keeps the rolling total
-    // order-free for cross-engine parity.
-    "w6_rolling_range" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(unix_micros(col("ts").cast("timestamp")))
-        .rangeBetween(-3600L * 1000000L, 0L)
-      t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          count(lit(1)).over(w).as("n_trailing_1h"),
-          sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
-            .as("sum_trailing_1h"))
-        .orderBy(col("user_id"), col("event_id"))
-    }),
-
-    // W3 aggregate tier: bounded top-k per group via the native
-    // TopKByAgg — partial top-k map-side, only k pairs per (partition,
-    // group) cross the shuffle (the window form sorts every row of
-    // every group). Same result as the w3 row_number oracle.
-    "w3_topk_agg" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      // register on the frame's OWNING session — the nanos-fallback
-      // loader hands back a newSession() frame with its own registry
-      ev.groupBy(col("event_type"))
-        .agg(graft.functions.TopKByAgg
-          .topKIds(ev.sparkSession, col("value"), col("event_id"), 3).as("top"))
-        .select(col("event_type"), posexplode(col("top")))
-        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
-          col("col.ord").as("value"), col("col.id").as("event_id"))
-        .orderBy(col("event_type"), col("rank"))
-    }),
-
-    // J8 — bucketed co-located join: both fact sides written bucketBy the
-    // join key, so the SMJ reads bucket metadata instead of shuffling
-    // either side (plan asserted exchange-free in BucketedSpec). The
-    // 100 TB shape for every repeated big-to-big join.
-    "j8_bucketed_join" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderstatus"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
-      // reuseExisting: the ingest-time bucketing is paid once per
-      // session; repeat runs measure the exchange-free join itself
-      graft.operators.Bucketed.coLocatedJoin(s, o, l, "k", nBuckets = 8,
-        tablePrefix = "graft_bkt_j8", reuseExisting = true)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    // J9 — as-of join: each click picks up the latest purchase at or
-    // before it per user (union + running-last window — ONE shuffle on
-    // the key, no range self-join). The right side pre-aggregates per
-    // (user, ts) so duplicate-timestamp survivor semantics are pinned —
-    // which also keeps DuckDB's native ASOF JOIN oracle well-defined.
-    "j9_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts").as("pts"))
-        .agg(max(col("value")).as("purchase_value"))
-      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "pts")
-        .orderBy(col("user_id"), col("event_id"))
-    }),
-
-    // J9b — the dimension-table form of the as-of join: per-key sorted
-    // reference arrays + array-filter lookup (broadcast-able key join,
-    // zero probe-side shuffle; composes with stream-static joins).
-    // Identical semantics to j9 — same DuckDB ASOF oracle.
-    "j9_asof_lookup" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts").as("pts"))
-        .agg(max(col("value")).as("purchase_value"))
-      graft.operators.AsOfJoin.asOfLookup(clicks, purchases, Seq("user_id"), "ts", "pts")
-        .orderBy(col("user_id"), col("event_id"))
-    }),
-
-    // J10 — range join: clicks falling inside the 2-hour window after a
-    // purchase by the same user. Binned to an equi-join on (user, hour
-    // bucket of unix micros) + exact re-check — the inequality join never
-    // runs as a nested loop. The DuckDB oracle states the predicate as a
-    // plain inequality join, a semantically independent formulation.
-    "j10_range_join" -> ((s, dir) => {
-      // session TZ is pinned UTC, so the NTZ->instant cast is lossless
-      val ev = t(s, dir, "events")
-      val micros = (c: Column) => unix_micros(c.cast("timestamp"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), micros(col("ts")).as("cx"),
-          col("ts").as("click_ts"))
-      val windows = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("purchase_ts"),
-          micros(col("ts")).as("ws"),
-          micros(col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
-      graft.operators.RangeJoin
-        .pointInInterval(clicks, windows, Seq("user_id"), "cx", "ws", "we",
-          binWidth = 3600L * 1000000L) // 1-hour bins ~ the typical span
-        .select(col("user_id"), col("event_id"), col("click_ts"), col("purchase_ts"))
-        .orderBy(col("user_id"), col("event_id"), col("purchase_ts"))
-    }),
-
-    // U1 — union of two sources, counted per key.
-    "u1_union" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
-      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
-      c.unionByName(sup).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
-        .orderBy(col("nationkey"))
-    }),
-
-    // U3 — INTERSECT / EXCEPT (distinct set semantics both engines):
-    // nations that have customers but no suppliers, and both.
-    "u3_intersect_except" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
-      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
-      val both = c.intersect(sup).withColumn("relation", lit("both"))
-      val onlyC = c.except(sup).withColumn("relation", lit("customers_only"))
-      both.unionByName(onlyC).orderBy(col("relation"), col("nationkey"))
-    }),
-
-    // A16 — ROLLUP grouping-set aggregation: per-(flag, status) revenue
-    // plus per-flag and grand totals in one pass (the grouping-id keeps
-    // NULL category values distinct from subtotal rows).
-    "a16_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          grouping_id().as("gid"))
-        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // A18 — CUBE: the full 2^k grouping-set lattice (rollup's superset;
-    // one scan, Catalyst expands the grouping sets map-side). Completes
-    // the multi-dimensional aggregation surface next to a16/a17.
-    "a18_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          grouping_id().as("gid"))
-        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // A17 — PIVOT cross-tab: per-user-decile event counts by type, the
-    // pinned-value-list form (fixed schema; Catalyst lowers it to a
-    // two-level pivotfirst aggregation over ONE scan — no per-type
-    // scans). The zero-fill is scoped to the count columns: an unscoped
-    // fill would also rewrite a NULL decile key to 0.
-    "a17_pivot" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("decile", (col("user_id") % 10).cast("int"))
-        .groupBy(col("decile"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .count()
-        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
-        .orderBy(col("decile"))
-    }),
-
-    // W7 — the ranking/distribution window family in one query:
-    // lead/lag/ntile/percent_rank/cume_dist per nation partition (exact
-    // rational outputs; acctbal guaranteed distinct per partition is NOT
-    // assumed — ties break on custkey in the window order).
-    "w7_window_family" -> ((s, dir) => {
-      val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      t(s, dir, "customer")
-        .filter(col("c_nationkey") < 5)
-        .select(col("c_nationkey").cast("int").as("nationkey"),
-          col("c_custkey").as("custkey"),
-          col("c_acctbal"),
-          lag(col("c_custkey"), 1).over(w).as("prev_key"),
-          lead(col("c_custkey"), 1).over(w).as("next_key"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
-        .orderBy(col("nationkey"), col("custkey"))
-    }),
-
-    // U2 — explode(split) token flattening + counts.
-    "u2_explode_tokens" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .filter(col("doc_id") < 50)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("token"))
-    }),
-
-    // D2 — duplicate-key detection (groupBy count > 1).
-    "d2_dup_detect" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .select((col("o_orderkey") % 97).as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1)
-        .orderBy(col("k"))
-    }),
-
-    // Salted two-phase aggregation (skew path) — must equal the plain
-    // GROUP BY, which is exactly what the oracle checks.
-    "a_salted_agg" -> ((s, dir) => {
-      graft.operators.Skew.saltedAggregate(
-        t(s, dir, "lineitem"),
-        key = col("l_returnflag"),
-        uniqueCol = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
-        saltBuckets = 8,
-        partials = Seq(count(lit(1)).as("pn"), sum(col("l_quantity")).as("pq")),
-        finals = Seq(sum(col("pn")).as("n"), sum(col("pq")).as("sum_qty")))
-        .withColumnRenamed("_key", "l_returnflag")
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // Salted replicated join (hot-key path) — must equal the plain join,
-    // which is exactly what the oracle checks.
-    "a_salted_join" -> ((s, dir) => {
-      graft.operators.Skew.saltedJoin(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
-        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        key = "l_orderkey",
-        probeUnique = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
-        saltBuckets = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // W5 — distributed global row index (range-sort + zipWithIndex; the
-    // J4 positional-contract primitive — no single-task Window.orderBy).
-    "w5_global_index" -> ((s, dir) => {
-      graft.operators.GlobalIndex.withGlobalIndex(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        Seq(col("doc_id")), "gidx")
-        .orderBy(col("doc_id"))
-    }),
-
-    // ------------------------------------------------- training-data operators
-    // Exact dedup: md5 fingerprint, deterministic min-id survivor.
-    "dd_exact_dedup" -> ((s, dir) => {
-      Dedup.exact(t(s, dir, "documents"), col("doc_id"), md5(col("text")))
-        .select(col("doc_id"), col("fingerprint"), col("dup_count"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Blocked fuzzy entity resolution: candidate pairs only within
-    // (nation, segment) blocks, verified by banded levenshtein — the
-    // quadratic all-pairs space never materializes. The DuckDB oracle
-    // states it as the raw inequality join over the same blocks.
-    "dd_entity_blocking" -> ((s, dir) => {
-      graft.operators.EntityResolution.blockedFuzzyPairs(
-        t(s, dir, "customer"), "c_custkey", "c_name",
-        Seq("c_nationkey", "c_mktsegment"), maxDistance = 2)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // Corpus-overlap matrix: pairwise word-3-shingle containment between
-    // sources — exact distinct-set arithmetic, one division per pair.
-    "dd_source_overlap" -> ((s, dir) => {
-      graft.operators.Dedup.groupShingleOverlap(
-        t(s, dir, "documents"), col("source"), col("text"), shingleN = 3)
-    }),
-
-    // MinHash + LSH banding near-dup pairs (16 hashes, 4x4 bands).
-    "dd_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // LSH-config recall audit (round-10, made DISCRIMINATING round-11):
-    // how much of the EXACT >= 1/2 Jaccard pair set each MinHash banding
-    // config actually surfaces — the dedup twin of sim_ann_recall (trust
-    // a banding config only after measuring what it misses). Two rows
-    // over the SAME 16-hash signature and the SAME exact ground truth:
-    // the shipped 4 bands x 4 rows, and a deliberately cheap 2 bands x 8
-    // rows whose per-band match probability at J=0.5 is 0.5^8 — the
-    // audit earns its place by showing a config going lossy, not by
-    // printing 1.0 twice. Ground truth is the prefix-filtered exact
-    // join; both sides share the doc_id < 500 oracle gate. n_hit is
-    // coalesced so an exact-pair-free corpus reports 0, not NULL (the
-    // oracle's COUNT over an empty join is 0). Exact-integer
-    // recall/precision in BIGINT nanos.
-    "dd_lsh_recall" -> ((s, dir) => {
-      val gated = t(s, dir, "documents").filter(col("doc_id") < 500)
-      // ground truth + signature each feed both config rows: pin once or
-      // the prefix join / shingle-explode-min-agg re-execute per config
-      val exact = Dedup.prefixJaccardPairs(
-        gated, col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint(false)
-      val sh = gated.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16)
-        .localCheckpoint(false)
-      def auditRow(cfg: String, nb: Int, rpb: Int): DataFrame = {
-        val lsh = Dedup.minHashLshPairs(
-          sigs, numBands = nb, rowsPerBand = rpb, threshold = 0.5)
-          .select(col("id_a"), col("id_b"))
-        exact
-          .join(lsh.withColumn("_l", lit(1L)), Seq("id_a", "id_b"), "left")
-          .agg(count(lit(1)).as("n_exact"),
-            coalesce(sum(coalesce(col("_l"), lit(0L))), lit(0L)).as("n_hit"))
-          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-          .select(lit(cfg).as("config"), col("n_exact"), col("n_lsh"), col("n_hit"),
-            expr("CASE WHEN n_exact > 0 THEN (n_hit * 1000000000L) div n_exact END")
-              .as("recall_n9"),
-            expr("CASE WHEN n_lsh > 0 THEN (n_hit * 1000000000L) div n_lsh END")
-              .as("precision_n9"))
-      }
-      auditRow("16h_2x8", 2, 8).unionAll(auditRow("16h_4x4", 4, 4))
-        .orderBy(col("config"))
-    }),
-
-    // Near-dup components with the PRODUCTION survivor policy: keep the
-    // highest-quality member (here: longest, n_chars) per component.
-    "dd_keep_best_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-      Dedup.dedupByPairsKeepBest(
-        docs.select(col("doc_id").as("id"), col("n_chars")), pairs, col("n_chars"))
-        .orderBy(col("id"))
-    }),
-
-    // Corpus vocabulary: top-50 terms by frequency (tokenizer training).
-    "txt_vocabulary" -> ((s, dir) => {
-      graft.operators.Search.vocabulary(t(s, dir, "documents"), col("text"), topK = 50)
-    }),
-
-    // CMS join-cardinality estimation: |orders ⋈ lineitem| estimated from
-    // two bounded sketches (min over rows of the counter inner product —
-    // exact BIGINT arithmetic) next to the true join count. The planner
-    // primitive for salting/broadcast decisions without running the join.
-    // The ratio column makes the additive |A||B|/width error VISIBLE:
-    // ~1.0x at sf0.001, ~3x at sf0.1 (150k x 600k keys over 65536
-    // buckets) — right on the documented bound; production sizing is
-    // width ≈ |A||B| / tolerable_error.
-    "tdp_cms_join_size" -> ((s, dir) => {
-      import graft.operators.Sketches
-      val d = 4; val w = 65536
-      val o = Sketches.cmsSketchByGroup(
-        t(s, dir, "orders"), Seq(lit(1).as("g")), col("o_orderkey"), d, w)
-        .select(col("counters").as("ca"))
-      val l = Sketches.cmsSketchByGroup(
-        t(s, dir, "lineitem"), Seq(lit(1).as("g")), col("l_orderkey"), d, w)
-        .select(col("counters").as("cb"))
-      val exact = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .agg(count(lit(1)).as("exact"))
-      o.crossJoin(l).crossJoin(exact)
-        .select(
-          Sketches.cmsJoinSizeEstimate(col("ca"), col("cb"), d, w).as("est"),
-          col("exact"),
-          (Sketches.cmsJoinSizeEstimate(col("ca"), col("cb"), d, w).cast("double") /
-            col("exact")).as("ratio"))
-    }),
-
-    // Fixed-point PageRank over the near-dup similarity graph (canonical-
-    // member centrality): the dd_minhash_lsh pair derivation feeds the
-    // integer-arithmetic PageRank loop — BIGINT contributions/sums, so
-    // the result is partitioning-independent and the oracle replays all
-    // three iterations bit-identically. The contract ships ONLY the
-    // exact BIGINT picorank (the display double rank_fp/1e12 stays an
-    // API-level convenience) — r6 lesson: any runtime-recomputed raw
-    // DOUBLE output column is oracle-environment-sensitive.
-    "tdp_graph_rank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-      graft.operators.Graph.pageRankFixedPoint(pairs, iters = 3)
-        .select(col("id"), col("rank_fp"))
-        .orderBy(col("rank_fp").desc, col("id"))
-    }),
-
-    // Per-node triangle counts (round-9) over the same near-dup LSH pair
-    // graph — degree-ordered node-iterator (each edge oriented low→high
-    // under (deg, id), wedges at the apex, closed against the edge list);
-    // separates tight template cliques from hub false positives.
-    "tdp_graph_triangles" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-      graft.operators.Graph.triangleCounts(pairs)
-    }),
-
-    // Canonical member per near-dup component by PageRank centrality
-    // (round-10): the "most representative duplicate" survivor policy —
-    // CC labels (min-id components) joined with the fixed-point BIGINT
-    // picoranks, one winner per component at (rank_fp desc, id). Ships
-    // only exact integers + the boolean flag (rank_fp stays the
-    // tdp_graph_rank contract).
-    "dd_canonical_by_rank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-      graft.operators.Graph.canonicalByRank(pairs, iters = 3)
-        .select(col("id"), col("component"), col("rank_fp"), col("is_canonical"))
-        .orderBy(col("component"), col("id"))
-    }),
-
-    // Near-dup component-size histogram (round-10): the dedup report
-    // a corpus release quotes — how many duplicate clusters of each size
-    // the similarity graph contains (pair endpoints only; singletons by
-    // definition have no row). Two exact-count aggregations over the
-    // |components|-bounded label frame.
-    "dd_component_sizes" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-      Dedup.connectedComponents(pairs)
-        .groupBy(col("component")).agg(count(lit(1)).as("size"))
-        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
-        .orderBy(col("size"))
-    }),
-
-    // Bradley-Terry preference ranking (round-8): pairwise "which source
-    // wrote the longer doc" comparisons from consecutive doc pairs, MM
-    // fit in integer fixed-point (micro-unit strengths — the picorank
-    // discipline), dense rank by strength.
-    "tdp_bt_ranking" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
-      val pairs = d.alias("a").join(
-        d.select((col("doc_id") - 1).as("doc_id"),
-          col("source").as("b_source"), col("n_chars").as("b_chars")),
-        Seq("doc_id"))
-        .filter(col("a.source").isNotNull && col("b_source").isNotNull &&
-          col("a.source") =!= col("b_source") && col("a.n_chars") =!= col("b_chars"))
-      val comparisons = pairs.select(
-        when(col("a.n_chars") > col("b_chars"), col("a.source"))
-          .otherwise(col("b_source")).as("w"),
-        when(col("a.n_chars") > col("b_chars"), col("b_source"))
-          .otherwise(col("a.source")).as("l"))
-      graft.operators.Preference.bradleyTerry(
-        comparisons, col("w"), col("l"), iterations = 3)
-    }),
-
-    // Pairwise win rates with Wilson bounds over the same comparison set
-    // as tdp_bt_ranking — the small-sample confidence gate a preference
-    // dataset is audited with before fitting strengths.
-    "tdp_win_rates" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
-      val pairs = d.alias("a").join(
-        d.select((col("doc_id") - 1).as("doc_id"),
-          col("source").as("b_source"), col("n_chars").as("b_chars")),
-        Seq("doc_id"))
-        .filter(col("a.source").isNotNull && col("b_source").isNotNull &&
-          col("a.source") =!= col("b_source") && col("a.n_chars") =!= col("b_chars"))
-      val comparisons = pairs.select(
-        when(col("a.n_chars") > col("b_chars"), col("a.source"))
-          .otherwise(col("b_source")).as("w"),
-        when(col("a.n_chars") > col("b_chars"), col("b_source"))
-          .otherwise(col("a.source")).as("l"))
-      graft.operators.Preference.winRateReport(comparisons, col("w"), col("l"))
-    }),
-
-    // DPO-style chosen/rejected pairs: per user, the highest- and
-    // lowest-valued event as a preference pair with its margin (champion
-    // struct extremes — one aggregation, no per-key sort window).
-    "tdp_chosen_rejected" -> ((s, dir) => {
-      graft.operators.Preference.chosenRejected(
-        t(s, dir, "events"), col("user_id"), col("event_id"), col("value"))
-        .withColumnRenamed("prompt", "user_id")
-    }),
-
-    // GRPO group advantage normalization (round-9): per user group, each
-    // event's centi-quantized reward centered/scaled by the group's own
-    // mean and std — exact BIGINT sums, int64→double conversions, IEEE
-    // fixed-association arithmetic and one exactly-rounded sqrt; no
-    // decimal→double re-conversion anywhere (the r6 red-row vector).
-    "tdp_group_advantage" -> ((s, dir) => {
-      graft.operators.Preference.groupAdvantage(
-        t(s, dir, "events").filter(col("value").isNotNull),
-        col("user_id"), col("event_id"), floor(col("value") * 100))
-        .withColumnRenamed("group_id", "user_id")
-        .withColumnRenamed("id", "event_id")
-    }),
-
-    // ROUGE-2 generation-eval metric (round-8): clipped bigram overlap
-    // between each doc and its same-source successor.
-    "txt_rouge_pairs" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      val pairs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .withColumn("reference", lead(col("text"), 1).over(w))
-        .filter(col("reference").isNotNull)
-        .select(col("doc_id").as("pair_id"), col("text").as("candidate"),
-          col("reference"))
-      graft.operators.Search.rougeN(
-        pairs, col("pair_id"), col("candidate"), col("reference"), n = 2)
-        .withColumnRenamed("pair_id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Per-source Count-Min frequency sketch (native cms_sketch aggregate,
-    // depth 4 x width 16 — narrower than the 31-term vocab, so collisions
-    // and real overestimates occur) probed with every distinct term next
-    // to its exact count. The whole counter matrix re-derives exactly in
-    // DuckDB (portable md5 hash + integer bucket arithmetic).
-    "tdp_cms_freq" -> ((s, dir) => {
-      import graft.operators.{Search, Sketches}
-      val toks = t(s, dir, "documents")
-        .select(col("source"), explode(Search.terms(col("text"))).as("term"))
-      val sk = Sketches.cmsSketchByGroup(
-        toks, Seq(col("source")), col("term"), depth = 4, width = 16)
-      val exact = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("exact"))
-      exact.join(broadcast(sk), Seq("source"))
-        .select(col("source"), col("term"), col("exact"),
-          Sketches.cmsEstimate(col("counters"), col("term"), depth = 4, width = 16).as("est"),
-          col("total"))
-        .orderBy(col("source"), col("term"))
-    }),
-
-    // Bigram LM training (capped model): the top-400 bigram count table
-    // trained over the documents corpus — two map-side-combined count
-    // aggregations plus deterministic TakeOrdered caps.
-    "txt_lm_train" -> ((s, dir) => {
-      sharedLm(s, dir)
-        .bigrams
-        .orderBy(col("c").desc, col("w1"), col("w2"))
-    }),
-
-    // LM perplexity scoring (CCNet-style quality filter): stupid-backoff
-    // bigram model trained on the corpus, every doc scored by mean
-    // per-token negative log-prob. The caps (vocab 20 of 31, bigrams 400
-    // of ~916) BIND at every SF, so the OOV and backoff paths are
-    // genuinely exercised. Scoring is shuffle-free except the final
-    // per-doc aggregation (model lookups are broadcast joins).
-    "txt_lm_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lm = sharedLm(s, dir)
-      graft.operators.LanguageModel
-        .scoreBigramLm(docs, col("doc_id"), col("text"), lm)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Data-quality expectation report: five contract rules over events in
-    // ONE aggregation pass (value_small deliberately fails — max value is
-    // ~560 — so both report states appear).
-    "tdp_expectations" -> ((s, dir) => {
-      graft.operators.DataQuality.expectationReport(t(s, dir, "events"), Seq(
-        "event_id_not_null" -> col("event_id").isNotNull,
-        "event_type_known" ->
-          col("event_type").isin("click", "view", "purchase", "signup", "error"),
-        "ts_in_2024" -> (year(col("ts")) === 2024),
-        "user_id_positive" -> (col("user_id") > 0),
-        "value_small" -> (col("value") < 100.0)))
-    }),
-
-    // PSI distribution drift between two derived corpus snapshots on
-    // n_chars (12 equal bins over [0, 600), Laplace-smoothed shares,
-    // 9-dp decimal-summed contributions).
-    "tdp_psi_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.DataQuality.psiDrift(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
-    }),
-
-    // Binned two-sample KS drift on n_chars between corpus halves — the
-    // no-smoothing, no-transcendental distribution test: exact integer
-    // CDF sums, single divisions, max. Window runs over 12 summary rows.
-    "dq_ks_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.DataQuality.ksDrift(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
-    }),
-
-    // Wasserstein-1 drift (round-9): same grid as dq_ks_drift but the
-    // earth-mover statistic — exact-integer CDF-difference numerators,
-    // two trailing IEEE ops, no transcendental and no smoothing.
-    "dq_wasserstein_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.DataQuality.wassersteinDrift(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
-    }),
-
-    // Benford first-digit audit (round-10) on order-line amounts in
-    // cents — the fabricated-numbers / truncated-extract tripwire. Pure
-    // exact-integer contract: leading digits from integer rendering,
-    // reviewed nano-share constants (no runtime log10), BIGINT deviation
-    // and total-variation columns.
-    "dq_benford" -> ((s, dir) => {
-      graft.operators.DataQuality.benfordAudit(
-        t(s, dir, "lineitem"),
-        floor(col("l_extendedprice") * lit(100)).cast("long"))
-    }),
-
-    // Chi-square independence between corpus facets (source × lang):
-    // observed cells + independence expectations, chi2 via the closed
-    // form Σ o²/e − n (absent cells never materialized), round-to-nano
-    // long-summed terms.
-    "dq_chi_square" -> ((s, dir) => {
-      graft.operators.DataQuality.chiSquare(
-        t(s, dir, "documents"), col("source"), col("lang"))
-    }),
-
-    // PPS (size-weighted Poisson) sampling with Horvitz-Thompson
-    // weights: expected-100-doc sample, inclusion probability
-    // proportional to document length; one 1-row total broadcast back
-    // as a pure filter + weight projection.
-    "tdp_pps_sample" -> ((s, dir) => {
-      graft.operators.Curation.ppsSample(
-        t(s, dir, "documents"), col("doc_id"), length(col("text")), target = 100L)
-        .select(col("doc_id"), col("source"), col("ht_weight"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // HARD per-source token quota (round-11): the "cap any single
-    // domain" gate mixture planning can't enforce — exact running-total
-    // ceiling in a deterministic md5 admission order, computed as a
-    // two-level prefix sum (per-(source, hash-bucket) subtotals + a
-    // <=256-row offset window per source) so no source ever occupies a
-    // single window partition. The oracle re-derives the same totals
-    // through ONE flat per-source window — the two sides agree only if
-    // the bucketed decomposition is exact.
-    "tdp_source_quota" -> ((s, dir) => {
-      graft.operators.Curation.sourceQuota(
-        t(s, dir, "documents"), col("source"), col("doc_id"),
-        size(TextFunctions.tokens(col("text"))), quotaTokens = 800L)
-        .orderBy(col("source"), col("cum_tokens"), col("id"))
-    }),
-
-    // Curriculum staging: 4 difficulty tiers by exact interpolated
-    // length quantiles — one percentile aggregation broadcast back as a
-    // pure projection (the corpus never shuffles).
-    "tdp_curriculum" -> ((s, dir) => {
-      graft.operators.Curation.curriculumStages(
-        t(s, dir, "documents"), length(col("text")), nStages = 4)
-        .select(col("doc_id"), col("stage"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Event-time OHLC downsample: per (event_type, hour bucket)
-    // open/close by (ts, event_id) champion aggregates (min_by/max_by —
-    // a plain hash agg, no per-bucket sort window).
-    "e_downsample_ohlc" -> ((s, dir) => {
-      graft.operators.TimeSeries.downsampleOhlc(
-        t(s, dir, "events"), col("ts"), col("event_id"), col("value"),
-        widthSeconds = 3600L, keys = Seq(col("event_type")))
-        .select(col("event_type"), col("bucket"), col("bucket_start"),
-          col("open"), col("close"), col("high"), col("low"), col("volume"))
-        .orderBy(col("event_type"), col("bucket"))
-    }),
-
-    // Per-user arrival-gap diagnostics: lag window partitioned by user
-    // (parallel across keys) + one hash agg sharing the same shuffle;
-    // gaps > 60 s counted, max/mean exact micros arithmetic.
-    "e_gap_stats" -> ((s, dir) => {
-      graft.operators.TimeSeries.gapStats(
-        t(s, dir, "events").filter(col("user_id").isNotNull),
-        col("user_id"), col("ts"), gapSeconds = 60L)
-        .withColumnRenamed("key", "user_id")
-        .orderBy(col("user_id"))
-    }),
-
-    // JS vocabulary drift between corpus halves: the textual PSI —
-    // top-25-union vocab + <oov> fold, Laplace shares, 9-dp
-    // decimal-summed JS contributions (js in [0, ln 2]).
-    "txt_vocab_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.LanguageModel.vocabularyDrift(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        col("text"), vocabSize = 25)
-    }),
-
-    // PMI collocations (phrase mining): bigram/unigram count aggs, the
-    // minCount filter BEFORE the count joins, bounded TakeOrdered cut at
-    // (pmi desc, w1, w2) — 6-dp-rounded PMI makes the ranking
-    // deterministic cross-engine.
-    "txt_pmi_bigrams" -> ((s, dir) => {
-      graft.operators.LanguageModel.pmiCollocations(
-        t(s, dir, "documents"), col("text"), minCount = 5L, topK = 25)
-    }),
-
-    // Ordered funnel (view -> click -> purchase): greedy earliest-
-    // completion per user; one hash agg per step over a shrinking
-    // frontier, each frontier lazily pinned.
-    "e_funnel" -> ((s, dir) => {
-      graft.operators.TimeSeries.funnel(
-        t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
-        Seq("view", "click", "purchase"))
-        .withColumnRenamed("user", "user_id")
-        .orderBy(col("user_id"))
-    }),
-
-    // Weekly cohort retention triangle: first-seen bucket join + one
-    // (cohort, offset) distinct count.
-    "e_cohort_retention" -> ((s, dir) => {
-      graft.operators.TimeSeries.cohortRetention(
-        t(s, dir, "events"), col("user_id"), col("ts"), widthSeconds = 604800L)
-        .orderBy(col("cohort"), col("offset"))
-    }),
-
-    // Hybrid-retrieval fusion: BM25 lexical top-10 + brute-force cosine
-    // top-10 for embedding query 3, reciprocal-rank fused (k=60). Both
-    // input rankings are already top-k bounded, so the fusion is a
-    // broadcast-sized full-outer join + bounded cut.
-    "txt_rrf_fusion" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val bm = graft.operators.Search.bm25TopK(
-        docs, col("doc_id"), col("text"), query = Seq("spark", "query", "fast"), k = 10)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val bf = Similarity.bruteForceTopK(e, e.filter(col("id") === 3), k = 10)
-        .select(col("neighbor_id").as("id"), col("rank"))
-      graft.operators.Search.rrfFuse(bm, bf, "id", "rank", k = 60, topK = 10)
-    }),
-
-    // Hard-negative mining: exact cosine top-5 restricted to rows
-    // PROVABLY of a different label (both known, unequal) — the
-    // informative negatives for contrastive training.
-    "sim_hard_negatives" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
-      Similarity.hardNegativeTopK(e, e.filter(col("id") < 5), k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Deterministic uniform negative sampling: k pseudo-random other
-    // docs per anchor, self-pairing structurally impossible
-    // (offset 1 + h % (n-1)); one global index + one resolve join.
-    "tdp_negative_sample" -> ((s, dir) => {
-      graft.operators.Curation.negativeSample(
-        t(s, dir, "documents"), col("doc_id"), k = 3)
-        .orderBy(col("anchor"), col("neg_rank"))
-    }),
-
-    // One-pass dataset profile of the documents table: dtype, nulls,
-    // exact distincts, min/max per column (single aggregation pass).
-    "dq_profile" -> ((s, dir) => {
-      graft.operators.DataQuality.profileFrame(t(s, dir, "documents"))
-    }),
-
-    // Schema/profile drift between snapshots (round-10): snapshot B
-    // simulates a regenerated corpus — n_chars dropped, n_tokens added,
-    // lang 10%-nulled — and the diff must surface the one-sided
-    // columns, the unchanged dtypes, and the exact null-ppm shift.
-    "dq_schema_drift" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val a = docs.filter(col("doc_id") % 2 === 0)
-      val b = docs.filter(col("doc_id") % 2 === 1)
-        .withColumn("lang",
-          when(col("doc_id") % 10 === 1, lit(null).cast("string"))
-            .otherwise(col("lang")))
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .drop("n_chars")
-      graft.operators.DataQuality.schemaDrift(a, b)
-    }),
-
-    // Language-ID accuracy audit: confusion matrix of the n-gram
-    // heuristic against the labeled lang column, with per-cell recall
-    // share (diagonal = class recall). Cells pinned, totals broadcast.
-    "dq_langid_confusion" -> ((s, dir) => {
-      graft.operators.DataQuality.confusionMatrix(
-        t(s, dir, "documents").select(col("lang"),
-          TextFunctions.langIdHeuristic(col("text")).as("pred")),
-        col("lang"), col("pred"))
-    }),
-
-    // Cohen's kappa between the gold lang label and the heuristic
-    // prediction — chance-corrected agreement over the same joint counts
-    // the confusion matrix reports. Every division is a single exactly-
-    // rounded IEEE op over exact integers (no rounding discipline needed).
-    "dq_cohen_kappa" -> ((s, dir) => {
-      graft.operators.DataQuality.cohenKappa(
-        t(s, dir, "documents").select(col("lang"),
-          TextFunctions.langIdHeuristic(col("text")).as("pred")),
-        col("lang"), col("pred"))
-    }),
-
-    // pass@k (round-9): HumanEval-style unbiased estimator per user task
-    // group — fixed-order IEEE product fold, n<k NULL, n-c<k exactly 1.
-    "tdp_pass_at_k" -> ((s, dir) => {
-      graft.operators.Preference.passAtK(
-        t(s, dir, "events").filter(col("value").isNotNull),
-        col("user_id"), col("value") > 500.0, ks = Seq(1, 5, 10))
-        .withColumnRenamed("task", "user_id")
-    }),
-
-    // k-anonymity audit (round-9) over derived quasi-identifiers
-    // (event_type, day, value centile-band): class structure + violating
-    // mass at k=5; exact BIGINTs, NULL is a real class value.
-    "dq_k_anonymity" -> ((s, dir) => {
-      graft.operators.DataQuality.kAnonymity(
-        t(s, dir, "events"),
-        Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
-          expr("cast(floor(value / 100) as bigint)")),
-        k = 5L)
-    }),
-
-    // Referential-integrity audits (round-9): the two FK contracts the
-    // TPC-H-ish join queries trust (lineitem→orders, orders→customer),
-    // unioned with a labeled row each.
-    "dq_ref_integrity" -> ((s, dir) => {
-      import graft.operators.DataQuality
-      DataQuality.referentialIntegrity(
-        t(s, dir, "lineitem"), col("l_orderkey"),
-        t(s, dir, "orders"), col("o_orderkey"))
-        .withColumn("fk", lit("lineitem.l_orderkey->orders"))
-        .unionByName(
-          DataQuality.referentialIntegrity(
-            t(s, dir, "orders"), col("o_custkey"),
-            t(s, dir, "customer"), col("c_custkey"))
-            .withColumn("fk", lit("orders.o_custkey->customer")))
-        .select(col("fk"), col("n_child_rows"), col("n_null_fk"),
-          col("n_orphans"), col("intact"))
-        .orderBy(col("fk"))
-    }),
-
-    // t-closeness audit (round-9): per-class total-variation distance of
-    // the event_type distribution vs global — the skewness-attack check
-    // completing the k-anonymity / l-diversity privacy triple.
-    "dq_t_closeness" -> ((s, dir) => {
-      graft.operators.DataQuality.tCloseness(
-        t(s, dir, "events"),
-        Seq(date_format(col("ts"), "yyyy-MM-dd"),
-          expr("cast(floor(value / 100) as bigint)")),
-        col("event_type"))
-        .withColumnRenamed("q0", "day")
-        .withColumnRenamed("q1", "vband")
-    }),
-
-    // l-diversity audit (round-9): the homogeneity-attack check on the
-    // same quasi-identifiers with event_type as the sensitive value.
-    "dq_l_diversity" -> ((s, dir) => {
-      graft.operators.DataQuality.lDiversity(
-        t(s, dir, "events"),
-        Seq(date_format(col("ts"), "yyyy-MM-dd"),
-          expr("cast(floor(value / 100) as bigint)")),
-        col("event_type"), l = 2L)
-    }),
-
-    // Deterministic Pearson correlation (round-9) over quantized
-    // lineitem measures — exact integer moments, one IEEE chain; what
-    // the float corr() aggregator cannot promise across re-plans.
-    "a_pearson_corr" -> ((s, dir) => {
-      import graft.operators.DataQuality
-      val li = t(s, dir, "lineitem")
-      DataQuality.pearsonCorr(li, floor(col("l_quantity")),
-        floor(col("l_discount") * 100))
-        .withColumn("pair", lit("qty_discount"))
-        .unionByName(
-          DataQuality.pearsonCorr(li, floor(col("l_quantity")),
-            floor(col("l_extendedprice")))
-            .withColumn("pair", lit("qty_price")))
-        .select(col("pair"), col("n"), col("sum_x"), col("sum_y"), col("sum_xy"),
-          col("corr"))
-        .orderBy(col("pair"))
-    }),
-
-    // Primary-key audits (round-9) across three tables — uniqueness/
-    // nullability of the columns every join and dedup trusts; a
-    // composite key audits through its canonical string form.
-    "dq_key_audit" -> ((s, dir) => {
-      import graft.operators.DataQuality
-      def one(name: String, df: DataFrame, k: Column) =
-        DataQuality.keyAudit(df, k).withColumn("table_key", lit(name))
-      one("documents.doc_id", t(s, dir, "documents"), col("doc_id"))
-        .unionByName(one("events.event_id", t(s, dir, "events"), col("event_id")))
-        .unionByName(one("lineitem.orderkey_linenumber", t(s, dir, "lineitem"),
-          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
-        .select(col("table_key"), col("n_rows"), col("n_null_keys"), col("n_keys"),
-          col("n_dup_keys"), col("max_multiplicity"), col("n_excess_rows"))
-        .orderBy(col("table_key"))
-    }),
-
-    // Robust median/MAD outliers (round-9) per event type: |x - median| >
-    // 3·MAD — heavy tails can't drag their own threshold; medians ride
-    // the proven percentile/quantile_cont interpolation contract.
-    "dq_robust_outliers" -> ((s, dir) => {
-      graft.operators.DataQuality.robustOutliers(
-        t(s, dir, "events"), col("event_type"), col("value"), k = 3.0)
-        .withColumnRenamed("group", "event_type")
-    }),
-
-    // Krippendorff's alpha (round-9): multi-annotator nominal agreement
-    // over synthetic rating slots (unit = event_id div 10, annotator =
-    // event_id % 10, label = event_type) — BIGINT micro fixed-point end
-    // to end, integer `div` the only division (picorank discipline).
-    "dq_krippendorff_alpha" -> ((s, dir) => {
-      graft.operators.DataQuality.krippendorffAlpha(
-        t(s, dir, "events").filter(col("event_type").isNotNull),
-        expr("event_id div 10"), expr("event_id % 10"), col("event_type"))
-    }),
-
-    // Per-source label balance: Shannon entropy + Gini impurity of the
-    // lang distribution inside each source — ln rides round-to-nano
-    // integer contributions; every shipped column is BIGINT (the r9
-    // driver-gate lesson: DECIMAL output columns never hash-match).
-    "dq_label_balance" -> ((s, dir) => {
-      graft.operators.DataQuality.labelBalance(
-        t(s, dir, "documents"), col("source"), col("lang"))
-    }),
-
-    // Per-class precision/recall/F1 for the langid heuristic vs the gold
-    // label — single-chain exact divisions, NULL where undefined.
-    "dq_classification_report" -> ((s, dir) => {
-      graft.operators.DataQuality.classificationReport(
-        t(s, dir, "documents").select(col("lang"),
-          TextFunctions.langIdHeuristic(col("text")).as("pred")),
-        col("lang"), col("pred"))
-    }),
-
-    // Reliability report for the hashed quality scorer against the
-    // lang=en outcome: 10 equal-width score bins on [-0.5, 0.5) with
-    // observed positive rate vs exact mean score per bin.
-    "dq_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sc = graft.operators.QualityModel.scoreDocs(docs, col("doc_id"), col("text"))
-        .select(col("id"), col("score"))
-      val lab = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("y"))
-      graft.operators.DataQuality.calibrationReport(
-        sc.join(lab, Seq("id")), col("score"), col("y"),
-        lo = -0.5, hi = 0.5, buckets = 10)
-    }),
-
-    // Per-source langid ACCURACY with Wilson 95% bounds — rate plus
-    // uncertainty in one exactly-rounded IEEE chain (sqrt included).
-    "dq_rate_wilson" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.DataQuality.rateWithWilson(
-        docs.select(col("source"),
-          (TextFunctions.langIdHeuristic(col("text")) <=> col("lang")).as("ok")),
-        col("source"), col("ok"))
-    }),
-
-    // Binned ROC-AUC for the same scorer/outcome as dq_calibration —
-    // ranking quality next to probability quality. The trapezoid
-    // numerator is EXACT BIGINT until one trailing division.
-    "dq_binned_auc" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sc = graft.operators.QualityModel.scoreDocs(docs, col("doc_id"), col("text"))
-        .select(col("id"), col("score"))
-      val lab = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("y"))
-      graft.operators.DataQuality.binnedAuc(
-        sc.join(lab, Seq("id")), col("score"), col("y"),
-        lo = -0.5, hi = 0.5, buckets = 10)
-    }),
-
-    // Tokenizer-coverage audit: per-doc OOV rate under the top-20 corpus
-    // vocabulary (11 of 31 terms fall outside the cap, so real OOV mass);
-    // vocab broadcast, corpus never shuffles by content.
-    "txt_oov_rate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val vocab = graft.operators.Search.vocabulary(docs, col("text"), topK = 20)
-        .select(col("token").as("term"))
-      graft.operators.Search.oovRate(docs, col("doc_id"), col("text"), vocab)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Model training as aggregation: 2 full-batch gradient-descent
-    // iterations of a logistic-regression language gate (predict lang=en
-    // from [bias, token count, chars/100]), then sigma(w.x) inference
-    // over every doc. Gradients are exact integer nano-unit sums, so the
-    // trained weights — and therefore every score — replay bit-identically
-    // in the DuckDB oracle's unrolled iterations.
-    "txt_lr_train" -> ((s, dir) => {
-      import graft.operators.QualityModel
-      val docs = t(s, dir, "documents")
-      def feats = Seq(
-        lit(1.0),
-        size(TextFunctions.tokens(col("text"))).cast("double"),
-        col("n_chars").cast("double") / lit(100.0))
-      val label = (col("lang") === "en").cast("int")
-      val w = QualityModel.trainLogReg(docs, feats, label, iters = 2, lr = 0.5)
-      docs.select(col("doc_id"), label.cast("long").as("y"),
-        floor(QualityModel.logRegScore(feats, w) * lit(1e9) + lit(0.5))
-          .cast("long").as("score_n"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // SF-independent LM twin (same operator, inline corpus — OOV, backoff
-    // and empty-doc paths all hit; see e_*_fx rationale).
-    "txt_lm_score_fx" -> ((s, _) => {
-      import s.implicits._
-      val docs = Seq((1L, "a b a b c"), (2L, "a a a"), (3L, "c d a"), (4L, ""))
-        .toDF("doc_id", "text")
-      val lm = graft.operators.LanguageModel
-        .trainBigramLm(docs, col("text"), vocabSize = 3, maxBigrams = 10)
-      graft.operators.LanguageModel
-        .scoreBigramLm(docs, col("doc_id"), col("text"), lm)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // BPE tokenizer end-to-end on a deterministic fixture: distributed
-    // word-frequency train (groupBy count + TakeOrdered cap) -> exact
-    // driver merge loop -> broadcast-merges mapPartitions encode. The
-    // merge loop is not SQL-expressible, so the oracle is a reviewed
-    // VALUES pin (fixture-backed: SF-independent, always checked).
-    "txt_bpe_encode" -> ((s, _) => {
-      import s.implicits._
-      val corpus = Seq(
-        (1L, "low low low low low"),
-        (2L, "lower lower"),
-        (3L, "newest newest newest newest newest newest"),
-        (4L, "widest widest widest"),
-        (5L, "the lowest newest widest low"),
-      ).toDF("id", "text")
-      val merges = graft.operators.Bpe.train(corpus, col("text"), nMerges = 8)
-      graft.operators.Bpe.encode(corpus, col("id"), col("text"), merges)
-        .select(col("id"), col("n_tokens"),
-          array_join(col("tokens"), " ").as("token_str"))
-        .orderBy(col("id"))
-    }),
-
-    // SimHash document signatures (32-bit, multiset token weights).
-    "dd_simhash" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-      Dedup.simHash32(toks, col("doc_id"), col("token"))
-        .orderBy(col("id"))
-    }),
-
-    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
-    "dd_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, threshold = 0.2, maxShingleDf = 50)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // EXACT Jaccard self-join via PPJoin-style prefix filtering
-    // (round-10): no df cap, no sketch — every pair >= 1/2 is emitted
-    // with exact integer counts. The doc_id < 500 gate bounds the
-    // brute-force oracle at every SF; the operator itself is unbounded
-    // (candidates come from the rarest-first prefix equi-join).
-    "dd_prefix_jaccard" -> ((s, dir) => {
-      Dedup.prefixJaccardPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 500),
-        col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // Dedup threshold-tuning curve (round-10): how much pair mass each
-    // candidate Jaccard threshold would remove — ONE exact pair pass at
-    // the 1/5 floor, then a tiny thresholds×pairs conditional count
-    // (the pair set never recomputes per threshold). The real pipeline
-    // decision this answers: where to set the near-dup cutoff.
-    "dd_threshold_curve" -> ((s, dir) => {
-      val pairs = Dedup.prefixJaccardPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 500),
-        col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 5)
-      val thresholds = s.range(2, 10).select((col("id") * 100000000L).as("t_n9"))
-      thresholds.join(pairs, col("jacc_n9") >= col("t_n9"), "left")
-        .groupBy(col("t_n9"))
-        .agg(count(col("id_a")).as("n_pairs"))
-        .orderBy(col("t_n9"))
-    }),
-
-    // kNN document families (round-10): top-3 most-similar others per
-    // document above a 1/5 Jaccard floor — exact prefix-filtered pairs,
-    // symmetrized, per-doc WindowGroupLimit rank. Same doc_id < 500
-    // oracle gate as dd_prefix_jaccard.
-    "dd_knn_similar" -> ((s, dir) => {
-      Dedup.knnSimilarDocs(
-        t(s, dir, "documents").filter(col("doc_id") < 500),
-        col("doc_id"), col("text"), n = 3, k = 3, floorNum = 1, floorDen = 5)
-        .orderBy(col("doc_id"), col("rk"))
-    }),
-
-    // Asymmetric containment pairs (round-9): n_common / min(|A|,|B|)
-    // fires on quote/expansion subset-duplicates that Jaccard's union
-    // denominator dilutes; same df-capped inverted index.
-    "dd_containment_pairs" -> ((s, dir) => {
-      Dedup.containmentPairs(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, threshold = 0.6, maxShingleDf = 50)
-    }),
-
-    // Brute-force cosine top-k similarity search (exact baseline).
-    "sim_topk_bruteforce" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.bruteForceTopK(e, e.filter(col("id") < 10), 5)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Matryoshka-funnel ANN: candidates ranked on the 32-dim prefix
-    // cosine (half the FLOPs per pair), top 20 re-ranked by full 64-dim
-    // exact cosine. Both stages re-derive in SQL (prefix folds are
-    // range(1,33) versions of the brute-force fold).
-    "sim_matryoshka_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.matryoshkaTopK(e, e.filter(col("id") < 10), k = 5,
-        prefixDims = 32, oversample = 4)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Int8-quantized ANN: candidates scored on the 8x-smaller int8
-    // representation (exact-integer dot in double), top k*oversample
-    // re-ranked by exact float cosine. The oracle re-derives every
-    // quantized byte (floor(x/scale + 0.5) is bit-identical across
-    // engines) and replays both ranking stages.
-    "sim_quantized_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.quantizedTopK(e, e.filter(col("id") < 10), k = 5, oversample = 4)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Product-quantization ANN: 8 subspaces x 8 codes, kmeansIters=0 so
-    // the codebooks are the sub-slices of the 8 smallest-id vectors —
-    // which makes the ENTIRE pipeline (codebooks, argmin encode, per-query
-    // ADC tables, candidate cut, exact re-rank) SQL-re-derivable instead
-    // of a pinned regression table.
-    "sim_pq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val model = Similarity.trainPq(e, dim = 64, nSub = 8, nCodes = 8, kmeansIters = 0)
-      Similarity.pqTopK(e, e.filter(col("id") < 10), k = 5, model, oversample = 4)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Text quality metrics (token counts, ratios, composite score).
-    "txt_quality" -> ((s, dir) => {
-      val m = TextFunctions.qualityMetrics(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), m.as("m"))
-        .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
-          col("m.mean_token_len").as("mean_token_len"),
-          col("m.stopword_ratio").as("stopword_ratio"),
-          col("m.punct_ratio").as("punct_ratio"),
-          col("m.quality_score").as("quality_score"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Gopher-style quality rules (round-9): every threshold a cross-
-    // multiplied integer comparison over exact per-doc counts — no
-    // division, no double, no rounding contract anywhere. minWords=5 so
-    // the pass flag varies on the synthetic corpus.
-    "txt_gopher_rules" -> ((s, dir) => {
-      graft.operators.Curation.gopherRules(
-        t(s, dir, "documents"), col("doc_id"), col("text"), minWords = 5)
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Unicode NFC canonicalization (native codegen kernel) over the
-    // corpus — two INDEPENDENT NFC implementations (java.text.Normalizer
-    // vs DuckDB nfc_normalize) must agree on every document.
-    "txt_normalize" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(TextFunctions.nfcNormalize(col("text"))).as("norm_md5"),
-          (TextFunctions.nfcNormalize(col("text")) <=> col("text")).as("unchanged"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Fixture twin with REAL normalization work: decomposed combining
-    // sequences, an already-composed twin, the ASCII fast path, and the
-    // U+212B angstrom-sign canonical singleton.
-    "txt_normalize_fx" -> ((s, _) => {
-      import s.implicits._
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val rows = Seq(
-        (1L, "Café au lait"),   // e + combining acute -> é
-        (2L, "Café au lait"),    // already composed: unchanged
-        (3L, "plain ascii"),          // ascii fast path
-        (4L, "Å ring"),         // A + combining ring -> Å
-        (5L, "Å angstrom sign"), // singleton: -> Å
-      ).toDF("id", "text")
-      rows.select(col("id"),
-        TextFunctions.nfcNormalize(col("text")).as("norm"),
-        (TextFunctions.nfcNormalize(col("text")) === col("text")).as("unchanged"))
-        .orderBy(col("id"))
-    }),
-
-    // Fixture twin of e_windowed_drift (events is the historically most
-    // regeneration-prone table): hour 0 mirrors the reference mix
-    // exactly (psi 0), hour 1 inverts it and adds an unknown type that
-    // must fold into <other>.
-    "e_windowed_drift_fx" -> ((s, _) => {
-      import s.implicits._
-      val ev = Seq(
-        (1L, "2024-01-01 00:05:00", "a"), (2L, "2024-01-01 00:10:00", "a"),
-        (3L, "2024-01-01 00:20:00", "b"),
-        (4L, "2024-01-01 01:05:00", "b"), (5L, "2024-01-01 01:10:00", "b"),
-        (6L, "2024-01-01 01:20:00", "zz"),
-      ).toDF("event_id", "ts_str", "event_type")
-        .withColumn("ts", to_timestamp(col("ts_str")))
-      val ref = Seq(("a", 2L), ("b", 1L)).toDF("category", "ref_n")
-      graft.streaming.EventStream.windowedDrift(ev, col("event_type"), ref, "1 hour")
-    }),
-
-    // Language-ID heuristic (stopword-lexicon argmax).
-    "txt_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.langIdHeuristic(col("text")).as("predicted"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Intra-document repetition (duplicate 3-gram ratio — the Gopher-style
-    // boilerplate reject signal).
-    "txt_repetition" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.repetitionScore(col("text"), 3).as("rep3_ratio"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Per-source dataset card (round-9): the documentation artifact a
-    // corpus release ships — size, token volume, language spread, Gopher
-    // pass count and bigram diversity in ONE frame (three independent
-    // aggregations joined on the |sources|-bounded key).
-    "tdp_dataset_card" -> ((s, dir) => {
-      import graft.operators.{Curation, Search}
-      val docs = t(s, dir, "documents")
-      val stats = docs.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextFunctions.tokenCountEstimate(col("text")).cast("long"))
-          .as("total_tokens_est"),
-        count_distinct(col("lang")).as("n_langs"))
-      val gopher = Curation.gopherRules(docs, col("doc_id"), col("text"), minWords = 5)
-        .select(col("id").as("doc_id"), col("pass"))
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(sum(when(col("pass"), lit(1L)).otherwise(lit(0L))).as("n_gopher_pass"))
-      val diversity = Search.distinctNgrams(docs, col("source"), col("text"), n = 2)
-        .select(col("group").as("source"), col("distinct_ratio"))
-      stats
-        .join(gopher, Seq("source"), "left")
-        .join(diversity, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("total_tokens_est"), col("n_langs"),
-          coalesce(col("n_gopher_pass"), lit(0L)).as("n_gopher_pass"),
-          col("distinct_ratio"))
-        .orderBy(col("source"))
-    }),
-
-    // Sequence-length bucketing report (round-9): power-of-two buckets
-    // over the BPE-ish token estimate — the padding-waste readout that
-    // decides bucketed batching vs packing; pure integer CASE ladder.
-    "tdp_length_buckets" -> ((s, dir) => {
-      graft.operators.Curation.lengthBuckets(
-        t(s, dir, "documents").select(
-          TextFunctions.tokenCountEstimate(col("text")).as("n_tok")),
-        col("n_tok"))
-    }),
-
-    // Pareto-frontier document selection (round-10): the skyline on
-    // (maximize distinct-token types, minimize token count) — "most
-    // lexical diversity per token budget". Corpus-scale shape: per-value
-    // staircase aggregate, tiny single-partition window over the
-    // staircase only, broadcast membership join back.
-    "tdp_pareto_frontier" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      graft.operators.Curation.paretoFrontier(
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            size(array_distinct(toks)).as("n_types"),
-            size(toks).as("n_tok")),
-        col("doc_id"), col("n_types"), col("n_tok"))
-        .select(col("id").as("doc_id"), col("d").as("n_types"), col("n").as("n_tok"))
-        .orderBy(col("n_types").desc, col("doc_id"))
-    }),
-
-    // Score-monotonicity audit (round-10): does click-rate rise with
-    // event value? Equal-population value bands via the staircase
-    // pattern (per-value agg -> tiny cumulative window -> 10-row
-    // rollup); exact-integer band rates; is_violation flags a band
-    // whose rate drops. Scores quantized to cents upstream.
-    "dq_monotonicity" -> ((s, dir) => {
-      graft.operators.DataQuality.monotonicityAudit(
-        t(s, dir, "events"),
-        floor(col("value") * lit(100)).cast("long"),
-        col("event_type") === "click", buckets = 10)
-    }),
-
-    // Per-source percentile normalization (round-10): raw scores are
-    // only comparable within a source; selection thresholds act on the
-    // within-group percentile. Exact-integer cume_dist (ties share a
-    // percentile via the RANGE frame; no float, no ordinal tie-break).
-    "txt_source_percentile" -> ((s, dir) => {
-      graft.operators.Curation.percentileNormalize(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
-        col("source"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Tokenizer compression ratio (round-9): chars per estimated token,
-    // per source — the "how expensive is this domain to tokenize"
-    // readout; exact integer sums, one IEEE division.
-    "txt_compression_ratio" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(col("source"))
-        .agg(
-          sum(length(col("text")).cast("long")).as("total_chars"),
-          sum(TextFunctions.tokenCountEstimate(col("text")).cast("long"))
-            .as("total_tokens_est"))
-        .withColumn("chars_per_token",
-          when(col("total_tokens_est") > 0,
-            col("total_chars").cast("double") / col("total_tokens_est").cast("double")))
-        .orderBy(col("source"))
-    }),
-
-    // Per-source TF-IDF keyword profile (round-9): top-10 terms by
-    // tf·round(ln((1+N)/(1+df)),6) — the 6-dp ln contract (pmi
-    // precedent); the ranking window runs over the vocab table.
-    "txt_tfidf_terms" -> ((s, dir) => {
-      graft.operators.Search.tfidfTerms(
-        t(s, dir, "documents"), col("source"), col("text"), topK = 10)
-        .withColumnRenamed("group", "source")
-    }),
-
-    // Per-source distinct-2 diversity (round-9): distinct bigrams over
-    // total bigram windows — the corpus-scope mode-collapse/template
-    // readout; exact counts, one IEEE ratio.
-    "txt_distinct_ngrams" -> ((s, dir) => {
-      graft.operators.Search.distinctNgrams(
-        t(s, dir, "documents"), col("source"), col("text"), n = 2)
-        .withColumnRenamed("group", "source")
-    }),
-
-    // Exact-duplicate mass by source (round-9): what fraction of each
-    // source's rows carry a corpus-wide duplicated fingerprint — the
-    // per-source curation dashboard number behind "which feed is
-    // recycling content"; exact counts, one IEEE ratio.
-    "dd_dup_mass_by_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), md5(col("text")).as("_fp"))
-      val fpCounts = d.groupBy(col("_fp")).agg(count(lit(1)).as("_c"))
-      d.join(fpCounts, Seq("_fp"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("_c") > 1L, lit(1L)).otherwise(lit(0L))).as("n_dup_rows"))
-        .withColumn("dup_mass",
-          col("n_dup_rows").cast("double") / col("n_docs").cast("double"))
-        .orderBy(col("source"))
-    }),
-
-    // Shingle document-frequency profile (round-9): how many shingles
-    // appear in exactly df documents — the empirical basis for choosing
-    // the inverted-index df caps (maxShingleDf) the near-dup family runs
-    // with; two chained exact aggregations.
-    "dd_shingle_df_profile" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
-        .orderBy(col("df"))
-    }),
-
-    // Cross-document n-gram novelty (round-9): fraction of each doc's
-    // distinct 3-gram shingles appearing in no other document — the
-    // memorization-exposure / boilerplate readout; inverted-index df
-    // count, no pair join.
-    "txt_ngram_novelty" -> ((s, dir) => {
-      graft.operators.Search.ngramNovelty(
-        t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Document fingerprints: normalized md5 + order-sensitive rolling hash.
-    "txt_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.normalizedFingerprint(col("text")).as("norm_fp"),
-          TextFunctions.rollingHash(col("text")).as("rolling_hash"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Multimodal binary-column plumbing: opaque payload + portable digest.
-    "mm_binary_meta" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("n_bytes"),
-          md5(col("text")).as("payload_md5"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Perceptual near-dup pairs over binary payloads: banded aHash
-    // (64 block bytes, mean-threshold bits, 4x16-bit LSH bands, exact
-    // Hamming verify; maxHamming 3 < 4 bands = pigeonhole-exact recall).
-    // The corpus = every "image" UNIONed with its 16x8 resized thumbnail
-    // (id + 1000000) — the aHash use case: each thumbnail must be found
-    // as a perceptual duplicate of its original (nearest-neighbor
-    // resampling commutes with block sampling, so hamming is exactly 0),
-    // and the oracle re-derives the thumbnails byte-for-byte.
-    "mm_phash_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-      val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          graft.operators.Multimodal.MediaRow(
-            id, "image", text.getBytes("UTF-8"), None, None, None)
-        }
-      val thumbs = graft.operators.Multimodal.resizeImages(media, dstW = 16, dstH = 8)
-        .toDF()
-        .select((col("media_id") + 1000000L).as("doc_id"), col("payload"))
-      val all = docs
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .unionByName(thumbs)
-      graft.operators.Multimodal.aHashNearDupPairs(
-        all, col("doc_id"), col("payload"), maxHamming = 3)
-    }),
-
-    // Streaming-shaped tumbling-window aggregation (batch equivalence; the
-    // Structured Streaming path is exercised in the test suite).
-    // Stream-stream interval join, batch twin (view -> purchase
-    // attribution within 15 minutes per user). The IDENTICAL plan runs as
-    // a watermarked stream-stream join in StreamingSpec; here the driver
-    // checks it against a plain SQL interval join.
-    "e_interval_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      graft.streaming.EventStream.intervalJoin(
-        ev.filter(col("event_type") === "view"),
-        ev.filter(col("event_type") === "purchase"),
-        within = "15 minutes")
-        .select(col("user_id"), col("l_id"), col("r_id"),
-          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
-          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
-        .orderBy(col("user_id"), col("l_id"), col("r_id"))
-    }),
-
-    // Incremental aggregate maintenance: per-user state built from two
-    // disjoint batches and MERGED — decimal-exact partials make the
-    // merged state bit-identical to the oracle's full recompute.
-    "e_incremental_rollup" -> ((s, dir) => {
-      import graft.operators.Incremental
-      val ev = t(s, dir, "events")
-      val s1 = Incremental.aggState(
-        ev.filter(col("event_id") % 2 === 0), col("user_id"), col("value"))
-      val s2 = Incremental.aggState(
-        ev.filter(col("event_id") % 2 === 1), col("user_id"), col("value"))
-      Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
-        .withColumnRenamed("key", "user_id")
-        .orderBy(col("user_id"))
-    }),
-
-    // Hourly active users (round-9): exact distinct-user counts per hour
-    // — the basic engagement series (the KMV sketch family covers the
-    // approximate path; this is the exact one).
-    "e_hourly_active_users" -> ((s, dir) => {
-      t(s, dir, "events")
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"))
-        .agg(count_distinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events"))
-        .orderBy(col("hr"))
-    }),
-
-    // EXACT trailing 24 h active users per hour (round-10): the rolling-
-    // DAU monitor — events collapse to distinct (user, hour) FIRST, only
-    // that pre-aggregate fans out to the 24 windows each pair affects,
-    // then one distinct count per window end. No sketch.
-    "e_rolling_active_users" -> ((s, dir) => {
-      graft.operators.TimeSeries.rollingActiveUsers(
-        t(s, dir, "events"), col("user_id"), col("ts"),
-        widthSeconds = 3600L, windowBuckets = 24)
-    }),
-
-    // Hourly error rate with Wilson bounds (round-9): rateWithWilson
-    // keyed by the hour string — the small-sample-honest SLO readout
-    // (3 errors of 7 events is not a 43% error rate you can act on).
-    "e_error_rate_wilson" -> ((s, dir) => {
-      graft.operators.DataQuality.rateWithWilson(
-        t(s, dir, "events").filter(col("ts").isNotNull)
-          .select(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
-            (col("event_type") === "error").as("ok")),
-        col("hr"), col("ok"))
-    }),
-
-    // Sliding-window counts (round-9): 2h windows sliding hourly — each
-    // event lands in exactly two panes; the overlapping-window streaming
-    // semantic the tumbling family can't express.
-    "e_sliding_window" -> ((s, dir) => {
-      graft.streaming.EventStream.slidingCounts(
-        t(s, dir, "events").filter(col("ts").isNotNull),
-        windowLength = "2 hours", slide = "1 hour")
-        .orderBy(col("window_start"), col("event_type"))
-    }),
-
-    // Per-type hourly EWMA baseline (round-10): exact-cents bucket
-    // means + a fixed-order sequential fold per key (α=0.3) — the
-    // anomaly-monitor expectation; the oracle replays the identical op
-    // sequence through a recursive CTE.
-    "e_ewma_baseline" -> ((s, dir) => {
-      graft.operators.TimeSeries.ewmaBaseline(
-        t(s, dir, "events"), col("event_type"), col("ts"), col("value"),
-        widthSeconds = 3600L, alphaPct = 30)
-    }),
-
-    // Windowed heavy hitters (round-10): per-hour top-3 event types by
-    // exact count with dense ranks — the trending-items monitor. Stage 1
-    // (the per-window counts) is the watermarkable streaming
-    // aggregation; the rank cut partitions BY WINDOW (parallel across
-    // windows, |categories|-bounded per partition).
-    "e_windowed_topk" -> ((s, dir) => {
-      graft.streaming.EventStream.windowedTopK(
-        t(s, dir, "events").filter(col("ts").isNotNull),
-        col("event_type"), windowLength = "1 hour", k = 3)
-    }),
-
-    // Windowed Wasserstein drift (round-9): per-hour earth-mover distance
-    // of the value distribution vs the GLOBAL distribution — the exact-
-    // arithmetic sibling of the pinned PSI monitor; live-oracle-able
-    // because every number is BIGINT until two trailing IEEE ops.
-    "e_windowed_wdrift" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val ref = ev.filter(col("value").isNotNull)
-        .select(least(lit(9), greatest(lit(0),
-          floor((col("value").cast("double") - lit(0L)) * lit(10) / lit(1000.0))
-            .cast("int"))).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
-      graft.streaming.EventStream.windowedWassersteinDrift(
-        ev, col("value"), ref, lo = 0L, hi = 1000L, buckets = 10, "1 hour")
-    }),
-
-    // Per-type OLS trend slopes (round-9): centi-value drift per minute,
-    // group-centered minute x so every moment stays int64-exact.
-    "e_trend_slopes" -> ((s, dir) => {
-      graft.operators.DataQuality.groupTrend(
-        t(s, dir, "events"), col("event_type"), col("ts"),
-        floor(col("value") * 100))
-        .withColumnRenamed("group", "event_type")
-    }),
-
-    // User growth curve (round-9): new + cumulative distinct users per
-    // day — one champion-min debut aggregation, never a windowed
-    // count-distinct; the running sum windows the day summary only.
-    "e_user_growth" -> ((s, dir) => {
-      graft.operators.TimeSeries.userGrowth(
-        t(s, dir, "events"), col("user_id"), col("ts"), unit = "day")
-    }),
-
-    // Fan-out-guarded join (round-9): the join-explosion tripwire — the
-    // per-user dim is provably unique, so the guard passes and the
-    // result equals the plain join (which is exactly what the oracle
-    // checks); the violated case is spec'd (raise with the offending
-    // key), since an oracle can't assert an exception.
-    "j_guarded_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val dim = ev.groupBy(col("user_id")).agg(min(col("event_type")).as("first_type"))
-      graft.operators.Skew.fanoutGuardedJoin(
-        ev.select(col("event_id"), col("user_id")), dim, "user_id", maxMatches = 1)
-        .orderBy(col("event_id"))
-    }),
-
-    // CDC changelog apply (round-9): snapshot ⟵ change stream via the
-    // per-key champion change (max version; I/U upsert, D delete) —
-    // idempotent under replay, one aggregation + one full-outer join.
-    "e_cdc_apply" -> ((s, dir) => {
-      import graft.operators.Incremental
-      val ev = t(s, dir, "events")
-      val snap = ev.filter(col("event_id") % 3 === 0)
-        .select(expr("event_id div 3").as("k"), col("value"),
-          col("event_type").as("etype"))
-      val ch = ev.filter(col("event_id") % 3 =!= 0)
-        .select(expr("event_id div 3").as("k"), col("event_id").as("ver"),
-          when(col("event_type") === "error", "D")
-            .when(col("event_id") % 3 === 1, "U").otherwise("I").as("op"),
-          col("value"), col("event_type").as("etype"))
-      Incremental.applyChangelog(snap, ch, col("k"), col("ver"), col("op"),
-        Seq("value", "etype"))
-    }),
-
-    // Left-outer interval join: views with NO conversion in-window emit
-    // null-padded (the abandonment signal); streaming emits them only
-    // once the watermark proves absence (StreamingSpec).
-    "e_interval_join_outer" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      graft.streaming.EventStream.intervalJoin(
-        ev.filter(col("event_type") === "view"),
-        ev.filter(col("event_type") === "purchase"),
-        within = "15 minutes", joinType = "left_outer")
-        .select(col("user_id"), col("l_id"), col("r_id"),
-          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
-          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
-        .orderBy(col("user_id"), col("l_id"), col("r_id"))
-    }),
-
-    // SCD2 versioned merge over a deterministic change batch: inserts,
-    // effective upserts (close + reopen), no-op upserts, deletes, and
-    // untouched closed history all exercised in one run.
-    "tdp_scd2_merge" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val open = docs.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id").as("key"), col("text").as("value"),
-          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
-      val closedHist = docs.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("key"), concat(lit("old "), col("text")).as("value"),
-          lit(-100L).as("valid_from"), lit(0L).as("valid_to"))
-      val changes = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("key"),
-          when(col("doc_id") % 5 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" v2"))).as("value"),
-          lit(100L).as("ts"),
-          when(col("doc_id") % 7 === 0, lit("delete")).otherwise(lit("upsert")).as("op"))
-      graft.operators.Scd.scd2Merge(open.unionByName(closedHist), changes)
-        .orderBy(col("key"), col("valid_from"))
-    }),
-
-    "e_stream_window" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy(col("hour_str"), col("event_type"))
-    }),
-
-    // Windowed drift monitor: hourly event-type mix PSI'd against the
-    // global reference distribution — the vocabularyDrift fold per
-    // tumbling window, psi per window in BIGINT nanos. Stage 1 (the
-    // per-window counts) is the watermarkable streaming aggregation.
-    "e_windowed_drift" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val ref = ev
-        .groupBy(col("event_type").cast("string").as("category"))
-        .agg(count(lit(1)).as("ref_n"))
-      graft.streaming.EventStream.windowedDrift(
-        ev, col("event_type"), ref, windowLength = "1 hour")
-    }),
-
-    // Streaming-family twin on an inline fixture (same tumbling-window agg,
-    // SF-independent verification — see w3_top_rank_fx rationale).
-    // Interval-join twin on an inline fixture (drives the real
-    // EventStream.intervalJoin; SF-independent verification so the
-    // operator keeps a green row even if the events table regenerates
-    // incompatibly — the round-5 lesson).
-    "e_interval_join_fx" -> ((s, _) => {
-      import s.implicits._
-      def ev(rows: Seq[(Long, String, Long)]) =
-        rows.toDF("event_id", "ts_str", "user_id")
-          .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"),
-            col("user_id"), lit(0.0).as("value"))
-      val views = ev(Seq(
-        (1L, "2025-01-01 00:00:00", 1L),
-        (2L, "2025-01-01 00:00:00", 2L),
-        (3L, "2025-01-01 00:00:00", 3L)))
-      val buys = ev(Seq(
-        (11L, "2025-01-01 00:05:00", 1L),
-        (12L, "2025-01-01 00:14:00", 1L),
-        (13L, "2025-01-01 00:20:00", 2L), // 5 min past the window
-        (14L, "2025-01-01 00:15:00", 3L))) // inclusive boundary
-      graft.streaming.EventStream.intervalJoin(views, buys, within = "15 minutes")
-        .select(col("user_id"), col("l_id"), col("r_id"))
-        .orderBy(col("user_id"), col("l_id"), col("r_id"))
-    }),
-
-        // Batch twin of EventStream.streamingDedup's state semantics: one
-    // survivor per content fingerprint, min event_id standing in for the
-    // stream's first arrival (dropDuplicatesWithinWatermark itself
-    // requires a stream — the live path is driven in StreamingSpec).
-    "e_stream_dedup" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(md5(concat(col("user_id").cast("string"), lit(":"),
-          coalesce(col("event_type"), lit("")))).as("fingerprint"))
-        .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_dups"))
-        .orderBy(col("event_id"))
-    }),
-
-"e_stream_window_fx" -> ((s, _) => {
-      import s.implicits._
-      Seq(
-        ("2025-01-01 00:05:00", "click", 1.25),
-        ("2025-01-01 00:40:00", "click", 2.50),
-        ("2025-01-01 00:55:00", "view", 0.75),
-        ("2025-01-01 01:10:00", "click", 3.25),
-        ("2025-01-01 01:59:59", "error", 1.00),
-        ("2025-01-01 02:00:00", "view", 4.50),
-      ).toDF("ts_str", "event_type", "value")
-        .withColumn("ts", to_timestamp(col("ts_str")))
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy(col("hour_str"), col("event_type"))
-    }),
-
-    // Gap-session twin on an inline fixture, driving the real
-    // EventStream.sessionWindows operator (not a reimplementation).
-    "e_session_window_fx" -> ((s, _) => {
-      import s.implicits._
-      val ev = Seq(
-        (1L, "2025-01-01 00:00:00", 1.25),
-        (1L, "2025-01-01 00:10:00", 2.50),
-        (1L, "2025-01-01 01:00:00", 0.75),
-        (2L, "2025-01-01 00:05:00", 4.00),
-      ).toDF("user_id", "ts_str", "value")
-        .withColumn("ts", to_timestamp(col("ts_str")))
-        .select(col("ts"), col("user_id"), col("value"))
-      graft.streaming.EventStream.sessionWindows(ev, gap = "30 minutes",
-        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
-        .select(
-          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-          col("user_id"), col("n"), col("sum_value"))
-        .orderBy(col("user_id"), col("session_start"))
-    }),
-
-    // §2.7 gap-based session windows (the built-in session_window keyed
-    // state; same plan streams with the 10-min watermark — StreamingSpec).
-    "e_session_window" -> ((s, dir) => {
-      graft.streaming.EventStream.sessionWindows(
-        t(s, dir, "events").select(col("ts"), col("user_id"), col("value")),
-        gap = "30 minutes",
-        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
-        .select(
-          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-          col("user_id"), col("n"), col("sum_value"))
-        .orderBy(col("user_id"), col("session_start"))
-    }),
-
-    // P11 — coalesce fallback chain (PSM rt -> spectrum rt -> NaN analogue).
-    "p11_rt_fallback" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          coalesce(nullif(col("o_orderstatus"), lit("O")),
-            nullif(col("o_orderpriority"), lit("1-URGENT")), lit("NONE")).as("resolved"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // P14 — content checksum as stable id (sha2 over the byte payload).
-    "p14_checksum" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("sha256"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // D1 — distinct projection.
-    "d1_distinct" -> ((s, dir) => {
-      t(s, dir, "orders").select(col("o_orderpriority")).distinct()
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // Token-count estimate (whitespace + punctuation-run BPE-ish proxy).
-    "txt_token_estimate" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.tokenCountEstimate(col("text")).cast("long").as("n_tokens_est"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Embedding-cosine near-dup pairs via random-hyperplane LSH buckets —
-    // the 100 TB dedup path: candidates only from equal 8-bit signatures.
-    "dd_embedding_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.embeddingNearDupPairs(e, threshold = 0.35, nBits = 4)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // SemDeDup: the embedding near-dup pairs closed into duplicate groups
-    // (connected components), min-id representative kept per group.
-    "dd_semantic_dedup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.semanticDedup(e, threshold = 0.35, nBits = 4)
-        .select(col("id"), col("sem_group_size"))
-        .orderBy(col("id"))
-    }),
-
-    // Duplicate-span detection: maximal per-document token ranges covered
-    // by 5-gram windows that occur >= 2 times corpus-wide (Lee et al.
-    // substring dedup re-expressed as hash counts + gaps-and-islands).
-    "dd_dup_spans" -> ((s, dir) => {
-      Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
-        .orderBy(col("id"), col("span_start"))
-    }),
-
-    // Global CROSS-DOCUMENT exact-substring dedup (round-11, Lee et al.
-    // ExactSubstr): maximal spans whose 5-gram windows all occur in >= 2
-    // DISTINCT documents, clustered by exact span content with a
-    // first-occurrence survivor flag — the flagship training-data dedup
-    // primitive; the oracle re-derives duplicated positions through an
-    // UNPRUNED quadratic gram self-join instead of the engine's O(1)
-    // min/max window, so the two sides agree only if the distributed
-    // pruning is exact.
-    "dd_substring_dedup" -> ((s, dir) => {
-      Dedup.substringDedup(t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
-        .orderBy(col("id"), col("span_start"))
-    }),
-
-    // BM25 keyword retrieval: lexical top-k over the documents corpus.
-    "txt_bm25_topk" -> ((s, dir) => {
-      graft.operators.Search.bm25TopK(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        query = Seq("spark", "query", "fast"), k = 10)
-    }),
-
-    // Retrieval-evaluation metrics over the BM25 run: qrels = documents
-    // containing ALL three query terms (binary contains-all relevance),
-    // run = the same top-10 the txt_bm25_topk oracle re-derives, ranked
-    // (score desc, id). MRR/recall are single exact divisions; the log2
-    // gains ride round-then-decimal; nDCG ships as BIGINT micro units.
-    // The rank window is bounded by the k=10 run cut.
-    "txt_retrieval_metrics" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val run = graft.operators.Search.bm25TopK(
-        docs, col("doc_id"), col("text"),
-        query = Seq("spark", "query", "fast"), k = 10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("id").asc)))
-        .select(lit(1L).as("query_id"), col("id").as("doc_id"), col("rank"))
-      val qrels = docs
-        .select(col("doc_id"), graft.operators.Search.terms(col("text")).as("_t"))
-        .filter(array_contains(col("_t"), "spark") && array_contains(col("_t"), "query")
-          && array_contains(col("_t"), "fast"))
-        .select(lit(1L).as("query_id"), col("doc_id"))
-      graft.operators.Search.retrievalMetrics(run, qrels, k = 10)
-    }),
-
-    // Inline-fixture twin (family-survival policy): multi-query edge
-    // cases — a partial-hit query, a judged query the retriever missed
-    // entirely (must still report zeros), a query with more relevant
-    // docs than k (idcg caps at k), and an UNJUDGED run query (must not
-    // appear: metrics against no judgments are undefined).
-    "txt_retrieval_metrics_fx" -> ((s, _) => {
-      import s.implicits._
-      val runs = Seq(
-        (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
-        (3L, 30L, 1L), (3L, 31L, 2L),
-        (4L, 40L, 1L),
-      ).toDF("query_id", "doc_id", "rank")
-      val qrels = Seq(
-        (1L, 11L), (1L, 99L),
-        (2L, 20L),
-        (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L),
-      ).toDF("query_id", "doc_id")
-      graft.operators.Search.retrievalMetrics(runs, qrels, k = 3)
-    }),
-
-    // Length-bias diagnostic: Spearman rho between the BM25 top-10
-    // ranking and the SAME docs ranked by raw length — exact integer
-    // Σd²/n(n²-1) with one trailing division. The re-rank windows are
-    // bounded by the k=10 run cut.
-    "txt_rank_correlation" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val run = graft.operators.Search.bm25TopK(
-        docs, col("doc_id"), col("text"),
-        query = Seq("spark", "query", "fast"), k = 10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("id").asc)))
-        .select(col("id"), col("rank"))
-        // the 10-row run feeds BOTH ranking legs (and each leg twice in
-        // the correlation join): pin it once or the full BM25 retrieval
-        // pass re-executes per read
-        .localCheckpoint(false)
-      val byLen = run
-        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("id").asc)))
-        .select(col("id"), col("rank"))
-      graft.operators.Search.rankCorrelation(run, byLen, "id")
-    }),
-
-    // Substring-dedup removal: documents rebuilt without their duplicated
-    // 5-gram spans; span-free docs pass through untouched.
-    "tdp_remove_dup_spans" -> ((s, dir) => {
-      graft.operators.Curation.removeDuplicateSpans(
-        t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
-        .orderBy(col("id"))
-    }),
-
-    // ExactSubstr APPLY step (round-11): excise every cross-document
-    // duplicated span from all but its canonical first occurrence — one
-    // copy of each duplicated substring survives the corpus (the Lee et
-    // al. dedup semantics; tdp_remove_dup_spans by contrast scrubs every
-    // occurrence).
-    "tdp_substring_dedup_apply" -> ((s, dir) => {
-      graft.operators.Curation.applySubstringDedup(
-        t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
-        .orderBy(col("id"))
-    }),
-
-    // Span-level decontamination (round-10): WHERE the benchmark leaks
-    // into each training document (token offsets to excise), not just
-    // which documents to drop — the exact-substring complement to the
-    // document-level tdp_decontaminate flag. Same %20 benchmark split.
-    "tdp_decon_spans" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-      graft.operators.Curation.decontaminateSpans(
-        d.filter(col("id") % 20 =!= 0), col("id"), col("text"),
-        d.filter(col("id") % 20 === 0), col("text"), k = 5)
-        .orderBy(col("id"), col("span_start"))
-    }),
-
-    // Deterministic hash split: 80/10/10 train/val/test, pure projection.
-    "tdp_hash_split" -> ((s, dir) => {
-      graft.operators.Curation.hashSplit(
-        t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Split-leakage audit: near-dup pairs (the dd_minhash_lsh derivation)
-    // crossing the 80/10/10 hash-split boundaries — the doc-level
-    // train/test contamination check a group-level overlap matrix can't
-    // see. One broadcast of the tiny split assignment per pair side;
-    // ordered (split_a <= split_b) so each unordered pairing counts once.
-    "tdp_split_leakage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-      val splits = graft.operators.Curation.hashSplit(
-        docs.select(col("doc_id")), col("doc_id"),
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      pairs
-        .join(splits.select(col("doc_id").as("id_a"), col("split").as("_sa")), "id_a")
-        .join(splits.select(col("doc_id").as("id_b"), col("split").as("_sb")), "id_b")
-        .select(least(col("_sa"), col("_sb")).as("split_a"),
-          greatest(col("_sa"), col("_sb")).as("split_b"))
-        .groupBy(col("split_a"), col("split_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .withColumn("crosses_split", col("split_a") =!= col("split_b"))
-        .orderBy(col("split_a"), col("split_b"))
-    }),
-
-    // Snapshot diff between two corpus versions: only (id, md5) shuffles,
-    // never document bodies. The two versions derive deterministically
-    // from the documents table (drop-by-modulus + an edit marker).
-    "tdp_corpus_diff" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val v1 = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
-      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
-            .otherwise(col("text")).as("text"))
-      graft.operators.Curation.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
-        .orderBy(col("id"))
-    }),
-
-    // KMV distinct sketches: O(k)-state cardinality estimates whose
-    // portable md5-prefix hash lets DuckDB re-derive the k-min set AND
-    // the estimator bit-identically — an approximate operator with an
-    // exact oracle. user_id/event_id exceed k (true estimate path);
-    // event_type undershoots it (sketch degenerates to the exact count).
-    "tdp_sketch_distinct" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      graft.operators.Sketches.kmvDistinct(ev, "event_id", col("event_id"), 64)
-        .unionByName(graft.operators.Sketches.kmvDistinct(ev, "event_type", col("event_type"), 64))
-        .unionByName(graft.operators.Sketches.kmvDistinct(ev, "user_id", col("user_id"), 64))
-        .orderBy(col("column_name"))
-    }),
-
-    // Model inference as columns: hashed linear quality scorer (fastText
-    // shape) as a zero-shuffle projection — plan-time literal weight
-    // table, exact long fold over the token array.
-    "txt_quality_model" -> ((s, dir) => {
-      graft.operators.QualityModel
-        .scoreDocs(t(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy(col("id"))
-    }),
-
-    // Calibrated quality ensemble (round-8): heuristic + hashed-model +
-    // bigram-LM signals, each quantile-normalized to its corpus CDF, in
-    // ONE corpus scan (the heuristic/model projections ride the LM
-    // scorer's carry columns).
-    "txt_quality_ensemble" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lm = sharedLm(s, dir)
-      graft.operators.QualityModel
-        .ensembleQuality(docs, col("doc_id"), col("text"), lm)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // The ensemble score driven through the dq calibration report — the
-    // reliability readout a quality gate is tuned against (label: the
-    // heuristic rule fires fully, i.e. q_heuristic = 1.0).
-    "txt_ensemble_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lm = sharedLm(s, dir)
-      val scored = graft.operators.QualityModel
-        .ensembleQuality(docs, col("doc_id"), col("text"), lm)
-      graft.operators.DataQuality.calibrationReport(
-        scored, col("ensemble"), col("q_heuristic") >= 1.0,
-        lo = 0.0, hi = 1.0, buckets = 10)
-    }),
-
-    // The ensemble as an actual GATE: per-source pass rates at a 0.5
-    // ensemble threshold — the per-ingest report a curation pipeline
-    // publishes when the calibrated score starts filtering.
-    "tdp_quality_gate_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lm = sharedLm(s, dir)
-      val scored = graft.operators.QualityModel
-        .ensembleQuality(docs, col("doc_id"), col("text"), lm)
-        .select(col("id").as("doc_id"), col("ensemble"))
-      docs.select(col("doc_id"), col("source"))
-        .join(scored, Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("ensemble").isNotNull, 1L).otherwise(0L)).as("n_scored"),
-          sum(when(col("ensemble") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
-        .withColumn("pass_rate",
-          col("n_pass").cast("double") / col("n_docs").cast("double"))
-        .orderBy(col("source"))
-    }),
-
-    // CCNet-style perplexity bucketing: head/middle/tail by interpolated
-    // nll quantiles (thresholds broadcast; corpus shuffles once, in the
-    // LM scorer itself).
-    "txt_ppl_buckets" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lm = sharedLm(s, dir)
-      graft.operators.LanguageModel
-        .perplexityBuckets(docs, col("doc_id"), col("text"), lm)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Corpus-frequency boilerplate scrub at SF scale. The SF corpus is
-    // single-line word soup, so the separator-unit degenerates to the
-    // word (corpus-frequency token removal) — identical semantics and
-    // plan shape as the newline case; txt_boilerplate_fx exercises the
-    // real line-structured behavior.
-    "txt_boilerplate_scrub" -> ((s, dir) => {
-      graft.operators.Curation.removeBoilerplateLines(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        minDocFrac = 0.8, sep = " ")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Line-structured boilerplate fixture: a banner in 4/4 docs and a
-    // footer in 3/4 exceed ceil(0.6 * 4) = 3; doc 4 is fully boilerplate
-    // and must keep its row with empty text.
-    "txt_boilerplate_fx" -> ((s, _) => {
-      import s.implicits._
-      val docs = Seq(
-        (1L, "COOKIE BANNER\nalpha beta\nfooter"),
-        (2L, "COOKIE BANNER\ngamma delta\nfooter"),
-        (3L, "COOKIE BANNER\nepsilon zeta"),
-        (4L, "COOKIE BANNER\nfooter"),
-      ).toDF("id", "text")
-      graft.operators.Curation
-        .removeBoilerplateLines(docs, col("id"), col("text"), minDocFrac = 0.6)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Deterministic k-per-group sampling: smallest-portable-hash rows of
-    // each language (fixed-count complement of the fraction-based
-    // stratified sample; rerun/engine reproducible).
-    "tdp_sample_per_group" -> ((s, dir) => {
-      graft.operators.Curation.samplePerGroup(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        Seq(col("lang")), col("doc_id"), k = 5)
-        .orderBy(col("lang"), col("doc_id"))
-    }),
-
-    // Fixed-memory histogram quantiles on document length: O(span/step)
-    // state vs the exact percentile's full-width sort; midpoint within
-    // step/2 of a true quantile element. Integral bucket math replays
-    // bit-identically in DuckDB.
-    "tdp_quantile_sketch" -> ((s, dir) => {
-      graft.operators.Sketches.histogramQuantiles(
-        t(s, dir, "documents"), col("n_chars"), step = 200L,
-        qs = Seq(0.5, 0.9, 0.99))
-        .orderBy(col("q"))
-    }),
-
-    // Z-order layout: quantize (user_id, event time) and bit-interleave
-    // into the Morton value a write-side ORDER BY would use — every file
-    // then carries a tight min/max envelope on BOTH columns for parquet
-    // zone-map pruning. Pure integer shift/mask arithmetic, re-derived
-    // operator-for-operator by the DuckDB oracle.
-    "tdp_zorder" -> ((s, dir) => {
-      val tsMin = 1704067200000000L // 2024-01-01T00:00:00Z in micros
-      val tsMax = 1735689600000000L // 2025-01-01T00:00:00Z
-      val z = graft.operators.ZOrder.zValue(
-        Seq(col("user_id"), unix_micros(col("ts").cast("timestamp"))),
-        Seq((0L, 100000L), (tsMin, tsMax)), bits = 8)
-      t(s, dir, "events")
-        .select(col("event_id"), z.as("z"))
-        .orderBy(col("event_id"))
-    }),
-
-    // Per-group KMV via the native TypedImperativeAggregate: partial
-    // buffers cap at k longs per (partition, group) — the bounded
-    // grouped sketch collect_set cannot express. Same portable hash, so
-    // DuckDB re-derives every group's sketch bit-identically.
-    "tdp_sketch_by_group" -> ((s, dir) => {
-      graft.operators.Sketches.kmvDistinctByGroup(
-        t(s, dir, "events"), Seq(col("event_type")), col("user_id"), 32)
-        .orderBy(col("event_type"))
-    }),
-
-    // Exact heavy-hitter diagnostic (partial agg + TakeOrdered — no
-    // global sort): the report that decides where salting is needed.
-    "tdp_heavy_hitters" -> ((s, dir) => {
-      graft.operators.Skew.heavyHitters(t(s, dir, "events"), col("user_id"), 10)
-        .orderBy(col("n").desc, col("key").asc)
-    }),
-
-    // Native LSH-style spectra clustering (the MaraCluster-replacement
-    // scale extension, SURVEY §7.5): spectra synthesized deterministically
-    // from the embeddings table — planted near-copies at +1000 (same
-    // precursor slot, +0.01 m/z) and second-generation copies at +2000
-    // (+0.03 m/z: within tol of the FIRST copy but NOT of the base, so the
-    // 3-member clusters close only transitively through connected
-    // components, and the precursor gate provably cuts a >=0.95-cosine
-    // pair). Integer-valued intensities make every dot/norm sum exact, so
-    // the cosine threshold is engine-independent.
-    "dd_spectra_cluster" -> ((s, dir) => {
-      SpectraCluster.clusterSpectra(syntheticClusterSpectra(s, dir), nativeClusterConfig)
-        .select(col("specId").as("spec_id"), col("clusterId").as("cluster_id"))
-        .orderBy(col("spec_id"))
-    }),
-
-    // The MaraCluster-replacement path END TO END: native clustering
-    // (same synthesized spectra as dd_spectra_cluster) re-shaped through
-    // asMaraClusterRows into the S6 row contract, then the A10-A12
-    // cluster-inference purity filters + representative selection run on
-    // deterministically synthesized PSMs. Per (vec_id % 5): planted
-    // isobaric-DISTINCT sequences (gen-1 'LEK' vs 'PEK' — iso impurity),
-    // peptidoform splits (ratio <= 0.5 — majority impurity), L/I pairs
-    // ('PELK'/'PEIK' — isobaric-EQUAL, purity survives in 3-member
-    // clusters), and pure clusters. Output: kept representatives (usi) +
-    // removed clusters with reasons.
-    "pipeline_native_cluster" -> ((s, dir) => {
-      val spectra = syntheticClusterSpectra(s, dir)
-      val v = col("index") % 1000L
-      val g = (col("index") / lit(1000)).cast("long")
-      val seq =
-        when(v % 5 === 0, when(g === 1, "LEK").otherwise("PEK"))
-          .when(v % 5 === 1, lit("PEK"))
-          .when(v % 5 === 2, when(g === 1, "PEIK").otherwise("PELK"))
-          .otherwise(lit("AAK"))
-      val form =
-        when(v % 5 === 1,
-          when(g === 1, "PE[UNIMOD:35]K/2").when(g === 2, "PEK/3").otherwise("PEK/2"))
-          .otherwise(concat(seq, lit("/2")))
-      val psms = spectra.select(col("specId").as("index"))
-        .select(
-          col("index"),
-          concat(lit("u"), col("index").cast("string")).as("usi"),
-          seq.as("peptideSequence"),
-          form.as("peptidoform"),
-          lit(false).as("isDecoy"),
-          (((v * 7 + g * 3) % 100).cast("double") / lit(100.0)).as("score"))
-      val mapping = spectra.select(
-        lit("native.mgf").as("file"), col("specId").as("spectrumIndex"), col("specId"))
-      val mara = SpectraCluster.asMaraClusterRows(
-        mapping, SpectraCluster.clusterSpectra(spectra, nativeClusterConfig))
-      val out = graft.pipeline.ClusterInference.run(psms, mara)
-      out.representatives
-        .select(lit("rep").as("kind"), col("clusterId").cast("long").as("cluster_id"),
-          col("usi").as("detail"))
-        .unionByName(out.removed
-          .select(lit("removed").as("kind"), col("clusterId").cast("long").as("cluster_id"),
-            col("reason").as("detail")))
-        .orderBy(col("kind"), col("cluster_id"))
-    }),
-
-    // Typed KeyValueGroupedDataset rollup (the custom-state template shape,
-    // SURVEY §1.4 Dataset[T] at API boundaries): per-user event count and
-    // exact cent total via mapGroups — order-free longs, so oracle-equal.
-    "e_stateful_rollup" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "events")
-        .select(col("user_id"), col("value"))
-        .as[(Long, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (user, rows) =>
-          var n = 0L; var cents = 0L
-          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
-          (user, n, cents)
-        }
-        .toDF("user_id", "n", "total_cents")
-        .orderBy(col("user_id"))
-    }),
-
-    // §2.6 string-function family: substring, concat, contains,
-    // starts_with, translate, upper/lower, capitalize emulation, printf.
-    "p_string_family" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          concat(upper(substring(col("source"), 1, 1)), substring(col("source"), 2, 100))
-            .as("capitalized"),
-          col("text").contains("spark").as("has_spark"),
-          col("source").startsWith("src1").as("is_src1"),
-          translate(col("lang"), "aeiou", "AEIOU").as("lang_vowels"),
-          format_string("%s|%04d", col("lang"), col("doc_id")).as("formatted"),
-        )
-        .orderBy(col("doc_id"))
-    }),
-
-    // §2.6 json — from_json struct extraction over the events props column.
-    "e_json_props" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select(col("event_id"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
-        .orderBy(col("event_id"))
-    }),
-
-    // F13 — scan-id validity: integral unless WIFF-style native id.
-    "f13_scanid_validity" -> ((s, dir) => {
-      val sid = when(col("doc_id") % 10 === 0,
-        concat(lit("sample=1 period=1 cycle=1 experiment="), col("doc_id").cast("string")))
-        .when(col("doc_id") % 7 === 0, concat(lit("scan"), col("doc_id").cast("string")))
-        .otherwise(col("doc_id").cast("string"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), sid.as("scan_id"),
-          graft.functions.ParamFunctions.isValidScanId(sid).as("is_valid"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // F14 — score-array filtering projection (higher-order filter over
-    // param structs with exclusion lists), exploded flat for comparison.
-    "f14_score_filter" -> ((s, dir) => {
-      val params = array(
-        struct(lit("MS:1001155").as("accession"), lit("score").as("name"),
-          col("l_discount").cast("string").as("value")),
-        struct(lit("MS:1002355").as("accession"), lit("qvalue").as("name"),
-          lit("0.01").as("value")),
-        struct(lit("MS:1001171").as("accession"), lit("mascot").as("name"),
-          when(col("l_quantity") > 25, col("l_quantity").cast("string")).as("value")),
-      )
-      t(s, dir, "lineitem")
-        .filter(col("l_orderkey") < 200)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          explode(graft.functions.ParamFunctions.filterScores(params)).as("p"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("p.accession").as("accession"), col("p.value").as("value"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("accession"))
-    }),
-
-    // S8 — pipeline-glue ftp->https rewrite.
-    "s8_ftp_rewrite" -> ((s, dir) => {
-      val url = concat(lit("ftp://ftp.host.org/"), col("source"), lit("/"),
-        col("doc_id").cast("string"), lit(".mgf"))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.ParamFunctions.ftpToHttps(url).as("https_url"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ------------------------------------------ proteomics pipeline demos
-    // Rows-only checks (no SQL oracle): the deterministic micro-assay runs
-    // the real generate-index-files / perform-inference DAGs end-to-end.
-    // Their exact semantics are pinned by the ScalaTest golden assertions.
-    "pipeline_index_spectra" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.runIndex(s).archiveSpectra.orderBy(col("usi")))),
-    "pipeline_index_proteins" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.runIndex(s).proteinEvidence
-        .orderBy(col("reportedAccession")))),
-    // PIA protein-FDR parity variant (PIAModelerService.java:80-101):
-    // proteins scored and calibrated off the PSM-level FDR score (the
-    // Combined-FDR-Score family) of the best PSM per peptide. The demo's
-    // accepted PSM q-values all tie while their FDR scores differ, so the
-    // reported score properties change per protein — flipping
-    // `proteinScoreFromPsmFdrScore` off breaks this query's hash.
-    "pipeline_proteins_combined_fdr" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.combinedFdrProteinIndex(s).proteinEvidence
-        .orderBy(col("reportedAccession")))),
-    // F9/F10 — the assay validity counters (unfiltered PSM/decoy counts +
-    // post-join delta-mass error counters) as a driver-pinned row.
-    "pipeline_validity" -> ((s, _) => {
-      val idx = graft.pipeline.DemoAssay.runIndex(s)
-      idx.validity
-    }),
-
-    // F8 + F11 — gate-differentiating assay variant, PIA unique-peptide
-    // semantics (NR_UNIQUE_PEPTIDES_PER_PROTEIN_FILTER): uniquePeptides = 1
-    // keeps sp|P4 (its peptide is unique to it) but drops sp|P5/sp|P6 —
-    // 2 distinct peptides each, all shared, 0 unique. Restoring the old
-    // distinct-count gate (or flipping F11 off) changes this row set.
-    "pipeline_filter_gates" -> ((s, _) => {
-      val out = graft.pipeline.DemoAssay.filterGateIndex(s)
-      out.archiveSpectra
-        .select(lit("spectrum").as("kind"), col("usi").as("id"))
-        .unionByName(out.proteinEvidence
-          .select(lit("protein").as("kind"), col("reportedAccession").as("id")))
-        .orderBy(col("kind"), col("id"))
-    }),
-
-    // Picked protein FDR (published target/decoy pair competition): the
-    // paired decoy DECOY_sp|P1 survives the loose q gates but loses the
-    // pair competition to sp|P1 and is absent here — flipping
-    // `pickedProteinFdr` off restores it and changes the row set.
-    "pipeline_picked_fdr" -> ((s, _) =>
-      graft.pipeline.DemoAssay.pickedFdrIndex(s).proteinEvidence
-        .select(col("reportedAccession"), col("isDecoy"),
-          col("numberPeptides"), col("numberPSMs"))
-        .orderBy(col("reportedAccession"))),
-
-    // Multi-result-file assay (PIAModelerService.java:191-219): the same
-    // spectrum (index=1) identified in BOTH mzids as the same peptide
-    // collapses to one PSM set before FDR (createPSMSets) — scalar
-    // identity from the best-scoring member, protein accessions the UNION
-    // of every member's evidence (sp|Q5 is attested ONLY by the losing
-    // a.mzid and must survive); a rank-2 identification whose psmId sorts
-    // first is swallowed by the setAllTopIdentifications(1) gate, and
-    // q-values (string-pinned below) calibrate over the merged set —
-    // removing any behavior changes this row set or its q denominators.
-    "pipeline_multifile" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.multiFileIndex(s).archiveSpectra
-        .select(col("usi"), col("peptideSequence"), col("isDecoy"),
-          col("proteinAccessions"),
-          col("bestSearchEngineScore").getField("value").as("q_value"))
-        .orderBy(col("usi")))),
-
-    // PRIDE XML e2e: the full generate-index-files DAG over ONE
-    // self-contained legacy result file (identifications + mzData spectra).
-    // Pins: spectrum-precursor charge resolution (PSM 1 has no charge
-    // cvParam -> /2 from its spectrum), the shared-peptide PSM-set
-    // collapse (index:2 carries BOTH accessions), the PRIDE:0000303 decoy
-    // entering the FDR, and the index-type USI off the raw spectrum id.
-    "pipeline_pridexml" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.prideXmlIndex(s).archiveSpectra
-        .select(col("usi"), col("peptideSequence"), col("peptidoform"),
-          col("isDecoy"), col("precursorCharge"), col("proteinAccessions"),
-          col("bestSearchEngineScore").getField("value").as("q_value"))
-        .orderBy(col("usi")))),
-
-    "pipeline_cluster_inference" -> ((s, _) => {
-      val out = graft.pipeline.ClusterInference.run(
-        graft.pipeline.DemoAssay.clusterSpectra(s), graft.pipeline.DemoAssay.clusters(s))
-      out.representatives.orderBy(col("clusterId"))
-    }),
-    // Combined FDR Score across two search engines (Jones et al. method;
-    // rows-only — the interpolation + grouped calibration is pinned by
-    // CombinedFdrSpec). Events stand in as two "engines" scoring shared
-    // identifications.
-    "fdr_combined_score" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .filter(col("event_id") < 2000)
-        .select(
-          when(col("event_id") % 2 === 0, "engineA").otherwise("engineB").as("engine"),
-          concat(lit("spec"), (col("event_id") / 4).cast("long").cast("string")).as("spectrum"),
-          concat(lit("PEP"), (col("event_id") / 4).cast("long").cast("string")).as("peptide"),
-          col("value").as("score"),
-          (col("event_type") === "error").as("decoy"),
-          col("event_id").cast("string").as("psmId"))
-      jsonSafe(graft.fdr.CombinedFdr.combinedQValues(
-        ev, col("engine"), Seq(col("spectrum"), col("peptide")),
-        col("score"), col("decoy"), col("psmId"))
-        .orderBy(col("spectrum"), col("peptide")))
-    }),
-
-    "fdr_protein_occam" -> ((s, _) => {
-      import s.implicits._
-      val pairs = Seq(
-        ("x", "pepA", "P1"), ("x", "pepB", "P1"), ("x", "pepA", "P2"),
-        ("x", "pepB", "P2"), ("x", "pepA", "P3"), ("x", "pepC", "P4"),
-      ).toDF("assay", "peptide", "protein")
-      graft.fdr.ProteinInference.occamsRazor(pairs).orderBy(col("accession"))
-    }),
-    "io_mgf_roundtrip" -> ((s, _) =>
-      // fileName is the Spark part-file name (nondeterministic UUID) —
-      // dropped so the expected-table oracle can pin the row values.
-      jsonSafe(graft.pipeline.DemoAssay.mgfRoundTrip(s).drop("fileName")
-        .orderBy(col("index")))),
-    "io_mztab_scan" -> ((s, _) =>
-      jsonSafe(graft.pipeline.DemoAssay.mzTabDemo(s).orderBy(col("psmId")))),
-
-    // K1/K2 + S5 + F12 — archive JSON-lines roundtrip: the demo assay's
-    // spectra through the partitioned sink (batch = usi field 3), read
-    // back schema-locked, re-validated (F12 structural gate). Every
-    // surviving value is oracle-pinned.
-    "io_archive_json_roundtrip" -> ((s, _) => {
-      val out = demoTempDir(s, "json")
-      // NOTE: no unpersist here — runIndex is session-memoized and shared
-      // by the other pipeline queries; entry points release it on exit.
-      val idx = graft.pipeline.DemoAssay.runIndex(s)
-      graft.io.ArchiveJson.writePartitioned(idx.archiveSpectra, s"$out/spectra")
-      val back = graft.io.ArchiveJson.validate(
-        graft.io.ArchiveJson.readPartitioned(s, s"$out/spectra"))
-      jsonSafe(back.select(col("usi"), col("batch"), col("peptideSequence"),
-        col("peptidoform"), col("isDecoy"), col("isValid"), col("precursorMz"),
-        col("precursorCharge"), col("numPeaks"), col("missedCleavages"),
-        col("proteinAccessions"), col("masses"), col("intensities"))
-        .orderBy(col("usi")))
-    }),
-
-    // S2 complete: one fixture file per reference spectra FileType
-    // (MGF/PKL/mzML/mzXML/MS2/DTA/APL/PRIDE XML), unioned by the same
-    // readSpectraDir the CLI uses; every parsed value is oracle-pinned.
-    "io_spectra_formats" -> ((s, _) =>
-      jsonSafe(graft.pipeline.Commands.readSpectraDir(
-        s, graft.pipeline.DemoFixtures.spectraFormatsDir())
-        .withColumn("n_peaks", size(col("masses")))
-        .select(col("fileName"), col("fileType"), col("index"), col("scanId"),
-          col("title"), col("msLevel"), col("precursorMz"), col("precursorCharge"),
-          col("retentionTime"), col("n_peaks"), col("masses"), col("intensities"))
-        .orderBy(col("fileName"), col("index")))),
-
-    // S1 — mzIdentML scan: PSMs joined to their SpectraData declaration
-    // (score selection, positioned mods, decoy evidence, id formats).
-    "io_mzid_scan" -> ((s, _) => {
-      val path = graft.pipeline.DemoFixtures.mzidFile()
-      val psms = graft.io.MzIdentMlIO.readPsms(s, Seq(path))
-      val sd = graft.io.MzIdentMlIO.readSpectraData(s, Seq(path))
-        .withColumnRenamed("file", "sdFile")
-      jsonSafe(psms
-        .join(broadcast(sd),
-          psms("spectraDataRef") === sd("spectraDataId") && psms("file") === sd("sdFile"))
-        .select(col("psmId"), col("peptideSequence"), col("proteinAccession"),
-          col("isDecoy"), col("score"), col("rank"), col("charge"),
-          col("expMassToCharge"), col("calcMassToCharge"), col("modifications"),
-          col("sourceId"), col("location"), col("idFormatAccession"))
-        .orderBy(col("psmId"), col("proteinAccession")))
-    }),
-
-    // S1 (legacy) — PRIDE XML identification scan: GelFreeIdentification /
-    // TwoDimensionalIdentification sections to the standardized PSM shape.
-    // Pins: the shared peptide under two accessions collapsing to ONE
-    // content-derived psmId, the positioned PSI-MOD modification, the
-    // PeptideItem score/charge cvParams, the Identification-<Score>
-    // fallback, and the PRIDE:0000303 decoy-hit flag.
-    "io_pridexml_ident" -> ((s, _) =>
-      jsonSafe(graft.io.PrideXmlIO.readIdentifications(
-        s, Seq(graft.pipeline.DemoFixtures.prideXmlIdentFile()))
-        .select(col("psmId"), col("peptideSequence"), col("proteinAccession"),
-          col("database"), col("isDecoy"), col("score"), col("charge"),
-          col("expMassToCharge"), col("modifications"), col("sourceId"),
-          col("start"), col("end"))
-        .orderBy(col("psmId"), col("proteinAccession")))),
-
-    // S3/S4 + F1/F2 + S8 — REST files catalog on a recorded payload:
-    // generated-artifact drop, RESULT-category gate, compressed-name
-    // normalization, ftp->https rewrite.
-    "io_rest_catalog" -> ((s, _) => {
-      val rest = new graft.io.PrideRest(
-        fetch = _ => graft.pipeline.DemoFixtures.restFilesJson)
-      rest.files(s, "PXDDEMO")
-        .select(
-          col("accession"),
-          col("fileName"),
-          col("fileCategory.accession").as("category_accession"),
-          col("fileCategory.value").as("category"),
-          graft.io.PrideRest.isResultFile.as("is_result"),
-          regexp_replace(col("fileName"), "\\.(gz|zip)$", "").as("uncompressed_name"),
-          col("fileName").rlike("\\.(gz|zip)$").as("was_compressed"),
-          graft.functions.ParamFunctions.ftpToHttps(col("ftp")).as("https_url"))
-        .orderBy(col("accession"))
-    }),
-
-    // S7 — SDRF scan: characteristics melt + plan-time EFO accession
-    // resolution (unknown names carry NULL like the reference).
-    "io_sdrf_melt" -> ((s, _) =>
-      graft.io.SideInputs.readSdrf(s, graft.pipeline.DemoFixtures.sdrfFile())
-        .orderBy(col("fileKey"), col("name"))),
-
-    // K4 — result-file TSV sink roundtrip: write the tab-separated catalog,
-    // read it back as text columns (values survive the sink bit-for-bit).
-    "io_tsv_roundtrip" -> ((s, _) => {
-      val rest = new graft.io.PrideRest(
-        fetch = _ => graft.pipeline.DemoFixtures.restFilesJson)
-      val out = demoTempDir(s, "tsv") + "/result_files"
-      graft.io.PrideRest.writeResultFilesTsv(rest.files(s, "PXDDEMO"), out)
-      s.read.option("sep", "\t").option("header", "true").csv(out)
-        .orderBy(col("accession"))
-    }),
-
-    // Gzip JSON-lines roundtrip (round-9): events written as .json.gz
-    // (the shape crawl logs actually arrive in) and read back through
-    // Spark's transparent codec path must equal the parquet original.
-    "io_jsonl_gzip" -> ((s, dir) => {
-      val out = demoTempDir(s, "jsgz") + "/events_jsonl_gz"
-      Tables(s, dir, "events")
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
-          col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").option("compression", "gzip").json(out)
-      s.read
-        .schema("event_id LONG, ts_str STRING, user_id LONG, event_type STRING, value DOUBLE")
-        .json(out)
-        .orderBy(col("event_id"))
-    }),
-
-    // ORC sink + scan roundtrip (round-9): the events table written
-    // through Spark's native ORC writer and read back must be value-
-    // identical to the parquet original (the oracle reads the parquet) —
-    // columnar-format portability for consumers standardized on ORC.
-    "io_orc_roundtrip" -> ((s, dir) => {
-      val out = demoTempDir(s, "orc") + "/events_orc"
-      Tables(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"))
-        .write.mode("overwrite").orc(out)
-      s.read.orc(out)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
-          col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
-    }),
-
-    // Seasonal anomaly baseline (round-9): groupAdvantage composed over a
-    // derived (event_type, hour-of-day) season key — each event's value
-    // in sigma units of ITS seasonal slot; the operator doubles as the
-    // seasonal-baseline anomaly scorer unchanged.
-    "e_seasonal_baseline" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .filter(col("value").isNotNull && col("event_type").isNotNull &&
-          col("ts").isNotNull)
-        .withColumn("season",
-          concat_ws(":", col("event_type"), hour(col("ts")).cast("string")))
-      graft.operators.Preference.groupAdvantage(
-        ev, col("season"), col("event_id"), floor(col("value") * 100))
-        .withColumnRenamed("group_id", "season")
-        .withColumnRenamed("id", "event_id")
-    }),
-
-    // Composite corpus-construction pipeline over the documents table:
-    // quality gate -> langid -> exact dedup -> MinHash near-dup components
-    // -> representatives. The CorpusResult unpersist handle is dropped by
-    // design here: the driver contract needs a lazy DataFrame, and
-    // repeated invocations share ONE cache entry (CacheManager keys on the
-    // canonical plan), so memory is bounded; long-lived library callers
-    // use the handle.
-    "tdp_build_corpus" -> ((s, dir) => {
-      graft.operators.CorpusPipeline.buildCorpus(
-        t(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
-        graft.operators.CorpusPipeline.CorpusConfig(
-          minQuality = 0.5, nearDupThreshold = 0.6))
-        .corpus
-        .orderBy(col("id"))
-    }),
-
-    // Per-source corpus report card: doc counts, EXACT token totals (the
-    // long-typed estimate sums without float drift), language spread, and
-    // quality-gate pass counts — the rollup a training-data pipeline
-    // publishes per ingest source. One shuffle (the groupBy); quality and
-    // token expressions are the same pinned columns txt_quality /
-    // txt_token_estimate verify, so the oracle is a full SQL
-    // re-derivation, not an expected table.
-    "tdp_corpus_stats" -> ((s, dir) => {
-      val m = TextFunctions.qualityMetrics(col("text"))
-      t(s, dir, "documents")
-        .select(col("source"), col("lang"), col("n_chars"),
-          TextFunctions.tokenCountEstimate(col("text")).cast("long").as("_tok"),
-          m.getField("quality_score").as("_q"))
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("_tok")).as("total_tokens_est"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(col("n_chars")).as("total_chars"),
-          sum(when(col("_q") >= 0.7, 1L).otherwise(0L)).as("n_quality_pass"),
-        )
-        .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
-        .orderBy(col("source"))
-    }),
-
-    // Benchmark decontamination: corpus docs sharing any 3-gram shingle
-    // with the "benchmark" slice (every 20th doc) are flagged — the
-    // train-set hygiene gate, one broadcast semi-join on the shingle.
-    "tdp_decontaminate" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-      graft.operators.Curation.decontaminate(
-        d.filter(col("id") % 20 =!= 0), d.filter(col("id") % 20 === 0), n = 3)
-        .orderBy(col("id"))
-    }),
-
-    // Per-source contamination rate with Wilson 95% bounds (round-10):
-    // the decontaminate flags rolled up per source through rateWithWilson
-    // — "which ingestion source leaks benchmark text, with uncertainty".
-    // Pure composition of two verified operators.
-    "tdp_contamination_rate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val flags = graft.operators.Curation.decontaminate(
-        d.filter(col("doc_id") % 20 =!= 0)
-          .select(col("doc_id").as("id"), col("text")),
-        d.filter(col("doc_id") % 20 === 0)
-          .select(col("doc_id").as("id"), col("text")), n = 3)
-      graft.operators.DataQuality.rateWithWilson(
-        flags.join(d.select(col("doc_id").as("id"), col("source")), "id"),
-        col("source"), col("contaminated"))
-    }),
-
-    // Fuzzy decontamination: MinHash-banded cross-corpus near-dup flags —
-    // catches the paraphrased contamination exact shingle overlap misses.
-    // Train = docs not in the benchmark slice; benchmark = every 20th doc
-    // (dup/near-dup pairs planted in the corpus straddle the split).
-    "tdp_fuzzy_decontaminate" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-      graft.operators.Curation.fuzzyDecontaminate(
-        d.filter(col("id") % 20 =!= 0), d.filter(col("id") % 20 === 0),
-        shingleN = 3, numHashes = 16, numBands = 4, threshold = 0.5)
-        .orderBy(col("id"))
-    }),
-
-    // Deterministic sharded sequence packing: greedy token-budget bins in
-    // id order per md5 shard (the pre-tokenization batching step).
-    "tdp_pack_sequences" -> ((s, dir) => {
-      graft.operators.Curation.packSequences(
-        t(s, dir, "documents"), col("doc_id"),
-        TextFunctions.tokenCountEstimate(col("text")).cast("long"),
-        tokenBudget = 2048, numShards = 64)
-        .select(col("doc_id"), col("shard"), col("pack"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Dedup-safe tokenizer-aware training-shard plan (round-8): exact
-    // dedup -> epoch-1 shuffle order -> round-robin shards -> greedy
-    // token packs, rolled up per (shard, pack). The hash breaks if the
-    // dedup survivor set, the epoch permutation, the shard assignment,
-    // or the packing boundaries drift.
-    "tdp_training_shards" -> ((s, dir) => {
-      graft.operators.Curation.trainingShardPlan(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        TextFunctions.tokenCountEstimate(col("text")).cast("long"),
-        epoch = 1, tokenBudget = 2048, numShards = 8)
-        .groupBy(col("shard"), col("pack"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
-          min(col("shuffle_pos")).as("first_pos"))
-        .orderBy(col("shard"), col("pack"))
-    }),
-
-    // PII redaction over documents with deterministic injected PII (the
-    // synthetic corpus has none): email/IPv4/phone placeholders + counts.
-    "tdp_pii_scrub" -> ((s, dir) => {
-      val withPii = concat(
-        col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or +1 (555) 010-"),
-        lpad(col("doc_id").cast("string"), 4, "0"),
-        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.operators.Curation.redactPii(withPii).as("redacted"),
-          coalesce(regexp_count(withPii, lit(graft.operators.Curation.EmailRe)), lit(0))
-            .cast("long").as("n_emails"),
-          coalesce(regexp_count(withPii, lit(graft.operators.Curation.Ipv4Re)), lit(0))
-            .cast("long").as("n_ips"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Deterministic hash-stratified sampling: per-language keep fractions
-    // via a portable md5 uniform — reproducible lineage, pure filter.
-    "tdp_stratified_sample" -> ((s, dir) => {
-      graft.operators.Curation.stratifiedSample(
-        t(s, dir, "documents"), col("lang"), col("doc_id"),
-        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
-    }),
-
-    // Incremental cross-batch dedup: new docs (id >= 250) against the
-    // standing corpus (id < 250); bloom prefilter + exact anti-join —
-    // result is exactly the plain anti-join (oracle). Every 5th batch doc
-    // borrows a seen doc's text (deterministic planted dups — the raw
-    // tables have no cross-boundary duplicates, so without the injection
-    // the oracle could not catch an anti-join that drops nothing).
-    "dd_incremental_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val seen = docs.filter(col("doc_id") < 250)
-      val borrowed = seen.select((col("doc_id") + 250).as("doc_id"),
-        col("text").as("_seen_text"))
-      val batch = docs.filter(col("doc_id") >= 250)
-        .join(borrowed, Seq("doc_id"), "left")
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, coalesce(col("_seen_text"), col("text")))
-            .otherwise(col("text")))
-        .drop("_seen_text")
-      Dedup.incrementalDedup(batch, md5(col("text")), seen, md5(col("text")),
-        expectedSeen = 250)
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
-    }),
-
-    // Incremental NEAR-dup against a signature store (round-8): seen =
-    // docs < 250 (signatures only), batch = docs >= 250 with every 5th
-    // text replaced by its seen counterpart -> near_dup at est 1.0; the
-    // standing corpus text is never re-shingled.
-    "dd_incremental_neardup" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val all = t(s, dir, "documents")
-      val seen = all.filter(col("doc_id") < 250)
-        .select(col("doc_id").as("id"), col("text"))
-      val batch = all.filter(col("doc_id") >= 250).alias("b")
-        .join(seen.select((col("id") + 250).as("doc_id"), col("text").as("s_text")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id").as("id"),
-          when(col("doc_id") % 5 === 0, coalesce(col("s_text"), col("b.text")))
-            .otherwise(col("b.text")).as("text"))
-      def sigs(d: org.apache.spark.sql.DataFrame) = graft.operators.Dedup.minHashSignature(
-        d.select(col("id"),
-          explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle")),
-        col("id"), col("shingle"), numHashes = 16)
-      graft.operators.Dedup
-        .incrementalNearDup(sigs(batch), sigs(seen),
-          numBands = 4, rowsPerBand = 4, threshold = 0.5)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Mixture plan: per-source token totals -> guarded keep fractions
-    // (explicit zero weight AND absent-source both yield 0.0; capped 1.0).
-    "tdp_mixture_plan" -> ((s, dir) => {
-      graft.operators.Curation.mixturePlan(
-        t(s, dir, "documents"), col("source"), length(col("text")),
-        Map("src1" -> 0.6, "src2" -> 0.4, "src3" -> 0.0), tokenBudget = 10000L)
-        .orderBy(col("source"))
-    }),
-
-    // Mixture sampling to a token budget: plan broadcast back as a pure
-    // deterministic filter (md5-uniform selection, corpus never shuffled).
-    "tdp_mixture_sample" -> ((s, dir) => {
-      graft.operators.Curation.mixtureSample(
-        t(s, dir, "documents"), col("source"), col("doc_id"), length(col("text")),
-        Map("src1" -> 0.6, "src2" -> 0.4, "src3" -> 0.0), tokenBudget = 10000L)
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
-    }),
-
-    // Temperature mixture plan (alpha-sampling, alpha=0.5): corpus
-    // shares^alpha renormalized — big sources down-, small sources
-    // up-weighted; all arithmetic rounds/decimal-sums for parity.
-    "tdp_temperature_plan" -> ((s, dir) => {
-      graft.operators.Curation.temperatureMixturePlan(
-        t(s, dir, "documents"), col("source"), length(col("text")),
-        alpha = 0.5, tokenBudget = 10000L)
-        .orderBy(col("source"))
-    }),
-
-    // The sampled corpus under the alpha=0.5 plan (plan broadcast back
-    // as a pure deterministic filter).
-    "tdp_temperature_mixture" -> ((s, dir) => {
-      graft.operators.Curation.temperatureMixtureSample(
-        t(s, dir, "documents"), col("source"), col("doc_id"), length(col("text")),
-        alpha = 0.5, tokenBudget = 10000L)
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
-    }),
-
-    // Corpus length distribution: exact interpolated percentiles per
-    // language (single hash-agg; the sort is per-group inside the agg
-    // buffer, no global sort).
-    "txt_length_quantiles" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("lang"), length(col("text")).cast("double").as("len"))
-        .groupBy(col("lang"))
-        .agg(
-          percentile(col("len"), lit(0.5)).as("p50"),
-          percentile(col("len"), lit(0.9)).as("p90"),
-          percentile(col("len"), lit(0.99)).as("p99"),
-          count(lit(1)).as("n"))
-        .orderBy(col("lang"))
-    }),
-
-    // Context-window chunking: fixed-token windows with overlap, pure
-    // projection + explode (no shuffle; offsets are arithmetic).
-    "tdp_chunk_documents" -> ((s, dir) => {
-      graft.operators.Curation.chunkDocuments(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        col("doc_id"), col("text"), chunkSize = 50, overlap = 10)
-        .orderBy(col("doc_id"), col("chunk_id"))
-    }),
-
-    // Deterministic epoch shuffle: md5("<id>:<epoch>") order key +
-    // range-sort global index (no single-task window).
-    "tdp_epoch_shuffle" -> ((s, dir) => {
-      graft.operators.Curation.epochShuffle(
-        t(s, dir, "documents").select(col("doc_id"), col("source")),
-        col("doc_id"), epoch = 3)
-        .select(col("doc_id"), col("source"), col("shuffle_pos"))
-        .orderBy(col("shuffle_pos"))
-    }),
-
-    // ANN LSH top-k with multi-probe (Hamming radius 1): candidates only
-    // from the probed hyperplane buckets, exact cosine re-rank.
-    "sim_lsh_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(e, e.filter(col("id") < 10), k = 5, nBits = 4, dim = 64,
-        probeHammingRadius = 1)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Per-language embedding centroids (mean pooling): decimal-exact
-    // per-dimension sums, one IEEE division; output re-exploded flat so
-    // the oracle also pins the position-ordered reassembly.
-    "sim_group_centroids" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val joined = e.join(d, e("vec_id") === d("doc_id"))
-      Similarity.groupCentroids(joined, col("lang"), col("embedding"))
-        .select(col("k").as("lang"), posexplode(col("centroid")).as(Seq("pos", "m")))
-        .select(col("lang"), col("pos").cast("long").as("pos"), col("m"))
-        .orderBy(col("lang"), col("pos"))
-    }),
-
-    // Per-dimension min-max scaling (round-9): stats over the FULL
-    // corpus (exact value selections), output cut to the first 100
-    // vectors; the mixed-source normalization step before indexing.
-    "sim_minmax_scale" -> ((s, dir) => {
-      Similarity.minMaxScale(
-        t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
-        .filter(col("id") < 100)
-        .withColumnRenamed("id", "vec_id")
-    }),
-
-    // ANN recall report (round-9): LSH top-5 vs the exact brute-force
-    // top-5 per query — the index-quality gate; both sides top-k-bounded
-    // so every join is dimension-sized.
-    "sim_ann_recall" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val q = e.filter(col("id") < 10)
-      val approx = Similarity.lshTopK(e, q, k = 5, nBits = 4, dim = 64,
-        probeHammingRadius = 1)
-      val exact = Similarity.bruteForceTopK(e, q, 5)
-      Similarity.annRecallReport(approx, exact, k = 5)
-    }),
-
-    // Per-label centroid drift (round-9): mean-vector shift between the
-    // even and odd halves of the embeddings table — the encoder/mix
-    // regression monitor; same micro-quantized exact contract.
-    "sim_centroid_drift" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.centroidDrift(
-        e.filter(col("vec_id") % 2 === 0),
-        e.filter(col("vec_id") % 2 === 1),
-        col("label"), col("embedding"))
-    }),
-
-    // Per-label embedding outliers (round-9): micro-quantized exact-BIGINT
-    // centroid sums + fixed-order distance folds + bounded top-k agg —
-    // unlike sim_group_centroids, fully live-oracle-able (no decimal→
-    // double conversion anywhere).
-    "sim_label_outliers" -> ((s, dir) => {
-      graft.operators.Similarity.labelOutliers(
-        t(s, dir, "embeddings"), col("vec_id"), col("label"), col("embedding"), k = 5)
-    }),
-
-    // IVF approximate NN: deterministic-KMeans cells + probe-limited exact
-    // re-rank (oracle: expected table — Lloyd training is bit-reproducible
-    // by construction but not reasonably SQL-expressible). The centroids
-    // are memoized per (session, sf-dir): Lloyd is deterministic, so the
-    // steady-state 100 TB shape — train once, query many — is also the
-    // honest bench shape; first call trains, every later call (and the
-    // repeated Bench iterations) reuses the tiny centroid table.
-    "sim_ivf_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = ivfCentroidCache.computeIfAbsent(
-        System.identityHashCode(s).toString + "|" + dir,
-        _ => Similarity.deterministicCentroids(e, nCells = 8, iters = 6))
-      Similarity.ivfTopK(e, e.filter(col("id") < 10), k = 5, nCells = 8, nProbe = 2,
-        centroidsIn = Some(cents))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // The disk-backed index path: build+save once per session (the
-    // _SUCCESS marker gates the rebuild), then query the LOADED index —
-    // the broadcast probe side dynamically prunes the cell-partitioned
-    // parquet, so the batch reads only probed cells. Same deterministic
-    // centroids as sim_ivf_topk -> same expected table.
-    "sim_ivf_disk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val out = demoTempDir(s, "ivfidx") + "/index"
-      if (!new java.io.File(s"$out/assigned/_SUCCESS").exists()) {
-        val idx = Similarity.buildIvfIndex(e, nCells = 8)
-        Similarity.saveIvfIndex(idx, out)
-        idx.release()
-      }
-      Similarity.ivfQuery(Similarity.loadIvfIndex(s, out), e.filter(col("id") < 10),
-        k = 5, nProbe = 2)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    // Multimodal batched feature extraction through the typed Dataset path
-    // (stubbed decode — the Spark plumbing is the real contract).
-    "mm_feature_extract" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents").orderBy(col("doc_id")).limit(50)
-        .select(col("doc_id"), col("text"), col("source"))
-        .as[(Long, String, String)]
-        .map { case (id, text, src) =>
-          graft.operators.Multimodal.MediaRow(
-            id, if (src.hashCode % 2 == 0) "image" else "audio",
-            text.getBytes("UTF-8"), None, None, None)
-        }
-      jsonSafe(graft.operators.Multimodal.extractFeatures(media, dim = 8)
-        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
-          col("feature")).orderBy(col("media_id")))
-    }),
-
-    // Multimodal resize: nearest-neighbor byte resample to an 8x8 gray8
-    // stub buffer (real contract: bytes -> w*h buffer; the oracle
-    // re-derives every output byte from the hex-encoded payload). The
-    // comparison key is md5 over the UPPERCASE hex string — both engines'
-    // hex() emit uppercase, and neither can md5 a BLOB directly.
-    "mm_resize" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          graft.operators.Multimodal.MediaRow(
-            id, "image", text.getBytes("UTF-8"), None, None, None)
-        }
-      graft.operators.Multimodal.resizeImages(media, dstW = 8, dstH = 8)
-        .toDF()
-        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
-          md5(hex(col("payload"))).as("payload_md5"))
-        .orderBy(col("media_id"))
-    }),
-
-    // Multimodal frame sampling: one row per sampled frame (every 100 ms
-    // of the stub duration = 1 ms/byte), frame bytes re-derived by the
-    // oracle as hex-string slices. Linear fan-out, no shuffle.
-    "mm_frame_sample" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val b = text.getBytes("UTF-8")
-          graft.operators.Multimodal.MediaRow(
-            id, "video", b, None, None, Some(b.length.toLong))
-        }
-      graft.operators.Multimodal.sampleFrames(media, everyMs = 100L, frameBytes = 24)
-        .toDF()
-        .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("n_bytes"),
-          md5(hex(col("payload"))).as("frame_md5"))
-        .orderBy(col("media_id"), col("frame_idx"))
-    }),
-  )
-
-  // ------------------------------------------------------------------ oracles
-
-  /** The MinHash coefficient table, interpolated into BOTH minhash oracles
-    * (dd_minhash_lsh, tdp_build_corpus) so the SQL can never silently
-    * desync from [[Dedup.hashA]]/[[Dedup.hashB]]. */
-  private val minhashCoeffs: String =
-    (0 until 16).map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
-
-  /** The dd_minhash_lsh candidate-pair derivation as a reusable CTE chain
-    * ending in `pairs(id_a, id_b)` (id_a < id_b, est_jaccard >= 0.5) —
-    * the same chain the tdp_graph_rank / tdp_graph_triangles oracles
-    * carry inline; shared by the round-10 graph oracles built over the
-    * near-dup similarity graph. */
-  private def lshPairCtes: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(list_distinct(CASE WHEN len(t) >= 3
-       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-       |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-       |  FROM toks),
-       |hs AS (
-       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-       |mh AS (
-       |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-       |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-       |  GROUP BY doc_id, i),
-       |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, b,
-       |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-       |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-       |est AS (
-       |  SELECT id_a, id_b,
-       |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-       |  FROM cand
-       |  JOIN mh ma ON ma.doc_id = id_a
-       |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-       |  GROUP BY id_a, id_b),
-       |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5)""".stripMargin
-
-  /** Symmetrized edges + degree/rank fixed point over [[lshPairCtes]]'s
-    * `pairs` — the tdp_graph_rank iteration chain, reused by the
-    * canonical-member oracle. Ends in `p3(id, deg, pr)`. */
-  private def pageRankCtes: String =
-    """,
-      |sym AS (
-      |  SELECT DISTINCT src, dst FROM (
-      |    SELECT id_a AS src, id_b AS dst FROM pairs
-      |    UNION ALL SELECT id_b, id_a FROM pairs)
-      |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
-      |nodes AS (SELECT src AS id, count(*)::BIGINT AS deg FROM sym GROUP BY src),
-      |st AS (SELECT count(*)::BIGINT AS n FROM nodes),
-      |p0 AS (SELECT id, deg, 1000000000000 // n AS pr FROM nodes CROSS JOIN st),
-      |c1 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
-      |       FROM p0 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
-      |p1 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
-      |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
-      |       FROM p0 p LEFT JOIN c1 c ON c.id = p.id CROSS JOIN st),
-      |c2 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
-      |       FROM p1 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
-      |p2 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
-      |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
-      |       FROM p1 p LEFT JOIN c2 c ON c.id = p.id CROSS JOIN st),
-      |c3 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
-      |       FROM p2 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
-      |p3 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
-      |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
-      |       FROM p2 p LEFT JOIN c3 c ON c.id = p.id CROSS JOIN st),
-      |labels AS (
-      |  WITH RECURSIVE r(id, lab) AS (
-      |    SELECT id, id FROM nodes
-      |    UNION
-      |    SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id)
-      |  SELECT id, min(lab)::BIGINT AS component FROM r GROUP BY id)""".stripMargin
-
-  /** One temp dir per (session, kind) for the sink-roundtrip queries —
-    * both sinks write mode("overwrite"), so repeated bench/verify
-    * invocations reuse one directory instead of accumulating orphans
-    * under /tmp on long loops. A WeakHashMap keyed by session (like the
-    * expression kernels' registration memos): stopped sessions — and
-    * their dir strings — are GC-reclaimable instead of pinned for the
-    * JVM lifetime across repeated bench/verify loops. */
-  private val demoDirMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, String]]()
-  private def demoTempDir(s: org.apache.spark.sql.SparkSession, kind: String): String =
-    demoDirMemo.synchronized {
-      demoDirMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(kind,
-          java.nio.file.Files.createTempDirectory(s"graft-demo-$kind").toString)
-    }
-
-  /** Deterministic spectra synthesized from the embeddings table (shared by
-    * dd_spectra_cluster / pipeline_native_cluster): planted near-copies at
-    * +1000 (same precursor slot, +0.01 m/z) and second-generation copies at
-    * +2000 (+0.03 m/z — within tol of the FIRST copy but NOT of the base,
-    * so 3-member clusters close only transitively). Integer-valued
-    * intensities make every dot/norm sum exact. Generations via explode,
-    * NOT a self-union: unioning projections of the same scan trips
-    * UnionBase.rewriteConstraints ("key not found") on constraints
-    * referencing the pruned embedding column. */
-  private def syntheticClusterSpectra(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    // vec_id < 1000 keeps the synthetic spec-id arithmetic (vec_id +
-    // gen*1000) collision-free at EVERY SF — at sf0.1 the raw table has
-    // 2000 vectors and base ids 1000+ would collide with the gen-1
-    // copies (the one way an SF regeneration could redden this oracle;
-    // scale evidence for the clusterer itself is ClusterBench at 500k)
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") < 1000)
-    val tagged = emb.withColumn("gen", explode(
-      when(col("vec_id") < 20, array(lit(0L), lit(1L), lit(2L)))
-        .when(col("vec_id") < 60, array(lit(0L), lit(1L)))
-        .otherwise(array(lit(0L)))))
-    tagged.select(
-      (col("vec_id") + col("gen") * lit(1000L)).as("specId"),
-      (lit(2) + col("vec_id") % 2).cast("int").as("precursorCharge"),
-      (lit(400.0) +
-        floor(abs(element_at(col("embedding"), 1).cast("double")) * lit(20.0)) * lit(0.04) +
-        when(col("gen") === 1, lit(0.01)).when(col("gen") === 2, lit(0.03))
-          .otherwise(lit(0.0))).as("precursorMz"),
-      transform(sequence(lit(0), lit(63)), i =>
-        lit(100.0) + floor(i.cast("double") / lit(2.0)) * lit(2.0)).as("masses"),
-      transform(sequence(lit(0), lit(63)), i =>
-        round(abs(element_at(col("embedding"), i + lit(1)).cast("double")) * lit(1000.0)) +
-          when(col("gen") === 1 && i % lit(9) === 0, lit(3.0))
-            .when(col("gen") === 2 && i % lit(7) === 0, lit(4.0))
-            .otherwise(lit(0.0))).as("intensities"))
-  }
-
-  private val nativeClusterConfig = graft.operators.SpectraCluster.Config(
-    binWidth = 1.0, topPeaks = 20, candidateBins = 6,
-    precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L)
-
-  /** Shared DuckDB re-derivation of the native spectra clustering
-    * (synthesis -> binning -> candidate join -> cosine edges ->
-    * recursive min-label components): CTE chain ending at `labels
-    * (spec_id, cluster_id)` — consumers append their own final
-    * SELECT (dd_spectra_cluster) or further CTEs
-    * (pipeline_native_cluster). */
-  private val spectraClusterLabelCtes: String =
-    """WITH base AS (
-        |  SELECT vec_id AS spec_id,
-        |    (2 + vec_id % 2)::INTEGER AS charge,
-        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.0 AS pmz,
-        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)) AS inten
-        |  FROM embeddings WHERE vec_id < 1000),
-        |copies AS (
-        |  SELECT vec_id + 1000 AS spec_id,
-        |    (2 + vec_id % 2)::INTEGER AS charge,
-        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.01 AS pmz,
-        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
-        |      + CASE WHEN i % 9 = 0 THEN 3.0 ELSE 0.0 END) AS inten
-        |  FROM embeddings WHERE vec_id < 60),
-        |copies2 AS (
-        |  SELECT vec_id + 2000 AS spec_id,
-        |    (2 + vec_id % 2)::INTEGER AS charge,
-        |    400.0 + floor(abs(embedding[1]::DOUBLE) * 20.0) * 0.04 + 0.03 AS pmz,
-        |    list_transform(range(64), i -> round(abs(embedding[i+1]::DOUBLE) * 1000.0)
-        |      + CASE WHEN i % 7 = 0 THEN 4.0 ELSE 0.0 END) AS inten
-        |  FROM embeddings WHERE vec_id < 20),
-        |spec AS (SELECT * FROM base UNION ALL SELECT * FROM copies UNION ALL SELECT * FROM copies2),
-        |peaks AS (
-        |  SELECT spec_id, charge, pmz, 100 + 2 * (i // 2) AS bin, inten[i+1] AS x
-        |  FROM spec CROSS JOIN (SELECT unnest(range(64)) AS i)),
-        |binsall AS (
-        |  SELECT spec_id, charge, pmz, bin, sum(x) AS w FROM peaks
-        |  WHERE x > 0 GROUP BY spec_id, charge, pmz, bin),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY spec_id ORDER BY w DESC, bin ASC) AS r
-        |  FROM binsall),
-        |topk AS (SELECT * FROM ranked WHERE r <= 20),
-        |norms AS (SELECT spec_id, sqrt(sum(w * w)) AS nrm FROM topk GROUP BY spec_id),
-        |cand AS (
-        |  SELECT DISTINCT a.spec_id AS id_a, b.spec_id AS id_b
-        |  FROM topk a JOIN topk b
-        |    ON a.charge = b.charge AND a.bin = b.bin AND a.spec_id < b.spec_id
-        |   AND abs(a.pmz - b.pmz) <= 0.02
-        |  WHERE a.r <= 6 AND b.r <= 6),
-        |dots AS (
-        |  SELECT c.id_a, c.id_b, sum(a.w * b.w) AS dot
-        |  FROM cand c JOIN topk a ON a.spec_id = c.id_a
-        |  JOIN topk b ON b.spec_id = c.id_b AND b.bin = a.bin
-        |  GROUP BY c.id_a, c.id_b),
-        |edges AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
-        |    FROM dots d JOIN norms na ON na.spec_id = d.id_a
-        |    JOIN norms nb ON nb.spec_id = d.id_b)
-        |  WHERE cosine >= 0.95),
-        |sym AS (SELECT id_a AS u, id_b AS v FROM edges
-        |        UNION ALL SELECT id_b, id_a FROM edges),
-        |labels AS (
-        |  WITH RECURSIVE r(id, lab) AS (
-        |    SELECT spec_id, spec_id FROM spec
-        |    UNION
-        |    SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.id)
-        |  SELECT id AS spec_id, min(lab) AS cluster_id FROM r GROUP BY id)""".stripMargin
-
-  private val simhashSums: String =
-    (0 until 32).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
-
-  private val simhashValue: String =
-    (0 until 32).map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-
-  private val usiCharClass = """[()_ =&$@;+?{^}%\]>\[~<#|]"""
-
-  /** Stupid-backoff bigram-LM score re-derivation, parameterized over the
-    * (id, text) relation and the model caps — shared by the SF query and
-    * its inline-fixture twin. */
-  /** The bigram-LM CTE chain through per-doc `agg` (shared by
-    * txt_lm_score and the quality-ensemble oracle). */
-  private def lmScoreCtes(docsFrom: String, vocabCap: Int, bigramCap: Int): String =
-    s"""WITH d AS (
-       |  SELECT id,
-       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-       |  FROM $docsFrom),
-       |uni_all AS (
-       |  SELECT term, count(*)::BIGINT AS c
-       |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
-       |st AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tok, count(*)::BIGINT AS v
-       |       FROM uni_all),
-       |uni AS (SELECT term, c FROM uni_all ORDER BY c DESC, term LIMIT $vocabCap),
-       |bi AS (
-       |  SELECT w1, w2, count(*)::BIGINT AS c FROM (
-       |    SELECT t[i-1] AS w1, t[i] AS w2
-       |    FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
-       |  GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT $bigramCap),
-       |pos AS (
-       |  SELECT id, i, t[i] AS term, CASE WHEN i > 1 THEN t[i-1] END AS prev
-       |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
-       |sc AS (
-       |  SELECT p.id,
-       |    round(-ln(CASE WHEN p.i = 1
-       |        THEN (coalesce(u.c, 0) + 0.5::DOUBLE)
-       |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1))
-       |      WHEN bp.c IS NOT NULL AND up.c IS NOT NULL
-       |        THEN bp.c::DOUBLE / up.c::DOUBLE
-       |      ELSE 0.4::DOUBLE * ((coalesce(u.c, 0) + 0.5::DOUBLE)
-       |             / (st.n_tok + 0.5::DOUBLE * (st.v + 1)))
-       |      END), 6)::DECIMAL(28,6) AS nl
-       |  FROM pos p
-       |  LEFT JOIN uni u ON u.term = p.term
-       |  LEFT JOIN uni up ON up.term = p.prev
-       |  LEFT JOIN bi bp ON bp.w1 = p.prev AND bp.w2 = p.term
-       |  CROSS JOIN st),
-       |agg AS (SELECT id, count(*)::BIGINT AS n_tokens, sum(nl) AS s,
-       |          (sum(nl) * 1000000)::BIGINT AS u
-       |        FROM sc GROUP BY id)""".stripMargin
-
-  private def lmScoreSql(docsFrom: String, vocabCap: Int, bigramCap: Int): String =
-    lmScoreCtes(docsFrom, vocabCap, bigramCap) +
-      """
-        |SELECT d.id AS doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-        |  ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
-        |FROM d LEFT JOIN agg a ON d.id = a.id
-        |ORDER BY doc_id""".stripMargin
-
-  private val dotSql =
-    "list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
-  private def normSql(v: String) =
-    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
-  // prefix-fold variants over the first n components (matryoshka stage 1)
-  private def dotPreSql(n: Int) =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1,${n + 1}), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a,b) -> a+b)"
-  private def normPreSql(v: String, n: Int) =
-    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,${n + 1}), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
-
-  // Random-hyperplane projection for plane p, bit-identical to
-  // VectorFunctions.hyperplaneComponent / hyperplaneBit (md5-derived
-  // components, same sequential fold order).
-  private def hpProjSql(p: Int): String =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> vec[i]::DOUBLE * " +
-      s"(('0x' || substr(md5('hp:$p:' || (i-1)::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5))), (a,b) -> a+b)"
-  private val lshBucketSql: String =
-    (0 until 4).map(p => s"(CASE WHEN ${hpProjSql(p)} >= 0.0 THEN ${1L << p} ELSE 0 END)")
-      .mkString(" + ")
-
-  // Shared expected table: deterministic centroids make the one-shot and
-  // disk-backed IVF paths value-identical.
-  private val IvfExpectedSql: String =
-    """SELECT c0::BIGINT AS "query_id", c1::BIGINT AS "neighbor_id", c2::DOUBLE AS "cosine", c3::INTEGER AS "rank" FROM (VALUES (0, 365, '0.3699935965460897'::DOUBLE, 1), (0, 387, '0.33113871888314317'::DOUBLE, 2), (0, 423, '0.2969335986409863'::DOUBLE, 3), (0, 73, '0.29543411523164853'::DOUBLE, 4), (0, 320, '0.2878605122093518'::DOUBLE, 5), (1, 386, '0.37148454183744223'::DOUBLE, 1), (1, 27, '0.3482081864636984'::DOUBLE, 2), (1, 407, '0.3270099496117245'::DOUBLE, 3), (1, 195, '0.32274442635213746'::DOUBLE, 4), (1, 64, '0.3163742953318501'::DOUBLE, 5), (2, 117, '0.318142564237661'::DOUBLE, 1), (2, 450, '0.26634395520019954'::DOUBLE, 2), (2, 188, '0.263272104561668'::DOUBLE, 3), (2, 418, '0.25402949645206835'::DOUBLE, 4), (2, 471, '0.24719275246584027'::DOUBLE, 5), (3, 130, '0.39987234325628024'::DOUBLE, 1), (3, 343, '0.30847165466962984'::DOUBLE, 2), (3, 174, '0.30354804540607316'::DOUBLE, 3), (3, 231, '0.29878836545413046'::DOUBLE, 4), (3, 207, '0.29170184705661967'::DOUBLE, 5), (4, 114, '0.39851269358433744'::DOUBLE, 1), (4, 496, '0.34121178056570023'::DOUBLE, 2), (4, 408, '0.32275312529105415'::DOUBLE, 3), (4, 482, '0.31389702932135605'::DOUBLE, 4), (4, 280, '0.27982608680315935'::DOUBLE, 5), (5, 404, '0.32840296338035546'::DOUBLE, 1), (5, 419, '0.31923743304166513'::DOUBLE, 2), (5, 157, '0.31125602484760423'::DOUBLE, 3), (5, 33, '0.3109867269549467'::DOUBLE, 4), (5, 359, '0.3058210572054561'::DOUBLE, 5), (6, 430, '0.32252026548071816'::DOUBLE, 1), (6, 145, '0.2976957384094014'::DOUBLE, 2), (6, 214, '0.2569408403316626'::DOUBLE, 3), (6, 252, '0.255629792758746'::DOUBLE, 4), (6, 374, '0.24757953117255718'::DOUBLE, 5), (7, 340, '0.4927657135003488'::DOUBLE, 1), (7, 425, '0.4075199341921925'::DOUBLE, 2), (7, 209, '0.3944625171493481'::DOUBLE, 3), (7, 334, '0.3569014029689115'::DOUBLE, 4), (7, 445, '0.34078247055145644'::DOUBLE, 5), (8, 39, '0.384696274117943'::DOUBLE, 1), (8, 138, '0.35667116396668896'::DOUBLE, 2), (8, 403, '0.3382375201415271'::DOUBLE, 3), (8, 380, '0.3045263882069312'::DOUBLE, 4), (8, 447, '0.28074172053081703'::DOUBLE, 5), (9, 49, '0.38517053208433855'::DOUBLE, 1), (9, 107, '0.2844935027707189'::DOUBLE, 2), (9, 259, '0.2514843841938669'::DOUBLE, 3), (9, 302, '0.24766351404606549'::DOUBLE, 4), (9, 319, '0.24190310903970472'::DOUBLE, 5)) AS t(c0, c1, c2, c3) ORDER BY "query_id", "rank""""
-
-  val oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS sum_disc_price,
-        |  count(*) AS count_order,
-        |  sum(l_quantity) / count(*) AS avg_qty
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q3_multi_join" ->
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND o_orderkey = l_orderkey
-        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
-        |GROUP BY o_orderkey, orderdate
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "q5_region_revenue" ->
-      """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
-        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "q10_returned_revenue" ->
-      """SELECT c_custkey, c_name, n_name, c_acctbal,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))::DOUBLE
-        |    AS revenue
-        |FROM lineitem, orders, customer, nation
-        |WHERE l_returnflag = 'R' AND o_orderkey = l_orderkey
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate < TIMESTAMP '1996-04-01'
-        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
-        |GROUP BY c_custkey, c_name, n_name, c_acctbal
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-
-    // Market-share re-derivation: identical IEEE cents quantization,
-    // HUGEINT-wide share product cast back to BIGINT.
-    "q8_market_share" ->
-      """SELECT year(o_orderdate) AS o_year,
-        |  sum(floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)::BIGINT
-        |    AS total_cents,
-        |  sum(CASE WHEN sn.n_name = 'NATION_7'
-        |      THEN floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
-        |      ELSE 0 END)::BIGINT AS nation_cents,
-        |  ((sum(CASE WHEN sn.n_name = 'NATION_7'
-        |       THEN floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
-        |       ELSE 0 END) * 1000000000)
-        |   // sum(floor(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT))::BIGINT
-        |    AS share_n9
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation sn ON s_nationkey = sn.n_nationkey
-        |GROUP BY o_year ORDER BY o_year""".stripMargin,
-
-    // Integral quantities: BIGINT-exact sum on both engines (DuckDB's
-    // rounding double->BIGINT cast equals Spark's truncation on whole
-    // numbers); HUGEINT sum cast back per the physical-type rule.
-    "q18_large_orders" ->
-      """SELECT c_custkey, o_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  o_totalprice, total_qty::BIGINT AS total_qty
-        |FROM customer, orders,
-        |  (SELECT l_orderkey, sum(l_quantity::BIGINT) AS total_qty
-        |   FROM lineitem GROUP BY 1
-        |   HAVING sum(l_quantity::BIGINT) > 250) t
-        |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
-        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
-
-    "f_filter_chain" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1995-09-01'
-        |  AND l_quantity >= 5 AND l_quantity <= 45 AND l_returnflag <> 'A'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "p3_p5_usi" ->
-      s"""WITH r AS (
-         |  SELECT doc_id, 'mzspec:PXD000001:' || source || '_' || lang || ' (' ||
-         |    doc_id::VARCHAR || '):scan:' || doc_id::VARCHAR || ':PEPTIDE/2' AS raw
-         |  FROM documents),
-         |c AS (SELECT doc_id, regexp_replace(raw, '$usiCharClass', '', 'g') AS usi FROM r)
-         |SELECT doc_id, usi,
-         |  array_to_string(string_split(usi, ':')[1:5], ':') AS spectra_usi
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    "p7_isobaric" ->
-      """SELECT doc_id, translate(substr(text, 1, 40), 'L', 'I') AS iso_prefix
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "p9_qvalue_repair" ->
-      """WITH d AS (SELECT DISTINCT l_discount AS q FROM lineitem)
-        |SELECT q, CASE WHEN q > 0 THEN q
-        |  ELSE round((SELECT min(q) FROM d WHERE q > 0) / 10, 6) END AS q_repaired
-        |FROM d ORDER BY q""".stripMargin,
-
-    "p10_missed_cleavages" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(upper(text), '[KR]')) - len(regexp_extract_all(upper(text), '[KR]P')) AS mc
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "p12_score_transform" ->
-      """SELECT q, round(-log10(q), 5) AS score
-        |FROM (SELECT DISTINCT l_discount AS q FROM lineitem WHERE l_discount > 0)
-        |ORDER BY q""".stripMargin,
-
-    "j1_scan_key_join" ->
-      """WITH o AS (SELECT *, 'scan=' || o_orderkey::VARCHAR AS skey FROM orders)
-        |SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM o JOIN lineitem ON CAST(regexp_replace(skey, '^scan=', '') AS BIGINT) = l_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "j1_contains_fallback" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
-        |psmk AS (
-        |  SELECT doc_id AS psmId,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'scan=' || CAST(doc_id AS VARCHAR)
-        |         ELSE 'frag' || CAST(doc_id AS VARCHAR) END AS sourceId,
-        |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR)
-        |         ELSE 'frag' || CAST(doc_id AS VARCHAR) END AS scanKey
-        |  FROM d),
-        |speck AS (
-        |  SELECT
-        |    CASE WHEN doc_id % 2 = 0 THEN 'controllerType=0 controllerNumber=1 scan=' || CAST(doc_id AS VARCHAR)
-        |         ELSE 'id_' || CAST(doc_id AS VARCHAR) || '_frag' || CAST(doc_id AS VARCHAR) END AS scanId,
-        |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR)
-        |         ELSE 'id_' || CAST(doc_id AS VARCHAR) || '_frag' || CAST(doc_id AS VARCHAR) END AS scanKey,
-        |    CAST(doc_id % 100 + 400 AS DOUBLE) AS precursor_mz
-        |  FROM d),
-        |exact AS (
-        |  SELECT p.psmId, p.scanKey, s.precursor_mz
-        |  FROM psmk p JOIN speck s ON p.scanKey = s.scanKey),
-        |unmatched AS (
-        |  SELECT p.*,
-        |    CASE WHEN starts_with(p.sourceId, 'scan=') THEN replace(p.sourceId, 'scan=', '')
-        |         ELSE p.sourceId END AS strippedId
-        |  FROM psmk p WHERE NOT EXISTS (SELECT 1 FROM speck s WHERE s.scanKey = p.scanKey)),
-        |lkp AS (SELECT DISTINCT strippedId FROM unmatched),
-        |hits AS (
-        |  SELECT l.strippedId, s.precursor_mz
-        |  FROM lkp l JOIN speck s ON contains(s.scanId, l.strippedId)),
-        |uniq AS (
-        |  SELECT strippedId, max(precursor_mz) AS precursor_mz
-        |  FROM hits GROUP BY strippedId HAVING count(*) = 1),
-        |rescued AS (
-        |  SELECT u.psmId, u.scanKey, q.precursor_mz
-        |  FROM unmatched u JOIN uniq q USING (strippedId))
-        |SELECT psmId, scanKey, precursor_mz FROM exact
-        |UNION ALL SELECT psmId, scanKey, precursor_mz FROM rescued
-        |ORDER BY psmId""".stripMargin,
-
-    "j2_unmatched_guard" ->
-      """SELECT count(*) AS n_unmatched FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
-
-    "j3_contains_join" ->
-      """SELECT n_name, r_name FROM nation, region
-        |WHERE contains(n_name, substr(r_name, 1, 1))
-        |ORDER BY n_name, r_name""".stripMargin,
-
-    "j5_dim_lookup" ->
-      """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name
-        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey""".stripMargin,
-
-    "j6_semi_join" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM lineitem
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 150000)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "j7_rollup" ->
-      """SELECT o_custkey, count(*) AS n_orders,
-        |  count(DISTINCT o_orderpriority) AS n_priorities,
-        |  min(o_totalprice) AS best_price,
-        |  max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 1 AS any_open,
-        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
-
-    "a6_inference_category" ->
-      """WITH per_part AS (
-        |  SELECT l_partkey, count(DISTINCT l_suppkey) AS ns, min(l_suppkey) AS only_supp
-        |  FROM lineitem GROUP BY l_partkey),
-        |uq AS (SELECT DISTINCT only_supp AS supp FROM per_part WHERE ns = 1)
-        |SELECT s.supp, CASE WHEN uq.supp IS NOT NULL THEN 'distinguishable'
-        |  ELSE 'indistinguishable' END AS category
-        |FROM (SELECT DISTINCT l_suppkey AS supp FROM lineitem) s
-        |LEFT JOIN uq ON s.supp = uq.supp
-        |ORDER BY s.supp""".stripMargin,
-
-    "a11_cluster_purity" ->
-      """WITH counts AS (
-        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type),
-        |ranked AS (
-        |  SELECT user_id, event_type, cnt,
-        |    sum(cnt) OVER (PARTITION BY user_id) AS total,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
-        |  FROM counts)
-        |SELECT user_id, event_type AS dominant_type, cnt::DOUBLE / total AS ratio
-        |FROM ranked WHERE rn = 1 AND cnt::DOUBLE / total > 0.22
-        |ORDER BY user_id""".stripMargin,
-
-    "a12_best_per_cluster" ->
-      """SELECT user_id, event_id, value FROM (
-        |  SELECT user_id, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
-
-    "a14_fdr_qvalues" ->
-      """WITH base AS (
-        |  SELECT user_id % 8 AS assay, event_id, event_type = 'error' AS is_decoy, value
-        |  FROM events),
-        |cum AS (
-        |  SELECT *,
-        |    sum(CASE WHEN is_decoy THEN 1 ELSE 0 END) OVER wb AS cum_decoys,
-        |    sum(CASE WHEN is_decoy THEN 0 ELSE 1 END) OVER wb AS cum_targets
-        |  FROM base
-        |  WINDOW wb AS (PARTITION BY assay ORDER BY value DESC, event_id ASC
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |f AS (
-        |  SELECT *, cum_decoys::DOUBLE / greatest(cum_targets, 1) AS fdr FROM cum)
-        |SELECT assay, event_id, is_decoy, fdr,
-        |  min(fdr) OVER (PARTITION BY assay ORDER BY value ASC, event_id DESC
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_value
-        |FROM f ORDER BY assay, event_id""".stripMargin,
-
-    "w4_sorted_collect" ->
-      """SELECT user_id,
-        |  array_to_string(list_sort(list(event_type || ':' || event_id::VARCHAR)), ',') AS members
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "w3_top_rank" ->
-      """SELECT user_id, rank, event_id, value FROM (
-        |  SELECT user_id, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
-        |  FROM events) WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
-
-    "w3_top_rank_fx" -> PinnedOracles.sql("w3_top_rank_fx"),
-
-    "w3_topk_agg" ->
-      """SELECT event_type, rank, value, event_id FROM (
-        |  SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value DESC, event_id ASC) AS rank
-        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
-        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
-
-    "w6_rolling_range" ->
-      """SELECT user_id, event_id, ts,
-        |  count(*) OVER w AS n_trailing_1h,
-        |  (sum(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE AS sum_trailing_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "j8_bucketed_join" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-
-    "j9_asof_join" ->
-      """WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
-        |     r AS (SELECT user_id, ts AS pts, max(value) AS purchase_value FROM events
-        |           WHERE event_type = 'purchase' GROUP BY user_id, ts)
-        |SELECT l.user_id, l.event_id, l.ts, l.value, r.pts, r.purchase_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
-        |ORDER BY l.user_id, l.event_id""".stripMargin,
-
-    "j9_asof_lookup" ->
-      """WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
-        |     r AS (SELECT user_id, ts AS pts, max(value) AS purchase_value FROM events
-        |           WHERE event_type = 'purchase' GROUP BY user_id, ts)
-        |SELECT l.user_id, l.event_id, l.ts, l.value, r.pts, r.purchase_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
-        |ORDER BY l.user_id, l.event_id""".stripMargin,
-
-    "j10_range_join" ->
-      """SELECT c.user_id, c.event_id, c.ts AS click_ts, p.ts AS purchase_ts
-        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
-        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id
-        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
-        |ORDER BY c.user_id, c.event_id, p.ts""".stripMargin,
-
-    "u1_union" ->
-      """SELECT nationkey, count(*) AS n FROM (
-        |  SELECT c_nationkey AS nationkey FROM customer
-        |  UNION ALL SELECT s_nationkey FROM supplier)
-        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
-
-    "u3_intersect_except" ->
-      """SELECT nationkey, relation FROM (
-        |  SELECT nationkey, 'both' AS relation FROM (
-        |    SELECT c_nationkey::INT AS nationkey FROM customer
-        |    INTERSECT SELECT s_nationkey::INT FROM supplier)
-        |  UNION ALL
-        |  SELECT nationkey, 'customers_only' FROM (
-        |    SELECT c_nationkey::INT AS nationkey FROM customer
-        |    EXCEPT SELECT s_nationkey::INT FROM supplier))
-        |ORDER BY relation, nationkey""".stripMargin,
-
-    // ROLLUP: grouping_id re-derived as GROUPING(first)*2 + GROUPING(second)
-    // (Spark's bit order: first grouping column is most significant).
-    "a16_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
-        |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
-
-    "a18_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
-        |  (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
-
-    // PIVOT: conditional-count rendering (the same plan Catalyst lowers
-    // the pivot to); absent combinations are 0 via the na.fill.
-    "a17_pivot" ->
-      """SELECT (user_id % 10)::INT AS decile,
-        |  count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
-        |  count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view,
-        |  count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
-        |  count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
-        |  count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error
-        |FROM events GROUP BY 1 ORDER BY decile""".stripMargin,
-
-    // Window family: identical full ordering (acctbal, custkey) makes
-    // every peer group a single row — percent_rank/cume_dist are the
-    // same exact rationals on both engines.
-    "w7_window_family" ->
-      """SELECT c_nationkey::INT AS nationkey, c_custkey AS custkey, c_acctbal,
-        |  lag(c_custkey) OVER w AS prev_key, lead(c_custkey) OVER w AS next_key,
-        |  ntile(4) OVER w AS quartile,
-        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
-        |FROM customer WHERE c_nationkey < 5
-        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-        |ORDER BY nationkey, custkey""".stripMargin,
-
-    "u2_explode_tokens" ->
-      """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 50)
-        |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin,
-
-    "d2_dup_detect" ->
-      """SELECT o_orderkey % 97 AS k, count(*) AS cnt FROM orders
-        |GROUP BY o_orderkey % 97 HAVING count(*) > 1 ORDER BY k""".stripMargin,
-
-    "a_salted_agg" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // The salted replicated join must be observationally a plain join.
-    "a_salted_join" ->
-      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "w5_global_index" ->
-      """SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS gidx
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "dd_exact_dedup" ->
-      """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint, count(*) AS dup_count
-        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-
-    "dd_entity_blocking" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  a.c_name AS name_a, b.c_name AS name_b,
-        |  levenshtein(a.c_name, b.c_name)::BIGINT AS distance
-        |FROM customer a JOIN customer b
-        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-        | AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "dd_minhash_lsh" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id_a
-         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-         |  GROUP BY id_a, id_b)
-         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // Keep-best dedup: the dd_minhash_lsh pair derivation + transitive
-    // closure, survivor = (n_chars DESC, id ASC) row per component.
-    "dd_keep_best_dedup" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS ej
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id_a
-         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-         |  GROUP BY id_a, id_b),
-         |pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT s AS id, s AS r FROM edges
-         |  UNION
-         |  SELECT e2.s AS id, rr.r FROM edges e2 JOIN reach rr ON e2.d = rr.id),
-         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-         |pres AS (
-         |  SELECT d.doc_id AS id, d.n_chars, c.component
-         |  FROM documents d JOIN comp c ON c.id = d.doc_id),
-         |reps AS (
-         |  SELECT component, id AS rep FROM (
-         |    SELECT component, id,
-         |      row_number() OVER (PARTITION BY component
-         |        ORDER BY n_chars DESC, id ASC) AS rn
-         |    FROM pres) WHERE rn = 1),
-         |losers AS (
-         |  SELECT p.id FROM pres p JOIN reps r USING (component) WHERE p.id <> r.rep)
-         |SELECT doc_id AS id, n_chars FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM losers)
-         |ORDER BY id""".stripMargin,
-
-    "txt_vocabulary" ->
-      """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
-        |    AS token
-        |  FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
-
-    // CMS join-size re-derivation: both sketches rebuilt as (r, bucket)
-    // count tables, inner product per row as an exact BIGINT sum of
-    // products (zero buckets contribute zero, so joining only the
-    // co-occupied buckets is identical to the engine's full-width fold),
-    // min over the depth rows, next to the true join count.
-    "tdp_cms_join_size" ->
-      """WITH consts AS (SELECT * FROM (VALUES
-        |  (0, 1::BIGINT, 0::BIGINT), (1, 1777::BIGINT, 97::BIGINT),
-        |  (2, 7919::BIGINT, 1009::BIGINT), (3, 104729::BIGINT, 30011::BIGINT))
-        |  AS t(r, a, b)),
-        |ha AS (SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT AS h
-        |       FROM orders WHERE o_orderkey IS NOT NULL),
-        |hb AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT AS h
-        |       FROM lineitem WHERE l_orderkey IS NOT NULL),
-        |ba AS (SELECT c.r AS r,
-        |         ((c.a * (h % 2147483647) + c.b) % 2147483647) % 65536 AS bk,
-        |         count(*)::BIGINT AS cnt
-        |       FROM ha CROSS JOIN consts c GROUP BY c.r, bk),
-        |bb AS (SELECT c.r AS r,
-        |         ((c.a * (h % 2147483647) + c.b) % 2147483647) % 65536 AS bk,
-        |         count(*)::BIGINT AS cnt
-        |       FROM hb CROSS JOIN consts c GROUP BY c.r, bk),
-        |er AS (SELECT ba.r, sum(ba.cnt * bb.cnt)::BIGINT AS ip
-        |       FROM ba JOIN bb ON bb.r = ba.r AND bb.bk = ba.bk GROUP BY ba.r),
-        |es AS (SELECT min(coalesce(e.ip, 0))::BIGINT AS est
-        |       FROM consts c LEFT JOIN er e ON e.r = c.r),
-        |ex AS (SELECT count(*)::BIGINT AS exact
-        |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
-        |SELECT es.est, ex.exact, es.est::DOUBLE / ex.exact AS ratio
-        |FROM es CROSS JOIN ex""".stripMargin,
-
-    // Canonical-member re-derivation (round-10): the shared LSH pair
-    // CTEs + the unrolled BIGINT PageRank chain + recursive min-label
-    // components, one row_number per component at (pr desc, id).
-    "dd_canonical_by_rank" ->
-      (lshPairCtes + pageRankCtes + "\n" +
-        """SELECT l.id, l.component, p3.pr::BIGINT AS rank_fp,
-          |  (row_number() OVER (PARTITION BY l.component
-          |     ORDER BY p3.pr DESC, l.id ASC) = 1) AS is_canonical
-          |FROM labels l JOIN p3 ON p3.id = l.id
-          |ORDER BY l.component, l.id""".stripMargin),
-
-    // Component-size histogram re-derivation: the same pair chain + the
-    // recursive labels, two exact-count rollups (the unused PageRank
-    // CTEs cost nothing — DuckDB evaluates CTEs lazily).
-    "dd_component_sizes" ->
-      (lshPairCtes + pageRankCtes + "," + "\n" +
-        """cs AS (SELECT component, count(*)::BIGINT AS size FROM labels GROUP BY component)
-          |SELECT size, count(*)::BIGINT AS n_components
-          |FROM cs GROUP BY size ORDER BY size""".stripMargin),
-
-    // Fixed-point PageRank re-derivation: the dd_minhash_lsh pair CTEs,
-    // then three unrolled iterations of pure-BIGINT PageRank (teleport =
-    // 15*1e12 // (100*n), damped = (85 * sum(pr // deg)) // 100) — every
-    // intermediate is exact integer arithmetic on both engines.
-    "tdp_graph_rank" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id_a
-         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-         |  GROUP BY id_a, id_b),
-         |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-         |sym AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT id_a AS src, id_b AS dst FROM pairs
-         |    UNION ALL SELECT id_b, id_a FROM pairs)
-         |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
-         |nodes AS (SELECT src AS id, count(*)::BIGINT AS deg FROM sym GROUP BY src),
-         |st AS (SELECT count(*)::BIGINT AS n FROM nodes),
-         |p0 AS (SELECT id, deg, 1000000000000 // n AS pr FROM nodes CROSS JOIN st),
-         |c1 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
-         |       FROM p0 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
-         |p1 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
-         |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
-         |       FROM p0 p LEFT JOIN c1 c ON c.id = p.id CROSS JOIN st),
-         |c2 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
-         |       FROM p1 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
-         |p2 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
-         |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
-         |       FROM p1 p LEFT JOIN c2 c ON c.id = p.id CROSS JOIN st),
-         |c3 AS (SELECT s.dst AS id, sum(p.pr // p.deg) AS sm
-         |       FROM p2 p JOIN sym s ON s.src = p.id GROUP BY s.dst),
-         |p3 AS (SELECT p.id, p.deg, (15 * 1000000000000) // (100 * st.n)
-         |         + (85 * coalesce(c.sm, 0)) // 100 AS pr
-         |       FROM p2 p LEFT JOIN c3 c ON c.id = p.id CROSS JOIN st)
-         |SELECT id, pr::BIGINT AS rank_fp
-         |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
-
-    // Triangle re-derivation: the graph_rank pair CTEs, then the same
-    // degree-ordered orientation, apex wedge join and closing-edge match
-    // — exact BIGINT counts end to end.
-    "tdp_graph_triangles" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id_a
-         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-         |  GROUP BY id_a, id_b),
-         |canon AS (SELECT id_a AS a, id_b AS b FROM est WHERE est_jaccard >= 0.5),
-         |deg AS (
-         |  SELECT id, count(*)::BIGINT AS deg FROM (
-         |    SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
-         |  GROUP BY id),
-         |o AS (
-         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-         |              THEN c.a ELSE c.b END AS src,
-         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-         |              THEN c.b ELSE c.a END AS dst
-         |  FROM canon c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b),
-         |wedge AS (
-         |  SELECT l.src, l.dst AS va, r.dst AS vb
-         |  FROM o l JOIN o r ON l.src = r.src AND l.dst < r.dst),
-         |cl AS (SELECT least(src, dst) AS va, greatest(src, dst) AS vb FROM o),
-         |tri AS (SELECT w.src, w.va, w.vb FROM wedge w JOIN cl USING (va, vb)),
-         |pn AS (
-         |  SELECT id, count(*)::BIGINT AS n FROM (
-         |    SELECT src AS id FROM tri UNION ALL SELECT va FROM tri
-         |    UNION ALL SELECT vb FROM tri)
-         |  GROUP BY id)
-         |SELECT d.id, coalesce(pn.n, 0)::BIGINT AS n_triangles
-         |FROM deg d LEFT JOIN pn ON pn.id = d.id
-         |ORDER BY d.id""".stripMargin,
-
-    // Bradley-Terry re-derivation: integer fixed-point MM, three chained
-    // iterations (the pagerank p0..p3 shape); every sum and division is
-    // BIGINT-exact, dense_rank cast to INTEGER (Spark's rank type;
-    // DuckDB's is BIGINT — the tdp_graph_rank physical-type lesson).
-    "tdp_bt_ranking" ->
-      """WITH c AS (
-        |  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS w,
-        |         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS l
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.source IS NOT NULL AND b.source IS NOT NULL
-        |    AND a.source <> b.source AND a.n_chars <> b.n_chars),
-        |dcount AS (SELECT w, l, count(*)::BIGINT AS cnt FROM c GROUP BY w, l),
-        |m AS (
-        |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
-        |    SELECT w AS a, l AS b, cnt FROM dcount
-        |    UNION ALL SELECT l, w, cnt FROM dcount)
-        |  GROUP BY a, b),
-        |wi AS (SELECT w AS item, sum(cnt)::BIGINT AS wins FROM dcount GROUP BY w),
-        |it AS (
-        |  SELECT i.item, coalesce(wi.wins, 0)::BIGINT AS wins
-        |  FROM (SELECT DISTINCT a AS item FROM m) i LEFT JOIN wi ON wi.item = i.item),
-        |p0 AS (SELECT item, 1000000::BIGINT AS pi FROM it),
-        |e1 AS (SELECT m.a, sum((m.n * 1000000000000) // greatest(pa.pi + pb.pi, 1))::BIGINT AS d
-        |       FROM m JOIN p0 pa ON pa.item = m.a JOIN p0 pb ON pb.item = m.b GROUP BY m.a),
-        |p1 AS (SELECT it.item, ((it.wins * 1000000000000) // greatest(coalesce(e1.d, 0), 1))::BIGINT AS pi
-        |       FROM it LEFT JOIN e1 ON e1.a = it.item),
-        |e2 AS (SELECT m.a, sum((m.n * 1000000000000) // greatest(pa.pi + pb.pi, 1))::BIGINT AS d
-        |       FROM m JOIN p1 pa ON pa.item = m.a JOIN p1 pb ON pb.item = m.b GROUP BY m.a),
-        |p2 AS (SELECT it.item, ((it.wins * 1000000000000) // greatest(coalesce(e2.d, 0), 1))::BIGINT AS pi
-        |       FROM it LEFT JOIN e2 ON e2.a = it.item),
-        |e3 AS (SELECT m.a, sum((m.n * 1000000000000) // greatest(pa.pi + pb.pi, 1))::BIGINT AS d
-        |       FROM m JOIN p2 pa ON pa.item = m.a JOIN p2 pb ON pb.item = m.b GROUP BY m.a),
-        |p3 AS (SELECT it.item, ((it.wins * 1000000000000) // greatest(coalesce(e3.d, 0), 1))::BIGINT AS pi
-        |       FROM it LEFT JOIN e3 ON e3.a = it.item),
-        |nm AS (SELECT a AS item, sum(n)::BIGINT AS n_matches FROM m GROUP BY a)
-        |SELECT it.item, it.wins, nm.n_matches, p3.pi AS bt_score_fp,
-        |  (dense_rank() OVER (ORDER BY p3.pi DESC, it.item ASC))::INTEGER AS rank
-        |FROM it JOIN p3 ON p3.item = it.item JOIN nm ON nm.item = it.item
-        |ORDER BY rank, it.item""".stripMargin,
-
-    // Win-rate Wilson re-derivation: canonical unordered pair key, one
-    // count aggregation, the dq_rate_wilson IEEE chain verbatim.
-    "tdp_win_rates" ->
-      """WITH c AS (
-        |  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS w,
-        |         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS l
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.source IS NOT NULL AND b.source IS NOT NULL
-        |    AND a.source <> b.source AND a.n_chars <> b.n_chars),
-        |canon AS (
-        |  SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
-        |    (w = least(w, l)) AS a_won
-        |  FROM c),
-        |g AS (
-        |  SELECT item_a, item_b, count(*)::BIGINT AS n,
-        |    sum(CASE WHEN a_won THEN 1 ELSE 0 END)::BIGINT AS wins_a
-        |  FROM canon GROUP BY item_a, item_b),
-        |c2 AS (SELECT *, wins_a::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
-        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
-        |c3 AS (SELECT *,
-        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
-        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
-        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
-        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c2)
-        |SELECT item_a, item_b, n, wins_a, p AS rate,
-        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
-        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
-        |FROM c3 ORDER BY item_a, item_b""".stripMargin,
-
-    // Chosen/rejected re-derivation: the struct-extreme tie-break
-    // rendered as two row_number windows — (score DESC, response DESC)
-    // for chosen, (score ASC, response ASC) for rejected — equivalent to
-    // the engine's lexicographic (score, response) max/min.
-    "tdp_chosen_rejected" ->
-      """WITH b AS (
-        |  SELECT user_id AS prompt, event_id::VARCHAR AS r, value::DOUBLE AS sc
-        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
-        |rk AS (
-        |  SELECT prompt, r, sc,
-        |    row_number() OVER (PARTITION BY prompt ORDER BY sc DESC, r DESC) AS rb,
-        |    row_number() OVER (PARTITION BY prompt ORDER BY sc ASC, r ASC) AS rw
-        |  FROM b),
-        |best AS (SELECT prompt, r AS chosen, sc AS chosen_score FROM rk WHERE rb = 1),
-        |worst AS (SELECT prompt, r AS rejected, sc AS rejected_score FROM rk WHERE rw = 1)
-        |SELECT b2.prompt AS user_id, chosen, rejected, chosen_score, rejected_score,
-        |  chosen_score - rejected_score AS margin
-        |FROM best b2 JOIN worst w ON w.prompt = b2.prompt
-        |WHERE NOT (chosen = rejected AND chosen_score = rejected_score)
-        |ORDER BY user_id""".stripMargin,
-
-    // Gzip JSON-lines oracle: plain parquet read — equality proves the
-    // compressed text write+read preserved every value (doubles survive
-    // via shortest-roundtrip JSON rendering).
-    "io_jsonl_gzip" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |  user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // ORC roundtrip oracle: plain parquet read — equality proves the ORC
-    // write+read preserved every value (ts rendered at second precision
-    // on both engines).
-    "io_orc_roundtrip" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |  user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // Seasonal-baseline re-derivation: the tdp_group_advantage algebra
-    // keyed by the derived season string.
-    "e_seasonal_baseline" ->
-      """WITH b AS (
-        |  SELECT event_type || ':' || CAST(hour(ts) AS VARCHAR) AS season, event_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS reward_fp
-        |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
-        |g AS (
-        |  SELECT season, COUNT(*) AS n, SUM(reward_fp) AS s,
-        |         SUM(reward_fp * reward_fp) AS ss
-        |  FROM b GROUP BY season),
-        |st AS (
-        |  SELECT season, n,
-        |    CAST(s AS DOUBLE) / n AS mean,
-        |    sqrt(greatest(CAST(ss AS DOUBLE) / n
-        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
-        |  FROM g)
-        |SELECT b.season, b.event_id, b.reward_fp, st.n, st.mean, st.std,
-        |  CASE WHEN st.std > 0.0
-        |       THEN (CAST(b.reward_fp AS DOUBLE) - st.mean) / st.std
-        |       ELSE 0.0 END AS advantage
-        |FROM b JOIN st ON st.season = b.season
-        |ORDER BY b.season, b.event_id""".stripMargin,
-
-    // Group-advantage re-derivation: exact BIGINT group sums s/ss, every
-    // double an int64→double conversion or fixed-association IEEE op in
-    // the engine's exact order ((ss/n - mean*mean) guarded to 0, one
-    // exactly-rounded sqrt, (r - mean)/std).
-    "tdp_group_advantage" ->
-      """WITH b AS (
-        |  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS reward_fp
-        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
-        |g AS (
-        |  SELECT user_id, COUNT(*) AS n, SUM(reward_fp) AS s,
-        |         SUM(reward_fp * reward_fp) AS ss
-        |  FROM b GROUP BY user_id),
-        |st AS (
-        |  SELECT user_id, n,
-        |    CAST(s AS DOUBLE) / n AS mean,
-        |    sqrt(greatest(CAST(ss AS DOUBLE) / n
-        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
-        |  FROM g)
-        |SELECT b.user_id, b.event_id, b.reward_fp, st.n, st.mean, st.std,
-        |  CASE WHEN st.std > 0.0
-        |       THEN (CAST(b.reward_fp AS DOUBLE) - st.mean) / st.std
-        |       ELSE 0.0 END AS advantage
-        |FROM b JOIN st ON st.user_id = b.user_id
-        |ORDER BY b.user_id, b.event_id""".stripMargin,
-
-    // ROUGE-2 re-derivation: same tokenizer as the LM chain, positional
-    // bigram lists with a side tag, clipped-min overlap, single-division
-    // ratios and a fixed-association f1.
-    "txt_rouge_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |p AS (
-        |  SELECT pair_id, ct, rt FROM (
-        |    SELECT doc_id AS pair_id, t AS ct,
-        |      lead(t) OVER (PARTITION BY source ORDER BY doc_id) AS rt
-        |    FROM d)
-        |  WHERE rt IS NOT NULL),
-        |sides AS (
-        |  SELECT pair_id, 0 AS side, array_to_string(ct[i:i+1], ' ') AS gram
-        |  FROM p, LATERAL unnest(generate_series(1, len(ct) - 1)) AS g(i)
-        |  WHERE len(ct) >= 2
-        |  UNION ALL
-        |  SELECT pair_id, 1, array_to_string(rt[i:i+1], ' ')
-        |  FROM p, LATERAL unnest(generate_series(1, len(rt) - 1)) AS g(i)
-        |  WHERE len(rt) >= 2),
-        |pg AS (
-        |  SELECT pair_id, gram,
-        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
-        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS rc
-        |  FROM sides GROUP BY pair_id, gram),
-        |ro AS (
-        |  SELECT pair_id, sum(cc)::BIGINT AS n_cand, sum(rc)::BIGINT AS n_ref,
-        |    sum(least(cc, rc))::BIGINT AS overlap
-        |  FROM pg GROUP BY pair_id),
-        |fin AS (
-        |  SELECT p.pair_id AS doc_id,
-        |    coalesce(ro.n_cand, 0) AS n_cand, coalesce(ro.n_ref, 0) AS n_ref,
-        |    coalesce(ro.overlap, 0) AS overlap,
-        |    CASE WHEN coalesce(ro.n_cand, 0) > 0
-        |      THEN coalesce(ro.overlap, 0)::DOUBLE / ro.n_cand::DOUBLE END AS precision,
-        |    CASE WHEN coalesce(ro.n_ref, 0) > 0
-        |      THEN coalesce(ro.overlap, 0)::DOUBLE / ro.n_ref::DOUBLE END AS recall
-        |  FROM p LEFT JOIN ro ON ro.pair_id = p.pair_id)
-        |SELECT doc_id, n_cand, n_ref, overlap, precision, recall,
-        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
-        |         AND (precision + recall) > 0.0::DOUBLE
-        |       THEN 2.0::DOUBLE * precision * recall / (precision + recall)
-        |       WHEN precision IS NOT NULL AND recall IS NOT NULL
-        |       THEN 0.0::DOUBLE END AS f1
-        |FROM fin ORDER BY doc_id""".stripMargin,
-
-    // Overlap-matrix re-derivation: the tdp_graph_rank shingle CTE keyed
-    // by source, distinct sets, shingle-keyed pair join, one division.
-    "dd_source_overlap" ->
-      """WITH toks AS (
-        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE source IS NOT NULL),
-        |sh0 AS (
-        |  SELECT source AS g,
-        |    unnest(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END) AS sh
-        |  FROM toks),
-        |sh AS (SELECT DISTINCT g, sh FROM sh0),
-        |sizes AS (SELECT g, count(*)::BIGINT AS n FROM sh GROUP BY g),
-        |common AS (
-        |  SELECT a.g AS group_a, b.g AS group_b, count(*)::BIGINT AS n_common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.g <> b.g
-        |  GROUP BY a.g, b.g)
-        |SELECT group_a, group_b, s.n AS n_a, n_common,
-        |  n_common::DOUBLE / s.n::DOUBLE AS containment
-        |FROM common JOIN sizes s ON s.g = common.group_a
-        |ORDER BY group_a, group_b""".stripMargin,
-
-    // Exact re-derivation of the Count-Min sketch: same portable hash,
-    // same per-row (A, B) constants, bucket = ((A*(h%P)+B)%P)%width with
-    // P = 2^31-1 — every counter and every min-of-d point estimate is
-    // bit-identical integer arithmetic on both engines.
-    "tdp_cms_freq" ->
-      """WITH toks AS (
-        |  SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |consts AS (SELECT * FROM (VALUES
-        |  (0, 1::BIGINT, 0::BIGINT), (1, 1777::BIGINT, 97::BIGINT),
-        |  (2, 7919::BIGINT, 1009::BIGINT), (3, 104729::BIGINT, 30011::BIGINT))
-        |  AS t(r, a, b)),
-        |h AS (SELECT source, term, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM toks),
-        |bkt AS (
-        |  SELECT source, c.r AS r,
-        |    ((c.a * (h.h % 2147483647) + c.b) % 2147483647) % 16 AS bk,
-        |    count(*)::BIGINT AS cnt
-        |  FROM h CROSS JOIN consts c
-        |  GROUP BY source, c.r, bk),
-        |tot AS (SELECT source, count(*)::BIGINT AS total FROM toks GROUP BY source),
-        |exact AS (SELECT source, term, count(*)::BIGINT AS exact
-        |          FROM toks GROUP BY source, term),
-        |probe AS (
-        |  SELECT e.source, e.term, e.exact, c.r,
-        |    ((c.a * ((('0x' || substr(md5(e.term), 1, 8))::BIGINT) % 2147483647) + c.b)
-        |      % 2147483647) % 16 AS bk
-        |  FROM exact e CROSS JOIN consts c),
-        |est AS (
-        |  SELECT p.source, p.term, p.exact, min(b.cnt) AS est
-        |  FROM probe p
-        |  JOIN bkt b ON b.source = p.source AND b.r = p.r AND b.bk = p.bk
-        |  GROUP BY p.source, p.term, p.exact)
-        |SELECT e.source, e.term, e.exact, e.est, t.total
-        |FROM est e JOIN tot t USING (source)
-        |ORDER BY source, term""".stripMargin,
-
-    // One-pass conditional counts, NULL predicate counts as violation.
-    "tdp_expectations" ->
-      """WITH a AS (SELECT count(*)::BIGINT AS n,
-        |  sum(CASE WHEN NOT coalesce(event_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v1,
-        |  sum(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) THEN 1 ELSE 0 END)::BIGINT AS v2,
-        |  sum(CASE WHEN NOT coalesce(year(ts) = 2024, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v3,
-        |  sum(CASE WHEN NOT coalesce(user_id > 0, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v4,
-        |  sum(CASE WHEN NOT coalesce(value < 100.0, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v5
-        |  FROM events)
-        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
-        |  SELECT 'event_id_not_null' AS rule, n, v1 AS v FROM a
-        |  UNION ALL SELECT 'event_type_known', n, v2 FROM a
-        |  UNION ALL SELECT 'ts_in_2024', n, v3 FROM a
-        |  UNION ALL SELECT 'user_id_positive', n, v4 FROM a
-        |  UNION ALL SELECT 'value_small', n, v5 FROM a)
-        |ORDER BY rule""".stripMargin,
-
-    // PSI re-derivation: same clamped equal-width binning, Laplace
-    // shares as exact rationals, contribution = round((p-q)*ln(p/q), 9)
-    // decimal-summed.
-    "tdp_psi_drift" -> PinnedOracles.sql("tdp_psi_drift"),
-
-    // KS re-derivation: the psi binning CTEs, running-sum CDFs (exact
-    // integers), single divisions, abs-difference, max — no rounding
-    // discipline anywhere.
-    "dq_ks_drift" ->
-      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
-        |ba AS (
-        |  SELECT least(11, greatest(0,
-        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
-        |    count(*)::BIGINT AS n_a
-        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |bb AS (
-        |  SELECT least(11, greatest(0,
-        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
-        |    count(*)::BIGINT AS n_b
-        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |j AS (
-        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
-        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
-        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
-        |  LEFT JOIN bb ON bb.bucket = b.bucket),
-        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
-        |cd AS (
-        |  SELECT bucket, n_a, n_b,
-        |    sum(n_a) OVER (ORDER BY bucket)::BIGINT AS cum_a,
-        |    sum(n_b) OVER (ORDER BY bucket)::BIGINT AS cum_b
-        |  FROM j),
-        |w2 AS (
-        |  SELECT cd.bucket, cd.n_a, cd.n_b, cd.cum_a, cd.cum_b,
-        |    cum_a::DOUBLE / t.t_a::DOUBLE AS cdf_a,
-        |    cum_b::DOUBLE / t.t_b::DOUBLE AS cdf_b,
-        |    abs(cum_a::DOUBLE / t.t_a::DOUBLE - cum_b::DOUBLE / t.t_b::DOUBLE) AS d
-        |  FROM cd CROSS JOIN t),
-        |k AS (SELECT max(d) AS ks FROM w2)
-        |SELECT w2.bucket, w2.n_a, w2.n_b, w2.cum_a, w2.cum_b,
-        |  w2.cdf_a, w2.cdf_b, w2.d, k.ks
-        |FROM w2 CROSS JOIN k ORDER BY bucket""".stripMargin,
-
-    // Benford re-derivation: leading digits from exact integer→string
-    // rendering, the reviewed nano-share constants, BIGINT deviations
-    // and integer-div total variation — no float anywhere.
-    "dq_benford" ->
-      """WITH v AS (
-        |  SELECT abs(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS v
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |c AS (
-        |  SELECT CAST(substr(v::VARCHAR, 1, 1) AS INTEGER) AS digit,
-        |    count(*)::BIGINT AS o
-        |  FROM v WHERE v > 0 GROUP BY 1),
-        |t AS (SELECT coalesce(sum(o), 0)::BIGINT AS n FROM c),
-        |g AS (
-        |  SELECT d.digit, coalesce(c.o, 0)::BIGINT AS o,
-        |    (CASE d.digit WHEN 1 THEN 301029996 WHEN 2 THEN 176091259
-        |      WHEN 3 THEN 124938737 WHEN 4 THEN 96910013 WHEN 5 THEN 79181246
-        |      WHEN 6 THEN 66946790 WHEN 7 THEN 57991947 WHEN 8 THEN 51152522
-        |      ELSE 45757491 END)::BIGINT AS share_n9, t.n
-        |  FROM (SELECT unnest(range(1, 10))::INTEGER AS digit) d
-        |  LEFT JOIN c ON c.digit = d.digit CROSS JOIN t),
-        |g2 AS (
-        |  SELECT digit, o, share_n9,
-        |    abs(o * 1000000000 - n * share_n9)::BIGINT AS dev_n9, n
-        |  FROM g),
-        |tv AS (SELECT (sum(dev_n9) // (2 * n))::BIGINT AS tv_n9 FROM g2 GROUP BY n)
-        |SELECT g2.digit, g2.o, g2.share_n9, g2.dev_n9, g2.n, tv.tv_n9
-        |FROM g2 CROSS JOIN tv ORDER BY g2.digit""".stripMargin,
-
-    // Wasserstein re-derivation: the dq_ks_drift grid CTEs with the
-    // exact-integer |cum_a·t_b − cum_b·t_a| numerators and the two
-    // trailing IEEE ops.
-    "dq_wasserstein_drift" ->
-      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
-        |ba AS (
-        |  SELECT least(11, greatest(0,
-        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
-        |    count(*)::BIGINT AS n_a
-        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |bb AS (
-        |  SELECT least(11, greatest(0,
-        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
-        |    count(*)::BIGINT AS n_b
-        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |j AS (
-        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
-        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
-        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
-        |  LEFT JOIN bb ON bb.bucket = b.bucket),
-        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
-        |cd AS (
-        |  SELECT bucket, n_a, n_b,
-        |    sum(n_a) OVER (ORDER BY bucket)::BIGINT AS cum_a,
-        |    sum(n_b) OVER (ORDER BY bucket)::BIGINT AS cum_b
-        |  FROM j),
-        |d AS (
-        |  SELECT cd.bucket, cd.n_a, cd.n_b, cd.cum_a, cd.cum_b,
-        |    abs(cd.cum_a * t.t_b - cd.cum_b * t.t_a)::BIGINT AS diff_num,
-        |    t.t_a, t.t_b
-        |  FROM cd CROSS JOIN t),
-        |w1t AS (
-        |  SELECT sum(diff_num)::BIGINT AS w1_num,
-        |    sum(diff_num)::DOUBLE / (any_value(t_a) * any_value(t_b))::DOUBLE
-        |      * (600.0::DOUBLE / 12) AS w1
-        |  FROM d)
-        |SELECT d.bucket, d.n_a, d.n_b, d.cum_a, d.cum_b, d.diff_num,
-        |  w1t.w1_num, w1t.w1
-        |FROM d CROSS JOIN w1t ORDER BY d.bucket""".stripMargin,
-
-    // Chi-square re-derivation: observed cells, marginals, expectation
-    // (rt*ct)::DOUBLE/n, contributions and closed-form terms rounded to
-    // 9 dp and decimal-summed; level counts from the marginal frames so
-    // a NULL level still counts toward dof.
-    "dq_chi_square" -> PinnedOracles.sql("dq_chi_square"),
-
-    // PPS sample: same md5-uniform, inclusion probability
-    // least(1, (target * size) / total) in the engine's literal-first
-    // association, HT weight = 1/p.
-    "tdp_pps_sample" ->
-      """WITH tot AS (
-        |  SELECT sum(CASE WHEN length(text) > 0 THEN length(text)::BIGINT ELSE 0 END)::BIGINT
-        |    AS total
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN length(text) IS NULL OR length(text) <= 0 OR coalesce(total, 0) <= 0
-        |         THEN '0.0'::DOUBLE
-        |         ELSE least('1.0'::DOUBLE,
-        |           '100.0'::DOUBLE * length(text)::DOUBLE / total::DOUBLE) END AS pi
-        |  FROM documents CROSS JOIN tot)
-        |SELECT doc_id, source, '1.0'::DOUBLE / pi AS ht_weight
-        |FROM p
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0 < pi
-        |ORDER BY doc_id""".stripMargin,
-
-    // Source-quota re-derivation: ONE flat per-source cumulative window
-    // in (md5 priority, id) order — independent of the engine's
-    // two-level bucketed prefix sum.
-    "tdp_source_quota" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id, source,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
-        |      AS n_tokens,
-        |    md5(doc_id::VARCHAR) AS pri
-        |  FROM documents WHERE source IS NOT NULL),
-        |c AS (
-        |  SELECT id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, id
-        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
-        |  FROM d)
-        |SELECT id, source, n_tokens, cum_tokens,
-        |  cum_tokens <= 800 AS admitted
-        |FROM c ORDER BY source, cum_tokens, id""".stripMargin,
-
-    // Curriculum stages: interpolated quantile thresholds (both engines
-    // compute lower + (upper-lower)*frac), first-boundary-wins CASE with
-    // ties to the lower stage.
-    "tdp_curriculum" ->
-      """WITH thr AS (
-        |  SELECT quantile_cont(length(text)::DOUBLE, 0.25) AS t0,
-        |    quantile_cont(length(text)::DOUBLE, 0.5) AS t1,
-        |    quantile_cont(length(text)::DOUBLE, 0.75) AS t2
-        |  FROM documents)
-        |SELECT doc_id,
-        |  (CASE WHEN length(text) IS NULL THEN NULL
-        |        WHEN length(text)::DOUBLE <= t0 THEN 0
-        |        WHEN length(text)::DOUBLE <= t1 THEN 1
-        |        WHEN length(text)::DOUBLE <= t2 THEN 2
-        |        ELSE 3 END)::INT AS stage
-        |FROM documents CROSS JOIN thr ORDER BY doc_id""".stripMargin,
-
-    // OHLC: same exact floor-division bucketing (epoch micros // width);
-    // open/close re-derived via (ts, event_id)-ordered row_number — the
-    // window is the oracle's rendering of the engine's min_by/max_by
-    // champion (event_id is unique, so both are deterministic).
-    "e_downsample_ohlc" ->
-      """WITH b AS (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, ts, event_id, value
-        |  FROM events WHERE ts IS NOT NULL),
-        |r AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY event_type, bucket
-        |      ORDER BY ts, event_id) AS rn_a,
-        |    row_number() OVER (PARTITION BY event_type, bucket
-        |      ORDER BY ts DESC, event_id DESC) AS rn_d
-        |  FROM b)
-        |SELECT event_type, bucket,
-        |  make_timestamp(bucket * 3600000000) AS bucket_start,
-        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
-        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
-        |  max(value) AS high, min(value) AS low, count(*)::BIGINT AS volume
-        |FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
-
-    // Gap stats: lag over epoch micros per user (ties lag equal values —
-    // the gap multiset is order-invariant), exact integer sums divided
-    // once; a / b / c left-association matches the engine.
-    "e_gap_stats" ->
-      """WITH g AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      AS gap_us
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
-        |SELECT user_id, count(*)::BIGINT AS n_events,
-        |  sum(CASE WHEN gap_us > 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
-        |  max(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS max_gap_s,
-        |  sum(gap_us)::DOUBLE / count(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS mean_gap_s
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // JS vocab drift: union vocab cut, per-side Laplace shares as exact
-    // rationals, contribution association 0.5*(p*ln(p/m)) + 0.5*(q*ln(q/m))
-    // mirrored term for term, decimal-summed.
-    "txt_vocab_drift" -> PinnedOracles.sql("txt_vocab_drift"),
-
-    // PMI: same tokenizer as the LM oracles, bigrams from the token list
-    // itself, single-ln ratio in the engine's association rounded to
-    // 6 dp, (pmi desc, w1, w2) cut.
-    "txt_pmi_bigrams" ->
-      """WITH d AS (
-        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |uni AS (
-        |  SELECT term, count(*)::BIGINT AS c
-        |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
-        |st AS (SELECT sum(c)::BIGINT AS n_tok FROM uni),
-        |bi AS (
-        |  SELECT w1, w2, count(*)::BIGINT AS c_bi FROM (
-        |    SELECT t[i-1] AS w1, t[i] AS w2
-        |    FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
-        |  GROUP BY w1, w2),
-        |bst AS (SELECT sum(c_bi)::BIGINT AS m_bi FROM bi)
-        |SELECT b.w1, b.w2, b.c_bi, u1.c AS c1, u2.c AS c2,
-        |  round(ln((b.c_bi::DOUBLE / m_bi::DOUBLE) /
-        |    ((u1.c::DOUBLE / n_tok::DOUBLE) * (u2.c::DOUBLE / n_tok::DOUBLE))), 6) AS pmi
-        |FROM bi b JOIN uni u1 ON u1.term = b.w1 JOIN uni u2 ON u2.term = b.w2
-        |CROSS JOIN st CROSS JOIN bst
-        |WHERE b.c_bi >= 5
-        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 25""".stripMargin,
-
-    // Funnel: per-step min-ts CTEs, each gated on the previous step's
-    // completion time (>=), left-joined for the stage count.
-    "e_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-        |s1 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view'
-        |       GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.ts >= s1.t0 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t1 GROUP BY e.user_id)
-        |SELECT s1.user_id,
-        |  (1 + CASE WHEN s2.t1 IS NOT NULL THEN 1 ELSE 0 END
-        |     + CASE WHEN s3.t2 IS NOT NULL THEN 1 ELSE 0 END)::INT AS stages_completed,
-        |  s1.t0 AS first_at, coalesce(s3.t2, s2.t1, s1.t0) AS completed_at
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin,
-
-    // Cohort retention: same exact floor-division week bucketing,
-    // first-seen join, distinct count per (cohort, offset).
-    "e_cohort_retention" ->
-      """WITH b AS (
-        |  SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events
-        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-        |f AS (SELECT user_id, min(b) AS cohort FROM b GROUP BY user_id)
-        |SELECT f.cohort, b.b - f.cohort AS "offset",
-        |  count(DISTINCT b.user_id)::BIGINT AS n_users
-        |FROM b JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // RRF fusion: BM25 ranking re-derived as in txt_bm25_topk (rank =
-    // row_number over its deterministic cut), cosine ranking re-derived
-    // as in sim_topk_bruteforce for query 3, then
-    // 1/(60+ra) + 1/(60+rb) in the engine's association.
-    "txt_rrf_fusion" ->
-      s"""WITH d AS (
-         |  SELECT doc_id AS id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-         |  FROM documents),
-         |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
-         |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
-         |qp AS (
-         |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
-         |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
-         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
-         |bsc AS (
-         |  SELECT id,
-         |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS score
-         |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id),
-         |ra AS (
-         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
-         |  FROM (SELECT id, score FROM bsc ORDER BY score DESC, id LIMIT 10)),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
-         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings WHERE vec_id <> 3),
-         |p AS (
-         |  SELECT nid, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM q, c),
-         |csc AS (
-         |  SELECT nid, CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
-         |  FROM p),
-         |rb AS (
-         |  SELECT nid AS id, row_number() OVER (ORDER BY cosine DESC, nid) AS r
-         |  FROM csc QUALIFY r <= 10),
-         |f AS (
-         |  SELECT coalesce(ra.id, rb.id) AS id, ra.r AS rank_a, rb.r AS rank_b
-         |  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
-         |SELECT id,
-         |  coalesce('1.0'::DOUBLE / (60 + rank_a), '0.0'::DOUBLE)
-         |    + coalesce('1.0'::DOUBLE / (60 + rank_b), '0.0'::DOUBLE) AS rrf,
-         |  rank_a, rank_b
-         |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
-
-    // Hard negatives: the bruteforce CTE chain plus the strict label
-    // mismatch (both known AND unequal) before ranking.
-    "sim_hard_negatives" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qv, label AS ql
-         |  FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS nid, embedding AS cv, label AS cl FROM embeddings),
-         |p AS (
-         |  SELECT qid, nid, cl, $dotSql AS dot,
-         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM q, c WHERE qid <> nid AND ql IS NOT NULL AND cl IS NOT NULL AND ql <> cl),
-         |sc AS (
-         |  SELECT qid, nid, cl,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
-         |r AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id, cl AS neg_label, cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-         |  FROM sc)
-         |SELECT query_id, neighbor_id, neg_label, cosine, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // Negative sampling: dense index via row_number()-1, the same
-    // md5("<i>:<j>:neg") draw and 1 + h % (n-1) offset, resolved by an
-    // index equi-join.
-    "tdp_negative_sample" ->
-      """WITH idx AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM documents),
-        |nn AS (SELECT count(*)::BIGINT AS n FROM idx),
-        |pairs AS (
-        |  SELECT idx.doc_id AS anchor, g.j AS neg_rank,
-        |    (i + 1 + (('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':neg'), 1, 8))
-        |      ::BIGINT % (n - 1))) % n AS ni
-        |  FROM idx CROSS JOIN nn, LATERAL unnest(generate_series(1, 3)) AS g(j)
-        |  WHERE n > 1)
-        |SELECT p.anchor, p.neg_rank, i2.doc_id AS negative
-        |FROM pairs p JOIN idx i2 ON i2.i = p.ni
-        |ORDER BY anchor, neg_rank""".stripMargin,
-
-    // Profile: per-column aggregates unpivoted as UNION ALL; dtypes are
-    // the engine's simpleString names. documents carries no doubles, so
-    // every min/max renders identically as VARCHAR on both engines.
-    "dq_profile" ->
-      """WITH a AS (SELECT count(*)::BIGINT AS n,
-        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
-        |    min(doc_id)::VARCHAR AS mn1, max(doc_id)::VARCHAR AS mx1,
-        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
-        |    min(text)::VARCHAR AS mn2, max(text)::VARCHAR AS mx2,
-        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
-        |    min(lang)::VARCHAR AS mn3, max(lang)::VARCHAR AS mx3,
-        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
-        |    min(source)::VARCHAR AS mn4, max(source)::VARCHAR AS mx4,
-        |  sum((n_chars IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_chars)::BIGINT AS nd5,
-        |    min(n_chars)::VARCHAR AS mn5, max(n_chars)::VARCHAR AS mx5
-        |  FROM documents)
-        |SELECT * FROM (
-        |  SELECT 'doc_id' AS "column", 'bigint' AS dtype, n AS n_rows, nu1 AS n_nulls,
-        |    nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
-        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2, mn2, mx2 FROM a
-        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3, mn3, mx3 FROM a
-        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4, mn4, mx4 FROM a
-        |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5, mn5, mx5 FROM a)
-        |ORDER BY "column"""".stripMargin,
-
-    // Schema-drift re-derivation: one stats CTE per snapshot (the
-    // dq_profile shape minus min/max), per-column rows via UNION ALL,
-    // full-outer on column name, exact ppm integer divisions.
-    "dq_schema_drift" ->
-      """WITH da AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-        |db AS (SELECT doc_id, text,
-        |    CASE WHEN doc_id % 10 = 1 THEN NULL ELSE lang END AS lang, source,
-        |    len(string_split(text, ' '))::BIGINT AS n_tokens
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |sa AS (SELECT count(*)::BIGINT AS n,
-        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
-        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
-        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
-        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
-        |  sum((n_chars IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_chars)::BIGINT AS nd5
-        |  FROM da),
-        |sb AS (SELECT count(*)::BIGINT AS n,
-        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
-        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
-        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
-        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
-        |  sum((n_tokens IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_tokens)::BIGINT AS nd5
-        |  FROM db),
-        |pa AS (
-        |  SELECT 'doc_id' AS col, 'bigint' AS dtype_a, n AS n_rows_a,
-        |    nu1 AS nulls_a, nd1 AS n_distinct_a FROM sa
-        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2 FROM sa
-        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3 FROM sa
-        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4 FROM sa
-        |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5 FROM sa),
-        |pb AS (
-        |  SELECT 'doc_id' AS col, 'bigint' AS dtype_b, n AS n_rows_b,
-        |    nu1 AS nulls_b, nd1 AS n_distinct_b FROM sb
-        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2 FROM sb
-        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3 FROM sb
-        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4 FROM sb
-        |  UNION ALL SELECT 'n_tokens', 'bigint', n, nu5, nd5 FROM sb)
-        |SELECT coalesce(pa.col, pb.col) AS "column",
-        |  pa.dtype_a, pb.dtype_b,
-        |  (pa.dtype_a IS DISTINCT FROM pb.dtype_b) AS type_changed,
-        |  pa.n_rows_a, pb.n_rows_b,
-        |  (pa.nulls_a * 1000000) // pa.n_rows_a AS null_ppm_a,
-        |  (pb.nulls_b * 1000000) // pb.n_rows_b AS null_ppm_b,
-        |  (coalesce((pb.nulls_b * 1000000) // pb.n_rows_b, 0)
-        |    - coalesce((pa.nulls_a * 1000000) // pa.n_rows_a, 0)) AS null_ppm_delta,
-        |  pa.n_distinct_a, pb.n_distinct_b
-        |FROM pa FULL OUTER JOIN pb ON pb.col = pa.col
-        |ORDER BY "column"""".stripMargin,
-
-    // Confusion matrix: the txt_langid prediction CTE + cell counts with
-    // a per-actual window total (the oracle's rendering of the engine's
-    // broadcast marginal join — same single division).
-    "dq_langid_confusion" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
-        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
-        |  FROM tk),
-        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
-        |pr AS (
-        |  SELECT lang AS actual,
-        |    CASE WHEN hm <= 0 THEN 'und'
-        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
-        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS predicted
-        |  FROM b),
-        |cells AS (
-        |  SELECT actual, predicted, count(*)::BIGINT AS n
-        |  FROM pr GROUP BY actual, predicted)
-        |SELECT actual, predicted, n,
-        |  n::DOUBLE / (sum(n) OVER (PARTITION BY actual))::DOUBLE AS recall_frac
-        |FROM cells ORDER BY actual, predicted""".stripMargin,
-
-    // Cohen's kappa re-derivation: the dq_langid_confusion prediction
-    // CTEs, then pure exact-integer marginal products and three single
-    // exactly-rounded divisions in the engine's association order.
-    "dq_cohen_kappa" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
-        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
-        |  FROM tk),
-        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
-        |pr AS (
-        |  SELECT lang AS a,
-        |    CASE WHEN hm <= 0 THEN 'und'
-        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
-        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
-        |  FROM b),
-        |cells AS (SELECT a, p, count(*)::BIGINT AS o FROM pr GROUP BY a, p),
-        |ag AS (
-        |  SELECT sum(o)::BIGINT AS n,
-        |    sum(CASE WHEN a IS NOT DISTINCT FROM p THEN o ELSE 0 END)::BIGINT AS agree
-        |  FROM cells),
-        |rt AS (SELECT a, sum(o)::BIGINT AS mrt FROM cells GROUP BY a),
-        |ct AS (SELECT p, sum(o)::BIGINT AS mct FROM cells GROUP BY p),
-        |pn AS (
-        |  SELECT coalesce(sum(mrt * mct), 0)::BIGINT AS pe_num
-        |  FROM rt JOIN ct ON rt.a IS NOT DISTINCT FROM ct.p),
-        |st AS (
-        |  SELECT n, agree,
-        |    agree::DOUBLE / n::DOUBLE AS po,
-        |    pe_num::DOUBLE / (n * n)::DOUBLE AS pe
-        |  FROM ag CROSS JOIN pn)
-        |SELECT n, agree, po, pe,
-        |  CASE WHEN pe < '1.0'::DOUBLE
-        |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
-        |FROM st""".stripMargin,
-
-    // pass@k re-derivation: same sequential product fold (list_reduce is
-    // left-to-right like Spark's aggregate), same NULL / exact-1 edges.
-    "tdp_pass_at_k" ->
-      """WITH b AS (
-        |  SELECT user_id, count(*)::BIGINT AS n,
-        |    sum(CASE WHEN value > 500.0::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS c
-        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
-        |  GROUP BY user_id)
-        |SELECT user_id, n, c,
-        |  CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0::DOUBLE
-        |    ELSE 1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
-        |      list_transform(range(1), i ->
-        |        (n::DOUBLE - c::DOUBLE - i::DOUBLE) / (n::DOUBLE - i::DOUBLE))),
-        |      (a, x) -> a * x) END AS pass_at_1,
-        |  CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0::DOUBLE
-        |    ELSE 1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
-        |      list_transform(range(5), i ->
-        |        (n::DOUBLE - c::DOUBLE - i::DOUBLE) / (n::DOUBLE - i::DOUBLE))),
-        |      (a, x) -> a * x) END AS pass_at_5,
-        |  CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0::DOUBLE
-        |    ELSE 1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
-        |      list_transform(range(10), i ->
-        |        (n::DOUBLE - c::DOUBLE - i::DOUBLE) / (n::DOUBLE - i::DOUBLE))),
-        |      (a, x) -> a * x) END AS pass_at_10
-        |FROM b ORDER BY user_id""".stripMargin,
-
-    // k-anonymity re-derivation: the equivalence-class multiplicity
-    // table (NULL-safe grouping), exact rollups.
-    "dq_k_anonymity" ->
-      """WITH cls AS (
-        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-        |    CAST(floor(value / 100) AS BIGINT) AS vband, count(*)::BIGINT AS c
-        |  FROM events GROUP BY 1, 2, 3)
-        |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
-        |  min(c)::BIGINT AS min_class_size,
-        |  coalesce(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_k,
-        |  coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)::BIGINT AS n_rows_below_k,
-        |  min(c) >= 5 AS k_anonymous
-        |FROM cls""".stripMargin,
-
-    // Ref-integrity re-derivation: left join against distinct parent
-    // keys, exact rollups, labeled union.
-    "dq_ref_integrity" ->
-      """WITH li AS (
-        |  SELECT 'lineitem.l_orderkey->orders' AS fk,
-        |    count(*)::BIGINT AS n_child_rows,
-        |    sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
-        |    sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
-        |             THEN 1 ELSE 0 END)::BIGINT AS n_orphans
-        |  FROM lineitem l
-        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
-        |             WHERE o_orderkey IS NOT NULL) o
-        |    ON o.o_orderkey = l.l_orderkey),
-        |oc AS (
-        |  SELECT 'orders.o_custkey->customer' AS fk,
-        |    count(*)::BIGINT AS n_child_rows,
-        |    sum(CASE WHEN ord.o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
-        |    sum(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-        |             THEN 1 ELSE 0 END)::BIGINT AS n_orphans
-        |  FROM orders ord
-        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
-        |             WHERE c_custkey IS NOT NULL) c
-        |    ON c.c_custkey = ord.o_custkey)
-        |SELECT fk, n_child_rows, n_null_fk, n_orphans, n_orphans = 0 AS intact
-        |FROM (SELECT * FROM li UNION ALL SELECT * FROM oc)
-        |ORDER BY fk""".stripMargin,
-
-    // t-closeness re-derivation: the (class × value) grid with null-safe
-    // matches, exact cross-multiplied numerators, one IEEE chain.
-    "dq_t_closeness" ->
-      """WITH cells AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |    CAST(floor(value / 100) AS BIGINT) AS vband,
-        |    event_type::VARCHAR AS s, count(*)::BIGINT AS n_cs
-        |  FROM events GROUP BY 1, 2, 3),
-        |cls AS (SELECT day, vband, sum(n_cs)::BIGINT AS n_c FROM cells GROUP BY day, vband),
-        |g AS (SELECT s, sum(n_cs)::BIGINT AS n_s FROM cells GROUP BY s),
-        |tt AS (SELECT sum(n_s)::BIGINT AS nn FROM g),
-        |grid AS (
-        |  SELECT cls.day, cls.vband, cls.n_c, g.s, g.n_s,
-        |    coalesce(c.n_cs, 0)::BIGINT AS n_cs, tt.nn
-        |  FROM cls CROSS JOIN g
-        |  LEFT JOIN cells c ON c.day IS NOT DISTINCT FROM cls.day
-        |    AND c.vband IS NOT DISTINCT FROM cls.vband
-        |    AND c.s IS NOT DISTINCT FROM g.s
-        |  CROSS JOIN tt)
-        |SELECT day, vband, n_c AS n,
-        |  sum(abs(n_cs * nn - n_s * n_c))::BIGINT AS tvd_num,
-        |  sum(abs(n_cs * nn - n_s * n_c))::DOUBLE
-        |    / (2.0::DOUBLE * n_c::DOUBLE * nn::DOUBLE) AS tvd
-        |FROM grid GROUP BY day, vband, n_c, nn
-        |ORDER BY day, vband""".stripMargin,
-
-    // l-diversity re-derivation: two-level class/sensitive aggregation,
-    // exact rollups.
-    "dq_l_diversity" ->
-      """WITH cells AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |    CAST(floor(value / 100) AS BIGINT) AS vband, event_type,
-        |    count(*)::BIGINT AS c
-        |  FROM events GROUP BY 1, 2, 3),
-        |cls AS (
-        |  SELECT day, vband, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
-        |  FROM cells GROUP BY day, vband)
-        |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
-        |  min(d)::BIGINT AS min_distinct_sensitive,
-        |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_l,
-        |  coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0)::BIGINT AS n_rows_below_l,
-        |  min(d) >= 2 AS l_diverse
-        |FROM cls""".stripMargin,
-
-    // Pearson re-derivation: exact integer moments (HUGEINT sums cast
-    // back to BIGINT), the engine's exact IEEE association order.
-    "a_pearson_corr" ->
-      """WITH b1 AS (
-        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
-        |         CAST(floor(l_discount * 100) AS BIGINT) AS y
-        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
-        |b2 AS (
-        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
-        |         CAST(floor(l_extendedprice) AS BIGINT) AS y
-        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |a1 AS (
-        |  SELECT 'qty_discount' AS pair, count(*)::BIGINT AS n,
-        |    sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
-        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
-        |    sum(x * y)::BIGINT AS sum_xy
-        |  FROM b1),
-        |a2 AS (
-        |  SELECT 'qty_price' AS pair, count(*)::BIGINT AS n,
-        |    sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
-        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
-        |    sum(x * y)::BIGINT AS sum_xy
-        |  FROM b2),
-        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
-        |SELECT pair, n, sum_x, sum_y, sum_xy,
-        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0.0
-        |        AND n::DOUBLE * syy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0.0
-        |       THEN (n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
-        |         / (sqrt(n::DOUBLE * sxx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
-        |            * sqrt(n::DOUBLE * syy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE))
-        |  END AS corr
-        |FROM u ORDER BY pair""".stripMargin,
-
-    // Key-audit re-derivation: one multiplicity table per audited key
-    // (unioned through a canonical string form), exact BIGINT rollups.
-    "dq_key_audit" ->
-      """WITH u AS (
-        |  SELECT 'documents.doc_id' AS table_key, doc_id::VARCHAR AS k FROM documents
-        |  UNION ALL
-        |  SELECT 'events.event_id', event_id::VARCHAR FROM events
-        |  UNION ALL
-        |  SELECT 'lineitem.orderkey_linenumber',
-        |    concat_ws(':', l_orderkey, l_linenumber) FROM lineitem),
-        |m AS (SELECT table_key, k, count(*)::BIGINT AS c FROM u GROUP BY table_key, k)
-        |SELECT table_key,
-        |  sum(c)::BIGINT AS n_rows,
-        |  coalesce(sum(CASE WHEN k IS NULL THEN c ELSE 0 END), 0)::BIGINT AS n_null_keys,
-        |  count(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT AS n_keys,
-        |  coalesce(sum(CASE WHEN k IS NOT NULL AND c > 1 THEN 1 ELSE 0 END), 0)::BIGINT
-        |    AS n_dup_keys,
-        |  coalesce(max(CASE WHEN k IS NOT NULL THEN c END), 0)::BIGINT AS max_multiplicity,
-        |  coalesce(sum(CASE WHEN k IS NOT NULL AND c > 1 THEN c - 1 ELSE 0 END), 0)::BIGINT
-        |    AS n_excess_rows
-        |FROM m GROUP BY table_key ORDER BY table_key""".stripMargin,
-
-    // Robust-outlier re-derivation: quantile_cont medians (the proven
-    // interpolation contract), fixed-association IEEE deviations and
-    // threshold, exact BIGINT counters.
-    "dq_robust_outliers" ->
-      """WITH b AS (
-        |  SELECT event_type, value::DOUBLE AS v FROM events
-        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
-        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS median FROM b GROUP BY event_type),
-        |d AS (
-        |  SELECT b.event_type, abs(b.v - m.median) AS dev, m.median
-        |  FROM b JOIN m USING (event_type)),
-        |md AS (
-        |  SELECT event_type, count(*)::BIGINT AS n, quantile_cont(dev, 0.5) AS mad
-        |  FROM d GROUP BY event_type)
-        |SELECT d.event_type, md.n, m.median, md.mad,
-        |  sum(CASE WHEN d.dev > 3.0::DOUBLE * md.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
-        |FROM d JOIN md USING (event_type) JOIN m USING (event_type)
-        |GROUP BY d.event_type, md.n, m.median, md.mad
-        |ORDER BY d.event_type""".stripMargin,
-
-    // Krippendorff re-derivation: coincidence-matrix algebra over exact
-    // BIGINT cell counts; the per-unit 1/(m-1) weight carried in micro
-    // fixed point via `//` (truncation identical on both engines), every
-    // shipped HUGEINT total cast back to BIGINT (the r7 physical-type
-    // lesson).
-    "dq_krippendorff_alpha" ->
-      """WITH slots AS (
-        |  SELECT CAST(event_id // 10 AS VARCHAR) AS u,
-        |         CAST(event_id % 10 AS VARCHAR) AS a, min(event_type) AS l
-        |  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
-        |  GROUP BY 1, 2),
-        |cells AS (SELECT u, l, count(*)::BIGINT AS c FROM slots GROUP BY u, l),
-        |units AS (
-        |  SELECT u, sum(c)::BIGINT AS m, sum(c * c)::BIGINT AS sq
-        |  FROM cells GROUP BY u HAVING sum(c) >= 2),
-        |pc AS (SELECT cells.* FROM cells WHERE u IN (SELECT u FROM units)),
-        |obs AS (
-        |  SELECT count(*)::BIGINT AS n_units, sum(m)::BIGINT AS n,
-        |    sum(((m * m - sq) * 1000000) // (m - 1))::BIGINT AS ufp
-        |  FROM units),
-        |marg AS (
-        |  SELECT count(*)::BIGINT AS n_labels,
-        |    coalesce(sum(nc * nc), 0)::BIGINT AS sqm
-        |  FROM (SELECT l, sum(c)::BIGINT AS nc FROM pc GROUP BY l))
-        |SELECT n_units, n AS n_ratings, n_labels,
-        |  (ufp // n)::BIGINT AS do_fp,
-        |  (((n * n - sqm) * 1000000) // (n * (n - 1)))::BIGINT AS de_fp,
-        |  CASE WHEN n * n = sqm THEN NULL
-        |       ELSE (1000000 - (((n - 1) * ufp) // (n * n - sqm)))::BIGINT
-        |  END AS alpha_fp
-        |FROM obs CROSS JOIN marg""".stripMargin,
-
-    // Label-balance re-derivation: exact-rational shares, ln riding
-    // round-then-decimal contributions, totals STAYING decimal (the
-    // gini subtraction narrows before subtracting, mirroring the engine).
-    "dq_label_balance" -> PinnedOracles.sql("dq_label_balance"),
-
-    // Classification report re-derivation: the langid prediction CTEs,
-    // union class set via null-safe full outer, single-chain divisions.
-    "dq_classification_report" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
-        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
-        |  FROM tk),
-        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
-        |pr AS (
-        |  SELECT lang AS a,
-        |    CASE WHEN hm <= 0 THEN 'und'
-        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
-        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
-        |  FROM b),
-        |cells AS (SELECT a, p, count(*)::BIGINT AS o FROM pr GROUP BY a, p),
-        |at AS (SELECT a, sum(o)::BIGINT AS support FROM cells GROUP BY a),
-        |pt AS (SELECT p, sum(o)::BIGINT AS n_pred FROM cells GROUP BY p),
-        |tpc AS (SELECT a AS c, o AS tp FROM cells WHERE a IS NOT DISTINCT FROM p),
-        |cls AS (
-        |  SELECT coalesce(at.a, pt.p) AS class,
-        |    coalesce(support, 0)::BIGINT AS support,
-        |    coalesce(n_pred, 0)::BIGINT AS n_pred
-        |  FROM at FULL OUTER JOIN pt ON at.a IS NOT DISTINCT FROM pt.p),
-        |j AS (
-        |  SELECT class, support, n_pred, coalesce(tpc.tp, 0)::BIGINT AS tp
-        |  FROM cls LEFT JOIN tpc ON cls.class IS NOT DISTINCT FROM tpc.c),
-        |w AS (
-        |  SELECT class, support, n_pred, tp,
-        |    CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END AS "precision",
-        |    CASE WHEN support > 0 THEN tp::DOUBLE / support::DOUBLE END AS recall
-        |  FROM j)
-        |SELECT class, support, n_pred, tp, "precision", recall,
-        |  CASE WHEN "precision" + recall > '0.0'::DOUBLE
-        |       THEN '2.0'::DOUBLE * "precision" * recall / ("precision" + recall)
-        |  END AS f1
-        |FROM w ORDER BY class""".stripMargin,
-
-    // Calibration: the txt_quality_model score CTE joined to the lang=en
-    // label, psi-style clamped binning, round-then-decimal-summed mean
-    // scores, single trailing divisions.
-    // Wilson re-derivation: langid prediction CTEs carrying source, one
-    // accuracy agg, then the interval chain in the engine's association
-    // order (every op exactly-rounded IEEE, sqrt included).
-    "dq_rate_wilson" ->
-      """WITH tk AS (
-        |  SELECT doc_id, source, lang,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, source, lang,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
-        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
-        |  FROM tk),
-        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
-        |pr AS (
-        |  SELECT source, lang,
-        |    CASE WHEN hm <= 0 THEN 'und'
-        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
-        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
-        |  FROM b),
-        |g AS (
-        |  SELECT source::VARCHAR AS "group", count(*)::BIGINT AS n,
-        |    sum((p IS NOT DISTINCT FROM lang)::INT)::BIGINT AS k
-        |  FROM pr GROUP BY 1),
-        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
-        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
-        |c3 AS (SELECT *,
-        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
-        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
-        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
-        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
-        |SELECT "group", n, k, p AS rate,
-        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
-        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
-        |FROM c3 ORDER BY "group"""".stripMargin,
-
-    // Binned-AUC re-derivation: the calibration score CTEs, full bin
-    // spine, descending cumulative TP/FP, the exact BIGINT trapezoid
-    // numerator, one trailing division.
-    "dq_binned_auc" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
-         |  FROM documents),
-         |b AS (SELECT doc_id,
-         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
-         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
-         |      FROM tok),
-         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
-         |sc AS (
-         |  SELECT d.doc_id AS id,
-         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
-         |         ELSE sw::DOUBLE / 1000.0 / n END AS score
-         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
-         |lab AS (SELECT doc_id AS id, (lang = 'en') AS y FROM documents),
-         |j AS (
-         |  SELECT sc.score AS sv, lab.y FROM sc JOIN lab USING (id)
-         |  WHERE sc.score IS NOT NULL AND lab.y IS NOT NULL),
-         |g AS (
-         |  SELECT least(9, greatest(0,
-         |      floor((sv - '-0.5'::DOUBLE) * '10.0'::DOUBLE / '1.0'::DOUBLE)::INT)) AS bucket,
-         |    sum(y::INT)::BIGINT AS n_pos, sum((NOT y)::INT)::BIGINT AS n_neg
-         |  FROM j GROUP BY 1),
-         |spine AS (
-         |  SELECT b.bucket, coalesce(g.n_pos, 0)::BIGINT AS n_pos,
-         |    coalesce(g.n_neg, 0)::BIGINT AS n_neg
-         |  FROM (SELECT unnest(range(10)) AS bucket) b
-         |  LEFT JOIN g ON g.bucket = b.bucket),
-         |t AS (SELECT sum(n_pos)::BIGINT AS p, sum(n_neg)::BIGINT AS nn FROM spine),
-         |c AS (
-         |  SELECT bucket, n_pos, n_neg,
-         |    sum(n_pos) OVER (ORDER BY bucket DESC)::BIGINT AS cum_tp,
-         |    sum(n_neg) OVER (ORDER BY bucket DESC)::BIGINT AS cum_fp,
-         |    (n_neg * (2 * (sum(n_pos) OVER (ORDER BY bucket DESC) - n_pos) + n_pos))::BIGINT
-         |      AS term
-         |  FROM spine),
-         |a AS (SELECT (sum(term)::DOUBLE / (2 * t.p * t.nn)::DOUBLE) AS auc
-         |      FROM c CROSS JOIN t GROUP BY t.p, t.nn)
-         |SELECT c.bucket, c.n_pos, c.n_neg, c.cum_tp, c.cum_fp,
-         |  c.cum_tp::DOUBLE / t.p::DOUBLE AS tpr,
-         |  c.cum_fp::DOUBLE / t.nn::DOUBLE AS fpr,
-         |  a.auc
-         |FROM c CROSS JOIN t CROSS JOIN a ORDER BY bucket DESC""".stripMargin,
-
-    "dq_calibration" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
-         |  FROM documents),
-         |b AS (SELECT doc_id,
-         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
-         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
-         |      FROM tok),
-         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
-         |sc AS (
-         |  SELECT d.doc_id AS id,
-         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
-         |         ELSE sw::DOUBLE / 1000.0 / n END AS score
-         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
-         |lab AS (SELECT doc_id AS id, (lang = 'en') AS y FROM documents),
-         |j AS (
-         |  SELECT sc.score AS sv, lab.y FROM sc JOIN lab USING (id)
-         |  WHERE sc.score IS NOT NULL AND lab.y IS NOT NULL),
-         |g AS (
-         |  SELECT least(9, greatest(0,
-         |      floor((sv - '-0.5'::DOUBLE) * '10.0'::DOUBLE / '1.0'::DOUBLE)::INT)) AS bucket,
-         |    count(*)::BIGINT AS n, sum(y::INT)::BIGINT AS n_pos,
-         |    sum(round(sv, 9)::DECIMAL(28,9))::DOUBLE / count(*)::DOUBLE AS mean_score
-         |  FROM j GROUP BY 1)
-         |SELECT bucket, n, n_pos, mean_score,
-         |  n_pos::DOUBLE / n::DOUBLE AS pos_rate
-         |FROM g ORDER BY bucket""".stripMargin,
-
-    // OOV rate: vocab re-derived as the txt_vocabulary top-20 cut, token
-    // stream left-joined against it, doc spine restored so empty/null
-    // docs keep their row (unnest drops them in DuckDB; the engine's
-    // explode_outer keeps them).
-    "txt_oov_rate" ->
-      """WITH v AS (
-        |  SELECT token AS term FROM (
-        |    SELECT token, count(*) AS n FROM (
-        |      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
-        |        AS token
-        |      FROM documents)
-        |    GROUP BY token ORDER BY n DESC, token LIMIT 20)),
-        |d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |x AS (SELECT doc_id, unnest(t) AS term FROM d),
-        |a AS (
-        |  SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
-        |    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
-        |  FROM x LEFT JOIN v ON v.term = x.term GROUP BY x.doc_id)
-        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-        |  coalesce(a.n_oov, 0) AS n_oov,
-        |  CASE WHEN coalesce(a.n_tokens, 0) > 0
-        |       THEN a.n_oov::DOUBLE / a.n_tokens::DOUBLE END AS oov_rate
-        |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    // Two unrolled GD iterations: per-row gradient contributions quantized
-    // via floor(x*1e9 + 0.5) (bit-stable IEEE) and summed as BIGINT, the
-    // weight updates as single double ops in the engine's association
-    // order, then sigma(w.x) re-scored over ALL docs (nulls propagate).
-    "txt_lr_train" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    1.0::DOUBLE AS x0,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS x1,
-        |    n_chars::DOUBLE / 100 AS x2,
-        |    (lang = 'en')::INT::DOUBLE AS y
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
-        |s1 AS (SELECT
-        |    sum((floor((y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(0.0::DOUBLE*x0 + 0.0::DOUBLE*x1 + 0.0::DOUBLE*x2))))
-        |      * x0 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s0,
-        |    sum((floor((y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(0.0::DOUBLE*x0 + 0.0::DOUBLE*x1 + 0.0::DOUBLE*x2))))
-        |      * x1 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s1,
-        |    sum((floor((y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(0.0::DOUBLE*x0 + 0.0::DOUBLE*x1 + 0.0::DOUBLE*x2))))
-        |      * x2 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s2,
-        |    count(*)::BIGINT AS n
-        |  FROM f),
-        |w1 AS (SELECT
-        |    0.0::DOUBLE + 0.5::DOUBLE * ((s0::DOUBLE / 1e9) / n) AS w0,
-        |    0.0::DOUBLE + 0.5::DOUBLE * ((s1::DOUBLE / 1e9) / n) AS w1,
-        |    0.0::DOUBLE + 0.5::DOUBLE * ((s2::DOUBLE / 1e9) / n) AS w2
-        |  FROM s1),
-        |s2 AS (SELECT
-        |    sum((floor((f.y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))
-        |      * f.x0 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s0,
-        |    sum((floor((f.y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))
-        |      * f.x1 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s1,
-        |    sum((floor((f.y - 1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))
-        |      * f.x2 * 1e9 + 0.5::DOUBLE))::BIGINT) AS s2,
-        |    count(*)::BIGINT AS n
-        |  FROM f CROSS JOIN w1 w),
-        |w2 AS (SELECT
-        |    w.w0 + 0.5::DOUBLE * ((s.s0::DOUBLE / 1e9) / s.n) AS w0,
-        |    w.w1 + 0.5::DOUBLE * ((s.s1::DOUBLE / 1e9) / s.n) AS w1,
-        |    w.w2 + 0.5::DOUBLE * ((s.s2::DOUBLE / 1e9) / s.n) AS w2
-        |  FROM w1 w CROSS JOIN s2 s),
-        |fall AS (
-        |  SELECT doc_id,
-        |    1.0::DOUBLE AS x0,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS x1,
-        |    n_chars::DOUBLE / 100 AS x2,
-        |    (lang = 'en')::INT AS y
-        |  FROM documents)
-        |SELECT f.doc_id, f.y::BIGINT AS y,
-        |  (floor(1.0::DOUBLE/(1.0::DOUBLE + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2)))
-        |    * 1e9 + 0.5::DOUBLE))::BIGINT AS score_n
-        |FROM fall f CROSS JOIN w2 w
-        |ORDER BY doc_id""".stripMargin,
-
-    "txt_lm_train" ->
-      """WITH d AS (
-        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents)
-        |SELECT w1, w2, count(*)::BIGINT AS c FROM (
-        |  SELECT t[i-1] AS w1, t[i] AS w2
-        |  FROM d, LATERAL unnest(generate_series(2, len(t))) AS g(i))
-        |GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT 400""".stripMargin,
-
-    // Full re-derivation of the stupid-backoff bigram LM score: capped
-    // count tables, smoothed unigram fallback, per-token neg-log-probs
-    // rounded to 6 dp and decimal-summed. All double arithmetic mirrors
-    // the engine's association order term for term (single divisions,
-    // literal-first products, ::DOUBLE literals to defeat DuckDB's
-    // DECIMAL literal typing).
-    "txt_lm_score" ->
-      lmScoreSql("(SELECT doc_id AS id, text FROM documents)", 20, 400),
-
-    // SF-independent LM twin on an inline corpus that hits every path:
-    // vocab cap 3 of 4 (d is OOV), an unseen bigram (backoff), an empty
-    // doc (n_tokens 0, NULL score).
-    "txt_lm_score_fx" -> PinnedOracles.sql("txt_lm_score_fx"),
-
-    // Native spectra clustering re-derivation: identical synthesis
-    // (integer intensities => exact dots/norms), binning + top-20 bins with
-    // the kernel's (w DESC, bin ASC) tie-break, shared-top-6-bin candidate
-    // join with the exact |Δpmz| gate, cosine >= 0.95 edges, and
-    // connected components as a recursive min-label closure over the
-    // symmetric edge set (components are tiny planted chains, so the
-    // closure is bounded; the engine side runs large-star/small-star).
-    "dd_spectra_cluster" ->
-      (spectraClusterLabelCtes + "\nSELECT spec_id, cluster_id FROM labels ORDER BY spec_id"),
-
-    // The native-clustering + A10-A12 inference closure: cluster labels
-    // from the shared CTE chain, PSMs re-derived from spec_id arithmetic,
-    // purity stats as grouped subqueries (n_iso per cluster, form counts),
-    // the representative as the row_number-1 row under the engine's exact
-    // tie-break (ratio DESC, form ASC, score ASC, usi ASC), removed
-    // clusters with the engine's reason precedence (isobaric first).
-    "pipeline_native_cluster" ->
-      (spectraClusterLabelCtes + """,
-        |psm AS (
-        |  SELECT spec_id, 'u' || spec_id::VARCHAR AS usi,
-        |    CASE WHEN (spec_id % 1000) % 5 = 0 AND spec_id // 1000 = 1 THEN 'LEK'
-        |         WHEN (spec_id % 1000) % 5 = 0 THEN 'PEK'
-        |         WHEN (spec_id % 1000) % 5 = 1 THEN 'PEK'
-        |         WHEN (spec_id % 1000) % 5 = 2 AND spec_id // 1000 = 1 THEN 'PEIK'
-        |         WHEN (spec_id % 1000) % 5 = 2 THEN 'PELK'
-        |         ELSE 'AAK' END AS seq,
-        |    CASE WHEN (spec_id % 1000) % 5 = 1 THEN
-        |           CASE WHEN spec_id // 1000 = 1 THEN 'PE[UNIMOD:35]K/2'
-        |                WHEN spec_id // 1000 = 2 THEN 'PEK/3' ELSE 'PEK/2' END
-        |         WHEN (spec_id % 1000) % 5 = 0 AND spec_id // 1000 = 1 THEN 'LEK/2'
-        |         WHEN (spec_id % 1000) % 5 = 0 THEN 'PEK/2'
-        |         WHEN (spec_id % 1000) % 5 = 2 AND spec_id // 1000 = 1 THEN 'PEIK/2'
-        |         WHEN (spec_id % 1000) % 5 = 2 THEN 'PELK/2'
-        |         ELSE 'AAK/2' END AS form,
-        |    ((((spec_id % 1000) * 7 + (spec_id // 1000) * 3) % 100)::DOUBLE / 100.0) AS score
-        |  FROM labels),
-        |members AS (
-        |  SELECT l.spec_id, l.cluster_id, p.usi, p.seq, p.form, p.score
-        |  FROM labels l JOIN psm p USING (spec_id)),
-        |clstats AS (
-        |  SELECT cluster_id, count(DISTINCT replace(seq, 'L', 'I')) AS n_iso,
-        |    count(*) AS total
-        |  FROM members GROUP BY cluster_id),
-        |formstats AS (
-        |  SELECT cluster_id, form, count(*) AS form_count
-        |  FROM members GROUP BY cluster_id, form),
-        |ratios AS (
-        |  SELECT m.*, c.n_iso, c.total, f.form_count,
-        |    f.form_count::DOUBLE / c.total AS ratio
-        |  FROM members m
-        |  JOIN clstats c USING (cluster_id)
-        |  JOIN formstats f ON f.cluster_id = m.cluster_id AND f.form = m.form),
-        |withmax AS (
-        |  SELECT *, max(ratio) OVER (PARTITION BY cluster_id) AS max_ratio
-        |  FROM ratios),
-        |reps AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
-        |      ORDER BY ratio DESC, form ASC, score ASC, usi ASC) AS rn
-        |    FROM withmax WHERE n_iso <= 1 AND max_ratio > 0.5)
-        |  WHERE rn = 1),
-        |removedcl AS (
-        |  SELECT DISTINCT cluster_id,
-        |    CASE WHEN n_iso > 1 THEN 'multiple_isobaric_sequences'
-        |         ELSE 'no_majority_peptidoform' END AS reason
-        |  FROM withmax WHERE n_iso > 1 OR max_ratio <= 0.5)
-        |SELECT kind::VARCHAR AS "kind", cluster_id::BIGINT AS "cluster_id",
-        |  detail::VARCHAR AS "detail"
-        |FROM (
-        |  SELECT 'rep' AS kind, cluster_id, usi AS detail FROM reps
-        |  UNION ALL
-        |  SELECT 'removed', cluster_id, reason FROM removedcl)
-        |ORDER BY "kind", "cluster_id"""".stripMargin),
-
-
-    // Cross-corpus fuzzy decontamination: the dd_minhash_lsh re-derivation
-    // with the band join taken BETWEEN the train/bench slices, verified
-    // estimates aggregated to a per-train-doc max, and unflagged docs
-    // surfaced with 0.0 via the left join.
-    "tdp_fuzzy_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id, r.doc_id AS bench_id
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
-         |  WHERE l.doc_id % 20 <> 0 AND r.doc_id % 20 = 0),
-         |est AS (
-         |  SELECT id, bench_id,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS ej
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id
-         |  JOIN mh mb ON mb.doc_id = bench_id AND mb.i = ma.i
-         |  GROUP BY id, bench_id),
-         |mx AS (SELECT id, max(ej) AS mj FROM est GROUP BY id)
-         |SELECT d.doc_id AS id, coalesce(mx.mj, 0.0) AS max_bench_jaccard,
-         |  coalesce(mx.mj, 0.0) >= 0.5 AS contaminated
-         |FROM documents d LEFT JOIN mx ON mx.id = d.doc_id
-         |WHERE d.doc_id % 20 <> 0
-         |ORDER BY id""".stripMargin,
-
-    "dd_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-         |  FROM tok WHERE token <> ''),
-         |s AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id)
-         |SELECT doc_id AS id, $simhashValue AS simhash FROM s ORDER BY id""".stripMargin,
-
-    "dd_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM toks),
-        |rare AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-        |  WHERE df <= 50),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
-        |  FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-        |  GROUP BY l.doc_id, r.doc_id)
-        |SELECT id_a, id_b,
-        |  n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Brute-force all-pairs re-derivation: the prefix filter is a pure
-    // candidate PRUNE, so the engine's output must equal the unpruned
-    // quadratic scan. Threshold and share are exact integer arithmetic
-    // (tNum=1, tDen=2): c*2 >= u, jacc_n9 = (c*1e9) // u.
-    "dd_prefix_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id < 500),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |    ELSE [array_to_string(t, ' ')] END) AS s
-        |  FROM toks),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.s, b.s)) AS n_common,
-        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, n_common, n_union,
-        |  (n_common * 1000000000) // n_union AS jacc_n9
-        |FROM p WHERE n_common * 2 >= n_union
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Threshold-curve re-derivation: unpruned quadratic pairs at the
-    // 1/5 floor, conditional count per threshold step (left join keeps
-    // zero-pair thresholds).
-    "dd_threshold_curve" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id < 500),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |    ELSE [array_to_string(t, ' ')] END) AS s
-        |  FROM toks),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.s, b.s)) AS c,
-        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |f AS (SELECT id_a, (c * 1000000000) // u AS jacc_n9 FROM p WHERE c * 5 >= u),
-        |th AS (SELECT unnest(range(2, 10)) * 100000000 AS t_n9)
-        |SELECT th.t_n9, count(f.id_a) AS n_pairs
-        |FROM th LEFT JOIN f ON f.jacc_n9 >= th.t_n9
-        |GROUP BY th.t_n9 ORDER BY th.t_n9""".stripMargin,
-
-    // kNN re-derivation: symmetric brute-force pairs above the 1/5
-    // floor, deterministic (jacc DESC, nbr) rank, top 3 per document.
-    "dd_knn_similar" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id < 500),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |    ELSE [array_to_string(t, ' ')] END) AS s
-        |  FROM toks),
-        |p AS (
-        |  SELECT a.doc_id, b.doc_id AS nbr,
-        |    len(list_intersect(a.s, b.s)) AS c,
-        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
-        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
-        |f AS (
-        |  SELECT doc_id, nbr, (c * 1000000000) // u AS jacc_n9
-        |  FROM p WHERE c * 5 >= u),
-        |r AS (
-        |  SELECT doc_id, nbr, jacc_n9,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY jacc_n9 DESC, nbr) AS rk
-        |  FROM f)
-        |SELECT doc_id, nbr, jacc_n9, rk FROM r WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin,
-
-    // Recall-audit re-derivation: one shared 16-hash signature, TWO
-    // banding derivations (4x4 and 2x8) unioned under a config label,
-    // each intersected with the same unpruned exact >= 1/2 pair scan.
-    "dd_lsh_recall" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |  FROM documents WHERE doc_id < 500),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT '16h_4x4' AS config, doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
-         |  UNION ALL
-         |  SELECT '16h_2x8' AS config, doc_id, b,
-         |    md5(s[8*b+1]::VARCHAR || ':' || s[8*b+2]::VARCHAR || ':' ||
-         |        s[8*b+3]::VARCHAR || ':' || s[8*b+4]::VARCHAR || ':' ||
-         |        s[8*b+5]::VARCHAR || ':' || s[8*b+6]::VARCHAR || ':' ||
-         |        s[8*b+7]::VARCHAR || ':' || s[8*b+8]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(2)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.config, l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bands l JOIN bands r
-         |    ON l.config = r.config AND l.b = r.b AND l.bh = r.bh
-         |      AND l.doc_id < r.doc_id),
-         |est AS (
-         |  SELECT config, id_a, id_b,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id_a
-         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-         |  GROUP BY config, id_a, id_b),
-         |lshp AS (SELECT config, id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-         |gsets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
-         |gexact AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 2
-         |    >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-         |cfg AS (SELECT unnest(['16h_4x4', '16h_2x8']) AS config),
-         |ce AS (
-         |  SELECT c.config, count(e.id_a) AS n_exact
-         |  FROM cfg c LEFT JOIN gexact e ON true GROUP BY c.config),
-         |cl AS (
-         |  SELECT c.config, count(l.id_a) AS n_lsh
-         |  FROM cfg c LEFT JOIN lshp l ON l.config = c.config GROUP BY c.config),
-         |hits AS (
-         |  SELECT l.config, count(*) AS n FROM gexact e
-         |  JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
-         |  GROUP BY l.config)
-         |SELECT c.config, ce.n_exact::BIGINT AS n_exact, cl.n_lsh::BIGINT AS n_lsh,
-         |  coalesce(h.n, 0)::BIGINT AS n_hit,
-         |  (CASE WHEN ce.n_exact > 0
-         |    THEN (coalesce(h.n, 0) * 1000000000) // ce.n_exact END)::BIGINT AS recall_n9,
-         |  (CASE WHEN cl.n_lsh > 0
-         |    THEN (coalesce(h.n, 0) * 1000000000) // cl.n_lsh END)::BIGINT AS precision_n9
-         |FROM cfg c
-         |JOIN ce ON ce.config = c.config
-         |JOIN cl ON cl.config = c.config
-         |LEFT JOIN hits h ON h.config = c.config
-         |ORDER BY c.config""".stripMargin,
-
-    // Containment re-derivation: the dd_ngram_jaccard index CTEs with the
-    // min-size denominator and the contained/container orientation.
-    "dd_containment_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM toks),
-        |rare AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-        |  WHERE df <= 50),
-        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n_common
-        |  FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-        |  GROUP BY l.doc_id, r.doc_id)
-        |SELECT
-        |  CASE WHEN sa.n_shingles <= sb.n_shingles THEN id_a ELSE id_b END AS contained_id,
-        |  CASE WHEN sa.n_shingles <= sb.n_shingles THEN id_b ELSE id_a END AS container_id,
-        |  n_common,
-        |  least(sa.n_shingles, sb.n_shingles) AS n_contained,
-        |  greatest(sa.n_shingles, sb.n_shingles) AS n_container,
-        |  n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles)::DOUBLE AS containment
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles)::DOUBLE >= 0.6
-        |ORDER BY contained_id, container_id""".stripMargin,
-
-    // Min-max re-derivation: per-dim exact min/max selections over the
-    // full corpus, one IEEE scaling chain, first-100 cut.
-    "sim_minmax_scale" ->
-      """WITH x AS (
-        |  SELECT vec_id, i AS pos1, embedding[i]::DOUBLE AS v
-        |  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)
-        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-        |st AS (SELECT pos1, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos1)
-        |SELECT x.vec_id, (x.pos1 - 1)::BIGINT AS pos, x.v,
-        |  CASE WHEN st.mx > st.mn THEN (x.v - st.mn) / (st.mx - st.mn)
-        |       ELSE 0.0 END AS scaled
-        |FROM x JOIN st USING (pos1)
-        |WHERE x.vec_id < 100
-        |ORDER BY vec_id, pos""".stripMargin,
-
-    // Recall re-derivation: the sim_topk_bruteforce and sim_lsh_topk
-    // ranking CTEs side by side, intersected per query — exact counts,
-    // one IEEE division.
-    "sim_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-         |p AS (
-         |  SELECT qid, nid, $dotSql AS dot,
-         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM q, c WHERE qid <> nid),
-         |sc AS (
-         |  SELECT qid, nid,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
-         |ex AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id FROM (
-         |    SELECT qid, nid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-         |    FROM sc) WHERE rank <= 5),
-         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
-         |q2 AS (SELECT id AS query_id, vec AS qvec, bucket AS b0 FROM b WHERE id < 10),
-         |probes AS (
-         |  SELECT query_id, qvec,
-         |    unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
-         |  FROM q2),
-         |cand AS (
-         |  SELECT DISTINCT query_id, qvec, cc.id AS neighbor_id, cc.vec AS cv
-         |  FROM probes pr JOIN b cc USING (bucket) WHERE pr.query_id <> cc.id),
-         |sc2 AS (
-         |  SELECT query_id, neighbor_id,
-         |    CASE WHEN ${normSql("qvec")} * ${normSql("cv")} > 0
-         |      THEN ${dotSql.replace("qv[", "qvec[")} / (${normSql("qvec")} * ${normSql("cv")})
-         |      ELSE 0.0 END AS cosine
-         |  FROM cand),
-         |ap AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         |    FROM sc2) WHERE rank <= 5),
-         |h AS (
-         |  SELECT a.query_id, count(*)::BIGINT AS hits
-         |  FROM ap a JOIN ex ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
-         |  GROUP BY a.query_id),
-         |na AS (SELECT query_id, count(*)::BIGINT AS n_approx FROM ap GROUP BY query_id),
-         |ne AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY query_id)
-         |SELECT ne.query_id, coalesce(na.n_approx, 0)::BIGINT AS n_approx, ne.n_exact,
-         |  coalesce(h.hits, 0)::BIGINT AS hits,
-         |  coalesce(h.hits, 0)::DOUBLE / ne.n_exact::DOUBLE AS recall
-         |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
-         |ORDER BY query_id""".stripMargin,
-
-    // Centroid-drift re-derivation: the label-outlier centroid CTEs per
-    // half, joined on label, the same sequential distance fold.
-    "sim_centroid_drift" ->
-      """WITH ea AS (
-        |  SELECT label,
-        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS q
-        |  FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL),
-        |eb AS (
-        |  SELECT label,
-        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS q
-        |  FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
-        |sa AS (
-        |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
-        |  FROM ea, LATERAL unnest(generate_series(1, 64)) AS t(i) GROUP BY label, i),
-        |sb AS (
-        |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
-        |  FROM eb, LATERAL unnest(generate_series(1, 64)) AS t(i) GROUP BY label, i),
-        |ma AS (
-        |  SELECT label, any_value(n)::BIGINT AS n_a,
-        |    list(s::DOUBLE / n::DOUBLE ORDER BY pos) AS mv
-        |  FROM sa GROUP BY label),
-        |mb AS (
-        |  SELECT label, any_value(n)::BIGINT AS n_b,
-        |    list(s::DOUBLE / n::DOUBLE ORDER BY pos) AS mv
-        |  FROM sb GROUP BY label)
-        |SELECT ma.label, ma.n_a, mb.n_b,
-        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |    i -> (ma.mv[i] - mb.mv[i]) * (ma.mv[i] - mb.mv[i]))), (a, b) -> a + b)
-        |    / 1000000000000.0 AS dist2
-        |FROM ma JOIN mb USING (label)
-        |ORDER BY label""".stripMargin,
-
-    // Label-outlier re-derivation: identical micro-quantization (floor of
-    // one IEEE multiply), exact BIGINT dim sums, int→double centroid
-    // division, and the SAME sequential fold order as the engine's
-    // `aggregate` (list_reduce is left-to-right).
-    "sim_label_outliers" ->
-      """WITH e AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS q
-        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
-        |s AS (
-        |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
-        |  FROM e, LATERAL unnest(generate_series(1, 64)) AS t(i)
-        |  GROUP BY label, i),
-        |m AS (
-        |  SELECT label, list(s::DOUBLE / n::DOUBLE ORDER BY pos) AS mv
-        |  FROM s GROUP BY label),
-        |d AS (
-        |  SELECT e.vec_id, e.label,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |      i -> (e.q[i]::DOUBLE - mv[i]) * (e.q[i]::DOUBLE - mv[i]))), (a, b) -> a + b)
-        |      / 1000000000000.0 AS dist2
-        |  FROM e JOIN m USING (label)),
-        |r AS (
-        |  SELECT label, vec_id, dist2,
-        |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS rank
-        |  FROM d)
-        |SELECT label, rank::BIGINT AS rank, vec_id, dist2 FROM r WHERE rank <= 5
-        |ORDER BY label, rank""".stripMargin,
-
-    "sim_topk_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-         |p AS (
-         |  SELECT qid, nid, $dotSql AS dot,
-         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM q, c WHERE qid <> nid),
-         |sc AS (
-         |  SELECT qid, nid,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
-         |r AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-         |  FROM sc)
-         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // Matryoshka funnel re-derivation: stage 1 the range(1,33) prefix
-    // fold, candidate cut at k*oversample = 20, stage 2 the full
-    // range(1,65) fold over survivors, both ties on neighbor id.
-    "sim_matryoshka_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-         |p AS (
-         |  SELECT qid, nid, qv, cv, ${dotPreSql(32)} AS pdot,
-         |    ${normPreSql("qv", 32)} AS npq, ${normPreSql("cv", 32)} AS npc
-         |  FROM q, c WHERE qid <> nid),
-         |s1 AS (
-         |  SELECT qid, nid, qv, cv,
-         |    CASE WHEN npq * npc > 0 THEN pdot / (npq * npc) ELSE 0.0 END AS prefix_cosine
-         |  FROM p),
-         |cand AS (
-         |  SELECT qid, nid, qv, cv, prefix_cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY prefix_cosine DESC, nid ASC) AS prank
-         |  FROM s1),
-         |s2 AS (
-         |  SELECT qid, nid, prefix_cosine, $dotSql AS dot,
-         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM cand WHERE prank <= 20),
-         |sc AS (
-         |  SELECT qid, nid, prefix_cosine,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM s2),
-         |r AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id, prefix_cosine, cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-         |  FROM sc)
-         |SELECT query_id, neighbor_id, prefix_cosine, cosine, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-
-    "txt_quality" ->
-      """WITH tk AS (
-        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
-        |    list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a,b) -> a+b)::DOUBLE
-        |      / len(toks) AS mean_token_len,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
-        |      / len(toks) AS stopword_ratio,
-        |    (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
-        |      / len(text) AS punct_ratio
-        |  FROM tk)
-        |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
-        |  (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
-        |    + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
-        |    + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // Gopher-rules re-derivation: identical tokenization (single-space
-    // words, chr(10) lines), identical replace-scan symbol counts, every
-    // flag the same cross-multiplied integer comparison.
-    "txt_gopher_rules" ->
-      """WITH tk AS (
-        |  SELECT doc_id, text AS t,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_words,
-        |    list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
-        |                (a, b) -> a + b)::BIGINT AS sum_word_len,
-        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
-        |    ((len(t) - len(replace(t, '#', '')))
-        |      + (len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS n_sym,
-        |    len(lines)::BIGINT AS n_lines,
-        |    len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))::BIGINT AS n_bullet_lines,
-        |    len(list_filter(lines, x -> x LIKE '%...'))::BIGINT AS n_ellipsis_lines,
-        |    len(list_filter(list_distinct(toks),
-        |        x -> x IN ('the','a','of','and','to','in','is','that')))::BIGINT AS n_stop_distinct
-        |  FROM tk),
-        |f AS (
-        |  SELECT *,
-        |    (n_words >= 5 AND n_words <= 100000) AS ok_words,
-        |    (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS ok_mean_len,
-        |    (10 * n_sym < n_words) AS ok_symbol,
-        |    (10 * n_bullet_lines < 9 * n_lines) AS ok_bullet,
-        |    (10 * n_ellipsis_lines < 3 * n_lines) AS ok_ellipsis,
-        |    (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
-        |    (n_stop_distinct >= 2) AS ok_stop
-        |  FROM m)
-        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_sym, n_lines,
-        |  n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
-        |  ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis, ok_alpha, ok_stop,
-        |  (ok_words AND ok_mean_len AND ok_symbol AND ok_bullet AND ok_ellipsis
-        |    AND ok_alpha AND ok_stop) AS pass
-        |FROM f ORDER BY doc_id""".stripMargin,
-
-    // Full SQL re-derivation: same quality/token expressions as the
-    // txt_quality / txt_token_estimate oracles, rolled up per source.
-    // Integer sums only (token counts, char counts, pass counts) — no
-    // float accumulation; avg_chars is one IEEE division on both sides.
-    "tdp_corpus_stats" ->
-      """WITH tk AS (
-        |  SELECT source, lang, n_chars, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT source, lang, n_chars, text, len(toks) AS n_tokens,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
-        |      / len(toks) AS stopword_ratio,
-        |    (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
-        |      / len(text) AS punct_ratio
-        |  FROM tk),
-        |q AS (
-        |  SELECT source, lang, n_chars,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS tok_est,
-        |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
-        |      + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
-        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
-        |  FROM m)
-        |SELECT source,
-        |  count(*)::BIGINT AS n_docs,
-        |  sum(tok_est)::BIGINT AS total_tokens_est,
-        |  count(DISTINCT lang)::BIGINT AS n_langs,
-        |  sum(n_chars)::BIGINT AS total_chars,
-        |  sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass,
-        |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
-        |FROM q GROUP BY source ORDER BY source""".stripMargin,
-
-    // Windowed-drift fixture twin: same grid/fold/decimal derivation
-    // over inline VALUES (timestamps parsed identically on both engines).
-    "e_windowed_drift_fx" -> PinnedOracles.sql("e_windowed_drift_fx"),
-
-    // NFC parity: DuckDB's nfc_normalize is an INDEPENDENT Unicode NFC
-    // implementation — agreement cross-validates both engines' tables.
-    "txt_normalize" ->
-      """SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
-        |  nfc_normalize(text) IS NOT DISTINCT FROM text AS unchanged
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Fixture twin: chr() builds the decomposed inputs so the SQL text
-    // stays ASCII; codes 769=U+0301, 233=U+00E9, 778=U+030A, 8491=U+212B.
-    "txt_normalize_fx" -> PinnedOracles.sql("txt_normalize_fx"),
-
-    "txt_langid" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
-        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
-        |  FROM tk),
-        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h)
-        |SELECT doc_id, lang,
-        |  CASE WHEN hm <= 0 THEN 'und'
-        |       WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
-        |       WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS predicted
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    // Repetition: same shingle/window terms, same single IEEE division.
-    "txt_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3
-        |      THEN len(list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> array_to_string(t[i:i+2], ' '))))
-        |      ELSE 1 END AS nd,
-        |    greatest(len(t) - 2, 1) AS total
-        |  FROM toks)
-        |SELECT doc_id, 1.0::DOUBLE - nd::DOUBLE / total::DOUBLE AS rep3_ratio
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    // Dataset-card re-derivation: the corpus-stats token estimate, the
-    // gopher-rules flag chain rolled up per source, and the distinct-2
-    // ratio, joined on source.
-    "tdp_dataset_card" ->
-      """WITH stats AS (
-        |  SELECT source, count(*)::BIGINT AS n_docs,
-        |    sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS total_tokens_est,
-        |    count(DISTINCT lang)::BIGINT AS n_langs
-        |  FROM documents GROUP BY source),
-        |gt AS (
-        |  SELECT doc_id, source, text AS t,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents WHERE text IS NOT NULL),
-        |gm AS (
-        |  SELECT doc_id, source,
-        |    len(toks)::BIGINT AS n_words,
-        |    list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
-        |                (a, b) -> a + b)::BIGINT AS sum_word_len,
-        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
-        |    ((len(t) - len(replace(t, '#', '')))
-        |      + (len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS n_sym,
-        |    len(lines)::BIGINT AS n_lines,
-        |    len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))::BIGINT AS n_bul,
-        |    len(list_filter(lines, x -> x LIKE '%...'))::BIGINT AS n_ell,
-        |    len(list_filter(list_distinct(toks),
-        |        x -> x IN ('the','a','of','and','to','in','is','that')))::BIGINT AS n_stop
-        |  FROM gt),
-        |gp AS (
-        |  SELECT source,
-        |    sum(CASE WHEN n_words >= 5 AND n_words <= 100000
-        |      AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
-        |      AND 10 * n_sym < n_words
-        |      AND 10 * n_bul < 9 * n_lines
-        |      AND 10 * n_ell < 3 * n_lines
-        |      AND 5 * n_alpha_words >= 4 * n_words
-        |      AND n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass
-        |  FROM gm GROUP BY source),
-        |dk AS (
-        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |dg AS (
-        |  SELECT source, array_to_string(t[i:i+1], ' ') AS gram
-        |  FROM dk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)
-        |  WHERE len(t) >= 2),
-        |dc AS (SELECT source, gram, count(*)::BIGINT AS c FROM dg GROUP BY source, gram),
-        |dv AS (
-        |  SELECT source, count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
-        |  FROM dc GROUP BY source)
-        |SELECT s.source, s.n_docs, s.total_tokens_est, s.n_langs,
-        |  coalesce(gp.n_gopher_pass, 0)::BIGINT AS n_gopher_pass, dv.distinct_ratio
-        |FROM stats s
-        |LEFT JOIN gp ON gp.source = s.source
-        |LEFT JOIN dv ON dv.source = s.source
-        |ORDER BY s.source""".stripMargin,
-
-    // Length-bucket re-derivation: the txt_token_estimate tokenizer, the
-    // same clamp and power-of-two CASE ladder, exact integer sums.
-    "tdp_length_buckets" ->
-      """WITH m AS (
-        |  SELECT least(greatest(
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')), 1), 16384) AS len
-        |  FROM documents WHERE text IS NOT NULL),
-        |b AS (
-        |  SELECT len,
-        |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
-        |         WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
-        |         WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
-        |         WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
-        |         WHEN len <= 4096 THEN 4096 WHEN len <= 8192 THEN 8192
-        |         ELSE 16384 END AS bucket
-        |  FROM m)
-        |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
-        |  sum(len)::BIGINT AS sum_tokens,
-        |  sum(bucket - len)::BIGINT AS sum_padding,
-        |  sum(len)::DOUBLE / (sum(len) + sum(bucket - len))::DOUBLE AS efficiency
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
-
-    // Independent skyline re-derivation: NOT EXISTS dominance over the
-    // full quadratic space — the engine's staircase prune must agree.
-    "tdp_pareto_frontier" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS n_types,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
-        |  FROM documents)
-        |SELECT t.doc_id, t.n_types, t.n_tok FROM m t
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM m o
-        |  WHERE o.n_types >= t.n_types AND o.n_tok <= t.n_tok
-        |    AND (o.n_types > t.n_types OR o.n_tok < t.n_tok))
-        |ORDER BY t.n_types DESC, t.doc_id""".stripMargin,
-
-    // Monotonicity re-derivation: same staircase arithmetic — per-cent
-    // counts, cumulative band cut, integer rates, lag violation flag.
-    "dq_monotonicity" ->
-      """WITH m AS (
-        |  SELECT floor(value * 100)::BIGINT AS s, (event_type = 'click') AS y
-        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
-        |ps AS (
-        |  SELECT s, count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
-        |  FROM m GROUP BY s),
-        |st AS (
-        |  SELECT n, np,
-        |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(n) OVER () AS total
-        |  FROM ps),
-        |b AS (SELECT ((cum - 1) * 10) // total AS bucket, n, np FROM st),
-        |r AS (
-        |  SELECT bucket::BIGINT AS bucket, sum(n)::BIGINT AS n,
-        |    sum(np)::BIGINT AS n_pos,
-        |    ((sum(np) * 1000000000) // sum(n))::BIGINT AS pos_rate_n9
-        |  FROM b GROUP BY bucket)
-        |SELECT bucket, n, n_pos, pos_rate_n9,
-        |  coalesce(pos_rate_n9 < lag(pos_rate_n9) OVER (ORDER BY bucket), false)
-        |    AS is_violation
-        |FROM r ORDER BY bucket""".stripMargin,
-
-    // Percentile re-derivation: RANGE-frame cume count over the same
-    // (source, n_chars) order, integer share.
-    "txt_source_percentile" ->
-      """SELECT doc_id, source, n_chars,
-        |  (count(*) OVER (PARTITION BY source ORDER BY n_chars
-        |                  RANGE UNBOUNDED PRECEDING) * 1000000000)
-        |    // count(*) OVER (PARTITION BY source) AS pct_n9
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Compression-ratio re-derivation: the txt_token_estimate tokenizer,
-    // exact sums, one IEEE division.
-    "txt_compression_ratio" ->
-      """SELECT source,
-        |  sum(len(text))::BIGINT AS total_chars,
-        |  sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS total_tokens_est,
-        |  CASE WHEN sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+'))) > 0
-        |    THEN sum(len(text))::DOUBLE
-        |      / sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |        + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::DOUBLE
-        |  END AS chars_per_token
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // TF-IDF re-derivation: exact tf/df/N counts, idf the 6-dp-rounded
-    // ln ratio on both engines, score one IEEE multiply, rank over the
-    // identical (score, term) order.
-    "txt_tfidf_terms" ->
-      """WITH tk AS (
-        |  SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM tk GROUP BY source, term),
-        |ng AS (SELECT count(DISTINCT source)::BIGINT AS n FROM tf),
-        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT tf.source, tf.term, tf.tf,
-        |    round(ln((1.0::DOUBLE + ng.n) / (1.0::DOUBLE + df.df)), 6) AS idf
-        |  FROM tf CROSS JOIN ng JOIN df USING (term)),
-        |r AS (
-        |  SELECT source, term, tf, idf, tf::DOUBLE * idf AS score,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY tf::DOUBLE * idf DESC, term ASC) AS rank
-        |  FROM sc)
-        |SELECT source, rank::BIGINT AS rank, term, tf, idf, score
-        |FROM r WHERE rank <= 10
-        |ORDER BY source, rank""".stripMargin,
-
-    // Distinct-n re-derivation: the terms tokenizer (regex whitespace
-    // split of the lowercased text), every bigram window non-distinct,
-    // one (source, gram) aggregation, exact counts + one IEEE division.
-    "txt_distinct_ngrams" ->
-      """WITH tk AS (
-        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT source, array_to_string(t[i:i+1], ' ') AS gram
-        |  FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)
-        |  WHERE len(t) >= 2),
-        |c AS (SELECT source, gram, count(*)::BIGINT AS c FROM g GROUP BY source, gram)
-        |SELECT source, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
-        |  count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
-        |FROM c GROUP BY source ORDER BY source""".stripMargin,
-
-    // Dup-mass re-derivation: fingerprint multiplicity joined back, per-
-    // source rollup, one IEEE ratio.
-    "dd_dup_mass_by_source" ->
-      """WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
-        |fc AS (SELECT fp, count(*)::BIGINT AS c FROM d GROUP BY fp)
-        |SELECT d.source, count(*)::BIGINT AS n_docs,
-        |  sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_rows,
-        |  sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_mass
-        |FROM d JOIN fc ON fc.fp = d.fp
-        |GROUP BY d.source ORDER BY d.source""".stripMargin,
-
-    // Hourly-active-users oracle: exact distinct counts per hour string.
-    "e_hourly_active_users" ->
-      """SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
-        |  count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
-        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-        |GROUP BY 1 ORDER BY hr""".stripMargin,
-
-    // Rolling-active re-derivation: distinct user-hours, 24-shift
-    // unnest, distinct count per window end; µs epochs via the proven
-    // epoch_us ↔ unix_micros parity (NS files truncate through ::TIMESTAMP
-    // exactly like the loader's ns->µs div).
-    "e_rolling_active_users" ->
-      """WITH ub AS (
-        |  SELECT DISTINCT user_id AS u,
-        |    epoch_us(ts::TIMESTAMP) // 3600000000 AS b
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |w AS (
-        |  SELECT DISTINCT u, unnest(range(b, b + 24)) AS window_end FROM ub),
-        |c AS (SELECT window_end, count(*)::BIGINT AS n_users FROM w GROUP BY window_end),
-        |spine AS (
-        |  SELECT unnest(range(min(b), max(b) + 24)) AS window_end FROM ub)
-        |SELECT s.window_end,
-        |  strftime(to_timestamp((s.window_end - 23) * 3600), '%Y-%m-%d %H:%M:%S')
-        |    AS window_start_ts,
-        |  coalesce(c.n_users, 0)::BIGINT AS n_users
-        |FROM spine s LEFT JOIN c ON c.window_end = s.window_end
-        |ORDER BY s.window_end""".stripMargin,
-
-    // DF-profile re-derivation: the shared shingle contract, df per
-    // shingle, shingles per df.
-    "dd_shingle_df_profile" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM tk),
-        |d AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
-        |SELECT df, count(*)::BIGINT AS n_shingles
-        |FROM d GROUP BY df ORDER BY df""".stripMargin,
-
-    // Novelty re-derivation: the decontaminate shingle contract (distinct
-    // 3-gram windows, short docs collapse to one whole-text shingle),
-    // plain df count, exact-integer rollup + one IEEE division.
-    "txt_ngram_novelty" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |    ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM tk),
-        |df AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
-        |SELECT id AS doc_id, count(*)::BIGINT AS n_grams,
-        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
-        |FROM sh JOIN df USING (shingle)
-        |GROUP BY id ORDER BY id""".stripMargin,
-
-    "txt_fingerprint" ->
-      """WITH tk AS (
-        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents)
-        |SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
-        |  list_reduce(list_prepend(0, list_transform(toks,
-        |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
-        |FROM tk ORDER BY doc_id""".stripMargin,
-
-    "mm_binary_meta" ->
-      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "e_interval_join" ->
-      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
-        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
-        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
-        |FROM events l JOIN events r
-        |  ON l.user_id = r.user_id
-        | AND l.event_type = 'view' AND r.event_type = 'purchase'
-        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
-        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
-
-    // Incremental rollup: the oracle recomputes DIRECTLY over the full
-    // table — equality proves merge(batch states) == full recompute.
-    "e_incremental_rollup" ->
-      """SELECT user_id, count(value) AS n,
-        |  sum(round(value, 9)::DECIMAL(28,9))::DOUBLE AS sum_v,
-        |  CASE WHEN count(value) > 0
-        |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
-        |  min(value) AS min_v, max(value) AS max_v
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // Hourly-Wilson re-derivation: the dq_rate_wilson IEEE chain keyed
-    // by the hour string.
-    "e_error_rate_wilson" ->
-      """WITH g AS (
-        |  SELECT strftime(ts, '%Y-%m-%d %H') AS "group", count(*)::BIGINT AS n,
-        |    sum((event_type IS NOT DISTINCT FROM 'error')::INT)::BIGINT AS k
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
-        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
-        |c3 AS (SELECT *,
-        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
-        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
-        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
-        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
-        |SELECT "group", n, k, p AS rate,
-        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
-        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
-        |FROM c3 ORDER BY "group"""".stripMargin,
-
-    // Sliding-window re-derivation: every event unnests into its two
-    // panes (epoch-aligned 2h/1h grid), exact counts.
-    "e_sliding_window" ->
-      """WITH w AS (
-        |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS ws, event_type
-        |  FROM events, LATERAL unnest([0, 1]) AS t(o)
-        |  WHERE ts IS NOT NULL)
-        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-        |  count(*)::BIGINT AS n
-        |FROM w GROUP BY ws, event_type
-        |ORDER BY window_start, event_type""".stripMargin,
-
-    // EWMA re-derivation: identical exact-cents means, then the SAME
-    // fixed-order fold replayed by a recursive CTE over the per-key
-    // bucket index — each step one IEEE multiply-add with the same
-    // 0.3/0.7 literals, so every intermediate is bit-identical.
-    "e_ewma_baseline" ->
-      """WITH b AS (
-        |  SELECT event_type::VARCHAR AS key, epoch_us(ts) // 3600000000 AS bucket,
-        |    count(*)::BIGINT AS n,
-        |    sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sc
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        |  GROUP BY 1, 2),
-        |m AS (
-        |  SELECT key, bucket, n, (sc::DOUBLE / '100.0'::DOUBLE) / n::DOUBLE AS mean_v,
-        |    row_number() OVER (PARTITION BY key ORDER BY bucket) AS idx
-        |  FROM b),
-        |e AS (
-        |  WITH RECURSIVE r AS (
-        |    SELECT key, bucket, n, mean_v, idx, mean_v AS ewma FROM m WHERE idx = 1
-        |    UNION ALL
-        |    SELECT m.key, m.bucket, m.n, m.mean_v, m.idx,
-        |      '0.3'::DOUBLE * m.mean_v + '0.7'::DOUBLE * r.ewma
-        |    FROM m JOIN r ON r.key = m.key AND m.idx = r.idx + 1)
-        |  SELECT * FROM r)
-        |SELECT key, bucket,
-        |  strftime(make_timestamp(bucket * 3600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
-        |  n, mean_v, ewma
-        |FROM e ORDER BY key, bucket""".stripMargin,
-
-    // Windowed heavy hitters re-derivation: per-hour exact counts, one
-    // row_number per window at (n desc, category), k=3 cut.
-    "e_windowed_topk" ->
-      """WITH cnt AS (
-        |  SELECT date_trunc('hour', ts) AS w, event_type::VARCHAR AS category,
-        |    count(*)::BIGINT AS n
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-        |r AS (
-        |  SELECT w, category, n,
-        |    row_number() OVER (PARTITION BY w ORDER BY n DESC, category ASC)::INTEGER AS rank
-        |  FROM cnt)
-        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, category, n, rank
-        |FROM r WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
-
-    // Windowed-W1 re-derivation: global reference bins, per-hour bins on
-    // the same clamped grid, the full (window × bucket) grid with
-    // per-window cumulative sums, exact |cum_w·t_ref − cum_ref·t_w|
-    // numerators, two trailing IEEE ops per window.
-    "e_windowed_wdrift" ->
-      """WITH v AS (
-        |  SELECT date_trunc('hour', ts) AS w,
-        |    least(9, greatest(0, floor((value::DOUBLE - 0) * 10 / 1000.0::DOUBLE)::INT)) AS bucket
-        |  FROM events WHERE value IS NOT NULL),
-        |ref AS (SELECT bucket, count(*)::BIGINT AS ref_n FROM v GROUP BY bucket),
-        |bins AS (
-        |  SELECT b.bucket, coalesce(ref.ref_n, 0)::BIGINT AS ref_n
-        |  FROM (SELECT unnest(range(10))::INT AS bucket) b
-        |  LEFT JOIN ref ON ref.bucket = b.bucket),
-        |rt AS (SELECT sum(ref_n)::BIGINT AS t_ref FROM bins),
-        |wc AS (SELECT w, bucket, count(*)::BIGINT AS n FROM v GROUP BY w, bucket),
-        |wins AS (SELECT w, sum(n)::BIGINT AS t_w FROM wc GROUP BY w),
-        |grid AS (
-        |  SELECT wins.w, bins.bucket, bins.ref_n, wins.t_w,
-        |    coalesce(wc.n, 0)::BIGINT AS n
-        |  FROM wins CROSS JOIN bins
-        |  LEFT JOIN wc ON wc.w = wins.w AND wc.bucket = bins.bucket),
-        |cum AS (
-        |  SELECT w, bucket, n, t_w,
-        |    sum(n) OVER (PARTITION BY w ORDER BY bucket)::BIGINT AS cum_n,
-        |    sum(ref_n) OVER (PARTITION BY w ORDER BY bucket)::BIGINT AS cum_ref
-        |  FROM grid),
-        |d AS (
-        |  SELECT cum.*, rt.t_ref,
-        |    abs(cum_n * rt.t_ref - cum_ref * t_w)::BIGINT AS diff_num
-        |  FROM cum CROSS JOIN rt),
-        |w1 AS (
-        |  SELECT w, sum(diff_num)::BIGINT AS w1_num,
-        |    sum(diff_num)::DOUBLE / (any_value(t_w) * any_value(t_ref))::DOUBLE
-        |      * (1000.0::DOUBLE / 10) AS w1
-        |  FROM d GROUP BY w)
-        |SELECT strftime(d.w, '%Y-%m-%d %H:%M:%S') AS window_start, d.bucket, d.n,
-        |  d.cum_n, d.diff_num, w1.w1_num, w1.w1
-        |FROM d JOIN w1 ON w1.w = d.w
-        |ORDER BY window_start, d.bucket""".stripMargin,
-
-    // Trend re-derivation: group-centered minute x (`//` truncation),
-    // exact integer moments, one IEEE division; HUGEINT products cast
-    // back to BIGINT.
-    "e_trend_slopes" ->
-      """WITH b AS (
-        |  SELECT event_type, epoch_us(ts) AS us,
-        |    CAST(floor(value * 100) AS BIGINT) AS y
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |t0 AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY event_type),
-        |xy AS (
-        |  SELECT b.event_type, (b.us - t0.us0) // 60000000 AS x, b.y
-        |  FROM b JOIN t0 USING (event_type)),
-        |m AS (
-        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
-        |  FROM xy GROUP BY event_type)
-        |SELECT event_type, n,
-        |  (n * sxy - sx * sy)::BIGINT AS slope_num,
-        |  (n * sxx - sx * sx)::BIGINT AS slope_den,
-        |  CASE WHEN n * sxx - sx * sx > 0
-        |       THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
-        |  END AS slope
-        |FROM m ORDER BY event_type""".stripMargin,
-
-    // Growth re-derivation: champion-min debut, per-day rollup, running
-    // sum over the day summary; second-precision string buckets.
-    "e_user_growth" ->
-      """WITH f AS (
-        |  SELECT user_id, min(date_trunc('day', ts)) AS d
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |  GROUP BY user_id),
-        |g AS (SELECT d, count(*)::BIGINT AS n_new FROM f GROUP BY d)
-        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_start, n_new,
-        |  sum(n_new) OVER (ORDER BY d)::BIGINT AS cum_users
-        |FROM g ORDER BY bucket_start""".stripMargin,
-
-    // Guarded-join oracle: the plain join — equality proves the guard
-    // column was pass-through (no multiplicity violated, nothing added).
-    "j_guarded_join" ->
-      """SELECT e.user_id, e.event_id, d.first_type
-        |FROM events e
-        |JOIN (SELECT user_id, min(event_type) AS first_type
-        |      FROM events GROUP BY user_id) d
-        |  ON d.user_id = e.user_id
-        |ORDER BY e.event_id""".stripMargin,
-
-    // CDC-apply re-derivation: the champion change as a row_number window
-    // (versions are unique event_ids, so ORDER BY v DESC is the same
-    // winner as the engine's lexicographic struct max), then the
-    // full-outer upsert/delete merge. Payloads pass through untouched —
-    // bit-identical doubles, no arithmetic.
-    "e_cdc_apply" ->
-      """WITH snap AS (
-        |  SELECT event_id // 3 AS k, value, event_type AS etype
-        |  FROM events WHERE event_id % 3 = 0),
-        |ch AS (
-        |  SELECT event_id // 3 AS k, event_id AS v,
-        |    CASE WHEN event_type = 'error' THEN 'D'
-        |         WHEN event_id % 3 = 1 THEN 'U' ELSE 'I' END AS op,
-        |    value, event_type AS etype
-        |  FROM events WHERE event_id % 3 <> 0),
-        |w AS (
-        |  SELECT k, op, value, etype FROM (
-        |    SELECT k, op, value, etype,
-        |      row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
-        |    FROM ch) WHERE rn = 1)
-        |SELECT COALESCE(w.k, s.k)::BIGINT AS key,
-        |  CASE WHEN w.k IS NOT NULL THEN w.value ELSE s.value END AS value,
-        |  CASE WHEN w.k IS NOT NULL THEN w.etype ELSE s.etype END AS etype
-        |FROM snap s FULL OUTER JOIN w ON w.k = s.k
-        |WHERE w.op IS NULL OR w.op <> 'D'
-        |ORDER BY key""".stripMargin,
-
-    "e_interval_join_outer" ->
-      """WITH l AS (SELECT * FROM events WHERE event_type = 'view'),
-        |     r AS (SELECT * FROM events WHERE event_type = 'purchase')
-        |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
-        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
-        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
-        |FROM l LEFT JOIN r
-        |  ON l.user_id = r.user_id
-        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
-        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
-
-    // SCD2: the merge-rule union re-derived case by case (null-safe
-    // value compare via IS DISTINCT FROM).
-    "tdp_scd2_merge" ->
-      """WITH hist_open AS (
-        |  SELECT doc_id AS key, text AS value, 0::BIGINT AS valid_from,
-        |    NULL::BIGINT AS valid_to
-        |  FROM documents WHERE doc_id % 3 <> 0),
-        |hist_closed AS (
-        |  SELECT doc_id AS key, 'old ' || text AS value, (-100)::BIGINT AS valid_from,
-        |    0::BIGINT AS valid_to
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |ch AS (
-        |  SELECT doc_id AS key,
-        |    CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS cv,
-        |    100::BIGINT AS cts,
-        |    CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |j AS (
-        |  SELECT coalesce(o.key, c.key) AS key, o.value AS ov, o.valid_from AS ofrom,
-        |    c.cv, c.cts, c.op, (o.key IS NOT NULL) AS has_open, (c.key IS NOT NULL) AS has_ch
-        |  FROM hist_open o FULL OUTER JOIN ch c ON o.key = c.key),
-        |out_old AS (
-        |  SELECT key, ov AS value, ofrom AS valid_from,
-        |    CASE WHEN NOT has_ch OR (op = 'upsert' AND ov IS NOT DISTINCT FROM cv)
-        |         THEN NULL::BIGINT ELSE cts END AS valid_to
-        |  FROM j WHERE has_open),
-        |out_new AS (
-        |  SELECT key, cv AS value, cts AS valid_from, NULL::BIGINT AS valid_to
-        |  FROM j WHERE has_ch AND op = 'upsert'
-        |    AND (NOT has_open OR ov IS DISTINCT FROM cv))
-        |SELECT key, value, valid_from, valid_to FROM hist_closed
-        |UNION ALL SELECT * FROM out_old
-        |UNION ALL SELECT * FROM out_new
-        |ORDER BY key, valid_from""".stripMargin,
-
-    "e_stream_window" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
-
-    // Windowed-drift re-derivation: reference counts, per-hour folded
-    // counts, the full (window x category+<other>) grid, Laplace shares,
-    // decimal contributions, decimal per-window psi.
-    "e_windowed_drift" -> PinnedOracles.sql("e_windowed_drift"),
-
-    // Expected rows: user 1 converts twice inside 15 min, user 2 is 5 min
-    // late, user 3 hits the inclusive boundary exactly.
-    "e_stream_dedup" ->
-      """SELECT md5(user_id::VARCHAR || ':' || coalesce(event_type, '')) AS fingerprint,
-        |  min(event_id)::BIGINT AS event_id, count(*)::BIGINT AS n_dups
-        |FROM events GROUP BY 1 ORDER BY event_id""".stripMargin,
-
-    "e_interval_join_fx" ->
-      """SELECT c0::BIGINT AS user_id, c1::BIGINT AS l_id, c2::BIGINT AS r_id
-        |FROM (VALUES (1, 1, 11), (1, 1, 12), (3, 3, 14)) AS t(c0, c1, c2)
-        |ORDER BY user_id, l_id, r_id""".stripMargin,
-
-    "e_stream_window_fx" -> PinnedOracles.sql("e_stream_window_fx"),
-
-    "e_session_window_fx" -> PinnedOracles.sql("e_session_window_fx"),
-
-    // Gap sessionization: lag-based new-session flags + running sum; a
-    // session ends 30 minutes after its last event (session_window
-    // semantics: merge while next.ts < prev.ts + gap).
-    "e_session_window" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), g AS (
-        |  SELECT *, sum(new_sess) OVER
-        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM s
-        |)
-        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  user_id, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    "p11_rt_fallback" ->
-      """SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'),
-        |  nullif(o_orderpriority, '1-URGENT'), 'NONE') AS resolved
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "p14_checksum" ->
-      """SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id""".stripMargin,
-
-    "d1_distinct" ->
-      """SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority""".stripMargin,
-
-    "txt_token_estimate" ->
-      """SELECT doc_id,
-        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS n_tokens_est
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "e_stateful_rollup" ->
-      """SELECT user_id, count(*) AS n,
-        |  sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "p_string_family" ->
-      """SELECT doc_id,
-        |  upper(substr(source, 1, 1)) || substr(source, 2, 100) AS capitalized,
-        |  contains(text, 'spark') AS has_spark,
-        |  starts_with(source, 'src1') AS is_src1,
-        |  translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
-        |  printf('%s|%04d', lang, doc_id) AS formatted
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "e_json_props" ->
-      """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "f13_scanid_validity" ->
-      """WITH s AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 10 = 0 THEN 'sample=1 period=1 cycle=1 experiment=' || doc_id::VARCHAR
-        |       WHEN doc_id % 7 = 0 THEN 'scan' || doc_id::VARCHAR
-        |       ELSE doc_id::VARCHAR END AS scan_id
-        |  FROM documents)
-        |SELECT doc_id, scan_id,
-        |  regexp_full_match(scan_id, '[+-]?\d+') OR
-        |  (contains(scan_id, 'sample') AND contains(scan_id, 'period')
-        |    AND contains(scan_id, 'cycle') AND contains(scan_id, 'experiment')) AS is_valid
-        |FROM s ORDER BY doc_id""".stripMargin,
-
-    "f14_score_filter" ->
-      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
-        |p AS (
-        |  SELECT l_orderkey, l_linenumber, 'MS:1001155' AS accession,
-        |    l_discount::VARCHAR AS value FROM li
-        |  UNION ALL SELECT l_orderkey, l_linenumber, 'MS:1002355', '0.01' FROM li
-        |  UNION ALL SELECT l_orderkey, l_linenumber, 'MS:1001171',
-        |    CASE WHEN l_quantity > 25 THEN l_quantity::VARCHAR END FROM li)
-        |SELECT l_orderkey, l_linenumber, accession, value FROM p
-        |WHERE value IS NOT NULL AND value <> 'NaN'
-        |  AND TRY_CAST(value AS DOUBLE) IS NOT NULL AND TRY_CAST(value AS DOUBLE) <> 0.0
-        |  AND accession NOT IN ('MS:1002355', 'MS:1002354')
-        |ORDER BY l_orderkey, l_linenumber, accession""".stripMargin,
-
-    "s8_ftp_rewrite" ->
-      """SELECT doc_id,
-        |  regexp_replace('ftp://ftp.host.org/' || source || '/' || doc_id::VARCHAR || '.mgf',
-        |    '^ftp://', 'https://') AS https_url
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Contamination-rate re-derivation: the decontaminate flag CTEs
-    // rolled up per source through the proven Wilson tail.
-    "tdp_contamination_rate" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id, source,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT id,
-        |    unnest(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM tk),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0),
-        |ov AS (
-        |  SELECT s.id, count(*) AS nn FROM sh s JOIN bench b USING (shingle)
-        |  WHERE s.id % 20 <> 0 GROUP BY s.id),
-        |fl AS (
-        |  SELECT tk.id, tk.source, coalesce(ov.nn, 0) > 0 AS contaminated
-        |  FROM tk LEFT JOIN ov USING (id) WHERE tk.id % 20 <> 0),
-        |g AS (
-        |  SELECT source::VARCHAR AS "group", count(*)::BIGINT AS n,
-        |    sum(contaminated::INT)::BIGINT AS k
-        |  FROM fl GROUP BY 1),
-        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
-        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
-        |c3 AS (SELECT *,
-        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
-        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
-        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
-        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
-        |SELECT "group", n, k, p AS rate,
-        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
-        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
-        |FROM c3 ORDER BY "group"""".stripMargin,
-
-    "tdp_decontaminate" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT id,
-        |    unnest(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-        |  FROM tk),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0),
-        |corpus AS (SELECT id FROM tk WHERE id % 20 <> 0),
-        |ov AS (
-        |  SELECT s.id, count(*) AS n FROM sh s JOIN bench b USING (shingle)
-        |  WHERE s.id % 20 <> 0 GROUP BY s.id)
-        |SELECT c.id, coalesce(ov.n, 0) AS n_bench_overlaps,
-        |  coalesce(ov.n, 0) > 0 AS contaminated
-        |FROM corpus c LEFT JOIN ov USING (id) ORDER BY id""".stripMargin,
-
-    "tdp_pack_sequences" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id AS id,
-        |    (len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS tok,
-        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64)::INTEGER AS shard
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn FROM base),
-        |state(shard, rn, id, tok, pack, fill) AS (
-        |  SELECT shard, rn, id, tok, 0::BIGINT, tok FROM ranked WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.shard, r.rn, r.id, r.tok,
-        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN s.pack + 1 ELSE s.pack END,
-        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN r.tok ELSE s.fill + r.tok END
-        |  FROM ranked r JOIN state s ON r.shard = s.shard AND r.rn = s.rn + 1)
-        |SELECT id AS doc_id, shard, pack FROM state ORDER BY doc_id""".stripMargin,
-
-    // Training-shard plan re-derivation: md5 min-id dedup, the epoch-1
-    // md5-hash permutation as a row_number, round-robin shards, and the
-    // same recursive greedy packing as tdp_pack_sequences but walking the
-    // epoch order within each shard.
-    "tdp_training_shards" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id,
-        |    (len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')))::BIGINT AS tok,
-        |    md5(text) AS th
-        |  FROM documents),
-        |surv AS (SELECT th, min(doc_id) AS doc_id FROM base GROUP BY th),
-        |d AS (SELECT b.doc_id, b.tok FROM base b JOIN surv s USING (th, doc_id)),
-        |ord AS (
-        |  SELECT doc_id, tok,
-        |    row_number() OVER (ORDER BY
-        |      ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT, doc_id) - 1
-        |      AS pos
-        |  FROM d),
-        |sh AS (
-        |  SELECT doc_id, tok, pos, (pos % 8)::INTEGER AS shard,
-        |    row_number() OVER (PARTITION BY pos % 8 ORDER BY pos) AS rn
-        |  FROM ord),
-        |state(shard, rn, doc_id, tok, pos, pack, fill) AS (
-        |  SELECT shard, rn, doc_id, tok, pos, 0::BIGINT, tok FROM sh WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.shard, r.rn, r.doc_id, r.tok, r.pos,
-        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN s.pack + 1 ELSE s.pack END,
-        |    CASE WHEN s.fill > 0 AND s.fill + r.tok > 2048 THEN r.tok ELSE s.fill + r.tok END
-        |  FROM sh r JOIN state s ON r.shard = s.shard AND r.rn = s.rn + 1)
-        |SELECT shard, pack, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS pack_tokens,
-        |  min(pos)::BIGINT AS first_pos
-        |FROM state GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
-
-    "tdp_stratified_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
-        |  < CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.5 ELSE 0.1 END
-        |ORDER BY doc_id""".stripMargin,
-
-    "dd_incremental_dedup" ->
-      """WITH seen AS (SELECT * FROM documents WHERE doc_id < 250),
-        |b0 AS (
-        |  SELECT b.doc_id, b.source,
-        |    CASE WHEN b.doc_id % 5 = 0 THEN coalesce(s.text, b.text)
-        |         ELSE b.text END AS text
-        |  FROM documents b LEFT JOIN seen s ON s.doc_id = b.doc_id - 250
-        |  WHERE b.doc_id >= 250)
-        |SELECT doc_id, source FROM b0 b
-        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE md5(s.text) = md5(b.text))
-        |ORDER BY doc_id""".stripMargin,
-
-    // Incremental near-dup: the tdp_fuzzy_decontaminate minhash chain over
-    // the seen/batch split (disjoint id ranges stand in for the is_batch
-    // tag), batch side with the dd_incremental_dedup text replacement.
-    "dd_incremental_neardup" ->
-      s"""WITH b0 AS (
-         |  SELECT b.doc_id,
-         |    CASE WHEN b.doc_id % 5 = 0 THEN coalesce(s.text, b.text)
-         |         ELSE b.text END AS text
-         |  FROM documents b
-         |  LEFT JOIN (SELECT * FROM documents WHERE doc_id < 250) s
-         |    ON s.doc_id = b.doc_id - 250
-         |  WHERE b.doc_id >= 250),
-         |corpus AS (
-         |  SELECT doc_id, text FROM b0
-         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 250),
-         |toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-         |  FROM corpus),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id, r.doc_id AS seen_id
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
-         |  WHERE l.doc_id >= 250 AND r.doc_id < 250),
-         |est AS (
-         |  SELECT id, seen_id,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS ej
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id
-         |  JOIN mh mb ON mb.doc_id = seen_id AND mb.i = ma.i
-         |  GROUP BY id, seen_id),
-         |mx AS (SELECT id, max(ej) AS mj FROM est GROUP BY id)
-         |SELECT b0.doc_id, coalesce(mx.mj, 0.0) AS max_seen_jaccard,
-         |  coalesce(mx.mj, 0.0) >= 0.5 AS near_dup
-         |FROM b0 LEFT JOIN mx ON mx.id = b0.doc_id
-         |ORDER BY doc_id""".stripMargin,
-
-    // Mixture plan/sample: weight CASE + guarded keep_frac; association
-    // (budget * weight) / total mirrors the Scala column term for term.
-    "tdp_mixture_plan" ->
-      """WITH a AS (
-        |  SELECT source, sum(length(text))::BIGINT AS total_tokens,
-        |    CASE WHEN source = 'src1' THEN '0.6'::DOUBLE
-        |         WHEN source = 'src2' THEN '0.4'::DOUBLE
-        |         ELSE '0.0'::DOUBLE END AS weight
-        |  FROM documents GROUP BY source)
-        |SELECT source, total_tokens, weight,
-        |  CASE WHEN coalesce(total_tokens, 0) <= 0 OR weight = 0.0 THEN '0.0'::DOUBLE
-        |       ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * weight / total_tokens::DOUBLE)
-        |  END AS keep_frac
-        |FROM a ORDER BY source""".stripMargin,
-
-    "tdp_mixture_sample" ->
-      """WITH a AS (
-        |  SELECT source AS mx_src, sum(length(text))::BIGINT AS total_tokens,
-        |    CASE WHEN source = 'src1' THEN '0.6'::DOUBLE
-        |         WHEN source = 'src2' THEN '0.4'::DOUBLE
-        |         ELSE '0.0'::DOUBLE END AS weight
-        |  FROM documents GROUP BY source
-        |), p AS (
-        |  SELECT mx_src,
-        |    CASE WHEN coalesce(total_tokens, 0) <= 0 OR weight = 0.0 THEN '0.0'::DOUBLE
-        |         ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * weight / total_tokens::DOUBLE)
-        |    END AS keep_frac
-        |  FROM a)
-        |SELECT doc_id, source FROM documents d JOIN p ON d.source = p.mx_src
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
-        |  < keep_frac
-        |ORDER BY doc_id""".stripMargin,
-
-    // Temperature mixture: shares^alpha rounded to 9 dp, decimal-exact
-    // normalizer, every division in the engine's association order.
-    "tdp_temperature_plan" ->
-      """WITH tot AS (
-        |  SELECT source,
-        |    sum(CASE WHEN length(text) > 0 THEN length(text)::BIGINT ELSE 0 END)::BIGINT
-        |      AS s_tok
-        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
-        |g AS (SELECT coalesce(sum(s_tok), 0)::BIGINT AS gs FROM tot),
-        |w AS (
-        |  SELECT source, s_tok,
-        |    CASE WHEN g.gs <= 0 OR s_tok <= 0 THEN '0.0'::DOUBLE
-        |         ELSE round(pow(s_tok::DOUBLE / g.gs::DOUBLE, '0.5'::DOUBLE), 6) END AS w
-        |  FROM tot CROSS JOIN g),
-        |nw AS (SELECT sum(w::DECIMAL(28,9))::DOUBLE AS tw FROM w),
-        |q AS (
-        |  SELECT source, s_tok, w,
-        |    CASE WHEN nw.tw <= 0.0 THEN '0.0'::DOUBLE ELSE w / nw.tw END AS q
-        |  FROM w CROSS JOIN nw)
-        |SELECT source, s_tok, w, q,
-        |  CASE WHEN s_tok <= 0 THEN '0.0'::DOUBLE
-        |       ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * q / s_tok::DOUBLE) END
-        |    AS keep_frac
-        |FROM q ORDER BY source""".stripMargin,
-
-    "tdp_temperature_mixture" ->
-      """WITH tot AS (
-        |  SELECT source,
-        |    sum(CASE WHEN length(text) > 0 THEN length(text)::BIGINT ELSE 0 END)::BIGINT
-        |      AS s_tok
-        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
-        |g AS (SELECT coalesce(sum(s_tok), 0)::BIGINT AS gs FROM tot),
-        |w AS (
-        |  SELECT source, s_tok,
-        |    CASE WHEN g.gs <= 0 OR s_tok <= 0 THEN '0.0'::DOUBLE
-        |         ELSE round(pow(s_tok::DOUBLE / g.gs::DOUBLE, '0.5'::DOUBLE), 6) END AS w
-        |  FROM tot CROSS JOIN g),
-        |nw AS (SELECT sum(w::DECIMAL(28,9))::DOUBLE AS tw FROM w),
-        |q AS (
-        |  SELECT source, s_tok,
-        |    CASE WHEN nw.tw <= 0.0 THEN '0.0'::DOUBLE ELSE w / nw.tw END AS q
-        |  FROM w CROSS JOIN nw),
-        |p AS (
-        |  SELECT source,
-        |    CASE WHEN s_tok <= 0 THEN '0.0'::DOUBLE
-        |         ELSE least('1.0'::DOUBLE, '10000.0'::DOUBLE * q / s_tok::DOUBLE) END
-        |      AS keep_frac
-        |  FROM q)
-        |SELECT doc_id, source FROM documents d JOIN p USING (source)
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
-        |  < keep_frac
-        |ORDER BY doc_id""".stripMargin,
-
-    // Exact interpolated quantiles: both engines use lower +
-    // (upper-lower)*frac over the sorted values.
-    "txt_length_quantiles" ->
-      """SELECT lang,
-        |  quantile_cont(length(text)::DOUBLE, 0.5) AS p50,
-        |  quantile_cont(length(text)::DOUBLE, 0.9) AS p90,
-        |  quantile_cont(length(text)::DOUBLE, 0.99) AS p99,
-        |  count(*) AS n
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Chunking: same token split, stride arithmetic, and 1-based
-    // inclusive slicing on both engines (Spark slice(start,len) ==
-    // DuckDB list[start:start+len-1]).
-    "tdp_chunk_documents" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), c AS (
-        |  SELECT doc_id, toks,
-        |    greatest(1, floor((len(toks)::BIGINT - 10 + 39)::DOUBLE / 40.0)::BIGINT) AS nc
-        |  FROM d
-        |), e AS (
-        |  SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c
-        |)
-        |SELECT doc_id, i AS chunk_id,
-        |  array_to_string(toks[(i*40+1):(i*40+50)], ' ') AS chunk_text,
-        |  len(toks[(i*40+1):(i*40+50)])::INT AS n_tokens
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "tdp_epoch_shuffle" ->
-      """SELECT doc_id, source,
-        |  row_number() OVER (ORDER BY
-        |    ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT, doc_id) - 1
-        |    AS shuffle_pos
-        |FROM documents ORDER BY shuffle_pos""".stripMargin,
-
-    // PII scrub: identical injection + email->IP->phone redaction order,
-    // 'g' flags (DuckDB replaces first match only by default).
-    "tdp_pii_scrub" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    text || ' contact user' || doc_id::VARCHAR || '@example.com or +1 (555) 010-' ||
-        |    lpad(doc_id::VARCHAR, 4, '0') || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |    '\+?[(]?[0-9][-0-9 ()]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
-        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
-        |FROM p ORDER BY doc_id""".stripMargin,
-
-    // Mean pooling expected table (sf0.01-pinned, gen_values_oracle.py):
-    // a SQL re-derivation is NOT used because DuckDB's double->DECIMAL
-    // cast rounds half-even while Spark rounds half-up — one en-group
-    // value lands exactly on the 1e-12 boundary. Regenerate if the
-    // operator or the embeddings table changes.
-    "sim_group_centroids" ->
-      """SELECT c0::VARCHAR AS "lang", c1::BIGINT AS "pos", c2::DOUBLE AS "m" FROM (VALUES ('de', 0, '0.008641252473785714'::DOUBLE), ('de', 1, '-0.015431268880728571'::DOUBLE), ('de', 2, '0.016377452932657143'::DOUBLE), ('de', 3, '-0.0025674407021285713'::DOUBLE), ('de', 4, '0.009969134206328572'::DOUBLE), ('de', 5, '-3.642912115714286e-05'::DOUBLE), ('de', 6, '-0.032054580634585716'::DOUBLE), ('de', 7, '-0.007584145884657144'::DOUBLE), ('de', 8, '-0.0018152902509571427'::DOUBLE), ('de', 9, '0.010565054408328571'::DOUBLE), ('de', 10, '0.014137308769414285'::DOUBLE), ('de', 11, '0.020223281738757145'::DOUBLE), ('de', 12, '0.007825889369357143'::DOUBLE), ('de', 13, '0.007357007968571429'::DOUBLE), ('de', 14, '0.0050240630816'::DOUBLE), ('de', 15, '0.031244887710928575'::DOUBLE), ('de', 16, '0.021768629748871428'::DOUBLE), ('de', 17, '-0.0017075860997714286'::DOUBLE), ('de', 18, '0.0010076048742571429'::DOUBLE), ('de', 19, '0.006010213308085714'::DOUBLE), ('de', 20, '0.008519272779'::DOUBLE), ('de', 21, '-0.0026379312389'::DOUBLE), ('de', 22, '-0.00021940379518571427'::DOUBLE), ('de', 23, '0.002563333434871429'::DOUBLE), ('de', 24, '0.006218491940342857'::DOUBLE), ('de', 25, '0.02530293729004286'::DOUBLE), ('de', 26, '0.00843692478212857'::DOUBLE), ('de', 27, '0.017913582280771428'::DOUBLE), ('de', 28, '-0.003687119317642857'::DOUBLE), ('de', 29, '-0.004278964649057143'::DOUBLE), ('de', 30, '0.0040980590473857145'::DOUBLE), ('de', 31, '0.007542499101571429'::DOUBLE), ('de', 32, '0.003191562994814286'::DOUBLE), ('de', 33, '-0.005387966268271429'::DOUBLE), ('de', 34, '-0.033122292239985716'::DOUBLE), ('de', 35, '-0.0007447504205714286'::DOUBLE), ('de', 36, '-0.006905540880485714'::DOUBLE), ('de', 37, '-0.03400552613842857'::DOUBLE), ('de', 38, '-0.014204824044000001'::DOUBLE), ('de', 39, '-0.014679746053871429'::DOUBLE), ('de', 40, '-0.0023738953418142856'::DOUBLE), ('de', 41, '-0.011638052109657142'::DOUBLE), ('de', 42, '-0.019178639791371428'::DOUBLE), ('de', 43, '-0.03790771404918571'::DOUBLE), ('de', 44, '-0.01456184331327143'::DOUBLE), ('de', 45, '-0.023971595754042858'::DOUBLE), ('de', 46, '-0.012446505478257144'::DOUBLE), ('de', 47, '0.0097805058775'::DOUBLE), ('de', 48, '0.007488365572785714'::DOUBLE), ('de', 49, '-0.017234346337085715'::DOUBLE), ('de', 50, '0.00856733708317143'::DOUBLE), ('de', 51, '-0.020159229134814285'::DOUBLE), ('de', 52, '0.013562335286857142'::DOUBLE), ('de', 53, '0.014640704765300001'::DOUBLE), ('de', 54, '-0.0007693703352714286'::DOUBLE), ('de', 55, '0.01456932679622857'::DOUBLE), ('de', 56, '-0.016796577031671426'::DOUBLE), ('de', 57, '0.00027328278768571425'::DOUBLE), ('de', 58, '-0.011785264172314285'::DOUBLE), ('de', 59, '-0.020107624799571427'::DOUBLE), ('de', 60, '-0.009005317358028573'::DOUBLE), ('de', 61, '0.02579508272127143'::DOUBLE), ('de', 62, '-0.008293419145100001'::DOUBLE), ('de', 63, '0.0041572239832'::DOUBLE), ('en', 0, '-0.004542704783266055'::DOUBLE), ('en', 1, '-0.0093812472531422'::DOUBLE), ('en', 2, '-0.005894718655091743'::DOUBLE), ('en', 3, '-0.0068384469005412845'::DOUBLE), ('en', 4, '0.017440869148802753'::DOUBLE), ('en', 5, '0.007644423312481651'::DOUBLE), ('en', 6, '-0.017408028445688072'::DOUBLE), ('en', 7, '0.008430366502646789'::DOUBLE), ('en', 8, '-0.0004931197500963303'::DOUBLE), ('en', 9, '-0.008732881839853211'::DOUBLE), ('en', 10, '0.006342383383536697'::DOUBLE), ('en', 11, '0.0039395377915045875'::DOUBLE), ('en', 12, '-0.0030518331023302757'::DOUBLE), ('en', 13, '0.0014756289424862387'::DOUBLE), ('en', 14, '-0.0019535083223761467'::DOUBLE), ('en', 15, '0.012166531661477065'::DOUBLE), ('en', 16, '0.009839405620793577'::DOUBLE), ('en', 17, '0.009327080409954128'::DOUBLE), ('en', 18, '-0.00542667555383945'::DOUBLE), ('en', 19, '0.0032519410814770646'::DOUBLE), ('en', 20, '-0.008934996500422019'::DOUBLE), ('en', 21, '-0.0013130955582889908'::DOUBLE), ('en', 22, '0.007035113608908257'::DOUBLE), ('en', 23, '-0.006221221269697247'::DOUBLE), ('en', 24, '-0.007468737633779816'::DOUBLE), ('en', 25, '0.009793660115389907'::DOUBLE), ('en', 26, '0.00350126132066055'::DOUBLE), ('en', 27, '0.0080681784511422'::DOUBLE), ('en', 28, '0.0036882631221192663'::DOUBLE), ('en', 29, '-0.0025647503450504584'::DOUBLE), ('en', 30, '0.010225863983614678'::DOUBLE), ('en', 31, '-0.015538622094096332'::DOUBLE), ('en', 32, '0.013540754613513761'::DOUBLE), ('en', 33, '0.00010654584445412844'::DOUBLE), ('en', 34, '0.0064374135201972485'::DOUBLE), ('en', 35, '-0.003057671388321101'::DOUBLE), ('en', 36, '-0.00943133915096789'::DOUBLE), ('en', 37, '-0.0005353244792477064'::DOUBLE), ('en', 38, '0.007986492791830276'::DOUBLE), ('en', 39, '0.005182010047995413'::DOUBLE), ('en', 40, '0.010254585914655962'::DOUBLE), ('en', 41, '-0.01144225251301835'::DOUBLE), ('en', 42, '0.024268115115518348'::DOUBLE), ('en', 43, '-0.005170408482729358'::DOUBLE), ('en', 44, '-0.010659611218669724'::DOUBLE), ('en', 45, '0.016236031397536696'::DOUBLE), ('en', 46, '0.0019589107639266055'::DOUBLE), ('en', 47, '-0.007836731679155964'::DOUBLE), ('en', 48, '-0.0021493200427752292'::DOUBLE), ('en', 49, '0.00019417343625688073'::DOUBLE), ('en', 50, '0.004872207006224771'::DOUBLE), ('en', 51, '-0.0017601043940045872'::DOUBLE), ('en', 52, '0.002560354129151376'::DOUBLE), ('en', 53, '-0.02197339560224312'::DOUBLE), ('en', 54, '0.014101459032766056'::DOUBLE), ('en', 55, '-0.004094965786366972'::DOUBLE), ('en', 56, '0.008081850718284404'::DOUBLE), ('en', 57, '-0.002808184286197248'::DOUBLE), ('en', 58, '-0.00477203348853211'::DOUBLE), ('en', 59, '-0.009184167327252295'::DOUBLE), ('en', 60, '-0.0006848379965412845'::DOUBLE), ('en', 61, '-0.0029134217383944955'::DOUBLE), ('en', 62, '0.00939593500980734'::DOUBLE), ('en', 63, '-0.015731653257596328'::DOUBLE), ('es', 0, '0.024567192724150685'::DOUBLE), ('es', 1, '-0.0028551358343561644'::DOUBLE), ('es', 2, '-0.0005190268745753425'::DOUBLE), ('es', 3, '0.007503098266'::DOUBLE), ('es', 4, '-0.007800237317136987'::DOUBLE), ('es', 5, '0.022150106884342467'::DOUBLE), ('es', 6, '-0.023815615357821916'::DOUBLE), ('es', 7, '0.024412308730232875'::DOUBLE), ('es', 8, '-0.008276656575972603'::DOUBLE), ('es', 9, '-0.0007546905217534247'::DOUBLE), ('es', 10, '-0.004879556583520548'::DOUBLE), ('es', 11, '0.0005245236432876712'::DOUBLE), ('es', 12, '-0.008223445151479453'::DOUBLE), ('es', 13, '0.01317653146309589'::DOUBLE), ('es', 14, '0.004996459880027397'::DOUBLE), ('es', 15, '-0.00194564437469863'::DOUBLE), ('es', 16, '-0.002291451077479452'::DOUBLE), ('es', 17, '0.017769183121561644'::DOUBLE), ('es', 18, '0.003708187490712329'::DOUBLE), ('es', 19, '-0.010112663386534246'::DOUBLE), ('es', 20, '-0.011893427197219178'::DOUBLE), ('es', 21, '0.025345853587273974'::DOUBLE), ('es', 22, '0.009018037844534248'::DOUBLE), ('es', 23, '0.00038633907802739724'::DOUBLE), ('es', 24, '-0.00829444853319178'::DOUBLE), ('es', 25, '0.014251128764835617'::DOUBLE), ('es', 26, '-0.010384082241575342'::DOUBLE), ('es', 27, '-0.004377134448520548'::DOUBLE), ('es', 28, '0.03552675400280822'::DOUBLE), ('es', 29, '0.006554752663657535'::DOUBLE), ('es', 30, '-0.011411372782726028'::DOUBLE), ('es', 31, '0.0002576277195068493'::DOUBLE), ('es', 32, '-0.008530649596684932'::DOUBLE), ('es', 33, '-0.009324890223342467'::DOUBLE), ('es', 34, '0.01905408632869863'::DOUBLE), ('es', 35, '-0.009099354568863013'::DOUBLE), ('es', 36, '0.013484504105780821'::DOUBLE), ('es', 37, '-0.01357183003269863'::DOUBLE), ('es', 38, '-0.03688955578430137'::DOUBLE), ('es', 39, '0.009302057195712329'::DOUBLE), ('es', 40, '0.004826231846068493'::DOUBLE), ('es', 41, '-0.007339831229506849'::DOUBLE), ('es', 42, '-0.0172374184620137'::DOUBLE), ('es', 43, '0.01390559791130137'::DOUBLE), ('es', 44, '-0.010055139161753424'::DOUBLE), ('es', 45, '0.0072922093462191775'::DOUBLE), ('es', 46, '0.0057812665536164385'::DOUBLE), ('es', 47, '0.023759965691561646'::DOUBLE), ('es', 48, '-0.00928468123469863'::DOUBLE), ('es', 49, '-0.008123257334575341'::DOUBLE), ('es', 50, '0.010279300700808219'::DOUBLE), ('es', 51, '-0.005606045236808219'::DOUBLE), ('es', 52, '0.02548999339979452'::DOUBLE), ('es', 53, '0.013526621976232877'::DOUBLE), ('es', 54, '-0.017296032434712328'::DOUBLE), ('es', 55, '-0.0009817127489452054'::DOUBLE), ('es', 56, '0.007978355939410958'::DOUBLE), ('es', 57, '-0.004090412255164383'::DOUBLE), ('es', 58, '0.005764143806205479'::DOUBLE), ('es', 59, '-0.006110868744438357'::DOUBLE), ('es', 60, '0.0026457927005479453'::DOUBLE), ('es', 61, '0.013994216606438358'::DOUBLE), ('es', 62, '-0.01330701728579452'::DOUBLE), ('es', 63, '-0.008581278172671233'::DOUBLE), ('fr', 0, '0.006005897044796875'::DOUBLE), ('fr', 1, '-0.013978642153234374'::DOUBLE), ('fr', 2, '-0.001912557222578125'::DOUBLE), ('fr', 3, '-0.015032489071'::DOUBLE), ('fr', 4, '0.004122437152546875'::DOUBLE), ('fr', 5, '0.003001884157125'::DOUBLE), ('fr', 6, '-0.020871766071625'::DOUBLE), ('fr', 7, '0.012194345741625'::DOUBLE), ('fr', 8, '-0.000257996622109375'::DOUBLE), ('fr', 9, '0.000841969103890625'::DOUBLE), ('fr', 10, '0.0351789077104375'::DOUBLE), ('fr', 11, '0.00231503597753125'::DOUBLE), ('fr', 12, '0.0049852589218125'::DOUBLE), ('fr', 13, '-0.028954160843609376'::DOUBLE), ('fr', 14, '0.01187604717775'::DOUBLE), ('fr', 15, '-0.030893623498265625'::DOUBLE), ('fr', 16, '-0.011559200160296875'::DOUBLE), ('fr', 17, '0.015378998094078125'::DOUBLE), ('fr', 18, '0.00490119626015625'::DOUBLE), ('fr', 19, '0.00991636210890625'::DOUBLE), ('fr', 20, '0.00076939711834375'::DOUBLE), ('fr', 21, '0.004076691901953125'::DOUBLE), ('fr', 22, '0.006974990392421875'::DOUBLE), ('fr', 23, '-0.03393381580459375'::DOUBLE), ('fr', 24, '0.00246476586678125'::DOUBLE), ('fr', 25, '0.00887203465390625'::DOUBLE), ('fr', 26, '0.00088157792559375'::DOUBLE), ('fr', 27, '0.023932950076421874'::DOUBLE), ('fr', 28, '-0.049012966585'::DOUBLE), ('fr', 29, '-0.017405923666953125'::DOUBLE), ('fr', 30, '0.002122267997078125'::DOUBLE), ('fr', 31, '0.018571211100953125'::DOUBLE), ('fr', 32, '0.0057753937271875'::DOUBLE), ('fr', 33, '-0.01254778562'::DOUBLE), ('fr', 34, '0.03159259291710938'::DOUBLE), ('fr', 35, '0.005313429878671875'::DOUBLE), ('fr', 36, '-0.01198467862928125'::DOUBLE), ('fr', 37, '0.0367917526673125'::DOUBLE), ('fr', 38, '0.00088444717178125'::DOUBLE), ('fr', 39, '-0.01545066682775'::DOUBLE), ('fr', 40, '-0.007565764165984375'::DOUBLE), ('fr', 41, '-0.02398282945071875'::DOUBLE), ('fr', 42, '-0.002888636907234375'::DOUBLE), ('fr', 43, '0.02499734319565625'::DOUBLE), ('fr', 44, '-0.03193865896903125'::DOUBLE), ('fr', 45, '0.00934396449884375'::DOUBLE), ('fr', 46, '0.006707248267125'::DOUBLE), ('fr', 47, '-0.008916894459609375'::DOUBLE), ('fr', 48, '0.006795800237375'::DOUBLE), ('fr', 49, '-0.04974095664145312'::DOUBLE), ('fr', 50, '0.023015768991234375'::DOUBLE), ('fr', 51, '0.028819467488546874'::DOUBLE), ('fr', 52, '0.003761600539296875'::DOUBLE), ('fr', 53, '-0.002831483063265625'::DOUBLE), ('fr', 54, '0.007606757815609375'::DOUBLE), ('fr', 55, '-0.00785153165996875'::DOUBLE), ('fr', 56, '0.017288238796078124'::DOUBLE), ('fr', 57, '0.01692707633265625'::DOUBLE), ('fr', 58, '0.0109590724869375'::DOUBLE), ('fr', 59, '0.012759858000171875'::DOUBLE), ('fr', 60, '0.00090975489725'::DOUBLE), ('fr', 61, '0.009294397928890625'::DOUBLE), ('fr', 62, '-0.00085780056725'::DOUBLE), ('fr', 63, '-0.02086443796359375'::DOUBLE), ('zh', 0, '-0.00946674110832'::DOUBLE), ('zh', 1, '0.026059487477533335'::DOUBLE), ('zh', 2, '0.030186623694986665'::DOUBLE), ('zh', 3, '-0.004156601708386667'::DOUBLE), ('zh', 4, '0.010362276143106667'::DOUBLE), ('zh', 5, '0.00551005125356'::DOUBLE), ('zh', 6, '-3.432069517333334e-05'::DOUBLE), ('zh', 7, '0.009856149248426668'::DOUBLE), ('zh', 8, '-0.0047789809386666665'::DOUBLE), ('zh', 9, '0.011419750065546666'::DOUBLE), ('zh', 10, '-0.013992728268133333'::DOUBLE), ('zh', 11, '-0.010451934635626667'::DOUBLE), ('zh', 12, '-0.01240937816912'::DOUBLE), ('zh', 13, '0.014420235743773335'::DOUBLE), ('zh', 14, '-0.015438817429026667'::DOUBLE), ('zh', 15, '0.00313203364064'::DOUBLE), ('zh', 16, '-0.014594925797186666'::DOUBLE), ('zh', 17, '-0.01709490545562667'::DOUBLE), ('zh', 18, '0.0039662733239066664'::DOUBLE), ('zh', 19, '-0.005469374340026667'::DOUBLE), ('zh', 20, '0.003345191882333333'::DOUBLE), ('zh', 21, '-0.006522047224733333'::DOUBLE), ('zh', 22, '-0.007185067906986666'::DOUBLE), ('zh', 23, '-0.009425849411599999'::DOUBLE), ('zh', 24, '0.009267431534813334'::DOUBLE), ('zh', 25, '0.011862736064933333'::DOUBLE), ('zh', 26, '-0.01934366886190667'::DOUBLE), ('zh', 27, '0.014508956770133334'::DOUBLE), ('zh', 28, '-0.007722726344733333'::DOUBLE), ('zh', 29, '0.022524106081906668'::DOUBLE), ('zh', 30, '0.013112844272173333'::DOUBLE), ('zh', 31, '-0.016590165810946664'::DOUBLE), ('zh', 32, '0.01660624568038667'::DOUBLE), ('zh', 33, '-0.01999978679001333'::DOUBLE), ('zh', 34, '0.0010685858130266665'::DOUBLE), ('zh', 35, '0.0217531728838'::DOUBLE), ('zh', 36, '-0.00460793789476'::DOUBLE), ('zh', 37, '0.00448347601024'::DOUBLE), ('zh', 38, '0.018750191590973332'::DOUBLE), ('zh', 39, '-0.0048372591054400005'::DOUBLE), ('zh', 40, '-0.037460517704786665'::DOUBLE), ('zh', 41, '-0.007163652287173333'::DOUBLE), ('zh', 42, '-0.03130641200617333'::DOUBLE), ('zh', 43, '0.011788959163986666'::DOUBLE), ('zh', 44, '0.004812567968613333'::DOUBLE), ('zh', 45, '-0.014339751967546667'::DOUBLE), ('zh', 46, '-0.0094148488568'::DOUBLE), ('zh', 47, '0.03740166584645333'::DOUBLE), ('zh', 48, '-0.022501518493373333'::DOUBLE), ('zh', 49, '-0.002556118170413333'::DOUBLE), ('zh', 50, '0.010710977919706667'::DOUBLE), ('zh', 51, '-0.0050846921800666665'::DOUBLE), ('zh', 52, '0.00367984967612'::DOUBLE), ('zh', 53, '0.013337877042973335'::DOUBLE), ('zh', 54, '0.0014720937190933333'::DOUBLE), ('zh', 55, '-0.017888439911573333'::DOUBLE), ('zh', 56, '0.0014931079138133334'::DOUBLE), ('zh', 57, '-0.019024804852266666'::DOUBLE), ('zh', 58, '-0.02238865062048'::DOUBLE), ('zh', 59, '-0.01761927677317333'::DOUBLE), ('zh', 60, '0.005169558289146667'::DOUBLE), ('zh', 61, '-0.0037980903809599997'::DOUBLE), ('zh', 62, '-0.013613257234266667'::DOUBLE), ('zh', 63, '-0.020438122622053332'::DOUBLE)) AS t(c0, c1, c2) ORDER BY "lang", "pos"""",
-
-    "sim_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
-         |q AS (SELECT id AS query_id, vec AS qvec, bucket AS b0 FROM b WHERE id < 10),
-         |probes AS (
-         |  SELECT query_id, qvec,
-         |    unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
-         |  FROM q),
-         |cand AS (
-         |  SELECT DISTINCT query_id, qvec, c.id AS neighbor_id, c.vec AS cv
-         |  FROM probes p JOIN b c USING (bucket) WHERE p.query_id <> c.id),
-         |sc AS (
-         |  SELECT query_id, neighbor_id,
-         |    CASE WHEN ${normSql("qvec")} * ${normSql("cv")} > 0
-         |      THEN ${dotSql.replace("qv[", "qvec[")} / (${normSql("qvec")} * ${normSql("cv")})
-         |      ELSE 0.0 END AS cosine
-         |  FROM cand),
-         |r AS (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         |  FROM sc)
-         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-
-    "dd_embedding_lsh" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
-         |cand AS (
-         |  SELECT l.id AS ia, r.id AS ib, l.vec AS qv, r.vec AS cv
-         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id),
-         |sc AS (
-         |  SELECT ia, ib, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM cand)
-         |SELECT DISTINCT ia AS id_a, ib AS id_b,
-         |  CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
-         |FROM sc WHERE CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // SemDeDup: the dd_embedding_lsh pair derivation + transitive closure
-    // (recursive reach, min-id component) + min-id survivor per group.
-    "dd_semantic_dedup" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |b AS (SELECT id, vec, $lshBucketSql AS bucket FROM e),
-         |cand AS (
-         |  SELECT l.id AS ia, r.id AS ib, l.vec AS qv, r.vec AS cv
-         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id),
-         |sc AS (
-         |  SELECT ia, ib, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM cand),
-         |pairs AS (
-         |  SELECT DISTINCT ia AS id_a, ib AS id_b FROM sc
-         |  WHERE CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END >= 0.35),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT s AS id, s AS r FROM edges
-         |  UNION
-         |  SELECT e2.s AS id, rr.r FROM edges e2 JOIN reach rr ON e2.d = rr.id),
-         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-         |gs AS (SELECT component, min(id) AS rep, count(*) AS n FROM comp GROUP BY component)
-         |SELECT v.id, coalesce(g.n, 1)::BIGINT AS sem_group_size
-         |FROM e v
-         |LEFT JOIN gs g ON v.id = g.rep
-         |WHERE v.id NOT IN (SELECT id FROM comp WHERE id <> component)
-         |ORDER BY v.id""".stripMargin,
-
-    // Duplicate spans: 5-gram hash counts over the corpus, windows with
-    // count >= 2 merge into maximal spans (gaps-and-islands; adjacency is
-    // start <= prev_start + 5).
-    "dd_dup_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
-        |  FROM tk WHERE len(t) >= 5),
-        |h AS (
-        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
-        |d AS (
-        |  SELECT id, start FROM (
-        |    SELECT id, start, count(*) OVER (PARTITION BY gh) AS n FROM h) WHERE n >= 2),
-        |s AS (
-        |  SELECT id, start,
-        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
-        |i AS (
-        |  SELECT *, sum(ns) OVER
-        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s)
-        |SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end,
-        |  (max(start) + 4 - min(start) + 1)::INT AS span_tokens, count(*) AS n_windows
-        |FROM i GROUP BY id, sp
-        |ORDER BY id, span_start""".stripMargin,
-
-    // Exact-substring-dedup re-derivation: duplicated positions via an
-    // UNPRUNED quadratic gram self-join (a.gh = b.gh across distinct
-    // docs) — independent of the engine's O(1) min/max-per-gram pruning
-    // — then the same island merge, span slice, and content clustering.
-    "dd_substring_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
-        |  FROM tk WHERE len(t) >= 5),
-        |h AS (
-        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
-        |d AS (
-        |  SELECT DISTINCT a.id, a.start
-        |  FROM h a JOIN h b ON a.gh = b.gh AND a.id <> b.id),
-        |s AS (
-        |  SELECT id, start,
-        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
-        |i AS (
-        |  SELECT *, sum(ns) OVER
-        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s),
-        |spans AS (
-        |  SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end,
-        |    count(*)::BIGINT AS n_windows
-        |  FROM i GROUP BY id, sp),
-        |ct AS (
-        |  SELECT spans.id, span_start, span_end, n_windows,
-        |    md5(array_to_string(tk.t[span_start+1:span_end+1], ' ')) AS cluster
-        |  FROM spans JOIN tk ON tk.id = spans.id)
-        |SELECT id, span_start, span_end,
-        |  (span_end - span_start + 1)::INT AS span_tokens,
-        |  n_windows, cluster,
-        |  count(*) OVER (PARTITION BY cluster)::BIGINT AS n_occ,
-        |  (row_number() OVER (PARTITION BY cluster ORDER BY id, span_start) = 1) AS keep
-        |FROM ct ORDER BY id, span_start""".stripMargin,
-
-    // Span-decon re-derivation: benchmark 5-gram set (deduped) semi-joins
-    // the train grams, then the dd_dup_spans gaps-and-islands merge.
-    "tdp_decon_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
-        |  FROM tk WHERE len(t) >= 5),
-        |h AS (
-        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
-        |bench AS (
-        |  SELECT DISTINCT gh FROM h WHERE id % 20 = 0),
-        |d AS (
-        |  SELECT id, start FROM h
-        |  WHERE id % 20 <> 0 AND gh IN (SELECT gh FROM bench)),
-        |s AS (
-        |  SELECT id, start,
-        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
-        |i AS (
-        |  SELECT *, sum(ns) OVER
-        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s)
-        |SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end,
-        |  (max(start) + 4 - min(start) + 1)::INT AS span_tokens, count(*) AS n_windows
-        |FROM i GROUP BY id, sp
-        |ORDER BY id, span_start""".stripMargin,
-
-    // Removal twin: covered positions are the union of duplicated windows
-    // (identical to the merged spans' union), excised via an indexed
-    // list_filter; span-free docs pass through with original text.
-    "tdp_remove_dup_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
-        |  FROM tk WHERE len(t) >= 5),
-        |h AS (
-        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
-        |d AS (
-        |  SELECT id, start FROM (
-        |    SELECT id, start, count(*) OVER (PARTITION BY gh) AS n FROM h) WHERE n >= 2),
-        |cov AS (
-        |  SELECT DISTINCT id, unnest(range(start, start + 5)) AS pos FROM d),
-        |cl AS (
-        |  SELECT id, count(*) AS nrem, list(pos) AS covs FROM cov GROUP BY id)
-        |SELECT tk.id,
-        |  coalesce(array_to_string(
-        |    list_filter(t, (x, i) -> NOT list_contains(covs, i - 1)), ' '), '')
-        |    AS clean_text,
-        |  cl.nrem AS n_removed_tokens
-        |FROM tk JOIN cl ON tk.id = cl.id
-        |UNION ALL
-        |SELECT id, text AS clean_text, 0 AS n_removed_tokens
-        |FROM tk WHERE id NOT IN (SELECT id FROM cl)
-        |ORDER BY id""".stripMargin,
-
-    // ExactSubstr-apply re-derivation: the dd_substring_dedup quadratic
-    // chain, keep=false occurrences only, then the tdp_remove_dup_spans
-    // rebuild tail.
-    "tdp_substring_dedup_apply" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
-        |  FROM tk WHERE len(t) >= 5),
-        |h AS (
-        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
-        |d AS (
-        |  SELECT DISTINCT a.id, a.start
-        |  FROM h a JOIN h b ON a.gh = b.gh AND a.id <> b.id),
-        |s AS (
-        |  SELECT id, start,
-        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
-        |i AS (
-        |  SELECT *, sum(ns) OVER
-        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s),
-        |spans AS (
-        |  SELECT id, min(start)::INT AS span_start, (max(start) + 4)::INT AS span_end
-        |  FROM i GROUP BY id, sp),
-        |ct AS (
-        |  SELECT spans.id, span_start, span_end,
-        |    md5(array_to_string(tk.t[span_start+1:span_end+1], ' ')) AS cluster
-        |  FROM spans JOIN tk ON tk.id = spans.id),
-        |nc AS (
-        |  SELECT id, span_start, span_end FROM (
-        |    SELECT *, row_number() OVER
-        |      (PARTITION BY cluster ORDER BY id, span_start) AS rk FROM ct)
-        |  WHERE rk > 1),
-        |cov AS (
-        |  SELECT DISTINCT id, unnest(range(span_start, span_end + 1)) AS pos FROM nc),
-        |cl AS (
-        |  SELECT id, count(*) AS nrem, list(pos) AS covs FROM cov GROUP BY id)
-        |SELECT tk.id,
-        |  coalesce(array_to_string(
-        |    list_filter(t, (x, i) -> NOT list_contains(covs, i - 1)), ' '), '')
-        |    AS clean_text,
-        |  cl.nrem AS n_removed_tokens
-        |FROM tk JOIN cl ON tk.id = cl.id
-        |UNION ALL
-        |SELECT id, text AS clean_text, 0 AS n_removed_tokens
-        |FROM tk WHERE id NOT IN (SELECT id FROM cl)
-        |ORDER BY id""".stripMargin,
-
-    // Hash split: same md5-prefix uniform draw; the 0.8/0.9 boundaries
-    // have no 1/2^32 lattice point inside their float-sum gap.
-    "tdp_hash_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Split-leakage re-derivation: the dd_minhash_lsh pair CTEs + the
-    // tdp_hash_split assignment, joined and counted per split pairing.
-    "tdp_split_leakage" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(CASE WHEN len(t) >= 3
-         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-         |      ELSE [array_to_string(t, ' ')] END)) AS shingle
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
-         |  FROM hs CROSS JOIN (SELECT * FROM (VALUES $minhashCoeffs) AS t(i, a, b)) co
-         |  GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-         |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-         |  FROM cand
-         |  JOIN mh ma ON ma.doc_id = id_a
-         |  JOIN mh mb ON mb.doc_id = id_b AND mb.i = ma.i
-         |  GROUP BY id_a, id_b),
-         |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-         |sp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
-         |    FROM documents)),
-         |lab AS (
-         |  SELECT least(sa.split, sb.split) AS split_a,
-         |    greatest(sa.split, sb.split) AS split_b
-         |  FROM pairs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b)
-         |SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
-         |  split_a <> split_b AS crosses_split
-         |FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
-
-    // reviewed pin (gen_values_oracle): newest (7 occurrences, the most
-    // frequent word) merges to one token; widest only reaches est</w>
-    // before the 8-merge budget ends; lowest composes low + est</w>
-    "txt_bpe_encode" ->
-      """SELECT c0::BIGINT AS "id", c1::BIGINT AS "n_tokens", c2::VARCHAR AS "token_str"
-        |FROM (VALUES
-        |  (1, 10, 'low </w> low </w> low </w> low </w> low </w>'),
-        |  (2, 8, 'low e r </w> low e r </w>'),
-        |  (3, 6, 'newest</w> newest</w> newest</w> newest</w> newest</w> newest</w>'),
-        |  (4, 12, 'w i d est</w> w i d est</w> w i d est</w>'),
-        |  (5, 13, 't h e </w> low est</w> newest</w> w i d est</w> low </w>'))
-        |AS t(c0, c1, c2) ORDER BY "id"""".stripMargin,
-
-    "tdp_corpus_diff" ->
-      """WITH v1 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
-        |v2 AS (SELECT doc_id AS id,
-        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
-        |       FROM documents WHERE doc_id % 7 <> 0)
-        |SELECT coalesce(v1.id, v2.id) AS id,
-        |  CASE WHEN v1.id IS NULL THEN 'added'
-        |       WHEN v2.id IS NULL THEN 'removed'
-        |       WHEN md5(v1.text) IS NOT DISTINCT FROM md5(v2.text) THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
-        |ORDER BY id""".stripMargin,
-
-    "tdp_sketch_distinct" ->
-      """WITH
-        |he AS (SELECT DISTINCT ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS h
-        |       FROM events WHERE event_id IS NOT NULL),
-        |ht AS (SELECT DISTINCT ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS h
-        |       FROM events WHERE event_type IS NOT NULL),
-        |hu AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
-        |       FROM events WHERE user_id IS NOT NULL),
-        |ke AS (SELECT h FROM he ORDER BY h LIMIT 64),
-        |kt AS (SELECT h FROM ht ORDER BY h LIMIT 64),
-        |ku AS (SELECT h FROM hu ORDER BY h LIMIT 64),
-        |a AS (
-        |  SELECT 'event_id' AS column_name, count(*) AS n_kmv, max(h) AS kth_hash FROM ke
-        |  UNION ALL
-        |  SELECT 'event_type', count(*), max(h) FROM kt
-        |  UNION ALL
-        |  SELECT 'user_id', count(*), max(h) FROM ku)
-        |SELECT column_name, 64 AS k, n_kmv, kth_hash,
-        |  CASE WHEN n_kmv < 64 THEN n_kmv::DOUBLE
-        |       ELSE 63.0 * 4294967296.0 / kth_hash::DOUBLE END AS estimate
-        |FROM a ORDER BY column_name""".stripMargin,
-
-    "tdp_heavy_hitters" ->
-      """SELECT user_id AS key, count(*) AS n FROM events
-        |GROUP BY user_id ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
-
-    // weight table rendered from the SAME source seq the operator uses
-    "txt_quality_model" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
-         |  FROM documents),
-         |b AS (SELECT doc_id,
-         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
-         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
-         |      FROM tok),
-         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id)
-         |SELECT d.doc_id AS id, coalesce(s.n, 0) AS n_tokens,
-         |  CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
-         |       ELSE sw::DOUBLE / 1000.0 / n END AS score
-         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-         |ORDER BY id""".stripMargin,
-
-    "txt_quality_ensemble" -> qualityEnsembleSql,
-
-    // Perplexity buckets: the shared LM chain, quantile_cont thresholds
-    // (the proven percentile interpolation parity), two comparisons.
-    "txt_ppl_buckets" ->
-      (lmScoreCtes("(SELECT doc_id AS id, text FROM documents)", 20, 400) + """,
-        |lmsc AS (
-        |  SELECT d.id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-        |    ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
-        |  FROM d LEFT JOIN agg a ON d.id = a.id),
-        |th AS (
-        |  SELECT quantile_cont(lm_score, '0.1'::DOUBLE) AS t_head,
-        |         quantile_cont(lm_score, '0.6'::DOUBLE) AS t_mid
-        |  FROM lmsc WHERE lm_score IS NOT NULL)
-        |SELECT id AS doc_id, n_tokens, lm_score,
-        |  CASE WHEN lm_score IS NULL THEN NULL
-        |       WHEN lm_score <= t_head THEN 'head'
-        |       WHEN lm_score <= t_mid THEN 'middle'
-        |       ELSE 'tail' END AS ppl_bucket
-        |FROM lmsc CROSS JOIN th ORDER BY doc_id""".stripMargin),
-
-    "txt_boilerplate_scrub" -> boilerplateScrubSql(
-      "(SELECT doc_id AS id, text FROM documents)", "' '", 0.8),
-
-    // VALUES pin (fx-twin policy: a pinned output is what makes a twin
-    // environment- and regeneration-proof); live re-derivation below in
-    // rederiveSql.
-    "txt_boilerplate_fx" -> PinnedOracles.sql("txt_boilerplate_fx"),
-
-    // VALUES pin: the live re-derivation (ensembleCalibrationSql, in
-    // rederiveSql) mixes the LM ln() with the calibration contract's
-    // round(.., 9) — the combination the round-8 lint forbids live.
-    "txt_ensemble_calibration" -> PinnedOracles.sql("txt_ensemble_calibration"),
-
-    // Quality-gate rollup: the ensemble CTE chain, one boolean gate at
-    // 0.5 (identical doubles on both engines), exact-count pass rates.
-    "tdp_quality_gate_stats" ->
-      (ensembleCtes + """
-        |SELECT d2.source, count(*)::BIGINT AS n_docs,
-        |  sum(CASE WHEN e.ensemble IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_scored,
-        |  sum(CASE WHEN e.ensemble >= 0.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-        |  sum(CASE WHEN e.ensemble >= 0.5::DOUBLE THEN 1 ELSE 0 END)::DOUBLE
-        |    / count(*)::DOUBLE AS pass_rate
-        |FROM ens e JOIN documents d2 ON d2.doc_id = e.doc_id
-        |GROUP BY d2.source ORDER BY d2.source""".stripMargin),
-
-    "tdp_sample_per_group" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
-
-    "tdp_quantile_sketch" ->
-      """WITH b AS (
-        |  SELECT n_chars // 200 AS bucket, count(*)::BIGINT AS n
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
-        |c AS (
-        |  SELECT a.bucket, sum(b.n)::BIGINT AS cum
-        |  FROM b a JOIN b ON b.bucket <= a.bucket GROUP BY a.bucket),
-        |t AS (SELECT sum(n)::BIGINT AS total FROM b),
-        |q AS (SELECT unnest(['0.5'::DOUBLE, '0.9'::DOUBLE, '0.99'::DOUBLE]) AS q)
-        |SELECT q, min(bucket) AS bucket, min(bucket) * 200 + 100 AS approx
-        |FROM q CROSS JOIN t JOIN c ON c.cum >= q.q * t.total
-        |GROUP BY q ORDER BY q""".stripMargin,
-
-    "tdp_zorder" ->
-      """WITH q AS (
-        |  SELECT event_id,
-        |    (least(greatest(user_id, 0), 100000) - least(greatest(user_id, 0), 100000) % 391) / 391 AS qu,
-        |    ((o - o % 123525000001) / 123525000001) AS qt
-        |  FROM (SELECT event_id, user_id,
-        |          least(greatest(epoch_us(ts), 1704067200000000), 1735689600000000)
-        |            - 1704067200000000 AS o
-        |        FROM events))
-        |SELECT event_id,
-        |  -- DuckDB bitwise operators share one precedence level and bind
-        |  -- left-to-right, so every term is fully parenthesized
-        |  ((((CAST(qu AS BIGINT) >> 0) & 1) << 0) | (((CAST(qt AS BIGINT) >> 0) & 1) << 1)
-        |  | (((CAST(qu AS BIGINT) >> 1) & 1) << 2) | (((CAST(qt AS BIGINT) >> 1) & 1) << 3)
-        |  | (((CAST(qu AS BIGINT) >> 2) & 1) << 4) | (((CAST(qt AS BIGINT) >> 2) & 1) << 5)
-        |  | (((CAST(qu AS BIGINT) >> 3) & 1) << 6) | (((CAST(qt AS BIGINT) >> 3) & 1) << 7)
-        |  | (((CAST(qu AS BIGINT) >> 4) & 1) << 8) | (((CAST(qt AS BIGINT) >> 4) & 1) << 9)
-        |  | (((CAST(qu AS BIGINT) >> 5) & 1) << 10) | (((CAST(qt AS BIGINT) >> 5) & 1) << 11)
-        |  | (((CAST(qu AS BIGINT) >> 6) & 1) << 12) | (((CAST(qt AS BIGINT) >> 6) & 1) << 13)
-        |  | (((CAST(qu AS BIGINT) >> 7) & 1) << 14) | (((CAST(qt AS BIGINT) >> 7) & 1) << 15)) AS z
-        |FROM q ORDER BY event_id""".stripMargin,
-
-    "tdp_sketch_by_group" ->
-      """WITH g AS (SELECT DISTINCT event_type FROM events),
-        |h AS (
-        |  SELECT DISTINCT event_type,
-        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
-        |  FROM events WHERE user_id IS NOT NULL),
-        |r AS (SELECT event_type, h,
-        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
-        |a AS (SELECT event_type, count(*) AS n_kmv, max(h) AS kth_hash
-        |      FROM r WHERE rn <= 32 GROUP BY event_type)
-        |-- a group whose values are ALL null has no h rows but still gets
-        |-- an empty-sketch row (n_kmv 0, estimate 0.0), like the operator
-        |SELECT g.event_type, coalesce(a.n_kmv, 0) AS n_kmv, a.kth_hash,
-        |  CASE WHEN a.n_kmv IS NULL THEN 0.0
-        |       WHEN a.n_kmv < 32 THEN a.n_kmv::DOUBLE
-        |       ELSE 31.0 * 4294967296.0 / a.kth_hash::DOUBLE END AS estimate
-        |FROM g LEFT JOIN a ON g.event_type IS NOT DISTINCT FROM a.event_type
-        |ORDER BY g.event_type""".stripMargin,
-
-    // BM25: postings restricted to the query terms, Lucene-variant idf,
-    // document length from ALL terms; round(6) for ln/division ULP parity.
-    "txt_bm25_topk" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
-        |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
-        |qp AS (
-        |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
-        |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
-        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
-        |sc AS (
-        |  SELECT id,
-        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS s,
-        |    count(*)::BIGINT AS n_matched
-        |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id)
-        |SELECT id, round(s, 6) AS score, n_matched FROM sc
-        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
-
-    // Retrieval metrics re-derivation: the txt_bm25_topk CTEs produce the
-    // run, list_has_all produces the qrels, then exact divisions, decimal
-    // log2 gains, and the BIGINT micro-nDCG fixed-point division.
-    "txt_retrieval_metrics" -> PinnedOracles.sql("txt_retrieval_metrics"),
-
-    // Fixture-twin re-derivation from the same inline VALUES.
-    "txt_retrieval_metrics_fx" -> PinnedOracles.sql("txt_retrieval_metrics_fx"),
-
-    // Spearman re-derivation: bm25 CTEs for the run, length ranking over
-    // the same 10 docs, dense re-ranks inside the intersection, exact
-    // integer sums, one trailing multiply+division.
-    "txt_rank_correlation" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
-        |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
-        |qp AS (
-        |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
-        |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
-        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
-        |sc AS (
-        |  SELECT id,
-        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS s,
-        |    count(*)::BIGINT AS n_matched
-        |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id),
-        |run AS (
-        |  SELECT id, round(s, 6) AS score FROM sc
-        |  ORDER BY score DESC, id LIMIT 10),
-        |ranked AS (
-        |  SELECT id, row_number() OVER (ORDER BY score DESC, id)::BIGINT AS ra
-        |  FROM run),
-        |bylen AS (
-        |  SELECT ranked.id,
-        |    row_number() OVER (ORDER BY doc.n_chars DESC, ranked.id)::BIGINT AS rb
-        |  FROM ranked JOIN documents doc ON doc.doc_id = ranked.id),
-        |j AS (
-        |  SELECT row_number() OVER (ORDER BY ra, id)::BIGINT AS ra2,
-        |    row_number() OVER (ORDER BY rb, id)::BIGINT AS rb2
-        |  FROM (SELECT ranked.id, ra, rb FROM ranked JOIN bylen USING (id))),
-        |ag AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |    coalesce(sum((ra2 - rb2) * (ra2 - rb2)), 0)::BIGINT AS sum_d2
-        |  FROM j)
-        |SELECT n, sum_d2,
-        |  CASE WHEN n >= 2 THEN '1.0'::DOUBLE - ('6.0'::DOUBLE * sum_d2::DOUBLE)
-        |    / (n * (n * n - 1))::DOUBLE END AS rho
-        |FROM ag""".stripMargin,
-
-    // Expected table pinned from the hand-checkable 6-row fixture.
-    "fdr_protein_occam" ->
-      """SELECT c0::VARCHAR AS "assay", c1::VARCHAR AS "accession", c2::VARCHAR AS "anchorProtein", c3::VARCHAR AS "memberType", c4::INTEGER AS "groupId", c5::INTEGER AS "numberPeptides" FROM (VALUES ('x', 'P1', 'P1', 'representative', 0, 2), ('x', 'P2', 'P1', 'sameset', 0, 2), ('x', 'P3', 'P1', 'subset', 2, 1), ('x', 'P4', 'P4', 'representative', 1, 1)) AS t(c0, c1, c2, c3, c4, c5) ORDER BY "accession"""",
-
-    // Expected row: F9 counters from the 8-row demo assay (7 unique PSMs
-    // after the per-psmId dedup, 1 decoy) + F10 post-join delta counters
-    // (synthetic demo precursors sit far from the peptide masses).
-    "pipeline_validity" ->
-      """SELECT 7::BIGINT AS nr_psms, 1::BIGINT AS nr_decoys,
-        |  3::BIGINT AS nr_error_delta, 1::BIGINT AS hard_delta_fail""".stripMargin,
-
-    // Expected table: A10-A12 over the 7-spectrum demo clusters.
-    "pipeline_cluster_inference" ->
-      """SELECT c0::BIGINT AS "index", c1::VARCHAR AS "usi", c2::VARCHAR AS "peptideSequence", c3::VARCHAR AS "peptidoform", c4::BOOLEAN AS "isDecoy", c5::DOUBLE AS "score", c6::BIGINT AS "clusterId" FROM (VALUES (1, 'u1', 'AAK', 'AAK/2', FALSE, '0.005'::DOUBLE, 10), (6, 'u6', 'EEK', 'EEK/2', FALSE, '0.03'::DOUBLE, 13)) AS t(c0, c1, c2, c3, c4, c5, c6) ORDER BY "clusterId"""",
-
-    // Expected table: the demo mzTab PSM section, values hand-checked.
-    "io_mztab_scan" ->
-      """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::BOOLEAN AS "isDecoy", c4::DOUBLE AS "score", c5::INTEGER AS "charge", c6::DOUBLE AS "expMassToCharge", c7::DOUBLE AS "calcMassToCharge", c8::VARCHAR AS "modifications", c9::VARCHAR AS "sourceId", c10::INTEGER AS "msRun", c11::DOUBLE AS "retentionTime" FROM (VALUES ('1', 'PEPTIDEK', 'sp|P1', FALSE, '0.9'::DOUBLE, 2, '445.1'::DOUBLE, '445.0'::DOUBLE, '{"3":"UNIMOD:35"}', 'index=0', 1, NULL), ('2', 'ELVISLIVESK', 'DECOY_sp|P2', TRUE, '0.8'::DOUBLE, 3, '500.0'::DOUBLE, '500.2'::DOUBLE, '{}', 'index=1', 1, NULL)) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "psmId"""",
-
-    // Expected tables for the IO fixture catalog queries (S1/S2/S3/S4/
-    // S7/K4/F1/F2/S8) — generated by tools/gen_values_oracle.py from the
-    // fixed fixture content, then reviewed.
-    "io_archive_json_roundtrip" ->
-      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "batch", c2::VARCHAR AS "peptideSequence", c3::VARCHAR AS "peptidoform", c4::BOOLEAN AS "isDecoy", c5::BOOLEAN AS "isValid", c6::DOUBLE AS "precursorMz", c7::INTEGER AS "precursorCharge", c8::INTEGER AS "numPeaks", c9::INTEGER AS "missedCleavages", c10::VARCHAR AS "proteinAccessions", c11::VARCHAR AS "masses", c12::VARCHAR AS "intensities" FROM (VALUES ('mzspec:PXDTEST:run1:index:1', 'run1', 'PEPTIDEK', 'PEP[UNIMOD:35]TIDEK/2', FALSE, TRUE, '400.0'::DOUBLE, 2, 3, 0, '["sp|P1"]', '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), ('mzspec:PXDTEST:run1:index:2', 'run1', 'ELVISLIVESK', 'ELVISLIVESK/2', FALSE, TRUE, '401.0'::DOUBLE, 2, 3, 0, '["sp|P1","sp|P2"]', '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), ('mzspec:PXDTEST:run1:index:3', 'run1', 'AAAAKPEPR', 'AAAAKPEPR/2', FALSE, TRUE, '402.0'::DOUBLE, 2, 3, 0, '["sp|P2"]', '[100.0,200.0,300.0]', '[10.0,20.0,30.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "usi"""",
-    "io_spectra_formats" ->
-      """SELECT c0::VARCHAR AS "fileName", c1::VARCHAR AS "fileType", c2::BIGINT AS "index", c3::VARCHAR AS "scanId", c4::VARCHAR AS "title", c5::INTEGER AS "msLevel", c6::DOUBLE AS "precursorMz", c7::INTEGER AS "precursorCharge", c8::DOUBLE AS "retentionTime", c9::INTEGER AS "n_peaks", c10::VARCHAR AS "masses", c11::VARCHAR AS "intensities" FROM (VALUES ('legacy.xml', 'PRIDE', 0, '3', '3', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('one.dta', 'DTA', 0, '0', '', 2, '445.998638'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.apl', 'APL', 0, '0', 'RawFile: r1 Index: 5', 2, '445.12'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 0, '7', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.ms2', 'MS2', 1, '9', '', 2, '600.25'::DOUBLE, 0, NULL, 1, '[300.0]', '[30.0]'), ('run.pkl', 'PKL', 0, '0', '', 2, '445.5'::DOUBLE, 2, NULL, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run.pkl', 'PKL', 1, '1', '', 2, '600.25'::DOUBLE, 3, NULL, 1, '[300.0]', '[30.0]'), ('run1.mgf', 'MGF', 0, '0', 'spec0', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.0,200.0]', '[10.0,20.0]'), ('run1.mgf', 'MGF', 1, '1', 'spec1', 2, '512.75'::DOUBLE, 3, NULL, 1, '[55.5]', '[1.0]'), ('run2.mzML', 'MZML', 0, 'controllerType=0 controllerNumber=1 scan=1', 'controllerType=0 controllerNumber=1 scan=1', 2, '445.12'::DOUBLE, 2, '12.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]'), ('run2.mzML', 'MZML', 1, 'controllerType=0 controllerNumber=1 scan=2', 'controllerType=0 controllerNumber=1 scan=2', 1, '0.0'::DOUBLE, 0, NULL, 0, '[]', '[]'), ('run3.mzXML', 'MZXML', 0, '7', '7', 2, '445.12'::DOUBLE, 2, '33.5'::DOUBLE, 2, '[100.5,200.25]', '[10.0,20.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "fileName", "index"""",
-    "io_mzid_scan" ->
-      """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::BOOLEAN AS "isDecoy", c4::DOUBLE AS "score", c5::INTEGER AS "rank", c6::INTEGER AS "charge", c7::DOUBLE AS "expMassToCharge", c8::DOUBLE AS "calcMassToCharge", c9::VARCHAR AS "modifications", c10::VARCHAR AS "sourceId", c11::VARCHAR AS "location", c12::VARCHAR AS "idFormatAccession" FROM (VALUES ('sii1', 'PEPTIDEK', 'sp|Q1', FALSE, '0.001'::DOUBLE, 1, 2, '458.23'::DOUBLE, '458.22'::DOUBLE, '{"3":"UNIMOD:35"}', 'index=0', 'file://data/run1.mgf', 'MS:1000774'), ('sii2', 'ELVISLIVESK', 'DECOY_sp|Q2', TRUE, '0.02'::DOUBLE, 1, 3, '600.0'::DOUBLE, '600.1'::DOUBLE, '{}', 'controllerType=0 controllerNumber=1 scan=7', 'file://data/run2.mzML', 'MS:1001530')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "psmId", "proteinAccession"""",
-    // Expected table: the PRIDE XML identification fixture, hand-checked.
-    "io_pridexml_ident" ->
-      """SELECT c0::VARCHAR AS "psmId", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "proteinAccession", c3::VARCHAR AS "database", c4::BOOLEAN AS "isDecoy", c5::DOUBLE AS "score", c6::INTEGER AS "charge", c7::DOUBLE AS "expMassToCharge", c8::VARCHAR AS "modifications", c9::VARCHAR AS "sourceId", c10::INTEGER AS "start", c11::INTEGER AS "end" FROM (VALUES ('legacy_ident.xml:1:PEPTIDEK:3=MOD:00696', 'PEPTIDEK', 'sp|A1', 'SWISSPROT', FALSE, '47.15'::DOUBLE, NULL, NULL, '{"3":"MOD:00696"}', '1', 10, 17), ('legacy_ident.xml:2:ELVISLIVESK', 'ELVISLIVESK', 'sp|A1', 'SWISSPROT', FALSE, '30.5'::DOUBLE, 2, NULL, '{}', '2', NULL, NULL), ('legacy_ident.xml:2:ELVISLIVESK', 'ELVISLIVESK', 'sp|A2', NULL, FALSE, '30.5'::DOUBLE, 2, NULL, '{}', '2', NULL, NULL), ('legacy_ident.xml:3:DECOYPEPK', 'DECOYPEPK', 'DECOY_sp|A9', NULL, TRUE, '5.0'::DOUBLE, NULL, NULL, '{}', '3', NULL, NULL)) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY "psmId", "proteinAccession"""",
-
-    "io_rest_catalog" ->
-      """SELECT c0::VARCHAR AS "accession", c1::VARCHAR AS "fileName", c2::VARCHAR AS "category_accession", c3::VARCHAR AS "category", c4::BOOLEAN AS "is_result", c5::VARCHAR AS "uncompressed_name", c6::BOOLEAN AS "was_compressed", c7::VARCHAR AS "https_url" FROM (VALUES ('PXF1', 'assay1.mzid', 'PRIDE:1002847', 'RESULT', TRUE, 'assay1.mzid', FALSE, 'https://ftp.pride.ebi.ac.uk/2020/01/PXD1/assay1.mzid'), ('PXF2', 'run1.mgf.gz', 'PRIDE:1002846', 'PEAK', FALSE, 'run1.mgf', TRUE, 'https://ftp.pride.ebi.ac.uk/2020/01/PXD1/run1.mgf.gz'), ('PXF3', 'junk.mztab', 'PRIDE:1002848', 'RESULT', FALSE, 'junk.mztab', FALSE, 'https://ftp.pride.ebi.ac.uk/2020/02/PXD1/junk.mztab'), ('PXF5', 'other.zip', 'PRIDE:1002846', 'PEAK', FALSE, 'other', TRUE, 'https://ftp.pride.ebi.ac.uk/2020/03/PXD1/other.zip')) AS t(c0, c1, c2, c3, c4, c5, c6, c7) ORDER BY "accession"""",
-    "io_sdrf_melt" ->
-      """SELECT c0::VARCHAR AS "fileKey", c1::VARCHAR AS "accession", c2::VARCHAR AS "name", c3::VARCHAR AS "value" FROM (VALUES ('run1', 'EFO:0000634', 'organism', 'Homo sapiens'), ('run1', 'EFO:0000635', 'organism part', 'liver'), ('run1', NULL, 'spiked compound', 'yes'), ('run2', 'EFO:0000634', 'organism', 'Mus musculus'), ('run2', 'EFO:0000635', 'organism part', 'brain'), ('run2', NULL, 'spiked compound', 'no')) AS t(c0, c1, c2, c3) ORDER BY "fileKey", "name"""",
-    "io_tsv_roundtrip" ->
-      """SELECT c0::VARCHAR AS "name", c1::VARCHAR AS "date", c2::VARCHAR AS "accession", c3::VARCHAR AS "ftp" FROM (VALUES ('assay1.mzid', '2020-01-15', 'PXF1', 'ftp://ftp.pride.ebi.ac.uk/2020/01/PXD1/assay1.mzid'), ('run1.mgf.gz', '2020-01-15', 'PXF2', 'ftp://ftp.pride.ebi.ac.uk/2020/01/PXD1/run1.mgf.gz'), ('junk.mztab', '2020-02-01', 'PXF3', 'ftp://ftp.pride.ebi.ac.uk/2020/02/PXD1/junk.mztab'), ('other.zip', '2020-03-10', 'PXF5', 'ftp://ftp.pride.ebi.ac.uk/2020/03/PXD1/other.zip')) AS t(c0, c1, c2, c3) ORDER BY "accession"""",
-
-    // Expected table: MGF write->read round-trip of the demo assay.
-    "io_mgf_roundtrip" ->
-      """SELECT c0::BIGINT AS "index", c1::VARCHAR AS "scanId", c2::VARCHAR AS "title", c3::INTEGER AS "msLevel", c4::DOUBLE AS "precursorMz", c5::INTEGER AS "precursorCharge", c6::DOUBLE AS "retentionTime", c7::VARCHAR AS "masses", c8::VARCHAR AS "intensities" FROM (VALUES (0, '0', 'id=mzspec:PXDTEST:run1:index:1,sequence=PEP[UNIMOD:35]TIDEK/2', 2, '400.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (1, '1', 'id=mzspec:PXDTEST:run1:index:2,sequence=ELVISLIVESK/2', 2, '401.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]'), (2, '2', 'id=mzspec:PXDTEST:run1:index:3,sequence=AAAAKPEPR/2', 2, '402.0'::DOUBLE, 2, NULL, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8) ORDER BY "index"""",
-
-    // Expected table: F8/F11 gate-differentiating assay variant (PIA
-    // unique-peptide semantics, uniquePeptides=1) — sp|P4 present (its one
-    // peptide is UNIQUE to it; the old distinct-count >= 2 gate dropped
-    // it), sp|P5/sp|P6 absent (2 distinct peptides each but 0 unique —
-    // the old gate kept them, their PSMs survive as index:9/index:10),
-    // PSM 9's spectrum absent (msLevel-1).
-    "pipeline_filter_gates" ->
-      """SELECT c0::VARCHAR AS "kind", c1::VARCHAR AS "id" FROM (VALUES ('protein', 'sp|P1'), ('protein', 'sp|P2'), ('protein', 'sp|P4'), ('spectrum', 'mzspec:PXDTEST:run1:index:1'), ('spectrum', 'mzspec:PXDTEST:run1:index:10'), ('spectrum', 'mzspec:PXDTEST:run1:index:2'), ('spectrum', 'mzspec:PXDTEST:run1:index:3'), ('spectrum', 'mzspec:PXDTEST:run1:index:8'), ('spectrum', 'mzspec:PXDTEST:run1:index:9')) AS t(c0, c1) ORDER BY "kind", "id"""",
-
-    // Expected table: the full generate-index-files protein output on
-    // the demo assay (complex columns as their JSON text).
-    "pipeline_index_proteins" ->
-      """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"1.77814"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 q)","value":"3.55629"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
-
-    // Expected table: multi-result-file assay. 4 rows: the overlapping
-    // index=1 spectrum appears ONCE (PSM set merged across a.mzid/b.mzid)
-    // and carries the UNION of both files' evidence — sp|Q5 comes only
-    // from the LOSING file (a.mzid, 0.01 vs b's 0.002 with lower-better);
-    // RANKTWOPEPK absent (rank-2, setAllTopIdentifications(1)); decoy
-    // q = 1/3 pins the merged-set FDR denominator (unmerged would be 1/4).
-    "pipeline_multifile" ->
-      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "peptideSequence", c2::BOOLEAN AS "isDecoy", c3::VARCHAR AS "proteinAccessions", c4::VARCHAR AS "q_value" FROM (VALUES ('mzspec:PXDMULTI:run1:index:1', 'PEPTIDEK', FALSE, '["sp|Q1"]', '0.033333'), ('mzspec:PXDMULTI:run1:index:2', 'ELVISLIVESK', FALSE, '["sp|Q3","sp|Q5"]', '0.033333'), ('mzspec:PXDMULTI:run1:index:3', 'DECOYPEPK', TRUE, '["DECOY_sp|Q7"]', '0.3333333333333333'), ('mzspec:PXDMULTI:run1:index:4', 'AAAAKPEPR', FALSE, '["sp|Q4"]', '0.033333')) AS t(c0, c1, c2, c3, c4) ORDER BY "usi"""",
-
-    // Expected table: PRIDE XML e2e. Charge /2 on every peptidoform comes
-    // from the SPECTRUM precursor (PSM 1 carries no charge cvParam);
-    // index:2 holds both accessions (one content-derived psmId for the
-    // shared peptide); decoy q = 1 decoy / 2 targets; target q = the P9
-    // repair (min nonzero q / 10).
-    "pipeline_pridexml" ->
-      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "peptideSequence", c2::VARCHAR AS "peptidoform", c3::BOOLEAN AS "isDecoy", c4::INTEGER AS "precursorCharge", c5::VARCHAR AS "proteinAccessions", c6::VARCHAR AS "q_value" FROM (VALUES ('mzspec:PXDPRIDE:legacyident:index:1', 'PEPTIDEK', 'PEP[MOD:00696]TIDEK/2', FALSE, 2, '["sp|A1"]', '0.05'), ('mzspec:PXDPRIDE:legacyident:index:2', 'ELVISLIVESK', 'ELVISLIVESK/2', FALSE, 2, '["sp|A1","sp|A2"]', '0.05'), ('mzspec:PXDPRIDE:legacyident:index:3', 'DECOYPEPK', 'DECOYPEPK/2', TRUE, 2, '["DECOY_sp|A9"]', '0.5')) AS t(c0, c1, c2, c3, c4, c5, c6) ORDER BY "usi"""",
-
-    // Expected table: picked protein FDR on the demo assay + paired decoy
-    // under loose q gates. DECOY_sp|P1 is absent (lost the pair
-    // competition to sp|P1); the UNPAIRED DECOY_P9 survives — picked
-    // competition only removes losing members of target/decoy pairs.
-    "pipeline_picked_fdr" ->
-      """SELECT c0::VARCHAR AS "reportedAccession", c1::BOOLEAN AS "isDecoy", c2::INTEGER AS "numberPeptides", c3::INTEGER AS "numberPSMs" FROM (VALUES ('DECOY_P9', TRUE, 1, 1), ('sp|P1', FALSE, 2, 2), ('sp|P2', FALSE, 2, 2)) AS t(c0, c1, c2, c3) ORDER BY "reportedAccession"""",
-
-    // Expected table: the PIA protein-FDR parity variant (proteins scored
-    // off the PSM-level FDR score; see pipeline_proteins_combined_fdr in
-    // queries) — values hand-checked: sp|P1 = -log10(.0238095)-log10(.047619)
-    // = 2.94547, sp|P2 = -log10(.047619)-log10(.0714286) = 2.46835.
-    "pipeline_proteins_combined_fdr" ->
-      """SELECT c0::VARCHAR AS "reportedAccession", c1::VARCHAR AS "projectAccession", c2::VARCHAR AS "assayAccession", c3::VARCHAR AS "reanalysisAccession", c4::BOOLEAN AS "isValid", c5::BOOLEAN AS "isDecoy", c6::INTEGER AS "numberPeptides", c7::INTEGER AS "numberPSMs", c8::VARCHAR AS "modificationsNames", c9::VARCHAR AS "bestSearchEngineScore", c10::VARCHAR AS "properties", c11::VARCHAR AS "qualityEstimationMethods", c12::VARCHAR AS "psmAccessions" FROM (VALUES ('sp|P1', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '["UNIMOD:35"]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"2.94547"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 FDRScore)","value":"2.94547"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"},{"charge":2,"precursorMass":458.23,"usi":"mzspec:PXDTEST:run1:index:1","peptideSequence":"PEPTIDEK","peptidoform":"PEP[UNIMOD:35]TIDEK"}]'), ('sp|P2', 'PXDTEST', 'assay1', NULL, TRUE, FALSE, 2, 2, '[]', '{"accession":"MS:1002355","name":"protein-level q-value","value":"2.46835"}', '[{"accession":"MS:1001600","name":"protein inference confidence category","value":"distinguishable"},{"accession":"MS:1002404","name":"multiplicative protein score (-sum log10 FDRScore)","value":"2.46835"}]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]', '[{"charge":2,"precursorMass":456.76,"usi":"mzspec:PXDTEST:run1:index:3","peptideSequence":"AAAAKPEPR","peptidoform":"AAAAKPEPR"},{"charge":2,"precursorMass":607.38,"usi":"mzspec:PXDTEST:run1:index:2","peptideSequence":"ELVISLIVESK","peptidoform":"ELVISLIVESK"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12) ORDER BY "reportedAccession"""",
-
-    // Expected table: the full generate-index-files spectrum output on
-    // the demo assay (complex columns as their JSON text).
-    "pipeline_index_spectra" ->
-      """SELECT c0::VARCHAR AS "usi", c1::VARCHAR AS "spectraUsi", c2::VARCHAR AS "projectAccession", c3::VARCHAR AS "assayAccession", c4::VARCHAR AS "reanalysisAccession", c5::VARCHAR AS "peptideSequence", c6::VARCHAR AS "peptidoform", c7::BOOLEAN AS "isDecoy", c8::BOOLEAN AS "isValid", c9::DOUBLE AS "retentionTime", c10::INTEGER AS "msLevel", c11::INTEGER AS "precursorCharge", c12::DOUBLE AS "precursorMz", c13::VARCHAR AS "masses", c14::VARCHAR AS "intensities", c15::INTEGER AS "numPeaks", c16::INTEGER AS "missedCleavages", c17::VARCHAR AS "proteinAccessions", c18::VARCHAR AS "modifications", c19::VARCHAR AS "bestSearchEngineScore", c20::VARCHAR AS "scores", c21::VARCHAR AS "properties", c22::VARCHAR AS "sampleProperties", c23::VARCHAR AS "qualityEstimationMethods" FROM (VALUES ('mzspec:PXDTEST:run1:index:1', 'mzspec:PXDTEST:run1:index:1', 'PXDTEST', 'assay1', NULL, 'PEPTIDEK', 'PEP[UNIMOD:35]TIDEK/2', FALSE, TRUE, '60.0'::DOUBLE, 2, 2, '400.0'::DOUBLE, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]', 3, 0, '["sp|P1"]', '[{"positionMap":[{"position":3,"probabilities":[]}],"modification":{"cvLabel":"UNIMOD","accession":"UNIMOD:35","name":"UNIMOD:35"},"properties":[]}]', '{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"}', '[{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"},{"accession":"MS:1002354","name":"PSM-level FDRScore","value":"0.023809523809523808"}]', '[{"accession":"PRIDE:0000511","name":"delta m/z","value":"14.502186"}]', '[]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]'), ('mzspec:PXDTEST:run1:index:2', 'mzspec:PXDTEST:run1:index:2', 'PXDTEST', 'assay1', NULL, 'ELVISLIVESK', 'ELVISLIVESK/2', FALSE, TRUE, '61.0'::DOUBLE, 2, 2, '401.0'::DOUBLE, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]', 3, 0, '["sp|P1","sp|P2"]', '[]', '{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"}', '[{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"},{"accession":"MS:1002354","name":"PSM-level FDRScore","value":"0.047619047619047616"}]', '[{"accession":"PRIDE:0000511","name":"delta m/z","value":"7.991189"}]', '[]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]'), ('mzspec:PXDTEST:run1:index:3', 'mzspec:PXDTEST:run1:index:3', 'PXDTEST', 'assay1', NULL, 'AAAAKPEPR', 'AAAAKPEPR/2', FALSE, TRUE, '62.0'::DOUBLE, 2, 2, '402.0'::DOUBLE, '[100.0,200.0,300.0]', '[10.0,20.0,30.0]', 3, 0, '["sp|P2"]', '[]', '{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"}', '[{"accession":"MS:1002355","name":"PSM-level q-value","value":"0.016667"},{"accession":"MS:1002354","name":"PSM-level FDRScore","value":"0.07142857142857142"}]', '[{"accession":"PRIDE:0000511","name":"delta m/z","value":"1.001131"}]', '[]', '[{"accession":"MS:1001194","name":"quality estimation by decoy database","value":"true"}]')) AS t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15, c16, c17, c18, c19, c20, c21, c22, c23) ORDER BY "usi"""",
-
-    // Expected table: deterministic FNV-checksum stub features over the
-    // first 50 documents. Pinned at sf0.01 — the driver's correctness SF
-    // (the media payloads derive from the documents table, so the expected
-    // values are per-SF by construction).
-    "mm_feature_extract" ->
-      """SELECT c0::BIGINT AS "media_id", c1::VARCHAR AS "media_type", c2::INTEGER AS "n_bytes", c3::VARCHAR AS "feature" FROM (VALUES (0, 'image', 157, '[8.092651,9.407623,9.760315,10.367691,9.535294,9.101761,10.812851,11.619644]'), (1, 'audio', 406, '[28.074493,22.767242,24.881042,25.967026,27.02414,24.625977,22.493729,21.71904]'), (2, 'image', 246, '[18.452469,15.750809,14.489822,15.452286,17.384811,15.772385,12.088455,15.094009]'), (3, 'audio', 147, '[6.823715,9.8910675,11.605301,8.691513,7.918106,8.720032,9.21965,7.286865]'), (4, 'image', 250, '[14.998886,15.092239,17.437317,20.3564,17.291656,17.094818,16.512161,12.823578]'), (5, 'audio', 314, '[20.665405,17.940765,19.688995,16.97641,18.985138,20.26271,18.48581,16.890991]'), (6, 'image', 78, '[4.124893,4.9199524,3.872284,3.5119781,4.7860565,4.329544,4.686264,3.8841705]'), (7, 'audio', 402, '[22.46666,22.17067,25.472092,23.60727,22.460663,22.251236,23.45398,26.33818]'), (8, 'image', 470, '[29.764984,28.915833,27.361893,29.494583,31.150116,31.588348,32.82567,28.803497]'), (9, 'audio', 391, '[23.49524,25.611313,24.203018,24.698639,23.140335,24.825607,24.65062,24.274887]'), (10, 'audio', 214, '[13.707657,11.650101,12.926758,13.382675,13.497147,12.9366,11.786102,8.962921]'), (11, 'image', 304, '[18.193726,15.682526,17.034714,19.927292,19.242096,20.065094,21.737747,18.817215]'), (12, 'audio', 348, '[21.633545,22.207916,23.42659,23.84111,19.095917,22.290161,20.368576,19.330887]'), (13, 'image', 346, '[18.99736,21.492569,20.778244,24.14592,18.233795,21.900314,21.86528,25.02237]'), (14, 'audio', 495, '[32.168564,32.34027,27.231415,29.731552,30.241287,28.214157,34.652634,32.87059]'), (15, 'image', 228, '[13.416122,12.982544,15.972839,13.751465,12.258636,13.715439,14.766083,14.739838]'), (16, 'audio', 90, '[5.4134064,5.151535,5.859421,4.6256256,4.3315277,4.7593994,6.8127747,7.0439453]'), (17, 'image', 426, '[24.171417,24.944153,24.226547,25.983444,25.647781,29.99907,25.558731,29.978851]'), (18, 'audio', 423, '[26.15245,24.827087,25.892776,25.61441,26.587234,27.567078,31.372406,26.859756]'), (19, 'image', 57, '[2.2397614,5.3989716,3.1667938,3.3924255,1.4587708,3.946106,3.034729,3.3079224]'), (20, 'image', 394, '[21.70755,23.375488,21.391296,20.086624,22.233963,23.75888,26.061707,23.0607]'), (21, 'audio', 217, '[14.398041,12.675476,12.457535,10.989777,12.802368,13.3089905,14.916718,13.16893]'), (22, 'image', 454, '[28.36444,25.72911,29.979828,25.681488,30.126953,28.859314,27.419098,26.067154]'), (23, 'audio', 166, '[10.146347,9.888809,10.203888,9.64563,10.755432,9.9841,8.883469,10.681198]'), (24, 'image', 535, '[31.200974,32.06697,32.37198,32.195602,31.283676,31.700409,35.188904,36.08426]'), (25, 'audio', 505, '[33.50879,31.614761,30.795685,30.694061,27.251648,32.588013,31.332779,29.252197]'), (26, 'image', 63, '[3.3470154,3.5104675,4.765274,4.1664734,3.947342,2.928711,4.3973083,3.015854]'), (27, 'audio', 346, '[21.887604,22.36229,23.061676,19.096115,24.793549,20.80008,21.000671,23.366623]'), (28, 'image', 334, '[20.54831,18.822556,19.38301,21.094482,19.21785,23.60048,21.022842,22.33229]'), (29, 'audio', 196, '[9.344452,14.582779,13.536331,14.1692505,12.858871,11.924606,13.974487,12.992767]'), (30, 'audio', 167, '[9.57959,12.107361,10.011963,11.559814,8.660568,7.8046265,10.932404,9.724625]'), (31, 'image', 250, '[15.04155,16.586975,15.725815,16.530304,13.70401,19.953522,16.76735,15.128098]'), (32, 'audio', 513, '[32.16835,32.35161,31.831085,29.64743,35.876083,33.20981,31.5867,35.120514]'), (33, 'image', 247, '[11.9539795,15.052551,13.247284,12.5385895,13.2322235,16.596893,15.203018,14.137527]'), (34, 'audio', 165, '[9.874084,8.091721,7.825775,12.95871,11.287079,8.611618,11.670364,7.9308014]'), (35, 'image', 452, '[31.140137,23.969376,29.336273,30.127502,30.16124,25.582825,27.76004,26.603073]'), (36, 'audio', 135, '[6.6020813,9.911667,8.936737,10.3489685,9.70195,7.6422424,7.339386,6.735367]'), (37, 'image', 378, '[27.076172,24.113937,21.880844,22.158508,23.683548,26.313766,24.597809,20.18901]'), (38, 'audio', 203, '[12.158417,14.499924,12.315521,15.207916,11.81337,10.159302,12.155563,12.650467]'), (39, 'image', 124, '[7.7734375,7.006592,7.917099,9.242722,6.705826,7.2056427,7.710312,8.26947]'), (40, 'image', 421, '[26.54869,22.346954,30.848679,23.264297,23.973083,23.75113,27.99173,28.035416]'), (41, 'audio', 337, '[20.914017,18.764389,20.987915,23.584183,19.138107,20.352966,21.25772,19.258911]'), (42, 'image', 303, '[18.024216,19.858795,23.074524,19.828735,16.792908,14.906952,15.254166,19.683426]'), (43, 'audio', 152, '[8.580627,8.357147,11.339996,8.980148,7.6123657,9.817947,9.495178,8.200165]'), (44, 'image', 128, '[10.022461,9.147812,8.852539,6.5509796,7.8925323,9.075607,9.925415,8.345154]'), (45, 'audio', 432, '[26.065811,29.862442,29.203033,28.487228,27.032425,27.28862,30.018692,27.831009]'), (46, 'image', 492, '[31.770538,30.8134,28.402084,28.104446,26.50409,34.616837,31.18924,27.347275]'), (47, 'audio', 224, '[15.034439,14.259354,13.761673,13.470749,15.375931,15.2734375,10.752563,13.386139]'), (48, 'image', 164, '[11.282806,12.033951,9.181747,12.623993,11.242615,8.32251,9.350357,10.306061]'), (49, 'audio', 256, '[17.999146,13.976883,13.834366,16.618393,14.9687195,16.442291,16.424042,13.685898]')) AS t(c0, c1, c2, c3) ORDER BY "media_id"""",
-
-    // Two-stage quantized ANN re-derivation: per-vector int8 quantization
-    // (scale = list_max(|v|)/127, q = floor(v/scale + 0.5) — exact in
-    // double on both engines), sequential-fold int dot (integer-valued
-    // doubles: association-order-proof), (dot*scaleA)*scaleB approx
-    // ranking to k*oversample=20, exact-cosine re-rank to k=5.
-    "sim_quantized_topk" ->
-      s"""WITH z AS (
-         |  SELECT vec_id, embedding,
-         |    greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0,
-         |      1e-30) AS scale
-         |  FROM embeddings),
-         |qz AS (
-         |  SELECT vec_id, embedding, scale,
-         |    list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)) AS iq
-         |  FROM z),
-         |p AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |    (list_reduce(list_prepend(0.0,
-         |       list_transform(range(1,65), i -> a.iq[i] * b.iq[i])), (x,y) -> x+y)
-         |     * a.scale) * b.scale AS approx,
-         |    a.embedding AS qv, b.embedding AS cv
-         |  FROM qz a, qz b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
-         |cand AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nid ASC) AS ar
-         |  FROM p),
-         |sc AS (
-         |  SELECT qid, nid, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM cand WHERE ar <= 20),
-         |r AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY (CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END) DESC,
-         |        nid ASC) AS rank
-         |  FROM sc)
-         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // Full PQ re-derivation (kmeansIters=0): codebook m = sub-slice m of
-    // the 8 smallest-vec_id embeddings; encode = argmin cell per (vector,
-    // subspace) with the engine's (d ASC, cell ASC) tie rule; ADC = the
-    // m-ordered sequential fold of the query's table entries at the
-    // neighbor's codes; candidate cut at k*oversample=20 by (approx ASC,
-    // nid ASC); exact-cosine re-rank to k=5. Every double op mirrors the
-    // engine's fold/association order.
-    "sim_pq_topk" ->
-      s"""WITH cb AS (
-         |  SELECT m.m AS m, t.rn - 1 AS cell,
-         |    list_transform(range(1, 9), j -> t.embedding[m.m * 8 + j]::DOUBLE) AS cent
-         |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
-         |        FROM embeddings) t
-         |  CROSS JOIN (SELECT unnest(range(8)) AS m) m
-         |  WHERE t.rn <= 8),
-         |dall AS (
-         |  SELECT e.vec_id AS id, cb.m, cb.cell,
-         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-         |      j -> (e.embedding[cb.m * 8 + j]::DOUBLE - cb.cent[j])
-         |         * (e.embedding[cb.m * 8 + j]::DOUBLE - cb.cent[j]))), (a,b) -> a+b) AS d
-         |  FROM embeddings e CROSS JOIN cb),
-         |enc AS (
-         |  SELECT id, m, cell FROM (
-         |    SELECT id, m, cell,
-         |      row_number() OVER (PARTITION BY id, m ORDER BY d ASC, cell ASC) AS r
-         |    FROM dall) WHERE r = 1),
-         |pair AS (
-         |  SELECT dq.id AS qid, en.id AS nid, dq.m, dq.d
-         |  FROM enc en JOIN dall dq ON dq.m = en.m AND dq.cell = en.cell
-         |  WHERE dq.id < 10 AND dq.id <> en.id),
-         |adc AS (
-         |  SELECT qid, nid, list_reduce(list(d ORDER BY m), (a,b) -> a+b) AS approx
-         |  FROM pair GROUP BY qid, nid),
-         |cand AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY approx ASC, nid ASC) AS ar
-         |    FROM adc) WHERE ar <= 20),
-         |sc AS (
-         |  SELECT c.qid, c.nid, q.embedding AS qv, n.embedding AS cv
-         |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.qid
-         |  JOIN embeddings n ON n.vec_id = c.nid),
-         |sc2 AS (
-         |  SELECT qid, nid, $dotSql AS dot, ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM sc),
-         |r AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY (CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END) DESC,
-         |        nid ASC) AS rank
-         |  FROM sc2)
-         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // Full re-derivation of the nearest-neighbor byte resample: output
-    // byte j is input byte (j*len)//64, i.e. hex-string positions
-    // ((j*len)//64)*2+1..+2; md5 over the concatenated uppercase hex
-    // pairs matches Spark's md5(hex(payload)).
-    "mm_resize" ->
-      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-        |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0 ELSE 64 END AS n_bytes,
-        |  md5(list_aggregate(
-        |    [substring(hex(text::BLOB),
-        |       CAST((j*octet_length(text::BLOB))//64 AS BIGINT)*2+1, 2)
-        |     for j in range(64)], 'string_agg', '')) AS payload_md5
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // aHash near-dup re-derivation: block bytes from hex slices (the
-    // mm_resize rule), mean-threshold band bits as exact integer sums,
-    // band-keyed candidate join, bit_count(xor) Hamming verify.
-    "mm_phash_neardup" -> {
-      def bandSql(k: Int) =
-        (0 until 16).map(j =>
-          s"(CASE WHEN 64*vals[${16 * k + j + 1}] > total THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
-      s"""WITH d0 AS (
-         |  SELECT doc_id AS id, hex(text::BLOB) AS h,
-         |    octet_length(text::BLOB)::BIGINT AS len
-         |  FROM documents WHERE octet_length(text::BLOB) > 0),
-         |dth AS (
-         |  SELECT id + 1000000 AS id,
-         |    list_aggregate(list_transform(range(128),
-         |      i -> substring(h, CAST(((i*len)//128)*2+1 AS BIGINT), 2)),
-         |      'string_agg', '') AS h,
-         |    128::BIGINT AS len
-         |  FROM d0),
-         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM dth),
-         |v AS (
-         |  SELECT id, list_transform(range(64),
-         |    j -> ('0x' || substring(h, CAST(((j*len)//64)*2+1 AS BIGINT), 2))::BIGINT) AS vals
-         |  FROM d),
-         |tt AS (SELECT id, vals,
-         |  list_reduce(list_prepend(0::BIGINT, vals), (a,b) -> a+b) AS total FROM v),
-         |sg AS (SELECT id,
-         |  ${(0 until 4).map(k => s"(${bandSql(k)}) AS band_$k").mkString(",\n         |  ")}
-         |  FROM tt),
-         |bk AS (
-         |  ${(0 until 4).map(k => s"SELECT id, $k AS band, band_$k AS bv FROM sg")
-                .mkString("\n         |  UNION ALL ")}),
-         |cand AS (
-         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id),
-         |hm AS (
-         |  SELECT id_a, id_b,
-         |    (${(0 until 4).map(k => s"bit_count(xor(a.band_$k, b.band_$k))").mkString(" + ")})::BIGINT AS hamming
-         |  FROM cand JOIN sg a ON a.id = id_a JOIN sg b ON b.id = id_b)
-         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-
-    // Frame i of n (= max(1, duration//100), duration = 1 ms/byte) is the
-    // 24-byte payload slice at byte offset (i*len)//n — re-derived as a
-    // hex-string substring, md5-compared like mm_resize.
-    "mm_frame_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id, hex(text::BLOB) AS h, octet_length(text::BLOB) AS len
-        |  FROM documents),
-        |f AS (SELECT doc_id, h, len, greatest(1, len // 100) AS n FROM d),
-        |x AS (SELECT doc_id, h, len, n, unnest(range(n)) AS i FROM f)
-        |SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
-        |  (i*100)::BIGINT AS ts_ms,
-        |  least(24, len - (i*len)//n)::INTEGER AS n_bytes,
-        |  md5(substring(h, CAST((i*len)//n AS BIGINT)*2+1,
-        |    least(24, len - (i*len)//n)*2)) AS frame_md5
-        |FROM x ORDER BY media_id, frame_idx""".stripMargin,
-
-    // Expected table: deterministic IVF top-k (Lloyd cells use min-id init
-    // and decimal-exact means; re-rank values are exact cosine). Pinned at
-    // sf0.01 — the driver's correctness SF.
-    "sim_ivf_topk" -> IvfExpectedSql,
-    "sim_ivf_disk" -> IvfExpectedSql,
-
-    // Full SQL re-derivation of the two-stage Combined FDR Score
-    // (per-engine rank-interpolated FDR scores -> sorted-product ->
-    // per-engine-combination target-decoy calibration).
-    "fdr_combined_score" ->
-      """WITH ev AS (
-        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'engineA' ELSE 'engineB' END AS engine,
-        |    'spec' || (event_id // 4)::VARCHAR AS spectrum,
-        |    'PEP' || (event_id // 4)::VARCHAR AS peptide,
-        |    value AS score, event_type = 'error' AS decoy, event_id::VARCHAR AS psmId
-        |  FROM events WHERE event_id < 2000),
-        |cum AS (
-        |  SELECT *,
-        |    sum(CASE WHEN decoy THEN 1 ELSE 0 END) OVER wb AS cum_decoys,
-        |    sum(CASE WHEN decoy THEN 0 ELSE 1 END) OVER wb AS cum_targets,
-        |    row_number() OVER wo AS rn
-        |  FROM ev
-        |  WINDOW wb AS (PARTITION BY engine ORDER BY score DESC, psmId ASC
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         wo AS (PARTITION BY engine ORDER BY score DESC, psmId ASC)),
-        |f AS (SELECT *, cum_decoys::DOUBLE / greatest(cum_targets, 1) AS fdr FROM cum),
-        |qv AS (
-        |  SELECT *, min(fdr) OVER (PARTITION BY engine ORDER BY score ASC, psmId DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_value
-        |  FROM f),
-        |interp AS (
-        |  SELECT *,
-        |    coalesce(last_value(CASE WHEN decoy THEN rn END IGNORE NULLS) OVER wp, 0) AS r0,
-        |    coalesce(last_value(CASE WHEN decoy THEN q_value END IGNORE NULLS) OVER wp, 0.0) AS q0,
-        |    first_value(CASE WHEN decoy THEN rn END IGNORE NULLS) OVER wn AS r1,
-        |    first_value(CASE WHEN decoy THEN q_value END IGNORE NULLS) OVER wn AS q1
-        |  FROM qv
-        |  WINDOW wp AS (PARTITION BY engine ORDER BY score DESC, psmId ASC
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         wn AS (PARTITION BY engine ORDER BY score DESC, psmId ASC
-        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |fs AS (
-        |  SELECT *, CASE WHEN r1 IS NULL THEN q_value WHEN r1 = r0 THEN q1
-        |    ELSE q0 + (rn - r0)::DOUBLE * (q1 - q0) / (r1 - r0)::DOUBLE END AS fdr_score
-        |  FROM interp),
-        |bpe AS (
-        |  SELECT spectrum, peptide, engine, min(fdr_score) AS fdr_score, max(decoy) AS dec
-        |  FROM fs GROUP BY spectrum, peptide, engine),
-        |comb AS (
-        |  SELECT spectrum, peptide,
-        |    to_json(list_sort(list_distinct(list(engine)))) AS engines,
-        |    max(dec) AS is_decoy,
-        |    list_reduce(list_prepend(1.0::DOUBLE, list_sort(list(greatest(fdr_score, 1e-12)))),
-        |      (a, b) -> a * b) AS combined_fdr_score,
-        |    min(fdr_score) AS best_engine_fdr_score
-        |  FROM bpe GROUP BY spectrum, peptide),
-        |cum2 AS (
-        |  SELECT *,
-        |    sum(CASE WHEN is_decoy THEN 1 ELSE 0 END) OVER wb2 AS cd,
-        |    sum(CASE WHEN is_decoy THEN 0 ELSE 1 END) OVER wb2 AS ct
-        |  FROM comb
-        |  WINDOW wb2 AS (PARTITION BY engines
-        |                 ORDER BY combined_fdr_score ASC, spectrum ASC, peptide ASC
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |f2 AS (SELECT *, cd::DOUBLE / greatest(ct, 1) AS fdr2 FROM cum2),
-        |q2 AS (
-        |  SELECT *, min(fdr2) OVER (PARTITION BY engines
-        |    ORDER BY combined_fdr_score DESC, spectrum DESC, peptide DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS combined_q_value
-        |  FROM f2)
-        |SELECT spectrum, peptide, engines, is_decoy, combined_fdr_score,
-        |  best_engine_fdr_score, combined_q_value
-        |FROM q2 ORDER BY spectrum, peptide""".stripMargin,
-
-    // Stage-wise SQL composition of the corpus pipeline: quality gate ->
-    // langid -> exact dedup -> MinHash-LSH pairs -> recursive-CTE
-    // connected components -> min-id representatives.
-    "tdp_build_corpus" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id AS id, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT id, text, toks, len(toks) AS n_tokens,
-        |    list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a,b) -> a+b)::DOUBLE
-        |      / len(toks) AS mean_token_len,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
-        |      / len(toks) AS stopword_ratio,
-        |    (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
-        |      / len(text) AS punct_ratio,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
-        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
-        |  FROM tk),
-        |scored AS (
-        |  SELECT id, text, toks,
-        |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
-        |      + (CASE WHEN stopword_ratio > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
-        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score,
-        |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) <= 0 THEN 'und'
-        |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
-        |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
-        |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
-        |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
-        |         ELSE 'zh' END AS predicted_lang
-        |  FROM m),
-        |qual AS (SELECT * FROM scored WHERE quality_score >= 0.5),
-        |surv AS (SELECT min(id) AS id FROM qual GROUP BY md5(text)),
-        |exdocs AS (SELECT q.* FROM qual q JOIN surv e ON q.id = e.id),
-        |sh AS (
-        |  SELECT DISTINCT id,
-        |    unnest(list_distinct(CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
-        |  FROM exdocs),
-        |hs AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-        |mh AS (
-        |  SELECT id, i, min((a * h + b) % 2147483647) AS mhv
-        |  FROM hs CROSS JOIN (SELECT * FROM (VALUES MINHASH_COEFFS) AS t(i, a, b)) co
-        |  GROUP BY id, i),
-        |sig AS (SELECT id, list(mhv ORDER BY i) AS s FROM mh GROUP BY id),
-        |bands AS (
-        |  SELECT id, b,
-        |    md5(s[4*b+1]::VARCHAR || ':' || s[4*b+2]::VARCHAR || ':' ||
-        |        s[4*b+3]::VARCHAR || ':' || s[4*b+4]::VARCHAR) AS bh
-        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-        |  FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.id < r.id),
-        |est AS (
-        |  SELECT id_a, id_b, sum(CASE WHEN ma.mhv = mb.mhv THEN 1 ELSE 0 END) / 16.0 AS ej
-        |  FROM cand
-        |  JOIN mh ma ON ma.id = id_a
-        |  JOIN mh mb ON mb.id = id_b AND mb.i = ma.i
-        |  GROUP BY id_a, id_b),
-        |pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.6),
-        |edges AS (
-        |  SELECT id_a AS s, id_b AS d FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT s AS id, s AS r FROM edges
-        |  UNION
-        |  SELECT e.s AS id, rr.r FROM edges e JOIN reach rr ON e.d = rr.id),
-        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-        |losers AS (SELECT id FROM comp WHERE id <> component)
-        |SELECT id, text, predicted_lang, quality_score
-        |FROM exdocs WHERE id NOT IN (SELECT id FROM losers)
-        |ORDER BY id""".stripMargin.replace("MINHASH_COEFFS", minhashCoeffs),
-
-  )
-
-  /** Live SQL re-derivations for the VALUES-pinned oracles (round-8 oracle
-    * policy, VERDICT r7 item 1): each pinned query keeps its full DuckDB
-    * re-derivation HERE, replayed by tools/check_oracle.py in the local
-    * environment only. The driver-facing oracle (oracleSql) is the
-    * reviewed VALUES pin in [[PinnedOracles]] — environment-proof because
-    * it re-states the verified output instead of re-deriving ln/log2
-    * contributions in whatever libm the gate's DuckDB links (two rounds
-    * of last-digit flips at 9 dp; see gen_pins.py header). The pin proves
-    * environment-independence; this map keeps proving the logic.
-    */
-  /** Boilerplate-scrub re-derivation: positional line explode, distinct
-    * document frequencies, the ceil(frac * n) threshold, NOT EXISTS
-    * anti-join, ordered string_agg rebuild — mirror of
-    * Curation.removeBoilerplateLines term for term. `sepSql` is a SQL
-    * expression for the separator (e.g. "' '" or "chr(10)"). */
-  private def boilerplateScrubSql(docsFrom: String, sepSql: String, frac: Double): String =
-    s"""WITH d AS (SELECT id, text FROM $docsFrom),
-       |n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
-       |l AS (
-       |  SELECT id, i, L[i] AS line
-       |  FROM (SELECT id, string_split(text, $sepSql) AS L FROM d),
-       |  LATERAL unnest(generate_series(1, len(L))) AS g(i)),
-       |dfc AS (SELECT line, count(DISTINCT id)::BIGINT AS df FROM l GROUP BY line),
-       |boiler AS (
-       |  SELECT line FROM dfc CROSS JOIN n
-       |  WHERE df >= ceil('$frac'::DOUBLE * n_docs::DOUBLE)),
-       |keep AS (
-       |  SELECT id, i, line FROM l
-       |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)),
-       |reb AS (
-       |  SELECT id, count(*)::BIGINT AS n_kept,
-       |    string_agg(line, $sepSql ORDER BY i) AS text_clean
-       |  FROM keep GROUP BY id),
-       |tot AS (SELECT id, len(string_split(text, $sepSql))::BIGINT AS n_lines FROM d)
-       |SELECT t.id AS doc_id, t.n_lines,
-       |  t.n_lines - coalesce(r.n_kept, 0) AS n_removed,
-       |  coalesce(r.text_clean, '') AS text_clean
-       |FROM tot t LEFT JOIN reb r ON r.id = t.id
-       |ORDER BY doc_id""".stripMargin
-
-  /** Quality-ensemble re-derivation: the shared LM CTE chain, the
-    * txt_quality heuristic CASE, the txt_quality_model hashed sum, then
-    * 20-bin per-signal CDF calibration and the fixed weighted mean —
-    * every arithmetic step mirrors the Scala columns term for term. */
-  private def ensembleCtes: String =
-    lmScoreCtes("(SELECT doc_id AS id, text FROM documents)", 20, 400) +
-      s""",
-        |lmsc AS (
-        |  SELECT d.id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-        |    ((a.u * 2 + a.n_tokens) // (a.n_tokens * 2))::DOUBLE / 1000000 AS lm_score
-        |  FROM d LEFT JOIN agg a ON d.id = a.id),
-        |hm AS (
-        |  SELECT doc_id AS id, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |hq AS (
-        |  SELECT id, coalesce(
-        |    (CASE WHEN len(toks) >= 10 AND len(toks) <= 10000
-        |          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
-        |    + (CASE WHEN len(list_filter(toks,
-        |          t -> t IN ('the','a','of','and','to','in','is','that')))::DOUBLE
-        |          / len(toks) > 0.02 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
-        |    + (CASE WHEN (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
-        |          / len(text) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END),
-        |    0.0::DOUBLE) AS q_heuristic
-        |  FROM hm),
-        |qtok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
-        |  FROM documents),
-        |qb AS (SELECT doc_id,
-        |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
-        |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
-        |      FROM qtok),
-        |qs AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM qb GROUP BY doc_id),
-        |qm AS (
-        |  SELECT d0.doc_id AS id,
-        |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
-        |         ELSE sw::DOUBLE / 1000.0 / n END AS q_model
-        |  FROM documents d0 LEFT JOIN qs s ON d0.doc_id = s.doc_id),
-        |sigj AS (
-        |  SELECT l.id, l.n_tokens, h.q_heuristic, q.q_model, l.lm_score
-        |  FROM lmsc l JOIN hq h USING (id) JOIN qm q USING (id)),
-        |binned AS (
-        |  SELECT *,
-        |    least(19, greatest(0,
-        |      floor((q_heuristic - 0.0::DOUBLE) * 20.0::DOUBLE / 1.0::DOUBLE)::INT)) AS bh,
-        |    least(19, greatest(0,
-        |      floor((q_model - '-1.0'::DOUBLE) * 20.0::DOUBLE / 2.0::DOUBLE)::INT)) AS bm,
-        |    CASE WHEN lm_score IS NOT NULL THEN least(19, greatest(0,
-        |      floor((lm_score - 0.0::DOUBLE) * 20.0::DOUBLE / 16.0::DOUBLE)::INT)) END AS bl
-        |  FROM sigj),
-        |hist AS (
-        |  SELECT sig_i, bin, count(*)::BIGINT AS n FROM (
-        |    SELECT 0 AS sig_i, bh AS bin FROM binned
-        |    UNION ALL SELECT 1, bm FROM binned
-        |    UNION ALL SELECT 2, bl FROM binned)
-        |  WHERE bin IS NOT NULL GROUP BY sig_i, bin),
-        |cdfq AS (
-        |  SELECT sig_i, bin,
-        |    (sum(n) OVER (PARTITION BY sig_i ORDER BY bin ROWS UNBOUNDED PRECEDING))::DOUBLE
-        |      / (sum(n) OVER (PARTITION BY sig_i))::DOUBLE AS cdf
-        |  FROM hist),
-        |ens AS (
-        |  SELECT b.id AS doc_id, b.n_tokens, b.q_heuristic, b.q_model, b.lm_score,
-        |    ch.cdf AS cal_heuristic, cm.cdf AS cal_model, cl.cdf AS cal_lm,
-        |    0.25::DOUBLE * ch.cdf + 0.35::DOUBLE * cm.cdf
-        |      + 0.40::DOUBLE * (1.0::DOUBLE - cl.cdf) AS ensemble
-        |  FROM binned b
-        |  LEFT JOIN cdfq ch ON ch.sig_i = 0 AND ch.bin = b.bh
-        |  LEFT JOIN cdfq cm ON cm.sig_i = 1 AND cm.bin = b.bm
-        |  LEFT JOIN cdfq cl ON cl.sig_i = 2 AND cl.bin = b.bl)""".stripMargin
-
-  private def qualityEnsembleSql: String =
-    ensembleCtes + """
-      |SELECT doc_id, n_tokens, q_heuristic, q_model, lm_score,
-      |  cal_heuristic, cal_model, cal_lm, ensemble
-      |FROM ens ORDER BY doc_id""".stripMargin
-
-  /** The ensemble driven through calibrationReport (same bucket math and
-    * 9-dp round-then-decimal mean as the dq_calibration oracle). Lives in
-    * rederiveSql only: its text mixes the LM ln() with the calibration
-    * contract's round(.., 9), the exact combination the round-8 lint
-    * forbids in a live oracle — so the shipped oracle is a VALUES pin. */
-  private def ensembleCalibrationSql: String =
-    ensembleCtes + """,
-      |j AS (
-      |  SELECT ensemble AS sv, (q_heuristic >= 1.0::DOUBLE) AS y FROM ens
-      |  WHERE ensemble IS NOT NULL AND q_heuristic IS NOT NULL),
-      |g AS (
-      |  SELECT least(9, greatest(0,
-      |      floor((sv - 0.0::DOUBLE) * 10.0::DOUBLE / 1.0::DOUBLE)::INT)) AS bucket,
-      |    count(*)::BIGINT AS n, sum(y::INT)::BIGINT AS n_pos,
-      |    sum(round(sv, 9)::DECIMAL(28,9))::DOUBLE / count(*)::DOUBLE AS mean_score
-      |  FROM j GROUP BY 1)
-      |SELECT bucket, n, n_pos, mean_score,
-      |  n_pos::DOUBLE / n::DOUBLE AS pos_rate
-      |FROM g ORDER BY bucket""".stripMargin
-
-  val rederiveSql: Map[String, String] = Map(
-    "txt_ensemble_calibration" -> ensembleCalibrationSql,
-    "txt_boilerplate_fx" -> boilerplateScrubSql(
-      """(SELECT c0::BIGINT AS id, c1::VARCHAR AS text FROM (VALUES
-        |  (1, 'COOKIE BANNER' || chr(10) || 'alpha beta' || chr(10) || 'footer'),
-        |  (2, 'COOKIE BANNER' || chr(10) || 'gamma delta' || chr(10) || 'footer'),
-        |  (3, 'COOKIE BANNER' || chr(10) || 'epsilon zeta'),
-        |  (4, 'COOKIE BANNER' || chr(10) || 'footer')) AS t(c0, c1))""".stripMargin,
-      "chr(10)", 0.6),
-    "w3_top_rank_fx" ->
-      """SELECT user_id, rank, event_id, value FROM (
-        |  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
-        |  FROM (VALUES (1, 1, '0.5'::DOUBLE), (1, 2, '0.9'::DOUBLE), (1, 3, '0.9'::DOUBLE),
-        |    (1, 4, '0.1'::DOUBLE), (2, 5, '1.0'::DOUBLE), (3, 6, '2.0'::DOUBLE),
-        |    (3, 7, '3.0'::DOUBLE), (3, 8, '1.0'::DOUBLE)) AS t(user_id, event_id, value))
-        |WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
-
-    "tdp_psi_drift" ->
-      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
-        |ba AS (
-        |  SELECT least(11, greatest(0,
-        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
-        |    count(*)::BIGINT AS n_a
-        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |bb AS (
-        |  SELECT least(11, greatest(0,
-        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
-        |    count(*)::BIGINT AS n_b
-        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
-        |  GROUP BY 1),
-        |j AS (
-        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
-        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
-        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
-        |  LEFT JOIN bb ON bb.bucket = b.bucket),
-        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
-        |c AS (
-        |  SELECT j.bucket, j.n_a, j.n_b,
-        |    CAST(round(((j.n_a + 1)::DOUBLE / (t.t_a + 12) - (j.n_b + 1)::DOUBLE / (t.t_b + 12))
-        |      * ln(((j.n_a + 1)::DOUBLE / (t.t_a + 12)) / ((j.n_b + 1)::DOUBLE / (t.t_b + 12)))
-        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
-        |  FROM j CROSS JOIN t),
-        |p AS (SELECT sum(contrib_n9)::BIGINT AS psi_n9 FROM c)
-        |SELECT c.bucket::INT AS bucket, c.n_a, c.n_b, c.contrib_n9, p.psi_n9
-        |FROM c CROSS JOIN p ORDER BY bucket""".stripMargin,
-
-    "dq_chi_square" ->
-      """WITH cells AS (
-        |  SELECT source::VARCHAR AS r, lang::VARCHAR AS c, count(*)::BIGINT AS o
-        |  FROM documents GROUP BY 1, 2),
-        |rt AS (SELECT r, sum(o)::BIGINT AS mrt FROM cells GROUP BY r),
-        |ct AS (SELECT c, sum(o)::BIGINT AS mct FROM cells GROUP BY c),
-        |nn AS (SELECT sum(mrt)::BIGINT AS n, count(*)::BIGINT AS nr FROM rt),
-        |nc AS (SELECT count(*)::BIGINT AS ncl FROM ct),
-        |we AS (
-        |  SELECT cells.r, cells.c, cells.o,
-        |    (rt.mrt * ct.mct)::DOUBLE / nn.n::DOUBLE AS e
-        |  FROM cells
-        |  JOIN rt ON rt.r IS NOT DISTINCT FROM cells.r
-        |  JOIN ct ON ct.c IS NOT DISTINCT FROM cells.c
-        |  CROSS JOIN nn),
-        |wc AS (
-        |  SELECT r, c, o,
-        |    CAST(round(e * 1000000000.0::DOUBLE) AS BIGINT) AS e_n9,
-        |    CAST(round((o - e) * (o - e) / e * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9,
-        |    CAST(round(o::DOUBLE * o::DOUBLE / e * 1000000000.0::DOUBLE) AS BIGINT) AS term_n9
-        |  FROM we),
-        |st AS (
-        |  SELECT (sum(wc.term_n9) - nn.n * 1000000000)::BIGINT AS chi2_n9,
-        |    ((nn.nr - 1) * (nc.ncl - 1))::BIGINT AS dof
-        |  FROM wc CROSS JOIN nn CROSS JOIN nc GROUP BY nn.n, nn.nr, nc.ncl)
-        |SELECT wc.r, wc.c, wc.o, wc.e_n9, wc.contrib_n9, st.chi2_n9, st.dof
-        |FROM wc CROSS JOIN st ORDER BY r, c""".stripMargin,
-
-    "txt_vocab_drift" ->
-      """WITH ca AS (
-        |  SELECT term, count(*)::BIGINT AS c_a FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
-        |      AS term
-        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY term),
-        |cb AS (
-        |  SELECT term, count(*)::BIGINT AS c_b FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
-        |      AS term
-        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY term),
-        |u AS (
-        |  SELECT term, coalesce(c_a, 0) + coalesce(c_b, 0) AS c
-        |  FROM ca FULL OUTER JOIN cb USING (term)),
-        |v AS (SELECT term FROM u ORDER BY c DESC, term LIMIT 25),
-        |j AS (
-        |  SELECT v.term, coalesce(ca.c_a, 0)::BIGINT AS c_a,
-        |    coalesce(cb.c_b, 0)::BIGINT AS c_b
-        |  FROM v LEFT JOIN ca USING (term) LEFT JOIN cb USING (term)),
-        |t AS (SELECT
-        |  (SELECT coalesce(sum(c_a), 0)::BIGINT FROM ca) AS t_a,
-        |  (SELECT coalesce(sum(c_b), 0)::BIGINT FROM cb) AS t_b,
-        |  (SELECT coalesce(sum(c_a), 0)::BIGINT FROM j) AS v_a,
-        |  (SELECT coalesce(sum(c_b), 0)::BIGINT FROM j) AS v_b),
-        |w AS (
-        |  SELECT term, c_a, c_b FROM j
-        |  UNION ALL SELECT '<oov>', t_a - v_a, t_b - v_b FROM t),
-        |pq AS (
-        |  SELECT w.term, w.c_a, w.c_b,
-        |    (w.c_a + 1)::DOUBLE / (t.t_a + 26) AS p,
-        |    (w.c_b + 1)::DOUBLE / (t.t_b + 26) AS q
-        |  FROM w CROSS JOIN t),
-        |c2 AS (
-        |  SELECT term, c_a, c_b,
-        |    CAST(round(('0.5'::DOUBLE * (p * ln(p / ((p + q) / '2.0'::DOUBLE)))
-        |        + '0.5'::DOUBLE * (q * ln(q / ((p + q) / '2.0'::DOUBLE))))
-        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
-        |  FROM pq),
-        |js AS (SELECT sum(contrib_n9)::BIGINT AS js_n9 FROM c2)
-        |SELECT c2.term, c2.c_a, c2.c_b, c2.contrib_n9, js.js_n9
-        |FROM c2 CROSS JOIN js ORDER BY term""".stripMargin,
-
-    "dq_label_balance" ->
-      """WITH cells AS (
-        |  SELECT source::VARCHAR AS g, lang::VARCHAR AS l, count(*)::BIGINT AS c
-        |  FROM documents GROUP BY 1, 2),
-        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
-        |w AS (
-        |  SELECT cells.g, cells.c, tot.n, cells.c::DOUBLE / tot.n::DOUBLE AS p
-        |  FROM cells JOIN tot ON tot.g IS NOT DISTINCT FROM cells.g),
-        |c2 AS (
-        |  SELECT g, n,
-        |    CAST(round((-p) * ln(p) * 1000000000.0::DOUBLE) AS BIGINT) AS h_n9,
-        |    CAST(round(p * p * 1000000000.0::DOUBLE) AS BIGINT) AS g_n9
-        |  FROM w)
-        |SELECT g AS "group", min(n)::BIGINT AS n, count(*)::BIGINT AS n_labels,
-        |  sum(h_n9)::BIGINT AS entropy_n9,
-        |  (1000000000 - sum(g_n9))::BIGINT AS gini_n9
-        |FROM c2 GROUP BY g ORDER BY "group"""".stripMargin,
-
-    "txt_lm_score_fx" ->
-      lmScoreSql(
-        "(VALUES (1, 'a b a b c'), (2, 'a a a'), (3, 'c d a'), (4, '')) AS v(id, text)",
-        3, 10),
-
-    "e_windowed_drift_fx" ->
-      """WITH ev(event_id, ts, event_type) AS (VALUES
-        |  (1, '2024-01-01 00:05:00'::TIMESTAMP, 'a'),
-        |  (2, '2024-01-01 00:10:00'::TIMESTAMP, 'a'),
-        |  (3, '2024-01-01 00:20:00'::TIMESTAMP, 'b'),
-        |  (4, '2024-01-01 01:05:00'::TIMESTAMP, 'b'),
-        |  (5, '2024-01-01 01:10:00'::TIMESTAMP, 'b'),
-        |  (6, '2024-01-01 01:20:00'::TIMESTAMP, 'zz')),
-        |ref(category, ref_n) AS (VALUES ('a', 2::BIGINT), ('b', 1::BIGINT)),
-        |rs AS (SELECT count(*)::BIGINT AS n_cats, sum(ref_n)::BIGINT AS ref_total FROM ref),
-        |cnt AS (
-        |  SELECT date_trunc('hour', ts) AS w,
-        |    CASE WHEN event_type IN (SELECT category FROM ref)
-        |         THEN event_type ELSE '<other>' END AS category,
-        |    count(*)::BIGINT AS n
-        |  FROM ev GROUP BY 1, 2),
-        |wins AS (SELECT w, sum(n)::BIGINT AS n_w FROM cnt GROUP BY w),
-        |space AS (
-        |  SELECT category, ref_n FROM ref
-        |  UNION ALL SELECT '<other>', 0::BIGINT),
-        |grid AS (
-        |  SELECT wins.w, wins.n_w, space.category, space.ref_n
-        |  FROM wins CROSS JOIN space),
-        |j AS (
-        |  SELECT g.w, g.n_w, g.category, g.ref_n, coalesce(cnt.n, 0)::BIGINT AS n
-        |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
-        |c AS (
-        |  SELECT w, category, n,
-        |    CAST(round((((n + 1)::DOUBLE / (n_w + n_cats + 1)
-        |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
-        |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
-        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))))
-        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
-        |  FROM j CROSS JOIN rs),
-        |p AS (SELECT w, sum(contrib_n9)::BIGINT AS psi_n9 FROM c GROUP BY w)
-        |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start, c.category, c.n,
-        |  c.contrib_n9, p.psi_n9
-        |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
-
-    "txt_normalize_fx" ->
-      """WITH d(id, text) AS (VALUES
-        |  (1, 'Cafe' || chr(769) || ' au lait'),
-        |  (2, 'Caf' || chr(233) || ' au lait'),
-        |  (3, 'plain ascii'),
-        |  (4, 'A' || chr(778) || ' ring'),
-        |  (5, chr(8491) || ' angstrom sign'))
-        |SELECT id::BIGINT AS id, nfc_normalize(text) AS norm,
-        |  nfc_normalize(text) = text AS unchanged
-        |FROM d ORDER BY id""".stripMargin,
-
-    "e_windowed_drift" ->
-      """WITH ref AS (
-        |  SELECT event_type::VARCHAR AS category, count(*)::BIGINT AS ref_n
-        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
-        |rs AS (SELECT count(*)::BIGINT AS n_cats, sum(ref_n)::BIGINT AS ref_total FROM ref),
-        |cnt AS (
-        |  SELECT date_trunc('hour', ts) AS w,
-        |    CASE WHEN event_type IN (SELECT category FROM ref)
-        |         THEN event_type::VARCHAR ELSE '<other>' END AS category,
-        |    count(*)::BIGINT AS n
-        |  FROM events GROUP BY 1, 2),
-        |wins AS (SELECT w, sum(n)::BIGINT AS n_w FROM cnt GROUP BY w),
-        |space AS (
-        |  SELECT category, ref_n FROM ref
-        |  UNION ALL SELECT '<other>', 0::BIGINT),
-        |grid AS (
-        |  SELECT wins.w, wins.n_w, space.category, space.ref_n
-        |  FROM wins CROSS JOIN space),
-        |j AS (
-        |  SELECT g.w, g.n_w, g.category, g.ref_n, coalesce(cnt.n, 0)::BIGINT AS n
-        |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
-        |c AS (
-        |  SELECT w, category, n,
-        |    CAST(round((((n + 1)::DOUBLE / (n_w + n_cats + 1)
-        |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
-        |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
-        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))))
-        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
-        |  FROM j CROSS JOIN rs),
-        |p AS (SELECT w, sum(contrib_n9)::BIGINT AS psi_n9 FROM c GROUP BY w)
-        |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start, c.category, c.n,
-        |  c.contrib_n9, p.psi_n9
-        |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
-
-    "e_stream_window_fx" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
-        |FROM (VALUES
-        |  (TIMESTAMP '2025-01-01 00:05:00', 'click', '1.25'::DOUBLE),
-        |  (TIMESTAMP '2025-01-01 00:40:00', 'click', '2.5'::DOUBLE),
-        |  (TIMESTAMP '2025-01-01 00:55:00', 'view', '0.75'::DOUBLE),
-        |  (TIMESTAMP '2025-01-01 01:10:00', 'click', '3.25'::DOUBLE),
-        |  (TIMESTAMP '2025-01-01 01:59:59', 'error', '1.0'::DOUBLE),
-        |  (TIMESTAMP '2025-01-01 02:00:00', 'view', '4.5'::DOUBLE)) AS t(ts, event_type, value)
-        |GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
-
-    "e_session_window_fx" ->
-      """WITH ev AS (
-        |  SELECT user_id::BIGINT AS user_id, ts, value FROM (VALUES
-        |    (1, TIMESTAMP '2025-01-01 00:00:00', '1.25'::DOUBLE),
-        |    (1, TIMESTAMP '2025-01-01 00:10:00', '2.5'::DOUBLE),
-        |    (1, TIMESTAMP '2025-01-01 01:00:00', '0.75'::DOUBLE),
-        |    (2, TIMESTAMP '2025-01-01 00:05:00', '4.0'::DOUBLE)) AS t(user_id, ts, value)
-        |), s AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), g AS (
-        |  SELECT *, sum(new_sess) OVER
-        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM s
-        |)
-        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  user_id, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    "txt_retrieval_metrics" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |st AS (SELECT count(t)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM d),
-        |post AS (SELECT id, len(t) AS dl, unnest(t) AS term FROM d),
-        |qp AS (
-        |  SELECT id, term, count(*)::BIGINT AS tf, min(dl) AS dl FROM post
-        |  WHERE term IN ('spark', 'query', 'fast') GROUP BY id, term),
-        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY term),
-        |sc AS (
-        |  SELECT id,
-        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS s,
-        |    count(*)::BIGINT AS n_matched
-        |  FROM qp JOIN dfreq USING (term) CROSS JOIN st GROUP BY id),
-        |run AS (
-        |  SELECT id AS doc_id, round(s, 6) AS score FROM sc
-        |  ORDER BY score DESC, doc_id LIMIT 10),
-        |ranked AS (
-        |  SELECT doc_id,
-        |    row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
-        |  FROM run),
-        |qrels AS (SELECT id AS doc_id FROM d
-        |  WHERE list_has_all(t, ['spark', 'query', 'fast'])),
-        |nrel AS (SELECT count(*)::BIGINT AS n_rel FROM qrels),
-        |hits AS (
-        |  SELECT rank FROM ranked
-        |  WHERE rank <= 10 AND doc_id IN (SELECT doc_id FROM qrels)),
-        |hag AS (
-        |  SELECT count(*)::BIGINT AS hits_k, min(rank) AS first_rank,
-        |    sum(CAST(round('1000000000.0'::DOUBLE / log2(rank + '1.0'::DOUBLE)) AS BIGINT))
-        |      ::BIGINT AS dcg_n9
-        |  FROM hits),
-        |ig AS (
-        |  SELECT sum(CAST(round('1000000000.0'::DOUBLE / log2(r + '1.0'::DOUBLE)) AS BIGINT))
-        |      ::BIGINT AS idcg_n9
-        |  FROM (SELECT unnest(range(1, least(10, (SELECT n_rel FROM nrel)) + 1)) AS r))
-        |SELECT 1::BIGINT AS query_id, nrel.n_rel,
-        |  coalesce(hag.hits_k, 0)::BIGINT AS hits_k,
-        |  CASE WHEN hag.first_rank IS NOT NULL
-        |       THEN '1.0'::DOUBLE / hag.first_rank::DOUBLE ELSE '0.0'::DOUBLE END AS mrr,
-        |  coalesce(hag.hits_k, 0)::DOUBLE / nrel.n_rel::DOUBLE AS recall_k,
-        |  coalesce(hag.dcg_n9, 0)::BIGINT AS dcg_n9,
-        |  ig.idcg_n9,
-        |  (coalesce(hag.dcg_n9, 0) * 1000000) // ig.idcg_n9 AS ndcg_fp
-        |FROM nrel CROSS JOIN hag CROSS JOIN ig""".stripMargin,
-
-    "txt_retrieval_metrics_fx" ->
-      """WITH runs(query_id, doc_id, rank) AS (VALUES
-        |  (1, 10, 1), (1, 11, 2), (1, 12, 3),
-        |  (3, 30, 1), (3, 31, 2),
-        |  (4, 40, 1)),
-        |qrels(query_id, doc_id) AS (VALUES
-        |  (1, 11), (1, 99),
-        |  (2, 20),
-        |  (3, 30), (3, 31), (3, 32), (3, 33)),
-        |nrel AS (
-        |  SELECT query_id::BIGINT AS query_id, count(*)::BIGINT AS n_rel
-        |  FROM qrels GROUP BY query_id),
-        |hits AS (
-        |  SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank
-        |  FROM runs r JOIN qrels q
-        |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
-        |  WHERE r.rank <= 3),
-        |hag AS (
-        |  SELECT query_id, count(*)::BIGINT AS hits_k, min(rank) AS first_rank,
-        |    sum(CAST(round('1000000000.0'::DOUBLE / log2(rank + '1.0'::DOUBLE)) AS BIGINT))
-        |      ::BIGINT AS dcg_n9
-        |  FROM hits GROUP BY query_id),
-        |ig AS (
-        |  SELECT query_id, n_rel,
-        |    sum(CAST(round('1000000000.0'::DOUBLE / log2(r + '1.0'::DOUBLE)) AS BIGINT))
-        |      ::BIGINT AS idcg_n9
-        |  FROM nrel, LATERAL unnest(range(1, least(3, n_rel) + 1)) AS u(r)
-        |  GROUP BY query_id, n_rel)
-        |SELECT ig.query_id, ig.n_rel,
-        |  coalesce(hag.hits_k, 0)::BIGINT AS hits_k,
-        |  CASE WHEN hag.first_rank IS NOT NULL
-        |       THEN '1.0'::DOUBLE / hag.first_rank::DOUBLE ELSE '0.0'::DOUBLE END AS mrr,
-        |  coalesce(hag.hits_k, 0)::DOUBLE / ig.n_rel::DOUBLE AS recall_k,
-        |  coalesce(hag.dcg_n9, 0)::BIGINT AS dcg_n9,
-        |  ig.idcg_n9,
-        |  (coalesce(hag.dcg_n9, 0) * 1000000) // ig.idcg_n9 AS ndcg_fp
-        |FROM ig LEFT JOIN hag ON hag.query_id = ig.query_id
-        |ORDER BY ig.query_id""".stripMargin,
-  )
-
+  /** SURVEY.md §2 operator registry, assembled from the per-family
+    * registry objects ([[QueriesReference]], [[QueriesDedupSim]],
+    * [[QueriesTextCuration]], [[QueriesEventsQuality]] — round-11
+    * maintainability split; keys and semantics unchanged, families are
+    * key-disjoint by construction). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesReference.queries ++ QueriesDedupSim.queries ++
+      QueriesTextCuration.queries ++ QueriesEventsQuality.queries
+
+  /** DuckDB oracle SQL per query key (driver-replayed). */
+  val oracleSql: Map[String, String] =
+    QueriesReference.oracleSql ++ QueriesDedupSim.oracleSql ++
+      QueriesTextCuration.oracleSql ++ QueriesEventsQuality.oracleSql
+
+  /** Live re-derivations for the VALUES-pinned oracles (see
+    * [[PinnedOracles]] and tools/check_oracle.py). */
+  val rederiveSql: Map[String, String] =
+    QueriesReference.rederiveSql ++ QueriesDedupSim.rederiveSql ++
+      QueriesTextCuration.rederiveSql ++ QueriesEventsQuality.rederiveSql
 }

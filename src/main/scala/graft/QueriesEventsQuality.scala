@@ -1,0 +1,1984 @@
+package graft
+
+import graft.fdr.TargetDecoy
+import graft.functions.{PeptideFunctions, TextFunctions, UsiFunctions}
+import graft.operators.{Dedup, Similarity, SpectraCluster}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series + data-quality + multimodal registry (e_*, dq_*, mm_*) — one slice of the SURVEY.md §2 operator inventory,
+  * split out of the single Queries registry in round 11 purely for
+  * maintainability; keys, semantics, and oracles are unchanged and are
+  * consumed only through [[Queries]]. Oracle-parity conventions are
+  * documented on [[Queries]]. */
+private[graft] object QueriesEventsQuality {
+  import QueryShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
+    }),
+
+    // Wasserstein-1 drift (round-9): same grid as dq_ks_drift but the
+    // earth-mover statistic — exact-integer CDF-difference numerators,
+    // two trailing IEEE ops, no transcendental and no smoothing.
+    "dq_wasserstein_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.wassersteinDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
+    }),
+
+    // Benford first-digit audit (round-10) on order-line amounts in
+    // cents — the fabricated-numbers / truncated-extract tripwire. Pure
+    // exact-integer contract: leading digits from integer rendering,
+    // reviewed nano-share constants (no runtime log10), BIGINT deviation
+    // and total-variation columns.
+    "dq_benford" -> ((s, dir) => {
+      graft.operators.DataQuality.benfordAudit(
+        t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * lit(100)).cast("long"))
+    }),
+
+    // Chi-square independence between corpus facets (source × lang):
+    // observed cells + independence expectations, chi2 via the closed
+    // form Σ o²/e − n (absent cells never materialized), round-to-nano
+    // long-summed terms.
+    "dq_chi_square" -> ((s, dir) => {
+      graft.operators.DataQuality.chiSquare(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
+    // PPS (size-weighted Poisson) sampling with Horvitz-Thompson
+    // weights: expected-100-doc sample, inclusion probability
+    // proportional to document length; one 1-row total broadcast back
+    // as a pure filter + weight projection.
+    "e_downsample_ohlc" -> ((s, dir) => {
+      graft.operators.TimeSeries.downsampleOhlc(
+        t(s, dir, "events"), col("ts"), col("event_id"), col("value"),
+        widthSeconds = 3600L, keys = Seq(col("event_type")))
+        .select(col("event_type"), col("bucket"), col("bucket_start"),
+          col("open"), col("close"), col("high"), col("low"), col("volume"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Per-user arrival-gap diagnostics: lag window partitioned by user
+    // (parallel across keys) + one hash agg sharing the same shuffle;
+    // gaps > 60 s counted, max/mean exact micros arithmetic.
+    "e_gap_stats" -> ((s, dir) => {
+      graft.operators.TimeSeries.gapStats(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id"), col("ts"), gapSeconds = 60L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // JS vocabulary drift between corpus halves: the textual PSI —
+    // top-25-union vocab + <oov> fold, Laplace shares, 9-dp
+    // decimal-summed JS contributions (js in [0, ln 2]).
+    "e_funnel" -> ((s, dir) => {
+      graft.operators.TimeSeries.funnel(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+        .withColumnRenamed("user", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // Weekly cohort retention triangle: first-seen bucket join + one
+    // (cohort, offset) distinct count.
+    "e_cohort_retention" -> ((s, dir) => {
+      graft.operators.TimeSeries.cohortRetention(
+        t(s, dir, "events"), col("user_id"), col("ts"), widthSeconds = 604800L)
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
+    // Hybrid-retrieval fusion: BM25 lexical top-10 + brute-force cosine
+    // top-10 for embedding query 3, reciprocal-rank fused (k=60). Both
+    // input rankings are already top-k bounded, so the fusion is a
+    // broadcast-sized full-outer join + bounded cut.
+    "dq_profile" -> ((s, dir) => {
+      graft.operators.DataQuality.profileFrame(t(s, dir, "documents"))
+    }),
+
+    // Schema/profile drift between snapshots (round-10): snapshot B
+    // simulates a regenerated corpus — n_chars dropped, n_tokens added,
+    // lang 10%-nulled — and the diff must surface the one-sided
+    // columns, the unchanged dtypes, and the exact null-ppm shift.
+    "dq_schema_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("lang",
+          when(col("doc_id") % 10 === 1, lit(null).cast("string"))
+            .otherwise(col("lang")))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .drop("n_chars")
+      graft.operators.DataQuality.schemaDrift(a, b)
+    }),
+
+    // Language-ID accuracy audit: confusion matrix of the n-gram
+    // heuristic against the labeled lang column, with per-cell recall
+    // share (diagonal = class recall). Cells pinned, totals broadcast.
+    "dq_langid_confusion" -> ((s, dir) => {
+      graft.operators.DataQuality.confusionMatrix(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred")),
+        col("lang"), col("pred"))
+    }),
+
+    // Cohen's kappa between the gold lang label and the heuristic
+    // prediction — chance-corrected agreement over the same joint counts
+    // the confusion matrix reports. Every division is a single exactly-
+    // rounded IEEE op over exact integers (no rounding discipline needed).
+    "dq_cohen_kappa" -> ((s, dir) => {
+      graft.operators.DataQuality.cohenKappa(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred")),
+        col("lang"), col("pred"))
+    }),
+
+    // pass@k (round-9): HumanEval-style unbiased estimator per user task
+    // group — fixed-order IEEE product fold, n<k NULL, n-c<k exactly 1.
+    "dq_k_anonymity" -> ((s, dir) => {
+      graft.operators.DataQuality.kAnonymity(
+        t(s, dir, "events"),
+        Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          expr("cast(floor(value / 100) as bigint)")),
+        k = 5L)
+    }),
+
+    // Referential-integrity audits (round-9): the two FK contracts the
+    // TPC-H-ish join queries trust (lineitem→orders, orders→customer),
+    // unioned with a labeled row each.
+    "dq_ref_integrity" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      DataQuality.referentialIntegrity(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        t(s, dir, "orders"), col("o_orderkey"))
+        .withColumn("fk", lit("lineitem.l_orderkey->orders"))
+        .unionByName(
+          DataQuality.referentialIntegrity(
+            t(s, dir, "orders"), col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey"))
+            .withColumn("fk", lit("orders.o_custkey->customer")))
+        .select(col("fk"), col("n_child_rows"), col("n_null_fk"),
+          col("n_orphans"), col("intact"))
+        .orderBy(col("fk"))
+    }),
+
+    // t-closeness audit (round-9): per-class total-variation distance of
+    // the event_type distribution vs global — the skewness-attack check
+    // completing the k-anonymity / l-diversity privacy triple.
+    "dq_t_closeness" -> ((s, dir) => {
+      graft.operators.DataQuality.tCloseness(
+        t(s, dir, "events"),
+        Seq(date_format(col("ts"), "yyyy-MM-dd"),
+          expr("cast(floor(value / 100) as bigint)")),
+        col("event_type"))
+        .withColumnRenamed("q0", "day")
+        .withColumnRenamed("q1", "vband")
+    }),
+
+    // l-diversity audit (round-9): the homogeneity-attack check on the
+    // same quasi-identifiers with event_type as the sensitive value.
+    "dq_l_diversity" -> ((s, dir) => {
+      graft.operators.DataQuality.lDiversity(
+        t(s, dir, "events"),
+        Seq(date_format(col("ts"), "yyyy-MM-dd"),
+          expr("cast(floor(value / 100) as bigint)")),
+        col("event_type"), l = 2L)
+    }),
+
+    // Deterministic Pearson correlation (round-9) over quantized
+    // lineitem measures — exact integer moments, one IEEE chain; what
+    // the float corr() aggregator cannot promise across re-plans.
+    "dq_key_audit" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      def one(name: String, df: DataFrame, k: Column) =
+        DataQuality.keyAudit(df, k).withColumn("table_key", lit(name))
+      one("documents.doc_id", t(s, dir, "documents"), col("doc_id"))
+        .unionByName(one("events.event_id", t(s, dir, "events"), col("event_id")))
+        .unionByName(one("lineitem.orderkey_linenumber", t(s, dir, "lineitem"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+        .select(col("table_key"), col("n_rows"), col("n_null_keys"), col("n_keys"),
+          col("n_dup_keys"), col("max_multiplicity"), col("n_excess_rows"))
+        .orderBy(col("table_key"))
+    }),
+
+    // Robust median/MAD outliers (round-9) per event type: |x - median| >
+    // 3·MAD — heavy tails can't drag their own threshold; medians ride
+    // the proven percentile/quantile_cont interpolation contract.
+    "dq_robust_outliers" -> ((s, dir) => {
+      graft.operators.DataQuality.robustOutliers(
+        t(s, dir, "events"), col("event_type"), col("value"), k = 3.0)
+        .withColumnRenamed("group", "event_type")
+    }),
+
+    // Krippendorff's alpha (round-9): multi-annotator nominal agreement
+    // over synthetic rating slots (unit = event_id div 10, annotator =
+    // event_id % 10, label = event_type) — BIGINT micro fixed-point end
+    // to end, integer `div` the only division (picorank discipline).
+    "dq_krippendorff_alpha" -> ((s, dir) => {
+      graft.operators.DataQuality.krippendorffAlpha(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        expr("event_id div 10"), expr("event_id % 10"), col("event_type"))
+    }),
+
+    // Per-source label balance: Shannon entropy + Gini impurity of the
+    // lang distribution inside each source — ln rides round-to-nano
+    // integer contributions; every shipped column is BIGINT (the r9
+    // driver-gate lesson: DECIMAL output columns never hash-match).
+    "dq_label_balance" -> ((s, dir) => {
+      graft.operators.DataQuality.labelBalance(
+        t(s, dir, "documents"), col("source"), col("lang"))
+    }),
+
+    // Per-class precision/recall/F1 for the langid heuristic vs the gold
+    // label — single-chain exact divisions, NULL where undefined.
+    "dq_classification_report" -> ((s, dir) => {
+      graft.operators.DataQuality.classificationReport(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred")),
+        col("lang"), col("pred"))
+    }),
+
+    // Reliability report for the hashed quality scorer against the
+    // lang=en outcome: 10 equal-width score bins on [-0.5, 0.5) with
+    // observed positive rate vs exact mean score per bin.
+    "dq_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = graft.operators.QualityModel.scoreDocs(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("score"))
+      val lab = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("y"))
+      graft.operators.DataQuality.calibrationReport(
+        sc.join(lab, Seq("id")), col("score"), col("y"),
+        lo = -0.5, hi = 0.5, buckets = 10)
+    }),
+
+    // Per-source langid ACCURACY with Wilson 95% bounds — rate plus
+    // uncertainty in one exactly-rounded IEEE chain (sqrt included).
+    "dq_rate_wilson" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.rateWithWilson(
+        docs.select(col("source"),
+          (TextFunctions.langIdHeuristic(col("text")) <=> col("lang")).as("ok")),
+        col("source"), col("ok"))
+    }),
+
+    // Binned ROC-AUC for the same scorer/outcome as dq_calibration —
+    // ranking quality next to probability quality. The trapezoid
+    // numerator is EXACT BIGINT until one trailing division.
+    "dq_binned_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = graft.operators.QualityModel.scoreDocs(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("score"))
+      val lab = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("y"))
+      graft.operators.DataQuality.binnedAuc(
+        sc.join(lab, Seq("id")), col("score"), col("y"),
+        lo = -0.5, hi = 0.5, buckets = 10)
+    }),
+
+    // Tokenizer-coverage audit: per-doc OOV rate under the top-20 corpus
+    // vocabulary (11 of 31 terms fall outside the cap, so real OOV mass);
+    // vocab broadcast, corpus never shuffles by content.
+    "e_windowed_drift_fx" -> ((s, _) => {
+      import s.implicits._
+      val ev = Seq(
+        (1L, "2024-01-01 00:05:00", "a"), (2L, "2024-01-01 00:10:00", "a"),
+        (3L, "2024-01-01 00:20:00", "b"),
+        (4L, "2024-01-01 01:05:00", "b"), (5L, "2024-01-01 01:10:00", "b"),
+        (6L, "2024-01-01 01:20:00", "zz"),
+      ).toDF("event_id", "ts_str", "event_type")
+        .withColumn("ts", to_timestamp(col("ts_str")))
+      val ref = Seq(("a", 2L), ("b", 1L)).toDF("category", "ref_n")
+      graft.streaming.EventStream.windowedDrift(ev, col("event_type"), ref, "1 hour")
+    }),
+
+    // Language-ID heuristic (stopword-lexicon argmax).
+    "dq_monotonicity" -> ((s, dir) => {
+      graft.operators.DataQuality.monotonicityAudit(
+        t(s, dir, "events"),
+        floor(col("value") * lit(100)).cast("long"),
+        col("event_type") === "click", buckets = 10)
+    }),
+
+    // Per-source percentile normalization (round-10): raw scores are
+    // only comparable within a source; selection thresholds act on the
+    // within-group percentile. Exact-integer cume_dist (ties share a
+    // percentile via the RANGE frame; no float, no ordinal tie-break).
+    "mm_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual near-dup pairs over binary payloads: banded aHash
+    // (64 block bytes, mean-threshold bits, 4x16-bit LSH bands, exact
+    // Hamming verify; maxHamming 3 < 4 bands = pigeonhole-exact recall).
+    // The corpus = every "image" UNIONed with its 16x8 resized thumbnail
+    // (id + 1000000) — the aHash use case: each thumbnail must be found
+    // as a perceptual duplicate of its original (nearest-neighbor
+    // resampling commutes with block sampling, so hamming is exactly 0),
+    // and the oracle re-derives the thumbnails byte-for-byte.
+    "mm_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.operators.Multimodal.MediaRow(
+            id, "image", text.getBytes("UTF-8"), None, None, None)
+        }
+      val thumbs = graft.operators.Multimodal.resizeImages(media, dstW = 16, dstH = 8)
+        .toDF()
+        .select((col("media_id") + 1000000L).as("doc_id"), col("payload"))
+      val all = docs
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(thumbs)
+      graft.operators.Multimodal.aHashNearDupPairs(
+        all, col("doc_id"), col("payload"), maxHamming = 3)
+    }),
+
+    // Streaming-shaped tumbling-window aggregation (batch equivalence; the
+    // Structured Streaming path is exercised in the test suite).
+    // Stream-stream interval join, batch twin (view -> purchase
+    // attribution within 15 minutes per user). The IDENTICAL plan runs as
+    // a watermarked stream-stream join in StreamingSpec; here the driver
+    // checks it against a plain SQL interval join.
+    "e_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        within = "15 minutes")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
+    // Incremental aggregate maintenance: per-user state built from two
+    // disjoint batches and MERGED — decimal-exact partials make the
+    // merged state bit-identical to the oracle's full recompute.
+    "e_incremental_rollup" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = t(s, dir, "events")
+      val s1 = Incremental.aggState(
+        ev.filter(col("event_id") % 2 === 0), col("user_id"), col("value"))
+      val s2 = Incremental.aggState(
+        ev.filter(col("event_id") % 2 === 1), col("user_id"), col("value"))
+      Incremental.stateMetrics(Incremental.mergeStates(Seq(s1, s2)))
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // Hourly active users (round-9): exact distinct-user counts per hour
+    // — the basic engagement series (the KMV sketch family covers the
+    // approximate path; this is the exact one).
+    "e_hourly_active_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("hr"))
+    }),
+
+    // EXACT trailing 24 h active users per hour (round-10): the rolling-
+    // DAU monitor — events collapse to distinct (user, hour) FIRST, only
+    // that pre-aggregate fans out to the 24 windows each pair affects,
+    // then one distinct count per window end. No sketch.
+    "e_rolling_active_users" -> ((s, dir) => {
+      graft.operators.TimeSeries.rollingActiveUsers(
+        t(s, dir, "events"), col("user_id"), col("ts"),
+        widthSeconds = 3600L, windowBuckets = 24)
+    }),
+
+    // Hourly error rate with Wilson bounds (round-9): rateWithWilson
+    // keyed by the hour string — the small-sample-honest SLO readout
+    // (3 errors of 7 events is not a 43% error rate you can act on).
+    "e_error_rate_wilson" -> ((s, dir) => {
+      graft.operators.DataQuality.rateWithWilson(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .select(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+            (col("event_type") === "error").as("ok")),
+        col("hr"), col("ok"))
+    }),
+
+    // Sliding-window counts (round-9): 2h windows sliding hourly — each
+    // event lands in exactly two panes; the overlapping-window streaming
+    // semantic the tumbling family can't express.
+    "e_sliding_window" -> ((s, dir) => {
+      graft.streaming.EventStream.slidingCounts(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        windowLength = "2 hours", slide = "1 hour")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Per-type hourly EWMA baseline (round-10): exact-cents bucket
+    // means + a fixed-order sequential fold per key (α=0.3) — the
+    // anomaly-monitor expectation; the oracle replays the identical op
+    // sequence through a recursive CTE.
+    "e_ewma_baseline" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewmaBaseline(
+        t(s, dir, "events"), col("event_type"), col("ts"), col("value"),
+        widthSeconds = 3600L, alphaPct = 30)
+    }),
+
+    // Windowed heavy hitters (round-10): per-hour top-3 event types by
+    // exact count with dense ranks — the trending-items monitor. Stage 1
+    // (the per-window counts) is the watermarkable streaming
+    // aggregation; the rank cut partitions BY WINDOW (parallel across
+    // windows, |categories|-bounded per partition).
+    "e_windowed_topk" -> ((s, dir) => {
+      graft.streaming.EventStream.windowedTopK(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        col("event_type"), windowLength = "1 hour", k = 3)
+    }),
+
+    // Windowed Wasserstein drift (round-9): per-hour earth-mover distance
+    // of the value distribution vs the GLOBAL distribution — the exact-
+    // arithmetic sibling of the pinned PSI monitor; live-oracle-able
+    // because every number is BIGINT until two trailing IEEE ops.
+    "e_windowed_wdrift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ref = ev.filter(col("value").isNotNull)
+        .select(least(lit(9), greatest(lit(0),
+          floor((col("value").cast("double") - lit(0L)) * lit(10) / lit(1000.0))
+            .cast("int"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
+      graft.streaming.EventStream.windowedWassersteinDrift(
+        ev, col("value"), ref, lo = 0L, hi = 1000L, buckets = 10, "1 hour")
+    }),
+
+    // Per-type OLS trend slopes (round-9): centi-value drift per minute,
+    // group-centered minute x so every moment stays int64-exact.
+    "e_trend_slopes" -> ((s, dir) => {
+      graft.operators.DataQuality.groupTrend(
+        t(s, dir, "events"), col("event_type"), col("ts"),
+        floor(col("value") * 100))
+        .withColumnRenamed("group", "event_type")
+    }),
+
+    // User growth curve (round-9): new + cumulative distinct users per
+    // day — one champion-min debut aggregation, never a windowed
+    // count-distinct; the running sum windows the day summary only.
+    "e_user_growth" -> ((s, dir) => {
+      graft.operators.TimeSeries.userGrowth(
+        t(s, dir, "events"), col("user_id"), col("ts"), unit = "day")
+    }),
+
+    // Fan-out-guarded join (round-9): the join-explosion tripwire — the
+    // per-user dim is provably unique, so the guard passes and the
+    // result equals the plain join (which is exactly what the oracle
+    // checks); the violated case is spec'd (raise with the offending
+    // key), since an oracle can't assert an exception.
+    "e_cdc_apply" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = t(s, dir, "events")
+      val snap = ev.filter(col("event_id") % 3 === 0)
+        .select(expr("event_id div 3").as("k"), col("value"),
+          col("event_type").as("etype"))
+      val ch = ev.filter(col("event_id") % 3 =!= 0)
+        .select(expr("event_id div 3").as("k"), col("event_id").as("ver"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_id") % 3 === 1, "U").otherwise("I").as("op"),
+          col("value"), col("event_type").as("etype"))
+      Incremental.applyChangelog(snap, ch, col("k"), col("ver"), col("op"),
+        Seq("value", "etype"))
+    }),
+
+    // Left-outer interval join: views with NO conversion in-window emit
+    // null-padded (the abandonment signal); streaming emits them only
+    // once the watermark proves absence (StreamingSpec).
+    "e_interval_join_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        within = "15 minutes", joinType = "left_outer")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
+    // SCD2 versioned merge over a deterministic change batch: inserts,
+    // effective upserts (close + reopen), no-op upserts, deletes, and
+    // untouched closed history all exercised in one run.
+    "e_stream_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour_str"), col("event_type"))
+    }),
+
+    // Windowed drift monitor: hourly event-type mix PSI'd against the
+    // global reference distribution — the vocabularyDrift fold per
+    // tumbling window, psi per window in BIGINT nanos. Stage 1 (the
+    // per-window counts) is the watermarkable streaming aggregation.
+    "e_windowed_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ref = ev
+        .groupBy(col("event_type").cast("string").as("category"))
+        .agg(count(lit(1)).as("ref_n"))
+      graft.streaming.EventStream.windowedDrift(
+        ev, col("event_type"), ref, windowLength = "1 hour")
+    }),
+
+    // Streaming-family twin on an inline fixture (same tumbling-window agg,
+    // SF-independent verification — see w3_top_rank_fx rationale).
+    // Interval-join twin on an inline fixture (drives the real
+    // EventStream.intervalJoin; SF-independent verification so the
+    // operator keeps a green row even if the events table regenerates
+    // incompatibly — the round-5 lesson).
+    "e_interval_join_fx" -> ((s, _) => {
+      import s.implicits._
+      def ev(rows: Seq[(Long, String, Long)]) =
+        rows.toDF("event_id", "ts_str", "user_id")
+          .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"),
+            col("user_id"), lit(0.0).as("value"))
+      val views = ev(Seq(
+        (1L, "2025-01-01 00:00:00", 1L),
+        (2L, "2025-01-01 00:00:00", 2L),
+        (3L, "2025-01-01 00:00:00", 3L)))
+      val buys = ev(Seq(
+        (11L, "2025-01-01 00:05:00", 1L),
+        (12L, "2025-01-01 00:14:00", 1L),
+        (13L, "2025-01-01 00:20:00", 2L), // 5 min past the window
+        (14L, "2025-01-01 00:15:00", 3L))) // inclusive boundary
+      graft.streaming.EventStream.intervalJoin(views, buys, within = "15 minutes")
+        .select(col("user_id"), col("l_id"), col("r_id"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
+        // Batch twin of EventStream.streamingDedup's state semantics: one
+    // survivor per content fingerprint, min event_id standing in for the
+    // stream's first arrival (dropDuplicatesWithinWatermark itself
+    // requires a stream — the live path is driven in StreamingSpec).
+    "e_stream_dedup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(md5(concat(col("user_id").cast("string"), lit(":"),
+          coalesce(col("event_type"), lit("")))).as("fingerprint"))
+        .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("event_id"))
+    }),
+
+"e_stream_window_fx" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        ("2025-01-01 00:05:00", "click", 1.25),
+        ("2025-01-01 00:40:00", "click", 2.50),
+        ("2025-01-01 00:55:00", "view", 0.75),
+        ("2025-01-01 01:10:00", "click", 3.25),
+        ("2025-01-01 01:59:59", "error", 1.00),
+        ("2025-01-01 02:00:00", "view", 4.50),
+      ).toDF("ts_str", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("ts_str")))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_str"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour_str"), col("event_type"))
+    }),
+
+    // Gap-session twin on an inline fixture, driving the real
+    // EventStream.sessionWindows operator (not a reimplementation).
+    "e_session_window_fx" -> ((s, _) => {
+      import s.implicits._
+      val ev = Seq(
+        (1L, "2025-01-01 00:00:00", 1.25),
+        (1L, "2025-01-01 00:10:00", 2.50),
+        (1L, "2025-01-01 01:00:00", 0.75),
+        (2L, "2025-01-01 00:05:00", 4.00),
+      ).toDF("user_id", "ts_str", "value")
+        .withColumn("ts", to_timestamp(col("ts_str")))
+        .select(col("ts"), col("user_id"), col("value"))
+      graft.streaming.EventStream.sessionWindows(ev, gap = "30 minutes",
+        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // §2.7 gap-based session windows (the built-in session_window keyed
+    // state; same plan streams with the 10-min watermark — StreamingSpec).
+    "e_session_window" -> ((s, dir) => {
+      graft.streaming.EventStream.sessionWindows(
+        t(s, dir, "events").select(col("ts"), col("user_id"), col("value")),
+        gap = "30 minutes",
+        aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // P11 — coalesce fallback chain (PSM rt -> spectrum rt -> NaN analogue).
+    "e_stateful_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (user, rows) =>
+          var n = 0L; var cents = 0L
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          (user, n, cents)
+        }
+        .toDF("user_id", "n", "total_cents")
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.6 string-function family: substring, concat, contains,
+    // starts_with, translate, upper/lower, capitalize emulation, printf.
+    "e_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F13 — scan-id validity: integral unless WIFF-style native id.
+    "e_seasonal_baseline" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("season",
+          concat_ws(":", col("event_type"), hour(col("ts")).cast("string")))
+      graft.operators.Preference.groupAdvantage(
+        ev, col("season"), col("event_id"), floor(col("value") * 100))
+        .withColumnRenamed("group_id", "season")
+        .withColumnRenamed("id", "event_id")
+    }),
+
+    // Composite corpus-construction pipeline over the documents table:
+    // quality gate -> langid -> exact dedup -> MinHash near-dup components
+    // -> representatives. The CorpusResult unpersist handle is dropped by
+    // design here: the driver contract needs a lazy DataFrame, and
+    // repeated invocations share ONE cache entry (CacheManager keys on the
+    // canonical plan), so memory is bounded; long-lived library callers
+    // use the handle.
+    "mm_feature_extract" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").orderBy(col("doc_id")).limit(50)
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, text, src) =>
+          graft.operators.Multimodal.MediaRow(
+            id, if (src.hashCode % 2 == 0) "image" else "audio",
+            text.getBytes("UTF-8"), None, None, None)
+        }
+      jsonSafe(graft.operators.Multimodal.extractFeatures(media, dim = 8)
+        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("feature")).orderBy(col("media_id")))
+    }),
+
+    // Multimodal resize: nearest-neighbor byte resample to an 8x8 gray8
+    // stub buffer (real contract: bytes -> w*h buffer; the oracle
+    // re-derives every output byte from the hex-encoded payload). The
+    // comparison key is md5 over the UPPERCASE hex string — both engines'
+    // hex() emit uppercase, and neither can md5 a BLOB directly.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          graft.operators.Multimodal.MediaRow(
+            id, "image", text.getBytes("UTF-8"), None, None, None)
+        }
+      graft.operators.Multimodal.resizeImages(media, dstW = 8, dstH = 8)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+          md5(hex(col("payload"))).as("payload_md5"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Multimodal frame sampling: one row per sampled frame (every 100 ms
+    // of the stub duration = 1 ms/byte), frame bytes re-derived by the
+    // oracle as hex-string slices. Linear fan-out, no shuffle.
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          graft.operators.Multimodal.MediaRow(
+            id, "video", b, None, None, Some(b.length.toLong))
+        }
+      graft.operators.Multimodal.sampleFrames(media, everyMs = 100L, frameBytes = 24)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("n_bytes"),
+          md5(hex(col("payload"))).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e_seasonal_baseline" ->
+      """WITH b AS (
+        |  SELECT event_type || ':' || CAST(hour(ts) AS VARCHAR) AS season, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS reward_fp
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT season, COUNT(*) AS n, SUM(reward_fp) AS s,
+        |         SUM(reward_fp * reward_fp) AS ss
+        |  FROM b GROUP BY season),
+        |st AS (
+        |  SELECT season, n,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+        |  FROM g)
+        |SELECT b.season, b.event_id, b.reward_fp, st.n, st.mean, st.std,
+        |  CASE WHEN st.std > 0.0
+        |       THEN (CAST(b.reward_fp AS DOUBLE) - st.mean) / st.std
+        |       ELSE 0.0 END AS advantage
+        |FROM b JOIN st ON st.season = b.season
+        |ORDER BY b.season, b.event_id""".stripMargin,
+
+    // Group-advantage re-derivation: exact BIGINT group sums s/ss, every
+    // double an int64→double conversion or fixed-association IEEE op in
+    // the engine's exact order ((ss/n - mean*mean) guarded to 0, one
+    // exactly-rounded sqrt, (r - mean)/std).
+    "dq_ks_drift" ->
+      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
+        |ba AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
+        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
+        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
+        |  LEFT JOIN bb ON bb.bucket = b.bucket),
+        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
+        |cd AS (
+        |  SELECT bucket, n_a, n_b,
+        |    sum(n_a) OVER (ORDER BY bucket)::BIGINT AS cum_a,
+        |    sum(n_b) OVER (ORDER BY bucket)::BIGINT AS cum_b
+        |  FROM j),
+        |w2 AS (
+        |  SELECT cd.bucket, cd.n_a, cd.n_b, cd.cum_a, cd.cum_b,
+        |    cum_a::DOUBLE / t.t_a::DOUBLE AS cdf_a,
+        |    cum_b::DOUBLE / t.t_b::DOUBLE AS cdf_b,
+        |    abs(cum_a::DOUBLE / t.t_a::DOUBLE - cum_b::DOUBLE / t.t_b::DOUBLE) AS d
+        |  FROM cd CROSS JOIN t),
+        |k AS (SELECT max(d) AS ks FROM w2)
+        |SELECT w2.bucket, w2.n_a, w2.n_b, w2.cum_a, w2.cum_b,
+        |  w2.cdf_a, w2.cdf_b, w2.d, k.ks
+        |FROM w2 CROSS JOIN k ORDER BY bucket""".stripMargin,
+
+    // Benford re-derivation: leading digits from exact integer→string
+    // rendering, the reviewed nano-share constants, BIGINT deviations
+    // and integer-div total variation — no float anywhere.
+    "dq_benford" ->
+      """WITH v AS (
+        |  SELECT abs(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(substr(v::VARCHAR, 1, 1) AS INTEGER) AS digit,
+        |    count(*)::BIGINT AS o
+        |  FROM v WHERE v > 0 GROUP BY 1),
+        |t AS (SELECT coalesce(sum(o), 0)::BIGINT AS n FROM c),
+        |g AS (
+        |  SELECT d.digit, coalesce(c.o, 0)::BIGINT AS o,
+        |    (CASE d.digit WHEN 1 THEN 301029996 WHEN 2 THEN 176091259
+        |      WHEN 3 THEN 124938737 WHEN 4 THEN 96910013 WHEN 5 THEN 79181246
+        |      WHEN 6 THEN 66946790 WHEN 7 THEN 57991947 WHEN 8 THEN 51152522
+        |      ELSE 45757491 END)::BIGINT AS share_n9, t.n
+        |  FROM (SELECT unnest(range(1, 10))::INTEGER AS digit) d
+        |  LEFT JOIN c ON c.digit = d.digit CROSS JOIN t),
+        |g2 AS (
+        |  SELECT digit, o, share_n9,
+        |    abs(o * 1000000000 - n * share_n9)::BIGINT AS dev_n9, n
+        |  FROM g),
+        |tv AS (SELECT (sum(dev_n9) // (2 * n))::BIGINT AS tv_n9 FROM g2 GROUP BY n)
+        |SELECT g2.digit, g2.o, g2.share_n9, g2.dev_n9, g2.n, tv.tv_n9
+        |FROM g2 CROSS JOIN tv ORDER BY g2.digit""".stripMargin,
+
+    // Wasserstein re-derivation: the dq_ks_drift grid CTEs with the
+    // exact-integer |cum_a·t_b − cum_b·t_a| numerators and the two
+    // trailing IEEE ops.
+    "dq_wasserstein_drift" ->
+      """WITH bins AS (SELECT unnest(range(12)) AS bucket),
+        |ba AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (
+        |  SELECT least(11, greatest(0,
+        |      floor((n_chars::DOUBLE - 0) * 12 / 600.0::DOUBLE)::INT)) AS bucket,
+        |    count(*)::BIGINT AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT b.bucket, coalesce(ba.n_a, 0)::BIGINT AS n_a,
+        |    coalesce(bb.n_b, 0)::BIGINT AS n_b
+        |  FROM bins b LEFT JOIN ba ON ba.bucket = b.bucket
+        |  LEFT JOIN bb ON bb.bucket = b.bucket),
+        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM j),
+        |cd AS (
+        |  SELECT bucket, n_a, n_b,
+        |    sum(n_a) OVER (ORDER BY bucket)::BIGINT AS cum_a,
+        |    sum(n_b) OVER (ORDER BY bucket)::BIGINT AS cum_b
+        |  FROM j),
+        |d AS (
+        |  SELECT cd.bucket, cd.n_a, cd.n_b, cd.cum_a, cd.cum_b,
+        |    abs(cd.cum_a * t.t_b - cd.cum_b * t.t_a)::BIGINT AS diff_num,
+        |    t.t_a, t.t_b
+        |  FROM cd CROSS JOIN t),
+        |w1t AS (
+        |  SELECT sum(diff_num)::BIGINT AS w1_num,
+        |    sum(diff_num)::DOUBLE / (any_value(t_a) * any_value(t_b))::DOUBLE
+        |      * (600.0::DOUBLE / 12) AS w1
+        |  FROM d)
+        |SELECT d.bucket, d.n_a, d.n_b, d.cum_a, d.cum_b, d.diff_num,
+        |  w1t.w1_num, w1t.w1
+        |FROM d CROSS JOIN w1t ORDER BY d.bucket""".stripMargin,
+
+    // Chi-square re-derivation: observed cells, marginals, expectation
+    // (rt*ct)::DOUBLE/n, contributions and closed-form terms rounded to
+    // 9 dp and decimal-summed; level counts from the marginal frames so
+    // a NULL level still counts toward dof.
+    "dq_chi_square" -> PinnedOracles.sql("dq_chi_square"),
+
+    // PPS sample: same md5-uniform, inclusion probability
+    // least(1, (target * size) / total) in the engine's literal-first
+    // association, HT weight = 1/p.
+    "e_downsample_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, ts, event_id, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, bucket,
+        |  make_timestamp(bucket * 3600000000) AS bucket_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low, count(*)::BIGINT AS volume
+        |FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    // Gap stats: lag over epoch micros per user (ties lag equal values —
+    // the gap multiset is order-invariant), exact integer sums divided
+    // once; a / b / c left-association matches the engine.
+    "e_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS gap_us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN gap_us > 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+        |  max(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS max_gap_s,
+        |  sum(gap_us)::DOUBLE / count(gap_us)::DOUBLE / '1000000.0'::DOUBLE AS mean_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // JS vocab drift: union vocab cut, per-side Laplace shares as exact
+    // rationals, contribution association 0.5*(p*ln(p/m)) + 0.5*(q*ln(q/m))
+    // mirrored term for term, decimal-summed.
+    "e_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view'
+        |       GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t0 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t1 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  (1 + CASE WHEN s2.t1 IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN s3.t2 IS NOT NULL THEN 1 ELSE 0 END)::INT AS stages_completed,
+        |  s1.t0 AS first_at, coalesce(s3.t2, s2.t1, s1.t0) AS completed_at
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // Cohort retention: same exact floor-division week bucketing,
+    // first-seen join, distinct count per (cohort, offset).
+    "e_cohort_retention" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(b) AS cohort FROM b GROUP BY user_id)
+        |SELECT f.cohort, b.b - f.cohort AS "offset",
+        |  count(DISTINCT b.user_id)::BIGINT AS n_users
+        |FROM b JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // RRF fusion: BM25 ranking re-derived as in txt_bm25_topk (rank =
+    // row_number over its deterministic cut), cosine ranking re-derived
+    // as in sim_topk_bruteforce for query 3, then
+    // 1/(60+ra) + 1/(60+rb) in the engine's association.
+    "dq_profile" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
+        |    min(doc_id)::VARCHAR AS mn1, max(doc_id)::VARCHAR AS mx1,
+        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
+        |    min(text)::VARCHAR AS mn2, max(text)::VARCHAR AS mx2,
+        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
+        |    min(lang)::VARCHAR AS mn3, max(lang)::VARCHAR AS mx3,
+        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
+        |    min(source)::VARCHAR AS mn4, max(source)::VARCHAR AS mx4,
+        |  sum((n_chars IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_chars)::BIGINT AS nd5,
+        |    min(n_chars)::VARCHAR AS mn5, max(n_chars)::VARCHAR AS mx5
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS dtype, n AS n_rows, nu1 AS n_nulls,
+        |    nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4, mn4, mx4 FROM a
+        |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5, mn5, mx5 FROM a)
+        |ORDER BY "column"""".stripMargin,
+
+    // Schema-drift re-derivation: one stats CTE per snapshot (the
+    // dq_profile shape minus min/max), per-column rows via UNION ALL,
+    // full-outer on column name, exact ppm integer divisions.
+    "dq_schema_drift" ->
+      """WITH da AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |db AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 10 = 1 THEN NULL ELSE lang END AS lang, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sa AS (SELECT count(*)::BIGINT AS n,
+        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
+        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
+        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
+        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
+        |  sum((n_chars IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_chars)::BIGINT AS nd5
+        |  FROM da),
+        |sb AS (SELECT count(*)::BIGINT AS n,
+        |  sum((doc_id IS NULL)::INT)::BIGINT AS nu1, count(DISTINCT doc_id)::BIGINT AS nd1,
+        |  sum((text IS NULL)::INT)::BIGINT AS nu2, count(DISTINCT text)::BIGINT AS nd2,
+        |  sum((lang IS NULL)::INT)::BIGINT AS nu3, count(DISTINCT lang)::BIGINT AS nd3,
+        |  sum((source IS NULL)::INT)::BIGINT AS nu4, count(DISTINCT source)::BIGINT AS nd4,
+        |  sum((n_tokens IS NULL)::INT)::BIGINT AS nu5, count(DISTINCT n_tokens)::BIGINT AS nd5
+        |  FROM db),
+        |pa AS (
+        |  SELECT 'doc_id' AS col, 'bigint' AS dtype_a, n AS n_rows_a,
+        |    nu1 AS nulls_a, nd1 AS n_distinct_a FROM sa
+        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2 FROM sa
+        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3 FROM sa
+        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4 FROM sa
+        |  UNION ALL SELECT 'n_chars', 'bigint', n, nu5, nd5 FROM sa),
+        |pb AS (
+        |  SELECT 'doc_id' AS col, 'bigint' AS dtype_b, n AS n_rows_b,
+        |    nu1 AS nulls_b, nd1 AS n_distinct_b FROM sb
+        |  UNION ALL SELECT 'text', 'string', n, nu2, nd2 FROM sb
+        |  UNION ALL SELECT 'lang', 'string', n, nu3, nd3 FROM sb
+        |  UNION ALL SELECT 'source', 'string', n, nu4, nd4 FROM sb
+        |  UNION ALL SELECT 'n_tokens', 'bigint', n, nu5, nd5 FROM sb)
+        |SELECT coalesce(pa.col, pb.col) AS "column",
+        |  pa.dtype_a, pb.dtype_b,
+        |  (pa.dtype_a IS DISTINCT FROM pb.dtype_b) AS type_changed,
+        |  pa.n_rows_a, pb.n_rows_b,
+        |  (pa.nulls_a * 1000000) // pa.n_rows_a AS null_ppm_a,
+        |  (pb.nulls_b * 1000000) // pb.n_rows_b AS null_ppm_b,
+        |  (coalesce((pb.nulls_b * 1000000) // pb.n_rows_b, 0)
+        |    - coalesce((pa.nulls_a * 1000000) // pa.n_rows_a, 0)) AS null_ppm_delta,
+        |  pa.n_distinct_a, pb.n_distinct_b
+        |FROM pa FULL OUTER JOIN pb ON pb.col = pa.col
+        |ORDER BY "column"""".stripMargin,
+
+    // Confusion matrix: the txt_langid prediction CTE + cell counts with
+    // a per-actual window total (the oracle's rendering of the engine's
+    // broadcast marginal join — same single division).
+    "dq_langid_confusion" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS predicted
+        |  FROM b),
+        |cells AS (
+        |  SELECT actual, predicted, count(*)::BIGINT AS n
+        |  FROM pr GROUP BY actual, predicted)
+        |SELECT actual, predicted, n,
+        |  n::DOUBLE / (sum(n) OVER (PARTITION BY actual))::DOUBLE AS recall_frac
+        |FROM cells ORDER BY actual, predicted""".stripMargin,
+
+    // Cohen's kappa re-derivation: the dq_langid_confusion prediction
+    // CTEs, then pure exact-integer marginal products and three single
+    // exactly-rounded divisions in the engine's association order.
+    "dq_cohen_kappa" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
+        |  FROM b),
+        |cells AS (SELECT a, p, count(*)::BIGINT AS o FROM pr GROUP BY a, p),
+        |ag AS (
+        |  SELECT sum(o)::BIGINT AS n,
+        |    sum(CASE WHEN a IS NOT DISTINCT FROM p THEN o ELSE 0 END)::BIGINT AS agree
+        |  FROM cells),
+        |rt AS (SELECT a, sum(o)::BIGINT AS mrt FROM cells GROUP BY a),
+        |ct AS (SELECT p, sum(o)::BIGINT AS mct FROM cells GROUP BY p),
+        |pn AS (
+        |  SELECT coalesce(sum(mrt * mct), 0)::BIGINT AS pe_num
+        |  FROM rt JOIN ct ON rt.a IS NOT DISTINCT FROM ct.p),
+        |st AS (
+        |  SELECT n, agree,
+        |    agree::DOUBLE / n::DOUBLE AS po,
+        |    pe_num::DOUBLE / (n * n)::DOUBLE AS pe
+        |  FROM ag CROSS JOIN pn)
+        |SELECT n, agree, po, pe,
+        |  CASE WHEN pe < '1.0'::DOUBLE
+        |       THEN (po - pe) / ('1.0'::DOUBLE - pe) END AS kappa
+        |FROM st""".stripMargin,
+
+    // pass@k re-derivation: same sequential product fold (list_reduce is
+    // left-to-right like Spark's aggregate), same NULL / exact-1 edges.
+    "dq_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 100) AS BIGINT) AS vband, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+        |  min(c)::BIGINT AS min_class_size,
+        |  coalesce(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_k,
+        |  coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)::BIGINT AS n_rows_below_k,
+        |  min(c) >= 5 AS k_anonymous
+        |FROM cls""".stripMargin,
+
+    // Ref-integrity re-derivation: left join against distinct parent
+    // keys, exact rollups, labeled union.
+    "dq_ref_integrity" ->
+      """WITH li AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |    count(*)::BIGINT AS n_child_rows,
+        |    sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+        |    sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |             WHERE o_orderkey IS NOT NULL) o
+        |    ON o.o_orderkey = l.l_orderkey),
+        |oc AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk,
+        |    count(*)::BIGINT AS n_child_rows,
+        |    sum(CASE WHEN ord.o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+        |    sum(CASE WHEN ord.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM orders ord
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |             WHERE c_custkey IS NOT NULL) c
+        |    ON c.c_custkey = ord.o_custkey)
+        |SELECT fk, n_child_rows, n_null_fk, n_orphans, n_orphans = 0 AS intact
+        |FROM (SELECT * FROM li UNION ALL SELECT * FROM oc)
+        |ORDER BY fk""".stripMargin,
+
+    // t-closeness re-derivation: the (class × value) grid with null-safe
+    // matches, exact cross-multiplied numerators, one IEEE chain.
+    "dq_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 100) AS BIGINT) AS vband,
+        |    event_type::VARCHAR AS s, count(*)::BIGINT AS n_cs
+        |  FROM events GROUP BY 1, 2, 3),
+        |cls AS (SELECT day, vband, sum(n_cs)::BIGINT AS n_c FROM cells GROUP BY day, vband),
+        |g AS (SELECT s, sum(n_cs)::BIGINT AS n_s FROM cells GROUP BY s),
+        |tt AS (SELECT sum(n_s)::BIGINT AS nn FROM g),
+        |grid AS (
+        |  SELECT cls.day, cls.vband, cls.n_c, g.s, g.n_s,
+        |    coalesce(c.n_cs, 0)::BIGINT AS n_cs, tt.nn
+        |  FROM cls CROSS JOIN g
+        |  LEFT JOIN cells c ON c.day IS NOT DISTINCT FROM cls.day
+        |    AND c.vband IS NOT DISTINCT FROM cls.vband
+        |    AND c.s IS NOT DISTINCT FROM g.s
+        |  CROSS JOIN tt)
+        |SELECT day, vband, n_c AS n,
+        |  sum(abs(n_cs * nn - n_s * n_c))::BIGINT AS tvd_num,
+        |  sum(abs(n_cs * nn - n_s * n_c))::DOUBLE
+        |    / (2.0::DOUBLE * n_c::DOUBLE * nn::DOUBLE) AS tvd
+        |FROM grid GROUP BY day, vband, n_c, nn
+        |ORDER BY day, vband""".stripMargin,
+
+    // l-diversity re-derivation: two-level class/sensitive aggregation,
+    // exact rollups.
+    "dq_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 100) AS BIGINT) AS vband, event_type,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT day, vband, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
+        |  FROM cells GROUP BY day, vband)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+        |  min(d)::BIGINT AS min_distinct_sensitive,
+        |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n_classes_below_l,
+        |  coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0)::BIGINT AS n_rows_below_l,
+        |  min(d) >= 2 AS l_diverse
+        |FROM cls""".stripMargin,
+
+    // Pearson re-derivation: exact integer moments (HUGEINT sums cast
+    // back to BIGINT), the engine's exact IEEE association order.
+    "dq_key_audit" ->
+      """WITH u AS (
+        |  SELECT 'documents.doc_id' AS table_key, doc_id::VARCHAR AS k FROM documents
+        |  UNION ALL
+        |  SELECT 'events.event_id', event_id::VARCHAR FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_linenumber',
+        |    concat_ws(':', l_orderkey, l_linenumber) FROM lineitem),
+        |m AS (SELECT table_key, k, count(*)::BIGINT AS c FROM u GROUP BY table_key, k)
+        |SELECT table_key,
+        |  sum(c)::BIGINT AS n_rows,
+        |  coalesce(sum(CASE WHEN k IS NULL THEN c ELSE 0 END), 0)::BIGINT AS n_null_keys,
+        |  count(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT AS n_keys,
+        |  coalesce(sum(CASE WHEN k IS NOT NULL AND c > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_dup_keys,
+        |  coalesce(max(CASE WHEN k IS NOT NULL THEN c END), 0)::BIGINT AS max_multiplicity,
+        |  coalesce(sum(CASE WHEN k IS NOT NULL AND c > 1 THEN c - 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_excess_rows
+        |FROM m GROUP BY table_key ORDER BY table_key""".stripMargin,
+
+    // Robust-outlier re-derivation: quantile_cont medians (the proven
+    // interpolation contract), fixed-association IEEE deviations and
+    // threshold, exact BIGINT counters.
+    "dq_robust_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, value::DOUBLE AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS median FROM b GROUP BY event_type),
+        |d AS (
+        |  SELECT b.event_type, abs(b.v - m.median) AS dev, m.median
+        |  FROM b JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, md.n, m.median, md.mad,
+        |  sum(CASE WHEN d.dev > 3.0::DOUBLE * md.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM d JOIN md USING (event_type) JOIN m USING (event_type)
+        |GROUP BY d.event_type, md.n, m.median, md.mad
+        |ORDER BY d.event_type""".stripMargin,
+
+    // Krippendorff re-derivation: coincidence-matrix algebra over exact
+    // BIGINT cell counts; the per-unit 1/(m-1) weight carried in micro
+    // fixed point via `//` (truncation identical on both engines), every
+    // shipped HUGEINT total cast back to BIGINT (the r7 physical-type
+    // lesson).
+    "dq_krippendorff_alpha" ->
+      """WITH slots AS (
+        |  SELECT CAST(event_id // 10 AS VARCHAR) AS u,
+        |         CAST(event_id % 10 AS VARCHAR) AS a, min(event_type) AS l
+        |  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT u, l, count(*)::BIGINT AS c FROM slots GROUP BY u, l),
+        |units AS (
+        |  SELECT u, sum(c)::BIGINT AS m, sum(c * c)::BIGINT AS sq
+        |  FROM cells GROUP BY u HAVING sum(c) >= 2),
+        |pc AS (SELECT cells.* FROM cells WHERE u IN (SELECT u FROM units)),
+        |obs AS (
+        |  SELECT count(*)::BIGINT AS n_units, sum(m)::BIGINT AS n,
+        |    sum(((m * m - sq) * 1000000) // (m - 1))::BIGINT AS ufp
+        |  FROM units),
+        |marg AS (
+        |  SELECT count(*)::BIGINT AS n_labels,
+        |    coalesce(sum(nc * nc), 0)::BIGINT AS sqm
+        |  FROM (SELECT l, sum(c)::BIGINT AS nc FROM pc GROUP BY l))
+        |SELECT n_units, n AS n_ratings, n_labels,
+        |  (ufp // n)::BIGINT AS do_fp,
+        |  (((n * n - sqm) * 1000000) // (n * (n - 1)))::BIGINT AS de_fp,
+        |  CASE WHEN n * n = sqm THEN NULL
+        |       ELSE (1000000 - (((n - 1) * ufp) // (n * n - sqm)))::BIGINT
+        |  END AS alpha_fp
+        |FROM obs CROSS JOIN marg""".stripMargin,
+
+    // Label-balance re-derivation: exact-rational shares, ln riding
+    // round-then-decimal contributions, totals STAYING decimal (the
+    // gini subtraction narrows before subtracting, mirroring the engine).
+    "dq_label_balance" -> PinnedOracles.sql("dq_label_balance"),
+
+    // Classification report re-derivation: the langid prediction CTEs,
+    // union class set via null-safe full outer, single-chain divisions.
+    "dq_classification_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
+        |  FROM b),
+        |cells AS (SELECT a, p, count(*)::BIGINT AS o FROM pr GROUP BY a, p),
+        |at AS (SELECT a, sum(o)::BIGINT AS support FROM cells GROUP BY a),
+        |pt AS (SELECT p, sum(o)::BIGINT AS n_pred FROM cells GROUP BY p),
+        |tpc AS (SELECT a AS c, o AS tp FROM cells WHERE a IS NOT DISTINCT FROM p),
+        |cls AS (
+        |  SELECT coalesce(at.a, pt.p) AS class,
+        |    coalesce(support, 0)::BIGINT AS support,
+        |    coalesce(n_pred, 0)::BIGINT AS n_pred
+        |  FROM at FULL OUTER JOIN pt ON at.a IS NOT DISTINCT FROM pt.p),
+        |j AS (
+        |  SELECT class, support, n_pred, coalesce(tpc.tp, 0)::BIGINT AS tp
+        |  FROM cls LEFT JOIN tpc ON cls.class IS NOT DISTINCT FROM tpc.c),
+        |w AS (
+        |  SELECT class, support, n_pred, tp,
+        |    CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END AS "precision",
+        |    CASE WHEN support > 0 THEN tp::DOUBLE / support::DOUBLE END AS recall
+        |  FROM j)
+        |SELECT class, support, n_pred, tp, "precision", recall,
+        |  CASE WHEN "precision" + recall > '0.0'::DOUBLE
+        |       THEN '2.0'::DOUBLE * "precision" * recall / ("precision" + recall)
+        |  END AS f1
+        |FROM w ORDER BY class""".stripMargin,
+
+    // Calibration: the txt_quality_model score CTE joined to the lang=en
+    // label, psi-style clamped binning, round-then-decimal-summed mean
+    // scores, single trailing divisions.
+    // Wilson re-derivation: langid prediction CTEs carrying source, one
+    // accuracy agg, then the interval chain in the engine's association
+    // order (every op exactly-rounded IEEE, sqrt included).
+    "dq_rate_wilson" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','和','有'))) AS h_zh
+        |  FROM tk),
+        |b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS hm FROM h),
+        |pr AS (
+        |  SELECT source, lang,
+        |    CASE WHEN hm <= 0 THEN 'und'
+        |         WHEN h_de = hm THEN 'de' WHEN h_en = hm THEN 'en' WHEN h_es = hm THEN 'es'
+        |         WHEN h_fr = hm THEN 'fr' ELSE 'zh' END AS p
+        |  FROM b),
+        |g AS (
+        |  SELECT source::VARCHAR AS "group", count(*)::BIGINT AS n,
+        |    sum((p IS NOT DISTINCT FROM lang)::INT)::BIGINT AS k
+        |  FROM pr GROUP BY 1),
+        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
+        |c3 AS (SELECT *,
+        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
+        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
+        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
+        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
+        |SELECT "group", n, k, p AS rate,
+        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
+        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
+        |FROM c3 ORDER BY "group"""".stripMargin,
+
+    // Binned-AUC re-derivation: the calibration score CTEs, full bin
+    // spine, descending cumulative TP/FP, the exact BIGINT trapezoid
+    // numerator, one trailing division.
+    "dq_binned_auc" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
+         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
+         |      FROM tok),
+         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id AS id,
+         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+         |         ELSE sw::DOUBLE / 1000.0 / n END AS score
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |lab AS (SELECT doc_id AS id, (lang = 'en') AS y FROM documents),
+         |j AS (
+         |  SELECT sc.score AS sv, lab.y FROM sc JOIN lab USING (id)
+         |  WHERE sc.score IS NOT NULL AND lab.y IS NOT NULL),
+         |g AS (
+         |  SELECT least(9, greatest(0,
+         |      floor((sv - '-0.5'::DOUBLE) * '10.0'::DOUBLE / '1.0'::DOUBLE)::INT)) AS bucket,
+         |    sum(y::INT)::BIGINT AS n_pos, sum((NOT y)::INT)::BIGINT AS n_neg
+         |  FROM j GROUP BY 1),
+         |spine AS (
+         |  SELECT b.bucket, coalesce(g.n_pos, 0)::BIGINT AS n_pos,
+         |    coalesce(g.n_neg, 0)::BIGINT AS n_neg
+         |  FROM (SELECT unnest(range(10)) AS bucket) b
+         |  LEFT JOIN g ON g.bucket = b.bucket),
+         |t AS (SELECT sum(n_pos)::BIGINT AS p, sum(n_neg)::BIGINT AS nn FROM spine),
+         |c AS (
+         |  SELECT bucket, n_pos, n_neg,
+         |    sum(n_pos) OVER (ORDER BY bucket DESC)::BIGINT AS cum_tp,
+         |    sum(n_neg) OVER (ORDER BY bucket DESC)::BIGINT AS cum_fp,
+         |    (n_neg * (2 * (sum(n_pos) OVER (ORDER BY bucket DESC) - n_pos) + n_pos))::BIGINT
+         |      AS term
+         |  FROM spine),
+         |a AS (SELECT (sum(term)::DOUBLE / (2 * t.p * t.nn)::DOUBLE) AS auc
+         |      FROM c CROSS JOIN t GROUP BY t.p, t.nn)
+         |SELECT c.bucket, c.n_pos, c.n_neg, c.cum_tp, c.cum_fp,
+         |  c.cum_tp::DOUBLE / t.p::DOUBLE AS tpr,
+         |  c.cum_fp::DOUBLE / t.nn::DOUBLE AS fpr,
+         |  a.auc
+         |FROM c CROSS JOIN t CROSS JOIN a ORDER BY bucket DESC""".stripMargin,
+
+    "dq_calibration" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        [${graft.operators.QualityModel.weightsMilli.mkString(", ")}]
+         |          [((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1)::INT] AS w
+         |      FROM tok),
+         |s AS (SELECT doc_id, sum(w)::BIGINT AS sw, count(*)::BIGINT AS n FROM b GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id AS id,
+         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+         |         ELSE sw::DOUBLE / 1000.0 / n END AS score
+         |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |lab AS (SELECT doc_id AS id, (lang = 'en') AS y FROM documents),
+         |j AS (
+         |  SELECT sc.score AS sv, lab.y FROM sc JOIN lab USING (id)
+         |  WHERE sc.score IS NOT NULL AND lab.y IS NOT NULL),
+         |g AS (
+         |  SELECT least(9, greatest(0,
+         |      floor((sv - '-0.5'::DOUBLE) * '10.0'::DOUBLE / '1.0'::DOUBLE)::INT)) AS bucket,
+         |    count(*)::BIGINT AS n, sum(y::INT)::BIGINT AS n_pos,
+         |    sum(round(sv, 9)::DECIMAL(28,9))::DOUBLE / count(*)::DOUBLE AS mean_score
+         |  FROM j GROUP BY 1)
+         |SELECT bucket, n, n_pos, mean_score,
+         |  n_pos::DOUBLE / n::DOUBLE AS pos_rate
+         |FROM g ORDER BY bucket""".stripMargin,
+
+    // OOV rate: vocab re-derived as the txt_vocabulary top-20 cut, token
+    // stream left-joined against it, doc spine restored so empty/null
+    // docs keep their row (unnest drops them in DuckDB; the engine's
+    // explode_outer keeps them).
+    "e_windowed_drift_fx" -> PinnedOracles.sql("e_windowed_drift_fx"),
+
+    // NFC parity: DuckDB's nfc_normalize is an INDEPENDENT Unicode NFC
+    // implementation — agreement cross-validates both engines' tables.
+    "dq_monotonicity" ->
+      """WITH m AS (
+        |  SELECT floor(value * 100)::BIGINT AS s, (event_type = 'click') AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |ps AS (
+        |  SELECT s, count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+        |  FROM m GROUP BY s),
+        |st AS (
+        |  SELECT n, np,
+        |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM ps),
+        |b AS (SELECT ((cum - 1) * 10) // total AS bucket, n, np FROM st),
+        |r AS (
+        |  SELECT bucket::BIGINT AS bucket, sum(n)::BIGINT AS n,
+        |    sum(np)::BIGINT AS n_pos,
+        |    ((sum(np) * 1000000000) // sum(n))::BIGINT AS pos_rate_n9
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n, n_pos, pos_rate_n9,
+        |  coalesce(pos_rate_n9 < lag(pos_rate_n9) OVER (ORDER BY bucket), false)
+        |    AS is_violation
+        |FROM r ORDER BY bucket""".stripMargin,
+
+    // Percentile re-derivation: RANGE-frame cume count over the same
+    // (source, n_chars) order, integer share.
+    "e_hourly_active_users" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
+        |  count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY hr""".stripMargin,
+
+    // Rolling-active re-derivation: distinct user-hours, 24-shift
+    // unnest, distinct count per window end; µs epochs via the proven
+    // epoch_us ↔ unix_micros parity (NS files truncate through ::TIMESTAMP
+    // exactly like the loader's ns->µs div).
+    "e_rolling_active_users" ->
+      """WITH ub AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts::TIMESTAMP) // 3600000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (
+        |  SELECT DISTINCT u, unnest(range(b, b + 24)) AS window_end FROM ub),
+        |c AS (SELECT window_end, count(*)::BIGINT AS n_users FROM w GROUP BY window_end),
+        |spine AS (
+        |  SELECT unnest(range(min(b), max(b) + 24)) AS window_end FROM ub)
+        |SELECT s.window_end,
+        |  strftime(to_timestamp((s.window_end - 23) * 3600), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start_ts,
+        |  coalesce(c.n_users, 0)::BIGINT AS n_users
+        |FROM spine s LEFT JOIN c ON c.window_end = s.window_end
+        |ORDER BY s.window_end""".stripMargin,
+
+    // DF-profile re-derivation: the shared shingle contract, df per
+    // shingle, shingles per df.
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e_interval_join" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'view' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    // Incremental rollup: the oracle recomputes DIRECTLY over the full
+    // table — equality proves merge(batch states) == full recompute.
+    "e_incremental_rollup" ->
+      """SELECT user_id, count(value) AS n,
+        |  sum(round(value, 9)::DECIMAL(28,9))::DOUBLE AS sum_v,
+        |  CASE WHEN count(value) > 0
+        |       THEN sum(round(value, 9)::DECIMAL(28,9))::DOUBLE / count(value)::DOUBLE END AS mean_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Hourly-Wilson re-derivation: the dq_rate_wilson IEEE chain keyed
+    // by the hour string.
+    "e_error_rate_wilson" ->
+      """WITH g AS (
+        |  SELECT strftime(ts, '%Y-%m-%d %H') AS "group", count(*)::BIGINT AS n,
+        |    sum((event_type IS NOT DISTINCT FROM 'error')::INT)::BIGINT AS k
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT "group", n, k, k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |  ('1.96'::DOUBLE * '1.96'::DOUBLE) AS z2 FROM g),
+        |c3 AS (SELECT *,
+        |  p + z2 / ('2.0'::DOUBLE * nd) AS center,
+        |  '1.96'::DOUBLE * sqrt(p * ('1.0'::DOUBLE - p) / nd
+        |    + z2 / ('4.0'::DOUBLE * (nd * nd))) AS half,
+        |  '1.0'::DOUBLE + z2 / nd AS denom FROM c)
+        |SELECT "group", n, k, p AS rate,
+        |  greatest('0.0'::DOUBLE, (center - half) / denom) AS lo,
+        |  least('1.0'::DOUBLE, (center + half) / denom) AS hi
+        |FROM c3 ORDER BY "group"""".stripMargin,
+
+    // Sliding-window re-derivation: every event unnests into its two
+    // panes (epoch-aligned 2h/1h grid), exact counts.
+    "e_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS ws, event_type
+        |  FROM events, LATERAL unnest([0, 1]) AS t(o)
+        |  WHERE ts IS NOT NULL)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*)::BIGINT AS n
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // EWMA re-derivation: identical exact-cents means, then the SAME
+    // fixed-order fold replayed by a recursive CTE over the per-key
+    // bucket index — each step one IEEE multiply-add with the same
+    // 0.3/0.7 literals, so every intermediate is bit-identical.
+    "e_ewma_baseline" ->
+      """WITH b AS (
+        |  SELECT event_type::VARCHAR AS key, epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS n,
+        |    sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sc
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT key, bucket, n, (sc::DOUBLE / '100.0'::DOUBLE) / n::DOUBLE AS mean_v,
+        |    row_number() OVER (PARTITION BY key ORDER BY bucket) AS idx
+        |  FROM b),
+        |e AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT key, bucket, n, mean_v, idx, mean_v AS ewma FROM m WHERE idx = 1
+        |    UNION ALL
+        |    SELECT m.key, m.bucket, m.n, m.mean_v, m.idx,
+        |      '0.3'::DOUBLE * m.mean_v + '0.7'::DOUBLE * r.ewma
+        |    FROM m JOIN r ON r.key = m.key AND m.idx = r.idx + 1)
+        |  SELECT * FROM r)
+        |SELECT key, bucket,
+        |  strftime(make_timestamp(bucket * 3600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |  n, mean_v, ewma
+        |FROM e ORDER BY key, bucket""".stripMargin,
+
+    // Windowed heavy hitters re-derivation: per-hour exact counts, one
+    // row_number per window at (n desc, category), k=3 cut.
+    "e_windowed_topk" ->
+      """WITH cnt AS (
+        |  SELECT date_trunc('hour', ts) AS w, event_type::VARCHAR AS category,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w, category, n,
+        |    row_number() OVER (PARTITION BY w ORDER BY n DESC, category ASC)::INTEGER AS rank
+        |  FROM cnt)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, category, n, rank
+        |FROM r WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
+
+    // Windowed-W1 re-derivation: global reference bins, per-hour bins on
+    // the same clamped grid, the full (window × bucket) grid with
+    // per-window cumulative sums, exact |cum_w·t_ref − cum_ref·t_w|
+    // numerators, two trailing IEEE ops per window.
+    "e_windowed_wdrift" ->
+      """WITH v AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    least(9, greatest(0, floor((value::DOUBLE - 0) * 10 / 1000.0::DOUBLE)::INT)) AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |ref AS (SELECT bucket, count(*)::BIGINT AS ref_n FROM v GROUP BY bucket),
+        |bins AS (
+        |  SELECT b.bucket, coalesce(ref.ref_n, 0)::BIGINT AS ref_n
+        |  FROM (SELECT unnest(range(10))::INT AS bucket) b
+        |  LEFT JOIN ref ON ref.bucket = b.bucket),
+        |rt AS (SELECT sum(ref_n)::BIGINT AS t_ref FROM bins),
+        |wc AS (SELECT w, bucket, count(*)::BIGINT AS n FROM v GROUP BY w, bucket),
+        |wins AS (SELECT w, sum(n)::BIGINT AS t_w FROM wc GROUP BY w),
+        |grid AS (
+        |  SELECT wins.w, bins.bucket, bins.ref_n, wins.t_w,
+        |    coalesce(wc.n, 0)::BIGINT AS n
+        |  FROM wins CROSS JOIN bins
+        |  LEFT JOIN wc ON wc.w = wins.w AND wc.bucket = bins.bucket),
+        |cum AS (
+        |  SELECT w, bucket, n, t_w,
+        |    sum(n) OVER (PARTITION BY w ORDER BY bucket)::BIGINT AS cum_n,
+        |    sum(ref_n) OVER (PARTITION BY w ORDER BY bucket)::BIGINT AS cum_ref
+        |  FROM grid),
+        |d AS (
+        |  SELECT cum.*, rt.t_ref,
+        |    abs(cum_n * rt.t_ref - cum_ref * t_w)::BIGINT AS diff_num
+        |  FROM cum CROSS JOIN rt),
+        |w1 AS (
+        |  SELECT w, sum(diff_num)::BIGINT AS w1_num,
+        |    sum(diff_num)::DOUBLE / (any_value(t_w) * any_value(t_ref))::DOUBLE
+        |      * (1000.0::DOUBLE / 10) AS w1
+        |  FROM d GROUP BY w)
+        |SELECT strftime(d.w, '%Y-%m-%d %H:%M:%S') AS window_start, d.bucket, d.n,
+        |  d.cum_n, d.diff_num, w1.w1_num, w1.w1
+        |FROM d JOIN w1 ON w1.w = d.w
+        |ORDER BY window_start, d.bucket""".stripMargin,
+
+    // Trend re-derivation: group-centered minute x (`//` truncation),
+    // exact integer moments, one IEEE division; HUGEINT products cast
+    // back to BIGINT.
+    "e_trend_slopes" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |t0 AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY event_type),
+        |xy AS (
+        |  SELECT b.event_type, (b.us - t0.us0) // 60000000 AS x, b.y
+        |  FROM b JOIN t0 USING (event_type)),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |  FROM xy GROUP BY event_type)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy)::BIGINT AS slope_num,
+        |  (n * sxx - sx * sx)::BIGINT AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |       THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |  END AS slope
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Growth re-derivation: champion-min debut, per-day rollup, running
+    // sum over the day summary; second-precision string buckets.
+    "e_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (SELECT d, count(*)::BIGINT AS n_new FROM f GROUP BY d)
+        |SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_start, n_new,
+        |  sum(n_new) OVER (ORDER BY d)::BIGINT AS cum_users
+        |FROM g ORDER BY bucket_start""".stripMargin,
+
+    // Guarded-join oracle: the plain join — equality proves the guard
+    // column was pass-through (no multiplicity violated, nothing added).
+    "e_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT event_id // 3 AS k, value, event_type AS etype
+        |  FROM events WHERE event_id % 3 = 0),
+        |ch AS (
+        |  SELECT event_id // 3 AS k, event_id AS v,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_id % 3 = 1 THEN 'U' ELSE 'I' END AS op,
+        |    value, event_type AS etype
+        |  FROM events WHERE event_id % 3 <> 0),
+        |w AS (
+        |  SELECT k, op, value, etype FROM (
+        |    SELECT k, op, value, etype,
+        |      row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(w.k, s.k)::BIGINT AS key,
+        |  CASE WHEN w.k IS NOT NULL THEN w.value ELSE s.value END AS value,
+        |  CASE WHEN w.k IS NOT NULL THEN w.etype ELSE s.etype END AS etype
+        |FROM snap s FULL OUTER JOIN w ON w.k = s.k
+        |WHERE w.op IS NULL OR w.op <> 'D'
+        |ORDER BY key""".stripMargin,
+
+    "e_interval_join_outer" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'view'),
+        |     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
+        |FROM l LEFT JOIN r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    // SCD2: the merge-rule union re-derived case by case (null-safe
+    // value compare via IS DISTINCT FROM).
+    "e_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    // Windowed-drift re-derivation: reference counts, per-hour folded
+    // counts, the full (window x category+<other>) grid, Laplace shares,
+    // decimal contributions, decimal per-window psi.
+    "e_windowed_drift" -> PinnedOracles.sql("e_windowed_drift"),
+
+    // Expected rows: user 1 converts twice inside 15 min, user 2 is 5 min
+    // late, user 3 hits the inclusive boundary exactly.
+    "e_stream_dedup" ->
+      """SELECT md5(user_id::VARCHAR || ':' || coalesce(event_type, '')) AS fingerprint,
+        |  min(event_id)::BIGINT AS event_id, count(*)::BIGINT AS n_dups
+        |FROM events GROUP BY 1 ORDER BY event_id""".stripMargin,
+
+    "e_interval_join_fx" ->
+      """SELECT c0::BIGINT AS user_id, c1::BIGINT AS l_id, c2::BIGINT AS r_id
+        |FROM (VALUES (1, 1, 11), (1, 1, 12), (3, 3, 14)) AS t(c0, c1, c2)
+        |ORDER BY user_id, l_id, r_id""".stripMargin,
+
+    "e_stream_window_fx" -> PinnedOracles.sql("e_stream_window_fx"),
+
+    "e_session_window_fx" -> PinnedOracles.sql("e_session_window_fx"),
+
+    // Gap sessionization: lag-based new-session flags + running sum; a
+    // session ends 30 minutes after its last event (session_window
+    // semantics: merge while next.ts < prev.ts + gap).
+    "e_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  user_id, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "e_stateful_rollup" ->
+      """SELECT user_id, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e_json_props" ->
+      """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "mm_feature_extract" ->
+      """SELECT c0::BIGINT AS "media_id", c1::VARCHAR AS "media_type", c2::INTEGER AS "n_bytes", c3::VARCHAR AS "feature" FROM (VALUES (0, 'image', 157, '[8.092651,9.407623,9.760315,10.367691,9.535294,9.101761,10.812851,11.619644]'), (1, 'audio', 406, '[28.074493,22.767242,24.881042,25.967026,27.02414,24.625977,22.493729,21.71904]'), (2, 'image', 246, '[18.452469,15.750809,14.489822,15.452286,17.384811,15.772385,12.088455,15.094009]'), (3, 'audio', 147, '[6.823715,9.8910675,11.605301,8.691513,7.918106,8.720032,9.21965,7.286865]'), (4, 'image', 250, '[14.998886,15.092239,17.437317,20.3564,17.291656,17.094818,16.512161,12.823578]'), (5, 'audio', 314, '[20.665405,17.940765,19.688995,16.97641,18.985138,20.26271,18.48581,16.890991]'), (6, 'image', 78, '[4.124893,4.9199524,3.872284,3.5119781,4.7860565,4.329544,4.686264,3.8841705]'), (7, 'audio', 402, '[22.46666,22.17067,25.472092,23.60727,22.460663,22.251236,23.45398,26.33818]'), (8, 'image', 470, '[29.764984,28.915833,27.361893,29.494583,31.150116,31.588348,32.82567,28.803497]'), (9, 'audio', 391, '[23.49524,25.611313,24.203018,24.698639,23.140335,24.825607,24.65062,24.274887]'), (10, 'audio', 214, '[13.707657,11.650101,12.926758,13.382675,13.497147,12.9366,11.786102,8.962921]'), (11, 'image', 304, '[18.193726,15.682526,17.034714,19.927292,19.242096,20.065094,21.737747,18.817215]'), (12, 'audio', 348, '[21.633545,22.207916,23.42659,23.84111,19.095917,22.290161,20.368576,19.330887]'), (13, 'image', 346, '[18.99736,21.492569,20.778244,24.14592,18.233795,21.900314,21.86528,25.02237]'), (14, 'audio', 495, '[32.168564,32.34027,27.231415,29.731552,30.241287,28.214157,34.652634,32.87059]'), (15, 'image', 228, '[13.416122,12.982544,15.972839,13.751465,12.258636,13.715439,14.766083,14.739838]'), (16, 'audio', 90, '[5.4134064,5.151535,5.859421,4.6256256,4.3315277,4.7593994,6.8127747,7.0439453]'), (17, 'image', 426, '[24.171417,24.944153,24.226547,25.983444,25.647781,29.99907,25.558731,29.978851]'), (18, 'audio', 423, '[26.15245,24.827087,25.892776,25.61441,26.587234,27.567078,31.372406,26.859756]'), (19, 'image', 57, '[2.2397614,5.3989716,3.1667938,3.3924255,1.4587708,3.946106,3.034729,3.3079224]'), (20, 'image', 394, '[21.70755,23.375488,21.391296,20.086624,22.233963,23.75888,26.061707,23.0607]'), (21, 'audio', 217, '[14.398041,12.675476,12.457535,10.989777,12.802368,13.3089905,14.916718,13.16893]'), (22, 'image', 454, '[28.36444,25.72911,29.979828,25.681488,30.126953,28.859314,27.419098,26.067154]'), (23, 'audio', 166, '[10.146347,9.888809,10.203888,9.64563,10.755432,9.9841,8.883469,10.681198]'), (24, 'image', 535, '[31.200974,32.06697,32.37198,32.195602,31.283676,31.700409,35.188904,36.08426]'), (25, 'audio', 505, '[33.50879,31.614761,30.795685,30.694061,27.251648,32.588013,31.332779,29.252197]'), (26, 'image', 63, '[3.3470154,3.5104675,4.765274,4.1664734,3.947342,2.928711,4.3973083,3.015854]'), (27, 'audio', 346, '[21.887604,22.36229,23.061676,19.096115,24.793549,20.80008,21.000671,23.366623]'), (28, 'image', 334, '[20.54831,18.822556,19.38301,21.094482,19.21785,23.60048,21.022842,22.33229]'), (29, 'audio', 196, '[9.344452,14.582779,13.536331,14.1692505,12.858871,11.924606,13.974487,12.992767]'), (30, 'audio', 167, '[9.57959,12.107361,10.011963,11.559814,8.660568,7.8046265,10.932404,9.724625]'), (31, 'image', 250, '[15.04155,16.586975,15.725815,16.530304,13.70401,19.953522,16.76735,15.128098]'), (32, 'audio', 513, '[32.16835,32.35161,31.831085,29.64743,35.876083,33.20981,31.5867,35.120514]'), (33, 'image', 247, '[11.9539795,15.052551,13.247284,12.5385895,13.2322235,16.596893,15.203018,14.137527]'), (34, 'audio', 165, '[9.874084,8.091721,7.825775,12.95871,11.287079,8.611618,11.670364,7.9308014]'), (35, 'image', 452, '[31.140137,23.969376,29.336273,30.127502,30.16124,25.582825,27.76004,26.603073]'), (36, 'audio', 135, '[6.6020813,9.911667,8.936737,10.3489685,9.70195,7.6422424,7.339386,6.735367]'), (37, 'image', 378, '[27.076172,24.113937,21.880844,22.158508,23.683548,26.313766,24.597809,20.18901]'), (38, 'audio', 203, '[12.158417,14.499924,12.315521,15.207916,11.81337,10.159302,12.155563,12.650467]'), (39, 'image', 124, '[7.7734375,7.006592,7.917099,9.242722,6.705826,7.2056427,7.710312,8.26947]'), (40, 'image', 421, '[26.54869,22.346954,30.848679,23.264297,23.973083,23.75113,27.99173,28.035416]'), (41, 'audio', 337, '[20.914017,18.764389,20.987915,23.584183,19.138107,20.352966,21.25772,19.258911]'), (42, 'image', 303, '[18.024216,19.858795,23.074524,19.828735,16.792908,14.906952,15.254166,19.683426]'), (43, 'audio', 152, '[8.580627,8.357147,11.339996,8.980148,7.6123657,9.817947,9.495178,8.200165]'), (44, 'image', 128, '[10.022461,9.147812,8.852539,6.5509796,7.8925323,9.075607,9.925415,8.345154]'), (45, 'audio', 432, '[26.065811,29.862442,29.203033,28.487228,27.032425,27.28862,30.018692,27.831009]'), (46, 'image', 492, '[31.770538,30.8134,28.402084,28.104446,26.50409,34.616837,31.18924,27.347275]'), (47, 'audio', 224, '[15.034439,14.259354,13.761673,13.470749,15.375931,15.2734375,10.752563,13.386139]'), (48, 'image', 164, '[11.282806,12.033951,9.181747,12.623993,11.242615,8.32251,9.350357,10.306061]'), (49, 'audio', 256, '[17.999146,13.976883,13.834366,16.618393,14.9687195,16.442291,16.424042,13.685898]')) AS t(c0, c1, c2, c3) ORDER BY "media_id"""",
+
+    // Two-stage quantized ANN re-derivation: per-vector int8 quantization
+    // (scale = list_max(|v|)/127, q = floor(v/scale + 0.5) — exact in
+    // double on both engines), sequential-fold int dot (integer-valued
+    // doubles: association-order-proof), (dot*scaleA)*scaleB approx
+    // ranking to k*oversample=20, exact-cosine re-rank to k=5.
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+        |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0 ELSE 64 END AS n_bytes,
+        |  md5(list_aggregate(
+        |    [substring(hex(text::BLOB),
+        |       CAST((j*octet_length(text::BLOB))//64 AS BIGINT)*2+1, 2)
+        |     for j in range(64)], 'string_agg', '')) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // aHash near-dup re-derivation: block bytes from hex slices (the
+    // mm_resize rule), mean-threshold band bits as exact integer sums,
+    // band-keyed candidate join, bit_count(xor) Hamming verify.
+    "mm_phash_neardup" -> {
+      def bandSql(k: Int) =
+        (0 until 16).map(j =>
+          s"(CASE WHEN 64*vals[${16 * k + j + 1}] > total THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH d0 AS (
+         |  SELECT doc_id AS id, hex(text::BLOB) AS h,
+         |    octet_length(text::BLOB)::BIGINT AS len
+         |  FROM documents WHERE octet_length(text::BLOB) > 0),
+         |dth AS (
+         |  SELECT id + 1000000 AS id,
+         |    list_aggregate(list_transform(range(128),
+         |      i -> substring(h, CAST(((i*len)//128)*2+1 AS BIGINT), 2)),
+         |      'string_agg', '') AS h,
+         |    128::BIGINT AS len
+         |  FROM d0),
+         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM dth),
+         |v AS (
+         |  SELECT id, list_transform(range(64),
+         |    j -> ('0x' || substring(h, CAST(((j*len)//64)*2+1 AS BIGINT), 2))::BIGINT) AS vals
+         |  FROM d),
+         |tt AS (SELECT id, vals,
+         |  list_reduce(list_prepend(0::BIGINT, vals), (a,b) -> a+b) AS total FROM v),
+         |sg AS (SELECT id,
+         |  ${(0 until 4).map(k => s"(${bandSql(k)}) AS band_$k").mkString(",\n         |  ")}
+         |  FROM tt),
+         |bk AS (
+         |  ${(0 until 4).map(k => s"SELECT id, $k AS band, band_$k AS bv FROM sg")
+                .mkString("\n         |  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id),
+         |hm AS (
+         |  SELECT id_a, id_b,
+         |    (${(0 until 4).map(k => s"bit_count(xor(a.band_$k, b.band_$k))").mkString(" + ")})::BIGINT AS hamming
+         |  FROM cand JOIN sg a ON a.id = id_a JOIN sg b ON b.id = id_b)
+         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Frame i of n (= max(1, duration//100), duration = 1 ms/byte) is the
+    // 24-byte payload slice at byte offset (i*len)//n — re-derived as a
+    // hex-string substring, md5-compared like mm_resize.
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(text::BLOB) AS h, octet_length(text::BLOB) AS len
+        |  FROM documents),
+        |f AS (SELECT doc_id, h, len, greatest(1, len // 100) AS n FROM d),
+        |x AS (SELECT doc_id, h, len, n, unnest(range(n)) AS i FROM f)
+        |SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
+        |  (i*100)::BIGINT AS ts_ms,
+        |  least(24, len - (i*len)//n)::INTEGER AS n_bytes,
+        |  md5(substring(h, CAST((i*len)//n AS BIGINT)*2+1,
+        |    least(24, len - (i*len)//n)*2)) AS frame_md5
+        |FROM x ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Expected table: deterministic IVF top-k (Lloyd cells use min-id init
+    // and decimal-exact means; re-rank values are exact cosine). Pinned at
+    // sf0.01 — the driver's correctness SF.
+  )
+
+  val rederiveSql: Map[String, String] = Map(
+    "dq_chi_square" ->
+      """WITH cells AS (
+        |  SELECT source::VARCHAR AS r, lang::VARCHAR AS c, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o)::BIGINT AS mrt FROM cells GROUP BY r),
+        |ct AS (SELECT c, sum(o)::BIGINT AS mct FROM cells GROUP BY c),
+        |nn AS (SELECT sum(mrt)::BIGINT AS n, count(*)::BIGINT AS nr FROM rt),
+        |nc AS (SELECT count(*)::BIGINT AS ncl FROM ct),
+        |we AS (
+        |  SELECT cells.r, cells.c, cells.o,
+        |    (rt.mrt * ct.mct)::DOUBLE / nn.n::DOUBLE AS e
+        |  FROM cells
+        |  JOIN rt ON rt.r IS NOT DISTINCT FROM cells.r
+        |  JOIN ct ON ct.c IS NOT DISTINCT FROM cells.c
+        |  CROSS JOIN nn),
+        |wc AS (
+        |  SELECT r, c, o,
+        |    CAST(round(e * 1000000000.0::DOUBLE) AS BIGINT) AS e_n9,
+        |    CAST(round((o - e) * (o - e) / e * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9,
+        |    CAST(round(o::DOUBLE * o::DOUBLE / e * 1000000000.0::DOUBLE) AS BIGINT) AS term_n9
+        |  FROM we),
+        |st AS (
+        |  SELECT (sum(wc.term_n9) - nn.n * 1000000000)::BIGINT AS chi2_n9,
+        |    ((nn.nr - 1) * (nc.ncl - 1))::BIGINT AS dof
+        |  FROM wc CROSS JOIN nn CROSS JOIN nc GROUP BY nn.n, nn.nr, nc.ncl)
+        |SELECT wc.r, wc.c, wc.o, wc.e_n9, wc.contrib_n9, st.chi2_n9, st.dof
+        |FROM wc CROSS JOIN st ORDER BY r, c""".stripMargin,
+
+    "dq_label_balance" ->
+      """WITH cells AS (
+        |  SELECT source::VARCHAR AS g, lang::VARCHAR AS l, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
+        |w AS (
+        |  SELECT cells.g, cells.c, tot.n, cells.c::DOUBLE / tot.n::DOUBLE AS p
+        |  FROM cells JOIN tot ON tot.g IS NOT DISTINCT FROM cells.g),
+        |c2 AS (
+        |  SELECT g, n,
+        |    CAST(round((-p) * ln(p) * 1000000000.0::DOUBLE) AS BIGINT) AS h_n9,
+        |    CAST(round(p * p * 1000000000.0::DOUBLE) AS BIGINT) AS g_n9
+        |  FROM w)
+        |SELECT g AS "group", min(n)::BIGINT AS n, count(*)::BIGINT AS n_labels,
+        |  sum(h_n9)::BIGINT AS entropy_n9,
+        |  (1000000000 - sum(g_n9))::BIGINT AS gini_n9
+        |FROM c2 GROUP BY g ORDER BY "group"""".stripMargin,
+
+    "e_windowed_drift_fx" ->
+      """WITH ev(event_id, ts, event_type) AS (VALUES
+        |  (1, '2024-01-01 00:05:00'::TIMESTAMP, 'a'),
+        |  (2, '2024-01-01 00:10:00'::TIMESTAMP, 'a'),
+        |  (3, '2024-01-01 00:20:00'::TIMESTAMP, 'b'),
+        |  (4, '2024-01-01 01:05:00'::TIMESTAMP, 'b'),
+        |  (5, '2024-01-01 01:10:00'::TIMESTAMP, 'b'),
+        |  (6, '2024-01-01 01:20:00'::TIMESTAMP, 'zz')),
+        |ref(category, ref_n) AS (VALUES ('a', 2::BIGINT), ('b', 1::BIGINT)),
+        |rs AS (SELECT count(*)::BIGINT AS n_cats, sum(ref_n)::BIGINT AS ref_total FROM ref),
+        |cnt AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    CASE WHEN event_type IN (SELECT category FROM ref)
+        |         THEN event_type ELSE '<other>' END AS category,
+        |    count(*)::BIGINT AS n
+        |  FROM ev GROUP BY 1, 2),
+        |wins AS (SELECT w, sum(n)::BIGINT AS n_w FROM cnt GROUP BY w),
+        |space AS (
+        |  SELECT category, ref_n FROM ref
+        |  UNION ALL SELECT '<other>', 0::BIGINT),
+        |grid AS (
+        |  SELECT wins.w, wins.n_w, space.category, space.ref_n
+        |  FROM wins CROSS JOIN space),
+        |j AS (
+        |  SELECT g.w, g.n_w, g.category, g.ref_n, coalesce(cnt.n, 0)::BIGINT AS n
+        |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
+        |c AS (
+        |  SELECT w, category, n,
+        |    CAST(round((((n + 1)::DOUBLE / (n_w + n_cats + 1)
+        |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
+        |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
+        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))))
+        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
+        |  FROM j CROSS JOIN rs),
+        |p AS (SELECT w, sum(contrib_n9)::BIGINT AS psi_n9 FROM c GROUP BY w)
+        |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start, c.category, c.n,
+        |  c.contrib_n9, p.psi_n9
+        |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
+
+    "e_windowed_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type::VARCHAR AS category, count(*)::BIGINT AS ref_n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |rs AS (SELECT count(*)::BIGINT AS n_cats, sum(ref_n)::BIGINT AS ref_total FROM ref),
+        |cnt AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    CASE WHEN event_type IN (SELECT category FROM ref)
+        |         THEN event_type::VARCHAR ELSE '<other>' END AS category,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |wins AS (SELECT w, sum(n)::BIGINT AS n_w FROM cnt GROUP BY w),
+        |space AS (
+        |  SELECT category, ref_n FROM ref
+        |  UNION ALL SELECT '<other>', 0::BIGINT),
+        |grid AS (
+        |  SELECT wins.w, wins.n_w, space.category, space.ref_n
+        |  FROM wins CROSS JOIN space),
+        |j AS (
+        |  SELECT g.w, g.n_w, g.category, g.ref_n, coalesce(cnt.n, 0)::BIGINT AS n
+        |  FROM grid g LEFT JOIN cnt ON cnt.w = g.w AND cnt.category = g.category),
+        |c AS (
+        |  SELECT w, category, n,
+        |    CAST(round((((n + 1)::DOUBLE / (n_w + n_cats + 1)
+        |        - (ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))
+        |      * ln(((n + 1)::DOUBLE / (n_w + n_cats + 1))
+        |        / ((ref_n + 1)::DOUBLE / (ref_total + n_cats + 1))))
+        |      * 1000000000.0::DOUBLE) AS BIGINT) AS contrib_n9
+        |  FROM j CROSS JOIN rs),
+        |p AS (SELECT w, sum(contrib_n9)::BIGINT AS psi_n9 FROM c GROUP BY w)
+        |SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start, c.category, c.n,
+        |  c.contrib_n9, p.psi_n9
+        |FROM c JOIN p USING (w) ORDER BY window_start, category""".stripMargin,
+
+    "e_stream_window_fx" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_str, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM (VALUES
+        |  (TIMESTAMP '2025-01-01 00:05:00', 'click', '1.25'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 00:40:00', 'click', '2.5'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 00:55:00', 'view', '0.75'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 01:10:00', 'click', '3.25'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 01:59:59', 'error', '1.0'::DOUBLE),
+        |  (TIMESTAMP '2025-01-01 02:00:00', 'view', '4.5'::DOUBLE)) AS t(ts, event_type, value)
+        |GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+
+    "e_session_window_fx" ->
+      """WITH ev AS (
+        |  SELECT user_id::BIGINT AS user_id, ts, value FROM (VALUES
+        |    (1, TIMESTAMP '2025-01-01 00:00:00', '1.25'::DOUBLE),
+        |    (1, TIMESTAMP '2025-01-01 00:10:00', '2.5'::DOUBLE),
+        |    (1, TIMESTAMP '2025-01-01 01:00:00', '0.75'::DOUBLE),
+        |    (2, TIMESTAMP '2025-01-01 00:05:00', '4.0'::DOUBLE)) AS t(user_id, ts, value)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  user_id, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+  )
+
+}
