@@ -238,6 +238,19 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-N deterministic sample (round-11): the fixed-count contract
+    // ppsSample's expected-N draw can't honor — first 100 rows of the
+    // md5(key) permutation via bucket-histogram threshold selection
+    // (only the ONE boundary bucket pays a rank; no corpus sort). The
+    // oracle is the flat ORDER BY md5 LIMIT — the gate proves the
+    // threshold decomposition exact.
+    "tdp_exact_sample" -> ((s, dir) => {
+      graft.operators.Curation.exactSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), n = 100L)
+        .orderBy(col("doc_id"))
+    }),
+
     // HARD per-source token quota (round-11): the "cap any single
     // domain" gate mixture planning can't enforce — exact running-total
     // ceiling in a deterministic md5 admission order, computed as a
@@ -741,6 +754,23 @@ private[graft] object QueriesTextCuration {
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("crosses_split", col("split_a") =!= col("split_b"))
         .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Leakage-SAFE split (round-11): the fix for what tdp_split_leakage
+    // measures — every near-dup connected component lands wholly in one
+    // split (md5 draw keyed by the component representative, not the
+    // doc), singletons split exactly as hashSplit would. Zero
+    // cross-split near-dup pairs by construction.
+    "tdp_component_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      graft.operators.Curation.componentSplit(
+        docs, col("doc_id"), pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("id"))
     }),
 
     // Snapshot diff between two corpus versions: only (id, md5) shuffles,
@@ -1534,6 +1564,40 @@ private[graft] object QueriesTextCuration {
         |FROM p
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0 < pi
         |ORDER BY doc_id""".stripMargin,
+
+    // Component-split re-derivation: the shared LSH pair chain,
+    // recursive transitive closure, min-id component labels, singleton
+    // fallback to own id, then the tdp_hash_split draw keyed by the
+    // component.
+    "tdp_component_split" ->
+      (lshPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        """edges AS (
+          |  SELECT id_a AS s, id_b AS d FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT DISTINCT s AS id, s AS r FROM edges
+          |  UNION
+          |  SELECT e2.s AS id, rr.r FROM edges e2 JOIN reach rr ON e2.d = rr.id),
+          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          |wc AS (
+          |  SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+          |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+          |SELECT id, component,
+          |  CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END
+          |    AS split
+          |FROM (SELECT id, component,
+          |  ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+          |  FROM wc)
+          |ORDER BY id""".stripMargin),
+
+    // Exact-sample re-derivation: the FLAT global order-by-md5 LIMIT —
+    // independent of the engine's bucket-histogram threshold selection.
+    "tdp_exact_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
 
     // Source-quota re-derivation: ONE flat per-source cumulative window
     // in (md5 priority, id) order — independent of the engine's

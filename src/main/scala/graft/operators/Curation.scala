@@ -521,6 +521,40 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Near-dup-ATOMIC train/val/test split — the leakage-safe assignment
+    * [[hashSplit]] cannot give: a doc-keyed hash split strands near-
+    * duplicate pairs across the train/test boundary (the contamination
+    * tdp_split_leakage measures); here every connected component of the
+    * near-dup graph lands WHOLLY in one split, because the md5 draw is
+    * keyed by the component representative instead of the document.
+    * Docs outside any component are their own singleton (component =
+    * own id) and split exactly as hashSplit would.
+    *
+    * Scale shape: components via the O(log n) large-star/small-star
+    * fixpoint over the (LSH-sized, not corpus-sized) pair set, one
+    * left join corpus->components, a DISTINCT over component ids, the
+    * usual broadcast-scale split projection, one equi-join back.
+    * Fraction caveat inherited from any group-atomic split: realized
+    * proportions are exact over COMPONENTS, approximate over documents
+    * (a giant dup cluster moves its whole mass into one split — the
+    * price of zero leakage).
+    *
+    * @return (id, component, split), one row per input id. */
+  def componentSplit(
+      df: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+    val withComp = df.select(id.as("id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    val compSplit = hashSplit(
+      withComp.select(col("component")).distinct(), col("component"), splits)
+    withComp.join(compSplit, Seq("component"))
+      .select(col("id"), col("component"), col("split"))
+  }
+
   /** The removal half of token-level substring dedup: excise every
     * duplicated span found by [[Dedup.duplicateSpans]] and rebuild the
     * document from its surviving tokens (single-space joined). Documents
@@ -636,6 +670,65 @@ object Curation {
     df.withColumn("_spg_rn", row_number().over(w))
       .filter(col("_spg_rn") <= k)
       .drop("_spg_rn")
+  }
+
+  /** EXACT-N deterministic uniform sample — the global fixed-count
+    * complement of [[ppsSample]] (expected-N) and [[samplePerGroup]]
+    * (exact-N per group): the n rows with the smallest md5(key), i.e.
+    * the first n of a reproducible uniform permutation. "Give me
+    * exactly 10M eval documents" is a fixed-count contract an
+    * expected-N Poisson draw cannot honor.
+    *
+    * Scale shape (why this is not `orderBy(md5).limit(n)`): a global
+    * sort-limit either TakeOrdereds n rows through the driver or
+    * range-shuffles the corpus. Instead, the first 4 hex chars of the
+    * md5 priority RANGE-bucket the permutation into 65536 buckets: one
+    * map-side-combined histogram pass finds the threshold bucket B
+    * where the running count crosses n (a <= 65536-row driver-side
+    * cumulative — bounded, corpus-size-free); every row in a bucket
+    * below B is in unconditionally (a pure filter, no sort), and ONLY
+    * the boundary bucket (~|corpus|/65536 rows) pays a single-partition
+    * rank to cut the remainder. Two corpus scans (histogram + emit),
+    * zero corpus-wide sorts or shuffles.
+    *
+    * Keys must be unique (duplicate keys share a priority; the
+    * boundary tie-break falls to the key string itself). n >= |corpus|
+    * returns every row.
+    *
+    * @return the sampled rows, original columns. */
+  def exactSample(df: DataFrame, key: Column, n: Long): DataFrame = {
+    require(n >= 0, s"exactSample: n must be >= 0, got $n")
+    if (n == 0) return df.filter(lit(false))
+    val tagged = df
+      .withColumn("_kstr", key.cast("string"))
+      .withColumn("_pri", md5(col("_kstr")))
+      .withColumn("_bkt", conv(substring(col("_pri"), 1, 4), 16, 10).cast("int"))
+    val hist = tagged.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    val out =
+      if (n >= total) tagged
+      else {
+        var below = 0L
+        var cut = hist.last._1
+        var i = 0
+        while (i < hist.length && below + hist(i)._2 < n) {
+          below += hist(i)._2; cut = if (i + 1 < hist.length) hist(i + 1)._1 else cut
+          i += 1
+        }
+        if (i < hist.length) cut = hist(i)._1
+        val need = n - below
+        val boundary = tagged
+          .filter(col("_bkt") === cut)
+          // single-partition rank over the ONE boundary bucket only
+          // (~|corpus|/65536 rows) — never the corpus
+          .withColumn("_rn", row_number().over(
+            Window.orderBy(col("_pri"), col("_kstr"))))
+          .filter(col("_rn") <= need)
+          .drop("_rn")
+        tagged.filter(col("_bkt") < cut).unionByName(boundary)
+      }
+    out.drop("_kstr", "_pri", "_bkt")
   }
 
   /** Snapshot diff between two corpus versions keyed by `idCol`: per id,

@@ -775,8 +775,16 @@ object Dedup {
       docs: DataFrame,
       id: Column,
       text: Column,
-      k: Int): DataFrame = {
+      k: Int,
+      /** md5 (default) keeps the gram key engine-portable for the
+        * oracle; false switches the GRAM key to xxhash64 — an 8-byte
+        * long instead of a 32-char string, shrinking the dominant
+        * gram shuffle ~4x (same trade as [[duplicateSpans]]; the span
+        * CLUSTER hash stays md5-of-text either way). Same spans modulo
+        * ~n²/2⁶⁴ expected hash collisions. */
+      portableHash: Boolean = true): DataFrame = {
     require(k >= 1, s"substringDedup: window size k must be >= 1, got $k")
+    val gram: Column => Column = if (portableHash) md5 else xxhash64(_)
     // token arrays feed the gram scan AND the span-text slice join: pin
     // once or the corpus re-tokenizes per read
     val tk = docs
@@ -786,7 +794,7 @@ object Dedup {
     val grams = tk
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("_t")) - k),
-          i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
+          i => gram(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
       .select(col("id"), col("pos").as("start"), col("col").as("gh"))
     val byGram = Window.partitionBy(col("gh"))
     val dup = grams

@@ -170,6 +170,55 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got == flat)
   }
 
+  test("exactSample equals the flat order-by-hash limit, and handles the edges") {
+    val docs = (0 until 500).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "src")
+    for (n <- Seq(1L, 99L, 250L, 499L)) {
+      val got = graft.operators.Curation.exactSample(docs, col("id"), n)
+        .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+      val flat = docs
+        .withColumn("_p", md5(col("id").cast("string")))
+        .orderBy(col("_p"), col("id").cast("string"))
+        .limit(n.toInt)
+        .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(got.size == n && got == flat, s"n=$n")
+    }
+    assert(graft.operators.Curation.exactSample(docs, col("id"), 0L).count() == 0)
+    assert(graft.operators.Curation.exactSample(docs, col("id"), 500L).count() == 500)
+    assert(graft.operators.Curation.exactSample(docs, col("id"), 10000L).count() == 500)
+  }
+
+  test("componentSplit never strands a near-dup pair across splits") {
+    // chain components {1,2,3}, {10,11}, singletons 20..29
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 29L)).map(Tuple1(_)).toDF("id")
+    val got = graft.operators.Curation.componentSplit(
+      docs, col("id"), pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 15)
+    // component-atomic: one split per component
+    for ((_, rows) <- got.groupBy(_._2))
+      assert(rows.map(_._3).distinct.length == 1, s"component split apart: $rows")
+    assert(got.filter(r => Seq(1L, 2L, 3L).contains(r._1)).map(_._2).distinct.sameElements(Array(1L)))
+    // singletons draw exactly as hashSplit would (component = own id)
+    val hs = graft.operators.Curation.hashSplit(
+      docs.filter(col("id") >= 20L), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    for ((id, _, split) <- got if id >= 20L) assert(hs(id) == split, s"singleton $id")
+  }
+
+  test("substringDedup xxhash64 gram keys produce the same spans as md5") {
+    val rnd = new scala.util.Random(997)
+    val pool = Vector("red fox", "lazy dog jumps", "spark plan folds", "shuffle key")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 5 + rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    def run(ph: Boolean) = Dedup.substringDedup(
+      docs.toDF("id", "text"), col("id"), col("text"), k = 3, portableHash = ph)
+      .orderBy(col("id"), col("span_start")).collect().map(_.toSeq).toSeq
+    assert(run(true) == run(false))
+  }
+
   test("substringDedup equals the driver reference on seeded random corpora") {
     for (seed <- Seq(11, 137, 4099)) {
       val rnd = new scala.util.Random(seed)
