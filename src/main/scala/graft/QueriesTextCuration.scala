@@ -238,6 +238,21 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Water-filling capped mixture (round-11): allocate a 25k-token
+    // budget across sources ∝ floor(sqrt(capacity)·1e6) integer weights,
+    // except no source can give more than it HAS — saturated sources'
+    // freed budget re-flows to the rest via the closed-form waterline
+    // (one prefix-sum pass over the |sources| frame, never iteration,
+    // never the corpus). At sf0.01 several sources saturate and the
+    // rest absorb the reflow — both branches exercised.
+    "tdp_capped_mixture" -> ((s, dir) => {
+      graft.operators.Curation.cappedMixturePlan(
+        t(s, dir, "documents"), col("source"),
+        size(TextFunctions.tokens(col("text"))),
+        c => floor(sqrt(c.cast("double")) * lit(1e6)),
+        budget = 25000L)
+    }),
+
     // EXACT-N deterministic sample (round-11): the fixed-count contract
     // ppsSample's expected-N draw can't honor — first 100 rows of the
     // md5(key) permutation via bucket-histogram threshold selection
@@ -1589,6 +1604,51 @@ private[graft] object QueriesTextCuration {
           |  ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
           |  FROM wc)
           |ORDER BY id""".stripMargin),
+
+    // Capped-mixture re-derivation: identical waterline chain — integer
+    // prefix sums (exact on both engines), λ/ratios as single divisions
+    // of exact integers, prefix-closed saturation via a running min.
+    "tdp_capped_mixture" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n
+        |  FROM documents WHERE source IS NOT NULL),
+        |caps AS (
+        |  SELECT source, sum(CASE WHEN n > 0 THEN n ELSE 0 END)::BIGINT AS capacity
+        |  FROM tk GROUP BY source),
+        |w AS (
+        |  SELECT source, capacity,
+        |    CAST(floor(sqrt(capacity::DOUBLE) * 1000000.0) AS BIGINT) AS weight
+        |  FROM caps),
+        |pre AS (SELECT *, capacity::DOUBLE / weight::DOUBLE AS rr FROM w),
+        |pre2 AS (
+        |  SELECT *,
+        |    sum(capacity) OVER wr AS ck,
+        |    sum(weight) OVER wr AS wk,
+        |    sum(weight) OVER () AS wtot,
+        |    row_number() OVER (ORDER BY rr, source) AS rn
+        |  FROM pre WINDOW wr AS (ORDER BY rr, source ROWS UNBOUNDED PRECEDING)),
+        |lamt AS (
+        |  SELECT *,
+        |    (25000 - ck)::DOUBLE / (wtot - wk)::DOUBLE AS lamk,
+        |    25000::DOUBLE / wtot::DOUBLE AS lam0
+        |  FROM pre2),
+        |sat AS (
+        |  SELECT *, CASE WHEN rr <= coalesce(lag(lamk) OVER (ORDER BY rr, source), lam0)
+        |    THEN 1 ELSE 0 END AS sh FROM lamt),
+        |sat2 AS (
+        |  SELECT *,
+        |    (min(sh) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) = 1) AS saturated
+        |  FROM sat),
+        |fin AS (SELECT max_by(lamk, rn) AS lamf, count(*) AS nsat FROM sat2 WHERE saturated)
+        |SELECT source, capacity, weight,
+        |  (CASE WHEN saturated THEN capacity
+        |        ELSE least(capacity, CAST(floor(weight::DOUBLE *
+        |          (CASE WHEN nsat = 0 THEN lam0 ELSE lamf END)) AS BIGINT)) END)::BIGINT
+        |    AS allocation,
+        |  saturated
+        |FROM sat2 CROSS JOIN fin
+        |ORDER BY source""".stripMargin,
 
     // Exact-sample re-derivation: the FLAT global order-by-md5 LIMIT —
     // independent of the engine's bucket-histogram threshold selection.

@@ -883,6 +883,98 @@ object Curation {
     applyPlanFilter(df, source, key,
       temperatureMixturePlan(df, source, tokenCount, alpha, tokenBudget))
 
+  /** Water-filling token-budget allocation with per-source capacity caps
+    * — the closed-form "data recipe" allocator: distribute a global
+    * token budget B across sources proportionally to a weight, except
+    * that no source can contribute more than it HAS (its capacity), and
+    * budget freed by saturated sources re-flows to the others. This is
+    * the exact fixpoint [[mixturePlan]]'s one-shot proportions miss: a
+    * plain proportional plan either under-fills B (small sources can't
+    * supply their share) or needs ad-hoc re-normalisation rounds.
+    *
+    * Closed form instead of iteration: allocation a_i = min(c_i, w_i·λ)
+    * with the waterline λ chosen so Σ a_i fills B. Sources sorted by
+    * c_i/w_i saturate in that order, so λ = (B − C_k) / (W − W_k) where
+    * k = number of saturated sources — found with ONE pass of prefix
+    * sums over the |sources|-bounded frame (a 20-row window at the
+    * gate; thousands of rows at crawl scale — never the corpus, which
+    * contributes only the per-source capacity aggregation).
+    *
+    * Exactness discipline: weights are INTEGER-valued (the caller
+    * quantizes, e.g. floor(sqrt(c)·1e6) — the weight scale cancels out
+    * of λ), so every windowed prefix sum is an exact BIGINT on both
+    * engines (a float running sum would diverge between Spark's
+    * sequential frames and DuckDB's segment-tree window aggregation);
+    * λ and the saturation ratios are then doubles derived from exact
+    * integers by a single division — bit-identical. The final
+    * allocation floors w_i·λ, so Σ allocation may undershoot B by at
+    * most |unsaturated sources| tokens. If B >= Σ c_i every source is
+    * fully taken (allocation = capacity).
+    *
+    * @return one row per source: (source, capacity, weight,
+    *         allocation, saturated), ordered by source. */
+  def cappedMixturePlan(
+      df: DataFrame,
+      source: Column,
+      tokenCount: Column,
+      weight: Column => Column, // capacity column -> INTEGER weight expr
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"cappedMixturePlan: budget must be >= 0, got $budget")
+    val caps = df
+      .filter(source.isNotNull && tokenCount.isNotNull)
+      .select(source.as("source"), tokenCount.cast("long").as("_tok"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("_tok") > 0L, col("_tok")).otherwise(lit(0L))).as("capacity"))
+      .withColumn("weight", weight(col("capacity")).cast("long"))
+    // sort by saturation order r = capacity / weight; prefix sums give
+    // every candidate waterline in one pass
+    val byRatio = Window.orderBy(col("_r"), col("source"))
+    val annotated = caps
+      .withColumn("_r", col("capacity").cast("double") / col("weight").cast("double"))
+      .withColumn("_ck", sum(col("capacity")).over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_wk", sum(col("weight")).over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_wtot", sum(col("weight")).over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // waterline if everything up to AND INCLUDING this row saturates;
+      // at the last row the denominator is 0 (nothing left to fill) —
+      // null there, and it is only ever consumed when unsaturated rows
+      // exist, which forces the last SATURATED row to have wk < wtot
+      .withColumn("_lam",
+        when(col("_wtot") === col("_wk"), lit(null).cast("double"))
+          .otherwise((lit(budget) - col("_ck")).cast("double")
+            / (col("_wtot") - col("_wk")).cast("double")))
+      // λ(0): waterline if nothing saturates
+      .withColumn("_lam0", lit(budget).cast("double") / col("_wtot").cast("double"))
+    // a row saturates iff its ratio fits under the waterline computed
+    // from the rows BEFORE it: r_k <= λ(k-1) (λ(0) for the first row).
+    // Saturation is prefix-closed in ratio order, so the flag is a
+    // running AND via min() over a boolean cast.
+    val byRatioAll = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSat = annotated
+      .withColumn("_rn", row_number().over(byRatio))
+      .withColumn("_lamPrev", coalesce(lag(col("_lam"), 1).over(byRatio), col("_lam0")))
+      .withColumn("_satHere", (col("_r") <= col("_lamPrev")).cast("int"))
+      .withColumn("saturated", min(col("_satHere")).over(byRatioAll) === 1)
+    // final waterline = λ at the LAST saturated row in ratio order
+    // (saturation is prefix-closed, so that is λ(k*)); λ(0) if none
+    val lamFinal = withSat
+      .filter(col("saturated"))
+      .agg(max_by(col("_lam"), col("_rn")).as("_lamF"), count(lit(1)).as("_nsat"))
+    withSat
+      .crossJoin(broadcast(lamFinal))
+      .withColumn("_lamUse",
+        when(col("_nsat") === 0L, col("_lam0")).otherwise(col("_lamF")))
+      .withColumn("allocation",
+        when(col("saturated"), col("capacity"))
+          .otherwise(least(col("capacity"),
+            floor(col("weight").cast("double") * col("_lamUse")).cast("long"))))
+      .select(col("source"), col("capacity"), col("weight"),
+        col("allocation"), col("saturated"))
+      .orderBy(col("source"))
+  }
+
   /** HARD per-source token quota — the Common-Crawl-style "no single
     * domain may exceed N tokens" gate that proportional mixture planning
     * ([[mixturePlan]]/[[temperatureMixturePlan]]) cannot enforce: a plan

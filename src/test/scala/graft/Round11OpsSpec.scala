@@ -170,6 +170,65 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got == flat)
   }
 
+  /** Iterative waterfill reference: repeatedly allocate the remaining
+    * budget proportionally; freeze any source that hits capacity;
+    * repeat until stable — the fixpoint the closed form must equal. */
+  private def refWaterfill(
+      caps: Seq[(String, Long, Long)], // (source, capacity, weight)
+      budget: Long): Map[String, (Long, Boolean)] = {
+    var frozen = Map.empty[String, Long] // source -> capacity (saturated)
+    var changed = true
+    while (changed) {
+      changed = false
+      val live = caps.filterNot(c => frozen.contains(c._1))
+      val rem = budget - frozen.values.sum
+      val wSum = live.map(_._3).sum
+      val lam = if (wSum == 0) 0.0 else rem.toDouble / wSum.toDouble
+      for ((s, c, w) <- live if c.toDouble / w.toDouble <= lam) {
+        frozen += (s -> c); changed = true
+      }
+    }
+    val live = caps.filterNot(c => frozen.contains(c._1))
+    val rem = budget - frozen.values.sum
+    val wSum = live.map(_._3).sum
+    val lam = if (wSum == 0) 0.0 else rem.toDouble / wSum.toDouble
+    caps.map { case (s, c, w) =>
+      if (frozen.contains(s)) s -> (c, true)
+      else s -> (math.min(c, math.floor(w.toDouble * lam).toLong), false)
+    }.toMap
+  }
+
+  test("cappedMixturePlan equals the iterative waterfill fixpoint") {
+    for ((budget, seed) <- Seq((300L, 1), (900L, 2), (5000L, 3), (0L, 4), (100000L, 5))) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 12).flatMap { s =>
+        (0 until 1 + rnd.nextInt(6)).map(_ => (s"src$s", 10L + rnd.nextInt(90)))
+      }
+      val df = rows.toDF("src", "tok")
+      val got = graft.operators.Curation.cappedMixturePlan(
+        df, col("src"), col("tok"), c => c * 10 + 7, budget) // arbitrary int weights
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      val caps = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+        .map { case (s, c) => (s, c, c * 10 + 7) }
+      val want = refWaterfill(caps, budget)
+      for ((s, c, w) <- caps) {
+        val (gc, gw, ga, gsat) = got(s)
+        val (wa, wsat) = want(s)
+        assert(gc == c && gw == w, s"caps/weights for $s")
+        assert(ga == wa && gsat == wsat,
+          s"budget=$budget source=$s got=($ga,$gsat) want=($wa,$wsat)")
+      }
+      // global invariants: never over budget (when budget < total capacity),
+      // saturated sources fully taken
+      val total = got.values.map(_._3).sum
+      val capTotal = caps.map(_._2).sum
+      if (budget < capTotal) assert(total <= budget, s"over budget: $total > $budget")
+      else assert(total == capTotal)
+    }
+  }
+
   test("exactSample equals the flat order-by-hash limit, and handles the edges") {
     val docs = (0 until 500).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "src")
     for (n <- Seq(1L, 99L, 250L, 499L)) {
