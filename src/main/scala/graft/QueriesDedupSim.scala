@@ -273,6 +273,34 @@ private[graft] object QueriesDedupSim {
         .orderBy(col("source"))
     }),
 
+    // Substring-dup mass per source (round-11): the report a pipeline
+    // publishes over the ExactSubstr pass — fraction of each source's
+    // tokens covered by CROSS-document duplicated spans (the row-level
+    // dd_dup_mass_by_source only sees whole-document duplicates; a
+    // source can be 0% row-dup and 40% span-dup).
+    "dd_span_mass_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = Dedup.substringDedup(docs, col("doc_id"), col("text"), k = 5)
+      val totals = docs
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("_n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"))
+      val mass = spans
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens").cast("long")).as("n_dup_tokens"))
+      totals.join(mass, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+        .withColumn("dup_mass",
+          when(col("n_tokens") > 0L,
+            col("n_dup_tokens").cast("double") / col("n_tokens").cast("double")))
+        .orderBy(col("source"))
+    }),
+
     // Shingle document-frequency profile (round-9): how many shingles
     // appear in exactly df documents — the empirical basis for choosing
     // the inverted-index df caps (maxShingleDf) the near-dup family runs
@@ -1069,6 +1097,49 @@ private[graft] object QueriesDedupSim {
         |  sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_mass
         |FROM d JOIN fc ON fc.fp = d.fp
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Span-mass re-derivation: the dd_substring_dedup quadratic chain's
+    // island spans, rolled up per source against whitespace-token totals.
+    "dd_span_mass_by_source" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, unnest(range(0, len(t) - 4)) AS start, t
+        |  FROM tk WHERE len(t) >= 5),
+        |h AS (
+        |  SELECT id, start, md5(array_to_string(t[start+1:start+5], ' ')) AS gh FROM g),
+        |d AS (
+        |  SELECT DISTINCT a.id, a.start
+        |  FROM h a JOIN h b ON a.gh = b.gh AND a.id <> b.id),
+        |s AS (
+        |  SELECT id, start,
+        |    CASE WHEN lag(start) OVER w IS NULL OR start > lag(start) OVER w + 5
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM d WINDOW w AS (PARTITION BY id ORDER BY start)),
+        |i AS (
+        |  SELECT *, sum(ns) OVER
+        |    (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS sp FROM s),
+        |spans AS (
+        |  SELECT id, (max(start) + 4 - min(start) + 1)::BIGINT AS spt
+        |  FROM i GROUP BY id, sp),
+        |tot AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (
+        |  SELECT dd.source, count(*)::BIGINT AS n_spans, sum(spans.spt)::BIGINT AS n_dup_tokens
+        |  FROM spans JOIN documents dd ON dd.doc_id = spans.id
+        |  GROUP BY dd.source)
+        |SELECT t.source, t.n_docs, t.n_tokens,
+        |  coalesce(m.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(m.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+        |  CASE WHEN t.n_tokens > 0
+        |       THEN coalesce(m.n_dup_tokens, 0)::DOUBLE / t.n_tokens::DOUBLE END AS dup_mass
+        |FROM tot t LEFT JOIN m ON m.source = t.source
+        |ORDER BY t.source""".stripMargin,
 
     // Hourly-active-users oracle: exact distinct counts per hour string.
     "dd_shingle_df_profile" ->
