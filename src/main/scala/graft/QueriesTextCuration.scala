@@ -238,6 +238,16 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-classifier training pairs (round-11): each source's top
+    // decile (chosen) paired rank-for-rank with its bottom decile
+    // (rejected) — the CCNet/FineWeb prep step for training a quality
+    // model on the corpus's own extremes; n_chars as the quality proxy
+    // (the txt_source_percentile premise).
+    "tdp_classifier_pairs" -> ((s, dir) => {
+      graft.operators.Curation.classifierPairs(
+        t(s, dir, "documents"), col("source"), col("doc_id"), col("n_chars"))
+    }),
+
     // Water-filling capped mixture (round-11): allocate a 25k-token
     // budget across sources ∝ floor(sqrt(capacity)·1e6) integer weights,
     // except no source can give more than it HAS — saturated sources'
@@ -1604,6 +1614,30 @@ private[graft] object QueriesTextCuration {
           |  ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
           |  FROM wc)
           |ORDER BY id""".stripMargin),
+
+    // Classifier-pairs re-derivation: the txt_source_percentile
+    // cume_dist, decile cuts, per-group extreme ranks, (group, rank)
+    // equi-join.
+    "tdp_classifier_pairs" ->
+      """WITH p AS (
+        |  SELECT source AS grp, doc_id AS id, n_chars AS score,
+        |    (count(*) OVER (PARTITION BY source ORDER BY n_chars
+        |                    RANGE UNBOUNDED PRECEDING) * 1000000000)
+        |      // count(*) OVER (PARTITION BY source) AS pct_n9
+        |  FROM documents),
+        |tp AS (
+        |  SELECT grp, id, score,
+        |    row_number() OVER (PARTITION BY grp ORDER BY pct_n9 DESC, id ASC) AS rk
+        |  FROM p WHERE pct_n9 >= 900000000),
+        |bt AS (
+        |  SELECT grp, id, score,
+        |    row_number() OVER (PARTITION BY grp ORDER BY pct_n9 ASC, id ASC) AS rk
+        |  FROM p WHERE pct_n9 <= 100000000)
+        |SELECT tp.grp AS "group", tp.rk::BIGINT AS pair_rank,
+        |  tp.id AS chosen_id, tp.score AS chosen_score,
+        |  bt.id AS rejected_id, bt.score AS rejected_score
+        |FROM tp JOIN bt ON bt.grp = tp.grp AND bt.rk = tp.rk
+        |ORDER BY "group", pair_rank""".stripMargin,
 
     // Capped-mixture re-derivation: identical waterline chain — integer
     // prefix sums (exact on both engines), λ/ratios as single divisions

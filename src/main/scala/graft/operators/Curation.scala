@@ -1267,6 +1267,52 @@ object Curation {
       .drop("_le", "_n")
   }
 
+  /** Quality-classifier training pairs — the CCNet/FineWeb-style prep
+    * step: a fastText-ish quality model trains on the corpus's own
+    * EXTREMES, so pair each group's top-percentile documents (chosen)
+    * with its bottom-percentile ones (rejected), rank-for-rank. Scores
+    * are only comparable within a group (the [[percentileNormalize]]
+    * premise), so both the cut and the pairing are per-group; the i-th
+    * best pairs with the i-th worst, deterministically (percentile,
+    * then id), and unmatched extremes on the deeper side drop (inner
+    * join on rank).
+    *
+    * Scale: one group-keyed percentile pass (two windows, one
+    * exchange), two filtered rank windows over the extreme tails only,
+    * one (group, rank) equi-join.
+    *
+    * @return (group, pair_rank, chosen_id, chosen_score, rejected_id,
+    *         rejected_score), ordered. */
+  def classifierPairs(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      score: Column,
+      hiPctN9: Long = 900000000L,
+      loPctN9: Long = 100000000L): DataFrame = {
+    require(loPctN9 < hiPctN9,
+      s"classifierPairs: loPctN9 ($loPctN9) must be < hiPctN9 ($hiPctN9)")
+    val scored = percentileNormalize(
+      df.select(group.as("group"), id.as("id"), score.as("score")),
+      col("group"), col("score"))
+    val wTop = Window.partitionBy(col("group"))
+      .orderBy(col("pct_n9").desc, col("id").asc)
+    val wBot = Window.partitionBy(col("group"))
+      .orderBy(col("pct_n9").asc, col("id").asc)
+    val top = scored.filter(col("pct_n9") >= lit(hiPctN9))
+      .withColumn("pair_rank", row_number().over(wTop).cast("long"))
+      .select(col("group"), col("pair_rank"),
+        col("id").as("chosen_id"), col("score").as("chosen_score"))
+    val bot = scored.filter(col("pct_n9") <= lit(loPctN9))
+      .withColumn("pair_rank", row_number().over(wBot).cast("long"))
+      .select(col("group"), col("pair_rank"),
+        col("id").as("rejected_id"), col("score").as("rejected_score"))
+    top.join(bot, Seq("group", "pair_rank"))
+      .select(col("group"), col("pair_rank"), col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"))
+      .orderBy(col("group"), col("pair_rank"))
+  }
+
   /** SPAN-level cross-corpus decontamination (the exact-substring
     * companion to [[decontaminate]]'s document-level flag): report every
     * maximal token range of a training document that reproduces a k-gram
