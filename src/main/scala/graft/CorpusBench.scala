@@ -279,9 +279,26 @@ object CorpusBench {
       Dedup.substringDedup(docs, col("id"), col("text"), k = 5,
         portableHash = false).count()
     }
+    // round-11 curation stages: hard per-source quota (two-level prefix
+    // sum over 16 sources x ~31k docs each), exact-N global sample
+    // (bucket-histogram threshold selection), and the waterfill
+    // allocator (corpus contributes one agg; windows run over 16 rows)
+    val (nAdmitted, tQuota) = time {
+      Curation.sourceQuota(srcDocs, col("src"), col("id"),
+        length(col("text")), quotaTokens = nDocs * 100 / 32)
+        .filter(col("admitted")).count()
+    }
+    val (nExactSample, tExactSample) = time {
+      Curation.exactSample(docs.select(col("id")), col("id"), nDocs / 5).count()
+    }
+    val (nAlloc, tWaterfill) = time {
+      Curation.cappedMixturePlan(srcDocs, col("src"), length(col("text")),
+        c => c * 2 + 1, budget = nDocs * 100 / 4)
+        .agg(sum(col("allocation"))).collect()(0).getLong(0)
+    }
 
     println(
-      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js_n9":$jsDrift,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"novel_grams":$nNovel,"containment_pairs":$nContain,"triangles":$nTris,"gopher_pass":$nGopherPass,"distinct_bigrams":$nDistinct,"components":$nComps,"canonical":$nCanon,"exact_jaccard_pairs":$nExactPairs,"pareto_frontier":$nFrontier,"substr_spans":$nSubSpans,"substr_spans_xx":$nSubSpansXx,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f,"novelty":$tNovelty%.1f,"containment":$tContain%.1f,"triangles":$tTri%.1f,"gopher":$tGopher%.1f,"diversity":$tDiversity%.1f,"components":$tComps%.1f,"canonical_rank":$tCanon%.1f,"prefix_jaccard":$tPrefix%.1f,"pareto":$tPareto%.1f,"substring_dedup":$tSubstr%.1f,"substring_dedup_xx":$tSubstrXx%.1f}}""")
+      f"""{"metric":"corpus_bench","n_docs":$n,"exact_survivors":$nExact,"lsh_pairs":$nPairs,"corpus_survivors":$nCorpus,"packed":$nPack,"chunks":$nChunks,"shuffled":$nShuffled,"dup_spans":$nSpans,"dup_spans_xx":$nSpansXx,"cleaned":$nCleaned,"bm25_hits":$nHits,"bpe_tokens":$nBpeToks,"lm_scored_tokens":$lmSum,"cms_total":$cmsTotal,"temp_sampled":$nTemp,"pps_sampled":$nPps,"stages":$nStage,"vocab_js_n9":$jsDrift,"overlap_pairs":$nOverlap,"ensemble_scored":$nEnsemble,"shard_packs":$nShardPacks,"scrubbed_tokens":$nScrubbed,"near_dup_flags":$nNearFlags,"ppl_head":$nHeadDocs,"novel_grams":$nNovel,"containment_pairs":$nContain,"triangles":$nTris,"gopher_pass":$nGopherPass,"distinct_bigrams":$nDistinct,"components":$nComps,"canonical":$nCanon,"exact_jaccard_pairs":$nExactPairs,"pareto_frontier":$nFrontier,"substr_spans":$nSubSpans,"substr_spans_xx":$nSubSpansXx,"quota_admitted":$nAdmitted,"exact_sampled":$nExactSample,"waterfill_alloc":$nAlloc,"sec":{"exact":$tExact%.1f,"minhash_lsh":$tLsh%.1f,"build_corpus":$tCorpus%.1f,"pack":$tPack%.1f,"chunk":$tChunk%.1f,"epoch_shuffle":$tShuffle%.1f,"dup_spans":$tSpans%.1f,"dup_spans_xx":$tSpansXx%.1f,"remove_spans":$tRemove%.1f,"bm25":$tBm25%.1f,"bpe":$tBpe%.1f,"lm_score":$tLm%.1f,"cms":$tCms%.1f,"temperature":$tTemp%.1f,"pps":$tPps%.1f,"curriculum":$tStage%.1f,"vocab_drift":$tDrift%.1f,"overlap":$tOverlap%.1f,"ensemble":$tEnsemble%.1f,"training_shards":$tShards%.1f,"boilerplate_scrub":$tScrub%.1f,"incremental_neardup":$tIncNd%.1f,"ppl_buckets":$tPpl%.1f,"novelty":$tNovelty%.1f,"containment":$tContain%.1f,"triangles":$tTri%.1f,"gopher":$tGopher%.1f,"diversity":$tDiversity%.1f,"components":$tComps%.1f,"canonical_rank":$tCanon%.1f,"prefix_jaccard":$tPrefix%.1f,"pareto":$tPareto%.1f,"substring_dedup":$tSubstr%.1f,"substring_dedup_xx":$tSubstrXx%.1f,"source_quota":$tQuota%.1f,"exact_sample":$tExactSample%.1f,"waterfill":$tWaterfill%.1f}}""")
     spark.stop()
   }
 }

@@ -700,6 +700,9 @@ object Curation {
     require(n >= 0, s"exactSample: n must be >= 0, got $n")
     if (n == 0) return df.filter(lit(false))
     val tagged = df
+      // a NULL key has no md5 priority — excluded (it would NPE the
+      // bounded histogram's bucket read)
+      .filter(key.isNotNull)
       .withColumn("_kstr", key.cast("string"))
       .withColumn("_pri", md5(col("_kstr")))
       .withColumn("_bkt", conv(substring(col("_pri"), 1, 4), 16, 10).cast("int"))
@@ -925,7 +928,16 @@ object Curation {
       .select(source.as("source"), tokenCount.cast("long").as("_tok"))
       .groupBy(col("source"))
       .agg(sum(when(col("_tok") > 0L, col("_tok")).otherwise(lit(0L))).as("capacity"))
-      .withColumn("weight", weight(col("capacity")).cast("long"))
+      // non-positive weight would zero-divide the saturation ratio and
+      // corrupt the waterline silently — refuse loudly, riding the
+      // surviving output column so pruning can never drop the guard
+      .withColumn("weight",
+        when(weight(col("capacity")).cast("long") > 0L,
+          weight(col("capacity")).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("cappedMixturePlan: weight must be a positive integer, got "),
+            weight(col("capacity")).cast("string"),
+            lit(" for capacity "), col("capacity").cast("string"))).cast("long")))
     // sort by saturation order r = capacity / weight; prefix sums give
     // every candidate waterline in one pass
     val byRatio = Window.orderBy(col("_r"), col("source"))
@@ -1014,7 +1026,10 @@ object Curation {
       quotaTokens: Long): DataFrame = {
     require(quotaTokens > 0, s"sourceQuota: quotaTokens must be positive, got $quotaTokens")
     val tagged = df
-      .filter(source.isNotNull && tokenCount.isNotNull)
+      // a NULL key has no deterministic priority (md5(NULL) is NULL and
+      // would silently vanish at the offsets equi-join) — excluded like
+      // a NULL source/count
+      .filter(source.isNotNull && key.isNotNull && tokenCount.isNotNull)
       .select(key.as("id"), source.as("source"),
         tokenCount.cast("long").as("n_tokens"))
       // lowercase fixed-width hex: string order == numeric order, and

@@ -229,6 +229,27 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cappedMixturePlan refuses non-positive weights loudly") {
+    val df = Seq(("a", 10L), ("b", 20L)).toDF("src", "tok")
+    val ex = intercept[Exception] {
+      graft.operators.Curation.cappedMixturePlan(
+        df, col("src"), col("tok"), c => c - c, budget = 100L).collect()
+    }
+    assert(ex.getMessage.contains("positive integer")
+      || Option(ex.getCause).exists(_.getMessage.contains("positive integer")))
+  }
+
+  test("sourceQuota and exactSample exclude NULL keys instead of corrupting") {
+    val df = Seq((Some(1L), "a", 10L), (None, "a", 10L), (Some(2L), "a", 10L))
+      .toDF("id", "src", "tok")
+    val q = graft.operators.Curation.sourceQuota(
+      df, col("src"), col("id"), col("tok"), 100L).collect()
+    assert(q.length == 2 && q.forall(!_.isNullAt(0)))
+    val e = graft.operators.Curation.exactSample(
+      df.select(col("id")), col("id"), 5L).collect()
+    assert(e.length == 2 && e.forall(!_.isNullAt(0)))
+  }
+
   test("exactSample equals the flat order-by-hash limit, and handles the edges") {
     val docs = (0 until 500).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "src")
     for (n <- Seq(1L, 99L, 250L, 499L)) {
