@@ -195,6 +195,17 @@ private[graft] object QueriesEventsQuality {
         col("event_type"), l = 2L)
     }),
 
+    // EXACT order statistics without a global sort (round-11):
+    // distributed selection via integer range-bucket histogram — the
+    // third point between Spark's memory-bound exact percentile()
+    // (per-group sorted array) and the inexact approx_percentile; only
+    // the target ranks' buckets (~n/65536 rows) ever sort. Discrete
+    // quantile_disc semantics: rank (n-1)*q div 100 + 1.
+    "dq_exact_quantiles" -> ((s, dir) => {
+      graft.operators.DataQuality.exactQuantiles(
+        t(s, dir, "documents"), col("n_chars"), Seq(1, 25, 50, 75, 99))
+    }),
+
     // Deterministic Pearson correlation (round-9) over quantized
     // lineitem measures — exact integer moments, one IEEE chain; what
     // the float corr() aggregator cannot promise across re-plans.
@@ -1166,6 +1177,21 @@ private[graft] object QueriesEventsQuality {
         |  coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0)::BIGINT AS n_rows_below_l,
         |  min(d) >= 2 AS l_diverse
         |FROM cls""".stripMargin,
+
+    // Exact-quantiles re-derivation: the FLAT global rank (row_number
+    // over a full sort) at the same discrete ranks — independent of the
+    // engine's bucket-histogram selection.
+    "dq_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (
+        |  SELECT q, n, ((n - 1) * q) // 100 + 1 AS rk
+        |  FROM n CROSS JOIN (SELECT unnest([1, 25, 50, 75, 99]) AS q)),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT r.q::INT AS q, r.n AS n, r.rk::BIGINT AS rank, o.v AS value
+        |FROM r JOIN o ON o.rn = r.rk
+        |ORDER BY q""".stripMargin,
 
     // Pearson re-derivation: exact integer moments (HUGEINT sums cast
     // back to BIGINT), the engine's exact IEEE association order.

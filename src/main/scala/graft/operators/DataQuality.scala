@@ -1230,6 +1230,77 @@ object DataQuality {
     * @return one row: (n_units, n_ratings, n_labels, do_fp, de_fp,
     *         alpha_fp) — do/de in 1e-6 units of disagreement-per-pairable
     *         -value, alpha_fp = 1e6 · alpha truncated */
+  /** EXACT order statistics WITHOUT a global sort — distributed
+    * selection: the q-th percentile as the element of rank
+    * (n−1)·q div 100 + 1 (discrete, no interpolation — the
+    * quantile_disc contract). Spark's exact `percentile` buffers every
+    * value of the aggregation in memory (per-group sorted array —
+    * dead at corpus scale) and `approx_percentile` is inexact by
+    * design; this is the third point: exact AND bounded.
+    *
+    * Shape (the [[graft.operators.Curation.exactSample]] selection
+    * machinery, on values instead of hashes): one min/max/count pass;
+    * integer range-bucketing into <= 65536 buckets; one
+    * map-side-combined histogram whose <= 65536 rows cumulate on the
+    * driver to locate each target rank's bucket; then ONLY the needed
+    * buckets (~n/65536 rows each) pay a per-bucket sort to resolve the
+    * local offset. Three corpus scans, zero corpus-wide sorts.
+    * Caveat: a single value with massive multiplicity concentrates its
+    * bucket (same bound class as any keyed window); ties still return
+    * the correct value since all tied rows carry it.
+    *
+    * @param percents percent ranks in [0, 100]
+    * @return (q, n, rank, value), ordered by q */
+  def exactQuantiles(
+      df: DataFrame,
+      value: Column,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(q => q >= 0 && q <= 100),
+      s"exactQuantiles: percents must be in [0, 100], got $percents")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).collect()(0)
+    val n = stats.getLong(0)
+    if (n == 0L)
+      return Seq.empty[(Int, Long, Long, Long)].toDF("q", "n", "rank", "value")
+    val lo = stats.getLong(1)
+    val hi = stats.getLong(2)
+    // width chosen so (hi-lo) div width <= 65535; Math.floorDiv for
+    // negative-safe integer math (values may be negative longs)
+    val width = Math.floorDiv(hi - lo, 65536L) + 1L
+    // integer DIV, not float division: (v - lo) can exceed 2^53 where a
+    // double round-trip would mis-bucket; v - lo >= 0 so DIV truncation
+    // is exact floor
+    val bucketed = vals.withColumn("_bkt",
+      expr(s"CAST((v - ${lo}L) DIV ${width}L AS INT)"))
+    val hist = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // target ranks (1-based), bucket + local offset via the cumulative
+    val targets = percents.distinct.sorted.map { q =>
+      val rank = Math.floorDiv((n - 1) * q, 100L) + 1L
+      var cum = 0L; var bkt = hist.last._1; var off = rank
+      var i = 0; var found = false
+      while (i < hist.length && !found) {
+        if (cum + hist(i)._2 >= rank) { bkt = hist(i)._1; off = rank - cum; found = true }
+        else cum += hist(i)._2
+        i += 1
+      }
+      (q, rank, bkt, off)
+    }
+    val needed = targets.map(_._3).distinct
+    val targetDf = targets.toDF("q", "rank", "_bkt", "_off")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt")).orderBy(col("v"))
+    bucketed
+      .filter(col("_bkt").isin(needed: _*))
+      .withColumn("_rn", row_number().over(wB).cast("long"))
+      .join(broadcast(targetDf), Seq("_bkt"))
+      .filter(col("_rn") === col("_off"))
+      .select(col("q"), lit(n).as("n"), col("rank"), col("v").as("value"))
+      .orderBy(col("q"))
+  }
+
   def krippendorffAlpha(
       df: DataFrame,
       unit: Column,

@@ -267,6 +267,27 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(graft.operators.Curation.exactSample(docs, col("id"), 10000L).count() == 500)
   }
 
+  test("exactQuantiles equals the flat sorted rank, negatives and ties included") {
+    val rnd = new scala.util.Random(31337)
+    val data = (0 until 1000).map(_ => rnd.nextInt(2000).toLong - 1000L) ++
+      Seq.fill(300)(42L) // heavy tie mass
+    val df = data.map(Tuple1(_)).toDF("x")
+    val qs = Seq(0, 1, 25, 50, 75, 99, 100)
+    val got = graft.operators.DataQuality.exactQuantiles(df, col("x"), qs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sorted = data.sorted
+    val n = data.length.toLong
+    for ((q, gn, rank, v) <- got) {
+      val wantRank = (n - 1) * q / 100 + 1
+      assert(gn == n && rank == wantRank, s"q=$q")
+      assert(v == sorted((wantRank - 1).toInt), s"q=$q got $v want ${sorted((wantRank - 1).toInt)}")
+    }
+    assert(got.map(_._1).toSeq == qs.sorted)
+    // empty input -> empty result
+    assert(graft.operators.DataQuality.exactQuantiles(
+      df.filter(lit(false)), col("x"), Seq(50)).count() == 0)
+  }
+
   test("componentSplit never strands a near-dup pair across splits") {
     // chain components {1,2,3}, {10,11}, singletons 20..29
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
