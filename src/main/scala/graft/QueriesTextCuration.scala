@@ -58,10 +58,7 @@ private[graft] object QueriesTextCuration {
     // DOUBLE output column is oracle-environment-sensitive.
     "tdp_graph_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       graft.operators.Graph.pageRankFixedPoint(pairs, iters = 3)
         .select(col("id"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("id"))
@@ -73,10 +70,7 @@ private[graft] object QueriesTextCuration {
     // separates tight template cliques from hub false positives.
     "tdp_graph_triangles" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       graft.operators.Graph.triangleCounts(pairs)
     }),
 
@@ -763,10 +757,7 @@ private[graft] object QueriesTextCuration {
     // ordered (split_a <= split_b) so each unordered pairing counts once.
     "tdp_split_leakage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       val splits = graft.operators.Curation.hashSplit(
         docs.select(col("doc_id")), col("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -788,10 +779,7 @@ private[graft] object QueriesTextCuration {
     // cross-split near-dup pairs by construction.
     "tdp_component_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
-      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
-      val pairs = Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+      val pairs = sharedLshPairs(s, dir)
       graft.operators.Curation.componentSplit(
         docs, col("doc_id"), pairs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

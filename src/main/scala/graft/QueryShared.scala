@@ -25,10 +25,34 @@ private[graft] object QueryShared {
     * touching any query's semantics or oracle. Keyed by session identity
     * so InvarianceCheck's two differently-configured sessions never share
     * state. */
+  /** Session-scoped memo of the FULL-corpus near-dup LSH candidate-pair
+    * set (3-gram shingles, 16-hash MinHash, 4x4 bands, threshold 0.5) —
+    * the similarity graph EIGHT registered queries build downstream
+    * structure on (pairs, keep-best, CC sizes, PageRank canonical,
+    * graph rank, triangles, split leakage, component split). The
+    * derivation is deterministic, so pinning the (small, LSH-sized)
+    * pair table once per (session, sf-dir) removes seven redundant
+    * shingle-explode + signature + band-join passes from a Verify/Bench
+    * session without touching any query's semantics or oracle. */
+  private[graft] val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsCache.computeIfAbsent(System.identityHashCode(s).toString + "|" + dir, _ => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
+      val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
+      Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
+        .localCheckpoint(false)
+    })
+
   /** Same session-scoped memo discipline for sim_ivf_topk's Lloyd
     * centroids (deterministic, tiny — 8 cells x 16 dims). */
   private[graft] val ivfCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  /** ...and for sim_pq_topk's deterministic codebooks (8 x 8 x 8 dims). */
+  private[graft] val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Similarity.PqModel]()
   private[graft] val lmCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.LanguageModel.BigramLm]()
   private[graft] def sharedLm(s: SparkSession, dir: String): graft.operators.LanguageModel.BigramLm =
