@@ -264,6 +264,16 @@ private[graft] object QueriesDedupSim {
         .orderBy(col("source"))
     }),
 
+    // Edit-distance verification (round-11) of the shared LSH candidate
+    // pairs — the character-level second opinion shingle Jaccard can't
+    // give (blind to token order and heavy small edits); exact DP only
+    // on the candidate list, BIGINT-nanos similarity >= 0.8.
+    "dd_edit_verified_pairs" -> ((s, dir) => {
+      Dedup.editVerifiedPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        sharedLshPairs(s, dir), simN9Threshold = 800000000L)
+    }),
+
     // Substring-dup mass per source (round-11): the report a pipeline
     // publishes over the ExactSubstr pass — fraction of each source's
     // tokens covered by CROSS-document duplicated spans (the row-level
@@ -1088,6 +1098,28 @@ private[graft] object QueriesDedupSim {
         |  sum(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_mass
         |FROM d JOIN fc ON fc.fp = d.fp
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Edit-verify re-derivation: the shared LSH pair chain + DuckDB's
+    // levenshtein (same DP definition, exact integers).
+    "dd_edit_verified_pairs" ->
+      (lshPairCtes + "\n" +
+        """SELECT p.id_a, p.id_b,
+          |  levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+          |  greatest(len(da.text), len(db.text))::BIGINT AS max_len,
+          |  (CASE WHEN greatest(len(da.text), len(db.text)) > 0
+          |    THEN ((greatest(len(da.text), len(db.text))
+          |           - levenshtein(da.text, db.text)) * 1000000000)
+          |         // greatest(len(da.text), len(db.text))
+          |    ELSE 1000000000 END)::BIGINT AS sim_n9
+          |FROM pairs p
+          |JOIN documents da ON da.doc_id = p.id_a
+          |JOIN documents db ON db.doc_id = p.id_b
+          |WHERE (CASE WHEN greatest(len(da.text), len(db.text)) > 0
+          |    THEN ((greatest(len(da.text), len(db.text))
+          |           - levenshtein(da.text, db.text)) * 1000000000)
+          |         // greatest(len(da.text), len(db.text))
+          |    ELSE 1000000000 END) >= 800000000
+          |ORDER BY p.id_a, p.id_b""".stripMargin),
 
     // Span-mass re-derivation: the dd_substring_dedup quadratic chain's
     // island spans, rolled up per source against whitespace-token totals.
