@@ -232,6 +232,22 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Distribution-matched sampling (round-11): draw 150 docs from the
+    // non-benchmark corpus so the sample's length-bucket histogram
+    // matches the benchmark subset's shape (docs with doc_id % 5 = 0)
+    // — the controlled-eval prep a uniform draw gets wrong whenever the
+    // two populations differ.
+    "tdp_distribution_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.matchDistribution(
+        source = docs.filter(col("doc_id") % 5 =!= 0),
+        sourceId = col("doc_id"),
+        sourceBucket = expr("CAST(n_chars AS BIGINT) DIV 100"),
+        target = docs.filter(col("doc_id") % 5 === 0),
+        targetBucket = expr("CAST(n_chars AS BIGINT) DIV 100"),
+        n = 150L)
+    }),
+
     // Quality-classifier training pairs (round-11): each source's top
     // decile (chosen) paired rank-for-rank with its bottom decile
     // (rejected) — the CCNet/FineWeb prep step for training a quality
@@ -1602,6 +1618,27 @@ private[graft] object QueriesTextCuration {
           |  ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
           |  FROM wc)
           |ORDER BY id""".stripMargin),
+
+    // Distribution-match re-derivation: exact-integer bucket quotas
+    // (HUGEINT product, floor division), portable-hash per-bucket rank.
+    "tdp_distribution_match" ->
+      """WITH tgt AS (
+        |  SELECT n_chars // 100 AS bucket FROM documents WHERE doc_id % 5 = 0),
+        |th AS (SELECT bucket, count(*)::BIGINT AS tc FROM tgt GROUP BY bucket),
+        |tn AS (SELECT sum(tc)::BIGINT AS tn FROM th),
+        |q AS (
+        |  SELECT bucket,
+        |    (CASE WHEN tn > 0 THEN (150 * tc) // tn ELSE 0 END)::BIGINT AS quota
+        |  FROM th CROSS JOIN tn),
+        |src AS (
+        |  SELECT doc_id AS id, n_chars // 100 AS bucket,
+        |    row_number() OVER (PARTITION BY n_chars // 100
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+        |        doc_id ASC) AS rn
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT s.id, s.bucket FROM src s JOIN q ON q.bucket = s.bucket
+        |WHERE s.rn <= q.quota
+        |ORDER BY s.bucket, s.id""".stripMargin,
 
     // Classifier-pairs re-derivation: the txt_source_percentile
     // cume_dist, decile cuts, per-group extreme ranks, (group, rank)

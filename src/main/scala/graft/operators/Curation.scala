@@ -521,6 +521,58 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Distribution-matched sampling — draw from `source` so the sampled
+    * set's bucket histogram matches a `target` corpus's shape: the
+    * controlled-eval prep step ("sample web docs length-matched to the
+    * benchmark") that a uniform draw gets wrong whenever the two
+    * populations differ. Per-bucket quota = n·(target bucket share)
+    * with exact integer arithmetic (floor((n·cnt_t) / N_t) — widened
+    * through DECIMAL so the product can't wrap), capped by what the
+    * source bucket actually has; within each bucket the quota is
+    * filled by the deterministic portable-hash order (the
+    * [[samplePerGroup]] draw — an unbiased without-replacement sample,
+    * bit-reproducible).
+    *
+    * Scale: one aggregation per side for the histograms (broadcast-
+    * sized — |buckets| rows), one bucket-keyed rank window over the
+    * source, one broadcast quota join. Σ sampled <= n by flooring;
+    * buckets absent from the target draw nothing.
+    *
+    * @return sampled source rows: (id, bucket), ordered by (bucket, id) */
+  def matchDistribution(
+      source: DataFrame,
+      sourceId: Column,
+      sourceBucket: Column,
+      target: DataFrame,
+      targetBucket: Column,
+      n: Long): DataFrame = {
+    require(n >= 0, s"matchDistribution: n must be >= 0, got $n")
+    val tHist = target
+      .filter(targetBucket.isNotNull)
+      .select(targetBucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_tc"))
+    val tTot = tHist.agg(coalesce(sum(col("_tc")), lit(0L)).as("_tn"))
+    val quotas = tHist.crossJoin(broadcast(tTot))
+      // n * _tc can exceed int64 for large corpora: widen the product
+      // through DECIMAL(38,0), floor-divide exactly, land back in BIGINT
+      .withColumn("quota",
+        when(col("_tn") > 0L,
+          floor((lit(n).cast("decimal(38,0)") * col("_tc").cast("decimal(38,0)"))
+            / col("_tn").cast("decimal(38,0)")).cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("bucket"), col("quota"))
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(TextFunctions.portableHash32(col("id").cast("string")).asc, col("id").asc)
+    source
+      .filter(sourceId.isNotNull && sourceBucket.isNotNull)
+      .select(sourceId.as("id"), sourceBucket.as("bucket"))
+      .withColumn("_rn", row_number().over(byBucket))
+      .join(broadcast(quotas), Seq("bucket"))
+      .filter(col("_rn") <= col("quota"))
+      .select(col("id"), col("bucket"))
+      .orderBy(col("bucket"), col("id"))
+  }
+
   /** Near-dup-ATOMIC train/val/test split — the leakage-safe assignment
     * [[hashSplit]] cannot give: a doc-keyed hash split strands near-
     * duplicate pairs across the train/test boundary (the contamination

@@ -308,6 +308,26 @@ class Round11OpsSpec extends AnyFunSuite {
     for ((id, _, split) <- got if id >= 20L) assert(hs(id) == split, s"singleton $id")
   }
 
+  test("matchDistribution fills exact per-bucket quotas capped by availability") {
+    // target shape: bucket 1 x3, bucket 2 x1 -> shares 3/4, 1/4 of n=8
+    val target = Seq((101L, 1L), (102L, 1L), (103L, 1L), (104L, 2L)).toDF("id", "b")
+    // source: plenty in bucket 1, only ONE row in bucket 2, noise in 3
+    val source = ((1L to 10L).map((_, 1L)) ++ Seq((20L, 2L)) ++ Seq((30L, 3L)))
+      .toDF("id", "b")
+    val got = graft.operators.Curation.matchDistribution(
+      source, col("id"), col("b"), target, col("b"), n = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // quota(1) = floor(8*3/4) = 6 (available 10); quota(2) = floor(8/4) = 2
+    // but only 1 available; bucket 3 absent from target -> nothing
+    assert(byBucket == Map(1L -> 6, 2L -> 1), s"got $byBucket")
+    // deterministic across reruns
+    val again = graft.operators.Curation.matchDistribution(
+      source, col("id"), col("b"), target, col("b"), n = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(again))
+  }
+
   test("substringDedup xxhash64 gram keys produce the same spans as md5") {
     val rnd = new scala.util.Random(997)
     val pool = Vector("red fox", "lazy dog jumps", "spark plan folds", "shuffle key")
