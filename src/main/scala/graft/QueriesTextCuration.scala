@@ -232,6 +232,16 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic token-dropout augmentation (round-11): 10% dropout
+    // keyed by hash(id:pos:seed) — the SimCSE-style contrastive-view
+    // generator, bit-reproducible and re-seedable; pure projection,
+    // zero shuffles.
+    "tdp_augment_dropout" -> ((s, dir) => {
+      graft.operators.Curation.augmentTokenDropout(
+        t(s, dir, "documents"), col("doc_id"), col("text"), dropPermille = 100)
+        .orderBy(col("id"))
+    }),
+
     // Distribution-matched sampling (round-11): draw 150 docs from the
     // non-benchmark corpus so the sample's length-bucket histogram
     // matches the benchmark subset's shape (docs with doc_id % 5 = 0)
@@ -1618,6 +1628,24 @@ private[graft] object QueriesTextCuration {
           |  ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
           |  FROM wc)
           |ORDER BY id""".stripMargin),
+
+    // Augmentation re-derivation: identical per-token hash draw
+    // (DuckDB list_filter index is 1-based -> i-1 aligns with the
+    // engine's 0-based position).
+    "tdp_augment_dropout" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT id,
+        |  array_to_string(list_filter(t, (x, i) ->
+        |    ('0x' || substr(md5(id::VARCHAR || ':' || (i-1)::VARCHAR || ':aug'), 1, 8))::BIGINT
+        |      % 1000 >= 100), ' ') AS aug_text,
+        |  len(t)::BIGINT AS n_tokens,
+        |  (len(t) - len(list_filter(t, (x, i) ->
+        |    ('0x' || substr(md5(id::VARCHAR || ':' || (i-1)::VARCHAR || ':aug'), 1, 8))::BIGINT
+        |      % 1000 >= 100)))::BIGINT AS n_dropped
+        |FROM tk ORDER BY id""".stripMargin,
 
     // Distribution-match re-derivation: exact-integer bucket quotas
     // (HUGEINT product, floor division), portable-hash per-bucket rank.

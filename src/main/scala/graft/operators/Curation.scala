@@ -521,6 +521,38 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic token-dropout augmentation — the contrastive-view
+    * generator (SimCSE-style positives, dropout-noise robustness sets):
+    * each token drops iff the portable hash of (id : position : seed)
+    * lands under `dropPermille`, so the augmentation is bit-reproducible
+    * across runs/engines/partitionings, re-seedable for multiple views,
+    * and exactly rate-controlled in expectation. Pure projection — the
+    * corpus never shuffles; the per-token draw rides a single
+    * higher-order filter over the token array.
+    *
+    * @return (id, aug_text, n_tokens, n_dropped) */
+  def augmentTokenDropout(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dropPermille: Int,
+      seed: String = "aug"): DataFrame = {
+    require(dropPermille >= 0 && dropPermille <= 1000,
+      s"augmentTokenDropout: dropPermille must be in [0, 1000], got $dropPermille")
+    val toks = TextFunctions.tokens(text)
+    df.select(id.as("id"), toks.as("_t"))
+      .withColumn("_kept",
+        filter(col("_t"), (t, i) =>
+          pmod(TextFunctions.portableHash32(
+            concat(col("id").cast("string"), lit(":"), i.cast("string"),
+              lit(":"), lit(seed))),
+            lit(1000L)) >= lit(dropPermille.toLong)))
+      .select(col("id"),
+        concat_ws(" ", col("_kept")).as("aug_text"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Distribution-matched sampling — draw from `source` so the sampled
     * set's bucket histogram matches a `target` corpus's shape: the
     * controlled-eval prep step ("sample web docs length-matched to the
