@@ -121,6 +121,28 @@ object AnnBench {
       pairs(Similarity.ivfPqTopK(ivfIdx, pqModel, vecs, queries, k = 10,
         nProbe = ivfProbe, oversample = 16))
     }
+    // Graph ANN (round-12): NSW graphs over the SAME IVF cell geometry —
+    // the index the recall/latency frontier is usually won with. Build is
+    // one groupByKey + per-shard in-memory construction (reported
+    // separately, the train-once cost); the steady-state query batch is
+    // the brute-force comparison, same discipline as IVF above.
+    val hnswM = sys.env.getOrElse("SPARK_GRAFT_HNSW_M", "8").toInt
+    val hnswEf = sys.env.getOrElse("SPARK_GRAFT_HNSW_EF", "48").toInt
+    // graph search pays ~efSearch*degree evals per probed shard (vs IVF's
+    // whole-cell scan), so its recall/cost sweet spot probes WIDER
+    val hnswProbe = sys.env.getOrElse("SPARK_GRAFT_HNSW_PROBE",
+      (ivfProbe * 2).toString).toInt
+    val (nswIdx, tNswBuild) = time {
+      val idx = graft.operators.Hnsw.buildNswIndex(vecs, ivfIdx.centroids,
+        m = hnswM, efConstruction = hnswM * 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.write.format("noop").mode("overwrite").save() // materialize
+      idx
+    }
+    val (nswSet, tNsw) = time2 {
+      pairs(graft.operators.Hnsw.nswTopK(nswIdx, ivfIdx.centroids, queries,
+        k = 10, nProbe = hnswProbe, efSearch = hnswEf))
+    }
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
@@ -139,6 +161,7 @@ object AnnBench {
     }
     val lshRecall = (lshSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val ivfRecall = (ivfSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
+    val nswRecall = (nswSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val quantRecall = (quantSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val pqRecall = (pqSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
     val ivfPqRecall = (ivfPqSet & bfSet).size.toDouble / math.max(bfSet.size, 1)
@@ -146,12 +169,14 @@ object AnnBench {
     // exact top-1 of query q is q-1 — verify the approximate paths keep it.
     val planted = bfSet.filter { case (q, nb) => q % 20 == 0 && q > 0 && nb == q - 1 }
     val ivfPlanted = (ivfSet & planted).size.toDouble / math.max(planted.size, 1)
+    val nswPlanted = (nswSet & planted).size.toDouble / math.max(planted.size, 1)
     val lshPlanted = (lshSet & planted).size.toDouble / math.max(planted.size, 1)
     val quantPlanted = (quantSet & planted).size.toDouble / math.max(planted.size, 1)
     val pqPlanted = (pqSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"outlier_rows":$nOut,"scaled_hits":$nScaled,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f,"label_outliers":$tOutliers%.1f,"minmax_scale":$tScale%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"outlier_rows":$nOut,"scaled_hits":$nScaled,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"hnsw_recall":$nswRecall%.3f,"hnsw_m":$hnswM,"hnsw_ef":$hnswEf,"hnsw_probe":$hnswProbe,"hnsw_planted_recall":$nswPlanted%.3f,"hnsw_speedup_vs_bf":${tBf / math.max(tNsw, 1e-9)}%.1f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"hnsw_build":$tNswBuild%.1f,"hnsw_query_100q":$tNsw%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f,"label_outliers":$tOutliers%.1f,"minmax_scale":$tScale%.1f}}""")
+    nswIdx.unpersist()
     ivfIdx.release()
     vecs.unpersist() // the synthetic corpus is done — free it before the SF phase
 
@@ -195,10 +220,13 @@ object AnnBench {
       val pq = sets(Similarity.pqTopK(e, q, k = 10, pqM, oversample = 8))
       val ivfpq = sets(Similarity.ivfPqTopK(idx, pqM, e, q, k = 10,
         nProbe = sfProbe, oversample = 8))
+      val nsw = sets(graft.operators.Hnsw.nswTopK(
+        graft.operators.Hnsw.buildNswIndex(e, idx.centroids, m = 8, efConstruction = 32),
+        idx.centroids, q, k = 10, nProbe = sfProbe * 2, efSearch = 48))
       def rec(m: Map[Int, Set[(Long, Long)]], k: Int): Double =
         (m(k) & bf(k)).size.toDouble / math.max(bf(k).size, 1)
       val tbl = ks.map { k =>
-        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f,"pq":${rec(pq, k)}%.3f,"ivfpq":${rec(ivfpq, k)}%.3f}"""
+        f""""$k":{"ivf":${rec(ivf, k)}%.3f,"ivf_wide":${rec(ivfWide, k)}%.3f,"hnsw":${rec(nsw, k)}%.3f,"lsh":${rec(lsh, k)}%.3f,"quant":${rec(qnt, k)}%.3f,"pq":${rec(pq, k)}%.3f,"ivfpq":${rec(ivfpq, k)}%.3f}"""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"ann_recall_sf","sf":"$sfDir","n_vecs":$nE,"ivf_cells":$sfCells,"ivf_probe":$sfProbe,"recall_at_k":$tbl}""")
       idx.release()

@@ -242,9 +242,8 @@ private[graft] object QueriesDedupSim {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       // deterministic codebooks, memoized per session — the steady-state
       // train-once/query-many shape (same discipline as sim_ivf_topk)
-      val model = pqModelCache.computeIfAbsent(
-        System.identityHashCode(s).toString + "|" + dir,
-        _ => Similarity.trainPq(e, dim = 64, nSub = 8, nCodes = 8, kmeansIters = 0))
+      val model = memo(s, s"pqModel|$dir")(
+        Similarity.trainPq(e, dim = 64, nSub = 8, nCodes = 8, kmeansIters = 0))
       Similarity.pqTopK(e, e.filter(col("id") < 10), k = 5, model, oversample = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
@@ -487,12 +486,47 @@ private[graft] object QueriesDedupSim {
     // repeated Bench iterations) reuses the tiny centroid table.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = ivfCentroidCache.computeIfAbsent(
-        System.identityHashCode(s).toString + "|" + dir,
-        _ => Similarity.deterministicCentroids(e, nCells = 8, iters = 6))
+      val cents = sharedIvfCentroids(s, dir)
       Similarity.ivfTopK(e, e.filter(col("id") < 10), k = 5, nCells = 8, nProbe = 2,
         centroidsIn = Some(cents))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Graph-based ANN, exhaustive-exact anchor (round-12): per-IVF-cell
+    // navigable-small-world graphs, beam-searched with efSearch >= |shard|
+    // and nProbe = nCells — by the spanning-tree connectivity theorem
+    // (Hnsw.scala object doc) this visits every shard member, so the
+    // result EQUALS the exact brute-force top-k and the oracle is the
+    // plain SQL ranking. The graph machinery (build, protected-edge
+    // pruning, beam traversal, shard merge) is fully on the hot path —
+    // a traversal bug of any kind breaks the hash.
+    "sim_hnsw_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (cents, idx) = memo(s, s"hnswExact|$dir") {
+        val c = Similarity.deterministicCentroids(e, nCells = 4, iters = 3)
+        (c, graft.operators.Hnsw.buildNswIndex(e, c, m = 4, efConstruction = 16)
+          .localCheckpoint(false))
+      }
+      graft.operators.Hnsw.nswTopK(idx, cents, e.filter(col("id") < 10),
+        k = 5, nProbe = 4, efSearch = 1 << 20)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Graph ANN at its APPROXIMATE operating point (round-12): m=4
+    // efSearch=8 nProbe=2 over the shared 8-cell geometry, judged against
+    // the exact brute-force top-5 — the recall row an index rollout
+    // actually gates on (the dd_lsh_recall discipline). Deterministic end
+    // to end -> VALUES pin.
+    "sim_hnsw_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = sharedIvfCentroids(s, dir)
+      val idx = memo(s, s"hnswApprox|$dir")(
+        graft.operators.Hnsw.buildNswIndex(e, cents, m = 4, efConstruction = 16)
+          .localCheckpoint(false))
+      val q = e.filter(col("id") < 10)
+      val approx = graft.operators.Hnsw.nswTopK(idx, cents, q, k = 5, nProbe = 2, efSearch = 8)
+      Similarity.annRecallReport(approx, Similarity.bruteForceTopK(e, q, 5), k = 5)
     }),
 
     // The disk-backed index path: build+save once per session (the
@@ -1484,6 +1518,31 @@ private[graft] object QueriesDedupSim {
     // ((j*len)//64)*2+1..+2; md5 over the concatenated uppercase hex
     // pairs matches Spark's md5(hex(payload)).
     "sim_ivf_topk" -> IvfExpectedSql,
+
+    // Exhaustive-exact graph-ANN anchor: by the connectivity theorem the
+    // engine result equals the exact ranking, so the oracle is the plain
+    // brute-force top-5 — fully LIVE (same cosine fold as the engine).
+    "sim_hnsw_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT qid, nid, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |  FROM sc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Approximate-config recall row: the beam trajectory is not SQL-
+    // expressible, so the oracle is a VALUES pin of the deterministic
+    // output (the sim_ivf_topk policy; rendered by tools/gen_pins.py).
+    "sim_hnsw_recall" -> PinnedOracles.sql.getOrElse("sim_hnsw_recall",
+      "SELECT NULL AS missing_pin_sim_hnsw_recall"),
     "sim_ivf_disk" -> IvfExpectedSql,
 
     // Full SQL re-derivation of the two-stage Combined FDR Score

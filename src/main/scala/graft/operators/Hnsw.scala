@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Graph-based approximate nearest-neighbor search (the HNSW / DiskANN
+  * family, Malkov & Yashunin 2018), distributed the way a 100 TB corpus
+  * actually shards: the corpus is partitioned into IVF cells (the engine's
+  * deterministic-Lloyd geometry, [[Similarity.deterministicCentroids]]),
+  * each cell builds an in-memory navigable-small-world graph ONCE
+  * (`flatMapGroups` — one executor task per shard, never a cross-shard
+  * shuffle), and a query beam-searches only its `nProbe` nearest shards,
+  * merging survivors through one global top-k window. The adjacency table
+  * is a plain DataFrame — persistable as cell-partitioned parquet exactly
+  * like the IVF inverted file, so a loaded index's query batch reads only
+  * the probed shards from disk.
+  *
+  * Determinism contract (what makes the driver oracle possible):
+  *  - shard assignment is the literal-centroid argmin projection;
+  *  - insertion order within a shard is ascending id;
+  *  - every similarity is the same sequential IEEE fold as
+  *    [[graft.functions.VectorFunctions.dot]] (`dot / (normA * normB)`),
+  *    bit-identical to the SQL oracle's `list_reduce` form;
+  *  - every ordering ties on (similarity desc, id asc).
+  *  So the graph, the beam trajectory, and the result set are
+  *  bit-reproducible under any partitioning.
+  *
+  * Exactness theorem (the live-oracle anchor, `sim_hnsw_topk`): each
+  * insertion protects the undirected edge to its best neighbor at insert
+  * time from degree pruning, so the protected edges form a spanning tree
+  * of the shard — the graph is CONNECTED by construction. A beam search
+  * with `efSearch >= |shard|` therefore never triggers the frontier
+  * cutoff, drains the candidate queue, and visits the entire shard: with
+  * `nProbe = nCells` the result is the exact global top-k, and the DuckDB
+  * oracle is the plain brute-force ranking. Smaller `efSearch`/`nProbe`
+  * give the genuinely approximate index the AnnBench recall/latency
+  * frontier is measured on.
+  */
+object Hnsw {
+
+  /** One adjacency row of a built NSW index. */
+  final case class NswNode(
+      cell: Int, id: Long, vec: Array[Double], neighbors: Array[Long])
+
+  // Encoder row shapes — public because Catalyst's generated SafeProjection
+  // must call their constructors (a private case class fails janino
+  // accessibility checks at runtime); not part of the API surface.
+  final case class AssignedRow(cell: Int, id: Long, vec: Array[Double])
+  final case class ProbeRow(cell: Int, query_id: Long, qvec: Array[Double])
+  final case class CandRow(query_id: Long, neighbor_id: Long, cosine: Double)
+
+  // Same value as Similarity.cosineFromParts on clean inputs: sequential
+  // dot fold, sqrt norms, dot / (na * nb); zero-norm pairs -> 0.0. Vectors
+  // with differing lengths score over the common prefix only upstream
+  // guards exclude them (assignCell yields NULL for a wrong-dim vector, so
+  // mismatched rows never enter a shard).
+  private def cosine(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i) * b(i); i += 1 }
+    val den = na * nb
+    if (den > 0.0) d / den else 0.0
+  }
+
+  private def norm(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  // better = higher similarity, ties to the smaller id — the ONE ordering
+  // every queue, result set, and prune in this file uses.
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  /** Greedy beam search (HNSW SEARCH-LAYER) over one in-memory shard graph.
+    * Returns up to `ef` (sim, id) pairs, best-first. Deterministic: the
+    * frontier pops (sim desc, id asc); the result set evicts its worst by
+    * the same ordering. */
+  private def searchLayer(
+      vecs: mutable.LongMap[Array[Double]],
+      norms: mutable.LongMap[Double],
+      adj: mutable.LongMap[mutable.ArrayBuffer[Long]],
+      entry: Long,
+      q: Array[Double],
+      qn: Double,
+      ef: Int): mutable.ArrayBuffer[(Double, Long)] = {
+    // One ordering everywhere: x < y iff y is better — so a PriorityQueue
+    // (pops its greatest) pops the BEST, and a TreeSet's head (its least)
+    // is the WORST.
+    val ord = Ordering.fromLessThan[(Double, Long)] { (x, y) =>
+      better(y._1, y._2, x._1, x._2)
+    }
+    val frontier = mutable.PriorityQueue.empty[(Double, Long)](ord)
+    val result = mutable.TreeSet.empty[(Double, Long)](ord)
+    val visited = mutable.HashSet.empty[Long]
+    val se = cosine(q, qn, vecs(entry), norms(entry))
+    visited += entry
+    frontier.enqueue((se, entry))
+    result += ((se, entry))
+    while (frontier.nonEmpty) {
+      val (sc, c) = frontier.dequeue()
+      val (ws, wi) = result.head
+      if (result.size >= ef && better(ws, wi, sc, c)) {
+        frontier.clear() // frontier best is worse than the full result's worst
+      } else {
+        val nbs = adj.getOrElse(c, mutable.ArrayBuffer.empty)
+        var j = 0
+        while (j < nbs.length) {
+          val nb = nbs(j)
+          if (visited.add(nb)) {
+            val s = cosine(q, qn, vecs(nb), norms(nb))
+            val (ws2, wi2) = result.head
+            if (result.size < ef || better(s, nb, ws2, wi2)) {
+              frontier.enqueue((s, nb))
+              result += ((s, nb))
+              if (result.size > ef) result -= result.head
+            }
+          }
+          j += 1
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[(Double, Long)]
+    out ++= result.toSeq.reverse // best-first
+    out
+  }
+
+  /** Build one shard's NSW graph. Nodes insert in ascending id; each new
+    * node connects bidirectionally to its `m` best among the efC-beam
+    * survivors; a node over `maxDegree` prunes its WORST non-protected
+    * edges (protected = the insert-time best-neighbor spanning-tree edges,
+    * kept forever — the connectivity invariant). */
+  private def buildShard(
+      rows: Array[AssignedRow], m: Int, efConstruction: Int, maxDegree: Int): Iterator[NswNode] = {
+    val sorted = rows.sortBy(_.id)
+    val vecs = mutable.LongMap.empty[Array[Double]]
+    val norms = mutable.LongMap.empty[Double]
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val protectedEdges = mutable.HashSet.empty[(Long, Long)]
+    def protectEdge(a: Long, b: Long): Unit = {
+      protectedEdges += ((a, b)); protectedEdges += ((b, a)); ()
+    }
+    val entry = sorted.head.id
+    sorted.foreach { r =>
+      vecs(r.id) = r.vec
+      norms(r.id) = norm(r.vec)
+      adj(r.id) = mutable.ArrayBuffer.empty[Long]
+      if (r.id != entry) {
+        val found = searchLayer(vecs, norms, adj, entry, r.vec, norms(r.id),
+          math.max(efConstruction, m))
+        val picked = found.filter(_._2 != r.id).take(m)
+        if (picked.nonEmpty) protectEdge(r.id, picked.head._2)
+        picked.foreach { case (_, nId) =>
+          adj(r.id) += nId
+          adj(nId) += r.id
+          if (adj(nId).length > maxDegree) {
+            // prune nId's directed list: keep every protected edge, fill
+            // the rest with the most-similar others (ties id asc); the
+            // dropped side keeps its own reverse edge — directed prune,
+            // standard NSW practice, never touches the spanning tree
+            val nv = vecs(nId); val nn = norms(nId)
+            val (prot, rest) = adj(nId).distinct
+              .partition(x => protectedEdges.contains((nId, x)))
+            val keptRest = rest
+              .map(x => (cosine(nv, nn, vecs(x), norms(x)), x))
+              .sortWith { case ((s1, i1), (s2, i2)) => better(s1, i1, s2, i2) }
+              .take(math.max(0, maxDegree - prot.length))
+              .map(_._2)
+            adj(nId) = prot ++ keptRest
+          }
+        }
+      }
+    }
+    sorted.iterator.map(r => NswNode(rows.head.cell, r.id, r.vec, adj(r.id).toArray))
+  }
+
+  /** Build the distributed NSW index: assign every vector to its IVF cell
+    * (a pure codegen projection over the literal centroid table — no
+    * shuffle), then build each shard's graph in one `flatMapGroups` task.
+    * One shuffle total (the groupByKey on cell), and each shard must fit
+    * one executor's memory — the same contract every sharded graph-ANN
+    * build (DiskANN, SPANN) operates under; size `nCells` accordingly.
+    *
+    * @param corpus (id, vec) — vec float or double
+    * @param centroids trained shard geometry ([[Similarity.deterministicCentroids]])
+    * @param m new-node out-degree (HNSW M)
+    * @param efConstruction build beam width
+    * @param maxDegree degree cap before pruning (default 2m) */
+  def buildNswIndex(
+      corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      m: Int = 8,
+      efConstruction: Int = 32,
+      maxDegree: Int = 0): Dataset[NswNode] = {
+    require(m >= 1, s"buildNswIndex: m must be >= 1, got $m")
+    require(efConstruction >= 1, s"buildNswIndex: efConstruction must be >= 1, got $efConstruction")
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val mMax = if (maxDegree > 0) maxDegree else 2 * m
+    require(mMax >= m, s"buildNswIndex: maxDegree $mMax must be >= m $m")
+    val assigned = corpus
+      .select(
+        Similarity.assignCell(transform(col("vec"), _.cast("double")), centroids).as("cell"),
+        col("id"),
+        transform(col("vec"), _.cast("double")).as("vec"))
+      .filter(col("cell").isNotNull && col("id").isNotNull)
+      .as[AssignedRow]
+    assigned
+      .groupByKey(_.cell)
+      .flatMapGroups { (_, rows) => buildShard(rows.toArray, m, efConstruction, mMax) }
+  }
+
+  /** Query the index: probe each query's `nProbe` nearest shards
+    * ([[Similarity.probeCells]] — the assignment-metric order), beam-search
+    * each probed shard graph, merge all shard survivors through ONE global
+    * (cosine desc, neighbor_id asc) top-k window.
+    *
+    * Serving shape (the point of a graph index): the QUERIES move to the
+    * shards, never the reverse — the probe list (|queries| * nProbe tiny
+    * rows, collected and broadcast) fans out over a `mapPartitions` pass
+    * of the adjacency table, so the index is NEVER shuffled per batch,
+    * and per probed shard a query pays ~efSearch * degree similarity
+    * evaluations instead of IVF's whole-cell scan. The query batch is
+    * driver-bounded by contract (an online serving batch, not a corpus).
+    *
+    * Index partitioning contract: every cell must live wholly inside one
+    * partition — true for [[buildNswIndex]] output (its groupByKey
+    * partitioning survives persist/localCheckpoint); a reloaded parquet
+    * index must pass through [[repartitionByShard]] first.
+    *
+    * `efSearch >= |largest shard|` makes the search exhaustive-exact (see
+    * the object doc); the approximate operating point is efSearch ~ 2-8x k. */
+  def nswTopK(
+      index: Dataset[NswNode],
+      centroids: Seq[(Int, Seq[Double])],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      efSearch: Int = 32): DataFrame = {
+    require(k >= 1, s"nswTopK: k must be >= 1, got $k")
+    require(nProbe >= 1, s"nswTopK: nProbe must be >= 1, got $nProbe")
+    require(efSearch >= k, s"nswTopK: efSearch $efSearch must be >= k $k")
+    val spark = index.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val probeRows = Similarity.probeCells(centroids, queries, nProbe)
+      .select(col("cell"), col("query_id"),
+        transform(col("qvec"), _.cast("double")).as("qvec"))
+      .as[ProbeRow].collect()
+    val probesByCell = probeRows.groupBy(_.cell)
+    val bc = spark.sparkContext.broadcast(probesByCell)
+    val cands = index.mapPartitions { nodes =>
+      val byCell = nodes.toArray.groupBy(_.cell)
+      byCell.iterator.flatMap { case (cell, nArr) =>
+        bc.value.get(cell) match {
+          case None => Iterator.empty
+          case Some(qArr) =>
+            val vecs = mutable.LongMap.empty[Array[Double]]
+            val norms = mutable.LongMap.empty[Double]
+            val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+            var entry = Long.MaxValue
+            nArr.foreach { nd =>
+              vecs(nd.id) = nd.vec
+              norms(nd.id) = norm(nd.vec)
+              adj(nd.id) = mutable.ArrayBuffer.from(nd.neighbors)
+              if (nd.id < entry) entry = nd.id
+            }
+            qArr.iterator.flatMap { q =>
+              val qn = norm(q.qvec)
+              searchLayer(vecs, norms, adj, entry, q.qvec, qn, efSearch)
+                .iterator
+                .filter(_._2 != q.query_id) // self-pairs never rank
+                .map { case (s, nId) => CandRow(q.query_id, nId, s) }
+            }
+        }
+      }
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Restore the whole-shard-per-partition contract for an index read back
+    * from storage (parquet splits don't respect cells): one hash shuffle
+    * on `cell`, paid once at load. */
+  def repartitionByShard(index: Dataset[NswNode]): Dataset[NswNode] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.toDF().repartition(col("cell")).as[NswNode]
+  }
+
+  /** One-shot convenience: train shard geometry (or adopt `centroidsIn`),
+    * build, query. The driver-checked entry point; long-lived callers keep
+    * the [[buildNswIndex]] result (optionally persisted cell-partitioned)
+    * and re-query it. */
+  def nswQueryOnce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      efSearch: Int = 32,
+      kmeansIters: Int = 6,
+      centroidsIn: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val cents = centroidsIn.getOrElse(
+      Similarity.deterministicCentroids(corpus, nCells, kmeansIters))
+    nswTopK(buildNswIndex(corpus, cents, m, efConstruction), cents, queries,
+      k, nProbe, efSearch)
+  }
+}

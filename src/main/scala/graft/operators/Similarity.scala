@@ -217,7 +217,7 @@ object Similarity {
   // the interpreted per-cell fold cost more than the brute-force scan —
   // which is exactly the upgrade this kernel delivers. Same ascending
   // scan + strict-improvement tie rule as the fold below.
-  private def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  private[operators] def assignCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     require(cents.nonEmpty, "assignCell: empty centroid table")
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
@@ -390,7 +390,7 @@ object Similarity {
     * raw -dot order would skip a query's own cell whenever centroid norms
     * differ (guaranteed for unnormalized embeddings) — systematic recall
     * loss at any nProbe. Shared by the exact-cosine and PQ probe paths. */
-  private def probeCells(
+  private[operators] def probeCells(
       centroids: Seq[(Int, Seq[Double])],
       queries: DataFrame,
       nProbe: Int): DataFrame = {

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Hnsw, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HnswSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  // deterministic hash-derived vectors, no RNG
+  private def vecs(n: Int) = spark.range(n)
+    .select(col("id"), array((0 until dim).map(i =>
+      (pmod(xxhash64(col("id") * lit(dim) + lit(i)), lit(1000L)).cast("double") /
+        lit(1000.0)) - lit(0.5)): _*).as("vec"))
+
+  test("exhaustive config (nProbe=nCells, efSearch>=shard) equals brute force exactly") {
+    val corpus = vecs(120)
+    val queries = corpus.filter(col("id") < 6)
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 4, iters = 3)
+    val idx = Hnsw.buildNswIndex(corpus, cents, m = 4, efConstruction = 16)
+    val got = Hnsw.nswTopK(idx, cents, queries, k = 5, nProbe = 4, efSearch = 1 << 20)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = Similarity.bruteForceTopK(corpus, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 30)
+    assert(got.toSeq == want.toSeq) // bit-identical cosines + same tie rule
+  }
+
+  test("index adjacency: spanning-tree connectivity and degree discipline") {
+    val corpus = vecs(200)
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 2, iters = 2)
+    val nodes = Hnsw.buildNswIndex(corpus, cents, m = 3, efConstruction = 8).collect()
+    assert(nodes.length == 200)
+    nodes.groupBy(_.cell).foreach { case (_, shard) =>
+      val ids = shard.map(_.id).toSet
+      val adj = shard.map(n => n.id -> n.neighbors.toSet).toMap
+      // every neighbor id is a shard member
+      shard.foreach(n => assert(n.neighbors.forall(ids.contains)))
+      // connected from the min id following DIRECTED edges
+      val entry = ids.min
+      val seen = scala.collection.mutable.Set(entry)
+      val stack = scala.collection.mutable.Stack(entry)
+      while (stack.nonEmpty) {
+        adj(stack.pop()).foreach(nb => if (seen.add(nb)) stack.push(nb))
+      }
+      assert(seen == ids, s"shard not connected: reached ${seen.size} of ${ids.size}")
+    }
+  }
+
+  test("approximate config is deterministic across partitionings and recall is sane") {
+    val corpus = vecs(300)
+    val queries = corpus.filter(col("id") < 10)
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 4, iters = 3)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val idx = Hnsw.buildNswIndex(c, cents, m = 4, efConstruction = 16)
+      Hnsw.nswTopK(idx, cents, queries, k = 5, nProbe = 2, efSearch = 8)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val a = run(corpus.repartition(7))
+    val b = run(corpus.coalesce(1))
+    assert(a == b)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+    val idx = Hnsw.buildNswIndex(corpus, cents, m = 4, efConstruction = 16)
+    val approx = Hnsw.nswTopK(idx, cents, queries, k = 5, nProbe = 2, efSearch = 8)
+    val rec = Similarity.annRecallReport(approx, exact, k = 5)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    assert(rec > 0.5, s"mean recall@5 suspiciously low: $rec")
+  }
+
+  test("single-node shard and k > corpus behave") {
+    val corpus = vecs(3)
+    val queries = corpus.filter(col("id") === 0)
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 3, iters = 1)
+    val idx = Hnsw.buildNswIndex(corpus, cents, m = 2, efConstruction = 4)
+    val out = Hnsw.nswTopK(idx, cents, queries, k = 10, nProbe = 3, efSearch = 64)
+      .collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L)) // self excluded
+  }
+}
