@@ -331,30 +331,37 @@ private[graft] object QueriesEventsQuality {
         .orderBy(col("doc_id"))
     }),
 
-    // Perceptual near-dup pairs over binary payloads: banded aHash
-    // (64 block bytes, mean-threshold bits, 4x16-bit LSH bands, exact
-    // Hamming verify; maxHamming 3 < 4 bands = pigeonhole-exact recall).
-    // The corpus = every "image" UNIONed with its 16x8 resized thumbnail
-    // (id + 1000000) — the aHash use case: each thumbnail must be found
-    // as a perceptual duplicate of its original (nearest-neighbor
-    // resampling commutes with block sampling, so hamming is exactly 0),
-    // and the oracle re-derives the thumbnails byte-for-byte.
+    // Perceptual near-dup pairs over REALLY-DECODED rasters (round-12):
+    // the corpus = 40 PNG fixtures + their 16x8 thumbnails (the decoded
+    // raster 2D-resampled and LOSSLESSLY re-encoded, id + 1000000) + exact
+    // re-encodes of the first 10 (id + 2000000 — decode(encode(decode))
+    // is identity for PNG, so these MUST pair at hamming 0). Every
+    // payload goes through the genuine ImageIO decode before aHash
+    // banding (64 block bytes over the PIXEL buffer, mean-threshold bits,
+    // 4x16-bit LSH bands, exact Hamming verify <= 3); the oracle
+    // re-derives original, thumbnail, and copy rasters from the fixture
+    // formula.
     "mm_phash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
-      val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          graft.operators.Multimodal.MediaRow(
-            id, "image", text.getBytes("UTF-8"), None, None, None)
-        }
-      val thumbs = graft.operators.Multimodal.resizeImages(media, dstW = 16, dstH = 8)
-        .toDF()
-        .select((col("media_id") + 1000000L).as("doc_id"), col("payload"))
-      val all = docs
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .unionByName(thumbs)
+      import graft.operators.Multimodal.{decodeGray, decodeImages, encodeGray, nnResample, MediaRow}
+      // NOTE: module METHODS are imported (static access inside the task
+      // lambdas), never `val mm = Multimodal` — an aliased module instance
+      // is captured as a closure field and objects aren't Serializable.
+      val media = syntheticImageRows(s, dir, 40)
+      val extras = media.map { r =>
+        val Some((w, h, px)) = decodeGray(r.payload)
+        MediaRow(r.media_id + 1000000L, "image",
+          encodeGray(16, 8, nnResample(px, w, h, 16, 8)), None, None, None)
+      }
+      val copies = media.filter(_.media_id < 10).map { r =>
+        val Some((w, h, px)) = decodeGray(r.payload)
+        MediaRow(r.media_id + 2000000L, "image", encodeGray(w, h, px),
+          None, None, None)
+      }
+      val decoded = decodeImages(media.union(extras).union(copies)).toDF()
+        .select(col("media_id").as("id"), col("pixels").as("payload"))
       graft.operators.Multimodal.aHashNearDupPairs(
-        all, col("doc_id"), col("payload"), maxHamming = 3)
+        decoded, col("id"), col("payload"), maxHamming = 3)
     }),
 
     // Streaming-shaped tumbling-window aggregation (batch equivalence; the
@@ -682,36 +689,58 @@ private[graft] object QueriesEventsQuality {
     // repeated invocations share ONE cache entry (CacheManager keys on the
     // canonical plan), so memory is bounded; long-lived library callers
     // use the handle.
-    "mm_feature_extract" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents").orderBy(col("doc_id")).limit(50)
-        .select(col("doc_id"), col("text"), col("source"))
-        .as[(Long, String, String)]
-        .map { case (id, text, src) =>
-          graft.operators.Multimodal.MediaRow(
-            id, if (src.hashCode % 2 == 0) "image" else "audio",
-            text.getBytes("UTF-8"), None, None, None)
-        }
-      jsonSafe(graft.operators.Multimodal.extractFeatures(media, dim = 8)
-        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
-          col("feature")).orderBy(col("media_id")))
+    // REAL decode metadata (round-12): the PNG fixtures through the
+    // genuine ImageIO raster decode — dimensions and the md5 of the
+    // decoded gray8 buffer, which the oracle re-derives pixel-for-pixel
+    // from the fixture formula (PNG is lossless). The most direct proof
+    // the codec path is real: any decode deviation breaks the hash.
+    "mm_decode_meta" -> ((s, dir) => {
+      graft.operators.Multimodal.decodeImages(syntheticImageRows(s, dir, 40))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          octet_length(col("pixels")).cast("long").as("n_pixels"),
+          md5(hex(col("pixels"))).as("pixel_md5"))
+        .orderBy(col("media_id"))
     }),
 
-    // Multimodal resize: nearest-neighbor byte resample to an 8x8 gray8
-    // stub buffer (real contract: bytes -> w*h buffer; the oracle
-    // re-derives every output byte from the hex-encoded payload). The
-    // comparison key is md5 over the UPPERCASE hex string — both engines'
-    // hex() emit uppercase, and neither can md5 a BLOB directly.
-    "mm_resize" -> ((s, dir) => {
+    // Feature extraction over REALLY-DECODED rasters (round-12): even
+    // doc_ids ship PNG fixtures (decoded=true, 8 block means over the
+    // gray pixels), odd doc_ids ship raw text bytes as "audio"
+    // (decoded=false, same block means over the opaque bytes — the honest
+    // generic fallback). Exact integer block sums, one IEEE division per
+    // block -> fully LIVE oracle (this query was a VALUES pin when the
+    // decode was stubbed).
+    "mm_feature_extract" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
+      val mm = graft.operators.Multimodal
+      val images = syntheticImageRows(s, dir, 50).filter(_.media_id % 2 == 0)
+      val audio = t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 50 && col("doc_id") % 2 === 1)
         .as[(Long, String)]
         .map { case (id, text) =>
-          graft.operators.Multimodal.MediaRow(
-            id, "image", text.getBytes("UTF-8"), None, None, None)
+          mm.MediaRow(id, "audio", text.getBytes("UTF-8"), None, None, None)
         }
-      graft.operators.Multimodal.resizeImages(media, dstW = 8, dstH = 8)
+      mm.extractFeatures(images.union(audio), dim = 8)
+        .toDF()
+        .select(col("media_id"), col("media_type"), col("decoded"),
+          col("width"), col("height"), col("n_values").cast("long").as("n_values"),
+          posexplode(col("feature")).as(Seq("pos", "feature")))
+        .select(col("media_id"), col("media_type"), col("decoded"),
+          col("width"), col("height"), col("n_values"),
+          col("pos").cast("long").as("pos"), col("feature"))
+        .orderBy(col("media_id"), col("pos"))
+    }),
+
+    // REAL resize (round-12): PNG fixtures through the genuine decode,
+    // then a 2D nearest-neighbor resample of the TRUE raster to 8x8 —
+    // out(dy,dx) = in((dy*h) div 8, (dx*w) div 8); the oracle re-derives
+    // every output byte from the fixture formula. The comparison key is
+    // md5 over the UPPERCASE hex string — both engines' hex() emit
+    // uppercase, and neither can md5 a BLOB directly.
+    "mm_resize" -> ((s, dir) => {
+      graft.operators.Multimodal.resizeImages(
+        syntheticImageRows(s, dir, 40), dstW = 8, dstH = 8)
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
           md5(hex(col("payload"))).as("payload_md5"))
@@ -1766,46 +1795,89 @@ private[graft] object QueriesEventsQuality {
       """SELECT event_id, json_extract(props, '$.k')::INTEGER AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // REAL-decode feature extraction (round-12, de-pinned): image block
+    // means re-derived from the lossless fixture formula, audio block
+    // means from the raw text bytes (hex slices) — exact integer sums,
+    // one IEEE division per block.
     "mm_feature_extract" ->
-      """SELECT c0::BIGINT AS "media_id", c1::VARCHAR AS "media_type", c2::INTEGER AS "n_bytes", c3::VARCHAR AS "feature" FROM (VALUES (0, 'image', 157, '[8.092651,9.407623,9.760315,10.367691,9.535294,9.101761,10.812851,11.619644]'), (1, 'audio', 406, '[28.074493,22.767242,24.881042,25.967026,27.02414,24.625977,22.493729,21.71904]'), (2, 'image', 246, '[18.452469,15.750809,14.489822,15.452286,17.384811,15.772385,12.088455,15.094009]'), (3, 'audio', 147, '[6.823715,9.8910675,11.605301,8.691513,7.918106,8.720032,9.21965,7.286865]'), (4, 'image', 250, '[14.998886,15.092239,17.437317,20.3564,17.291656,17.094818,16.512161,12.823578]'), (5, 'audio', 314, '[20.665405,17.940765,19.688995,16.97641,18.985138,20.26271,18.48581,16.890991]'), (6, 'image', 78, '[4.124893,4.9199524,3.872284,3.5119781,4.7860565,4.329544,4.686264,3.8841705]'), (7, 'audio', 402, '[22.46666,22.17067,25.472092,23.60727,22.460663,22.251236,23.45398,26.33818]'), (8, 'image', 470, '[29.764984,28.915833,27.361893,29.494583,31.150116,31.588348,32.82567,28.803497]'), (9, 'audio', 391, '[23.49524,25.611313,24.203018,24.698639,23.140335,24.825607,24.65062,24.274887]'), (10, 'audio', 214, '[13.707657,11.650101,12.926758,13.382675,13.497147,12.9366,11.786102,8.962921]'), (11, 'image', 304, '[18.193726,15.682526,17.034714,19.927292,19.242096,20.065094,21.737747,18.817215]'), (12, 'audio', 348, '[21.633545,22.207916,23.42659,23.84111,19.095917,22.290161,20.368576,19.330887]'), (13, 'image', 346, '[18.99736,21.492569,20.778244,24.14592,18.233795,21.900314,21.86528,25.02237]'), (14, 'audio', 495, '[32.168564,32.34027,27.231415,29.731552,30.241287,28.214157,34.652634,32.87059]'), (15, 'image', 228, '[13.416122,12.982544,15.972839,13.751465,12.258636,13.715439,14.766083,14.739838]'), (16, 'audio', 90, '[5.4134064,5.151535,5.859421,4.6256256,4.3315277,4.7593994,6.8127747,7.0439453]'), (17, 'image', 426, '[24.171417,24.944153,24.226547,25.983444,25.647781,29.99907,25.558731,29.978851]'), (18, 'audio', 423, '[26.15245,24.827087,25.892776,25.61441,26.587234,27.567078,31.372406,26.859756]'), (19, 'image', 57, '[2.2397614,5.3989716,3.1667938,3.3924255,1.4587708,3.946106,3.034729,3.3079224]'), (20, 'image', 394, '[21.70755,23.375488,21.391296,20.086624,22.233963,23.75888,26.061707,23.0607]'), (21, 'audio', 217, '[14.398041,12.675476,12.457535,10.989777,12.802368,13.3089905,14.916718,13.16893]'), (22, 'image', 454, '[28.36444,25.72911,29.979828,25.681488,30.126953,28.859314,27.419098,26.067154]'), (23, 'audio', 166, '[10.146347,9.888809,10.203888,9.64563,10.755432,9.9841,8.883469,10.681198]'), (24, 'image', 535, '[31.200974,32.06697,32.37198,32.195602,31.283676,31.700409,35.188904,36.08426]'), (25, 'audio', 505, '[33.50879,31.614761,30.795685,30.694061,27.251648,32.588013,31.332779,29.252197]'), (26, 'image', 63, '[3.3470154,3.5104675,4.765274,4.1664734,3.947342,2.928711,4.3973083,3.015854]'), (27, 'audio', 346, '[21.887604,22.36229,23.061676,19.096115,24.793549,20.80008,21.000671,23.366623]'), (28, 'image', 334, '[20.54831,18.822556,19.38301,21.094482,19.21785,23.60048,21.022842,22.33229]'), (29, 'audio', 196, '[9.344452,14.582779,13.536331,14.1692505,12.858871,11.924606,13.974487,12.992767]'), (30, 'audio', 167, '[9.57959,12.107361,10.011963,11.559814,8.660568,7.8046265,10.932404,9.724625]'), (31, 'image', 250, '[15.04155,16.586975,15.725815,16.530304,13.70401,19.953522,16.76735,15.128098]'), (32, 'audio', 513, '[32.16835,32.35161,31.831085,29.64743,35.876083,33.20981,31.5867,35.120514]'), (33, 'image', 247, '[11.9539795,15.052551,13.247284,12.5385895,13.2322235,16.596893,15.203018,14.137527]'), (34, 'audio', 165, '[9.874084,8.091721,7.825775,12.95871,11.287079,8.611618,11.670364,7.9308014]'), (35, 'image', 452, '[31.140137,23.969376,29.336273,30.127502,30.16124,25.582825,27.76004,26.603073]'), (36, 'audio', 135, '[6.6020813,9.911667,8.936737,10.3489685,9.70195,7.6422424,7.339386,6.735367]'), (37, 'image', 378, '[27.076172,24.113937,21.880844,22.158508,23.683548,26.313766,24.597809,20.18901]'), (38, 'audio', 203, '[12.158417,14.499924,12.315521,15.207916,11.81337,10.159302,12.155563,12.650467]'), (39, 'image', 124, '[7.7734375,7.006592,7.917099,9.242722,6.705826,7.2056427,7.710312,8.26947]'), (40, 'image', 421, '[26.54869,22.346954,30.848679,23.264297,23.973083,23.75113,27.99173,28.035416]'), (41, 'audio', 337, '[20.914017,18.764389,20.987915,23.584183,19.138107,20.352966,21.25772,19.258911]'), (42, 'image', 303, '[18.024216,19.858795,23.074524,19.828735,16.792908,14.906952,15.254166,19.683426]'), (43, 'audio', 152, '[8.580627,8.357147,11.339996,8.980148,7.6123657,9.817947,9.495178,8.200165]'), (44, 'image', 128, '[10.022461,9.147812,8.852539,6.5509796,7.8925323,9.075607,9.925415,8.345154]'), (45, 'audio', 432, '[26.065811,29.862442,29.203033,28.487228,27.032425,27.28862,30.018692,27.831009]'), (46, 'image', 492, '[31.770538,30.8134,28.402084,28.104446,26.50409,34.616837,31.18924,27.347275]'), (47, 'audio', 224, '[15.034439,14.259354,13.761673,13.470749,15.375931,15.2734375,10.752563,13.386139]'), (48, 'image', 164, '[11.282806,12.033951,9.181747,12.623993,11.242615,8.32251,9.350357,10.306061]'), (49, 'audio', 256, '[17.999146,13.976883,13.834366,16.618393,14.9687195,16.442291,16.424042,13.685898]')) AS t(c0, c1, c2, c3) ORDER BY "media_id"""",
+      s"""WITH ${mmPixelCtes(50)},
+         |img AS (
+         |  SELECT id, 'image' AS media_type, TRUE AS decoded,
+         |    w::INTEGER AS width, h::INTEGER AS height,
+         |    len(p)::BIGINT AS n_values, p AS v
+         |  FROM mpx WHERE id % 2 = 0),
+         |aud0 AS (
+         |  SELECT doc_id AS id, hex(text::BLOB) AS hx,
+         |    octet_length(text::BLOB)::BIGINT AS n
+         |  FROM documents WHERE doc_id < 50 AND doc_id % 2 = 1),
+         |aud AS (
+         |  SELECT id, 'audio' AS media_type, FALSE AS decoded,
+         |    (-1)::INTEGER AS width, (-1)::INTEGER AS height, n AS n_values,
+         |    list_transform(range(n),
+         |      i -> ('0x' || substring(hx, CAST(i*2+1 AS BIGINT), 2))::BIGINT) AS v
+         |  FROM aud0),
+         |allv AS (SELECT * FROM img UNION ALL SELECT * FROM aud),
+         |f AS (
+         |  SELECT id, media_type, decoded, width, height, n_values, j AS pos,
+         |    CASE WHEN ((j+1)*n_values)//8 > (j*n_values)//8
+         |      THEN list_reduce(list_prepend(0::BIGINT,
+         |             v[(j*n_values)//8 + 1 : ((j+1)*n_values)//8]), (a,b) -> a+b)::DOUBLE
+         |           / (((j+1)*n_values)//8 - (j*n_values)//8)
+         |      ELSE 0.0::DOUBLE END AS feature
+         |  FROM allv CROSS JOIN (SELECT unnest(range(8)) AS j))
+         |SELECT id AS media_id, media_type, decoded, width, height, n_values,
+         |  pos::BIGINT AS pos, feature
+         |FROM f ORDER BY media_id, pos""".stripMargin,
+
+    // Decode-metadata re-derivation: the formula raster's dimensions and
+    // the md5 of its uppercase hex — any deviation in the engine's REAL
+    // ImageIO decode breaks the hash.
+    "mm_decode_meta" ->
+      s"""WITH ${mmPixelCtes(40)}
+         |SELECT id AS media_id, w::INTEGER AS width, h::INTEGER AS height,
+         |  len(p)::BIGINT AS n_pixels,
+         |  md5(list_aggregate(list_transform(p, v -> printf('%02X', v)),
+         |    'string_agg', '')) AS pixel_md5
+         |FROM mpx ORDER BY media_id""".stripMargin,
 
     // Two-stage quantized ANN re-derivation: per-vector int8 quantization
     // (scale = list_max(|v|)/127, q = floor(v/scale + 0.5) — exact in
     // double on both engines), sequential-fold int dot (integer-valued
     // doubles: association-order-proof), (dot*scaleA)*scaleB approx
     // ranking to k*oversample=20, exact-cosine re-rank to k=5.
+    // REAL-resize re-derivation: the 2D nearest-neighbor resample of the
+    // formula raster — out(dy,dx) = p[((dy*h) div 8)*w + (dx*w) div 8].
     "mm_resize" ->
-      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-        |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0 ELSE 64 END AS n_bytes,
-        |  md5(list_aggregate(
-        |    [substring(hex(text::BLOB),
-        |       CAST((j*octet_length(text::BLOB))//64 AS BIGINT)*2+1, 2)
-        |     for j in range(64)], 'string_agg', '')) AS payload_md5
-        |FROM documents ORDER BY media_id""".stripMargin,
+      s"""WITH ${mmPixelCtes(40)},
+         |rs AS (
+         |  SELECT id, list_transform(range(64),
+         |    j -> p[CAST((((j // 8) * h) // 8) * w + (((j % 8) * w) // 8) + 1 AS BIGINT)]) AS rp
+         |  FROM mpx)
+         |SELECT id AS media_id, 8 AS width, 8 AS height, 64 AS n_bytes,
+         |  md5(list_aggregate(list_transform(rp, v -> printf('%02X', v)),
+         |    'string_agg', '')) AS payload_md5
+         |FROM rs ORDER BY media_id""".stripMargin,
 
-    // aHash near-dup re-derivation: block bytes from hex slices (the
-    // mm_resize rule), mean-threshold band bits as exact integer sums,
+    // aHash-over-DECODED-rasters re-derivation: original / 16x8-thumbnail
+    // / exact-copy pixel lists from the fixture formula, 64 block bytes
+    // per raster, mean-threshold band bits as exact integer sums,
     // band-keyed candidate join, bit_count(xor) Hamming verify.
     "mm_phash_neardup" -> {
       def bandSql(k: Int) =
         (0 until 16).map(j =>
           s"(CASE WHEN 64*vals[${16 * k + j + 1}] > total THEN ${1L << j} ELSE 0 END)")
           .mkString(" + ")
-      s"""WITH d0 AS (
-         |  SELECT doc_id AS id, hex(text::BLOB) AS h,
-         |    octet_length(text::BLOB)::BIGINT AS len
-         |  FROM documents WHERE octet_length(text::BLOB) > 0),
-         |dth AS (
-         |  SELECT id + 1000000 AS id,
-         |    list_aggregate(list_transform(range(128),
-         |      i -> substring(h, CAST(((i*len)//128)*2+1 AS BIGINT), 2)),
-         |      'string_agg', '') AS h,
-         |    128::BIGINT AS len
-         |  FROM d0),
-         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM dth),
+      s"""WITH ${mmPixelCtes(40)},
+         |thumbs AS (
+         |  SELECT id + 1000000 AS id, list_transform(range(128),
+         |    j -> p[CAST((((j // 16) * h) // 8) * w + (((j % 16) * w) // 16) + 1 AS BIGINT)]) AS p
+         |  FROM mpx),
+         |copies AS (SELECT id + 2000000 AS id, p FROM mpx WHERE id < 10),
+         |d AS (SELECT id, p FROM mpx UNION ALL SELECT id, p FROM thumbs
+         |      UNION ALL SELECT id, p FROM copies),
          |v AS (
          |  SELECT id, list_transform(range(64),
-         |    j -> ('0x' || substring(h, CAST(((j*len)//64)*2+1 AS BIGINT), 2))::BIGINT) AS vals
+         |    j -> p[CAST((j*len(p))//64 + 1 AS BIGINT)]) AS vals
          |  FROM d),
          |tt AS (SELECT id, vals,
          |  list_reduce(list_prepend(0::BIGINT, vals), (a,b) -> a+b) AS total FROM v),

@@ -234,6 +234,39 @@ private[graft] object QueryShared {
             .otherwise(lit(0.0))).as("intensities"))
   }
 
+  /** Deterministic REAL-IMAGE fixtures for the multimodal family
+    * (round-12): per doc_id < `n`, a (8 + id%9) x (6 + id%7) gray8 raster
+    * with pixel(x, y) = (id*31 + x*7 + y*13) % 256, encoded as an actual
+    * PNG (`javax.imageio`). PNG is LOSSLESS, so the engine's real
+    * ImageIO decode returns exactly the formula raster — which is what
+    * lets the DuckDB oracle re-derive every decoded pixel from the
+    * formula ([[mmPixelCtes]]) while the engine exercises a genuine
+    * codec. Encoded per call (tiny images, partition-local). */
+  private[graft] def syntheticImageRows(
+      s: SparkSession, dir: String, n: Int): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long].map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (6 + id % 7).toInt
+        val px = Array.tabulate(w * h)(j =>
+          ((id * 31 + (j % w) * 7 + (j / w) * 13) % 256).toByte)
+        graft.operators.Multimodal.MediaRow(
+          id, "image", graft.operators.Multimodal.encodeGray(w, h, px),
+          None, None, None)
+      }
+  }
+
+  /** The fixture rasters re-derived in SQL: CTE `mpx(id, w, h, p)` with
+    * `p` the row-major pixel list (1-based) — the oracle-side twin of
+    * [[syntheticImageRows]]. */
+  private[graft] def mmPixelCtes(n: Int): String =
+    s"""mpx AS (
+       |  SELECT doc_id AS id, (8 + doc_id % 9)::BIGINT AS w, (6 + doc_id % 7)::BIGINT AS h,
+       |    list_transform(range((8 + doc_id % 9) * (6 + doc_id % 7)),
+       |      j -> (doc_id*31 + (j % (8 + doc_id % 9))*7 + (j // (8 + doc_id % 9))*13) % 256) AS p
+       |  FROM documents WHERE doc_id < $n)""".stripMargin
+
   private[graft] val nativeClusterConfig = graft.operators.SpectraCluster.Config(
     binWidth = 1.0, topPeaks = 20, candidateBins = 6,
     precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L)

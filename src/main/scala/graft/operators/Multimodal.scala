@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extraction /
   * resize / frame-sampling run as partition-local batch functions.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is STUBBED with a deterministic fake (clearly marked below);
-  * the Spark-side plumbing — schema, batched `mapPartitions` execution
-  * shape, media-type classification, binary-file ingestion — is real and
-  * tested. Swapping the stub for a real decoder (e.g. a JNI codec or a
-  * Pandas-UDF equivalent) changes one function.
+  * IMAGE decode is REAL (round-12): `javax.imageio` raster decode of
+  * PNG/JPEG/GIF/BMP payloads to a gray8 luminance buffer ([[decodeGray]]),
+  * feeding resize ([[resizeImages]]), feature extraction
+  * ([[extractFeatures]]), and perceptual near-dup hashing (the aHash
+  * family runs on the DECODED pixel buffer). Gray arithmetic is exact
+  * integers (1-band images read raster samples verbatim; multi-band uses
+  * the BT.601 integer luma `(299r + 587g + 114b) div 1000`), so decoded
+  * values of a losslessly-encoded fixture are bit-re-derivable by the SQL
+  * oracle. VIDEO demux remains an honest deterministic stub (no container
+  * demuxer exists in the JDK); its Spark-side plumbing — schema, fan-out
+  * shape, batched execution — is real and tested, and a real demuxer
+  * slots into [[stubFrameSlice]] alone.
   */
 object Multimodal {
 
@@ -26,37 +32,142 @@ object Multimodal {
       duration_ms: Option[Long],
   )
 
-  /** Decoded feature vector + propagated metadata. */
+  /** A really-decoded image: gray8 luminance raster, row-major. */
+  final case class DecodedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      pixels: Array[Byte],
+  )
+
+  /** REAL image decode (`javax.imageio`): any format the JDK readers
+    * handle (PNG/JPEG/GIF/BMP) to a row-major gray8 buffer. 1-band images
+    * ship their raster samples VERBATIM (exact — `getRGB` would apply a
+    * color-space transform); multi-band uses the BT.601 integer luma
+    * `(299r + 587g + 114b) div 1000` on raw samples — pure integer
+    * arithmetic, bit-reproducible across JVMs. Undecodable bytes yield
+    * None. */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g =
+              if (bands == 1) raster.getSample(x, y, 0)
+              else {
+                val r = raster.getSample(x, y, 0)
+                val gg = raster.getSample(x, y, 1)
+                val b = raster.getSample(x, y, 2)
+                (299 * r + 587 * gg + 114 * b) / 1000
+              }
+            out(y * w + x) = g.toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, out)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Encode a gray8 raster to `fmt` ("png" is lossless — decode(encode(p))
+    * == p exactly; "jpg" is lossy). The fixture/re-encode side of the real
+    * decode path. */
+  def encodeGray(width: Int, height: Int, pixels: Array[Byte], fmt: String = "png"): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeGray: bad dims ${width}x$height")
+    require(pixels.length == width * height,
+      s"encodeGray: ${pixels.length} pixels for ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.getRaster.setSample(x, y, 0, pixels(y * width + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+    require(ok, s"encodeGray: no ImageIO writer for format '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Batched REAL decode: one `mapPartitions` pass, one [[decodeGray]] per
+    * row (the `mapInPandas` execution shape). Rows whose payload does not
+    * decode are DROPPED — callers needing strictness diff counts against
+    * the input. Linear, shuffle-free. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGray(r.payload).map { case (w, h, px) => DecodedImage(r.media_id, w, h, px) }
+      }
+    }
+  }
+
+  /** Per-block feature vector + propagated metadata. `decoded` says which
+    * path produced the features: a real raster decode (images) or the
+    * generic opaque-byte fallback. */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
-      n_bytes: Int,
-      feature: Array[Float],
+      decoded: Boolean,
+      width: Int, // -1 when not decoded
+      height: Int, // -1 when not decoded
+      n_values: Int,
+      feature: Array[Double],
   )
 
-  /** STUB — deterministic fake "decode + embed": features derive from a
-    * rolling checksum of the payload bytes. Replace with a real decoder;
-    * the signature (bytes -> fixed-size float vector) is the real contract. */
-  def stubDecodeFeatures(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-    val out = new Array[Float](dim)
-    var acc = 2166136261L // FNV offset basis — deterministic, no RNG
-    var i = 0
-    while (i < payload.length) {
-      acc = (acc ^ (payload(i) & 0xffL)) * 16777619L
-      out((i % dim)) += ((acc & 0xffff).toFloat / 65536.0f)
-      i += 1
+  /** `dim` contiguous block means over an unsigned byte buffer: block j
+    * spans [j*n div dim, (j+1)*n div dim) (empty blocks -> 0.0). Exact
+    * integer sums, one IEEE division per block — bit-re-derivable in SQL. */
+  def blockMeans(values: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    val n = values.length
+    var j = 0
+    while (j < dim) {
+      val lo = (j.toLong * n / dim).toInt
+      val hi = ((j + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += values(i) & 0xff; i += 1 }
+        out(j) = s.toDouble / (hi - lo)
+      }
+      j += 1
     }
     out
   }
 
-  /** Batched feature extraction: one pass per partition, no per-row task
-    * overhead — the Scala analogue of `mapInPandas` batch execution. */
+  /** Batched feature extraction, REAL for images: an "image" payload is
+    * raster-decoded ([[decodeGray]]) and featurized as `dim` block means
+    * over its gray pixels; every other payload (and an image that fails
+    * to decode — `decoded = false`, loud in the output) gets the same
+    * block means over its raw bytes, the honest generic fallback. One
+    * pass per partition, no per-row task overhead. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        MediaFeatures(r.media_id, r.media_type, r.payload.length,
-          stubDecodeFeatures(r.payload, dim))
+        val dec = if (r.media_type == "image") decodeGray(r.payload) else None
+        dec match {
+          case Some((w, h, px)) =>
+            MediaFeatures(r.media_id, r.media_type, decoded = true, w, h,
+              px.length, blockMeans(px, dim))
+          case None =>
+            MediaFeatures(r.media_id, r.media_type, decoded = false, -1, -1,
+              r.payload.length, blockMeans(r.payload, dim))
+        }
       }
     }
   }
@@ -80,16 +191,35 @@ object Multimodal {
       payload: Array[Byte],
   )
 
-  /** STUB — deterministic fake "decode + resize": nearest-neighbor byte
-    * resample of the raw payload to a `w*h` gray8 buffer
-    * (`out(j) = in(j*inLen/outLen)`). Replace with a real image decoder;
-    * the signature (bytes -> w*h-byte buffer) is the real contract.
-    * Dimensions are validated loudly: w*h would otherwise overflow Int
-    * (silently-empty or negative-size buffers) — same guard posture as
-    * [[sampleFrames]]'s fan-out check. */
-  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    require(w > 0 && h > 0, s"stubResize: dimensions must be positive, got ${w}x$h")
-    require(w.toLong * h <= Int.MaxValue, s"stubResize: ${w}x$h overflows an Int buffer")
+  /** 2D nearest-neighbor resample of a row-major gray8 raster:
+    * `out(dy, dx) = in((dy*h) div dstH, (dx*w) div dstW)` — exact integer
+    * index arithmetic, bit-re-derivable in SQL. */
+  def nnResample(
+      pixels: Array[Byte], w: Int, h: Int, dstW: Int, dstH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h,
+      s"nnResample: ${pixels.length} pixels for ${w}x$h")
+    val out = new Array[Byte](dstW * dstH)
+    var dy = 0
+    while (dy < dstH) {
+      val sy = (dy.toLong * h / dstH).toInt
+      var dx = 0
+      while (dx < dstW) {
+        val sx = (dx.toLong * w / dstW).toInt
+        out(dy * dstW + dx) = pixels(sy * w + sx)
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
+  /** Generic nearest-neighbor BYTE resample (`out(j) = in(j*n div outLen)`)
+    * — the dimensionless fallback for payloads with no raster structure
+    * (and the pre-round-12 behavior). Kept for opaque-byte callers; image
+    * rows go through the REAL decode in [[resizeImages]]. */
+  def byteResample(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"byteResample: dimensions must be positive, got ${w}x$h")
+    require(w.toLong * h <= Int.MaxValue, s"byteResample: ${w}x$h overflows an Int buffer")
     val outLen = w * h
     if (payload.isEmpty) Array.emptyByteArray
     else {
@@ -103,10 +233,11 @@ object Multimodal {
     }
   }
 
-  /** Batched resize: partition-local loop over raw payloads — the same
-    * `mapInPandas`-shaped execution as [[extractFeatures]]. Metadata is
-    * REPLACED (width/height become the target dims), payload bytes come
-    * from [[stubResize]]. */
+  /** Batched REAL resize: decode the payload ([[decodeGray]]), 2D
+    * nearest-neighbor resample the raster to `dstW`x`dstH`, ship the gray8
+    * buffer. An undecodable payload falls back to the dimensionless
+    * [[byteResample]] — same output shape, honest about having no raster.
+    * Partition-local loop, the `mapInPandas` execution shape. */
   def resizeImages(media: Dataset[MediaRow], dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
     // fail at plan-build time, not once per task, for bad dimensions
     require(dstW > 0 && dstH > 0, s"resizeImages: dimensions must be positive, got ${dstW}x$dstH")
@@ -114,7 +245,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val p = stubResize(r.payload, dstW, dstH)
+        val p = decodeGray(r.payload) match {
+          case Some((w, h, px)) => nnResample(px, w, h, dstW, dstH)
+          case None => byteResample(r.payload, dstW, dstH)
+        }
         ResizedMedia(r.media_id, r.media_type, dstW, dstH, p.length, p)
       }
     }

@@ -392,7 +392,7 @@ class OperatorsSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
-  test("multimodal: deterministic stub features with real batch plumbing") {
+  test("multimodal: undecodable payloads take the byte-fallback path, loudly flagged") {
     import spark.implicits._
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "fakepngbytes".getBytes, Some(4), Some(4), None),
@@ -400,13 +400,14 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDS()
     val f = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
     assert(f.length == 2 && f.forall(_.feature.length == 8))
+    assert(f.forall(!_.decoded)) // neither payload is a real image
     // determinism: same payload -> same features
     val again = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
     assert(f.zip(again).forall { case (a, b) => a.feature.sameElements(b.feature) })
-    assert(f(0).n_bytes == "fakepngbytes".length)
+    assert(f(0).n_values == "fakepngbytes".length)
   }
 
-  test("multimodal resize: nearest-neighbor byte resample, metadata replaced") {
+  test("multimodal resize: byte-fallback nearest-neighbor resample, metadata replaced") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
     val media = Seq(

@@ -200,7 +200,7 @@ class Round7OpsSpec extends AnyFunSuite {
     val orig = "the quick brown fox jumps over the lazy dog " * 8
     val media = Seq(
       (1L, orig.getBytes("UTF-8")),
-      (2L, Multimodal.stubResize(orig.getBytes("UTF-8"), 16, 8)), // thumbnail
+      (2L, Multimodal.byteResample(orig.getBytes("UTF-8"), 16, 8)), // thumbnail
       (3L, ("completely different payload bytes zzzz " * 9).getBytes("UTF-8")),
       (4L, Array.emptyByteArray), // empty: dropped, never pairs
     ).toDF("id", "payload")

@@ -26,7 +26,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # re-derivations in rederive_sql.json still run at every SF). Fixture-backed
 # pins (DemoAssay etc.) don't read SF tables and stay checked everywhere.
 SF001_PINNED = {"sim_ivf_topk", "sim_ivf_disk", "sim_group_centroids",
-                "mm_feature_extract",
+                "sim_hnsw_recall",
                 # round-8 transcendental-decimal pins (VERDICT r7 item 1)
                 "dq_chi_square", "dq_label_balance", "tdp_psi_drift",
                 "txt_vocab_drift", "txt_retrieval_metrics",
