@@ -1202,11 +1202,81 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("shuffle_pos"))
     }),
 
-    // ANN LSH top-k with multi-probe (Hamming radius 1): candidates only
-    // from the probed hyperplane buckets, exact cosine re-rank.
+    // Unigram-LM (SentencePiece-shape) tokenizer, Viterbi inference
+    // (round-12): fixture-trained vocabulary (the distributed word-count
+    // head runs in-query; hard-EM drives the bounded table driver-side),
+    // min-cost segmentation of the SF documents under quantized integer
+    // costs. Deterministic end to end -> VALUES pin; the greedy twin
+    // below is the live-oracle anchor for the shared vocabulary.
+    "txt_unigram_encode" -> ((s, dir) => {
+      val model = sharedUnigramModel(s)
+      graft.operators.Unigram.encode(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), model, viterbi = true)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Greedy longest-match inference (the WordPiece rule) under the SAME
+    // fixture-trained unigram vocabulary: the left-to-right functional
+    // iteration is replayed LIVE by a recursive-CTE oracle whose piece
+    // list is interpolated from the very model the engine trains — if
+    // training OR segmentation drifts by one token, the hash breaks.
+    "txt_wordpiece_encode" -> ((s, dir) => {
+      val model = sharedUnigramModel(s)
+      graft.operators.Unigram.encode(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), model, viterbi = false)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "txt_wordpiece_encode" -> {
+      val pieces = unigramFixtureModel.vocab.toSeq.sorted
+        .map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+      s"""WITH RECURSIVE vocab(piece) AS (SELECT unnest([$pieces])),
+         |d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id < 200),
+         |words AS (SELECT DISTINCT unnest(t) AS word FROM d),
+         |seg(word, pos, tok) AS (
+         |  SELECT word, 1::BIGINT,
+         |    coalesce((SELECT piece FROM vocab
+         |              WHERE substr(word, 1, len(piece)) = piece
+         |              ORDER BY len(piece) DESC LIMIT 1), substr(word, 1, 1))
+         |  FROM words
+         |  UNION ALL
+         |  SELECT word, pos + len(tok),
+         |    coalesce((SELECT piece FROM vocab
+         |              WHERE substr(word, CAST(pos + len(tok) AS INT), len(piece)) = piece
+         |              ORDER BY len(piece) DESC LIMIT 1),
+         |             substr(word, CAST(pos + len(tok) AS INT), 1))
+         |  FROM seg WHERE pos + len(tok) <= len(word)),
+         |wt AS (
+         |  SELECT word, string_agg(tok, ' ' ORDER BY pos) AS toks,
+         |    count(*)::BIGINT AS ntok
+         |  FROM seg GROUP BY word),
+         |docw AS (
+         |  SELECT doc_id, i, t[i] AS word
+         |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+         |agg AS (
+         |  SELECT doc_id, sum(ntok)::BIGINT AS n_tokens,
+         |    string_agg(toks, ' ' ORDER BY i) AS tokens_str
+         |  FROM docw JOIN wt USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(a.tokens_str, '') AS tokens_str
+         |FROM d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_unigram_encode" -> PinnedOracles.sql.getOrElse("txt_unigram_encode",
+      "SELECT NULL AS missing_pin_txt_unigram_encode"),
+
     "txt_vocabulary" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))

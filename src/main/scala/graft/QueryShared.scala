@@ -234,6 +234,46 @@ private[graft] object QueryShared {
             .otherwise(lit(0.0))).as("intensities"))
   }
 
+  /** Fixture corpus for the unigram/wordpiece tokenizer (round-12):
+    * morphology-heavy so multi-character pieces emerge from EM. Fixed and
+    * ASCII, so the Spark word-count head and the pure-Scala oracle-side
+    * count BOTH resolve to the same table (binary string order ==
+    * UTF-16 order on ASCII). */
+  private[graft] val unigramFixtureCorpus: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "unhappiness unhappy happier happiest happiness",
+    "kindness darkness brightness weakness sharpness",
+    "running runner runs jumped jumping jumper",
+    "tokenizer tokenize tokens token subword subwords",
+    "scanning scanner scanned partition partitions partitioned",
+    "the tokenizer runs over subword tokens quickly",
+    "brightness of the quick brown tokenizer the tokens",
+  )
+
+  /** The fixture-trained unigram model, PURE Scala (no session) — safe to
+    * reference at oracle-construction time; interpolated into the
+    * txt_wordpiece_encode SQL. The in-query twin ([[sharedUnigramModel]])
+    * trains through the DISTRIBUTED word-count head; any divergence
+    * between the two paths reddens the driver row. */
+  private[graft] lazy val unigramFixtureModel: graft.operators.Unigram.Model = {
+    val counts = unigramFixtureCorpus
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+    graft.operators.Unigram.trainFromCounts(counts, vocabSize = 80, maxPieceLen = 4)
+  }
+
+  /** Session memo of the same model trained via the Spark path. */
+  private[graft] def sharedUnigramModel(s: SparkSession): graft.operators.Unigram.Model =
+    memo(s, "unigramModel") {
+      import s.implicits._
+      val fx = unigramFixtureCorpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      graft.operators.Unigram.trainFromCounts(
+        graft.operators.Unigram.wordCounts(fx, col("text")),
+        vocabSize = 80, maxPieceLen = 4)
+    }
+
   /** Deterministic REAL-IMAGE fixtures for the multimodal family
     * (round-12): per doc_id < `n`, a (8 + id%9) x (6 + id%7) gray8 raster
     * with pixel(x, y) = (id*31 + x*7 + y*13) % 256, encoded as an actual
