@@ -15,6 +15,46 @@ import org.apache.spark.sql.functions._
 private[graft] object QueriesEventsQuality {
   import QueryShared._
 
+  // ---- watermark/late-data fixtures (round-12): one inner Seq = one
+  // micro-batch (StreamHarness enforces the order). All values integral so
+  // double sums are exact; margins chosen so boundary conventions cannot
+  // change the output (see LateDataSpec).
+  private def fxEv(id: Long, ts: String, typ: String, v: Double): String =
+    s"""{"event_id":$id,"ts":"2024-03-01T$ts:00.000Z","user_id":1,"event_type":"$typ","value":$v}"""
+
+  private[graft] val lateDataBatches: Seq[Seq[String]] = Seq(
+    Seq(fxEv(1, "10:00", "a", 1), fxEv(2, "10:20", "a", 2), fxEv(3, "10:50", "b", 3),
+      fxEv(4, "11:05", "a", 4)),
+    Seq(fxEv(5, "10:58", "b", 5), fxEv(6, "10:30", "a", 6), fxEv(7, "11:40", "a", 7),
+      fxEv(8, "12:10", "b", 8)),
+    Seq(fxEv(9, "10:45", "a", 100) /* LATE: window closed at wm 12:00 */,
+      fxEv(10, "12:30", "a", 9)),
+    // double sentinel: flushes every real window regardless of the
+    // trailing no-data batch; its own 23:00 window never emits
+    Seq(fxEv(99, "23:00", "z", 0)),
+    Seq(fxEv(100, "23:30", "z", 0)),
+  )
+
+  private[graft] val watermarkDedupBatches: Seq[Seq[String]] = Seq(
+    Seq(fxEv(1, "10:00", "a", 1), fxEv(2, "10:01", "b", 2)),
+    Seq(fxEv(3, "10:05", "a", 3) /* dup of live fpA state */, fxEv(4, "10:30", "c", 4)),
+    // wm = 10:20: fpA/fpB state (evict at ts+10min = 10:10/10:11) gone ->
+    // 5 and 6 re-admit; fpC (evict 10:40) alive -> 7 drops
+    Seq(fxEv(5, "10:35", "a", 5), fxEv(6, "10:36", "b", 6), fxEv(7, "10:37", "c", 7)),
+  )
+
+  // the same fixtures as DuckDB VALUES rows: (batch, event_id, ts, event_type, value)
+  private def fxValues(batches: Seq[Seq[String]]): String =
+    batches.zipWithIndex.flatMap { case (lines, i) =>
+      lines.map { l =>
+        val id = "\"event_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1)
+        val ts = "\"ts\":\"2024-03-01T(\\d+:\\d+):00".r.findFirstMatchIn(l).get.group(1)
+        val ty = "\"event_type\":\"(\\w+)\"".r.findFirstMatchIn(l).get.group(1)
+        val v = "\"value\":(\\d+(?:\\.\\d+)?)".r.findFirstMatchIn(l).get.group(1)
+        s"(${i + 1}, $id, TIMESTAMP '2024-03-01 $ts:00', '$ty', ${v}::DOUBLE)"
+      }
+    }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_ks_drift" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -362,6 +402,35 @@ private[graft] object QueriesEventsQuality {
         .select(col("media_id").as("id"), col("pixels").as("payload"))
       graft.operators.Multimodal.aHashNearDupPairs(
         decoded, col("id"), col("payload"), maxHamming = 3)
+    }),
+
+    // REAL multi-batch streaming run, driver-checked (round-12): the
+    // StreamHarness forces one micro-batch per fixture file, so the
+    // watermark trajectory is a pure function of the fixture; the oracle
+    // REPLAYS the event-time rules (late row dropped once its window end
+    // fell behind the batch's watermark; append emission once the final
+    // watermark passes a window's end). Fixture margins are wide enough
+    // that <= / < boundary conventions and the trailing no-data batch
+    // cannot change the output (LateDataSpec pins the trajectory).
+    "e_late_data" -> ((s, dir) => {
+      graft.streaming.StreamHarness.runBatches(s, lateDataBatches,
+        df => graft.streaming.EventStream.windowedCounts(df, "1 hour"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Streaming dedup state lifecycle, driver-checked (round-12): a
+    // duplicate fingerprint arriving while the first's state is alive is
+    // dropped; once the watermark passes (first ts + delay) the state is
+    // evicted and the fingerprint re-admits. The oracle replays the
+    // per-batch state chain (alive iff ts + delay > batch watermark).
+    "e_watermark_dedup" -> ((s, dir) => {
+      graft.streaming.StreamHarness.runBatches(s, watermarkDedupBatches,
+        df => graft.streaming.EventStream.streamingDedup(df, col("event_type")))
+        .select(col("event_id"), col("fingerprint"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy(col("event_id"))
     }),
 
     // Streaming-shaped tumbling-window aggregation (batch equivalence; the
@@ -769,6 +838,56 @@ private[graft] object QueriesEventsQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Event-time rule replay: per batch k the watermark is max(ts through
+    // batch k-1) - 10 min; a row whose 1h-window END fell behind it is
+    // dropped; a window ships iff its end passed the FINAL watermark
+    // (max over all ts - 10 min). The double-sentinel fixture makes both
+    // <=/< boundary readings identical (LateDataSpec pins the run).
+    "e_late_data" ->
+      s"""WITH ev(batch, event_id, ts, event_type, value) AS (
+         |  SELECT * FROM (VALUES ${fxValues(lateDataBatches)})),
+         |wm AS (
+         |  SELECT e.batch, max(p.ts) - INTERVAL 10 MINUTE AS wm
+         |  FROM ev e LEFT JOIN ev p ON p.batch < e.batch
+         |  GROUP BY e.batch),
+         |kept AS (
+         |  SELECT e.* FROM ev e JOIN wm ON wm.batch = e.batch
+         |  WHERE wm.wm IS NULL OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.wm),
+         |fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS f FROM ev),
+         |agg AS (
+         |  SELECT date_trunc('hour', ts) AS ws, event_type,
+         |    count(*)::BIGINT AS n, sum(value) AS sum_value
+         |  FROM kept GROUP BY 1, 2)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n, sum_value
+         |FROM agg CROSS JOIN fwm WHERE ws + INTERVAL 1 HOUR <= f
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Dedup state-lifecycle replay: batch 1 all admits; a later row drops
+    // iff some ADMITTED earlier-batch row shares its fingerprint and that
+    // row's state is still alive (state ts + 10 min > the batch's
+    // watermark). Fixture margins make state-refresh-on-duplicate
+    // indistinguishable from create-only.
+    "e_watermark_dedup" ->
+      s"""WITH ev(batch, event_id, ts, event_type, value) AS (
+         |  SELECT * FROM (VALUES ${fxValues(watermarkDedupBatches)})),
+         |k1 AS (SELECT * FROM ev WHERE batch = 1),
+         |wm2 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM ev WHERE batch <= 1),
+         |k2 AS (
+         |  SELECT e.* FROM ev e CROSS JOIN wm2
+         |  WHERE e.batch = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM k1 s
+         |    WHERE s.event_type = e.event_type AND s.ts + INTERVAL 10 MINUTE > wm2.wm)),
+         |wm3 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM ev WHERE batch <= 2),
+         |k3 AS (
+         |  SELECT e.* FROM ev e CROSS JOIN wm3
+         |  WHERE e.batch = 3 AND NOT EXISTS (
+         |    SELECT 1 FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2) s
+         |    WHERE s.event_type = e.event_type AND s.ts + INTERVAL 10 MINUTE > wm3.wm))
+         |SELECT event_id, event_type AS fingerprint,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+         |FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+         |ORDER BY event_id""".stripMargin,
+
     "e_seasonal_baseline" ->
       """WITH b AS (
         |  SELECT event_type || ':' || CAST(hour(ts) AS VARCHAR) AS season, event_id,

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-batch file-arrival stream harness (round-12): runs a REAL
+  * Structured Streaming query over an ordered sequence of JSON-lines
+  * batch files and returns the append-mode sink contents — the engine
+  * side of the driver-checked watermark/late-data queries (`e_late_data`,
+  * `e_watermark_dedup`).
+  *
+  * Determinism contract: each fixture file is written only AFTER
+  * `processAllAvailable()` returns for the previous one, so every file is
+  * its own micro-batch in fixture order — admission-control options like
+  * maxFilesPerTrigger turned out NOT to split an AvailableNow backlog
+  * here (the round-12 probe saw all files in one batch), so the harness
+  * enforces batch separation itself. The watermark trajectory — and
+  * therefore which late rows are dropped, when windows finalize, and
+  * which duplicate state is still alive — is then a pure function of the
+  * fixture. Queries that need closed-window state FLUSHED append a
+  * far-future sentinel event as their last batch (deterministic — no
+  * reliance on the trailing no-data micro-batch's timing).
+  *
+  * Everything is torn down per call (fresh temp input/checkpoint dirs,
+  * uniquely-named memory sink dropped after collect), so repeated
+  * Verify/Bench invocations neither accumulate state nor observe each
+  * other. */
+object StreamHarness {
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run `transform(stream)` over `batchLines` (one file per inner Seq,
+    * processed in order) and return the sink rows as a LOCAL DataFrame
+    * (collected — results are driver-bounded fixture outputs). */
+  def runBatches(
+      spark: SparkSession,
+      batchLines: Seq[Seq[String]],
+      transform: DataFrame => DataFrame): DataFrame = {
+    require(batchLines.nonEmpty, "runBatches: no batch files")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      val src = spark.readStream
+        .schema(EventStream.eventSchema)
+        .json(inDir.toString)
+      val sinkName = s"graft_stream_sink_${nameCounter.incrementAndGet()}"
+      val q = transform(src).writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      batchLines.zipWithIndex.foreach { case (lines, i) =>
+        val f = inDir.resolve(f"batch$i%03d.json")
+        java.nio.file.Files.writeString(f, lines.mkString("\n"))
+        q.processAllAvailable() // this file fully processed before the next exists
+      }
+      q.stop()
+      q.awaitTermination()
+      val rows = spark.table(sinkName)
+      val out = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows.collect(): _*)),
+        rows.schema)
+      spark.catalog.dropTempView(sinkName)
+      out
+    } finally {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+        f.delete(); ()
+      }
+      wipe(root.toFile)
+    }
+  }
+}
