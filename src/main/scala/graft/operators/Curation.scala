@@ -684,14 +684,22 @@ object Curation {
     clean.unionByName(rebuilt)
   }
 
-  /** Apply-step of [[graft.operators.Dedup.substringDedup]] — the true
-    * Lee et al. ExactSubstr REMOVAL: every cross-document duplicated
-    * span is excised from all but its canonical (first-by-(id, start))
-    * occurrence, so exactly ONE copy of each duplicated substring
-    * survives the corpus. Contrast [[removeDuplicateSpans]], which
-    * removes EVERY covered occurrence (nothing survives) — right for
-    * scrubbing, wrong for dedup, where the content itself should stay
-    * represented once.
+  /** Apply-step of [[graft.operators.Dedup.substringDedup]] — the
+    * Lee et al. ExactSubstr REMOVAL shape: every cross-document
+    * duplicated MAXIMAL SPAN is excised from all but its canonical
+    * (first-by-(id, start)) occurrence. One-copy guarantee, precisely
+    * (ADVICE r11): clusters key on the exact maximal-span TEXT, so a
+    * duplicated substring survives once PER DISTINCT MAXIMAL EXTENSION —
+    * occurrences whose maximal spans extend differently (the mosaic
+    * case: the shared core embedded in different surroundings) land in
+    * distinct clusters and each keeps its own canonical copy. When
+    * occurrences share identical maximal spans (the dominant case for
+    * boilerplate/licence blocks), exactly one copy survives — the
+    * reference suffix-array removal, which excises raw byte ranges
+    * independent of extension, removes strictly more. Contrast
+    * [[removeDuplicateSpans]], which removes EVERY covered occurrence
+    * (nothing survives) — right for scrubbing, wrong for dedup, where
+    * the content itself should stay represented.
     *
     * Same rebuild shape as [[removeDuplicateSpans]]: covered positions
     * (non-canonical spans only) anti-join the token explode; untouched

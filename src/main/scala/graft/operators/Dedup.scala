@@ -841,6 +841,15 @@ object Dedup {
     * band or truncate upstream; candidate verification on web-document
     * lengths is the intended regime.
     *
+    * Join contract (ADVICE r11): the text fetches are INNER joins — a
+    * candidate pair whose id is absent from `docs` is dropped from the
+    * output, indistinguishable from "verified not similar". That is the
+    * intended semantics when `pairs` was derived from the same `docs`
+    * relation (every engine query does this); callers verifying a STALE
+    * candidate list against a shrunk corpus should anti-join
+    * `pairs` against `docs` first and handle the misses explicitly
+    * rather than letting them vanish here.
+    *
     * @return (id_a, id_b, edit_dist, max_len, sim_n9) for pairs with
     *         sim_n9 >= threshold, ordered. */
   def editVerifiedPairs(
