@@ -54,7 +54,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Per-SF pin overlay (round-12): VALUES pins in the base map are
+    // rendered from sf0.01 (the driver's gate SF); when this Verify run
+    // targets another SF whose tables are independently generated, the
+    // SF-matching pin objects replace those entries so the local sweeps
+    // check real pins instead of skipping. The driver's sf0.01 run takes
+    // the empty overlay — its oracle_sql.json is byte-identical to the
+    // base map.
+    val sfOverlay: Map[String, String] = {
+      val d = sfDir.stripSuffix("/")
+      if (d.endsWith("sf0.001")) PinnedOraclesSf0001.sql
+      else if (d.endsWith("sf0.1")) PinnedOraclesSf01.sql
+      else Map.empty
+    }
+    val json = (SparkEntry.oracleSql ++ sfOverlay)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // local-only logic lint: live re-derivations of the VALUES-pinned

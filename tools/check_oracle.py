@@ -18,21 +18,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Pinned VALUES oracles whose Spark query reads SF-dir tables: the pin was
-# rendered from the sf0.01 run (gen_values_oracle.py / gen_pins.py), and
-# the testdata tables are independently generated per SF (same vec_id holds
-# different vectors), so these can only match at sf0.01 — the driver's gate
-# SF. At any other SF they are reported as skipped, not failed (their LIVE
-# re-derivations in rederive_sql.json still run at every SF). Fixture-backed
-# pins (DemoAssay etc.) don't read SF tables and stay checked everywhere.
-SF001_PINNED = {"sim_ivf_topk", "sim_ivf_disk", "sim_group_centroids",
-                "sim_hnsw_recall",
-                # round-8 transcendental-decimal pins (VERDICT r7 item 1)
-                "dq_chi_square", "dq_label_balance", "tdp_psi_drift",
-                "txt_vocab_drift", "txt_retrieval_metrics",
-                "e_windowed_drift",
-                # round-8 ensemble calibration (ln + round-9 mix, pinned)
-                "txt_ensemble_calibration"}
+# Round-12: per-SF pin overlays closed the SF matrix — Verify writes the
+# SF-matching pins (PinnedOraclesSf0001 / PinnedOraclesSf01) into
+# oracle_sql.json when run at sf0.001 / sf0.1, so NOTHING skips anymore.
+# Re-render the overlays after a testdata regeneration or any pinned-query
+# change:  python3 tools/gen_pins.py <verifyOutAtThatSf> <names> --sf 0001
 
 
 def canon(rows, cols):
@@ -59,14 +49,8 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    at_pin_sf = sf_dir.rstrip("/").endswith("sf0.01")
-    ok = fail = skipped = 0
+    ok = fail = 0
     for name, sql in sorted(oracle.items()):
-        if name in SF001_PINNED and not at_pin_sf:
-            print(f"skip {name}: VALUES pin rendered at sf0.01; this SF's "
-                  f"tables hold different data")
-            skipped += 1
-            continue
         import os
         marker = f"{out_dir}/{name}/_FAILED"
         if os.path.exists(marker):
@@ -107,8 +91,7 @@ def main(sf_dir, out_dir):
                 print(f"    spark extra: {s_rows[n:n+2]}")
                 print(f"    duck  extra: {d_rows[n:n+2]}")
             fail += 1
-    tail = f", {skipped} skipped (sf0.01-pinned)" if skipped else ""
-    print(f"\n{ok} ok, {fail} fail{tail}")
+    print(f"\n{ok} ok, {fail} fail")
 
     # Local logic lint: replay the live re-derivations of the VALUES-pinned
     # oracles (rederive_sql.json). These run at EVERY SF — the pin proves

@@ -133,7 +133,23 @@ def main():
     # given Verify dir, so adding one pin is:
     #   python3 tools/gen_pins.py <dirWithAllPinOutputs> all,new_name
     # where "all" expands to the current pin set.
-    raw = sys.argv[2].split(",") if len(sys.argv) > 2 else ["all"]
+    #
+    # Per-SF overlay mode (round-12, closes the SF matrix): a trailing
+    #   --sf 0001   (or 01)
+    # writes object PinnedOraclesSf0001 / PinnedOraclesSf01 instead —
+    # Verify overlays these maps onto oracle_sql.json when its sfDir ends
+    # with sf0.001 / sf0.1, so every SF sweep checks pins rendered from
+    # ITS OWN tables (the driver's sf0.01 run is untouched). Render from a
+    # Verify output dir produced at THAT SF, naming exactly the
+    # SF-dependent pinned queries:
+    #   python3 tools/gen_pins.py /tmp/v_sf0001 <names> --sf 0001
+    argv = list(sys.argv[1:])
+    sf_tag = None
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_tag = argv[i + 1]
+        del argv[i:i + 2]
+    raw = argv[1].split(",") if len(argv) > 1 else ["all"]
     queries = []
     for q in raw:
         queries.extend(existing_pin_names() if q == "all" else [q])
@@ -156,17 +172,20 @@ def main():
         entries.append((q, prefix, chunks, suffix, n))
         print(f"pinned {q}: {n} rows, {len(chunks)} chunk(s)")
 
+    obj = "PinnedOracles" if sf_tag is None else f"PinnedOraclesSf{sf_tag}"
     lines = []
     lines.append("package graft")
     lines.append("")
     lines.append("/** Machine-rendered VALUES-pin oracles — regenerate with")
-    lines.append("  *   python3 tools/gen_pins.py <verifyOutDir> <names>")
-    lines.append("  * after ANY change to a pinned query's logic or to the sf0.01")
+    lines.append("  *   python3 tools/gen_pins.py <verifyOutDir> <names>" +
+                 ("" if sf_tag is None else f" --sf {sf_tag}"))
+    lines.append("  * after ANY change to a pinned query's logic or to the " +
+                 ("sf0.01" if sf_tag is None else f"sf{sf_tag[0]}.{sf_tag[1:]}"))
     lines.append("  * testdata (see tools/gen_pins.py header for the pin policy;")
     lines.append("  * the live re-derivations live in Queries.rederiveSql).")
     lines.append("  * DO NOT EDIT BY HAND.")
     lines.append("  */")
-    lines.append("object PinnedOracles {")
+    lines.append(f"object {obj} {{")
     for q, prefix, chunks, suffix, n in entries:
         safe = q.replace("-", "_")
         lines.append(f"  // {q}: {n} rows")
@@ -183,7 +202,7 @@ def main():
         lines.append(f'    "{q}" -> q_{safe},')
     lines.append("  )")
     lines.append("}")
-    path = f"{REPO}/src/main/scala/graft/PinnedOracles.scala"
+    path = f"{REPO}/src/main/scala/graft/{obj}.scala"
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {path} ({len(entries)} pins)")
