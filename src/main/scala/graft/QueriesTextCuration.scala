@@ -3228,6 +3228,68 @@ private[graft] object QueriesTextCuration {
 
   val rederiveSql: Map[String, String] = Map(
     "txt_ensemble_calibration" -> ensembleCalibrationSql,
+
+    // Live Viterbi re-derivation of the pinned unigram encode: the
+    // (piece, cost) table is interpolated from the SAME fixture-trained
+    // model the engine broadcasts (minhashCoeffs can't-desync rule), the
+    // recursive CTE enumerates EVERY segmentation of each distinct word
+    // (31 words, len <= 8, pieces <= 4 chars -> <= ~110 paths/word), and
+    // the winner is picked under the engine's exact total order: min
+    // quantized cost, then fewer tokens, then binary-smallest joined
+    // string (ASCII corpus, so DuckDB binary == Java UTF-16 order). The
+    // single-char <unk> passthrough costs max(vocab)+1e6, as in
+    // [[graft.operators.Unigram.viterbiEncodeWord]]. DP-with-local-ties
+    // (engine) equals global enumeration min because cost and n_tokens
+    // are additive and equal-coverage prefixes can never be string-
+    // prefixes of each other (equal char count + equal space count).
+    "txt_unigram_encode" -> {
+      val pieceRows = unigramFixtureModel.costs.toSeq.sorted
+        .map { case (p, c) => s"('${p.replace("'", "''")}', ${c}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH RECURSIVE pieces(piece, cost) AS (
+         |  SELECT * FROM (VALUES $pieceRows) AS t(p, c)),
+         |d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id < 200),
+         |words AS (SELECT DISTINCT unnest(t) AS word FROM d),
+         |cand AS (
+         |  SELECT w.word, g.i AS pos, p.piece, p.cost
+         |  FROM words w, LATERAL unnest(generate_series(1, len(w.word))) AS g(i)
+         |  JOIN pieces p ON substr(w.word, CAST(g.i AS INT), len(p.piece)) = p.piece
+         |  UNION ALL
+         |  SELECT w.word, g.i, substr(w.word, CAST(g.i AS INT), 1),
+         |    (SELECT max(cost) + 1000000 FROM pieces)
+         |  FROM words w, LATERAL unnest(generate_series(1, len(w.word))) AS g(i)
+         |  WHERE NOT EXISTS (SELECT 1 FROM pieces p
+         |                    WHERE p.piece = substr(w.word, CAST(g.i AS INT), 1))),
+         |seg(word, pos, toks, ntok, cost) AS (
+         |  SELECT word, 1::BIGINT, ''::VARCHAR, 0::BIGINT, 0::BIGINT FROM words
+         |  UNION ALL
+         |  SELECT s.word, s.pos + len(c.piece),
+         |    CASE WHEN s.toks = '' THEN c.piece
+         |         ELSE s.toks || ' ' || c.piece END,
+         |    s.ntok + 1, s.cost + c.cost
+         |  FROM seg s JOIN cand c ON c.word = s.word AND c.pos = s.pos
+         |  WHERE s.pos <= len(s.word)),
+         |best AS (
+         |  SELECT word, toks, ntok FROM (
+         |    SELECT word, toks, ntok,
+         |      row_number() OVER (PARTITION BY word
+         |        ORDER BY cost, ntok, toks) AS rn
+         |    FROM seg WHERE pos = len(word) + 1) WHERE rn = 1),
+         |docw AS (
+         |  SELECT doc_id, i, t[i] AS word
+         |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+         |agg AS (
+         |  SELECT doc_id, sum(b.ntok)::BIGINT AS n_tokens,
+         |    string_agg(b.toks, ' ' ORDER BY i) AS tokens_str
+         |  FROM docw JOIN best b USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(a.tokens_str, '') AS tokens_str
+         |FROM d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "txt_boilerplate_fx" -> boilerplateScrubSql(
       """(SELECT c0::BIGINT AS id, c1::VARCHAR AS text FROM (VALUES
         |  (1, 'COOKIE BANNER' || chr(10) || 'alpha beta' || chr(10) || 'footer'),

@@ -73,6 +73,37 @@ class HnswSpec extends AnyFunSuite {
     assert(rec > 0.5, s"mean recall@5 suspiciously low: $rec")
   }
 
+  // The spec-proof behind the sim_hnsw_recall VALUES pin (see
+  // OracleParitySpec.specProvedPins): the beam trajectory itself has no
+  // SQL reformulation, so the recall REPORT is re-derived here from raw
+  // collected sets in plain Scala — per query: n_approx / n_exact row
+  // counts, hits = |approx-id-set ∩ exact-id-set|, recall = hits/k as one
+  // IEEE division by n_exact — and compared field-for-field against
+  // Similarity.annRecallReport over the same frames.
+  test("recall report re-derived independently from raw top-k sets") {
+    val corpus = vecs(300)
+    val queries = corpus.filter(col("id") < 10)
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 4, iters = 3)
+    val idx = Hnsw.buildNswIndex(corpus, cents, m = 4, efConstruction = 16)
+    val approx = Hnsw.nswTopK(idx, cents, queries, k = 5, nProbe = 2, efSearch = 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+    val got = Similarity.annRecallReport(approx, exact, k = 5)
+      .orderBy(col("query_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val aSets = approx.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val eSets = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = eSets.keys.toSeq.sorted.map { q =>
+      val a = aSets.getOrElse(q, Set.empty[Long])
+      val hits = (a intersect eSets(q)).size.toLong
+      (q, a.size.toLong, eSets(q).size.toLong, hits,
+        hits.toDouble / eSets(q).size.toDouble)
+    }
+    assert(got.toSeq == want)
+    assert(got.length == 10)
+  }
+
   test("single-node shard and k > corpus behave") {
     val corpus = vecs(3)
     val queries = corpus.filter(col("id") === 0)

@@ -166,6 +166,19 @@ class OracleParitySpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
   }
 
+  // Machine pins whose derivation is inherently non-SQL-expressible and
+  // is therefore proved by a NAMED dedicated spec that re-derives the
+  // same numbers independently (the hand-inline-pin discipline, made
+  // explicit). A pin may live here ONLY with a spec whose source file
+  // exists and contains the quoted test name; everything else needs a
+  // rederiveSql DuckDB replay. Keep this list minimal.
+  private val specProvedPins: Map[String, (String, String)] = Map(
+    // the approximate beam trajectory (greedy graph traversal with a
+    // bounded frontier) has no SQL reformulation; the recall REPORT
+    // arithmetic is re-derived from raw sets in plain Scala by the spec
+    "sim_hnsw_recall" -> ("HnswSpec", "recall report re-derived independently")
+  )
+
   test("every pinned oracle has a live re-derivation and vice versa") {
     // the machine-rendered pin set is exactly PinnedOracles (gen_pins.py);
     // hand-inline pins (e_interval_join_fx's 3 reviewed rows, the DemoAssay
@@ -178,11 +191,24 @@ class OracleParitySpec extends AnyFunSuite {
     assert(unwired.isEmpty,
       s"PinnedOracles entries not wired into oracleSql verbatim: ${unwired.toSeq.sorted.mkString(", ")}")
     val rederived = SparkEntry.rederiveSql.keySet
-    assert((pinned -- rederived).isEmpty,
-      s"VALUES pins without a rederiveSql logic lint: ${(pinned -- rederived).toSeq.sorted.mkString(", ")}")
+    assert((pinned -- rederived -- specProvedPins.keySet).isEmpty,
+      s"VALUES pins without a rederiveSql logic lint: " +
+        s"${(pinned -- rederived -- specProvedPins.keySet).toSeq.sorted.mkString(", ")}")
     assert((rederived -- pinned).isEmpty,
       s"rederiveSql entries whose oracle is no longer a pin (promote or drop): " +
         s"${(rederived -- pinned).toSeq.sorted.mkString(", ")}")
+    // spec-proved exemptions must be real: pin exists, no double cover,
+    // and the named spec file contains the named test verbatim
+    specProvedPins.foreach { case (pin, (spec, testName)) =>
+      assert(pinned.contains(pin), s"specProvedPins entry $pin is not a machine pin")
+      assert(!rederived.contains(pin),
+        s"$pin has BOTH a rederiveSql entry and a spec exemption — drop one")
+      val f = new java.io.File(s"src/test/scala/graft/$spec.scala")
+      assert(f.isFile, s"spec-proof file missing for $pin: ${f.getPath}")
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(src.contains(testName),
+        s"spec $spec does not contain the promised test '" + testName + s"' for $pin")
+    }
   }
 
   test("no oracle re-converts a decimal sum to DOUBLE") {
