@@ -500,18 +500,34 @@ object Curation {
     * reproducible across runs, partitionings, and engines (the draw is
     * the 32-bit md5 prefix / 2^32, same scheme as [[stratifiedSample]]).
     *
+    * CORRELATION HAZARD (found by the round-12 composed-chain probe,
+    * [[graft.ChainBench]]): the draw is a PREFIX of md5(key) — the same
+    * ordering [[sourceQuota]] admits by and [[samplePerGroup]] /
+    * [[exactSample]] select by. Splitting a set that was already
+    * subsampled in md5-hash order is therefore catastrophically biased
+    * (a quota that admits the smallest 55% of hashes puts every admitted
+    * row in an 80% head split). When the upstream pipeline selected rows
+    * by the same portable hash of the same key, pass a non-empty `seed`
+    * to decorrelate the draw; the default keeps the historical
+    * (seedless) assignment bit-stable.
+    *
     * @param splits ordered (name, fraction) pairs; fractions must sum to 1
+    * @param seed optional salt mixed into the draw (md5("key:seed"))
     */
   def hashSplit(
       df: DataFrame,
       key: Column,
       splits: Seq[(String, Double)],
+      seed: String = "",
   ): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0.0),
       s"hashSplit: splits must be non-empty with positive fractions, got $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val u = TextFunctions.portableHash32(key.cast("string")).cast("double") / lit(4294967296.0)
+    val drawKey =
+      if (seed.isEmpty) key.cast("string")
+      else concat(key.cast("string"), lit(":" + seed))
+    val u = TextFunctions.portableHash32(drawKey).cast("double") / lit(4294967296.0)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     // last split is the otherwise-branch: no boundary miss from float sum
     val expr = splits.init.zip(cum.init)
@@ -628,13 +644,14 @@ object Curation {
       df: DataFrame,
       id: Column,
       pairs: DataFrame,
-      splits: Seq[(String, Double)]): DataFrame = {
+      splits: Seq[(String, Double)],
+      seed: String = ""): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)
     val withComp = df.select(id.as("id"))
       .join(comp, Seq("id"), "left")
       .withColumn("component", coalesce(col("component"), col("id")))
     val compSplit = hashSplit(
-      withComp.select(col("component")).distinct(), col("component"), splits)
+      withComp.select(col("component")).distinct(), col("component"), splits, seed)
     withComp.join(compSplit, Seq("component"))
       .select(col("id"), col("component"), col("split"))
   }
@@ -1145,6 +1162,53 @@ object Curation {
           inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("admitted", col("cum_tokens") <= lit(quotaTokens))
       .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"), col("admitted"))
+  }
+
+  /** Deterministic stratified k-fold assignment (cross-validation /
+    * sharded-eval splits): within each stratum, rows are ranked by their
+    * portable md5 priority and fold = rank mod k — so fold sizes within
+    * every stratum are EXACTLY balanced (differ by at most 1), unlike a
+    * draw-based [[hashSplit]] whose realized fractions fluctuate.
+    * Rank-mod-k is also immune to the hashSplit correlation hazard: a
+    * set subsampled in md5 order still ranks 0..m-1, so folds stay
+    * balanced even downstream of [[sourceQuota]] / [[exactSample]].
+    *
+    * Scale shape (the [[sourceQuota]] two-level prefix sum): a
+    * `row_number` over `partitionBy(stratum)` would put the biggest
+    * stratum in ONE task, so the rank decomposes — per-(stratum, first-
+    * md5-byte-bucket) counts prefix across <= 256 bucket rows per
+    * stratum, and the within-bucket row_number runs over partitions
+    * bounded at ~|stratum|/256. The flat-window oracle agrees only if
+    * the decomposition is exact.
+    *
+    * @return (id, stratum, fold) with fold in [0, k) */
+  def kFoldSplit(
+      df: DataFrame,
+      stratum: Column,
+      id: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kFoldSplit: k must be >= 2, got $k")
+    val tagged = df
+      .filter(stratum.isNotNull && id.isNotNull)
+      .select(id.as("id"), stratum.as("stratum"))
+      .withColumn("_pri", md5(col("id").cast("string")))
+      .withColumn("_bkt", conv(substring(col("_pri"), 1, 2), 16, 10).cast("int"))
+    val byBucket = Window.partitionBy(col("stratum")).orderBy(col("_bkt"))
+    val offsets = tagged
+      .groupBy(col("stratum"), col("_bkt"))
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_off",
+        coalesce(sum(col("_bn")).over(
+          byBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("_bkt"), col("_off"))
+    val inBucket = Window.partitionBy(col("stratum"), col("_bkt"))
+      .orderBy(col("_pri"), col("id"))
+    tagged
+      .join(offsets, Seq("stratum", "_bkt"))
+      .withColumn("fold",
+        pmod(col("_off") + row_number().over(inBucket).cast("long") - lit(1L),
+          lit(k.toLong)))
+      .select(col("id"), col("stratum"), col("fold"))
   }
 
   /** Deterministic uniform negative sampling — the contrastive-pair prep

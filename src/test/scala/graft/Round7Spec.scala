@@ -160,6 +160,36 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // Round-12 ChainBench discovery: sourceQuota admits in md5(id) priority
+  // order and the seedless hashSplit draw is a PREFIX of the same md5 —
+  // splitting a hash-order-subsampled set is catastrophically biased
+  // (every admitted row lands in the head split). The seed decorrelates.
+  test("hash split after hash-ordered subsampling: seedless is biased, seed fixes it") {
+    val ids = (0L until 4000L).toDF("id")
+    // the sourceQuota admission shape: keep the half with SMALLEST md5
+    val admitted = ids
+      .withColumn("_pri", md5(col("id").cast("string")))
+      .orderBy(col("_pri")).limit(2000).drop("_pri")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val seedless = graft.operators.Curation.hashSplit(admitted, col("id"), splits)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seedless == Map("train" -> 2000L), // the hazard, pinned
+      s"expected total head-split collapse, got $seedless")
+    val seeded = graft.operators.Curation.hashSplit(admitted, col("id"), splits, seed = "s1")
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seeded.values.sum == 2000)
+    assert(math.abs(seeded("train") - 1600.0) < 120, seeded)
+    assert(seeded.contains("val") && seeded.contains("test"), seeded)
+    // empty seed is bit-identical to the historical seedless assignment
+    val a = graft.operators.Curation.hashSplit(ids, col("id"), splits)
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    val b = graft.operators.Curation.hashSplit(ids, col("id"), splits, seed = "")
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    assert(a == b)
+  }
+
   test("keep-best dedup: highest quality survives, id breaks ties, null quality loses") {
     val scored = Seq(
       (1L, 5.0), (2L, 9.0), (3L, 9.0),       // component {1,2,3}
