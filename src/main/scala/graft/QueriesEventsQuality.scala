@@ -64,6 +64,20 @@ private[graft] object QueriesEventsQuality {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // Exact Mann-Whitney U rank-sum test (round-12): the nonparametric
+    // cohort-shift test over the centi-quantized event value, doubled-U
+    // BIGINT statistics from the tie-grouped value histogram, fixed-
+    // association z (one sqrt, no transcendental, no rounding needed).
+    "dq_mann_whitney" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("v100"))
+        .filter(col("user_id").isNotNull)
+      graft.operators.DataQuality.mannWhitneyU(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        col("v100"))
+    }),
+
     // Wasserstein-1 drift (round-9): same grid as dq_ks_drift but the
     // earth-mover statistic — exact-integer CDF-difference numerators,
     // two trailing IEEE ops, no transcendental and no smoothing.
@@ -915,6 +929,45 @@ private[graft] object QueriesEventsQuality {
     // double an int64→double conversion or fixed-association IEEE op in
     // the engine's exact order ((ss/n - mean*mean) guarded to 0, one
     // exactly-rounded sqrt, (r - mean)/std).
+    // Mann-Whitney re-derivation: the same tie-grouped histogram, full
+    // outer value merge, strictly-below prefix windows, doubled-U integer
+    // sums, and the verbatim z association (sqrt over one fixed tree).
+    "dq_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(value * 100)::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |va AS (SELECT v, count(*)::BIGINT AS n_a FROM ev WHERE user_id % 2 = 0 GROUP BY v),
+        |vb AS (SELECT v, count(*)::BIGINT AS n_b FROM ev WHERE user_id % 2 = 1 GROUP BY v),
+        |p AS (
+        |  SELECT coalesce(va.v, vb.v) AS v,
+        |    coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b
+        |  FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+        |w AS (
+        |  SELECT v, n_a, n_b,
+        |    coalesce(sum(n_a) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_a,
+        |    coalesce(sum(n_b) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_b
+        |  FROM p),
+        |agg AS (
+        |  SELECT sum(n_a)::BIGINT AS n1, sum(n_b)::BIGINT AS n2,
+        |    sum(n_a * (2 * cum_b + n_b))::BIGINT AS u1_x2,
+        |    sum(n_b * (2 * cum_a + n_a))::BIGINT AS u2_x2,
+        |    sum((n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b))::BIGINT AS tie_sum
+        |  FROM w)
+        |SELECT n1, n2, u1_x2, u2_x2, tie_sum,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND
+        |    sqrt((n1::DOUBLE * n2::DOUBLE / 12.0::DOUBLE) *
+        |      (((n1 + n2)::DOUBLE + 1.0::DOUBLE)
+        |        - tie_sum::DOUBLE / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0::DOUBLE))))
+        |    > 0.0::DOUBLE
+        |  THEN (u1_x2::DOUBLE - n1::DOUBLE * n2::DOUBLE) /
+        |    (2.0::DOUBLE * sqrt((n1::DOUBLE * n2::DOUBLE / 12.0::DOUBLE) *
+        |      (((n1 + n2)::DOUBLE + 1.0::DOUBLE)
+        |        - tie_sum::DOUBLE / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0::DOUBLE)))))
+        |  END AS z
+        |FROM agg""".stripMargin,
+
     "dq_ks_drift" ->
       """WITH bins AS (SELECT unnest(range(12)) AS bucket),
         |ba AS (

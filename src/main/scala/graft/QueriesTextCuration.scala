@@ -155,6 +155,26 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // BLEU-2 generation-eval metric (round-12): clipped unigram/bigram
+    // precisions + brevity penalty between each doc and its same-source
+    // successor (the txt_rouge_pairs pairing). p1/p2 exact rationals;
+    // bleu2 = round(geo-mean x brevity-exp, 6) on both engines (the pmi
+    // 6-dp transcendental contract).
+    "txt_bleu_pairs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("reference", lead(col("text"), 1).over(w))
+        .filter(col("reference").isNotNull)
+        .select(col("doc_id").as("pair_id"), col("text").as("candidate"),
+          col("reference"))
+      graft.operators.Search.bleuPairs(
+        pairs, col("pair_id"), col("candidate"), col("reference"))
+        .withColumnRenamed("pair_id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source Count-Min frequency sketch (native cms_sketch aggregate,
     // depth 4 x width 16 — narrower than the 31-term vocab, so collisions
     // and real overestimates occur) probed with every distinct term next
@@ -309,6 +329,18 @@ private[graft] object QueriesTextCuration {
         t(s, dir, "documents"), col("source"), col("doc_id"),
         size(TextFunctions.tokens(col("text"))), quotaTokens = 800L)
         .orderBy(col("source"), col("cum_tokens"), col("id"))
+    }),
+
+    // Stratified k-fold assignment (round-12): per-source md5-rank mod k
+    // via the sourceQuota two-level prefix sum — exactly balanced folds
+    // per stratum, immune to the hash-order subsampling bias. The flat
+    // per-source window oracle agrees only if the bucketed rank
+    // decomposition is exact.
+    "tdp_kfold" -> ((s, dir) => {
+      graft.operators.Curation.kFoldSplit(
+        t(s, dir, "documents"), col("source"), col("doc_id"), k = 5)
+        .withColumnRenamed("stratum", "source")
+        .orderBy(col("id"))
     }),
 
     // Curriculum staging: 4 difficulty tiers by exact interpolated
@@ -1597,6 +1629,63 @@ private[graft] object QueriesTextCuration {
         |       THEN 0.0::DOUBLE END AS f1
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+    // BLEU-2 re-derivation: the rouge pairing and tokenizer, (n, side)-
+    // tagged gram streams, clipped-min overlaps per size, exact-rational
+    // precisions, and the 6-dp-rounded geo-mean x brevity-exp.
+    "txt_bleu_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT pair_id, ct, rt FROM (
+        |    SELECT doc_id AS pair_id, t AS ct,
+        |      lead(t) OVER (PARTITION BY source ORDER BY doc_id) AS rt
+        |    FROM d)
+        |  WHERE rt IS NOT NULL),
+        |lens AS (SELECT pair_id, len(ct)::BIGINT AS c_len, len(rt)::BIGINT AS r_len FROM p),
+        |sides AS (
+        |  SELECT pair_id, 1 AS n, 0 AS side, ct[i] AS gram
+        |  FROM p, LATERAL unnest(generate_series(1, len(ct))) AS g(i)
+        |  UNION ALL
+        |  SELECT pair_id, 2, 0, array_to_string(ct[i:i+1], ' ')
+        |  FROM p, LATERAL unnest(generate_series(1, len(ct) - 1)) AS g(i)
+        |  WHERE len(ct) >= 2
+        |  UNION ALL
+        |  SELECT pair_id, 1, 1, rt[i]
+        |  FROM p, LATERAL unnest(generate_series(1, len(rt))) AS g(i)
+        |  UNION ALL
+        |  SELECT pair_id, 2, 1, array_to_string(rt[i:i+1], ' ')
+        |  FROM p, LATERAL unnest(generate_series(1, len(rt) - 1)) AS g(i)
+        |  WHERE len(rt) >= 2),
+        |pg AS (
+        |  SELECT pair_id, n, gram,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS rc
+        |  FROM sides GROUP BY pair_id, n, gram),
+        |ro AS (
+        |  SELECT pair_id,
+        |    sum(CASE WHEN n = 1 THEN least(cc, rc) ELSE 0 END)::BIGINT AS n1_clip,
+        |    sum(CASE WHEN n = 2 THEN cc ELSE 0 END)::BIGINT AS n2_cand,
+        |    sum(CASE WHEN n = 2 THEN least(cc, rc) ELSE 0 END)::BIGINT AS n2_clip
+        |  FROM pg GROUP BY pair_id),
+        |fin AS (
+        |  SELECT l.pair_id AS doc_id, l.c_len, l.r_len,
+        |    coalesce(ro.n1_clip, 0) AS n1_clip,
+        |    coalesce(ro.n2_cand, 0) AS n2_cand,
+        |    coalesce(ro.n2_clip, 0) AS n2_clip,
+        |    CASE WHEN l.c_len > 0
+        |      THEN coalesce(ro.n1_clip, 0)::DOUBLE / l.c_len::DOUBLE END AS p1,
+        |    CASE WHEN coalesce(ro.n2_cand, 0) > 0
+        |      THEN coalesce(ro.n2_clip, 0)::DOUBLE / ro.n2_cand::DOUBLE END AS p2
+        |  FROM lens l LEFT JOIN ro ON ro.pair_id = l.pair_id)
+        |SELECT doc_id, c_len, r_len, n1_clip, n2_cand, n2_clip, p1, p2,
+        |  CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL
+        |       THEN round(sqrt(p1 * p2)
+        |         * exp(least(0.0::DOUBLE, 1.0::DOUBLE - r_len::DOUBLE / c_len::DOUBLE)), 6)
+        |  END AS bleu2
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
     // Overlap-matrix re-derivation: the tdp_graph_rank shingle CTE keyed
     // by source, distinct sets, shingle-keyed pair join, one division.
     "tdp_cms_freq" ->
@@ -1815,6 +1904,17 @@ private[graft] object QueriesTextCuration {
         |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
         |  FROM documents)
         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+    // k-fold re-derivation: ONE flat per-source row_number in (md5
+    // priority, id) order, mod k — independent of the engine's two-level
+    // bucketed rank decomposition.
+    "tdp_kfold" ->
+      """SELECT doc_id AS id, source,
+        |  ((row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) - 1) % 5)::BIGINT AS fold
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |ORDER BY id""".stripMargin,
 
     // Source-quota re-derivation: ONE flat per-source cumulative window
     // in (md5 priority, id) order — independent of the engine's

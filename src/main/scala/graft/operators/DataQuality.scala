@@ -1419,4 +1419,65 @@ object DataQuality {
             s"_guard * (${S}L - (((n - 1L) * _u_fp) div (n * n - _sq_marg)))"))
           .as("alpha_fp"))
   }
+
+  /** Exact Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    * standard tie-corrected normal approximation — the nonparametric
+    * "did this metric's distribution shift between cohorts" answer when
+    * means mislead (heavy tails, ordinal scores).
+    *
+    * Exactness without a pooled per-row rank: U decomposes over the
+    * tie-grouped value histogram — for each distinct value v with group
+    * counts (n_a, n_b) and the count of B-rows strictly below it,
+    * `U1 += n_a·cumB_below + n_a·n_b/2`. Both U statistics are carried
+    * DOUBLED (`u1_x2`, `u2_x2`) so the half-credit tie term stays a
+    * BIGINT; `u1_x2 + u2_x2 == 2·n1·n2` by construction (spec-checked).
+    * The z statistic is fixed-association IEEE arithmetic (+,-,*,/ and
+    * one exactly-rounded sqrt) over int64→double conversions — bit-
+    * identical cross-engine, no rounding discipline needed. No normal
+    * CDF is taken (erf is not portable); consumers compare |z| to their
+    * own critical value.
+    *
+    * Scale shape: one map-side-combined count per (value, side), a full
+    * outer merge, then prefix sums over DISTINCT VALUES ordered by value
+    * — a single ordered window whose state is the distinct-value
+    * histogram, not the input (the [[ksDrift]] summary-window rule).
+    * Right for the quantized/ordinal metrics the test is used on; a
+    * continuous full-range column should be quantized by the caller
+    * (e.g. `floor(x·100)`), exactly as any rank test bins ties.
+    *
+    * @return one row: (n1, n2, u1_x2, u2_x2, tie_sum, z) where tie_sum =
+    *         Σ(t³−t) over tie groups and z is NULL when either side is
+    *         empty or the pooled variance degenerates (all values tied) */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, c: Column): DataFrame = {
+    def hist(df: DataFrame, out: String): DataFrame = df
+      .select(c.as("v")).filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as(out))
+    val pooled = hist(a, "n_a")
+      .join(hist(b, "n_b"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val below = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val agg = pooled
+      .withColumn("cum_a", coalesce(sum(col("n_a")).over(below), lit(0L)))
+      .withColumn("cum_b", coalesce(sum(col("n_b")).over(below), lit(0L)))
+      .agg(
+        sum(col("n_a")).as("n1"),
+        sum(col("n_b")).as("n2"),
+        sum(col("n_a") * (lit(2L) * col("cum_b") + col("n_b"))).as("u1_x2"),
+        sum(col("n_b") * (lit(2L) * col("cum_a") + col("n_a"))).as("u2_x2"),
+        sum((col("n_a") + col("n_b")) * (col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))
+          - (col("n_a") + col("n_b"))).as("tie_sum"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    // association mirrored verbatim by the oracle SQL: any re-parenthesis
+    // is a red driver row
+    val sigma = sqrt((n1d * n2d / lit(12.0)) *
+      ((nd + lit(1.0)) - col("tie_sum").cast("double") / (nd * (nd - lit(1.0)))))
+    agg.select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"), col("tie_sum"),
+      when(col("n1") > 0L && col("n2") > 0L && sigma > lit(0.0),
+        (col("u1_x2").cast("double") - n1d * n2d) / (lit(2.0) * sigma)).as("z"))
+  }
 }

@@ -477,4 +477,88 @@ object Search {
         expr("(dcg_n9 * 1000000L) div idcg_n9").as("ndcg_fp"))
       .orderBy(col("query_id"))
   }
+
+  /** BLEU-2 generation-eval metric (Papineni et al. 2002): per pair, the
+    * clipped (modified) unigram/bigram precisions, their geometric mean,
+    * and the brevity penalty `exp(min(0, 1 - r/c))` — the standard
+    * corpus-free sentence-level score, unsmoothed (a zero clip count
+    * zeroes the geometric mean, exactly the textbook definition).
+    *
+    * Determinism contract: p1/p2 are exact single-division rationals over
+    * BIGINT counts; `bleu2` rides a transcendental (the brevity exp) and
+    * therefore ships `round(.., 6)`-ed on both engines — the proven pmi/
+    * bm25 6-dp discipline. Pairs whose candidate has no tokens (p1
+    * undefined) or no bigrams (p2 undefined) keep NULL metrics rather
+    * than a fake zero, the [[rougeN]] policy.
+    *
+    * Scale shape ([[rougeN]]'s): candidate and reference share a row, so
+    * all four gram streams (two sizes x two sides) explode from ONE scan
+    * with (n, side) tags; one (pair, n, gram) aggregation with map-side
+    * partials computes the clipped overlaps; one per-pair conditional
+    * rollup pivots the two sizes into columns. No join at any point
+    * except the final broadcast-sized spine restore.
+    *
+    * @param pairs (pair_id, candidate, reference)
+    * @return (pair_id, c_len, r_len, n1_clip, n2_cand, n2_clip, p1, p2,
+    *         bleu2) ordered by pair_id */
+  def bleuPairs(
+      pairs: DataFrame,
+      pairId: Column,
+      candidate: Column,
+      reference: Column,
+  ): DataFrame = {
+    // bigrams over an ALREADY-BOUND token-array attribute (the rougeN
+    // higher-order-function re-evaluation lesson)
+    def bigrams(t: Column): Column =
+      when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - lit(2)), i =>
+          concat_ws(" ", slice(t, i + lit(1), lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    val projected = pairs
+      .select(pairId.as("pair_id"),
+        terms(candidate).as("_ct"), terms(reference).as("_rt"))
+      .select(col("pair_id"),
+        size(col("_ct")).cast("long").as("c_len"),
+        size(col("_rt")).cast("long").as("r_len"),
+        col("_ct").as("cg1"), bigrams(col("_ct")).as("cg2"),
+        col("_rt").as("rg1"), bigrams(col("_rt")).as("rg2"))
+      .localCheckpoint(false)
+    def tag(c: Column, n: Int, side: Int): Column =
+      transform(c, g => struct(lit(n).as("n"), lit(side).as("side"), g.as("g")))
+    val sides = projected
+      .select(col("pair_id"), explode(concat(
+        tag(col("cg1"), 1, 0), tag(col("cg2"), 2, 0),
+        tag(col("rg1"), 1, 1), tag(col("rg2"), 2, 1))).as("e"))
+      .select(col("pair_id"), col("e.n").as("n"),
+        col("e.side").as("side"), col("e.g").as("gram"))
+    val perGram = sides
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
+    val rolled = perGram
+      .groupBy(col("pair_id"))
+      .agg(
+        sum(when(col("n") === 1, least(col("cc"), col("rc"))).otherwise(0L)).as("n1_clip"),
+        sum(when(col("n") === 2, col("cc")).otherwise(0L)).as("n2_cand"),
+        sum(when(col("n") === 2, least(col("cc"), col("rc"))).otherwise(0L)).as("n2_clip"))
+    val p1 = when(col("c_len") > 0L,
+      col("n1_clip").cast("double") / col("c_len").cast("double"))
+    val p2 = when(col("n2_cand") > 0L,
+      col("n2_clip").cast("double") / col("n2_cand").cast("double"))
+    projected.select(col("pair_id"), col("c_len"), col("r_len"))
+      .join(rolled, Seq("pair_id"), "left")
+      .select(col("pair_id"), col("c_len"), col("r_len"),
+        coalesce(col("n1_clip"), lit(0L)).as("n1_clip"),
+        coalesce(col("n2_cand"), lit(0L)).as("n2_cand"),
+        coalesce(col("n2_clip"), lit(0L)).as("n2_clip"))
+      .withColumn("p1", p1)
+      .withColumn("p2", p2)
+      .withColumn("bleu2",
+        when(col("p1").isNotNull && col("p2").isNotNull,
+          round(sqrt(col("p1") * col("p2")) *
+            exp(least(lit(0.0),
+              lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double"))), 6)))
+      .orderBy(col("pair_id"))
+  }
 }

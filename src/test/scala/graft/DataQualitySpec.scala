@@ -476,4 +476,28 @@ class DataQualitySpec extends AnyFunSuite {
     val e = byCol("extra")
     assert(e.isNullAt(e.fieldIndex("dtype_a")) && e.getAs[String]("dtype_b") == "boolean")
   }
+
+  test("mannWhitneyU: hand-ranked U with ties, doubled-U invariant, z sign and degeneracy") {
+    // A = [1,2,3], B = [2,3,4]: R_A = 1 + 2.5 + 4.5 = 8 -> U1 = 2 (x2 = 4)
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 4L).toDF("v")
+    val r = DataQuality.mannWhitneyU(a, b, col("v")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 14L)
+    assert(r.getLong(2) + r.getLong(3) == 2L * r.getLong(0) * r.getLong(1))
+    assert(r.getLong(4) == 12L) // two tie groups of 2: 2*(8-2)
+    assert(r.getDouble(5) < 0.0) // A stochastically below B
+    // clearly shifted distributions: |z| large, direction correct
+    val lo = (0L until 200L).toDF("v")
+    val hi = (150L until 350L).toDF("v")
+    val z = DataQuality.mannWhitneyU(lo, hi, col("v")).collect()(0).getDouble(5)
+    assert(z < -10.0, s"expected strongly negative z, got $z")
+    // identical singletons everywhere: variance degenerates -> NULL z
+    val allTied = Seq(7L, 7L, 7L).toDF("v")
+    val t = DataQuality.mannWhitneyU(allTied, allTied, col("v")).collect()(0)
+    assert(t.isNullAt(5))
+    // empty side: NULL z, zero counts survive
+    val e = DataQuality.mannWhitneyU(a.filter(col("v") > 100), b, col("v")).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(5))
+  }
 }

@@ -612,6 +612,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("bleuPairs: clipped precisions, brevity penalty, NULL on undefined") {
+    import graft.operators.Search
+    val pairs = Seq(
+      // identical: p1 = p2 = 1, c = r -> bp = 1 -> bleu2 = 1
+      (1L, "the cat sat down", "the cat sat down"),
+      // cand "a a a" vs ref "a a": unigram clip = 2 -> p1 = 2/3;
+      // bigrams cand [a a, a a] ref [a a]: clip = 1 -> p2 = 1/2;
+      // c = 3 > r = 2 -> bp = 1 -> bleu2 = round(sqrt(1/3), 6)
+      (2L, "a a a", "a a"),
+      // short candidate: c = 2 < r = 4 -> bp = exp(1 - 2) = e^-1;
+      // p1 = 1, p2 = 1 -> bleu2 = round(e^-1, 6)
+      (3L, "the cat", "the cat sat down"),
+      // candidate has no bigrams -> p2 NULL -> bleu2 NULL
+      (4L, "x", "x y"),
+    ).toDF("pair_id", "cand", "ref")
+    val got = Search.bleuPairs(pairs, col("pair_id"), col("cand"), col("ref"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(8) == 1.0)
+    val r2 = got(2L)
+    assert(r2.getLong(3) == 2L && r2.getLong(4) == 2L && r2.getLong(5) == 1L)
+    assert(r2.getDouble(6) == 2.0 / 3.0 && r2.getDouble(7) == 0.5)
+    assert(r2.getDouble(8) ==
+      BigDecimal(math.sqrt(2.0 / 3.0 * 0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val r3 = got(3L)
+    assert(r3.getDouble(6) == 1.0 && r3.getDouble(7) == 1.0)
+    assert(math.abs(r3.getDouble(8) - 0.367879) < 1e-9, r3.getDouble(8).toString)
+    val r4 = got(4L)
+    assert(r4.getLong(4) == 0L && r4.isNullAt(7) && r4.isNullAt(8))
+  }
+
   test("winRateReport: canonical pairs, exact counts, Wilson bounds bracket the rate") {
     import graft.operators.Preference
     val comps = (Seq.fill(8)(("a", "b")) ++ Seq.fill(2)(("b", "a")) :+ ("b", "c"))

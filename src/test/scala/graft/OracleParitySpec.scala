@@ -114,6 +114,9 @@ class OracleParitySpec extends AnyFunSuite {
       "weights are integer-quantized gradient accumulations rendered at fixed scale",
     "txt_pmi_bigrams" ->
       "pmi is round(ln-ratio, 6)-ed on both engines (driver-green since r5)",
+    "txt_bleu_pairs" ->
+      ("p1/p2 are exact single-division rationals over BIGINT counts; bleu2 is " +
+        "round(geo-mean x brevity-exp, 6)-ed on both engines (the pmi contract)"),
     "txt_quality_ensemble" ->
       ("lm_score is the 6-dp decimal contract; heuristic/model signals and the " +
         "calibrated CDF ratios are exact rationals; the ensemble is a " +

@@ -145,6 +145,33 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("kFoldSplit: exact per-stratum balance, flat-window parity, subsample immunity") {
+    val docs = (0L until 503L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    val got = graft.operators.Curation.kFoldSplit(docs, col("src"), col("id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 503)
+    // exact balance: within every stratum fold sizes differ by <= 1
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val sizes = rows.groupBy(_._3).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1, s"unbalanced folds: ${rows.head._2} -> $sizes")
+    }
+    // two-level bucketed rank equals the flat per-stratum window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(md5(col("id").cast("string")), col("id"))
+    val flat = docs
+      .withColumn("fold", pmod(row_number().over(w).cast("long") - 1L, lit(5L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == flat.sortBy(_._1).toSeq)
+    // rank-mod-k is immune to md5-ordered subsampling (the hashSplit
+    // correlation hazard): folds stay balanced on the admitted prefix
+    val admitted = docs
+      .withColumn("_pri", md5(col("id").cast("string")))
+      .orderBy(col("_pri")).limit(250).drop("_pri")
+    val sub = graft.operators.Curation.kFoldSplit(admitted, col("src"), col("id"), k = 5)
+      .collect().map(r => r.getLong(2)).groupBy(identity).view.mapValues(_.size)
+    assert(sub.size == 5 && sub.values.max - sub.values.min <= 3, sub.toMap.toString)
+  }
+
   test("sourceQuota two-level prefix sum equals the flat per-source window") {
     val rnd = new scala.util.Random(271828)
     val docs = (0 until 400)
