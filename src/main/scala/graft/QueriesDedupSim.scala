@@ -529,6 +529,23 @@ private[graft] object QueriesDedupSim {
       Similarity.annRecallReport(approx, Similarity.bruteForceTopK(e, q, 5), k = 5)
     }),
 
+    // ColBERT late-interaction MaxSim retrieval (round-12): embeddings
+    // grouped into 10-token passages and two 4-token queries; per query
+    // token the best passage token, per passage the tok-ordered fixed
+    // fold of those maxes, top-5 passages per query. Exact baseline —
+    // the candidate-generation swap (IVF/NSW per token) is the
+    // documented scale path.
+    "sim_late_interaction" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val dt = e.select(expr("vec_id div 10").as("doc_id"),
+        (col("vec_id") % 10).as("tok_id"), col("embedding").as("vec"))
+      val qt = e.filter(col("vec_id") < 8)
+        .select(expr("vec_id div 4").as("query_id"),
+          (col("vec_id") % 4).as("tok_id"), col("embedding").as("vec"))
+      Similarity.lateInteractionTopK(dt, qt, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The disk-backed index path: build+save once per session (the
     // _SUCCESS marker gates the rebuild), then query the LOADED index —
     // the broadcast probe side dynamically prunes the cell-partitioned
@@ -1536,6 +1553,39 @@ private[graft] object QueriesDedupSim {
          |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
          |  FROM sc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Late-interaction re-derivation: same passage/query token grouping,
+    // the proven dot/norm folds per token pair, max per (query token,
+    // passage), then the EXACT fold association — list_reduce over the
+    // tok-ordered prepended-0.0 max list — and the (score desc, doc_id)
+    // ranking cut.
+    "sim_late_interaction" ->
+      s"""WITH qt AS (
+         |  SELECT vec_id // 4 AS query_id, vec_id % 4 AS qt, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+         |dt AS (
+         |  SELECT vec_id // 10 AS doc_id, embedding AS cv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (
+         |  SELECT query_id, qt, doc_id, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM qt CROSS JOIN dt),
+         |mx AS (
+         |  SELECT query_id, qt, doc_id,
+         |    max(CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END) AS m
+         |  FROM sc GROUP BY query_id, qt, doc_id),
+         |agg AS (
+         |  SELECT query_id, doc_id, count(*)::BIGINT AS n_qtoks,
+         |    list_reduce(list_prepend(0.0::DOUBLE, array_agg(m ORDER BY qt)),
+         |      (a, b) -> a + b) AS score
+         |  FROM mx GROUP BY query_id, doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, n_qtoks, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM agg)
+         |SELECT query_id, doc_id, n_qtoks, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     // Approximate-config recall row: the beam trajectory is not SQL-

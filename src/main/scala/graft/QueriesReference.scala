@@ -478,6 +478,27 @@ private[graft] object QueriesReference {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // J11 — explicit Bloom semi-join reduction (round-12): lineitem rows
+    // drop through a native might_contain(xxhash64) predicate built from
+    // the urgent-orders key set BEFORE the join shuffle; the equi-join
+    // then removes the fpp-bounded false positives, so the result is
+    // row-identical to the plain join (the oracle states exactly that —
+    // no bloom anywhere). Quantities are integral; the sum ships BIGINT.
+    "j11_bloom_semi" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      graft.operators.BloomJoin
+        .semiReducedJoin(li, urgent, Seq("l_orderkey"),
+          expectedItems = 100000L, fpp = 0.03)
+        .groupBy(col("l_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // J10 — range join: clicks falling inside the 2-hour window after a
     // purchase by the same user. Binned to an equi-join on (user, hour
     // bucket of unix micros) + exact re-check — the inequality join never
@@ -1329,6 +1350,19 @@ private[graft] object QueriesReference {
         |SELECT l.user_id, l.event_id, l.ts, l.value, r.pts, r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    // Bloom semi-join re-derivation: the PLAIN join — false positives
+    // die at the equi-join, false negatives are impossible, so the
+    // filter must be output-invisible.
+    "j11_bloom_semi" ->
+      """SELECT l.l_orderkey, o.o_custkey,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_orderkey, o.o_custkey
+        |ORDER BY l.l_orderkey""".stripMargin,
 
     "j10_range_join" ->
       """SELECT c.user_id, c.event_id, c.ts AS click_ts, p.ts AS purchase_ts

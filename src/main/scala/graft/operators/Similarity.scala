@@ -1110,4 +1110,67 @@ object Similarity {
       .withColumn("sem_group_size", coalesce(col("_gs"), lit(1L)))
       .drop("_gs")
   }
+
+  /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &
+    * Zaharia 2020): queries and passages are BAGS of token vectors and
+    * `score(q, p) = Σ_{qt ∈ q} max_{pt ∈ p} cosine(qt, pt)` — per query
+    * token, the best-matching passage token, summed. The multi-vector
+    * complement of the single-vector [[bruteForceTopK]].
+    *
+    * Determinism: the per-(query-token, passage) max is order-free; the
+    * per-passage SUM of those maxes is NOT, so it rides the fixed-order
+    * fold — token maxes collect into a (tok_id)-sorted array and reduce
+    * left-to-right from 0.0 (`aggregate`), exactly the association the
+    * oracle's `list_reduce(list_prepend(0.0, array_agg(.. ORDER BY ..)))`
+    * replays. NULL cosines (null vectors) drop before the max, so a
+    * query token with no valid passage token simply contributes nothing
+    * (n_qtoks records how many did).
+    *
+    * Scale shape: this is the EXACT baseline — query tokens broadcast
+    * against the corpus token table (one broadcast-nested-loop, no
+    * shuffle on the corpus), one (query, token, passage) max agg with
+    * map-side partials, one per-passage fold, one per-query top-k
+    * window. At corpus scale the cross term is replaced by per-token ANN
+    * candidate generation ([[ivfQuery]] / [[graft.operators.Hnsw]]) over
+    * the token table followed by the SAME two aggregations — the
+    * documented ColBERT retrieval shape; only the candidate generator
+    * changes.
+    *
+    * @param docTokens   (doc_id, tok_id, vec) passage token vectors
+    * @param queryTokens (query_id, tok_id, vec) query token vectors
+    *                    (broadcast — keep the query set bounded)
+    * @return (query_id, doc_id, n_qtoks, score, rank) top-k passages per
+    *         query, rank by (score desc, doc_id) */
+  def lateInteractionTopK(
+      docTokens: DataFrame,
+      queryTokens: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"lateInteractionTopK: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(docTokens.sparkSession)
+    val q = broadcast(queryTokens.select(
+      col("query_id"), col("tok_id").as("_qt"),
+      col("vec").as("qvec"), norm(col("vec")).as("qn")))
+    val d = docTokens.select(
+      col("doc_id"), col("vec").as("dvec"), norm(col("vec")).as("dn"))
+    val perTok = q.crossJoin(d)
+      .withColumn("_cos",
+        cosineFromParts(dot(col("qvec"), col("dvec")), col("qn"), col("dn")))
+      .filter(col("_cos").isNotNull)
+      .groupBy(col("query_id"), col("_qt"), col("doc_id"))
+      .agg(max(col("_cos")).as("_m"))
+    val perDoc = perTok
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_qtoks"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("_qt"), col("_m")))),
+            x => x.getField("_m")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perDoc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_qtoks"), col("score"), col("rank"))
+  }
 }

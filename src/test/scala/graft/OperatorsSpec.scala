@@ -612,6 +612,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("lateInteractionTopK: MaxSim equals hand math; sum is tok-ordered and invariant") {
+    import graft.operators.Similarity
+    // orthogonal unit axes make cosines exactly 0/1: passage 10 holds
+    // both query tokens' axes (score 2), passage 20 one (score 1),
+    // passage 30 neither (score 0)
+    def axis(i: Int): Seq[Double] = (0 until 4).map(j => if (j == i) 1.0 else 0.0)
+    val dt = Seq(
+      (10L, 0L, axis(0)), (10L, 1L, axis(1)),
+      (20L, 0L, axis(0)), (20L, 1L, axis(2)),
+      (30L, 0L, axis(2)), (30L, 1L, axis(3))).toDF("doc_id", "tok_id", "vec")
+    val qt = Seq((1L, 0L, axis(0)), (1L, 1L, axis(1))).toDF("query_id", "tok_id", "vec")
+    val got = Similarity.lateInteractionTopK(dt, qt, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq((10L, 2L, 2.0, 1L), (20L, 2L, 1.0, 2L), (30L, 2L, 0.0, 3L)))
+    // partitioning invariance of the fixed-order score fold
+    val a = Similarity.lateInteractionTopK(dt.repartition(7), qt, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    val b = Similarity.lateInteractionTopK(dt.coalesce(1), qt, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(a == b)
+  }
+
   test("bleuPairs: clipped precisions, brevity penalty, NULL on undefined") {
     import graft.operators.Search
     val pairs = Seq(
