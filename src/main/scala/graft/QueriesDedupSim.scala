@@ -529,6 +529,18 @@ private[graft] object QueriesDedupSim {
       Similarity.annRecallReport(approx, Similarity.bruteForceTopK(e, q, 5), k = 5)
     }),
 
+    // MMR diverse top-k (round-12): exact top-10 relevance pool, then
+    // three greedy steps trading relevance against max-similarity to the
+    // already-selected set (lambda 0.5) — a bounded driver loop of
+    // DataFrame steps, no UDF/collect. The oracle unrolls the same three
+    // steps; a one-step divergence in pool, penalty fold, or tie-break
+    // breaks the hash.
+    "sim_mmr_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.mmrTopK(e, e.filter(col("id") < 2), k = 3, lambda = 0.5, poolSize = 10)
+    }),
+
     // ColBERT late-interaction MaxSim retrieval (round-12): embeddings
     // grouped into 10-token passages and two 4-token queries; per query
     // token the best passage token, per passage the tok-ordered fixed
@@ -1554,6 +1566,75 @@ private[graft] object QueriesDedupSim {
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
          |  FROM sc) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // MMR re-derivation: the exact pool ranking, then the three greedy
+    // steps UNROLLED — each picks argmax of 0.5*rel - 0.5*max-sim-to-
+    // selected under the engine's (score desc, id) tie order.
+    "sim_mmr_topk" -> {
+      def dotAB(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1,65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
+      def penSql(rem: String, sel: String) =
+        s"""SELECT r.qid, r.nid, r.rel, r.cv,
+           |    max(CASE WHEN ${normSql("r.cv")} * ${normSql("s.cv")} > 0
+           |      THEN ${dotAB("r.cv", "s.cv")} / (${normSql("r.cv")} * ${normSql("s.cv")})
+           |      ELSE 0.0 END) AS pen
+           |  FROM $rem r JOIN $sel s ON s.qid = r.qid
+           |  GROUP BY r.qid, r.nid, r.rel, r.cv""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 2 AND embedding IS NOT NULL),
+         |c AS (SELECT vec_id AS nid, embedding AS cv0 FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |p AS (
+         |  SELECT qid, nid, ${dotAB("qv", "cv0")} AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv0")} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS rel
+         |  FROM p),
+         |pool AS (
+         |  SELECT qid, nid, rel FROM (
+         |    SELECT qid, nid, rel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+         |    FROM sc) WHERE rn <= 10),
+         |pv AS (
+         |  SELECT pool.qid, pool.nid, pool.rel, e.embedding AS cv
+         |  FROM pool JOIN embeddings e ON e.vec_id = pool.nid),
+         |s1 AS (
+         |  SELECT qid, nid, rel, '0.5'::DOUBLE * rel AS score, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY '0.5'::DOUBLE * rel DESC, nid) AS rn
+         |    FROM pv) WHERE rn = 1),
+         |r2 AS (
+         |  SELECT pv.* FROM pv ANTI JOIN s1 ON s1.qid = pv.qid AND s1.nid = pv.nid),
+         |pen2 AS (
+         |  ${penSql("r2", "s1")}),
+         |s2 AS (
+         |  SELECT qid, nid, rel, score, cv FROM (
+         |    SELECT qid, nid, rel, cv,
+         |      '0.5'::DOUBLE * rel - '0.5'::DOUBLE * pen AS score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY ('0.5'::DOUBLE * rel - '0.5'::DOUBLE * pen) DESC, nid) AS rn
+         |    FROM pen2) WHERE rn = 1),
+         |s12 AS (SELECT qid, nid, cv FROM s1 UNION ALL SELECT qid, nid, cv FROM s2),
+         |r3 AS (
+         |  SELECT pv.* FROM pv ANTI JOIN s12 ON s12.qid = pv.qid AND s12.nid = pv.nid),
+         |pen3 AS (
+         |  ${penSql("r3", "s12")}),
+         |s3 AS (
+         |  SELECT qid, nid, rel, score, cv FROM (
+         |    SELECT qid, nid, rel, cv,
+         |      '0.5'::DOUBLE * rel - '0.5'::DOUBLE * pen AS score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY ('0.5'::DOUBLE * rel - '0.5'::DOUBLE * pen) DESC, nid) AS rn
+         |    FROM pen3) WHERE rn = 1)
+         |SELECT qid AS query_id, nid AS neighbor_id, rel AS relevance,
+         |  score AS mmr_score, rank AS mmr_rank FROM (
+         |  SELECT qid, nid, rel, score, 1::BIGINT AS rank FROM s1
+         |  UNION ALL SELECT qid, nid, rel, score, 2 FROM s2
+         |  UNION ALL SELECT qid, nid, rel, score, 3 FROM s3)
+         |ORDER BY query_id, mmr_rank""".stripMargin
+    },
 
     // Late-interaction re-derivation: same passage/query token grouping,
     // the proven dot/norm folds per token pair, max per (query token,

@@ -1111,6 +1111,73 @@ object Similarity {
       .drop("_gs")
   }
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily select `k` results per query trading relevance
+    * against redundancy —
+    * `score(c) = λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)` —
+    * the de-duplicating reranker RAG retrieval runs after ANN.
+    *
+    * Spark-first shape: the candidate pool is the exact top-`poolSize`
+    * per query ([[bruteForceTopK]]; swap an ANN pool at corpus scale —
+    * only the pool generator changes), pinned with its vectors
+    * (queries × poolSize rows, broadcast-scale). The greedy loop is a
+    * BOUNDED driver loop over k DataFrame steps (the Bpe.train
+    * precedent) — each step one join of remaining×selected, one max-agg,
+    * one per-query argmin window over ≤ poolSize rows; no UDF, no
+    * collect. Determinism: relevance and penalty reuse the engine's
+    * fixed-fold cosine; argmax ties break (score desc, id asc); the
+    * first pick is pure relevance (empty penalty = 0), so
+    * `score₁ = λ·rel`.
+    *
+    * @return (query_id, neighbor_id, relevance, mmr_score, mmr_rank) */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      lambda: Double = 0.5,
+      poolSize: Int = 10): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"mmrTopK: need 1 <= k <= poolSize, got k=$k poolSize=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrTopK: lambda must be in [0,1], got $lambda")
+    val vecs = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val pool = bruteForceTopK(corpus, queries, poolSize)
+      .join(vecs, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("relevance"), col("cvec"))
+      .localCheckpoint(false)
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_score").desc, col("neighbor_id").asc)
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("relevance"),
+        col("mmr_score"), lit(rank.toLong).as("mmr_rank"), col("cvec"))
+    var selected = pick(
+      pool.withColumn("mmr_score", lit(lambda) * col("relevance")), 1)
+      .localCheckpoint(false)
+    var i = 2
+    while (i <= k) {
+      val remaining = pool.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = remaining
+        .join(selected.select(col("query_id"),
+          col("cvec").as("svec"), norm(col("svec")).as("sn")), Seq("query_id"))
+        .withColumn("_sim",
+          cosineFromParts(dot(col("cvec"), col("svec")), norm(col("cvec")), col("sn")))
+        .groupBy(col("query_id"), col("neighbor_id"), col("relevance"), col("cvec"))
+        .agg(max(col("_sim")).as("_pen"))
+        .withColumn("mmr_score",
+          lit(lambda) * col("relevance") - lit(1.0 - lambda) * col("_pen"))
+      selected = selected.unionByName(pick(pen, i)).localCheckpoint(false)
+      i += 1
+    }
+    selected
+      .select(col("query_id"), col("neighbor_id"), col("relevance"),
+        col("mmr_score"), col("mmr_rank"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &
     * Zaharia 2020): queries and passages are BAGS of token vectors and
     * `score(q, p) = Σ_{qt ∈ q} max_{pt ∈ p} cosine(qt, pt)` — per query

@@ -612,6 +612,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("mmrTopK: diversity beats a duplicate, hand math exact, dup ranks last") {
+    import graft.operators.Similarity
+    // q=(1,0): rel(10)=rel(20)=0.8 (exact duplicates), rel(30)=0.6 but
+    // 30 is ORTHOGONAL to 10 -> MMR picks 10, then 30 (0.3 > -0.1), dup
+    // 20 last; relevance-only order would be (10, 20, 30)
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (10L, Seq(4.0, 3.0, 0.0, 0.0)),
+      (20L, Seq(4.0, 3.0, 0.0, 0.0)),
+      (30L, Seq(3.0, -4.0, 0.0, 0.0))).toDF("id", "vec")
+    val got = Similarity.mmrTopK(corpus, corpus.filter(col("id") === 1), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq(10L, 30L, 20L), got.toSeq.toString)
+    assert(got(0)._2 == 0.8 && got(0)._3 == 0.5 * 0.8) // first pick: pure relevance
+    assert(got(1)._2 == 0.6 && got(1)._3 == 0.5 * 0.6 - 0.5 * 0.0)
+    assert(got(2)._3 == 0.5 * 0.8 - 0.5 * 1.0) // the duplicate's full penalty
+    // rerun is bit-identical (bounded driver loop, no nondeterminism)
+    val again = Similarity.mmrTopK(corpus.repartition(5), corpus.filter(col("id") === 1), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("lateInteractionTopK: MaxSim equals hand math; sum is tok-ordered and invariant") {
     import graft.operators.Similarity
     // orthogonal unit axes make cosines exactly 0/1: passage 10 holds
