@@ -155,6 +155,16 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // RAKE keyword extraction (round-12): stopword-delimited candidate
+    // phrases, degree/freq word scores, pos-ordered fixed-fold phrase
+    // scores, corpus top-30. Exact integers + one division + the proven
+    // fold association — no transcendental, no rounding discipline.
+    "txt_rake_keywords" -> ((s, dir) => {
+      graft.operators.Search.rakeKeywords(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        stopwords = Seq("the", "a", "and", "of", "to"), topK = 30)
+    }),
+
     // BLEU-2 generation-eval metric (round-12): clipped unigram/bigram
     // precisions + brevity penalty between each doc and its same-source
     // successor (the txt_rouge_pairs pairing). p1/p2 exact rationals;
@@ -329,6 +339,18 @@ private[graft] object QueriesTextCuration {
         t(s, dir, "documents"), col("source"), col("doc_id"),
         size(TextFunctions.tokens(col("text"))), quotaTokens = 800L)
         .orderBy(col("source"), col("cum_tokens"), col("id"))
+    }),
+
+    // Leakage-safe temporal split with embargo (round-12): cutoff = the
+    // EXACT 80th-percentile event time (bucket-histogram selection, no
+    // global sort), a 2-hour embargo band dropped between train and
+    // test — the purged time-series split. Pure projection after the
+    // 1-row cutoff.
+    "tdp_time_embargo" -> ((s, dir) => {
+      graft.operators.Curation.timeEmbargoSplit(
+        t(s, dir, "events"), col("event_id"), col("ts"),
+        cutPercent = 80, embargoMicros = 2L * 3600L * 1000000L)
+        .orderBy(col("id"))
     }),
 
     // Stratified k-fold assignment (round-12): per-source md5-rank mod k
@@ -1629,6 +1651,49 @@ private[graft] object QueriesTextCuration {
         |       THEN 0.0::DOUBLE END AS f1
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+    // RAKE re-derivation: same running-stopword-count phrase keys, exact
+    // integer degree/freq, one division per word, and the identical
+    // pos-ordered prepended-0.0 fold per phrase.
+    "txt_rake_keywords" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM d, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+        |s AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN ('the', 'a', 'and', 'of', 'to') THEN 1 ELSE 0 END AS st
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, pos, tok, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS pk
+        |  FROM s),
+        |w AS (SELECT doc_id, pk, pos, tok FROM r WHERE st = 0),
+        |plen AS (
+        |  SELECT doc_id, pk, count(*)::BIGINT AS wlen
+        |  FROM w GROUP BY doc_id, pk),
+        |occ AS (
+        |  SELECT w.doc_id, w.pk, w.pos, w.tok, plen.wlen
+        |  FROM w JOIN plen USING (doc_id, pk)),
+        |ws AS (
+        |  SELECT tok,
+        |    sum(wlen)::DOUBLE / count(*)::DOUBLE AS wsc
+        |  FROM occ GROUP BY tok),
+        |ph AS (
+        |  SELECT occ.doc_id, occ.pk,
+        |    string_agg(occ.tok, ' ' ORDER BY occ.pos) AS phrase,
+        |    count(*)::BIGINT AS n_words,
+        |    list_reduce(list_prepend(0.0::DOUBLE, array_agg(ws.wsc ORDER BY occ.pos)),
+        |      (a, b) -> a + b) AS score
+        |  FROM occ JOIN ws USING (tok)
+        |  GROUP BY occ.doc_id, occ.pk)
+        |SELECT phrase, max(n_words)::BIGINT AS n_words,
+        |  count(*)::BIGINT AS n_occurrences, max(score) AS score
+        |FROM ph GROUP BY phrase
+        |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
+
     // BLEU-2 re-derivation: the rouge pairing and tokenizer, (n, side)-
     // tagged gram streams, clipped-min overlaps per size, exact-rational
     // precisions, and the 6-dp-rounded geo-mean x brevity-exp.
@@ -1904,6 +1969,25 @@ private[graft] object QueriesTextCuration {
         |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
         |  FROM documents)
         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+    // Time-embargo re-derivation: the cutoff as a flat global order
+    // statistic (rank = (n-1)*80//100 + 1 over the sorted multiset —
+    // tie order is irrelevant to the value at a rank), then the same
+    // three-way CASE.
+    "tdp_time_embargo" ->
+      """WITH m AS (
+        |  SELECT event_id AS id, epoch_us(ts) AS tsm
+        |  FROM events WHERE ts IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM m),
+        |cut AS (
+        |  SELECT r.tsm AS cutoff FROM (
+        |    SELECT tsm, row_number() OVER (ORDER BY tsm) AS rn FROM m) r, n
+        |  WHERE r.rn = ((n.n - 1) * 80) // 100 + 1)
+        |SELECT m.id, m.tsm AS ts_micros,
+        |  CASE WHEN m.tsm > c.cutoff THEN 'test'
+        |       WHEN m.tsm <= c.cutoff - 7200000000 THEN 'train'
+        |       ELSE 'embargo' END AS split
+        |FROM m, cut c ORDER BY id""".stripMargin,
 
     // k-fold re-derivation: ONE flat per-source row_number in (md5
     // priority, id) order, mod k — independent of the engine's two-level

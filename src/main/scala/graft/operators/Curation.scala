@@ -1164,6 +1164,45 @@ object Curation {
       .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"), col("admitted"))
   }
 
+  /** Leakage-safe TEMPORAL split with an embargo gap (the purged
+    * time-series split, López de Prado 2018): a plain ts-cutoff split
+    * still leaks when features/labels aggregate a window around each
+    * event — train rows just before the cutoff see test-period signal.
+    * So: `train` = ts <= cutoff − embargo, `embargo` = the gap rows
+    * (DROPPED from both sides by the caller), `test` = ts > cutoff,
+    * where the cutoff is the EXACT cutPercent-th order statistic of the
+    * event time ([[DataQuality.exactQuantiles]] — bucket-histogram
+    * selection, no global sort; rank = floor((n−1)·q/100) + 1).
+    *
+    * Scale shape: one stats pass + the bounded 65k-bucket histogram for
+    * the cutoff (1 collected row), then a pure projection — the corpus
+    * never shuffles.
+    *
+    * @return (id, ts_micros, split) with split in {train, embargo, test};
+    *         NULL-ts rows are excluded */
+  def timeEmbargoSplit(
+      df: DataFrame,
+      id: Column,
+      ts: Column,
+      cutPercent: Int,
+      embargoMicros: Long): DataFrame = {
+    require(cutPercent >= 1 && cutPercent <= 99,
+      s"timeEmbargoSplit: cutPercent must be in [1, 99], got $cutPercent")
+    require(embargoMicros >= 0L,
+      s"timeEmbargoSplit: embargoMicros must be >= 0, got $embargoMicros")
+    val base = df
+      .select(id.as("id"), unix_micros(ts.cast("timestamp")).as("ts_micros"))
+      .filter(col("ts_micros").isNotNull)
+    val cutRow = DataQuality.exactQuantiles(base, col("ts_micros"), Seq(cutPercent))
+      .select(col("value")).collect()
+    require(cutRow.nonEmpty, "timeEmbargoSplit: no non-null timestamps")
+    val cutoff = cutRow(0).getLong(0)
+    base.withColumn("split",
+      when(col("ts_micros") > lit(cutoff), lit("test"))
+        .when(col("ts_micros") <= lit(cutoff - embargoMicros), lit("train"))
+        .otherwise(lit("embargo")))
+  }
+
   /** Deterministic stratified k-fold assignment (cross-validation /
     * sharded-eval splits): within each stratum, rows are ranked by their
     * portable md5 priority and fold = rank mod k — so fold sizes within

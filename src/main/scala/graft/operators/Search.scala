@@ -478,6 +478,75 @@ object Search {
       .orderBy(col("query_id"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * `degree/freq` (degree = Σ length of every phrase containing an
+    * occurrence, freq = occurrence count — co-occurring words in long
+    * phrases score high); a phrase scores the sum of its words' scores.
+    * Corpus-level top-`topK` distinct phrases.
+    *
+    * Determinism: degree/freq are exact BIGINTs, the word score is one
+    * IEEE division, and the phrase score is the FIXED-ORDER fold of word
+    * scores in phrase position order (`aggregate` over the pos-sorted
+    * list — the [[bleuPairs]]/late-interaction association the oracle's
+    * `list_reduce(list_prepend(0.0, array_agg(.. ORDER BY pos)))`
+    * replays). Identical phrase text ⇒ identical fold ⇒ bit-identical
+    * score, so the distinct-phrase rollup is stable. No transcendental.
+    *
+    * Scale shape: one posexplode, a per-DOC running-stopword-count
+    * window (partitioned by doc — parallel, state bounded by doc
+    * length), one phrase-length count, one word-stats aggregation with
+    * map-side partials, one per-phrase fold, and a TakeOrdered top-k —
+    * never a global sort of the corpus.
+    *
+    * @return (phrase, n_words, n_occurrences, score) top-K by
+    *         (score desc, phrase asc) */
+  def rakeKeywords(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      stopwords: Seq[String],
+      topK: Int = 30,
+  ): DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeywords: empty stopword list extracts whole docs")
+    require(topK >= 1, s"rakeKeywords: topK must be >= 1, got $topK")
+    val toks = docs
+      .select(id.as("id"), posexplode(terms(text)))
+      .withColumnRenamed("col", "tok")
+      .withColumn("_st", when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val words = toks
+      .withColumn("_pk", sum(col("_st")).over(wDoc))
+      .filter(col("_st") === 0L)
+      .select(col("id"), col("_pk"), col("pos"), col("tok"))
+      .localCheckpoint(false) // phrase lengths, word stats, and the fold all re-read it
+    val plen = words.groupBy(col("id"), col("_pk"))
+      .agg(count(lit(1)).as("_wlen"))
+    val occ = words.join(plen, Seq("id", "_pk"))
+    val wordScores = occ.groupBy(col("tok"))
+      .agg(sum(col("_wlen")).as("_degree"), count(lit(1)).as("_freq"))
+      .withColumn("_wsc", col("_degree").cast("double") / col("_freq").cast("double"))
+      .select(col("tok"), col("_wsc"))
+    val phrases = occ.join(wordScores, Seq("tok"))
+      .groupBy(col("id"), col("_pk"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("_wsc")))),
+            x => x.getField("_wsc")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    phrases.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
   /** BLEU-2 generation-eval metric (Papineni et al. 2002): per pair, the
     * clipped (modified) unigram/bigram precisions, their geometric mean,
     * and the brevity penalty `exp(min(0, 1 - r/c))` — the standard

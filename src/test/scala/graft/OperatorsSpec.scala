@@ -612,6 +612,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("rakeKeywords: degree/freq hand math, stopword phrase boundaries, top order") {
+    import graft.operators.Search
+    // "big data systems of data": phrases [big data systems], [data];
+    // freq: big 1, data 2, systems 1; degree: big 3, data 4, systems 3;
+    // wsc: big 3, data 2, systems 3 -> scores 8.0 and 2.0
+    val docs = Seq((1L, "big data systems of data")).toDF("doc_id", "text")
+    val got = Search.rakeKeywords(docs, col("doc_id"), col("text"),
+      stopwords = Seq("of", "the"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("big data systems", 3L, 1L, 8.0), ("data", 1L, 1L, 2.0)))
+    // repeated phrase rolls up; partitioning invariance of the fold
+    val docs2 = Seq((1L, "big data of big data"), (2L, "big data")).toDF("doc_id", "text")
+    val a = Search.rakeKeywords(docs2, col("doc_id"), col("text"), Seq("of"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(a.head._1 == "big data" && a.head._2 == 3L) // 3 occurrences, one row
+    val b = Search.rakeKeywords(docs2.repartition(5), col("doc_id"), col("text"), Seq("of"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("timeEmbargoSplit: exact-quantile cutoff, embargo band, boundary semantics") {
+    import graft.operators.Curation
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 10).map(i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 3600L * 1000L)))
+    val df = rows.toDF("id", "ts")
+    // n=10, q=80 -> rank = floor(9*0.8)+1 = 8 -> cutoff = t8; embargo 1h:
+    // t8 itself is the embargo band (t7 = cutoff-1h -> train), t9/t10 test
+    val got = Curation.timeEmbargoSplit(df, col("id"), col("ts"),
+      cutPercent = 80, embargoMicros = 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 7).forall(i => got(i.toLong) == "train"), got.toString)
+    assert(got(8L) == "embargo")
+    assert(got(9L) == "test" && got(10L) == "test")
+    // zero embargo: band empty, plain temporal split
+    val z = Curation.timeEmbargoSplit(df, col("id"), col("ts"), 80, 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(z.values.count(_ == "embargo") == 0 && z(8L) == "train")
+  }
+
   test("mmrTopK: diversity beats a duplicate, hand math exact, dup ranks last") {
     import graft.operators.Similarity
     // q=(1,0): rel(10)=rel(20)=0.8 (exact duplicates), rel(30)=0.6 but
