@@ -64,6 +64,20 @@ private[graft] object QueriesEventsQuality {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // CUSUM change-point statistic (round-12): the sequential
+    // max(0, S+x-bias) recursion computed CLOSED-FORM as prefix-sum
+    // minus running-min — two windows, one pass per key, pure BIGINT
+    // over the centi-quantized value.
+    "e_cusum_changepoint" -> ((s, dir) => {
+      graft.operators.TimeSeries.cusumChangepoint(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        col("event_type"), Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100), bias = 5200L, threshold = 50000L)
+        .select(col("key").as("event_type"), col("ord1").as("event_id"),
+          col("value").as("v100"), col("cusum"), col("alarm"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // Exact Mann-Whitney U rank-sum test (round-12): the nonparametric
     // cohort-shift test over the centi-quantized event value, doubled-U
     // BIGINT statistics from the tie-grouped value histogram, fixed-
@@ -929,6 +943,28 @@ private[graft] object QueriesEventsQuality {
     // double an int64→double conversion or fixed-association IEEE op in
     // the engine's exact order ((ss/n - mean*mean) guarded to 0, one
     // exactly-rounded sqrt, (r - mean)/std).
+    // CUSUM re-derivation: identical prefix-sum and running-min windows
+    // under the same (ts, event_id) within-key total order.
+    "e_cusum_changepoint" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, floor(value * 100)::BIGINT AS v100
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |p AS (
+        |  SELECT event_type, ts, event_id, v100,
+        |    sum(v100 - 5200) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        |  FROM b),
+        |m AS (
+        |  SELECT event_type, event_id, v100, pf,
+        |    min(pf) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+        |  FROM p)
+        |SELECT event_type, event_id, v100,
+        |  (pf - least(mp, 0))::BIGINT AS cusum,
+        |  (pf - least(mp, 0)) > 50000 AS alarm
+        |FROM m ORDER BY event_type, event_id""".stripMargin,
+
     // Mann-Whitney re-derivation: the same tie-grouped histogram, full
     // outer value merge, strictly-below prefix windows, doubled-U integer
     // sums, and the verbatim z association (sqrt over one fixed tree).

@@ -272,6 +272,16 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("id"))
     }),
 
+    // T5 span-corruption augmentation (round-12): block-tiled span
+    // masking with numbered sentinels + restoration targets, pure
+    // projection (zero shuffle), portable-hash draws.
+    "tdp_augment_spans" -> ((s, dir) => {
+      graft.operators.Curation.augmentSpanCorruption(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        maskPermille = 200, blockSize = 8)
+        .orderBy(col("id"))
+    }),
+
     // Distribution-matched sampling (round-11): draw 150 docs from the
     // non-benchmark corpus so the sample's length-bucket histogram
     // matches the benchmark subset's shape (docs with doc_id % 5 = 0)
@@ -1870,6 +1880,45 @@ private[graft] object QueriesTextCuration {
         |    ('0x' || substr(md5(id::VARCHAR || ':' || (i-1)::VARCHAR || ':aug'), 1, 8))::BIGINT
         |      % 1000 >= 100)))::BIGINT AS n_dropped
         |FROM tk ORDER BY id""".stripMargin,
+
+    // Span-corruption re-derivation: same block tiling, portable-hash
+    // mask/length draws, sentinel numbering via list_position over the
+    // masked-block list, and the same slice arithmetic.
+    "tdp_augment_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT id, t, len(t)::BIGINT AS n,
+        |    CASE WHEN len(t) > 0
+        |      THEN range(0, ((len(t)::BIGINT - 1) // 8) + 1)
+        |      ELSE []::BIGINT[] END AS blocks
+        |  FROM tk),
+        |m AS (
+        |  SELECT id, t, n, blocks,
+        |    list_filter(blocks, bb ->
+        |      ('0x' || substr(md5(id::VARCHAR || ':' || bb::VARCHAR || ':m:t5'), 1, 8))::BIGINT
+        |        % 1000 < 200) AS masked
+        |  FROM b)
+        |SELECT id,
+        |  coalesce(array_to_string(flatten(list_transform(blocks, bb ->
+        |    CASE WHEN coalesce(list_position(masked, bb), 0) > 0
+        |      THEN list_prepend(
+        |        '<extra_id_' || (list_position(masked, bb) - 1)::VARCHAR || '>',
+        |        t[(bb*8 + 1 + 1 + ('0x' || substr(md5(id::VARCHAR || ':' || bb::VARCHAR || ':l:t5'), 1, 8))::BIGINT % 1000 % 3)::INT
+        |          : least((bb+1)*8, n)::INT])
+        |      ELSE t[(bb*8 + 1)::INT : least((bb+1)*8, n)::INT] END)), ' '), '') AS corrupted,
+        |  coalesce(array_to_string(flatten(list_transform(masked, bb ->
+        |    list_prepend(
+        |      '<extra_id_' || (list_position(masked, bb) - 1)::VARCHAR || '>',
+        |      t[(bb*8 + 1)::INT
+        |        : least(bb*8 + 1 + ('0x' || substr(md5(id::VARCHAR || ':' || bb::VARCHAR || ':l:t5'), 1, 8))::BIGINT % 1000 % 3, n)::INT]))), ' '), '') AS targets,
+        |  n AS n_tokens,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(masked, bb ->
+        |    least(1 + ('0x' || substr(md5(id::VARCHAR || ':' || bb::VARCHAR || ':l:t5'), 1, 8))::BIGINT % 1000 % 3,
+        |      least(8, n - bb*8)))), (a, x) -> a + x) AS n_masked
+        |FROM m ORDER BY id""".stripMargin,
 
     // Distribution-match re-derivation: exact-integer bucket quotas
     // (HUGEINT product, floor division), portable-hash per-bucket rank.

@@ -569,6 +569,74 @@ object Curation {
         (size(col("_t")) - size(col("_kept"))).cast("long").as("n_dropped"))
   }
 
+  /** Deterministic span-corruption augmentation — the T5 denoising
+    * objective's data prep (Raffel et al. 2020): mask short token SPANS
+    * (not independent tokens — that's [[augmentTokenDropout]]), replace
+    * each with a numbered sentinel `<extra_id_K>`, and emit the target
+    * string that restores them. Non-overlap by construction: the doc is
+    * tiled into fixed `blockSize`-token blocks, each block masks its
+    * first 1–3 tokens iff the portable hash of (id : block : seed)
+    * lands under `maskPermille`, and sentinels number masked blocks in
+    * document order. Bit-reproducible across runs/engines/partitionings
+    * and re-seedable for multiple views.
+    *
+    * Scale shape: pure projection over the token array — zero shuffle;
+    * the per-doc work is O(blocks · masked-blocks) for the sentinel
+    * numbering (array_position over the masked-block list), bounded by
+    * (len/blockSize)².
+    *
+    * @return (id, corrupted, targets, n_tokens, n_masked) */
+  def augmentSpanCorruption(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maskPermille: Int,
+      blockSize: Int = 8,
+      seed: String = "t5"): DataFrame = {
+    require(maskPermille >= 0 && maskPermille <= 1000,
+      s"augmentSpanCorruption: maskPermille must be in [0, 1000], got $maskPermille")
+    require(blockSize >= 2, s"augmentSpanCorruption: blockSize must be >= 2, got $blockSize")
+    val B = blockSize
+    def hash(b: Column, tag: String) =
+      pmod(TextFunctions.portableHash32(
+        concat(col("id").cast("string"), lit(":"), b.cast("string"),
+          lit(":" + tag + ":" + seed))), lit(1000L))
+    val toks = TextFunctions.tokens(text)
+    val base = df.select(id.as("id"), toks.as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .withColumn("_blocks",
+        when(col("_n") > 0L,
+          // integer `div`, not `/` (Spark's `/` on longs is DOUBLE division)
+          sequence(lit(0L), floor((col("_n") - 1L) / lit(B.toLong)).cast("long")))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("_masked",
+        filter(col("_blocks"), b => hash(b, "m") < lit(maskPermille.toLong)))
+    def spanLen(b: Column) = lit(1L) + pmod(hash(b, "l"), lit(3L))
+    def blkAvail(b: Column) = least(lit(B.toLong), col("_n") - b * lit(B.toLong))
+    def sentinel(b: Column) =
+      concat(lit("<extra_id_"),
+        (array_position(col("_masked"), b) - 1L).cast("string"), lit(">"))
+    base
+      .withColumn("_pieces", transform(col("_blocks"), b => {
+        val blk = slice(col("_t"), (b * lit(B.toLong) + 1L).cast("int"), lit(B))
+        when(array_position(col("_masked"), b) > 0L,
+          concat(array(sentinel(b)),
+            slice(blk, (spanLen(b) + 1L).cast("int"), lit(B))))
+          .otherwise(blk)
+      }))
+      .withColumn("_targets", transform(col("_masked"), b =>
+        concat(array(sentinel(b)),
+          slice(col("_t"), (b * lit(B.toLong) + 1L).cast("int"),
+            least(spanLen(b), blkAvail(b)).cast("int")))))
+      .select(col("id"),
+        concat_ws(" ", flatten(col("_pieces"))).as("corrupted"),
+        concat_ws(" ", flatten(col("_targets"))).as("targets"),
+        col("_n").as("n_tokens"),
+        aggregate(
+          transform(col("_masked"), b => least(spanLen(b), blkAvail(b))),
+          lit(0L), (acc, x) => acc + x).as("n_masked"))
+  }
+
   /** Distribution-matched sampling — draw from `source` so the sampled
     * set's bucket histogram matches a `target` corpus's shape: the
     * controlled-eval prep step ("sample web docs length-matched to the

@@ -375,4 +375,46 @@ object TimeSeries {
         col("n"), col("mean_v"), col("ewma"))
       .orderBy(col("key"), col("bucket"))
   }
+
+  /** One-sided CUSUM change-point statistic per key (Page 1954): the
+    * classic upward-drift detector `S_i = max(0, S_{i-1} + x_i − bias)`,
+    * alarming when `S_i > threshold`. The sequential recursion has the
+    * closed form `S_i = P_i − min(0, min_{j≤i} P_j)` over the prefix
+    * sums `P` of `(x − bias)` — so the whole statistic is TWO running
+    * windows (sum + min) in one pass, no iterative scan, no UDF.
+    * Integer-exact end to end: quantize `value` upstream (e.g.
+    * `floor(x·100)`) and the statistic is pure BIGINT arithmetic.
+    *
+    * Determinism contract: `ord` must be a within-key total order (pass
+    * a tiebreak column alongside the timestamp); ties would make the
+    * prefix sums partitioning-dependent.
+    *
+    * Scale shape: one shuffle on `key`; the two windows share the same
+    * frame and run in a single pass per key partition — the
+    * [[ewmaBaseline]] fused-window discipline.
+    *
+    * @return (key, ord columns…, value, cusum, alarm) one row per input */
+  def cusumChangepoint(
+      df: DataFrame,
+      key: Column,
+      ord: Seq[Column],
+      value: Column,
+      bias: Long,
+      threshold: Long): DataFrame = {
+    require(ord.nonEmpty, "cusumChangepoint: need at least one order column")
+    require(threshold > 0L, s"cusumChangepoint: threshold must be positive, got $threshold")
+    val base = df
+      .select((key.as("key") +: ord.zipWithIndex.map { case (c, i) => c.as(s"ord$i") }) :+
+        value.cast("long").as("value"): _*)
+      .filter(col("key").isNotNull && col("value").isNotNull)
+    val w = Window.partitionBy(col("key"))
+      .orderBy((0 until ord.length).map(i => col(s"ord$i")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("_p", sum(col("value") - lit(bias)).over(w))
+      .withColumn("_mp", min(col("_p")).over(w))
+      .withColumn("cusum", col("_p") - least(col("_mp"), lit(0L)))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+      .drop("_p", "_mp")
+  }
 }

@@ -197,4 +197,60 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.ewmaBaseline(df, col("event_type"), col("ts"), col("value"), 3600L, 0)
     }
   }
+
+  test("cusumChangepoint: closed form equals the sequential recursion, per key") {
+    import spark.implicits._
+    // d = v - 2 = [3, -5, -9, 8] -> S = [3, 0, 0, 8] (hand recursion)
+    val df = Seq(("a", 1L, 5L), ("a", 2L, -3L), ("a", 3L, -7L), ("a", 4L, 10L),
+      ("b", 1L, 100L)).toDF("k", "i", "v")
+    val got = TimeSeries.cusumChangepoint(df, col("k"), Seq(col("i")), col("v"),
+      bias = 2L, threshold = 5L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("a", 1L)) == (3L, false))
+    assert(got(("a", 2L)) == (0L, false))
+    assert(got(("a", 3L)) == (0L, false))
+    assert(got(("a", 4L)) == (8L, true))
+    assert(got(("b", 1L)) == (98L, true)) // keys are independent
+    // property: closed form equals the direct sequential fold on a
+    // longer deterministic series
+    val vals = (0 until 200).map(i => ((i * 37) % 23).toLong - 10L)
+    val ser = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "i", "v")
+    val out = TimeSeries.cusumChangepoint(ser, col("k"), Seq(col("i")), col("v"), 0L, 50L)
+      .orderBy(col("i")).collect().map(_.getLong(3))
+    var s = 0L
+    val want = vals.map { v => s = math.max(0L, s + v); s }
+    assert(out.toSeq == want)
+  }
+
+  test("augmentSpanCorruption: sentinel numbering, reconstruction, zero-rate identity") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val text = (0 until 16).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("id", "text")
+    // all blocks masked: sentinels number in document order
+    val all = Curation.augmentSpanCorruption(df, col("id"), col("text"),
+      maskPermille = 1000, blockSize = 8).collect()(0)
+    val (corr, targ, nMasked) = (all.getString(1), all.getString(2), all.getLong(4))
+    assert(corr.startsWith("<extra_id_0> ") && corr.contains("<extra_id_1>"), corr)
+    assert(nMasked >= 2L && nMasked <= 6L) // two blocks, 1-3 tokens each
+    // reconstruction: corrupted + targets hold all 16 tokens plus two
+    // sentinel pairs, nothing lost or duplicated
+    val toks = (corr.split(" ") ++ targ.split(" ")).toSeq
+    val sentinels = toks.count(_.startsWith("<extra_id_"))
+    assert(sentinels == 4) // each of 2 sentinels appears in corr AND targ
+    assert(toks.filterNot(_.startsWith("<extra_id_")).sorted ==
+      (0 until 16).map(i => s"t$i").sorted)
+    assert(all.getLong(3) == 16L)
+    // zero rate: identity corruption, empty targets
+    val zero = Curation.augmentSpanCorruption(df, col("id"), col("text"),
+      maskPermille = 0, blockSize = 8).collect()(0)
+    assert(zero.getString(1) == text && zero.getString(2) == "" && zero.getLong(4) == 0L)
+    // partitioning invariance
+    val many = (0L until 50L).map(i => (i, s"w$i " * 20)).toDF("id", "text")
+    val a = Curation.augmentSpanCorruption(many.repartition(7), col("id"), col("text"), 300)
+      .orderBy(col("id")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val b = Curation.augmentSpanCorruption(many.coalesce(1), col("id"), col("text"), 300)
+      .orderBy(col("id")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(a == b)
+  }
 }
