@@ -529,6 +529,17 @@ private[graft] object QueriesDedupSim {
       Similarity.annRecallReport(approx, Similarity.bruteForceTopK(e, q, 5), k = 5)
     }),
 
+    // Reciprocal (mutual) kNN pairs (round-12): one top-5 run, then the
+    // flipped-key self-join — the high-precision neighbor confirmation
+    // rule. Cosine symmetry is bit-exact, so each pair ships once with
+    // both direction ranks.
+    "sim_reciprocal_nn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        .filter(col("vec_id") < 2000)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.reciprocalNearestNeighbors(e, k = 5)
+    }),
+
     // MMR diverse top-k (round-12): exact top-10 relevance pool, then
     // three greedy steps trading relevance against max-similarity to the
     // already-selected set (lambda 0.5) — a bounded driver loop of
@@ -1566,6 +1577,32 @@ private[graft] object QueriesDedupSim {
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
          |  FROM sc) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Reciprocal-kNN re-derivation: the same top-5 ranking both
+    // directions, joined on the flipped key, id_a < id_b.
+    "sim_reciprocal_nn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 2000 AND embedding IS NOT NULL),
+         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings
+         |  WHERE vec_id < 2000 AND embedding IS NOT NULL),
+         |p AS (
+         |  SELECT qid, nid, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine
+         |  FROM p),
+         |tk AS (
+         |  SELECT qid, nid, cosine, rank FROM (
+         |    SELECT qid, nid, cosine,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |    FROM sc) WHERE rank <= 5)
+         |SELECT a.qid AS id_a, a.nid AS id_b, a.cosine,
+         |  a.rank::BIGINT AS rank_ab, b.rank::BIGINT AS rank_ba
+         |FROM tk a JOIN tk b ON b.qid = a.nid AND b.nid = a.qid
+         |WHERE a.qid < a.nid
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // MMR re-derivation: the exact pool ranking, then the three greedy
     // steps UNROLLED — each picks argmax of 0.5*rel - 0.5*max-sim-to-

@@ -64,6 +64,13 @@ private[graft] object QueriesEventsQuality {
         col("n_chars"), lo = 0L, hi = 600L, buckets = 12)
     }),
 
+    // Exact Gini concentration coefficient (round-12): integer rank-
+    // range sums over the tie-grouped histogram; one trailing division.
+    "dq_gini" -> ((s, dir) => {
+      graft.operators.DataQuality.giniCoefficient(
+        t(s, dir, "documents"), col("n_chars"))
+    }),
+
     // CUSUM change-point statistic (round-12): the sequential
     // max(0, S+x-bias) recursion computed CLOSED-FORM as prefix-sum
     // minus running-min — two windows, one pass per key, pure BIGINT
@@ -943,6 +950,27 @@ private[graft] object QueriesEventsQuality {
     // double an int64→double conversion or fixed-association IEEE op in
     // the engine's exact order ((ss/n - mean*mean) guarded to 0, one
     // exactly-rounded sqrt, (r - mean)/std).
+    // Gini re-derivation: same histogram, strictly-below prefix, and the
+    // tied-group (lo+hi)-range identity; one division at the end.
+    "dq_gini" ->
+      """WITH h AS (
+        |  SELECT n_chars::BIGINT AS v, count(*)::BIGINT AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT v, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        |  FROM h),
+        |a AS (
+        |  SELECT sum(cnt)::BIGINT AS n, sum(v * cnt)::BIGINT AS sum_x,
+        |    sum(v * cnt * (2 * cum + cnt + 1))::BIGINT AS twoix
+        |  FROM w)
+        |SELECT n, sum_x, (twoix - (n + 1) * sum_x)::BIGINT AS gini_num,
+        |  CASE WHEN n > 0 AND sum_x > 0
+        |    THEN (twoix - (n + 1) * sum_x)::DOUBLE / (n::DOUBLE * sum_x::DOUBLE)
+        |  END AS gini
+        |FROM a""".stripMargin,
+
     // CUSUM re-derivation: identical prefix-sum and running-min windows
     // under the same (ts, event_id) within-key total order.
     "e_cusum_changepoint" ->

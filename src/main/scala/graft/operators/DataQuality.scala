@@ -1420,6 +1420,52 @@ object DataQuality {
           .as("alpha_fp"))
   }
 
+  /** Exact Gini coefficient of a non-negative metric — the inequality /
+    * concentration measure (token-share across sources, spend across
+    * users): `G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx)` over the ascending
+    * sort. Computed from the tie-grouped value histogram with integer
+    * rank-range sums (a tied group spanning ranks lo..hi contributes
+    * `x·cnt·(lo + hi)` to the 2i·x term), so `gini_num` is an exact
+    * BIGINT and `gini` is one division over three int64→double
+    * conversions — bit-identical cross-engine.
+    *
+    * Contract: values must be non-negative (Gini is undefined below
+    * zero) — a negative minimum raises rather than returning a silently
+    * wrong coefficient. NULL values are excluded. Same summary-window
+    * shape as [[mannWhitneyU]]: the one ordered window runs over the
+    * DISTINCT-value histogram, never the input.
+    *
+    * @return one row: (n, sum_x, gini_num, gini); gini NULL on an empty
+    *         or zero-sum input */
+  def giniCoefficient(df: DataFrame, c: Column): DataFrame = {
+    val vals = df.select(c.cast("long").as("v")).filter(col("v").isNotNull)
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val below = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val agg = hist
+      .withColumn("cum", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .agg(
+        sum(col("cnt")).as("n"),
+        min(col("v")).as("_minv"),
+        sum(col("v") * col("cnt")).as("sum_x"),
+        sum(col("v") * col("cnt") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
+          .as("_twoix"))
+    val guard = when(col("_minv") >= 0L || col("_minv").isNull, lit(1L))
+      .otherwise(raise_error(concat(lit("giniCoefficient: negative values (min="),
+        col("_minv").cast("string"), lit(") — Gini is undefined"))).cast("long"))
+    // guard rides EVERY output column (the krippendorffAlpha pruning
+    // lesson): a consumer selecting only gini must still trip the check
+    agg.select(
+      (col("n") * guard).as("n"),
+      (col("sum_x") * guard).as("sum_x"),
+      ((col("_twoix") - (col("n") + lit(1L)) * col("sum_x")) * guard).as("gini_num"),
+      (when(col("n") > 0L && col("sum_x") > 0L,
+        (col("_twoix") - (col("n") + lit(1L)) * col("sum_x")).cast("double") /
+          (col("n").cast("double") * col("sum_x").cast("double")))
+        * guard.cast("double")).as("gini"))
+  }
+
   /** Exact Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
     * standard tie-corrected normal approximation — the nonparametric
     * "did this metric's distribution shift between cohorts" answer when

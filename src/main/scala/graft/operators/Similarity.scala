@@ -1111,6 +1111,33 @@ object Similarity {
       .drop("_gs")
   }
 
+  /** Reciprocal (mutual) nearest-neighbor pairs: (a, b) such that b is
+    * in a's cosine top-k AND a is in b's — the high-precision matching
+    * rule used for translation mining, cluster seeding, and dedup
+    * candidate confirmation (a one-directional neighbor is often a hub
+    * artifact; a mutual one almost never is).
+    *
+    * Composition: ONE top-k run ([[bruteForceTopK]] here — swap an ANN
+    * top-k at corpus scale, the mutuality join is generator-agnostic),
+    * then a self-equi-join on the flipped (query, neighbor) key.
+    * Cosine is symmetric bit-exactly (the dot fold multiplies
+    * commutatively, norms are per-side), so each mutual pair surfaces
+    * once with `id_a < id_b` carrying both direction ranks.
+    *
+    * @return (id_a, id_b, cosine, rank_ab, rank_ba) */
+  def reciprocalNearestNeighbors(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"reciprocalNearestNeighbors: k must be >= 1, got $k")
+    val topk = bruteForceTopK(vecs, vecs, k).localCheckpoint(false)
+    val fwd = topk.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+      col("cosine"), col("rank").cast("long").as("rank_ab"))
+    val rev = topk.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+      col("rank").cast("long").as("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"), col("rank_ab"), col("rank_ba"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
     * 1998): greedily select `k` results per query trading relevance
     * against redundancy —

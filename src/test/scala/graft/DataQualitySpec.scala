@@ -477,6 +477,25 @@ class DataQualitySpec extends AnyFunSuite {
     assert(e.isNullAt(e.fieldIndex("dtype_a")) && e.getAs[String]("dtype_b") == "boolean")
   }
 
+  test("giniCoefficient: textbook values, ties, equality zero, negative raises") {
+    // [1,2,3,4] -> G = 0.25; all-equal -> 0; [0,0,0,12] -> (n-1)/n = 0.75
+    assert(DataQuality.giniCoefficient(Seq(1L, 2L, 3L, 4L).toDF("v"), col("v"))
+      .collect()(0).getDouble(3) == 0.25)
+    assert(DataQuality.giniCoefficient(Seq(7L, 7L, 7L).toDF("v"), col("v"))
+      .collect()(0).getDouble(3) == 0.0)
+    assert(DataQuality.giniCoefficient(Seq(0L, 0L, 0L, 12L).toDF("v"), col("v"))
+      .collect()(0).getDouble(3) == 0.75)
+    // tied group spanning ranks: [1,1,2] -> 2/(3*4)
+    val t = DataQuality.giniCoefficient(Seq(1L, 1L, 2L).toDF("v"), col("v")).collect()(0)
+    assert(t.getLong(0) == 3L && t.getLong(1) == 4L && t.getLong(2) == 2L)
+    assert(t.getDouble(3) == 2.0 / 12.0)
+    // negative values raise instead of returning a wrong coefficient
+    val ex = intercept[Exception] {
+      DataQuality.giniCoefficient(Seq(-1L, 5L).toDF("v"), col("v")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("mannWhitneyU: hand-ranked U with ties, doubled-U invariant, z sign and degeneracy") {
     // A = [1,2,3], B = [2,3,4]: R_A = 1 + 2.5 + 4.5 = 8 -> U1 = 2 (x2 = 4)
     val a = Seq(1L, 2L, 3L).toDF("v")

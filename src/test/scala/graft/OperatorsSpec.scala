@@ -612,6 +612,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("reciprocalNearestNeighbors: mutuality filters hubs, symmetric cosine, both ranks") {
+    import graft.operators.Similarity
+    // k=1: v1<->v2 mutual (cos 0.8 each way); v3's neighbor is v2 but
+    // v2's is v1, so v3 pairs with nobody
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(4.0, 3.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    val got = Similarity.reciprocalNearestNeighbors(vecs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 0.8, 1L, 1L)))
+    // k=2 over 3 vectors: every pair is mutual
+    val all = Similarity.reciprocalNearestNeighbors(vecs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("rakeKeywords: degree/freq hand math, stopword phrase boundaries, top order") {
     import graft.operators.Search
     // "big data systems of data": phrases [big data systems], [data];
