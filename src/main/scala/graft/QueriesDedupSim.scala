@@ -529,6 +529,16 @@ private[graft] object QueriesDedupSim {
       Similarity.annRecallReport(approx, Similarity.bruteForceTopK(e, q, 5), k = 5)
     }),
 
+    // TF-IDF-weighted cosine near-dup (round-12): the weighted
+    // complement of prefix-Jaccard — rare shared shingles outweigh
+    // common ones. df-capped candidate join, then EXACT full-vector
+    // cosine; idf on the 6-dp ln contract, shingle-sorted folds.
+    "dd_tfidf_neardup" -> ((s, dir) => {
+      Dedup.tfidfNearDupPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.3, maxDf = 10)
+    }),
+
     // Reciprocal (mutual) kNN pairs (round-12): one top-5 run, then the
     // flipped-key self-join — the high-precision neighbor confirmation
     // rule. Cosine symmetry is bit-exact, so each pair ships once with
@@ -1577,6 +1587,53 @@ private[graft] object QueriesDedupSim {
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
          |  FROM sc) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // TF-IDF near-dup re-derivation: the lshPairCtes tokenization,
+    // 6-dp idf, shingle-ordered prepended-0.0 folds for norms and the
+    // pair dot, df-capped candidates, threshold cut.
+    "dd_tfidf_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE []::VARCHAR[] END)) AS sh
+        |  FROM toks),
+        |tf AS (SELECT id, sh, count(*)::BIGINT AS tf FROM sh GROUP BY id, sh),
+        |dfq AS (SELECT sh, count(*)::BIGINT AS df FROM tf GROUP BY sh),
+        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+        |w AS (
+        |  SELECT tf.id, tf.sh, dfq.df,
+        |    tf.tf::DOUBLE * round(ln((nd.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE), 6) AS w
+        |  FROM tf JOIN dfq USING (sh) CROSS JOIN nd),
+        |nrm AS (
+        |  SELECT id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    array_agg(w * w ORDER BY sh)), (a, b) -> a + b)) AS nrm
+        |  FROM w GROUP BY id),
+        |rare AS (SELECT sh, id FROM w WHERE df <= 10),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM rare a JOIN rare b ON b.sh = a.sh AND a.id < b.id),
+        |prods AS (
+        |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      array_agg(wa.w * wb.w ORDER BY wa.sh)), (a, b) -> a + b) AS dot
+        |  FROM cand c
+        |  JOIN w wa ON wa.id = c.id_a
+        |  JOIN w wb ON wb.id = c.id_b AND wb.sh = wa.sh
+        |  GROUP BY c.id_a, c.id_b),
+        |fin AS (
+        |  SELECT p.id_a, p.id_b, p.n_shared,
+        |    CASE WHEN na.nrm * nb.nrm > 0.0
+        |      THEN p.dot / (na.nrm * nb.nrm) END AS cosine
+        |  FROM prods p
+        |  JOIN nrm na ON na.id = p.id_a
+        |  JOIN nrm nb ON nb.id = p.id_b)
+        |SELECT id_a, id_b, n_shared, cosine FROM fin
+        |WHERE cosine >= '0.3'::DOUBLE
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Reciprocal-kNN re-derivation: the same top-5 ranking both
     // directions, joined on the flipped key, id_a < id_b.

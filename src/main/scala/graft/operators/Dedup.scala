@@ -1008,4 +1008,77 @@ object Dedup {
         .cast("long")) // BIGINT like every engine's row_number
       .filter(col("rk") <= k)
   }
+
+  /** TF-IDF-weighted cosine near-dup pairs over word-shingle vectors —
+    * the WEIGHTED complement of the set-overlap family
+    * ([[prefixJaccardPairs]] treats every shingle equally; here a rare
+    * shared shingle counts for more than a common one, the classic
+    * VSM / SpotSigs shape). Exact, not approximate: candidates come
+    * from a df-capped posting join (a pair is a candidate iff it shares
+    * at least one shingle with df <= maxDf — fan-out bounded at
+    * C(maxDf, 2) per shingle, the prefix-filter discipline), and the
+    * cosine is then computed over the FULL weighted vectors.
+    *
+    * Determinism: idf ships `round(ln((N+1)/(df+1)), 6)` on both
+    * engines (the pmi 6-dp transcendental contract); weights, norms,
+    * dot products, and the final cosine are fixed-association IEEE over
+    * those — norms and dots fold in SHINGLE-SORTED order (`aggregate`
+    * over the sorted collect, the oracle's
+    * `list_reduce(list_prepend(0.0, array_agg(.. ORDER BY ..)))`).
+    *
+    * @return (id_a, id_b, n_shared, cosine) with id_a < id_b,
+    *         cosine >= threshold, ordered */
+  def tfidfNearDupPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleN: Int,
+      threshold: Double,
+      maxDf: Int): DataFrame = {
+    require(shingleN >= 1, s"tfidfNearDupPairs: shingleN must be >= 1, got $shingleN")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"tfidfNearDupPairs: threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 2, s"tfidfNearDupPairs: maxDf must be >= 2, got $maxDf")
+    val base = docs.select(id.as("id"),
+      explode(wordShingles(text, shingleN)).as("sh"))
+    // wordShingles is DISTINCT per doc -> tf is 1; keep the count agg so
+    // the contract survives a non-distinct generator swap
+    val tf = base.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // df, norms, candidates, and both pair sides read it
+    val nDocs = docs.select(id.as("id")).distinct().count()
+    val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, Seq("sh"))
+      .withColumn("idf",
+        round(log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")), 6))
+      .withColumn("w", col("tf").cast("double") * col("idf"))
+      .localCheckpoint(false)
+    val norms = weighted.groupBy(col("id"))
+      .agg(sqrt(aggregate(
+        transform(array_sort(collect_list(struct(col("sh"), col("w")))),
+          x => x.getField("w") * x.getField("w")),
+        lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    val rare = weighted.filter(col("df") <= maxDf).select(col("sh"), col("id"))
+    val cand = rare.as("a").join(rare.as("b"), Seq("sh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val prods = cand
+      .join(weighted.select(col("id").as("id_a"), col("sh"), col("w").as("wa")), Seq("id_a"))
+      .join(weighted.select(col("id").as("id_b"), col("sh"), col("w").as("wb")),
+        Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("sh"), (col("wa") * col("wb")).as("p")))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("dot"))
+    prods
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        when(col("na") * col("nb") > 0.0, col("dot") / (col("na") * col("nb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

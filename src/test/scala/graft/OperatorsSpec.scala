@@ -612,6 +612,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getLong(2) == 0L && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("tfidfNearDupPairs: identical docs ~1.0, df cap gates candidates, weighting discriminates") {
+    import graft.operators.Dedup
+    // A and B identical; C unrelated; D shares only the UBIQUITOUS
+    // shingle (present in all four docs -> df = 4 > maxDf = 3, so it can
+    // never generate a candidate pair on its own)
+    val common = "p q r"
+    val docs = Seq(
+      (1L, s"$common a b c d e"),
+      (2L, s"$common a b c d e"),
+      (3L, s"$common u v w x y"),
+      (4L, common)).toDF("id", "text")
+    val got = Dedup.tfidfNearDupPairs(docs, col("id"), col("text"),
+      shingleN = 3, threshold = 0.5, maxDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), got.toString)
+    val (nShared, cos) = got((1L, 2L))
+    assert(nShared >= 5L) // all shingles shared
+    assert(math.abs(cos - 1.0) < 1e-12, cos.toString)
+    // determinism of the sorted folds across partitionings
+    val a = Dedup.tfidfNearDupPairs(docs.repartition(5), col("id"), col("text"), 3, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val b = Dedup.tfidfNearDupPairs(docs.coalesce(1), col("id"), col("text"), 3, 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(a == b)
+  }
+
   test("reciprocalNearestNeighbors: mutuality filters hubs, symmetric cosine, both ranks") {
     import graft.operators.Similarity
     // k=1: v1<->v2 mutual (cos 0.8 each way); v3's neighbor is v2 but

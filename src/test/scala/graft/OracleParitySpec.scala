@@ -117,6 +117,9 @@ class OracleParitySpec extends AnyFunSuite {
     "txt_bleu_pairs" ->
       ("p1/p2 are exact single-division rationals over BIGINT counts; bleu2 is " +
         "round(geo-mean x brevity-exp, 6)-ed on both engines (the pmi contract)"),
+    "dd_tfidf_neardup" ->
+      ("idf is round(ln-ratio, 6) on both engines (the pmi contract); weights, " +
+        "shingle-sorted norm/dot folds, and the cosine are fixed-association IEEE over those"),
     "txt_quality_ensemble" ->
       ("lm_score is the 6-dp decimal contract; heuristic/model signals and the " +
         "calibrated CDF ratios are exact rationals; the ensemble is a " +
