@@ -531,12 +531,14 @@ private[graft] object QueriesDedupSim {
 
     // TF-IDF-weighted cosine near-dup (round-12): the weighted
     // complement of prefix-Jaccard — rare shared shingles outweigh
-    // common ones. df-capped candidate join, then EXACT full-vector
+    // common ones. df-capped candidate join (cap 3: the synthetic 31-word
+    // vocabulary makes shingle df ~20 on average, so a loose cap explodes
+    // candidates — 11.7 s at sf0.1 with cap 10, ~1 s with cap 3), then EXACT full-vector
     // cosine; idf on the 6-dp ln contract, shingle-sorted folds.
     "dd_tfidf_neardup" -> ((s, dir) => {
       Dedup.tfidfNearDupPairs(
         t(s, dir, "documents"), col("doc_id"), col("text"),
-        shingleN = 3, threshold = 0.3, maxDf = 10)
+        shingleN = 3, threshold = 0.3, maxDf = 3)
     }),
 
     // Reciprocal (mutual) kNN pairs (round-12): one top-5 run, then the
@@ -1612,7 +1614,7 @@ private[graft] object QueriesDedupSim {
         |  SELECT id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
         |    array_agg(w * w ORDER BY sh)), (a, b) -> a + b)) AS nrm
         |  FROM w GROUP BY id),
-        |rare AS (SELECT sh, id FROM w WHERE df <= 10),
+        |rare AS (SELECT sh, id FROM w WHERE df <= 3),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM rare a JOIN rare b ON b.sh = a.sh AND a.id < b.id),
