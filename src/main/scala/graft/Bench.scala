@@ -91,10 +91,16 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"queries":${fmtQs(results.sortBy(_._2))},"cpu":${fmtQs(results.sortBy(_._2).map { case (n, _) => n -> cpuByName(n) })},"failed":$failedJson,"total_sec":${d3(total)},"total_cpu_sec":${d3(totalCpu)},"warmup_sec":${d3(warmupSec)},"sf":"$sfDir"}"""
-    try {
-      val p = java.nio.file.Paths.get("bench_full.json")
-      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    // bench_full.json gets overwritten by whichever run happened last
+    // (builder clean run vs driver run) — with SPARK_GRAFT_BENCH_TAG set,
+    // a round-stamped copy (bench_full_<tag>.json) survives for audit.
+    val outNames = "bench_full.json" ::
+      sys.env.get("SPARK_GRAFT_BENCH_TAG").map(t => s"bench_full_$t.json").toList
+    outNames.foreach { name =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(name), (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] $name write failed: ${e.getMessage}") }
+    }
     println(fullLine)
     val top = results.sortBy(-_._2).take(10)
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_cpu_sec":${d3(totalCpu)},"warmup_sec":${d3(warmupSec)},"n_queries":${results.size},"n_failed":${failed.size},"queries":${fmtQs(top)},"sf":"$sfDir"}""")

@@ -1601,7 +1601,7 @@ private[graft] object QueriesDedupSim {
         |  SELECT DISTINCT id,
         |    unnest(list_distinct(CASE WHEN len(t) >= 3
         |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE []::VARCHAR[] END)) AS sh
+        |      ELSE [array_to_string(t, ' ')] END)) AS sh
         |  FROM toks),
         |tf AS (SELECT id, sh, count(*)::BIGINT AS tf FROM sh GROUP BY id, sh),
         |dfq AS (SELECT sh, count(*)::BIGINT AS df FROM tf GROUP BY sh),

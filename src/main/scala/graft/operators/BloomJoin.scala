@@ -71,12 +71,17 @@ object BloomJoin {
 
   /** The probe predicate: native might-contain over the serialized
     * filter literal and `xxhash64(key)` — matches the build side's
-    * insertion convention exactly. */
-  def mightContain(filterBytes: Array[Byte], key: Column): Column = {
-    val s = SparkSession.active
-    register(s)
+    * insertion convention exactly. Registers against `session` (the probe
+    * DataFrame's own session) so a multi-session app never resolves the
+    * temp function in the wrong registry; the no-arg overload keeps the
+    * thread-local-session convenience for single-session use. */
+  def mightContain(filterBytes: Array[Byte], key: Column, session: SparkSession): Column = {
+    register(session)
     call_function(MightContainName, lit(filterBytes), xxhash64(key))
   }
+
+  def mightContain(filterBytes: Array[Byte], key: Column): Column =
+    mightContain(filterBytes, key, SparkSession.active)
 
   /** Composite: exact inner equi-join with the big side Bloom-reduced
     * before the shuffle. `big` rows whose key fails the filter never
@@ -94,6 +99,6 @@ object BloomJoin {
     def keyCol(df: DataFrame): Column =
       if (keys.length == 1) df(keys.head) else struct(keys.map(df(_)): _*)
     val bytes = buildFilter(small, keyCol(small), expectedItems, fpp)
-    big.filter(mightContain(bytes, keyCol(big))).join(small, keys)
+    big.filter(mightContain(bytes, keyCol(big), big.sparkSession)).join(small, keys)
   }
 }

@@ -1443,25 +1443,40 @@ object DataQuality {
     val below = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Products and sums widen through DECIMAL(38,0) (the HUGEINT
+    // discipline, matching DuckDB's native BIGINT-sum widening): long
+    // arithmetic would wrap silently at ~2.1M rows tied on one max-long
+    // value, breaking the exact-BIGINT contract cross-engine. The final
+    // gini_num lands back in BIGINT behind a loud range guard — the same
+    // raise-past-the-horizon behavior DuckDB's ::BIGINT cast gives the
+    // oracle.
     val agg = hist
       .withColumn("cum", coalesce(sum(col("cnt")).over(below), lit(0L)))
       .agg(
         sum(col("cnt")).as("n"),
         min(col("v")).as("_minv"),
         sum(col("v") * col("cnt")).as("sum_x"),
-        sum(col("v") * col("cnt") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
+        sum(col("v").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)") *
+            (lit(2L) * col("cum") + col("cnt") + lit(1L)).cast("decimal(38,0)"))
           .as("_twoix"))
     val guard = when(col("_minv") >= 0L || col("_minv").isNull, lit(1L))
       .otherwise(raise_error(concat(lit("giniCoefficient: negative values (min="),
         col("_minv").cast("string"), lit(") — Gini is undefined"))).cast("long"))
+    val giniNumDec = col("_twoix") -
+      (col("n") + lit(1L)).cast("decimal(38,0)") * col("sum_x").cast("decimal(38,0)")
+    val giniNum = when(col("_twoix").isNull, lit(null).cast("long"))
+      .when(abs(giniNumDec) <= lit(Long.MaxValue).cast("decimal(38,0)"),
+        giniNumDec.cast("long"))
+      .otherwise(raise_error(lit(
+        "giniCoefficient: gini_num exceeds the BIGINT horizon — wrap refused")).cast("long"))
     // guard rides EVERY output column (the krippendorffAlpha pruning
     // lesson): a consumer selecting only gini must still trip the check
     agg.select(
       (col("n") * guard).as("n"),
       (col("sum_x") * guard).as("sum_x"),
-      ((col("_twoix") - (col("n") + lit(1L)) * col("sum_x")) * guard).as("gini_num"),
+      (giniNum * guard).as("gini_num"),
       (when(col("n") > 0L && col("sum_x") > 0L,
-        (col("_twoix") - (col("n") + lit(1L)) * col("sum_x")).cast("double") /
+        giniNum.cast("double") /
           (col("n").cast("double") * col("sum_x").cast("double")))
         * guard.cast("double")).as("gini"))
   }
@@ -1506,23 +1521,38 @@ object DataQuality {
     val below = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // U products and the t³ tie term widen through DECIMAL(38,0) (the
+    // HUGEINT discipline): ~2.1M rows tied on one value makes t³ exceed
+    // 2^63, and Spark long arithmetic wraps silently while DuckDB raises
+    // — the exact-BIGINT contract would silently diverge cross-engine.
+    // Final statistics land back in BIGINT behind a loud range guard.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tGroup = dec(col("n_a") + col("n_b"))
     val agg = pooled
       .withColumn("cum_a", coalesce(sum(col("n_a")).over(below), lit(0L)))
       .withColumn("cum_b", coalesce(sum(col("n_b")).over(below), lit(0L)))
       .agg(
         sum(col("n_a")).as("n1"),
         sum(col("n_b")).as("n2"),
-        sum(col("n_a") * (lit(2L) * col("cum_b") + col("n_b"))).as("u1_x2"),
-        sum(col("n_b") * (lit(2L) * col("cum_a") + col("n_a"))).as("u2_x2"),
-        sum((col("n_a") + col("n_b")) * (col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))
-          - (col("n_a") + col("n_b"))).as("tie_sum"))
+        sum(dec(col("n_a")) * dec(lit(2L) * col("cum_b") + col("n_b"))).as("_u1_dec"),
+        sum(dec(col("n_b")) * dec(lit(2L) * col("cum_a") + col("n_a"))).as("_u2_dec"),
+        sum(tGroup * tGroup * tGroup - tGroup).as("_tie_dec"))
+    def toLong(c: Column, what: String): Column =
+      when(c.isNull, lit(null).cast("long"))
+        .when(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("long"))
+        .otherwise(raise_error(lit(
+          s"mannWhitneyU: $what exceeds the BIGINT horizon — wrap refused")).cast("long"))
+    val bounded = agg.select(col("n1"), col("n2"),
+      toLong(col("_u1_dec"), "u1_x2").as("u1_x2"),
+      toLong(col("_u2_dec"), "u2_x2").as("u2_x2"),
+      toLong(col("_tie_dec"), "tie_sum").as("tie_sum"))
     val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
     val nd = (col("n1") + col("n2")).cast("double")
     // association mirrored verbatim by the oracle SQL: any re-parenthesis
     // is a red driver row
     val sigma = sqrt((n1d * n2d / lit(12.0)) *
       ((nd + lit(1.0)) - col("tie_sum").cast("double") / (nd * (nd - lit(1.0)))))
-    agg.select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"), col("tie_sum"),
+    bounded.select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"), col("tie_sum"),
       when(col("n1") > 0L && col("n2") > 0L && sigma > lit(0.0),
         (col("u1_x2").cast("double") - n1d * n2d) / (lit(2.0) * sigma)).as("z"))
   }

@@ -44,13 +44,18 @@ object StreamHarness {
     // state-store instances (checkpoint dirs, provider loads, commit
     // files) PER MICRO-BATCH — the whole suite's worst bench entry
     // (13.3 s). The stream's state partitioning is fixed at FIRST start
-    // from this conf, so pin it low for the harness run and restore
-    // after; correctness is partitioning-invariant (driver-checked).
-    val partKey = "spark.sql.shuffle.partitions"
-    val oldParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "2")
+    // from `spark.sql.shuffle.partitions`, so the harness runs the whole
+    // stream on an ISOLATED `newSession()` (own SessionState/conf, shared
+    // SparkContext) pinned at 2 — the caller's session conf is never
+    // mutated, so concurrently planned queries (parallel suites, nested
+    // harness use) are unaffected; correctness is partitioning-invariant
+    // (driver-checked). The collected result is re-hosted on the caller's
+    // session so downstream plans run under caller semantics.
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "2")
+    graft.functions.GraftFunctions.ensureRegistered(streamSession)
     try {
-      val src = spark.readStream
+      val src = streamSession.readStream
         .schema(EventStream.eventSchema)
         .json(inDir.toString)
       val sinkName = s"graft_stream_sink_${nameCounter.incrementAndGet()}"
@@ -67,14 +72,13 @@ object StreamHarness {
       }
       q.stop()
       q.awaitTermination()
-      val rows = spark.table(sinkName)
+      val rows = streamSession.table(sinkName)
       val out = spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(rows.collect(): _*)),
         rows.schema)
-      spark.catalog.dropTempView(sinkName)
+      streamSession.catalog.dropTempView(sinkName)
       out
     } finally {
-      spark.conf.set(partKey, oldParts)
       def wipe(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
         f.delete(); ()
