@@ -513,6 +513,31 @@ private[graft] object QueriesDedupSim {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // NSW index persistence round-trip (round-13): the SAME built index
+    // written as cell-partitioned parquet, read back, passed through
+    // repartitionByShard (Hnsw.scala's reload contract — parquet splits
+    // don't respect cells), and queried at the exhaustive-exact
+    // configuration. This is the load path every 100 TB serve job takes:
+    // build once, store, reload, query forever. Must be bit-identical to
+    // the fresh build's ranking (same brute-force oracle).
+    "sim_hnsw_reload" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (cents, idx) = memo(s, s"hnswExact|$dir") {
+        val c = Similarity.deterministicCentroids(e, nCells = 4, iters = 3)
+        (c, graft.operators.Hnsw.buildNswIndex(e, c, m = 4, efConstruction = 16)
+          .localCheckpoint(false))
+      }
+      val outDir = demoTempDir(s, "nswindex")
+      idx.toDF().write.mode("overwrite").parquet(s"$outDir/index.parquet")
+      val reloaded = graft.operators.Hnsw.repartitionByShard(
+        s.read.parquet(s"$outDir/index.parquet").as[graft.operators.Hnsw.NswNode])
+      graft.operators.Hnsw.nswTopK(reloaded, cents, e.filter(col("id") < 10),
+        k = 5, nProbe = 4, efSearch = 1 << 20)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Graph ANN at its APPROXIMATE operating point (round-12): m=4
     // efSearch=8 nProbe=2 over the shared 8-cell geometry, judged against
     // the exact brute-force top-5 — the recall row an index rollout
@@ -536,9 +561,20 @@ private[graft] object QueriesDedupSim {
     // candidates — 11.7 s at sf0.1 with cap 10, ~1 s with cap 3), then EXACT full-vector
     // cosine; idf on the 6-dp ln contract, shingle-sorted folds.
     "dd_tfidf_neardup" -> ((s, dir) => {
-      Dedup.tfidfNearDupPairs(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
-        shingleN = 3, threshold = 0.3, maxDf = 3)
+      Dedup.tfidfNearDupFromStats(sharedTfidfModel(s, dir), threshold = 0.3, maxDf = 3)
+    }),
+
+    // TF-IDF stats persistence round-trip (round-13): the stats half is
+    // written to parquet, reloaded, and the pair step runs off the
+    // RELOADED model — the production serve path (build the corpus
+    // statistics once, query near-dups forever). Same oracle as
+    // dd_tfidf_neardup: stored weights/norms are exact doubles, so the
+    // round trip must be bit-identical.
+    "dd_tfidf_reload" -> ((s, dir) => {
+      val outDir = demoTempDir(s, "tfidf")
+      sharedTfidfModel(s, dir).save(outDir)
+      Dedup.tfidfNearDupFromStats(
+        graft.operators.TfidfModel.load(s, outDir), threshold = 0.3, maxDf = 3)
     }),
 
     // Reciprocal (mutual) kNN pairs (round-12): one top-5 run, then the
@@ -602,6 +638,72 @@ private[graft] object QueriesDedupSim {
     // Multimodal batched feature extraction through the typed Dataset path
     // (stubbed decode — the Spark plumbing is the real contract).
   )
+
+  /** Shared by dd_tfidf_neardup AND its parquet-round-trip twin
+    * dd_tfidf_reload: reloaded weights/norms are stored doubles, so the
+    * pair step is bit-identical either way. */
+  private val TfidfNearDupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT id,
+      |    unnest(list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [array_to_string(t, ' ')] END)) AS sh
+      |  FROM toks),
+      |tf AS (SELECT id, sh, count(*)::BIGINT AS tf FROM sh GROUP BY id, sh),
+      |dfq AS (SELECT sh, count(*)::BIGINT AS df FROM tf GROUP BY sh),
+      |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+      |w AS (
+      |  SELECT tf.id, tf.sh, dfq.df,
+      |    tf.tf::DOUBLE * round(ln((nd.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE), 6) AS w
+      |  FROM tf JOIN dfq USING (sh) CROSS JOIN nd),
+      |nrm AS (
+      |  SELECT id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    array_agg(w * w ORDER BY sh)), (a, b) -> a + b)) AS nrm
+      |  FROM w GROUP BY id),
+      |rare AS (SELECT sh, id FROM w WHERE df <= 3),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM rare a JOIN rare b ON b.sh = a.sh AND a.id < b.id),
+      |prods AS (
+      |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      array_agg(wa.w * wb.w ORDER BY wa.sh)), (a, b) -> a + b) AS dot
+      |  FROM cand c
+      |  JOIN w wa ON wa.id = c.id_a
+      |  JOIN w wb ON wb.id = c.id_b AND wb.sh = wa.sh
+      |  GROUP BY c.id_a, c.id_b),
+      |fin AS (
+      |  SELECT p.id_a, p.id_b, p.n_shared,
+      |    CASE WHEN na.nrm * nb.nrm > 0.0
+      |      THEN p.dot / (na.nrm * nb.nrm) END AS cosine
+      |  FROM prods p
+      |  JOIN nrm na ON na.id = p.id_a
+      |  JOIN nrm nb ON nb.id = p.id_b)
+      |SELECT id_a, id_b, n_shared, cosine FROM fin
+      |WHERE cosine >= '0.3'::DOUBLE
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared by sim_hnsw_topk AND its parquet-round-trip twin
+    * sim_hnsw_reload (both run the exhaustive-exact configuration, so
+    * both must equal the brute-force ranking). */
+  private lazy val HnswExactSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+       |p AS (
+       |  SELECT qid, nid, $dotSql AS dot,
+       |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+       |  FROM q, c WHERE qid <> nid),
+       |sc AS (
+       |  SELECT qid, nid,
+       |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact_dedup" ->
@@ -1574,68 +1676,22 @@ private[graft] object QueriesDedupSim {
     // Exhaustive-exact graph-ANN anchor: by the connectivity theorem the
     // engine result equals the exact ranking, so the oracle is the plain
     // brute-force top-5 — fully LIVE (same cosine fold as the engine).
-    "sim_hnsw_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
-         |p AS (
-         |  SELECT qid, nid, $dotSql AS dot,
-         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
-         |  FROM q, c WHERE qid <> nid),
-         |sc AS (
-         |  SELECT qid, nid,
-         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p)
-         |SELECT query_id, neighbor_id, cosine, rank FROM (
-         |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-         |  FROM sc) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "sim_hnsw_topk" -> HnswExactSql,
+
+    // The parquet save -> reload -> repartitionByShard serve path must
+    // return the identical exact top-k (stored doubles round-trip bit-
+    // exactly; the search is partition-layout-invariant once each cell
+    // is whole again) — same brute-force oracle.
+    "sim_hnsw_reload" -> HnswExactSql,
 
     // TF-IDF near-dup re-derivation: the lshPairCtes tokenization,
     // 6-dp idf, shingle-ordered prepended-0.0 folds for norms and the
     // pair dot, df-capped candidates, threshold cut.
-    "dd_tfidf_neardup" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT id,
-        |    unnest(list_distinct(CASE WHEN len(t) >= 3
-        |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-        |      ELSE [array_to_string(t, ' ')] END)) AS sh
-        |  FROM toks),
-        |tf AS (SELECT id, sh, count(*)::BIGINT AS tf FROM sh GROUP BY id, sh),
-        |dfq AS (SELECT sh, count(*)::BIGINT AS df FROM tf GROUP BY sh),
-        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
-        |w AS (
-        |  SELECT tf.id, tf.sh, dfq.df,
-        |    tf.tf::DOUBLE * round(ln((nd.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE), 6) AS w
-        |  FROM tf JOIN dfq USING (sh) CROSS JOIN nd),
-        |nrm AS (
-        |  SELECT id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |    array_agg(w * w ORDER BY sh)), (a, b) -> a + b)) AS nrm
-        |  FROM w GROUP BY id),
-        |rare AS (SELECT sh, id FROM w WHERE df <= 3),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM rare a JOIN rare b ON b.sh = a.sh AND a.id < b.id),
-        |prods AS (
-        |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      array_agg(wa.w * wb.w ORDER BY wa.sh)), (a, b) -> a + b) AS dot
-        |  FROM cand c
-        |  JOIN w wa ON wa.id = c.id_a
-        |  JOIN w wb ON wb.id = c.id_b AND wb.sh = wa.sh
-        |  GROUP BY c.id_a, c.id_b),
-        |fin AS (
-        |  SELECT p.id_a, p.id_b, p.n_shared,
-        |    CASE WHEN na.nrm * nb.nrm > 0.0
-        |      THEN p.dot / (na.nrm * nb.nrm) END AS cosine
-        |  FROM prods p
-        |  JOIN nrm na ON na.id = p.id_a
-        |  JOIN nrm nb ON nb.id = p.id_b)
-        |SELECT id_a, id_b, n_shared, cosine FROM fin
-        |WHERE cosine >= '0.3'::DOUBLE
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dd_tfidf_neardup" -> TfidfNearDupSql,
+
+    // The parquet-round-trip twin MUST give bit-identical pairs: weights
+    // and norms are stored doubles, and the pair fold order is the same.
+    "dd_tfidf_reload" -> TfidfNearDupSql,
 
     // Reciprocal-kNN re-derivation: the same top-5 ranking both
     // directions, joined on the flipped key, id_a < id_b.

@@ -57,6 +57,17 @@ private[graft] object QueryShared {
         .localCheckpoint(false)
     }
 
+  /** The documents-table TF-IDF stats (weighted postings + per-doc
+    * norms), the round-13 persistable split: built once per (session,
+    * dir) and shared by dd_tfidf_neardup and its parquet-round-trip twin
+    * dd_tfidf_reload — the corpus-wide norm fold is paid once, never per
+    * pair query. */
+  private[graft] def sharedTfidfModel(s: SparkSession, dir: String): graft.operators.TfidfModel =
+    memo(s, s"tfidfModel|$dir") {
+      graft.operators.Dedup.tfidfStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"), shingleN = 3)
+    }
+
   /** sim_ivf_topk / sim_hnsw_recall shard geometry: deterministic Lloyd,
     * 8 cells over the embeddings table — trained once per (session, dir). */
   private[graft] def sharedIvfCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1034,11 +1034,23 @@ object Dedup {
       text: Column,
       shingleN: Int,
       threshold: Double,
-      maxDf: Int): DataFrame = {
-    require(shingleN >= 1, s"tfidfNearDupPairs: shingleN must be >= 1, got $shingleN")
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"tfidfNearDupPairs: threshold must be in (0, 1], got $threshold")
-    require(maxDf >= 2, s"tfidfNearDupPairs: maxDf must be >= 2, got $maxDf")
+      maxDf: Int): DataFrame =
+    tfidfNearDupFromStats(tfidfStats(docs, id, text, shingleN), threshold, maxDf)
+
+  /** The persistable stats half of [[tfidfNearDupPairs]] (round-13, the
+    * r12 CorpusBench note): one corpus pass builds the df/idf-weighted
+    * posting table and the per-doc norms — the two heavy corpus-wide
+    * folds — as plain DataFrames a production pipeline writes ONCE
+    * beside the corpus ([[TfidfModel.save]]) and every subsequent
+    * near-dup query, threshold sweep, or incremental batch reloads
+    * instead of re-folding. Both frames are localCheckpoint-pinned so an
+    * in-session multi-query consumer also pays the pass once. */
+  def tfidfStats(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleN: Int): TfidfModel = {
+    require(shingleN >= 1, s"tfidfStats: shingleN must be >= 1, got $shingleN")
     val base = docs.select(id.as("id"),
       explode(wordShingles(text, shingleN)).as("sh"))
     // wordShingles is DISTINCT per doc -> tf is 1; keep the count agg so
@@ -1057,6 +1069,25 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("sh"), col("w")))),
           x => x.getField("w") * x.getField("w")),
         lit(0.0), (acc, x) => acc + x)).as("nrm"))
+      .localCheckpoint(false)
+    TfidfModel(weighted.select(col("id"), col("sh"), col("df"), col("w")), norms)
+  }
+
+  /** The pair half of [[tfidfNearDupPairs]]: df-capped candidate join +
+    * exact full-vector cosine, consuming a [[TfidfModel]] (fresh-built or
+    * parquet-reloaded — bit-identical either way: weights and norms are
+    * stored values, and the pair dot still folds in shingle-sorted
+    * order). Threshold and df-cap are pair-step knobs, so a sweep never
+    * re-pays the stats pass. */
+  def tfidfNearDupFromStats(
+      model: TfidfModel,
+      threshold: Double,
+      maxDf: Int): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"tfidfNearDupFromStats: threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 2, s"tfidfNearDupFromStats: maxDf must be >= 2, got $maxDf")
+    val weighted = model.weighted
+    val norms = model.norms
     val rare = weighted.filter(col("df") <= maxDf).select(col("sh"), col("id"))
     val cand = rare.as("a").join(rare.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))
@@ -1081,4 +1112,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
+}
+
+/** Persisted TF-IDF corpus statistics (round-13): `weighted` is the
+  * posting table (id, sh, df, w) — one row per (document, shingle) with
+  * its document frequency and 6-dp-idf weight; `norms` is the per-doc
+  * L2 norm (id, nrm). Together they are everything
+  * [[Dedup.tfidfNearDupFromStats]] needs: build once with
+  * [[Dedup.tfidfStats]], [[TfidfModel.save]] beside the corpus, reload
+  * with [[TfidfModel.load]] for every later pair query — the production
+  * shape at 100 TB, where the stats pass dwarfs any single pair query. */
+final case class TfidfModel(weighted: DataFrame, norms: DataFrame) {
+  def save(dir: String): Unit = {
+    weighted.write.mode("overwrite").parquet(s"$dir/weighted.parquet")
+    norms.write.mode("overwrite").parquet(s"$dir/norms.parquet")
+  }
+}
+
+object TfidfModel {
+  def load(spark: SparkSession, dir: String): TfidfModel = TfidfModel(
+    spark.read.parquet(s"$dir/weighted.parquet"),
+    spark.read.parquet(s"$dir/norms.parquet"))
 }
