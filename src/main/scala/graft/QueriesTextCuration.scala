@@ -492,16 +492,26 @@ private[graft] object QueriesTextCuration {
     // merge loop is not SQL-expressible, so the oracle is a reviewed
     // VALUES pin (fixture-backed: SF-independent, always checked).
     "txt_bpe_encode" -> ((s, _) => {
-      import s.implicits._
-      val corpus = Seq(
-        (1L, "low low low low low"),
-        (2L, "lower lower"),
-        (3L, "newest newest newest newest newest newest"),
-        (4L, "widest widest widest"),
-        (5L, "the lowest newest widest low"),
-      ).toDF("id", "text")
+      val corpus = bpeFixtureCorpus(s)
       val merges = graft.operators.Bpe.train(corpus, col("text"), nMerges = 8)
       graft.operators.Bpe.encode(corpus, col("id"), col("text"), merges)
+        .select(col("id"), col("n_tokens"),
+          array_join(col("tokens"), " ").as("token_str"))
+        .orderBy(col("id"))
+    }),
+
+    // BPE artifact round-trip (round-13): the trained merge table written
+    // to parquet (rank, left, right), reloaded, and the encode runs off
+    // the RELOADED ranks — the production shape (train once, ship the
+    // artifact). Rank order is stored explicitly, so the round trip is
+    // exact: same fixture pin as txt_bpe_encode.
+    "txt_bpe_reload" -> ((s, _) => {
+      val corpus = bpeFixtureCorpus(s)
+      val merges = graft.operators.Bpe.train(corpus, col("text"), nMerges = 8)
+      val outDir = demoTempDir(s, "bpe")
+      graft.operators.Bpe.saveMerges(s, merges, outDir)
+      graft.operators.Bpe.encode(corpus, col("id"), col("text"),
+        graft.operators.Bpe.loadMerges(s, outDir))
         .select(col("id"), col("n_tokens"),
           array_join(col("tokens"), " ").as("token_str"))
         .orderBy(col("id"))
@@ -1282,6 +1292,24 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram artifact round-trip (round-13): the fixture-trained
+    // vocabulary written as a parquet (piece, cost, max_piece_len)
+    // table, reloaded, and the Viterbi encode runs off the RELOADED
+    // model. Costs are integer-quantized, so the round trip is exact by
+    // construction — same pin as txt_unigram_encode, same live Viterbi
+    // rederive.
+    "txt_unigram_reload" -> ((s, dir) => {
+      val outDir = demoTempDir(s, "unigram")
+      graft.operators.Unigram.saveModel(s, sharedUnigramModel(s), outDir)
+      val model = graft.operators.Unigram.loadModel(s, outDir)
+      graft.operators.Unigram.encode(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        col("doc_id"), col("text"), model, viterbi = true)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy longest-match inference (the WordPiece rule) under the SAME
     // fixture-trained unigram vocabulary: the left-to-right functional
     // iteration is replayed LIVE by a recursive-CTE oracle whose piece
@@ -1297,6 +1325,34 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** The deterministic BPE training fixture shared by txt_bpe_encode and
+    * its artifact-round-trip twin txt_bpe_reload. */
+  private def bpeFixtureCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest"),
+      (5L, "the lowest newest widest low"),
+    ).toDF("id", "text")
+  }
+
+  // reviewed pin (gen_values_oracle): newest (7 occurrences, the most
+  // frequent word) merges to one token; widest only reaches est</w>
+  // before the 8-merge budget ends; lowest composes low + est</w>.
+  // Shared by txt_bpe_encode AND txt_bpe_reload (the reloaded merge
+  // table restores rank order exactly, so both must pin identically).
+  private val BpeEncodeSql: String =
+    """SELECT c0::BIGINT AS "id", c1::BIGINT AS "n_tokens", c2::VARCHAR AS "token_str"
+      |FROM (VALUES
+      |  (1, 10, 'low </w> low </w> low </w> low </w> low </w>'),
+      |  (2, 8, 'low e r </w> low e r </w>'),
+      |  (3, 6, 'newest</w> newest</w> newest</w> newest</w> newest</w> newest</w>'),
+      |  (4, 12, 'w i d est</w> w i d est</w> w i d est</w>'),
+      |  (5, 13, 't h e </w> low est</w> newest</w> w i d est</w> low </w>'))
+      |AS t(c0, c1, c2) ORDER BY "id"""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "txt_wordpiece_encode" -> {
@@ -1340,6 +1396,11 @@ private[graft] object QueriesTextCuration {
 
     "txt_unigram_encode" -> PinnedOracles.sql.getOrElse("txt_unigram_encode",
       "SELECT NULL AS missing_pin_txt_unigram_encode"),
+
+    // identical output to txt_unigram_encode by the exact-artifact
+    // round-trip argument; own machine pin so per-SF overlays apply.
+    "txt_unigram_reload" -> PinnedOracles.sql.getOrElse("txt_unigram_reload",
+      "SELECT NULL AS missing_pin_txt_unigram_reload"),
 
     "txt_vocabulary" ->
       """SELECT token, count(*) AS n FROM (
@@ -3133,18 +3194,8 @@ private[graft] object QueriesTextCuration {
          |  split_a <> split_b AS crosses_split
          |FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
 
-    // reviewed pin (gen_values_oracle): newest (7 occurrences, the most
-    // frequent word) merges to one token; widest only reaches est</w>
-    // before the 8-merge budget ends; lowest composes low + est</w>
-    "txt_bpe_encode" ->
-      """SELECT c0::BIGINT AS "id", c1::BIGINT AS "n_tokens", c2::VARCHAR AS "token_str"
-        |FROM (VALUES
-        |  (1, 10, 'low </w> low </w> low </w> low </w> low </w>'),
-        |  (2, 8, 'low e r </w> low e r </w>'),
-        |  (3, 6, 'newest</w> newest</w> newest</w> newest</w> newest</w> newest</w>'),
-        |  (4, 12, 'w i d est</w> w i d est</w> w i d est</w>'),
-        |  (5, 13, 't h e </w> low est</w> newest</w> w i d est</w> low </w>'))
-        |AS t(c0, c1, c2) ORDER BY "id"""".stripMargin,
+    "txt_bpe_encode" -> BpeEncodeSql,
+    "txt_bpe_reload" -> BpeEncodeSql,
 
     "tdp_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
@@ -3475,7 +3526,16 @@ private[graft] object QueriesTextCuration {
     // (engine) equals global enumeration min because cost and n_tokens
     // are additive and equal-coverage prefixes can never be string-
     // prefixes of each other (equal char count + equal space count).
-    "txt_unigram_encode" -> {
+    "txt_unigram_encode" -> UnigramViterbiRederiveSql,
+
+    // the reload twin re-derives against the SAME live Viterbi SQL: a
+    // lossy save/load would desync the segmentation and redden this row
+    "txt_unigram_reload" -> UnigramViterbiRederiveSql,
+  ) ++ rederiveSqlRest
+
+  /** Live Viterbi re-derivation shared by txt_unigram_encode and
+    * txt_unigram_reload (see the rederiveSql comment above). */
+  private lazy val UnigramViterbiRederiveSql: String = {
       val pieceRows = unigramFixtureModel.costs.toSeq.sorted
         .map { case (p, c) => s"('${p.replace("'", "''")}', ${c}::BIGINT)" }
         .mkString(", ")
@@ -3522,7 +3582,10 @@ private[graft] object QueriesTextCuration {
          |  coalesce(a.tokens_str, '') AS tokens_str
          |FROM d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
-    },
+  }
+
+  // lazy: referenced by rederiveSql above, which initializes first
+  private lazy val rederiveSqlRest: Map[String, String] = Map(
     "txt_boilerplate_fx" -> boilerplateScrubSql(
       """(SELECT c0::BIGINT AS id, c1::VARCHAR AS text FROM (VALUES
         |  (1, 'COOKIE BANNER' || chr(10) || 'alpha beta' || chr(10) || 'footer'),

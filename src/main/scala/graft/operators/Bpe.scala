@@ -93,6 +93,31 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist trained merges as ONE parquet table (rank, left, right) —
+    * the production tokenizer artifact (round-13): train once, ship the
+    * table, every encode job loads it instead of re-training. Rank order
+    * IS the semantics (rank 0 applies first), stored explicitly so the
+    * round trip never depends on file order. */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)],
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/bpe_merges.parquet")
+  }
+
+  /** Load a [[saveMerges]] artifact, restoring rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/bpe_merges.parquet")
+      .select(col("rank"), col("left"), col("right"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+
   /** Greedy BPE encode of one word (public for tests). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
     var syms = word.map(_.toString).toVector :+ EndOfWord

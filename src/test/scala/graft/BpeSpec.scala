@@ -45,6 +45,18 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("xyz", ranks) == Vector("x", "y", "z", "</w>"))
   }
 
+  test("saveMerges/loadMerges parquet round-trip preserves rank order") {
+    val merges = Bpe.train(corpus, col("text"), nMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-rt").toString
+    Bpe.saveMerges(spark, merges, dir)
+    val back = Bpe.loadMerges(spark, dir)
+    // rank order IS the semantics: the reloaded sequence must be equal
+    assert(back == merges)
+    val r1 = merges.zipWithIndex.toMap
+    val r2 = back.zipWithIndex.toMap
+    assert(Bpe.encodeWord("lowest", r2) == Bpe.encodeWord("lowest", r1))
+  }
+
   test("encode: distributed output matches per-word greedy encode, null text is empty") {
     val merges = Bpe.train(corpus, col("text"), nMerges = 5)
     val docs = Seq((1L, "low lowest"), (2L, null.asInstanceOf[String])).toDF("id", "text")

@@ -120,6 +120,9 @@ class OracleParitySpec extends AnyFunSuite {
     "dd_tfidf_neardup" ->
       ("idf is round(ln-ratio, 6) on both engines (the pmi contract); weights, " +
         "shingle-sorted norm/dot folds, and the cosine are fixed-association IEEE over those"),
+    "dd_tfidf_reload" ->
+      ("same contract as dd_tfidf_neardup; weights/norms additionally round-trip " +
+        "through parquet as stored doubles (bit-exact by construction)"),
     "txt_quality_ensemble" ->
       ("lm_score is the 6-dp decimal contract; heuristic/model signals and the " +
         "calibrated CDF ratios are exact rationals; the ensemble is a " +

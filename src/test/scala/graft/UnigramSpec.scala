@@ -58,6 +58,20 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.longestMatchEncodeWord("", model).isEmpty)
   }
 
+  test("saveModel/loadModel parquet round-trip is exact") {
+    val model = QueryShared.unigramFixtureModel
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-rt").toString
+    Unigram.saveModel(spark, model, dir)
+    val back = Unigram.loadModel(spark, dir)
+    // costs are integer-quantized and maxPieceLen is stored, so the
+    // reloaded model must be EQUAL, not just equivalent
+    assert(back.costs == model.costs)
+    assert(back.maxPieceLen == model.maxPieceLen)
+    // and segmentation from the reloaded artifact is identical
+    for (w <- Seq("unhappiness", "tokenizer", "qzx"))
+      assert(Unigram.viterbiEncodeWord(w, back) == Unigram.viterbiEncodeWord(w, model))
+  }
+
   test("encode: distributed output is partitioning-invariant, nulls empty") {
     val model = QueryShared.unigramFixtureModel
     val docs = Seq((1L, "the unhappiest tokenizer"), (2L, null.asInstanceOf[String]))
