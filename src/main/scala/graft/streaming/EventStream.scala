@@ -335,6 +335,83 @@ object EventStream {
       .orderBy(col("window_start"), col("bucket"))
   }
 
+  final case class SessionEvent(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class GapSessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n: Long, sum_value: Double)
+
+  /** Gap-based sessionization with ARBITRARY keyed state —
+    * `flatMapGroupsWithState` + event-time timeout (round-13, the one
+    * Structured Streaming state primitive the built-in `session_window`
+    * doesn't exercise: custom state shape, explicit timeout lifecycle,
+    * multi-row emission). A user's session closes two ways, both exact:
+    *  - SUPERSESSION: a new event more than `gapMinutes` after the
+    *    session's last event closes it in-line (emitted that batch) and
+    *    opens the next;
+    *  - TIMEOUT: the watermark passing last-event + gap fires
+    *    `hasTimedOut` for keys with no new data — the state is emitted
+    *    and evicted, so idle keys never grow the store (the 100 TB state
+    *    bound).
+    * Within a batch a key's rows are ts-sorted before folding, so the
+    * emitted sessions are a pure function of (fixture, batch split);
+    * across batches the event-time timeout makes emission content
+    * identical no matter WHICH batch fires it — the batch-twin oracle is
+    * plain LAG-gap sessionization over the same rows.
+    *
+    * @return append stream of closed sessions
+    *         (user_id, session_start, session_end, n, sum_value) */
+  def gapSessions(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(gapMinutes >= 1, s"gapSessions: gapMinutes must be >= 1, got $gapMinutes")
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[GapSessionState]) =>
+          def close(s: GapSessionState): ClosedSession = ClosedSession(
+            user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.total)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            // ts-sort within the batch: the iterator order is not defined
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Vector.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  out += close(s)
+                  cur = Some(GapSessionState(t, t, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(GapSessionState(s.start, math.max(s.last, t),
+                    s.n + 1L, s.total + e.value))
+                case None =>
+                  cur = Some(GapSessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   final case class Event(event_id: Long, user_id: Long, value: Double)
   final case class SessionState(n: Long, total: Double)
   final case class SessionUpdate(user_id: Long, n: Long, total: Double)

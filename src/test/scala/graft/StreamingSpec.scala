@@ -541,4 +541,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq(
       ("2024-01-01 00:00:00", "a", 2L, 1), ("2024-01-01 00:00:00", "b", 1L, 2)))
   }
+
+  test("gapSessions: supersession and event-time timeout both close exactly once") {
+    // the e_stateful_session fixture trajectory, pinned (the LateDataSpec
+    // discipline): u1-A closes by SUPERSESSION when 11:02 arrives (gap 52
+    // min > 30), u2 closes by TIMEOUT under wm 10:52 (timeout 10:48),
+    // u1-B by TIMEOUT under wm 12:50 (timeout 11:32); the sentinel user
+    // 99 drives the watermark and emits nothing (its state dies with the
+    // stream, unfired).
+    def ev(id: Long, ts: String, u: Long, v: Double): String =
+      s"""{"event_id":$id,"ts":"2024-03-01T$ts:00.000Z","user_id":$u,"event_type":"x","value":$v}"""
+    val batches = Seq(
+      Seq(ev(1, "10:00", 1, 1), ev(2, "10:10", 1, 2), ev(3, "10:05", 2, 10)),
+      Seq(ev(4, "11:02", 1, 3), ev(5, "10:18", 2, 11)),
+      Seq(ev(90, "13:00", 99, 0)),
+      Seq(ev(91, "13:30", 99, 0)),
+    )
+    val got = graft.streaming.StreamHarness.runBatches(spark, batches,
+      df => EventStream.gapSessions(df, gapMinutes = 30))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Timestamp]("session_start").toInstant.toString,
+        r.getAs[Timestamp]("session_end").toInstant.toString,
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSeq
+    assert(got == Seq(
+      (1L, "2024-03-01T10:00:00Z", "2024-03-01T10:10:00Z", 2L, 3.0),
+      (1L, "2024-03-01T11:02:00Z", "2024-03-01T11:02:00Z", 1L, 3.0),
+      (2L, "2024-03-01T10:05:00Z", "2024-03-01T10:18:00Z", 2L, 21.0)))
+    // sentinel's own state never emitted — exactly the 3 real sessions
+    assert(got.size == 3)
+  }
 }
