@@ -513,6 +513,30 @@ private[graft] object QueriesDedupSim {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Incremental NSW index maintenance (round-13): the index is built
+    // over vec_id >= 100 only, then the first 100 vectors arrive as a
+    // NEW batch folded in by insertIntoIndex — only their cells rebuild,
+    // untouched shards pass through by reference. buildShard inserts in
+    // ascending id order regardless of arrival, so the merged index is
+    // bit-identical to a full fresh build; at the exhaustive-exact
+    // configuration the query must therefore equal the plain brute-force
+    // ranking over the WHOLE corpus (same live oracle as sim_hnsw_topk).
+    "sim_hnsw_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (cents, merged) = memo(s, s"hnswInsert|$dir") {
+        val c = Similarity.deterministicCentroids(e, nCells = 4, iters = 3)
+        val base = graft.operators.Hnsw.buildNswIndex(
+          e.filter(col("id") >= 100), c, m = 4, efConstruction = 16)
+        (c, graft.operators.Hnsw.insertIntoIndex(
+          base, c, e.filter(col("id") < 100), m = 4, efConstruction = 16)
+          .localCheckpoint(false))
+      }
+      graft.operators.Hnsw.nswTopK(merged, cents, e.filter(col("id") < 10),
+        k = 5, nProbe = 4, efSearch = 1 << 20)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // NSW index persistence round-trip (round-13): the SAME built index
     // written as cell-partitioned parquet, read back, passed through
     // repartitionByShard (Hnsw.scala's reload contract — parquet splits
@@ -1683,6 +1707,11 @@ private[graft] object QueriesDedupSim {
     // exactly; the search is partition-layout-invariant once each cell
     // is whole again) — same brute-force oracle.
     "sim_hnsw_reload" -> HnswExactSql,
+
+    // Incremental insert == full rebuild (buildShard's ascending-id
+    // insertion makes rebuilt shards bit-identical), so the
+    // exhaustive-exact query equals the same brute-force ranking.
+    "sim_hnsw_insert" -> HnswExactSql,
 
     // TF-IDF near-dup re-derivation: the lshPairCtes tokenization,
     // 6-dp idf, shingle-ordered prepended-0.0 folds for norms and the

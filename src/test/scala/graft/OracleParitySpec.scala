@@ -110,8 +110,12 @@ class OracleParitySpec extends AnyFunSuite {
       "bm25 score is round(.., 6)-ed on both engines before the ranking cut",
     "txt_lm_score" ->
       "per-doc mean nll is round(.., 6)-ed on both engines",
+    "txt_lm_reload" ->
+      "same contract as txt_lm_score; counts/k round-trip through parquet exactly",
     "txt_lr_train" ->
       "weights are integer-quantized gradient accumulations rendered at fixed scale",
+    "txt_lr_reload" ->
+      "same contract as txt_lr_train; stored weight doubles round-trip exactly",
     "txt_pmi_bigrams" ->
       "pmi is round(ln-ratio, 6)-ed on both engines (driver-green since r5)",
     "txt_bleu_pairs" ->
