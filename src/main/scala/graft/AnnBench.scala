@@ -143,6 +143,29 @@ object AnnBench {
       pairs(graft.operators.Hnsw.nswTopK(nswIdx, ivfIdx.centroids, queries,
         k = 10, nProbe = hnswProbe, efSearch = hnswEf))
     }
+    // round-13: incremental index maintenance. A LOCALIZED 10k batch —
+    // jittered copies of one existing region, the "tonight's crawl is
+    // topically clustered" shape — lands in a handful of cells, so
+    // insertIntoIndex rebuilds only those shards while the other
+    // ~ivfCells pass through by reference. The honest comparison is
+    // tNswBuild (the full rebuild this replaces); the affected-cell
+    // count is printed so the ratio reads as mechanism, not luck.
+    val (insCells, tInsert) = time {
+      val newVecs = spark.range(nVecs, nVecs + 10000).select(col("id"),
+        array((0 until dim).map(i =>
+          comp(lit(7L), i) +
+            (pmod(xxhash64(col("id") * lit(dim) + lit(i)), lit(1000L)).cast("double") /
+              lit(100000.0))): _*).as("vec"))
+      val merged = graft.operators.Hnsw.insertIntoIndex(nswIdx, ivfIdx.centroids,
+        newVecs, m = hnswM, efConstruction = hnswM * 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      merged.write.format("noop").mode("overwrite").save()
+      // affected cells = distinct cells of the NEW nodes (reads the pin)
+      val c = merged.toDF().filter(col("id") >= nVecs)
+        .select(col("cell")).distinct().count()
+      merged.unpersist()
+      c
+    }
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
@@ -175,7 +198,7 @@ object AnnBench {
     val pqPlanted = (pqSet & planted).size.toDouble / math.max(planted.size, 1)
 
     println(
-      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"outlier_rows":$nOut,"scaled_hits":$nScaled,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"hnsw_recall":$nswRecall%.3f,"hnsw_m":$hnswM,"hnsw_ef":$hnswEf,"hnsw_probe":$hnswProbe,"hnsw_planted_recall":$nswPlanted%.3f,"hnsw_speedup_vs_bf":${tBf / math.max(tNsw, 1e-9)}%.1f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"hnsw_build":$tNswBuild%.1f,"hnsw_query_100q":$tNsw%.1f,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f,"label_outliers":$tOutliers%.1f,"minmax_scale":$tScale%.1f}}""")
+      f"""{"metric":"ann_bench","n_vecs":$n,"bf_rows":${bfSet.size},"lsh_rows":${lshSet.size},"ivf_rows":${ivfSet.size},"neardup_pairs":$nPairs,"outlier_rows":$nOut,"scaled_hits":$nScaled,"ivf_cells":$ivfCells,"ivf_probe":$ivfProbe,"ivf_iters":$ivfIters,"ivf_train":$ivfTrain,"lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,"hnsw_recall":$nswRecall%.3f,"hnsw_m":$hnswM,"hnsw_ef":$hnswEf,"hnsw_probe":$hnswProbe,"hnsw_planted_recall":$nswPlanted%.3f,"hnsw_speedup_vs_bf":${tBf / math.max(tNsw, 1e-9)}%.1f,"quant_recall":$quantRecall%.3f,"pq_recall":$pqRecall%.3f,"ivfpq_recall":$ivfPqRecall%.3f,"ivf_planted_recall":$ivfPlanted%.3f,"lsh_planted_recall":$lshPlanted%.3f,"quant_planted_recall":$quantPlanted%.3f,"pq_planted_recall":$pqPlanted%.3f,"ivf_speedup_vs_bf":${tBf / math.max(tIvf, 1e-9)}%.1f,"sec":{"bruteforce_100q":$tBf%.1f,"lsh_topk_100q":$tLsh%.1f,"quantized_100q":$tQuant%.1f,"pq_train":$tPqTrain%.1f,"pq_topk_100q":$tPq%.1f,"ivfpq_100q":$tIvfPq%.1f,"ivf_build":$tIvfBuild%.1f,"ivf_query_100q":$tIvf%.1f,"hnsw_build":$tNswBuild%.1f,"hnsw_query_100q":$tNsw%.1f,"hnsw_insert_10k":$tInsert%.1f,"hnsw_insert_cells":$insCells,"ivf_query_first":$tIvfQ1%.1f,"neardup_pairs":$tPairs%.1f,"label_outliers":$tOutliers%.1f,"minmax_scale":$tScale%.1f}}""")
     nswIdx.unpersist()
     ivfIdx.release()
     vecs.unpersist() // the synthetic corpus is done — free it before the SF phase
