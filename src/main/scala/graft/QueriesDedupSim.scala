@@ -664,9 +664,10 @@ private[graft] object QueriesDedupSim {
   )
 
   /** Shared by dd_tfidf_neardup AND its parquet-round-trip twin
-    * dd_tfidf_reload: reloaded weights/norms are stored doubles, so the
-    * pair step is bit-identical either way. */
-  private val TfidfNearDupSql: String =
+    * dd_tfidf_reload (reloaded weights/norms are stored doubles, so the
+    * pair step is bit-identical either way), and embedded as a subquery
+    * by pipeline_artifact_serve's oracle. */
+  private[graft] val TfidfNearDupSql: String =
     """WITH toks AS (
       |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents),

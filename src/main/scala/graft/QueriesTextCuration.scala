@@ -487,6 +487,34 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // The composed SERVE path off persisted artifacts (round-13): the
+    // TF-IDF corpus statistics and the bigram LM are written as parquet,
+    // reloaded, and COMPOSED — near-dup partners flagged from the
+    // reloaded stats, every document scored under the reloaded LM — the
+    // exact job a production pipeline runs nightly without ever
+    // re-deriving a model. The oracle composes the same two live SQL
+    // re-derivations as subqueries, so a lossy artifact or a composition
+    // bug reddens the row.
+    "pipeline_artifact_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tDir = demoTempDir(s, "tfidf_serve")
+      sharedTfidfModel(s, dir).save(tDir)
+      val pairs = graft.operators.Dedup.tfidfNearDupFromStats(
+        graft.operators.TfidfModel.load(s, tDir), threshold = 0.3, maxDf = 3)
+      val lDir = demoTempDir(s, "lm_serve")
+      graft.operators.LanguageModel.saveBigramLm(sharedLm(s, dir), lDir)
+      val lm = graft.operators.LanguageModel.loadBigramLm(s, lDir)
+      val scored = graft.operators.LanguageModel
+        .scoreBigramLm(docs, col("doc_id"), col("text"), lm)
+        .withColumnRenamed("id", "doc_id")
+      val dups = pairs.select(col("id_b").as("doc_id")).distinct()
+        .withColumn("_dup", lit(1))
+      scored.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_dup").isNotNull.as("is_dup_partner"),
+          col("n_tokens"), col("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Classifier artifact round-trip (round-13): the trained weights
     // written as (idx, weight) parquet, reloaded, and inference runs off
     // the RELOADED vector — stored doubles are exact, so scores are
@@ -3552,7 +3580,17 @@ private[graft] object QueriesTextCuration {
     * shares its source query's live oracle verbatim. */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "txt_lr_reload" -> oracleSqlBase("txt_lr_train"),
-    "txt_lm_reload" -> oracleSqlBase("txt_lm_score"))
+    "txt_lm_reload" -> oracleSqlBase("txt_lm_score"),
+    // compose the two live re-derivations exactly as the engine composes
+    // the two reloaded artifacts (DuckDB allows WITH inside subqueries)
+    "pipeline_artifact_serve" ->
+      s"""SELECT s.doc_id, (dup.doc_id IS NOT NULL) AS is_dup_partner,
+         |  s.n_tokens, s.lm_score
+         |FROM (${lmScoreSql("(SELECT doc_id AS id, text FROM documents)", 20, 400)}) s
+         |LEFT JOIN (
+         |  SELECT DISTINCT id_b AS doc_id FROM (${QueriesDedupSim.TfidfNearDupSql})
+         |) dup ON dup.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin)
 
   val rederiveSql: Map[String, String] = Map(
     "txt_ensemble_calibration" -> ensembleCalibrationSql,

@@ -112,6 +112,9 @@ class OracleParitySpec extends AnyFunSuite {
       "per-doc mean nll is round(.., 6)-ed on both engines",
     "txt_lm_reload" ->
       "same contract as txt_lm_score; counts/k round-trip through parquet exactly",
+    "pipeline_artifact_serve" ->
+      ("composition of the txt_lm_score and dd_tfidf_neardup contracts: the 6-dp " +
+        "lm mean-nll plus a boolean dup flag from the tfidf pair subquery"),
     "txt_lr_train" ->
       "weights are integer-quantized gradient accumulations rendered at fixed scale",
     "txt_lr_reload" ->
