@@ -16,6 +16,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: a 285-query suite generates far more
+      // codegen units than that, so the generated-class cache THRASHES —
+      // every repeat of a late-alphabet query re-pays Janino compilation
+      // (the round-13 adjudication of the r12 "n-gram family CPU drift":
+      // tdp_dataset_card burned 121 CPU-s in-suite vs 24 isolated on
+      // identical plans). Sized to hold the whole suite's units once.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

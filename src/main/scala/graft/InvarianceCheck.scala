@@ -37,6 +37,9 @@ object InvarianceCheck {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: the full-suite run thrashes the
+      // generated-class cache otherwise (see Bench.scala / PLANS.md r13)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = SparkEntry.queries.toSeq.sortBy(_._1)
