@@ -251,6 +251,23 @@ private[graft] object QueriesEventsQuality {
         col("lang"), col("pred"))
     }),
 
+    // Fleiss' kappa (round-13): many-rater chance-corrected agreement —
+    // panel = each user's FIRST 5 events (ts, event_id order), category =
+    // event_type; users with fewer than 5 events are excluded by the
+    // operator's fixed-panel gate (both branches exercised). All sums
+    // exact BIGINTs, three single exactly-rounded divisions.
+    "dq_fleiss_kappa" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val panel = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 5)
+      graft.operators.DataQuality.fleissKappa(
+        panel, col("user_id"), col("event_type"), n = 5)
+    }),
+
     // pass@k (round-9): HumanEval-style unbiased estimator per user task
     // group — fixed-order IEEE product fold, n<k NULL, n-c<k exactly 1.
     "dq_k_anonymity" -> ((s, dir) => {
@@ -1398,6 +1415,40 @@ private[graft] object QueriesEventsQuality {
     // Cohen's kappa re-derivation: the dq_langid_confusion prediction
     // CTEs, then pure exact-integer marginal products and three single
     // exactly-rounded divisions in the engine's association order.
+    // Fleiss re-derivation: same first-5 panel, (item, category) cells,
+    // ragged-item gate, exact BIGINT sums S2/total/C2, then the three
+    // single divisions in the engine's association order.
+    "dq_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT user_id, event_type FROM r WHERE rn <= 5),
+        |cells AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS o FROM f GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT user_id FROM (SELECT user_id, sum(o) AS t FROM cells GROUP BY 1)
+        |  WHERE t = 5),
+        |kc AS (SELECT c.* FROM cells c JOIN keep k USING (user_id)),
+        |s AS (
+        |  SELECT coalesce(sum(o * o), 0)::BIGINT AS s2,
+        |    coalesce(sum(o), 0)::BIGINT AS total FROM kc),
+        |c2t AS (
+        |  SELECT coalesce(sum(cj * cj), 0)::BIGINT AS c2 FROM (
+        |    SELECT event_type, sum(o)::BIGINT AS cj FROM kc GROUP BY 1)),
+        |st AS (
+        |  SELECT (total // 5)::BIGINT AS n_items, 5::BIGINT AS n_raters,
+        |    CASE WHEN total > 0
+        |      THEN (s2 - total)::DOUBLE / (total * 4)::DOUBLE END AS p_bar,
+        |    CASE WHEN total > 0
+        |      THEN c2::DOUBLE / (total * total)::DOUBLE END AS p_e
+        |  FROM s CROSS JOIN c2t)
+        |SELECT n_items, n_raters, p_bar, p_e,
+        |  CASE WHEN p_e < '1.0'::DOUBLE
+        |       THEN (p_bar - p_e) / ('1.0'::DOUBLE - p_e) END AS kappa
+        |FROM st""".stripMargin,
+
     "dq_cohen_kappa" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks

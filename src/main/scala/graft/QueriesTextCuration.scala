@@ -351,6 +351,21 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Priority sampling (round-13): EXACT-n weighted sample with unbiased
+    // subset-sum weights (Duffield-Lund-Thorup) — priority = w/u from the
+    // md5-uniform, top-100 by priority, est_weight = max(w, tau) with tau
+    // the 101st priority. The oracle re-derives through ONE flat global
+    // window — independent of the engine's TakeOrdered decomposition. No
+    // transcendentals anywhere (the u^(1/w) key of Efraimidis-Spirakis
+    // would be libm-dependent); every op is an exactly-rounded IEEE
+    // add/divide/max, so the sampled set AND weights hash bit-identically.
+    "tdp_weighted_sample" -> ((s, dir) => {
+      graft.operators.Curation.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), n = 100L)
+        .orderBy(col("doc_id"))
+    }),
+
     // HARD per-source token quota (round-11): the "cap any single
     // domain" gate mixture planning can't enforce — exact running-total
     // ceiling in a deterministic md5 admission order, computed as a
@@ -2144,6 +2159,29 @@ private[graft] object QueriesTextCuration {
         |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
         |  FROM documents)
         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+    // Priority-sample re-derivation: the same priority draw (w over the
+    // (h+1)/2^32 md5-uniform — both exactly-rounded IEEE ops in the
+    // engine's association order), then ONE flat global rank window and
+    // the 101st-priority threshold — independent of the engine's
+    // per-partition TakeOrdered heaps.
+    "tdp_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    n_chars::DOUBLE /
+        |      ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE + 1.0)
+        |        / 4294967296.0) AS q
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars::DOUBLE > 0.0),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY q DESC, doc_id::VARCHAR ASC) AS rn
+        |  FROM p),
+        |tau AS (
+        |  SELECT coalesce(max(CASE WHEN rn = 101 THEN q END), 0.0) AS tau FROM r)
+        |SELECT doc_id, source, n_chars, q AS priority,
+        |  greatest(n_chars::DOUBLE, tau) AS est_weight
+        |FROM r CROSS JOIN tau WHERE rn <= 100
+        |ORDER BY doc_id""".stripMargin,
 
     // Time-embargo re-derivation: the cutoff as a flat global order
     // statistic (rank = (n-1)*80//100 + 1 over the sorted multiset —

@@ -987,6 +987,72 @@ object Curation {
       .drop("_pps_total", "_pps_p")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007, JACM 54(32),
+    * "Priority sampling for estimation of arbitrary subset sums") — the
+    * EXACT-n weighted complement of [[ppsSample]] (expected-n Poisson
+    * PPS) and [[exactSample]] (exact-n uniform): each row draws priority
+    * q_i = w_i / u_i with u_i uniform in (0, 1], the sample is the n
+    * highest-priority rows, and with tau = the (n+1)-th priority the
+    * estimator w-hat_i = max(w_i, tau) makes every downstream subset sum
+    * Σ_sample w-hat_i an UNBIASED estimate of the population subset sum —
+    * the "exactly 10M docs, weighted by tokens, still statistically
+    * sound" contract ("give me a fixed-size weighted sample whose totals
+    * I can trust") that neither fixed-rate PPS nor uniform exact-n honors.
+    *
+    * Determinism / engine parity: u_i = (h_i + 1) / 2^32 from the 32-bit
+    * md5 prefix of the key (the [[stratifiedSample]] scheme; +1 keeps u
+    * in (0, 1] so q is finite), and q is two exactly-rounded IEEE ops
+    * (one add folded into u, one divide) — NO transcendentals, unlike the
+    * classical Efraimidis–Spirakis u^(1/w) key whose pow()/log() would be
+    * libm-dependent cross-engine. Ties on q break on the key string.
+    *
+    * Scale shape: the priority is a pure zero-shuffle projection; the
+    * top-(n+1) cut is orderBy+limit — Spark plans TakeOrderedAndProject
+    * (per-partition bounded heaps merged on the driver), so nothing
+    * corpus-sized shuffles or sorts; n is a driver-bounded sample-size
+    * contract (same bound class as [[exactSample]]'s histogram). The
+    * (n+1)-row ranked frame then pays one bounded single-partition
+    * window + a broadcast 1-row tau join.
+    *
+    * Rows with a NULL key or NULL/non-positive weight are excluded (no
+    * priority exists for them). If the population has <= n rows the whole
+    * population returns with tau = 0, i.e. est_weight = weight exactly —
+    * the estimator's exhaustive case.
+    *
+    * @return original columns + `priority` (the draw, diagnostic) +
+    *         `est_weight` (max(weight, tau) — the unbiased HT-style
+    *         weight for downstream subset sums). */
+  def prioritySample(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      n: Long,
+  ): DataFrame = {
+    require(n > 0 && n < Int.MaxValue, s"prioritySample: n must be in [1, 2^31), got $n")
+    val base = df.columns
+    val scored = df
+      .filter(key.isNotNull && weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("_ps_k", key.cast("string"))
+      .withColumn("_ps_w", weight.cast("double"))
+      .withColumn("_ps_q",
+        col("_ps_w") /
+          ((TextFunctions.portableHash32(col("_ps_k")).cast("double") + lit(1.0)) /
+            lit(4294967296.0)))
+    // TakeOrderedAndProject: per-partition top-(n+1) heaps, driver merge
+    val top = scored.orderBy(col("_ps_q").desc, col("_ps_k").asc).limit((n + 1).toInt)
+    val ranked = top.withColumn("_ps_rn",
+      row_number().over(Window.orderBy(col("_ps_q").desc, col("_ps_k").asc)))
+    // tau = the (n+1)-th priority when it exists, else 0 (exhaustive case)
+    val tau = ranked.agg(
+      coalesce(max(when(col("_ps_rn") === n + 1, col("_ps_q"))), lit(0.0)).as("_ps_tau"))
+    ranked
+      .filter(col("_ps_rn") <= n)
+      .crossJoin(broadcast(tau))
+      .withColumn("priority", col("_ps_q"))
+      .withColumn("est_weight", greatest(col("_ps_w"), col("_ps_tau")))
+      .select((base.map(col) ++ Seq(col("priority"), col("est_weight"))): _*)
+  }
+
   /** Temperature-scaled mixture sampling (alpha-sampling — the
     * multilingual/multi-source rebalancing of mC4/XLM-R): instead of
     * caller-fixed weights ([[mixtureSample]]), each source's share of the

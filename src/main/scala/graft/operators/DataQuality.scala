@@ -687,6 +687,67 @@ object DataQuality {
       .select(col("n"), col("agree"), col("po"), col("pe"), col("kappa"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement among a FIXED number n of
+    * raters per item (Fleiss 1971, "Measuring nominal scale agreement
+    * among many raters"), the many-rater generalization of [[cohenKappa]]
+    * (two labelings) and the categorical sibling of
+    * [[krippendorffAlpha]]: the multi-annotator label-quality gate ("do
+    * my 5 crowdworkers per example actually agree?") run before training
+    * on majority-vote labels.
+    *
+    * Exact-integer formulation (the reason this hashes bit-identically
+    * cross-engine): with n_ij = ratings of item i in category j,
+    * N = items, c_j = Σ_i n_ij,
+    *
+    *   P-bar  = (Σ n_ij² − N·n) / (N·n·(n−1))      — one division,
+    *   P-bar_e = Σ_j c_j² / (N·n)²                 — one division,
+    *   kappa  = (P-bar − P-bar_e) / (1 − P-bar_e)  — NULL when P-bar_e=1,
+    *
+    * so every sum is a BIGINT (no order-dependent double accumulation)
+    * and each statistic is a single exactly-rounded IEEE op chain. BIGINT
+    * horizon: Σ c_j² ≤ (N·n)², exact up to N·n ≈ 3·10⁹ ratings (the
+    * [[cohenKappa]] discipline — agreement audits run on samples).
+    *
+    * Items whose rating count ≠ n are EXCLUDED (Fleiss is undefined for
+    * ragged panels — pre-shape with a per-item top-n or use
+    * [[krippendorffAlpha]], which handles missingness); NULL categories
+    * are a real level, NULL items are excluded with the ragged items.
+    *
+    * Scale shape: ONE hash aggregation to (item, category) cells, a
+    * per-item re-aggregation for the count gate, then 1-row and
+    * |categories|-row re-aggregations — the input never shuffles twice
+    * and nothing driver-side exceeds one row.
+    *
+    * @return one row: (n_items, n_raters, p_bar, p_e, kappa) */
+  def fleissKappa(df: DataFrame, item: Column, category: Column, n: Int): DataFrame = {
+    require(n >= 2, s"fleissKappa: n raters per item must be >= 2, got $n")
+    val cells = df
+      .filter(item.isNotNull)
+      .groupBy(item.cast("string").as("_i"), category.cast("string").as("_c"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val keep = cells.groupBy(col("_i")).agg(sum(col("o")).as("_it"))
+      .filter(col("_it") === n.toLong).select(col("_i"))
+    val kc = cells.join(keep, Seq("_i"))
+    val s = kc.agg(
+      coalesce(sum(col("o") * col("o")), lit(0L)).as("_s2"),
+      coalesce(sum(col("o")), lit(0L)).as("_total"))
+    val c2 = kc.groupBy(col("_c")).agg(sum(col("o")).as("_cj"))
+      .agg(coalesce(sum(col("_cj") * col("_cj")), lit(0L)).as("_c2"))
+    val total = col("_total")
+    s.crossJoin(broadcast(c2))
+      .withColumn("n_items", (total / n.toLong).cast("long"))
+      .withColumn("n_raters", lit(n.toLong))
+      .withColumn("p_bar",
+        when(total > 0L, (col("_s2") - total).cast("double") /
+          (total * lit((n - 1).toLong)).cast("double")))
+      .withColumn("p_e",
+        when(total > 0L, col("_c2").cast("double") / (total * total).cast("double")))
+      .withColumn("kappa",
+        when(col("p_e") < 1.0, (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+      .select(col("n_items"), col("n_raters"), col("p_bar"), col("p_e"), col("kappa"))
+  }
+
   /** Per-class precision / recall / F1 with supports — the standard
     * classifier report over (actual, predicted) labelings, one row per
     * class in the UNION of both level sets (a predicted-only class shows

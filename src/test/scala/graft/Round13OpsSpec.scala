@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 operators: priority sampling (exact-n weighted, unbiased
+  * subset-sum weights), Fleiss' kappa (fixed-panel many-rater agreement),
+  * and their edge behavior. */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // driver-side reference priority: w / ((h + 1) / 2^32), h = 32-bit md5 prefix
+  private def refPriority(key: String, w: Double): Double =
+    w / ((java.lang.Long.parseLong(md5hex(key).take(8), 16).toDouble + 1.0) / 4294967296.0)
+
+  test("prioritySample equals the flat top-n by reference priority, tau exact") {
+    val rows = (0 until 400).map(i => (i.toLong, s"s${i % 5}", (i % 97 + 1).toLong))
+    val df = rows.toDF("id", "src", "w")
+    val n = 50
+    val got = graft.operators.Curation.prioritySample(df, col("id"), col("w"), n.toLong)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    val ranked = rows
+      .map { case (id, _, w) => (id, w.toDouble, refPriority(id.toString, w.toDouble)) }
+      .sortBy { case (id, _, q) => (-q, id.toString) }
+    val tau = ranked(n)._3 // the (n+1)-th priority
+    val want = ranked.take(n)
+      .map { case (id, w, q) => (id, q, math.max(w, tau)) }
+      .sortBy(_._1)
+    assert(got.length == n)
+    assert(got.toSeq == want)
+  }
+
+  test("prioritySample exhaustive case: population <= n keeps all, est_weight = weight") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
+    val got = graft.operators.Curation.prioritySample(df, col("id"), col("w"), 10L)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("prioritySample excludes NULL keys and non-positive weights") {
+    val df = Seq((Some(1L), 10L), (None, 10L), (Some(2L), 0L), (Some(3L), -5L))
+      .toDF("id", "w")
+    val got = graft.operators.Curation.prioritySample(df, col("id"), col("w"), 10L)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+  }
+
+  test("prioritySample est_weight is exactly max(weight, tau) with the reference tau") {
+    val rows = (0 until 300).map(i => (i.toLong, (i % 13 + 1).toLong))
+    val df = rows.toDF("id", "w")
+    val n = 40
+    val out = graft.operators.Curation.prioritySample(df, col("id"), col("w"), n.toLong)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val ranked = rows
+      .map { case (id, w) => (id, w.toDouble, refPriority(id.toString, w.toDouble)) }
+      .sortBy { case (id, _, q) => (-q, id.toString) }
+    val tau = ranked(n)._3
+    assert(out.length == n)
+    out.foreach { case (id, w, q, est) =>
+      assert(q == refPriority(id.toString, w.toDouble), s"priority for id=$id")
+      assert(est == math.max(w.toDouble, tau), s"est_weight for id=$id")
+    }
+  }
+
+  test("fleissKappa matches the hand formula on the Fleiss 1971 textbook shape") {
+    // 4 items x 3 raters, 3 categories; hand-computed:
+    // item cells: i1 = (a:3), i2 = (a:2, b:1), i3 = (b:2, c:1), i4 = (a:1, b:1, c:1)
+    val ratings = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "c"),
+      (4L, "a"), (4L, "b"), (4L, "c"))
+    val df = ratings.toDF("item", "cat")
+    val r = graft.operators.DataQuality.fleissKappa(df, col("item"), col("cat"), 3)
+      .collect().head
+    val s2 = 9.0 + (4 + 1) + (4 + 1) + (1 + 1 + 1) // sum n_ij^2 = 22
+    val total = 12.0
+    val pBar = (s2 - total) / (total * 2) // N*n*(n-1) = 4*3*2 = 24
+    val c2 = 6.0 * 6 + 4 * 4 + 2 * 2 // c_a=6, c_b=4, c_c=2 -> 56
+    val pE = c2 / (total * total)
+    val kappa = (pBar - pE) / (1.0 - pE)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == pBar && r.getDouble(3) == pE && r.getDouble(4) == kappa)
+  }
+
+  test("fleissKappa excludes ragged items and is NULL-kappa on a single category") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"), (3L, "x"))
+      .toDF("item", "cat") // item 3 has 1 rating -> excluded
+    val r = graft.operators.DataQuality.fleissKappa(df, col("item"), col("cat"), 2)
+      .collect().head
+    assert(r.getLong(0) == 2L)         // items 1, 2 kept
+    assert(r.getDouble(2) == 1.0)      // perfect agreement
+    assert(r.getDouble(3) == 1.0)      // chance agreement total
+    assert(r.isNullAt(4))              // kappa undefined
+  }
+
+  test("fleissKappa empty panel emits the zero row with NULL stats") {
+    val df = Seq((1L, "x")).toDF("item", "cat") // no item reaches n=3
+    val r = graft.operators.DataQuality.fleissKappa(df, col("item"), col("cat"), 3)
+      .collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+}
