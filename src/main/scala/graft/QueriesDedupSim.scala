@@ -457,6 +457,31 @@ private[graft] object QueriesDedupSim {
       Similarity.annRecallReport(approx, exact, k = 5)
     }),
 
+    // Random-projection (JL) compaction (round-13): 64→16 dims via the
+    // deterministic Rademacher matrix, then exact cosine top-5 in the
+    // PROJECTED space — the train-free 4× FLOP/byte cut before ANN. The
+    // oracle re-derives every projected component (same md5 signs, same
+    // sequential fold, same trailing scale) and replays the ranking.
+    "sim_rp_topk" -> ((s, dir) => {
+      val pe = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.randomProjection(col("embedding"), 64, 16).as("vec"))
+      Similarity.bruteForceTopK(pe, pe.filter(col("id") < 10), 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Recall audit of the projected space vs full-dim exact top-5 — the
+    // JL quality gate (how much ranking fidelity did 4× compaction cost),
+    // same report shape as sim_ann_recall.
+    "sim_rp_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pe = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.randomProjection(col("embedding"), 64, 16).as("vec"))
+      val approx = Similarity.bruteForceTopK(pe, pe.filter(col("id") < 10), 5)
+      val exact = Similarity.bruteForceTopK(e, e.filter(col("id") < 10), 5)
+      Similarity.annRecallReport(approx, exact, k = 5)
+    }),
+
     // Per-label centroid drift (round-9): mean-vector shift between the
     // even and odd halves of the embeddings table — the encoder/mix
     // regression monitor; same micro-quantized exact contract.
@@ -1181,6 +1206,71 @@ private[graft] object QueriesDedupSim {
          |    SELECT query_id, neighbor_id,
          |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
          |    FROM sc2) WHERE rank <= 5),
+         |h AS (
+         |  SELECT a.query_id, count(*)::BIGINT AS hits
+         |  FROM ap a JOIN ex ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+         |  GROUP BY a.query_id),
+         |na AS (SELECT query_id, count(*)::BIGINT AS n_approx FROM ap GROUP BY query_id),
+         |ne AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY query_id)
+         |SELECT ne.query_id, coalesce(na.n_approx, 0)::BIGINT AS n_approx, ne.n_exact,
+         |  coalesce(h.hits, 0)::BIGINT AS hits,
+         |  coalesce(h.hits, 0)::DOUBLE / ne.n_exact::DOUBLE AS recall
+         |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    // RP top-k re-derivation: every projected component from the md5
+    // signs (same fold + scale), then the 16-dim brute-force ranking.
+    "sim_rp_topk" ->
+      s"""WITH base AS (SELECT vec_id, ${rpProjSql("embedding")} AS rv FROM embeddings),
+         |q AS (SELECT vec_id AS qid, rv AS qv FROM base WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, rv AS cv FROM base),
+         |p AS (
+         |  SELECT qid, nid, ${dotPreSql(16)} AS dot,
+         |    ${normPreSql("qv", 16)} AS nq, ${normPreSql("cv", 16)} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
+         |r AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // RP recall re-derivation: the projected top-5 (sim_rp_topk CTEs) vs
+    // the full-dim exact top-5 (sim_topk_bruteforce CTEs), the
+    // annRecallReport join.
+    "sim_rp_recall" ->
+      s"""WITH base AS (SELECT vec_id, ${rpProjSql("embedding")} AS rv FROM embeddings),
+         |q AS (SELECT vec_id AS qid, rv AS qv FROM base WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, rv AS cv FROM base),
+         |p AS (
+         |  SELECT qid, nid, ${dotPreSql(16)} AS dot,
+         |    ${normPreSql("qv", 16)} AS nq, ${normPreSql("cv", 16)} AS nc
+         |  FROM q, c WHERE qid <> nid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM p),
+         |ap AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qid AS query_id, nid AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |    FROM sc) WHERE rank <= 5),
+         |qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |ce AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |pe AS (
+         |  SELECT qid, nid, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM qe, ce WHERE qid <> nid),
+         |sce AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM pe),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qid AS query_id, nid AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |    FROM sce) WHERE rank <= 5),
          |h AS (
          |  SELECT a.query_id, count(*)::BIGINT AS hits
          |  FROM ap a JOIN ex ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id

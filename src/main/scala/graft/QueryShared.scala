@@ -456,6 +456,18 @@ private[graft] object QueryShared {
   private[graft] def normPreSql(v: String, n: Int) =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1,${n + 1}), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (a,b) -> a+b))"
 
+  // Rademacher random projection (VectorFunctions.randomProjection) —
+  // same md5-sign derivation, same sequential per-component fold, same
+  // trailing scale multiply, so projected vectors replay bit-identically.
+  private[graft] def rpProjSql(v: String, inDim: Int = 64, outDim: Int = 16): String = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    s"list_transform(range(1,${outDim + 1}), j -> " +
+      s"list_reduce(list_prepend(0.0, list_transform(range(1,${inDim + 1}), i -> " +
+      s"$v[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5('rp:' || (j-1)::VARCHAR || " +
+      s"':' || (i-1)::VARCHAR), 1, 8))::BIGINT >= 2147483648 THEN 1.0 ELSE -1.0 END))), " +
+      s"(a,b) -> a+b) * '${scale}'::DOUBLE)"
+  }
+
   // Random-hyperplane projection for plane p, bit-identical to
   // VectorFunctions.hyperplaneComponent / hyperplaneBit (md5-derived
   // components, same sequential fold order).

@@ -107,4 +107,46 @@ class Round13OpsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) == 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
+
+  test("randomProjection matches the driver-side reference fold exactly") {
+    import graft.functions.VectorFunctions
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => (i + 1) * 0.5f)),
+      (2L, Array.tabulate(8)(i => (8 - i) * -0.25f)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"), VectorFunctions.randomProjection(col("v"), 8, 4).as("rv"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    val scale = 1.0 / math.sqrt(4.0)
+    val want = vecs.map { case (id, v) =>
+      (id, (0 until 4).map { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 8) {
+          acc = acc + v(i).toDouble * VectorFunctions.rademacherSignValue(j, i); i += 1
+        }
+        acc * scale
+      }.toVector)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("randomProjection: identical vectors stay identical; signs are ±1 and stable") {
+    import graft.functions.VectorFunctions
+    // exact duplicates must project to exact duplicates (cosine 1 preserved)
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "v")
+    val out = df.select(VectorFunctions.randomProjection(col("v"), 16, 4).as("rv"))
+      .collect().map(_.getSeq[Double](0).toVector)
+    assert(out(0) == out(1))
+    // sign matrix: only ±1, deterministic across calls
+    for (j <- 0 until 4; i <- 0 until 16) {
+      val s = VectorFunctions.rademacherSignValue(j, i)
+      assert(s == 1.0 || s == -1.0)
+      assert(s == VectorFunctions.rademacherSignValue(j, i))
+    }
+    // not degenerate: both signs occur
+    val all = for (j <- 0 until 4; i <- 0 until 16) yield VectorFunctions.rademacherSignValue(j, i)
+    assert(all.contains(1.0) && all.contains(-1.0))
+  }
 }
