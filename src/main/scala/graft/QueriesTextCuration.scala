@@ -74,6 +74,17 @@ private[graft] object QueriesTextCuration {
       graft.operators.Graph.triangleCounts(pairs)
     }),
 
+    // 2-core of the near-dup graph (round-13): synchronous peeling to
+    // the fixpoint — template families (cycles) survive, hub-and-spokes
+    // false-positive stars peel away. The oracle replays 64 synchronous
+    // peel rounds through a recursive CTE (the engine hard-errors past
+    // 64, so cap divergence is loud, never silent); exact BIGINT degrees.
+    "tdp_graph_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = sharedLshPairs(s, dir)
+      graft.operators.Graph.kCore(pairs, k = 2)
+    }),
+
     // Canonical member per near-dup component by PageRank centrality
     // (round-10): the "most representative duplicate" survivor policy —
     // CC labels (min-id components) joined with the fixed-point BIGINT
@@ -1584,6 +1595,35 @@ private[graft] object QueriesTextCuration {
     // Triangle re-derivation: the graph_rank pair CTEs, then the same
     // degree-ordered orientation, apex wedge join and closing-edge match
     // — exact BIGINT counts end to end.
+    // 2-core re-derivation: the shared LSH pair chain symmetrized, then
+    // 64 synchronous peel rounds through an iter-stamped recursive CTE
+    // (UNION ALL — a shrinking set under UNION-distinct would terminate
+    // after one round; the iter column keeps fixpoint rounds "new" until
+    // the cap, and `iter = 64` is empty iff the core peeled to nothing).
+    // Final degrees counted inside the surviving set, exact BIGINTs.
+    "tdp_graph_kcore" ->
+      (lshPairCtes + ",\n" +
+        """sym AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT id_a AS src, id_b AS dst FROM pairs
+          |    UNION ALL SELECT id_b, id_a FROM pairs)
+          |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+          |core AS (
+          |  WITH RECURSIVE alive(iter, id) AS (
+          |    SELECT 0, src FROM (SELECT DISTINCT src FROM sym)
+          |    UNION ALL
+          |    SELECT x.iter, x.id FROM (
+          |      SELECT a.iter + 1 AS iter, e.src AS id, count(*) AS deg
+          |      FROM alive a JOIN sym e ON e.dst = a.id
+          |      WHERE a.iter < 64
+          |      GROUP BY a.iter + 1, e.src) x
+          |    WHERE x.deg >= 2)
+          |  SELECT id FROM alive WHERE iter = 64)
+          |SELECT f.id AS id, count(*)::BIGINT AS core_degree
+          |FROM core f JOIN sym e ON e.src = f.id JOIN core f2 ON f2.id = e.dst
+          |GROUP BY f.id
+          |ORDER BY f.id""".stripMargin),
+
     "tdp_graph_triangles" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

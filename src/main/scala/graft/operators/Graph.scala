@@ -158,4 +158,75 @@ object Graph {
       .select(col("id"), coalesce(col("n"), lit(0L)).as("n_triangles"))
       .orderBy(col("id"))
   }
+
+  /** k-core decomposition membership: the maximal induced subgraph in
+    * which every node has degree >= k (Seidman 1983, "Network structure
+    * and minimum degree") — the density gate on a near-dup graph that
+    * [[triangleCounts]] probes locally: a template family survives the
+    * 2-core (its members sit on cycles), a hub-and-spokes false-positive
+    * star dies (every spoke has degree 1), and higher k isolates
+    * progressively tighter clique-like cores worth a single canonical
+    * survivor.
+    *
+    * Algorithm: synchronous peeling to the fixpoint — iteration t keeps
+    * the nodes with >= k neighbors inside iteration t-1's survivor set.
+    * The set shrinks monotonically, so a peeled node can never
+    * re-qualify (its alive-degree only decreases) and the loop needs no
+    * explicit "src still alive" filter: {v : deg_alive(v) >= k} ⊆ alive
+    * holds automatically. Convergence is detected by |alive| becoming
+    * stationary (monotone shrink makes equal counts imply equal sets).
+    *
+    * Scale shape: one shuffle per iteration (edges equi-joined against
+    * the |alive|-bounded id set, map-side-combined degree count); the
+    * symmetrized edge list is pinned once and re-read. Iteration count
+    * is the peel depth, not the node count — bounded by the longest
+    * degeneracy chain, and HARD-CAPPED at [[KCoreMaxIters]] with a loud
+    * error (the oracle replays exactly that many synchronous rounds, so
+    * an unconverged graph must fail, not silently diverge). Near-dup
+    * graphs peel in a handful of rounds; a 100 TB adversarial path graph
+    * would switch to the same loop with checkpoint-every-8.
+    *
+    * @param pairs undirected (id_a, id_b); nulls/self-loops dropped,
+    *              duplicate pairs collapse
+    * @return (id, core_degree) — the surviving nodes with their degree
+    *         INSIDE the core, ordered by id; empty when the k-core is */
+  def kCore(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    // (id, deg) of the current survivor set; init = all endpoints with
+    // their full degree (iteration 0 of the synchronous peel)
+    var cur = sym.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k.toLong)
+      .select(col("src").as("id"), col("core_degree"))
+      .localCheckpoint(false)
+    var n = cur.count()
+    var converged = false
+    var iters = 1
+    while (!converged) {
+      if (iters > KCoreMaxIters)
+        throw new IllegalStateException(
+          s"kCore: no fixpoint after $KCoreMaxIters peel rounds (pathological graph; " +
+            "raise the cap in lockstep with the oracle's round count)")
+      val next = sym.join(cur.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k.toLong)
+        .select(col("src").as("id"), col("core_degree"))
+        .localCheckpoint(false)
+      val m = next.count()
+      converged = m == n // monotone shrink: equal size => equal set => fixpoint
+      cur = next
+      n = m
+      iters += 1
+    }
+    cur.orderBy(col("id"))
+  }
+
+  /** Peel-round cap for [[kCore]] — matched by the oracle's synchronous
+    * round count; exceeding it is a loud error, never a silent drift. */
+  val KCoreMaxIters: Int = 64
 }

@@ -108,6 +108,35 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("kCore peels a star but keeps the triangle, with in-core degrees") {
+    // triangle 1-2-3 + star 3->{4,5,6} + tail 6-7: 2-core = the triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (3L, 5L), (3L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Graph.kCore(pairs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore multi-round peel: a long tail needs one round per link") {
+    // path 10-11-12-13-14 hanging off square 1-2-3-4(-1): each peel round
+    // removes exactly one tail node, so convergence takes 5+ rounds
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val tail = Seq((1L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    val got = graft.operators.Graph.kCore((square ++ tail).toDF("id_a", "id_b"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("kCore empty core, duplicate/self-loop hygiene, k=1 keeps every edge endpoint") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    // k=3: nothing survives
+    assert(graft.operators.Graph.kCore(pairs, 3).count() == 0)
+    // k=1: all endpoints, dup pair collapsed (deg(1)=1, deg(2)=2, deg(3)=1)
+    val k1 = graft.operators.Graph.kCore(pairs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(k1 == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
   test("randomProjection matches the driver-side reference fold exactly") {
     import graft.functions.VectorFunctions
     val vecs = Seq(
