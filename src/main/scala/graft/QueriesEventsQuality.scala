@@ -64,6 +64,31 @@ private[graft] object QueriesEventsQuality {
     Seq(fxEvU(91, "13:30", 99, "z", 0)),
   )
 
+  // ---- stream-stream join fixture (round-13): views (left) joined to
+  // purchases (right) on user_id within [l_ts, l_ts + 15 min]; watermark
+  // delay 10 min on BOTH sides. Each step lands one file per source in
+  // ONE micro-batch, so the global watermark (min across sources − 10
+  // min) is a pure function of the fixture. Trajectory: step 1 — V1·P11
+  // match in-batch; step 2 — V3 matches step-1's P13 (right state
+  // retained) and P12 matches step-1's V2 (left state retained), wm 09:52
+  // admits everything by >= 12 min; step 3 — the double sentinel (users
+  // 98/99, filtered from the output) advances the watermark to 19:50;
+  // step 4 — V9/P19 arrive ~10 HOURS late, far past every plausible
+  // eviction reading (state gone AND below the input watermark), so the
+  // batch-twin pairs (V9·P11, V2·P19) must NOT appear. Margins are wide
+  // enough that >=/> boundary conventions cannot change the output
+  // (StreamingSpec pins the run).
+  private[graft] val streamJoinBatches: Seq[(Seq[String], Seq[String])] = Seq(
+    (Seq(fxEvU(1, "10:00", 1, "view", 1), fxEvU(2, "10:02", 2, "view", 2)),
+      Seq(fxEvU(11, "10:05", 1, "purchase", 9), fxEvU(13, "10:06", 3, "purchase", 7))),
+    (Seq(fxEvU(3, "10:04", 3, "view", 3)),
+      Seq(fxEvU(12, "10:10", 2, "purchase", 8))),
+    (Seq(fxEvU(80, "20:00", 99, "view", 0)),
+      Seq(fxEvU(81, "20:00", 98, "purchase", 0))),
+    (Seq(fxEvU(9, "10:01", 1, "view", 4)),
+      Seq(fxEvU(19, "10:03", 2, "purchase", 6))),
+  )
+
   // the session fixture as DuckDB VALUES rows, WITH the user_id column
   private def fxValuesU(batches: Seq[Seq[String]]): String =
     batches.zipWithIndex.flatMap { case (lines, i) =>
@@ -536,6 +561,26 @@ private[graft] object QueriesEventsQuality {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Stream-STREAM watermarked inner join through a REAL two-source
+    // stream (round-13): views x purchases within 15 min per user, both
+    // sides watermarked, driven step-by-step by StreamHarness's
+    // two-source variant. Cross-batch state retention on BOTH sides is
+    // exercised (V3 joins an earlier purchase, P12 an earlier view), and
+    // the step-4 late pair — whose batch twin WOULD match — must emit
+    // nothing once the sentinel advanced the watermark past every
+    // eviction reading. The oracle replays the event-time rules: per-step
+    // global watermark = min(both sides' max ts so far) − 10 min,
+    // admitted rows only, then the plain interval join.
+    "e_stream_join" -> ((s, dir) => {
+      graft.streaming.StreamHarness.runBatchesTwo(s, streamJoinBatches,
+        (l, r) => graft.streaming.EventStream.intervalJoin(l, r, within = "15 minutes"))
+        .filter(col("user_id") < 90)
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence; the
     // Structured Streaming path is exercised in the test suite).
     // Stream-stream interval join, batch twin (view -> purchase
@@ -990,6 +1035,41 @@ private[graft] object QueriesEventsQuality {
          |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
          |FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
          |ORDER BY event_id""".stripMargin,
+
+    // Stream-stream join replay: per step, the global watermark is
+    // min(both sides' max ts through the PRIOR steps) − 10 min (DuckDB's
+    // least() ignores a NULL side, which matches here because both
+    // sources carry data from step 1; Spark's empty-source epoch
+    // watermark never comes into play); a row is admitted iff no
+    // watermark yet or ts >= it (the fixture's ~10 h margins make every
+    // stricter/looser eviction reading identical); then the plain
+    // interval join over admitted rows — pairs whose late member was
+    // dropped never form.
+    "e_stream_join" ->
+      s"""WITH lraw(batch, event_id, ts, user_id, value) AS (
+         |  SELECT * FROM (VALUES ${fxValuesU(streamJoinBatches.map(_._1))})),
+         |rraw(batch, event_id, ts, user_id, value) AS (
+         |  SELECT * FROM (VALUES ${fxValuesU(streamJoinBatches.map(_._2))})),
+         |wm AS (
+         |  SELECT b.batch,
+         |    least(
+         |      (SELECT max(p.ts) FROM lraw p WHERE p.batch < b.batch),
+         |      (SELECT max(p.ts) FROM rraw p WHERE p.batch < b.batch))
+         |      - INTERVAL 10 MINUTE AS wm
+         |  FROM (SELECT batch FROM lraw UNION SELECT batch FROM rraw) b),
+         |la AS (
+         |  SELECT l.* FROM lraw l JOIN wm ON wm.batch = l.batch
+         |  WHERE wm.wm IS NULL OR l.ts >= wm.wm),
+         |ra AS (
+         |  SELECT r.* FROM rraw r JOIN wm ON wm.batch = r.batch
+         |  WHERE wm.wm IS NULL OR r.ts >= wm.wm)
+         |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+         |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
+         |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
+         |FROM la l JOIN ra r ON r.user_id = l.user_id
+         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+         |WHERE l.user_id < 90
+         |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
     // Batch-twin gap sessionization: LAG over ts per user, a break when
     // the gap exceeds 30 min, sessions = groupBy cumulative break count.

@@ -86,4 +86,61 @@ object StreamHarness {
       wipe(root.toFile)
     }
   }
+
+  /** Two-source variant for stream-STREAM queries (joins): each step
+    * writes one file to the LEFT source dir and one to the RIGHT, then
+    * fences with `processAllAvailable()`, so both files land in the same
+    * micro-batch and the two sources' watermarks advance in lockstep —
+    * the global watermark (Spark takes the min across sources) is a pure
+    * function of the fixture, exactly the [[runBatches]] determinism
+    * contract. An empty Seq on either side of a step writes no file for
+    * that source (one-sided arrival). Same isolated-session/teardown
+    * discipline as [[runBatches]]. */
+  def runBatchesTwo(
+      spark: SparkSession,
+      batchLines: Seq[(Seq[String], Seq[String])],
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(batchLines.nonEmpty, "runBatchesTwo: no batch steps")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream2")
+    val inL = root.resolve("in_l"); java.nio.file.Files.createDirectories(inL)
+    val inR = root.resolve("in_r"); java.nio.file.Files.createDirectories(inR)
+    val ckpt = root.resolve("ckpt").toString
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "2")
+    graft.functions.GraftFunctions.ensureRegistered(streamSession)
+    try {
+      val srcL = streamSession.readStream
+        .schema(EventStream.eventSchema).json(inL.toString)
+      val srcR = streamSession.readStream
+        .schema(EventStream.eventSchema).json(inR.toString)
+      val sinkName = s"graft_stream_sink_${nameCounter.incrementAndGet()}"
+      val q = transform(srcL, srcR).writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      batchLines.zipWithIndex.foreach { case ((l, r), i) =>
+        if (l.nonEmpty)
+          java.nio.file.Files.writeString(inL.resolve(f"batch$i%03d.json"), l.mkString("\n"))
+        if (r.nonEmpty)
+          java.nio.file.Files.writeString(inR.resolve(f"batch$i%03d.json"), r.mkString("\n"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      q.awaitTermination()
+      val rows = streamSession.table(sinkName)
+      val out = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows.collect(): _*)),
+        rows.schema)
+      streamSession.catalog.dropTempView(sinkName)
+      out
+    } finally {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+        f.delete(); ()
+      }
+      wipe(root.toFile)
+    }
+  }
 }

@@ -572,4 +572,29 @@ class StreamingSpec extends AnyFunSuite {
     // sentinel's own state never emitted — exactly the 3 real sessions
     assert(got.size == 3)
   }
+
+  test("runBatchesTwo stream-stream join: cross-batch state joins, late pair never forms") {
+    // the e_stream_join fixture trajectory, pinned: V1·P11 in-batch,
+    // V3 joins step-1's P13 (right state retained), P12 joins step-1's V2
+    // (left state retained); after the step-3 sentinel pushes the global
+    // watermark to 19:50, the step-4 late pair (V9 would match P11, P19
+    // would match V2 in a batch run) must emit NOTHING.
+    def ev(id: Long, ts: String, u: Long, typ: String, v: Double): String =
+      s"""{"event_id":$id,"ts":"2024-03-01T$ts:00.000Z","user_id":$u,"event_type":"$typ","value":$v}"""
+    val steps = Seq(
+      (Seq(ev(1, "10:00", 1, "view", 1), ev(2, "10:02", 2, "view", 2)),
+        Seq(ev(11, "10:05", 1, "purchase", 9), ev(13, "10:06", 3, "purchase", 7))),
+      (Seq(ev(3, "10:04", 3, "view", 3)), Seq(ev(12, "10:10", 2, "purchase", 8))),
+      (Seq(ev(80, "20:00", 99, "view", 0)), Seq(ev(81, "20:00", 98, "purchase", 0))),
+      (Seq(ev(9, "10:01", 1, "view", 4)), Seq(ev(19, "10:03", 2, "purchase", 6))),
+    )
+    val got = graft.streaming.StreamHarness.runBatchesTwo(spark, steps,
+      (l, r) => EventStream.intervalJoin(l, r, within = "15 minutes"))
+      .filter(col("user_id") < 90)
+      .orderBy(col("user_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+      .toSeq
+    assert(got == Seq((1L, 1L, 11L), (2L, 2L, 12L), (3L, 3L, 13L)))
+  }
 }
