@@ -482,6 +482,36 @@ private[graft] object QueriesDedupSim {
       Similarity.annRecallReport(approx, exact, k = 5)
     }),
 
+    // Exact-integer scatter matrix (round-13, PCA stage 1): the n-scaled
+    // centered Gram S_ij = n·Σq_iq_j − (Σq_i)(Σq_j) over milli-quantized
+    // embeddings — ONE map-side-combined aggregation with dim(dim+1)/2
+    // keys, products widened through DECIMAL(38,0) behind a loud BIGINT
+    // horizon guard. The oracle re-derives every entry through an
+    // explode self-join (independent decomposition, same integers).
+    "sim_gram_matrix" -> ((s, dir) => {
+      graft.operators.Pca.scaledScatter(
+        t(s, dir, "embeddings"), col("embedding"), dim = 64)
+    }),
+
+    // Fixed-point PCA projection (round-13, stage 2): 4 synchronous
+    // power steps on the collected 64×64 integer scatter (max-norm
+    // renormalized to 1e6 units, truncating division — the pageRank
+    // fixed-point discipline applied to eigenvector extraction), then
+    // the corpus projects on the literal direction as exact BIGINT
+    // folds. The oracle replays the WHOLE chain — scatter, all four
+    // HUGEINT matvec/renorm steps, projection — so a single ulp of
+    // drift anywhere would go red.
+    "sim_pca_project" -> ((s, dir) => {
+      import graft.operators.Pca
+      val direction = memo(s, s"pcaDir|$dir") {
+        val tri = Pca.scaledScatter(t(s, dir, "embeddings"), col("embedding"), dim = 64)
+          .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
+        Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+      }
+      Pca.projectPrincipal(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), direction)
+    }),
+
     // Per-label centroid drift (round-9): mean-vector shift between the
     // even and odd halves of the embeddings table — the encoder/mix
     // regression monitor; same micro-quantized exact contract.
@@ -1217,6 +1247,65 @@ private[graft] object QueriesDedupSim {
          |  coalesce(h.hits, 0)::DOUBLE / ne.n_exact::DOUBLE AS recall
          |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // Scatter re-derivation: same milli-quantization, but the per-(i,j)
+    // product sums come from an explode SELF-JOIN (vs the engine's
+    // per-row pair explode — independent decompositions of the same
+    // exact integers), HUGEINT-widened, landed in BIGINT.
+    "sim_gram_matrix" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000.0)::BIGINT) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |el AS (SELECT vec_id, i - 1 AS i, qv[i] AS q FROM q, range(1, 65) t(i)),
+        |st AS (SELECT count(*)::HUGEINT AS n FROM q),
+        |m AS (SELECT i, sum(q)::HUGEINT AS mv FROM el GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS pp
+        |  FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY a.i, b.i)
+        |SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+        |  (st.n * p.pp - mi.mv * mj.mv)::BIGINT AS s
+        |FROM p CROSS JOIN st
+        |JOIN m mi ON mi.i = p.i
+        |JOIN m mj ON mj.i = p.j
+        |ORDER BY i, j""".stripMargin,
+
+    // PCA-projection re-derivation: the scatter CTEs (full matrix), then
+    // the four power steps as HUGEINT matvec + max-norm renorm with
+    // sign-split truncating division (matching BigInt's toward-zero /),
+    // then the integer projection fold.
+    "sim_pca_project" ->
+      ("""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000.0)::BIGINT) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |el AS (SELECT vec_id, i - 1 AS i, qv[i] AS q FROM q, range(1, 65) t(i)),
+        |st AS (SELECT count(*)::HUGEINT AS n FROM q),
+        |m AS (SELECT i, sum(q)::HUGEINT AS mv FROM el GROUP BY i),
+        |pf AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS pp
+        |  FROM el a JOIN el b ON b.vec_id = a.vec_id
+        |  GROUP BY a.i, b.i),
+        |s AS (
+        |  SELECT pf.i, pf.j, (st.n * pf.pp - mi.mv * mj.mv) AS sh
+        |  FROM pf CROSS JOIN st
+        |  JOIN m mi ON mi.i = pf.i
+        |  JOIN m mj ON mj.i = pf.j),
+        |v0 AS (SELECT i, 1000000::HUGEINT AS v FROM m),
+        |""".stripMargin +
+        (1 to 4).map { k =>
+          s"""w$k AS (
+             |  SELECT s.i AS i, sum(s.sh * v${k - 1}.v) AS w
+             |  FROM s JOIN v${k - 1} ON v${k - 1}.i = s.j GROUP BY s.i),
+             |x$k AS (SELECT greatest(max(abs(w)), 1::HUGEINT) AS mx FROM w$k),
+             |v$k AS (
+             |  SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // mx
+             |                 ELSE -(((0 - w) * 1000000) // mx) END AS v
+             |  FROM w$k CROSS JOIN x$k)""".stripMargin
+        }.mkString(",\n") + "\n" +
+        """SELECT el.vec_id AS id, sum(el.q * v4.v)::BIGINT AS score_fp
+          |FROM el JOIN v4 ON v4.i = el.i
+          |GROUP BY el.vec_id
+          |ORDER BY id""".stripMargin),
 
     // RP top-k re-derivation: every projected component from the md5
     // signs (same fold + scale), then the 16-dim brute-force ranking.

@@ -137,6 +137,53 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(k1 == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("scaledScatter equals the driver-side reference on quantized vectors") {
+    import graft.operators.Pca
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(-1.5f, 0.75f, 0.125f)),
+      (3L, Array(0.0f, 2.0f, -0.5f)))
+    val df = vecs.toDF("id", "v")
+    val got = Pca.scaledScatter(df, col("v"), dim = 3)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1000.0).toLong))
+    val n = q.length.toLong
+    for (i <- 0 until 3; j <- i until 3) {
+      val pij = q.map(r => r(i) * r(j)).sum
+      val mi = q.map(_(i)).sum
+      val mj = q.map(_(j)).sum
+      assert(got((i, j)) == n * pij - mi * mj, s"S($i,$j)")
+    }
+    // ragged and null rows are excluded, not corrupting
+    val ragged = (vecs.map { case (id, v) => (id, Option(v)) } :+
+      (4L, Option(Array(1.0f))) :+ (5L, Option.empty[Array[Float]])).toDF("id", "v")
+    val g2 = Pca.scaledScatter(ragged, col("v"), dim = 3)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+    assert(g2 == got)
+  }
+
+  test("principalDirectionFixedPoint finds the dominant axis of a diagonal matrix") {
+    import graft.operators.Pca
+    // diag(100, 10, 1): power iteration pins component 0 at 1e6 and the
+    // rest decay by 10x per step
+    val s = Array(
+      Array(BigInt(100), BigInt(0), BigInt(0)),
+      Array(BigInt(0), BigInt(10), BigInt(0)),
+      Array(BigInt(0), BigInt(0), BigInt(1)))
+    val v = Pca.principalDirectionFixedPoint(s, iters = 4)
+    assert(v(0) == 1000000L)
+    assert(v(1) == 100L)    // (1/10)^4 * 1e6
+    assert(v(2) == 0L)      // (1/100)^4 * 1e6 truncates to 0
+  }
+
+  test("projectPrincipal is the exact integer fold against the literal direction") {
+    import graft.operators.Pca
+    val df = Seq((7L, Array(0.5f, -0.5f)), (8L, Array(1.0f, 1.0f))).toDF("id", "v")
+    val got = Pca.projectPrincipal(df, col("id"), col("v"), Array(2L, 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((7L, 500L * 2 - 500L * 3), (8L, 1000L * 2 + 1000L * 3)))
+  }
+
   test("randomProjection matches the driver-side reference fold exactly") {
     import graft.functions.VectorFunctions
     val vecs = Seq(
