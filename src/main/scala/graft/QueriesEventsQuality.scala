@@ -561,6 +561,26 @@ private[graft] object QueriesEventsQuality {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // The gapSessions contract on the transformWithState runtime
+    // (round-13): Spark 4.x StatefulProcessor — typed ValueState,
+    // EXPLICIT event-time timers, RocksDB state store (required by the
+    // API; passed as a harness conf overlay scoped to the stream's
+    // isolated session). Same fixture, same trajectory (one supersession
+    // close, two timer fires), same LAG-gap batch-twin oracle — the two
+    // state APIs must agree row-for-row.
+    "e_tws_session" -> ((s, dir) => {
+      graft.streaming.StreamHarness.runBatches(s, statefulSessionBatches,
+        df => graft.streaming.EventStream.gapSessionsTws(df, gapMinutes = 30),
+        conf = Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .filter(col("user_id") < 99)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Stream-STREAM watermarked inner join through a REAL two-source
     // stream (round-13): views x purchases within 15 min per user, both
     // sides watermarked, driven step-by-step by StreamHarness's
@@ -1035,6 +1055,34 @@ private[graft] object QueriesEventsQuality {
          |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
          |FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
          |ORDER BY event_id""".stripMargin,
+
+    // transformWithState twin: the e_stateful_session oracle verbatim —
+    // the two state APIs implement ONE contract, so one LAG-gap
+    // re-derivation gates both (divergence between the runtimes shows up
+    // as exactly one of the two rows going red).
+    "e_tws_session" ->
+      s"""WITH ev(batch, event_id, ts, user_id, value) AS (
+         |  SELECT * FROM (VALUES ${fxValuesU(statefulSessionBatches)})),
+         |o AS (
+         |  SELECT user_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+         |  FROM ev WHERE user_id < 99),
+         |f AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM o),
+         |g AS (
+         |  SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM f)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*)::BIGINT AS n, sum(value) AS sum_value
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
 
     // Stream-stream join replay: per step, the global watermark is
     // min(both sides' max ts through the PRIOR steps) − 10 min (DuckDB's

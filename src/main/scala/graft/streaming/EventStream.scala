@@ -412,6 +412,106 @@ object EventStream {
       .toDF()
   }
 
+  /** The [[gapSessions]] contract re-implemented on the
+    * `transformWithState` runtime (the Spark 4.x StatefulProcessor API —
+    * typed `ValueState`, EXPLICIT event-time timers via
+    * `registerTimer`/`handleExpiredTimer`, and the RocksDB state store
+    * provider the API requires): the modern replacement for
+    * `flatMapGroupsWithState` that production streams migrate to, so the
+    * engine carries both. Semantics are identical by construction — the
+    * same ts-sorted in-batch fold, supersession closes in-line, the
+    * timer at last-event + gap fires when the watermark passes it
+    * (stale timers are deleted on every state move, and the expiry
+    * handler guards against one anyway) — so the batch-twin LAG oracle
+    * and the [[gapSessions]] trajectory both hold verbatim.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the running session (StreamHarness
+    * callers pass it via the conf overlay). */
+  def gapSessionsTws(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(gapMinutes >= 1, s"gapSessionsTws: gapMinutes must be >= 1, got $gapMinutes")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new GapSessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** StatefulProcessor behind [[gapSessionsTws]]. One ValueState per
+    * user (no TTL — the timer IS the eviction path); timer discipline:
+    * exactly one live timer per key, moved forward whenever the session
+    * extends. */
+  final class GapSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+
+    @transient private var state: ValueState[GapSessionState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[GapSessionState]("session",
+        org.apache.spark.sql.Encoders.product[GapSessionState], TTLConfig.NONE)
+
+    private def close(user: Long, s: GapSessionState): ClosedSession = ClosedSession(
+      user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.total)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Vector.newBuilder[ClosedSession]
+      var cur = if (state.exists()) Option(state.get()) else None
+      val prevTimer = cur.map(_.last + gapMs)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last > gapMs =>
+            out += close(user, s)
+            cur = Some(GapSessionState(t, t, 1L, e.value))
+          case Some(s) =>
+            cur = Some(GapSessionState(s.start, math.max(s.last, t),
+              s.n + 1L, s.total + e.value))
+          case None =>
+            cur = Some(GapSessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        val timer = s.last + gapMs
+        prevTimer.filter(_ != timer).foreach(getHandle.deleteTimer)
+        if (!prevTimer.contains(timer)) getHandle.registerTimer(timer)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (state.exists()) {
+        val s = state.get()
+        // a timer superseded by a later session extension is stale —
+        // deleted on update, but guard against provider races anyway
+        if (expiredTimerInfo.getExpiryTimeInMs() >= s.last + gapMs) {
+          state.clear()
+          Iterator.single(close(user, s))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
   final case class Event(event_id: Long, user_id: Long, value: Double)
   final case class SessionState(n: Long, total: Double)
   final case class SessionUpdate(user_id: Long, n: Long, total: Double)

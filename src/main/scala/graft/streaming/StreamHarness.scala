@@ -35,7 +35,8 @@ object StreamHarness {
   def runBatches(
       spark: SparkSession,
       batchLines: Seq[Seq[String]],
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      conf: Map[String, String] = Map.empty): DataFrame = {
     require(batchLines.nonEmpty, "runBatches: no batch files")
     val root = java.nio.file.Files.createTempDirectory("graft-stream")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
@@ -53,6 +54,10 @@ object StreamHarness {
     // session so downstream plans run under caller semantics.
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", "2")
+    // caller overlay (e.g. the RocksDB state-store provider the
+    // transformWithState runtime requires) — scoped to the isolated
+    // session, never the caller's
+    conf.foreach { case (k, v) => streamSession.conf.set(k, v) }
     graft.functions.GraftFunctions.ensureRegistered(streamSession)
     try {
       val src = streamSession.readStream

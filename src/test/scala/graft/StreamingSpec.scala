@@ -573,6 +573,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("gapSessionsTws (transformWithState + RocksDB) matches the gapSessions trajectory") {
+    // identical fixture to the flatMapGroupsWithState pin above — the two
+    // state APIs implement one contract; u1-A closes by supersession,
+    // u2 and u1-B by explicit event-time TIMER fires
+    def ev(id: Long, ts: String, u: Long, v: Double): String =
+      s"""{"event_id":$id,"ts":"2024-03-01T$ts:00.000Z","user_id":$u,"event_type":"x","value":$v}"""
+    val batches = Seq(
+      Seq(ev(1, "10:00", 1, 1), ev(2, "10:10", 1, 2), ev(3, "10:05", 2, 10)),
+      Seq(ev(4, "11:02", 1, 3), ev(5, "10:18", 2, 11)),
+      Seq(ev(90, "13:00", 99, 0)),
+      Seq(ev(91, "13:30", 99, 0)),
+    )
+    val got = graft.streaming.StreamHarness.runBatches(spark, batches,
+      df => EventStream.gapSessionsTws(df, gapMinutes = 30),
+      conf = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .filter(col("user_id") < 99)
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Timestamp]("session_start").toInstant.toString,
+        r.getAs[Timestamp]("session_end").toInstant.toString,
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSeq
+    assert(got == Seq(
+      (1L, "2024-03-01T10:00:00Z", "2024-03-01T10:10:00Z", 2L, 3.0),
+      (1L, "2024-03-01T11:02:00Z", "2024-03-01T11:02:00Z", 1L, 3.0),
+      (2L, "2024-03-01T10:05:00Z", "2024-03-01T10:18:00Z", 2L, 21.0)))
+  }
+
   test("runBatchesTwo stream-stream join: cross-batch state joins, late pair never forms") {
     // the e_stream_join fixture trajectory, pinned: V1·P11 in-batch,
     // V3 joins step-1's P13 (right state retained), P12 joins step-1's V2
