@@ -1038,10 +1038,13 @@ object Curation {
         col("_ps_w") /
           ((TextFunctions.portableHash32(col("_ps_k")).cast("double") + lit(1.0)) /
             lit(4294967296.0)))
-    // TakeOrderedAndProject: per-partition top-(n+1) heaps, driver merge
+    // TakeOrderedAndProject: per-partition top-(n+1) heaps, driver merge.
+    // The (n+1)-row ranked frame is PINNED so the tau branch and the
+    // output both read it — one corpus scan, not two (plan-audited).
     val top = scored.orderBy(col("_ps_q").desc, col("_ps_k").asc).limit((n + 1).toInt)
     val ranked = top.withColumn("_ps_rn",
       row_number().over(Window.orderBy(col("_ps_q").desc, col("_ps_k").asc)))
+      .localCheckpoint(false)
     // tau = the (n+1)-th priority when it exists, else 0 (exhaustive case)
     val tau = ranked.agg(
       coalesce(max(when(col("_ps_rn") === n + 1, col("_ps_q"))), lit(0.0)).as("_ps_tau"))

@@ -74,9 +74,13 @@ object Pca {
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(dec(col("p"))).as("_pp"))
+    // n rides the component-sum aggregation (count per component = row
+    // count, identical for every i), so the corpus scans TWICE (pairs +
+    // component sums), never a third time for the count — plan-audited.
     val m = q.select(posexplode(col("_qv")).as(Seq("i", "q")))
-      .groupBy(col("i")).agg(sum(dec(col("q"))).as("_m"))
-    val n1 = q.agg(count(lit(1)).as("_n"))
+      .groupBy(col("i")).agg(sum(dec(col("q"))).as("_m"), count(lit(1)).as("_cnt"))
+      .localCheckpoint(false) // dim-bounded; read three times below
+    val n1 = m.agg(coalesce(max(col("_cnt")), lit(0L)).as("_n"))
     val sDec = dec(col("_n")) * col("_pp") - col("_mi") * col("_mj")
     p
       .join(m.select(col("i"), col("_m").as("_mi")), Seq("i"))
