@@ -377,6 +377,18 @@ private[graft] object QueriesTextCuration {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-group priority sampling (round-13): exactly 10 docs per source
+    // with the same unbiased estimator, per-group tau — the
+    // window-partitioned shape that needs no driver merge (scales across
+    // any number of groups). Oracle: one flat window per group, the
+    // (k+1)-th in-group priority as tau_g.
+    "tdp_weighted_sample_grp" -> ((s, dir) => {
+      graft.operators.Curation.prioritySamplePerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("doc_id"), col("n_chars"), k = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // HARD per-source token quota (round-11): the "cap any single
     // domain" gate mixture planning can't enforce — exact running-total
     // ceiling in a deterministic md5 admission order, computed as a
@@ -2222,6 +2234,30 @@ private[graft] object QueriesTextCuration {
         |  greatest(n_chars::DOUBLE, tau) AS est_weight
         |FROM r CROSS JOIN tau WHERE rn <= 100
         |ORDER BY doc_id""".stripMargin,
+
+    // Per-group re-derivation: identical draw, rank and the 11th
+    // priority both per source, the same greatest().
+    "tdp_weighted_sample_grp" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    n_chars::DOUBLE /
+        |      ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE + 1.0)
+        |        / 4294967296.0) AS q
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars::DOUBLE > 0.0),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY q DESC, doc_id::VARCHAR ASC) AS rn
+        |  FROM p),
+        |tau AS (
+        |  SELECT source,
+        |    coalesce(max(CASE WHEN rn = 11 THEN q END), 0.0) AS tau
+        |  FROM r GROUP BY source)
+        |SELECT r.doc_id, r.source, r.n_chars, r.q AS priority,
+        |  greatest(r.n_chars::DOUBLE, tau.tau) AS est_weight
+        |FROM r JOIN tau ON tau.source IS NOT DISTINCT FROM r.source
+        |WHERE r.rn <= 10
+        |ORDER BY r.doc_id""".stripMargin,
 
     // Time-embargo re-derivation: the cutoff as a flat global order
     // statistic (rank = (n-1)*80//100 + 1 over the sorted multiset —

@@ -1056,6 +1056,51 @@ object Curation {
       .select((base.map(col) ++ Seq(col("priority"), col("est_weight"))): _*)
   }
 
+  /** Per-group priority sampling — exactly k rows per group with the
+    * [[prioritySample]] estimator (per-group threshold tau_g = the
+    * (k+1)-th priority INSIDE the group, est_weight = max(w, tau_g)):
+    * "exactly 10k docs per source, weighted by tokens, subset sums still
+    * unbiased within every source". The window-partitioned shape is the
+    * one that scales across MANY groups — no driver merge at all, one
+    * shuffle on the group key, each group's rank state bounded by the
+    * group (the [[samplePerGroup]] scale contract, weighted).
+    *
+    * Same draw, same no-transcendentals parity, same NULL/non-positive
+    * exclusions as [[prioritySample]]; groups with <= k rows return
+    * whole with tau_g = 0 (exact weights).
+    *
+    * @return original columns + `priority` + `est_weight` */
+  def prioritySamplePerGroup(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      weight: Column,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"prioritySamplePerGroup: k must be >= 1, got $k")
+    val base = df.columns
+    val scored = df
+      .filter(key.isNotNull && weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("_ps_g", group)
+      .withColumn("_ps_k", key.cast("string"))
+      .withColumn("_ps_w", weight.cast("double"))
+      .withColumn("_ps_q",
+        col("_ps_w") /
+          ((TextFunctions.portableHash32(col("_ps_k")).cast("double") + lit(1.0)) /
+            lit(4294967296.0)))
+    val w = Window.partitionBy(col("_ps_g")).orderBy(col("_ps_q").desc, col("_ps_k").asc)
+    scored
+      .withColumn("_ps_rn", row_number().over(w))
+      .filter(col("_ps_rn") <= k + 1) // group-bounded tail: k+1 rows per group
+      .withColumn("_ps_tau",
+        coalesce(max(when(col("_ps_rn") === k + 1, col("_ps_q")))
+          .over(Window.partitionBy(col("_ps_g"))), lit(0.0)))
+      .filter(col("_ps_rn") <= k)
+      .withColumn("priority", col("_ps_q"))
+      .withColumn("est_weight", greatest(col("_ps_w"), col("_ps_tau")))
+      .select((base.map(col) ++ Seq(col("priority"), col("est_weight"))): _*)
+  }
+
   /** Temperature-scaled mixture sampling (alpha-sampling — the
     * multilingual/multi-source rebalancing of mC4/XLM-R): instead of
     * caller-fixed weights ([[mixtureSample]]), each source's share of the

@@ -44,6 +44,29 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("prioritySamplePerGroup: exactly k per big group, per-group tau, small groups whole") {
+    // group "a": 100 rows; group "b": 3 rows (< k -> whole, tau 0)
+    val rows = (0 until 100).map(i => (i.toLong, "a", (i % 11 + 1).toLong)) ++
+      Seq((200L, "b", 5L), (201L, "b", 6L), (202L, "b", 7L))
+    val df = rows.toDF("id", "src", "w")
+    val k = 10
+    val got = graft.operators.Curation.prioritySamplePerGroup(
+      df, col("src"), col("id"), col("w"), k)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(4))).toSeq
+    val a = got.filter(_._1 == "a")
+    val b = got.filter(_._1 == "b")
+    assert(a.length == k && b.length == 3)
+    // per-group tau for "a" = the 11th reference priority inside "a"
+    val rankedA = rows.filter(_._2 == "a")
+      .map { case (id, _, w) => (id, w.toDouble, refPriority(id.toString, w.toDouble)) }
+      .sortBy { case (id, _, q) => (-q, id.toString) }
+    val tauA = rankedA(k)._3
+    val wantA = rankedA.take(k).map { case (id, w, _) => (id, math.max(w, tauA)) }.toMap
+    a.foreach { case (_, id, est) => assert(est == wantA(id), s"est for a/$id") }
+    // small group ships exact weights (tau 0)
+    assert(b.map(x => (x._2, x._3)).toSet == Set((200L, 5.0), (201L, 6.0), (202L, 7.0)))
+  }
+
   test("prioritySample excludes NULL keys and non-positive weights") {
     val df = Seq((Some(1L), 10L), (None, 10L), (Some(2L), 0L), (Some(3L), -5L))
       .toDF("id", "w")
