@@ -926,6 +926,18 @@ private[graft] object QueriesEventsQuality {
     // repeated invocations share ONE cache entry (CacheManager keys on the
     // canonical plan), so memory is bounded; long-lived library callers
     // use the handle.
+    // REAL PCM16LE framing (round-13, the audio lane's decode proof):
+    // the fixture waveform packed as ACTUAL little-endian int16 bytes,
+    // decoded byte-by-byte by the engine and framed into 256-sample
+    // windows with exact-integer stats (L1 energy, zero crossings,
+    // peaks); the oracle re-derives every sample from the formula — an
+    // endianness/sign-extension slip anywhere in the byte path goes red.
+    "mm_audio_frames" -> ((s, dir) => {
+      graft.operators.Multimodal.pcm16Frames(syntheticAudioRows(s, dir, 40), frameSize = 256)
+        .toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // REAL decode metadata (round-12): the PNG fixtures through the
     // genuine ImageIO raster decode — dimensions and the md5 of the
     // decoded gray8 buffer, which the oracle re-derives pixel-for-pixel
@@ -2326,6 +2338,25 @@ private[graft] object QueriesEventsQuality {
     // Decode-metadata re-derivation: the formula raster's dimensions and
     // the md5 of its uppercase hex — any deviation in the engine's REAL
     // ImageIO decode breaks the hash.
+    // PCM framing re-derivation: the formula waveform (no bytes — the
+    // byte packing/unpacking round-trip is exactly what the engine side
+    // proves), LAG within (id, frame) for the crossing predicate, exact
+    // BIGINT aggregates.
+    "mm_audio_frames" ->
+      s"""WITH ${mmAudioCtes(40)},
+         |fr AS (
+         |  SELECT id, t // 256 AS frame_idx, s,
+         |    lag(s) OVER (PARTITION BY id, t // 256 ORDER BY t) AS prev
+         |  FROM smp)
+         |SELECT id AS media_id, frame_idx::BIGINT AS frame_idx,
+         |  count(*)::BIGINT AS n_samples,
+         |  sum(abs(s))::BIGINT AS energy_l1,
+         |  sum(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS zero_crossings,
+         |  min(s)::BIGINT AS peak_min, max(s)::BIGINT AS peak_max
+         |FROM fr GROUP BY id, frame_idx
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
     "mm_decode_meta" ->
       s"""WITH ${mmPixelCtes(40)}
          |SELECT id AS media_id, w::INTEGER AS width, h::INTEGER AS height,

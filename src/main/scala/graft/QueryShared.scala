@@ -318,6 +318,37 @@ private[graft] object QueryShared {
        |      j -> (doc_id*31 + (j % (8 + doc_id % 9))*7 + (j // (8 + doc_id % 9))*13) % 256) AS p
        |  FROM documents WHERE doc_id < $n)""".stripMargin
 
+  /** Deterministic REAL-PCM audio fixtures (round-13, the
+    * [[syntheticImageRows]] discipline for the audio lane): per doc_id <
+    * `n`, 1000 little-endian int16 samples with
+    * sample(t) = ((id·7 + t·13) % 4097) − 2048, PACKED AS ACTUAL PCM16LE
+    * BYTES — the engine's [[graft.operators.Multimodal.pcm16Frames]]
+    * exercises the genuine byte-level decode while the oracle re-derives
+    * every sample from the formula ([[mmAudioCtes]]). */
+  private[graft] def syntheticAudioRows(
+      s: SparkSession, dir: String, n: Int): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long].map { id =>
+        val bytes = new Array[Byte](2000)
+        var t0 = 0
+        while (t0 < 1000) {
+          val v = ((id * 7 + t0 * 13) % 4097).toInt - 2048
+          bytes(2 * t0) = (v & 0xff).toByte
+          bytes(2 * t0 + 1) = ((v >> 8) & 0xff).toByte
+          t0 += 1
+        }
+        graft.operators.Multimodal.MediaRow(id, "audio", bytes, None, None, None)
+      }
+  }
+
+  /** The fixture waveform re-derived in SQL: CTE `smp(id, t, s)`. */
+  private[graft] def mmAudioCtes(n: Int): String =
+    s"""smp AS (
+       |  SELECT doc_id AS id, tt.range AS t,
+       |    (doc_id * 7 + tt.range * 13) % 4097 - 2048 AS s
+       |  FROM documents, range(0, 1000) tt WHERE doc_id < $n)""".stripMargin
+
   private[graft] val nativeClusterConfig = graft.operators.SpectraCluster.Config(
     binWidth = 1.0, topPeaks = 20, candidateBins = 6,
     precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L)

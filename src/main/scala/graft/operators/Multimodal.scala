@@ -254,6 +254,57 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrame(
+      media_id: Long, frame_idx: Long, n_samples: Long,
+      energy_l1: Long, zero_crossings: Long, peak_min: Long, peak_max: Long)
+
+  /** REAL PCM16LE audio framing + per-frame signal stats: the payload
+    * bytes are decoded as little-endian signed 16-bit samples (the WAV
+    * data-chunk layout — the genuine byte-level codec path, exercised on
+    * actual bytes, not a stub), split into `frameSize`-sample windows
+    * (last frame partial), and each frame ships EXACT-integer stats —
+    * L1 energy (Σ|s|), zero crossings (s_i·s_{i−1} < 0 within the frame,
+    * a convention-free integer predicate), min/max peaks. The
+    * VAD/silence-trim/clipping-audit front of an audio-corpus pipeline,
+    * with every value BIGINT so the contract is engine-portable.
+    *
+    * Non-audio rows, NULL payloads, and payloads under one sample are
+    * skipped (the decoded=false discipline of [[decodeImages]]); an odd
+    * trailing byte is ignored (not a sample). Scale shape: one
+    * partition-local flatMap — zero shuffle, linear fan-out in frame
+    * count, no per-row allocation beyond the frame stats. */
+  def pcm16Frames(media: Dataset[MediaRow], frameSize: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    require(frameSize >= 2, s"pcm16Frames: frameSize must be >= 2, got $frameSize")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "audio" || r.payload == null || r.payload.length < 2)
+          Iterator.empty
+        else {
+          val n = r.payload.length / 2
+          (0 until n by frameSize).iterator.map { st =>
+            val end = math.min(st + frameSize, n)
+            var i = st
+            var e = 0L; var zc = 0L
+            var mn = Int.MaxValue; var mx = Int.MinValue; var prev = 0
+            while (i < end) {
+              val lo = r.payload(2 * i) & 0xff
+              val s = (r.payload(2 * i + 1).toInt << 8) | lo // sign rides the hi byte
+              e += math.abs(s.toLong)
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              if (i > st && s * prev < 0) zc += 1 // |s| <= 32768: product fits Int
+              prev = s
+              i += 1
+            }
+            AudioFrame(r.media_id, (st / frameSize).toLong, (end - st).toLong,
+              e, zc, mn.toLong, mx.toLong)
+          }
+        }
+      }
+    }
+  }
+
   /** STUB — deterministic fake "demux + frame decode": frame `i` of `n` is
     * the `frameBytes`-byte payload slice starting at byte `i*len/n`
     * (clamped at the payload tail). Replace with a real demuxer; the

@@ -207,6 +207,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == Seq((7L, 500L * 2 - 500L * 3), (8L, 1000L * 2 + 1000L * 3)))
   }
 
+  test("pcm16Frames decodes little-endian signed samples with exact frame stats") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // samples: 300, -2, 1, -1 (LE bytes), then an odd trailing byte (ignored)
+    val bytes = Array[Byte](
+      (300 & 0xff).toByte, (300 >> 8).toByte, // 300
+      0xfe.toByte, 0xff.toByte,               // -2
+      0x01, 0x00,                             // 1
+      0xff.toByte, 0xff.toByte,               // -1
+      0x7f)                                   // trailing odd byte
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", bytes, None, None, None),
+      Multimodal.MediaRow(2L, "image", bytes, None, None, None), // skipped
+      Multimodal.MediaRow(3L, "audio", null, None, None, None))  // skipped
+      .toDS()
+    val got = Multimodal.pcm16Frames(media, frameSize = 3)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(got.length == 2)
+    val f0 = got(0) // samples 300, -2, 1: zc at 300->-2 and -2->1
+    assert(f0.media_id == 1L && f0.frame_idx == 0L && f0.n_samples == 3L)
+    assert(f0.energy_l1 == 303L && f0.zero_crossings == 2L)
+    assert(f0.peak_min == -2L && f0.peak_max == 300L)
+    val f1 = got(1) // sample -1 alone: no in-frame crossing
+    assert(f1.n_samples == 1L && f1.energy_l1 == 1L && f1.zero_crossings == 0L)
+    assert(f1.peak_min == -1L && f1.peak_max == -1L)
+  }
+
   test("randomProjection matches the driver-side reference fold exactly") {
     import graft.functions.VectorFunctions
     val vecs = Seq(
