@@ -512,6 +512,31 @@ private[graft] object QueriesDedupSim {
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"), direction)
     }),
 
+    // PCA artifact round-trip (round-13, the artifact-persistence
+    // discipline applied to the trained axis): the fixed-point direction
+    // written as a (component, v) parquet table, reloaded, and the
+    // corpus projected from the RELOADED artifact — gated by the same
+    // full-chain oracle as sim_pca_project, so the round-trip must be
+    // bit-exact. This is the serve path: train the axis once, ship the
+    // 64-row artifact, project every future batch.
+    "sim_pca_reload" -> ((s, dir) => {
+      import graft.operators.Pca
+      val direction = memo(s, s"pcaDir|$dir") {
+        val tri = Pca.scaledScatter(t(s, dir, "embeddings"), col("embedding"), dim = 64)
+          .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
+        Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+      }
+      val outDir = demoTempDir(s, "pcadir")
+      import s.implicits._
+      direction.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("component", "v")
+        .write.mode("overwrite").parquet(s"$outDir/direction.parquet")
+      val reloaded = s.read.parquet(s"$outDir/direction.parquet")
+        .orderBy(col("component")).collect().map(_.getLong(1))
+      Pca.projectPrincipal(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), reloaded)
+    }),
+
     // Per-label centroid drift (round-9): mean-vector shift between the
     // even and odd halves of the embeddings table — the encoder/mix
     // regression monitor; same micro-quantized exact contract.
@@ -784,6 +809,42 @@ private[graft] object QueriesDedupSim {
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
        |  FROM sc) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** The sim_pca_project full-chain re-derivation — shared verbatim by
+    * sim_pca_reload (the artifact round-trip must be bit-exact, so one
+    * oracle gates both rows). */
+  private val pcaProjectOracle: String =
+    ("""WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000.0)::BIGINT) AS qv
+      |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |el AS (SELECT vec_id, i - 1 AS i, qv[i] AS q FROM q, range(1, 65) t(i)),
+      |st AS (SELECT count(*)::HUGEINT AS n FROM q),
+      |m AS (SELECT i, sum(q)::HUGEINT AS mv FROM el GROUP BY i),
+      |pf AS (
+      |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS pp
+      |  FROM el a JOIN el b ON b.vec_id = a.vec_id
+      |  GROUP BY a.i, b.i),
+      |s AS (
+      |  SELECT pf.i, pf.j, (st.n * pf.pp - mi.mv * mj.mv) AS sh
+      |  FROM pf CROSS JOIN st
+      |  JOIN m mi ON mi.i = pf.i
+      |  JOIN m mj ON mj.i = pf.j),
+      |v0 AS (SELECT i, 1000000::HUGEINT AS v FROM m),
+      |""".stripMargin +
+      (1 to 4).map { k =>
+        s"""w$k AS (
+           |  SELECT s.i AS i, sum(s.sh * v${k - 1}.v) AS w
+           |  FROM s JOIN v${k - 1} ON v${k - 1}.i = s.j GROUP BY s.i),
+           |x$k AS (SELECT greatest(max(abs(w)), 1::HUGEINT) AS mx FROM w$k),
+           |v$k AS (
+           |  SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // mx
+           |                 ELSE -(((0 - w) * 1000000) // mx) END AS v
+           |  FROM w$k CROSS JOIN x$k)""".stripMargin
+      }.mkString(",\n") + "\n" +
+      """SELECT el.vec_id AS id, sum(el.q * v4.v)::BIGINT AS score_fp
+        |FROM el JOIN v4 ON v4.i = el.i
+        |GROUP BY el.vec_id
+        |ORDER BY id""".stripMargin)
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact_dedup" ->
@@ -1274,38 +1335,12 @@ private[graft] object QueriesDedupSim {
     // the four power steps as HUGEINT matvec + max-norm renorm with
     // sign-split truncating division (matching BigInt's toward-zero /),
     // then the integer projection fold.
-    "sim_pca_project" ->
-      ("""WITH q AS (
-        |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000.0)::BIGINT) AS qv
-        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
-        |el AS (SELECT vec_id, i - 1 AS i, qv[i] AS q FROM q, range(1, 65) t(i)),
-        |st AS (SELECT count(*)::HUGEINT AS n FROM q),
-        |m AS (SELECT i, sum(q)::HUGEINT AS mv FROM el GROUP BY i),
-        |pf AS (
-        |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS pp
-        |  FROM el a JOIN el b ON b.vec_id = a.vec_id
-        |  GROUP BY a.i, b.i),
-        |s AS (
-        |  SELECT pf.i, pf.j, (st.n * pf.pp - mi.mv * mj.mv) AS sh
-        |  FROM pf CROSS JOIN st
-        |  JOIN m mi ON mi.i = pf.i
-        |  JOIN m mj ON mj.i = pf.j),
-        |v0 AS (SELECT i, 1000000::HUGEINT AS v FROM m),
-        |""".stripMargin +
-        (1 to 4).map { k =>
-          s"""w$k AS (
-             |  SELECT s.i AS i, sum(s.sh * v${k - 1}.v) AS w
-             |  FROM s JOIN v${k - 1} ON v${k - 1}.i = s.j GROUP BY s.i),
-             |x$k AS (SELECT greatest(max(abs(w)), 1::HUGEINT) AS mx FROM w$k),
-             |v$k AS (
-             |  SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // mx
-             |                 ELSE -(((0 - w) * 1000000) // mx) END AS v
-             |  FROM w$k CROSS JOIN x$k)""".stripMargin
-        }.mkString(",\n") + "\n" +
-        """SELECT el.vec_id AS id, sum(el.q * v4.v)::BIGINT AS score_fp
-          |FROM el JOIN v4 ON v4.i = el.i
-          |GROUP BY el.vec_id
-          |ORDER BY id""".stripMargin),
+    "sim_pca_project" -> pcaProjectOracle,
+
+    // The reload row ships THE SAME values as sim_pca_project (the
+    // round-trip must be bit-exact), so the same full-chain oracle gates
+    // it — a single flipped bit in the written/reloaded artifact goes red.
+    "sim_pca_reload" -> pcaProjectOracle,
 
     // RP top-k re-derivation: every projected component from the md5
     // signs (same fold + scale), then the 16-dim brute-force ranking.
