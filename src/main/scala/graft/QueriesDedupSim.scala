@@ -537,6 +537,24 @@ private[graft] object QueriesDedupSim {
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"), reloaded)
     }),
 
+    // Incremental PCA maintenance (round-13): the scatter's sufficient
+    // statistics (Σq_iq_j pairs, Σq_i + n components) are ADDITIVE, so
+    // the axis maintains by a dim²-bounded stats merge instead of a
+    // history rescan — here the even and odd corpus halves are two
+    // "nightly batches", merged, and the direction extracted from the
+    // merged stats must project IDENTICALLY to the direct full-corpus
+    // pass (the same full-chain oracle gates all three pca rows).
+    "sim_pca_incremental" -> ((s, dir) => {
+      import graft.operators.Pca
+      val e = t(s, dir, "embeddings")
+      val sa = Pca.scatterStats(e.filter(col("vec_id") % 2 === 0), col("embedding"), 64)
+      val sb = Pca.scatterStats(e.filter(col("vec_id") % 2 === 1), col("embedding"), 64)
+      val tri = Pca.scatterFromStats(Pca.mergeStats(sa, sb))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
+      val direction = Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+      Pca.projectPrincipal(e, col("vec_id"), col("embedding"), direction)
+    }),
+
     // Per-label centroid drift (round-9): mean-vector shift between the
     // even and odd halves of the embeddings table — the encoder/mix
     // regression monitor; same micro-quantized exact contract.
@@ -1341,6 +1359,10 @@ private[graft] object QueriesDedupSim {
     // round-trip must be bit-exact), so the same full-chain oracle gates
     // it — a single flipped bit in the written/reloaded artifact goes red.
     "sim_pca_reload" -> pcaProjectOracle,
+
+    // Incremental row: merged-batch stats must reproduce the direct
+    // full-corpus chain exactly — additivity proven by the same oracle.
+    "sim_pca_incremental" -> pcaProjectOracle,
 
     // RP top-k re-derivation: every projected component from the md5
     // signs (same fold + scale), then the 16-dim brute-force ranking.

@@ -60,37 +60,68 @@ object Pca {
     * exceeds a broadcastable frame.
     *
     * @return (i, j, s) ordered by (i, j) */
-  def scaledScatter(df: DataFrame, vec: Column, dim: Int): DataFrame = {
-    require(dim >= 1 && dim <= 512, s"scaledScatter: dim must be in [1, 512], got $dim")
+  def scaledScatter(df: DataFrame, vec: Column, dim: Int): DataFrame =
+    // n rides the component-sum aggregation (count per component = row
+    // count, identical for every i), so the corpus scans TWICE (pairs +
+    // component sums), never a third time for the count — plan-audited.
+    scatterFromStats(scatterStats(df, vec, dim))
+
+  /** The scatter's SUFFICIENT STATISTICS — (i, j, Σ q_i q_j) pairs plus
+    * (i, Σ q_i, n) components, both DECIMAL(38,0)-exact. These are
+    * ADDITIVE (unlike the centered scatter itself: S = n·P − m·mᵀ mixes
+    * batches non-linearly), which is what makes the trained axis
+    * INCREMENTALLY maintainable: persist the stats, and tonight's crawl
+    * contributes one bounded merge (elementwise sums over ≤ dim² rows)
+    * instead of a rescan of history — the [[graft.operators.Incremental]]
+    * discipline applied to PCA. Compose with [[mergeStats]] and
+    * [[scatterFromStats]]. */
+  def scatterStats(df: DataFrame, vec: Column, dim: Int): (DataFrame, DataFrame) = {
+    require(dim >= 1 && dim <= 512, s"scatterStats: dim must be in [1, 512], got $dim")
     val q = df
       .select(quantize(vec).as("_qv"))
       .filter(col("_qv").isNotNull && size(col("_qv")) === dim)
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    // per-row upper-triangle products, flattened then map-side combined
     val pairsArr = flatten(transform(col("_qv"), (qi, i) =>
       transform(slice(col("_qv"), i + lit(1), lit(dim)), (qj, k) =>
         struct(i.as("i"), (i + k).as("j"), (qi * qj).as("p")))))
-    val p = q.select(explode(pairsArr).as("e"))
+    val pairs = q.select(explode(pairsArr).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(dec(col("p"))).as("_pp"))
-    // n rides the component-sum aggregation (count per component = row
-    // count, identical for every i), so the corpus scans TWICE (pairs +
-    // component sums), never a third time for the count — plan-audited.
-    val m = q.select(posexplode(col("_qv")).as(Seq("i", "q")))
+    val comps = q.select(posexplode(col("_qv")).as(Seq("i", "q")))
       .groupBy(col("i")).agg(sum(dec(col("q"))).as("_m"), count(lit(1)).as("_cnt"))
-      .localCheckpoint(false) // dim-bounded; read three times below
+    (pairs, comps)
+  }
+
+  /** Elementwise sum of two stats sets — the incremental-merge step
+    * (dim²-bounded frames; exact DECIMAL adds, order-free). */
+  def mergeStats(
+      a: (DataFrame, DataFrame), b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val pairs = a._1.unionByName(b._1)
+      .groupBy(col("i"), col("j")).agg(sum(col("_pp")).as("_pp"))
+    val comps = a._2.unionByName(b._2)
+      .groupBy(col("i")).agg(sum(col("_m")).as("_m"), sum(col("_cnt")).as("_cnt"))
+    (pairs, comps)
+  }
+
+  /** The [[scaledScatter]] output computed FROM persisted/merged stats —
+    * value-identical to the direct pass by construction (same integers,
+    * same guard), which is what lets the incremental path share the
+    * direct path's oracle. */
+  def scatterFromStats(stats: (DataFrame, DataFrame)): DataFrame = {
+    val (pairs, comps) = stats
+    val m = comps.localCheckpoint(false)
     val n1 = m.agg(coalesce(max(col("_cnt")), lit(0L)).as("_n"))
-    val sDec = dec(col("_n")) * col("_pp") - col("_mi") * col("_mj")
-    p
+    val sDec = col("_n").cast("decimal(38,0)") * col("_pp") - col("_mi") * col("_mj")
+    pairs
       .join(m.select(col("i"), col("_m").as("_mi")), Seq("i"))
       .join(m.select(col("i").as("j"), col("_m").as("_mj")), Seq("j"))
       .crossJoin(broadcast(n1))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         when(abs(sDec) <= lit(Long.MaxValue).cast("decimal(38,0)"), sDec.cast("long"))
           .otherwise(raise_error(lit(
-            "scaledScatter: scatter entry exceeds the BIGINT horizon " +
-              "(n·qmax² too large) — wrap refused")).cast("long")).as("s"))
+            "scatterFromStats: scatter entry exceeds the BIGINT horizon — wrap refused"))
+            .cast("long")).as("s"))
       .orderBy(col("i"), col("j"))
   }
 

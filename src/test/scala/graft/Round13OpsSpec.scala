@@ -185,6 +185,25 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(g2 == got)
   }
 
+  test("scatterStats merge is exactly additive, including an empty batch") {
+    import graft.operators.Pca
+    val vecs = (0 until 20).map(i => (i.toLong, Array.tabulate(4)(d => (i * 3 + d).toFloat / 7f)))
+    val df = vecs.toDF("id", "v")
+    val direct = Pca.scaledScatter(df, col("v"), 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = Pca.scatterFromStats(Pca.mergeStats(
+      Pca.scatterStats(df.filter(col("id") % 2 === 0), col("v"), 4),
+      Pca.scatterStats(df.filter(col("id") % 2 === 1), col("v"), 4)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged == direct)
+    // merging an EMPTY batch is the identity
+    val withEmpty = Pca.scatterFromStats(Pca.mergeStats(
+      Pca.scatterStats(df, col("v"), 4),
+      Pca.scatterStats(df.filter(col("id") < 0), col("v"), 4)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(withEmpty == direct)
+  }
+
   test("principalDirectionFixedPoint finds the dominant axis of a diagonal matrix") {
     import graft.operators.Pca
     // diag(100, 10, 1): power iteration pins component 0 at 1e6 and the
