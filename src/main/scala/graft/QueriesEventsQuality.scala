@@ -938,6 +938,19 @@ private[graft] object QueriesEventsQuality {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // Energy-gated VAD spans (round-13): the silence-trim composition —
+    // 128-sample frames through the real byte decode, mean-energy gate
+    // at 1000 (exact integer predicate, no division), contiguous kept
+    // frames merged into spans (the fixture yields 4 islands per id,
+    // including a 2-frame run). Oracle replays gate + LAG islands over
+    // the formula waveform.
+    "mm_audio_vad" -> ((s, dir) => {
+      graft.operators.Multimodal.vadSpans(
+        graft.operators.Multimodal.pcm16Frames(
+          syntheticAudioRows(s, dir, 40), frameSize = 128),
+        meanThreshold = 1000L)
+    }),
+
     // REAL decode metadata (round-12): the PNG fixtures through the
     // genuine ImageIO raster decode — dimensions and the md5 of the
     // decoded gray8 buffer, which the oracle re-derives pixel-for-pixel
@@ -2356,6 +2369,33 @@ private[graft] object QueriesEventsQuality {
          |  min(s)::BIGINT AS peak_min, max(s)::BIGINT AS peak_max
          |FROM fr GROUP BY id, frame_idx
          |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // VAD re-derivation: formula frames at 128 samples, the integer
+    // mean gate, LAG-gap islands per id, span aggregates.
+    "mm_audio_vad" ->
+      s"""WITH ${mmAudioCtes(40)},
+         |fr AS (
+         |  SELECT id, t // 128 AS frame_idx,
+         |    count(*)::BIGINT AS n_samples, sum(abs(s))::BIGINT AS energy_l1
+         |  FROM smp GROUP BY id, t // 128),
+         |kept AS (
+         |  SELECT id, frame_idx, energy_l1,
+         |    lag(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx) AS prev
+         |  FROM fr WHERE energy_l1 >= 1000 * n_samples),
+         |br AS (
+         |  SELECT id, frame_idx, energy_l1,
+         |    CASE WHEN prev IS NULL OR frame_idx <> prev + 1 THEN 1 ELSE 0 END AS brk
+         |  FROM kept),
+         |sp AS (
+         |  SELECT id, frame_idx, energy_l1,
+         |    sum(brk) OVER (PARTITION BY id ORDER BY frame_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         |  FROM br)
+         |SELECT id AS media_id, min(frame_idx)::BIGINT AS span_start,
+         |  max(frame_idx)::BIGINT AS span_end, count(*)::BIGINT AS n_frames,
+         |  sum(energy_l1)::BIGINT AS energy_l1
+         |FROM sp GROUP BY id, span
+         |ORDER BY media_id, span_start""".stripMargin,
 
     "mm_decode_meta" ->
       s"""WITH ${mmPixelCtes(40)}

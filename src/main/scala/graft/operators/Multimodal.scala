@@ -305,6 +305,41 @@ object Multimodal {
     }
   }
 
+  /** Energy-gated voice/activity spans over [[pcm16Frames]] output — the
+    * silence-trim step of an audio-corpus pipeline: frames whose MEAN
+    * |sample| clears `meanThreshold` are kept (exact integer predicate
+    * energy_l1 ≥ thr·n_samples — no division), and contiguous kept
+    * frames merge into spans (the islands discipline of the dup-span
+    * family, per media stream).
+    *
+    * Scale shape: one window partitioned by media_id (per-stream state
+    * only — parallel across streams) + one span aggregation; the gate
+    * itself is a pure filter.
+    *
+    * @return (media_id, span_start, span_end, n_frames, energy_l1)
+    *         ordered, span bounds in frame indices (inclusive) */
+  def vadSpans(
+      frames: org.apache.spark.sql.Dataset[AudioFrame], meanThreshold: Long): DataFrame = {
+    require(meanThreshold >= 0, s"vadSpans: meanThreshold must be >= 0, got $meanThreshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("media_id"))
+      .orderBy(org.apache.spark.sql.functions.col("frame_idx"))
+    import org.apache.spark.sql.functions._
+    frames.toDF()
+      .filter(col("energy_l1") >= lit(meanThreshold) * col("n_samples"))
+      .withColumn("_prev", lag(col("frame_idx"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("frame_idx") =!= col("_prev") + 1L, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("_span", sum(col("_brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("media_id"), col("_span"))
+      .agg(min(col("frame_idx")).as("span_start"), max(col("frame_idx")).as("span_end"),
+        count(lit(1)).as("n_frames"), sum(col("energy_l1")).as("energy_l1"))
+      .drop("_span")
+      .orderBy(col("media_id"), col("span_start"))
+  }
+
   /** STUB — deterministic fake "demux + frame decode": frame `i` of `n` is
     * the `frameBytes`-byte payload slice starting at byte `i*len/n`
     * (clamped at the payload tail). Replace with a real demuxer; the

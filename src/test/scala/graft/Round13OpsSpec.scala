@@ -253,6 +253,23 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(f1.peak_min == -1L && f1.peak_max == -1L)
   }
 
+  test("vadSpans merges contiguous kept frames and splits on gaps") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val frames = Seq(
+      // id 1: frames 0,1 loud, 2 quiet, 3 loud -> spans [0,1] and [3,3]
+      Multimodal.AudioFrame(1L, 0L, 10L, 20000L, 1L, -5L, 5L),
+      Multimodal.AudioFrame(1L, 1L, 10L, 15000L, 1L, -5L, 5L),
+      Multimodal.AudioFrame(1L, 2L, 10L, 100L, 0L, -1L, 1L),
+      Multimodal.AudioFrame(1L, 3L, 10L, 30000L, 2L, -9L, 9L),
+      // id 2: all quiet -> no spans
+      Multimodal.AudioFrame(2L, 0L, 10L, 5L, 0L, -1L, 1L)).toDS()
+    val got = Multimodal.vadSpans(frames, meanThreshold = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((1L, 0L, 1L, 2L, 35000L), (1L, 3L, 3L, 1L, 30000L)))
+  }
+
   test("randomProjection matches the driver-side reference fold exactly") {
     import graft.functions.VectorFunctions
     val vecs = Seq(
