@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // Static conf, default 100: a long-lived session replaying many
+      // distinct plans thrashes the generated-class cache and re-pays
+      // Janino compilation on every replay (measured 342.9->272.5 s on
+      // the 285-query suite when sized; see Bench.scala). Production
+      // sessions inherit the same fix as the bench/verify mains.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
     master.orElse(sys.env.get("SPARK_MASTER")).map(b.master).getOrElse(b)
   }

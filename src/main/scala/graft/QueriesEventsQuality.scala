@@ -1109,15 +1109,16 @@ private[graft] object QueriesEventsQuality {
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
 
-    // Stream-stream join replay: per step, the global watermark is
-    // min(both sides' max ts through the PRIOR steps) − 10 min (DuckDB's
-    // least() ignores a NULL side, which matches here because both
-    // sources carry data from step 1; Spark's empty-source epoch
-    // watermark never comes into play); a row is admitted iff no
-    // watermark yet or ts >= it (the fixture's ~10 h margins make every
-    // stricter/looser eviction reading identical); then the plain
-    // interval join over admitted rows — pairs whose late member was
-    // dropped never form.
+    // Stream-stream join replay: per step, each SOURCE's watermark input
+    // is max ts seen through the PRIOR steps, defaulting to the EPOCH for
+    // a source that has emitted nothing yet — exactly Spark's per-source
+    // default (a no-data source contributes watermark 0, not "skip me"),
+    // so the oracle stays valid for the one-sided-arrival steps
+    // runBatchesTwo supports; global watermark = least of the two − 10
+    // min. A row is admitted iff ts >= wm (the fixture's ~10 h margins
+    // make every stricter/looser eviction reading identical); then the
+    // plain interval join over admitted rows — pairs whose late member
+    // was dropped never form.
     "e_stream_join" ->
       s"""WITH lraw(batch, event_id, ts, user_id, value) AS (
          |  SELECT * FROM (VALUES ${fxValuesU(streamJoinBatches.map(_._1))})),
@@ -1126,16 +1127,18 @@ private[graft] object QueriesEventsQuality {
          |wm AS (
          |  SELECT b.batch,
          |    least(
-         |      (SELECT max(p.ts) FROM lraw p WHERE p.batch < b.batch),
-         |      (SELECT max(p.ts) FROM rraw p WHERE p.batch < b.batch))
+         |      coalesce((SELECT max(p.ts) FROM lraw p WHERE p.batch < b.batch),
+         |               TIMESTAMP '1970-01-01 00:00:00'),
+         |      coalesce((SELECT max(p.ts) FROM rraw p WHERE p.batch < b.batch),
+         |               TIMESTAMP '1970-01-01 00:00:00'))
          |      - INTERVAL 10 MINUTE AS wm
          |  FROM (SELECT batch FROM lraw UNION SELECT batch FROM rraw) b),
          |la AS (
          |  SELECT l.* FROM lraw l JOIN wm ON wm.batch = l.batch
-         |  WHERE wm.wm IS NULL OR l.ts >= wm.wm),
+         |  WHERE l.ts >= wm.wm),
          |ra AS (
          |  SELECT r.* FROM rraw r JOIN wm ON wm.batch = r.batch
-         |  WHERE wm.wm IS NULL OR r.ts >= wm.wm)
+         |  WHERE r.ts >= wm.wm)
          |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
          |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
          |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
@@ -1565,9 +1568,6 @@ private[graft] object QueriesEventsQuality {
         |  n::DOUBLE / (sum(n) OVER (PARTITION BY actual))::DOUBLE AS recall_frac
         |FROM cells ORDER BY actual, predicted""".stripMargin,
 
-    // Cohen's kappa re-derivation: the dq_langid_confusion prediction
-    // CTEs, then pure exact-integer marginal products and three single
-    // exactly-rounded divisions in the engine's association order.
     // Fleiss re-derivation: same first-5 panel, (item, category) cells,
     // ragged-item gate, exact BIGINT sums S2/total/C2, then the three
     // single divisions in the engine's association order.
@@ -1602,6 +1602,9 @@ private[graft] object QueriesEventsQuality {
         |       THEN (p_bar - p_e) / ('1.0'::DOUBLE - p_e) END AS kappa
         |FROM st""".stripMargin,
 
+    // Cohen's kappa re-derivation: the dq_langid_confusion prediction
+    // CTEs, then pure exact-integer marginal products and three single
+    // exactly-rounded divisions in the engine's association order.
     "dq_cohen_kappa" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks

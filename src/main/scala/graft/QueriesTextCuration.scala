@@ -1604,9 +1604,6 @@ private[graft] object QueriesTextCuration {
          |SELECT id, pr::BIGINT AS rank_fp
          |FROM p3 ORDER BY rank_fp DESC, id""".stripMargin,
 
-    // Triangle re-derivation: the graph_rank pair CTEs, then the same
-    // degree-ordered orientation, apex wedge join and closing-edge match
-    // — exact BIGINT counts end to end.
     // 2-core re-derivation: the shared LSH pair chain symmetrized, then
     // 64 synchronous peel rounds through an iter-stamped recursive CTE
     // (UNION ALL — a shrinking set under UNION-distinct would terminate
@@ -1636,6 +1633,9 @@ private[graft] object QueriesTextCuration {
           |GROUP BY f.id
           |ORDER BY f.id""".stripMargin),
 
+    // Triangle re-derivation: the graph_rank pair CTEs, then the same
+    // degree-ordered orientation, apex wedge join and closing-edge match
+    // — exact BIGINT counts end to end.
     "tdp_graph_triangles" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

@@ -189,7 +189,8 @@ object Graph {
     * @param pairs undirected (id_a, id_b); nulls/self-loops dropped,
     *              duplicate pairs collapse
     * @return (id, core_degree) — the surviving nodes with their degree
-    *         INSIDE the core, ordered by id; empty when the k-core is */
+    *         INSIDE the core, ordered by id; empty when the k-core is
+    *         empty (the peel removed every node before stabilizing) */
   def kCore(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val sym = pairs

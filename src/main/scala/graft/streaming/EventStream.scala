@@ -358,7 +358,16 @@ object EventStream {
     * emitted sessions are a pure function of (fixture, batch split);
     * across batches the event-time timeout makes emission content
     * identical no matter WHICH batch fires it — the batch-twin oracle is
-    * plain LAG-gap sessionization over the same rows.
+    * plain LAG-gap sessionization over the same rows. session_start
+    * tracks min(ts) (not first-arrival ts), so a cross-batch out-of-order
+    * event that extends a session backwards still matches the oracle's
+    * min(ts). One residual scope on the oracle claim: session MEMBERSHIP
+    * is arrival-order-dependent (an out-of-order event joins the session
+    * open at arrival time), so a cross-batch reordering that would have
+    * CHANGED the sorted gap structure — e.g. an event bridging what the
+    * sorted order sees as two sessions — still diverges from the LAG
+    * twin; fixtures must keep per-user cross-batch events gap-structure
+    * preserving.
     *
     * @return append stream of closed sessions
     *         (user_id, session_start, session_end, n, sum_value) */
@@ -396,7 +405,12 @@ object EventStream {
                   out += close(s)
                   cur = Some(GapSessionState(t, t, 1L, e.value))
                 case Some(s) =>
-                  cur = Some(GapSessionState(s.start, math.max(s.last, t),
+                  // min on start: a cross-batch out-of-order event admitted
+                  // above the watermark with t < s.start still belongs to
+                  // this session, and the batch-twin LAG oracle reports
+                  // min(ts) as session_start — without the min the stream
+                  // would report the arrival-order first ts instead.
+                  cur = Some(GapSessionState(math.min(s.start, t), math.max(s.last, t),
                     s.n + 1L, s.total + e.value))
                 case None =>
                   cur = Some(GapSessionState(t, t, 1L, e.value))
@@ -481,7 +495,9 @@ object EventStream {
             out += close(user, s)
             cur = Some(GapSessionState(t, t, 1L, e.value))
           case Some(s) =>
-            cur = Some(GapSessionState(s.start, math.max(s.last, t),
+            // same min-on-start fold as gapSessions — the two state
+            // runtimes must agree row-for-row (see gapSessions for why)
+            cur = Some(GapSessionState(math.min(s.start, t), math.max(s.last, t),
               s.n + 1L, s.total + e.value))
           case None =>
             cur = Some(GapSessionState(t, t, 1L, e.value))

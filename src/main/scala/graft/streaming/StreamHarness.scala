@@ -93,13 +93,27 @@ object StreamHarness {
   }
 
   /** Two-source variant for stream-STREAM queries (joins): each step
-    * writes one file to the LEFT source dir and one to the RIGHT, then
-    * fences with `processAllAvailable()`, so both files land in the same
-    * micro-batch and the two sources' watermarks advance in lockstep —
-    * the global watermark (Spark takes the min across sources) is a pure
-    * function of the fixture, exactly the [[runBatches]] determinism
-    * contract. An empty Seq on either side of a step writes no file for
-    * that source (one-sided arrival). Same isolated-session/teardown
+    * makes one file visible to the LEFT source and one to the RIGHT in a
+    * SINGLE atomic filesystem operation, then fences with
+    * `processAllAvailable()`, so both files land in the same micro-batch
+    * and the two sources' watermarks advance in lockstep — the global
+    * watermark (Spark takes the min across sources) is a pure function of
+    * the fixture, exactly the [[runBatches]] determinism contract.
+    *
+    * Atomicity: a live 50 ms ProcessingTime trigger can list the source
+    * dirs at ANY instant, so writing (or even staged-renaming) the left
+    * then the right file leaves a window where a trigger observes only
+    * one — splitting a fixture step into two micro-batches and moving the
+    * watermark trajectory off the contract. Both sources therefore read
+    * through a `cur` symlink (`cur/l`, `cur/r`); each step builds a fresh
+    * step directory holding hard links to every previously visible file
+    * (same inode => same path+mtime in the source's seen-files log, never
+    * reprocessed) plus the step's new files, then atomically repoints
+    * `cur` with a rename-over-symlink. One syscall flips both sides, so
+    * no listing can ever observe a half-published step.
+    *
+    * An empty Seq on either side of a step publishes no file for that
+    * source (one-sided arrival). Same isolated-session/teardown
     * discipline as [[runBatches]]. */
   def runBatchesTwo(
       spark: SparkSession,
@@ -107,17 +121,29 @@ object StreamHarness {
       transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(batchLines.nonEmpty, "runBatchesTwo: no batch steps")
     val root = java.nio.file.Files.createTempDirectory("graft-stream2")
-    val inL = root.resolve("in_l"); java.nio.file.Files.createDirectories(inL)
-    val inR = root.resolve("in_r"); java.nio.file.Files.createDirectories(inR)
+    import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+    val steps = root.resolve("steps"); java.nio.file.Files.createDirectories(steps)
+    // step -1: empty l/ and r/ so the query can start with cur in place
+    val init = steps.resolve("init")
+    java.nio.file.Files.createDirectories(init.resolve("l")); java.nio.file.Files.createDirectories(init.resolve("r"))
+    val cur = root.resolve("cur")
+    java.nio.file.Files.createSymbolicLink(cur, init)
+    // Publish stepDir as the new `cur` in one atomic syscall: rename of a
+    // fresh symlink over the old one (POSIX rename replaces atomically).
+    def publish(stepDir: java.nio.file.Path): Unit = {
+      val tmp = root.resolve(s".cur-next-${stepDir.getFileName}")
+      java.nio.file.Files.createSymbolicLink(tmp, stepDir)
+      java.nio.file.Files.move(tmp, cur, ATOMIC_MOVE, REPLACE_EXISTING); ()
+    }
     val ckpt = root.resolve("ckpt").toString
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", "2")
     graft.functions.GraftFunctions.ensureRegistered(streamSession)
     try {
       val srcL = streamSession.readStream
-        .schema(EventStream.eventSchema).json(inL.toString)
+        .schema(EventStream.eventSchema).json(cur.resolve("l").toString)
       val srcR = streamSession.readStream
-        .schema(EventStream.eventSchema).json(inR.toString)
+        .schema(EventStream.eventSchema).json(cur.resolve("r").toString)
       val sinkName = s"graft_stream_sink_${nameCounter.incrementAndGet()}"
       val q = transform(srcL, srcR).writeStream
         .format("memory").queryName(sinkName)
@@ -125,11 +151,22 @@ object StreamHarness {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime("50 milliseconds"))
         .start()
+      var prev = init
       batchLines.zipWithIndex.foreach { case ((l, r), i) =>
+        val stepDir = steps.resolve(f"step$i%03d")
+        Seq("l", "r").foreach { side =>
+          val d = stepDir.resolve(side); java.nio.file.Files.createDirectories(d)
+          // carry forward every already-visible file as a hard link
+          val ls = java.nio.file.Files.list(prev.resolve(side))
+          try ls.forEach(p => { java.nio.file.Files.createLink(d.resolve(p.getFileName), p); () })
+          finally ls.close()
+        }
         if (l.nonEmpty)
-          java.nio.file.Files.writeString(inL.resolve(f"batch$i%03d.json"), l.mkString("\n"))
+          java.nio.file.Files.writeString(stepDir.resolve("l").resolve(f"batch$i%03d.json"), l.mkString("\n"))
         if (r.nonEmpty)
-          java.nio.file.Files.writeString(inR.resolve(f"batch$i%03d.json"), r.mkString("\n"))
+          java.nio.file.Files.writeString(stepDir.resolve("r").resolve(f"batch$i%03d.json"), r.mkString("\n"))
+        publish(stepDir)
+        prev = stepDir
         q.processAllAvailable()
       }
       q.stop()
