@@ -485,12 +485,22 @@ private[graft] object QueriesDedupSim {
     // Exact-integer scatter matrix (round-13, PCA stage 1): the n-scaled
     // centered Gram S_ij = n·Σq_iq_j − (Σq_i)(Σq_j) over milli-quantized
     // embeddings — ONE map-side-combined aggregation with dim(dim+1)/2
-    // keys, products widened through DECIMAL(38,0) behind a loud BIGINT
-    // horizon guard. The oracle re-derives every entry through an
-    // explode self-join (independent decomposition, same integers).
+    // keys, carried in DECIMAL(38,0) end-to-end (round-14: the operator
+    // no longer lands in BIGINT, so it computes past the old ~2·10⁶-row
+    // horizon); THIS QUERY re-imposes a guarded BIGINT cast purely to
+    // keep the driver schema/oracle stable — the sf values are ≤ ~1e13.
+    // The oracle re-derives every entry through an explode self-join
+    // (independent decomposition, same integers).
     "sim_gram_matrix" -> ((s, dir) => {
+      val sDec = col("s")
       graft.operators.Pca.scaledScatter(
         t(s, dir, "embeddings"), col("embedding"), dim = 64)
+        .select(col("i"), col("j"),
+          when(abs(sDec) <= lit(Long.MaxValue).cast("decimal(38,0)"), sDec.cast("long"))
+            .otherwise(raise_error(lit(
+              "sim_gram_matrix: scatter entry exceeds BIGINT — wrap refused"))
+              .cast("long")).as("s"))
+        .orderBy(col("i"), col("j"))
     }),
 
     // Fixed-point PCA projection (round-13, stage 2): 4 synchronous
@@ -504,9 +514,9 @@ private[graft] object QueriesDedupSim {
     "sim_pca_project" -> ((s, dir) => {
       import graft.operators.Pca
       val direction = memo(s, s"pcaDir|$dir") {
-        val tri = Pca.scaledScatter(t(s, dir, "embeddings"), col("embedding"), dim = 64)
-          .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
-        Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+        Pca.principalDirectionFixedPoint(Pca.collectScatter(
+          Pca.scaledScatter(t(s, dir, "embeddings"), col("embedding"), dim = 64), 64),
+          iters = 4)
       }
       Pca.projectPrincipal(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"), direction)
@@ -522,9 +532,9 @@ private[graft] object QueriesDedupSim {
     "sim_pca_reload" -> ((s, dir) => {
       import graft.operators.Pca
       val direction = memo(s, s"pcaDir|$dir") {
-        val tri = Pca.scaledScatter(t(s, dir, "embeddings"), col("embedding"), dim = 64)
-          .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
-        Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+        Pca.principalDirectionFixedPoint(Pca.collectScatter(
+          Pca.scaledScatter(t(s, dir, "embeddings"), col("embedding"), dim = 64), 64),
+          iters = 4)
       }
       val outDir = demoTempDir(s, "pcadir")
       import s.implicits._
@@ -549,9 +559,8 @@ private[graft] object QueriesDedupSim {
       val e = t(s, dir, "embeddings")
       val sa = Pca.scatterStats(e.filter(col("vec_id") % 2 === 0), col("embedding"), 64)
       val sb = Pca.scatterStats(e.filter(col("vec_id") % 2 === 1), col("embedding"), 64)
-      val tri = Pca.scatterFromStats(Pca.mergeStats(sa, sb))
-        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
-      val direction = Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+      val direction = Pca.principalDirectionFixedPoint(
+        Pca.collectScatter(Pca.scatterFromStats(Pca.mergeStats(sa, sb)), 64), iters = 4)
       Pca.projectPrincipal(e, col("vec_id"), col("embedding"), direction)
     }),
 

@@ -71,9 +71,8 @@ object Round13Bench {
       vecs.count()
       val (wPca, cPca) = minOf2 {
         import graft.operators.Pca
-        val tri = Pca.scaledScatter(vecs, col("embedding"), 64)
-          .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSeq
-        val dir = Pca.principalDirectionFixedPoint(Pca.fullScatter(tri, 64), iters = 4)
+        val dir = Pca.principalDirectionFixedPoint(
+          Pca.collectScatter(Pca.scaledScatter(vecs, col("embedding"), 64), 64), iters = 4)
         Pca.projectPrincipal(vecs, col("id"), col("embedding"), dir)
           .agg(count(lit(1)), sum(col("score_fp")))
           .write.format("noop").mode("overwrite").save()

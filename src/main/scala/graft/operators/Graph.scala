@@ -168,23 +168,32 @@ object Graph {
     * progressively tighter clique-like cores worth a single canonical
     * survivor.
     *
-    * Algorithm: synchronous peeling to the fixpoint — iteration t keeps
-    * the nodes with >= k neighbors inside iteration t-1's survivor set.
+    * Algorithm: synchronous DELTA peeling to the fixpoint (round-14; the
+    * r13 version re-aggregated the FULL alive set every round, a CPU
+    * factor the 1M→2M doubling flagged at 2.8×). Round t's semantics are
+    * unchanged — keep the nodes with >= k neighbors inside round t-1's
+    * survivor set — but the degrees are MAINTAINED, not recomputed:
+    * deg_t(v) = deg_{t-1}(v) − |N(v) ∩ removed_{t-1}|, so each round
+    * touches only the edges incident to the nodes peeled LAST round
+    * (shrinking fast to nothing) instead of every edge of the alive set.
     * The set shrinks monotonically, so a peeled node can never
-    * re-qualify (its alive-degree only decreases) and the loop needs no
-    * explicit "src still alive" filter: {v : deg_alive(v) >= k} ⊆ alive
-    * holds automatically. Convergence is detected by |alive| becoming
-    * stationary (monotone shrink makes equal counts imply equal sets).
+    * re-qualify (its alive-degree only decreases); decrement rows landing
+    * on already-dead nodes are dropped by the alive-side join.
+    * Convergence is detected by the removal set becoming empty.
     *
     * Scale shape: one shuffle per iteration (edges equi-joined against
-    * the |alive|-bounded id set, map-side-combined degree count); the
-    * symmetrized edge list is pinned once and re-read. Iteration count
-    * is the peel depth, not the node count — bounded by the longest
-    * degeneracy chain, and HARD-CAPPED at [[KCoreMaxIters]] with a loud
-    * error (the oracle replays exactly that many synchronous rounds, so
-    * an unconverged graph must fail, not silently diverge). Near-dup
-    * graphs peel in a handful of rounds; a 100 TB adversarial path graph
-    * would switch to the same loop with checkpoint-every-8.
+    * the |removed|-bounded id set — broadcastable once the peel
+    * localizes — then a map-side-combined count merged into the alive
+    * frame); the symmetrized edge list is pinned once and re-read;
+    * superseded per-round checkpoints are unpersisted as soon as their
+    * successor is materialized, so the block store holds ≤ 2 round
+    * frames however deep the peel. Iteration count is the peel depth,
+    * not the node count — bounded by the longest degeneracy chain, and
+    * HARD-CAPPED at [[KCoreMaxIters]] with a loud error (the oracle
+    * replays exactly that many synchronous rounds, so an unconverged
+    * graph must fail, not silently diverge). Near-dup graphs peel in a
+    * handful of rounds; a 100 TB adversarial path graph would switch to
+    * the same loop with checkpoint-every-8.
     *
     * @param pairs undirected (id_a, id_b); nulls/self-loops dropped,
     *              duplicate pairs collapse
@@ -199,29 +208,36 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(false)
-    // (id, deg) of the current survivor set; init = all endpoints with
-    // their full degree (iteration 0 of the synchronous peel)
-    var cur = sym.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
-      .filter(col("core_degree") >= k.toLong)
+    // one checkpointed (id, core_degree) frame per round, holding BOTH
+    // the survivors (deg >= k) and this round's removals (deg < k) —
+    // round 1 = full degrees of every endpoint
+    var degCk = sym.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("id"), col("core_degree"))
       .localCheckpoint(false)
-    var n = cur.count()
-    var converged = false
+    var cur = degCk.filter(col("core_degree") >= k.toLong)
+    var removed = degCk.filter(col("core_degree") < k.toLong).select(col("id"))
+    var nRemoved = removed.count() // materializes degCk
     var iters = 1
-    while (!converged) {
+    while (nRemoved > 0) {
       if (iters > KCoreMaxIters)
         throw new IllegalStateException(
           s"kCore: no fixpoint after $KCoreMaxIters peel rounds (pathological graph; " +
             "raise the cap in lockstep with the oracle's round count)")
-      val next = sym.join(cur.select(col("id").as("dst")), Seq("dst"))
-        .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
-        .filter(col("core_degree") >= k.toLong)
-        .select(col("src").as("id"), col("core_degree"))
+      // decrement = per alive node, how many of its neighbors were
+      // peeled LAST round; edges whose src is itself dead fall out of
+      // the left join below
+      val dec = sym.join(removed.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("_dec"))
+        .select(col("src").as("id"), col("_dec"))
+      val newDeg = cur.join(dec, Seq("id"), "left")
+        .select(col("id"),
+          (col("core_degree") - coalesce(col("_dec"), lit(0L))).as("core_degree"))
         .localCheckpoint(false)
-      val m = next.count()
-      converged = m == n // monotone shrink: equal size => equal set => fixpoint
-      cur = next
-      n = m
+      val newCur = newDeg.filter(col("core_degree") >= k.toLong)
+      val newRemoved = newDeg.filter(col("core_degree") < k.toLong).select(col("id"))
+      nRemoved = newRemoved.count() // materializes newDeg BEFORE the old blocks go
+      degCk.unpersist()
+      degCk = newDeg; cur = newCur; removed = newRemoved
       iters += 1
     }
     cur.orderBy(col("id"))

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *  - the scatter uses the n-scaled centering identity
   *      S_ij = n·Σ q_i q_j − (Σ q_i)(Σ q_j)
   *    (same eigenvectors as the covariance, no rational division),
-  *    with products widened through DECIMAL(38,0) and landed back in
-  *    BIGINT behind a loud horizon guard (the giniCoefficient HUGEINT
-  *    discipline: |S| ≤ 2·(n·qmax)² must stay under 2^63 — at qmax ≈ 1e3
-  *    that is n ≈ 2·10⁶ rows; past it the guard raises, never wraps),
+  *    with products and the scatter itself carried in DECIMAL(38,0)
+  *    end-to-end — |S| ≤ 2·(n·qmax)² needs ≤ 38 digits up to n ≈ 10¹⁶
+  *    rows at qmax ≈ 1e3, so the operator COMPUTES at the 100 TB design
+  *    point instead of refusing (the r13 BIGINT landing guard tripped
+  *    at n ≈ 2·10⁶),
   *  - the power iteration renormalizes by max|component| (no sqrt): all
   *    BigInt driver-side, truncating division, replayed exactly by the
   *    oracle's HUGEINT CTE chain,
@@ -51,7 +52,9 @@ object Pca {
     transform(vec, x => floor(x.cast("double") * lit(QuantScale)).cast("long"))
 
   /** Upper triangle (i ≤ j, 0-based) of the n-scaled centered scatter
-    * S_ij = n·Σ q_i q_j − (Σ q_i)(Σ q_j) as exact BIGINTs.
+    * S_ij = n·Σ q_i q_j − (Σ q_i)(Σ q_j) as exact DECIMAL(38,0)s
+    * (round-14: carried wide end-to-end, no BIGINT landing — see
+    * [[scatterFromStats]]).
     *
     * Rows with a NULL embedding or a length ≠ dim are excluded (a
     * ragged vector has no row in the Gram). One explode to per-row
@@ -105,9 +108,15 @@ object Pca {
   }
 
   /** The [[scaledScatter]] output computed FROM persisted/merged stats —
-    * value-identical to the direct pass by construction (same integers,
-    * same guard), which is what lets the incremental path share the
-    * direct path's oracle. */
+    * value-identical to the direct pass by construction (same integers),
+    * which is what lets the incremental path share the direct path's
+    * oracle. `s` stays DECIMAL(38,0) END-TO-END (round-14; the r13
+    * version landed in BIGINT behind a raise_error guard, which at
+    * qmax ≈ 1e3 REFUSED past n ≈ 2·10⁶ rows — a real ceiling at the
+    * 100 TB design point). |S| ≤ 2·(n·qmax)² needs ≤ 38 digits up to
+    * n ≈ 10¹⁶ rows at qmax ≈ 1e3, and the driver power iteration ingests
+    * BigInt, so nothing downstream needed the narrow landing. Callers
+    * that want BIGINT output re-impose their own guarded cast. */
   def scatterFromStats(stats: (DataFrame, DataFrame)): DataFrame = {
     val (pairs, comps) = stats
     val m = comps.localCheckpoint(false)
@@ -118,18 +127,26 @@ object Pca {
       .join(m.select(col("i").as("j"), col("_m").as("_mj")), Seq("j"))
       .crossJoin(broadcast(n1))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        when(abs(sDec) <= lit(Long.MaxValue).cast("decimal(38,0)"), sDec.cast("long"))
-          .otherwise(raise_error(lit(
-            "scatterFromStats: scatter entry exceeds the BIGINT horizon — wrap refused"))
-            .cast("long")).as("s"))
+        sDec.as("s"))
       .orderBy(col("i"), col("j"))
   }
 
+  /** Collect a [[scaledScatter]]/[[scatterFromStats]] triangle (≤
+    * dim·(dim+1)/2 rows — driver-bounded by construction) and mirror it
+    * into the full dim×dim BigInt matrix the power iteration consumes.
+    * DECIMAL(38,0) entries ingest losslessly via the unscaled
+    * BigInteger. */
+  def collectScatter(triangle: DataFrame, dim: Int): Array[Array[BigInt]] =
+    fullScatter(
+      triangle.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        BigInt(r.getDecimal(2).toBigInteger))).toSeq,
+      dim)
+
   /** Mirror the collected upper triangle into a full dim×dim BigInt
     * matrix (driver-side; the triangle is ≤ dim·(dim+1)/2 rows). */
-  def fullScatter(triangle: Seq[(Int, Int, Long)], dim: Int): Array[Array[BigInt]] = {
+  def fullScatter(triangle: Seq[(Int, Int, BigInt)], dim: Int): Array[Array[BigInt]] = {
     val s = Array.fill(dim, dim)(BigInt(0))
-    triangle.foreach { case (i, j, v) => s(i)(j) = BigInt(v); s(j)(i) = BigInt(v) }
+    triangle.foreach { case (i, j, v) => s(i)(j) = v; s(j)(i) = v }
     s
   }
 

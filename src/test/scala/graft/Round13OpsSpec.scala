@@ -168,7 +168,8 @@ class Round13OpsSpec extends AnyFunSuite {
       (3L, Array(0.0f, 2.0f, -0.5f)))
     val df = vecs.toDF("id", "v")
     val got = Pca.scaledScatter(df, col("v"), dim = 3)
-      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        BigInt(r.getDecimal(2).toBigInteger).toLong)).toMap
     val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1000.0).toLong))
     val n = q.length.toLong
     for (i <- 0 until 3; j <- i until 3) {
@@ -181,7 +182,8 @@ class Round13OpsSpec extends AnyFunSuite {
     val ragged = (vecs.map { case (id, v) => (id, Option(v)) } :+
       (4L, Option(Array(1.0f))) :+ (5L, Option.empty[Array[Float]])).toDF("id", "v")
     val g2 = Pca.scaledScatter(ragged, col("v"), dim = 3)
-      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        BigInt(r.getDecimal(2).toBigInteger).toLong)).toMap
     assert(g2 == got)
   }
 
@@ -190,17 +192,17 @@ class Round13OpsSpec extends AnyFunSuite {
     val vecs = (0 until 20).map(i => (i.toLong, Array.tabulate(4)(d => (i * 3 + d).toFloat / 7f)))
     val df = vecs.toDF("id", "v")
     val direct = Pca.scaledScatter(df, col("v"), 4)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger))).toMap
     val merged = Pca.scatterFromStats(Pca.mergeStats(
       Pca.scatterStats(df.filter(col("id") % 2 === 0), col("v"), 4),
       Pca.scatterStats(df.filter(col("id") % 2 === 1), col("v"), 4)))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger))).toMap
     assert(merged == direct)
     // merging an EMPTY batch is the identity
     val withEmpty = Pca.scatterFromStats(Pca.mergeStats(
       Pca.scatterStats(df, col("v"), 4),
       Pca.scatterStats(df.filter(col("id") < 0), col("v"), 4)))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger))).toMap
     assert(withEmpty == direct)
   }
 
