@@ -89,6 +89,44 @@ private[graft] object QueriesEventsQuality {
       Seq(fxEvU(19, "10:03", 2, "purchase", 6))),
   )
 
+  // ---- stream-stream LEFT OUTER join fixture (round-14): same
+  // views x purchases shape, but exercising the one join mode the inner
+  // fixture can't — null-side emission forced by watermark advance, the
+  // trickiest state-eviction semantics in Structured Streaming (an
+  // unmatched left row emits (l, null) only when the global watermark
+  // passes l_ts + 15 min, PROVING no future right row can match; a row
+  // still in state at query stop never emits). Trajectory: step 1 is
+  // LEFT-ONLY (the right source has emitted nothing, so its watermark
+  // contribution is the EPOCH — the one-sided-arrival case the r13
+  // ADVICE flagged as oracle-untested); step 2 — V1·P11 and V3·P13
+  // match (left state retained across the step), V2 (u2) never matches;
+  // steps 3+4 — double sentinel (u98/u99, filtered from the output)
+  // advances the watermark input to 19:50 at step 3's end, so step 4's
+  // batch provably runs eviction: V2's window end 10:17 << 19:50 forces
+  // the (V2, null) emission, while the step-3 sentinel's own window end
+  // 20:15 stays above every watermark the run can reach after being
+  // filtered anyway; step 5 — V9/P29 arrive ~10 h late (below wm
+  // 20:20), so they are dropped on input: no pair, and crucially NO
+  // (V9, null) row either — a late-dropped left row must not
+  // masquerade as a proven-unmatched one. The LAST step adds no newer
+  // ts, so the final watermark (20:20) is identical whether or not a
+  // trailing no-data micro-batch sneaks in before stop — every
+  // emission is margin-protected by >= 25 min against >/>= eviction
+  // conventions.
+  private[graft] val streamJoinOuterBatches: Seq[(Seq[String], Seq[String])] = Seq(
+    (Seq(fxEvU(1, "10:00", 1, "view", 1), fxEvU(2, "10:02", 2, "view", 2),
+      fxEvU(3, "10:04", 3, "view", 3)),
+      Seq.empty),
+    (Seq.empty,
+      Seq(fxEvU(11, "10:05", 1, "purchase", 9), fxEvU(13, "10:06", 3, "purchase", 7))),
+    (Seq(fxEvU(80, "20:00", 99, "view", 0)),
+      Seq(fxEvU(81, "20:00", 98, "purchase", 0))),
+    (Seq(fxEvU(82, "20:30", 99, "view", 0)),
+      Seq(fxEvU(83, "20:30", 98, "purchase", 0))),
+    (Seq(fxEvU(9, "10:01", 1, "view", 4)),
+      Seq(fxEvU(29, "10:03", 2, "purchase", 6))),
+  )
+
   // the session fixture as DuckDB VALUES rows, WITH the user_id column
   private def fxValuesU(batches: Seq[Seq[String]]): String =
     batches.zipWithIndex.flatMap { case (lines, i) =>
@@ -601,6 +639,28 @@ private[graft] object QueriesEventsQuality {
         .orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
+    // Stream-STREAM watermarked LEFT OUTER join (round-14): the one
+    // watermarked join mode the inner fixture leaves unexercised —
+    // null-side emission forced by watermark advance. V2 (u2) never
+    // matches a purchase; once the double sentinel drives the global
+    // watermark past V2's window end, Spark PROVES no future match and
+    // emits (V2, null-right) from state eviction. The step-5 late pair
+    // is dropped on input, so V9 must produce neither a pair nor a
+    // phantom null row. The oracle replays admission per step, the
+    // interval match over admitted rows, and the null-row rule: an
+    // admitted-but-unmatched left row emits iff final_wm > l_ts + 15 min
+    // (rows still in live state at stop never ship).
+    "e_stream_join_outer" -> ((s, dir) => {
+      graft.streaming.StreamHarness.runBatchesTwo(s, streamJoinOuterBatches,
+        (l, r) => graft.streaming.EventStream.intervalJoin(
+          l, r, within = "15 minutes", joinType = "left_outer"))
+        .filter(col("user_id") < 90)
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_str"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_str"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     // Streaming-shaped tumbling-window aggregation (batch equivalence; the
     // Structured Streaming path is exercised in the test suite).
     // Stream-stream interval join, batch twin (view -> purchase
@@ -951,6 +1011,41 @@ private[graft] object QueriesEventsQuality {
         meanThreshold = 1000L)
     }),
 
+    // REAL RIFF/WAVE container parse (round-14): actual WAV files —
+    // RIFF preamble, fmt chunk, a junk LIST chunk a non-walking parser
+    // trips over, data chunk — with rate/channels/frame-count/duration
+    // read from the HEADER BYTES; headerless raw-PCM rows coexist and
+    // take the fallback reading. The oracle re-derives every field from
+    // the fixture formulas, so a single mis-read header byte goes red.
+    "mm_wav_meta" -> ((s, dir) => {
+      graft.operators.Multimodal.wavMeta(syntheticWavRows(s, dir, 40))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // PCM framing THROUGH the container (round-14): channel 0
+    // deinterleaved from the data chunk at the fmt block-align stride,
+    // from the header-declared offset — the byte path a bare-PCM reader
+    // cannot fake (stereo rows would shift one sample off and every
+    // stat goes red). Raw rows take the fallback whole-payload reading.
+    "mm_wav_frames" -> ((s, dir) => {
+      graft.operators.Multimodal.wavPcmFrames(syntheticWavRows(s, dir, 40), frameSize = 200)
+        .toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // TIME-based VAD spans (round-14): the vadSpans islands lifted into
+    // exact-integer milliseconds via the container's sample rate —
+    // floor-div ms bounds replayed verbatim by the oracle. Only parsed
+    // containers carry a rate, so raw rows drop out by contract.
+    "mm_wav_vad_ms" -> ((s, dir) => {
+      val fx = syntheticWavRows(s, dir, 40)
+      graft.operators.Multimodal.vadSpansMs(
+        graft.operators.Multimodal.wavPcmFrames(fx, frameSize = 100),
+        graft.operators.Multimodal.wavMeta(fx),
+        frameSize = 100, meanThreshold = 1000L)
+    }),
+
     // REAL decode metadata (round-12): the PNG fixtures through the
     // genuine ImageIO raster decode — dimensions and the md5 of the
     // decoded gray8 buffer, which the oracle re-derives pixel-for-pixel
@@ -1146,6 +1241,55 @@ private[graft] object QueriesEventsQuality {
          |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
          |WHERE l.user_id < 90
          |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    // Left-outer replay: the inner oracle's admission + interval match,
+    // plus the null-row rule — an ADMITTED left row with no admitted
+    // match emits (l, NULL) iff the final global watermark passed its
+    // window end (eviction proved absence); the fixture's last step adds
+    // no newer ts, so final_wm is the same whether or not a trailing
+    // no-data micro-batch ran before stop. A late-DROPPED left row (V9)
+    // is absent from la entirely, so it can produce neither a pair nor
+    // a phantom null row — exactly the engine rule.
+    "e_stream_join_outer" ->
+      s"""WITH lraw(batch, event_id, ts, user_id, value) AS (
+         |  SELECT * FROM (VALUES ${fxValuesU(streamJoinOuterBatches.map(_._1))})),
+         |rraw(batch, event_id, ts, user_id, value) AS (
+         |  SELECT * FROM (VALUES ${fxValuesU(streamJoinOuterBatches.map(_._2))})),
+         |wm AS (
+         |  SELECT b.batch,
+         |    least(
+         |      coalesce((SELECT max(p.ts) FROM lraw p WHERE p.batch < b.batch),
+         |               TIMESTAMP '1970-01-01 00:00:00'),
+         |      coalesce((SELECT max(p.ts) FROM rraw p WHERE p.batch < b.batch),
+         |               TIMESTAMP '1970-01-01 00:00:00'))
+         |      - INTERVAL 10 MINUTE AS wm
+         |  FROM (SELECT batch FROM lraw UNION SELECT batch FROM rraw) b),
+         |fwm AS (
+         |  SELECT least((SELECT max(ts) FROM lraw), (SELECT max(ts) FROM rraw))
+         |    - INTERVAL 10 MINUTE AS wm),
+         |la AS (
+         |  SELECT l.* FROM lraw l JOIN wm ON wm.batch = l.batch
+         |  WHERE l.ts >= wm.wm),
+         |ra AS (
+         |  SELECT r.* FROM rraw r JOIN wm ON wm.batch = r.batch
+         |  WHERE r.ts >= wm.wm),
+         |m AS (
+         |  SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+         |    l.ts AS l_ts, r.ts AS r_ts
+         |  FROM la l JOIN ra r ON r.user_id = l.user_id
+         |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE),
+         |nulls AS (
+         |  SELECT l.user_id, l.event_id AS l_id, NULL::BIGINT AS r_id,
+         |    l.ts AS l_ts, NULL::TIMESTAMP AS r_ts
+         |  FROM la l CROSS JOIN fwm
+         |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_id = l.event_id)
+         |    AND l.ts + INTERVAL 15 MINUTE < fwm.wm)
+         |SELECT user_id, l_id, r_id,
+         |  strftime(l_ts, '%Y-%m-%d %H:%M:%S') AS l_ts_str,
+         |  strftime(r_ts, '%Y-%m-%d %H:%M:%S') AS r_ts_str
+         |FROM (SELECT * FROM m UNION ALL SELECT * FROM nulls)
+         |WHERE user_id < 90
+         |ORDER BY user_id, l_id, r_id""".stripMargin,
 
     // Batch-twin gap sessionization: LAG over ts per user, a break when
     // the gap exceeds 30 min, sessions = groupBy cumulative break count.
@@ -2372,6 +2516,82 @@ private[graft] object QueriesEventsQuality {
          |  min(s)::BIGINT AS peak_min, max(s)::BIGINT AS peak_max
          |FROM fr GROUP BY id, frame_idx
          |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // WAV-metadata re-derivation: every field from the fixture layout
+    // formulas — data_offset = 52 + junk length for containers, the
+    // raw-PCM fallback constants for headerless rows, duration as the
+    // same floor division the engine computes.
+    "mm_wav_meta" ->
+      s"""WITH ${mmWavCtes(40)}
+         |SELECT id AS media_id, NOT raw AS parsed,
+         |  1::BIGINT AS audio_format,
+         |  (CASE WHEN raw THEN 1 ELSE c END)::BIGINT AS channels,
+         |  (CASE WHEN raw THEN 0 ELSE rate END)::BIGINT AS sample_rate,
+         |  16::BIGINT AS bits_per_sample,
+         |  (CASE WHEN raw THEN 2 ELSE c * 2 END)::BIGINT AS block_align,
+         |  (CASE WHEN raw THEN 1000 ELSE m END)::BIGINT AS n_frames,
+         |  (CASE WHEN raw THEN -1 ELSE m * 1000 // rate END)::BIGINT AS duration_ms,
+         |  (CASE WHEN raw THEN 0 ELSE 52 + jl END)::BIGINT AS data_offset,
+         |  (CASE WHEN raw THEN 2000 ELSE m * c * 2 END)::BIGINT AS data_bytes
+         |FROM wfx ORDER BY media_id""".stripMargin,
+
+    // Channel-0-through-the-container re-derivation: the ch=0 sample
+    // formula over each row's true frame count (m for containers, 1000
+    // for raw), framed at 200 like mm_audio_frames' replay.
+    "mm_wav_frames" ->
+      s"""WITH ${mmWavCtes(40)},
+         |smp AS (
+         |  SELECT w.id, tt.range AS t, (w.id * 7 + tt.range * 13) % 4097 - 2048 AS s
+         |  FROM wfx w, range(0, 1000) tt
+         |  WHERE tt.range < CASE WHEN w.raw THEN 1000 ELSE w.m END),
+         |fr AS (
+         |  SELECT id, t // 200 AS frame_idx, s,
+         |    lag(s) OVER (PARTITION BY id, t // 200 ORDER BY t) AS prev
+         |  FROM smp)
+         |SELECT id AS media_id, frame_idx::BIGINT AS frame_idx,
+         |  count(*)::BIGINT AS n_samples,
+         |  sum(abs(s))::BIGINT AS energy_l1,
+         |  sum(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS zero_crossings,
+         |  min(s)::BIGINT AS peak_min, max(s)::BIGINT AS peak_max
+         |FROM fr GROUP BY id, frame_idx
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Time-based VAD re-derivation: the mm_audio_vad islands replay over
+    // container rows only (raw rows carry no rate), frame 100, plus the
+    // floor-div ms conversion at each span's bounds.
+    "mm_wav_vad_ms" ->
+      s"""WITH ${mmWavCtes(40)},
+         |smp AS (
+         |  SELECT w.id, w.rate, tt.range AS t,
+         |    (w.id * 7 + tt.range * 13) % 4097 - 2048 AS s
+         |  FROM wfx w, range(0, 1000) tt
+         |  WHERE NOT w.raw AND tt.range < w.m),
+         |fr AS (
+         |  SELECT id, rate, t // 100 AS frame_idx,
+         |    count(*)::BIGINT AS n_samples, sum(abs(s))::BIGINT AS energy_l1
+         |  FROM smp GROUP BY id, rate, t // 100),
+         |kept AS (
+         |  SELECT id, rate, frame_idx, energy_l1,
+         |    lag(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx) AS prev
+         |  FROM fr WHERE energy_l1 >= 1000 * n_samples),
+         |br AS (
+         |  SELECT id, rate, frame_idx, energy_l1,
+         |    CASE WHEN prev IS NULL OR frame_idx <> prev + 1 THEN 1 ELSE 0 END AS brk
+         |  FROM kept),
+         |sp AS (
+         |  SELECT id, rate, frame_idx, energy_l1,
+         |    sum(brk) OVER (PARTITION BY id ORDER BY frame_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         |  FROM br)
+         |SELECT id AS media_id, min(frame_idx)::BIGINT AS span_start,
+         |  max(frame_idx)::BIGINT AS span_end,
+         |  (min(frame_idx) * 100 * 1000 // min(rate))::BIGINT AS span_start_ms,
+         |  ((max(frame_idx) + 1) * 100 * 1000 // min(rate))::BIGINT AS span_end_ms,
+         |  count(*)::BIGINT AS n_frames,
+         |  sum(energy_l1)::BIGINT AS energy_l1
+         |FROM sp GROUP BY id, span
+         |ORDER BY media_id, span_start""".stripMargin,
 
     // VAD re-derivation: formula frames at 128 samples, the integer
     // mean gate, LAG-gap islands per id, span aggregates.

@@ -349,6 +349,80 @@ private[graft] object QueryShared {
        |    (doc_id * 7 + tt.range * 13) % 4097 - 2048 AS s
        |  FROM documents, range(0, 1000) tt WHERE doc_id < $n)""".stripMargin
 
+  /** Deterministic REAL-WAV container fixtures (round-14, the container
+    * layer over [[syntheticAudioRows]]'s bare-PCM lane): per doc_id <
+    * `n`, doc_id % 4 == 3 ships the 1000-sample HEADERLESS raw-PCM
+    * payload (the fallback path must coexist with parsed containers in
+    * one corpus), every other id ships an ACTUAL RIFF/WAVE file —
+    * `RIFF` size `WAVE`, a 16-byte `fmt ` chunk (PCM format 1,
+    * channels = 1 + id%2, rate = 8000 + (id%3)·4000, bits 16), then a
+    * JUNK `LIST` chunk of (id%7 + 1)·2 bytes sitting between fmt and
+    * data (real encoders emit these; a parser that doesn't walk chunk
+    * sizes lands mid-junk and goes red), then the `data` chunk with
+    * m = 400 + (id%5)·30 frames of interleaved LE int16 samples,
+    * sample(ch, t) = ((id·7 + t·13 + ch·5) % 4097) − 2048. Everything
+    * the engine reads from the BYTES, the oracle re-derives from these
+    * formulas ([[mmWavCtes]]). */
+  private[graft] def syntheticWavRows(
+      s: SparkSession, dir: String, n: Int): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long].map { id =>
+        val bytes =
+          if (id % 4 == 3) {
+            val b = new Array[Byte](2000)
+            var t0 = 0
+            while (t0 < 1000) {
+              val v = ((id * 7 + t0 * 13) % 4097).toInt - 2048
+              b(2 * t0) = (v & 0xff).toByte
+              b(2 * t0 + 1) = ((v >> 8) & 0xff).toByte
+              t0 += 1
+            }
+            b
+          } else {
+            val c = (1 + id % 2).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val m = (400 + (id % 5) * 30).toInt
+            val jl = ((id % 7) + 1).toInt * 2
+            val dataLen = m * c * 2
+            val bb = java.nio.ByteBuffer
+              .allocate(12 + 24 + 8 + jl + 8 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + jl + 8 + dataLen)
+            bb.put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            bb.putShort(1).putShort(c.toShort).putInt(rate).putInt(rate * c * 2)
+            bb.putShort((c * 2).toShort).putShort(16)
+            bb.put("LIST".getBytes("US-ASCII")).putInt(jl)
+            (0 until jl).foreach(j => bb.put(((id + j) % 256).toByte))
+            bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+            var t0 = 0
+            while (t0 < m) {
+              var ch = 0
+              while (ch < c) {
+                bb.putShort((((id * 7 + t0 * 13 + ch * 5) % 4097).toInt - 2048).toShort)
+                ch += 1
+              }
+              t0 += 1
+            }
+            bb.array()
+          }
+        graft.operators.Multimodal.MediaRow(id, "audio", bytes, None, None, None)
+      }
+  }
+
+  /** The WAV fixture's layout re-derived in SQL: CTE `wfx(id, raw, c,
+    * rate, m, jl)` — the oracle-side twin of [[syntheticWavRows]]
+    * (data_offset = 12 + 24 + 8 + jl + 8 = 52 + jl for containers). */
+  private[graft] def mmWavCtes(n: Int): String =
+    s"""wfx AS (
+       |  SELECT doc_id AS id, doc_id % 4 = 3 AS raw,
+       |    (1 + doc_id % 2)::BIGINT AS c,
+       |    (8000 + (doc_id % 3) * 4000)::BIGINT AS rate,
+       |    (400 + (doc_id % 5) * 30)::BIGINT AS m,
+       |    ((doc_id % 7 + 1) * 2)::BIGINT AS jl
+       |  FROM documents WHERE doc_id < $n)""".stripMargin
+
   private[graft] val nativeClusterConfig = graft.operators.SpectraCluster.Config(
     binWidth = 1.0, topPeaks = 20, candidateBins = 6,
     precursorTol = 0.02, minCosine = 0.95, maxCandidateKeyDf = 0L)

@@ -280,27 +280,8 @@ object Multimodal {
       rows.flatMap { r =>
         if (r.media_type != "audio" || r.payload == null || r.payload.length < 2)
           Iterator.empty
-        else {
-          val n = r.payload.length / 2
-          (0 until n by frameSize).iterator.map { st =>
-            val end = math.min(st + frameSize, n)
-            var i = st
-            var e = 0L; var zc = 0L
-            var mn = Int.MaxValue; var mx = Int.MinValue; var prev = 0
-            while (i < end) {
-              val lo = r.payload(2 * i) & 0xff
-              val s = (r.payload(2 * i + 1).toInt << 8) | lo // sign rides the hi byte
-              e += math.abs(s.toLong)
-              if (s < mn) mn = s
-              if (s > mx) mx = s
-              if (i > st && s * prev < 0) zc += 1 // |s| <= 32768: product fits Int
-              prev = s
-              i += 1
-            }
-            AudioFrame(r.media_id, (st / frameSize).toLong, (end - st).toLong,
-              e, zc, mn.toLong, mx.toLong)
-          }
-        }
+        else
+          pcm16FrameIter(r.media_id, r.payload, 0, 2, r.payload.length / 2, frameSize)
       }
     }
   }
@@ -337,6 +318,174 @@ object Multimodal {
       .agg(min(col("frame_idx")).as("span_start"), max(col("frame_idx")).as("span_end"),
         count(lit(1)).as("n_frames"), sum(col("energy_l1")).as("energy_l1"))
       .drop("_span")
+      .orderBy(col("media_id"), col("span_start"))
+  }
+
+  /** A parsed RIFF/WAVE container: fmt-chunk fields + the data chunk's
+    * byte location. Offsets/sizes are clamped to the payload, never
+    * trusted blindly. */
+  final case class ParsedWav(
+      audioFormat: Int, channels: Int, sampleRate: Int, bitsPerSample: Int,
+      blockAlign: Int, dataOffset: Int, dataBytes: Int)
+
+  /** REAL RIFF/WAVE container parse (round-14; the container layer the
+    * r13 audio lane lacked — [[pcm16Frames]] treats its payload as a
+    * bare data chunk, so a genuine WAV's fmt header previously went
+    * unread and VAD thresholds could only be frame-indexed): verifies
+    * the `RIFF....WAVE` preamble, then walks the chunk list —
+    * 4-byte id, LE u32 size, body, pad-to-even — skipping unknown
+    * chunks BY THEIR SIZE FIELDS (the part a fake parser gets wrong the
+    * moment a `LIST`/`INFO` chunk appears between `fmt ` and `data`,
+    * which real encoders emit routinely), reading `fmt ` (audio format,
+    * channels, sample rate, block align, bits per sample) and recording
+    * `data`'s offset/length. Returns None for anything malformed: no
+    * preamble, truncated chunk header, `data` before `fmt `, zero
+    * channels/block align, or a size field pointing past the payload
+    * (the data chunk's length is CLAMPED to the bytes actually present
+    * — truncated files are a fact of 100 TB crawls; a clamp keeps the
+    * frame math honest where a trust-the-header read would wrap).
+    * Pure function of the bytes — safe inside partition-local loops. */
+  def parseWav(payload: Array[Byte]): Option[ParsedWav] = {
+    if (payload == null || payload.length < 12) return None
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= payload.length && data.isEmpty) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      val body = off + 8
+      if (id == "fmt ") {
+        if (size < 16 || body + 16 > payload.length) return None
+        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt,
+          u16(body + 12), u16(body + 14)))
+      } else if (id == "data") {
+        if (fmt.isEmpty) return None // fmt must precede data (RIFF spec)
+        data = Some((body, math.min(size, (payload.length - body).toLong).toInt))
+      }
+      // an absurd size field (would overflow Int) is malformed, full stop
+      if (size > Int.MaxValue - 8L) return None
+      // chunks pad to even length; a size field past the payload ends the
+      // walk (the data clamp above already handled the one chunk we read)
+      off = body + size.toInt + (size.toInt & 1)
+    }
+    for {
+      (af, ch, rate, block, bits) <- fmt
+      (dOff, dLen) <- data
+      if ch > 0 && block > 0 && rate > 0
+    } yield ParsedWav(af, ch, rate, bits, block, dOff, dLen)
+  }
+
+  final case class WavMeta(
+      media_id: Long, parsed: Boolean, audio_format: Long, channels: Long,
+      sample_rate: Long, bits_per_sample: Long, block_align: Long,
+      n_frames: Long, duration_ms: Long, data_offset: Long, data_bytes: Long)
+
+  /** Per-media container metadata through [[parseWav]] — sample rate,
+    * channel count, frame count, and the exact-integer duration
+    * floor(frames·1000 / rate) ms, which is what lets downstream gates
+    * work in TIME instead of frame indices ([[vadSpansMs]]). Headerless
+    * payloads keep the raw-PCM16-mono reading the r13 lane shipped
+    * (parsed=false, rate 0, duration −1 = unknown) — a real corpus
+    * carries both. Non-audio/NULL rows are skipped. One partition-local
+    * map: zero shuffle, a few header bytes read per row. */
+  def wavMeta(media: Dataset[MediaRow]): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "audio" || r.payload == null) Iterator.empty
+        else parseWav(r.payload) match {
+          case Some(w) =>
+            val frames = w.dataBytes / w.blockAlign
+            Iterator.single(WavMeta(r.media_id, parsed = true, w.audioFormat.toLong,
+              w.channels.toLong, w.sampleRate.toLong, w.bitsPerSample.toLong,
+              w.blockAlign.toLong, frames.toLong,
+              frames.toLong * 1000L / w.sampleRate, w.dataOffset.toLong, w.dataBytes.toLong))
+          case None =>
+            if (r.payload.length < 2) Iterator.empty
+            else Iterator.single(WavMeta(r.media_id, parsed = false, 1L, 1L, 0L, 16L, 2L,
+              (r.payload.length / 2).toLong, -1L, 0L, (r.payload.length / 2 * 2).toLong))
+        }
+      }
+    }
+  }
+
+  // shared PCM16LE frame-stat loop: sample i sits at byte
+  // `base + i·stride` (stride = blockAlign deinterleaves channel 0 of a
+  // container; base 0 / stride 2 is the raw mono path)
+  private def pcm16FrameIter(
+      mediaId: Long, payload: Array[Byte], base: Int, stride: Int, n: Int,
+      frameSize: Int): Iterator[AudioFrame] =
+    (0 until n by frameSize).iterator.map { st =>
+      val end = math.min(st + frameSize, n)
+      var i = st
+      var e = 0L; var zc = 0L
+      var mn = Int.MaxValue; var mx = Int.MinValue; var prev = 0
+      while (i < end) {
+        val o = base + i * stride
+        val lo = payload(o) & 0xff
+        val s = (payload(o + 1).toInt << 8) | lo // sign rides the hi byte
+        e += math.abs(s.toLong)
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        if (i > st && s * prev < 0) zc += 1 // |s| <= 32768: product fits Int
+        prev = s
+        i += 1
+      }
+      AudioFrame(mediaId, (st / frameSize).toLong, (end - st).toLong,
+        e, zc, mn.toLong, mx.toLong)
+    }
+
+  /** [[pcm16Frames]] THROUGH the container: payloads with a RIFF/WAVE
+    * header are framed from the data chunk's true offset with CHANNEL 0
+    * deinterleaved at the fmt chunk's block-align stride (only
+    * PCM-format-1 / 16-bit containers decode — anything else is
+    * skipped, never mis-read); headerless payloads fall back to the
+    * raw whole-payload mono reading, byte-identical to [[pcm16Frames]].
+    * Same scale shape: one partition-local flatMap, zero shuffle. */
+  def wavPcmFrames(media: Dataset[MediaRow], frameSize: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    require(frameSize >= 2, s"wavPcmFrames: frameSize must be >= 2, got $frameSize")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "audio" || r.payload == null || r.payload.length < 2)
+          Iterator.empty
+        else parseWav(r.payload) match {
+          case Some(w) =>
+            if (w.audioFormat != 1 || w.bitsPerSample != 16 || w.blockAlign < 2)
+              Iterator.empty
+            else pcm16FrameIter(r.media_id, r.payload, w.dataOffset, w.blockAlign,
+              w.dataBytes / w.blockAlign, frameSize)
+          case None =>
+            pcm16FrameIter(r.media_id, r.payload, 0, 2, r.payload.length / 2, frameSize)
+        }
+      }
+    }
+  }
+
+  /** [[vadSpans]] lifted into TIME: span bounds in exact-integer
+    * milliseconds — floor(frame·frameSize·1000 / rate) for the start,
+    * floor((frame+1)·frameSize·1000 / rate) for the (exclusive) end —
+    * via the [[wavMeta]] sample rate (broadcastable: one row per media).
+    * Only parsed containers carry a rate, so headerless media keep
+    * frame-indexed spans and simply don't appear here. */
+  def vadSpansMs(
+      frames: org.apache.spark.sql.Dataset[AudioFrame],
+      meta: org.apache.spark.sql.Dataset[WavMeta],
+      frameSize: Int, meanThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    vadSpans(frames, meanThreshold)
+      .join(broadcast(meta.toDF().filter(col("parsed") && col("sample_rate") > 0L)
+        .select(col("media_id"), col("sample_rate"))), Seq("media_id"))
+      .select(col("media_id"), col("span_start"), col("span_end"),
+        expr(s"span_start * $frameSize * 1000 div sample_rate").as("span_start_ms"),
+        expr(s"(span_end + 1) * $frameSize * 1000 div sample_rate").as("span_end_ms"),
+        col("n_frames"), col("energy_l1"))
       .orderBy(col("media_id"), col("span_start"))
   }
 

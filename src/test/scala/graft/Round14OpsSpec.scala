@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 operators: the RIFF/WAVE container parse (chunk walk, junk
+  * skip, truncation clamp, channel-0 deinterleave) and the stream-stream
+  * left-outer join's null-emission rule. */
+class Round14OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val mm = graft.operators.Multimodal
+
+  /** Hand-built WAV: `channels`-channel 16-bit PCM at `rate`, sample
+    * (ch, t) = samples(t)(ch), with an optional junk chunk before data
+    * and an optional truncation of the final bytes. */
+  private def wav(
+      channels: Int, rate: Int, samples: Seq[Seq[Int]],
+      junkBytes: Int = 0, truncate: Int = 0): Array[Byte] = {
+    val dataLen = samples.length * channels * 2
+    val junk = if (junkBytes > 0) 8 + junkBytes else 0
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + junk + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + junk + 8 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(channels.toShort).putInt(rate).putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort).putShort(16)
+    if (junkBytes > 0) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(junkBytes)
+      (0 until junkBytes).foreach(j => bb.put((j % 251).toByte))
+    }
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(fr => fr.foreach(s => bb.putShort(s.toShort)))
+    val full = bb.array()
+    if (truncate > 0) java.util.Arrays.copyOfRange(full, 0, full.length - truncate) else full
+  }
+
+  test("parseWav reads fmt through a junk chunk and finds data") {
+    val p = wav(2, 16000, Seq(Seq(1, -1), Seq(100, -100), Seq(0, 32000)), junkBytes = 6)
+    val w = mm.parseWav(p).get
+    assert(w.audioFormat == 1 && w.channels == 2 && w.sampleRate == 16000)
+    assert(w.bitsPerSample == 16 && w.blockAlign == 4)
+    assert(w.dataOffset == 12 + 24 + 14 + 8) // preamble + fmt + (LIST hdr + 6) + data hdr
+    assert(w.dataBytes == 12)
+  }
+
+  test("parseWav clamps a data size field past the payload (truncated file)") {
+    val p = wav(1, 8000, (0 until 10).map(i => Seq(i * 100)), truncate = 6)
+    val w = mm.parseWav(p).get
+    assert(w.dataBytes == 14) // 20 declared, 6 bytes missing
+  }
+
+  test("parseWav rejects malformed containers") {
+    assert(mm.parseWav(null).isEmpty)
+    assert(mm.parseWav(Array.fill[Byte](4)(0)).isEmpty)
+    val good = wav(1, 8000, Seq(Seq(1)))
+    assert(mm.parseWav(good).isDefined)
+    // wrong preamble
+    val bad1 = good.clone(); bad1(0) = 'X'.toByte
+    assert(mm.parseWav(bad1).isEmpty)
+    val bad2 = good.clone(); bad2(8) = 'X'.toByte
+    assert(mm.parseWav(bad2).isEmpty)
+    // data before fmt: swap the two chunks' ids so "data" arrives first
+    val swapped = good.clone()
+    Seq(('d', 12), ('a', 13), ('t', 14), ('a', 15)).foreach { case (c, i) => swapped(i) = c.toByte }
+    assert(mm.parseWav(swapped).isEmpty)
+    // zero channels
+    val zc = good.clone(); zc(22) = 0; zc(23) = 0
+    assert(mm.parseWav(zc).isEmpty)
+    // raw PCM (no header at all)
+    assert(mm.parseWav(Array.fill[Byte](64)(7)).isEmpty)
+  }
+
+  test("wavPcmFrames deinterleaves channel 0 of a stereo container") {
+    val ch0 = Seq(10, -20, 30, -40, 50)
+    val ch1 = Seq(9999, 9999, 9999, 9999, 9999) // must NOT leak into stats
+    val rows = Seq(mm.MediaRow(1L, "audio",
+      wav(2, 8000, ch0.zip(ch1).map { case (a, b) => Seq(a, b) }), None, None, None)).toDS()
+    val got = mm.wavPcmFrames(rows, frameSize = 3).collect().sortBy(_.frame_idx)
+    assert(got.length == 2)
+    assert(got(0).energy_l1 == 10 + 20 + 30 && got(0).n_samples == 3)
+    assert(got(0).zero_crossings == 2 && got(0).peak_min == -20 && got(0).peak_max == 30)
+    assert(got(1).energy_l1 == 40 + 50 && got(1).n_samples == 2)
+    assert(got(1).peak_min == -40 && got(1).peak_max == 50)
+  }
+
+  test("wavPcmFrames headerless fallback matches pcm16Frames exactly") {
+    val raw = Array.tabulate[Byte](200)(i => ((i * 37 + 11) % 256).toByte)
+    val rows = Seq(mm.MediaRow(7L, "audio", raw, None, None, None)).toDS()
+    val a = mm.wavPcmFrames(rows, frameSize = 16).collect().sortBy(_.frame_idx).toSeq
+    val b = mm.pcm16Frames(rows, frameSize = 16).collect().sortBy(_.frame_idx).toSeq
+    assert(a == b)
+  }
+
+  test("wavMeta: container duration is floor(frames*1000/rate); raw rows report unknown") {
+    val rows = Seq(
+      mm.MediaRow(1L, "audio", wav(1, 12000, (0 until 430).map(i => Seq(i))), None, None, None),
+      mm.MediaRow(2L, "audio", Array.fill[Byte](10)(1), None, None, None)).toDS()
+    val byId = mm.wavMeta(rows).collect().map(m => m.media_id -> m).toMap
+    assert(byId(1L).parsed && byId(1L).duration_ms == 430L * 1000L / 12000L) // 35, floored
+    assert(byId(1L).sample_rate == 12000 && byId(1L).n_frames == 430)
+    assert(!byId(2L).parsed && byId(2L).duration_ms == -1L && byId(2L).n_frames == 5)
+  }
+
+  test("stream-stream left outer join: null row only after watermark proves absence") {
+    val out = graft.streaming.StreamHarness.runBatchesTwo(
+      spark, QueriesEventsQuality.streamJoinOuterBatches,
+      (l, r) => graft.streaming.EventStream.intervalJoin(
+        l, r, within = "15 minutes", joinType = "left_outer"))
+      .filter(col("user_id") < 90)
+      .select(col("user_id"), col("l_id"), col("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // V1*P11 and V3*P13 match; V2 emits the watermark-forced null row;
+    // the late V9 emits NOTHING (dropped on input, so no phantom null)
+    assert(out == Set((1L, 1L, 11L), (3L, 3L, 13L), (2L, 2L, -1L)))
+  }
+}
