@@ -1034,6 +1034,33 @@ private[graft] object QueriesEventsQuality {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // REAL AVI container index walk (round-14, retiring the video
+    // lane's stub as the only demux): actual RIFF `AVI ` files — avih
+    // header, JUNK padding, movi frame chunks, idx1 index with BOTH
+    // offset conventions (movi-relative on even ids, absolute on odd)
+    // — and every frame's true bytes fingerprinted from the resolved
+    // offsets. A parser that lands one byte off md5-mismatches.
+    "mm_avi_index" -> ((s, dir) => {
+      graft.operators.Multimodal.aviIndex(syntheticAviRows(s, dir, 40))
+        .toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // REAL frame sampling through the container (round-14): samples
+    // every 100 ms of avih-declared duration, each snapped back to the
+    // nearest preceding idx1 KEYFRAME (how a player seeks) and shipping
+    // that frame's real bytes; unparseable payloads keep the honest
+    // stub fallback — both paths in one corpus, one oracle.
+    "mm_real_frames" -> ((s, dir) => {
+      graft.operators.Multimodal.sampleFramesAvi(
+        syntheticAviRows(s, dir, 40), everyMs = 100L, fallbackFrameBytes = 24)
+        .toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("ts_ms"), col("n_bytes").cast("long").as("n_bytes"),
+          md5(hex(col("payload"))).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // TIME-based VAD spans (round-14): the vadSpans islands lifted into
     // exact-integer milliseconds via the container's sample rate —
     // floor-div ms bounds replayed verbatim by the oracle. Only parsed
@@ -2515,6 +2542,56 @@ private[graft] object QueriesEventsQuality {
          |    AS zero_crossings,
          |  min(s)::BIGINT AS peak_min, max(s)::BIGINT AS peak_max
          |FROM fr GROUP BY id, frame_idx
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // AVI-index re-derivation: every field from the fixture layout —
+    // the resolved data offset 116 + jl + f·(8+fb) must come out
+    // IDENTICAL for both idx1 offset conventions, and each frame's md5
+    // re-derives from the frame-byte formula.
+    "mm_avi_index" ->
+      s"""WITH ${mmAviCtes(40)},
+         |fr AS (
+         |  SELECT id, f.range AS f, fb, jl FROM afx, range(0, 10) f
+         |  WHERE NOT raw AND f.range < nf)
+         |SELECT id AS media_id, f::BIGINT AS frame_idx, f % 3 = 0 AS is_key,
+         |  (116 + jl + f * (8 + fb))::BIGINT AS "offset",
+         |  fb::BIGINT AS n_bytes,
+         |  md5(list_aggregate(list_transform(range(fb),
+         |    j -> printf('%02X', (id*17 + f*29 + j*3) % 256)), 'string_agg', '')) AS frame_md5
+         |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Real-frame-sampling re-derivation: per container, samples at
+    // k·100 ms for k < max(1, nf·usf // 100000) (nested floor divisions
+    // collapse), raw frame = min(nf−1, k·100000 // usf), snapped to
+    // f − f%3 (the fixture's keyframe cadence), md5 from the frame
+    // formula; per fallback row, the stub slice formula at
+    // offset (k·len)//n, 24-byte cap.
+    "mm_real_frames" ->
+      s"""WITH ${mmAviCtes(40)},
+         |av AS (
+         |  SELECT id, fb, usf, k.range AS k,
+         |    least(nf - 1, k.range * 100000 // usf) AS rawf
+         |  FROM afx, range(0, 5) k
+         |  WHERE NOT raw AND k.range < greatest(1, nf * usf // 100000)),
+         |avo AS (SELECT id, k, fb, rawf - rawf % 3 AS f FROM av),
+         |rw AS (
+         |  SELECT id, len, k.range AS k, greatest(1, len // 100) AS n
+         |  FROM afx, range(0, 3) k
+         |  WHERE raw AND k.range < greatest(1, len // 100)),
+         |rwo AS (
+         |  SELECT id, k, (k * len) // n AS o,
+         |    least(24, len - (k * len) // n) AS sl
+         |  FROM rw)
+         |SELECT id AS media_id, k::BIGINT AS frame_idx, (k * 100)::BIGINT AS ts_ms,
+         |  fb::BIGINT AS n_bytes,
+         |  md5(list_aggregate(list_transform(range(fb),
+         |    j -> printf('%02X', (id*17 + f*29 + j*3) % 256)), 'string_agg', '')) AS frame_md5
+         |FROM avo
+         |UNION ALL
+         |SELECT id, k::BIGINT, (k * 100)::BIGINT, sl::BIGINT,
+         |  md5(list_aggregate(list_transform(range(sl),
+         |    j -> printf('%02X', (id*11 + (o + j)*7) % 256)), 'string_agg', ''))
+         |FROM rwo
          |ORDER BY media_id, frame_idx""".stripMargin,
 
     // WAV-metadata re-derivation: every field from the fixture layout

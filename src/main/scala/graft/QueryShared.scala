@@ -411,6 +411,85 @@ private[graft] object QueryShared {
       }
   }
 
+  /** Deterministic REAL-AVI container fixtures (round-14, the video
+    * lane's first genuine demux): per doc_id < `n`, doc_id % 5 == 4
+    * ships an UNPARSEABLE payload (byte(j) = (id·11 + j·7) % 256,
+    * length 150 + (id%4)·30, duration_ms = length — the stub-fallback
+    * path must coexist), every other id ships an ACTUAL RIFF `AVI `
+    * file: LIST hdrl with a real avih (µs/frame = 33000 + (id%3)·7000,
+    * frame count nf = 6 + id%5, geometry 64+id%16 × 48+id%8), a JUNK
+    * padding chunk of (id%5 + 1)·2 bytes (real muxers emit these), the
+    * LIST movi with nf `00dc` chunks of fb = 20 + (id%3)·8 bytes each
+    * — frame byte(f, j) = (id·17 + f·29 + j·3) % 256 — and a trailing
+    * idx1 whose entries flag every f % 3 == 0 frame as a keyframe and
+    * whose offsets are MOVI-RELATIVE for even ids but ABSOLUTE for odd
+    * ids (both conventions ship in the wild; the parser's offset-base
+    * heuristic must land every id on the same resolved offsets,
+    * data_off(f) = 116 + jl + f·(8+fb), or go red). */
+  private[graft] def syntheticAviRows(
+      s: SparkSession, dir: String, n: Int): org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long].map { id =>
+        if (id % 5 == 4) {
+          val len = (150 + (id % 4) * 30).toInt
+          val b = Array.tabulate[Byte](len)(j => ((id * 11 + j * 7) % 256).toByte)
+          graft.operators.Multimodal.MediaRow(
+            id, "video", b, None, None, Some(len.toLong))
+        } else {
+          val nf = (6 + id % 5).toInt
+          val fb = (20 + (id % 3) * 8).toInt
+          val usf = (33000 + (id % 3) * 7000).toInt
+          val jl = ((id % 5) + 1).toInt * 2
+          val w = (64 + id % 16).toInt
+          val h = (48 + id % 8).toInt
+          val moviData = nf * (8 + fb)
+          val total = 12 + 76 + (8 + jl) + (12 + moviData) + (8 + nf * 16)
+          val bb = java.nio.ByteBuffer.allocate(total)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+          bb.put("AVI ".getBytes("US-ASCII"))
+          bb.put("LIST".getBytes("US-ASCII")).putInt(68).put("hdrl".getBytes("US-ASCII"))
+          bb.put("avih".getBytes("US-ASCII")).putInt(56)
+          bb.putInt(usf).putInt(0).putInt(0).putInt(0x10 /* AVIF_HASINDEX */)
+          bb.putInt(nf).putInt(0).putInt(1).putInt(0).putInt(w).putInt(h)
+          bb.putInt(0).putInt(0).putInt(0).putInt(0)
+          bb.put("JUNK".getBytes("US-ASCII")).putInt(jl)
+          (0 until jl).foreach(j => bb.put(((id + j) % 256).toByte))
+          bb.put("LIST".getBytes("US-ASCII")).putInt(4 + moviData)
+            .put("movi".getBytes("US-ASCII"))
+          val moviFourccPos = 12 + 76 + 8 + jl + 8
+          (0 until nf).foreach { f =>
+            bb.put("00dc".getBytes("US-ASCII")).putInt(fb)
+            (0 until fb).foreach(j => bb.put(((id * 17 + f * 29 + j * 3) % 256).toByte))
+          }
+          bb.put("idx1".getBytes("US-ASCII")).putInt(nf * 16)
+          (0 until nf).foreach { f =>
+            val hdrRel = 4 + f * (8 + fb)
+            bb.put("00dc".getBytes("US-ASCII"))
+            bb.putInt(if (f % 3 == 0) 0x10 else 0)
+            bb.putInt(if (id % 2 == 0) hdrRel else moviFourccPos + hdrRel)
+            bb.putInt(fb)
+          }
+          graft.operators.Multimodal.MediaRow(id, "video", bb.array(), None, None, None)
+        }
+      }
+  }
+
+  /** The AVI fixture's layout re-derived in SQL: CTE `afx(id, raw, nf,
+    * fb, usf, jl, len)` — the oracle-side twin of [[syntheticAviRows]]
+    * (container data_off(f) = 116 + jl + f·(8+fb); fallback payload
+    * length `len`). */
+  private[graft] def mmAviCtes(n: Int): String =
+    s"""afx AS (
+       |  SELECT doc_id AS id, doc_id % 5 = 4 AS raw,
+       |    (6 + doc_id % 5)::BIGINT AS nf,
+       |    (20 + (doc_id % 3) * 8)::BIGINT AS fb,
+       |    (33000 + (doc_id % 3) * 7000)::BIGINT AS usf,
+       |    ((doc_id % 5 + 1) * 2)::BIGINT AS jl,
+       |    (150 + (doc_id % 4) * 30)::BIGINT AS len
+       |  FROM documents WHERE doc_id < $n)""".stripMargin
+
   /** The WAV fixture's layout re-derived in SQL: CTE `wfx(id, raw, c,
     * rate, m, jl)` — the oracle-side twin of [[syntheticWavRows]]
     * (data_offset = 12 + 24 + 8 + jl + 8 = 52 + jl for containers). */

@@ -526,6 +526,181 @@ object Multimodal {
     }
   }
 
+  /** One idx1 entry resolved to payload coordinates: `offset` points at
+    * the frame chunk's DATA bytes (absolute in the payload), already
+    * clamped; `keyframe` is the AVIIF_KEYFRAME flag. */
+  final case class AviIndexEntry(
+      frameIdx: Int, fourcc: String, offset: Int, size: Int, keyframe: Boolean)
+
+  /** A parsed AVI: the avih main-header timing/geometry + the idx1 frame
+    * index with absolute offsets. */
+  final case class ParsedAvi(
+      usPerFrame: Long, totalFrames: Long, width: Long, height: Long,
+      entries: Seq[AviIndexEntry])
+
+  /** REAL AVI (RIFF `AVI `) container parse (round-14; retires
+    * [[stubFrameSlice]] as the video lane's only demux): the same
+    * chunk-size walk as [[parseWav]], descending into `LIST hdrl` for
+    * the `avih` main header (µs per frame, total frames, width, height)
+    * and locating `LIST movi` + the `idx1` index chunk. Each 16-byte
+    * idx1 entry (fourcc, flags, offset, size) is resolved to ABSOLUTE
+    * payload coordinates with the real-world offset-base heuristic: AVI
+    * writers disagree on whether idx1 offsets are relative to the
+    * `movi` fourcc (most) or to the file start (some), so the parser
+    * applies the ffmpeg rule — a first-entry offset smaller than the
+    * movi position cannot be absolute, hence relative — exercised by
+    * fixtures of BOTH kinds.
+    * Entries whose resolved data range falls outside the payload are
+    * dropped (truncated crawl files), video (`..dc`/`..db`) entries
+    * only. None for anything without the RIFF-AVI preamble, an avih, or
+    * an idx1 — callers fall back to the honest stub. */
+  def parseAvi(payload: Array[Byte]): Option[ParsedAvi] = {
+    if (payload == null || payload.length < 12) return None
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var off = 12
+    var avih: Option[(Long, Long, Long, Long)] = None
+    var moviFourccPos = -1
+    var idx: Option[(Int, Int)] = None // (entries offset, n entries)
+    while (off + 8 <= payload.length) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (size > Int.MaxValue - 8L) return None
+      val body = off + 8
+      if (id == "LIST" && body + 4 <= payload.length) {
+        val listType = tag(body)
+        if (listType == "hdrl") {
+          // walk the list's children for avih (first child in practice,
+          // but walk by size fields — streams lists etc. may precede)
+          var c = body + 4
+          val end = math.min(body + size.toInt, payload.length)
+          while (c + 8 <= end && avih.isEmpty) {
+            if (tag(c) == "avih" && c + 8 + 40 <= payload.length)
+              avih = Some((u32(c + 8), u32(c + 8 + 16), u32(c + 8 + 32), u32(c + 8 + 36)))
+            val cs = u32(c + 4)
+            if (cs > Int.MaxValue - 8L) return None
+            c = c + 8 + cs.toInt + (cs.toInt & 1)
+          }
+        } else if (listType == "movi") moviFourccPos = body
+      } else if (id == "idx1") {
+        idx = Some((body, math.min(size, (payload.length - body).toLong).toInt / 16))
+      }
+      off = body + size.toInt + (size.toInt & 1)
+    }
+    for {
+      (usf, nf, w, h) <- avih
+      (ib, n) <- idx
+      if moviFourccPos >= 0 && usf > 0
+    } yield {
+      // offset-base heuristic (the ffmpeg rule): an offset SMALLER than
+      // the movi list's position cannot be absolute (nothing before movi
+      // holds frame chunks), so it must be movi-relative; absolute
+      // offsets always point at or past movi. Structural, so no payload
+      // byte pattern can fool it (a content-probe heuristic could).
+      val rel = n > 0 && u32(ib + 8).toInt < moviFourccPos
+      val entries = (0 until n).iterator.map { i =>
+        val e = ib + 16 * i
+        val cc = tag(e)
+        val key = (u32(e + 4) & 0x10L) != 0
+        val hdr = (if (rel) moviFourccPos else 0) + u32(e + 8).toInt
+        val sz = u32(e + 12).toInt
+        AviIndexEntry(i, cc, hdr + 8, sz, key)
+      }.filter { e =>
+        e.fourcc.length == 4 && (e.fourcc.endsWith("dc") || e.fourcc.endsWith("db")) &&
+          e.offset >= 0 && e.size >= 0 && e.offset + e.size <= payload.length
+      }.toSeq.zipWithIndex.map { case (e, fi) => e.copy(frameIdx = fi) }
+      ParsedAvi(usf, nf, w, h, entries)
+    }
+  }
+
+  final case class AviFrame(
+      media_id: Long, frame_idx: Long, is_key: Boolean, offset: Long,
+      n_bytes: Long, frame_md5: String)
+
+  // the repo's cross-engine byte fingerprint: lowercase md5 of the
+  // UPPERCASE-hex rendering (DuckDB replays it as
+  // md5(list_aggregate(list_transform(bytes, v -> printf('%02X', v)), 'string_agg', '')))
+  private def hexMd5(payload: Array[Byte], off: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len * 2)
+    var i = off
+    while (i < off + len) { sb.append("%02X".format(payload(i) & 0xff)); i += 1 }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+  }
+
+  /** The parsed frame index as rows, with each frame's REAL bytes
+    * fingerprinted (hex-md5 over the indexed slice — the proof the
+    * offsets resolve to the actual frame payloads, not synthetic
+    * slices). Non-video/NULL/unparseable rows are skipped.
+    * Partition-local. */
+  def aviIndex(media: Dataset[MediaRow]): Dataset[AviFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "video" || r.payload == null) Iterator.empty
+        else parseAvi(r.payload).iterator.flatMap(_.entries.iterator.map { e =>
+          AviFrame(r.media_id, e.frameIdx.toLong, e.keyframe, e.offset.toLong,
+            e.size.toLong, hexMd5(r.payload, e.offset, e.size))
+        })
+      }
+    }
+  }
+
+  /** [[sampleFrames]] THROUGH the container: for payloads that parse as
+    * AVI, one sample every `everyMs` ms of real duration (frames ×
+    * µs-per-frame from the avih header), each sample SNAPPED BACK to
+    * the nearest preceding keyframe (the idx1 flag — how a real player
+    * seeks: decode must start at a keyframe) and shipping that frame's
+    * REAL bytes from the index. Unparseable payloads keep the honest
+    * [[stubFrameSlice]] fallback, exactly as before. Partition-local
+    * flatMap, zero shuffle. */
+  def sampleFramesAvi(
+      media: Dataset[MediaRow], everyMs: Long, fallbackFrameBytes: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(everyMs > 0, s"sampleFramesAvi: everyMs must be positive, got $everyMs")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.media_type != "video" || r.payload == null) Iterator.empty
+        else parseAvi(r.payload) match {
+          case Some(avi) if avi.entries.nonEmpty =>
+            val nf = avi.entries.length
+            val durMs = nf.toLong * avi.usPerFrame / 1000L
+            val n = math.max(1L, durMs / everyMs)
+            require(n <= Int.MaxValue,
+              s"sampleFramesAvi: media ${r.media_id} would fan out to $n frames — raise everyMs")
+            // last keyframe index at or before each frame (one pass)
+            val prevKey = new Array[Int](nf)
+            var lastKey = 0
+            var i = 0
+            while (i < nf) {
+              if (avi.entries(i).keyframe) lastKey = i
+              prevKey(i) = lastKey
+              i += 1
+            }
+            (0 until n.toInt).iterator.map { k =>
+              val tMs = k * everyMs
+              val raw = math.min(nf - 1L, tMs * 1000L / avi.usPerFrame).toInt
+              val e = avi.entries(prevKey(raw))
+              FrameRow(r.media_id, k, tMs, e.size,
+                java.util.Arrays.copyOfRange(r.payload, e.offset, e.offset + e.size))
+            }
+          case _ =>
+            val n64 = math.max(1L, r.duration_ms.getOrElse(0L) / everyMs)
+            require(n64 <= Int.MaxValue,
+              s"sampleFramesAvi: media ${r.media_id} would fan out to $n64 frames — raise everyMs")
+            val n = n64.toInt
+            (0 until n).iterator.map { i =>
+              val p = stubFrameSlice(r.payload, i, n, fallbackFrameBytes)
+              FrameRow(r.media_id, i, i * everyMs, p.length, p)
+            }
+        }
+      }
+    }
+  }
+
   /** Average-hash (aHash) perceptual signature bands over a binary
     * payload — the image-near-dup primitive: block-resample the payload
     * to 64 "pixels" (the [[stubResize]] nearest-neighbor rule, so a real

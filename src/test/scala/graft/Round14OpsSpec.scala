@@ -104,6 +104,95 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(!byId(2L).parsed && byId(2L).duration_ms == -1L && byId(2L).n_frames == 5)
   }
 
+  /** Hand-built AVI: nFrames chunks of frameBytes, keyframes where
+    * `key(f)`, idx1 offsets movi-relative or absolute. */
+  private def avi(
+      nFrames: Int, frameBytes: Int, usPerFrame: Int, relOffsets: Boolean,
+      key: Int => Boolean = _ % 2 == 0, truncate: Int = 0): Array[Byte] = {
+    val moviData = nFrames * (8 + frameBytes)
+    val total = 12 + 76 + (12 + moviData) + (8 + nFrames * 16)
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(68).put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10)
+    bb.putInt(nFrames).putInt(0).putInt(1).putInt(0).putInt(320).putInt(240)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4 + moviData).put("movi".getBytes("US-ASCII"))
+    val moviPos = 12 + 76 + 8
+    (0 until nFrames).foreach { f =>
+      bb.put("00dc".getBytes("US-ASCII")).putInt(frameBytes)
+      (0 until frameBytes).foreach(j => bb.put(((f * 29 + j * 3) % 256).toByte))
+    }
+    bb.put("idx1".getBytes("US-ASCII")).putInt(nFrames * 16)
+    (0 until nFrames).foreach { f =>
+      val rel = 4 + f * (8 + frameBytes)
+      bb.put("00dc".getBytes("US-ASCII")).putInt(if (key(f)) 0x10 else 0)
+      bb.putInt(if (relOffsets) rel else moviPos + rel).putInt(frameBytes)
+    }
+    val full = bb.array()
+    if (truncate > 0) java.util.Arrays.copyOfRange(full, 0, full.length - truncate) else full
+  }
+
+  test("parseAvi resolves both idx1 offset conventions to identical coordinates") {
+    val rel = mm.parseAvi(avi(4, 20, 40000, relOffsets = true)).get
+    val abs = mm.parseAvi(avi(4, 20, 40000, relOffsets = false)).get
+    assert(rel.entries == abs.entries)
+    assert(rel.usPerFrame == 40000 && rel.totalFrames == 4 && rel.width == 320)
+    // first frame's data offset: movi fourcc (96) + 4 + chunk header (8)
+    assert(rel.entries.head.offset == 96 + 4 + 8)
+    assert(rel.entries.map(_.keyframe) == Seq(true, false, true, false))
+  }
+
+  test("parseAvi drops index entries whose data range falls outside the payload") {
+    val good = avi(4, 20, 40000, relOffsets = true)
+    // corrupt the LAST idx1 entry's size field (final 4 bytes) to claim
+    // 100000 bytes — its data range now exceeds the payload
+    val bad = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(bad.length - 4, 100000)
+    val p = mm.parseAvi(bad).get
+    assert(p.entries.length == 3)
+    assert(p.entries.map(_.frameIdx) == Seq(0, 1, 2))
+    // a file truncated past its whole index parses to None (no idx1)
+    assert(mm.parseAvi(java.util.Arrays.copyOfRange(good, 0, good.length - (8 + 64))).isEmpty)
+  }
+
+  test("parseAvi rejects non-AVI payloads") {
+    assert(mm.parseAvi(null).isEmpty)
+    assert(mm.parseAvi(Array.fill[Byte](64)(3)).isEmpty)
+    val wavBytes = wav(1, 8000, Seq(Seq(1)))
+    assert(mm.parseAvi(wavBytes).isEmpty) // RIFF but WAVE, not AVI
+    assert(mm.parseWav(avi(2, 20, 40000, relOffsets = true)).isEmpty) // and vice versa
+  }
+
+  test("sampleFramesAvi snaps samples to the nearest preceding keyframe") {
+    // 6 frames at 100 ms each, keyframes at 0 and 3 -> duration 600 ms,
+    // samples at 0,150,300,450 ms -> raw frames 0,1,3,4 -> snapped 0,0,3,3
+    val rows = Seq(mm.MediaRow(5L, "video",
+      avi(6, 20, 100000, relOffsets = true, key = f => f % 3 == 0), None, None, None)).toDS()
+    val got = mm.sampleFramesAvi(rows, everyMs = 150L, fallbackFrameBytes = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 4)
+    assert(got.map(_.ts_ms).toSeq == Seq(0L, 150L, 300L, 450L))
+    // frame 0 and frame 3 bytes from the formula
+    def frame(f: Int) = Array.tabulate[Byte](20)(j => ((f * 29 + j * 3) % 256).toByte)
+    assert(got(0).payload.sameElements(frame(0)) && got(1).payload.sameElements(frame(0)))
+    assert(got(2).payload.sameElements(frame(3)) && got(3).payload.sameElements(frame(3)))
+  }
+
+  test("sampleFramesAvi falls back to the stub for unparseable payloads") {
+    val raw = Array.tabulate[Byte](100)(i => i.toByte)
+    val rows = Seq(mm.MediaRow(9L, "video", raw, None, None, Some(100L))).toDS()
+    val got = mm.sampleFramesAvi(rows, everyMs = 60L, fallbackFrameBytes = 24)
+      .collect().sortBy(_.frame_idx)
+    val want = mm.sampleFrames(rows, everyMs = 60L, frameBytes = 24)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (a, b) =>
+        a.ts_ms == b.ts_ms && a.payload.sameElements(b.payload) })
+  }
+
   test("stream-stream left outer join: null row only after watermark proves absence") {
     val out = graft.streaming.StreamHarness.runBatchesTwo(
       spark, QueriesEventsQuality.streamJoinOuterBatches,
