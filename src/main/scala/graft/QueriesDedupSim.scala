@@ -644,6 +644,67 @@ private[graft] object QueriesDedupSim {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The composed INCREMENTAL nightly chain (round-14): the batch =
+    // ids < 100 arrives against the standing base = ids >= 100, and ONE
+    // query drives every incremental maintenance path the engine has —
+    // (1) exact-dedup gate against the standing corpus (bloom +
+    // anti-join, the base is never re-hashed per batch at scale), (2)
+    // near-dup partner flags from the REFRESHED tf-idf statistics, (3)
+    // the PCA axis refreshed by mergeStats (additive sufficient
+    // statistics: the base contributes its PERSISTED stats, never a
+    // rescan) and the batch projected on it, (4) nearest-neighbor serve
+    // for the first 10 batch docs off the insertIntoIndex-merged ANN
+    // index (exhaustive-exact configuration -> brute-force oracle).
+    // The oracle composes the four live re-derivations; any composition
+    // or incremental-maintenance bug reddens the row.
+    "pipeline_incremental_serve" -> ((s, dir) => {
+      import graft.operators.{Dedup, Pca, Hnsw}
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val batchDocs = docs.filter(col("doc_id") < 100)
+      val survivors = Dedup.incrementalDedup(
+        batchDocs, md5(col("text")), docs.filter(col("doc_id") >= 100), md5(col("text")),
+        expectedSeen = 100000)
+        .select(col("doc_id")).withColumn("_new", lit(1))
+      val pairs = Dedup.tfidfNearDupFromStats(
+        sharedTfidfModel(s, dir), threshold = 0.3, maxDf = 3)
+      val dupIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .filter(col("doc_id") < 100).distinct().withColumn("_nd", lit(1))
+      val direction = memo(s, s"pcaDirInc|$dir") {
+        Pca.principalDirectionFixedPoint(Pca.collectScatter(Pca.scatterFromStats(
+          Pca.mergeStats(
+            Pca.scatterStats(emb.filter(col("vec_id") >= 100), col("embedding"), 64),
+            Pca.scatterStats(emb.filter(col("vec_id") < 100), col("embedding"), 64))),
+          64), iters = 4)
+      }
+      val proj = Pca.projectPrincipal(
+        emb.filter(col("vec_id") < 100), col("vec_id"), col("embedding"), direction)
+        .withColumnRenamed("id", "doc_id")
+      val (cents, merged) = memo(s, s"hnswInsert|$dir") {
+        val c = Similarity.deterministicCentroids(e, nCells = 4, iters = 3)
+        val base = graft.operators.Hnsw.buildNswIndex(
+          e.filter(col("id") >= 100), c, m = 4, efConstruction = 16)
+        (c, graft.operators.Hnsw.insertIntoIndex(
+          base, c, e.filter(col("id") < 100), m = 4, efConstruction = 16)
+          .localCheckpoint(false))
+      }
+      val nn = Hnsw.nswTopK(merged, cents, e.filter(col("id") < 10),
+        k = 1, nProbe = 4, efSearch = 1 << 20)
+        .filter(col("rank") === 1)
+        .select(col("query_id").as("doc_id"), col("neighbor_id").as("nn_id"))
+      batchDocs.select(col("doc_id"))
+        .join(survivors, Seq("doc_id"), "left")
+        .join(dupIds, Seq("doc_id"), "left")
+        .join(proj, Seq("doc_id"), "left")
+        .join(nn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_new").isNotNull.as("is_new"),
+          col("_nd").isNotNull.as("is_neardup_partner"),
+          col("score_fp"), col("nn_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // NSW index persistence round-trip (round-13): the SAME built index
     // written as cell-partitioned parquet, read back, passed through
     // repartitionByShard (Hnsw.scala's reload contract — parquet splits
@@ -774,8 +835,11 @@ private[graft] object QueriesDedupSim {
     * dd_tfidf_reload (reloaded weights/norms are stored doubles, so the
     * pair step is bit-identical either way), and embedded as a subquery
     * by pipeline_artifact_serve's oracle. */
-  private[graft] val TfidfNearDupSql: String =
-    """WITH toks AS (
+  /** The TF-IDF near-dup chain as a CTE body (toks .. fin) — shared by
+    * [[TfidfNearDupSql]] and the composed pipeline_incremental_serve
+    * oracle. */
+  private[graft] val TfidfChainCtes: String =
+    """toks AS (
       |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents),
       |sh AS (
@@ -813,7 +877,10 @@ private[graft] object QueriesDedupSim {
       |      THEN p.dot / (na.nrm * nb.nrm) END AS cosine
       |  FROM prods p
       |  JOIN nrm na ON na.id = p.id_a
-      |  JOIN nrm nb ON nb.id = p.id_b)
+      |  JOIN nrm nb ON nb.id = p.id_b)""".stripMargin
+
+  private[graft] val TfidfNearDupSql: String =
+    s"""WITH $TfidfChainCtes
       |SELECT id_a, id_b, n_shared, cosine FROM fin
       |WHERE cosine >= '0.3'::DOUBLE
       |ORDER BY id_a, id_b""".stripMargin
@@ -837,11 +904,11 @@ private[graft] object QueriesDedupSim {
        |  FROM sc) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** The sim_pca_project full-chain re-derivation — shared verbatim by
-    * sim_pca_reload (the artifact round-trip must be bit-exact, so one
-    * oracle gates both rows). */
-  private val pcaProjectOracle: String =
-    ("""WITH q AS (
+  /** The PCA full chain as a CTE body (q .. v4) — shared by the
+    * project/reload/incremental oracles and the composed
+    * pipeline_incremental_serve row. */
+  private val PcaChainCtes: String =
+    ("""q AS (
       |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000.0)::BIGINT) AS qv
       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
       |el AS (SELECT vec_id, i - 1 AS i, qv[i] AS q FROM q, range(1, 65) t(i)),
@@ -867,11 +934,17 @@ private[graft] object QueriesDedupSim {
            |  SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // mx
            |                 ELSE -(((0 - w) * 1000000) // mx) END AS v
            |  FROM w$k CROSS JOIN x$k)""".stripMargin
-      }.mkString(",\n") + "\n" +
-      """SELECT el.vec_id AS id, sum(el.q * v4.v)::BIGINT AS score_fp
-        |FROM el JOIN v4 ON v4.i = el.i
-        |GROUP BY el.vec_id
-        |ORDER BY id""".stripMargin)
+      }.mkString(",\n"))
+
+  /** The sim_pca_project full-chain re-derivation — shared verbatim by
+    * sim_pca_reload (the artifact round-trip must be bit-exact, so one
+    * oracle gates both rows). */
+  private val pcaProjectOracle: String =
+    s"""WITH $PcaChainCtes
+       |SELECT el.vec_id AS id, sum(el.q * v4.v)::BIGINT AS score_fp
+       |FROM el JOIN v4 ON v4.i = el.i
+       |GROUP BY el.vec_id
+       |ORDER BY id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact_dedup" ->
@@ -1372,6 +1445,54 @@ private[graft] object QueriesDedupSim {
     // Incremental row: merged-batch stats must reproduce the direct
     // full-corpus chain exactly — additivity proven by the same oracle.
     "sim_pca_incremental" -> pcaProjectOracle,
+
+    // The composed incremental-serve re-derivation: dedup survivors by
+    // NOT EXISTS against the base's md5 set, near-dup partner ids from
+    // the tf-idf chain, the PCA projection chain restricted to the
+    // batch, and the brute-force top-1 neighbor (the merged index runs
+    // the exhaustive-exact configuration) — all four composed into one
+    // per-batch-doc row.
+    "pipeline_incremental_serve" ->
+      s"""WITH $TfidfChainCtes,
+         |$PcaChainCtes,
+         |surv AS (
+         |  SELECT b.doc_id FROM documents b
+         |  WHERE b.doc_id < 100 AND NOT EXISTS (
+         |    SELECT 1 FROM documents s2
+         |    WHERE s2.doc_id >= 100 AND md5(s2.text) = md5(b.text))),
+         |ndp AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM fin WHERE cosine >= '0.3'::DOUBLE
+         |    UNION ALL
+         |    SELECT id_b AS id FROM fin WHERE cosine >= '0.3'::DOUBLE)
+         |  WHERE id < 100),
+         |pr AS (
+         |  SELECT el.vec_id AS id, sum(el.q * v4.v)::BIGINT AS score_fp
+         |  FROM el JOIN v4 ON v4.i = el.i
+         |  WHERE el.vec_id < 100 GROUP BY el.vec_id),
+         |qn AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |cn AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |pn AS (
+         |  SELECT qid, nid, $dotSql AS dot,
+         |    ${normSql("qv")} AS nq, ${normSql("cv")} AS nc
+         |  FROM qn, cn WHERE qid <> nid),
+         |scn AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cosine FROM pn),
+         |nn1 AS (
+         |  SELECT qid AS id, nid AS nn_id FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |    FROM scn) WHERE rank = 1)
+         |SELECT d.doc_id,
+         |  EXISTS (SELECT 1 FROM surv WHERE surv.doc_id = d.doc_id) AS is_new,
+         |  EXISTS (SELECT 1 FROM ndp WHERE ndp.id = d.doc_id) AS is_neardup_partner,
+         |  pr.score_fp, nn1.nn_id
+         |FROM documents d
+         |LEFT JOIN pr ON pr.id = d.doc_id
+         |LEFT JOIN nn1 ON nn1.id = d.doc_id
+         |WHERE d.doc_id < 100
+         |ORDER BY d.doc_id""".stripMargin,
 
     // RP top-k re-derivation: every projected component from the md5
     // signs (same fold + scale), then the 16-dim brute-force ranking.
