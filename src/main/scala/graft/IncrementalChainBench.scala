@@ -54,6 +54,17 @@ object IncrementalChainBench {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
+    // Steady-state timing (min-of-2): the first execution of each stage
+    // pays Janino/whole-stage-codegen compilation of the big generated
+    // kernels — a CONSTANT per-JVM cost (measured ~40 s for the PCA
+    // scatter plan via PcaIncProbe: 107 s cold vs 17 s warm at identical
+    // data), not a function of corpus size, so the scale claim under
+    // test is about the warm number. Both inc and full twins get the
+    // same treatment.
+    def time2[A](f: => A): (A, Double, Double) = {
+      val (r, w1, c1) = time(f); val (_, w2, c2) = time(f)
+      (r, math.min(w1, w2), math.min(c1, c2))
+    }
 
     val root = java.nio.file.Files.createTempDirectory("graft-incchain").toString
     def art(name: String) = s"$root/$name"
@@ -102,6 +113,13 @@ object IncrementalChainBench {
     val (_, wFp, _) = time {
       baseDocs.select(md5(col("text")).as("fp")).write.mode("overwrite").parquet(art("fp"))
     }
+    // the dedup prefilter is itself an artifact (round-14 finding:
+    // rebuilding it from the fp store every night was the one O(history)
+    // cost in the dedup path)
+    val (_, wBloom, _) = time {
+      Dedup.saveBloom(Dedup.buildSeenBloom(
+        spark.read.parquet(art("fp")), col("fp"), expectedSeen = nBase), art("bloom"))
+    }
     val (_, wSig, _) = time {
       sigs(baseDocs).write.mode("overwrite").parquet(art("sigs"))
     }
@@ -116,25 +134,26 @@ object IncrementalChainBench {
       Hnsw.buildNswIndex(baseVecs, cents, m = 6, efConstruction = 16)
         .write.mode("overwrite").parquet(art("idx"))
     }
-    println(f"""{"artifacts":{"fp_store":$wFp%.1f,"sig_store":$wSig%.1f,"pca_stats":$wStats%.1f,"ann_index":$wIdx%.1f}}""")
+    println(f"""{"artifacts":{"fp_store":$wFp%.1f,"bloom":$wBloom%.1f,"sig_store":$wSig%.1f,"pca_stats":$wStats%.1f,"ann_index":$wIdx%.1f}}""")
 
-    // ---- stage 1: exact dedup — increment vs the store / full rescan
-    val (nNew, wI1, cI1) = time {
-      Dedup.incrementalDedup(incDocs, md5(col("text")),
-        spark.read.parquet(art("fp")), col("fp"), expectedSeen = nBase).count()
+    // ---- stage 1: exact dedup — increment vs the store (prebuilt bloom
+    // artifact; only bloom hits probe the fp store) / full rescan
+    val (nNew, wI1, cI1) = time2 {
+      Dedup.incrementalDedupWithBloom(incDocs, md5(col("text")),
+        spark.read.parquet(art("fp")), col("fp"), Dedup.loadBloom(art("bloom"))).count()
     }
-    val (nDistinct, wF1, cF1) = time {
+    val (nDistinct, wF1, cF1) = time2 {
       Dedup.exact(baseDocs.unionByName(incDocs), col("id"), md5(col("text"))).count()
     }
 
     // ---- stage 2: near-dup — increment sigs vs the signature store /
     // full LSH pair table over base+increment
-    val (nFlagged, wI2, cI2) = time {
+    val (nFlagged, wI2, cI2) = time2 {
       Dedup.incrementalNearDup(sigs(incDocs), spark.read.parquet(art("sigs")),
         numBands = 4, rowsPerBand = 4, threshold = 0.5)
         .filter(col("near_dup")).count()
     }
-    val (nPairs, wF2, cF2) = time {
+    val (nPairs, wF2, cF2) = time2 {
       Dedup.minHashLshPairs(sigs(baseDocs.unionByName(incDocs)),
         numBands = 4, rowsPerBand = 4, threshold = 0.5).count()
     }
@@ -142,14 +161,14 @@ object IncrementalChainBench {
     // ---- stage 3: PCA axis — merge persisted base stats with the
     // increment's (dim²-bounded adds) vs a full corpus rescan; both end
     // projecting the increment on the refreshed axis
-    val (s3i, wI3, cI3) = time {
+    val (s3i, wI3, cI3) = time2 {
       val baseStats = (spark.read.parquet(art("pca_pairs")), spark.read.parquet(art("pca_comps")))
       val dir = Pca.principalDirectionFixedPoint(Pca.collectScatter(Pca.scatterFromStats(
         Pca.mergeStats(baseStats, Pca.scatterStats(incVecs, col("vec"), 64))), 64), iters = 4)
       Pca.projectPrincipal(incVecs, col("id"), col("vec"), dir)
         .agg(sum(col("score_fp"))).collect()(0).getLong(0)
     }
-    val (s3f, wF3, cF3) = time {
+    val (s3f, wF3, cF3) = time2 {
       val dir = Pca.principalDirectionFixedPoint(Pca.collectScatter(Pca.scaledScatter(
         baseVecs.unionByName(incVecs), col("vec"), 64), 64), iters = 4)
       Pca.projectPrincipal(incVecs, col("id"), col("vec"), dir)
@@ -159,13 +178,13 @@ object IncrementalChainBench {
 
     // ---- stage 4: ANN — insertIntoIndex (affected cells only) vs full
     // rebuild over base+increment
-    val (nMerged, wI4, cI4) = time {
+    val (nMerged, wI4, cI4) = time2 {
       Hnsw.insertIntoIndex(
         spark.read.parquet(art("idx")).as[Hnsw.NswNode](
           org.apache.spark.sql.Encoders.product[Hnsw.NswNode]),
         cents, incVecs, m = 6, efConstruction = 16).count()
     }
-    val (nFull, wF4, cF4) = time {
+    val (nFull, wF4, cF4) = time2 {
       Hnsw.buildNswIndex(baseVecs.unionByName(incVecs), cents, m = 6, efConstruction = 16).count()
     }
 

@@ -104,6 +104,30 @@ object Round13Bench {
       f""""$n":{"psample_wall":$wPs%.1f,"psample_cpu":$cPs%.1f,"pca_wall":$wPca%.1f,"pca_cpu":$cPca%.1f,"kcore_wall":$wKc%.1f,"kcore_cpu":$cKc%.1f}"""
     }
     println(s"""{"metric":"round13_bench",${rows.mkString(",")}}""")
+
+    // Optional standalone PCA stage (round-14): SPARK_GRAFT_PCA_NVECS=10000000
+    // runs the full chain at 10M rows — past the r13 BIGINT landing
+    // horizon (|S| <= 2·(n·qmax)² = 2e20 at n = 1e7, over 2^63), so this
+    // stage COMPLETING is the proof the DECIMAL(38,0) end-to-end scatter
+    // computes where the old guard refused.
+    sys.env.get("SPARK_GRAFT_PCA_NVECS").map(_.toLong).foreach { nv =>
+      val vecs = spark.range(nv).select(col("id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          ((pmod(xxhash64(col("id") * lit(64) + j), lit(2001)) - lit(1000))
+            .cast("double") / lit(1000.0)).cast("float")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      val (wPca, cPca) = minOf2 {
+        import graft.operators.Pca
+        val dir = Pca.principalDirectionFixedPoint(
+          Pca.collectScatter(Pca.scaledScatter(vecs, col("embedding"), 64), 64), iters = 4)
+        Pca.projectPrincipal(vecs, col("id"), col("embedding"), dir)
+          .agg(count(lit(1)), sum(col("score_fp")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      vecs.unpersist()
+      println(f"""{"metric":"round14_pca_decimal","nvecs":$nv,"pca_wall":$wPca%.1f,"pca_cpu":$cPca%.1f}""")
+    }
     spark.stop()
   }
 }

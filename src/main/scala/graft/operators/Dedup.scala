@@ -593,14 +593,46 @@ object Dedup {
       maxBloomItems: Long = 100000000L,
   ): DataFrame = {
     require(expectedSeen > 0, s"incrementalDedup: expectedSeen must be positive, got $expectedSeen")
+    val bloom =
+      if (expectedSeen > maxBloomItems) None
+      else Some(seen.select(seenFp.cast("string").as("_seen_fp"))
+        .stat.bloomFilter("_seen_fp", expectedSeen, fpp))
+    incrementalDedupCore(batch, batchFp, seen, seenFp, bloom)
+  }
+
+  /** [[incrementalDedup]] with the bloom prefilter supplied PREBUILT
+    * (round-14; the IncrementalChainBench finding — rebuilding the bloom
+    * from the fingerprint store every night is the one O(history) cost
+    * in the dedup path, and it is pure artifact: build it once with
+    * [[buildSeenBloom]], persist with [[saveBloom]], and the nightly job
+    * pays only O(batch) + the store probe for bloom hits). The bloom
+    * MUST have been built over exactly `seen`'s fingerprints — a stale
+    * bloom (missing newly-appended fingerprints) breaks the prefilter
+    * guarantee and rows duplicate silently; append-nights must
+    * [[buildSeenBloom]] anew or putString the appended fingerprints
+    * before saving. */
+  def incrementalDedupWithBloom(
+      batch: DataFrame,
+      batchFp: Column,
+      seen: DataFrame,
+      seenFp: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+  ): DataFrame = incrementalDedupCore(batch, batchFp, seen, seenFp, Some(bloom))
+
+  private def incrementalDedupCore(
+      batch: DataFrame,
+      batchFp: Column,
+      seen: DataFrame,
+      seenFp: Column,
+      bloomOpt: Option[org.apache.spark.util.sketch.BloomFilter],
+  ): DataFrame = {
     val seenKeys = seen.select(seenFp.cast("string").as("_seen_fp"))
     val tagged = batch.withColumn("_fp", batchFp.cast("string"))
     def antiJoin(df: DataFrame): DataFrame =
       df.join(seenKeys, col("_fp") === col("_seen_fp"), "left_anti")
-    val out =
-      if (expectedSeen > maxBloomItems) antiJoin(tagged)
-      else {
-        val bloom = seenKeys.stat.bloomFilter("_seen_fp", expectedSeen, fpp)
+    val out = bloomOpt match {
+      case None => antiJoin(tagged)
+      case Some(bloom) =>
         val bloomBc = batch.sparkSession.sparkContext.broadcast(bloom)
         val hit = udf((fp: String) => fp != null && bloomBc.value.mightContain(fp))
           .apply(col("_fp"))
@@ -608,8 +640,31 @@ object Dedup {
         // bloom hits (true dups + fpp false positives) reach the anti-join
         tagged.filter(col("_fp").isNull || !hit)
           .unionByName(antiJoin(tagged.filter(col("_fp").isNotNull && hit)))
-      }
+    }
     out.drop("_fp")
+  }
+
+  /** Build the [[incrementalDedupWithBloom]] prefilter from the standing
+    * corpus — one pass over `seen`, driver-merged. */
+  def buildSeenBloom(
+      seen: DataFrame, seenFp: Column, expectedSeen: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedSeen > 0, s"buildSeenBloom: expectedSeen must be positive, got $expectedSeen")
+    seen.select(seenFp.cast("string").as("_seen_fp")).stat.bloomFilter("_seen_fp", expectedSeen, fpp)
+  }
+
+  /** Persist/load the bloom artifact (compact: ~1.2 MB per 1M keys at
+    * 1% fpp). Local-filesystem streams here; a cluster deployment swaps
+    * in the Hadoop FileSystem API — the BloomFilter wire format
+    * (writeTo/readFrom) is the same either way. */
+  def saveBloom(bloom: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
+    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try bloom.writeTo(os) finally os.close()
+  }
+
+  def loadBloom(path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val is = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(is) finally is.close()
   }
 
   /** Incremental (cross-batch) NEAR-dup against a persisted MinHash

@@ -193,6 +193,25 @@ class Round14OpsSpec extends AnyFunSuite {
         a.ts_ms == b.ts_ms && a.payload.sameElements(b.payload) })
   }
 
+  test("incrementalDedupWithBloom: disk-round-tripped bloom gives the exact anti-join result") {
+    import graft.operators.Dedup
+    val seen = (0 until 200).map(i => (i.toLong, s"text-${i % 150}")).toDF("id", "text")
+    val batch = (200 until 300).map(i => (i.toLong, s"text-${i % 170}")).toDF("id", "text")
+    val plain = Dedup.incrementalDedup(batch, md5(col("text")), seen, md5(col("text")),
+      expectedSeen = 200).select("id").collect().map(_.getLong(0)).toSet
+    val f = java.nio.file.Files.createTempFile("bloom", ".bin").toString
+    Dedup.saveBloom(Dedup.buildSeenBloom(seen, md5(col("text")), expectedSeen = 200), f)
+    val viaBloom = Dedup.incrementalDedupWithBloom(batch, md5(col("text")),
+      seen, md5(col("text")), Dedup.loadBloom(f))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // ground truth: plain anti-join on the fingerprint
+    val want = batch.join(seen.select(md5(col("text")).as("fp")),
+      md5(col("text")) === col("fp"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == want && viaBloom == want)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(f)); ()
+  }
+
   test("stream-stream left outer join: null row only after watermark proves absence") {
     val out = graft.streaming.StreamHarness.runBatchesTwo(
       spark, QueriesEventsQuality.streamJoinOuterBatches,
