@@ -131,8 +131,10 @@ object IncrementalChainBench {
     val cents = Similarity.deterministicCentroids(
       baseVecs.select(col("id"), col("vec")), nCells = 64, iters = 3)
     val (_, wIdx, _) = time {
-      Hnsw.buildNswIndex(baseVecs, cents, m = 6, efConstruction = 16)
-        .write.mode("overwrite").parquet(art("idx"))
+      // cell-partitioned store: the nightly delta overwrites affected
+      // cell partitions; the rebuild's In-predicate read prunes to them
+      Hnsw.buildNswIndex(baseVecs, cents, m = 8, efConstruction = 32)
+        .write.partitionBy("cell").mode("overwrite").parquet(art("idx"))
     }
     println(f"""{"artifacts":{"fp_store":$wFp%.1f,"bloom":$wBloom%.1f,"sig_store":$wSig%.1f,"pca_stats":$wStats%.1f,"ann_index":$wIdx%.1f}}""")
 
@@ -176,23 +178,30 @@ object IncrementalChainBench {
     }
     require(s3i == s3f, s"PCA incremental/full projection sums diverged: $s3i vs $s3f")
 
-    // ---- stage 4: ANN — insertIntoIndex (affected cells only) vs full
-    // rebuild over base+increment
-    val (nMerged, wI4, cI4) = time2 {
-      Hnsw.insertIntoIndex(
+    // ---- stage 4: ANN — the nightly WRITE (rebuild of the affected
+    // cells only, the delta a cell-partitioned store overwrites; the In
+    // predicate partition-prunes the existing-affected read) vs full
+    // rebuild over base+increment. A pass-through copy of the untouched
+    // 1M nodes is deliberately NOT in the incremental number — a
+    // cell-addressed store never rewrites them.
+    var nAffected = 0
+    val (nDelta, wI4, cI4) = time2 {
+      val (rebuilt, affected) = Hnsw.rebuiltShards(
         spark.read.parquet(art("idx")).as[Hnsw.NswNode](
           org.apache.spark.sql.Encoders.product[Hnsw.NswNode]),
-        cents, incVecs, m = 6, efConstruction = 16).count()
+        cents, incVecs, m = 8, efConstruction = 32)
+      nAffected = affected.size
+      rebuilt.count()
     }
     val (nFull, wF4, cF4) = time2 {
-      Hnsw.buildNswIndex(baseVecs.unionByName(incVecs), cents, m = 6, efConstruction = 16).count()
+      Hnsw.buildNswIndex(baseVecs.unionByName(incVecs), cents, m = 8, efConstruction = 32).count()
     }
 
     def row(tag: String, wi: Double, ci: Double, wf: Double, cf: Double) =
       f""""$tag":{"inc_wall":$wi%.1f,"inc_cpu":$ci%.1f,"full_wall":$wf%.1f,"full_cpu":$cf%.1f,"speedup":${wf / wi}%.1f}"""
     println(s"""{"base":$nBase,"inc":$nInc,${row("dedup", wI1, cI1, wF1, cF1)},${row(
         "neardup", wI2, cI2, wF2, cF2)},${row("pca", wI3, cI3, wF3, cF3)},${row(
-        "ann", wI4, cI4, wF4, cF4)},"counts":{"new":$nNew,"distinct":$nDistinct,"flagged":$nFlagged,"pairs":$nPairs,"idx_nodes":$nMerged,"idx_full":$nFull}}""")
+        "ann", wI4, cI4, wF4, cF4)},"counts":{"new":$nNew,"distinct":$nDistinct,"flagged":$nFlagged,"pairs":$nPairs,"ann_delta_nodes":$nDelta,"ann_affected_cells":$nAffected,"idx_full":$nFull}}""")
     spark.stop()
   }
 }

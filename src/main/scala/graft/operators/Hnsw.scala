@@ -273,6 +273,35 @@ object Hnsw {
     import spark.implicits._
     val mMax = if (maxDegree > 0) maxDegree else 2 * m
     require(mMax >= m, s"insertIntoIndex: maxDegree $mMax must be >= m $m")
+    val (rebuilt, affected) = rebuiltShards(index, centroids, newRows, m, efConstruction, mMax)
+    // COLUMN predicate, not a typed lambda (round-14): a lambda filter
+    // deserializes every row of a parquet-backed index, while an In
+    // predicate partition-prunes a cell-partitioned store — the
+    // difference between O(history) and O(affected) reads every night.
+    rebuilt.union(index.filter(!col("cell").isInCollection(affected)).as[NswNode])
+  }
+
+  /** The DELTA of [[insertIntoIndex]]: ONLY the rebuilt affected shards,
+    * plus the affected cell set (round-14). This is what a nightly job
+    * actually WRITES — against a cell-partitioned index store
+    * (`write.partitionBy("cell")` + dynamic partition overwrite), the
+    * rebuilt cells replace their partitions and untouched history is
+    * neither read nor rewritten (the existing-affected read is a column
+    * In predicate, so the store scan partition-prunes to the affected
+    * cells). [[insertIntoIndex]] composes this with the untouched
+    * remainder for callers that want the full merged view. */
+  def rebuiltShards(
+      index: Dataset[NswNode],
+      centroids: Seq[(Int, Seq[Double])],
+      newRows: DataFrame,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      maxDegree: Int = 0): (Dataset[NswNode], Seq[Int]) = {
+    val spark = index.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val mMax = if (maxDegree > 0) maxDegree else 2 * m
+    require(mMax >= m, s"rebuiltShards: maxDegree $mMax must be >= m $m")
     val assignedNew = newRows
       .select(
         Similarity.assignCell(transform(col("vec"), _.cast("double")), centroids).as("cell"),
@@ -283,15 +312,14 @@ object Hnsw {
       .localCheckpoint(false) // read twice: affected-cell scan + rebuild
     // affected cells: bounded by |centroids| — a tiny driver set
     val affected = assignedNew.select(col("cell")).distinct()
-      .as[Int].collect().toSet
-    val bc = spark.sparkContext.broadcast(affected)
-    val untouched = index.filter(n => !bc.value.contains(n.cell))
-    val existingAffected = index.filter(n => bc.value.contains(n.cell))
+      .as[Int].collect().toSeq.sorted
+    val existingAffected = index.filter(col("cell").isInCollection(affected))
+      .as[NswNode]
       .map(n => AssignedRow(n.cell, n.id, n.vec))
-    existingAffected.union(assignedNew)
+    val rebuilt = existingAffected.union(assignedNew)
       .groupByKey(_.cell)
       .flatMapGroups { (_, rows) => buildShard(rows.toArray, m, efConstruction, mMax) }
-      .union(untouched)
+    (rebuilt, affected)
   }
 
   /** Query the index: probe each query's `nProbe` nearest shards
