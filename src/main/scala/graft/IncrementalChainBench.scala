@@ -83,25 +83,40 @@ object IncrementalChainBench {
           concat(lit("w"), pmod(xxhash64(eff * lit(docLen) + i), lit(vocabSize)))))
           .as("text"))
     }
-    // 64-dim vectors; increment rows sit in one of 8 offset "topics"
-    // (+3.0 on an id-dependent 8-dim block) so they cluster into a
-    // bounded set of IVF cells.
-    def vecsFor(ids: org.apache.spark.sql.DataFrame): DataFrame =
+    // 64-dim vectors; increment rows are JITTERED NEAR-COPIES of 8 base
+    // anchor vectors (ids 0..7, jitter <= 0.01 per dim) — tonight's
+    // topically-clustered crawl, which lands in the anchors' IVF cells.
+    // (The first cut used a +3.0 offset block; nearest-centroid
+    // assignment is dominated by the 56 untouched uniform dims, so that
+    // increment SPREAD over all 64 cells — v4 measured
+    // ann_affected_cells = 64 and no insert win. Clustering must come
+    // from proximity to existing structure, not from an offset.)
+    def vecsFor(ids: org.apache.spark.sql.DataFrame): DataFrame = {
+      val anchor = when(col("id") >= nBase, pmod(col("id"), lit(8))).otherwise(col("id"))
       ids.select(col("id"),
         transform(sequence(lit(0), lit(63)), d =>
-          ((pmod(xxhash64(col("id") * 64 + d), lit(2000)).cast("double") / lit(1000.0)
+          ((pmod(xxhash64(anchor * 64 + d), lit(2000)).cast("double") / lit(1000.0)
             - lit(1.0)) +
-            when(col("id") >= nBase &&
-              d.cast("long") / 8L === pmod(col("id"), lit(8)), lit(3.0))
+            when(col("id") >= nBase,
+              pmod(xxhash64(col("id") * 64 + d), lit(1000)).cast("double") / lit(100000.0))
               .otherwise(lit(0.0))).cast("float")).as("vec"))
+    }
 
+    // The corpus lives in PARQUET, like a real standing corpus: the full
+    // recompute twins must RESCAN STORAGE, not a RAM cache (v4's full
+    // twins read memory-persisted frames — a 128 GB cache subsidy no
+    // 100 TB corpus gets), and the increment arrives as new files.
     val baseIds = spark.range(nBase).select(col("id"))
     val incIds = spark.range(nBase, nBase + nInc).select(col("id"))
-    val baseDocs = docsFor(baseIds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incDocs = docsFor(incIds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val baseVecs = vecsFor(baseIds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incVecs = vecsFor(incIds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    baseDocs.count(); incDocs.count(); baseVecs.count(); incVecs.count()
+    val root0 = java.nio.file.Files.createTempDirectory("graft-incchain-corpus").toString
+    docsFor(baseIds).write.mode("overwrite").parquet(s"$root0/docs_base")
+    docsFor(incIds).write.mode("overwrite").parquet(s"$root0/docs_inc")
+    vecsFor(baseIds).write.mode("overwrite").parquet(s"$root0/vecs_base")
+    vecsFor(incIds).write.mode("overwrite").parquet(s"$root0/vecs_inc")
+    def baseDocs = spark.read.parquet(s"$root0/docs_base")
+    def incDocs = spark.read.parquet(s"$root0/docs_inc")
+    def baseVecs = spark.read.parquet(s"$root0/vecs_base")
+    def incVecs = spark.read.parquet(s"$root0/vecs_inc")
 
     def sigs(d: DataFrame): DataFrame = Dedup.minHashSignature(
       d.select(col("id"), explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle")),
@@ -122,6 +137,10 @@ object IncrementalChainBench {
     }
     val (_, wSig, _) = time {
       sigs(baseDocs).write.mode("overwrite").parquet(art("sigs"))
+      // the store's band keys are an artifact too (round-14: re-banding
+      // the store was ~half the nightly near-dup CPU)
+      Dedup.bandKeys(spark.read.parquet(art("sigs")), numBands = 4, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(art("sig_bands"))
     }
     val (_, wStats, _) = time {
       val (p, c) = Pca.scatterStats(baseVecs, col("vec"), 64)
@@ -151,7 +170,8 @@ object IncrementalChainBench {
     // ---- stage 2: near-dup — increment sigs vs the signature store /
     // full LSH pair table over base+increment
     val (nFlagged, wI2, cI2) = time2 {
-      Dedup.incrementalNearDup(sigs(incDocs), spark.read.parquet(art("sigs")),
+      Dedup.incrementalNearDupPrebanded(sigs(incDocs),
+        spark.read.parquet(art("sig_bands")), spark.read.parquet(art("sigs")),
         numBands = 4, rowsPerBand = 4, threshold = 0.5)
         .filter(col("near_dup")).count()
     }

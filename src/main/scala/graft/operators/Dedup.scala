@@ -693,6 +693,29 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double,
   ): DataFrame = {
+    // the band keys are derived from the store on the fly; a nightly job
+    // should persist them once and use [[incrementalNearDupPrebanded]]
+    // (round-14: re-banding a 1M-doc store was ~half the incremental
+    // path's CPU in IncrementalChainBench)
+    val sn = seenSignatures.localCheckpoint(false)
+    incrementalNearDupPrebanded(batchSignatures,
+      bandKeys(sn, numBands, rowsPerBand), sn, numBands, rowsPerBand, threshold)
+  }
+
+  /** [[incrementalNearDup]] with the standing corpus's band keys
+    * supplied PREBUILT — the production shape: the signature store
+    * persists BOTH the (id, mh_*) signatures and their (id, band, bh)
+    * band keys, so the nightly probe shingles/hashes only the batch;
+    * the store contributes a band-key equi-join (no re-banding) and a
+    * candidate-bounded signature lookup for the verify step. */
+  def incrementalNearDupPrebanded(
+      batchSignatures: DataFrame, // (id, mh_0..mh_{k-1})
+      seenBandKeys: DataFrame, // (id, band, bh) — persisted store bands
+      seenSignatures: DataFrame, // (id, mh_0..mh_{k-1}) — for verification
+      numBands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+  ): DataFrame = {
     def width(df: DataFrame) = df.columns.count(_.startsWith("mh_"))
     val k = numBands * rowsPerBand
     require(width(batchSignatures) == width(seenSignatures),
@@ -705,10 +728,10 @@ object Dedup {
     // localCheckpoint pins each signature aggregation once, the
     // minHashLshPairs contract
     val b = batchSignatures.localCheckpoint(false)
-    val sn = seenSignatures.localCheckpoint(false)
+    val sn = seenSignatures
     val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
     val cand = bandKeys(b, numBands, rowsPerBand)
-      .join(bandKeys(sn, numBands, rowsPerBand).withColumnRenamed("id", "seen_id"),
+      .join(seenBandKeys.withColumnRenamed("id", "seen_id"),
         Seq("band", "bh"))
       .select(col("id"), col("seen_id")).distinct()
     val verified = cand
