@@ -74,10 +74,12 @@ object AnnBench {
     val (bfSet, tBf) = time2 {
       pairs(Similarity.bruteForceTopK(vecs, queries, 10))
     }
+    System.err.println(f"[annbench] bruteforce $tBf%.1f s")  // progress: partial evidence survives a cut-short run
     val (lshSet, tLsh) = time2 {
       pairs(Similarity.lshTopK(vecs, queries, k = 10, nBits = lshBits, dim = dim,
         probeHammingRadius = 1))
     }
+    System.err.println(f"[annbench] lsh_topk $tLsh%.1f s")  // progress: partial evidence survives a cut-short run
     // Int8-quantized scoring over the same exhaustive candidate space:
     // the recall number is the point (how much the 8x-narrower candidate
     // representation loses — compute cost matches brute force locally,
@@ -85,6 +87,7 @@ object AnnBench {
     val (quantSet, tQuant) = time2 {
       pairs(Similarity.quantizedTopK(vecs, queries, k = 10, oversample = 4))
     }
+    System.err.println(f"[annbench] quantized $tQuant%.1f s")  // progress: partial evidence survives a cut-short run
     // IVF the way it is used: build the inverted file ONCE (training +
     // assignment + cache — reported separately), then serve query batches
     // from it. The steady-state batch time is the brute-force comparison;
@@ -112,6 +115,7 @@ object AnnBench {
       Similarity.trainPq(vecs, dim = dim, nSub = 8, nCodes = 64,
         kmeansIters = ivfIters, maxTrainRows = ivfTrain)
     }
+    System.err.println(f"[annbench] pq_train $tPqTrain%.1f s")  // progress: partial evidence survives a cut-short run
     val (pqSet, tPq) = time2 {
       pairs(Similarity.pqTopK(vecs, queries, k = 10, pqModel, oversample = 16))
     }
@@ -139,10 +143,12 @@ object AnnBench {
       idx.write.format("noop").mode("overwrite").save() // materialize
       idx
     }
+    System.err.println(f"[annbench] nsw_build $tNswBuild%.1f s")  // progress: partial evidence survives a cut-short run
     val (nswSet, tNsw) = time2 {
       pairs(graft.operators.Hnsw.nswTopK(nswIdx, ivfIdx.centroids, queries,
         k = 10, nProbe = hnswProbe, efSearch = hnswEf))
     }
+    System.err.println(f"[annbench] nsw_query $tNsw%.1f s")  // progress: partial evidence survives a cut-short run
     // round-13: incremental index maintenance. A LOCALIZED 10k batch —
     // jittered copies of one existing region, the "tonight's crawl is
     // topically clustered" shape — lands in a handful of cells, so
@@ -166,10 +172,12 @@ object AnnBench {
       merged.unpersist()
       c
     }
+    System.err.println(f"[annbench] nsw_insert $tInsert%.1f s")  // progress: partial evidence survives a cut-short run
     val (nPairs, tPairs) = time {
       Similarity.embeddingNearDupPairs(vecs, threshold = 0.99, nBits = 14,
         dim = dim).count()
     }
+    System.err.println(f"[annbench] neardup_pairs $tPairs%.1f s")  // progress: partial evidence survives a cut-short run
     // round-9 stages: per-label centroid-distance outliers (label = a
     // 16-way hash facet) and per-dim min-max scaling — both centroid/
     // stats-broadcast shapes that must hold at 1M x 64
