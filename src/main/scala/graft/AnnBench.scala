@@ -36,6 +36,10 @@ object AnnBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 10M-vector runs on a big heap see full-GC pauses that outlast
+      // the 10 s default heartbeat; a missed beat tears the context down
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
