@@ -67,11 +67,18 @@ object Bench {
     // work in-process, so this captures the whole query's CPU.
     val osBean = java.lang.management.ManagementFactory
       .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
+    // Per-query GC wall time (sum over all collectors) rides along in
+    // bench_full.json — the round-13/14 in-suite-vs-isolated spreads
+    // (txt_distinct_ngrams 5.6 s in-suite vs 1.3 s isolated) need the
+    // GC share of each number to be attributable, not guessed.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
     val loadStart = osBean.getSystemLoadAverage
     val ran = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var attempts = 0
       var broke = false
-      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
       // two runs "agree" when the faster is within noiseSpread of the
       // slower — then the min is a believable steady state, not a race
       // the co-tenant happened to lose twice
@@ -83,9 +90,11 @@ object Bench {
         attempts += 1
         val t0 = System.nanoTime()
         val c0 = osBean.getProcessCpuTime
+        val g0 = gcMillis()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times += (((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9))
+          times += (((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9,
+            (gcMillis() - g0) / 1e3))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           broke = true
@@ -105,6 +114,7 @@ object Bench {
     val rawByName = ran.collect { case (n, Some(ts)) => n -> ts.map(_._1) }.toMap
     val results = ran.collect { case (n, Some(ts)) => n -> ts.map(_._1).min }
     val cpuByName = ran.collect { case (n, Some(ts)) => n -> ts.minBy(_._1)._2 }.toMap
+    val gcByName = ran.collect { case (n, Some(ts)) => n -> ts.minBy(_._1)._3 }.toMap
     val failed = ran.collect { case (n, None) => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
@@ -132,8 +142,9 @@ object Bench {
       "\"" + n + "\":" + rawByName(n).map(d3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val totalFirst = rawByName.values.map(_.head).sum
+    val totalGc = gcByName.values.sum
     val fullLine =
-      s"""{"queries":${fmtQs(results.sortBy(_._2))},"cpu":${fmtQs(results.sortBy(_._2).map { case (n, _) => n -> cpuByName(n) })},"raw":$rawJson,"failed":$failedJson,"total_sec":${d3(total)},"total_first_sec":${d3(totalFirst)},"total_cpu_sec":${d3(totalCpu)},"warmup_sec":${d3(warmupSec)},"load_avg_start":${d3(loadStart)},"load_avg_end":${d3(loadEnd)},"sf":"$sfDir"}"""
+      s"""{"queries":${fmtQs(results.sortBy(_._2))},"cpu":${fmtQs(results.sortBy(_._2).map { case (n, _) => n -> cpuByName(n) })},"gc":${fmtQs(results.sortBy(_._2).map { case (n, _) => n -> gcByName(n) })},"raw":$rawJson,"failed":$failedJson,"total_sec":${d3(total)},"total_first_sec":${d3(totalFirst)},"total_cpu_sec":${d3(totalCpu)},"total_gc_sec":${d3(totalGc)},"warmup_sec":${d3(warmupSec)},"load_avg_start":${d3(loadStart)},"load_avg_end":${d3(loadEnd)},"sf":"$sfDir"}"""
     // bench_full.json gets overwritten by whichever run happened last
     // (builder clean run vs driver run) — with SPARK_GRAFT_BENCH_TAG set,
     // a round-stamped copy (bench_full_<tag>.json) survives for audit.

@@ -11,13 +11,18 @@ object BenchSub {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = args(0).split(",").toSeq
     val repeat = if (args.length > 1) args(1).toInt else 3
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // A/B conf overlay for optimization experiments:
+    // SPARK_GRAFT_CONF="k=v;k=v" (semicolon-separated).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }

@@ -540,6 +540,8 @@ private[graft] object QueriesDedupSim {
       import s.implicits._
       direction.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("component", "v")
+        // dim-bounded (64 rows): one file, not 32 near-empty task commits
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/direction.parquet")
       val reloaded = s.read.parquet(s"$outDir/direction.parquet")
         .orderBy(col("component")).collect().map(_.getLong(1))

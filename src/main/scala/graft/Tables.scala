@@ -102,9 +102,47 @@ object Tables {
     * BELOW the exchange (verified in plan: PushedFilters on the scan, then
     * Exchange). On production inputs (many row groups / many files) splits
     * >= parallelism, so this is a no-op and plans stay pure scans. */
-  private def withScanParallelism(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+  /** Per-table high-cardinality spread key for the parallelism guard:
+    * hash repartitioning on a deterministic unique key avoids round-
+    * robin's sort-before-repartition pass (SPARK-23207: keyless
+    * repartition first locally sorts its input so retries reproduce the
+    * assignment; a deterministic hash key needs no such sort — guide
+    * §2.5's "derive the synthetic key deterministically"). */
+  private val spreadKey: Map[String, String] = Map(
+    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Default guard policy (r14 measured, 3-repeat steady-state A/B over
+    * each table's consumer families):
+    *  - documents/embeddings: KEY — their consumers are CPU-dense per row
+    *    (shingle/minhash explodes, 64-dim vector kernels); a serialized
+    *    scan starves 32 cores (txt_distinct_ngrams 1.2 s key vs 4.7 s
+    *    off, sim_reciprocal_nn 1.3 vs 12.1).
+    *  - lineitem/orders: KEY — the wide partial aggregations (q1/a16/a18
+    *    decimal sums) still want the fan-out (0.9-1.2 s key vs 1.5-1.9 s
+    *    off) and key beats round-robin everywhere (no sort pass:
+    *    basket 21.9 s key vs 31.2 s round-robin).
+    *  - events: NONE — every consumer measured faster without the guard
+    *    (e_funnel 0.7 s off vs 1.6 s; window/sessionization plans
+    *    re-shuffle by their own keys immediately anyway).
+    * Env override SPARK_GRAFT_SCAN_REPART: "on" (round-robin everywhere),
+    * "key", "off", or a comma list of tables to run in key mode. */
+  private val defaultKeyTables = Set("documents", "embeddings", "lineitem", "orders")
+
+  private def withScanParallelism(
+      spark: SparkSession, path: String, name: String, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (estimatedSplits(spark, path) * 2 < target) df.repartition(target) else df
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCAN_REPART", "default")
+    val (enabled, roundRobin) = mode match {
+      case "on" => (true, true)
+      case "key" => (true, false)
+      case "off" => (false, false)
+      case "default" => (defaultKeyTables(name), false)
+      case list => (list.split(",").contains(name), false)
+    }
+    if (!enabled || estimatedSplits(spark, path) * 2 >= target) df
+    else if (roundRobin) df.repartition(target)
+    else df.repartition(target, pmod(xxhash64(col(spreadKey(name))), lit(target * 64)))
   }
 
   /** True when the read failed because of an unsupported TIMESTAMP(NANOS)
@@ -227,6 +265,6 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val raw = conform(name, readWithNanosFallback(spark, path))
-    if (factTables(name)) withScanParallelism(spark, path, raw) else raw
+    if (factTables(name)) withScanParallelism(spark, path, name, raw) else raw
   }
 }

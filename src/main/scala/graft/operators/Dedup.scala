@@ -488,7 +488,10 @@ object Dedup {
     // pair expansion happen on the grouped posting lists.
     val inter = shingled
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // collect_list, not collect_set: the (id, shingle) frame above is
+      // DISTINCT by construction, so the set's per-row hash probe is pure
+      // CPU overhead for the same ids (r14 optimization)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
@@ -541,7 +544,10 @@ object Dedup {
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val inter = shingled
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // collect_list, not collect_set: the (id, shingle) frame above is
+      // DISTINCT by construction, so the set's per-row hash probe is pure
+      // CPU overhead for the same ids (r14 optimization)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))

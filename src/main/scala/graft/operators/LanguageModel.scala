@@ -60,11 +60,15 @@ object LanguageModel {
     * Counts are BIGINTs and k a stored double, so the round trip is
     * exact and a reloaded model scores bit-identically. */
   def saveBigramLm(lm: BigramLm, dir: String): Unit = {
-    lm.stats.write.mode("overwrite").parquet(s"$dir/lm_stats.parquet")
-    lm.unigrams.write.mode("overwrite").parquet(s"$dir/lm_unigrams.parquet")
-    lm.bigrams.write.mode("overwrite").parquet(s"$dir/lm_bigrams.parquet")
+    // All four frames are BOUNDED by the model caps (1 stats row,
+    // <= vocabSize unigrams, <= maxBigrams bigrams, 1 meta row) — one
+    // output file each, instead of inheriting the session's shuffle
+    // partitioning (32 near-empty task commits per write, r14 measured).
+    lm.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/lm_stats.parquet")
+    lm.unigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/lm_unigrams.parquet")
+    lm.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/lm_bigrams.parquet")
     lm.stats.sparkSession.range(1).select(lit(lm.k).as("k"))
-      .write.mode("overwrite").parquet(s"$dir/lm_meta.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lm_meta.parquet")
   }
 
   /** Load a [[saveBigramLm]] artifact. */

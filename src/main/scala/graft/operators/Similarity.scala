@@ -76,13 +76,32 @@ object Similarity {
         cosineFromParts(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       // a NULL cosine (invalid pair) must not consume a top-k rank slot
       .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val out = Seq(col("query_id"), col("neighbor_id")) ++ extraOutCols.map(col) ++
-      Seq(col("cosine"), col("rank"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(out: _*)
+    if (extraOutCols.isEmpty) {
+      // Rank cut as a bounded TOP-K AGGREGATE, not a window: the window
+      // form shuffles and sorts EVERY scored pair (|queries| x |corpus|
+      // rows) to keep k of them; topk_ids does map-side partial top-k, so
+      // only k pairs per (partition, query) cross the exchange — the
+      // w3_topk_agg pattern applied to the cross-score baselines (r14:
+      // sim_reciprocal_nn's 4M-row window sort was its whole cost).
+      // Ordering contract identical: (cosine desc, neighbor_id asc),
+      // NULL cosines already filtered, rank = 1-based emit position.
+      val tk = graft.functions.TopKByAgg.topKIds(
+        corpus.sparkSession, col("cosine"), col("neighbor_id"), k)
+      scored
+        .groupBy(col("query_id"))
+        .agg(tk.as("_tk"))
+        .select(col("query_id"), posexplode(col("_tk")).as(Seq("_pos", "_e")))
+        .select(col("query_id"), col("_e.id").as("neighbor_id"),
+          col("_e.ord").as("cosine"), (col("_pos") + 1).cast("int").as("rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val out = Seq(col("query_id"), col("neighbor_id")) ++ extraOutCols.map(col) ++
+        Seq(col("cosine"), col("rank"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(out: _*)
+    }
   }
 
   /** Hard-negative mining for contrastive training: exact cosine top-k
