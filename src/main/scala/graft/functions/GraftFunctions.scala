@@ -15,6 +15,8 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     VectorExprs.register(spark)
     WordShinglesExpr.register(spark)
+    GramOverlapExpr.register(spark)
+    WordGramsExpr.register(spark)
     NfcNormalizeExpr.register(spark)
     ArgMinCellExpr.register(spark)
     EncodePeptidoformExpr.register(spark)

@@ -1733,8 +1733,11 @@ object Curation {
     def grams(df: DataFrame, cols: Seq[Column], t: Column) = df
       .select((cols :+ TextFunctions.tokens(t).as("_t")): _*)
       .filter(size(col("_t")) >= k)
-      .select((cols :+ posexplode(transform(sequence(lit(0), size(col("_t")) - k),
-        i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("start", "gh"))): _*)
+      .select((cols :+ posexplode(
+        // native window generator (r14) — see Dedup.duplicateSpans
+        graft.functions.WordGramsExpr.gramsCol(col("_t"), k)).as(Seq("start", "_g"))): _*)
+      .withColumn("gh", md5(col("_g")))
+      .drop("_g")
     val trainGrams = grams(corpus, Seq(id.as("id")), text)
     val benchGrams = grams(benchmark, Seq.empty, benchText).select(col("gh")).distinct()
     val hit = trainGrams.join(benchGrams, Seq("gh"), "left_semi")

@@ -792,9 +792,11 @@ object Dedup {
       .select(id.as("id"), toks.as("_t"))
       .filter(size(col("_t")) >= k)
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), size(col("_t")) - k),
-          i => gram(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
-      .select(col("id"), col("pos").as("start"), col("col").as("gh"))
+        // native window generator (r14; gram hash applied codegen-side
+        // on the exploded column — same hash count, no interpreted
+        // per-window transform/slice/concat_ws dispatch)
+        posexplode(graft.functions.WordGramsExpr.gramsCol(col("_t"), k)))
+      .select(col("id"), col("pos").as("start"), gram(col("col")).as("gh"))
     // Corpus-wide occurrence count as a window over the gram-hash
     // partitioning: one shuffle, no self-join back.
     val dup = grams
@@ -877,9 +879,9 @@ object Dedup {
       .localCheckpoint(false)
     val grams = tk
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), size(col("_t")) - k),
-          i => gram(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))))
-      .select(col("id"), col("pos").as("start"), col("col").as("gh"))
+        // native window generator (r14) — see duplicateSpans
+        posexplode(graft.functions.WordGramsExpr.gramsCol(col("_t"), k)))
+      .select(col("id"), col("pos").as("start"), gram(col("col")).as("gh"))
     val byGram = Window.partitionBy(col("gh"))
     val dup = grams
       .withColumn("_mn", min(col("id")).over(byGram))

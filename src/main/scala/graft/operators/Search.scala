@@ -221,10 +221,13 @@ object Search {
     *         group */
   def distinctNgrams(docs: DataFrame, group: Column, text: Column, n: Int = 2): DataFrame = {
     require(n >= 1, s"distinctNgrams: n must be >= 1, got $n")
-    val tks = terms(text)
-    val grams = when(size(tks) >= n,
-      transform(sequence(lit(0), size(tks) - n), i => concat_ws(" ", slice(tks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // native window generator (r14): the transform/slice/concat_ws HOF
+    // form paid interpreted per-window dispatch on every bigram of the
+    // corpus — one codegen pass per doc instead; empty for short docs
+    // exactly like the old when(size >= n) branch (NULL tokens explode
+    // to nothing either way)
+    val grams = graft.functions.WordGramsExpr.gramsCol(terms(text), n)
     docs.select(group.as("group"), explode(grams).as("gram"))
       .groupBy(col("group"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("group"))
@@ -374,52 +377,31 @@ object Search {
       n: Int = 2,
   ): DataFrame = {
     require(n >= 1, s"rougeN: n must be >= 1, got $n")
-    // n-grams over an ALREADY-BOUND token-array attribute: higher-order
-    // functions are CodegenFallback, so an expression argument would be
-    // re-evaluated per reference — tokenization must happen once, in the
-    // projection below, never inline here (isolated-bench lesson: the
-    // inline form ran terms() three times per row, 7 s for 5k pairs)
-    def grams(t: Column): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - lit(n)), i =>
-          concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    // pin the pair projection: the gram explode AND the final pair spine
-    // both read it, and without the pin the caller's pair-construction
-    // DAG (often a corpus window/join) would execute twice
-    val projected = pairs
-      .select(pairId.as("pair_id"),
-        terms(candidate).as("_ct"), terms(reference).as("_rt"))
-      .select(col("pair_id"),
-        grams(col("_ct")).as("cg"), grams(col("_rt")).as("rg"))
-      .localCheckpoint(false)
-    val sides = projected
-      .select(col("pair_id"),
-        explode(concat(
-          transform(col("cg"), g => struct(lit(0).as("side"), g.as("g"))),
-          transform(col("rg"), g => struct(lit(1).as("side"), g.as("g"))))).as("e"))
-      .select(col("pair_id"), col("e.side").as("side"), col("e.g").as("gram"))
-    val perGram = sides
-      .groupBy(col("pair_id"), col("gram"))
-      .agg(
-        sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
-    val rolled = perGram
-      .groupBy(col("pair_id"))
-      .agg(
-        sum(col("cc")).as("n_cand"),
-        sum(col("rc")).as("n_ref"),
-        sum(least(col("cc"), col("rc"))).as("overlap"))
+    graft.functions.GraftFunctions.ensureRegistered(pairs.sparkSession)
+    // Candidate and reference share a ROW, so the clipped-overlap counts
+    // need NO exchange at all: the previous shape exploded every gram
+    // instance of both sides into (pair, side, gram) rows, shuffled them
+    // through two aggregations, and joined the rollup back to the pair
+    // spine — structurally wrong at 100 TB (a per-row metric paying two
+    // corpus-wide shuffles) and 2 Exchanges + 1 join slower here. The
+    // native kernel ([[graft.functions.GramOverlapExpr]]) computes
+    // (cand_total, ref_total, clip) in one codegen pass per pair; NULL
+    // token arrays yield a NULL struct, coalesced to the zeros the old
+    // left join produced.
     val p = when(col("n_cand") > 0L,
       col("overlap").cast("double") / col("n_cand").cast("double"))
     val r = when(col("n_ref") > 0L,
       col("overlap").cast("double") / col("n_ref").cast("double"))
-    projected.select(col("pair_id"))
-      .join(rolled, Seq("pair_id"), "left")
+    pairs
+      .select(pairId.as("pair_id"),
+        terms(candidate).as("_ct"), terms(reference).as("_rt"))
       .select(col("pair_id"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("overlap"), lit(0L)).as("overlap"))
+        graft.functions.GramOverlapExpr
+          .overlapCol(col("_ct"), col("_rt"), n).as("_g"))
+      .select(col("pair_id"),
+        coalesce(col("_g.cand_total"), lit(0L)).as("n_cand"),
+        coalesce(col("_g.ref_total"), lit(0L)).as("n_ref"),
+        coalesce(col("_g.clip"), lit(0L)).as("overlap"))
       .withColumn("precision", p)
       .withColumn("recall", r)
       .withColumn("f1",
@@ -576,51 +558,31 @@ object Search {
       candidate: Column,
       reference: Column,
   ): DataFrame = {
-    // bigrams over an ALREADY-BOUND token-array attribute (the rougeN
-    // higher-order-function re-evaluation lesson)
-    def bigrams(t: Column): Column =
-      when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - lit(2)), i =>
-          concat_ws(" ", slice(t, i + lit(1), lit(2)))))
-        .otherwise(array().cast("array<string>"))
-    val projected = pairs
+    graft.functions.GraftFunctions.ensureRegistered(pairs.sparkSession)
+    // Shuffle-free per-row shape (the rougeN rewrite, r14): unigram and
+    // bigram clipped counts come from two calls of the native
+    // [[graft.functions.GramOverlapExpr]] kernel over the shared token
+    // arrays — the old tagged-gram explode shuffled every gram instance
+    // of both sides twice and joined the rollup back, for a metric that
+    // never needed to leave its row.
+    val p1 = when(col("c_len") > 0L,
+      col("n1_clip").cast("double") / col("c_len").cast("double"))
+    val p2 = when(col("n2_cand") > 0L,
+      col("n2_clip").cast("double") / col("n2_cand").cast("double"))
+    pairs
       .select(pairId.as("pair_id"),
         terms(candidate).as("_ct"), terms(reference).as("_rt"))
       .select(col("pair_id"),
         size(col("_ct")).cast("long").as("c_len"),
         size(col("_rt")).cast("long").as("r_len"),
-        col("_ct").as("cg1"), bigrams(col("_ct")).as("cg2"),
-        col("_rt").as("rg1"), bigrams(col("_rt")).as("rg2"))
-      .localCheckpoint(false)
-    def tag(c: Column, n: Int, side: Int): Column =
-      transform(c, g => struct(lit(n).as("n"), lit(side).as("side"), g.as("g")))
-    val sides = projected
-      .select(col("pair_id"), explode(concat(
-        tag(col("cg1"), 1, 0), tag(col("cg2"), 2, 0),
-        tag(col("rg1"), 1, 1), tag(col("rg2"), 2, 1))).as("e"))
-      .select(col("pair_id"), col("e.n").as("n"),
-        col("e.side").as("side"), col("e.g").as("gram"))
-    val perGram = sides
-      .groupBy(col("pair_id"), col("n"), col("gram"))
-      .agg(
-        sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
-    val rolled = perGram
-      .groupBy(col("pair_id"))
-      .agg(
-        sum(when(col("n") === 1, least(col("cc"), col("rc"))).otherwise(0L)).as("n1_clip"),
-        sum(when(col("n") === 2, col("cc")).otherwise(0L)).as("n2_cand"),
-        sum(when(col("n") === 2, least(col("cc"), col("rc"))).otherwise(0L)).as("n2_clip"))
-    val p1 = when(col("c_len") > 0L,
-      col("n1_clip").cast("double") / col("c_len").cast("double"))
-    val p2 = when(col("n2_cand") > 0L,
-      col("n2_clip").cast("double") / col("n2_cand").cast("double"))
-    projected.select(col("pair_id"), col("c_len"), col("r_len"))
-      .join(rolled, Seq("pair_id"), "left")
+        graft.functions.GramOverlapExpr
+          .overlapCol(col("_ct"), col("_rt"), 1).as("_g1"),
+        graft.functions.GramOverlapExpr
+          .overlapCol(col("_ct"), col("_rt"), 2).as("_g2"))
       .select(col("pair_id"), col("c_len"), col("r_len"),
-        coalesce(col("n1_clip"), lit(0L)).as("n1_clip"),
-        coalesce(col("n2_cand"), lit(0L)).as("n2_cand"),
-        coalesce(col("n2_clip"), lit(0L)).as("n2_clip"))
+        coalesce(col("_g1.clip"), lit(0L)).as("n1_clip"),
+        coalesce(col("_g2.cand_total"), lit(0L)).as("n2_cand"),
+        coalesce(col("_g2.clip"), lit(0L)).as("n2_clip"))
       .withColumn("p1", p1)
       .withColumn("p2", p2)
       .withColumn("bleu2",
