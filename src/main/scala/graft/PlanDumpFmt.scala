@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDumpFmt {
   def main(args: Array[String]): Unit = {
+    // r15 (verdict item 4): skip the operators' lazy localCheckpoint pins
+    // so the dumped plan shows the COMPLETE DAG instead of truncating at
+    // `Scan ExistingRDD` stubs (the r14 sim_reciprocal_nn/dq_key_audit
+    // evidence gap). Execution harnesses (Bench/Verify) never set this.
+    System.setProperty("graft.plan.fullDag", "true")
     val sfDir = args(0)
     val outDir = java.nio.file.Paths.get(args(1))
     val tag = args(2)

@@ -66,11 +66,11 @@ private[graft] object QueriesDedupSim {
       val exact = Dedup.prefixJaccardPairs(
         gated, col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
       val sh = gated.select(col("doc_id"),
         explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
       val sigs = Dedup.minHashSignature(sh, col("doc_id"), col("shingle"), 16)
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
       def auditRow(cfg: String, nb: Int, rpb: Int): DataFrame = {
         val lsh = Dedup.minHashLshPairs(
           sigs, numBands = nb, rowsPerBand = rpb, threshold = 0.5)
@@ -614,7 +614,7 @@ private[graft] object QueriesDedupSim {
       val (cents, idx) = memo(s, s"hnswExact|$dir") {
         val c = Similarity.deterministicCentroids(e, nCells = 4, iters = 3)
         (c, graft.operators.Hnsw.buildNswIndex(e, c, m = 4, efConstruction = 16)
-          .localCheckpoint(false))
+          .transform(graft.operators.Pin.lazyPin))
       }
       graft.operators.Hnsw.nswTopK(idx, cents, e.filter(col("id") < 10),
         k = 5, nProbe = 4, efSearch = 1 << 20)
@@ -638,7 +638,7 @@ private[graft] object QueriesDedupSim {
           e.filter(col("id") >= 100), c, m = 4, efConstruction = 16)
         (c, graft.operators.Hnsw.insertIntoIndex(
           base, c, e.filter(col("id") < 100), m = 4, efConstruction = 16)
-          .localCheckpoint(false))
+          .transform(graft.operators.Pin.lazyPin))
       }
       graft.operators.Hnsw.nswTopK(merged, cents, e.filter(col("id") < 10),
         k = 5, nProbe = 4, efSearch = 1 << 20)
@@ -690,7 +690,7 @@ private[graft] object QueriesDedupSim {
           e.filter(col("id") >= 100), c, m = 4, efConstruction = 16)
         (c, graft.operators.Hnsw.insertIntoIndex(
           base, c, e.filter(col("id") < 100), m = 4, efConstruction = 16)
-          .localCheckpoint(false))
+          .transform(graft.operators.Pin.lazyPin))
       }
       val nn = Hnsw.nswTopK(merged, cents, e.filter(col("id") < 10),
         k = 1, nProbe = 4, efSearch = 1 << 20)
@@ -720,7 +720,7 @@ private[graft] object QueriesDedupSim {
       val (cents, idx) = memo(s, s"hnswExact|$dir") {
         val c = Similarity.deterministicCentroids(e, nCells = 4, iters = 3)
         (c, graft.operators.Hnsw.buildNswIndex(e, c, m = 4, efConstruction = 16)
-          .localCheckpoint(false))
+          .transform(graft.operators.Pin.lazyPin))
       }
       val outDir = demoTempDir(s, "nswindex")
       idx.toDF().write.mode("overwrite").parquet(s"$outDir/index.parquet")
@@ -742,7 +742,7 @@ private[graft] object QueriesDedupSim {
       val cents = sharedIvfCentroids(s, dir)
       val idx = memo(s, s"hnswApprox|$dir")(
         graft.operators.Hnsw.buildNswIndex(e, cents, m = 4, efConstruction = 16)
-          .localCheckpoint(false))
+          .transform(graft.operators.Pin.lazyPin))
       val q = e.filter(col("id") < 10)
       val approx = graft.operators.Hnsw.nswTopK(idx, cents, q, k = 5, nProbe = 2, efSearch = 8)
       Similarity.annRecallReport(approx, Similarity.bruteForceTopK(e, q, 5), k = 5)

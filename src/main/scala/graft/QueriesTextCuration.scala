@@ -905,7 +905,7 @@ private[graft] object QueriesTextCuration {
         // the 10-row run feeds BOTH ranking legs (and each leg twice in
         // the correlation join): pin it once or the full BM25 retrieval
         // pass re-executes per read
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
       val byLen = run
         .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
         .withColumn("rank", row_number().over(

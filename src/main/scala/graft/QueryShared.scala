@@ -54,7 +54,7 @@ private[graft] object QueryShared {
         explode(TextFunctions.wordShingles(col("text"), 3)).as("shingle"))
       val sigs = Dedup.minHashSignature(shingles, col("doc_id"), col("shingle"), 16)
       Dedup.minHashLshPairs(sigs, numBands = 4, rowsPerBand = 4, threshold = 0.5)
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
     }
 
   /** The documents-table TF-IDF stats (weighted postings + per-doc
@@ -83,9 +83,9 @@ private[graft] object QueryShared {
       val lm = graft.operators.LanguageModel.trainBigramLm(
         t(s, dir, "documents"), col("text"), vocabSize = 20, maxBigrams = 400)
       graft.operators.LanguageModel.BigramLm(
-        lm.stats.localCheckpoint(false),
-        lm.unigrams.localCheckpoint(false),
-        lm.bigrams.localCheckpoint(false),
+        lm.stats.transform(graft.operators.Pin.lazyPin),
+        lm.unigrams.transform(graft.operators.Pin.lazyPin),
+        lm.bigrams.transform(graft.operators.Pin.lazyPin),
         lm.k)
     }
 

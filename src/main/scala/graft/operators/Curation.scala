@@ -87,7 +87,7 @@ object Curation {
       // each side feeds two reads (band keys + verification array): lazy
       // localCheckpoint pins the signature aggregation once, same
       // contract as minHashLshPairs
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // text-side shingling + the cross-frame signature matcher: the corpus
     // plays "batch", the benchmark plays the signature store
     Dedup.incrementalNearDup(
@@ -746,7 +746,7 @@ object Curation {
     // Pin: read once for the covered positions, once for the dirty-doc
     // semi/anti split (the span derivation re-executes otherwise).
     val spans = Dedup.duplicateSpans(base, col("id"), col("text"), k)
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val covered = spans.select(col("id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val removedCounts = covered.groupBy(col("id")).agg(count(lit(1)).as("n_removed_tokens"))
@@ -803,7 +803,7 @@ object Curation {
     val spans = Dedup.substringDedup(base, col("id"), col("text"), k)
       .filter(!col("keep"))
       .select(col("id"), col("span_start"), col("span_end"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val covered = spans.select(col("id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val removedCounts = covered.groupBy(col("id")).agg(count(lit(1)).as("n_removed_tokens"))
@@ -1044,7 +1044,7 @@ object Curation {
     val top = scored.orderBy(col("_ps_q").desc, col("_ps_k").asc).limit((n + 1).toInt)
     val ranked = top.withColumn("_ps_rn",
       row_number().over(Window.orderBy(col("_ps_q").desc, col("_ps_k").asc)))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // tau = the (n+1)-th priority when it exists, else 0 (exhaustive case)
     val tau = ranked.agg(
       coalesce(max(when(col("_ps_rn") === n + 1, col("_ps_q"))), lit(0.0)).as("_ps_tau"))
@@ -1143,14 +1143,14 @@ object Curation {
       .select(source.as("source"), tokenCount.cast("long").as("_tok"))
       .groupBy(col("source"))
       .agg(sum(when(col("_tok") > 0L, col("_tok")).otherwise(lit(0L))).as("s_tok"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val grand = totals.agg(coalesce(sum(col("s_tok")), lit(0L)).as("_S"))
     val weighted = totals.crossJoin(broadcast(grand))
       .withColumn("w",
         when(col("_S") <= 0L || col("s_tok") <= 0L, lit(0.0))
           .otherwise(round(
             pow(col("s_tok").cast("double") / col("_S").cast("double"), lit(alpha)), 6)))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val norm = weighted.agg(
       sum(col("w").cast("decimal(28,9)")).cast("double").as("_W"))
     weighted.crossJoin(broadcast(norm))

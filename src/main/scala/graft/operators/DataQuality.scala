@@ -141,7 +141,7 @@ object DataQuality {
         when(col("t_b") > 0L, col("t_b")).otherwise(
           raise_error(lit("ksDrift: both sides must be non-empty"))).cast("double"))
       .withColumn("d", abs(col("cdf_a") - col("cdf_b")))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val ks = cdfed.agg(max(col("d")).as("ks"))
     cdfed
       .select(col("bucket"), col("n_a"), col("n_b"), col("cum_a"), col("cum_b"),
@@ -205,7 +205,7 @@ object DataQuality {
           raise_error(lit("wassersteinDrift: both sides must be non-empty")).cast("long"))
           - col("cum_b") * when(col("t_a") > 0L, col("t_a")).otherwise(
             raise_error(lit("wassersteinDrift: both sides must be non-empty")).cast("long"))))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val binWidth = (hi - lo).toDouble / buckets
     val tot = diffed
       .agg(sum(col("diff_num")).as("w1_num"),
@@ -273,7 +273,7 @@ object DataQuality {
       .withColumn("_term",
         col("n_neg") * (lit(2L) * (col("cum_tp") - col("n_pos")) + col("n_pos")))
       .crossJoin(broadcast(totals))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     def pos = when(col("_p") > 0L, col("_p")).otherwise(
       raise_error(lit("binnedAuc: need at least one positive and one negative")))
     def neg = when(col("_n") > 0L, col("_n")).otherwise(
@@ -325,7 +325,7 @@ object DataQuality {
     val cells = df
       .groupBy(rowCat.cast("string").as("r"), colCat.cast("string").as("c"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val rowTot = cells.groupBy(col("r")).agg(sum(col("o")).as("_rt"))
     val colTot = cells.groupBy(col("c")).agg(sum(col("o")).as("_ct"))
     // level counts come from the marginal frames (one row per level,
@@ -511,7 +511,7 @@ object DataQuality {
     val cells = df
       .groupBy(actual.cast("string").as("actual"), predicted.cast("string").as("predicted"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val rowTot = cells.groupBy(col("actual")).agg(sum(col("n")).as("_at"))
     cells
       .join(broadcast(rowTot.withColumnRenamed("actual", "_aj")), col("actual") <=> col("_aj"))
@@ -666,7 +666,7 @@ object DataQuality {
     val cells = df
       .groupBy(a.cast("string").as("_a"), b.cast("string").as("_b"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val rowTot = cells.groupBy(col("_a")).agg(sum(col("o")).as("_rt"))
     val colTot = cells.groupBy(col("_b")).agg(sum(col("o")).as("_ct"))
     val agg = cells.agg(
@@ -725,7 +725,7 @@ object DataQuality {
       .filter(item.isNotNull)
       .groupBy(item.cast("string").as("_i"), category.cast("string").as("_c"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val keep = cells.groupBy(col("_i")).agg(sum(col("o")).as("_it"))
       .filter(col("_it") === n.toLong).select(col("_i"))
     val kc = cells.join(keep, Seq("_i"))
@@ -771,7 +771,7 @@ object DataQuality {
     val cells = df
       .groupBy(actual.cast("string").as("_a"), predicted.cast("string").as("_p"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val actTot = cells.groupBy(col("_a")).agg(sum(col("o")).as("support"))
     val predTot = cells.groupBy(col("_p")).agg(sum(col("o")).as("n_pred"))
     val tp = cells.filter(col("_a") <=> col("_p"))
@@ -878,7 +878,7 @@ object DataQuality {
       .groupBy(col("digit")).agg(count(lit(1)).as("o"))
       // the ≤9-row count table feeds BOTH the total and the grid join:
       // pin it or each reference re-runs the full input scan
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val tot = counts.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
     val grid = df.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("digit"))
@@ -1039,10 +1039,10 @@ object DataQuality {
     val cells = df
       .groupBy((qCols :+ sensitive.cast("string").as("_s")): _*)
       .agg(count(lit(1)).as("n_cs"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val classes = cells.groupBy(qNames.map(col): _*).agg(sum(col("n_cs")).as("n_c"))
     val globals = cells.groupBy(col("_s")).agg(sum(col("n_cs")).as("n_s"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val total = globals.agg(sum(col("n_s")).as("_n"))
     // null-safe grid join: a NULL quasi value is a REAL class (the
     // kAnonymity convention) — an equi-join would silently zero its

@@ -127,7 +127,7 @@ object Dedup {
     // for a plan dump costs nothing); blocks are reclaimed by the context
     // cleaner when the result is dereferenced (same pin contract as
     // [[connectedComponents]]).
-    val sigs = signatures.localCheckpoint(false)
+    val sigs = signatures.transform(graft.operators.Pin.lazyPin)
     val banded = bandKeys(sigs, numBands, rowsPerBand)
 
     // Band buckets can be arbitrarily large (every true near-dup group
@@ -185,7 +185,7 @@ object Dedup {
         explode(graft.functions.TextFunctions.wordShingles(text, shingleN)).as("sh"))
       .filter(col("g").isNotNull)
       .groupBy(col("sh")).agg(collect_set(col("g")).as("gset"))
-      .localCheckpoint(false) // sizes + the pair explosion both read it
+      .transform(graft.operators.Pin.lazyPin) // sizes + the pair explosion both read it
     val sizes = bySh
       .select(explode(col("gset")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
@@ -481,7 +481,7 @@ object Dedup {
       // sizes AND the inverted index hang off this subtree: without the
       // pin each reference re-runs the corpus scan + shingle explode +
       // distinct shuffle (2 full passes instead of 1)
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
 
     // Inverted index: one shuffle on shingle; the df cap (skew guard) and
@@ -540,7 +540,7 @@ object Dedup {
       // sizes AND the inverted index hang off this subtree: without the
       // pin each reference re-runs the corpus scan + shingle explode +
       // distinct shuffle (2 full passes instead of 1)
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val inter = shingled
       .groupBy(col("shingle"))
@@ -703,7 +703,7 @@ object Dedup {
     // should persist them once and use [[incrementalNearDupPrebanded]]
     // (round-14: re-banding a 1M-doc store was ~half the incremental
     // path's CPU in IncrementalChainBench)
-    val sn = seenSignatures.localCheckpoint(false)
+    val sn = seenSignatures.transform(graft.operators.Pin.lazyPin)
     incrementalNearDupPrebanded(batchSignatures,
       bandKeys(sn, numBands, rowsPerBand), sn, numBands, rowsPerBand, threshold)
   }
@@ -733,7 +733,7 @@ object Dedup {
     // each side feeds two reads (band keys + verification array): lazy
     // localCheckpoint pins each signature aggregation once, the
     // minHashLshPairs contract
-    val b = batchSignatures.localCheckpoint(false)
+    val b = batchSignatures.transform(graft.operators.Pin.lazyPin)
     val sn = seenSignatures
     val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
     val cand = bandKeys(b, numBands, rowsPerBand)
@@ -876,7 +876,7 @@ object Dedup {
     val tk = docs
       .select(id.as("id"), tokens(text).as("_t"))
       .filter(size(col("_t")) >= k)
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val grams = tk
       .select(col("id"),
         // native window generator (r14) — see duplicateSpans
@@ -1016,7 +1016,7 @@ object Dedup {
     val shingled = docs
       .select(id.as("id"), explode(wordShingles(text, n)).as("shingle"))
       .withColumn("_h", xxhash64(col("shingle")))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val dfCounts = shingled.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
     // Per-doc set sorted rarest-first under the global (df, hash) total
     // order (shingle string rides along for exact verification); the
@@ -1035,7 +1035,7 @@ object Dedup {
       // Four consumers hang off this subtree (both prefix sides, both
       // verification sides): without the pin each re-runs the df join +
       // per-doc sort — 4 corpus passes instead of 1.
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val prefixes = docsets
       .select(col("id"), col("n_sh"),
         explode(slice(col("_hs"), lit(1), col("_plen").cast("int"))).as("_h"))
@@ -1142,20 +1142,20 @@ object Dedup {
     // wordShingles is DISTINCT per doc -> tf is 1; keep the count agg so
     // the contract survives a non-distinct generator swap
     val tf = base.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // df, norms, candidates, and both pair sides read it
+      .transform(graft.operators.Pin.lazyPin) // df, norms, candidates, and both pair sides read it
     val nDocs = docs.select(id.as("id")).distinct().count()
     val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val weighted = tf.join(dfreq, Seq("sh"))
       .withColumn("idf",
         round(log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")), 6))
       .withColumn("w", col("tf").cast("double") * col("idf"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val norms = weighted.groupBy(col("id"))
       .agg(sqrt(aggregate(
         transform(array_sort(collect_list(struct(col("sh"), col("w")))),
           x => x.getField("w") * x.getField("w")),
         lit(0.0), (acc, x) => acc + x)).as("nrm"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     TfidfModel(weighted.select(col("id"), col("sh"), col("df"), col("w")), norms)
   }
 

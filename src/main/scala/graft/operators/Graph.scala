@@ -54,7 +54,7 @@ object Graph {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct() // a duplicated input pair must not double an edge's weight
-      .localCheckpoint(false) // every iteration re-reads the edges — pin once
+      .transform(graft.operators.Pin.lazyPin) // every iteration re-reads the edges — pin once
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n1 = deg.agg(count(lit(1)).as("n"))
     var pr = deg.select(col("src").as("id"), col("deg"))
@@ -126,10 +126,10 @@ object Graph {
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val deg = canon.select(col("a").as("id")).unionAll(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // orient each edge low -> high under the (deg, id) total order
     val oriented = canon
       .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
@@ -141,7 +141,7 @@ object Graph {
         when(col("_da") < col("_db") ||
           (col("_da") === col("_db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("dst"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // wedges at the apex: unordered out-neighbor pairs, then close against
     // the oriented edge list (either orientation of the closing pair)
     val l = oriented.select(col("src"), col("dst").as("_v"))
@@ -207,13 +207,13 @@ object Graph {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // one checkpointed (id, core_degree) frame per round, holding BOTH
     // the survivors (deg >= k) and this round's removals (deg < k) —
     // round 1 = full degrees of every endpoint
     var degCk = sym.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("id"), col("core_degree"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     var cur = degCk.filter(col("core_degree") >= k.toLong)
     var removed = degCk.filter(col("core_degree") < k.toLong).select(col("id"))
     var nRemoved = removed.count() // materializes degCk
@@ -232,7 +232,7 @@ object Graph {
       val newDeg = cur.join(dec, Seq("id"), "left")
         .select(col("id"),
           (col("core_degree") - coalesce(col("_dec"), lit(0L))).as("core_degree"))
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
       val newCur = newDeg.filter(col("core_degree") >= k.toLong)
       val newRemoved = newDeg.filter(col("core_degree") < k.toLong).select(col("id"))
       nRemoved = newRemoved.count() // materializes newDeg BEFORE the old blocks go

@@ -309,7 +309,7 @@ object Hnsw {
         transform(col("vec"), _.cast("double")).as("vec"))
       .filter(col("cell").isNotNull && col("id").isNotNull)
       .as[AssignedRow]
-      .localCheckpoint(false) // read twice: affected-cell scan + rebuild
+      .transform(graft.operators.Pin.lazyPin) // read twice: affected-cell scan + rebuild
     // affected cells: bounded by |centroids| — a tiny driver set
     val affected = assignedNew.select(col("cell")).distinct()
       .as[Int].collect().toSeq.sorted

@@ -96,7 +96,7 @@ object LanguageModel {
     // the pin each reference re-runs the corpus scan + count shuffle.
     val uniAll = toks.select(explode(col("t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // Corpus stats come from the UNCAPPED counts: N and V are properties of
     // the training stream, not of the model cap (otherwise shrinking the
     // cap would inflate every smoothed probability).
@@ -214,7 +214,7 @@ object LanguageModel {
     require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1,
       s"perplexityBuckets: need 0 < headFrac, 0 < midFrac, headFrac + midFrac < 1; " +
         s"got $headFrac / $midFrac")
-    val scored = scoreBigramLm(docs, id, text, lm).localCheckpoint(false)
+    val scored = scoreBigramLm(docs, id, text, lm).transform(graft.operators.Pin.lazyPin)
     val thresholds = scored
       .filter(col("lm_score").isNotNull)
       .agg(
@@ -261,14 +261,14 @@ object LanguageModel {
     val toks = docs.select(Search.terms(text).as("t"))
     val uni = toks.select(explode(col("t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val stats = uni.agg(coalesce(sum(col("c")), lit(0L)).as("_n_tok"))
     val bi = toks
       .select(col("t"), posexplode(col("t")).as(Seq("i0", "w2")))
       .where(col("i0") > 0)
       .select(element_at(col("t"), col("i0")).as("w1"), col("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val biStats = bi.agg(coalesce(sum(col("c_bi")), lit(0L)).as("_m_bi"))
     val pmi = round(log(
       (col("c_bi").cast("double") / col("_m_bi").cast("double")) /
@@ -317,7 +317,7 @@ object LanguageModel {
     def counts(df: DataFrame, out: String): DataFrame =
       df.select(explode(Search.terms(text)).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as(out))
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
     val ca = counts(a, "c_a")
     val cb = counts(b, "c_b")
     val vocab = ca.join(cb, Seq("term"), "full_outer")
@@ -337,7 +337,7 @@ object LanguageModel {
       .select(col("term"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val totals = ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("t_a"))
       .crossJoin(cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("t_b")))
       .crossJoin(joined.agg(
@@ -354,7 +354,7 @@ object LanguageModel {
       * lit(1e9)).cast("long")
     val withContrib = withOov.crossJoin(broadcast(totals.select(col("t_a"), col("t_b"))))
       .withColumn("contrib_n9", contrib)
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // the total stays BIGINT nanos: DECIMAL (and raw-double) output
     // columns are the two physical types different runtimes render
     // differently even at identical values

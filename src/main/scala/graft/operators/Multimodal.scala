@@ -762,7 +762,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"aHashNearDupPairs: maxHamming must be in [0, 64], got $maxHamming")
     val sigs = aHashSignatures(media, id, payload)
-      .localCheckpoint(false) // band keys + both verify legs read it
+      .transform(graft.operators.Pin.lazyPin) // band keys + both verify legs read it
     val keyed = sigs.select(col("id"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"), col(s"band_$k").as("bv"))): _*)).as("bk"))

@@ -119,7 +119,7 @@ object Pca {
     * that want BIGINT output re-impose their own guarded cast. */
   def scatterFromStats(stats: (DataFrame, DataFrame)): DataFrame = {
     val (pairs, comps) = stats
-    val m = comps.localCheckpoint(false)
+    val m = comps.transform(graft.operators.Pin.lazyPin)
     val n1 = m.agg(coalesce(max(col("_cnt")), lit(0L)).as("_n"))
     val sDec = col("_n").cast("decimal(38,0)") * col("_pp") - col("_mi") * col("_mj")
     pairs

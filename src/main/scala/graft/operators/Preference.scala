@@ -62,16 +62,16 @@ object Preference {
       .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
     // ONE corpus-scale aggregation; everything below is item-scale
     val directed = canon.groupBy(col("w"), col("l")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val matchups = directed.select(col("w").as("a"), col("l").as("b"), col("c"))
       .unionByName(directed.select(col("l").as("a"), col("w").as("b"), col("c")))
       .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val wins = directed.groupBy(col("w").as("item")).agg(sum(col("c")).as("wins"))
     val items = matchups.select(col("a").as("item")).distinct()
       .join(wins, Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
 
     var pi = items.select(col("item"), lit(Scale).as("pi"))
     for (_ <- 1 to iterations) {
@@ -86,7 +86,7 @@ object Preference {
         .join(denom.withColumnRenamed("a", "item"), Seq("item"), "left")
         .select(col("item"),
           expr(s"(wins * ${Scale * Scale}L) div greatest(coalesce(d, 0L), 1L)").as("pi"))
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
     }
     val byScore = Window.orderBy(col("bt_score_fp").desc, col("item").asc)
     items

@@ -103,7 +103,7 @@ object QualityModel {
       label.cast("double").as("y")
     val data = df.select(cols: _*)
       .na.drop() // a NULL feature/label row cannot contribute a gradient
-      .localCheckpoint(false) // every iteration re-reads the feature frame
+      .transform(graft.operators.Pin.lazyPin) // every iteration re-reads the feature frame
     var w = Seq.fill(d)(0.0)
     for (_ <- 0 until iters) {
       val margin = (0 until d).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
@@ -193,7 +193,7 @@ object QualityModel {
         "q_heuristic" ->
           coalesce(TextFunctions.qualityMetrics(text).getField("quality_score"), lit(0.0)),
         "q_model" -> scoreColumn(toks)))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // clamped equi-width bins, the binnedAuc/calibrationReport shape;
     // signal ranges are structural: heuristic in [0,1] (CASE sum), model
     // in [-0.5, 0.5] (weights capped at |500| milli / token), lm nll >= 0
@@ -205,7 +205,7 @@ object QualityModel {
         bin(col("q_heuristic"), 0.0, 1.0).as("_bh"),
         bin(col("q_model"), -1.0, 1.0).as("_bm"),
         when(col("lm_score").isNotNull, bin(col("lm_score"), 0.0, 16.0)).as("_bl"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val hist = binned
       .select(expr("stack(3, 0, _bh, 1, _bm, 2, _bl) AS (sig, bin)"))
       .filter(col("bin").isNotNull)
@@ -223,7 +223,7 @@ object QualityModel {
       .withColumn("cdf", sum(col("n")).over(wCum).cast("double") /
         sum(col("n")).over(wTot).cast("double"))
       .select(col("sig"), col("bin"), col("cdf"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     def cal(sig: Int, binCol: String, outName: String): DataFrame =
       broadcast(cdf.filter(col("sig") === sig)
         .select(col("bin").as(binCol), col("cdf").as(outName)))

@@ -77,7 +77,7 @@ object Search {
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     // Per-term document frequency: bounded by |qTerms| rows — broadcast.
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
@@ -185,7 +185,7 @@ object Search {
     require(topK >= 1, s"tfidfTerms: topK must be >= 1, got $topK")
     val tf = docs.select(group.as("group"), explode(terms(text)).as("term"))
       .groupBy(col("group"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val ng = tf.select(col("group")).distinct().agg(count(lit(1)).as("_n"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
     val scored = tf
@@ -417,7 +417,7 @@ object Search {
       .select(col("query_id"), col("doc_id"))
       .filter(col("query_id").isNotNull && col("doc_id").isNotNull)
       .distinct()
-      .localCheckpoint(false) // judged pairs + per-query totals both read it
+      .transform(graft.operators.Pin.lazyPin) // judged pairs + per-query totals both read it
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     val gain = round(lit(1e9) / log2(col("rank") + lit(1.0))).cast("long")
     val hits = runs
@@ -502,7 +502,7 @@ object Search {
       .withColumn("_pk", sum(col("_st")).over(wDoc))
       .filter(col("_st") === 0L)
       .select(col("id"), col("_pk"), col("pos"), col("tok"))
-      .localCheckpoint(false) // phrase lengths, word stats, and the fold all re-read it
+      .transform(graft.operators.Pin.lazyPin) // phrase lengths, word stats, and the fold all re-read it
     val plen = words.groupBy(col("id"), col("_pk"))
       .agg(count(lit(1)).as("_wlen"))
     val occ = words.join(plen, Seq("id", "_pk"))

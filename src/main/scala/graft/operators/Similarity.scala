@@ -1076,7 +1076,7 @@ object Similarity {
     // explain) stays free (same contract as Dedup.minHashLshPairs).
     val bAll = df.select(col("id"), col("vec"), norm(col("vec")).as("n"),
       cosineLshBucket(col("vec"), nBits, dim).as("bucket"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val b = maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"embeddingNearDupPairs: maxBucketSize must be >= 2, got $cap")
@@ -1146,7 +1146,7 @@ object Similarity {
     * @return (id_a, id_b, cosine, rank_ab, rank_ba) */
   def reciprocalNearestNeighbors(vecs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"reciprocalNearestNeighbors: k must be >= 1, got $k")
-    val topk = bruteForceTopK(vecs, vecs, k).localCheckpoint(false)
+    val topk = bruteForceTopK(vecs, vecs, k).transform(graft.operators.Pin.lazyPin)
     val fwd = topk.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
       col("cosine"), col("rank").cast("long").as("rank_ab"))
     val rev = topk.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
@@ -1190,7 +1190,7 @@ object Similarity {
       .join(vecs, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         col("cosine").as("relevance"), col("cvec"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val wPick = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr_score").desc, col("neighbor_id").asc)
     def pick(scored: DataFrame, rank: Int): DataFrame = scored
@@ -1200,7 +1200,7 @@ object Similarity {
         col("mmr_score"), lit(rank.toLong).as("mmr_rank"), col("cvec"))
     var selected = pick(
       pool.withColumn("mmr_score", lit(lambda) * col("relevance")), 1)
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     var i = 2
     while (i <= k) {
       val remaining = pool.join(
@@ -1215,7 +1215,7 @@ object Similarity {
         .agg(max(col("_sim")).as("_pen"))
         .withColumn("mmr_score",
           lit(lambda) * col("relevance") - lit(1.0 - lambda) * col("_pen"))
-      selected = selected.unionByName(pick(pen, i)).localCheckpoint(false)
+      selected = selected.unionByName(pick(pen, i)).transform(graft.operators.Pin.lazyPin)
       i += 1
     }
     selected

@@ -102,7 +102,7 @@ object SpectraCluster {
       // score joins, and the norm lookups. LAZY (same as the
       // minHashLshPairs pin): materialized by the first real action, so
       // building the frame for a plan dump or schema check costs nothing.
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
 
     // byWeight: (w desc, bin asc) — the candidate-key selection order,
     // identical to the kernel's own topK order.

@@ -103,13 +103,13 @@ object TimeSeries {
       .select(user.as("user"), ts.as("_ts"), step.as("_step"))
     val first = base.filter(col("_step") === steps.head)
       .groupBy(col("user")).agg(min(col("_ts")).as("t_0"))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val frontiers = steps.tail.zipWithIndex.scanLeft(first) { case (prev, (s, i)) =>
       base.filter(col("_step") === s)
         .join(prev.select(col("user"), col(s"t_$i")), Seq("user"))
         .filter(col("_ts") >= col(s"t_$i"))
         .groupBy(col("user")).agg(min(col("_ts")).as(s"t_${i + 1}"))
-        .localCheckpoint(false)
+        .transform(graft.operators.Pin.lazyPin)
     }
     val joined = frontiers.zipWithIndex.tail.foldLeft(frontiers.head) {
       case (acc, (f, i)) => acc.join(f, Seq("user"), "left")
@@ -283,7 +283,7 @@ object TimeSeries {
       .filter(user.isNotNull && ts.isNotNull)
       .select(user.as("u"), timeBucket(ts, widthSeconds).as("b"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
     val counts = ub
       .select(col("u"),
         explode(sequence(col("b"), col("b") + lit(windowBuckets - 1))).as("window_end"))

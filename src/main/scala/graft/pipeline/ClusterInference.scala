@@ -95,7 +95,7 @@ object ClusterInference {
     // every window pass twice.
     val withRatio = formCounts.withColumn("ratio", ratio)
       .withColumn("maxRatio", max(col("ratio")).over(wCluster))
-      .localCheckpoint(false)
+      .transform(graft.operators.Pin.lazyPin)
 
     val impure = col("nIso") > 1 || col("maxRatio") <= 0.5
     val removed = withRatio.filter(impure)
