@@ -1727,8 +1727,16 @@ object Curation {
       text: Column,
       benchmark: DataFrame,
       benchText: Column,
-      k: Int): DataFrame = {
+      k: Int,
+      /** xxhash64 (default since r15) keys the train↔benchmark gram
+        * semi-join on an 8-byte long instead of md5's 32-char string —
+        * same trade and same zero-collision audit as
+        * [[graft.operators.Dedup.duplicateSpans]]; the hash never
+        * reaches the output. true restores the md5 key. */
+      portableHash: Boolean = false): DataFrame = {
     require(k >= 1, s"decontaminateSpans: window size k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val gram: Column => Column = if (portableHash) md5 else xxhash64(_)
     val w = org.apache.spark.sql.expressions.Window
     def grams(df: DataFrame, cols: Seq[Column], t: Column) = df
       .select((cols :+ TextFunctions.tokens(t).as("_t")): _*)
@@ -1736,7 +1744,7 @@ object Curation {
       .select((cols :+ posexplode(
         // native window generator (r14) — see Dedup.duplicateSpans
         graft.functions.WordGramsExpr.gramsCol(col("_t"), k)).as(Seq("start", "_g"))): _*)
-      .withColumn("gh", md5(col("_g")))
+      .withColumn("gh", gram(col("_g")))
       .drop("_g")
     val trainGrams = grams(corpus, Seq(id.as("id")), text)
     val benchGrams = grams(benchmark, Seq.empty, benchText).select(col("gh")).distinct()

@@ -778,14 +778,19 @@ object Dedup {
       id: Column,
       text: Column,
       k: Int,
-      /** md5 (default) keeps the gram key engine-portable for the oracle;
-        * false switches to xxhash64 — an 8-byte long key instead of a
-        * 32-char string, which shrinks the dominant gram shuffle ~4x and
-        * skips md5's per-window cost. Same spans modulo hash collisions
-        * (~n²/2⁶⁴ expected false window-matches corpus-wide). */
-      portableHash: Boolean = true,
+      /** xxhash64 (default since r15) keys the gram shuffle on an 8-byte
+        * long instead of md5's 32-char string — the dominant shuffle's
+        * payload shrinks ~4x and the per-window md5 cost disappears. The
+        * gram hash never reaches the output, so results differ from the
+        * md5 key space only on a hash-collision differential: zero
+        * collisions verified on the realized gram sets at every test SF
+        * (distinct grams == distinct hashes), ~n²/2⁶⁴ expected false
+        * window-matches corpus-wide beyond that. true restores the
+        * engine-portable md5 key. */
+      portableHash: Boolean = false,
   ): DataFrame = {
     require(k >= 1, s"duplicateSpans: window size k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val toks = tokens(text)
     val gram: Column => Column = if (portableHash) md5 else xxhash64(_)
     val grams = docs
@@ -862,14 +867,15 @@ object Dedup {
       id: Column,
       text: Column,
       k: Int,
-      /** md5 (default) keeps the gram key engine-portable for the
-        * oracle; false switches the GRAM key to xxhash64 — an 8-byte
-        * long instead of a 32-char string, shrinking the dominant
-        * gram shuffle ~4x (same trade as [[duplicateSpans]]; the span
-        * CLUSTER hash stays md5-of-text either way). Same spans modulo
-        * ~n²/2⁶⁴ expected hash collisions. */
-      portableHash: Boolean = true): DataFrame = {
+      /** xxhash64 (default since r15) keys the GRAM shuffle on an 8-byte
+        * long instead of md5's 32-char string, shrinking the dominant
+        * gram shuffle ~4x (same trade and same zero-collision audit as
+        * [[duplicateSpans]]; the span CLUSTER hash — which IS in the
+        * output — stays md5-of-text either way). true restores the
+        * engine-portable md5 gram key. */
+      portableHash: Boolean = false): DataFrame = {
     require(k >= 1, s"substringDedup: window size k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val gram: Column => Column = if (portableHash) md5 else xxhash64(_)
     // token arrays feed the gram scan AND the span-text slice join: pin
     // once or the corpus re-tokenizes per read
