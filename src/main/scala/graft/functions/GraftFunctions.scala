@@ -26,5 +26,7 @@ object GraftFunctions {
     KmvSketchAgg.register(spark)
     TopKByAgg.register(spark)
     CountMinAgg.register(spark)
+    BinPeaksExpr.register(spark)
+    BinVectorExprs.register(spark)
   }
 }

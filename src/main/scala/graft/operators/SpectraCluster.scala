@@ -104,20 +104,15 @@ object SpectraCluster {
       // building the frame for a plan dump or schema check costs nothing.
       .transform(graft.operators.Pin.lazyPin)
 
-    // byWeight: (w desc, bin asc) — the candidate-key selection order,
-    // identical to the kernel's own topK order.
-    val byWeight = array_sort(
-      col("binned"),
-      (l: Column, r: Column) =>
-        when(l.getField("w") > r.getField("w"), -1)
-          .when(l.getField("w") < r.getField("w"), 1)
-          .when(l.getField("bin") < r.getField("bin"), -1)
-          .when(l.getField("bin") > r.getField("bin"), 1)
-          .otherwise(0))
+    // Candidate keys: the candidateBins strongest bins by (w desc, bin
+    // asc) — the kernel's own topK order. r15: one native selection pass
+    // (TopBinsExpr) instead of the interpreted array_sort lambda
+    // comparator + transform + slice chain (CodegenFallback, per-element
+    // lambda dispatch); same bins, same emit order.
     val withCand = prepared.withColumn(
       "candBin",
-      explode(transform(
-        slice(byWeight, 1, cfg.candidateBins), e => e.getField("bin"))))
+      explode(graft.functions.BinVectorExprs.topBinsCol(
+        prepared.sparkSession, col("binned"), cfg.candidateBins)))
 
     // Probe side doubles into the next bucket; canonicalisation after the
     // join makes the {bucket, bucket+1} emit direction-symmetric.
@@ -158,20 +153,19 @@ object SpectraCluster {
     val aSide = prepared.select(
       col("specId").as("id_a"), col("binned").as("ba"), col("norm").as("na"))
     val bSide = prepared.select(
-      col("specId").as("id_b"),
-      map_from_entries(col("binned")).as("mb"), col("norm").as("nb"))
+      col("specId").as("id_b"), col("binned").as("bb"), col("norm").as("nb"))
 
+    // r15: the per-pair dot was an interpreted `aggregate` fold probing a
+    // per-pair `map_from_entries` rebuild; SortedBinDotExpr merges the two
+    // bin-sorted arrays in one codegen pass. Bit-parity with the fold:
+    // same bin-asc visit order, and the old form's `+ w * 0.0` for
+    // missing bins is an fp identity on these non-negative sums (see the
+    // kernel scaladoc).
     pairs
       .join(aSide, Seq("id_a"))
       .join(bSide, Seq("id_b"))
-      .withColumn("dot",
-        aggregate(col("ba"), lit(0.0), (acc, e) =>
-          acc + e.getField("w") *
-            // try_element_at: explicit missing-key -> NULL contract
-            // independent of the ANSI strict-index setting (plain
-            // element_at happens to return NULL for map misses in Spark
-            // 4.1, but the try_ form pins the behavior)
-            coalesce(try_element_at(col("mb"), e.getField("bin")), lit(0.0))))
+      .withColumn("dot", graft.functions.BinVectorExprs.binDotCol(
+        prepared.sparkSession, col("ba"), col("bb")))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= cfg.minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -197,9 +191,12 @@ object SpectraCluster {
       .filter(col("binned").isNotNull && size(col("binned")) > 0 &&
         col("pmz").isNotNull && !isnan(col("pmz")) &&
         abs(col("pmz")) < lit(Double.MaxValue) && col("charge").isNotNull)
+      // r15: squared-norm via the merge-dot kernel applied to itself —
+      // same fold order (bin asc) as the old `aggregate` HOF, one codegen
+      // pass instead of interpreted lambda dispatch per element
       .withColumn("norm",
-        sqrt(aggregate(col("binned"), lit(0.0),
-          (acc, e) => acc + e.getField("w") * e.getField("w"))))
+        sqrt(graft.functions.BinVectorExprs.binDotCol(
+          spectra.sparkSession, col("binned"), col("binned"))))
       .filter(col("norm") > 0)
       .withColumn("bucket", floor(col("pmz") / lit(cfg.precursorTol)))
 
