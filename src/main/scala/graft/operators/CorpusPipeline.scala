@@ -55,7 +55,13 @@ object CorpusPipeline {
     // Cached: the shingle explosion, the survivor anti-join, and the final
     // semi-join all re-read this frame, and its quality/langid regex
     // columns are the expensive part of the scan.
-    val exact = Dedup.exact(langFiltered, col("id"), md5(col("text")))
+    // r15: internal fingerprint (dropped below) keyed on xxhash64 instead
+    // of md5 — same text-equality classes on collision-free corpora (the
+    // span-family parity argument); the null guard keeps md5's
+    // null-in/null-out contract so Dedup.exact's per-row null grouping is
+    // unchanged.
+    val exact = Dedup.exact(langFiltered, col("id"),
+      when(col("text").isNotNull, xxhash64(col("text"))))
       .drop("fingerprint", "dup_count")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

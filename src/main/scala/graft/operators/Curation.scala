@@ -415,12 +415,24 @@ object Curation {
   ): DataFrame = {
     require(numShards > 0, s"trainingShardPlan: numShards must be positive, got $numShards")
     require(tokenBudget > 0, s"trainingShardPlan: tokenBudget must be positive, got $tokenBudget")
+    // r15: exact-dedup fingerprint keyed on xxhash64 instead of md5 (the
+    // hash never reaches the output; same zero-collision parity argument
+    // as the span-family gram key), and the survivor selection is ONE
+    // min_by aggregation instead of a groupBy + semi-join that re-ran the
+    // full-text hash projection twice (the old `hashed` frame fed both
+    // sides unpinned — stage-attributed at ~2/3 of this operator's CPU).
+    // Null-text rows keep the old semantics: the null fingerprint never
+    // matched the semi-join's equality, so they were dropped — the
+    // explicit isNotNull filter preserves that.
     val hashed = df.select(
       id.cast("long").as("doc_id"),
       tokenCount.cast("long").as("n_tokens"),
-      md5(text).as("_th"))
-    val survivors = hashed.groupBy(col("_th")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = hashed.join(survivors, Seq("_th", "doc_id"), "left_semi").drop("_th")
+      when(text.isNotNull, xxhash64(text)).as("_th"))
+    val deduped = hashed
+      .filter(col("_th").isNotNull)
+      .groupBy(col("_th"))
+      .agg(min_by(struct(col("doc_id"), col("n_tokens")), col("doc_id")).as("_s"))
+      .select(col("_s.doc_id").as("doc_id"), col("_s.n_tokens").as("n_tokens"))
     val sharded = epochShuffle(deduped, col("doc_id"), epoch)
       .withColumn("shard", pmod(col("shuffle_pos"), lit(numShards.toLong)).cast("int"))
     greedyPack(
