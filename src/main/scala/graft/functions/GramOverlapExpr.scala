@@ -43,7 +43,15 @@ case class GramOverlapExpr(first: Expression, second: Expression, third: Express
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType)
           if third.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // ADVICE r14: nullable=false means codegen's non-null fast path
+        // would feed a NULL literal's default value into stats(), and
+        // n <= 0 silently yields len+1 empty-string grams — reject both
+        // here (mirrors TopKByAgg's k validation)
+        val n = third.eval()
+        if (n == null || n.asInstanceOf[Int] < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: n must be a non-null int literal >= 1, got $n")
+        else TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects (array<string>, array<string>, int literal), got " +

@@ -35,7 +35,13 @@ case class WordGramsExpr(left: Expression, right: Expression) extends BinaryExpr
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // ADVICE r14: same literal validation as GramOverlapExpr — a NULL
+      // or non-positive n must fail analysis, not corrupt codegen
+      val n = right.eval()
+      if (n == null || n.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: n must be a non-null int literal >= 1, got $n")
+      else TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (array<string>, int literal), got " +

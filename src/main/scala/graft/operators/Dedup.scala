@@ -1216,6 +1216,13 @@ object Dedup {
   * shape at 100 TB, where the stats pass dwarfs any single pair query. */
 final case class TfidfModel(weighted: DataFrame, norms: DataFrame) {
   def save(dir: String): Unit = {
+    // r15 measured-and-rejected (guide §6): an AQE `rebalance` hint per
+    // write (data-adaptive file sizing) was A/B-tested to cut the 32
+    // near-empty task commits — the added pre-write exchange cost MORE
+    // than the commits it saved at every bench scale (dd_tfidf_reload
+    // 1.51->1.82 s, pipeline_artifact_serve 2.59->3.45 s), and at corpus
+    // scale the posting table's data-derived partitioning already writes
+    // well-sized files. Kept as the plain inherited-partitioning write.
     weighted.write.mode("overwrite").parquet(s"$dir/weighted.parquet")
     norms.write.mode("overwrite").parquet(s"$dir/norms.parquet")
   }

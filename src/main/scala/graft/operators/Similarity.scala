@@ -53,7 +53,14 @@ object Similarity {
     * cosines (invalid pairs) never consume a rank slot, deterministic
     * (cosine desc, neighbor_id) ranking cut at k. Both public baselines
     * ([[bruteForceTopK]], [[hardNegativeTopK]]) are thin wrappers, so a
-    * ranking/NULL-handling fix lands in exactly one place. */
+    * ranking/NULL-handling fix lands in exactly one place.
+    *
+    * Duplicate-id caveat (ADVICE r14): the two branches agree only when
+    * corpus ids are unique. The topk_ids aggregate path has SET semantics
+    * — identical (cosine, neighbor_id) entries collapse — while the
+    * window path gives each duplicate row its own row_number slot; every
+    * engine caller feeds unique-id corpora (vec_id is a key), and callers
+    * with duplicate ids must dedupe the corpus first. */
   private def crossScoredTopK(
       corpus: DataFrame,
       queries: DataFrame,
