@@ -658,17 +658,12 @@ private[graft] object QueriesReference {
     // ------------------------------------------------- training-data operators
     // Exact dedup: md5 fingerprint, deterministic min-id survivor.
     "a_pearson_corr" -> ((s, dir) => {
-      import graft.operators.DataQuality
-      val li = t(s, dir, "lineitem")
-      DataQuality.pearsonCorr(li, floor(col("l_quantity")),
-        floor(col("l_discount") * 100))
-        .withColumn("pair", lit("qty_discount"))
-        .unionByName(
-          DataQuality.pearsonCorr(li, floor(col("l_quantity")),
-            floor(col("l_extendedprice")))
-            .withColumn("pair", lit("qty_price")))
-        .select(col("pair"), col("n"), col("sum_x"), col("sum_y"), col("sum_xy"),
-          col("corr"))
+      // r15: both correlation pairs in ONE lineitem scan/aggregation
+      // (pearsonCorrPairs) instead of a union of two full-scan calls —
+      // exact DECIMAL accumulators make the fusion value-identical.
+      graft.operators.DataQuality.pearsonCorrPairs(t(s, dir, "lineitem"), Seq(
+        ("qty_discount", floor(col("l_quantity")), floor(col("l_discount") * 100)),
+        ("qty_price", floor(col("l_quantity")), floor(col("l_extendedprice")))))
         .orderBy(col("pair"))
     }),
 

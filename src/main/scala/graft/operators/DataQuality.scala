@@ -1176,6 +1176,61 @@ object DataQuality {
       when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy))).as("corr"))
   }
 
+  /** Fused multi-pair Pearson audit (r15): several (x, y) correlations of
+    * the SAME table in ONE scan + ONE aggregation instead of one full
+    * scan per pair. Value-identical to calling [[pearsonCorr]] per pair
+    * and unioning: the accumulators are exact DECIMAL sums
+    * (order-independent), the per-pair null filter becomes the matching
+    * conditional aggregate (same addend set), and the final double
+    * arithmetic is the same expression tree per row. One row per pair,
+    * labelled, in the given order.
+    *
+    * @return (pair, n, sum_x, sum_y, sum_xy, corr) */
+  def pearsonCorrPairs(
+      df: DataFrame,
+      pairs: Seq[(String, Column, Column)]): DataFrame = {
+    require(pairs.nonEmpty, "pearsonCorrPairs: at least one (label, x, y) pair")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val aggCols = pairs.zipWithIndex.flatMap { case ((_, x, y), i) =>
+      val xl = x.cast("long"); val yl = y.cast("long")
+      val live = xl.isNotNull && yl.isNotNull
+      def s(v: Column, name: String) = sum(when(live, v)).as(s"${name}_$i")
+      Seq(
+        count(when(live, lit(1))).as(s"n_$i"),
+        s(dec(xl), "_sx"), s(dec(yl), "_sy"),
+        s(dec(xl) * dec(xl), "_sxx"), s(dec(yl) * dec(yl), "_syy"),
+        s(dec(xl) * dec(yl), "_sxy"))
+    }
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    def guarded(c: Column, what: String) =
+      when(abs(c) <= lit(Long.MaxValue), c.cast("long"))
+        .otherwise(raise_error(lit(
+          s"pearsonCorr: $what exceeds the int64 horizon — quantize coarser"))
+          .cast("long"))
+    val rows = pairs.zipWithIndex.map { case ((label, _, _), i) =>
+      // the guard expression is verbatim pearsonCorr's, so edge behavior
+      // (including its zero-live-row path) matches the per-pair calls
+      val n = col(s"n_$i")
+      val sx = guarded(col(s"_sx_$i"), "sum(x)")
+      val sy = guarded(col(s"_sy_$i"), "sum(y)")
+      val sxx = guarded(col(s"_sxx_$i"), "sum(x^2)")
+      val syy = guarded(col(s"_syy_$i"), "sum(y^2)")
+      val sxy = guarded(col(s"_sxy_$i"), "sum(x*y)")
+      struct(lit(label).as("pair"), n.as("n"), sx.as("sum_x"), sy.as("sum_y"),
+        sxy.as("sum_xy"), sxx.as("_sxx"), syy.as("_syy"))
+    }
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("sum_xy") - d("sum_x") * d("sum_y")
+    val vx = nD * d("_sxx") - d("sum_x") * d("sum_x")
+    val vy = nD * d("_syy") - d("sum_y") * d("sum_y")
+    agg
+      .select(explode(array(rows: _*)).as("_p"))
+      .select(col("_p.*"))
+      .select(col("pair"), col("n"), col("sum_x"), col("sum_y"), col("sum_xy"),
+        when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy))).as("corr"))
+  }
+
   /** Primary-key audit — the uniqueness/nullability contract check run
     * before a column is trusted as a join or dedup key: row and distinct
     * counts, NULL keys (which match nothing in an equi-join), duplicated
