@@ -151,20 +151,29 @@ object LanguageModel {
         when(col("i0") > 0, element_at(col("t"), col("i0"))).as("prev") +:
         carryCols: _*)
     val uni = broadcast(lm.unigrams)
+    // r15: the bigram branch's ratio c_bi/c_prev is a pure function of
+    // the MODEL pair, so it is computed once per bigram on the capped
+    // model side (an inner join of the two bounded model tables) instead
+    // of a third string-keyed broadcast probe per token row. Exactness:
+    // the division is the same double op on the same stored BIGINTs, and
+    // `_bp IS NOT NULL` iff the old `c_bi IS NOT NULL AND c_prev IS NOT
+    // NULL` (a bigram whose w1 fell out of the capped vocab drops out of
+    // the inner join exactly where the old condition sent it to backoff).
+    val bigramP = broadcast(
+      lm.bigrams.join(
+        lm.unigrams.select(col("term").as("w1"), col("c").as("_cp")), Seq("w1"))
+        .select(col("w1").as("prev"), col("w2").as("term"),
+          (col("c").cast("double") / col("_cp").cast("double")).as("_bp")))
     val joined = pos
       .join(uni.select(col("term"), col("c").as("c_uni")), Seq("term"), "left")
-      .join(uni.select(col("term").as("prev"), col("c").as("c_prev")), Seq("prev"), "left")
-      .join(broadcast(lm.bigrams).select(
-        col("w1").as("prev"), col("w2").as("term"), col("c").as("c_bi")),
-        Seq("prev", "term"), "left")
+      .join(bigramP, Seq("prev", "term"), "left")
       .crossJoin(broadcast(lm.stats))
     // (c + k) / (N + k*(V+1)) — one division, literal-first products; the
     // SQL oracle renders the identical association term for term.
     val pUni = (coalesce(col("c_uni"), lit(0L)).cast("double") + lit(lm.k)) /
       (col("n_tok") + lit(lm.k) * (col("v") + lit(1L)))
     val p = when(col("i0") === 0, pUni)
-      .when(col("c_bi").isNotNull && col("c_prev").isNotNull,
-        col("c_bi").cast("double") / col("c_prev").cast("double"))
+      .when(col("_bp").isNotNull, col("_bp"))
       .otherwise(lit(backoff) * pUni)
     // Null-term rows (empty docs) must NOT contribute a backoff term.
     val nl = when(col("term").isNotNull, round(-log(p), 6).cast("decimal(28,6)"))
